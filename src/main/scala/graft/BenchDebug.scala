@@ -1,0 +1,21 @@
+package graft
+
+/** Ad-hoc per-query profiler: runs the named queries twice (cold/warm) and
+  * prints timings + the formatted physical plan when SPARK_GRAFT_EXPLAIN=1.
+  */
+object BenchDebug {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[benchdbg] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}

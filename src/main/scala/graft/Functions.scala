@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.expressions.SequenceRatio
+
+/** The engine's scalar-function surface (reference SURVEY.md §2.10–2.11),
+  * composed from codegen'd built-ins wherever possible; the only custom
+  * Catalyst expression is [[graft.expressions.SequenceRatio]].
+  *
+  * Hash-derived pseudo-random values are all md5-based so that any SQL engine
+  * (the DuckDB oracle included) reproduces them bit-for-bit — no dependence
+  * on Spark-private hash functions.
+  */
+object Functions {
+
+  /** Register custom expressions for SQL use (`seq_ratio(a, b)`). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "seq_ratio",
+      exprs => SequenceRatio(exprs.head, exprs(1)),
+      "built-in")
+  }
+
+  /** Ratcliff–Obershelp similarity (difflib-compatible), as a Column. */
+  def seqRatio(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SequenceRatio(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Levenshtein-based similarity ratio in [0, 1]:
+    * `1 - levenshtein(a,b) / max(len(a), len(b))`, 1.0 for two empty strings.
+    * Oracle-portable alternative to [[seqRatio]] (DuckDB: `levenshtein`).
+    */
+  def levRatio(a: Column, b: Column): Column = {
+    val denom = greatest(length(a), length(b))
+    when(denom === 0, lit(1.0))
+      .otherwise(lit(1.0) - levenshtein(a, b).cast("double") / denom.cast("double"))
+  }
+
+  /** Great-circle distance in feet (haversine; reference `util/gps_h.py:9-24`
+    * uses the same formula with R = 3961 mi × 5280 ft).
+    */
+  def haversineFeet(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    val c = atan2(sqrt(a), sqrt(lit(1.0) - a)) * 2
+    c * lit(3961.0 * 5280.0)
+  }
+
+  /** Normalize a 32-hex-char GUID to dashed 8-4-4-4-12 form (reference
+    * `gs_ready.py:232-233` inserts dashes the same way).
+    */
+  def guidWithDashes(hex32: Column): Column =
+    concat_ws(
+      "-",
+      substring(hex32, 1, 8),
+      substring(hex32, 9, 4),
+      substring(hex32, 13, 4),
+      substring(hex32, 17, 4),
+      substring(hex32, 21, 12))
+
+  /** Day-of-week with Sunday = 0 (reference `wt_extract_soc.py:78`,
+    * `gs_agg_extract_soc.py:124` compute `(weekday+1) %% 7`). Spark's
+    * `dayofweek` is 1 = Sunday, so this is simply `dayofweek - 1`.
+    */
+  def dayOfWeekSun0(d: Column): Column = dayofweek(d) - 1
+
+  /** `"HH:MM"` label of the containing 15-minute bin (reference
+    * `wt_extract_soc.py:79`: `round(minute/15)*15` — actually *floor* since
+    * the reference uses integer arithmetic on already-bucketed data; this
+    * engine defines floor semantics).
+    */
+  def timeBin15(ts: Column): Column =
+    concat(
+      lpad(hour(ts).cast("string"), 2, "0"),
+      lit(":"),
+      lpad((floor(minute(ts) / 15) * 15).cast("string"), 2, "0"))
+
+  /** Tumbling-window start: `ts` floored to `seconds`-wide epoch-aligned
+    * buckets. Matches Spark's `window(ts, s)` start for epoch-aligned windows
+    * and DuckDB's `to_timestamp(floor(epoch(ts)/s)*s)`.
+    */
+  def bucketStart(ts: Column, seconds: Int): Column =
+    timestamp_seconds(floor(unix_timestamp(ts) / seconds) * seconds)
+
+  /** Deterministic idempotent-publish key: md5 over "|"-joined natural-key
+    * fields (reference `bt_extract_soc.py:110,130-135` hashes concatenated
+    * natural keys so republishing upserts instead of duplicating).
+    */
+  def recordId(cols: Column*): Column = md5(concat_ws("|", cols: _*))
+
+  /** First `bits` bits (≤ 60) of md5(s) as a non-negative long — the
+    * engine's portable 'random' hash for MinHash / SimHash / LSH. Equivalent
+    * DuckDB: `CAST('0x' || substr(md5(s), 1, bits/4) AS BIGINT)`.
+    */
+  def md5Bits(s: Column, bits: Int): Column = {
+    require(bits % 4 == 0 && bits > 0 && bits <= 60, "bits must be a multiple of 4, <= 60")
+    conv(substring(md5(s), 1, bits / 4), 16, 10).cast("long")
+  }
+
+  /** Engine-portable round-half-up: `floor(x·10ᵏ + 0.5) / 10ᵏ` evaluated in
+    * DOUBLE. Spark's `round` rounds the *decimal string* of a double
+    * (BigDecimal HALF_UP) while other engines round the binary value — the
+    * two disagree exactly on `.…5` boundaries (e.g. `round(16.0675, 3)`).
+    * This formula is the same IEEE operation sequence everywhere, so results
+    * hash identically across engines and reruns.
+    */
+  def roundHalfUp(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale)
+    if (scale == 0) floor(c + 0.5).cast("double")
+    else floor(c * p + 0.5) / p
+  }
+
+  /** Truncate a timestamp to whole seconds. Synthetic inputs carry
+    * nanosecond precision which Spark floors to microseconds while other
+    * engines keep; queries that *return* timestamps truncate to seconds
+    * before aggregation so results are engine-portable.
+    */
+  def toSecond(ts: Column): Column = date_trunc("second", ts)
+}

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, SimilaritySearch, TextAnalysis}
+
+/** Training-data pipeline coverage over `documents` and `embeddings`:
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding cosine), similarity search (brute-force and LSH ANN), and text
+  * analysis (language id, quality, tokens, fingerprints). All hashing is
+  * md5-derived, so each query has an exact DuckDB oracle.
+  */
+object QueriesCorpus {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: hash-groupBy, one shuffle
+    "q_dd_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    // MinHash signatures (4 permutations over 3-word shingles)
+    "q_dd_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", numHashes = 4)),
+
+    // MinHash-LSH candidate pairs (8 hashes, 2 bands of 4, 3-word shingles)
+    "q_dd_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, bands = 2)),
+
+    // SimHash 16-bit fingerprints
+    "q_dd_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
+
+    // blocked n-gram Jaccard near-dup pairs (same lang + length bucket)
+    "q_dd_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq(col("lang"), (col("n_chars") / 100).cast("long")),
+        n = 2, threshold = 0.2)),
+
+    // embedding cosine near-dup pairs within label blocks
+    "q_dd_cos_pairs" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.30)),
+
+    // exact brute-force cosine top-k against the vec_id=0 query vector
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(
+          col("vec_id"),
+          Functions.roundHalfUp(
+            SimilaritySearch.cosine(col("embedding").cast("array<double>"), col("qv")), 6)
+            .as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // LSH-bucketed ANN: vectors per md5-hyperplane bucket (the scale path;
+    // the bucket assignment is the verifiable part — deterministic join key)
+    "q_ann_lsh_buckets" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          SimilaritySearch.lshBucket(col("embedding").cast("array<double>"), planes = 6)
+            .as("bucket"))),
+
+    // language-id heuristic
+    "q_tx_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    // quality metrics
+    "q_tx_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")),
+
+    // token counting
+    "q_tx_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+
+    // order-insensitive content fingerprint
+    "q_tx_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // multimodal plumbing: opaque binary payload + typed metadata. The
+    // "decode" is a deterministic fake (md5-derived dimensions) standing in
+    // for an image decoder; the Spark-side schema/plumbing is the real part
+    // (see graft.ops.Multimodal for the batched mapPartitions path).
+    "q_mm_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("byte_len"),
+          (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("long") % 1856 + 64)
+            .as("width"),
+          (conv(substring(md5(col("payload")), 5, 4), 16, 10).cast("long") % 1016 + 64)
+            .as("height"),
+          lit("image/fake").as("mime"))),
+
+    // multimodal frame sampling: one "frame" per 100-char window
+    "q_mm_frames" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(
+          col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), floor((length(col("text")) - 1) / 100).cast("int"))))
+        .select(
+          col("doc_id"), col("pos").as("frame_idx"),
+          md5(col("text").substr(col("pos") * 100 + 1, lit(100))).as("frame_md5"))))
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private val toksSql =
+    "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
+
+  /** 3-word shingle set of the raw (non-distinct) token sequence. */
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, greatest(len(tt) - 2, 1) + 1), " +
+      "i -> array_to_string(tt[i:i+2], ' ')))"
+
+  private def minhashSql(seed: Int): String =
+    s"list_min(list_transform(sh, x -> md5('s$seed:' || x)))"
+
+  private val shingleFrom =
+    s"(SELECT doc_id, $shinglesSql AS sh FROM " +
+      "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM documents))"
+
+  val oracles: Map[String, String] = Map(
+    "q_dd_exact" ->
+      """SELECT md5(trim(lower(text))) AS content_hash, min(doc_id) AS canonical_id,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dd_minhash_sig" ->
+      s"""SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+         |FROM $shingleFrom""".stripMargin,
+    "q_dd_lsh_pairs" -> {
+      val bandSelects = (0 until 2)
+        .map { b =>
+          val sig = (0 until 4).map(r => minhashSql(b * 4 + r)).mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM $shingleFrom"
+        }
+        .mkString("\n  UNION ALL ")
+      s"""WITH banded AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+    },
+    "q_dd_simhash" -> {
+      val votes = (0 until 16)
+        .map(b =>
+          s"CASE WHEN list_sum(list_transform(h, x -> ((x >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH hashed AS (
+         |  SELECT doc_id,
+         |    list_transform($toksSql, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS h
+         |  FROM documents)
+         |SELECT doc_id, CAST($votes AS BIGINT) AS simhash FROM hashed""".stripMargin
+    },
+    "q_dd_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, n_chars // 100 AS lenb,
+         |    list_distinct(list_transform(
+         |      list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+         |        i -> array_to_string(t[i:i+1], ' ')),
+         |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sh
+         |  FROM (SELECT doc_id, lang, n_chars,
+         |        string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    floor((CASE WHEN CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh)) = 0.0 THEN 1.0
+         |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) END) * 10000 + 0.5) / 10000 AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2""".stripMargin,
+    "q_dd_cos_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 >= 0.30""".stripMargin,
+    "q_ann_brute" ->
+      """SELECT b.vec_id,
+        |  floor(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 AS cos
+        |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE b.vec_id <> 0
+        |ORDER BY cos DESC, b.vec_id LIMIT 20""".stripMargin,
+    "q_ann_lsh_buckets" -> {
+      // plane p bit: sign of sum_d v[d] * (md5-uniform('p<p>:<d>') - 0.5)
+      val planeBit = (p: Int) =>
+        s"""CASE WHEN (SELECT sum(z[1] * (CAST('0x' || substr(md5('p$p:' || CAST(z[2] AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 - 0.5))
+           |  FROM unnest(list_zip(v, range(0, len(v)))) AS t(z)) > 0.0 THEN ${1L << p} ELSE 0 END""".stripMargin
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id, CAST(${(0 until 6).map(planeBit).mkString(" + ")} AS BIGINT) AS bucket
+         |FROM base""".stripMargin
+    },
+    "q_tx_langid" -> {
+      val markerHits = TextAnalysis.LangMarkers
+        .map { case (lang, ms) =>
+          s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS hits_$lang"
+        }
+        .mkString(",\n    ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+      val pick = langs.reverse.foldLeft("'und'") { (acc, l) =>
+        s"CASE WHEN hits_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $markerHits
+         |  FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)),
+         |ranked AS (SELECT *, $best AS best FROM scored)
+         |SELECT doc_id, lang, $pick AS lang_guess FROM ranked""".stripMargin
+    },
+    "q_tx_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+        |    length(trim(text)) AS char_count
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(t) AS word_count, char_count,
+        |    CASE WHEN len(t) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END AS awl,
+        |    CASE WHEN len(t) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(t) END AS sr
+        |  FROM base)
+        |SELECT doc_id, word_count, char_count, floor(awl * 1000 + 0.5) / 1000 AS avg_word_len,
+        |  floor(sr * 10000 + 0.5) / 10000 AS stopword_ratio,
+        |  floor(((CASE WHEN word_count BETWEEN 20 AND 400 THEN 0.5 ELSE 0.0 END)
+        |      + (CASE WHEN sr BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END)) * 100 + 0.5) / 100 AS quality_score
+        |FROM m""".stripMargin,
+    "q_tx_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens
+        |FROM documents""".stripMargin,
+    "q_tx_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+    "q_mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1856 + 64 AS BIGINT) AS width,
+        |  CAST(CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1016 + 64 AS BIGINT) AS height,
+        |  'image/fake' AS mime
+        |FROM documents""".stripMargin,
+    "q_mm_frames" ->
+      """SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+        |  md5(substr(text, CAST(u.i AS INT) * 100 + 1, 100)) AS frame_md5
+        |FROM documents, unnest(range(0, (length(text) - 1) // 100 + 1)) AS u(i)
+        |WHERE length(text) >= 1""".stripMargin)
+}

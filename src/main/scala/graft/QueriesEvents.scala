@@ -1,0 +1,267 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.incr.IncrementalDiff
+import graft.ops.{AsOf, Publish, TrafficAgg}
+
+/** Time-series operator coverage over the `events` table: the flagship
+  * 15-minute aggregation (SURVEY A1), incremental diff (J1), as-of joins
+  * (J7/J8), windows (W1/W5/W6), and per-sensor health aggregates (A2-A6).
+  *
+  * Timestamp discipline: the synthetic `ts` carries nanoseconds, which Spark
+  * floors to microseconds on read while other engines keep — so every query
+  * that returns or *orders by* a timestamp first truncates to whole seconds
+  * on both sides (see [[Functions.toSecond]]).
+  */
+object QueriesEvents {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Exact decimal sum of a 2-decimal measure, surfaced as DOUBLE. */
+  private def valSum = (c: org.apache.spark.sql.Column) =>
+    Functions.roundHalfUp(sum(c.cast("decimal(18,4)")).cast("double"), 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: flagship 15-min tumbling aggregation (reference gs_ready_agg.py:69-92)
+    "q_a1_traffic15" -> ((s, dir) =>
+      TrafficAgg.aggregate(t(s, dir, "events"), "ts", Seq("event_type"), Seq("value"))),
+
+    // A2: day-grain discovery count (reference wt_mssql_db.py:62-74)
+    "q_a2_daily_count" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("event_day"))
+        .agg(count(lit(1)).as("n"))),
+
+    // A3: per-sensor daily health observation (reference bt_json_standard.py:146-157)
+    "q_a3_health" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), Functions.toSecond(col("ts")).as("ts_sec"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          valSum(col("value")).as("value_sum"),
+          min(col("ts_sec")).as("first_ts"),
+          max(col("ts_sec")).as("last_ts"))),
+
+    // A5: 7-day expected value, moving average (reference perfmet_knack.py:127-156)
+    "q_a5_7day_avg" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("event_day"))
+        .agg(valSum(col("value")).as("daily_value"))
+        .withColumn("day_num", datediff(col("event_day"), lit("1970-01-01").cast("date")))
+      val w = Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("day_num"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("expected", Functions.roundHalfUp(avg(col("daily_value")).over(w), 3))
+        .select("event_type", "event_day", "daily_value", "expected")
+    }),
+
+    // A6/W3: latest row per group (reference perfmet_knack.py:140-143)
+    "q_a6_latest_per_user" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          Functions.toSecond(col("ts")).as("ts_sec"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "ts_sec")
+    }),
+
+    // J1: the engine's core incremental anti-join over date intervals
+    // (reference support/last_update.py:52-121): orders with no lineitem
+    // shipped within the order-date day window
+    "q_j1_incr_diff" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("id_base"), col("o_orderdate").as("collection_date"))
+      val tgt = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("id_base"), col("l_shipdate").as("collection_date"))
+      IncrementalDiff
+        .diff(src, tgt, Seq("id_base"), "collection_date")
+        .select(col("id_base"), to_date(col("collection_date")).as("item_date"))
+    }),
+
+    // J1 force-mode + F4 same-day cancel (reference etl_app.py:106,
+    // last_update.py:200-206): force skips the target subtraction; items
+    // dated "today" are dropped because the day is still accumulating
+    "q_j1_force_sameday" -> ((s, dir) => {
+      val src = t(s, dir, "events")
+        .select(col("user_id").as("id_base"), to_date(col("ts")).as("collection_date"))
+        .distinct()
+      IncrementalDiff.diff(
+        src, src.limit(0), Seq("id_base"), "collection_date",
+        force = true, sameDayCancel = true, today = lit("2024-01-15").cast("date"))
+    }),
+
+    // J7: forward as-of join — earliest signup at-or-after each purchase
+    // (reference support/unitdata.py:40-63 resolves the nearest unit-data
+    // snapshot with date >= item date)
+    "q_j7_asof_fwd" -> ((s, dir) => asof(s, dir, forward = true)),
+
+    // J8: backward as-of join — latest signup at-or-before each purchase
+    // (reference support/catalog.py:105-188 "previous-date" site lookup)
+    "q_j8_asof_back" -> ((s, dir) => asof(s, dir, forward = false)),
+
+    // W1: daily first-seen counter, privacy pseudonymization
+    // (reference bt_extract_soc.py:73-91)
+    "q_w1_first_seen" -> ((s, dir) =>
+      Publish
+        .firstSeenCounter(
+          t(s, dir, "events").select(
+            Functions.toSecond(col("ts")).as("ts_sec"), col("user_id")),
+          "ts_sec", "user_id")
+        .select(col("day"), col("user_id"), col("first_seen"), col("daily_counter"))),
+
+    // W5: lag / previous-row change detection (reference etl_app.py:272-281)
+    "q_w5_lag_gap" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), Functions.toSecond(col("ts")).as("ts_sec"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+      e.withColumn(
+          "gap_s",
+          unix_timestamp(col("ts_sec")) - lag(unix_timestamp(col("ts_sec")), 1).over(w))
+        .select("event_id", "user_id", "gap_s")
+    }),
+
+    // W6: 15-minute time-bin label (reference wt_extract_soc.py:79)
+    "q_w6_timebin" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), Functions.timeBin15(col("ts")).as("timebin"))),
+
+    // K2: catalog upsert / latest-wins merge on the PK (reference
+    // support/catalog.py:283-314): second batch overrides the first
+    "q_k2_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey").as("id_base"),
+        lit("raw").as("repository"),
+        col("o_orderpriority").as("pointer"),
+        lit(1L).as("batch"))
+      val update = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderkey").as("id_base"),
+          lit("raw").as("repository"),
+          lit("updated").as("pointer"),
+          lit(2L).as("batch"))
+      graft.catalog.LakeCatalog
+        .merge(base.unionByName(update), Seq("id_base", "repository"), "batch")
+        .select("id_base", "repository", "pointer", "batch")
+    }))
+
+  /** Shared J7/J8 as-of query: purchases resolved against signup snapshots
+    * per user. Truncation to seconds happens before the join on both sides.
+    */
+  private def asof(s: SparkSession, dir: String, forward: Boolean): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), Functions.toSecond(col("ts")).as("pts"))
+    val signups = e
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), Functions.toSecond(col("ts")).as("sts"), col("event_id"))
+    AsOf
+      .join(purchases, signups, "user_id", "pts", "sts",
+        snapCols = Seq("event_id"), forward = forward, tiebreak = Some("event_id"))
+      .filter(col("snap_event_id").isNotNull)
+      .select(
+        col("event_id"), col("user_id"), col("pts").as("purchase_ts"),
+        col("snap_event_id"), col("snap_sts").as("signup_ts"))
+  }
+
+  private val asofOracle: Boolean => String = fwd => {
+    val (cmp, ord) = if (fwd) (">=", "ASC") else ("<=", "DESC")
+    s"""WITH p AS (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS pts
+       |       FROM events WHERE event_type = 'purchase'),
+       |s AS (SELECT event_id AS s_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS sts
+       |       FROM events WHERE event_type = 'signup'),
+       |j AS (SELECT p.event_id, p.user_id, p.pts, s.s_id, s.sts,
+       |        row_number() OVER (PARTITION BY p.event_id ORDER BY s.sts $ord, s.s_id $ord) AS rn
+       |      FROM p JOIN s ON p.user_id = s.user_id AND s.sts $cmp p.pts)
+       |SELECT event_id, user_id, pts AS purchase_ts, s_id AS snap_event_id, sts AS signup_ts
+       |FROM j WHERE rn = 1""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_a1_traffic15" ->
+      """WITH g AS (
+        |  SELECT CAST(to_timestamp(floor(epoch(ts)/900)*900) AS TIMESTAMP) AS bucket_start,
+        |    event_type, count(*) AS volume,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket_start, event_type, volume,
+        |  floor(s1 / volume * 1000 + 0.5) / 1000 AS value_avg,
+        |  CASE WHEN volume > 1
+        |    THEN floor(sqrt(greatest((s2 * volume - s1 * s1) / (volume * (volume - 1)), 0.0)) * 1000 + 0.5) / 1000
+        |    ELSE 0.0 END AS value_std
+        |FROM g""".stripMargin,
+    "q_a2_daily_count" ->
+      "SELECT CAST(ts AS DATE) AS event_day, count(*) AS n FROM events GROUP BY 1",
+    "q_a3_health" ->
+      """SELECT user_id, count(*) AS n,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS value_sum,
+        |  min(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS first_ts,
+        |  max(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_a5_7day_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS event_day,
+        |    floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS daily_value,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS day_num
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, event_day, daily_value,
+        |  floor(avg(daily_value) OVER (PARTITION BY event_type ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000 + 0.5) / 1000 AS expected
+        |FROM daily""".stripMargin,
+    "q_a6_latest_per_user" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec FROM events)
+        |SELECT user_id, event_id, event_type, ts_sec
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_sec DESC, event_id DESC) AS rn
+        |      FROM e) WHERE rn = 1""".stripMargin,
+    "q_j1_incr_diff" ->
+      """SELECT o_orderkey AS id_base, CAST(o_orderdate AS DATE) AS item_date
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND o.o_orderdate < l.l_shipdate + INTERVAL 1 DAY
+        |    AND l.l_shipdate < o.o_orderdate + INTERVAL 1 DAY)""".stripMargin,
+    "q_j1_force_sameday" ->
+      """SELECT DISTINCT user_id AS id_base, CAST(ts AS DATE) AS collection_date
+        |FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15'""".stripMargin,
+    "q_j7_asof_fwd" -> asofOracle(true),
+    "q_j8_asof_back" -> asofOracle(false),
+    "q_w1_first_seen" ->
+      """WITH fs AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |    min(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS first_seen
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, user_id, first_seen,
+        |  dense_rank() OVER (PARTITION BY day ORDER BY first_seen, user_id) AS daily_counter
+        |FROM fs""".stripMargin,
+    "q_w5_lag_gap" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec FROM events)
+        |SELECT event_id, user_id,
+        |  sec - lag(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap_s
+        |FROM e""".stripMargin,
+    "q_w6_timebin" ->
+      """SELECT event_id,
+        |  lpad(CAST(hour(ts) AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST((minute(ts) // 15) * 15 AS VARCHAR), 2, '0') AS timebin
+        |FROM events""".stripMargin,
+    "q_k2_upsert" ->
+      """WITH all_batches AS (
+        |  SELECT o_orderkey AS id_base, 'raw' AS repository, o_orderpriority AS pointer, 1 AS batch
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'raw', 'updated', 2 FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT id_base, repository, pointer, CAST(batch AS BIGINT) AS batch
+        |FROM (SELECT *, row_number() OVER (PARTITION BY id_base, repository ORDER BY batch DESC) AS rn
+        |      FROM all_batches) WHERE rn = 1""".stripMargin)
+}

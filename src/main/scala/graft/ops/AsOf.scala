@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of joins: attach to each fact row the single dimension snapshot that is
+  * nearest in time — backward (greatest snapshot time ≤ fact time, reference
+  * `support/catalog.py:105-188` "previous-date" site lookup) or forward
+  * (smallest snapshot time ≥ fact time, reference `support/unitdata.py:40-63`
+  * unit-data resolution).
+  *
+  * Implementation: union-then-window ("last non-null over ordered partition")
+  * rather than a range join. One shuffle on the join key, no interval
+  * explosion, no per-key candidate cross product — at 100 TB of facts with a
+  * small snapshot dimension this is a single keyed exchange, and Spark's
+  * window runs sorted within partitions. Ties on snapshot time are broken by
+  * the greatest (backward) / least (forward) `tiebreak` column so results are
+  * deterministic regardless of physical row order.
+  */
+object AsOf {
+
+  /** @param facts     left side; keeps all its rows and columns
+    * @param snapshots right side; `snapCols` are attached (nullable when no
+    *                  snapshot qualifies)
+    * @param key       equi-join column present on both sides
+    * @param factTime  event-time column on `facts`
+    * @param snapTime  snapshot-time column on `snapshots`
+    * @param snapCols  snapshot payload columns to attach
+    * @param forward   false = backward as-of (snapTime <= factTime),
+    *                  true = forward as-of (snapTime >= factTime)
+    * @param tiebreak  snapshot column ordering tiebreak on equal snapTime
+    */
+  def join(
+      facts: DataFrame,
+      snapshots: DataFrame,
+      key: String,
+      factTime: String,
+      snapTime: String,
+      snapCols: Seq[String],
+      forward: Boolean = false,
+      tiebreak: Option[String] = None): DataFrame = {
+
+    val factCols = facts.columns.toSeq
+    val payload = (snapTime +: snapCols).distinct
+
+    // Unified event stream: facts carry null snapshot payload, snapshots
+    // carry null fact payload. `_t` is the ordering time; direction is
+    // handled by negating the ordering for forward as-of.
+    val sign = if (forward) -1L else 1L
+    def orderExpr(t: String) = (unix_micros(col(t).cast("timestamp")) * sign).as("_t")
+
+    // `_isSnap` orders snapshots *before* facts at identical times for
+    // backward as-of (a snapshot dated exactly at the fact time applies), and
+    // the same after negation for forward.
+    val tagged = facts
+      .select(
+        (col(key).as("_k") +: orderExpr(factTime) +: lit(0).as("_isSnap") +:
+          lit(null).cast("long").as("_tb") +:
+          factCols.map(col)) ++ payload.map(c => lit(null).cast(snapshots.schema(c).dataType).as(s"_s_$c")): _*)
+      .unionByName(
+        snapshots.select(
+          (col(key).as("_k") +: orderExpr(snapTime) +: lit(1).as("_isSnap") +:
+            (tiebreak.map(tb => (col(tb).cast("long") * sign).as("_tb"))
+              .getOrElse(lit(0L).as("_tb"))) +:
+            factCols.map(c => lit(null).cast(facts.schema(c).dataType).as(c))) ++
+            payload.map(c => col(c).as(s"_s_$c")): _*))
+
+    val w = Window
+      .partitionBy("_k")
+      .orderBy(col("_t"), col("_isSnap").desc, col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = payload.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"_s_$c", last(col(s"_s_$c"), ignoreNulls = true).over(w))
+    }
+
+    filled
+      .filter(col("_isSnap") === 0)
+      .select(factCols.map(col) ++ payload.map(c => col(s"_s_$c").as(s"snap_$c")): _*)
+  }
+}

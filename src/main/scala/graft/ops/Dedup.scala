@@ -1,0 +1,248 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora: exact, MinHash-LSH,
+  * SimHash, and blocked n-gram Jaccard. All hashing is md5-based so every
+  * result is reproducible in any SQL engine (see [[graft.Functions.md5Bits]]).
+  *
+  * Scale design: nothing here compares all pairs. Exact dedup is one
+  * hash-`groupBy`; MinHash pairs only meet inside an LSH band bucket;
+  * Jaccard pairs only meet inside caller-chosen blocking keys. At 100 TB the
+  * only shuffles are keyed exchanges on (hash) or (band, signature).
+  */
+object Dedup {
+
+  /** Whitespace tokens of lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Exact duplicate groups keyed by md5 of normalized text. Returns one row
+    * per distinct content hash: the canonical (minimum) id, the duplicate
+    * count, and the hash. Map-side combinable single shuffle.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(trim(lower(col(textCol)))).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures over `shingle`-word shingles: `numHashes` columns
+    * `mh0..mh{k-1}` per id — each the lexicographic minimum of seeded md5
+    * hex digests over the document's distinct shingles (any total order over
+    * a uniform hash is a valid MinHash permutation; hex strings keep it
+    * engine-portable). Shingles (not unigrams) are essential for
+    * selectivity: real corpora share most of their *vocabulary*, so
+    * word-level minhashes collide constantly, while n-word sequences only
+    * collide between genuinely similar documents.
+    *
+    * Implementation note: the shingle set is exploded and the per-seed
+    * minima computed by a hash aggregate, NOT as nested `transform`/
+    * `array_min` higher-order functions — HOFs evaluate interpreted
+    * (~ms/doc for 8 hashes) while `md5` + `min` in an exploded aggregate are
+    * whole-stage-codegen'd; the keyed shuffle also partial-aggregates
+    * map-side, so this shape wins at every scale.
+    */
+  /** Exploded (carryCols..., shingle) rows: `n`-word shingles built with
+    * `posexplode` + window `lead`, NOT `transform`/`slice` higher-order
+    * functions — every operator here is whole-stage-codegen'd, while
+    * interpreted HOF shingling costs ~60 µs *per shingle*. Documents
+    * shorter than `n` words yield their whole text as one (clipped)
+    * shingle. Rows are NOT deduplicated (min-aggregates don't care;
+    * set-consumers dedup downstream).
+    */
+  def shingleRows(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      carryCols: Seq[Column] = Seq.empty): DataFrame = {
+    require(n >= 1)
+    val toks = tokens(col(textCol))
+    val carried = carryCols.zipWithIndex.map { case (c, i) => c.as(s"_c$i") }
+    val carriedNames = carryCols.indices.map(i => col(s"_c$i"))
+    // explicit-count repartition by id: compute per shingle (md5s, window
+    // sort) vastly exceeds bytes per shingle, so AQE's size-based
+    // coalescing would otherwise serialize this pipeline into one task;
+    // an explicit partition count is respected, and the window + any
+    // downstream groupBy(id) reuse the same hash partitioning (no second
+    // exchange)
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val exploded = df
+      .repartition(parallelism, col(idCol))
+      .select(col(idCol) +: size(toks).as("_n") +: carried :+ posexplode(toks): _*)
+    val shingled =
+      if (n == 1) exploded.withColumn("shingle", col("col"))
+      else {
+        val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+        // concat_ws skips nulls, so trailing leads of a short document
+        // produce the clipped shingle
+        val parts = col("col") +: (1 until n).map(k => lead(col("col"), k).over(w))
+        exploded
+          .withColumn("shingle", concat_ws(" ", parts: _*))
+          .filter(col("pos") <= greatest(col("_n") - n, lit(0)))
+      }
+    shingled.select(col(idCol) +: carriedNames :+ col("shingle"): _*)
+  }
+
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingle: Int = 3): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, shingle)
+    val aggs = (0 until numHashes)
+      .map(i => min(md5(concat(lit(s"s$i:"), col("shingle")))).as(s"mh$i"))
+    rows.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: split the `numHashes` signature into
+    * `bands`; ids sharing any band signature are candidates. Emits distinct
+    * (id_a < id_b) pairs. The self-join is keyed on (band index, band
+    * signature) — with r = numHashes/bands hash rows per band a pair
+    * collides with probability jaccard^r per band, so the join side stays
+    * tiny even over billions of documents. Defaults (8 hashes, 2 bands of 4)
+    * target high-similarity near-dups; raise `bands` for higher recall.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      shingle: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingle)
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("sig"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Self-join as SHUFFLE_HASH, not broadcast: both sides then shuffle on
+    // identical (band, sig) exchanges and ReuseExchange computes the
+    // signature pipeline ONCE in parallel — a broadcast build would
+    // re-evaluate the (interpreted, higher-order) minhash expressions a
+    // second time, single-threaded, while materializing the build side.
+    val a = banded.alias("a")
+    val b = banded.hint("SHUFFLE_HASH").alias("b")
+    a.join(
+        b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash fingerprint over distinct tokens: bit `b` of the fingerprint is
+    * set when more token hashes have bit `b` set than clear. `bits` ≤ 32.
+    * Computed as one `groupBy`-free projection plus per-document reduce —
+    * no explode over bits, no shuffle at all (fingerprints are per-row).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits > 0 && bits <= 32)
+    val toks = array_distinct(tokens(col(textCol)))
+    // per-token 32-bit hash (md5 first 8 hex chars)
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val fingerprint = (0 until bits)
+      .map { b =>
+        val votes = aggregate(
+          hashes,
+          lit(0L),
+          (acc: Column, h: Column) => acc + shiftright(h, b).bitwiseAND(1L) * 2L - 1L)
+        when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    df.select(col(idCol), fingerprint.as("simhash"))
+  }
+
+  /** Blocked n-gram (word-shingle) Jaccard near-duplicate pairs: documents
+    * are only compared within equal `blockCols` values (LSH-style blocking —
+    * the caller picks cheap invariants such as language + length bucket).
+    * Jaccard over distinct `n`-word shingles ≥ `threshold`.
+    */
+  /** Implementation: an inverted-index (set-similarity) join, not per-pair
+    * set intersection. Shingles are hashed to 60-bit longs, exploded, and
+    * pairs meet on (block, shingle-hash); a keyed count then yields |A∩B|
+    * and `|A∪B| = |A|+|B|-|A∩B|`. Three wins over `array_intersect` per
+    * pair: only pairs sharing ≥1 shingle are ever materialized (a positive
+    * threshold implies intersection > 0), the shuffle key (block, shingle)
+    * is high-cardinality so no skewed block serializes a quadratic loop,
+    * and every stage is codegen'd — no interpreted set ops.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[Column],
+      n: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, "inverted-index jaccard requires a positive threshold")
+    // distinct (id, block..., shingle-hash) rows; shingles hashed to 60-bit
+    // longs (md5 collisions negligible) so all downstream keys are fixed-width
+    val blockKeys = blockCols.indices.map(i => s"_c$i")
+    val hashedRows = shingleRows(df, idCol, textCol, n, carryCols = blockCols)
+      .select(
+        col(idCol).as("id") +: blockKeys.map(col) :+
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shh"): _*)
+      .groupBy(col("id") +: blockKeys.map(col) :+ col("shh"): _*)
+      .agg(count(lit(1)).as("_dup")) // dedup; count unused
+      .drop("_dup")
+    val wSz = Window.partitionBy(col("id"))
+    val inv = hashedRows.withColumn("sz", count(lit(1)).over(wSz))
+    val a = inv.alias("a")
+    val b = inv.hint("SHUFFLE_HASH").alias("b")
+    val joinCond = (blockKeys.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col("a.shh") === col("b.shh")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
+    val counted = a.join(b, joinCond)
+      .groupBy(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    val union = (col("sz_a") + col("sz_b")).cast("double") - col("inter")
+    val jac = when(union === 0.0, lit(1.0)).otherwise(col("inter") / union)
+    counted
+      .select(col("id_a"), col("id_b"), graft.Functions.roundHalfUp(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** `n`-word shingles joined by a single space ("w1 w2" for n = 2); a
+    * document shorter than `n` words yields its whole text as one shingle.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    if (n <= 1) toks
+    else {
+      val count = greatest(size(toks) - (n - 1), lit(1))
+      transform(
+        sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    }
+  }
+
+  /** Embedding near-duplicate pairs within equal `blockCol` (e.g. a cluster
+    * or coarse-quantization id): cosine similarity ≥ `threshold`.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    // Vectors are L2-normalized once per row, so each pair costs a single
+    // dot product instead of dot + two norms (the pair side is quadratic;
+    // the per-row side is linear — always shift work to the linear side).
+    val v = col(vecCol).cast("array<double>")
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    val base = df.select(
+      col(idCol).as("id"),
+      col(blockCol).as("blk"),
+      when(norm === 0.0, v).otherwise(transform(v, x => x / norm)).as("v"))
+    val a = base.alias("a")
+    val b = base.hint("SHUFFLE_HASH").alias("b")
+    val dot = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        graft.Functions.roundHalfUp(dot, 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis operators for training-data pipelines: language
+  * identification, quality scoring, token counting, and content
+  * fingerprinting. Pure column expressions — whole-stage-codegen friendly,
+  * no UDFs, no shuffle (all per-row).
+  */
+object TextAnalysis {
+
+  /** Marker words per language for the n-gram/stopword language heuristic.
+    * Deliberately tiny and deterministic; real deployments would swap in
+    * frequency tables. Order defines the tiebreak (first wins).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ein"))
+
+  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Count of tokens that appear in `markers`. */
+  private def hits(t: Column, markers: Seq[String]): Column =
+    size(filter(t, x => markers.map(m => x === m).reduce(_ || _)))
+
+  /** Language guess: the marker set with the most token hits; "und" when no
+    * marker hits at all. Ties break by [[LangMarkers]] order (argmax scan).
+    */
+  def langId(text: Column): Column = {
+    val t = toks(text)
+    val scored = LangMarkers.map { case (lang, markers) => (lang, hits(t, markers)) }
+    val best = scored
+      .map(_._2)
+      .reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics: word count, char count, average word length (rounded
+    * 3), stopword ratio (rounded 4), and a composite [0,1] quality score —
+    * the shape of the heuristics production corpus filters use (length
+    * bounds + stopword density).
+    */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val wordCnt = size(t)
+    val charCnt = length(trim(col(textCol)))
+    val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+    val stopRatio = when(wordCnt === 0, lit(0.0))
+      .otherwise(hits(t, stopwords).cast("double") / wordCnt.cast("double"))
+    val avgWordLen = when(wordCnt === 0, lit(0.0))
+      .otherwise(
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          wordCnt.cast("double"))
+    // score: in-range length (20..400 words) 0.5 + bounded stopword density 0.5
+    val lenScore = when(wordCnt.between(20, 400), lit(0.5)).otherwise(lit(0.0))
+    val stopScore = when(stopRatio.between(0.01, 0.5), lit(0.5)).otherwise(lit(0.0))
+    df.select(
+      col(idCol),
+      wordCnt.as("word_count"),
+      charCnt.as("char_count"),
+      graft.Functions.roundHalfUp(avgWordLen, 3).as("avg_word_len"),
+      graft.Functions.roundHalfUp(stopRatio, 4).as("stopword_ratio"),
+      graft.Functions.roundHalfUp(lenScore + stopScore, 2).as("quality_score"))
+  }
+
+  /** Token counts: whitespace tokens and regex word tokens (`[a-z0-9]+` over
+    * lower-cased text — a BPE-ish pre-tokenizer's word-split pass).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(toks(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("re_tokens"))
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set — catches shuffled/duplicated-content documents that exact
+    * hashing misses.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
+}
