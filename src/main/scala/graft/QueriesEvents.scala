@@ -151,6 +151,19 @@ object QueriesEvents {
       graft.catalog.LakeCatalog
         .merge(base.unionByName(update), Seq("id_base", "repository"), "batch")
         .select("id_base", "repository", "pointer", "batch")
+    }),
+
+    // §2.9: the flagship aggregation through the *real* Structured
+    // Streaming engine (AvailableNow over a file source, complete-mode
+    // memory sink) — same answer as the batch plan, exercised end-to-end
+    "q_st_stream15" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+      events.write.mode("overwrite").parquet(tmp)
+      graft.streaming.Streaming.runAvailableNow(
+        s, tmp, events.schema,
+        df => graft.streaming.Streaming.windowedAgg(df, "ts", Seq("event_type"), Seq("value")),
+        outputMode = "complete")
     }))
 
   /** Shared J7/J8 as-of query: purchases resolved against signup snapshots
@@ -255,6 +268,16 @@ object QueriesEvents {
         |  lpad(CAST(hour(ts) AS VARCHAR), 2, '0') || ':' ||
         |  lpad(CAST((minute(ts) // 15) * 15 AS VARCHAR), 2, '0') AS timebin
         |FROM events""".stripMargin,
+    "q_st_stream15" ->
+      """WITH g AS (
+        |  SELECT CAST(to_timestamp(floor(epoch(ts)/900)*900) AS TIMESTAMP) AS bucket_start,
+        |    event_type, count(*) AS volume,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    count(value) AS nv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT bucket_start, event_type, volume,
+        |  floor(s1 / nv * 1000 + 0.5) / 1000 AS value_avg
+        |FROM g""".stripMargin,
     "q_k2_upsert" ->
       """WITH all_batches AS (
         |  SELECT o_orderkey AS id_base, 'raw' AS repository, o_orderpriority AS pointer, 1 AS batch

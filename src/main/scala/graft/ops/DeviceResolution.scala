@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Functions
+
+/** The GRIDSMART site→device resolution cascade (reference
+  * `gs_ready.py:106-215`): match each camera site to its Knack device record
+  * through four stages, first match wins:
+  *
+  *   1. J9  — curated lookup table on the street-name pair
+  *             (`KNACK_LOOKUPS`, reference `config/config_app.py:62-64`)
+  *   2. J10 — fuzzy street-name similarity (Ratcliff–Obershelp ≥ 0.7, both
+  *             street orderings, with a synonym-substitution retry;
+  *             reference `gs_ready.py:150-215,341-353`)
+  *   3. J11 — device IP equality (reference `gs_ready.py:177-185`)
+  *   4. J12 — nearest device by haversine < 300 ft (reference
+  *             `gs_ready.py:186-206`, `util/gps_h.py:9-24`)
+  *
+  * Both inputs are dimensions (≤ thousands of rows), so every stage is a
+  * broadcast join / tiny cross join; the cascade stays fully declarative —
+  * one DataFrame expression, no driver loops — and each site carries a
+  * `resolution_stage` tag for observability.
+  *
+  * Determinism (SURVEY §7.5 risk 4): difflib breaks ratio ties by candidate
+  * order; this engine defines the total order (ratio desc, device id asc).
+  */
+object DeviceResolution {
+
+  val MinMatchRatio = 0.7 // reference gs_ready.py:22
+  val MaxDistFt = 300.0 // reference gs_ready.py:25
+
+  /** @param sites    site dimension: (site_id, street1, street2, net_addr, lat, lon)
+    * @param devices  device dimension: (device_id, primary_st, cross_st,
+    *                 device_ip, lat, lon, atd_location_id)
+    * @param lookups  curated (street1, street2) → device_id map (J9)
+    * @param synonyms street-name substring substitutions applied on fuzzy
+    *                 retry (reference STREET_SYNONYMS config_app.py:66-70)
+    */
+  def resolve(
+      sites: DataFrame,
+      devices: DataFrame,
+      lookups: Map[(String, String), String] = Map.empty,
+      synonyms: Map[String, String] = Map.empty,
+      minRatio: Double = MinMatchRatio,
+      maxDistFt: Double = MaxDistFt): DataFrame = {
+
+    val s = sites.select(
+      col("site_id"),
+      lower(trim(col("street1"))).as("st1"),
+      lower(trim(col("street2"))).as("st2"),
+      col("net_addr"),
+      col("lat").as("site_lat"),
+      col("lon").as("site_lon"))
+    val d = broadcast(devices.select(
+      col("device_id"),
+      lower(trim(col("primary_st"))).as("d_st1"),
+      lower(trim(col("cross_st"))).as("d_st2"),
+      col("device_ip"),
+      col("lat").as("dev_lat"),
+      col("lon").as("dev_lon")))
+
+    // J9 — curated lookup, expressed as a literal map on "st1|st2"
+    val stage1 =
+      if (lookups.isEmpty) s.limit(0).withColumn("device_id", lit(null).cast("string"))
+      else {
+        val m = typedLit(lookups.map { case ((a, b), id) =>
+          s"${a.toLowerCase.trim}|${b.toLowerCase.trim}" -> id
+        })
+        s.withColumn("device_id", element_at(m, concat_ws("|", col("st1"), col("st2"))))
+          .filter(col("device_id").isNotNull)
+      }
+    val r1 = stage1.withColumn("resolution_stage", lit("lookup"))
+
+    // J10 — fuzzy: best Ratcliff–Obershelp over both street orderings,
+    // retried with synonym substitution folded in (the reference makes a
+    // second pass; scoring the synonym-normalized names alongside the raw
+    // ones in one pass is equivalent "first match wins" at equal threshold)
+    def subSynonyms(c: org.apache.spark.sql.Column) =
+      synonyms.foldLeft(c) { case (acc, (from, to)) =>
+        regexp_replace(acc, java.util.regex.Pattern.quote(from.toLowerCase), to.toLowerCase)
+      }
+    val unresolved1 = s.join(r1.select("site_id"), Seq("site_id"), "left_anti")
+    val pairScore = greatest(
+      Functions.seqRatio(concat_ws("/", col("st1"), col("st2")),
+        concat_ws("/", col("d_st1"), col("d_st2"))),
+      Functions.seqRatio(concat_ws("/", col("st1"), col("st2")),
+        concat_ws("/", col("d_st2"), col("d_st1"))),
+      Functions.seqRatio(subSynonyms(concat_ws("/", col("st1"), col("st2"))),
+        subSynonyms(concat_ws("/", col("d_st1"), col("d_st2")))),
+      Functions.seqRatio(subSynonyms(concat_ws("/", col("st1"), col("st2"))),
+        subSynonyms(concat_ws("/", col("d_st2"), col("d_st1")))))
+    val fuzzyW = Window.partitionBy(col("site_id")).orderBy(col("ratio").desc, col("device_id"))
+    val r2 = unresolved1
+      .crossJoin(d)
+      .withColumn("ratio", pairScore)
+      .filter(col("ratio") >= minRatio)
+      .withColumn("rn", row_number().over(fuzzyW))
+      .filter(col("rn") === 1)
+      .select(unresolved1.columns.map(col) :+ col("device_id"): _*)
+      .withColumn("resolution_stage", lit("fuzzy"))
+
+    // J11 — IP equality
+    val unresolved2 = unresolved1.join(r2.select("site_id"), Seq("site_id"), "left_anti")
+    val r3 = unresolved2
+      .join(d, col("net_addr") === col("device_ip"))
+      .select(unresolved2.columns.map(col) :+ col("device_id"): _*)
+      .withColumn("resolution_stage", lit("ip"))
+
+    // J12 — nearest by haversine under the distance cap
+    val unresolved3 = unresolved2.join(r3.select("site_id"), Seq("site_id"), "left_anti")
+    val dist = Functions.haversineFeet(
+      col("site_lat"), col("site_lon"), col("dev_lat"), col("dev_lon"))
+    val geoW = Window.partitionBy(col("site_id")).orderBy(col("dist_ft"), col("device_id"))
+    val r4 = unresolved3
+      .filter(col("site_lat").isNotNull && col("site_lon").isNotNull)
+      .crossJoin(d)
+      .withColumn("dist_ft", dist)
+      .filter(col("dist_ft") < maxDistFt)
+      .withColumn("rn", row_number().over(geoW))
+      .filter(col("rn") === 1)
+      .select(unresolved3.columns.map(col) :+ col("device_id"): _*)
+      .withColumn("resolution_stage", lit("geo"))
+
+    // unmatched sites surface with a null device (reference logs and skips,
+    // gs_ready.py:207-210 — surfacing beats dropping for observability)
+    val unresolved4 = unresolved3.join(r4.select("site_id"), Seq("site_id"), "left_anti")
+    val r5 = unresolved4
+      .withColumn("device_id", lit(null).cast("string"))
+      .withColumn("resolution_stage", lit("unmatched"))
+
+    r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+      .select("site_id", "device_id", "resolution_stage")
+  }
+}

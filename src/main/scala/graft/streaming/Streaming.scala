@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming restatement of the reference's incremental concerns
+  * (SURVEY §2.9): the nightly compare loop becomes a file-source stream with
+  * `Trigger.AvailableNow` + checkpoint (exactly-once per item replaces the
+  * catalog anti-join for the streaming path), the same-day cancel becomes an
+  * event-time watermark, and the flagship 15-minute aggregation runs as a
+  * windowed streaming agg.
+  */
+object Streaming {
+
+  /** Windowed streaming aggregation (SURVEY A1 as a stream): tumbling
+    * `freqSeconds` windows per `dims`, volume + mean of each measure, with a
+    * `watermark` bounding late data (the reference's day_covered/adjacent-day
+    * logic, `gs_ready.py:244-281`, collapses into event-time windowing).
+    */
+  def windowedAgg(
+      stream: DataFrame,
+      tsCol: String,
+      dims: Seq[String],
+      measures: Seq[String],
+      freqSeconds: Int = 900,
+      watermark: String = "1 day"): DataFrame = {
+    val stats = measures.flatMap { m =>
+      Seq(
+        sum(col(m).cast("decimal(18,6)")).cast("double").as(s"_s1_$m"),
+        count(col(m)).as(s"_n_$m"))
+    }
+    val grouped = stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        window(col(tsCol), s"$freqSeconds seconds").as("w") +: dims.map(col): _*)
+      .agg(count(lit(1)).as("volume"), stats: _*)
+    val avgs = measures.map(m =>
+      graft.Functions.roundHalfUp(col(s"_s1_$m") / col(s"_n_$m"), 3).as(s"${m}_avg"))
+    grouped.select(
+      (col("w.start").as("bucket_start") +: dims.map(col)) ++ (col("volume") +: avgs): _*)
+  }
+
+  /** Run a finite file-backed stream to completion (AvailableNow) into an
+    * in-memory table and return the result — used by tests and the
+    * verification harness to exercise the real streaming engine on the
+    * synthetic parquet.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      transform: DataFrame => DataFrame,
+      outputMode: String = "complete"): DataFrame = {
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream.schema(schema).parquet(path)
+    val q = transform(stream).writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

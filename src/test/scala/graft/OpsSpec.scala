@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOf, Dedup, Publish, TrafficAgg}
+
+/** Unit semantics of the core ops: as-of join direction/ties, exact-moment
+  * traffic stats, dedup building blocks, first-seen counter.
+  */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsOf backward picks latest snapshot <= fact time, ties by greatest tiebreak") {
+    val facts = Seq((1L, "k", ts("2020-01-05 00:00:00"))).toDF("fid", "k", "ft")
+    val snaps = Seq(
+      ("k", ts("2020-01-01 00:00:00"), 10L),
+      ("k", ts("2020-01-05 00:00:00"), 20L), // exactly at fact time → applies
+      ("k", ts("2020-01-05 00:00:00"), 21L), // tie → greatest id wins
+      ("k", ts("2020-01-06 00:00:00"), 30L)) // after → ignored
+      .toDF("k", "st", "sid")
+    val got = AsOf.join(facts, snaps, "k", "ft", "st",
+      snapCols = Seq("sid"), forward = false, tiebreak = Some("sid"))
+      .select("fid", "snap_sid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 21L)))
+  }
+
+  test("AsOf forward picks earliest snapshot >= fact time; no snapshot → null") {
+    val facts = Seq(
+      (1L, "k", ts("2020-01-05 00:00:00")),
+      (2L, "k", ts("2020-01-07 00:00:00"))).toDF("fid", "k", "ft")
+    val snaps = Seq(
+      ("k", ts("2020-01-04 00:00:00"), 10L),
+      ("k", ts("2020-01-06 00:00:00"), 20L),
+      ("k", ts("2020-01-06 00:00:00"), 21L)) // tie → least id wins
+      .toDF("k", "st", "sid")
+    val got = AsOf.join(facts, snaps, "k", "ft", "st",
+      snapCols = Seq("sid"), forward = true, tiebreak = Some("sid"))
+      .select("fid", "snap_sid").as[(Long, java.lang.Long)].collect().toMap
+    assert(got(1L) == 20L)
+    assert(got(2L) == null)
+  }
+
+  test("TrafficAgg: sample stddev, single-row group yields 0.0, 15-min buckets") {
+    val rows = Seq(
+      (ts("2020-01-01 00:01:00"), "a", 1.0),
+      (ts("2020-01-01 00:14:59"), "a", 3.0), // same bucket as above
+      (ts("2020-01-01 00:15:00"), "a", 5.0)) // next bucket, single row
+      .toDF("t", "g", "v")
+    val got = TrafficAgg.aggregate(rows, "t", Seq("g"), Seq("v"))
+      .orderBy("bucket_start")
+      .select("volume", "v_avg", "v_std")
+      .as[(Long, Double, Double)].collect().toSeq
+    // stddev_samp(1,3) = sqrt(2) ≈ 1.414
+    assert(got == Seq((2L, 2.0, 1.414), (1L, 5.0, 0.0)))
+  }
+
+  test("Dedup.shingleRows clips short documents and builds n-grams in order") {
+    val df = Seq((1L, "a b c d"), (2L, "x"), (3L, "p q")).toDF("id", "text")
+    val got = Dedup.shingleRows(df, "id", "text", 3)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a b c"), (1L, "b c d"), (2L, "x"), (3L, "p q")))
+  }
+
+  test("Dedup: identical docs share all minhashes, LSH pairs them") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with other words entirely here now"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("Dedup.exact groups identical normalized text") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello  world"), (3L, "other"))
+      .toDF("id", "text")
+    val got = Dedup.exact(df, "id", "text")
+      .select("canonical_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("Dedup.ngramJaccardPairs computes exact jaccard within blocks") {
+    val df = Seq(
+      (1L, "a b c d e", "blk"), // shingles(2): ab bc cd de
+      (2L, "a b c d x", "blk"), // ab bc cd dx → inter 3, union 5 → 0.6
+      (3L, "zz yy", "other"))
+      .toDF("id", "text", "b")
+    val got = Dedup.ngramJaccardPairs(df, "id", "text", Seq(col("b")), n = 2, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0.6)))
+  }
+
+  test("Publish.firstSeenCounter numbers by first appearance and resets daily") {
+    val rows = Seq(
+      (ts("2020-01-01 08:00:00"), "u2"),
+      (ts("2020-01-01 09:00:00"), "u1"),
+      (ts("2020-01-01 10:00:00"), "u2"), // repeat → same number
+      (ts("2020-01-02 01:00:00"), "u1")) // next day → counter resets
+      .toDF("t", "u")
+    val got = Publish.firstSeenCounter(rows, "t", "u")
+      .select(col("day").cast("string"), col("u"), col("daily_counter"))
+      .as[(String, String, Int)].collect().toSet
+    assert(got == Set(("2020-01-01", "u2", 1), ("2020-01-01", "u1", 2), ("2020-01-02", "u1", 1)))
+  }
+}
