@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.apps.EtlRun
+import graft.catalog.LakeCatalog
+import graft.ops.Perfmet
+
+/** The reference's core correctness ritual (docs/appendix_testing.md:76-87):
+  * run a stage twice — the second run must process 0 items; `-F` must force
+  * reprocessing; newly-arrived items process incrementally.
+  */
+class EtlRunSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def items(rows: (String, String, String)*) =
+    rows.toSeq.map { case (b, e, d) => (b, e, Timestamp.valueOf(d)) }
+      .toDF("id_base", "id_ext", "collection_date")
+
+  test("idempotency: second run processes 0; force reprocesses; new items increment") {
+    val dir = Files.createTempDirectory("graft_etl_").toString
+    val cat = new LakeCatalog(spark, dir)
+    val processed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def stage(df: org.apache.spark.sql.DataFrame): Unit = processed += df.count()
+
+    val day1 = items(
+      ("austin", "unmatched.txt", "2020-01-15 00:00:00"),
+      ("austin", "matched.txt", "2020-01-15 00:00:00"))
+
+    assert(EtlRun.run(spark, day1, cat, "rawjson", "bt")(stage) == 2)
+    // run 2: nothing new
+    assert(EtlRun.run(spark, day1, cat, "rawjson", "bt")(stage) == 0)
+    // force: everything again
+    assert(EtlRun.run(spark, day1, cat, "rawjson", "bt", force = true)(stage) == 2)
+    // new day arrives: only it processes
+    val twoDays = day1.unionByName(items(("austin", "unmatched.txt", "2020-01-16 00:00:00")))
+    assert(EtlRun.run(spark, twoDays, cat, "rawjson", "bt")(stage) == 1)
+    // same-day cancel: today's still-filling item is skipped
+    val withToday = twoDays.unionByName(items(("austin", "unmatched.txt", "2020-06-15 00:00:00")))
+    assert(EtlRun.run(spark, withToday, cat, "rawjson", "bt",
+      today = lit("2020-06-15").cast("date"))(stage) == 0)
+    // different repository tracks independently
+    assert(EtlRun.run(spark, day1, cat, "ready", "bt")(stage) == 2)
+    assert(processed.sum == 7)
+  }
+
+  test("perfmet: sensor obs, 7-day expected, latest, gap fill") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val obs = Perfmet.sensorObs(events, "user_id", "ts")
+    assert(obs.columns.toSeq ==
+      Seq("sensor_name", "collection_date", "data", "min_timestamp", "max_timestamp"))
+
+    val expected = Perfmet.expectedValues(obs)
+    // trailing average over ≤7 days can never exceed the running max
+    val bad = expected.join(
+      obs.groupBy("sensor_name").agg(max("data").as("mx")), Seq("sensor_name"))
+      .filter(col("expected") > col("mx") + 1e-9)
+    assert(bad.count() == 0)
+
+    val latest = Perfmet.latestPerSensor(obs)
+    assert(latest.groupBy("sensor_name").count().filter(col("count") > 1).count() == 0)
+
+    // gap fill: a phantom sensor gets a -1 row for the day
+    val sensors = obs.select("sensor_name")
+      .union(Seq(99999L).toDF("sensor_name")).distinct()
+    val day = obs.agg(max("collection_date")).head().getDate(0)
+    val filled = Perfmet.fillGaps(obs, sensors, lit(day.toString))
+    val phantom = filled.filter(col("sensor_name") === 99999L)
+    assert(phantom.count() == 1)
+    assert(phantom.select("data").as[Double].head() == -1.0)
+
+    val range = Perfmet.jobRange(events, "ts", representsDay = true).head()
+    assert(range.getTimestamp(1).after(range.getTimestamp(0)))
+  }
+}
