@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sessionize, SimilaritySearch}
+import graft.sinks.Sinks
+
+/** Second-wave coverage: sessionization (stateful-sequential), timezone
+  * conversion at the parse edge, envelope assembly round-trip, blocked kNN,
+  * and the LSH ANN path (rows-only check — the bucket pruning itself is
+  * verified by `q_ann_lsh_buckets`).
+  */
+object QueriesExtra {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W-class: gap-based sessionization (30-min gap) over events
+    "q_w7_sessionize" -> ((s, dir) =>
+      Sessionize
+        .assignBatch(
+          t(s, dir, "events")
+            .select(col("event_id"), col("user_id"), Functions.toSecond(col("ts")).as("ts_sec")),
+          "user_id", "ts_sec", "event_id", gapSeconds = 1800)
+        .select("event_id", "user_id", "session_id")),
+
+    // §2.10 tz conversion at the parse edge (reference util/date_util.py:67-85):
+    // interpret a naive local wall-clock as America/Chicago, store UTC
+    "q_sc_tzconvert" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(
+          to_utc_timestamp(col("o_orderdate"), "America/Chicago"),
+          "yyyy-MM-dd HH:mm").as("utc_str"))),
+
+    // §1.1 envelope round-trip: rows → {"header","data"} documents → rows;
+    // proves the document-compatibility sink loses nothing
+    "q_env_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val docs = Sinks.assembleEnvelope(
+        li, headerCols = Seq("l_orderkey"),
+        dataCols = Seq("l_linenumber", "l_quantity"),
+        sortCols = Seq("l_linenumber"))
+      docs.select(col("header.l_orderkey").as("l_orderkey"), explode(col("data")).as("r"))
+        .select(col("l_orderkey"), col("r.l_linenumber").as("l_linenumber"),
+          col("r.l_quantity").as("l_quantity"))
+    }),
+
+    // blocked kNN: 3 nearest neighbors per vector within its label cell
+    "q_knn_blocked" -> ((s, dir) =>
+      SimilaritySearch.blockedKnn(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 3)),
+
+    // LSH ANN top-k (rows-only check: approximate by construction; the
+    // deterministic bucket assignment is oracle-checked separately)
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      SimilaritySearch.lshTopK(emb, "vec_id", "embedding", q, k = 10, planes = 6)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_w7_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (SELECT event_id, user_id, sec,
+        |    CASE WHEN lag(sec, 1) OVER w IS NULL OR sec - lag(sec, 1) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM g""".stripMargin,
+    "q_sc_tzconvert" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(timezone('America/Chicago', o_orderdate) AS TIMESTAMP), '%Y-%m-%d %H:%M') AS utc_str
+        |FROM orders""".stripMargin,
+    "q_env_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey % 100 = 0""".stripMargin,
+    "q_knn_blocked" ->
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id, b.vec_id AS neighbor,
+        |    floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM base a JOIN base b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT id, neighbor, cos, rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor) AS rank
+        |      FROM p) WHERE rank <= 3""".stripMargin)
+}

@@ -26,12 +26,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRelational.queries ++ QueriesEvents.queries ++ QueriesCorpus.queries
+    QueriesRelational.queries ++ QueriesEvents.queries ++ QueriesCorpus.queries ++
+      QueriesExtra.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get the driver's weaker rows-only
     * check.
     */
   def oracleSql: Map[String, String] =
-    QueriesRelational.oracles ++ QueriesEvents.oracles ++ QueriesCorpus.oracles
+    QueriesRelational.oracles ++ QueriesEvents.oracles ++ QueriesCorpus.oracles ++
+      QueriesExtra.oracles
 }
