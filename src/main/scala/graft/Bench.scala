@@ -13,6 +13,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.register(spark)
+    // JVM/codegen warmup on the smallest SF (uncounted): a long-lived
+    // cluster pays JIT + janino compilation once, not per query — measuring
+    // them inside every query would grade JVM startup, not the engine
     // headline queries: the scale-relevant operators (flagship agg, keyed
     // joins, incremental diff, as-of, windows, dedup, ANN, text metrics)
     val headline = Seq(
@@ -20,6 +23,10 @@ object Bench {
       "q_j5_left", "q_j7_asof_fwd", "q_a5_7day_avg", "q_a6_latest_per_user",
       "q_w1_first_seen", "q_dd_exact", "q_dd_lsh_pairs", "q_dd_simhash",
       "q_ann_brute", "q_tx_quality", "q_tx_fingerprint", "q_sc_recordid")
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
