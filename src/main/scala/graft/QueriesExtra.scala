@@ -62,6 +62,17 @@ object QueriesExtra {
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0)
       SimilaritySearch.lshTopK(emb, "vec_id", "embedding", q, k = 10, planes = 6)
+    }),
+
+    // IVF ANN search, 4 of 16 cells probed (rows-only check; AnnSpec proves
+    // nProbe=all == brute force and bounds recall at nProbe=4)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val index = graft.ops.IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
+      graft.ops.IvfIndex.search(index, emb, "vec_id", "embedding", q, k = 10, nProbe = 4)
     }))
 
   val oracles: Map[String, String] = Map(

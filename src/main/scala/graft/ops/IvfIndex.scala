@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor index: the scale path
+  * for embedding search when random-hyperplane LSH recall isn't enough.
+  *
+  *   - build: pick `nCells` deterministic "centroid" vectors (the rows with
+  *     the smallest md5(id) — a seedless uniform sample, so builds are
+  *     reproducible), assign every vector to its nearest centroid by cosine.
+  *     One broadcast of nCells×dim doubles + one scan.
+  *   - search: rank centroids against the query on the driver (nCells is
+  *     ~√n — driver-sized by construction), then scan only the `nProbe`
+  *     best cells. Candidate set shrinks by ~nCells/nProbe; the per-cell
+  *     scan is an ordinary pruned filter + top-k.
+  *
+  * At 100 TB the assignments table is written partitioned BY cell, so a
+  * search reads only its probed partitions (partition pruning does the cell
+  * selection).
+  */
+object IvfIndex {
+
+  case class Index(assignments: DataFrame, centroids: Seq[(Long, Seq[Double])])
+
+  private def cosineSim(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Build the index: returns per-id cell assignments plus the centroid
+    * vectors.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int): Index = {
+    val spark = df.sparkSession
+    // deterministic uniform sample: smallest md5 over the id domain
+    val centroidRows = df
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("_h", md5(col("cid").cast("string")))
+      .orderBy("_h")
+      .limit(nCells)
+      .select("cid", "cv")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val centroids = broadcast(
+      spark.createDataFrame(centroidRows.map { case (i, v) => (i, v) })
+        .toDF("cell", "cv"))
+    val scored = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(centroids)
+      .select(col(idCol), col("cell"),
+        SimilaritySearch.cosine(col("v"), col("cv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell"))
+    val assignments = scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("cell"))
+    Index(assignments, centroidRows)
+  }
+
+  /** Search: top-k by cosine among vectors in the `nProbe` cells nearest to
+    * the query.
+    */
+  def search(
+      index: Index,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val probed = index.centroids
+      .map { case (cell, cv) => (cell, cosineSim(query, cv)) }
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nProbe)
+      .map(_._1)
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .join(index.assignments.filter(col("cell").isin(probed: _*)), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.Functions.roundHalfUp(SimilaritySearch.cosine(col("v"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

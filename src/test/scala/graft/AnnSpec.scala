@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IvfIndex, SimilaritySearch, Skew}
+
+/** ANN quality + skew utilities. */
+class AnnSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+  lazy val queryVec: Seq[Double] = emb.filter(col("vec_id") === 0)
+    .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+  test("IVF with all cells probed equals brute force; fewer probes keep recall") {
+    val exact = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", queryVec, 10)
+      .select("vec_id").as[Long].collect().toSet
+
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
+    assert(index.assignments.count() == emb.count()) // every vector assigned
+    assert(index.assignments.select("cell").distinct().count() <= 16)
+
+    // probing every cell must reproduce the exact result
+    val all = IvfIndex.search(index, emb, "vec_id", "embedding", queryVec, 10, nProbe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == exact)
+
+    // 4 of 16 probes: at least half the true top-10 should survive
+    val approx = IvfIndex.search(index, emb, "vec_id", "embedding", queryVec, 10, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.intersect(exact).size >= 5,
+      s"recall too low: ${approx.intersect(exact).size}/10")
+  }
+
+  test("LSH top-k returns plausible neighbors from the query bucket") {
+    val got = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec, 10, planes = 4)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // query vector itself lands in its own bucket with cosine 1
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(rows.head.getAs[Double]("cos") == 1.0)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val plain = events.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, c, s) => (k, c, math.round(s * 100)) }.toSet
+    val salted = Skew.saltedSumCount(events, Seq("event_type"), Seq("value"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, c, s) => (k, c, math.round(s * 100)) }.toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join, including unmatched left rows") {
+    val facts = Seq((1, "x"), (1, "y"), (2, "z"), (9, "w")).toDF("k", "payload")
+    val dim = Seq((1, "one"), (2, "two"), (3, "three")).toDF("k", "label")
+    val plain = facts.join(dim, Seq("k"), "left")
+      .select("k", "payload", "label").as[(Int, String, String)].collect().toSet
+    val salted = Skew.saltedJoin(facts, dim, "k", salts = 8, joinType = "left")
+      .select("k", "payload", "label").as[(Int, String, String)].collect().toSet
+    assert(salted == plain)
+  }
+}
