@@ -202,7 +202,7 @@ object QueriesEvents {
   val oracles: Map[String, String] = Map(
     "q_a1_traffic15" ->
       """WITH g AS (
-        |  SELECT CAST(to_timestamp(floor(epoch(ts)/900)*900) AS TIMESTAMP) AS bucket_start,
+        |  SELECT make_timestamp(CAST(floor(epoch(ts)/900)*900 AS BIGINT)*1000000) AS bucket_start,
         |    event_type, count(*) AS volume,
         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
         |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
@@ -270,7 +270,7 @@ object QueriesEvents {
         |FROM events""".stripMargin,
     "q_st_stream15" ->
       """WITH g AS (
-        |  SELECT CAST(to_timestamp(floor(epoch(ts)/900)*900) AS TIMESTAMP) AS bucket_start,
+        |  SELECT make_timestamp(CAST(floor(epoch(ts)/900)*900 AS BIGINT)*1000000) AS bucket_start,
         |    event_type, count(*) AS volume,
         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
         |    count(value) AS nv

@@ -90,7 +90,7 @@ object QueriesExtra {
         |FROM g""".stripMargin,
     "q_sc_tzconvert" ->
       """SELECT o_orderkey,
-        |  strftime(CAST(timezone('America/Chicago', o_orderdate) AS TIMESTAMP), '%Y-%m-%d %H:%M') AS utc_str
+        |  strftime(make_timestamp(CAST(epoch(timezone('America/Chicago', o_orderdate)) AS BIGINT)*1000000), '%Y-%m-%d %H:%M') AS utc_str
         |FROM orders""".stripMargin,
     "q_env_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
