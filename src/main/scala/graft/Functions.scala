@@ -115,6 +115,20 @@ object Functions {
     else floor(c * p + 0.5) / p
   }
 
+  /** Best-guess timestamp parse (reference `util/date_util.py:24-65`): try
+    * the caller's format list in order, then ISO, then numeric UNIX epoch
+    * (seconds); first success wins, null when nothing fits. All formats
+    * parse with `try_to_timestamp` semantics so one malformed row nulls out
+    * instead of failing the job (the reference logs-and-nulls the same way,
+    * `bt_json_standard.py:90-104`).
+    */
+  def parseTimestampFlexible(c: Column, formats: Seq[String]): Column = {
+    val tried = formats.map(f => try_to_timestamp(c, lit(f))) :+
+      try_to_timestamp(c) :+
+      when(c.rlike("^[0-9]{9,11}(\\.[0-9]+)?$"), timestamp_seconds(c.cast("double")))
+    coalesce(tried: _*)
+  }
+
   /** Truncate a timestamp to whole seconds. Synthetic inputs carry
     * nanosecond precision which Spark floors to microseconds while other
     * engines keep; queries that *return* timestamps truncate to seconds

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Regression lock on the scalar surface — especially the cross-engine
+  * determinism pieces (portable rounding, md5-derived hashing).
+  */
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def eval1[T](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("x").select(c.as("r")).head().getAs[T]("r")
+
+  test("roundHalfUp: decimal .5 boundaries round like floor(x*10^k + 0.5)") {
+    // 16.0675 is the regression case: Spark round() gives 16.068 (decimal
+    // string HALF_UP) while binary-value engines see 16.067499999... and
+    // round down — roundHalfUp must agree with the binary engines
+    assert(eval1[Double](Functions.roundHalfUp(lit(16.0675), 3)) == 16.067)
+    assert(eval1[Double](Functions.roundHalfUp(lit(2.5), 0)) == 3.0)
+    assert(eval1[Double](Functions.roundHalfUp(lit(0.34375), 4)) == 0.3438) // binary-exact .5 up
+    assert(eval1[Double](Functions.roundHalfUp(lit(1.23449), 3)) == 1.234)
+  }
+
+  test("guidWithDashes formats 8-4-4-4-12") {
+    assert(eval1[String](Functions.guidWithDashes(lit("0123456789abcdef0123456789abcdef")))
+      == "01234567-89ab-cdef-0123-456789abcdef")
+  }
+
+  test("timeBin15 floors to the quarter hour") {
+    assert(eval1[String](Functions.timeBin15(lit("2020-01-01 09:44:59").cast("timestamp")))
+      == "09:30")
+    assert(eval1[String](Functions.timeBin15(lit("2020-01-01 00:00:00").cast("timestamp")))
+      == "00:00")
+  }
+
+  test("dayOfWeekSun0: Sunday is 0") {
+    assert(eval1[Int](Functions.dayOfWeekSun0(lit("2024-01-07").cast("date"))) == 0) // Sunday
+    assert(eval1[Int](Functions.dayOfWeekSun0(lit("2024-01-08").cast("date"))) == 1) // Monday
+  }
+
+  test("md5Bits yields the md5-prefix integer") {
+    // md5("a") = 0cc175b9c0f1b6a831c399e269772661 → first 8 hex = 0x0cc175b9
+    assert(eval1[Long](Functions.md5Bits(lit("a"), 32)) == 0x0cc175b9L)
+  }
+
+  test("levRatio: bounded, 1.0 on equal and on two empties") {
+    assert(eval1[Double](Functions.levRatio(lit("abc"), lit("abc"))) == 1.0)
+    assert(eval1[Double](Functions.levRatio(lit(""), lit(""))) == 1.0)
+    assert(eval1[Double](Functions.levRatio(lit("abc"), lit("axc"))) == 1.0 - 1.0 / 3.0)
+  }
+
+  test("haversineFeet: Austin capitol to UT tower ≈ 1.0 mile") {
+    val d = eval1[Double](Functions.haversineFeet(
+      lit(30.2747), lit(-97.7404), lit(30.2862), lit(-97.7394)))
+    assert(d > 4000 && d < 4600, s"got $d ft")
+  }
+
+  test("parseTimestampFlexible: format list, ISO fallback, epoch fallback, null on garbage") {
+    val df = Seq(
+      "01/15/2020 08:30:00 AM", // bt format
+      "2020-01-15 08:30:00", // wt format / ISO-ish
+      "1579077000", // epoch seconds for 2020-01-15 08:30:00 UTC
+      "not a time").toDF("s")
+    val parsed = df.select(
+      Functions.parseTimestampFlexible(col("s"),
+        Seq("M/d/yyyy h:mm:ss a", "yyyy-MM-dd HH:mm:ss")).cast("string").as("t"))
+      .as[String].collect().toSeq
+    assert(parsed(0) == "2020-01-15 08:30:00")
+    assert(parsed(1) == "2020-01-15 08:30:00")
+    assert(parsed(2) == "2020-01-15 08:30:00")
+    assert(parsed(3) == null)
+  }
+}
