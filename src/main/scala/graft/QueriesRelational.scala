@@ -160,6 +160,10 @@ object QueriesRelational {
           .as("region_label"))
     }),
 
+    // A7: distinct-set reduction (reference bt_ready.py:110,124-126)
+    "q_a7_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
     // U1: union + distinct (reference bt_ready.py:124-125)
     "q_u1_union_distinct" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -260,6 +264,8 @@ object QueriesRelational {
         .filter(col("k") >= 50)))
 
   val oracles: Map[String, String] = Map(
+    "q_a7_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_f1_isin" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
         |WHERE l_returnflag IN ('A','R') AND l_quantity > 45""".stripMargin,
@@ -330,6 +336,8 @@ object QueriesRelational {
         |    WHEN 2 THEN 'asia' WHEN 3 THEN 'europe' WHEN 4 THEN 'middle east'
         |    ELSE 'unknown' END AS region_label
         |FROM nation""".stripMargin,
+    "q_a7_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_u1_union_distinct" ->
       """SELECT DISTINCT nationkey FROM (
         |  SELECT c_nationkey AS nationkey FROM customer

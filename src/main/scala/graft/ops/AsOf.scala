@@ -44,39 +44,47 @@ object AsOf {
     val factCols = facts.columns.toSeq
     val payload = (snapTime +: snapCols).distinct
 
-    // Unified event stream: facts carry null snapshot payload, snapshots
-    // carry null fact payload. `_t` is the ordering time; direction is
-    // handled by negating the ordering for forward as-of.
+    // Unified event stream: facts carry a null snapshot struct, snapshots a
+    // null fact payload. The whole snapshot row rides in ONE struct so the
+    // window fill can never tear fields from different snapshots (a null
+    // *field* in the nearest snapshot stays null instead of being backfilled
+    // from an older row). `_t` is the ordering time; direction is handled by
+    // negating the ordering for forward as-of.
     val sign = if (forward) -1L else 1L
     def orderExpr(t: String) = (unix_micros(col(t).cast("timestamp")) * sign).as("_t")
+
+    val snapStructType = org.apache.spark.sql.types.StructType(
+      payload.map(c => snapshots.schema(c).copy(name = c)))
 
     // `_isSnap` orders snapshots *before* facts at identical times for
     // backward as-of (a snapshot dated exactly at the fact time applies), and
     // the same after negation for forward.
     val tagged = facts
       .select(
-        (col(key).as("_k") +: orderExpr(factTime) +: lit(0).as("_isSnap") +:
-          lit(null).cast("long").as("_tb") +:
-          factCols.map(col)) ++ payload.map(c => lit(null).cast(snapshots.schema(c).dataType).as(s"_s_$c")): _*)
+        col(key).as("_k") +: orderExpr(factTime) +: lit(0).as("_isSnap") +:
+          tiebreak.map(tb => lit(null).cast(snapshots.schema(tb).dataType))
+            .getOrElse(lit(0)).as("_tb") +:
+          lit(null).cast(snapStructType).as("_snap") +:
+          factCols.map(col): _*)
       .unionByName(
         snapshots.select(
-          (col(key).as("_k") +: orderExpr(snapTime) +: lit(1).as("_isSnap") +:
-            (tiebreak.map(tb => (col(tb).cast("long") * sign).as("_tb"))
-              .getOrElse(lit(0L).as("_tb"))) +:
-            factCols.map(c => lit(null).cast(facts.schema(c).dataType).as(c))) ++
-            payload.map(c => col(c).as(s"_s_$c")): _*))
+          col(key).as("_k") +: orderExpr(snapTime) +: lit(1).as("_isSnap") +:
+            tiebreak.map(tb => col(tb)).getOrElse(lit(0)).as("_tb") +:
+            struct(payload.map(col): _*).as("_snap") +:
+            factCols.map(c => lit(null).cast(facts.schema(c).dataType).as(c)): _*))
 
+    // Tiebreak keeps its native type and orderability: backward as-of wants
+    // the greatest tiebreak among equal snapTimes to win (last in ascending
+    // order); forward wants the least (last in descending order).
+    val tbOrder = if (forward) col("_tb").desc else col("_tb").asc
     val w = Window
       .partitionBy("_k")
-      .orderBy(col("_t"), col("_isSnap").desc, col("_tb"))
+      .orderBy(col("_t"), col("_isSnap").desc, tbOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"_s_$c", last(col(s"_s_$c"), ignoreNulls = true).over(w))
-    }
-
-    filled
+    tagged
+      .withColumn("_snap", last(col("_snap"), ignoreNulls = true).over(w))
       .filter(col("_isSnap") === 0)
-      .select(factCols.map(col) ++ payload.map(c => col(s"_s_$c").as(s"snap_$c")): _*)
+      .select(factCols.map(col) ++ payload.map(c => col(s"_snap.$c").as(s"snap_$c")): _*)
   }
 }

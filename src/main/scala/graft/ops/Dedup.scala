@@ -26,22 +26,6 @@ object Dedup {
     df.groupBy(md5(trim(lower(col(textCol)))).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signatures over `shingle`-word shingles: `numHashes` columns
-    * `mh0..mh{k-1}` per id — each the lexicographic minimum of seeded md5
-    * hex digests over the document's distinct shingles (any total order over
-    * a uniform hash is a valid MinHash permutation; hex strings keep it
-    * engine-portable). Shingles (not unigrams) are essential for
-    * selectivity: real corpora share most of their *vocabulary*, so
-    * word-level minhashes collide constantly, while n-word sequences only
-    * collide between genuinely similar documents.
-    *
-    * Implementation note: the shingle set is exploded and the per-seed
-    * minima computed by a hash aggregate, NOT as nested `transform`/
-    * `array_min` higher-order functions — HOFs evaluate interpreted
-    * (~ms/doc for 8 hashes) while `md5` + `min` in an exploded aggregate are
-    * whole-stage-codegen'd; the keyed shuffle also partial-aggregates
-    * map-side, so this shape wins at every scale.
-    */
   /** Exploded (carryCols..., shingle) rows: `n`-word shingles built with
     * `posexplode` + window `lead`, NOT `transform`/`slice` higher-order
     * functions — every operator here is whole-stage-codegen'd, while
@@ -81,6 +65,17 @@ object Dedup {
     shingled.select(col(idCol) +: carriedNames :+ col("shingle"): _*)
   }
 
+  /** MinHash signatures over `shingle`-word shingles: `numHashes` columns
+    * `mh0..mh{k-1}` per id — each the lexicographic minimum of seeded md5
+    * hex digests over the document's distinct shingles (any total order over
+    * a uniform hash is a valid MinHash permutation; hex strings keep it
+    * engine-portable). Shingles (not unigrams) are essential for
+    * selectivity: real corpora share most of their *vocabulary*, so
+    * word-level minhashes collide constantly, while n-word sequences only
+    * collide between genuinely similar documents. The per-seed minima are
+    * computed by a hash aggregate over [[shingleRows]] — codegen'd and
+    * map-side partial-aggregated.
+    */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingle: Int = 3): DataFrame = {
@@ -140,7 +135,7 @@ object Dedup {
     require(bits > 0 && bits <= 32)
     val toks = array_distinct(tokens(col(textCol)))
     // per-token 32-bit hash (md5 first 8 hex chars)
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val hashes = transform(toks, t => graft.Functions.md5Bits(t, 32))
     val fingerprint = (0 until bits)
       .map { b =>
         val votes = aggregate(
@@ -181,7 +176,7 @@ object Dedup {
     val hashedRows = shingleRows(df, idCol, textCol, n, carryCols = blockCols)
       .select(
         col(idCol).as("id") +: blockKeys.map(col) :+
-          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shh"): _*)
+          graft.Functions.md5Bits(col("shingle"), 60).as("shh"): _*)
       .groupBy(col("id") +: blockKeys.map(col) :+ col("shh"): _*)
       .agg(count(lit(1)).as("_dup")) // dedup; count unused
       .drop("_dup")
@@ -201,19 +196,6 @@ object Dedup {
     counted
       .select(col("id_a"), col("id_b"), graft.Functions.roundHalfUp(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
-
-  /** `n`-word shingles joined by a single space ("w1 w2" for n = 2); a
-    * document shorter than `n` words yields its whole text as one shingle.
-    */
-  def shingles(toks: Column, n: Int): Column = {
-    if (n <= 1) toks
-    else {
-      val count = greatest(size(toks) - (n - 1), lit(1))
-      transform(
-        sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    }
   }
 
   /** Embedding near-duplicate pairs within equal `blockCol` (e.g. a cluster

@@ -102,10 +102,14 @@ object DeviceResolution {
       .select(unresolved1.columns.map(col) :+ col("device_id"): _*)
       .withColumn("resolution_stage", lit("fuzzy"))
 
-    // J11 — IP equality
+    // J11 — IP equality; argmin on device_id so duplicate/placeholder IPs
+    // in the dimension can't fan a site out to multiple rows
     val unresolved2 = unresolved1.join(r2.select("site_id"), Seq("site_id"), "left_anti")
+    val ipW = Window.partitionBy(col("site_id")).orderBy(col("device_id"))
     val r3 = unresolved2
       .join(d, col("net_addr") === col("device_ip"))
+      .withColumn("rn", row_number().over(ipW))
+      .filter(col("rn") === 1)
       .select(unresolved2.columns.map(col) :+ col("device_id"): _*)
       .withColumn("resolution_stage", lit("ip"))
 

@@ -52,7 +52,7 @@ object SimilaritySearch {
     * md5-derived uniform value in [-0.5, 0.5).
     */
   private def planeComponent(plane: Int, dim: Column): Column =
-    conv(substring(md5(concat(lit(s"p$plane:"), dim.cast("string"))), 1, 8), 16, 10)
+    graft.Functions.md5Bits(concat(lit(s"p$plane:"), dim.cast("string")), 32)
       .cast("double") / lit(4294967296.0) - 0.5
 
   /** LSH bucket id of a vector: bit p = 1 iff the projection onto hyperplane

@@ -49,6 +49,11 @@ object Skew {
       key: String,
       salts: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would null-extend the (salts-1) unmatched dimension
+    // replicas into spurious rows — the replication trick only preserves
+    // semantics when dim-only rows don't surface
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val saltedFacts = facts.withColumn(
       "_salt",
       pmod(hash(facts.columns.map(col): _*), lit(salts)))

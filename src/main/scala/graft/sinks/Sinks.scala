@@ -46,13 +46,19 @@ object Sinks {
       headerCols: Seq[String],
       dataCols: Seq[String],
       sortCols: Seq[String] = Seq.empty): DataFrame = {
-    val rowStruct = struct(dataCols.map(col): _*)
+    // collect with the sort keys as the struct prefix (array_sort orders by
+    // field order), then rebuild each struct in the caller's dataCols order
+    val collectOrder = (sortCols ++ dataCols.filterNot(sortCols.contains)).distinct
+    val rowStruct = struct(collectOrder.map(col): _*)
     val collected = df
       .groupBy(headerCols.map(col): _*)
       .agg(collect_list(rowStruct).as("_rows"))
-    val dataArr =
+    val sorted =
       if (sortCols.isEmpty) col("_rows")
-      else array_sort(col("_rows")) // struct order = dataCols order; put sort keys first
+      else array_sort(col("_rows"))
+    val dataArr =
+      if (collectOrder == dataCols) sorted
+      else transform(sorted, r => struct(dataCols.map(c => r.getField(c).as(c)): _*))
     collected.select(
       struct(headerCols.map(col): _*).as("header"),
       dataArr.as("data"))
