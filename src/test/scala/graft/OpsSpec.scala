@@ -29,6 +29,31 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 21L)))
   }
 
+  test("AsOf: null field in the nearest snapshot stays null (no row tearing)") {
+    val facts = Seq((1L, "k", ts("2020-01-05 00:00:00"))).toDF("fid", "k", "ft")
+    val snaps = Seq(
+      ("k", ts("2020-01-01 00:00:00"), 10L, "active"),
+      ("k", ts("2020-01-04 00:00:00"), 20L, null)) // nearest has null status
+      .toDF("k", "st", "sid", "status")
+    val got = AsOf.join(facts, snaps, "k", "ft", "st",
+      snapCols = Seq("sid", "status"), tiebreak = Some("sid"))
+      .select("snap_sid", "snap_status").head()
+    assert(got.getLong(0) == 20L)
+    assert(got.isNullAt(1), "null field must not be backfilled from an older snapshot")
+  }
+
+  test("AsOf: string tiebreak keeps native ordering") {
+    val facts = Seq((1L, "k", ts("2020-01-05 00:00:00"))).toDF("fid", "k", "ft")
+    val snaps = Seq(
+      ("k", ts("2020-01-04 00:00:00"), "alpha"),
+      ("k", ts("2020-01-04 00:00:00"), "beta")) // tie → greatest string wins
+      .toDF("k", "st", "name")
+    val got = AsOf.join(facts, snaps, "k", "ft", "st",
+      snapCols = Seq("name"), tiebreak = Some("name"))
+      .select("snap_name").as[String].head()
+    assert(got == "beta")
+  }
+
   test("AsOf forward picks earliest snapshot >= fact time; no snapshot → null") {
     val facts = Seq(
       (1L, "k", ts("2020-01-05 00:00:00")),

@@ -34,6 +34,36 @@ class StreamingSpec extends SparkSpec {
     assert(s.nonEmpty)
   }
 
+  test("checkpointed AvailableNow processes each file exactly once across runs") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_incr_src_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_incr_out_").toString + "/sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_incr_ck_").toString
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("id LONG").parquet(src)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    Seq(1L, 2L, 3L).toDF("id").write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3)
+    // rerun with nothing new: no duplicates (the checkpoint is the catalog)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3)
+    // new file arrives: only its rows append
+    Seq(4L, 5L).toDF("id").write.mode("append").parquet(src)
+    runOnce()
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("watermark bounds state in append mode") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2_").toString
