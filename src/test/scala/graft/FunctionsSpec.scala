@@ -22,6 +22,13 @@ class FunctionsSpec extends SparkSpec {
     assert(eval1[Double](Functions.roundHalfUp(lit(1.23449), 3)) == 1.234)
   }
 
+  test("seq_ratio registers for SQL use") {
+    Functions.register(spark)
+    val r = spark.sql("SELECT seq_ratio('burnet rd/braker ln', 'burnet/braker') AS r")
+      .as[Double].head()
+    assert(r == 0.8125)
+  }
+
   test("guidWithDashes formats 8-4-4-4-12") {
     assert(eval1[String](Functions.guidWithDashes(lit("0123456789abcdef0123456789abcdef")))
       == "01234567-89ab-cdef-0123-456789abcdef")

@@ -27,6 +27,19 @@ class SequenceRatioSpec extends AnyFunSuite {
     }
   }
 
+  test("matches difflib on 200 fuzzed street-name pairs (golden resource)") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/seqratio_golden.csv"))
+    try {
+      src.getLines().foreach { line =>
+        // fields contain no quotes/commas beyond the two separators
+        val Array(a, b, exp) = line.split(",", 3)
+        assert(math.abs(SequenceRatio.ratio(a, b) - exp.toDouble) < 1e-12,
+          s"ratio('$a','$b')")
+      }
+    } finally src.close()
+  }
+
   test("symmetric on equal-length inputs and bounded") {
     val samples = Seq("abcdef" -> "abdcfe", "xy" -> "yx", "aaa" -> "aba")
     samples.foreach { case (a, b) =>
