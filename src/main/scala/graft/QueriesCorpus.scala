@@ -97,7 +97,7 @@ object QueriesCorpus {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .select(
           col("doc_id"),
-          length(col("payload")).as("byte_len"),
+          length(col("payload")).cast("long").as("byte_len"),
           (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("long") % 1856 + 64)
             .as("width"),
           (conv(substring(md5(col("payload")), 5, 4), 16, 10).cast("long") % 1016 + 64)

@@ -115,7 +115,8 @@ object QueriesEvents {
           t(s, dir, "events").select(
             Functions.toSecond(col("ts")).as("ts_sec"), col("user_id")),
           "ts_sec", "user_id")
-        .select(col("day"), col("user_id"), col("first_seen"), col("daily_counter"))),
+        .select(col("day"), col("user_id"), col("first_seen"),
+          col("daily_counter").cast("long").as("daily_counter"))),
 
     // W5: lag / previous-row change detection (reference etl_app.py:272-281)
     "q_w5_lag_gap" -> ((s, dir) => {

@@ -222,12 +222,14 @@ object QueriesRelational {
     // §2.10 date scalars: parts, Sunday=0 weekday, format (reference
     // wt_extract_soc.py:73-79, gs_agg_extract_soc.py:119-124)
     "q_sc_dates" -> ((s, dir) =>
+      // date-part outputs cast to BIGINT: other engines (incl. the DuckDB
+      // oracle) type year()/dayofweek() as 64-bit
       t(s, dir, "orders").select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("d"),
-        Functions.dayOfWeekSun0(col("o_orderdate")).as("dow_sun0"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        Functions.dayOfWeekSun0(col("o_orderdate")).cast("long").as("dow_sun0"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"))),
 
     // §2.9 idempotent publish key (reference bt_extract_soc.py:110,130-135)

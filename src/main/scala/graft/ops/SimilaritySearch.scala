@@ -115,6 +115,6 @@ object SimilaritySearch {
         col("b.id").as("neighbor"),
         graft.Functions.roundHalfUp(cosine(col("a.v"), col("b.v")), 6).as("cos"))
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("neighbor"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 }

@@ -61,8 +61,8 @@ object TextAnalysis {
     val stopScore = when(stopRatio.between(0.01, 0.5), lit(0.5)).otherwise(lit(0.0))
     df.select(
       col(idCol),
-      wordCnt.as("word_count"),
-      charCnt.as("char_count"),
+      wordCnt.cast("long").as("word_count"),
+      charCnt.cast("long").as("char_count"),
       graft.Functions.roundHalfUp(avgWordLen, 3).as("avg_word_len"),
       graft.Functions.roundHalfUp(stopRatio, 4).as("stopword_ratio"),
       graft.Functions.roundHalfUp(lenScore + stopScore, 2).as("quality_score"))
@@ -74,9 +74,9 @@ object TextAnalysis {
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
-      size(toks(col(textCol))).as("ws_tokens"),
+      size(toks(col(textCol))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
-        .as("re_tokens"))
+        .cast("long").as("re_tokens"))
 
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
     * token set — catches shuffled/duplicated-content documents that exact

@@ -45,6 +45,10 @@ for name in sorted(oracle):
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
         fails.append((name, f"schema mismatch: spark={gc} oracle={ec}")); continue
+    dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in gc
+          if str(got[c].dtype) != str(exp[c].dtype)]
+    if dt:
+        fails.append((name, f"dtype mismatch: {dt}")); continue
     if len(got) != len(exp):
         fails.append((name, f"row count: spark={len(got)} oracle={len(exp)}")); continue
     g = [tuple(norm(v) for v in row) for row in got[gc].itertuples(index=False)]
