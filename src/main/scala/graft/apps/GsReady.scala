@@ -1,0 +1,87 @@
+package graft.apps
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOf, DeviceResolution}
+
+/** The full GRIDSMART ready stage (reference `gs_ready.py:106-317`,
+  * `_processDay`) as one declarative chain over *all* sites and days at
+  * once — the reference loops site-by-site, day-by-day in Python; here each
+  * step is a keyed DataFrame operation, so the same code processes one day
+  * or a decade:
+  *
+  *   1. site resolution: backward as-of — each (site base, day) takes the
+  *      latest site snapshot at-or-before the day (J8,
+  *      `support/catalog.py:105-188`);
+  *   2. clock-drift: the snapshot's device-vs-host clock pair yields the
+  *      per-site drift applied to every count (`gs_json_standard.py:179-191`);
+  *   3. timestamp reconstruction + day regrouping: v8 seconds-since-midnight
+  *      → UTC instants; rows are then grouped by their *adjusted* event day,
+  *      which replaces the reference's imperative `day_covered` ±1-day fetch
+  *      (SURVEY §7.5 risk 6) — reading date±1 partitions and regrouping is
+  *      the declarative equivalent;
+  *   4. device resolution: the 4-stage cascade attaches `device_id` per base;
+  *   5. deterministic output ordering (O3).
+  *
+  * @param counts    raw v8 count rows with `base` (site id) and
+  *                  `collection_date` (the file's nominal day) columns
+  * @param siteSnaps site snapshots: `base`, `snap_date`, `street1`,
+  *                  `street2`, `net_addr`, `lat`, `lon`, `device_time`,
+  *                  `host_time_utc`
+  * @param devices   device dimension (see [[graft.ops.DeviceResolution]])
+  */
+object GsReady {
+
+  def ready(
+      counts: DataFrame,
+      siteSnaps: DataFrame,
+      devices: DataFrame,
+      lookups: Map[(String, String), String] = Map.empty,
+      synonyms: Map[String, String] = Map.empty): DataFrame = {
+
+    // 1. per-(base, nominal day) site snapshot via backward as-of
+    val dayItems = counts.select(col("base"), col("collection_date")).distinct()
+    val snapped = AsOf.join(
+      dayItems, siteSnaps,
+      key = "base", factTime = "collection_date", snapTime = "snap_date",
+      snapCols = Seq("device_time", "host_time_utc", "street1", "street2",
+        "net_addr", "lat", "lon"),
+      forward = false)
+
+    // 2. drift from the snapshot's clock pair
+    val withDrift = snapped.withColumn(
+      "drift_s",
+      coalesce(
+        Pipelines.Gs.driftSeconds(col("snap_device_time"), col("snap_host_time_utc")),
+        lit(0L)))
+
+    // 3. adjusted timestamps; regroup rows by their true (adjusted) day
+    val adjusted = counts
+      .join(
+        withDrift.select(col("base"), col("collection_date"), col("drift_s")),
+        Seq("base", "collection_date"))
+      .withColumn(
+        "timestamp_adj",
+        Pipelines.Gs.v8Timestamp(
+          col("collection_date"), col("timestamp"), col("utc_offset"), col("drift_s")))
+      .withColumn("event_day", to_date(col("timestamp_adj")))
+
+    // 4. device cascade over the distinct site dimension
+    val siteDim = withDrift
+      .select(
+        col("base").as("site_id"),
+        col("snap_street1").as("street1"), col("snap_street2").as("street2"),
+        col("snap_net_addr").as("net_addr"),
+        col("snap_lat").as("lat"), col("snap_lon").as("lon"))
+      .dropDuplicates("site_id")
+    val resolved = DeviceResolution.resolve(siteDim, devices, lookups, synonyms)
+
+    // 5. join back + deterministic ordering
+    adjusted
+      .join(
+        broadcast(resolved.withColumnRenamed("site_id", "base")),
+        Seq("base"), "left")
+      .orderBy(col("base"), col("event_day"), col("timestamp_adj"))
+  }
+}
