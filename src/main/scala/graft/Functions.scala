@@ -87,6 +87,13 @@ object Functions {
   def bucketStart(ts: Column, seconds: Int): Column =
     timestamp_seconds(floor(unix_timestamp(ts) / seconds) * seconds)
 
+  /** Exact sum of a ≤2-decimal measure, surfaced as a rounded DOUBLE: the
+    * DECIMAL sum is order-independent, so the result hashes identically
+    * under any partitioning (used by every money/measure aggregate).
+    */
+  def sumExact2(c: Column): Column =
+    roundHalfUp(sum(c.cast("decimal(18,4)")).cast("double"), 2)
+
   /** Deterministic idempotent-publish key: md5 over "|"-joined natural-key
     * fields (reference `bt_extract_soc.py:110,130-135` hashes concatenated
     * natural keys so republishing upserts instead of duplicating).

@@ -20,9 +20,7 @@ object QueriesEvents {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
-  /** Exact decimal sum of a 2-decimal measure, surfaced as DOUBLE. */
-  private def valSum = (c: org.apache.spark.sql.Column) =>
-    Functions.roundHalfUp(sum(c.cast("decimal(18,4)")).cast("double"), 2)
+  private def valSum = (c: org.apache.spark.sql.Column) => Functions.sumExact2(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: flagship 15-min tumbling aggregation (reference gs_ready_agg.py:69-92)

@@ -15,6 +15,12 @@ object QueriesExtra {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
+  /** The vec_id=0 embedding as a literal query vector (one-row collect). */
+  private def queryVec(emb: DataFrame): Seq[Double] =
+    emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // W-class: gap-based sessionization (30-min gap) over events
     "q_w7_sessionize" -> ((s, dir) =>
@@ -58,21 +64,16 @@ object QueriesExtra {
     // deterministic bucket assignment is oracle-checked separately)
     "q_ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0)
-      SimilaritySearch.lshTopK(emb, "vec_id", "embedding", q, k = 10, planes = 6)
+      SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec(emb), k = 10, planes = 6)
     }),
 
     // IVF ANN search, 4 of 16 cells probed (rows-only check; AnnSpec proves
     // nProbe=all == brute force and bounds recall at nProbe=4)
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0)
       val index = graft.ops.IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
-      graft.ops.IvfIndex.search(index, emb, "vec_id", "embedding", q, k = 10, nProbe = 4)
+      graft.ops.IvfIndex.search(index, emb, "vec_id", "embedding", queryVec(emb),
+        k = 10, nProbe = 4)
     }))
 
   val oracles: Map[String, String] = Map(

@@ -14,9 +14,7 @@ object QueriesRelational {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
-  /** Exact money sum: decimal-sum then DOUBLE, deterministic across engines. */
-  private def moneySum(c: Column): Column =
-    Functions.roundHalfUp(sum(c.cast("decimal(18,4)")).cast("double"), 2)
+  private def moneySum(c: Column): Column = Functions.sumExact2(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1: ext-type whitelist filter (reference bt_json_standard.py:54-56)

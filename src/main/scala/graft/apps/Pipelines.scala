@@ -20,6 +20,12 @@ object Pipelines {
 
   val LocalTz = "America/Chicago"
 
+  /** Surrogate device id (reference bt_ready.py:81-88, wt_ready.py:77-84):
+    * md5 over the natural device identity.
+    */
+  private def deviceSurrogate: Column =
+    md5(concat_ws("_", col("atd_device_id"), col("device_name")))
+
   private def centralToUtc(c: Column, fmt: String): Column =
     to_utc_timestamp(to_timestamp(c, fmt), LocalTz)
 
@@ -39,7 +45,7 @@ object Pipelines {
       */
     def ready(std: DataFrame, unitData: DataFrame): DataFrame = {
       val dim = broadcast(unitData
-        .withColumn("device_id", md5(concat_ws("_", col("atd_device_id"), col("device_name"))))
+        .withColumn("device_id", deviceSurrogate)
         .select(col("kits_id"), col("device_id"), col("device_name"), col("atd_location_id")))
       std.join(dim, col("intID") === col("kits_id"), "inner")
         .drop("kits_id")
@@ -94,8 +100,7 @@ object Pipelines {
 
     /** Device dimension with surrogate ids (reference `bt_ready.py:81-88`). */
     def deviceDim(unitData: DataFrame): DataFrame =
-      unitData.withColumn(
-        "device_id", md5(concat_ws("_", col("atd_device_id"), col("device_name"))))
+      unitData.withColumn("device_id", deviceSurrogate)
 
     /** Ready unmatched (reference `bt_ready.py:99-110`): J2 equi join
       * `reader_id = device_name`, O1 ordering, U2 dimension trimming is the

@@ -114,8 +114,7 @@ object Dedup {
     // Self-join as SHUFFLE_HASH, not broadcast: both sides then shuffle on
     // identical (band, sig) exchanges and ReuseExchange computes the
     // signature pipeline ONCE in parallel — a broadcast build would
-    // re-evaluate the (interpreted, higher-order) minhash expressions a
-    // second time, single-threaded, while materializing the build side.
+    // re-evaluate it a second time, single-threaded, on the driver.
     val a = banded.alias("a")
     val b = banded.hint("SHUFFLE_HASH").alias("b")
     a.join(
@@ -150,10 +149,11 @@ object Dedup {
 
   /** Blocked n-gram (word-shingle) Jaccard near-duplicate pairs: documents
     * are only compared within equal `blockCols` values (LSH-style blocking —
-    * the caller picks cheap invariants such as language + length bucket).
-    * Jaccard over distinct `n`-word shingles ≥ `threshold`.
-    */
-  /** Implementation: an inverted-index (set-similarity) join, not per-pair
+    * the caller picks cheap invariants such as language + length bucket),
+    * and pairs survive when Jaccard over distinct `n`-word shingles ≥
+    * `threshold`.
+    *
+    * Implementation: an inverted-index (set-similarity) join, not per-pair
     * set intersection. Shingles are hashed to 60-bit longs, exploded, and
     * pairs meet on (block, shingle-hash); a keyed count then yields |A∩B|
     * and `|A∪B| = |A|+|B|-|A∩B|`. Three wins over `array_intersect` per
