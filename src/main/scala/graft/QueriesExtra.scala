@@ -67,6 +67,22 @@ object QueriesExtra {
       SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec(emb), k = 10, planes = 6)
     }),
 
+    // distinct-count aggregate (exact; Catalyst plans the two-phase
+    // distinct expansion)
+    "q_x_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // approximate distinct (HLL++) — rows-only check (approximate by
+    // definition); the 100 TB shape for cardinality over billions of keys
+    "q_x_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))),
+
     // IVF ANN search, 4 of 16 cells probed (rows-only check; AnnSpec proves
     // nProbe=all == brute force and bounds recall at nProbe=4)
     "q_ann_ivf" -> ((s, dir) => {
@@ -96,6 +112,10 @@ object QueriesExtra {
     "q_env_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey % 100 = 0""".stripMargin,
+    "q_x_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_knn_blocked" ->
       """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id, b.vec_id AS neighbor,

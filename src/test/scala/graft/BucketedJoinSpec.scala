@@ -1,0 +1,46 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+
+/** The co-located join story for 100 TB (NOTES / SURVEY §4): persisting both
+  * sides bucketed on the join key lets Spark join with NO exchange — the
+  * shuffle that dominates a petabyte-scale J1/J2 disappears at write time.
+  * local[] + the in-memory catalog support bucketed tables, so the plan
+  * shape is assertable here.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed-by-key tables join without a shuffle exchange") {
+    // (warehouse dir is a static conf — tables land in ./spark-warehouse,
+    // which is gitignored)
+    // bucketed scans keep their distribution only when the join isn't
+    // broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    val dir = "/root/testdata/sf0.001"
+    Tables(spark, dir, "orders")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    Tables(spark, dir, "lineitem")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must consume the bucketed distribution directly: no
+    // shuffle before the SortMergeJoin (the groupBy above it may exchange)
+    val joinSection = plan.split("SortMergeJoin")(1)
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side shuffled:\n$plan")
+    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side shuffled:\n$plan")
+    assert(joined.collect().map(_.getLong(1)).sum == 6000L)
+
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
