@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
 class BucketedJoinSpec extends SparkSpec {
 
   test("bucketed-by-key tables join without a shuffle exchange") {
-    // (warehouse dir is a static conf — tables land in ./spark-warehouse,
-    // which is gitignored)
-    // bucketed scans keep their distribution only when the join isn't
-    // broadcast
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // warehouse dir is a static conf — tables land in ./spark-warehouse
+    // (gitignored); the in-memory catalog forgets tables across JVMs while
+    // the directories persist, so clear both before writing
+    Seq("orders_b", "lineitem_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = java.nio.file.Paths.get("spark-warehouse", tbl)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+    }
 
     val dir = "/root/testdata/sf0.001"
     Tables(spark, dir, "orders")
@@ -26,8 +31,11 @@ class BucketedJoinSpec extends SparkSpec {
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("lineitem_b")
 
+    // MERGE hint forces a sort-merge join without touching the shared
+    // session's broadcast threshold (suites run in parallel on one session)
     val joined = spark.table("lineitem_b")
-      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .join(spark.table("orders_b").hint("MERGE"),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))
 
@@ -40,7 +48,5 @@ class BucketedJoinSpec extends SparkSpec {
     assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
       s"orders side shuffled:\n$plan")
     assert(joined.collect().map(_.getLong(1)).sum == 6000L)
-
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
