@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
 
 /** Training-data pipeline coverage over `documents` and `embeddings`:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -63,12 +63,16 @@ object QueriesCorpus {
 
     // LSH-bucketed ANN: vectors per md5-hyperplane bucket (the scale path;
     // the bucket assignment is the verifiable part — deterministic join key)
-    "q_ann_lsh_buckets" -> ((s, dir) =>
-      t(s, dir, "embeddings")
-        .select(
-          col("vec_id"),
-          SimilaritySearch.lshBucket(col("embedding").cast("array<double>"), planes = 6)
-            .as("bucket"))),
+    "q_ann_lsh_buckets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // one-row driver read of the embedding dimensionality (bounded); the
+      // hyperplanes become plan-time literals
+      val dims = emb.select(size(col("embedding"))).head().getInt(0)
+      emb.select(
+        col("vec_id"),
+        SimilaritySearch.lshBucket(col("embedding").cast("array<double>"), planes = 6, dims = dims)
+          .as("bucket"))
+    }),
 
     // language-id heuristic
     "q_tx_langid" -> ((s, dir) =>
@@ -88,21 +92,22 @@ object QueriesCorpus {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
 
-    // multimodal plumbing: opaque binary payload + typed metadata. The
-    // "decode" is a deterministic fake (md5-derived dimensions) standing in
-    // for an image decoder; the Spark-side schema/plumbing is the real part
-    // (see graft.ops.Multimodal for the batched mapPartitions path).
-    "q_mm_meta" -> ((s, dir) =>
-      t(s, dir, "documents")
+    // multimodal plumbing: opaque binary payload + typed metadata through
+    // the REAL batched mapPartitions decode path (graft.ops.Multimodal); the
+    // decoder is a deterministic md5-derived stub, so the DuckDB oracle can
+    // check the whole contract — schema, batch shape, and stub decode — not
+    // an expression twin of it.
+    "q_mm_meta" -> ((s, dir) => {
+      val payload = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.withDecodedMeta(payload, "payload")
         .select(
           col("doc_id"),
-          length(col("payload")).cast("long").as("byte_len"),
-          (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("long") % 1856 + 64)
-            .as("width"),
-          (conv(substring(md5(col("payload")), 5, 4), 16, 10).cast("long") % 1016 + 64)
-            .as("height"),
-          lit("image/fake").as("mime"))),
+          col("meta.byte_len").cast("long").as("byte_len"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.mime").as("mime"))
+    }),
 
     // multimodal frame sampling: one "frame" per 100-char window
     "q_mm_frames" -> ((s, dir) =>

@@ -394,6 +394,6 @@ object QueriesRelational {
         |    || substr(h,17,4) || '-' || substr(h,21,12) AS guid
         |FROM g""".stripMargin,
     "q_sc_json" ->
-      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
-        |FROM events WHERE CAST(regexp_extract(props, '[0-9]+') AS INT) >= 50""".stripMargin)
+      """SELECT event_id, TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
+        |FROM events WHERE TRY_CAST(regexp_extract(props, '[0-9]+') AS INT) >= 50""".stripMargin)
 }

@@ -21,8 +21,10 @@ import graft.ops.{AsOf, DeviceResolution}
   *      which replaces the reference's imperative `day_covered` ±1-day fetch
   *      (SURVEY §7.5 risk 6) — reading date±1 partitions and regrouping is
   *      the declarative equivalent;
-  *   4. device resolution: the 4-stage cascade attaches `device_id` per base;
-  *   5. deterministic output ordering (O3).
+  *   4. device resolution: the 4-stage cascade attaches `device_id` per base.
+  *
+  * The O3 output ordering is a write-edge concern (`Sinks.ordered`), not
+  * part of the chain.
   *
   * @param counts    raw v8 count rows with `base` (site id) and
   *                  `collection_date` (the file's nominal day) columns
@@ -77,11 +79,13 @@ object GsReady {
       .dropDuplicates("site_id")
     val resolved = DeviceResolution.resolve(siteDim, devices, lookups, synonyms)
 
-    // 5. join back + deterministic ordering
+    // 5. join back; the O3 output ordering (`gs_ready.py:287`) is applied
+    // at the write edge via `Sinks.ordered(df, col("base"), col("event_day"),
+    // col("timestamp_adj"))` — keeping a global sort mid-chain would add a
+    // range exchange that downstream aggregation destroys anyway
     adjusted
       .join(
         broadcast(resolved.withColumnRenamed("site_id", "base")),
         Seq("base"), "left")
-      .orderBy(col("base"), col("event_day"), col("timestamp_adj"))
   }
 }

@@ -41,7 +41,11 @@ object Pipelines {
 
     /** Ready (reference `wt_ready.py:77-111`): equi join to unit data on
       * `intID = kits_id` (J4), trim the embedded dimension to used devices
-      * (U2), surrogate md5 device ids (§2.10).
+      * (U2), surrogate md5 device ids (§2.10). The reference's O2 output
+      * ordering (`wt_ready.py:103`) lives at the write edge
+      * (`Sinks.ordered(df, col("timestamp"), col("detID"))`) — a mid-chain
+      * global sort is a wasted range exchange that downstream operators
+      * destroy anyway.
       */
     def ready(std: DataFrame, unitData: DataFrame): DataFrame = {
       val dim = broadcast(unitData
@@ -49,7 +53,6 @@ object Pipelines {
         .select(col("kits_id"), col("device_id"), col("device_name"), col("atd_location_id")))
       std.join(dim, col("intID") === col("kits_id"), "inner")
         .drop("kits_id")
-        .orderBy(col("timestamp"), col("detID")) // O2
     }
 
     /** Publish projection (reference `wt_extract_soc.py:62-86`): direction
@@ -103,15 +106,15 @@ object Pipelines {
       unitData.withColumn("device_id", deviceSurrogate)
 
     /** Ready unmatched (reference `bt_ready.py:99-110`): J2 equi join
-      * `reader_id = device_name`, O1 ordering, U2 dimension trimming is the
-      * caller's `usedDevices` semi-join.
+      * `reader_id = device_name`; U2 dimension trimming is the caller's
+      * `usedDevices` semi-join. The O1 ordering (`bt_ready.py:108`) is
+      * applied at the write edge via `Sinks.ordered`.
       */
     def readyUnmatched(std: DataFrame, devices: DataFrame): DataFrame =
       std.join(
           broadcast(devices.select(col("device_name"), col("device_id"))),
           col("reader_id") === col("device_name"), "inner")
         .drop("device_name")
-        .orderBy(col("host_timestamp"), col("reader_id"))
 
     /** Ready matched (reference `bt_ready.py:112-122`): J3 double dim join —
       * devices joined once per edge endpoint.
@@ -124,7 +127,7 @@ object Pipelines {
       std.join(origin, col("origin_reader_id") === col("origin_name"), "inner")
         .join(dest, col("dest_reader_id") === col("dest_name"), "inner")
         .drop("origin_name", "dest_name")
-        .orderBy(col("start_time"), col("origin_reader_id"), col("dest_reader_id"))
+      // O1 ordering (`bt_ready.py:120-122`) applies at the write edge
     }
 
     /** Trim the embedded dimension to devices actually referenced (U1+U2,

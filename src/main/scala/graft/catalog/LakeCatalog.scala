@@ -2,6 +2,8 @@ package graft.catalog
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,16 +16,28 @@ import org.apache.spark.sql.functions._
   * latest-wins MERGE semantics on the natural PK
   * (`support/catalog.py:283-314` upserts on the same key).
   *
-  * Storage: a parquet directory swapped atomically on each upsert
-  * (copy-on-write). On a Delta/Iceberg-enabled cluster `upsert` becomes a
-  * single `MERGE INTO` and `query` gets data skipping; the API is the stable
-  * part. The compare/diff workload reads the catalog through [[query]]'s
-  * pushed-down filters, so at 100 TB the catalog scan prunes on
-  * `repository`/`data_source` partition columns.
+  * Storage: parquet partitioned by `(repository, data_source)` — the two
+  * columns every catalog access filters on (`support/catalog.py:212-236`
+  * always binds repository + data_source). An upsert merges and rewrites
+  * ONLY the partitions present in the batch; all other partitions' files are
+  * untouched (byte-identical across unrelated upserts). This is the Delta
+  * `MERGE INTO`-with-partition-pruning shape: on a Delta/Iceberg cluster
+  * `upsert` becomes a transactional MERGE behind the same API, and `query`
+  * gets data skipping on top of the partition pruning it already has here.
+  *
+  * Concurrency: partition swaps are atomic per (repository, data_source), so
+  * concurrent stages touching DIFFERENT sources never conflict — the common
+  * case, since each ETL stage owns one (repository, data_source) cell.
+  * Concurrent writers to the SAME partition still need external
+  * serialization (the reference gets this from PostgreSQL; a lakehouse
+  * table format provides it via optimistic commits).
   */
 object LakeCatalog {
 
   val PK: Seq[String] = Seq("repository", "data_source", "id_base", "id_ext", "collection_date")
+
+  /** The physical partition columns — a prefix of the PK. */
+  val PartitionCols: Seq[String] = Seq("repository", "data_source")
 
   /** Latest-wins dedup on `pk`, ordered by `versionCol` descending — the
     * relational core of a MERGE upsert. Callers guarantee (pk, version)
@@ -43,35 +57,83 @@ class LakeCatalog(spark: SparkSession, path: String) {
 
   private def tablePath: Path = Paths.get(path, "current")
 
-  def exists: Boolean = Files.exists(tablePath)
+  private def listDir(dir: Path, prefix: String): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.filter(_.getFileName.toString.startsWith(prefix)).toList
+    finally s.close()
+  }
 
-  def read(): DataFrame = spark.read.parquet(tablePath.toString)
+  private def deleteRecursively(dir: Path): Unit = {
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.delete(p))
+    finally s.close()
+  }
 
-  /** Upsert a batch: latest `processing_date` wins per PK. */
+  def exists: Boolean =
+    Files.exists(tablePath) && listDir(tablePath, "").nonEmpty
+
+  /** Read the whole catalog. Filters on `repository`/`data_source` prune to
+    * partition directories; the stable column order is the declared schema's
+    * (partition discovery would otherwise append partition columns last).
+    */
+  def read(): DataFrame =
+    spark.read
+      .option("basePath", tablePath.toString)
+      .schema(graft.model.Schemas.catalog)
+      .parquet(tablePath.toString)
+      .select(graft.model.Schemas.catalog.fieldNames.map(col): _*)
+
+  /** Upsert a batch: latest `processing_date` wins per PK. Rewrites only the
+    * `(repository, data_source)` partitions present in the batch.
+    */
   def upsert(batch: DataFrame): Unit = {
     val merged =
       if (!exists) LakeCatalog.merge(batch, LakeCatalog.PK, "processing_date")
-      else
+      else {
+        // the touched-partition set is tiny by construction: one entry per
+        // (layer × sensor source), not per item
+        val touched = batch.select(LakeCatalog.PartitionCols.map(col): _*)
+          .distinct().collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val touchedPred = touched
+          .map { case (r, d) => col("repository") === r && col("data_source") === d }
+          .reduce(_ || _)
         LakeCatalog.merge(
-          read().unionByName(batch, allowMissingColumns = true),
+          // partition-pruned scan: only touched partitions are read
+          read().filter(touchedPred).unionByName(batch, allowMissingColumns = true),
           LakeCatalog.PK,
           "processing_date")
+      }
     val tmp = Paths.get(path, s"staging-${java.util.UUID.randomUUID()}")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    // swap: parquet readers resolve the directory at query time, so replace
-    // `current` only after the new version is fully written
-    val old = Paths.get(path, s"old-${java.util.UUID.randomUUID()}")
-    if (exists) Files.move(tablePath, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, tablePath, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) {
-      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+    merged.write.mode("overwrite")
+      .partitionBy(LakeCatalog.PartitionCols: _*)
+      .parquet(tmp.toString)
+    // swap each staged partition directory into `current/`; parquet readers
+    // resolve directories at query time, so each partition flips only after
+    // its new version is fully written
+    Files.createDirectories(tablePath)
+    val trash = Paths.get(path, s"old-${java.util.UUID.randomUUID()}")
+    Files.createDirectories(trash)
+    listDir(tmp, "repository=").foreach { repoDir =>
+      listDir(repoDir, "data_source=").foreach { leaf =>
+        val destRepo = tablePath.resolve(repoDir.getFileName.toString)
+        Files.createDirectories(destRepo)
+        val dest = destRepo.resolve(leaf.getFileName.toString)
+        if (Files.exists(dest))
+          Files.move(
+            dest,
+            trash.resolve(s"${repoDir.getFileName}__${leaf.getFileName}"),
+            StandardCopyOption.ATOMIC_MOVE)
+        Files.move(leaf, dest, StandardCopyOption.ATOMIC_MOVE)
+      }
     }
+    Seq(trash, tmp).foreach(deleteRecursively)
   }
 
   /** Filtered catalog listing (reference `support/catalog.py:212-236` —
-    * repository/data_source/base/ext + date-range query, ordered). Filters
-    * push down to the parquet scan; no pagination needed.
+    * repository/data_source/base/ext + date-range query, ordered). The
+    * repository/data_source filters prune partitions; the rest push down to
+    * the parquet scan; no pagination needed.
     */
   def query(
       repository: String,

@@ -74,33 +74,39 @@ object DeviceResolution {
       }
     val r1 = stage1.withColumn("resolution_stage", lit("lookup"))
 
-    // J10 — fuzzy: best Ratcliff–Obershelp over both street orderings,
-    // retried with synonym substitution folded in (the reference makes a
-    // second pass; scoring the synonym-normalized names alongside the raw
-    // ones in one pass is equivalent "first match wins" at equal threshold)
+    // J10 — fuzzy: best Ratcliff–Obershelp over both street orderings, in
+    // the reference's TWO passes (`gs_ready.py:150-175`): raw names first;
+    // synonym-substituted names only for sites the raw pass left unresolved.
+    // (A one-pass greatest() over both scorings would diverge when a
+    // synonym-normalized score on device B beats a ≥threshold raw score on
+    // device A — the reference picks A.)
     def subSynonyms(c: org.apache.spark.sql.Column) =
       synonyms.foldLeft(c) { case (acc, (from, to)) =>
         regexp_replace(acc, java.util.regex.Pattern.quote(from.toLowerCase), to.toLowerCase)
       }
     val unresolved1 = s.join(r1.select("site_id"), Seq("site_id"), "left_anti")
-    val pairScore = greatest(
-      Functions.seqRatio(concat_ws("/", col("st1"), col("st2")),
-        concat_ws("/", col("d_st1"), col("d_st2"))),
-      Functions.seqRatio(concat_ws("/", col("st1"), col("st2")),
-        concat_ws("/", col("d_st2"), col("d_st1"))),
-      Functions.seqRatio(subSynonyms(concat_ws("/", col("st1"), col("st2"))),
-        subSynonyms(concat_ws("/", col("d_st1"), col("d_st2")))),
-      Functions.seqRatio(subSynonyms(concat_ws("/", col("st1"), col("st2"))),
-        subSynonyms(concat_ws("/", col("d_st2"), col("d_st1")))))
-    val fuzzyW = Window.partitionBy(col("site_id")).orderBy(col("ratio").desc, col("device_id"))
-    val r2 = unresolved1
-      .crossJoin(d)
-      .withColumn("ratio", pairScore)
-      .filter(col("ratio") >= minRatio)
-      .withColumn("rn", row_number().over(fuzzyW))
-      .filter(col("rn") === 1)
-      .select(unresolved1.columns.map(col) :+ col("device_id"): _*)
-      .withColumn("resolution_stage", lit("fuzzy"))
+    def bestFuzzy(base: DataFrame, norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      val score = greatest(
+        Functions.seqRatio(norm(concat_ws("/", col("st1"), col("st2"))),
+          norm(concat_ws("/", col("d_st1"), col("d_st2")))),
+        Functions.seqRatio(norm(concat_ws("/", col("st1"), col("st2"))),
+          norm(concat_ws("/", col("d_st2"), col("d_st1")))))
+      val w = Window.partitionBy(col("site_id")).orderBy(col("ratio").desc, col("device_id"))
+      base
+        .crossJoin(d)
+        .withColumn("ratio", score)
+        .filter(col("ratio") >= minRatio)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(base.columns.map(col) :+ col("device_id"): _*)
+    }
+    val r2raw = bestFuzzy(unresolved1, identity)
+    val r2syn =
+      if (synonyms.isEmpty) r2raw.limit(0)
+      else bestFuzzy(
+        unresolved1.join(r2raw.select("site_id"), Seq("site_id"), "left_anti"),
+        subSynonyms)
+    val r2 = r2raw.unionByName(r2syn).withColumn("resolution_stage", lit("fuzzy"))
 
     // J11 — IP equality; argmin on device_id so duplicate/placeholder IPs
     // in the dimension can't fan a site out to multiple rows

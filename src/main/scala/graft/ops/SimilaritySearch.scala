@@ -48,26 +48,44 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived uniform value in [-0.5, 0.5).
+  /** Scala-side twin of `Functions.md5Bits(_, 32)` (same md5-hex-prefix
+    * derivation) so hyperplane components can be precomputed once at plan
+    * time instead of per row × plane × dim — at a billion embeddings × 6
+    * planes × 768 dims the per-row form is ~4.6 trillion md5 calls for
+    * values that fit in a literal array.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    graft.Functions.md5Bits(concat(lit(s"p$plane:"), dim.cast("string")), 32)
-      .cast("double") / lit(4294967296.0) - 0.5
+  private def md5Bits32(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString,
+      16)
+
+  /** Deterministic hyperplane matrix: entry (p, d) is the md5-derived
+    * uniform in [-0.5, 0.5) for plane p, dimension d. Bit-identical to
+    * evaluating the same derivation per row: the 32-bit hash value is exact
+    * in DOUBLE, division by 2^32 is exact, and -0.5 is exact.
+    */
+  def planeComponents(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims)((p, d) => md5Bits32(s"p$p:$d") / 4294967296.0 - 0.5)
 
   /** LSH bucket id of a vector: bit p = 1 iff the projection onto hyperplane
-    * p is positive.
+    * p is positive. The per-row work is a pure multiply-add against literal
+    * plane arrays.
     */
-  def lshBucket(vec: Column, planes: Int): Column =
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val comps = planeComponents(planes, dims)
     (0 until planes)
       .map { p =>
+        val plane = array(comps(p).map(lit): _*)
         val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),
+          zip_with(vec, plane, (x, c) => x * c),
           lit(0.0),
           (acc, x) => acc + x)
         when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
       }
       .reduce(_ + _)
+  }
 
   /** Approximate top-k: scan only vectors whose LSH bucket equals the
     * query's bucket, then exact cosine within the bucket.
@@ -80,11 +98,11 @@ object SimilaritySearch {
       k: Int,
       planes: Int = 8): DataFrame = {
     val q = array(query.map(lit): _*)
-    val qBucket = lshBucket(q, planes)
+    val qBucket = lshBucket(q, planes, query.length)
     val bucketed = df.select(
       col(idCol),
       col(vecCol).cast("array<double>").as("v"),
-      lshBucket(col(vecCol).cast("array<double>"), planes).as("bucket"))
+      lshBucket(col(vecCol).cast("array<double>"), planes, query.length).as("bucket"))
     bucketed
       .filter(col("bucket") === qBucket)
       .select(col(idCol), graft.Functions.roundHalfUp(cosine(col("v"), q), 6).as("cos"))

@@ -51,9 +51,17 @@ object Sources {
         } catch { case _: java.time.format.DateTimeParseException => None }
       } else None
     }
+    // deterministic representative per date: several files can parse to the
+    // same date (the reference keeps the last listed, `date_dirs.py:68-72`,
+    // which is filesystem-order-dependent); min(path) is stable across runs
     rows
       .toDF("path", "id_base", "id_ext", "collection_date")
-      .dropDuplicates("collection_date")
+      .groupBy("collection_date")
+      .agg(
+        min(col("path")).as("path"),
+        first(col("id_base")).as("id_base"),
+        first(col("id_ext")).as("id_ext"))
+      .select("path", "id_base", "id_ext", "collection_date")
       .orderBy("collection_date")
   }
 

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.apps.EtlRun
@@ -46,6 +48,44 @@ class EtlRunSpec extends SparkSpec {
     // different repository tracks independently
     assert(EtlRun.run(spark, day1, cat, "ready", "bt")(stage) == 2)
     assert(processed.sum == 7)
+  }
+
+  test("catalog upsert is partition-scoped: unrelated partitions' files untouched") {
+    val dir = Files.createTempDirectory("graft_etl_part_").toString
+    val cat = new LakeCatalog(spark, dir)
+    def stage(df: org.apache.spark.sql.DataFrame): Unit = ()
+
+    // seed two data sources and two repositories → 3 physical partitions
+    val day1 = items(("austin", "unmatched.txt", "2020-01-15 00:00:00"))
+    assert(EtlRun.run(spark, day1, cat, "rawjson", "bt")(stage) == 1)
+    assert(EtlRun.run(spark, day1, cat, "rawjson", "wt")(stage) == 1)
+    assert(EtlRun.run(spark, day1, cat, "ready", "bt")(stage) == 1)
+
+    def fingerprint(sub: String): Map[String, String] = {
+      val root = java.nio.file.Paths.get(dir, "current", sub)
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+        root.relativize(p).toString ->
+          java.util.Base64.getEncoder.encodeToString(
+            java.security.MessageDigest.getInstance("MD5").digest(Files.readAllBytes(p)))
+      }.toMap
+      finally s.close()
+    }
+    val btBefore = fingerprint("repository=rawjson/data_source=bt")
+    val readyBefore = fingerprint("repository=ready/data_source=bt")
+    assert(btBefore.nonEmpty && readyBefore.nonEmpty)
+
+    // new wt day: only the (rawjson, wt) partition may be rewritten
+    val twoDays = day1.unionByName(items(("austin", "unmatched.txt", "2020-01-16 00:00:00")))
+    assert(EtlRun.run(spark, twoDays, cat, "rawjson", "wt")(stage) == 1)
+
+    assert(fingerprint("repository=rawjson/data_source=bt") == btBefore)
+    assert(fingerprint("repository=ready/data_source=bt") == readyBefore)
+    // the touched partition did change and holds both days
+    assert(cat.read().filter(
+      col("repository") === "rawjson" && col("data_source") === "wt").count() == 2)
+    // and the full catalog still reads coherently across partitions
+    assert(cat.read().count() == 4)
   }
 
   test("perfmet: sensor obs, 7-day expected, latest, gap fill") {

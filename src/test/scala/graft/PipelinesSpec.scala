@@ -116,6 +116,28 @@ class PipelinesSpec extends SparkSpec {
     assert(s.getAs[Int]("heavy_vehicle") == 0 && s.getAs[Double]("speed_avg") == 35.0)
   }
 
+  test("ready stages carry no mid-chain global sort; ordering lives at the write edge") {
+    val raw = Seq(
+      ("1", "100", "2020-01-15 08:05:00", "X", "NB_1", "1", "1", "30"),
+      ("2", "100", "2020-01-15 08:00:00", "X", "SB_1", "1", "1", "30"))
+      .toDF("detID", "intID", "curDateTime", "intName", "detName", "volume", "occupancy", "speed")
+      .selectExpr("cast(detID as int) detID", "cast(intID as long) intID", "curDateTime",
+        "intName", "detName", "cast(volume as int) volume",
+        "cast(occupancy as int) occupancy", "cast(speed as int) speed")
+    val unit = Seq((100L, 77, "X_D", "LOC_1"))
+      .toDF("kits_id", "atd_device_id", "device_name", "atd_location_id")
+    val ready = Pipelines.Wt.ready(Pipelines.Wt.standardize(raw), unit)
+
+    // the reference's O2 ordering moved to the sink: the ready plan itself
+    // must not range-exchange (a mid-chain global sort is wasted work)
+    val plan = ready.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), s"unexpected range exchange in:\n$plan")
+
+    // write-edge ordering reproduces O2 exactly
+    val ordered = graft.sinks.Sinks.ordered(ready, col("timestamp"), col("detID"))
+    assert(ordered.select("detID").as[Int].collect().toSeq == Seq(2, 1))
+  }
+
   test("gs zone movements: unconfigured cameras and excluded zones drop") {
     val json = Files.createTempFileContent(
       """{"header": {"data_type": "gs_site", "device_net_addr": "10.0.0.9"},
