@@ -27,7 +27,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesEvents.queries ++ QueriesCorpus.queries ++
-      QueriesExtra.queries ++ QueriesGsReady.queries
+      QueriesExtra.queries ++ QueriesGsReady.queries ++ QueriesPerfmet.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get the driver's weaker rows-only
@@ -35,5 +35,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesEvents.oracles ++ QueriesCorpus.oracles ++
-      QueriesExtra.oracles ++ QueriesGsReady.oracles
+      QueriesExtra.oracles ++ QueriesGsReady.oracles ++ QueriesPerfmet.oracles
 }

@@ -77,4 +77,49 @@ object Perfmet {
       .withColumn("max_timestamp", lit(null).cast("timestamp"))
     present.unionByName(missing)
   }
+
+  /** The composed observation feed (reference `util/perfmet_knack.py:
+    * 259-313`): the feed day's observations gap-filled with -1 rows for
+    * silent sensors, each carrying the sensor's trailing 7-day expected
+    * value (`SAMPLE_DAYS=7`, `perfmet_knack.py:21,127-156`) and the
+    * data/expected ratio the dashboard plots. All pieces are keyed
+    * aggregates/joins on `sensor_name` — one shuffle family, no day-wide
+    * windows.
+    */
+  def dashboardFeed(obs: DataFrame, sensors: DataFrame, day: Column): DataFrame = {
+    val d = day.cast("date")
+    val exp = obs
+      .filter(col("collection_date") > date_sub(d, 7) && col("collection_date") <= d)
+      .groupBy(col("sensor_name"))
+      .agg(Functions.roundHalfUp(avg(col("data")), 3).as("expected"))
+    fillGaps(obs, sensors, day)
+      .join(exp, Seq("sensor_name"), "left")
+      .select(
+        col("sensor_name"), col("collection_date"), col("data"), col("expected"),
+        when(col("data") >= 0 && col("expected") > 0,
+          Functions.roundHalfUp(col("data") / col("expected"), 4)).as("pct_of_expected"))
+  }
+
+  /** Stage display labels (reference `util/perfmet_knack.py:298-303`). */
+  def stageLabel(c: Column): Column =
+    when(c === "a", "a. Ingest")
+      .when(c === "b", "b. Standardize")
+      .when(c === "c", "c. Ready")
+      .when(c === "d", "d. Aggregate")
+      .when(c === "e", "e. Publish")
+      .otherwise(c)
+
+  /** Latest job per (data_source, stage) with its display label (reference
+    * `perfmet_knack.py:295-303`: `jobs.sort_values(...).groupby(...)
+    * .tail(1)` + stage relabel). `tiebreak` makes equal version rows
+    * deterministic.
+    */
+  def latestJobs(jobs: DataFrame, versionCol: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col("data_source"), col("stage"))
+      .orderBy(col(versionCol).desc, col(tiebreak).desc)
+    jobs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumn("stage_label", stageLabel(col("stage")))
+  }
 }
