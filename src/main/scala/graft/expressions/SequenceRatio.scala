@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -12,24 +12,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference `gs_ready.py:341-353` uses it for fuzzy device resolution with
   * threshold 0.7, `gs_ready.py:21-22`).
   *
-  * Used on tiny dimension×dimension candidate joins (sites × devices), so an
-  * interpreted eval ([[CodegenFallback]]) is fine: the expression never sits
-  * in a scan-sized hot loop. Inputs are compared case-sensitively; callers
-  * normalize with `lower`/`trim` first, as the reference does
+  * Codegen emits a static call into [[SequenceRatio.ratioUTF8]], so the
+  * expression participates in whole-stage codegen (no interpreted-eval
+  * boundary splitting the fuzzy-join stage) while the algorithm itself stays
+  * in one audited implementation. Inputs are compared case-sensitively;
+  * callers normalize with `lower`/`trim` first, as the reference does
   * (`gs_ready.py:141-165`).
   */
 case class SequenceRatio(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "seq_ratio"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val s1 = a.asInstanceOf[UTF8String].toString
-    val s2 = b.asInstanceOf[UTF8String].toString
-    SequenceRatio.ratio(s1, s2)
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SequenceRatio.ratioUTF8(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.SequenceRatio.ratioUTF8($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,
@@ -37,6 +38,11 @@ case class SequenceRatio(left: Expression, right: Expression)
 }
 
 object SequenceRatio {
+
+  /** Codegen entry point: both the generated code and the interpreted eval
+    * route through this single static method.
+    */
+  def ratioUTF8(a: UTF8String, b: UTF8String): Double = ratio(a.toString, b.toString)
 
   /** `difflib.SequenceMatcher(None, a, b).ratio()` semantics. */
   def ratio(a: String, b: String): Double = {
