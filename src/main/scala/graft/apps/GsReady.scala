@@ -51,12 +51,18 @@ object GsReady {
         "net_addr", "lat", "lon"),
       forward = false)
 
-    // 2. drift from the snapshot's clock pair
+    // 2. drift from the snapshot's clock pair. Cached: this per-(base, day)
+    // frame is dimension-sized (sites × days, not events) and is consumed
+    // by the drift join AND by every stage of the resolution cascade below —
+    // without the cache each cascade stage would re-run the as-of window
+    // pipeline (the reference memoizes its site cache the same way,
+    // `gs_ready.py:44,127-132`)
     val withDrift = snapped.withColumn(
       "drift_s",
       coalesce(
         Pipelines.Gs.driftSeconds(col("snap_device_time"), col("snap_host_time_utc")),
         lit(0L)))
+      .cache()
 
     // 3. adjusted timestamps; regroup rows by their true (adjusted) day
     val adjusted = counts
@@ -77,6 +83,7 @@ object GsReady {
         col("snap_net_addr").as("net_addr"),
         col("snap_lat").as("lat"), col("snap_lon").as("lon"))
       .dropDuplicates("site_id")
+      .cache() // referenced by all four cascade stages' anti-join chains
     val resolved = DeviceResolution.resolve(siteDim, devices, lookups, synonyms)
 
     // 5. join back; the O3 output ordering (`gs_ready.py:287`) is applied
