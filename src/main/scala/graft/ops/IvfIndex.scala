@@ -62,6 +62,34 @@ object IvfIndex {
     Index(assignments, centroidRows)
   }
 
+  /** Persist the index as a lake artifact: assignments partitioned BY cell —
+    * a probed search then reads only its cells' partition directories
+    * (partition pruning does the cell selection) — plus a single-file
+    * centroid table. Build once, search many: the 100 TB usage pattern.
+    */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.assignments.sparkSession
+    index.assignments.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assignments")
+    spark.createDataFrame(index.centroids.map { case (i, v) => (i, v) })
+      .toDF("cell", "cv")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index. The centroid table is nCells ≈ √n rows —
+    * driver-sized by construction, same as at build time.
+    */
+  def load(spark: SparkSession, path: String): Index = {
+    val assignments = spark.read.parquet(s"$path/assignments")
+      .withColumn("cell", col("cell").cast("long"))
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1)
+    Index(assignments, centroids)
+  }
+
   /** Search: top-k by cosine among vectors in the `nProbe` cells nearest to
     * the query.
     */

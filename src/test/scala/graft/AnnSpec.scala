@@ -33,6 +33,27 @@ class AnnSpec extends SparkSpec {
       s"recall too low: ${approx.intersect(exact).size}/10")
   }
 
+  test("IVF index persists as a lake artifact: load == build, cells prune as partitions") {
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    IvfIndex.save(index, dir)
+    val loaded = IvfIndex.load(spark, dir)
+
+    assert(loaded.centroids.toSet == index.centroids.toSet)
+    val built = IvfIndex.search(index, emb, "vec_id", "embedding", queryVec, 10, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val reloaded = IvfIndex.search(loaded, emb, "vec_id", "embedding", queryVec, 10, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(reloaded == built)
+
+    // the probe filter must reach the scan as a partition filter — that's
+    // the point of partitioning assignments by cell
+    val probedPlan = loaded.assignments.filter(col("cell").isin(1L, 2L))
+      .queryExecution.executedPlan.toString
+    assert(probedPlan.contains("PartitionFilters") && probedPlan.contains("cell"),
+      s"expected cell partition pruning in:\n$probedPlan")
+  }
+
   test("LSH top-k returns plausible neighbors from the query bucket") {
     val got = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec, 10, planes = 4)
     val rows = got.collect()
