@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   * gets data skipping on top of the partition pruning it already has here.
   *
   * Concurrency: partition swaps are atomic per (repository, data_source), so
-  * concurrent stages touching DIFFERENT sources never conflict — the common
-  * case, since each ETL stage owns one (repository, data_source) cell.
-  * Concurrent writers to the SAME partition still need external
-  * serialization (the reference gets this from PostgreSQL; a lakehouse
-  * table format provides it via optimistic commits).
+  * concurrent stages touching DIFFERENT sources run fully in parallel — the
+  * common case, since each ETL stage owns one (repository, data_source)
+  * cell. Writers to the SAME partition serialize through a per-partition
+  * lock file (atomic create; see `withPartitionLocks`), so no batch is ever
+  * lost to a read-merge-swap race. The reference gets the same guarantee
+  * from PostgreSQL; on an object store a lakehouse table format's
+  * optimistic commit replaces the lock.
   */
 object LakeCatalog {
 
@@ -83,51 +85,90 @@ class LakeCatalog(spark: SparkSession, path: String) {
       .parquet(tablePath.toString)
       .select(graft.model.Schemas.catalog.fieldNames.map(col): _*)
 
+  /** Serialize read-merge-swap per touched partition set: without this, two
+    * concurrent upserts into the SAME partition both merge against the old
+    * state and the later swap silently drops the earlier batch. Lock
+    * acquisition is an atomic file create (works on any filesystem with
+    * atomic create — local, NFS; on object stores a lakehouse table format's
+    * optimistic commit replaces this). Locks order by name to stay
+    * deadlock-free across multi-partition batches.
+    */
+  private def withPartitionLocks[A](touched: Seq[(String, String)])(body: => A): A = {
+    val locksDir = Paths.get(path, "locks")
+    Files.createDirectories(locksDir)
+    val locks = touched.map { case (r, d) => locksDir.resolve(s"${r}__$d.lock") }
+      .sortBy(_.toString)
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      locks.foreach { l =>
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        var held = false
+        while (!held) {
+          try { Files.createFile(l); held = true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              if (System.nanoTime() > deadline)
+                throw new IllegalStateException(s"timed out acquiring catalog lock $l")
+              Thread.sleep(50)
+          }
+        }
+        acquired += l
+      }
+      body
+    } finally acquired.foreach(Files.deleteIfExists(_))
+  }
+
   /** Upsert a batch: latest `processing_date` wins per PK. Rewrites only the
-    * `(repository, data_source)` partitions present in the batch.
+    * `(repository, data_source)` partitions present in the batch; concurrent
+    * upserts serialize per partition (see [[withPartitionLocks]]), so
+    * same-partition writers cannot lose updates and different-partition
+    * writers proceed in parallel.
     */
   def upsert(batch: DataFrame): Unit = {
-    val merged =
-      if (!exists) LakeCatalog.merge(batch, LakeCatalog.PK, "processing_date")
-      else {
-        // the touched-partition set is tiny by construction: one entry per
-        // (layer × sensor source), not per item
-        val touched = batch.select(LakeCatalog.PartitionCols.map(col): _*)
-          .distinct().collect()
-          .map(r => (r.getString(0), r.getString(1)))
-        val touchedPred = touched
-          .map { case (r, d) => col("repository") === r && col("data_source") === d }
-          .reduce(_ || _)
-        LakeCatalog.merge(
-          // partition-pruned scan: only touched partitions are read
-          read().filter(touchedPred).unionByName(batch, allowMissingColumns = true),
-          LakeCatalog.PK,
-          "processing_date")
+    // the touched-partition set is tiny by construction: one entry per
+    // (layer × sensor source), not per item
+    val touched = batch.select(LakeCatalog.PartitionCols.map(col): _*)
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    withPartitionLocks(touched) {
+      val merged =
+        if (!exists) LakeCatalog.merge(batch, LakeCatalog.PK, "processing_date")
+        else {
+          val touchedPred = touched
+            .map { case (r, d) => col("repository") === r && col("data_source") === d }
+            .reduce(_ || _)
+          LakeCatalog.merge(
+            // partition-pruned scan: only touched partitions are read
+            read().filter(touchedPred).unionByName(batch, allowMissingColumns = true),
+            LakeCatalog.PK,
+            "processing_date")
+        }
+      val tmp = Paths.get(path, s"staging-${java.util.UUID.randomUUID()}")
+      merged.write.mode("overwrite")
+        .partitionBy(LakeCatalog.PartitionCols: _*)
+        .parquet(tmp.toString)
+      // swap each staged partition directory into `current/`; parquet readers
+      // resolve directories at query time, so each partition flips only after
+      // its new version is fully written
+      Files.createDirectories(tablePath)
+      val trash = Paths.get(path, s"old-${java.util.UUID.randomUUID()}")
+      Files.createDirectories(trash)
+      listDir(tmp, "repository=").foreach { repoDir =>
+        listDir(repoDir, "data_source=").foreach { leaf =>
+          val destRepo = tablePath.resolve(repoDir.getFileName.toString)
+          Files.createDirectories(destRepo)
+          val dest = destRepo.resolve(leaf.getFileName.toString)
+          if (Files.exists(dest))
+            Files.move(
+              dest,
+              trash.resolve(s"${repoDir.getFileName}__${leaf.getFileName}"),
+              StandardCopyOption.ATOMIC_MOVE)
+          Files.move(leaf, dest, StandardCopyOption.ATOMIC_MOVE)
+        }
       }
-    val tmp = Paths.get(path, s"staging-${java.util.UUID.randomUUID()}")
-    merged.write.mode("overwrite")
-      .partitionBy(LakeCatalog.PartitionCols: _*)
-      .parquet(tmp.toString)
-    // swap each staged partition directory into `current/`; parquet readers
-    // resolve directories at query time, so each partition flips only after
-    // its new version is fully written
-    Files.createDirectories(tablePath)
-    val trash = Paths.get(path, s"old-${java.util.UUID.randomUUID()}")
-    Files.createDirectories(trash)
-    listDir(tmp, "repository=").foreach { repoDir =>
-      listDir(repoDir, "data_source=").foreach { leaf =>
-        val destRepo = tablePath.resolve(repoDir.getFileName.toString)
-        Files.createDirectories(destRepo)
-        val dest = destRepo.resolve(leaf.getFileName.toString)
-        if (Files.exists(dest))
-          Files.move(
-            dest,
-            trash.resolve(s"${repoDir.getFileName}__${leaf.getFileName}"),
-            StandardCopyOption.ATOMIC_MOVE)
-        Files.move(leaf, dest, StandardCopyOption.ATOMIC_MOVE)
-      }
+      Seq(trash, tmp).foreach(deleteRecursively)
     }
-    Seq(trash, tmp).foreach(deleteRecursively)
   }
 
   /** Filtered catalog listing (reference `support/catalog.py:212-236` —
