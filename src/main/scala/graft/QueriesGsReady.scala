@@ -89,6 +89,32 @@ object QueriesGsReady {
       lit(-360).as("utc_offset"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F7: per-day time window over adjusted timestamps (reference
+    // gs_ready.py:330-339 — the 24h keep-filter when merging adjacent days)
+    "q_f7_daywindow" -> ((s, dir) =>
+      graft.apps.Pipelines.Gs.dayWindow(
+        t(s, dir, "events")
+          .select(col("event_id"), Functions.toSecond(col("ts")).as("timestamp_adj")),
+        lit("2024-01-15"))),
+
+    // F9 + §2.10 conditional recodes: approach whitelist + turn labels
+    // (reference gs_agg_extract_soc.py:78-104)
+    "q_f9_recode" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          element_at(
+            array(lit("Northbound"), lit("Southbound"), lit("Unassigned3"), lit("Weird")),
+            (pmod(col("event_id"), lit(4)) + 1).cast("int")).as("raw_approach"),
+          element_at(
+            array(lit("S"), lit("L"), lit("R"), lit("U"), lit("X")),
+            (pmod(col("event_id"), lit(5)) + 1).cast("int")).as("raw_turn"))
+        .select(
+          col("event_id"),
+          graft.ops.Publish.approachRecode(col("raw_approach")).as("approach"),
+          graft.ops.Publish.turnRecode(col("raw_turn")).as("movement"))
+        .filter(col("approach").isNotNull)),
+
     "q_gs_ready" -> ((s, dir) =>
       graft.apps.GsReady
         .ready(counts(s, dir), siteSnaps(s, dir), devices(s, dir))
@@ -97,6 +123,25 @@ object QueriesGsReady {
           col("device_id"), col("resolution_stage"))))
 
   val oracles: Map[String, String] = Map(
+    "q_f7_daywindow" ->
+      """SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS timestamp_adj
+        |FROM events
+        |WHERE date_trunc('second', ts) >= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND date_trunc('second', ts) < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+    "q_f9_recode" ->
+      """WITH raw AS (
+        |  SELECT event_id,
+        |    ['Northbound','Southbound','Unassigned3','Weird'][CAST(event_id % 4 AS INT) + 1] AS ra,
+        |    ['S','L','R','U','X'][CAST(event_id % 5 AS INT) + 1] AS rt
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN ra IN ('Northbound','Southbound','Eastbound','Westbound') THEN ra
+        |       WHEN ra LIKE 'Unassigned%' THEN 'Unassigned' END AS approach,
+        |  CASE rt WHEN 'S' THEN 'straight' WHEN 'L' THEN 'left turn'
+        |          WHEN 'R' THEN 'right turn' WHEN 'U' THEN 'u turn' END AS movement
+        |FROM raw
+        |WHERE ra IN ('Northbound','Southbound','Eastbound','Westbound')
+        |   OR ra LIKE 'Unassigned%'""".stripMargin,
     "q_gs_ready" ->
       """WITH site AS (
         |  SELECT CAST(n_nationkey AS INT) AS k, 'site_' || n_nationkey AS base,

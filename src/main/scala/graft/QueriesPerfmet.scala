@@ -31,6 +31,13 @@ object QueriesPerfmet {
       Perfmet.dashboardFeed(obs, sensors, lit(day))
     }),
 
+    // A4: job-level collect range with representsDay end widening
+    // (reference support/perfmet.py:40-50)
+    "q_a4_jobrange" -> ((s, dir) =>
+      Perfmet.jobRange(
+        t(s, dir, "events").select(Functions.toSecond(col("ts")).as("ts_sec")),
+        "ts_sec", representsDay = true)),
+
     "q_pm_jobs" -> ((s, dir) => {
       val jobs = t(s, dir, "orders").select(
         concat(lit("src_"), pmod(col("o_orderkey"), lit(3)).cast("string"))
@@ -68,6 +75,10 @@ object QueriesPerfmet {
         |  CASE WHEN f.data >= 0 AND e.expected > 0
         |    THEN floor(f.data / e.expected * 10000 + 0.5) / 10000 END AS pct_of_expected
         |FROM feed f LEFT JOIN exp e ON e.sensor_name = f.sensor_name""".stripMargin,
+    "q_a4_jobrange" ->
+      """SELECT min(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS collect_start,
+        |  CAST(max(CAST(ts AS DATE)) + 1 AS TIMESTAMP) AS collect_end
+        |FROM events""".stripMargin,
     "q_pm_jobs" ->
       """WITH jobs AS (
         |  SELECT 'src_' || (o_orderkey % 3) AS data_source,
