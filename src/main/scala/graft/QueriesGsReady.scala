@@ -115,6 +115,18 @@ object QueriesGsReady {
           graft.ops.Publish.turnRecode(col("raw_turn")).as("movement"))
         .filter(col("approach").isNotNull)),
 
+    // J4: equi join on an md5 surrogate key (reference wt_ready.py:77-102 —
+    // the surrogate is derived, then joined on the natural key)
+    "q_j4_surrogate" -> ((s, dir) => {
+      val dim = t(s, dir, "customer").select(
+        col("c_custkey").as("kits_id"),
+        md5(concat_ws("_", col("c_custkey").cast("string"), col("c_name"))).as("device_id"),
+        col("c_name").as("device_name"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(dim), col("o_custkey") === col("kits_id"))
+        .select("o_orderkey", "o_custkey", "device_id", "device_name")
+    }),
+
     "q_gs_ready" -> ((s, dir) =>
       graft.apps.GsReady
         .ready(counts(s, dir), siteSnaps(s, dir), devices(s, dir))
@@ -142,6 +154,11 @@ object QueriesGsReady {
         |FROM raw
         |WHERE ra IN ('Northbound','Southbound','Eastbound','Westbound')
         |   OR ra LIKE 'Unassigned%'""".stripMargin,
+    "q_j4_surrogate" ->
+      """SELECT o_orderkey, o_custkey,
+        |  md5(CAST(c_custkey AS VARCHAR) || '_' || c_name) AS device_id,
+        |  c_name AS device_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_gs_ready" ->
       """WITH site AS (
         |  SELECT CAST(n_nationkey AS INT) AS k, 'site_' || n_nationkey AS base,
