@@ -133,4 +133,36 @@ class OpsSpec extends SparkSpec {
       .as[(String, String, Int)].collect().toSet
     assert(got == Set(("2020-01-01", "u2", 1), ("2020-01-01", "u1", 2), ("2020-01-02", "u1", 1)))
   }
+
+  test("firstSeenCounter two-level rank equals a day-wide dense_rank on random data") {
+    // randomized equivalence: the bucketed implementation must match the
+    // naive single-partition formulation for arbitrary timestamps/keys,
+    // at several bucket granularities (including bucket boundaries hit by
+    // construction: timestamps cluster at hour edges)
+    val rnd = new scala.util.Random(20260812)
+    val rows = (1 to 2000).map { _ =>
+      val day = 1 + rnd.nextInt(3)
+      val sec = if (rnd.nextBoolean()) rnd.nextInt(86400) else rnd.nextInt(24) * 3600
+      (java.sql.Timestamp.valueOf(f"2020-01-0$day 00:00:00").toInstant
+        .plusSeconds(sec).toString.replace("T", " ").replace("Z", ""),
+        s"u${rnd.nextInt(120)}")
+    }.map { case (t, u) => (java.sql.Timestamp.valueOf(t), u) }
+      .toDF("t", "u")
+
+    val naive = {
+      val fs = rows.groupBy(to_date(col("t")).as("day"), col("u"))
+        .agg(min(col("t")).as("first_seen"))
+      fs.withColumn("daily_counter",
+        dense_rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("day").orderBy(col("first_seen"), col("u"))))
+        .select(col("day").cast("string"), col("u"), col("daily_counter"))
+        .as[(String, String, Int)].collect().toSet
+    }
+    Seq(1, 24, 1440).foreach { buckets =>
+      val got = Publish.firstSeenCounter(rows, "t", "u", bucketsPerDay = buckets)
+        .select(col("day").cast("string"), col("u"), col("daily_counter"))
+        .as[(String, String, Int)].collect().toSet
+      assert(got == naive, s"mismatch at bucketsPerDay=$buckets")
+    }
+  }
 }
