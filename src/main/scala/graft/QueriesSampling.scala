@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Oracle coverage for deterministic sampling / mixing / splitting
+  * (graft.ops.Sampling) — the training-data curation operators. All
+  * decisions are md5-derived, so DuckDB reproduces them exactly.
+  */
+object QueriesSampling {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** DuckDB twin of Sampling.hashUniform. */
+  private def uSql(expr: String, salt: String = "") =
+    s"(CAST('0x' || substr(md5('$salt' || CAST($expr AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic corpus sampling at 25%
+    "q_sm_hash" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select("doc_id", "lang", "n_chars")),
+
+    // data mixing: per-language rates (en-heavy mix, everything else thin)
+    "q_sm_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        t(s, dir, "documents"), "lang", "doc_id",
+        rates = Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.05)
+        .select("doc_id", "lang")),
+
+    // train/val/test split: disjoint, exhaustive, rerun-stable
+    "q_sm_split" -> ((s, dir) =>
+      Sampling.split(
+        t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")))
+
+  val oracles: Map[String, String] = Map(
+    "q_sm_hash" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${uSql("doc_id")} < 0.25""".stripMargin,
+    "q_sm_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${uSql("doc_id")} <
+         |  CASE WHEN lang = 'de' THEN 0.1 WHEN lang = 'en' THEN 0.5 ELSE 0.05 END""".stripMargin,
+    "q_sm_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${uSql("doc_id")} < 0.8 THEN 'train'
+         |       WHEN ${uSql("doc_id")} < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin)
+}

@@ -27,7 +27,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesEvents.queries ++ QueriesCorpus.queries ++
-      QueriesExtra.queries ++ QueriesGsReady.queries ++ QueriesPerfmet.queries
+      QueriesExtra.queries ++ QueriesGsReady.queries ++ QueriesPerfmet.queries ++
+      QueriesSampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get the driver's weaker rows-only
@@ -35,5 +36,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesEvents.oracles ++ QueriesCorpus.oracles ++
-      QueriesExtra.oracles ++ QueriesGsReady.oracles ++ QueriesPerfmet.oracles
+      QueriesExtra.oracles ++ QueriesGsReady.oracles ++ QueriesPerfmet.oracles ++
+      QueriesSampling.oracles
 }

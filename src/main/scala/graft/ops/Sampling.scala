@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Functions
+
+/** Deterministic sampling and dataset splitting for training-data pipelines.
+  *
+  * Everything here derives from `md5(key)` — not `rand()` — so results are
+  * identical across runs, partitionings, engines, and cluster sizes: a
+  * sampled corpus can be reproduced bit-for-bit from the raw data, and a
+  * train/validation split never leaks rows when the pipeline reruns
+  * (the same property the engine's publish keys rely on,
+  * `Functions.recordId`). All operators are stateless per-row filters /
+  * projections — no shuffle, no driver state, embarrassingly parallel at
+  * any scale.
+  */
+object Sampling {
+
+  /** md5-derived uniform value in [0, 1) for a key column. 32 bits of
+    * hash → granularity 2^-32, exact in DOUBLE.
+    */
+  def hashUniform(key: Column, salt: String = ""): Column =
+    Functions.md5Bits(concat(lit(salt), key.cast("string")), 32) / lit(4294967296.0)
+
+  /** Keep each row with probability `rate`, deterministically by key. The
+    * same key always makes the same decision — resampling a grown corpus
+    * keeps every previously selected row (important for incremental
+    * training-set builds).
+    */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0)
+    df.filter(hashUniform(col(keyCol), salt) < rate)
+  }
+
+  /** Per-stratum sampling rates (the deterministic `sampleBy`): rows keep
+    * their stratum's rate, unknown strata use `defaultRate`. Used for data
+    * mixing — re-weighting sources/languages/quality buckets into a
+    * training mix.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(keyCol), salt) < rate)
+  }
+
+  /** Assign each row a split label by hash band: `fractions` are
+    * (label, weight) pairs; bands partition [0, 1) in the given order.
+    * Deterministic, disjoint, exhaustive — a row can never change split
+    * between runs or land in two splits.
+    */
+  def split(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = hashUniform(col(keyCol), salt)
+    val cumulative = fractions.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val label = fractions.zip(cumulative).init.foldRight(
+      lit(fractions.last._1)) { case (((name, _), hi), acc) =>
+      when(u < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+}

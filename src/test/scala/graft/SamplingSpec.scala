@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Properties of the deterministic sampling/splitting operators that the
+  * DuckDB oracles can't express: monotone growth, split disjointness/
+  * exhaustiveness, and partition-independence.
+  */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("hashSample is monotone in rate: a grown sample keeps every prior row") {
+    val at25 = Sampling.hashSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val at50 = Sampling.hashSample(docs, "doc_id", 0.50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(at25.subsetOf(at50))
+    assert(at25.nonEmpty && at50.size > at25.size)
+    // rate ≈ observed fraction (hash is uniform; generous tolerance)
+    val total = docs.count().toDouble
+    assert(math.abs(at25.size / total - 0.25) < 0.1)
+  }
+
+  test("split is disjoint, exhaustive, and stable under repartitioning") {
+    val fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Sampling.split(docs, "doc_id", fractions)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1.size == docs.count()) // every row labeled exactly once
+    assert(s1.values.toSet == Set("train", "val", "test"))
+    // physical layout must not change any assignment
+    val s2 = Sampling.split(docs.repartition(17, col("lang")), "doc_id", fractions)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 == s2)
+  }
+
+  test("stratified rates apply per stratum; salt decorrelates decisions") {
+    val mixed = Sampling.stratifiedSample(
+      docs, "lang", "doc_id", rates = Map("en" -> 1.0), defaultRate = 0.0)
+    // rate 1.0 keeps every en row, rate 0.0 drops every other row
+    assert(mixed.count() == docs.filter(col("lang") === "en").count())
+    // different salts make genuinely different (but each deterministic) picks
+    val a = Sampling.hashSample(docs, "doc_id", 0.3, salt = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.3, salt = "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != b)
+    assert(Sampling.hashSample(docs, "doc_id", 0.3, salt = "a")
+      .select("doc_id").as[Long].collect().toSet == a)
+  }
+}
