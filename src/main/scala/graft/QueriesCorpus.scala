@@ -92,6 +92,30 @@ object QueriesCorpus {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // C4-style intra-document line dedup: repeated lines drop, first
+    // occurrence and original order kept (synthesized multi-line text with
+    // a guaranteed repeat of the first line)
+    "q_tx_dedup_lines" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.dedupLines(
+          concat_ws("\n",
+            substring(col("text"), 1, 20), substring(col("text"), 21, 20),
+            substring(col("text"), 1, 20), substring(col("text"), 41, 20)))
+          .as("deduped"))),
+
+    // PII/URL scrubbing over text with deterministically injected
+    // emails/URLs (the raw corpus has none)
+    "q_tx_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.scrub(concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit(" mail bob.smith+a@ex-ample.org end"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(" see https://example.com/a?b=1 done"))
+            .otherwise(lit("")))).as("scrubbed"))),
+
     // multimodal plumbing: opaque binary payload + typed metadata through
     // the REAL batched mapPartitions decode path (graft.ops.Multimodal); the
     // decoder is a deterministic md5-derived stub, so the DuckDB oracle can
@@ -249,6 +273,25 @@ object QueriesCorpus {
     "q_tx_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+    "q_tx_dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    [substr(text, 1, 20), substr(text, 21, 20),
+        |     substr(text, 1, 20), substr(text, 41, 20)] AS ls
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10))
+        |    AS deduped
+        |FROM lined""".stripMargin,
+    "q_tx_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      text || CASE WHEN doc_id % 3 = 0 THEN ' mail bob.smith+a@ex-ample.org end' ELSE '' END
+        |           || CASE WHEN doc_id % 4 = 0 THEN ' see https://example.com/a?b=1 done' ELSE '' END,
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

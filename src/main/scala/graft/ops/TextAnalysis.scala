@@ -84,4 +84,33 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
+
+  /** C4-style intra-document line dedup: drop repeated lines within a
+    * document, keeping each line's FIRST occurrence, and rejoin in original
+    * order (boilerplate/navigation lines repeat; prose doesn't). Pure
+    * per-row array expressions — no explode, no shuffle: for each line,
+    * keep it iff no earlier line equals it.
+    */
+  def dedupLines(text: Column, sep: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    val indexed = zip_with(
+      lines, sequence(lit(0), size(lines) - 1),
+      (l, i) => struct(l.as("l"), i.as("i")))
+    val kept = filter(
+      indexed,
+      e => !exists(indexed, p => p.getField("l") === e.getField("l") &&
+        p.getField("i") < e.getField("i")))
+    concat_ws(sep, transform(kept, _.getField("l")))
+  }
+
+  /** PII/URL scrubbing: replace emails and URLs with placeholder tokens
+    * (the normalization pass every web-scale corpus runs before training).
+    * Patterns use the portable character-class subset shared by Java regex
+    * and RE2, so SQL oracles reproduce them byte-for-byte.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  def scrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
 }
