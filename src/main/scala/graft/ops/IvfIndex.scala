@@ -30,21 +30,15 @@ object IvfIndex {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Build the index: returns per-id cell assignments plus the centroid
-    * vectors.
+  /** Nearest-centroid assignment (cosine argmax, ties to the lowest cell):
+    * one broadcast of nCells×dim doubles + one scan.
     */
-  def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int): Index = {
+  private def assignTo(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidRows: Seq[(Long, Seq[Double])]): DataFrame = {
     val spark = df.sparkSession
-    // deterministic uniform sample: smallest md5 over the id domain
-    val centroidRows = df
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("_h", md5(col("cid").cast("string")))
-      .orderBy("_h")
-      .limit(nCells)
-      .select("cid", "cv")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .toSeq
     val centroids = broadcast(
       spark.createDataFrame(centroidRows.map { case (i, v) => (i, v) })
         .toDF("cell", "cv"))
@@ -55,11 +49,70 @@ object IvfIndex {
         SimilaritySearch.cosine(col("v"), col("cv")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell"))
-    val assignments = scored
+    scored
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col(idCol), col("cell"))
-    Index(assignments, centroidRows)
+  }
+
+  /** Build the index: returns per-id cell assignments plus the centroid
+    * vectors.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int): Index = {
+    // deterministic uniform sample: smallest md5 over the id domain
+    val centroidRows = df
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("_h", md5(col("cid").cast("string")))
+      .orderBy("_h")
+      .limit(nCells)
+      .select("cid", "cv")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    Index(assignTo(df, idCol, vecCol, centroidRows), centroidRows)
+  }
+
+  /** Lloyd refinement of the sampled centroids: `iterations` rounds of
+    * assign-to-nearest (cosine) + exact per-cell per-dimension mean. Means
+    * sum through DECIMAL(28,12), so refined centroids are BIT-IDENTICAL
+    * under any partitioning — double summation order would not be (the
+    * same determinism rule every aggregate in this engine follows). Cells
+    * that lose all members keep their previous centroid. The per-iteration
+    * driver state is nCells × dims doubles — driver-sized by construction
+    * (nCells ≈ √n).
+    *
+    * Besides better IVF recall, the refined (cell → members) assignment IS
+    * the k-means clustering of the corpus — the data-curation/mixing
+    * primitive (cluster-balanced sampling pairs it with
+    * [[Sampling.stratifiedSample]]).
+    */
+  def refine(
+      index: Index,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iterations: Int = 3): Index = {
+    var centroidRows = index.centroids
+    var assignments = index.assignments
+    (1 to iterations).foreach { _ =>
+      assignments = assignTo(df, idCol, vecCol, centroidRows)
+      val means = df
+        .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+        .join(assignments, Seq(idCol))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroidRows = centroidRows.map { case (cell, old) =>
+        (cell, means.getOrElse(cell, old))
+      }
+    }
+    Index(assignTo(df, idCol, vecCol, centroidRows), centroidRows)
   }
 
   /** Persist the index as a lake artifact: assignments partitioned BY cell —

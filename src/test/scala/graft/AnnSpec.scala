@@ -33,6 +33,30 @@ class AnnSpec extends SparkSpec {
       s"recall too low: ${approx.intersect(exact).size}/10")
   }
 
+  test("IVF Lloyd refinement: deterministic, exact at nProbe=all, recall not worse") {
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
+    val refined = IvfIndex.refine(index, emb, "vec_id", "embedding", iterations = 3)
+    // bit-identical across reruns AND physical layouts (DECIMAL-exact means)
+    val again = IvfIndex.refine(
+      IvfIndex.build(emb.repartition(13), "vec_id", "embedding", nCells = 16),
+      emb.repartition(7), "vec_id", "embedding", iterations = 3)
+    assert(refined.centroids == again.centroids)
+
+    // probing every cell is still exact
+    val exact = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", queryVec, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val all = IvfIndex.search(refined, emb, "vec_id", "embedding", queryVec, 10, nProbe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == exact)
+
+    // refined recall at nProbe=4 at least matches the unrefined index's
+    def recall(i: IvfIndex.Index): Int =
+      IvfIndex.search(i, emb, "vec_id", "embedding", queryVec, 10, nProbe = 4)
+        .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    assert(recall(refined) >= recall(index) - 1) // deterministic fixture; -1 slack for tie shifts
+    assert(recall(refined) >= 5)
+  }
+
   test("IVF index persists as a lake artifact: load == build, cells prune as partitions") {
     val index = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
