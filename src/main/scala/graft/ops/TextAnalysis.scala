@@ -88,18 +88,19 @@ object TextAnalysis {
   /** C4-style intra-document line dedup: drop repeated lines within a
     * document, keeping each line's FIRST occurrence, and rejoin in original
     * order (boilerplate/navigation lines repeat; prose doesn't). Pure
-    * per-row array expressions — no explode, no shuffle: for each line,
-    * keep it iff no earlier line equals it.
+    * per-row array expressions — no explode, no shuffle: a line survives
+    * iff its first occurrence index is its own (`array_position` returns
+    * the first match, 1-based). Worst case O(L²) string compares per
+    * document in line count L — fine for web-document line counts; a
+    * corpus of pathologically line-heavy documents would explode lines and
+    * take min-position per (doc, line-hash) instead.
     */
   def dedupLines(text: Column, sep: String = "\n"): Column = {
     val lines = split(text, java.util.regex.Pattern.quote(sep))
     val indexed = zip_with(
-      lines, sequence(lit(0), size(lines) - 1),
+      lines, sequence(lit(1), size(lines)),
       (l, i) => struct(l.as("l"), i.as("i")))
-    val kept = filter(
-      indexed,
-      e => !exists(indexed, p => p.getField("l") === e.getField("l") &&
-        p.getField("i") < e.getField("i")))
+    val kept = filter(indexed, e => array_position(lines, e.getField("l")) === e.getField("i"))
     concat_ws(sep, transform(kept, _.getField("l")))
   }
 
