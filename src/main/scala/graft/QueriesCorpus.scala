@@ -40,6 +40,13 @@ object QueriesCorpus {
         blockCols = Seq(col("lang"), (col("n_chars") / 100).cast("long")),
         n = 2, threshold = 0.2)),
 
+    // near-containment pairs (subset duplicates Jaccard misses)
+    "q_dd_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq(col("lang"), (col("n_chars") / 100).cast("long")),
+        n = 2, threshold = 0.5)),
+
     // embedding cosine near-dup pairs within label blocks
     "q_dd_cos_pairs" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(
@@ -210,6 +217,23 @@ object QueriesCorpus {
          |  FROM sh a JOIN sh b
          |    ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2""".stripMargin,
+    "q_dd_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, lang, n_chars // 100 AS lenb,
+         |    list_distinct(list_transform(
+         |      list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+         |        i -> array_to_string(t[i:i+1], ' ')),
+         |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sh
+         |  FROM (SELECT doc_id, lang, n_chars,
+         |        string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    floor((CASE WHEN least(len(a.sh), len(b.sh)) = 0 THEN 1.0
+         |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / least(len(a.sh), len(b.sh)) END) * 10000 + 0.5) / 10000 AS containment
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, containment FROM pairs WHERE containment >= 0.5""".stripMargin,
     "q_dd_cos_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS cos

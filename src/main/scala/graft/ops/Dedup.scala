@@ -162,14 +162,17 @@ object Dedup {
     * is high-cardinality so no skewed block serializes a quadratic loop,
     * and every stage is codegen'd — no interpreted set ops.
     */
-  def ngramJaccardPairs(
+  /** Shared inverted-index pair counting: distinct hashed shingles per id,
+    * pairs meet on (block, shingle-hash), keyed count yields
+    * (id_a, id_b, sz_a, sz_b, inter) — every set-similarity measure
+    * (Jaccard, containment, overlap) is a thin projection on top.
+    */
+  private def countedShinglePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockCols: Seq[Column],
-      n: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0.0, "inverted-index jaccard requires a positive threshold")
+      n: Int): DataFrame = {
     // distinct (id, block..., shingle-hash) rows; shingles hashed to 60-bit
     // longs (md5 collisions negligible) so all downstream keys are fixed-width
     val blockKeys = blockCols.indices.map(i => s"_c$i")
@@ -186,16 +189,51 @@ object Dedup {
     val b = inv.hint("SHUFFLE_HASH").alias("b")
     val joinCond = (blockKeys.map(k => col(s"a.$k") === col(s"b.$k")) :+
       (col("a.shh") === col("b.shh")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
-    val counted = a.join(b, joinCond)
+    a.join(b, joinCond)
       .groupBy(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).cast("double").as("inter"))
+  }
+
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[Column],
+      n: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, "inverted-index jaccard requires a positive threshold")
+    val counted = countedShinglePairs(df, idCol, textCol, blockCols, n)
     val union = (col("sz_a") + col("sz_b")).cast("double") - col("inter")
     val jac = when(union === 0.0, lit(1.0)).otherwise(col("inter") / union)
     counted
       .select(col("id_a"), col("id_b"), graft.Functions.roundHalfUp(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-containment pairs: how much of the SMALLER shingle set lives
+    * inside the pair's intersection — `inter / min(|A|, |B|)`. Catches
+    * subset duplicates (a document embedded in a longer one) that Jaccard
+    * misses: a 100-line doc fully contained in a 1000-line doc has Jaccard
+    * ≈ 0.1 but containment 1.0. Same inverted-index shape, same 100 TB
+    * properties as [[ngramJaccardPairs]].
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[Column],
+      n: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0, "inverted-index containment requires a positive threshold")
+    val counted = countedShinglePairs(df, idCol, textCol, blockCols, n)
+    val denom = least(col("sz_a"), col("sz_b")).cast("double")
+    val cont = when(denom === 0.0, lit(1.0)).otherwise(col("inter") / denom)
+    counted
+      .select(col("id_a"), col("id_b"),
+        graft.Functions.roundHalfUp(cont, 4).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** Embedding near-duplicate pairs within equal `blockCol` (e.g. a cluster
