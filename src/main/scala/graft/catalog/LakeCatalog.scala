@@ -96,7 +96,10 @@ class LakeCatalog(spark: SparkSession, path: String) {
   private def withPartitionLocks[A](touched: Seq[(String, String)])(body: => A): A = {
     val locksDir = Paths.get(path, "locks")
     Files.createDirectories(locksDir)
-    val locks = touched.map { case (r, d) => locksDir.resolve(s"${r}__$d.lock") }
+    // partition values are path-encoded in the lock name (a value containing
+    // a separator must not escape the locks directory)
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val locks = touched.map { case (r, d) => locksDir.resolve(s"${enc(r)}__${enc(d)}.lock") }
       .sortBy(_.toString)
     val acquired = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
