@@ -67,6 +67,15 @@ object QueriesExtra {
       SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec(emb), k = 10, planes = 6)
     }),
 
+    // skew handling: two-phase salted aggregation must be value-identical
+    // to the plain groupBy (integral sums, so salting order can't perturb
+    // floats) — the hot-key spreading path for skewed 100 TB aggregations
+    "q_skew_salted" -> ((s, dir) =>
+      graft.ops.Skew.saltedSumCount(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty")),
+        keyCols = Seq("l_returnflag"), sumCols = Seq("qty"))),
+
     // distinct-count aggregate (exact; Catalyst plans the two-phase
     // distinct expansion)
     "q_x_count_distinct" -> ((s, dir) =>
@@ -112,6 +121,10 @@ object QueriesExtra {
     "q_env_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey % 100 = 0""".stripMargin,
+    "q_skew_salted" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_x_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps

@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
   * should scale ~linearly in rows (ratio well under 10 on a machine with
   * spare cores); anything quadratic in corpus size would show ~100x.
   *
-  * Measured (local[32], min of 3): exact 1.1x, simhash 1.0x, quality 1.4x,
-  * minhash 3.4x, lsh_pairs 3.6x — all sub-linear per row. ngram_jaccard
-  * reads ~40x, which is the OUTPUT growing, not the algorithm: 10 salted
-  * copies of every document make each block hold 45 near-dup pairs per
-  * original (79 → 232 400 result pairs, ~3000x), and an inverted-index
-  * set-similarity join costs by candidate pairs — i.e. by true duplicate
-  * density, which this synthetic corpus inflates by construction. Real
-  * corpora hold per-doc dup density ~constant, so the cost stays ~linear
-  * in corpus size.
+  * Measured (local[32], min of 3): exact 1.1x, simhash 0.9x, quality 0.9x,
+  * ann_brute 1.0x, lsh_buckets 1.1x, minhash 3.8x, lsh_pairs 4.2x — all
+  * sub-linear per row. The two pair generators read higher
+  * (ngram_jaccard ~52x, cos_pairs ~31x) because their OUTPUT explodes by
+  * construction, not because the algorithms are quadratic in corpus size:
+  * 10 salted copies of everything grow result pairs ~3000x (79 → 232 400)
+  * and ~164x (1 450 → 237 827), and both joins cost by candidate pairs —
+  * runtime grew LESS than pair count in both cases. The scale knob is
+  * block/bucket granularity: real corpora keep per-block cardinality
+  * bounded (finer blocks, more LSH bands), so pair work stays ~linear in
+  * corpus size at ~constant duplicate density.
   *
   * The 10x corpus is synthesized under /tmp (never under /root/testdata):
   * each copy salts the text with a distinct token so near-dup structure is
@@ -42,6 +44,23 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$big/documents.parquet")
       println(s"[scaleprobe] built 10x corpus at $big")
     }
+    if (!new java.io.File(s"$big/embeddings.parquet").exists()) {
+      val emb = Tables(spark, base, "embeddings")
+      val n = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val copies = (0 until 10).map { c =>
+        // perturb each copy so copies aren't exact duplicates (scale factor
+        // per copy; cosine within a copy is preserved, cross-copy differs)
+        emb.select(
+          (col("vec_id") + lit(c * n)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * (lit(1.0) + lit(c) * 0.003) + lit(c) * 0.001)
+            .cast("array<float>").as("embedding"),
+          col("label"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+      println(s"[scaleprobe] built 10x embeddings at $big")
+    }
 
     def docsAt(dir: String) = Tables(spark, dir, "documents")
     val ops: Seq[(String, String => Long)] = Seq(
@@ -57,7 +76,23 @@ object ScaleProbe {
           blockCols = Seq(col("lang"), (col("n_chars") / 100).cast("long")),
           n = 2, threshold = 0.2).count()),
       "tx_quality" -> (d =>
-        graft.ops.TextAnalysis.qualityMetrics(docsAt(d), "doc_id", "text").count()))
+        graft.ops.TextAnalysis.qualityMetrics(docsAt(d), "doc_id", "text").count()),
+      "ann_brute" -> { d =>
+        val emb = Tables(spark, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        graft.ops.SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 20).count()
+      },
+      "lsh_buckets" -> { d =>
+        val emb = Tables(spark, d, "embeddings")
+        val dims = emb.select(size(col("embedding"))).head().getInt(0)
+        emb.select(graft.ops.SimilaritySearch.lshBucket(
+          col("embedding").cast("array<double>"), planes = 6, dims = dims)).count()
+      },
+      "cos_pairs" -> (d =>
+        graft.ops.Dedup.embeddingNearDupPairs(
+          Tables(spark, d, "embeddings"), "vec_id", "embedding", "label",
+          threshold = 0.30).count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
