@@ -6,26 +6,42 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: images/audio/video ride as opaque `binary`
   * columns with a typed metadata struct. The Spark-side contract — schema,
-  * batched decode via `mapPartitions`, partition sizing — is real and
-  * tested; the *decoder itself* is a clearly-marked deterministic stub
-  * (this container ships no image/audio codecs). Swap [[StubDecoder]] for a
-  * JNI/codec-backed implementation without touching the plumbing.
+  * batched decode via `mapPartitions`, partition sizing — is shared by every
+  * decoder behind the [[BinaryDecoder]] seam:
+  *
+  *   - [[ImageIoDecoder]] — the REAL image path: `javax.imageio` (in the
+  *     JDK, no external codecs) parses the container header for
+  *     width/height/mime without decoding pixel data.
+  *   - [[StubDecoder]] — a deterministic md5-derived fake, kept as the test
+  *     double so the DuckDB oracle can reproduce the whole mapPartitions
+  *     contract byte-for-byte (an oracle cannot re-run ImageIO).
+  *
+  * Audio/video codecs would slot in the same way (a JNI/ffmpeg-backed
+  * [[BinaryDecoder]]) without touching the plumbing.
   */
 object Multimodal {
 
-  /** Decoded-asset metadata: what a real `decode(bytes)` would yield. */
+  /** Decoded-asset metadata: what `decode(bytes)` yields. */
   val metaSchema: StructType = StructType(Seq(
     StructField("byte_len", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("mime", StringType, nullable = false)))
 
-  /** STUB decode: deterministic fake dimensions derived from the payload
-    * hash. A real implementation would parse the container header. The
-    * signature — bytes in, (w, h, mime) out, called once per row inside a
-    * partition batch — is the part that carries over.
+  /** The decode seam: bytes in, (width, height, mime) out, called once per
+    * row inside a partition batch. Implementations must be cheap to
+    * serialize (stateless objects); expensive native state belongs in
+    * lazy per-JVM fields.
     */
-  object StubDecoder extends Serializable {
+  trait BinaryDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): (Int, Int, String)
+  }
+
+  /** STUB decode: deterministic fake dimensions derived from the payload
+    * hash — the oracle-checkable test double (any SQL engine can recompute
+    * the md5 arithmetic, which is what q_mm_meta's DuckDB oracle does).
+    */
+  object StubDecoder extends BinaryDecoder {
     def decode(bytes: Array[Byte]): (Int, Int, String) = {
       val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
       val w = 64 + (((h(0) & 0xff) << 8 | (h(1) & 0xff)) % 1856)
@@ -34,23 +50,59 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via `javax.imageio` (JDK-bundled readers: PNG, JPEG,
+    * GIF, BMP, TIFF, WBMP). Reads ONLY the container header — `getWidth`/
+    * `getHeight` parse dimensions without decoding pixel rows, so cost per
+    * asset is O(header), not O(pixels); at 100 TB of images the scan stays
+    * I/O-bound on the payload bytes already being read. Unrecognized
+    * payloads degrade to (0, 0, application/octet-stream) rather than
+    * failing the partition — corrupt assets are data, not errors, in a
+    * corpus pipeline.
+    */
+  object ImageIoDecoder extends BinaryDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, String) = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) (0, 0, "application/octet-stream")
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val mime = Option(r.getOriginatingProvider)
+              .flatMap(p => Option(p.getMIMETypes).flatMap(_.headOption))
+              .getOrElse("image/" + r.getFormatName.toLowerCase)
+            (r.getWidth(0), r.getHeight(0), mime)
+          } catch {
+            // truncated/corrupt header after a recognized magic number
+            case _: java.io.IOException => (0, 0, "application/octet-stream")
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
   /** Attach decode metadata to a binary column with a batched
     * `mapPartitions` pass — the decoder is initialized once per partition
     * (the expensive part for real codecs), not once per row; rows stream
     * through without materializing the partition.
     */
-  def withDecodedMeta(df: DataFrame, binCol: String): DataFrame = {
+  def withDecodedMeta(
+      df: DataFrame,
+      binCol: String,
+      decoder: BinaryDecoder = StubDecoder): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField("meta", metaSchema))
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
-      val decoder = StubDecoder // per-partition init point for a real codec
+      val d = decoder // per-partition init point for a real codec
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val meta =
           if (bytes == null) Row(0, 0, 0, "application/octet-stream")
           else {
-            val (w, h, mime) = decoder.decode(bytes)
+            val (w, h, mime) = d.decode(bytes)
             Row(bytes.length, w, h, mime)
           }
         Row.fromSeq(r.toSeq :+ meta)

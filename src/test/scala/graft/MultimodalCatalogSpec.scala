@@ -30,6 +30,46 @@ class MultimodalCatalogSpec extends SparkSpec {
     })
   }
 
+  test("multimodal: ImageIoDecoder decodes real PNG/JPEG headers through the same plumbing") {
+    // checked-in PNG fixture (37×21 RGB, hand-assembled chunks)
+    val pngBytes = {
+      val in = getClass.getResourceAsStream("/fixtures/graft_37x21.png")
+      try in.readAllBytes() finally in.close()
+    }
+    // JPEG produced by the JDK encoder itself (19×13)
+    val jpegBytes = {
+      val img = new java.awt.image.BufferedImage(19, 13, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 13).foreach(y => (0 until 19).foreach(x => img.setRGB(x, y, (x * 31 + y * 7) << 8)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, pngBytes), (2L, jpegBytes), (3L, "not an image at all".getBytes("UTF-8")))
+      .toDF("id", "bin")
+    val got = Multimodal.withDecodedMeta(df, "bin", Multimodal.ImageIoDecoder)
+      .select("id", "meta.byte_len", "meta.width", "meta.height", "meta.mime")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, pngBytes.length, 37, 21, "image/png")))
+    assert(got(1) == ((2L, jpegBytes.length, 19, 13, "image/jpeg")))
+    // unrecognized payloads degrade instead of failing the partition
+    assert(got(2) == ((3L, 19, 0, 0, "application/octet-stream")))
+  }
+
+  test("multimodal: ImageIoDecoder survives a truncated header") {
+    val pngBytes = {
+      val in = getClass.getResourceAsStream("/fixtures/graft_37x21.png")
+      try in.readAllBytes() finally in.close()
+    }
+    // keep the PNG magic (recognized by the reader) but cut inside IHDR
+    val truncated = pngBytes.take(12)
+    val df = Seq((1L, truncated)).toDF("id", "bin")
+    val got = Multimodal.withDecodedMeta(df, "bin", Multimodal.ImageIoDecoder)
+      .select("meta.width", "meta.height", "meta.mime")
+      .as[(Int, Int, String)].head()
+    assert(got == ((0, 0, "application/octet-stream")))
+  }
+
   test("multimodal: frame sampling emits one row per stride window") {
     val df = Seq((1L, "a" * 250), (2L, "b" * 99))
       .toDF("id", "s").select(col("id"), col("s").cast("binary").as("bin"))
