@@ -54,8 +54,14 @@ object LakeCatalog {
   }
 }
 
-/** A parquet-backed catalog instance rooted at `path`. */
-class LakeCatalog(spark: SparkSession, path: String) {
+/** A parquet-backed catalog instance rooted at `path`.
+  *
+  * @param lockLeaseMs partition-lock lease: a holder heartbeats its lock's
+  *   mtime while writing; a lock not refreshed for this long is presumed
+  *   abandoned (crashed holder) and taken over. Must comfortably exceed the
+  *   heartbeat interval (lease/4) plus worst-case GC/FS stall.
+  */
+class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L) {
 
   private def tablePath: Path = Paths.get(path, "current")
 
@@ -92,6 +98,19 @@ class LakeCatalog(spark: SparkSession, path: String) {
     * atomic create — local, NFS; on object stores a lakehouse table format's
     * optimistic commit replaces this). Locks order by name to stay
     * deadlock-free across multi-partition batches.
+    *
+    * Liveness (the reference gets this from PostgreSQL's session locks,
+    * `support/catalog_postgrest.py:73-84`): each lock is a LEASE, not a
+    * tombstone. The holder writes a unique token into the lock file and a
+    * daemon heartbeat refreshes the file's mtime every `lockLeaseMs / 4`;
+    * a contender finding a lock whose mtime is older than `lockLeaseMs`
+    * presumes the holder crashed and claims the stale lock with an
+    * `ATOMIC_MOVE` to a unique name — renames are atomic, so exactly one
+    * contender wins the takeover and the rest loop back to the create race.
+    * Release deletes the lock only while it still carries the holder's own
+    * token: if a stalled-but-alive holder was (pathologically) taken over,
+    * the name now belongs to the new holder and must not be deleted out
+    * from under it.
     */
   private def withPartitionLocks[A](touched: Seq[(String, String)])(body: => A): A = {
     val locksDir = Paths.get(path, "locks")
@@ -101,24 +120,64 @@ class LakeCatalog(spark: SparkSession, path: String) {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val locks = touched.map { case (r, d) => locksDir.resolve(s"${enc(r)}__${enc(d)}.lock") }
       .sortBy(_.toString)
-    val acquired = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val token = java.util.UUID.randomUUID().toString.getBytes("UTF-8")
+    def holds(l: Path): Boolean =
+      try java.util.Arrays.equals(Files.readAllBytes(l), token)
+      catch { case _: java.io.IOException => false }
+    // already-acquired locks heartbeat while later ones are still being
+    // awaited, so lock 1 can't expire during a contended wait on lock 2
+    val acquired = new java.util.concurrent.CopyOnWriteArrayList[Path]()
+    @volatile var beating = true
+    val heartbeat = new Thread(() => {
+      while (beating) {
+        acquired.forEach { l =>
+          if (holds(l)) {
+            try Files.setLastModifiedTime(
+              l, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+            catch { case _: java.io.IOException => () }
+          }
+        }
+        try Thread.sleep(math.max(lockLeaseMs / 4, 10))
+        catch { case _: InterruptedException => () }
+      }
+    }, s"graft-catalog-lock-heartbeat")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
     try {
       locks.foreach { l =>
         val deadline = System.nanoTime() + 120L * 1000000000L
         var held = false
         while (!held) {
-          try { Files.createFile(l); held = true }
-          catch {
+          try {
+            Files.createFile(l) // the atomic claim
+            Files.write(l, token) // advisory identity for heartbeat/release
+            held = true
+          } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
-              if (System.nanoTime() > deadline)
+              val stale =
+                try System.currentTimeMillis() - Files.getLastModifiedTime(l).toMillis > lockLeaseMs
+                catch { case _: java.io.IOException => false } // vanished: retry create
+              if (stale) {
+                // takeover: exactly one contender's move succeeds
+                val claimed = locksDir.resolve(
+                  s"${l.getFileName}.stale-${java.util.UUID.randomUUID()}")
+                try {
+                  Files.move(l, claimed, StandardCopyOption.ATOMIC_MOVE)
+                  Files.deleteIfExists(claimed)
+                } catch { case _: java.io.IOException => () } // lost the race
+              } else if (System.nanoTime() > deadline) {
                 throw new IllegalStateException(s"timed out acquiring catalog lock $l")
-              Thread.sleep(50)
+              } else Thread.sleep(50)
           }
         }
-        acquired += l
+        acquired.add(l)
       }
       body
-    } finally acquired.foreach(Files.deleteIfExists(_))
+    } finally {
+      beating = false
+      heartbeat.interrupt()
+      acquired.forEach(l => if (holds(l)) Files.deleteIfExists(l))
+    }
   }
 
   /** Upsert a batch: latest `processing_date` wins per PK. Rewrites only the

@@ -136,6 +136,58 @@ class EtlRunSpec extends SparkSpec {
     try assert(!locks.iterator().hasNext) finally locks.close()
   }
 
+  test("a crashed holder's stale lock is taken over after the lease expires") {
+    val dir = Files.createTempDirectory("graft_etl_stale_").toString
+    val cat = new LakeCatalog(spark, dir, lockLeaseMs = 1000)
+    def batch(lo: Int, n: Int) = {
+      val rows = (lo until lo + n).map(i =>
+        ("raw", "bt", s"base_$i", "x.txt", s"p_$i",
+          Timestamp.valueOf("2020-01-15 00:00:00"), null.asInstanceOf[Timestamp],
+          Timestamp.valueOf("2020-02-01 00:00:00"), null.asInstanceOf[String]))
+      rows.toDF(graft.model.Schemas.catalog.fieldNames: _*)
+    }
+    cat.upsert(batch(0, 5))
+    // simulate a holder that died mid-upsert: its lock file exists, carries
+    // a foreign token, and its heartbeat stopped well past the lease
+    val locksDir = java.nio.file.Paths.get(dir, "locks")
+    Files.createDirectories(locksDir)
+    val dead = locksDir.resolve("raw__bt.lock")
+    Files.write(dead, "token-of-a-dead-holder".getBytes("UTF-8"))
+    Files.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+    // the next writer takes the lease over instead of wedging until the
+    // 120 s acquisition timeout; nothing from the first batch is lost
+    val t0 = System.nanoTime()
+    cat.upsert(batch(100, 5))
+    assert((System.nanoTime() - t0) / 1e9 < 60, "takeover should not wait out the full timeout")
+    assert(cat.read().count() == 10)
+    // and release left no lock files behind (stale claim included)
+    val locks = Files.list(locksDir)
+    try assert(!locks.iterator().hasNext) finally locks.close()
+  }
+
+  test("a LIVE holder outlasting the lease is not taken over (heartbeat)") {
+    val dir = Files.createTempDirectory("graft_etl_beat_").toString
+    // lease far shorter than an upsert's several-second runtime: only the
+    // mtime heartbeat keeps concurrent same-partition writers serialized
+    val cat = new LakeCatalog(spark, dir, lockLeaseMs = 700)
+    def batch(lo: Int, n: Int) = {
+      val rows = (lo until lo + n).map(i =>
+        ("raw", "bt", s"base_$i", "x.txt", s"p_$i",
+          Timestamp.valueOf("2020-01-15 00:00:00"), null.asInstanceOf[Timestamp],
+          Timestamp.valueOf("2020-02-01 00:00:00"), null.asInstanceOf[String]))
+      rows.toDF(graft.model.Schemas.catalog.fieldNames: _*)
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 3).map(w => Future(cat.upsert(batch(w * 100, 20))))
+    Await.result(Future.sequence(fs), 180.seconds)
+    // a false takeover would let two writers merge against the same prior
+    // state and silently drop a batch
+    assert(cat.read().count() == 60)
+  }
+
   test("perfmet: sensor obs, 7-day expected, latest, gap fill") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     val obs = Perfmet.sensorObs(events, "user_id", "ts")
