@@ -30,21 +30,20 @@ object IvfIndex {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Nearest-centroid assignment (cosine argmax, ties to the lowest cell):
-    * one broadcast of nCells×dim doubles + one scan.
+  /** Nearest-centroid assignment (cosine argmax, ties to the lowest cell)
+    * against a centroid relation `(cell, cv)`: one broadcast of nCells×dim
+    * doubles + one scan. The centroid side stays a DataFrame so callers
+    * (notably [[refine]]) can chain iterations without ever collecting
+    * centroids to the driver.
     */
-  private def assignTo(
+  private def assignToDf(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      centroidRows: Seq[(Long, Seq[Double])]): DataFrame = {
-    val spark = df.sparkSession
-    val centroids = broadcast(
-      spark.createDataFrame(centroidRows.map { case (i, v) => (i, v) })
-        .toDF("cell", "cv"))
+      centroids: DataFrame): DataFrame = {
     val scored = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .crossJoin(centroids)
+      .crossJoin(broadcast(centroids))
       .select(col(idCol), col("cell"),
         SimilaritySearch.cosine(col("v"), col("cv")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
@@ -54,6 +53,15 @@ object IvfIndex {
       .filter(col("_rn") === 1)
       .select(col(idCol), col("cell"))
   }
+
+  private def assignTo(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidRows: Seq[(Long, Seq[Double])]): DataFrame =
+    assignToDf(df, idCol, vecCol,
+      df.sparkSession.createDataFrame(centroidRows.map { case (i, v) => (i, v) })
+        .toDF("cell", "cv"))
 
   /** Build the index: returns per-id cell assignments plus the centroid
     * vectors.
@@ -77,9 +85,16 @@ object IvfIndex {
     * sum through DECIMAL(28,12), so refined centroids are BIT-IDENTICAL
     * under any partitioning — double summation order would not be (the
     * same determinism rule every aggregate in this engine follows). Cells
-    * that lose all members keep their previous centroid. The per-iteration
-    * driver state is nCells × dims doubles — driver-sized by construction
-    * (nCells ≈ √n).
+    * that lose all members keep their previous centroid.
+    *
+    * The whole Lloyd loop is DISTRIBUTED: centroids live as a `(cell, cv)`
+    * DataFrame that is broadcast-joined at each assignment, and per-cell
+    * means are re-assembled into centroid arrays with a sort-by-position
+    * `collect_list` — nothing touches the driver between iterations (at
+    * nCells ≈ 31 k × 768 dims the old per-iteration collect was ~24 M rows).
+    * The single driver-side materialization is the final `Index.centroids`,
+    * which the Index contract needs anyway for search-time probe ranking
+    * (nCells ≈ √n — driver-sized by construction, same as [[build]]/[[load]]).
     *
     * Besides better IVF recall, the refined (cell → members) assignment IS
     * the k-means clustering of the corpus — the data-curation/mixing
@@ -92,10 +107,11 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       iterations: Int = 3): Index = {
-    var centroidRows = index.centroids
-    var assignments = index.assignments
+    val spark = df.sparkSession
+    var centroids = spark.createDataFrame(index.centroids.map { case (i, v) => (i, v) })
+      .toDF("cell", "cv")
     (1 to iterations).foreach { _ =>
-      assignments = assignTo(df, idCol, vecCol, centroidRows)
+      val assignments = assignToDf(df, idCol, vecCol, centroids)
       val means = df
         .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
         .join(assignments, Seq(idCol))
@@ -103,15 +119,19 @@ object IvfIndex {
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1)))
           .cast("double").as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
-      centroidRows = centroidRows.map { case (cell, old) =>
-        (cell, means.getOrElse(cell, old))
-      }
+        // (pos, m) structs sort by pos (unique per cell), so the rebuilt
+        // array is deterministic regardless of collect_list arrival order
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("mv"))
+      centroids = centroids
+        .join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mv"), col("cv")).as("cv"))
     }
+    val centroidRows = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1)
     Index(assignTo(df, idCol, vecCol, centroidRows), centroidRows)
   }
 

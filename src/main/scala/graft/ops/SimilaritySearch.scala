@@ -87,8 +87,68 @@ object SimilaritySearch {
       .reduce(_ + _)
   }
 
+  /** The LSH index relation: (id, v, bucket) — [[lshTopK]] computes it
+    * per query; [[saveLshIndex]] materializes it partitioned BY bucket so
+    * build-once/search-many queries read only their bucket's partition
+    * directory (the same pattern [[IvfIndex.save]] gives IVF).
+    */
+  def buildLshIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      dims: Int): DataFrame =
+    df.select(
+      col(idCol),
+      col(vecCol).cast("array<double>").as("v"),
+      lshBucket(col(vecCol).cast("array<double>"), planes, dims).as("bucket"))
+
+  /** Persist an LSH index partitioned by bucket: a search's bucket filter
+    * becomes partition pruning — at 100 TB a top-k reads ~1/2^planes of the
+    * corpus from ONE partition directory instead of re-hashing every vector
+    * per query.
+    */
+  def saveLshIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Driver-side twin of [[lshBucket]] for a literal query vector — same
+    * left-to-right multiply-add order, so the bucket id is bit-identical to
+    * the column expression's.
+    */
+  def lshBucketOf(query: Seq[Double], planes: Int): Long = {
+    val comps = planeComponents(planes, query.length)
+    (0 until planes).map { p =>
+      var proj = 0.0
+      var d = 0
+      while (d < query.length) { proj += query(d) * comps(p)(d); d += 1 }
+      if (proj > 0.0) 1L << p else 0L
+    }.sum
+  }
+
+  /** Top-k over a prebuilt/persisted LSH index: only the query's bucket is
+    * read (partition-pruned when the index came from [[loadLshIndex]]),
+    * then exact cosine within it.
+    */
+  def lshTopKIndexed(
+      index: DataFrame,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      planes: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    index
+      .filter(col("bucket") === lshBucketOf(query, planes))
+      .select(col(idCol), graft.Functions.roundHalfUp(cosine(col("v"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: scan only vectors whose LSH bucket equals the
-    * query's bucket, then exact cosine within the bucket.
+    * query's bucket, then exact cosine within the bucket. One-shot form of
+    * [[lshTopKIndexed]] that hashes the corpus inline.
     */
   def lshTopK(
       df: DataFrame,
@@ -96,19 +156,10 @@ object SimilaritySearch {
       vecCol: String,
       query: Seq[Double],
       k: Int,
-      planes: Int = 8): DataFrame = {
-    val q = array(query.map(lit): _*)
-    val qBucket = lshBucket(q, planes, query.length)
-    val bucketed = df.select(
-      col(idCol),
-      col(vecCol).cast("array<double>").as("v"),
-      lshBucket(col(vecCol).cast("array<double>"), planes, query.length).as("bucket"))
-    bucketed
-      .filter(col("bucket") === qBucket)
-      .select(col(idCol), graft.Functions.roundHalfUp(cosine(col("v"), q), 6).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
-  }
+      planes: Int = 8): DataFrame =
+    lshTopKIndexed(
+      buildLshIndex(df, idCol, vecCol, planes, query.length),
+      idCol, query, k, planes)
 
   /** All-pairs top-k within blocking keys (k nearest neighbors per id among
     * rows sharing `blockCol`), via window ranking — the IVF-style "probe one

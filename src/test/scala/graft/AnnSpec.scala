@@ -87,6 +87,35 @@ class AnnSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("LSH index persists as a lake artifact: search over it == in-memory, bucket prunes") {
+    val mem = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec, 10, planes = 4)
+      .as[(Long, Double)].collect().toSeq
+
+    val index = SimilaritySearch.buildLshIndex(
+      emb, "vec_id", "embedding", planes = 4, dims = queryVec.length)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_").toString
+    SimilaritySearch.saveLshIndex(index, dir)
+    val loaded = SimilaritySearch.loadLshIndex(spark, dir)
+    val persisted = SimilaritySearch.lshTopKIndexed(loaded, "vec_id", queryVec, 10, planes = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(persisted == mem)
+
+    // the driver-side bucket must be bit-identical to the column expression
+    val qb = SimilaritySearch.lshBucketOf(queryVec, planes = 4)
+    val colQb = emb.filter(col("vec_id") === 0)
+      .select(SimilaritySearch.lshBucket(
+        col("embedding").cast("array<double>"), 4, queryVec.length))
+      .head().getLong(0)
+    assert(qb == colQb)
+
+    // the bucket filter must reach the scan as a partition filter — that's
+    // the point of partitioning the index by bucket
+    val plan = SimilaritySearch.lshTopKIndexed(loaded, "vec_id", queryVec, 10, planes = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     val plain = events.groupBy("event_type")
