@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Deduplication operators for large-scale text corpora: exact, MinHash-LSH,
   * SimHash, and blocked n-gram Jaccard. All hashing is md5-based so every
@@ -234,6 +235,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         graft.Functions.roundHalfUp(cont, 4).as("containment"))
       .filter(col("containment") >= threshold)
+  }
+
+  // ---- streaming ----------------------------------------------------------
+
+  /** A unit of streamed document text: whole documents, or pieces of one
+    * arriving over time (late supplements, multi-part fetches).
+    */
+  case class DocChunk(docId: Long, text: String)
+  case class MinhashState(mins: Seq[String], updates: Long)
+
+  /** Emitted signature snapshot; `updates` counts state revisions so a
+    * consumer (or test) can pick each doc's LATEST signature from an
+    * append-mode sink without relying on sink ordering.
+    */
+  case class MinhashSig(docId: Long, updates: Long, sig: Seq[String])
+
+  /** Scala twin of [[shingleRows]]'s shingling (same tokenization, same
+    * clipped-shingle rule for documents shorter than `n` words) — used by
+    * the streaming path, bit-identical to the batch column expressions.
+    */
+  def shinglesOf(text: String, n: Int): Seq[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    if (n == 1) toks
+    else (0 to math.max(toks.length - n, 0)).map(p => toks.slice(p, p + n).mkString(" "))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Streaming MinHash — the stateful twin of [[minhashSignatures]]:
+    * documents arrive as [[DocChunk]]s on a stream; per-doc state carries
+    * the running per-seed minimum, so the signature emitted after any
+    * prefix of chunks is the MinHash of the shingle-set UNION seen so far.
+    * With whole documents — or chunks overlapping by `shingle - 1` tokens,
+    * so no cross-chunk shingle is lost — the final signature is
+    * byte-identical to the batch operator's. Replayed chunks are absorbed
+    * by the min (idempotent), which makes the operator at-least-once-safe
+    * behind any source. State per doc is `numHashes` hex digests —
+    * independent of document length, so total state is O(live docs), the
+    * same bound [[Sessionize.assignStream]] has per user.
+    */
+  def minhashSignaturesStream(
+      chunks: Dataset[DocChunk],
+      numHashes: Int,
+      shingle: Int = 3): Dataset[MinhashSig] = {
+    import chunks.sparkSession.implicits._
+    chunks
+      .groupByKey(_.docId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (id: Long, it: Iterator[DocChunk], state: GroupState[MinhashState]) => {
+          val prior = state.getOption
+          val mins: Array[String] =
+            prior.map(_.mins.toArray).getOrElse(Array.fill[String](numHashes)(null))
+          it.foreach { c =>
+            shinglesOf(c.text, shingle).foreach { sh =>
+              var i = 0
+              while (i < numHashes) {
+                val h = md5Hex(s"s$i:$sh")
+                if (mins(i) == null || h < mins(i)) mins(i) = h
+                i += 1
+              }
+            }
+          }
+          val updates = prior.map(_.updates).getOrElse(0L) + 1L
+          state.update(MinhashState(mins.toSeq, updates))
+          Iterator.single(MinhashSig(id, updates, mins.toSeq))
+        })
   }
 
   /** Embedding near-duplicate pairs within equal `blockCol` (e.g. a cluster

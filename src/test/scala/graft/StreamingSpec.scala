@@ -34,6 +34,60 @@ class StreamingSpec extends SparkSpec {
     assert(s.nonEmpty)
   }
 
+  test("streaming minhash signatures equal the batch operator across batches, replay, chunks") {
+    import spark.implicits._
+    import graft.ops.Dedup
+
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val batchSigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getString(i)).toSeq)
+      .toMap
+
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (firstHalf, secondHalf) = rows.splitAt(rows.length / 2)
+    // one doc from the second half arrives CHUNKED: split at a token
+    // boundary with a (shingle-1)-token overlap, so the union of chunk
+    // shingle sets equals the whole document's
+    val (chunkedId, chunkedText) = secondHalf.last
+    val toks = chunkedText.trim.split("\\s+")
+    val cut = toks.length / 2
+    val chunkA = toks.slice(0, cut + 2).mkString(" ") // +2 = shingle-1 overlap
+    val chunkB = toks.slice(cut, toks.length).mkString(" ")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val name = "mh_stream_out"
+    val q = Dedup.minhashSignaturesStream(source.toDS(), numHashes = 4).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      source.addData(firstHalf.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      q.processAllAvailable()
+      // second micro-batch: rest of the corpus, a REPLAY of an already-seen
+      // doc (at-least-once delivery), and the chunked doc's two pieces
+      source.addData(
+        secondHalf.dropRight(1).map { case (id, tx) => Dedup.DocChunk(id, tx) } ++
+          Seq(
+            Dedup.DocChunk(firstHalf.head._1, firstHalf.head._2),
+            Dedup.DocChunk(chunkedId, chunkA)))
+      q.processAllAvailable()
+      // third micro-batch: the chunked doc completes
+      source.addData(Seq(Dedup.DocChunk(chunkedId, chunkB)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // latest signature per doc (max state revision) must equal batch
+    val streamed = spark.table(name).as[Dedup.MinhashSig].collect()
+      .groupBy(_.docId)
+      .map { case (id, sigs) => id -> sigs.maxBy(_.updates).sig }
+    assert(streamed.keySet == batchSigs.keySet)
+    assert(streamed.forall { case (id, sig) => sig == batchSigs(id) },
+      "streamed final signatures diverge from batch")
+    // and the replayed doc's signature was NOT corrupted by double counting
+    assert(streamed(firstHalf.head._1) == batchSigs(firstHalf.head._1))
+  }
+
   test("checkpointed AvailableNow processes each file exactly once across runs") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_incr_src_").toString
