@@ -81,10 +81,18 @@ object QueriesCorpus {
           .as("bucket"))
     }),
 
-    // language-id heuristic
+    // language-id heuristic (default marker table)
     "q_tx_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    // language-id with a caller-supplied marker table (the pluggable path:
+    // production swaps in real per-language frequency tables); the oracle is
+    // generated from the SAME table, so the parameterization is verified
+    "q_tx_langid_custom" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text"), CustomLangMarkers).as("lang_guess"))),
 
     // quality metrics
     "q_tx_quality" -> ((s, dir) =>
@@ -151,7 +159,38 @@ object QueriesCorpus {
           col("doc_id"), col("pos").as("frame_idx"),
           md5(col("text").substr(col("pos") * 100 + 1, lit(100))).as("frame_md5"))))
 
+  /** A deliberately different marker table for the pluggable-langid query:
+    * proves the operator is parameterized, not hardwired to [[TextAnalysis
+    * .LangMarkers]]. (Tables are demo-sized; production supplies real
+    * frequency tables the same way.)
+    */
+  val CustomLangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en_small" -> Seq("the", "and"),
+    "latinish" -> Seq("lorem", "ipsum", "dolor", "amet"),
+    "connective" -> Seq("of", "to", "in", "is", "that"))
+
   // ---- oracle SQL ----------------------------------------------------------
+
+  /** DuckDB twin of [[TextAnalysis.langId]] generated from an arbitrary
+    * marker table — the oracle is parameterized exactly like the operator.
+    */
+  private def langIdOracleSql(markers: Seq[(String, Seq[String])]): String = {
+    val markerHits = markers
+      .map { case (lang, ms) =>
+        s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS hits_$lang"
+      }
+      .mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val pick = langs.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN hits_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $markerHits
+       |  FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)),
+       |ranked AS (SELECT *, $best AS best FROM scored)
+       |SELECT doc_id, lang, $pick AS lang_guess FROM ranked""".stripMargin
+  }
 
   private val toksSql =
     "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
@@ -255,23 +294,8 @@ object QueriesCorpus {
          |SELECT vec_id, CAST(${(0 until 6).map(planeBit).mkString(" + ")} AS BIGINT) AS bucket
          |FROM base""".stripMargin
     },
-    "q_tx_langid" -> {
-      val markerHits = TextAnalysis.LangMarkers
-        .map { case (lang, ms) =>
-          s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS hits_$lang"
-        }
-        .mkString(",\n    ")
-      val langs = TextAnalysis.LangMarkers.map(_._1)
-      val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
-      val pick = langs.reverse.foldLeft("'und'") { (acc, l) =>
-        s"CASE WHEN hits_$l = best AND best > 0 THEN '$l' ELSE $acc END"
-      }
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang, $markerHits
-         |  FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)),
-         |ranked AS (SELECT *, $best AS best FROM scored)
-         |SELECT doc_id, lang, $pick AS lang_guess FROM ranked""".stripMargin
-    },
+    "q_tx_langid" -> langIdOracleSql(TextAnalysis.LangMarkers),
+    "q_tx_langid_custom" -> langIdOracleSql(CustomLangMarkers),
     "q_tx_quality" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,

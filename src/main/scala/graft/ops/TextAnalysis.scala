@@ -27,11 +27,14 @@ object TextAnalysis {
     size(filter(t, x => markers.map(m => x === m).reduce(_ || _)))
 
   /** Language guess: the marker set with the most token hits; "und" when no
-    * marker hits at all. Ties break by [[LangMarkers]] order (argmax scan).
+    * marker hits at all. Ties break by table order (argmax scan). The
+    * marker table is caller-pluggable — swap in real per-language frequency
+    * tables (top-N stopwords per language) for production use;
+    * [[LangMarkers]] is the default demo set.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column, langMarkers: Seq[(String, Seq[String])] = LangMarkers): Column = {
     val t = toks(text)
-    val scored = LangMarkers.map { case (lang, markers) => (lang, hits(t, markers)) }
+    val scored = langMarkers.map { case (lang, markers) => (lang, hits(t, markers)) }
     val best = scored
       .map(_._2)
       .reduce((a, b) => greatest(a, b))
