@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
 
 /** Training-data pipeline coverage over `documents` and `embeddings`:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -130,6 +130,31 @@ object QueriesCorpus {
             .otherwise(lit("")),
           when(col("doc_id") % 4 === 0, lit(" see https://example.com/a?b=1 done"))
             .otherwise(lit("")))).as("scrubbed"))),
+
+    // Gopher-style repetition metrics over synthesized multi-line text with
+    // a guaranteed repeated line (the corpus itself is single-line)
+    "q_tx_repetition" -> ((s, dir) => {
+      val lined = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 40), substring(col("text"), 41, 40),
+          substring(col("text"), 1, 40), substring(col("text"), 81, 40)).as("ltext"))
+      TextAnalysis.repetitionMetrics(lined, "doc_id", "ltext")
+    }),
+
+    // corpus vocabulary: global token tf/df, top 100 by frequency
+    "q_tx_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabStats(t(s, dir, "documents"), "doc_id", "text", topK = 100)),
+
+    // benchmark decontamination: eval = every 5th doc, train = the rest;
+    // containment of the EVAL doc's bigram shingle set
+    "q_dc_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.ngramOverlap(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        n = 2, threshold = 0.3)
+    }),
 
     // multimodal plumbing: opaque binary payload + typed metadata through
     // the REAL batched mapPartitions decode path (graft.ops.Multimodal); the
@@ -341,6 +366,56 @@ object QueriesCorpus {
         |      'https?://[^\s]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+    "q_tx_repetition" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    [substr(text, 1, 40), substr(text, 41, 40),
+        |     substr(text, 1, 40), substr(text, 81, 40)] AS ls,
+        |    substr(text, 1, 40) || chr(10) || substr(text, 41, 40) || chr(10) ||
+        |      substr(text, 1, 40) || chr(10) || substr(text, 81, 40) AS ltext
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, ls,
+        |    string_split_regex(trim(lower(ltext)), '\s+') AS t,
+        |    list_filter(ls, (x, i) -> list_position(ls, x) <> i) AS dupl
+        |  FROM lined),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) AS dlr,
+        |    CASE WHEN list_sum(list_transform(ls, x -> length(x))) = 0 THEN 0.0
+        |      ELSE CAST(coalesce(list_sum(list_transform(dupl, x -> length(x))), 0) AS DOUBLE)
+        |           / list_sum(list_transform(ls, x -> length(x))) END AS dlcr,
+        |    CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) AS dtr,
+        |    CAST(list_max(list_transform(list_distinct(t), d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
+        |      / len(t) AS ttr
+        |  FROM m)
+        |SELECT doc_id,
+        |  floor(dlr * 10000 + 0.5) / 10000 AS dup_line_ratio,
+        |  floor(dlcr * 10000 + 0.5) / 10000 AS dup_line_char_ratio,
+        |  floor(dtr * 10000 + 0.5) / 10000 AS dup_token_ratio,
+        |  floor(ttr * 10000 + 0.5) / 10000 AS top_token_ratio
+        |FROM r""".stripMargin,
+    "q_tx_vocab" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q_dc_overlap" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |        i -> array_to_string(t[i:i+1], ' ')),
+        |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)),
+        |pairs AS (
+        |  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+        |    floor(CAST(len(list_intersect(tr.sh, ev.sh)) AS DOUBLE) / len(ev.sh) * 10000 + 0.5) / 10000
+        |      AS contamination
+        |  FROM sh tr JOIN sh ev ON tr.doc_id % 5 <> 0 AND ev.doc_id % 5 = 0)
+        |SELECT train_id, eval_id, contamination FROM pairs WHERE contamination >= 0.3""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1856 + 64 AS BIGINT) AS width,

@@ -306,6 +306,36 @@ object Dedup {
         })
   }
 
+  /** A kept (first-seen) document: its id and content hash. */
+  case class FirstSeen(docId: Long, contentHash: String)
+
+  /** Streaming exact dedup — the stateful twin of [[exact]]: keyed by
+    * content hash (same md5-of-normalized-text key as the batch operator),
+    * per-hash state remembers whether the content was already emitted, so
+    * each distinct content surfaces exactly once — the live-ingest "keep
+    * first occurrence" filter. Within a micro-batch the kept id is the
+    * minimum (matching the batch canonical rule); across batches first
+    * arrival wins, which is the streaming-order semantics. Replays of an
+    * already-kept document emit nothing (at-least-once-safe). State is one
+    * long per distinct content ever seen — the inherent floor for exact
+    * dedup without a TTL; bound it with a watermark/timeout when "duplicate"
+    * only means "duplicate within N days".
+    */
+  def firstSeenStream(docs: Dataset[DocChunk]): Dataset[FirstSeen] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => md5Hex(d.text.trim.toLowerCase))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (hash: String, it: Iterator[DocChunk], state: GroupState[Long]) => {
+          if (state.exists) Iterator.empty
+          else {
+            val canonical = it.map(_.docId).min
+            state.update(canonical)
+            Iterator.single(FirstSeen(canonical, hash))
+          }
+        })
+  }
+
   /** Embedding near-duplicate pairs within equal `blockCol` (e.g. a cluster
     * or coarse-quantization id): cosine similarity ≥ `threshold`.
     */

@@ -107,6 +107,67 @@ object TextAnalysis {
     concat_ws(sep, transform(kept, _.getField("l")))
   }
 
+  /** Repetition metrics — the Gopher-style within-document repetition
+    * signals corpus filters threshold on (repeated boilerplate correlates
+    * with low-quality web text). All per-row array expressions: no UDFs,
+    * no shuffle, whole-stage codegen'd.
+    *
+    *   - `dup_line_ratio`: fraction of lines that are repeats of an earlier
+    *     line.
+    *   - `dup_line_char_ratio`: fraction of line characters living in those
+    *     repeated lines (a 1-line footer repeated 50× scores high here even
+    *     when long prose keeps `dup_line_ratio` low).
+    *   - `dup_token_ratio`: fraction of tokens that are repeats.
+    *   - `top_token_ratio`: the most frequent token's share of all tokens.
+    *
+    * The per-row cost is O(L²) line compares / O(T·D) token compares —
+    * the same bound (and the same explode fallback, documented at
+    * [[dedupLines]]) as the rest of the per-document family.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String, sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val nLines = size(lines)
+    val dupLines = nLines - size(array_distinct(lines))
+    val indexed = zip_with(
+      lines, sequence(lit(1), nLines),
+      (l, i) => struct(l.as("l"), i.as("i")))
+    val dupLineChars = aggregate(
+      filter(indexed, e => array_position(lines, e.getField("l")) =!= e.getField("i")),
+      lit(0L), (acc, e) => acc + length(e.getField("l")))
+    val allLineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val t = toks(col(textCol))
+    val nToks = size(t)
+    val dupToks = nToks - size(array_distinct(t))
+    val topTok = array_max(transform(
+      array_distinct(t), d => size(filter(t, x => x === d))))
+    def ratio(num: Column, den: Column) =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    df.select(
+      col(idCol),
+      graft.Functions.roundHalfUp(ratio(dupLines, nLines), 4).as("dup_line_ratio"),
+      graft.Functions.roundHalfUp(ratio(dupLineChars, allLineChars), 4).as("dup_line_char_ratio"),
+      graft.Functions.roundHalfUp(ratio(dupToks, nToks), 4).as("dup_token_ratio"),
+      graft.Functions.roundHalfUp(
+        when(nToks === 0, lit(0.0)).otherwise(ratio(topTok, nToks)), 4).as("top_token_ratio"))
+  }
+
+  /** Corpus vocabulary statistics: per-token total frequency (tf) and
+    * document frequency (df) over the whole corpus — the global-statistics
+    * primitive behind tokenizer training and frequency-table construction.
+    * One explode + one map-side-combinable hash aggregate: at 100 TB the
+    * only shuffle is keyed by token, and the optional `topK` cut is a
+    * partial top-k (ORDER BY … LIMIT pushes a per-partition limit below
+    * the final sort).
+    */
+  def vocabStats(df: DataFrame, idCol: String, textCol: String, topK: Int = 0): DataFrame = {
+    val perDoc = df.select(col(idCol).as("_doc"), explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val stats = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("_doc")).as("df"))
+    if (topK <= 0) stats
+    else stats.orderBy(col("tf").desc, col("token")).limit(topK)
+  }
+
   /** PII/URL scrubbing: replace emails and URLs with placeholder tokens
     * (the normalization pass every web-scale corpus runs before training).
     * Patterns use the portable character-class subset shared by Java regex

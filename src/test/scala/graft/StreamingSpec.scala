@@ -88,6 +88,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(firstHalf.head._1) == batchSigs(firstHalf.head._1))
   }
 
+  test("streaming first-seen dedup equals batch exact canonicals; replay emits nothing") {
+    import spark.implicits._
+    import graft.ops.Dedup
+
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val batchKept = Dedup.exact(docs, "doc_id", "text")
+      .select("canonical_id", "content_hash").as[(Long, String)].collect().toSet
+
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val name = "fs_stream_out"
+    val q = Dedup.firstSeenStream(source.toDS()).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try {
+      source.addData(rows.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      q.processAllAvailable()
+      val afterFirst = spark.table(name).count()
+      // full replay (at-least-once delivery): nothing new may surface
+      source.addData(rows.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      q.processAllAvailable()
+      assert(spark.table(name).count() == afterFirst)
+    } finally q.stop()
+
+    val streamed = spark.table(name).as[Dedup.FirstSeen].collect()
+      .map(f => (f.docId, f.contentHash)).toSet
+    assert(streamed == batchKept)
+    assert(streamed.nonEmpty)
+  }
+
   test("checkpointed AvailableNow processes each file exactly once across runs") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_incr_src_").toString
