@@ -107,12 +107,25 @@ class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L)
     * presumes the holder crashed and claims the stale lock with an
     * `ATOMIC_MOVE` to a unique name — renames are atomic, so exactly one
     * contender wins the takeover and the rest loop back to the create race.
-    * Release deletes the lock only while it still carries the holder's own
-    * token: if a stalled-but-alive holder was (pathologically) taken over,
-    * the name now belongs to the new holder and must not be deleted out
-    * from under it.
+    * Fencing: takeover alone can't stop a stalled-but-ALIVE holder from
+    * finishing its in-flight upsert and silently overwriting the new
+    * holder's merge, so `body` receives a `fence` callback that throws
+    * unless every lock still carries this holder's token — the upsert calls
+    * it immediately before the partition swap, shrinking the lost-update
+    * window from the whole merge duration to the few renames after the
+    * check (a filesystem has no transactional compare-and-swap; a lakehouse
+    * format's optimistic commit is the airtight version of this fence).
+    *
+    * Release is a token-guarded ATOMIC_MOVE-then-delete: the lock is first
+    * renamed to a private name (atomic, so it cannot race a takeover), its
+    * token re-checked, and only then deleted. A plain check-then-delete
+    * could delete a SUCCESSOR's lock: between the check and the delete a
+    * contender may take over the stale name and a third writer re-create
+    * it. If the private rename turns out to have displaced a successor's
+    * lock, it is moved back (best effort — if that fails the successor's
+    * own fence aborts its commit rather than losing an update).
     */
-  private def withPartitionLocks[A](touched: Seq[(String, String)])(body: => A): A = {
+  private def withPartitionLocks[A](touched: Seq[(String, String)])(body: (() => Unit) => A): A = {
     val locksDir = Paths.get(path, "locks")
     Files.createDirectories(locksDir)
     // partition values are path-encoded in the lock name (a value containing
@@ -172,11 +185,31 @@ class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L)
         }
         acquired.add(l)
       }
-      body
+      val fence = () => acquired.forEach { l =>
+        if (!holds(l))
+          throw new java.util.ConcurrentModificationException(
+            s"catalog lock $l was taken over (holder presumed dead after " +
+              s"${lockLeaseMs} ms stall); aborting commit to avoid a lost update")
+      }
+      body(fence)
     } finally {
       beating = false
       heartbeat.interrupt()
-      acquired.forEach(l => if (holds(l)) Files.deleteIfExists(l))
+      acquired.forEach { l =>
+        if (holds(l)) {
+          val mine = l.resolveSibling(s"${l.getFileName}.release-${java.util.UUID.randomUUID()}")
+          try {
+            Files.move(l, mine, StandardCopyOption.ATOMIC_MOVE)
+            if (java.util.Arrays.equals(Files.readAllBytes(mine), token)) Files.delete(mine)
+            else {
+              // the rename displaced a successor's lock (takeover + re-create
+              // landed between holds() and move): put it back
+              try Files.move(mine, l, StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.io.IOException => Files.deleteIfExists(mine) }
+            }
+          } catch { case _: java.io.IOException => () } // already gone
+        }
+      }
     }
   }
 
@@ -193,7 +226,7 @@ class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L)
       .distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
       .toSeq
-    withPartitionLocks(touched) {
+    withPartitionLocks(touched) { fence =>
       val merged =
         if (!exists) LakeCatalog.merge(batch, LakeCatalog.PK, "processing_date")
         else {
@@ -213,6 +246,9 @@ class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L)
       // swap each staged partition directory into `current/`; parquet readers
       // resolve directories at query time, so each partition flips only after
       // its new version is fully written
+      // commit fence: abort if any lock was taken over while merging (a
+      // stalled holder must not swap over a successor's committed state)
+      fence()
       Files.createDirectories(tablePath)
       val trash = Paths.get(path, s"old-${java.util.UUID.randomUUID()}")
       Files.createDirectories(trash)

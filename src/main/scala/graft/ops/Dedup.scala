@@ -251,12 +251,39 @@ object Dedup {
     */
   case class MinhashSig(docId: Long, updates: Long, sig: Seq[String])
 
+  /** SQL-semantics twins for the streaming path. Java's `String.trim` strips
+    * every char <= U+0020 (tabs, newlines), while SQL `trim` strips ONLY the
+    * space character; Java's no-arg `toLowerCase` consults the default
+    * locale (on tr_TR, 'I' lowers to dotless 'ı'), while SQL `lower` is
+    * locale-independent. Using the Java forms here would silently break the
+    * "bit-identical to batch" contract on text with tab/newline padding or
+    * on a non-English default locale.
+    */
+  private[ops] def sqlTrim(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
+
+  private[ops] def sqlLower(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
+  /** The content key of [[exact]] — md5(trim(lower(text))) — with SQL
+    * semantics, shared by the batch oracle and [[firstSeenStream]].
+    */
+  private[ops] def contentKey(text: String): String = md5Hex(sqlTrim(sqlLower(text)))
+
   /** Scala twin of [[shingleRows]]'s shingling (same tokenization, same
     * clipped-shingle rule for documents shorter than `n` words) — used by
-    * the streaming path, bit-identical to the batch column expressions.
+    * the streaming path, bit-identical to the batch column expressions:
+    * SQL trim/lower (see [[sqlTrim]]/[[sqlLower]]) and `split` with
+    * limit -1 (SQL `split` keeps trailing empty strings; Java's default
+    * drops them, diverging on text with trailing non-space whitespace).
     */
   def shinglesOf(text: String, n: Int): Seq[String] = {
-    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    val toks = sqlTrim(sqlLower(text)).split("\\s+", -1).toSeq
     if (n == 1) toks
     else (0 to math.max(toks.length - n, 0)).map(p => toks.slice(p, p + n).mkString(" "))
   }
@@ -324,7 +351,7 @@ object Dedup {
   def firstSeenStream(docs: Dataset[DocChunk]): Dataset[FirstSeen] = {
     import docs.sparkSession.implicits._
     docs
-      .groupByKey(d => md5Hex(d.text.trim.toLowerCase))
+      .groupByKey(d => contentKey(d.text))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (hash: String, it: Iterator[DocChunk], state: GroupState[Long]) => {
           if (state.exists) Iterator.empty

@@ -125,9 +125,16 @@ object IvfIndex {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("mv"))
+      // Materialization barrier: each iteration's plan references the
+      // previous centroids TWICE (broadcast in assignToDf + the left join),
+      // so without a barrier the lineage doubles per iteration and the
+      // final collect re-scans `df` O(2^iterations) times. localCheckpoint
+      // truncates the plan to the materialized nCells rows — cheap by
+      // construction — keeping the loop at O(iterations) scans.
       centroids = centroids
         .join(means, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
     }
     val centroidRows = centroids.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))

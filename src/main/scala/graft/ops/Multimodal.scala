@@ -60,27 +60,32 @@ object Multimodal {
     * corpus pipeline.
     */
   object ImageIoDecoder extends BinaryDecoder {
-    def decode(bytes: Array[Byte]): (Int, Int, String) = {
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+    def decode(bytes: Array[Byte]): (Int, Int, String) =
+      // NonFatal, not just IOException: ImageIO readers throw
+      // IllegalArgumentException / ArrayIndexOutOfBounds /
+      // NegativeArraySizeException on malformed headers after a recognized
+      // magic number — at corpus scale one such payload must degrade, not
+      // fail the partition. The reader/mime lookup is inside the guard too.
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) (0, 0, "application/octet-stream")
-        else {
-          val r = readers.next()
-          try {
-            r.setInput(iis, true, true)
-            val mime = Option(r.getOriginatingProvider)
-              .flatMap(p => Option(p.getMIMETypes).flatMap(_.headOption))
-              .getOrElse("image/" + r.getFormatName.toLowerCase)
-            (r.getWidth(0), r.getHeight(0), mime)
-          } catch {
-            // truncated/corrupt header after a recognized magic number
-            case _: java.io.IOException => (0, 0, "application/octet-stream")
-          } finally r.dispose()
-        }
-      } finally iis.close()
-    }
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) (0, 0, "application/octet-stream")
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              val mime = Option(r.getOriginatingProvider)
+                .flatMap(p => Option(p.getMIMETypes).flatMap(_.headOption))
+                .getOrElse("image/" + r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+              (r.getWidth(0), r.getHeight(0), mime)
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => (0, 0, "application/octet-stream")
+      }
   }
 
   /** Attach decode metadata to a binary column with a batched

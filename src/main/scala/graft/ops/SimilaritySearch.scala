@@ -87,7 +87,16 @@ object SimilaritySearch {
       .reduce(_ + _)
   }
 
-  /** The LSH index relation: (id, v, bucket) — [[lshTopK]] computes it
+  /** A built LSH index: the (id, v, bucket) relation plus the geometry it
+    * was hashed with. Carrying `planes`/`dims` in the type (and persisting
+    * them beside the data) closes a silent-wrong-answer hole: a query of
+    * the wrong length, or a search assuming different plane count, would
+    * otherwise probe a well-formed but WRONG bucket and return confidently
+    * bogus neighbors instead of erroring.
+    */
+  case class LshIndex(relation: DataFrame, planes: Int, dims: Int)
+
+  /** The LSH index: (id, v, bucket) — [[lshTopK]] computes it
     * per query; [[saveLshIndex]] materializes it partitioned BY bucket so
     * build-once/search-many queries read only their bucket's partition
     * directory (the same pattern [[IvfIndex.save]] gives IVF).
@@ -97,22 +106,51 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       planes: Int,
-      dims: Int): DataFrame =
-    df.select(
-      col(idCol),
-      col(vecCol).cast("array<double>").as("v"),
-      lshBucket(col(vecCol).cast("array<double>"), planes, dims).as("bucket"))
+      dims: Int): LshIndex =
+    LshIndex(
+      df.select(
+        col(idCol),
+        col(vecCol).cast("array<double>").as("v"),
+        lshBucket(col(vecCol).cast("array<double>"), planes, dims).as("bucket")),
+      planes, dims)
+
+  private val MetaFile = "_lsh_meta.json"
 
   /** Persist an LSH index partitioned by bucket: a search's bucket filter
     * becomes partition pruning — at 100 TB a top-k reads ~1/2^planes of the
     * corpus from ONE partition directory instead of re-hashing every vector
-    * per query.
+    * per query. The hash geometry rides along as `_lsh_meta.json` so a
+    * later load validates queries against it.
     */
-  def saveLshIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+  def saveLshIndex(index: LshIndex, path: String): Unit = {
+    index.relation.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val spark = index.relation.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"planes":${index.planes},"dims":${index.dims}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
-  def loadLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def loadLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no $MetaFile — not an index written by saveLshIndex; " +
+        "refusing to guess its hash geometry")
+    val in = fs.open(p)
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    def field(k: String): Int = {
+      val m = s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json)
+      require(m.isDefined, s"$MetaFile at $path is missing field $k: $json")
+      m.get.group(1).toInt
+    }
+    LshIndex(spark.read.parquet(path), field("planes"), field("dims"))
+  }
 
   /** Driver-side twin of [[lshBucket]] for a literal query vector — same
     * left-to-right multiply-add order, so the bucket id is bit-identical to
@@ -130,17 +168,20 @@ object SimilaritySearch {
 
   /** Top-k over a prebuilt/persisted LSH index: only the query's bucket is
     * read (partition-pruned when the index came from [[loadLshIndex]]),
-    * then exact cosine within it.
+    * then exact cosine within it. The query must match the index's recorded
+    * dimensionality — hashing a wrong-length query would probe a wrong
+    * bucket, not error.
     */
   def lshTopKIndexed(
-      index: DataFrame,
+      index: LshIndex,
       idCol: String,
       query: Seq[Double],
-      k: Int,
-      planes: Int): DataFrame = {
+      k: Int): DataFrame = {
+    require(query.length == index.dims,
+      s"query has ${query.length} dims but the index was built with ${index.dims}")
     val q = array(query.map(lit): _*)
-    index
-      .filter(col("bucket") === lshBucketOf(query, planes))
+    index.relation
+      .filter(col("bucket") === lshBucketOf(query, index.planes))
       .select(col(idCol), graft.Functions.roundHalfUp(cosine(col("v"), q), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -159,7 +200,7 @@ object SimilaritySearch {
       planes: Int = 8): DataFrame =
     lshTopKIndexed(
       buildLshIndex(df, idCol, vecCol, planes, query.length),
-      idCol, query, k, planes)
+      idCol, query, k)
 
   /** All-pairs top-k within blocking keys (k nearest neighbors per id among
     * rows sharing `blockCol`), via window ranking — the IVF-style "probe one

@@ -96,9 +96,21 @@ class AnnSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_").toString
     SimilaritySearch.saveLshIndex(index, dir)
     val loaded = SimilaritySearch.loadLshIndex(spark, dir)
-    val persisted = SimilaritySearch.lshTopKIndexed(loaded, "vec_id", queryVec, 10, planes = 4)
+    val persisted = SimilaritySearch.lshTopKIndexed(loaded, "vec_id", queryVec, 10)
       .as[(Long, Double)].collect().toSeq
     assert(persisted == mem)
+
+    // the persisted geometry survives the round trip, and a wrong-length
+    // query ERRORS instead of probing a confidently wrong bucket
+    assert(loaded.planes == 4 && loaded.dims == queryVec.length)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.lshTopKIndexed(loaded, "vec_id", queryVec :+ 0.0, 10)
+    }
+    // a bare parquet dir without the meta file refuses to load
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.loadLshIndex(
+        spark, java.nio.file.Files.createTempDirectory("graft_lsh_bare_").toString)
+    }
 
     // the driver-side bucket must be bit-identical to the column expression
     val qb = SimilaritySearch.lshBucketOf(queryVec, planes = 4)
@@ -110,7 +122,7 @@ class AnnSpec extends SparkSpec {
 
     // the bucket filter must reach the scan as a partition filter — that's
     // the point of partitioning the index by bucket
-    val plan = SimilaritySearch.lshTopKIndexed(loaded, "vec_id", queryVec, 10, planes = 4)
+    val plan = SimilaritySearch.lshTopKIndexed(loaded, "vec_id", queryVec, 10)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"expected bucket partition pruning in:\n$plan")

@@ -166,6 +166,50 @@ class EtlRunSpec extends SparkSpec {
     try assert(!locks.iterator().hasNext) finally locks.close()
   }
 
+  test("a stalled holder whose lock was taken over aborts at the commit fence") {
+    val dir = Files.createTempDirectory("graft_etl_fence_").toString
+    val cat = new LakeCatalog(spark, dir)
+    def batch(lo: Int, n: Int, slowMs: Int = 0) = {
+      val rows = (lo until lo + n).map(i =>
+        ("raw", "bt", s"base_$i", "x.txt", s"p_$i",
+          Timestamp.valueOf("2020-01-15 00:00:00"), null.asInstanceOf[Timestamp],
+          Timestamp.valueOf("2020-02-01 00:00:00"), null.asInstanceOf[String]))
+      val df = rows.toDF(graft.model.Schemas.catalog.fieldNames: _*)
+      if (slowMs == 0) df
+      else {
+        val slow = org.apache.spark.sql.functions.udf((s: String) => {
+          Thread.sleep(slowMs.toLong); true
+        })
+        df.filter(slow(org.apache.spark.sql.functions.col("id_base")))
+      }
+    }
+    cat.upsert(batch(0, 5))
+    val lock = java.nio.file.Paths.get(dir, "locks", "raw__bt.lock")
+
+    // writer A merges slowly (stall simulated by a sleeping predicate);
+    // while it merges, its lock is usurped — as a contender's takeover +
+    // re-create would after a lease expiry — so A's commit fence must abort
+    // the swap instead of overwriting the usurper's state
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future(cat.upsert(batch(100, 40, slowMs = 100)))
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (!Files.exists(lock) && System.nanoTime() < deadline) Thread.sleep(10)
+    assert(Files.exists(lock), "writer A never acquired the lock")
+    Thread.sleep(100)
+    Files.write(lock, "token-of-the-usurper".getBytes("UTF-8"))
+
+    intercept[java.util.ConcurrentModificationException] {
+      Await.result(a, 120.seconds)
+    }
+    // A neither committed its batch nor deleted the usurper's lock
+    assert(cat.read().count() == 5)
+    assert(Files.exists(lock) &&
+      new String(Files.readAllBytes(lock), "UTF-8") == "token-of-the-usurper")
+    Files.delete(lock)
+  }
+
   test("a LIVE holder outlasting the lease is not taken over (heartbeat)") {
     val dir = Files.createTempDirectory("graft_etl_beat_").toString
     // lease far shorter than an upsert's several-second runtime: only the

@@ -70,6 +70,30 @@ class MultimodalCatalogSpec extends SparkSpec {
     assert(got == ((0, 0, "application/octet-stream")))
   }
 
+  test("multimodal: ImageIoDecoder degrades on malformed headers that throw RuntimeExceptions") {
+    // ImageIO readers are known to throw IllegalArgumentException /
+    // ArrayIndexOutOfBounds / NegativeArraySizeException (not IOException)
+    // on adversarially malformed headers — each payload below keeps a
+    // recognized magic number but corrupts the structure after it; the
+    // decoder must degrade, never propagate
+    val hostile = Seq(
+      // JPEG SOI + APP0 marker with segment length 0 (< the 2 it includes)
+      Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x00, 0x4a, 0x46).map(_.toByte),
+      // JPEG SOI + DHT with absurd symbol counts
+      Array(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x05, 0x00, 0xff, 0xff).map(_.toByte),
+      // GIF89a header cut inside the logical screen descriptor
+      "GIF89a".getBytes("US-ASCII") ++ Array(0xff.toByte),
+      // BMP with negative biWidth/biHeight in the info header
+      Array(0x42, 0x4d) ++ Array.fill(16)(0x00) ++
+        Array(0x28, 0x00, 0x00, 0x00, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff) map (_.toByte))
+    hostile.zipWithIndex.foreach { case (bytes, i) =>
+      val got = Multimodal.ImageIoDecoder.decode(bytes)
+      assert(got._1 >= 0 && got._2 >= 0, s"payload $i produced negative dims: $got")
+      assert(got == ((0, 0, "application/octet-stream")) || got._3.startsWith("image/"),
+        s"payload $i: $got")
+    }
+  }
+
   test("multimodal: frame sampling emits one row per stride window") {
     val df = Seq((1L, "a" * 250), (2L, "b" * 99))
       .toDF("id", "s").select(col("id"), col("s").cast("binary").as("bin"))

@@ -88,6 +88,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(firstHalf.head._1) == batchSigs(firstHalf.head._1))
   }
 
+  test("streaming twins match batch on tab/newline padding and locale-sensitive chars") {
+    import spark.implicits._
+    import graft.ops.Dedup
+
+    // Java String.trim strips \t\n (SQL trim does not); Java toLowerCase on a
+    // tr_TR default locale lowers 'I' to dotless 'ı' (SQL lower does not);
+    // Java split drops trailing empty tokens (SQL split keeps them). Each doc
+    // below trips one of those divergences.
+    val hostile = Seq(
+      (1L, "\tIstanbul VISIT in springtime\n"),
+      (2L, "trailing tab after final word\t"),
+      (3L, "  ordinary spaces only doc  "),
+      (4L, "mixed nbsp and\ttab separated words"))
+    val docs = hostile.toDF("doc_id", "text")
+    val batchSigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString).toSeq).toMap
+    val batchKept = Dedup.exact(docs, "doc_id", "text")
+      .select("canonical_id", "content_hash").as[(Long, String)].collect().toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mhSource = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val mhq = Dedup.minhashSignaturesStream(mhSource.toDS(), numHashes = 4).writeStream
+      .outputMode("append").format("memory").queryName("mh_hostile").start()
+    val fsSource = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val fsq = Dedup.firstSeenStream(fsSource.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fs_hostile").start()
+    try {
+      mhSource.addData(hostile.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      fsSource.addData(hostile.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      mhq.processAllAvailable()
+      fsq.processAllAvailable()
+    } finally { mhq.stop(); fsq.stop() }
+
+    val streamedSigs = spark.table("mh_hostile").as[Dedup.MinhashSig].collect()
+      .groupBy(_.docId).map { case (id, sigs) => id -> sigs.maxBy(_.updates).sig }
+    assert(streamedSigs == batchSigs,
+      "streamed signatures diverge from batch on hostile whitespace")
+    val streamedKept = spark.table("fs_hostile").as[Dedup.FirstSeen].collect()
+      .map(f => (f.docId, f.contentHash)).toSet
+    assert(streamedKept == batchKept,
+      "streamed first-seen content hashes diverge from batch exact")
+  }
+
   test("streaming first-seen dedup equals batch exact canonicals; replay emits nothing") {
     import spark.implicits._
     import graft.ops.Dedup
