@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Decontaminate, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.ops.{ConnectedComponents, Decontaminate, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
 
 /** Training-data pipeline coverage over `documents` and `embeddings`:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -28,6 +28,17 @@ object QueriesCorpus {
     "q_dd_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 8, bands = 2)),
+
+    // duplicate GROUPS: LSH pairs clustered by alternating-star connected
+    // components — every doc labeled with its component's min id (singletons
+    // label themselves); keep-one-per-cluster is `doc_id = cluster_id`
+    "q_dd_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ConnectedComponents.assign(
+        docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 8, bands = 2),
+        "id_a", "id_b")
+    }),
 
     // SimHash 16-bit fingerprints
     "q_dd_simhash" -> ((s, dir) =>
@@ -142,6 +153,11 @@ object QueriesCorpus {
       TextAnalysis.repetitionMetrics(lined, "doc_id", "ltext")
     }),
 
+    // training-sample chunking: 40-token sliding windows, 8-token overlap
+    "q_tx_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkTokenWindows(
+        t(s, dir, "documents"), "doc_id", "text", chunkTokens = 40, overlapTokens = 8)),
+
     // corpus vocabulary: global token tf/df, top 100 by frequency
     "q_tx_vocab" -> ((s, dir) =>
       TextAnalysis.vocabStats(t(s, dir, "documents"), "doc_id", "text", topK = 100)),
@@ -252,6 +268,31 @@ object QueriesCorpus {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+    },
+    "q_dd_clusters" -> {
+      // same banded-pair CTE as q_dd_lsh_pairs, then transitive closure via
+      // a recursive min-label reach: r reaches id ⇒ r reaches id's
+      // neighbors; min reachable label per id = the component minimum
+      val bandSelects = (0 until 2)
+        .map { b =>
+          val sig = (0 until 4).map(r => minhashSql(b * 4 + r)).mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM $shingleFrom"
+        }
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE banded AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
     },
     "q_dd_simhash" -> {
       val votes = (0 until 16)
@@ -395,6 +436,14 @@ object QueriesCorpus {
         |  floor(dtr * 10000 + 0.5) / 10000 AS dup_token_ratio,
         |  floor(ttr * 10000 + 0.5) / 10000 AS top_token_ratio
         |FROM r""".stripMargin,
+    "q_tx_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tt FROM documents)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |  array_to_string(tt[CAST(u.i AS INT) * 32 + 1 : CAST(u.i AS INT) * 32 + 40], ' ')
+        |    AS chunk_text,
+        |  least(len(tt) - CAST(u.i AS BIGINT) * 32, 40) AS chunk_tokens
+        |FROM base, unnest(range(0, (greatest(len(tt) - 8, 1) - 1) // 32 + 1)) AS u(i)""".stripMargin,
     "q_tx_vocab" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over duplicate-pair edges — the step
+  * that turns pairwise near-dup evidence ([[Dedup.minhashLshPairs]],
+  * [[Dedup.ngramJaccardPairs]], [[Dedup.embeddingNearDupPairs]]) into
+  * duplicate GROUPS: every document gets a `cluster_id` (the minimum doc id
+  * of its component), and keep-one-per-cluster falls out as
+  * `id === cluster_id`.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — converges in
+  * O(log n) rounds to a forest of stars centered at each component's
+  * minimum, vs O(component diameter) for naive min-label propagation (a
+  * pathological duplicate CHAIN a→b→c→… would need thousands of rounds
+  * under propagation; star-contraction needs ~log of that). No GraphX:
+  * every step is two keyed aggregations + a join, all shuffles on the node
+  * id, so the algorithm inherits Spark SQL's AQE/skew handling and stays
+  * shuffle-bound at 100 TB. Each round's edge set is `localCheckpoint`ed:
+  * the loop re-references its previous output twice per round, so without
+  * the barrier lineage (and recomputation) would double per round — same
+  * lesson as [[IvfIndex.refine]].
+  *
+  * Reference analog: none (the reference dedups on exact keys only,
+  * `atd_data_lake/support/unit_data.py:60-77`); this is part of the
+  * training-data-pipeline surface the engine adds on top.
+  */
+object ConnectedComponents {
+
+  /** One large-star round: every node connects its LARGER neighbors to its
+    * minimum neighborhood member (min over Γ(u) ∪ u). Input edges may have
+    * any orientation; output edges are all (big, small).
+    */
+  /** Re-alias (u, v) with fresh attribute ids: both star steps union a
+    * relation with a projection of ITSELF, and Spark's union constraint
+    * rewrite trips over attribute ids shared across branches
+    * (NoSuchElementException in rewriteConstraints); an explicit alias per
+    * branch gives each side its own ids.
+    */
+  private def fresh(df: DataFrame): DataFrame =
+    df.select(col("u").as("u"), col("v").as("v"))
+
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = fresh(edges)
+      .union(fresh(edges.select(col("v").as("u"), col("u").as("v"))))
+    val m = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round over (big, small)-oriented edges: every node
+    * rewires its smaller neighbors (and itself) to its minimum neighbor.
+    * Output stays (big, small)-oriented.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("u").agg(min(col("v")).as("m"))
+    val rewired = edges.join(m, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    fresh(m.select(col("u"), col("m").as("v"))).union(fresh(rewired)).distinct()
+  }
+
+  /** Component assignment for every vertex of `pairs`: (id, cluster_id)
+    * with cluster_id = the component's minimum id. Vertices absent from
+    * `pairs` (never paired with anything) are their own cluster — pass
+    * `vertices` so singletons appear in the output; pass the pair set's own
+    * ids to label only paired rows.
+    */
+  def assign(
+      vertices: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // converged when a full (large, small) round leaves the edge set
+    // unchanged; the set signature (count + order-independent hash sum +
+    // extrema) avoids a per-round anti-join, and a false convergence would
+    // need a 64-bit hash-sum collision on sets of equal size and extrema
+    var sig = ("-1", 0L, 0L, 0L)
+    def signatureOf(e: DataFrame): (String, Long, Long, Long) = {
+      // hash sum goes through DECIMAL(38,0): 64-bit hashes summed as longs
+      // would overflow (an error under ANSI mode, the engine default)
+      val r = e.agg(
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")), lit(0))
+          .cast("string"),
+        count(lit(1)),
+        coalesce(min(col("v")), lit(0L)), coalesce(max(col("u")), lit(0L))).head()
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done && rounds < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val s = signatureOf(edges)
+      done = s == sig
+      sig = s
+      rounds += 1
+    }
+    if (!done && rounds == maxRounds)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds star rounds")
+    // at the fixpoint every non-minimum node has exactly one edge to its
+    // component's minimum (min-agg keeps the mapping single-valued by
+    // construction); minima and never-paired vertices map to self
+    vertices
+      .select(col(idCol).cast("long").as(idCol))
+      .join(
+        edges.groupBy(col("u").as(idCol)).agg(min(col("v")).as("_root")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_root"), col(idCol)).as("cluster_id"))
+  }
+}

@@ -24,6 +24,17 @@ import graft.Functions
   * one DataFrame expression, no driver loops — and each site carries a
   * `resolution_stage` tag for observability.
   *
+  * Shape: "first match wins" is expressed as a PRIORITY-RANKED UNION, not
+  * anti-join chaining — every stage scores ALL sites once, stages union
+  * with a priority column, and one window keeps each site's
+  * lowest-priority candidate. Chaining each stage on the previous stages'
+  * leftovers gives the same answer but embeds stage k's whole subplan into
+  * every stage > k (the plan doubles per stage: 5 stages ≈ 2⁵ duplicated
+  * window+join subtrees to analyze, codegen, and schedule); the ranked
+  * union keeps the plan linear in stages. A stage-k winner site may also
+  * produce stage->k candidates — computed then outranked — which costs a
+  * few extra dimension-sized comparisons, the right trade at any scale.
+  *
   * Determinism (SURVEY §7.5 risk 4): difflib breaks ratio ties by candidate
   * order; this engine defines the total order (ratio desc, device id asc).
   */
@@ -62,6 +73,12 @@ object DeviceResolution {
       col("lat").as("dev_lat"),
       col("lon").as("dev_lon")))
 
+    // each stage yields ≤1 candidate per site: (site_id, device_id, stage, _prio)
+    def cand(df: DataFrame, stage: String, prio: Int): DataFrame =
+      df.select(
+        col("site_id"), col("device_id"),
+        lit(stage).as("resolution_stage"), lit(prio).as("_prio"))
+
     // J9 — curated lookup, expressed as a literal map on "st1|st2"
     val stage1 =
       if (lookups.isEmpty) s.limit(0).withColumn("device_id", lit(null).cast("string"))
@@ -72,76 +89,74 @@ object DeviceResolution {
         s.withColumn("device_id", element_at(m, concat_ws("|", col("st1"), col("st2"))))
           .filter(col("device_id").isNotNull)
       }
-    val r1 = stage1.withColumn("resolution_stage", lit("lookup"))
+    val r1 = cand(stage1, "lookup", 1)
 
     // J10 — fuzzy: best Ratcliff–Obershelp over both street orderings, in
-    // the reference's TWO passes (`gs_ready.py:150-175`): raw names first;
-    // synonym-substituted names only for sites the raw pass left unresolved.
-    // (A one-pass greatest() over both scorings would diverge when a
-    // synonym-normalized score on device B beats a ≥threshold raw score on
-    // device A — the reference picks A.)
+    // the reference's TWO passes (`gs_ready.py:150-215,341-353`): raw names
+    // outrank synonym-substituted names — here as two priorities rather
+    // than a leftovers anti-join, because a one-pass greatest() over both
+    // scorings would diverge when a synonym-normalized score on device B
+    // beats a ≥threshold raw score on device A (the reference picks A).
     def subSynonyms(c: org.apache.spark.sql.Column) =
       synonyms.foldLeft(c) { case (acc, (from, to)) =>
         regexp_replace(acc, java.util.regex.Pattern.quote(from.toLowerCase), to.toLowerCase)
       }
-    val unresolved1 = s.join(r1.select("site_id"), Seq("site_id"), "left_anti")
-    def bestFuzzy(base: DataFrame, norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    def bestFuzzy(norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
       val score = greatest(
         Functions.seqRatio(norm(concat_ws("/", col("st1"), col("st2"))),
           norm(concat_ws("/", col("d_st1"), col("d_st2")))),
         Functions.seqRatio(norm(concat_ws("/", col("st1"), col("st2"))),
           norm(concat_ws("/", col("d_st2"), col("d_st1")))))
       val w = Window.partitionBy(col("site_id")).orderBy(col("ratio").desc, col("device_id"))
-      base
-        .crossJoin(d)
+      s.crossJoin(d)
         .withColumn("ratio", score)
         .filter(col("ratio") >= minRatio)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(base.columns.map(col) :+ col("device_id"): _*)
     }
-    val r2raw = bestFuzzy(unresolved1, identity)
+    val r2raw = cand(bestFuzzy(identity), "fuzzy", 2)
     val r2syn =
       if (synonyms.isEmpty) r2raw.limit(0)
-      else bestFuzzy(
-        unresolved1.join(r2raw.select("site_id"), Seq("site_id"), "left_anti"),
-        subSynonyms)
-    val r2 = r2raw.unionByName(r2syn).withColumn("resolution_stage", lit("fuzzy"))
+      else cand(bestFuzzy(subSynonyms), "fuzzy", 3)
 
     // J11 — IP equality; argmin on device_id so duplicate/placeholder IPs
     // in the dimension can't fan a site out to multiple rows
-    val unresolved2 = unresolved1.join(r2.select("site_id"), Seq("site_id"), "left_anti")
     val ipW = Window.partitionBy(col("site_id")).orderBy(col("device_id"))
-    val r3 = unresolved2
-      .join(d, col("net_addr") === col("device_ip"))
-      .withColumn("rn", row_number().over(ipW))
-      .filter(col("rn") === 1)
-      .select(unresolved2.columns.map(col) :+ col("device_id"): _*)
-      .withColumn("resolution_stage", lit("ip"))
+    val r3 = cand(
+      s.join(d, col("net_addr") === col("device_ip"))
+        .withColumn("rn", row_number().over(ipW))
+        .filter(col("rn") === 1),
+      "ip", 4)
 
     // J12 — nearest by haversine under the distance cap
-    val unresolved3 = unresolved2.join(r3.select("site_id"), Seq("site_id"), "left_anti")
     val dist = Functions.haversineFeet(
       col("site_lat"), col("site_lon"), col("dev_lat"), col("dev_lon"))
     val geoW = Window.partitionBy(col("site_id")).orderBy(col("dist_ft"), col("device_id"))
-    val r4 = unresolved3
-      .filter(col("site_lat").isNotNull && col("site_lon").isNotNull)
-      .crossJoin(d)
-      .withColumn("dist_ft", dist)
-      .filter(col("dist_ft") < maxDistFt)
-      .withColumn("rn", row_number().over(geoW))
-      .filter(col("rn") === 1)
-      .select(unresolved3.columns.map(col) :+ col("device_id"): _*)
-      .withColumn("resolution_stage", lit("geo"))
+    val r4 = cand(
+      s.filter(col("site_lat").isNotNull && col("site_lon").isNotNull)
+        .crossJoin(d)
+        .withColumn("dist_ft", dist)
+        .filter(col("dist_ft") < maxDistFt)
+        .withColumn("rn", row_number().over(geoW))
+        .filter(col("rn") === 1),
+      "geo", 5)
+
+    // first match wins: the lowest-priority candidate per site
+    val pickW = Window.partitionBy(col("site_id")).orderBy(col("_prio"))
+    val resolved = r1.unionByName(r2raw).unionByName(r2syn)
+      .unionByName(r3).unionByName(r4)
+      .withColumn("_pick", row_number().over(pickW))
+      .filter(col("_pick") === 1)
+      .select("site_id", "device_id", "resolution_stage")
 
     // unmatched sites surface with a null device (reference logs and skips,
-    // gs_ready.py:207-210 — surfacing beats dropping for observability)
-    val unresolved4 = unresolved3.join(r4.select("site_id"), Seq("site_id"), "left_anti")
-    val r5 = unresolved4
-      .withColumn("device_id", lit(null).cast("string"))
-      .withColumn("resolution_stage", lit("unmatched"))
-
-    r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
-      .select("site_id", "device_id", "resolution_stage")
+    // gs_ready.py:207-210 — surfacing beats dropping for observability); a
+    // left join + coalesce references `resolved` ONCE, where an anti-join +
+    // union would embed the candidate subtree a second time
+    s.select(col("site_id"))
+      .join(resolved, Seq("site_id"), "left")
+      .select(
+        col("site_id"), col("device_id"),
+        coalesce(col("resolution_stage"), lit("unmatched")).as("resolution_stage"))
   }
 }

@@ -168,6 +168,44 @@ object TextAnalysis {
     else stats.orderBy(col("tf").desc, col("token")).limit(topK)
   }
 
+  /** Training-sample chunking: split each document into sliding token
+    * windows of `chunkTokens` tokens advancing by `chunkTokens -
+    * overlapTokens` (consecutive chunks share `overlapTokens` tokens, so no
+    * cross-chunk context is lost at window boundaries — the standard
+    * context-window prep for LLM training/RAG corpora). One row per chunk:
+    * (id, chunk_idx, chunk_text, chunk_tokens); the final chunk may be
+    * short, but every chunk contributes at least one token beyond the
+    * previous chunk's overlap (a tail shorter than the overlap would
+    * otherwise emit a final chunk fully contained in its predecessor).
+    * Pure per-row expressions + one generator — no UDF, no shuffle;
+    * output partitioning inherits the input's, so a downstream
+    * `repartition` is only needed when chunk fan-out skews partition sizes.
+    */
+  def chunkTokenWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need chunkTokens >= 1 and 0 <= overlapTokens < chunkTokens")
+    val step = chunkTokens - overlapTokens
+    val t = toks(col(textCol))
+    // tokenization never yields an empty array (split of "" is [""]), so
+    // every document emits >= 1 chunk and the sequence bound is safe;
+    // ceil((n - overlap) / step) starts: the last chunk must reach past the
+    // previous chunk's end, never sit inside its overlap
+    val nChunks =
+      floor((greatest(size(t) - overlapTokens, lit(1)) - 1) / step).cast("int") + 1
+    df.select(col(idCol), t.as("_t"), posexplode(sequence(lit(0), nChunks - 1)))
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_t"), col("pos") * step + 1, lit(chunkTokens))).as("chunk_text"),
+        least(size(col("_t")) - col("pos") * step, lit(chunkTokens))
+          .cast("long").as("chunk_tokens"))
+  }
+
   /** PII/URL scrubbing: replace emails and URLs with placeholder tokens
     * (the normalization pass every web-scale corpus runs before training).
     * Patterns use the portable character-class subset shared by Java regex

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Dedup, Publish, TrafficAgg}
+import graft.ops.{AsOf, Dedup, Publish, TextAnalysis, TrafficAgg}
 
 /** Unit semantics of the core ops: as-of join direction/ties, exact-moment
   * traffic stats, dedup building blocks, first-seen counter.
@@ -119,6 +119,36 @@ class OpsSpec extends SparkSpec {
     val got = Dedup.ngramJaccardPairs(df, "id", "text", Seq(col("b")), n = 2, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 2L, 0.6)))
+  }
+
+  test("chunkTokenWindows: coverage, overlap, and short-document invariants") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens → 3 chunks at step 32
+      (2L, "tiny doc"),                                // shorter than one chunk
+      (3L, (1 to 40).map(i => s"x$i").mkString(" ")),  // exactly one full chunk
+      (4L, ""))                                        // empty → one empty chunk
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokenWindows(docs, "doc_id", "text", 40, 8)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+
+    // every token of every doc appears in order; consecutive chunks share
+    // exactly the 8-token overlap
+    val c1 = got(1L)
+    assert(c1.length == 3) // ceil((100 - 8) / 32) — no chunk inside the overlap tail
+    c1.sliding(2).foreach { case Array(a, b) =>
+      val at = a._3.split(" ").toSeq
+      val bt = b._3.split(" ").toSeq
+      assert(at.takeRight(8) == bt.take(8), s"overlap broken between ${a._2} and ${b._2}")
+    }
+    val reassembled = c1.head._3.split(" ").toSeq ++
+      c1.tail.flatMap(_._3.split(" ").toSeq.drop(8))
+    assert(reassembled == (1 to 100).map(i => s"w$i"))
+    assert(c1.map(_._4).toSeq == Seq(40L, 40L, 100L - 2 * 32))
+
+    assert(got(2L).toSeq == Seq((2L, 0L, "tiny doc", 2L)))
+    assert(got(3L).toSeq.map(c => (c._2, c._4)) == Seq((0L, 40L)))
+    assert(got(4L).toSeq == Seq((4L, 0L, "", 1L))) // split("") = [""] — one empty token
   }
 
   test("Publish.firstSeenCounter numbers by first appearance and resets daily") {
