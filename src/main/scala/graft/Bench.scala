@@ -15,11 +15,13 @@ object Bench {
     Functions.register(spark)
     // headline queries: the scale-relevant operators (flagship agg, keyed
     // joins, incremental diff, as-of, windows, dedup, ANN, text metrics) plus
-    // the two most composed core-loop paths (catalog merge, GS ready cascade)
+    // the most composed core-loop paths: catalog merge, GS ready cascade,
+    // iterative dup clustering, and the full corpus-curation pipeline
     val headline = Seq(
       "q_a1_traffic15", "q_j1_incr_diff", "q_j2_fact_dim", "q_j3_double_dim",
       "q_j5_left", "q_j7_asof_fwd", "q_a5_7day_avg", "q_a6_latest_per_user",
       "q_w1_first_seen", "q_dd_exact", "q_dd_lsh_pairs", "q_dd_simhash",
+      "q_dd_clusters", "q_cr_keep",
       "q_ann_brute", "q_tx_quality", "q_tx_fingerprint", "q_sc_recordid",
       "q_k2_upsert", "q_gs_ready")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer

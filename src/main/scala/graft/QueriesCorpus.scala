@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ConnectedComponents, Decontaminate, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.ops.{ConnectedComponents, Curate, Decontaminate, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
 
 /** Training-data pipeline coverage over `documents` and `embeddings`:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -161,6 +161,15 @@ object QueriesCorpus {
     // corpus vocabulary: global token tf/df, top 100 by frequency
     "q_tx_vocab" -> ((s, dir) =>
       TextAnalysis.vocabStats(t(s, dir, "documents"), "doc_id", "text", topK = 100)),
+
+    // the COMPOSED curation pipeline (corpus twin of q_gs_ready): quality
+    // gate + language gate + exact-dup canonical + near-dup cluster
+    // canonical + deterministic sampling, per-doc flags ANDed into `keep`
+    "q_cr_keep" -> ((s, dir) =>
+      Curate.decide(
+        t(s, dir, "documents"), "doc_id", "text",
+        minQuality = 0.5, acceptLangs = Seq("en", "und"),
+        sampleRate = 0.9, sampleSalt = "cr")),
 
     // benchmark decontamination: eval = every 5th doc, train = the rest;
     // containment of the EVAL doc's bigram shingle set
@@ -451,6 +460,55 @@ object QueriesCorpus {
         |WHERE token <> ''
         |GROUP BY token
         |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q_cr_keep" -> {
+      // every stage of the engine-side composition recomputed in SQL: the
+      // q_dd_clusters recursive closure, the q_tx_langid marker scoring,
+      // the q_tx_quality composite, the q_dd_exact canonical, and the
+      // q_sm_hash md5 sample — joined per doc
+      val bandSelects = (0 until 2)
+        .map { b =>
+          val sig = (0 until 4).map(r => minhashSql(b * 4 + r)).mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM $shingleFrom"
+        }
+        .mkString("\n  UNION ALL ")
+      val u = "(CAST('0x' || substr(md5('cr' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+      s"""WITH RECURSIVE banded AS (
+         |  $bandSelects),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |lg AS (SELECT doc_id, lang_guess FROM (${langIdOracleSql(TextAnalysis.LangMarkers)})),
+         |q AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(t) BETWEEN 20 AND 400 THEN 0.5 ELSE 0.0 END)
+         |    + (CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(t) END)
+         |         BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END) AS score
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents)),
+         |ex AS (SELECT md5(trim(lower(text))) AS ch, min(doc_id) AS can FROM documents GROUP BY 1)
+         |SELECT d.doc_id,
+         |  q.score >= 0.5 AS quality_ok,
+         |  lg.lang_guess IN ('en', 'und') AS lang_ok,
+         |  d.doc_id = e.can AS exact_canonical,
+         |  d.doc_id = cl.cluster_id AS near_canonical,
+         |  $u < 0.9 AS sampled,
+         |  (q.score >= 0.5 AND lg.lang_guess IN ('en', 'und') AND d.doc_id = e.can
+         |   AND d.doc_id = cl.cluster_id AND $u < 0.9) AS keep
+         |FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |JOIN lg ON lg.doc_id = d.doc_id
+         |JOIN ex e ON e.ch = md5(trim(lower(d.text)))
+         |JOIN cl ON cl.doc_id = d.doc_id""".stripMargin
+    },
     "q_dc_overlap" ->
       """WITH sh AS (
         |  SELECT doc_id,

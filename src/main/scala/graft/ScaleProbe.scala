@@ -92,7 +92,17 @@ object ScaleProbe {
       "cos_pairs" -> (d =>
         graft.ops.Dedup.embeddingNearDupPairs(
           Tables(spark, d, "embeddings"), "vec_id", "embedding", "label",
-          threshold = 0.30).count()))
+          threshold = 0.30).count()),
+      // iterative star-contraction: rounds grow with log(component size),
+      // per-round cost with edge count — expect ~pair-generation ratio
+      "dd_clusters" -> { d =>
+        val docs = docsAt(d)
+        graft.ops.ConnectedComponents.assign(
+          docs.select(col("doc_id")), "doc_id",
+          graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+            numHashes = 8, bands = 2),
+          "id_a", "id_b").count()
+      })
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Curate
+
+/** The composed curation decision on a crafted corpus where every flag is
+  * discriminative (the synthetic documents table leaves lang_ok and
+  * exact_canonical constant — the oracle checks their computation, this
+  * spec checks their semantics).
+  */
+class CurateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("each flag flips on its designed document; keep is the conjunction") {
+    // 280 words, stopword ratio 1/7 ≈ 0.14, "the" dominates markers → en
+    val good = (1 to 40).map(i => s"the quick word$i brown fox jumps high").mkString(" ")
+    val docs = Seq(
+      (1L, good),                          // passes everything
+      (2L, good),                          // exact dup of 1 → not exact canonical
+      (3L, "el la de que los el la de"),   // spanish → lang_ok false
+      (4L, "tiny"),                        // 1 word → quality_ok false
+      // appending an exact copy of segment 1 changes the TEXT (distinct
+      // content hash) but adds no new 3-shingles (every boundary shingle
+      // already occurs between consecutive segments), so doc 5's minhash
+      // equals doc 1's and the LSH pair is guaranteed
+      (5L, good + " the quick word1 brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val got = Curate.decide(
+        docs, "doc_id", "text",
+        minQuality = 0.5, acceptLangs = Seq("en", "und"), sampleRate = 1.0)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+
+    // (id, quality_ok, lang_ok, exact_canonical, near_canonical, sampled, keep)
+    assert(got(1L) == ((1L, true, true, true, true, true, true)))
+    // doc 2 is byte-identical to doc 1: loses BOTH canonical flags (the LSH
+    // near-dup pair 1-2 clusters to min id 1)
+    assert(!got(2L)._4 && !got(2L)._5 && !got(2L)._7)
+    assert(!got(3L)._3 && !got(3L)._7, "spanish doc must fail lang gate")
+    assert(!got(4L)._2 && !got(4L)._7, "one-word doc must fail quality gate")
+    // doc 5 shares doc 1's long prefix → near-dups into cluster 1 but is
+    // exact-canonical for its own distinct content
+    assert(got(5L)._4 && !got(5L)._5 && !got(5L)._7)
+
+    // keep ≡ conjunction of the five flags, for every row
+    got.values.foreach { r =>
+      assert(r._7 == (r._2 && r._3 && r._4 && r._5 && r._6), s"keep != AND for $r")
+    }
+
+    // sampling flag: rate 0 drops everything, deterministically
+    val none = Curate.decide(docs, "doc_id", "text", sampleRate = 0.0)
+      .filter(org.apache.spark.sql.functions.col("sampled")).count()
+    assert(none == 0)
+  }
+}
