@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ConnectedComponents, Curate, Decontaminate, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.ops.{ConnectedComponents, Curate, Decontaminate, Dedup, Multimodal, Quantize, SimilaritySearch, TextAnalysis}
 
 /** Training-data pipeline coverage over `documents` and `embeddings`:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -90,6 +90,25 @@ object QueriesCorpus {
         col("vec_id"),
         SimilaritySearch.lshBucket(col("embedding").cast("array<double>"), planes = 6, dims = dims)
           .as("bucket"))
+    }),
+
+    // int8 scalar quantization of the embedding corpus: per-dimension
+    // min-max bounds fit on the data (dims-row driver collect, the IVF
+    // centroid contract), quantize + dequantize against literal bounds;
+    // exploded (vec_id, pos, q, deq) form so the oracle needs no array
+    // assembly
+    "q_eq_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (lo, hi) = Quantize.fitBounds(emb, "embedding")
+      val qv = Quantize.quantize(col("embedding"), lo, hi)
+      val dq = Quantize.dequantize(qv, lo, hi)
+      emb.select(
+          col("vec_id"),
+          posexplode(zip_with(qv, dq, (a, b) => struct(a.as("q"), b.as("d")))))
+        .select(
+          col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col.q").cast("long").as("q"),
+          Functions.roundHalfUp(col("col.d"), 6).as("deq"))
     }),
 
     // language-id heuristic (default marker table)
@@ -369,6 +388,21 @@ object QueriesCorpus {
          |SELECT vec_id, CAST(${(0 until 6).map(planeBit).mkString(" + ")} AS BIGINT) AS bucket
          |FROM base""".stripMargin
     },
+    "q_eq_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(z[2] AS BIGINT) AS pos, CAST(z[1] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |       unnest(list_zip(v, range(0, len(v)))) AS t(z)),
+        |b AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos),
+        |qq AS (
+        |  SELECT e.vec_id, e.pos,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |      ELSE CAST(greatest(0.0, least(255.0, floor((e.x - b.lo) / (b.hi - b.lo) * 255 + 0.5))) AS BIGINT) - 128 END AS q,
+        |    b.lo, b.hi
+        |  FROM ex e JOIN b USING (pos))
+        |SELECT vec_id, pos, q,
+        |  floor((CASE WHEN hi = lo THEN lo ELSE lo + (q + 128) * (hi - lo) / 255.0 END) * 1000000 + 0.5) / 1000000 AS deq
+        |FROM qq""".stripMargin,
     "q_tx_langid" -> langIdOracleSql(TextAnalysis.LangMarkers),
     "q_tx_langid_custom" -> langIdOracleSql(CustomLangMarkers),
     "q_tx_quality" ->

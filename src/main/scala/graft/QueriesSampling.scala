@@ -35,7 +35,13 @@ object QueriesSampling {
       Sampling.split(
         t(s, dir, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select("doc_id", "split")))
+        .select("doc_id", "split")),
+
+    // exactly min(k, |stratum|) docs per language: deterministic min-wise
+    // reservoir (k smallest md5-uniforms per stratum)
+    "q_sm_pergroup" -> ((s, dir) =>
+      Sampling.perStratumSample(t(s, dir, "documents"), "lang", "doc_id", k = 40)
+        .select("doc_id", "lang")))
 
   val oracles: Map[String, String] = Map(
     "q_sm_hash" ->
@@ -50,5 +56,9 @@ object QueriesSampling {
          |  CASE WHEN ${uSql("doc_id")} < 0.8 THEN 'train'
          |       WHEN ${uSql("doc_id")} < 0.9 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    "q_sm_pergroup" ->
+      s"""SELECT doc_id, lang FROM documents
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY lang ORDER BY ${uSql("doc_id")}, doc_id) <= 40""".stripMargin)
 }

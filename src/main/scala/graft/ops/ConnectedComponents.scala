@@ -119,4 +119,34 @@ object ConnectedComponents {
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("_root"), col(idCol)).as("cluster_id"))
   }
+
+  /** Incremental re-clustering: fold a batch of NEW pairs into an existing
+    * assignment without reprocessing the original pair set. A prior
+    * assignment IS its own compressed edge set — one (id → cluster) star
+    * edge per non-root member — so merging costs
+    * O(existing vertices + new pairs), not O(all pairs ever seen), and the
+    * star edges enter [[assign]] already one large-star round from
+    * convergence. Equivalent to clustering the union of all pairs (spec:
+    * incremental ≡ batch); cluster ids stay stable unless a new pair
+    * bridges two components (the larger min loses, as in the batch
+    * operator).
+    */
+  def merge(
+      assignment: DataFrame,
+      idCol: String,
+      newPairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val vertices = assignment.select(col(idCol).cast("long").as(idCol))
+      .union(newPairs.select(col(aCol).cast("long").as(idCol)))
+      .union(newPairs.select(col(bCol).cast("long").as(idCol)))
+      .distinct()
+    val starEdges = assignment
+      .filter(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol).cast("long").as("id_a"), col("cluster_id").cast("long").as("id_b"))
+    val allPairs = starEdges
+      .union(newPairs.select(col(aCol).cast("long").as("id_a"), col(bCol).cast("long").as("id_b")))
+    assign(vertices, idCol, allPairs, "id_a", "id_b", maxRounds)
+  }
 }

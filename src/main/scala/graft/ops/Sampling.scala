@@ -52,6 +52,30 @@ object Sampling {
     df.filter(hashUniform(col(keyCol), salt) < rate)
   }
 
+  /** Exactly min(k, |stratum|) rows per stratum: the k rows with the
+    * smallest md5-uniform per stratum — a deterministic reservoir sample
+    * (min-wise sampling: each key's uniform is fixed, so growing a stratum
+    * only ever evicts the largest, and reruns pick identical rows). One
+    * window shuffle keyed by stratum; a pathologically hot stratum
+    * serializes its own partition — for that shape use
+    * [[graft.ops.Publish]]'s two-level bucket-rank pattern with a salt on
+    * the stratum key.
+    */
+  def perStratumSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashUniform(col(keyCol), salt), col(keyCol))
+    df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Assign each row a split label by hash band: `fractions` are
     * (label, weight) pairs; bands partition [0, 1) in the given order.
     * Deterministic, disjoint, exhaustive — a row can never change split

@@ -58,6 +58,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Set((5L, 5L), (7L, 7L), (9L, 9L)))
   }
 
+  test("incremental merge over prior stars equals batch over all pairs") {
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val all = (1 to 600)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val vertices = (0 until n).map(_.toLong).toDF("id")
+    // batch over everything
+    val batch = ConnectedComponents.assign(
+        vertices, "id", all.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // first half clustered, then the second half merged in — including
+    // pairs that BRIDGE two prior components
+    val (h1, h2) = all.splitAt(all.length / 2)
+    val prior = ConnectedComponents.assign(
+      vertices, "id", h1.toDF("id_a", "id_b"), "id_a", "id_b")
+    val merged = ConnectedComponents.merge(prior, "id", h2.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(merged == batch)
+  }
+
   test("dedup clusters over LSH pairs: transitive closure of the pair relation") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 8, bands = 2)

@@ -38,6 +38,33 @@ class SamplingSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("perStratumSample keeps exactly the k min-uniform rows per stratum, rerun-stable") {
+    val k = 30
+    val got = Sampling.perStratumSample(docs, "lang", "doc_id", k)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, v) => l -> v.map(_._2).toSet }
+    val strata = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == strata.keySet)
+    got.foreach { case (l, ids) =>
+      assert(ids.size == math.min(k.toLong, strata(l)), s"stratum $l wrong size")
+    }
+    // the selection is exactly the k smallest md5-uniforms (min-wise):
+    // recompute driver-side from the same derivation
+    val byU = docs.select(col("lang"), col("doc_id"),
+        Sampling.hashUniform(col("doc_id")).as("u"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).map { case (l, v) =>
+        l -> v.sortBy(r => (r._3, r._2)).take(k).map(_._2).toSet
+      }
+    assert(got == byU)
+    // rerun over a different physical layout picks identical rows
+    val again = Sampling.perStratumSample(docs.repartition(13), "lang", "doc_id", k)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, v) => l -> v.map(_._2).toSet }
+    assert(again == got)
+  }
+
   test("stratified rates apply per stratum; salt decorrelates decisions") {
     val mixed = Sampling.stratifiedSample(
       docs, "lang", "doc_id", rates = Map("en" -> 1.0), defaultRate = 0.0)
