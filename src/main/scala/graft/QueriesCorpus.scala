@@ -177,6 +177,27 @@ object QueriesCorpus {
       TextAnalysis.chunkTokenWindows(
         t(s, dir, "documents"), "doc_id", "text", chunkTokens = 40, overlapTokens = 8)),
 
+    // duplicate-cluster representative: keep each near-dup cluster's
+    // highest-quality member instead of its minimum id
+    "q_dd_representative" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = ConnectedComponents.assign(
+        docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 8, bands = 2),
+        "id_a", "id_b")
+      val scored = clusters.join(
+        TextAnalysis.qualityMetrics(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score")),
+        Seq("doc_id"))
+      Curate.representatives(scored, "doc_id", "cluster_id", "quality_score")
+    }),
+
+    // per-(doc, token) TF-IDF weights
+    "q_tx_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.tfidf(docs, "doc_id", "text", totalDocs = docs.count())
+    }),
+
     // corpus vocabulary: global token tf/df, top 100 by frequency
     "q_tx_vocab" -> ((s, dir) =>
       TextAnalysis.vocabStats(t(s, dir, "documents"), "doc_id", "text", topK = 100)),
@@ -388,6 +409,50 @@ object QueriesCorpus {
          |SELECT vec_id, CAST(${(0 until 6).map(planeBit).mkString(" + ")} AS BIGINT) AS bucket
          |FROM base""".stripMargin
     },
+    "q_dd_representative" -> {
+      val bandSelects = (0 until 2)
+        .map { b =>
+          val sig = (0 until 4).map(r => minhashSql(b * 4 + r)).mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM $shingleFrom"
+        }
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE banded AS (
+         |  $bandSelects),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    floor(((CASE WHEN len(t) BETWEEN 20 AND 400 THEN 0.5 ELSE 0.0 END)
+         |      + (CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
+         |           ELSE CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(t) END)
+         |           BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END)) * 100 + 0.5) / 100 AS score
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents))
+         |SELECT cl.cluster_id, q.doc_id AS representative_id, q.score AS representative_score
+         |FROM cl JOIN q USING (doc_id)
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY cl.cluster_id ORDER BY q.score DESC, q.doc_id) = 1""".stripMargin
+    },
+    "q_tx_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf,
+        |  floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df) * 1000000 + 0.5) / 1000000 AS tfidf
+        |FROM tf JOIN dfq USING (token), n""".stripMargin,
     "q_eq_quantize" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(z[2] AS BIGINT) AS pos, CAST(z[1] AS DOUBLE) AS x

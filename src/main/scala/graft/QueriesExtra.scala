@@ -85,6 +85,19 @@ object QueriesExtra {
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))),
 
+    // exact grouped percentiles (linear interpolation at rank p·(n-1) —
+    // the same definition DuckDB's quantile_cont uses): threshold
+    // selection over quality/latency distributions
+    "q_x_percentile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.25D, 0.5D, 0.95D))").as("ps"))
+        .select(
+          col("event_type"),
+          Functions.roundHalfUp(element_at(col("ps"), 1), 6).as("p25"),
+          Functions.roundHalfUp(element_at(col("ps"), 2), 6).as("p50"),
+          Functions.roundHalfUp(element_at(col("ps"), 3), 6).as("p95"))),
+
     // approximate distinct (HLL++) — rows-only check (approximate by
     // definition); the 100 TB shape for cardinality over billions of keys
     "q_x_approx_distinct" -> ((s, dir) =>
@@ -125,6 +138,12 @@ object QueriesExtra {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_x_percentile" ->
+      """SELECT event_type,
+        |  floor(quantile_cont(value, 0.25) * 1000000 + 0.5) / 1000000 AS p25,
+        |  floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+        |  floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_x_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps

@@ -72,4 +72,101 @@ object Curate {
         col("quality_ok") && col("lang_ok") && col("exact_canonical") &&
           col("near_canonical") && col("sampled"))
   }
+
+  // ---- streaming ----------------------------------------------------------
+
+  /** Per-document curation flags on a live stream. */
+  case class StreamFlags(
+      docId: Long,
+      qualityOk: Boolean,
+      langOk: Boolean,
+      firstSeen: Boolean,
+      sampled: Boolean,
+      keep: Boolean)
+
+  /** Streaming twin of [[decide]] for live ingest: quality, language, and
+    * sampling are pure per-row twins of the batch column expressions (SQL
+    * trim/lower/split semantics via [[Dedup.sqlTrim]] — the same
+    * bit-compatibility contract as [[Dedup.minhashSignaturesStream]]);
+    * exact dedup is stateful per content hash, so `firstSeen` mirrors the
+    * batch `exact_canonical` (within one micro-batch the minimum docId
+    * wins, matching the batch canonical rule; across batches first arrival
+    * wins — the streaming-order semantics [[Dedup.firstSeenStream]]
+    * defines). Replays are idempotent: the state remembers the canonical
+    * docId, so a replayed canonical re-emits `firstSeen = true` and a
+    * replayed duplicate re-emits `false`. The near-dup cluster flag is
+    * batch-only (star contraction is iterative); run [[decide]] over the
+    * accumulated lake for the full conjunction.
+    */
+  def decideStream(
+      docs: org.apache.spark.sql.Dataset[Dedup.DocChunk],
+      minQuality: Double = 0.5,
+      acceptLangs: Seq[String] = Seq("en", "und"),
+      sampleRate: Double = 1.0,
+      sampleSalt: String = "",
+      langMarkers: Seq[(String, Seq[String])] = TextAnalysis.LangMarkers)
+      : org.apache.spark.sql.Dataset[StreamFlags] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def flagsOf(d: Dedup.DocChunk, first: Boolean): StreamFlags = {
+      val toks = Dedup.sqlTrim(Dedup.sqlLower(d.text)).split("\\s+", -1).toSeq
+      val hits = langMarkers.map { case (lang, ms) =>
+        (lang, toks.count(ms.contains))
+      }
+      val best = hits.map(_._2).max
+      val guess =
+        if (best <= 0) "und"
+        else hits.find(_._2 == best).get._1 // table order breaks ties, as in batch
+      val wordCnt = toks.length
+      val stopRatio =
+        if (wordCnt == 0) 0.0
+        else toks.count(TextAnalysis.QualityStopwords.contains).toDouble / wordCnt
+      val score =
+        (if (wordCnt >= 20 && wordCnt <= 400) 0.5 else 0.0) +
+          (if (stopRatio >= 0.01 && stopRatio <= 0.5) 0.5 else 0.0)
+      val sampled =
+        SimilaritySearch.md5Bits32(s"$sampleSalt${d.docId}") / 4294967296.0 < sampleRate
+      val qualityOk = score >= minQuality
+      val langOk = acceptLangs.contains(guess)
+      StreamFlags(d.docId, qualityOk, langOk, first, sampled,
+        qualityOk && langOk && first && sampled)
+    }
+
+    docs
+      .groupByKey(d => Dedup.contentKey(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (hash: String, it: Iterator[Dedup.DocChunk], state: GroupState[Long]) => {
+          val items = it.toSeq.sortBy(_.docId)
+          val canonical =
+            if (state.exists) state.get
+            else { val c = items.head.docId; state.update(c); c }
+          items.iterator.map(d => flagsOf(d, d.docId == canonical))
+        })
+  }
+
+  /** Cluster representative selection: instead of keeping each duplicate
+    * cluster's MINIMUM id (the [[ConnectedComponents]] default), keep its
+    * best-scoring member — real pipelines keep the longest / highest-quality
+    * variant of a near-dup group, not an arbitrary one. `scored` carries one
+    * row per doc with `clusterCol` and `scoreCol`; ties break to the lowest
+    * id (deterministic total order, the same rule as every argmax here).
+    * One window keyed by cluster — the only shuffle.
+    */
+  def representatives(
+      scored: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(
+        col(clusterCol),
+        col(idCol).as("representative_id"),
+        col(scoreCol).as("representative_score"))
+  }
 }

@@ -54,7 +54,7 @@ object SimilaritySearch {
     * planes × 768 dims the per-row form is ~4.6 trillion md5 calls for
     * values that fit in a literal array.
     */
-  private def md5Bits32(s: String): Long =
+  private[ops] def md5Bits32(s: String): Long =
     java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

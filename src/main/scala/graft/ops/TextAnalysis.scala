@@ -20,6 +20,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "une", "est"),
     "de" -> Seq("der", "die", "und", "das", "ein"))
 
+  /** Stopword set the quality composite thresholds on (shared with the
+    * streaming twin in [[Curate.decideStream]]).
+    */
+  val QualityStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
   private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Count of tokens that appear in `markers`. */
@@ -52,7 +57,7 @@ object TextAnalysis {
     val t = toks(col(textCol))
     val wordCnt = size(t)
     val charCnt = length(trim(col(textCol)))
-    val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+    val stopwords = QualityStopwords
     val stopRatio = when(wordCnt === 0, lit(0.0))
       .otherwise(hits(t, stopwords).cast("double") / wordCnt.cast("double"))
     val avgWordLen = when(wordCnt === 0, lit(0.0))
@@ -166,6 +171,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), count_distinct(col("_doc")).as("df"))
     if (topK <= 0) stats
     else stats.orderBy(col("tf").desc, col("token")).limit(topK)
+  }
+
+  /** Per-(document, token) TF-IDF weights: `tf · ln(N / df)` over
+    * whitespace tokens — the weighting behind classic sparse retrieval and
+    * keyword extraction. Two map-side-combinable aggregates (term
+    * frequency keyed by (doc, token); document frequency keyed by token)
+    * and one keyed join — at 100 TB every shuffle is on the token
+    * dimension, never all-pairs. `totalDocs` comes from the caller (one
+    * bounded count) so the relation stays lazily composable.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, totalDocs: Long): DataFrame = {
+    require(totalDocs > 0)
+    val perDoc = df
+      .select(col(idCol).as("_doc"), explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("_doc", "token")
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+    perDoc
+      .join(docFreq, "token")
+      .select(
+        col("_doc").as(idCol), col("token"), col("tf"),
+        graft.Functions.roundHalfUp(
+          col("tf") * log(lit(totalDocs.toDouble) / col("df")), 6).as("tfidf"))
   }
 
   /** Training-sample chunking: split each document into sliding token

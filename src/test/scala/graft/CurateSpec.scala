@@ -52,4 +52,42 @@ class CurateSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("sampled")).count()
     assert(none == 0)
   }
+
+  test("decideStream twins the batch flags; replays re-emit identically") {
+    import graft.ops.Dedup
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val batch = Curate.decide(docs, "doc_id", "text", sampleRate = 0.6, sampleSalt = "st")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val q = Curate.decideStream(source.toDS(), sampleRate = 0.6, sampleSalt = "st")
+      .writeStream.outputMode("append").format("memory").queryName("cr_stream").start()
+    try {
+      source.addData(rows.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      q.processAllAvailable()
+      val first = spark.table("cr_stream").as[Curate.StreamFlags].collect()
+      assert(first.length == rows.length)
+      first.foreach { f =>
+        val b = batch(f.docId)
+        // (id, quality_ok, lang_ok, exact_canonical, near_canonical, sampled, keep)
+        assert(f.qualityOk == b._2 && f.langOk == b._3 && f.sampled == b._6,
+          s"per-row flags diverge for ${f.docId}: $f vs $b")
+        // one micro-batch: min-docId canonical — identical to batch
+        assert(f.firstSeen == b._4, s"firstSeen diverges for ${f.docId}")
+        assert(f.keep == (f.qualityOk && f.langOk && f.firstSeen && f.sampled))
+      }
+      // full replay: every row re-emits with IDENTICAL flags (canonical
+      // remembered in state, not re-derived from arrival order)
+      source.addData(rows.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      q.processAllAvailable()
+      val all = spark.table("cr_stream").as[Curate.StreamFlags].collect()
+      assert(all.length == rows.length * 2)
+      all.groupBy(_.docId).values.foreach { g =>
+        assert(g.toSet.size == 1, s"replay changed flags: $g")
+      }
+    } finally q.stop()
+  }
 }
