@@ -42,6 +42,26 @@ class QuantizeSpec extends SparkSpec {
     assert(got.forall(_._2(2) == 0) && got.forall(_._3(2) == 5.0))
   }
 
+  test("ANN over dequantized int8 vectors keeps high top-k recall") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (lo, hi) = Quantize.fitBounds(emb, "embedding")
+    val queryVec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+    val exact = graft.ops.SimilaritySearch
+      .bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", queryVec, 20)
+      .select("vec_id").as[Long].collect().toSet
+    // search the 4x-smaller int8 corpus through the same operator
+    val dq = emb.select(
+      col("vec_id"),
+      Quantize.dequantize(Quantize.quantize(col("embedding"), lo, hi), lo, hi).as("emb_q"))
+    val approx = graft.ops.SimilaritySearch
+      .bruteForceTopK(dq.filter(col("vec_id") =!= 0), "vec_id", "emb_q", queryVec, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 top-20 recall $recall < 0.8")
+  }
+
   test("out-of-range inputs clamp (new data against old bounds) instead of erroring") {
     val fit = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 10.0))).toDF("id", "v")
     val (lo, hi) = Quantize.fitBounds(fit, "v")
