@@ -21,7 +21,7 @@ object Bench {
       "q_a1_traffic15", "q_j1_incr_diff", "q_j2_fact_dim", "q_j3_double_dim",
       "q_j5_left", "q_j7_asof_fwd", "q_a5_7day_avg", "q_a6_latest_per_user",
       "q_w1_first_seen", "q_dd_exact", "q_dd_lsh_pairs", "q_dd_simhash",
-      "q_dd_clusters", "q_cr_keep",
+      "q_dd_clusters", "q_cr_keep", "q_tx_cdc", "q_pk_concat",
       "q_ann_brute", "q_tx_quality", "q_tx_fingerprint", "q_sc_recordid",
       "q_k2_upsert", "q_gs_ready")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ConnectedComponents, Curate, Decontaminate, Dedup, Multimodal, Quantize, SimilaritySearch, TextAnalysis}
+import graft.ops.{ConnectedComponents, Curate, Decontaminate, Dedup, Multimodal, Pack, Quantize, RandomProjection, SimilaritySearch, TextAnalysis}
 
 /** Training-data pipeline coverage over `documents` and `embeddings`:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -92,6 +92,18 @@ object QueriesCorpus {
           .as("bucket"))
     }),
 
+    // JL random projection 64 → 16 dims with a plan-time ±1 sign matrix;
+    // exploded (vec_id, out_dim, val) so the oracle needs no array assembly
+    "q_rp_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dims = emb.select(size(col("embedding"))).head().getInt(0)
+      RandomProjection.project(emb, "vec_id", "embedding", outDims = 16, dims = dims)
+        .select(col("vec_id"), posexplode(col("projected")))
+        .select(
+          col("vec_id"), col("pos").cast("long").as("out_dim"),
+          Functions.roundHalfUp(col("col"), 6).as("val"))
+    }),
+
     // int8 scalar quantization of the embedding corpus: per-dimension
     // min-max bounds fit on the data (dims-row driver collect, the IVF
     // centroid contract), quantize + dequantize against literal bounds;
@@ -176,6 +188,24 @@ object QueriesCorpus {
     "q_tx_chunks" -> ((s, dir) =>
       TextAnalysis.chunkTokenWindows(
         t(s, dir, "documents"), "doc_id", "text", chunkTokens = 40, overlapTokens = 8)),
+
+    // content-defined chunking: md5-windowed cut points (window 4, ~16-token
+    // expected chunks) — shift-resistant chunk boundaries for dedup
+    "q_tx_cdc" -> ((s, dir) =>
+      TextAnalysis.chunkContentDefined(
+        t(s, dir, "documents"), "doc_id", "text", window = 4, avgTokens = 16)),
+
+    // sequence packing, GPT-style concat-and-chunk: 128-token sequences per
+    // md5 shard, boundary-crossing docs split across sequences
+    "q_pk_concat" -> ((s, dir) =>
+      Pack.packConcat(t(s, dir, "documents"), "doc_id", "text",
+        budget = 128, numShards = 8)),
+
+    // sequence packing, greedy next-fit (no splitting): per-shard sequential
+    // fold over md5-ordered (id, tokens) triples
+    "q_pk_greedy" -> ((s, dir) =>
+      Pack.packGreedy(t(s, dir, "documents"), "doc_id", "text",
+        budget = 128, numShards = 8)),
 
     // duplicate-cluster representative: keep each near-dup cluster's
     // highest-quality member instead of its minimum id
@@ -453,6 +483,20 @@ object QueriesCorpus {
         |SELECT tf.doc_id, tf.token, tf.tf,
         |  floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df) * 1000000 + 0.5) / 1000000 AS tfidf
         |FROM tf JOIN dfq USING (token), n""".stripMargin,
+    "q_rp_project" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, CAST(z[2] AS BIGINT) AS d, CAST(z[1] AS DOUBLE) AS x
+        |  FROM base, unnest(list_zip(v, range(0, len(v)))) AS t(z)),
+        |w AS (
+        |  SELECT e.vec_id, CAST(o.o AS BIGINT) AS out_dim,
+        |    e.x * (CASE WHEN CAST('0x' || substr(md5(
+        |        'rj' || CAST(o.o AS VARCHAR) || ':' || CAST(e.d AS VARCHAR)), 1, 8)
+        |      AS BIGINT) / 4294967296.0 < 0.5 THEN 1.0 ELSE -1.0 END) AS term
+        |  FROM e, unnest(range(0, 16)) AS o(o))
+        |SELECT vec_id, out_dim,
+        |  floor(sum(term) / sqrt(16.0) * 1000000 + 0.5) / 1000000 AS val
+        |FROM w GROUP BY vec_id, out_dim""".stripMargin,
     "q_eq_quantize" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(z[2] AS BIGINT) AS pos, CAST(z[1] AS DOUBLE) AS x
@@ -552,6 +596,71 @@ object QueriesCorpus {
         |    AS chunk_text,
         |  least(len(tt) - CAST(u.i AS BIGINT) * 32, 40) AS chunk_tokens
         |FROM base, unnest(range(0, (greatest(len(tt) - 8, 1) - 1) // 32 + 1)) AS u(i)""".stripMargin,
+    "q_pk_concat" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tt,
+        |    CAST('0x' || substr(md5('pkshard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+        |    CAST('0x' || substr(md5('pk' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tt, shard, CAST(len(tt) AS BIGINT) AS nt,
+        |    CAST(sum(CAST(len(tt) AS BIGINT)) OVER (PARTITION BY shard ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM base),
+        |seg AS (
+        |  SELECT shard, doc_id, tt, nt, cum, cum - nt AS cb, CAST(sq.s AS BIGINT) AS seq_idx
+        |  FROM c, unnest(range(CAST((cum - nt) // 128 AS BIGINT),
+        |                       CAST((cum - 1) // 128 + 1 AS BIGINT))) AS sq(s))
+        |SELECT shard, seq_idx, doc_id,
+        |  cb + greatest(seq_idx * 128 - cb, 0) - seq_idx * 128 AS seq_offset,
+        |  least((seq_idx + 1) * 128, cum) - cb - greatest(seq_idx * 128 - cb, 0) AS seg_tokens,
+        |  array_to_string(tt[CAST(greatest(seq_idx * 128 - cb, 0) AS INT) + 1
+        |    : CAST(least((seq_idx + 1) * 128, cum) - cb AS INT)], ' ') AS seg_text
+        |FROM seg""".stripMargin,
+    "q_pk_greedy" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nt,
+        |    CAST('0x' || substr(md5('pkshard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+        |    CAST('0x' || substr(md5('pk' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents),
+        |it AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS k FROM base),
+        |st AS (
+        |  SELECT shard, k, doc_id, nt, CAST(0 AS BIGINT) AS bin, nt AS fill
+        |  FROM it WHERE k = 1
+        |  UNION ALL
+        |  SELECT i.shard, i.k, i.doc_id, i.nt,
+        |    CASE WHEN s.fill + i.nt > 128 THEN s.bin + 1 ELSE s.bin END,
+        |    CASE WHEN s.fill + i.nt > 128 THEN i.nt ELSE s.fill + i.nt END
+        |  FROM st s JOIN it i ON i.shard = s.shard AND i.k = s.k + 1)
+        |SELECT shard, bin AS seq_idx, doc_id, nt FROM st""".stripMargin,
+    "q_tx_cdc" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tt FROM documents),
+        |c AS (
+        |  SELECT doc_id, list_sort(list(i)) AS cuts
+        |  FROM base, unnest(range(4, len(tt))) AS u(i)
+        |  WHERE CAST('0x' || substr(md5(
+        |          array_to_string(tt[CAST(i AS INT) - 3 : CAST(i AS INT)], ' ')), 1, 8)
+        |        AS BIGINT) % 16 = 0
+        |  GROUP BY doc_id),
+        |j AS (
+        |  SELECT b.doc_id, b.tt,
+        |    list_prepend(CAST(0 AS BIGINT), coalesce(c.cuts, [])) AS starts,
+        |    list_append(coalesce(c.cuts, []), CAST(len(b.tt) AS BIGINT)) AS ends
+        |  FROM base b LEFT JOIN c USING (doc_id))
+        |SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_idx,
+        |  CAST(starts[CAST(u.k AS INT) + 1] AS BIGINT) AS chunk_start,
+        |  CAST(ends[CAST(u.k AS INT) + 1] - starts[CAST(u.k AS INT) + 1] AS BIGINT)
+        |    AS chunk_tokens,
+        |  array_to_string(
+        |    tt[CAST(starts[CAST(u.k AS INT) + 1] AS INT) + 1
+        |       : CAST(ends[CAST(u.k AS INT) + 1] AS INT)], ' ') AS chunk_text,
+        |  md5(array_to_string(
+        |    tt[CAST(starts[CAST(u.k AS INT) + 1] AS INT) + 1
+        |       : CAST(ends[CAST(u.k AS INT) + 1] AS INT)], ' ')) AS chunk_hash
+        |FROM j, unnest(range(0, len(starts))) AS u(k)""".stripMargin,
     "q_tx_vocab" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -235,6 +235,66 @@ object TextAnalysis {
           .cast("long").as("chunk_tokens"))
   }
 
+  /** Content-defined chunking: cut a document after token `i` whenever the
+    * md5 of the trailing `window`-token gram lands in the `1/avgTokens`
+    * residue band — the shift-resistant alternative to fixed windows.
+    * Because a cut decision depends only on the `window` tokens behind it,
+    * inserting or deleting text perturbs chunk boundaries only until the
+    * next surviving cut point, after which every downstream chunk (and its
+    * `chunk_hash`) is byte-identical to the unedited document's — so
+    * chunk-level exact dedup catches duplicated content that a fixed-stride
+    * chunker would miss after any single-token edit (the same cut-point
+    * trick rsync/LBFS-style dedup uses, re-expressed over tokens).
+    *
+    * Expected chunk length is `avgTokens` (geometric); the hash derivation
+    * is [[graft.Functions.md5Bits]] so a SQL oracle reproduces cut points
+    * bit-for-bit. Pure per-row array expressions + one generator — no UDF,
+    * no shuffle, O(len) md5 calls per document.
+    *
+    * Output: (id, chunk_idx, chunk_start, chunk_tokens, chunk_text,
+    * chunk_hash) with `chunk_start` the 0-based token offset.
+    */
+  def chunkContentDefined(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 4,
+      avgTokens: Int = 16): DataFrame = {
+    require(window >= 1 && avgTokens >= 2, "need window >= 1 and avgTokens >= 2")
+    val t = toks(col(textCol))
+    val n = size(t)
+    // candidate cut positions: [window, n-1] — a document shorter than the
+    // hash window is always a single chunk, and position n never cuts (it
+    // would only emit an empty trailing chunk)
+    val candidates =
+      when(n - 1 >= window, sequence(lit(window), n - 1))
+        .otherwise(array().cast("array<int>"))
+    val cuts = filter(candidates, i =>
+      graft.Functions.md5Bits(
+        concat_ws(" ", slice(t, i - (window - 1), lit(window))), 32) % avgTokens === 0)
+    // explicit-count repartition: O(len) md5 calls per row vastly exceed
+    // bytes per row, so AQE's size-based coalescing would otherwise run the
+    // whole corpus in a handful of tasks (same rationale as
+    // Dedup.shingleRows)
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(parallelism, col(idCol))
+      .select(col(idCol), t.as("_t"), cuts.as("_cuts"))
+      .select(
+        col(idCol), col("_t"),
+        posexplode(zip_with(
+          concat(array(lit(0)), col("_cuts")),
+          concat(col("_cuts"), array(size(col("_t")))),
+          (a, b) => struct(a.as("s"), b.as("e")))))
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col.s").cast("long").as("chunk_start"),
+        (col("col.e") - col("col.s")).cast("long").as("chunk_tokens"),
+        concat_ws(" ",
+          slice(col("_t"), col("col.s") + 1, col("col.e") - col("col.s"))).as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+  }
+
   /** PII/URL scrubbing: replace emails and URLs with placeholder tokens
     * (the normalization pass every web-scale corpus runs before training).
     * Patterns use the portable character-class subset shared by Java regex

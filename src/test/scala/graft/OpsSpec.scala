@@ -151,6 +151,40 @@ class OpsSpec extends SparkSpec {
     assert(got(4L).toSeq == Seq((4L, 0L, "", 1L))) // split("") = [""] — one empty token
   }
 
+  test("chunkContentDefined: reassembly, boundary determinism, shift resistance") {
+    // deterministic pseudo-random token stream (seeded) — md5-driven cut
+    // points land every ~16 tokens
+    val rng = new scala.util.Random(7)
+    val base = Vector.fill(400)(s"t${rng.nextInt(5000)}")
+    val edited = Vector("ins1", "ins2", "ins3") ++ base // 3-token prefix insertion
+    val docs = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkContentDefined(docs, "doc_id", "text", window = 4, avgTokens = 16)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+
+    // chunks tile the document exactly: contiguous offsets, lossless reassembly
+    val c1 = got(1L)
+    assert(c1.head._3 == 0L && c1.map(_._4).sum == 400L)
+    c1.sliding(2).foreach { case Array(a, b) => assert(a._3 + a._4 == b._3); case _ => }
+    assert(c1.flatMap(_._5.split(" ")).toVector == base)
+
+    // shift resistance: after a 3-token prefix insertion the cut decisions
+    // (trailing 4-gram hashes) realign at the first shared cut point, so all
+    // but the earliest chunks are byte-identical — fixed-stride chunking
+    // would shift EVERY boundary and share ~nothing
+    val h1 = c1.map(_._6).toSet
+    val h2 = got(2L).map(_._6).toSet
+    val shared = h1.intersect(h2).size.toDouble / c1.length
+    assert(shared >= 0.7, s"only ${h1.intersect(h2).size}/${c1.length} chunks survived the edit")
+    // and the divergence is confined to the front: last 80% of chunks all match
+    val tail1 = c1.drop(math.max(2, c1.length / 5)).map(_._6)
+    assert(tail1.forall(h2.contains), "a chunk past the realignment point changed")
+
+    // empty document → single empty chunk, same contract as chunkTokenWindows
+    assert(got(3L).toSeq.map(c => (c._2, c._3, c._4, c._5)) == Seq((0L, 0L, 1L, "")))
+  }
+
   test("Publish.firstSeenCounter numbers by first appearance and resets daily") {
     val rows = Seq(
       (ts("2020-01-01 08:00:00"), "u2"),

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Pack
+
+/** Sequence-packing invariants: token conservation, budget discipline, and
+  * layout determinism under arbitrary input partitioning.
+  */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val budget = 100
+  private def docs = spark.read.parquet(sf("documents"))
+
+  test("packConcat: every token exactly once, every non-final sequence exactly full") {
+    val d = docs
+    val packed = Pack.packConcat(d, "doc_id", "text", budget, numShards = 4)
+    packed.cache()
+
+    // conservation: per doc, segment tokens sum to the doc's token count and
+    // segments reassemble the tokenized text in order
+    val perDoc = packed.groupBy("doc_id")
+      .agg(sum("seg_tokens").as("got"),
+        concat_ws(" ", array_sort(collect_list(struct(
+          col("shard"), col("seq_idx"), col("seq_offset"), col("seg_text"))))
+          .getField("seg_text")).as("joined"))
+    val truth = d.select(col("doc_id"),
+      size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("nt"),
+      concat_ws(" ", split(trim(lower(col("text"))), "\\s+")).as("norm"))
+    val bad = perDoc.join(truth, "doc_id")
+      .filter(col("got") =!= col("nt") || col("joined") =!= col("norm"))
+    assert(bad.count() == 0, "token loss or reorder within a document")
+
+    // budget discipline: every sequence except each shard's last is exactly
+    // `budget` tokens; the last is (0, budget]
+    val seqSizes = packed.groupBy("shard", "seq_idx").agg(sum("seg_tokens").as("n"))
+    val lastSeq = seqSizes.groupBy("shard").agg(max("seq_idx").as("last"))
+    val nonFinal = seqSizes.join(lastSeq, "shard").filter(col("seq_idx") < col("last"))
+    assert(nonFinal.filter(col("n") =!= budget.toLong).count() == 0)
+    assert(seqSizes.filter(col("n") <= 0 || col("n") > budget.toLong).count() == 0)
+
+    // segment offsets tile each sequence contiguously from 0
+    val tiles = packed.groupBy("shard", "seq_idx")
+      .agg(min("seq_offset").as("lo"), sum("seg_tokens").as("n"),
+        max(col("seq_offset") + col("seg_tokens")).as("hi"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n"))
+    assert(tiles.count() == 0, "segments do not tile their sequence")
+    packed.unpersist()
+  }
+
+  test("packGreedy: budget respected, docs never split, layout deterministic") {
+    val packed = Pack.packGreedy(docs, "doc_id", "text", budget, numShards = 4)
+    packed.cache()
+
+    // every doc appears exactly once (no splitting, no loss)
+    assert(packed.select("doc_id").distinct().count() == packed.count())
+    assert(packed.count() == docs.count())
+
+    // a sequence only exceeds the budget when it holds a single oversized doc
+    val over = packed.groupBy("shard", "seq_idx")
+      .agg(sum("nt").as("n"), count(lit(1)).as("k"))
+      .filter(col("n") > budget.toLong && col("k") > 1)
+    assert(over.count() == 0, "multi-doc sequence over budget")
+
+    // sequence ids are dense from 0 per shard (greedy never skips a bin)
+    val dense = packed.groupBy("shard")
+      .agg(min("seq_idx").as("lo"), max("seq_idx").as("hi"),
+        count_distinct(col("seq_idx")).as("k"))
+      .filter(col("lo") =!= 0 || col("k") =!= col("hi") + 1)
+    assert(dense.count() == 0, "non-dense sequence numbering")
+    packed.unpersist()
+  }
+
+  test("packing layout is invariant to input partitioning and rerun") {
+    val a = Pack.packConcat(docs, "doc_id", "text", budget, numShards = 4)
+      .collect().map(_.toSeq).toSet
+    val b = Pack.packConcat(docs.repartition(7), "doc_id", "text", budget, numShards = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    val g1 = Pack.packGreedy(docs, "doc_id", "text", budget, numShards = 4)
+      .collect().map(_.toSeq).toSet
+    val g2 = Pack.packGreedy(docs.repartition(7).sortWithinPartitions("n_chars"),
+      "doc_id", "text", budget, numShards = 4)
+      .collect().map(_.toSeq).toSet
+    assert(g1 == g2)
+  }
+}
