@@ -184,6 +184,18 @@ object QueriesCorpus {
       TextAnalysis.repetitionMetrics(lined, "doc_id", "ltext")
     }),
 
+    // corpus-wide line dedup over synthesized multi-line text: a line shared
+    // by EVERY doc survives only in the min-id doc; within-doc repeats and
+    // per-doc prose exercise the (id, pos) first-occurrence order
+    "q_tx_dedup_global" -> ((s, dir) => {
+      val lined = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("\n", lit("shared header"),
+          substring(col("text"), 1, 40), substring(col("text"), 1, 40),
+          substring(col("text"), 41, 40)).as("ltext"))
+      TextAnalysis.dedupLinesGlobal(lined, "doc_id", "ltext")
+    }),
+
     // training-sample chunking: 40-token sliding windows, 8-token overlap
     "q_tx_chunks" -> ((s, dir) =>
       TextAnalysis.chunkTokenWindows(
@@ -194,6 +206,21 @@ object QueriesCorpus {
     "q_tx_cdc" -> ((s, dir) =>
       TextAnalysis.chunkContentDefined(
         t(s, dir, "documents"), "doc_id", "text", window = 4, avgTokens = 16)),
+
+    // incremental exact dedup of a new batch against history: the batch is
+    // synthesized from the corpus (1/3 true re-ingests under new ids, 1/3
+    // genuinely novel suffixed texts) so both outcomes are exercised; the
+    // history side is only ever semi-filtered against the broadcast batch
+    // hashes, never shuffled
+    "q_dd_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reingest = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("doc_id").cast("string")).as("text"))
+      Dedup.newAgainstHistory(reingest.unionAll(fresh), docs, "doc_id", "text")
+    }),
 
     // sequence packing, GPT-style concat-and-chunk: 128-token sequences per
     // md5 shard, boundary-crossing docs split across sequences
@@ -596,6 +623,16 @@ object QueriesCorpus {
         |    AS chunk_text,
         |  least(len(tt) - CAST(u.i AS BIGINT) * 32, 40) AS chunk_tokens
         |FROM base, unnest(range(0, (greatest(len(tt) - 8, 1) - 1) // 32 + 1)) AS u(i)""".stripMargin,
+    "q_dd_incr" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' zz' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |hh AS (SELECT DISTINCT md5(trim(lower(text))) AS content_hash FROM documents)
+        |SELECT b.doc_id, md5(trim(lower(b.text))) AS content_hash,
+        |  (hh.content_hash IS NOT NULL) AS seen_before
+        |FROM batch b LEFT JOIN hh ON md5(trim(lower(b.text))) = hh.content_hash""".stripMargin,
     "q_pk_concat" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tt,
@@ -635,6 +672,23 @@ object QueriesCorpus {
         |    CASE WHEN s.fill + i.nt > 128 THEN i.nt ELSE s.fill + i.nt END
         |  FROM st s JOIN it i ON i.shard = s.shard AND i.k = s.k + 1)
         |SELECT shard, bin AS seq_idx, doc_id, nt FROM st""".stripMargin,
+    "q_tx_dedup_global" ->
+      """WITH lined AS (
+        |  SELECT doc_id, concat_ws(chr(10), 'shared header',
+        |    substr(text, 1, 40), substr(text, 1, 40), substr(text, 41, 40)) AS ltext
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |    string_split(ltext, chr(10))[CAST(u.i AS INT) + 1] AS line
+        |  FROM lined, unnest(range(0, len(string_split(ltext, chr(10))))) AS u(i)),
+        |k AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM l WHERE line <> '')
+        |SELECT doc_id,
+        |  array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+        |  count(*) AS kept_lines
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "q_tx_cdc" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tt FROM documents),

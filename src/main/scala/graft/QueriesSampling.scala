@@ -41,7 +41,14 @@ object QueriesSampling {
     // reservoir (k smallest md5-uniforms per stratum)
     "q_sm_pergroup" -> ((s, dir) =>
       Sampling.perStratumSample(t(s, dir, "documents"), "lang", "doc_id", k = 40)
-        .select("doc_id", "lang")))
+        .select("doc_id", "lang")),
+
+    // temperature mixing at alpha = 0.5: per-language rates (n_i/n_min)^-0.5
+    // derived from the data, smallest language kept whole
+    "q_sm_temperature" -> ((s, dir) =>
+      Sampling.temperatureMix(t(s, dir, "documents"), "lang", "doc_id",
+        alpha = 0.5, salt = "mix")
+        .select("doc_id", "lang", "n_chars")))
 
   val oracles: Map[String, String] = Map(
     "q_sm_hash" ->
@@ -60,5 +67,14 @@ object QueriesSampling {
     "q_sm_pergroup" ->
       s"""SELECT doc_id, lang FROM documents
          |QUALIFY row_number() OVER (
-         |  PARTITION BY lang ORDER BY ${uSql("doc_id")}, doc_id) <= 40""".stripMargin)
+         |  PARTITION BY lang ORDER BY ${uSql("doc_id")}, doc_id) <= 40""".stripMargin,
+    "q_sm_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n) AS nmin FROM c),
+         |r AS (SELECT lang,
+         |  floor(power(CAST(n AS DOUBLE) / CAST(nmin AS DOUBLE), -0.5)
+         |    * 1000000000 + 0.5) / 1000000000 AS rate FROM c, m)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${uSql("d.doc_id", "mix")} < r.rate""".stripMargin)
 }

@@ -93,6 +93,19 @@ object ScaleProbe {
         graft.ops.Dedup.embeddingNearDupPairs(
           Tables(spark, d, "embeddings"), "vec_id", "embedding", "label",
           threshold = 0.30).count()),
+      // per-row O(len) md5 chunker — expect ~linear
+      "tx_cdc" -> (d =>
+        graft.ops.TextAnalysis.chunkContentDefined(docsAt(d), "doc_id", "text").count()),
+      // one per-shard running sum + generator — expect ~linear
+      "pk_concat" -> (d =>
+        graft.ops.Pack.packConcat(docsAt(d), "doc_id", "text",
+          budget = 128, numShards = 32).count()),
+      // plan-time literal matrix multiply-add — expect ~linear
+      "rp_project" -> { d =>
+        val emb = Tables(spark, d, "embeddings")
+        val dims = emb.select(size(col("embedding"))).head().getInt(0)
+        graft.ops.RandomProjection.project(emb, "vec_id", "embedding", 16, dims).count()
+      },
       // iterative star-contraction: rounds grow with log(component size),
       // per-round cost with edge count — expect ~pair-generation ratio
       "dd_clusters" -> { d =>

@@ -392,4 +392,46 @@ object Dedup {
         graft.Functions.roundHalfUp(dot, 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Incremental exact dedup of a new batch against an ever-growing history
+    * (continuous corpus ingestion: "which of today's documents have we
+    * already trained on?"). Two phases so the HISTORY — the 100 TB side —
+    * never shuffles:
+    *
+    *   1. the batch's distinct content hashes broadcast to every history
+    *      scan task, which semi-filters history map-side down to only the
+    *      hashes the batch could collide with (≤ |batch| rows survive);
+    *   2. an exact anti-join of the batch against that bounded survivor
+    *      set marks each batch row seen/new.
+    *
+    * The result is EXACTLY `batch ANTI JOIN history` — phase 1 is invisible
+    * to the answer, so the full SQL oracle is a plain anti-join. The
+    * broadcast bound is the batch's distinct-hash count (daily batches:
+    * millions of 16-byte hashes — tens of MB); batches too large to
+    * broadcast fall back to `broadcastBatch = false`, a shuffled semi-join
+    * that still touches only hash-matched history partitions after
+    * predicate pushdown.
+    */
+  def newAgainstHistory(
+      batch: DataFrame,
+      history: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val h = md5(trim(lower(col(textCol))))
+    val batchHashed = batch.select(col(idCol), h.as("content_hash"))
+    val batchKeys = batchHashed.select("content_hash").distinct()
+    // semi-filter BEFORE distinct: the raw history rows are pruned map-side
+    // against the broadcast batch hashes, so the only shuffle on the
+    // history side is the distinct over the bounded survivor set
+    val histKeys = history.select(h.as("content_hash"))
+    val touched = (
+      if (broadcastBatch) histKeys.join(broadcast(batchKeys), Seq("content_hash"), "left_semi")
+      else histKeys.join(batchKeys, Seq("content_hash"), "left_semi")
+    ).distinct()
+    batchHashed.join(touched.withColumn("_seen", lit(true)), Seq("content_hash"), "left")
+      .select(
+        col(idCol), col("content_hash"),
+        coalesce(col("_seen"), lit(false)).as("seen_before"))
+  }
 }

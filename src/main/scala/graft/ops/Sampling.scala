@@ -52,6 +52,34 @@ object Sampling {
     df.filter(hashUniform(col(keyCol), salt) < rate)
   }
 
+  /** Temperature-based mixture sampling (the multilingual-corpus mixing
+    * rule: sample stratum i with probability ∝ nᵢ^α, α ∈ (0, 1] — α < 1
+    * upweights low-resource strata). Down-sampling only: the smallest
+    * stratum keeps rate 1.0 and stratum i keeps `(nᵢ/n_min)^(α−1)`, so no
+    * row ever needs duplicating. Stratum counts are one bounded aggregate
+    * collected to the driver (k strata — languages/sources, dozens not
+    * millions: the [[graft.ops.Quantize.fitBounds]] contract) and become
+    * plan-time literal rates, keeping the per-row filter a pure codegen'd
+    * hash compare with no join. Rates are rounded half-up to 9 decimals so
+    * SQL oracles reproduce the comparison bit-for-bit.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      alpha: Double,
+      salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "need 0 < alpha <= 1")
+    val counts = df.groupBy(strataCol).count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    require(counts.nonEmpty, "empty input")
+    val nMin = counts.map(_._2).min.toDouble
+    val rates = counts.map { case (s, n) =>
+      s -> math.floor(math.pow(n / nMin, alpha - 1.0) * 1e9 + 0.5) / 1e9
+    }.toMap
+    stratifiedSample(df, strataCol, keyCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** Exactly min(k, |stratum|) rows per stratum: the k rows with the
     * smallest md5-uniform per stratum — a deterministic reservoir sample
     * (min-wise sampling: each key's uniform is fixed, so growing a stratum

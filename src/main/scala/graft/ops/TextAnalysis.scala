@@ -112,6 +112,45 @@ object TextAnalysis {
     concat_ws(sep, transform(kept, _.getField("l")))
   }
 
+  /** CORPUS-WIDE line dedup (the RefinedWeb/C4 global pass): a line
+    * survives only in the document where it first appears — ordered by
+    * (id, position) — so shared boilerplate (cookie banners, navigation,
+    * license headers) is kept exactly once across the whole corpus, not
+    * once per document. Documents whose every line was already seen
+    * elsewhere drop out entirely; empty lines are normalized away.
+    *
+    * Skew note: a window `row_number` over the line hash would serialize
+    * the hottest line ("accept cookies" × 10⁹ docs) into one partition.
+    * Instead the first occurrence is a map-side-combinable `min(struct(id,
+    * pos))` per hash — partial aggregation absorbs the hot key on the map
+    * side — followed by an equi-join back on the hash, where the hot key
+    * matches exactly ONE build row (no pair explosion). Same two-level
+    * trick as `Publish.firstSeenCounter`.
+    *
+    * Output: (id, clean_text, kept_lines) — one row per surviving document.
+    */
+  def dedupLinesGlobal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .filter(col("col") =!= "")
+      .select(col(idCol), col("pos").cast("long").as("_pos"), col("col").as("_line"),
+        md5(col("col")).as("_h"))
+    val first = lines.groupBy("_h")
+      .agg(min(struct(col(idCol).as("i"), col("_pos").as("p"))).as("f"))
+    lines.join(first, Seq("_h"))
+      .filter(col(idCol) === col("f.i") && col("_pos") === col("f.p"))
+      .groupBy(idCol)
+      .agg(
+        concat_ws(sep,
+          array_sort(collect_list(struct(col("_pos"), col("_line")))).getField("_line"))
+          .as("clean_text"),
+        count(lit(1)).as("kept_lines"))
+  }
+
   /** Repetition metrics — the Gopher-style within-document repetition
     * signals corpus filters threshold on (repeated boilerplate correlates
     * with low-quality web text). All per-row array expressions: no UDFs,

@@ -151,6 +151,53 @@ class OpsSpec extends SparkSpec {
     assert(got(4L).toSeq == Seq((4L, 0L, "", 1L))) // split("") = [""] — one empty token
   }
 
+  test("dedupLinesGlobal: first doc keeps a shared line, later docs lose it, no Window node") {
+    val docs = Seq(
+      (1L, "alpha\nbeta"),
+      (2L, "beta\ngamma"),   // beta first seen in doc 1 → only gamma survives
+      (3L, "alpha"),          // fully duplicate → doc drops out
+      (4L, "delta\n\ndelta")) // empty line normalized away; repeat dropped
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.dedupLinesGlobal(docs, "doc_id", "text")
+    val byId = got.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byId == Map(
+      1L -> ("alpha\nbeta", 2L),
+      2L -> ("gamma", 1L),
+      4L -> ("delta", 1L)))
+    // skew-safety is structural: first-occurrence must be the two-level
+    // min-struct aggregate, never a row_number window over the line hash
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "dedupLinesGlobal must not use a window over the line hash")
+  }
+
+  test("newAgainstHistory: matches direct anti-join; history is broadcast-semi-filtered") {
+    val history = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "Alpha  Beta Gamma "))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA BETA GAMMA"),  // normalizes to a seen hash
+      (11L, "zeta eta"),          // novel
+      (12L, "delta epsilon"),     // seen verbatim
+      (13L, "zeta eta"))          // novel, duplicated within the batch
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.newAgainstHistory(batch, history, "doc_id", "text")
+    val seen = got.select("doc_id", "seen_before").as[(Long, Boolean)].collect().toMap
+    assert(seen == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
+
+    // but for whitespace normalization, 10L would be "new": the hash is over
+    // trim(lower(text)) — same contract as Dedup.exact
+    assert(got.filter(col("doc_id") === 10L).select("content_hash").head().getString(0) ==
+      got.sparkSession.sql("SELECT md5('alpha beta gamma')").head().getString(0))
+
+    // the history side must reach the semi join through a broadcast, never
+    // an exchange: at 100 TB the history shuffle is the whole cost
+    val plan = got.queryExecution.executedPlan.toString
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(semiIdx >= 0 && plan.substring(semiIdx).contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"history semi-filter is not broadcast:\n$plan")
+  }
+
   test("chunkContentDefined: reassembly, boundary determinism, shift resistance") {
     // deterministic pseudo-random token stream (seeded) — md5-driven cut
     // points land every ~16 tokens

@@ -79,4 +79,31 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0.3, salt = "a")
       .select("doc_id").as[Long].collect().toSet == a)
   }
+
+  test("temperatureMix: alpha=1 is identity, smallest stratum kept whole, flattening monotone") {
+    // alpha = 1 → every stratum rate (n/nmin)^0 = 1 → no row dropped
+    assert(Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 1.0).count() == docs.count())
+
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = counts.minBy(_._2)._1
+    val mixed = Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 0.5, salt = "mix")
+    val mixedCounts = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest language is never downsampled
+    assert(mixedCounts(minLang) == counts(minLang))
+    // every stratum's observed keep-rate is within noise of (n/nmin)^(alpha-1)
+    counts.foreach { case (lang, n) =>
+      val want = math.pow(n.toDouble / counts(minLang), -0.5)
+      val got = mixedCounts.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(got - want) < 0.15, s"$lang keep-rate $got vs expected $want")
+    }
+    // lower alpha flattens harder: total kept shrinks as alpha drops
+    val flatter = Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 0.25, salt = "mix")
+    assert(flatter.count() <= mixed.count())
+    // and the selection is rerun-deterministic
+    assert(Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 0.5, salt = "mix")
+      .select("doc_id").as[Long].collect().toSet ==
+      mixed.select("doc_id").as[Long].collect().toSet)
+  }
 }

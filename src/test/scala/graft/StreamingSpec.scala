@@ -88,6 +88,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(firstHalf.head._1) == batchSigs(firstHalf.head._1))
   }
 
+  test("content-defined chunking runs unchanged on a stream and equals batch") {
+    import spark.implicits._
+    import graft.ops.{Dedup, TextAnalysis}
+
+    // stateless per-row operator: the SAME function body must be legal on a
+    // streaming DataFrame (no twin needed) and chunk identically
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val batch = TextAnalysis.chunkContentDefined(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val name = "cdc_stream_out"
+    val q = TextAnalysis.chunkContentDefined(
+        source.toDS().toDF().withColumnRenamed("docId", "doc_id"),
+        "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      source.addData(a.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      q.processAllAvailable()
+      source.addData(b.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming twins match batch on tab/newline padding and locale-sensitive chars") {
     import spark.implicits._
     import graft.ops.Dedup
