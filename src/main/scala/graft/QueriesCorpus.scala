@@ -44,6 +44,11 @@ object QueriesCorpus {
     "q_dd_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
 
+    // SimHash near-dup pairs within Hamming radius 2 via pigeonhole banding
+    "q_dd_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 32, maxHamming = 2)),
+
     // blocked n-gram Jaccard near-dup pairs (same lang + length bucket)
     "q_dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -255,6 +260,13 @@ object QueriesCorpus {
       TextAnalysis.tfidf(docs, "doc_id", "text", totalDocs = docs.count())
     }),
 
+    // BM25 relevance of every doc to a 3-token query (Lucene idf)
+    "q_tx_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25(docs, "doc_id", "text",
+        queryTokens = Seq("scan", "join", "window"), totalDocs = docs.count())
+    }),
+
     // corpus vocabulary: global token tf/df, top 100 by frequency
     "q_tx_vocab" -> ((s, dir) =>
       TextAnalysis.vocabStats(t(s, dir, "documents"), "doc_id", "text", topK = 100)),
@@ -354,6 +366,21 @@ object QueriesCorpus {
     s"(SELECT doc_id, $shinglesSql AS sh FROM " +
       "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM documents))"
 
+  /** The simhash recomputation at `bits`, shared by q_dd_simhash and the
+    * Hamming pair oracle (CTE named `sh`).
+    */
+  private def simhashCteSql(bits: Int): String = {
+    val votes = (0 until bits)
+      .map(b =>
+        s"CASE WHEN list_sum(list_transform(h, x -> ((x >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform($toksSql, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS h
+       |  FROM documents),
+       |sh AS (SELECT doc_id, CAST($votes AS BIGINT) AS simhash FROM hashed)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dd_exact" ->
       """SELECT md5(trim(lower(text))) AS content_hash, min(doc_id) AS canonical_id,
@@ -400,17 +427,13 @@ object QueriesCorpus {
          |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
     },
-    "q_dd_simhash" -> {
-      val votes = (0 until 16)
-        .map(b =>
-          s"CASE WHEN list_sum(list_transform(h, x -> ((x >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH hashed AS (
-         |  SELECT doc_id,
-         |    list_transform($toksSql, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS h
-         |  FROM documents)
-         |SELECT doc_id, CAST($votes AS BIGINT) AS simhash FROM hashed""".stripMargin
-    },
+    "q_dd_simhash" -> s"${simhashCteSql(16)}\nSELECT doc_id, simhash FROM sh",
+    "q_dd_simhash_pairs" ->
+      s"""${simhashCteSql(32)}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
     "q_dd_ngram_jaccard" ->
       s"""WITH sh AS (
          |  SELECT doc_id, lang, n_chars // 100 AS lenb,
@@ -715,6 +738,33 @@ object QueriesCorpus {
         |    tt[CAST(starts[CAST(u.k AS INT) + 1] AS INT) + 1
         |       : CAST(ends[CAST(u.k AS INT) + 1] AS INT)], ' ')) AS chunk_hash
         |FROM j, unnest(range(0, len(starts))) AS u(k)""".stripMargin,
+    "q_tx_bm25" -> {
+      val toks = Seq("scan", "join", "window")
+      val k1 = 1.2; val b = 0.75
+      val tfs = toks.zipWithIndex
+        .map { case (t, i) => s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf$i" }
+        .mkString(", ")
+      val dfs = toks.indices
+        .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val terms = toks.indices
+        .map { i =>
+          s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * ${k1 + 1.0}
+             | / (tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))""".stripMargin
+        }
+        .mkString(" + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl, $tfs
+         |  FROM tk GROUP BY doc_id),
+         |g AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl,
+         |    CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n, $dfs
+         |  FROM per)
+         |SELECT doc_id, floor(($terms) * 1000000 + 0.5) / 1000000 AS bm25
+         |FROM per, g""".stripMargin
+    },
     "q_tx_vocab" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -148,6 +148,46 @@ object Dedup {
     df.select(col(idCol), fingerprint.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming` —
+    * the Charikar/Google near-dup detector completed into a pair generator.
+    * Pigeonhole banding makes it a keyed join, never all-pairs: split the
+    * `bits`-bit fingerprint into `maxHamming + 1` contiguous bands; two
+    * fingerprints within the radius MUST agree exactly on ≥1 band, so
+    * candidates meet on (band index, band value) and only candidates pay
+    * the popcount verify (`bit_count(a XOR b)` — codegen'd). Same
+    * SHUFFLE_HASH/ReuseExchange shape as [[minhashLshPairs]]: the
+    * fingerprint pipeline is computed once, exchanges are keyed, and a
+    * radius-`k` corpus stays ~linear in rows at fixed duplicate density.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits, "need 0 <= maxHamming < bits")
+    val nBands = maxHamming + 1
+    val w = (bits + nBands - 1) / nBands
+    val sh = simhash(df, idCol, textCol, bits)
+    val banded = sh
+      .select(col(idCol), col("simhash"),
+        posexplode(array((0 until nBands).map { b =>
+          shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1))
+        }: _*)))
+      .select(col(idCol), col("simhash"), col("pos").as("band"), col("col").as("bval"))
+    val a = banded.alias("a")
+    val b = banded.hint("SHUFFLE_HASH").alias("b")
+    a.join(
+        b,
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Blocked n-gram (word-shingle) Jaccard near-duplicate pairs: documents
     * are only compared within equal `blockCols` values (LSH-style blocking —
     * the caller picks cheap invariants such as language + length bucket),

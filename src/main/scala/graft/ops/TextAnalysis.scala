@@ -236,6 +236,56 @@ object TextAnalysis {
           col("tf") * log(lit(totalDocs.toDouble) / col("df")), 6).as("tfidf"))
   }
 
+  /** BM25 relevance of every document to a fixed query (Robertson/Sparck
+    * Jones with the Lucene idf: `ln((N − df + 0.5)/(df + 0.5) + 1)`) — the
+    * sparse-retrieval scorer for RAG/search over a curated corpus.
+    *
+    * One explode + ONE hash aggregate keyed by document produces the
+    * per-document length and a tf column per query token (conditional
+    * sums — no per-token shuffle); the corpus statistics (avgdl, per-token
+    * df) reduce that to a single broadcast row. The final score is a fixed
+    * left-to-right expression over the query tokens, and avgdl is computed
+    * as exact-integer `sum(dl)/N`, so scores are deterministic across
+    * engines and partitionings (rounded half-up to 6). `totalDocs` comes
+    * from the caller, the [[tfidf]] contract.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTokens: Seq[String],
+      totalDocs: Long,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTokens.nonEmpty && queryTokens.distinct == queryTokens,
+      "queryTokens must be non-empty and distinct")
+    require(totalDocs > 0)
+    val tfCols = queryTokens.zipWithIndex.map { case (t, i) =>
+      sum(when(col("_tok") === t, 1L).otherwise(0L)).as(s"_tf$i")
+    }
+    val per = df
+      .select(col(idCol), explode(toks(col(textCol))).as("_tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_dl"), tfCols: _*)
+    val dfCols = queryTokens.indices.map { i =>
+      sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i")
+    }
+    val global = per.agg(
+      (sum(col("_dl")).cast("double") / lit(totalDocs.toDouble)).as("_avgdl"),
+      dfCols: _*)
+    val score = queryTokens.indices
+      .map { i =>
+        val idf = log(
+          (lit(totalDocs.toDouble) - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5) + 1.0)
+        val tf = col(s"_tf$i").cast("double")
+        idf * tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / col("_avgdl")))
+      }
+      .reduce(_ + _)
+    per.crossJoin(broadcast(global))
+      .select(col(idCol), graft.Functions.roundHalfUp(score, 6).as("bm25"))
+  }
+
   /** Training-sample chunking: split each document into sliding token
     * windows of `chunkTokens` tokens advancing by `chunkTokens -
     * overlapTokens` (consecutive chunks share `overlapTokens` tokens, so no

@@ -151,6 +151,40 @@ class OpsSpec extends SparkSpec {
     assert(got(4L).toSeq == Seq((4L, 0L, "", 1L))) // split("") = [""] — one empty token
   }
 
+  test("simhashPairs: banding finds exactly the brute-force Hamming-radius pairs") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    val banded = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", bits = 32, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    // brute force over the same fingerprints: every pair within the radius
+    // MUST be found (pigeonhole: radius-k pairs agree on >= 1 of k+1 bands)
+    val sh = graft.ops.Dedup.simhash(docs, "doc_id", "text", bits = 32)
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+  }
+
+  test("bm25: query-term docs outrank term-free docs; rarer terms weigh more") {
+    val docs = Seq(
+      (1L, "scan scan scan filler filler"),
+      (2L, "scan filler filler filler filler"),
+      (3L, "filler words only here today"),
+      (4L, "rare filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val scored = graft.ops.TextAnalysis
+      .bm25(docs, "doc_id", "text", Seq("scan", "rare"), totalDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(3L) == 0.0)                  // no query terms
+    assert(scored(1L) > scored(2L))            // higher tf, same term
+    assert(scored(4L) > scored(2L))            // df(rare)=1 < df(scan)=2 → bigger idf
+    assert(scored.values.forall(_ >= 0.0))
+  }
+
   test("dedupLinesGlobal: first doc keeps a shared line, later docs lose it, no Window node") {
     val docs = Seq(
       (1L, "alpha\nbeta"),
