@@ -12,8 +12,13 @@ object BenchDebug {
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val n = df.count()
         println(f"[benchdbg] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+        // the POST-execution plan shows what AQE actually ran (reused
+        // stages, chosen join strategies) — the static explain does not
+        if (i == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN_EXECUTED"))
+          println(df.queryExecution.executedPlan.toString)
       }
     }
     spark.stop()

@@ -49,6 +49,12 @@ object QueriesCorpus {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         bits = 32, maxHamming = 2)),
 
+    // shifted-duplicate pairs: docs sharing >= 2 content-defined chunk
+    // hashes (survives insertions/deletions that break fixed-stride hashes)
+    "q_dd_cdc_pairs" -> ((s, dir) =>
+      Dedup.cdcChunkPairs(t(s, dir, "documents"), "doc_id", "text",
+        window = 4, avgTokens = 16, minShared = 2)),
+
     // blocked n-gram Jaccard near-dup pairs (same lang + length bucket)
     "q_dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -260,6 +266,11 @@ object QueriesCorpus {
       TextAnalysis.tfidf(docs, "doc_id", "text", totalDocs = docs.count())
     }),
 
+    // conjunctive boolean retrieval: docs containing ALL three query tokens
+    "q_tx_search" -> ((s, dir) =>
+      TextAnalysis.booleanSearch(t(s, dir, "documents"), "doc_id", "text",
+        queryTokens = Seq("scan", "join", "window"))),
+
     // BM25 relevance of every doc to a 3-token query (Lucene idf)
     "q_tx_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -366,6 +377,25 @@ object QueriesCorpus {
     s"(SELECT doc_id, $shinglesSql AS sh FROM " +
       "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM documents))"
 
+  /** CDC chunk-boundary CTEs (window 4, divisor 16), shared by q_tx_cdc and
+    * the shifted-dup pair oracle: `j(doc_id, tt, starts, ends)`.
+    */
+  private val cdcCtePrefix: String =
+    """base AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tt FROM documents),
+      |c AS (
+      |  SELECT doc_id, list_sort(list(i)) AS cuts
+      |  FROM base, unnest(range(4, len(tt))) AS u(i)
+      |  WHERE CAST('0x' || substr(md5(
+      |          array_to_string(tt[CAST(i AS INT) - 3 : CAST(i AS INT)], ' ')), 1, 8)
+      |        AS BIGINT) % 16 = 0
+      |  GROUP BY doc_id),
+      |j AS (
+      |  SELECT b.doc_id, b.tt,
+      |    list_prepend(CAST(0 AS BIGINT), coalesce(c.cuts, [])) AS starts,
+      |    list_append(coalesce(c.cuts, []), CAST(len(b.tt) AS BIGINT)) AS ends
+      |  FROM base b LEFT JOIN c USING (doc_id))""".stripMargin
+
   /** The simhash recomputation at `bits`, shared by q_dd_simhash and the
     * Hamming pair oracle (CTE named `sh`).
     */
@@ -427,6 +457,16 @@ object QueriesCorpus {
          |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
     },
+    "q_dd_cdc_pairs" ->
+      s"""WITH $cdcCtePrefix,
+         |ch AS (
+         |  SELECT DISTINCT doc_id, md5(array_to_string(
+         |    tt[CAST(starts[CAST(u.k AS INT) + 1] AS INT) + 1
+         |       : CAST(ends[CAST(u.k AS INT) + 1] AS INT)], ' ')) AS chunk_hash
+         |  FROM j, unnest(range(0, len(starts))) AS u(k))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_chunks
+         |FROM ch a JOIN ch b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_dd_simhash" -> s"${simhashCteSql(16)}\nSELECT doc_id, simhash FROM sh",
     "q_dd_simhash_pairs" ->
       s"""${simhashCteSql(32)}
@@ -713,20 +753,7 @@ object QueriesCorpus {
         |  count(*) AS kept_lines
         |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "q_tx_cdc" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tt FROM documents),
-        |c AS (
-        |  SELECT doc_id, list_sort(list(i)) AS cuts
-        |  FROM base, unnest(range(4, len(tt))) AS u(i)
-        |  WHERE CAST('0x' || substr(md5(
-        |          array_to_string(tt[CAST(i AS INT) - 3 : CAST(i AS INT)], ' ')), 1, 8)
-        |        AS BIGINT) % 16 = 0
-        |  GROUP BY doc_id),
-        |j AS (
-        |  SELECT b.doc_id, b.tt,
-        |    list_prepend(CAST(0 AS BIGINT), coalesce(c.cuts, [])) AS starts,
-        |    list_append(coalesce(c.cuts, []), CAST(len(b.tt) AS BIGINT)) AS ends
-        |  FROM base b LEFT JOIN c USING (doc_id))
+      s"""WITH $cdcCtePrefix
         |SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_idx,
         |  CAST(starts[CAST(u.k AS INT) + 1] AS BIGINT) AS chunk_start,
         |  CAST(ends[CAST(u.k AS INT) + 1] - starts[CAST(u.k AS INT) + 1] AS BIGINT)
@@ -738,6 +765,13 @@ object QueriesCorpus {
         |    tt[CAST(starts[CAST(u.k AS INT) + 1] AS INT) + 1
         |       : CAST(ends[CAST(u.k AS INT) + 1] AS INT)], ' ')) AS chunk_hash
         |FROM j, unnest(range(0, len(starts))) AS u(k)""".stripMargin,
+    "q_tx_search" ->
+      """SELECT doc_id, count(*) AS matched FROM (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok IN ('scan', 'join', 'window'))
+        |GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
     "q_tx_bm25" -> {
       val toks = Seq("scan", "join", "window")
       val k1 = 1.2; val b = 0.75

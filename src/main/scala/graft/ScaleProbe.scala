@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * should scale ~linearly in rows (ratio well under 10 on a machine with
   * spare cores); anything quadratic in corpus size would show ~100x.
   *
-  * Measured (local[32], min of 3): exact 1.1x, simhash 0.9x, quality 0.9x,
-  * ann_brute 1.0x, lsh_buckets 1.1x, minhash 3.8x, lsh_pairs 4.2x — all
+  * Measured (local[32], min of 3): exact 1.0x, simhash 0.9x, quality 1.1x,
+  * ann_brute 1.2x, lsh_buckets 1.1x, rp_project 1.0x, pk_concat 1.4x,
+  * dd_clusters 2.5x, minhash 3.4x, lsh_pairs 4.0x, tx_cdc 4.8x — all
   * sub-linear per row. The two pair generators read higher
-  * (ngram_jaccard ~52x, cos_pairs ~31x) because their OUTPUT explodes by
+  * (ngram_jaccard ~38x, cos_pairs ~43x) because their OUTPUT explodes by
   * construction, not because the algorithms are quadratic in corpus size:
   * 10 salted copies of everything grow result pairs ~3000x (79 → 232 400)
   * and ~164x (1 450 → 237 827), and both joins cost by candidate pairs —

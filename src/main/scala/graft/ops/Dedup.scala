@@ -433,6 +433,39 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Shifted-duplicate pairs via content-defined chunks: documents sharing
+    * ≥ `minShared` CDC chunk hashes ([[TextAnalysis.chunkContentDefined]])
+    * are paired with their shared-chunk count. Because CDC boundaries
+    * realign after insertions/deletions, a lightly edited copy still shares
+    * most chunk hashes with its original — the pair survives where
+    * fixed-stride chunking or whole-document hashing would miss it.
+    *
+    * Same inverted-index shape as the shingle pairs: chunks explode to
+    * (chunk_hash, id) rows, pairs meet ON the hash (high-cardinality key —
+    * no skewed bucket), one keyed count yields the shared-chunk totals.
+    * Single-chunk hashes that appear once never join anything, so cost
+    * tracks true duplicate density, not corpus².
+    */
+  def cdcChunkPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 4,
+      avgTokens: Int = 16,
+      minShared: Int = 2): DataFrame = {
+    require(minShared >= 1)
+    val chunks = TextAnalysis
+      .chunkContentDefined(df, idCol, textCol, window, avgTokens)
+      .select(col(idCol), col("chunk_hash")).distinct()
+    val a = chunks.alias("a")
+    val b = chunks.hint("SHUFFLE_HASH").alias("b")
+    a.join(b,
+        col("a.chunk_hash") === col("b.chunk_hash") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
   /** Incremental exact dedup of a new batch against an ever-growing history
     * (continuous corpus ingestion: "which of today's documents have we
     * already trained on?"). Two phases so the HISTORY — the 100 TB side —

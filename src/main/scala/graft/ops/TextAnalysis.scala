@@ -384,6 +384,28 @@ object TextAnalysis {
       .withColumn("chunk_hash", md5(col("chunk_text")))
   }
 
+  /** Conjunctive boolean retrieval: documents containing EVERY query token
+    * (the exact-match companion to [[bm25]] ranking). One explode filtered
+    * to the query tokens — predicate pushdown carries `token IN (...)` to
+    * the scan — then a doc-keyed distinct-count compared to the query
+    * size. All shuffles keyed by document id; a hot stop-word in the query
+    * costs rows proportional to its df, never pairs.
+    */
+  def booleanSearch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTokens: Seq[String]): DataFrame = {
+    require(queryTokens.nonEmpty && queryTokens.distinct == queryTokens,
+      "queryTokens must be non-empty and distinct")
+    df.select(col(idCol), explode(toks(col(textCol))).as("_tok"))
+      .filter(col("_tok").isin(queryTokens: _*))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("_tok")).as("matched"))
+      .filter(col("matched") === queryTokens.size.toLong)
+      .select(col(idCol), col("matched"))
+  }
+
   /** PII/URL scrubbing: replace emails and URLs with placeholder tokens
     * (the normalization pass every web-scale corpus runs before training).
     * Patterns use the portable character-class subset shared by Java regex

@@ -169,6 +169,34 @@ class OpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
   }
 
+  test("cdcChunkPairs finds an edited copy that fixed-stride chunk hashing misses") {
+    val rng = new scala.util.Random(11)
+    val base = Vector.fill(400)(s"w${rng.nextInt(4000)}")
+    val edited = Vector("x1", "x2", "x3") ++ base // shifted copy
+    val other = Vector.fill(400)(s"z${rng.nextInt(4000)}")
+    val docs = Seq(
+      (1L, base.mkString(" ")), (2L, edited.mkString(" ")), (3L, other.mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.cdcChunkPairs(docs, "doc_id", "text", minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    // the edited copy pairs with its original on most chunks...
+    val hit = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(hit.nonEmpty, "edited copy not detected")
+    assert(hit.get._3 >= 10, s"only ${hit.get._3} shared chunks")
+    // ...and the unrelated doc pairs with nothing
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+
+    // contrast: fixed-stride 16-token chunk hashes share NOTHING after the
+    // 3-token shift (every boundary moved) — the reason CDC exists
+    val fixedShared = graft.ops.TextAnalysis
+      .chunkTokenWindows(docs, "doc_id", "text", chunkTokens = 16)
+      .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+      .groupBy("h").agg(collect_set("doc_id").as("ids"))
+      .filter(array_contains(col("ids"), 1L) && array_contains(col("ids"), 2L))
+      .count()
+    assert(fixedShared == 0, "fixture too easy: fixed-stride also matched")
+  }
+
   test("bm25: query-term docs outrank term-free docs; rarer terms weigh more") {
     val docs = Seq(
       (1L, "scan scan scan filler filler"),
