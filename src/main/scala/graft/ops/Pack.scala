@@ -80,11 +80,13 @@ object Pack {
     * chunk first — [[TextAnalysis.chunkTokenWindows]] /
     * [[chunkContentDefined]] — when that matters).
     *
-    * The fold is inherently sequential per shard, so it runs as one
-    * `aggregate` over the shard's (order, id, tokens) triples — collected
-    * per shard, but only 24-byte triples, never text: a 10⁹-document corpus
-    * at 4096 shards folds ~250 k triples (~6 MB) per task. Output:
-    * (shard, seq_idx, id, nt).
+    * The fold is inherently sequential per shard, so it runs as a typed
+    * `flatMapGroups` over the shard's (order, id, tokens) triples — one
+    * O(n log n) sort + O(n) pass per shard, never text: a 10⁹-document
+    * corpus at 4096 shards folds ~250 k triples (~6 MB) per task. (A
+    * Catalyst `aggregate` fold appending to an accumulator array would
+    * COPY the array per element — O(n²) per shard — which is why this op
+    * drops to the typed API.) Output: (shard, seq_idx, id, nt).
     */
   def packGreedy(
       df: DataFrame,
@@ -94,30 +96,29 @@ object Pack {
       numShards: Int = 32,
       salt: String = "pk"): DataFrame = {
     require(budget >= 1 && numShards >= 1, "need budget >= 1 and numShards >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
     val items = df.select(
       shardOf(col(idCol), numShards, salt).as("shard"),
-      struct(
-        orderKey(col(idCol), salt).as("u"),
-        col(idCol).cast("long").as("id"),
-        size(toks(col(textCol))).cast("long").as("nt")).as("item"))
-    // sentinel fill > budget forces the first item to open seq 0
-    val zero = struct(
-      lit(-1L).as("bin"), lit(budget.toLong + 1L).as("fill"),
-      array().cast("array<struct<id:bigint,bin:bigint,nt:bigint>>").as("out"))
-    val fold = (acc: Column, x: Column) => {
-      val over = acc("fill") + x("nt") > budget
-      val bin = when(over, acc("bin") + 1).otherwise(acc("bin"))
-      val fill = when(over, x("nt")).otherwise(acc("fill") + x("nt"))
-      struct(bin.as("bin"), fill.as("fill"),
-        concat(acc("out"),
-          array(struct(x("id").as("id"), bin.as("bin"), x("nt").as("nt")))).as("out"))
-    }
-    items.groupBy("shard")
-      .agg(sort_array(collect_list(col("item"))).as("items"))
-      .select(col("shard"),
-        explode(aggregate(col("items"), zero, fold).getField("out")).as("e"))
-      .select(
-        col("shard"), col("e.bin").as("seq_idx"),
-        col("e.id").as(idCol), col("e.nt").as("nt"))
+      orderKey(col(idCol), salt).as("u"),
+      col(idCol).cast("long").as("id"),
+      size(toks(col(textCol))).cast("long").as("nt"))
+      .as[(Long, Double, Long, Long)]
+    items.groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toArray.sortBy(x => (x._2, x._3)) // (u, id): md5 order
+        var bin = 0L
+        var fill = budget.toLong + 1L // sentinel: first item opens seq 0 at bin 0
+        var first = true
+        sorted.iterator.map { case (_, _, id, nt) =>
+          if (fill + nt > budget) {
+            bin = if (first) 0L else bin + 1L
+            fill = nt
+          } else fill += nt
+          first = false
+          (shard, bin, id, nt)
+        }
+      }
+      .toDF("shard", "seq_idx", idCol, "nt")
   }
 }
