@@ -278,6 +278,10 @@ object QueriesCorpus {
         queryTokens = Seq("scan", "join", "window"), totalDocs = docs.count())
     }),
 
+    // per-language top-20 tokens (grouped frequent items)
+    "q_tx_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokensPerGroup(t(s, dir, "documents"), "lang", "doc_id", "text", k = 20)),
+
     // corpus vocabulary: global token tf/df, top 100 by frequency
     "q_tx_vocab" -> ((s, dir) =>
       TextAnalysis.vocabStats(t(s, dir, "documents"), "doc_id", "text", topK = 100)),
@@ -765,6 +769,15 @@ object QueriesCorpus {
         |    tt[CAST(starts[CAST(u.k AS INT) + 1] AS INT) + 1
         |       : CAST(ends[CAST(u.k AS INT) + 1] AS INT)], ' ')) AS chunk_hash
         |FROM j, unnest(range(0, len(starts))) AS u(k)""".stripMargin,
+    "q_tx_top_tokens" ->
+      """SELECT lang, token, count(*) AS tf,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token)
+        |    AS BIGINT) AS rank
+        |FROM (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY lang, token
+        |QUALIFY rank <= 20""".stripMargin,
     "q_tx_search" ->
       """SELECT doc_id, count(*) AS matched FROM (
         |  SELECT DISTINCT doc_id, tok FROM (

@@ -67,6 +67,17 @@ object QueriesExtra {
       SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec(emb), k = 10, planes = 6)
     }),
 
+    // multi-probe LSH ANN: own bucket + the 3 boundary-closest sign flips
+    // (rows-only check: approximate by construction; AnnSpec proves
+    // zero-probe == single-bucket, monotone recall, and a recall floor)
+    "q_ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = queryVec(emb)
+      val index = SimilaritySearch.buildLshIndex(
+        emb, "vec_id", "embedding", planes = 6, dims = q.length)
+      SimilaritySearch.lshTopKMultiProbe(index, "vec_id", q, k = 10, extraProbes = 3)
+    }),
+
     // skew handling: two-phase salted aggregation must be value-identical
     // to the plain groupBy (integral sums, so salting order can't perturb
     // floats) — the hot-key spreading path for skewed 100 TB aggregations

@@ -187,6 +187,50 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Multi-probe top-k (Lv et al., VLDB 2007): probe the query's own bucket
+    * PLUS the `extraProbes` buckets reached by flipping the sign bits whose
+    * hyperplane projections are closest to zero — exactly the planes where
+    * a true neighbor most plausibly landed on the other side. Recovers most
+    * of the recall a single-bucket probe loses without touching more than
+    * `extraProbes + 1` of the 2^planes buckets; over a persisted index each
+    * probe is one pruned partition directory, so cost scales with probes,
+    * never corpus.
+    *
+    * The probe ORDER derives from the query alone (driver-side projections
+    * against the literal plane matrix — `planes × dims` multiply-adds), so
+    * the probe set is deterministic and engine-independent.
+    */
+  def lshTopKMultiProbe(
+      index: LshIndex,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      extraProbes: Int): DataFrame = {
+    require(query.length == index.dims,
+      s"query has ${query.length} dims but the index was built with ${index.dims}")
+    require(extraProbes >= 0 && extraProbes <= index.planes,
+      s"extraProbes must be in [0, ${index.planes}]")
+    val comps = planeComponents(index.planes, index.dims)
+    val projections = (0 until index.planes).map { p =>
+      var proj = 0.0
+      var d = 0
+      while (d < query.length) { proj += query(d) * comps(p)(d); d += 1 }
+      proj
+    }
+    val own = lshBucketOf(query, index.planes)
+    val flips = projections.zipWithIndex
+      .sortBy { case (proj, p) => (math.abs(proj), p) } // boundary-closest first
+      .take(extraProbes)
+      .map { case (_, p) => own ^ (1L << p) }
+    val probes = own +: flips
+    val q = array(query.map(lit): _*)
+    index.relation
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), graft.Functions.roundHalfUp(cosine(col("v"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: scan only vectors whose LSH bucket equals the
     * query's bucket, then exact cosine within the bucket. One-shot form of
     * [[lshTopKIndexed]] that hashes the corpus inline.

@@ -212,6 +212,34 @@ object TextAnalysis {
     else stats.orderBy(col("tf").desc, col("token")).limit(topK)
   }
 
+  /** Top-k most frequent tokens per group (per language / source / quality
+    * bucket): the grouped frequent-items primitive behind per-language
+    * stopword tables and domain-vocabulary drift checks. One
+    * map-side-combinable aggregate keyed by (group, token), then a
+    * rank-k window over the group — the window partition carries at most
+    * the group's distinct tokens, never its rows. Ties break
+    * lexicographically so results are deterministic.
+    */
+  def topTokensPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val counted = df
+      .select(col(groupCol).as("grp"), explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("grp", "token")
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("tf").desc, col("token"))
+    counted
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("grp").as(groupCol), col("token"), col("tf"), col("rank").cast("long").as("rank"))
+  }
+
   /** Per-(document, token) TF-IDF weights: `tf · ln(N / df)` over
     * whitespace tokens — the weighting behind classic sparse retrieval and
     * keyword extraction. Two map-side-combinable aggregates (term
