@@ -271,6 +271,19 @@ object QueriesCorpus {
       TextAnalysis.booleanSearch(t(s, dir, "documents"), "doc_id", "text",
         queryTokens = Seq("scan", "join", "window"))),
 
+    // the same conjunctive search through a persisted inverted index
+    // (build → save → load → search; answers must be identical, so the
+    // oracle is the same SQL as q_tx_search)
+    "q_tx_search_indexed" -> ((s, dir) => {
+      val idx = TextAnalysis.buildTextIndex(t(s, dir, "documents"), "doc_id", "text",
+        buckets = 64)
+      val path = java.nio.file.Files.createTempDirectory("graft_tix_q_").toString
+      TextAnalysis.saveTextIndex(idx, path)
+      TextAnalysis.booleanSearchIndexed(
+        TextAnalysis.loadTextIndex(s, path), "doc_id",
+        queryTokens = Seq("scan", "join", "window"))
+    }),
+
     // BM25 relevance of every doc to a 3-token query (Lucene idf)
     "q_tx_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -399,6 +412,17 @@ object QueriesCorpus {
       |    list_prepend(CAST(0 AS BIGINT), coalesce(c.cuts, [])) AS starts,
       |    list_append(coalesce(c.cuts, []), CAST(len(b.tt) AS BIGINT)) AS ends
       |  FROM base b LEFT JOIN c USING (doc_id))""".stripMargin
+
+  /** Shared by q_tx_search and q_tx_search_indexed: a persisted index must
+    * answer exactly like the direct scan.
+    */
+  private val booleanSearchOracleSql: String =
+    """SELECT doc_id, count(*) AS matched FROM (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE tok IN ('scan', 'join', 'window'))
+      |GROUP BY doc_id HAVING count(*) = 3""".stripMargin
 
   /** The simhash recomputation at `bits`, shared by q_dd_simhash and the
     * Hamming pair oracle (CTE named `sh`).
@@ -778,13 +802,8 @@ object QueriesCorpus {
         |WHERE token <> ''
         |GROUP BY lang, token
         |QUALIFY rank <= 20""".stripMargin,
-    "q_tx_search" ->
-      """SELECT doc_id, count(*) AS matched FROM (
-        |  SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-        |    FROM documents)
-        |  WHERE tok IN ('scan', 'join', 'window'))
-        |GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
+    "q_tx_search" -> booleanSearchOracleSql,
+    "q_tx_search_indexed" -> booleanSearchOracleSql,
     "q_tx_bm25" -> {
       val toks = Seq("scan", "join", "window")
       val k1 = 1.2; val b = 0.75

@@ -445,6 +445,13 @@ object Dedup {
     * no skewed bucket), one keyed count yields the shared-chunk totals.
     * Single-chunk hashes that appear once never join anything, so cost
     * tracks true duplicate density, not corpus².
+    *
+    * `maxDocFreq` (0 = off) drops chunk hashes appearing in more than that
+    * many documents before pairing — the stop-chunk guard: a boilerplate
+    * chunk shared by 10⁶ documents would otherwise emit ~10¹² pairs on its
+    * own (df² blowup on one hot key), exactly the stop-word hazard of any
+    * inverted index. The filter is one combinable count + a semi-join,
+    * both keyed by the hash.
     */
   def cdcChunkPairs(
       df: DataFrame,
@@ -452,11 +459,19 @@ object Dedup {
       textCol: String,
       window: Int = 4,
       avgTokens: Int = 16,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2,
+      maxDocFreq: Int = 0): DataFrame = {
     require(minShared >= 1)
-    val chunks = TextAnalysis
+    val allChunks = TextAnalysis
       .chunkContentDefined(df, idCol, textCol, window, avgTokens)
       .select(col(idCol), col("chunk_hash")).distinct()
+    val chunks =
+      if (maxDocFreq <= 0) allChunks
+      else allChunks.join(
+        allChunks.groupBy("chunk_hash").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDocFreq)
+          .select("chunk_hash"),
+        Seq("chunk_hash"), "left_semi")
     val a = chunks.alias("a")
     val b = chunks.hint("SHUFFLE_HASH").alias("b")
     a.join(b,

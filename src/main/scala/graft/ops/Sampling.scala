@@ -70,9 +70,12 @@ object Sampling {
       alpha: Double,
       salt: String = ""): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "need 0 < alpha <= 1")
+    // null strata fall through to stratifiedSample's defaultRate (0.0):
+    // a null never equals any rate key, so it is dropped — same contract
+    // as an unknown stratum — rather than NPE'ing the count pass
     val counts = df.groupBy(strataCol).count()
-      .collect().map(r => r.get(0).toString -> r.getLong(1))
-    require(counts.nonEmpty, "empty input")
+      .collect().flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1)))
+    require(counts.nonEmpty, "input has no non-null strata")
     val nMin = counts.map(_._2).min.toDouble
     val rates = counts.map { case (s, n) =>
       s -> math.floor(math.pow(n / nMin, alpha - 1.0) * 1e9 + 0.5) / 1e9

@@ -434,6 +434,88 @@ object TextAnalysis {
       .select(col(idCol), col("matched"))
   }
 
+  /** A built inverted text index: distinct (token, id) postings plus the
+    * hash-bucket count the postings are partitioned by. Carrying `buckets`
+    * in the type (and persisting it) means a search against a reloaded
+    * index can never hash a query token into the wrong partition layout —
+    * the [[SimilaritySearch.LshIndex]] lesson applied to text.
+    */
+  case class TextIndex(relation: DataFrame, buckets: Int)
+
+  private def tokenBucket(token: Column, buckets: Int): Column =
+    pmod(graft.Functions.md5Bits(token, 32), lit(buckets)).cast("long")
+
+  /** Build the inverted index: one explode + distinct, each posting tagged
+    * with its token's md5 bucket. Partitioning by raw token would create a
+    * directory per distinct token (millions); `buckets` hash directories
+    * keep listings bounded while a query still prunes to ≤ |query| of them.
+    */
+  def buildTextIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 256): TextIndex = {
+    require(buckets >= 1)
+    TextIndex(
+      df.select(col(idCol), explode(toks(col(textCol))).as("token"))
+        .filter(col("token") =!= "")
+        .distinct()
+        .withColumn("tok_bucket", tokenBucket(col("token"), buckets)),
+      buckets)
+  }
+
+  private val TextMetaFile = "_text_meta.json"
+
+  /** Persist the index partitioned by token bucket; the bucket count rides
+    * along so [[loadTextIndex]] validates instead of guessing.
+    */
+  def saveTextIndex(index: TextIndex, path: String): Unit = {
+    index.relation.write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
+    val spark = index.relation.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, TextMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"buckets":${index.buckets}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def loadTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): TextIndex = {
+    val p = new org.apache.hadoop.fs.Path(path, TextMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no $TextMetaFile — not an index written by saveTextIndex")
+    val in = fs.open(p)
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val m = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+    require(m.isDefined, s"$TextMetaFile at $path is missing field buckets: $json")
+    TextIndex(spark.read.parquet(path), m.get.group(1).toInt)
+  }
+
+  /** Conjunctive search over a prebuilt/persisted index: the query tokens'
+    * buckets are computed driver-side (the md5 twin of [[tokenBucket]]), so
+    * the scan prunes to ≤ |query| partition directories before the token
+    * filter even runs — build once, search many, never re-tokenize the
+    * corpus per query.
+    */
+  def booleanSearchIndexed(
+      index: TextIndex,
+      idCol: String,
+      queryTokens: Seq[String]): DataFrame = {
+    require(queryTokens.nonEmpty && queryTokens.distinct == queryTokens,
+      "queryTokens must be non-empty and distinct")
+    val buckets = queryTokens
+      .map(t => SimilaritySearch.md5Bits32(t) % index.buckets).distinct
+    index.relation
+      .filter(col("tok_bucket").isin(buckets: _*) && col("token").isin(queryTokens: _*))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("token")).as("matched"))
+      .filter(col("matched") === queryTokens.size.toLong)
+      .select(col(idCol), col("matched"))
+  }
+
   /** PII/URL scrubbing: replace emails and URLs with placeholder tokens
     * (the normalization pass every web-scale corpus runs before training).
     * Patterns use the portable character-class subset shared by Java regex

@@ -169,6 +169,56 @@ class OpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
   }
 
+  test("persisted text index: indexed search equals direct, buckets prune partitions") {
+    import graft.ops.TextAnalysis
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val query = Seq("scan", "join", "window")
+    val direct = TextAnalysis.booleanSearch(docs, "doc_id", "text", query)
+      .as[(Long, Long)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix_").toString
+    TextAnalysis.saveTextIndex(
+      TextAnalysis.buildTextIndex(docs, "doc_id", "text", buckets = 64), dir)
+    val loaded = TextAnalysis.loadTextIndex(spark, dir)
+    assert(loaded.buckets == 64)
+    val viaIndex = TextAnalysis.booleanSearchIndexed(loaded, "doc_id", query)
+    assert(viaIndex.as[(Long, Long)].collect().toSet == direct)
+    assert(direct.nonEmpty)
+
+    // the driver-computed token buckets must reach the scan as partition
+    // filters — that is the build-once/search-many payoff
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tok_bucket"),
+      s"expected tok_bucket partition pruning in:\n$plan")
+
+    // a bare parquet dir without the meta file refuses to load
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadTextIndex(
+        spark, java.nio.file.Files.createTempDirectory("graft_tix_bare_").toString)
+    }
+  }
+
+  test("cdcChunkPairs: maxDocFreq drops boilerplate chunks from pairing") {
+    // two real near-dups plus a boilerplate chunk present in EVERY doc
+    val rng = new scala.util.Random(13)
+    val boiler = Vector.fill(120)(s"b${rng.nextInt(100)}")
+    def doc(seed: Int) =
+      (boiler ++ Vector.fill(200)(s"t${seed}_${rng.nextInt(4000)}")).mkString(" ")
+    val base = doc(1)
+    val docs = Seq(
+      (1L, base), (2L, ("x1 " + base)), (3L, doc(3)), (4L, doc(4)))
+      .toDF("doc_id", "text")
+    val open = graft.ops.Dedup.cdcChunkPairs(docs, "doc_id", "text", minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // without the guard the shared boilerplate pairs everything with everything
+    assert(open.size >= 5, s"fixture should over-pair: $open")
+    val guarded = graft.ops.Dedup
+      .cdcChunkPairs(docs, "doc_id", "text", minShared = 1, maxDocFreq = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // with it, only the true edited-copy pair survives
+    assert(guarded.map(p => (p._1, p._2)) == Set((1L, 2L)), s"got $guarded")
+  }
+
   test("cdcChunkPairs finds an edited copy that fixed-stride chunk hashing misses") {
     val rng = new scala.util.Random(11)
     val base = Vector.fill(400)(s"w${rng.nextInt(4000)}")
