@@ -299,6 +299,27 @@ object QueriesCorpus {
     "q_tx_vocab" -> ((s, dir) =>
       TextAnalysis.vocabStats(t(s, dir, "documents"), "doc_id", "text", topK = 100)),
 
+    // one-row corpus health report: the snapshot summary a curation
+    // pipeline publishes — doc/dup/quality/token counts, all exact
+    // integers, every stage recomputed independently in the oracle
+    "q_corpus_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.exact(docs, "doc_id", "text")
+      val clusters = ConnectedComponents.assign(
+        docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 8, bands = 2),
+        "id_a", "id_b")
+      val quality = TextAnalysis.qualityMetrics(docs, "doc_id", "text")
+      docs.agg(count(lit(1)).as("total_docs"))
+        .crossJoin(exact.agg(count(lit(1)).as("distinct_texts")))
+        .crossJoin(clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .agg(count(lit(1)).as("near_dup_docs")))
+        .crossJoin(quality.filter(col("quality_score") >= 0.5)
+          .agg(count(lit(1)).as("quality_pass_docs")))
+        .crossJoin(quality.agg(sum(col("word_count")).cast("long").as("total_tokens")))
+        .withColumn("exact_dup_docs", col("total_docs") - col("distinct_texts"))
+    }),
+
     // the COMPOSED curation pipeline (corpus twin of q_gs_ready): quality
     // gate + language gate + exact-dup canonical + near-dup cluster
     // canonical + deterministic sampling, per-doc flags ANDed into `keep`
@@ -838,6 +859,44 @@ object QueriesCorpus {
         |WHERE token <> ''
         |GROUP BY token
         |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q_corpus_report" -> {
+      val bandSelects = (0 until 2)
+        .map { b =>
+          val sig = (0 until 4).map(r => minhashSql(b * 4 + r)).mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM $shingleFrom"
+        }
+        .mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE banded AS (
+         |  $bandSelects),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id, len(t) AS wc,
+         |    (CASE WHEN len(t) BETWEEN 20 AND 400 THEN 0.5 ELSE 0.0 END)
+         |    + (CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(t) END)
+         |         BETWEEN 0.01 AND 0.5 THEN 0.5 ELSE 0.0 END) AS score
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents))
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS total_docs,
+         |  (SELECT count(DISTINCT md5(trim(lower(text)))) FROM documents) AS distinct_texts,
+         |  (SELECT count(*) FROM cl WHERE doc_id <> cluster_id) AS near_dup_docs,
+         |  (SELECT count(*) FROM q WHERE score >= 0.5) AS quality_pass_docs,
+         |  (SELECT CAST(sum(wc) AS BIGINT) FROM q) AS total_tokens,
+         |  (SELECT count(*) FROM documents)
+         |    - (SELECT count(DISTINCT md5(trim(lower(text)))) FROM documents)
+         |    AS exact_dup_docs""".stripMargin
+    },
     "q_cr_keep" -> {
       // every stage of the engine-side composition recomputed in SQL: the
       // q_dd_clusters recursive closure, the q_tx_langid marker scoring,
