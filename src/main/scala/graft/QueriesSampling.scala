@@ -48,6 +48,13 @@ object QueriesSampling {
     "q_sm_temperature" -> ((s, dir) =>
       Sampling.temperatureMix(t(s, dir, "documents"), "lang", "doc_id",
         alpha = 0.5, salt = "mix")
+        .select("doc_id", "lang", "n_chars")),
+
+    // weight-proportional sampling: keep probability scales with n_chars
+    // (the longest doc keeps at exactly 0.8)
+    "q_sm_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+        targetRate = 0.8, salt = "ws")
         .select("doc_id", "lang", "n_chars")))
 
   val oracles: Map[String, String] = Map(
@@ -68,6 +75,13 @@ object QueriesSampling {
       s"""SELECT doc_id, lang FROM documents
          |QUALIFY row_number() OVER (
          |  PARTITION BY lang ORDER BY ${uSql("doc_id")}, doc_id) <= 40""".stripMargin,
+    "q_sm_weighted" ->
+      s"""WITH m AS (
+         |  SELECT floor(0.8 / max(CAST(n_chars AS DOUBLE)) * 1000000000 + 0.5)
+         |    / 1000000000 AS scale FROM documents)
+         |SELECT doc_id, lang, n_chars FROM documents, m
+         |WHERE CAST(n_chars AS DOUBLE) > 0.0
+         |  AND ${uSql("doc_id", "ws")} < CAST(n_chars AS DOUBLE) * m.scale""".stripMargin,
     "q_sm_temperature" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          |m AS (SELECT min(n) AS nmin FROM c),

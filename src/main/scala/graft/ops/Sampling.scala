@@ -52,6 +52,29 @@ object Sampling {
     df.filter(hashUniform(col(keyCol), salt) < rate)
   }
 
+  /** Weight-proportional Bernoulli sampling: each row keeps with
+    * probability `targetRate · w / w_max` — quality-weighted corpus
+    * thinning where a document twice as good is twice as likely to stay,
+    * and the best row keeps at exactly `targetRate`. `w_max` is one
+    * bounded scalar aggregate turned into a plan-time literal (rounded
+    * half-up to 9 so SQL oracles reproduce the comparison); non-positive
+    * weights never keep. Deterministic per key, like every decision here.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      targetRate: Double,
+      salt: String = ""): DataFrame = {
+    require(targetRate > 0.0 && targetRate <= 1.0, "need 0 < targetRate <= 1")
+    val wMax = df.agg(max(col(weightCol).cast("double"))).head().getDouble(0)
+    require(wMax > 0.0, "max weight must be positive")
+    val scale = math.floor(targetRate / wMax * 1e9 + 0.5) / 1e9
+    df.filter(
+      col(weightCol).cast("double") > 0.0 &&
+        hashUniform(col(keyCol), salt) < col(weightCol).cast("double") * scale)
+  }
+
   /** Temperature-based mixture sampling (the multilingual-corpus mixing
     * rule: sample stratum i with probability ∝ nᵢ^α, α ∈ (0, 1] — α < 1
     * upweights low-resource strata). Down-sampling only: the smallest

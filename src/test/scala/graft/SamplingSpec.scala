@@ -80,6 +80,31 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == a)
   }
 
+  test("weightedSample: keep rate tracks weight, zero weights never keep, deterministic") {
+    import spark.implicits._
+    val rows = Sampling.weightedSample(docs, "doc_id", "n_chars", targetRate = 0.8, salt = "ws")
+    val total = docs.count().toDouble
+    // empirical keep fraction ≈ 0.8 · E[w]/w_max
+    val stats = docs.agg(avg(col("n_chars").cast("double")), max(col("n_chars").cast("double")))
+      .as[(Double, Double)].head()
+    val want = 0.8 * stats._1 / stats._2
+    assert(math.abs(rows.count() / total - want) < 0.1,
+      s"keep fraction ${rows.count() / total} vs expected $want")
+    // heavier rows keep more often: compare top vs bottom weight halves
+    val median = docs.stat.approxQuantile("n_chars", Array(0.5), 0.0).head
+    def rate(cond: org.apache.spark.sql.Column): Double =
+      rows.filter(cond).count().toDouble / math.max(docs.filter(cond).count(), 1L).toDouble
+    assert(rate(col("n_chars") > median) > rate(col("n_chars") <= median))
+    // zero/negative weights are never kept
+    val withZero = docs.withColumn("w0", when(col("doc_id") % 2 === 0, 0).otherwise(col("n_chars")))
+    val kept0 = Sampling.weightedSample(withZero, "doc_id", "w0", 0.8)
+    assert(kept0.filter(col("doc_id") % 2 === 0).count() == 0)
+    // rerun-deterministic
+    assert(Sampling.weightedSample(docs, "doc_id", "n_chars", 0.8, salt = "ws")
+      .select("doc_id").as[Long].collect().toSet ==
+      rows.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("temperatureMix: alpha=1 is identity, smallest stratum kept whole, flattening monotone") {
     // alpha = 1 → every stratum rate (n/nmin)^0 = 1 → no row dropped
     assert(Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 1.0).count() == docs.count())
