@@ -203,9 +203,22 @@ class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L)
             if (java.util.Arrays.equals(Files.readAllBytes(mine), token)) Files.delete(mine)
             else {
               // the rename displaced a successor's lock (takeover + re-create
-              // landed between holds() and move): put it back
-              try Files.move(mine, l, StandardCopyOption.ATOMIC_MOVE)
-              catch { case _: java.io.IOException => Files.deleteIfExists(mine) }
+              // landed between holds() and move): put it back. Retry briefly —
+              // deleting outright forces the successor to abort at its
+              // commit-time fence a whole merge that could have succeeded,
+              // while leaving the private rename in place is strictly worse
+              // than either (the partition looks unlocked but isn't released)
+              var restored = false
+              var attempt = 0
+              while (!restored && attempt < 5) {
+                try { Files.move(mine, l, StandardCopyOption.ATOMIC_MOVE); restored = true }
+                catch {
+                  case _: java.io.IOException =>
+                    attempt += 1
+                    try Thread.sleep(20) catch { case _: InterruptedException => () }
+                }
+              }
+              if (!restored) Files.deleteIfExists(mine)
             }
           } catch { case _: java.io.IOException => () } // already gone
         }

@@ -28,6 +28,18 @@ import org.apache.spark.sql.functions._
   * aggregate plus a keyed join on the content hash; the near-dup flag costs
   * the LSH pair generation + star-contraction rounds — every shuffle keyed,
   * nothing quadratic, nothing driver-side.
+  *
+  * NOT lazily composable: unless `precomputedClusters` is supplied, calling
+  * `decide` runs [[ConnectedComponents.assign]]'s iterative star-contraction
+  * loop (localCheckpoint actions) at composition time — Spark jobs launch
+  * before the caller executes the returned DataFrame (same eager contract as
+  * [[Sampling.temperatureMix]]'s count pass). Pass a precomputed assignment
+  * to keep composition lazy and to reuse a cluster map across calls.
+  *
+  * Null `textCol` values are treated as the empty string for every flag
+  * (hash, quality, language), so a null-text document still appears in the
+  * output with its drop reasons — the observability contract says flags are
+  * surfaced, never silently vanished.
   */
 object Curate {
 
@@ -41,21 +53,25 @@ object Curate {
       sampleSalt: String = "",
       lshNumHashes: Int = 8,
       lshBands: Int = 2,
-      langMarkers: Seq[(String, Seq[String])] = TextAnalysis.LangMarkers): DataFrame = {
+      langMarkers: Seq[(String, Seq[String])] = TextAnalysis.LangMarkers,
+      precomputedClusters: Option[DataFrame] = None): DataFrame = {
     val id = col(idCol)
-    val base = docs.select(
+    // null text ⇒ '' everywhere: md5(null) would null the content hash and
+    // the inner joins below would silently drop the document
+    val safe = docs.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val base = safe.select(
       id,
       TextAnalysis.langId(col(textCol), langMarkers).as("_lang"),
       md5(trim(lower(col(textCol)))).as("_ch"),
       (Sampling.hashUniform(id, sampleSalt) < sampleRate).as("sampled"))
-    val quality = TextAnalysis.qualityMetrics(docs, idCol, textCol)
+    val quality = TextAnalysis.qualityMetrics(safe, idCol, textCol)
       .select(id, (col("quality_score") >= minQuality).as("quality_ok"))
-    val exact = Dedup.exact(docs, idCol, textCol)
+    val exact = Dedup.exact(safe, idCol, textCol)
       .select(col("content_hash").as("_ch"), col("canonical_id"))
-    val clusters = ConnectedComponents.assign(
-      docs.select(id), idCol,
-      Dedup.minhashLshPairs(docs, idCol, textCol, lshNumHashes, lshBands),
-      "id_a", "id_b")
+    val clusters = precomputedClusters.getOrElse(ConnectedComponents.assign(
+      safe.select(id), idCol,
+      Dedup.minhashLshPairs(safe, idCol, textCol, lshNumHashes, lshBands),
+      "id_a", "id_b"))
     base
       .join(quality, Seq(idCol))
       .join(exact, Seq("_ch"))

@@ -70,6 +70,11 @@ object Sampling {
     val wMax = df.agg(max(col(weightCol).cast("double"))).head().getDouble(0)
     require(wMax > 0.0, "max weight must be positive")
     val scale = math.floor(targetRate / wMax * 1e9 + 0.5) / 1e9
+    // huge weights (byte sizes, popularity counts) can push targetRate/wMax
+    // below the 9-decimal grid — fail loudly rather than sample nothing
+    require(scale > 0.0,
+      s"targetRate/$targetRate over max weight $wMax underflows 9-decimal " +
+        "rounding; rescale the weight column (e.g. divide by its max) first")
     df.filter(
       col(weightCol).cast("double") > 0.0 &&
         hashUniform(col(keyCol), salt) < col(weightCol).cast("double") * scale)

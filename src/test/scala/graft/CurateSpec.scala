@@ -53,6 +53,34 @@ class CurateSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("null-text documents surface with flags instead of vanishing") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again " * 4),
+      (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])) // null == null: docs 2,3 are exact dups
+      .toDF("doc_id", "text")
+    val got = Curate.decide(docs, "doc_id", "text", sampleRate = 1.0)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "null-text docs must not be dropped")
+    // (id, quality_ok, lang_ok, exact_canonical, near_canonical, sampled, keep)
+    assert(!got(2L)._2 && !got(2L)._7, "empty text fails the quality gate")
+    // both nulls hash to the same '' content: min id 2 is the canonical
+    assert(got(2L)._3 && got(2L)._4 && !got(3L)._4)
+  }
+
+  test("precomputedClusters gives identical flags and skips the eager CC pass") {
+    import graft.ops.{ConnectedComponents, Dedup}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val clusters = ConnectedComponents.assign(
+      docs.select($"doc_id"), "doc_id",
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2), "id_a", "id_b")
+    val direct = Curate.decide(docs, "doc_id", "text", sampleRate = 0.9, sampleSalt = "cr")
+    val reused = Curate.decide(docs, "doc_id", "text", sampleRate = 0.9, sampleSalt = "cr",
+      precomputedClusters = Some(clusters))
+    assert(direct.collect().toSet == reused.collect().toSet)
+  }
+
   test("decideStream twins the batch flags; replays re-emit identically") {
     import graft.ops.Dedup
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")

@@ -105,6 +105,16 @@ class SamplingSpec extends SparkSpec {
       rows.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("weightedSample fails loudly when targetRate/wMax underflows the 9-decimal grid") {
+    // byte-size-scale weights: targetRate/wMax ≈ 1e-16 rounds to scale 0.0,
+    // which would silently keep nothing — must throw instead
+    val huge = docs.withColumn("w", col("n_chars").cast("double") * 1e13)
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(huge, "doc_id", "w", targetRate = 0.001)
+    }
+    assert(ex.getMessage.contains("underflow"))
+  }
+
   test("temperatureMix: alpha=1 is identity, smallest stratum kept whole, flattening monotone") {
     // alpha = 1 → every stratum rate (n/nmin)^0 = 1 → no row dropped
     assert(Sampling.temperatureMix(docs, "lang", "doc_id", alpha = 1.0).count() == docs.count())
