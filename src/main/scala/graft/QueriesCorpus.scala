@@ -291,6 +291,18 @@ object QueriesCorpus {
         queryTokens = Seq("scan", "join", "window"), totalDocs = docs.count())
     }),
 
+    // bigram-LM perplexity: model fit on docs with doc_id % 5 != 0 (the
+    // decontamination train split), every document scored against it —
+    // the KenLM-style quality signal with exact-integer nano-nat sums
+    "q_tx_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val vocab = TextAnalysis.vocabStats(train, "doc_id", "text").count()
+      TextAnalysis.bigramPerplexity(
+        train, "doc_id", "text", docs, "doc_id", "text",
+        vocabSize = vocab, addK = 0.5)
+    }),
+
     // per-language top-20 tokens (grouped frequent items)
     "q_tx_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokensPerGroup(t(s, dir, "documents"), "lang", "doc_id", "text", k = 20)),
@@ -622,6 +634,32 @@ object QueriesCorpus {
         |SELECT tf.doc_id, tf.token, tf.tf,
         |  floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df) * 1000000 + 0.5) / 1000000 AS tfidf
         |FROM tf JOIN dfq USING (token), n""".stripMargin,
+    "q_tx_perplexity" ->
+      """WITH tr AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |bt AS (
+        |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |  FROM tr, unnest(range(1, len(t))) AS u(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bt GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (
+        |  SELECT count(DISTINCT x) AS v
+        |  FROM (SELECT unnest(t) AS x FROM tr) WHERE x <> ''),
+        |sb AS (
+        |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |        FROM documents), unnest(range(1, len(t))) AS u(i)),
+        |nll AS (
+        |  SELECT doc_id,
+        |    CAST(floor(-ln((coalesce(c2.c2, 0) + 0.5)
+        |      / (coalesce(c1.c1, 0) + 0.5 * v.v)) * 1e9 + 0.5) AS BIGINT) AS s
+        |  FROM sb LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+        |ag AS (SELECT doc_id, count(*) AS n_bigrams, sum(s) AS ss FROM nll GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ag.n_bigrams, 0) AS n_bigrams,
+        |  floor(CAST(ss AS DOUBLE) / n_bigrams / 1e9 * 1e6 + 0.5) / 1e6 AS avg_nll,
+        |  floor(exp(CAST(ss AS DOUBLE) / n_bigrams / 1e9) * 1e4 + 0.5) / 1e4 AS perplexity
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
     "q_rp_project" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |e AS (

@@ -516,6 +516,84 @@ object TextAnalysis {
       .select(col(idCol), col("matched"))
   }
 
+  /** Per-document bigram occurrences (w1, w2) in token order — the n=2
+    * sibling of [[Dedup.shingleRows]] keeping the components separate
+    * (prefix counts need w1 on its own). posexplode + lead window, codegen'd
+    * builtins throughout; the explicit-count repartition defeats AQE's
+    * size-based coalescing for the same reason as shingleRows. Documents
+    * with fewer than two tokens emit nothing.
+    */
+  private def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    df.repartition(parallelism, col(idCol))
+      .select(col(idCol), size(t).as("_n"), posexplode(t))
+      .withColumn("_w2", lead(col("col"), 1).over(w))
+      .filter(col("pos") <= col("_n") - 2)
+      .select(col(idCol), col("col").as("w1"), col("_w2").as("w2"))
+  }
+
+  /** Bigram language-model perplexity — the KenLM-shaped quality signal
+    * corpus filters threshold on (score every document against a model fit
+    * on a trusted/clean corpus; gibberish, boilerplate, and wrong-language
+    * text all score high). Add-k smoothing:
+    *
+    *   P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+    *
+    * with `c` the train-corpus bigram counts, `c(w1)` the prefix counts, and
+    * `V = vocabSize` the train vocabulary size (caller-supplied bounded
+    * count, the [[tfidf]]/`totalDocs` contract — keeps this relation lazily
+    * composable). An unseen prefix backs off to the uniform 1/V.
+    *
+    * Output per score-corpus document: `n_bigrams`, `avg_nll` (mean negative
+    * natural-log likelihood per bigram, rounded half-up 6), `perplexity`
+    * (e^avg_nll, rounded half-up 4); documents with < 2 tokens surface with
+    * `n_bigrams = 0` and null scores rather than vanishing. Per-bigram
+    * log-probs are scaled to integer nano-nats and summed EXACTLY as longs
+    * — float sums are partition-order-dependent, integer sums are not — so
+    * results are bit-identical across engines and partitionings (the same
+    * exact-integer trick as [[bm25]]'s avgdl).
+    *
+    * Scale shape: model fitting is two map-side-combinable aggregates keyed
+    * by bigram/prefix; scoring is two keyed joins (never all-pairs) + one
+    * doc-keyed aggregate. A hot prefix ("the") skews the c1 join's probe
+    * side only — one build row per key, AQE skew split applies.
+    */
+  def bigramPerplexity(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      score: DataFrame,
+      scoreIdCol: String,
+      scoreTextCol: String,
+      vocabSize: Long,
+      addK: Double = 0.5): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive (distinct train tokens)")
+    require(addK > 0.0, "add-k smoothing needs k > 0")
+    val c2 = bigramRows(train, trainIdCol, trainTextCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("_c2")).as("_c1"))
+    val k = lit(addK)
+    val p = (coalesce(col("_c2"), lit(0L)).cast("double") + k) /
+      (coalesce(col("_c1"), lit(0L)).cast("double") + k * lit(vocabSize.toDouble))
+    val perDoc = bigramRows(score, scoreIdCol, scoreTextCol)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .select(col(scoreIdCol), floor(-log(p) * 1e9 + 0.5).as("_nll"))
+      .groupBy(scoreIdCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nll")).as("_ss"))
+    val mean = col("_ss").cast("double") / col("n_bigrams").cast("double") / 1e9
+    score.select(col(scoreIdCol))
+      .join(perDoc, Seq(scoreIdCol), "left")
+      .select(
+        col(scoreIdCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        graft.Functions.roundHalfUp(mean, 6).as("avg_nll"),
+        graft.Functions.roundHalfUp(exp(mean), 4).as("perplexity"))
+  }
+
   /** PII/URL scrubbing: replace emails and URLs with placeholder tokens
     * (the normalization pass every web-scale corpus runs before training).
     * Patterns use the portable character-class subset shared by Java regex

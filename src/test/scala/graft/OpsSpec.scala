@@ -344,6 +344,40 @@ class OpsSpec extends SparkSpec {
     assert(got(3L).toSeq.map(c => (c._2, c._3, c._4, c._5)) == Seq((0L, 0L, 1L, "")))
   }
 
+  test("bigramPerplexity: fluent text scores below gibberish; short docs surface with nulls") {
+    val fluent = (1 to 30).map(_ => "the cat sat on the mat and the dog ran").mkString(" ")
+    val train = Seq((1L, fluent), (2L, fluent), (3L, fluent)).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the mat"), // in-distribution
+      (11L, "zqx vbn mkl pqr wsd jkl"), // every bigram unseen
+      (12L, "solo"), // 1 token → no bigrams
+      (13L, "")) // empty → no bigrams
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabStats(train, "doc_id", "text").count()
+    val got = TextAnalysis.bigramPerplexity(
+        train, "doc_id", "text", score, "doc_id", "text", vocabSize = vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L), "every scored doc surfaces")
+    assert(got(10L)._1 == 5 && got(11L)._1 == 5)
+    assert(got(10L)._3.get < got(11L)._3.get,
+      s"in-distribution ppl ${got(10L)._3} must beat gibberish ${got(11L)._3}")
+    // unseen-prefix bigrams back off to uniform 1/V: ppl(gibberish) == V
+    assert(math.abs(got(11L)._3.get - vocab.toDouble) < 1e-3)
+    assert(got(12L) == ((0L, None, None)) && got(13L) == ((0L, None, None)))
+    // perplexity = e^avg_nll (up to the two roundings)
+    assert(math.abs(got(10L)._3.get - math.exp(got(10L)._2.get)) < 1e-3)
+    // partition-layout independence: integer nano-nat sums are order-free
+    val again = TextAnalysis.bigramPerplexity(
+        train.repartition(7), "doc_id", "text", score.repartition(5), "doc_id", "text",
+        vocabSize = vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(again == got)
+  }
+
   test("Publish.firstSeenCounter numbers by first appearance and resets daily") {
     val rows = Seq(
       (ts("2020-01-01 08:00:00"), "u2"),
