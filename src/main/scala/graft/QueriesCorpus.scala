@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ConnectedComponents, Curate, Decontaminate, Dedup, Multimodal, Pack, Quantize, RandomProjection, SimilaritySearch, TextAnalysis}
+import graft.ops.{ConnectedComponents, Curate, Decontaminate, Dedup, Multimodal, Pack, ProductQuantize, Quantize, RandomProjection, SimilaritySearch, TextAnalysis}
 
 /** Training-data pipeline coverage over `documents` and `embeddings`:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -101,6 +101,32 @@ object QueriesCorpus {
         col("vec_id"),
         SimilaritySearch.lshBucket(col("embedding").cast("array<double>"), planes = 6, dims = dims)
           .as("bucket"))
+    }),
+
+    // product quantization codes: md5-sample codebooks (m=4 subspaces,
+    // k=8 codewords), every vector encoded to its nearest codeword per
+    // subspace on the rounded-distance grid — exploded (vec_id, subspace,
+    // code) so the oracle recomputes the argmin directly
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = ProductQuantize.fit(emb, "vec_id", "embedding", m = 4, k = 8)
+      emb.select(
+          col("vec_id"),
+          posexplode(ProductQuantize.encode(col("embedding").cast("array<double>"), cb)))
+        .select(
+          col("vec_id"), col("pos").cast("long").as("subspace"),
+          col("col").cast("long").as("code"))
+    }),
+
+    // ADC top-10 against the vec_id=0 query: approximate distance is m
+    // table lookups per candidate against the plan-time literal ADC table
+    "q_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = ProductQuantize.fit(emb, "vec_id", "embedding", m = 4, k = 8)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      ProductQuantize.adcTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cb, q, topK = 10)
     }),
 
     // JL random projection 64 → 16 dims with a plan-time ±1 sign matrix;
@@ -457,6 +483,29 @@ object QueriesCorpus {
       |  WHERE tok IN ('scan', 'join', 'window'))
       |GROUP BY doc_id HAVING count(*) = 3""".stripMargin
 
+  /** PQ recomputation (m=4 subspaces of 16 dims, k=8 codewords), shared by
+    * q_pq_encode and q_pq_adc: codebooks are the md5-smallest 8 vectors
+    * (the [[graft.ops.ProductQuantize.fit]] sample), distances rounded
+    * half-up 6 before the argmin, ties to the lowest code — CTE `enc`
+    * yields (vec_id, subspace, code).
+    */
+  private val pqCteSql: String =
+    """s AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS cv,
+      |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      |  FROM embeddings QUALIFY code < 8),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (
+      |  SELECT v.vec_id, CAST(mm.m AS BIGINT) AS subspace, s.code,
+      |    floor(list_sum(list_transform(range(1, 17), j ->
+      |      (v.v[CAST(mm.m * 16 + j AS INT)] - s.cv[CAST(mm.m * 16 + j AS INT)])
+      |      * (v.v[CAST(mm.m * 16 + j AS INT)] - s.cv[CAST(mm.m * 16 + j AS INT)])))
+      |      * 1e6 + 0.5) / 1e6 AS dist
+      |  FROM v, unnest(range(0, 4)) AS mm(m), s),
+      |enc AS (
+      |  SELECT vec_id, subspace, code FROM d
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) = 1)""".stripMargin
+
   /** The simhash recomputation at `bits`, shared by q_dd_simhash and the
     * Hamming pair oracle (CTE named `sh`).
     */
@@ -660,6 +709,24 @@ object QueriesCorpus {
         |  floor(CAST(ss AS DOUBLE) / n_bigrams / 1e9 * 1e6 + 0.5) / 1e6 AS avg_nll,
         |  floor(exp(CAST(ss AS DOUBLE) / n_bigrams / 1e9) * 1e4 + 0.5) / 1e4 AS perplexity
         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
+    "q_pq_encode" ->
+      s"""WITH $pqCteSql
+         |SELECT vec_id, subspace, code FROM enc""".stripMargin,
+    "q_pq_adc" ->
+      s"""WITH $pqCteSql,
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |tab AS (
+         |  SELECT CAST(mm.m AS BIGINT) AS subspace, s.code,
+         |    floor(list_sum(list_transform(range(1, 17), j ->
+         |      (q.qv[CAST(mm.m * 16 + j AS INT)] - s.cv[CAST(mm.m * 16 + j AS INT)])
+         |      * (q.qv[CAST(mm.m * 16 + j AS INT)] - s.cv[CAST(mm.m * 16 + j AS INT)])))
+         |      * 1e6 + 0.5) / 1e6 AS dist
+         |  FROM q, unnest(range(0, 4)) AS mm(m), s)
+         |SELECT enc.vec_id, floor(sum(tab.dist) * 1e6 + 0.5) / 1e6 AS adc
+         |FROM enc JOIN tab USING (subspace, code)
+         |WHERE enc.vec_id <> 0
+         |GROUP BY enc.vec_id
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
     "q_rp_project" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |e AS (

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{IvfIndex, SimilaritySearch, Skew}
+import graft.ops.{IvfIndex, ProductQuantize, SimilaritySearch, Skew}
 
 /** ANN quality + skew utilities. */
 class AnnSpec extends SparkSpec {
@@ -152,6 +152,93 @@ class AnnSpec extends SparkSpec {
     // probes-vs-recall dial, not a defect)
     assert(r.last >= r.head + 2, s"multi-probe gained too little: $r")
     assert(r.last >= 4, s"Hamming-1 probing recall too low: $r")
+  }
+
+  test("PQ: Lloyd refinement cuts reconstruction error; layout-independent codes") {
+    val cb = ProductQuantize.fit(emb, "vec_id", "embedding", m = 4, k = 8)
+    assert(cb.dims == queryVec.length && cb.dsub == cb.dims / 4)
+
+    def mse(b: ProductQuantize.Codebooks): Double = {
+      val codes = ProductQuantize.encode(col("embedding").cast("array<double>"), b)
+      emb.select(
+          aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              ProductQuantize.decode(codes, b),
+              (x, r) => (x - r) * (x - r)),
+            lit(0.0), (acc, t) => acc + t).as("se"))
+        .agg(avg(col("se"))).head().getDouble(0)
+    }
+    val refined = ProductQuantize.refine(emb, "embedding", cb, iterations = 3)
+    val before = mse(cb)
+    val after = mse(refined)
+    assert(after <= before,
+      s"Lloyd refinement must not increase quantization error: $before -> $after")
+
+    // codes are pure per-row expressions over literal books: physical layout
+    // cannot change an assignment
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"),
+        ProductQuantize.encode(col("embedding").cast("array<double>"), refined).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codesOf(emb) == codesOf(emb.repartition(13)))
+
+    // refine is rerun-deterministic (DECIMAL-exact means)
+    val again = ProductQuantize.refine(emb.repartition(7), "embedding", cb, iterations = 3)
+    assert(again.books == refined.books)
+  }
+
+  test("PQ ADC: high recall on clustered data; codebooks persist and validate") {
+    // ADC approximates squared L2, so recall is only meaningful where L2
+    // neighborhoods exist: a clustered fixture (4 anchors + small noise).
+    // The sf embeddings are near-uniform noise — neighbor gaps there are
+    // smaller than ANY quantizer's distortion, which is a property of that
+    // data, not of PQ.
+    val rnd = new scala.util.Random(42)
+    val dims = 64
+    val anchors = Array.fill(4)(Array.fill(dims)(rnd.nextDouble() * 10 - 5))
+    val rows = (1 to 400).map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, a.toSeq.map(_ + (rnd.nextDouble() - 0.5) * 0.2))
+    }
+    val fixture = rows.toDF("vec_id", "embedding")
+    val query = anchors(0).toSeq.map(_ + 0.01) // firmly inside cluster 0
+    val q = array(query.map(lit): _*)
+    val exact = fixture
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("embedding"), q, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t).as("d2"))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val cb = ProductQuantize.refine(
+      fixture, "embedding",
+      ProductQuantize.fit(fixture, "vec_id", "embedding", m = 4, k = 8), iterations = 2)
+    val adc = ProductQuantize.adcTopK(fixture, "vec_id", "embedding", cb, query, topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // every ADC hit must come from the right cluster (within-cluster ADC
+    // distances TIE by construction — members share codewords — so raw ADC
+    // can locate the cluster but not order its members)
+    assert(adc.forall(_ % 4 == 0), s"ADC returned off-cluster vectors: $adc")
+    // the production two-stage search (ADC shortlist → exact re-rank)
+    // recovers the exact top-10: the 100-member cluster fits the shortlist
+    val reranked = ProductQuantize.adcRerankTopK(
+        fixture, "vec_id", "embedding", cb, query, topK = 10, shortlist = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(reranked == exact, s"re-ranked ADC must equal exact: $reranked vs $exact")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_").toString
+    ProductQuantize.save(cb, spark, dir)
+    val loaded = ProductQuantize.load(spark, dir)
+    assert(loaded == cb, "codebooks must survive the round trip bit-identically")
+    // wrong-shape queries error instead of scoring garbage
+    intercept[IllegalArgumentException] {
+      ProductQuantize.adcTable(loaded, query :+ 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      ProductQuantize.load(
+        spark, java.nio.file.Files.createTempDirectory("graft_pq_bare_").toString)
+    }
   }
 
   test("salted aggregation equals plain aggregation") {
