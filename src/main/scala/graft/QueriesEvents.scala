@@ -155,7 +155,49 @@ object QueriesEvents {
     // §2.9: the flagship aggregation through the *real* Structured
     // Streaming engine (AvailableNow over a file source, complete-mode
     // memory sink) — same answer as the batch plan, exercised end-to-end
-    "q_st_stream15" -> ((s, dir) => streamAgg(s, dir)))
+    "q_st_stream15" -> ((s, dir) => streamAgg(s, dir)),
+
+    // Interval-overlap join as a bucketed EQUI-join (RangeJoin.overlap):
+    // click sessions × view sessions per user, one row per overlapping pair,
+    // no nested-loop plan, no dedup shuffle
+    "q_rj_overlap" -> ((s, dir) => {
+      val l = sessionIntervals(s, dir, "click", "l")
+      val r = sessionIntervals(s, dir, "view", "r")
+      graft.ops.RangeJoin
+        .overlap(l, r, "l_start", "l_end", "r_start", "r_end",
+          Seq("l_user"), Seq("r_user"), bucketWidth = 86400L)
+        .select("l_id", "r_id")
+    }),
+
+    // Point-in-interval containment join (RangeJoin.pointInInterval):
+    // purchases landing inside a click session of the same user
+    "q_rj_point" -> ((s, dir) => {
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id").as("p_user"), col("event_id").as("p_id"),
+          unix_timestamp(col("ts")).as("p_ts"))
+      val iv = sessionIntervals(s, dir, "click", "l")
+      graft.ops.RangeJoin
+        .pointInInterval(p, iv, "p_ts", "l_start", "l_end",
+          Seq("p_user"), Seq("l_user"), bucketWidth = 86400L)
+        .select("p_id", "l_id")
+    }))
+
+  /** Synthetic per-user session interval for RangeJoin queries: starts at the
+    * event, lasts `60 + floor(value*60)` seconds (1 min .. ~8.2 h — spans at
+    * most two day-wide buckets). floor() before the long cast on BOTH sides:
+    * Spark's double→long cast truncates while DuckDB's rounds.
+    */
+  private def sessionIntervals(s: SparkSession, dir: String, eventType: String, p: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === eventType)
+      .select(
+        col("user_id").as(s"${p}_user"),
+        col("event_id").as(s"${p}_id"),
+        unix_timestamp(col("ts")).as(s"${p}_start"),
+        (unix_timestamp(col("ts")) + lit(60L) + floor(col("value") * 60d).cast("long"))
+          .as(s"${p}_end"))
 
   // one temp copy + one memory-sink table per (session, sfDir) — reruns in
   // a long-lived session (BenchDebug, repeated Verify) reuse it instead of
@@ -294,5 +336,26 @@ object QueriesEvents {
         |  SELECT o_orderkey, 'raw', 'updated', 2 FROM orders WHERE o_orderkey % 10 = 0)
         |SELECT id_base, repository, pointer, CAST(batch AS BIGINT) AS batch
         |FROM (SELECT *, row_number() OVER (PARTITION BY id_base, repository ORDER BY batch DESC) AS rn
-        |      FROM all_batches) WHERE rn = 1""".stripMargin)
+        |      FROM all_batches) WHERE rn = 1""".stripMargin,
+    "q_rj_overlap" ->
+      s"""WITH l AS ($intervalSql0click), r AS (${intervalSql("view", "r")})
+        |SELECT l_id, r_id
+        |FROM l JOIN r ON l_user = r_user AND l_start < r_end AND r_start < l_end""".stripMargin,
+    "q_rj_point" ->
+      s"""WITH p AS (
+        |  SELECT user_id AS p_user, event_id AS p_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |iv AS ($intervalSql0click)
+        |SELECT p_id, l_id
+        |FROM p JOIN iv ON p_user = l_user AND l_start <= p_ts AND p_ts < l_end""".stripMargin)
+
+  /** DuckDB twin of [[sessionIntervals]] — same floor-before-cast rule. */
+  private def intervalSql(eventType: String, p: String): String =
+    s"""SELECT user_id AS ${p}_user, event_id AS ${p}_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS ${p}_start,
+       |    CAST(floor(epoch(ts)) AS BIGINT) + 60 + CAST(floor(value * 60) AS BIGINT) AS ${p}_end
+       |  FROM events WHERE event_type = '$eventType'""".stripMargin
+
+  private def intervalSql0click = intervalSql("click", "l")
 }
