@@ -394,6 +394,24 @@ object QueriesCorpus {
           col("meta.mime").as("mime"))
     }),
 
+    // multimodal audio metadata through the REAL mapPartitions path with the
+    // deterministic stub codec (JavaSoundDecoder is the production decoder
+    // behind the same seam — spec-checked on real WAV bytes, which an SQL
+    // oracle cannot re-run)
+    "q_mm_audio" -> ((s, dir) => {
+      val payload = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.withAudioMeta(payload, "payload")
+        .select(
+          col("doc_id"),
+          col("audio_meta.byte_len").cast("long").as("byte_len"),
+          col("audio_meta.sample_rate").cast("long").as("sample_rate"),
+          col("audio_meta.channels").cast("long").as("channels"),
+          col("audio_meta.bits").cast("long").as("bits"),
+          col("audio_meta.frames").as("frames"),
+          col("audio_meta.mime").as("mime"))
+    }),
+
     // multimodal frame sampling: one "frame" per 100-char window
     "q_mm_frames" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1071,6 +1089,17 @@ object QueriesCorpus {
         |  CAST(CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1016 + 64 AS BIGINT) AS height,
         |  'image/fake' AS mime
         |FROM documents""".stripMargin,
+    "q_mm_audio" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h,
+        |    octet_length(encode(text)) AS len FROM documents)
+        |SELECT doc_id, CAST(len AS BIGINT) AS byte_len,
+        |  CAST(8000 + CAST('0x' || substr(h, 1, 4) AS BIGINT) % 40000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + CAST('0x' || substr(h, 9, 2) AS BIGINT) % 2 AS BIGINT) AS channels,
+        |  CAST(8 * (1 + CAST('0x' || substr(h, 11, 2) AS BIGINT) % 2) AS BIGINT) AS bits,
+        |  CAST(len // ((1 + CAST('0x' || substr(h, 9, 2) AS BIGINT) % 2)
+        |             * (1 + CAST('0x' || substr(h, 11, 2) AS BIGINT) % 2)) AS BIGINT) AS frames,
+        |  'audio/fake' AS mime
+        |FROM m""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
         |  md5(substr(text, CAST(u.i AS INT) * 100 + 1, 100)) AS frame_md5

@@ -139,4 +139,182 @@ object Multimodal {
       col(idCol), col("frame_idx"),
       md5(col("frame")).as("frame_md5"),
       length(col("frame")).as("frame_len"))
+
+  // ----------------------------------------------------------------- audio
+
+  /** Decoded-audio metadata: what [[AudioDecoder.decode]] yields. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("frames", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false)))
+
+  /** Audio twin of [[BinaryDecoder]]: bytes in,
+    * (sampleRate, channels, bitsPerSample, frameCount, mime) out.
+    */
+  trait AudioDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Long, String)
+  }
+
+  /** STUB audio decode — md5-derived fake format parameters, the
+    * oracle-checkable test double (mirrors [[StubDecoder]]; q_mm_audio's
+    * DuckDB oracle recomputes the same hex arithmetic).
+    */
+  object StubAudioDecoder extends AudioDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Long, String) = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val rate = 8000 + (((h(0) & 0xff) << 8 | (h(1) & 0xff)) % 40000)
+      val ch = 1 + (h(4) & 0xff) % 2
+      val bits = 8 * (1 + (h(5) & 0xff) % 2)
+      (rate, ch, bits, (bytes.length / (ch * bits / 8)).toLong, "audio/fake")
+    }
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK-bundled parsers: WAV,
+    * AIFF, AU). `getAudioFileFormat` reads ONLY the container header —
+    * O(header) per asset, same cost story as [[ImageIoDecoder]].
+    * Unrecognized/corrupt payloads degrade to zeros +
+    * application/octet-stream rather than failing the partition.
+    */
+  object JavaSoundDecoder extends AudioDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Long, String) =
+      try {
+        val aff = javax.sound.sampled.AudioSystem
+          .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+        val fmt = aff.getFormat
+        val mime = aff.getType.getExtension match {
+          case "wav"          => "audio/wav"
+          case "aif" | "aiff" => "audio/aiff"
+          case "au" | "snd"   => "audio/basic"
+          case ext            => "audio/" + ext
+        }
+        (fmt.getSampleRate.toInt, fmt.getChannels, fmt.getSampleSizeInBits,
+          aff.getFrameLength.toLong, mime)
+      } catch {
+        // UnsupportedAudioFileException on non-audio magic; IOO/IAE on
+        // truncated headers after a recognized magic — all degrade
+        case scala.util.control.NonFatal(_) => (0, 0, 0, 0L, "application/octet-stream")
+      }
+  }
+
+  /** Attach audio metadata — same batched `mapPartitions` shape as
+    * [[withDecodedMeta]], decoder initialized once per partition.
+    */
+  def withAudioMeta(
+      df: DataFrame,
+      binCol: String,
+      decoder: AudioDecoder = StubAudioDecoder): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("audio_meta", audioMetaSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val d = decoder
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val meta =
+          if (bytes == null) Row(0, 0, 0, 0, 0L, "application/octet-stream")
+          else {
+            val (rate, ch, bits, frames, mime) = d.decode(bytes)
+            Row(bytes.length, rate, ch, bits, frames, mime)
+          }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** REAL PCM feature extraction: decode each payload with `javax.sound.
+    * sampled`, downmix to mono, and emit one row per `windowFrames`-frame
+    * window with RMS energy and zero-crossing count — the audio analog of
+    * [[frameFeatures]]. Handles signed PCM 8/16-bit, any channel count,
+    * either endianness; payloads that are not decodable PCM produce no rows
+    * (corrupt assets are data, not errors).
+    *
+    * Runs as one `mapPartitions` pass: per-asset cost is linear in payload
+    * bytes, no driver involvement, no shuffle — windows of one asset stay in
+    * its input partition.
+    */
+  def pcmWindowFeatures(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      windowFrames: Int): DataFrame = {
+    require(windowFrames > 0, s"windowFrames must be positive, got $windowFrames")
+    val idField = df.schema(idCol)
+    val schema = StructType(Seq(
+      idField,
+      StructField("window_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("zero_crossings", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else decodePcmMono(bytes) match {
+          case None => Iterator.empty
+          case Some(samples) =>
+            samples.grouped(windowFrames).zipWithIndex.map { case (win, wi) =>
+              var sumSq = 0.0
+              var zc = 0
+              var i = 0
+              while (i < win.length) {
+                sumSq += win(i) * win(i)
+                if (i > 0 && (win(i) >= 0.0) != (win(i - 1) >= 0.0)) zc += 1
+                i += 1
+              }
+              Row(id, wi, win.length, math.sqrt(sumSq / win.length), zc)
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode a signed-PCM payload to normalized [-1, 1] mono samples; None
+    * when the container or encoding is unsupported.
+    */
+  private def decodePcmMono(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            (fmt.getSampleSizeInBits != 8 && fmt.getSampleSizeInBits != 16)) None
+        else {
+          val data = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val frameBytes = ch * bytesPerSample
+          val nFrames = data.length / frameBytes
+          val out = new Array[Double](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = f * frameBytes + c * bytesPerSample
+              val v =
+                if (bytesPerSample == 1) data(off).toDouble / 128.0
+                else {
+                  val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+                  ((data(hi) << 8) | (data(lo) & 0xff)).toDouble / 32768.0
+                }
+              acc += v
+              c += 1
+            }
+            out(f) = acc / ch
+            f += 1
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
 }
