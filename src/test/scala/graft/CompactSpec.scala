@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{Compact, Sinks}
+
+/** Lake small-file compaction: content preserved exactly, file counts
+  * bin-packed to the target, already-compact leaves left byte-identical.
+  */
+class CompactSpec extends SparkSpec {
+
+  private def freshLake(): String = {
+    val tmp = Files.createTempDirectory("graft_compact_spec").toString
+    // month-grain partitioning so every leaf holds rows from all 5
+    // repartition tasks → 5 small files per leaf (the post-append shape)
+    Sinks.writeLake(
+      Tables(spark, "/root/testdata/sf0.001", "orders")
+        .withColumn("o_month", date_trunc("month", col("o_orderdate")))
+        .repartition(5),
+      "o_month", "src_a", tmp)
+    tmp
+  }
+
+  test("compaction preserves rows exactly and packs leaves to one file") {
+    val lake = freshLake()
+    val before = spark.read.parquet(lake)
+    val beforeRows = before.collect().toSet
+    val statsBefore = Compact.leafStats(lake)
+    // dense months collect one file per repartition task; sparse ones fewer
+    val smallFileLeaves = statsBefore.filter(_.files > 2).map(_.dir).toSet
+    assert(smallFileLeaves.nonEmpty, s"fixture produced no small-file leaves: $statsBefore")
+
+    val report = Compact.compact(spark, lake, targetBytes = 512L * 1024 * 1024)
+    assert(report.rewrittenDirs === smallFileLeaves, "exactly the small-file leaves rewritten")
+
+    val statsAfter = Compact.leafStats(lake)
+    assert(statsAfter.map(_.dir) === statsBefore.map(_.dir), "no leaf lost")
+    statsAfter.filter(s => smallFileLeaves(s.dir)).foreach(s =>
+      assert(s.files === 1, s"expected 1 packed file in $s"))
+
+    val after = spark.read.parquet(lake)
+    assert(after.schema === before.schema)
+    assert(after.collect().toSet === beforeRows)
+  }
+
+  test("targetBytes splits a leaf into multiple packed files") {
+    val lake = freshLake()
+    val biggest = Compact.leafStats(lake).maxBy(_.bytes)
+    // a target of half the leaf's bytes must yield ~2 output files
+    Compact.compact(spark, lake, targetBytes = math.max(1, biggest.bytes / 2))
+    val after = Compact.leafStats(lake).find(_.dir == biggest.dir).get
+    assert(after.files >= 2 && after.files < 5, s"expected 2-4 packed files, got $after")
+  }
+
+  test("already-compact leaves are skipped byte-identically") {
+    val lake = freshLake()
+    Compact.compact(spark, lake, targetBytes = 512L * 1024 * 1024)
+    val files = Compact.leaves(lake).flatMap { l =>
+      val s = Files.list(l)
+      try s.iterator().asScala.toSeq.map(p => p -> Files.getLastModifiedTime(p))
+      finally s.close()
+    }
+    val report = Compact.compact(spark, lake, targetBytes = 512L * 1024 * 1024)
+    assert(report.rewritten.isEmpty, "second pass must be a no-op")
+    files.foreach { case (p, mtime) =>
+      assert(Files.getLastModifiedTime(p) === mtime, s"$p was touched")
+    }
+  }
+
+  test("minFiles keeps leaves at or below the threshold untouched") {
+    val lake = freshLake()
+    val report = Compact.compact(spark, lake, targetBytes = 512L * 1024 * 1024, minFiles = 5)
+    assert(report.rewritten.isEmpty && report.skipped.nonEmpty)
+  }
+}
