@@ -129,12 +129,28 @@ object QueriesExtra {
     // many-small-files partitioned lake, bin-pack it, and return the rows
     // read back through the compacted leaves — the oracle proves compaction
     // preserves content exactly while CompactSpec asserts the file counts
-    "q_cp_compact" -> ((s, dir) => compactedLake(s, dir)))
+    "q_cp_compact" -> ((s, dir) => compactedLake(s, dir)),
+
+    // z-order write + file-stats skipping end-to-end: the oracle proves the
+    // pruned scan returns exactly the predicate's rows; ZOrderSpec asserts
+    // the pruning actually skips files on both clustered dimensions
+    "q_zo_skip" -> ((s, dir) => zorderPruned(s, dir)))
 
   // one write+compact per (session, sfDir); reruns in a long-lived session
   // (Bench warm runs, repeated Verify) reuse the compacted lake
   private val compactCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def zorderPruned(s: SparkSession, dir: String): DataFrame =
+    compactCache.getOrElseUpdate("zo|" + s.hashCode() + "|" + dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_q").toString + "/lake"
+      graft.ops.ZOrder.writeZOrdered(
+        t(s, dir, "events").select("event_id", "user_id", "value"),
+        Seq("user_id", "value"), tmp, nFiles = 16)
+      val stats = graft.sources.DataSkipping.scanStats(s, tmp, Seq("user_id", "value"))
+      graft.sources.DataSkipping.readPruned(s, tmp, stats, "value", 100d, 200d)
+        .select("event_id", "user_id", "value")
+    })
 
   private def compactedLake(s: SparkSession, dir: String): DataFrame =
     compactCache.getOrElseUpdate(s.hashCode() + "|" + dir, {
@@ -202,5 +218,8 @@ object QueriesExtra {
         |  CAST(year(o_orderdate) AS BIGINT) AS year,
         |  CAST(month(o_orderdate) AS BIGINT) AS month,
         |  CAST(1 AS BIGINT) AS day
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    "q_zo_skip" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value >= 100.0 AND value <= 200.0""".stripMargin)
 }
