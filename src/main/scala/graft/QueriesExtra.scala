@@ -134,7 +134,19 @@ object QueriesExtra {
     // z-order write + file-stats skipping end-to-end: the oracle proves the
     // pruned scan returns exactly the predicate's rows; ZOrderSpec asserts
     // the pruning actually skips files on both clustered dimensions
-    "q_zo_skip" -> ((s, dir) => zorderPruned(s, dir)))
+    "q_zo_skip" -> ((s, dir) => zorderPruned(s, dir)),
+
+    // bloom-pruned fact→dim join: fact rows are dropped by a Bloom sketch of
+    // the dim keys BEFORE the join shuffle; the oracle proves the result is
+    // row-identical to the plain join (no false negatives, survivors
+    // re-verified by the equi-condition)
+    "q_bf_join" -> ((s, dir) => {
+      val dim = t(s, dir, "supplier").filter(col("s_suppkey") % 7 === 0)
+      graft.ops.BloomJoin
+        .prefilteredJoin(t(s, dir, "lineitem"), dim, "l_suppkey", "s_suppkey",
+          expectedItems = 10000L, numBits = 262144L)
+        .select("l_orderkey", "l_linenumber", "s_suppkey", "s_name")
+    }))
 
   // one write+compact per (session, sfDir); reruns in a long-lived session
   // (Bench warm runs, repeated Verify) reuse the compacted lake
@@ -221,5 +233,9 @@ object QueriesExtra {
         |FROM orders""".stripMargin,
     "q_zo_skip" ->
       """SELECT event_id, user_id, value FROM events
-        |WHERE value >= 100.0 AND value <= 200.0""".stripMargin)
+        |WHERE value >= 100.0 AND value <= 200.0""".stripMargin,
+    "q_bf_join" ->
+      """SELECT l_orderkey, l_linenumber, s_suppkey, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey % 7 = 0""".stripMargin)
 }
