@@ -337,6 +337,12 @@ object QueriesCorpus {
     "q_tx_vocab" -> ((s, dir) =>
       TextAnalysis.vocabStats(t(s, dir, "documents"), "doc_id", "text", topK = 100)),
 
+    // heavy hitters at bounded memory: tokens with frequency > 1/50 via
+    // per-partition Misra-Gries + exact candidate recount — the result is
+    // exact and partitioning-independent, which is what the oracle checks
+    "q_hh_tokens" -> ((s, dir) =>
+      graft.ops.HeavyHitters.frequentTokens(t(s, dir, "documents"), "text", k = 50)),
+
     // one-row corpus health report: the snapshot summary a curation
     // pipeline publishes — doc/dup/quality/token counts, all exact
     // integers, every stage recomputed independently in the oracle
@@ -946,6 +952,12 @@ object QueriesCorpus {
         |WHERE token <> ''
         |GROUP BY lang, token
         |QUALIFY rank <= 20""".stripMargin,
+    "q_hh_tokens" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents),
+        |tt AS (SELECT token FROM t WHERE token <> '')
+        |SELECT token, count(*) AS cnt FROM tt GROUP BY token
+        |HAVING count(*) * 50 > (SELECT count(*) FROM tt)""".stripMargin,
     "q_tx_search" -> booleanSearchOracleSql,
     "q_tx_search_indexed" -> booleanSearchOracleSql,
     "q_tx_bm25" -> {
