@@ -146,7 +146,26 @@ object QueriesExtra {
         .prefilteredJoin(t(s, dir, "lineitem"), dim, "l_suppkey", "s_suppkey",
           expectedItems = 10000L, numBits = 262144L)
         .select("l_orderkey", "l_linenumber", "s_suppkey", "s_name")
-    }))
+    }),
+
+    // interchange-format round-trips: the oracle (plain documents) proves
+    // ORC and explicit-schema JSONL preserve every row and type
+    "q_fmt_orc" -> ((s, dir) => formatRoundTrip(s, dir, "orc")),
+    "q_fmt_jsonl" -> ((s, dir) => formatRoundTrip(s, dir, "jsonl")))
+
+  private def formatRoundTrip(s: SparkSession, dir: String, fmt: String): DataFrame =
+    compactCache.getOrElseUpdate(s"fmt_$fmt|" + s.hashCode() + "|" + dir, {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_fmt_$fmt").toString + "/t"
+      fmt match {
+        case "orc" =>
+          graft.sources.Interchange.writeOrc(docs, tmp)
+          graft.sources.Interchange.readOrc(s, tmp)
+        case "jsonl" =>
+          graft.sources.Interchange.writeJsonl(docs, tmp)
+          graft.sources.Interchange.readJsonl(s, tmp, docs.schema)
+      }
+    })
 
   // one write+compact per (session, sfDir); reruns in a long-lived session
   // (Bench warm runs, repeated Verify) reuse the compacted lake
@@ -237,5 +256,7 @@ object QueriesExtra {
     "q_bf_join" ->
       """SELECT l_orderkey, l_linenumber, s_suppkey, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE s_suppkey % 7 = 0""".stripMargin)
+        |WHERE s_suppkey % 7 = 0""".stripMargin,
+    "q_fmt_orc" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_fmt_jsonl" -> "SELECT doc_id, text, lang, source, n_chars FROM documents")
 }
