@@ -42,6 +42,44 @@ object Streaming {
       (col("w.start").as("bucket_start") +: dims.map(col)) ++ (col("volume") +: avgs): _*)
   }
 
+  /** Stream-stream point-in-interval join — the streaming twin of
+    * [[graft.ops.RangeJoin.pointInInterval]]: each point row joined to the
+    * interval rows of the same key whose half-open `[start, end)` contains
+    * it, over two unbounded streams.
+    *
+    * State stays bounded because the TIME-RANGE part of the condition uses
+    * the two watermarked event-time columns with a CONSTANT bound
+    * (`pt between start and start + maxIntervalSeconds`): Spark derives
+    * state watermarks from it and evicts interval state once the point
+    * stream's watermark passes `start + maxIntervalSeconds`, and point state
+    * symmetrically. The exact per-row end (`pt < end`, a data column) rides
+    * along as a residual predicate — it cannot bound state, which is why
+    * `maxIntervalSeconds` (the longest interval you ever emit) is a
+    * required, semantic knob and not a tuning hint. Matches emit as they
+    * join (inner join, append mode); the watermark only delays cleanup, not
+    * results.
+    */
+  def pointInIntervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointKey: String,
+      intervalKey: String,
+      ptCol: String,
+      iStartCol: String,
+      iEndCol: String,
+      maxIntervalSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    require(maxIntervalSeconds > 0, s"maxIntervalSeconds must be positive")
+    points.withWatermark(ptCol, watermark)
+      .join(
+        intervals.withWatermark(iStartCol, watermark),
+        col(pointKey) === col(intervalKey) &&
+          col(ptCol) >= col(iStartCol) &&
+          col(ptCol) <= col(iStartCol) + expr(s"INTERVAL $maxIntervalSeconds SECONDS") &&
+          col(ptCol) < col(iEndCol),
+        "inner")
+  }
+
   /** Run a finite file-backed stream to completion (AvailableNow) into an
     * in-memory table and return the result — used by tests and the
     * verification harness to exercise the real streaming engine on the

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streaming
+
+/** Stream-stream point-in-interval join: the real streaming engine (two
+  * file-source streams, watermarks, append mode) must produce exactly the
+  * batch theta-join result, and the exact per-row interval end must hold
+  * even below the constant state bound.
+  */
+class StreamingIntervalJoinSpec extends SparkSpec {
+
+  // purchases = points, clicks = intervals [ts, ts + 60 + floor(value*60))
+  private lazy val events = Tables(spark, "/root/testdata/sf0.001", "events")
+  private lazy val points = events
+    .filter(col("event_type") === "purchase")
+    .select(
+      col("user_id").as("p_user"), col("event_id").as("p_id"),
+      Functions.toSecond(col("ts")).as("p_ts"))
+  private lazy val intervals = events
+    .filter(col("event_type") === "click")
+    .select(
+      col("user_id").as("l_user"), col("event_id").as("l_id"),
+      Functions.toSecond(col("ts")).as("l_start_ts"),
+      (Functions.toSecond(col("ts")).cast("long") + lit(60L) + floor(col("value") * 60d).cast("long"))
+        .cast("timestamp").as("l_end_ts"))
+
+  private def runStreamJoin(maxIntervalSeconds: Long): Set[(Long, Long)] = {
+    val pDir = java.nio.file.Files.createTempDirectory("graft_sij_p").toString
+    val iDir = java.nio.file.Files.createTempDirectory("graft_sij_i").toString
+    points.write.mode("overwrite").parquet(pDir)
+    intervals.write.mode("overwrite").parquet(iDir)
+
+    val pStream = spark.readStream.schema(points.schema).parquet(pDir)
+    val iStream = spark.readStream.schema(intervals.schema).parquet(iDir)
+    val joined = Streaming.pointInIntervalJoin(
+      pStream, iStream, "p_user", "l_user", "p_ts", "l_start_ts", "l_end_ts",
+      maxIntervalSeconds)
+
+    val name = s"graft_sij_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.select("p_id", "l_id").writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def batchPairs(extra: DataFrame => DataFrame = identity): Set[(Long, Long)] =
+    extra(points.join(intervals,
+        col("p_user") === col("l_user") &&
+          col("p_ts") >= col("l_start_ts") && col("p_ts") < col("l_end_ts")))
+      .select("p_id", "l_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("streamed join equals the batch theta join") {
+    // max interval length is 60 + 490*60 < 30000 s — the bound is slack
+    val got = runStreamJoin(maxIntervalSeconds = 30000L)
+    val want = batchPairs()
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("a tight state bound drops only pairs beyond it (bound is semantic)") {
+    val bound = 600L
+    val got = runStreamJoin(maxIntervalSeconds = bound)
+    // the bound caps how far a point may sit past the interval START
+    val want = batchPairs(_.filter(
+      col("p_ts").cast("long") <= col("l_start_ts").cast("long") + bound))
+    assert(got === want)
+    assert(got.size < batchPairs().size, "fixture must exercise the bound")
+  }
+}
