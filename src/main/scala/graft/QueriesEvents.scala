@@ -169,6 +169,20 @@ object QueriesEvents {
         .select("l_id", "r_id")
     }),
 
+    // robust stats: winsorize value to its event-type's exact [p05, p95]
+    "q_rb_winsor" -> ((s, dir) =>
+      graft.ops.Robust.winsorize(
+          t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", 0.05, 0.95)
+        .select("event_id", "event_type", "value_w")),
+
+    // robust stats: median-absolute-deviation outlier flags at k = 3
+    "q_rb_mad" -> ((s, dir) =>
+      graft.ops.Robust.madOutliers(
+          t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", k = 3.0)
+        .select("event_id", "event_type", "value_outlier")),
+
     // Point-in-interval containment join (RangeJoin.pointInInterval):
     // purchases landing inside a click session of the same user
     "q_rj_point" -> ((s, dir) => {
@@ -341,6 +355,22 @@ object QueriesEvents {
       s"""WITH l AS ($intervalSql0click), r AS (${intervalSql("view", "r")})
         |SELECT l_id, r_id
         |FROM l JOIN r ON l_user = r_user AND l_start < r_end AND r_start < l_end""".stripMargin,
+    "q_rb_winsor" ->
+      """WITH q AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  floor(least(greatest(value, lo), hi) * 1000000 + 0.5) / 1000000 AS value_w
+        |FROM events e JOIN q USING (event_type)""".stripMargin,
+    "q_rb_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |    FROM events GROUP BY 1),
+        |d AS (SELECT event_id, e.event_type, abs(value - med) AS dev
+        |    FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT event_id, d.event_type,
+        |  floor(dev * 1000000 + 0.5) / 1000000 >
+        |    floor(mad * 3.0 * 1000000 + 0.5) / 1000000 AS value_outlier
+        |FROM d JOIN md USING (event_type)""".stripMargin,
     "q_rj_point" ->
       s"""WITH p AS (
         |  SELECT user_id AS p_user, event_id AS p_id,
