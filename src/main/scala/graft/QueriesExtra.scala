@@ -151,7 +151,27 @@ object QueriesExtra {
     // interchange-format round-trips: the oracle (plain documents) proves
     // ORC and explicit-schema JSONL preserve every row and type
     "q_fmt_orc" -> ((s, dir) => formatRoundTrip(s, dir, "orc")),
-    "q_fmt_jsonl" -> ((s, dir) => formatRoundTrip(s, dir, "jsonl")))
+    "q_fmt_jsonl" -> ((s, dir) => formatRoundTrip(s, dir, "jsonl")),
+
+    // snapshot lake time travel: two partition-grain commits, then the v1
+    // snapshot and the latest snapshot read side by side — the oracle proves
+    // old versions stay exact after later commits overwrite a partition
+    "q_tt_snapshot" -> ((s, dir) => timeTravel(s, dir)))
+
+  private def timeTravel(s: SparkSession, dir: String): DataFrame =
+    compactCache.getOrElseUpdate("tt|" + s.hashCode() + "|" + dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snap_q").toString
+      val lake = new graft.catalog.SnapshotLake(s, tmp)
+      val b1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), lit("first").as("pointer"))
+      val v1 = lake.commit(b1, Seq("o_orderstatus"))
+      lake.commit(
+        b1.filter(col("o_orderstatus") === "F").withColumn("pointer", lit("second")),
+        Seq("o_orderstatus"))
+      lake.read(Seq("o_orderstatus"), Some(v1)).withColumn("snap", lit("v1"))
+        .unionByName(lake.read(Seq("o_orderstatus")).withColumn("snap", lit("latest")))
+        .select("o_orderkey", "o_orderstatus", "pointer", "snap")
+    })
 
   private def formatRoundTrip(s: SparkSession, dir: String, fmt: String): DataFrame =
     compactCache.getOrElseUpdate(s"fmt_$fmt|" + s.hashCode() + "|" + dir, {
@@ -258,5 +278,12 @@ object QueriesExtra {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_suppkey % 7 = 0""".stripMargin,
     "q_fmt_orc" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
-    "q_fmt_jsonl" -> "SELECT doc_id, text, lang, source, n_chars FROM documents")
+    "q_fmt_jsonl" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_tt_snapshot" ->
+      """SELECT o_orderkey, o_orderstatus, 'first' AS pointer, 'v1' AS snap FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'second' ELSE 'first' END AS pointer,
+        |  'latest' AS snap
+        |FROM orders""".stripMargin)
 }

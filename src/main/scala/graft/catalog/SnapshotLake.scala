@@ -1,0 +1,149 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned partitioned store with ATOMIC manifest commits — the lakehouse
+  * table-format core (Delta/Iceberg-style snapshot isolation) built from
+  * primitives the plain filesystem guarantees, complementing
+  * [[LakeCatalog]]'s reference-compatible lease-locked upsert:
+  *
+  *   - Data files are IMMUTABLE: each commit writes its partitions into
+  *     fresh uniquely-named directories and never touches existing ones.
+  *   - A commit is ONE atomic file create of `manifests/v<N>.json`, mapping
+  *     every live partition to its data directory. Readers resolve a
+  *     manifest first, then read exactly its directories — they can never
+  *     observe a half-commit, and a long query keeps seeing its snapshot
+  *     even while later commits land (snapshot isolation without locks).
+  *   - Writers race on the version number OPTIMISTICALLY: if `v<N>` already
+  *     exists the loser re-reads the new latest manifest, re-merges its own
+  *     partition mapping on top, and retries at `N+1`. Disjoint-partition
+  *     writers both land; same-partition writers serialize by
+  *     last-commit-wins at partition grain.
+  *   - Old manifests stay readable (time travel) until [[vacuum]] drops
+  *     unreferenced data directories.
+  *
+  * Commit grain is the PARTITION (a commit replaces every partition present
+  * in its batch), matching the reference's per-(day × source) rewrite unit
+  * (`atd_data_lake/support/storage.py:58-88`); [[LakeCatalog.merge]]
+  * provides PK-grain latest-wins on top when needed.
+  */
+class SnapshotLake(spark: SparkSession, root: String) {
+
+  private def manifestsDir = Paths.get(root, "manifests")
+  private def dataDir = Paths.get(root, "data")
+
+  private def manifestPath(v: Long): Path = manifestsDir.resolve(f"v$v%08d.json")
+
+  /** value-encoded partition key, e.g. `status=F` (URL-encoded values). */
+  private def keyOf(values: Seq[String]): String =
+    values.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("/")
+
+  def versions: Seq[Long] = {
+    if (!Files.isDirectory(manifestsDir)) return Seq.empty
+    val s = Files.list(manifestsDir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  def latestVersion: Option[Long] = versions.lastOption
+
+  /** manifest = partitionKey → (partition values, data dir). Stored as
+    * simple sorted `key<TAB>dir` lines inside a .json-named file for
+    * driver-tool friendliness; values re-derive from the key.
+    */
+  private def readManifest(v: Long): Map[String, String] =
+    Files.readAllLines(manifestPath(v)).asScala
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(k, d) = line.split("\t", 2)
+        k -> d
+      }.toMap
+
+  private def writeManifestAtomic(v: Long, m: Map[String, String]): Boolean = {
+    val body = m.toSeq.sorted.map { case (k, d) => s"$k\t$d" }.mkString("\n")
+    try {
+      // CREATE_NEW = the atomic commit point: exactly one writer wins v
+      Files.write(manifestPath(v), body.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
+  /** Commit `batch`: every `partitionCols` combination present in it is
+    * (re)placed as a whole; all other partitions carry over from the latest
+    * manifest. Returns the committed version. Safe under concurrent
+    * committers (optimistic retry; disjoint partitions never lose updates).
+    */
+  def commit(batch: DataFrame, partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    Files.createDirectories(manifestsDir)
+    Files.createDirectories(dataDir)
+    // one immutable directory per touched partition, written before any
+    // manifest race — losers retry only the (cheap) manifest merge
+    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => partitionCols.indices.map(i => String.valueOf(r.get(i))))
+    val newDirs: Map[String, String] = touched.map { values =>
+      val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
+      val pred = partitionCols.zip(values)
+        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      batch.filter(pred).drop(partitionCols: _*)
+        .write.parquet(dir.toString)
+      keyOf(values) -> dir.toString
+    }.toMap
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion.map(readManifest).getOrElse(Map.empty)
+      val next = latestVersion.getOrElse(0L) + 1
+      if (writeManifestAtomic(next, base ++ newDirs)) committed = next
+      // else: another writer took `next`; loop re-reads and re-merges
+    }
+    committed
+  }
+
+  /** Read a snapshot (default: latest). Partition values come back as
+    * string columns named after `partitionCols` given at commit time —
+    * callers re-cast as needed (mirrors partition-directory discovery).
+    */
+  def read(partitionCols: Seq[String], version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val m = readManifest(v)
+    require(m.nonEmpty, s"empty manifest v$v")
+    m.toSeq.sorted.map { case (key, dir) =>
+      val values = key.split("/").map(java.net.URLDecoder.decode(_, "UTF-8"))
+      partitionCols.zip(values).foldLeft(spark.read.parquet(dir)) {
+        case (df, (c, value)) => df.withColumn(c, lit(value))
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** Drop data directories referenced by NO manifest among the kept ones,
+    * then drop the old manifests. `keepLast` bounds time travel.
+    */
+  def vacuum(keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val all = versions
+    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    val live = keep.flatMap(v => readManifest(v).values).toSet
+    if (Files.isDirectory(dataDir)) {
+      val s = Files.list(dataDir)
+      val dirs = try s.iterator().asScala.toSeq finally s.close()
+      dirs.filterNot(d => live.contains(d.toString)).foreach { d =>
+        val w = Files.walk(d)
+        try w.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.delete(p))
+        finally w.close()
+      }
+    }
+    drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
+  }
+}
