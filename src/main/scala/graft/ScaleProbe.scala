@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * should scale ~linearly in rows (ratio well under 10 on a machine with
   * spare cores); anything quadratic in corpus size would show ~100x.
   *
-  * Measured (local[32], min of 3): exact 1.0x, simhash 0.9x, quality 1.1x,
-  * ann_brute 1.2x, lsh_buckets 1.1x, rp_project 1.0x, pk_concat 1.4x,
-  * dd_clusters 2.5x, minhash 3.4x, lsh_pairs 4.0x, tx_cdc 4.8x — all
+  * Measured (local[32], min of 3): exact 1.3x, simhash 0.8x, quality 1.0x,
+  * ann_brute 1.1x, lsh_buckets 1.1x, rp_project 1.0x, pk_concat 1.3x,
+  * rj_overlap 1.2x, hh_tokens 1.4x, bf_join 1.2x, minhash 2.6x,
+  * dd_clusters 3.5x, lsh_pairs 3.8x, tx_cdc 5.2x — all
   * sub-linear per row. The two pair generators read higher
   * (ngram_jaccard ~38x, cos_pairs ~43x) because their OUTPUT explodes by
   * construction, not because the algorithms are quadratic in corpus size:
@@ -116,6 +117,34 @@ object ScaleProbe {
           graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
             numHashes = 8, bands = 2),
           "id_a", "id_b").count()
+      },
+      // bucketed interval self-overlap; keyspace scales WITH the corpus
+      // (real deployments keep per-key density bounded), so candidate
+      // pairs — and runtime — grow ~linearly
+      "rj_overlap" -> { d =>
+        val docs = docsAt(d)
+        val nKeys = math.max(1L, docs.count() / 400)
+        def iv(p: String, mult: Long) = docs.select(
+          (col("doc_id") % nKeys).as(s"${p}_key"),
+          col("doc_id").as(s"${p}_id"),
+          ((col("doc_id") * mult) % 1000000L).as(s"${p}_start"),
+          ((col("doc_id") * mult) % 1000000L + 60L + col("n_chars") % 2940).as(s"${p}_end"))
+        graft.ops.RangeJoin.overlap(
+          iv("l", 7919L), iv("r", 6007L),
+          "l_start", "l_end", "r_start", "r_end",
+          Seq("l_key"), Seq("r_key"), bucketWidth = 3000L).count()
+      },
+      // Misra-Gries candidates + recount: two ~linear passes
+      "hh_tokens" -> (d =>
+        graft.ops.HeavyHitters.frequentTokens(docsAt(d), "text", k = 50).count()),
+      // bloom build on the 1/13 dim + probe filter on the fact: ~linear
+      "bf_join" -> { d =>
+        val docs = docsAt(d)
+        val dim = docs.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id").as("dim_id"))
+        graft.ops.BloomJoin.prefilteredJoin(
+          docs.select("doc_id", "n_chars"), dim, "doc_id", "dim_id",
+          expectedItems = 1000000L, numBits = 8388608L).count()
       })
 
     def time(f: => Long): (Double, Long) = {
