@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,6 +47,93 @@ object DataSkipping {
     stats.write.mode("overwrite").parquet(path)
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** The same stats table read from PARQUET FOOTERS instead of the data:
+    * each task opens only the footer bytes of its files (row counts +
+    * per-column-chunk min/max that every parquet writer already persisted),
+    * so building the index over a 100 TB lake costs footer-I/O, not a full
+    * scan. Footer reads are distributed — one partition of file paths per
+    * task — and the driver holds only the file LIST (same bound as the
+    * compaction planner).
+    *
+    * Numeric min/max come back as doubles (exact for int/long < 2^53, which
+    * [[pruneFiles]]'s conservative intersection tolerates); a column chunk
+    * written without statistics, an all-null file, or a non-numeric column
+    * yields null stats and the file is simply never pruned — missing
+    * metadata degrades to extra I/O, never to a wrong answer.
+    */
+  def footerStats(spark: SparkSession, root: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    val files = listParquetFiles(java.nio.file.Paths.get(root))
+    require(files.nonEmpty, s"no parquet files under $root")
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType, false) +:
+      org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType, false) +:
+      cols.flatMap(c => Seq(
+        org.apache.spark.sql.types.StructField(s"min_$c", org.apache.spark.sql.types.DoubleType, true),
+        org.apache.spark.sql.types.StructField(s"max_$c", org.apache.spark.sql.types.DoubleType, true))))
+    val colsB = cols // stable closure capture
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.map { p =>
+          val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            conf, new org.apache.hadoop.fs.Path(p),
+            org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+          val blocks = meta.getBlocks
+          var cnt = 0L
+          val it0 = blocks.iterator()
+          while (it0.hasNext) cnt += it0.next().getRowCount
+          val statVals = colsB.flatMap { c =>
+            var lo: Option[Double] = None
+            var hi: Option[Double] = None
+            var usable = true
+            val it = blocks.iterator()
+            while (it.hasNext && usable) {
+              val chunk = it.next().getColumns.iterator().asScala
+                .find(_.getPath.toDotString == c)
+              chunk.flatMap(ch => Option(ch.getStatistics)) match {
+                case Some(s) if !s.isEmpty && s.hasNonNullValue =>
+                  (numeric(s.genericGetMin()), numeric(s.genericGetMax())) match {
+                    case (Some(mn), Some(mx)) =>
+                      lo = Some(lo.fold(mn)(math.min(_, mn)))
+                      hi = Some(hi.fold(mx)(math.max(_, mx)))
+                    case _ => usable = false // non-numeric column
+                  }
+                case Some(s) if s.isEmpty || !s.hasNonNullValue =>
+                  () // all-null chunk: contributes no bounds
+                case _ => usable = false // chunk written without stats
+              }
+            }
+            if (!usable) Seq(null, null)
+            else Seq(lo.map(Double.box).orNull, hi.map(Double.box).orNull)
+          }
+          org.apache.spark.sql.Row.fromSeq(p +: Long.box(cnt) +: statVals)
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case i: java.lang.Integer => Some(i.toDouble)
+    case l: java.lang.Long    => Some(l.toDouble)
+    case f: java.lang.Float   => Some(f.toDouble)
+    case d: java.lang.Double  => Some(d)
+    case _                    => None
+  }
+
+  private def listParquetFiles(dir: java.nio.file.Path): Seq[String] = {
+    val s = java.nio.file.Files.walk(dir)
+    try s.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) &&
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }
+      .map(_.toString).toSeq.sorted
+    finally s.close()
+  }
 
   /** Files whose `[min_c, max_c]` intersects `[lo, hi]` — the candidate set
     * for a `c BETWEEN lo AND hi` scan. Null stats (all-null file for `c`)

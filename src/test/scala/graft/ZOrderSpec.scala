@@ -75,6 +75,35 @@ class ZOrderSpec extends SparkSpec {
     assert(pruned === original)
   }
 
+  test("footer stats equal scan stats and drive the same pruned result") {
+    val dir = Files.createTempDirectory("graft_footer").toString + "/lake"
+    ZOrder.writeZOrdered(events, Seq("user_id", "value"), dir, nFiles = 8)
+
+    // key by basename: scanStats carries file: URIs, footerStats plain
+    // paths; part-file names are unique within the lake. Numeric types
+    // widen to double on the scan side to match the footer schema.
+    def byName(df: org.apache.spark.sql.DataFrame) = df
+      .select(
+        element_at(split(col("file"), "/"), -1).as("name"),
+        col("cnt"),
+        col("min_user_id").cast("double"), col("max_user_id").cast("double"),
+        col("min_value").cast("double"), col("max_value").cast("double"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val scan = byName(DataSkipping.scanStats(spark, dir, Seq("user_id", "value")))
+    val footer = byName(DataSkipping.footerStats(spark, dir, Seq("user_id", "value")))
+    assert(footer.keySet === scan.keySet)
+    footer.foreach { case (f, stats) => assert(scan(f) === stats, s"stats differ for $f") }
+
+    val viaFooter = DataSkipping.readPruned(
+        spark, dir, DataSkipping.footerStats(spark, dir, Seq("user_id", "value")),
+        "value", 100, 200)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val full = spark.read.parquet(dir)
+      .filter(col("value") >= 100 && col("value") <= 200)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(viaFooter === full)
+  }
+
   test("fully-pruned range yields an empty frame with the lake schema") {
     val dir = Files.createTempDirectory("graft_zorder_empty").toString + "/lake"
     ZOrder.writeZOrdered(events, Seq("user_id", "value"), dir, nFiles = 4)
