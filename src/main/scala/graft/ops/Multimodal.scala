@@ -140,6 +140,99 @@ object Multimodal {
       md5(col("frame")).as("frame_md5"),
       length(col("frame")).as("frame_len"))
 
+  // ----------------------------------------------------------------- video
+
+  /** Parsed MP4 movie metadata (header boxes only — no frame decode). */
+  final case class Mp4Meta(width: Int, height: Int, durationMs: Long, tracks: Int)
+
+  /** REAL video-container metadata via a pure-JVM ISO BMFF (MP4) box
+    * parser: walks the `moov` box for `mvhd` (timescale + duration) and
+    * each `trak`/`tkhd` (16.16 fixed-point width × height; audio tracks
+    * carry 0×0, so the video track's dimensions win via max). Box framing
+    * handles 32-bit sizes, 64-bit `largesize`, and version-1 (64-bit time)
+    * headers. Cost is O(moov bytes) — the same header-only story as
+    * [[ImageIoDecoder]]/[[JavaSoundDecoder]]; actual FRAME decode still
+    * needs an external codec and plugs in behind the same seam.
+    */
+  object Mp4Decoder extends BinaryDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, String) =
+      parseMp4(bytes) match {
+        case Some(m) => (m.width, m.height, "video/mp4")
+        case None    => (0, 0, "application/octet-stream")
+      }
+  }
+
+  /** Full MP4 metadata, or None when `bytes` is not a parseable container. */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] =
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      var sawFtyp = false
+      var meta: Option[Mp4Meta] = None
+      foreachBox(buf, 0L, bytes.length.toLong) { (boxType, start, end) =>
+        boxType match {
+          case "ftyp" => sawFtyp = true
+          case "moov" => meta = parseMoov(buf, start, end)
+          case _      => ()
+        }
+      }
+      if (sawFtyp) meta else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Walk sibling boxes in `[from, to)`, invoking `f(type, payloadStart,
+    * payloadEnd)`. Malformed sizes terminate the walk via exception (caught
+    * at the top); size==0 ("to end of file") and largesize are honored.
+    */
+  private def foreachBox(
+      buf: java.nio.ByteBuffer, from: Long, to: Long)(
+      f: (String, Long, Long) => Unit): Unit = {
+    var pos = from
+    while (pos + 8 <= to) {
+      val size32 = buf.getInt(pos.toInt).toLong & 0xffffffffL
+      val tag = new String(Array(
+        buf.get(pos.toInt + 4), buf.get(pos.toInt + 5),
+        buf.get(pos.toInt + 6), buf.get(pos.toInt + 7)), "ISO-8859-1")
+      val (size, headerLen) =
+        if (size32 == 1L) (buf.getLong(pos.toInt + 8), 16L)
+        else if (size32 == 0L) (to - pos, 8L)
+        else (size32, 8L)
+      if (size < headerLen || pos + size > to)
+        throw new IllegalArgumentException(s"bad box size $size at $pos")
+      f(tag, pos + headerLen, pos + size)
+      pos += size
+    }
+  }
+
+  private def parseMoov(buf: java.nio.ByteBuffer, from: Long, to: Long): Option[Mp4Meta] = {
+    var durationMs = 0L
+    var w = 0
+    var h = 0
+    var tracks = 0
+    foreachBox(buf, from, to) { (tag, s, e) =>
+      tag match {
+        case "mvhd" =>
+          val version = buf.get(s.toInt) & 0xff
+          val (timescale, duration) =
+            if (version == 1) (buf.getInt(s.toInt + 20).toLong & 0xffffffffL, buf.getLong(s.toInt + 24))
+            else (buf.getInt(s.toInt + 12).toLong & 0xffffffffL, buf.getInt(s.toInt + 16).toLong & 0xffffffffL)
+          if (timescale > 0) durationMs = duration * 1000L / timescale
+        case "trak" =>
+          tracks += 1
+          foreachBox(buf, s, e) { (t2, s2, _) =>
+            if (t2 == "tkhd") {
+              val version = buf.get(s2.toInt) & 0xff
+              val base = if (version == 1) s2 + 84 else s2 + 76
+              // 16.16 fixed point; audio tracks carry 0x0
+              val tw = buf.getInt(base.toInt) >>> 16
+              val th = buf.getInt(base.toInt + 4) >>> 16
+              if (tw * th > w * h) { w = tw; h = th }
+            }
+          }
+        case _ => ()
+      }
+    }
+    if (tracks == 0 && durationMs == 0) None else Some(Mp4Meta(w, h, durationMs, tracks))
+  }
+
   // ----------------------------------------------------------------- audio
 
   /** Decoded-audio metadata: what [[AudioDecoder.decode]] yields. */
