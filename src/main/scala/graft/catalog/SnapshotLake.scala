@@ -110,6 +110,74 @@ class SnapshotLake(spark: SparkSession, root: String) {
     committed
   }
 
+  /** PK-grain latest-wins upsert with snapshot-isolated OPTIMISTIC
+    * transactions — [[LakeCatalog.merge]] semantics carried by manifest
+    * commits instead of lease locks. Unlike raw [[commit]] (partition-grain
+    * last-writer-wins), concurrent SAME-partition upserts serialize
+    * correctly: each attempt merges against the exact manifest it read,
+    * commits only if that manifest is still latest (CREATE_NEW on the next
+    * version is the compare-and-swap), and a loser deletes its staged
+    * directories, re-reads, re-merges and retries — so the winner's rows are
+    * folded in, not overwritten, and `versionCol` decides PK ties
+    * deterministically regardless of commit order. No locks, no fencing, no
+    * stale-holder takeover: a crashed writer leaves only unreferenced
+    * directories for [[vacuum]].
+    */
+  def upsert(
+      batch: DataFrame,
+      pk: Seq[String],
+      versionCol: String,
+      partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    Files.createDirectories(manifestsDir)
+    Files.createDirectories(dataDir)
+    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => partitionCols.indices.map(i => String.valueOf(r.get(i))))
+    val touchedKeys = touched.map(keyOf).toSet
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion
+      val baseManifest = base.map(readManifest).getOrElse(Map.empty)
+      val existing = baseManifest.view.filterKeys(touchedKeys).toMap
+      val current = existing.toSeq.sorted.map { case (key, dir) =>
+        val values = key.split("/").map(java.net.URLDecoder.decode(_, "UTF-8"))
+        partitionCols.zip(values).foldLeft(spark.read.parquet(dir)) {
+          case (df, (c, value)) => df.withColumn(c, lit(value))
+        }
+      }.reduceOption(_ unionByName _)
+      val merged = LakeCatalog.merge(
+        current.fold(batch)(c =>
+          c.unionByName(batch.withColumns(
+            // partition values travel as strings in the manifest key; align
+            // the batch's so PK comparisons see one type
+            partitionCols.map(c => c -> col(c).cast("string")).toMap),
+            allowMissingColumns = true)),
+        pk, versionCol)
+      val newDirs: Map[String, String] = touched.map { values =>
+        val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
+        val pred = partitionCols.zip(values)
+          .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+        merged.filter(pred).drop(partitionCols: _*)
+          .write.parquet(dir.toString)
+        keyOf(values) -> dir.toString
+      }.toMap
+      val next = base.getOrElse(0L) + 1
+      if (writeManifestAtomic(next, baseManifest ++ newDirs)) committed = next
+      else {
+        // conflict: the merge is stale — drop staged dirs and retry
+        newDirs.values.foreach { d =>
+          val p = Paths.get(d)
+          if (Files.exists(p)) {
+            val w = Files.walk(p)
+            try w.sorted(java.util.Comparator.reverseOrder()).forEach(x => Files.delete(x))
+            finally w.close()
+          }
+        }
+      }
+    }
+    committed
+  }
+
   /** Read a snapshot (default: latest). Partition values come back as
     * string columns named after `partitionCols` given at commit time —
     * callers re-cast as needed (mirrors partition-directory discovery).

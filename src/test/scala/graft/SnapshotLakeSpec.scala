@@ -66,6 +66,31 @@ class SnapshotLakeSpec extends SparkSpec {
       === Set("first"))
   }
 
+  test("concurrent same-partition PK upserts serialize: no lost update, versionCol wins ties") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    def rows(ids: Range, pointer: String, ver: Long) =
+      ids.map(i => (i.toLong, "p", pointer, ver)).toDF("id", "part", "pointer", "ver")
+
+    lake.upsert(rows(1 to 200, "base", 1L), Seq("id", "part"), "ver", Seq("part"))
+    // A updates 1..100 at ver 2, B updates 50..150 at ver 3 — whatever the
+    // commit order, the loser re-merges against the winner, so B's higher
+    // version must win the 50..100 overlap and NEITHER write may vanish
+    val a = new Thread(() =>
+      lake.upsert(rows(1 to 100, "A", 2L), Seq("id", "part"), "ver", Seq("part")))
+    val b = new Thread(() =>
+      lake.upsert(rows(50 to 150, "B", 3L), Seq("id", "part"), "ver", Seq("part")))
+    a.start(); b.start(); a.join(); b.join()
+
+    val got = lake.read(Seq("part")).select("id", "pointer")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 200)
+    (1 to 49).foreach(i => assert(got(i.toLong) === "A", s"id $i"))
+    (50 to 150).foreach(i => assert(got(i.toLong) === "B", s"id $i"))
+    (151 to 200).foreach(i => assert(got(i.toLong) === "base", s"id $i"))
+    assert(lake.versions.size === 3, "both upserts must commit distinct versions")
+  }
+
   test("vacuum drops unreferenced data but keeps surviving snapshots readable") {
     val (lake, dir) = fresh()
     lake.commit(batch("F")("v1"), Seq("o_orderstatus"))
