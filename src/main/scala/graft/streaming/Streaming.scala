@@ -80,6 +80,38 @@ object Streaming {
         "inner")
   }
 
+  /** Stream-stream interval-OVERLAP join — the streaming twin of
+    * [[graft.ops.RangeJoin.overlap]]. Overlap of `[lS, lE)` and `[rS, rE)`
+    * with bounded lengths (`lE ≤ lS + maxLeft`, `rE ≤ rS + maxRight`)
+    * implies `rS - maxRight ≤ lS ≤ rS + maxLeft`, so the two watermarked
+    * START columns carry a constant-bound time-range condition Spark can
+    * derive state watermarks from; the exact overlap predicate
+    * (`lS < rE && rS < lE`, on data columns) rides as the residual filter.
+    * As with [[pointInIntervalJoin]], the max lengths are SEMANTIC: an
+    * interval longer than its declared bound can silently miss matches, so
+    * emit clamped intervals or raise the bound.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      maxLeftSeconds: Long,
+      maxRightSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    require(maxLeftSeconds > 0 && maxRightSeconds > 0, "interval bounds must be positive")
+    left.withWatermark(lStart, watermark)
+      .join(
+        right.withWatermark(rStart, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(lStart) >= col(rStart) - expr(s"INTERVAL $maxRightSeconds SECONDS") &&
+          col(lStart) <= col(rStart) + expr(s"INTERVAL $maxLeftSeconds SECONDS") &&
+          col(lStart) < col(rEnd) && col(rStart) < col(lEnd),
+        "inner")
+  }
+
   /** Run a finite file-backed stream to completion (AvailableNow) into an
     * in-memory table and return the result — used by tests and the
     * verification harness to exercise the real streaming engine on the

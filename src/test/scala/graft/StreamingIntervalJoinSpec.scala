@@ -72,4 +72,54 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     assert(got === want)
     assert(got.size < batchPairs().size, "fixture must exercise the bound")
   }
+
+  // ---- interval × interval overlap ----
+
+  private lazy val views = events
+    .filter(col("event_type") === "view")
+    .select(
+      col("user_id").as("r_user"), col("event_id").as("r_id"),
+      Functions.toSecond(col("ts")).as("r_start_ts"),
+      (Functions.toSecond(col("ts")).cast("long") + lit(60L) + floor(col("value") * 60d).cast("long"))
+        .cast("timestamp").as("r_end_ts"))
+
+  test("streamed overlap join equals the batch theta join") {
+    val iDir = java.nio.file.Files.createTempDirectory("graft_soj_l").toString
+    val vDir = java.nio.file.Files.createTempDirectory("graft_soj_r").toString
+    intervals.write.mode("overwrite").parquet(iDir)
+    views.write.mode("overwrite").parquet(vDir)
+
+    val lStream = spark.readStream.schema(intervals.schema).parquet(iDir)
+    val rStream = spark.readStream.schema(views.schema).parquet(vDir)
+    // both interval families are ≤ 60 + 490·60 < 30000 s long
+    val joined = Streaming.intervalOverlapJoin(
+      lStream, rStream, "l_user", "r_user",
+      "l_start_ts", "l_end_ts", "r_start_ts", "r_end_ts",
+      maxLeftSeconds = 30000L, maxRightSeconds = 30000L)
+
+    val name = s"graft_soj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.select("l_id", "r_id").writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val want = intervals.join(views,
+        col("l_user") === col("r_user") &&
+          col("l_start_ts") < col("r_end_ts") && col("r_start_ts") < col("l_end_ts"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // and the streaming result agrees with the batch bucketed RangeJoin on
+    // the same epoch data — the two operators are genuine twins
+    val epochPairs = graft.ops.RangeJoin.overlap(
+        intervals.select(col("l_user"), col("l_id"),
+          col("l_start_ts").cast("long").as("l_s"), col("l_end_ts").cast("long").as("l_e")),
+        views.select(col("r_user"), col("r_id"),
+          col("r_start_ts").cast("long").as("r_s"), col("r_end_ts").cast("long").as("r_e")),
+        "l_s", "l_e", "r_s", "r_e", Seq("l_user"), Seq("r_user"), bucketWidth = 86400L)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === epochPairs)
+  }
 }
