@@ -178,6 +178,53 @@ class SnapshotLake(spark: SparkSession, root: String) {
     committed
   }
 
+  /** Transactional row deletion (the GDPR/right-to-erasure lake op):
+    * rewrite every live partition without the matching rows, committed as
+    * one atomic manifest — readers see all deletions or none, and earlier
+    * snapshots still contain the rows until [[vacuum]] reclaims them (run
+    * `vacuum(1)` after a legal-erasure delete for physical removal). Same
+    * optimistic loop as [[upsert]]; partitions whose rewrite is row-free
+    * drop out of the manifest entirely. A stats-index integration would
+    * prune untouched partitions before the rewrite; here every live
+    * partition is rewritten (`predicate` pushes down into each scan).
+    */
+  def deleteWhere(predicate: org.apache.spark.sql.Column, partitionCols: Seq[String]): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val baseManifest = readManifest(base)
+      val rewritten: Map[String, Option[String]] = baseManifest.map { case (key, dirIn) =>
+        val values = key.split("/").map(java.net.URLDecoder.decode(_, "UTF-8"))
+        val withParts = partitionCols.zip(values)
+          .foldLeft(spark.read.parquet(dirIn)) {
+            case (df, (c, value)) => df.withColumn(c, lit(value))
+          }
+        val kept = withParts.filter(!predicate).drop(partitionCols: _*)
+        if (kept.isEmpty) key -> None
+        else {
+          val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
+          kept.write.parquet(dir.toString)
+          key -> Some(dir.toString)
+        }
+      }
+      val next = base + 1
+      val manifest = rewritten.collect { case (k, Some(d)) => k -> d }
+      if (manifest.isEmpty)
+        throw new IllegalStateException("deleteWhere would empty the lake; refusing to commit")
+      if (writeManifestAtomic(next, manifest)) committed = next
+      else rewritten.values.flatten.foreach { d =>
+        val p = Paths.get(d)
+        if (Files.exists(p)) {
+          val w = Files.walk(p)
+          try w.sorted(java.util.Comparator.reverseOrder()).forEach(x => Files.delete(x))
+          finally w.close()
+        }
+      }
+    }
+    committed
+  }
+
   /** Read a snapshot (default: latest). Partition values come back as
     * string columns named after `partitionCols` given at commit time —
     * callers re-cast as needed (mirrors partition-directory discovery).

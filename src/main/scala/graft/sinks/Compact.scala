@@ -86,11 +86,18 @@ object Compact {
     * @param targetBytes output file size to pack toward (cluster-realistic
     *                    values are 128–1024 MB; tests use small ones)
     */
+  /** @param sortBy re-sort rows within each packed file during the rewrite —
+    *   merging a z-ordered or linearly-sorted leaf with `coalesce` alone
+    *   interleaves its runs and destroys row-group min/max locality, so a
+    *   clustered lake should compact with its cluster key here (the rewrite
+    *   was already paying the I/O; the in-file sort is the cheap part)
+    */
   def compact(
       spark: SparkSession,
       root: String,
       targetBytes: Long,
-      minFiles: Int = 2): Report = {
+      minFiles: Int = 2,
+      sortBy: Seq[String] = Nil): Report = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val (todo, keep) = leafStats(root).partition { s =>
       s.files > minFiles && s.bytes / s.files < targetBytes / 2
@@ -100,8 +107,9 @@ object Compact {
       val nOut = math.max(1, math.ceil(s.bytes.toDouble / targetBytes).toInt)
       val staged = leaf.resolveSibling(s"${leaf.getFileName}.compacting-${java.util.UUID.randomUUID()}")
       val trash = leaf.resolveSibling(s"${leaf.getFileName}.old-${java.util.UUID.randomUUID()}")
-      spark.read.parquet(s.dir)
-        .coalesce(nOut)
+      val packed = spark.read.parquet(s.dir).coalesce(nOut)
+      (if (sortBy.nonEmpty) packed.sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+       else packed)
         .write.mode("overwrite").parquet(staged.toString)
       // carry only data files into the final leaf (no _SUCCESS markers)
       listDir(staged).filterNot(isDataFile).foreach(Files.deleteIfExists(_))

@@ -71,6 +71,26 @@ class CompactSpec extends SparkSpec {
     }
   }
 
+  test("sortBy restores within-file ordering that plain coalesce would destroy") {
+    val lake = freshLake()
+    Compact.compact(spark, lake, targetBytes = 512L * 1024 * 1024,
+      sortBy = Seq("o_orderkey"))
+    // every packed file must be internally sorted on the cluster key
+    Compact.leaves(lake).foreach { leaf =>
+      val s = Files.list(leaf)
+      val files = try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+        finally s.close()
+      files.foreach { f =>
+        val keys = spark.read.parquet(f.toString)
+          .select("o_orderkey").collect().map(_.getLong(0))
+        assert(keys.sameElements(keys.sorted), s"unsorted rows in $f")
+      }
+    }
+    // and the data still round-trips exactly
+    val got = spark.read.parquet(lake).count()
+    assert(got === Tables(spark, "/root/testdata/sf0.001", "orders").count())
+  }
+
   test("minFiles keeps leaves at or below the threshold untouched") {
     val lake = freshLake()
     val report = Compact.compact(spark, lake, targetBytes = 512L * 1024 * 1024, minFiles = 5)

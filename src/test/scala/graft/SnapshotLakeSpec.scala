@@ -91,6 +91,34 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(lake.versions.size === 3, "both upserts must commit distinct versions")
   }
 
+  test("deleteWhere removes rows atomically; time travel keeps them until vacuum") {
+    val (lake, _) = fresh()
+    val v1 = lake.commit(batch("F", "O")("keep"), Seq("o_orderstatus"))
+    val before = lake.read(Seq("o_orderstatus")).count()
+    val v2 = lake.deleteWhere(col("o_orderkey") % 10 === 0, Seq("o_orderstatus"))
+
+    val after = lake.read(Seq("o_orderstatus"))
+    assert(after.filter(col("o_orderkey") % 10 === 0).count() === 0L)
+    assert(after.count() < before)
+    // the pre-delete snapshot still has the rows (until vacuum)
+    assert(lake.read(Seq("o_orderstatus"), Some(v1)).count() === before)
+    lake.vacuum(keepLast = 1)
+    assert(lake.versions === Seq(v2))
+    assert(lake.read(Seq("o_orderstatus")).count() === after.count())
+  }
+
+  test("deleteWhere drops now-empty partitions and refuses to empty the lake") {
+    val (lake, _) = fresh()
+    lake.commit(batch("F", "O")("x"), Seq("o_orderstatus"))
+    lake.deleteWhere(col("o_orderstatus") === "F", Seq("o_orderstatus"))
+    val statuses = lake.read(Seq("o_orderstatus"))
+      .select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses === Set("O"))
+    intercept[IllegalStateException] {
+      lake.deleteWhere(lit(true), Seq("o_orderstatus"))
+    }
+  }
+
   test("vacuum drops unreferenced data but keeps surviving snapshots readable") {
     val (lake, dir) = fresh()
     lake.commit(batch("F")("v1"), Seq("o_orderstatus"))
