@@ -23,7 +23,8 @@ object Bench {
       "q_w1_first_seen", "q_dd_exact", "q_dd_lsh_pairs", "q_dd_simhash",
       "q_dd_clusters", "q_cr_keep", "q_tx_cdc", "q_pk_concat",
       "q_ann_brute", "q_tx_quality", "q_tx_fingerprint", "q_sc_recordid",
-      "q_k2_upsert", "q_gs_ready", "q_rj_overlap", "q_bf_join")
+      "q_k2_upsert", "q_gs_ready", "q_rj_overlap", "q_bf_join",
+      "q_hh_tokens", "q_rb_winsor")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

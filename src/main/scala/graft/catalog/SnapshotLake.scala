@@ -242,6 +242,44 @@ class SnapshotLake(spark: SparkSession, root: String) {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-file min/max stats for a snapshot's data files, read from parquet
+    * FOOTERS (no data scan) — [[graft.sources.DataSkipping.footerStats]]
+    * over exactly the directories the manifest references. Data files are
+    * immutable, so stats for a version never go stale; persist with
+    * `DataSkipping.save` for build-once/query-many.
+    */
+  def statsFor(cols: Seq[String], version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    readManifest(v).values.toSeq.sorted
+      .map(dir => graft.sources.DataSkipping.footerStats(spark, dir, cols))
+      .reduce(_ unionByName _)
+  }
+
+  /** Snapshot range scan through footer stats: only candidate files of the
+    * version's manifest are opened, the exact predicate re-applies, and the
+    * result equals `read(...).filter(c between lo and hi)` minus the
+    * partition columns (per-file reads bypass the manifest's partition
+    * attachment; project them in via [[read]] when needed).
+    */
+  def readPruned(
+      cols: Seq[String],
+      c: String,
+      lo: Double,
+      hi: Double,
+      version: Option[Long] = None): DataFrame = {
+    val stats = statsFor(cols, version)
+    val files = graft.sources.DataSkipping.pruneFiles(stats, c, lo, hi)
+    if (files.isEmpty) {
+      val v = version.orElse(latestVersion).get
+      val anyDir = readManifest(v).values.head
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(anyDir).schema)
+    } else
+      spark.read.parquet(files: _*).filter(col(c) >= lo && col(c) <= hi)
+  }
+
   /** Drop data directories referenced by NO manifest among the kept ones,
     * then drop the old manifests. `keepLast` bounds time travel.
     */

@@ -119,6 +119,29 @@ class SnapshotLakeSpec extends SparkSpec {
     }
   }
 
+  test("footer-stats pruned snapshot reads equal the exact filter, per version") {
+    val (lake, _) = fresh()
+    val v1 = lake.commit(batch("F", "O")("first"), Seq("o_orderstatus"))
+    lake.commit(batch("F")("second"), Seq("o_orderstatus"))
+
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+
+    val lo = 100d; val hi = 2000d
+    val latestPruned = keys(lake.readPruned(Seq("o_orderkey"), "o_orderkey", lo, hi))
+    val latestFull = keys(lake.read(Seq("o_orderstatus"))
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi))
+    assert(latestPruned === latestFull && latestPruned.nonEmpty)
+
+    val v1Pruned = keys(lake.readPruned(Seq("o_orderkey"), "o_orderkey", lo, hi, Some(v1)))
+    val v1Full = keys(lake.read(Seq("o_orderstatus"), Some(v1))
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi))
+    assert(v1Pruned === v1Full)
+
+    // out-of-range predicate prunes every file and returns an empty frame
+    assert(lake.readPruned(Seq("o_orderkey"), "o_orderkey", 1e12, 2e12).count() === 0L)
+  }
+
   test("vacuum drops unreferenced data but keeps surviving snapshots readable") {
     val (lake, dir) = fresh()
     lake.commit(batch("F")("v1"), Seq("o_orderstatus"))
