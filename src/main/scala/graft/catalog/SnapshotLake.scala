@@ -43,6 +43,24 @@ class SnapshotLake(spark: SparkSession, root: String) {
   private def keyOf(values: Seq[String]): String =
     values.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("/")
 
+  /** Distinct partition-value tuples of `batch`. NULL partition values are
+    * rejected outright: a NULL would stringify to "null" (colliding with
+    * the literal string) and its rows would match no equality predicate at
+    * write time — silently vanishing. Callers coalesce to a sentinel first.
+    */
+  private def touchedPartitions(
+      batch: DataFrame, partitionCols: Seq[String]): Seq[Seq[String]] =
+    batch.select(partitionCols.map(col): _*).distinct().collect()
+      .map { r =>
+        partitionCols.indices.map { i =>
+          if (r.isNullAt(i))
+            throw new IllegalArgumentException(
+              s"NULL value in partition column '${partitionCols(i)}' — " +
+                "coalesce partition columns to a sentinel before committing")
+          String.valueOf(r.get(i))
+        }
+      }.toSeq
+
   def versions: Seq[Long] = {
     if (!Files.isDirectory(manifestsDir)) return Seq.empty
     val s = Files.list(manifestsDir)
@@ -90,8 +108,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
     Files.createDirectories(dataDir)
     // one immutable directory per touched partition, written before any
     // manifest race — losers retry only the (cheap) manifest merge
-    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
-      .map(r => partitionCols.indices.map(i => String.valueOf(r.get(i))))
+    val touched = touchedPartitions(batch, partitionCols)
     val newDirs: Map[String, String] = touched.map { values =>
       val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
       val pred = partitionCols.zip(values)
@@ -131,8 +148,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
     require(partitionCols.nonEmpty, "need at least one partition column")
     Files.createDirectories(manifestsDir)
     Files.createDirectories(dataDir)
-    val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
-      .map(r => partitionCols.indices.map(i => String.valueOf(r.get(i))))
+    val touched = touchedPartitions(batch, partitionCols)
     val touchedKeys = touched.map(keyOf).toSet
     var committed = -1L
     while (committed < 0) {
@@ -200,7 +216,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
           .foldLeft(spark.read.parquet(dirIn)) {
             case (df, (c, value)) => df.withColumn(c, lit(value))
           }
-        val kept = withParts.filter(!predicate).drop(partitionCols: _*)
+        // DELETE WHERE semantics: remove only rows where the predicate is
+        // TRUE — a NULL-evaluating predicate (e.g. equality against a NULL
+        // column) keeps its row, exactly as SQL DELETE would
+        val kept = withParts.filter(!coalesce(predicate, lit(false))).drop(partitionCols: _*)
         if (kept.isEmpty) key -> None
         else {
           val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
@@ -282,20 +301,34 @@ class SnapshotLake(spark: SparkSession, root: String) {
 
   /** Drop data directories referenced by NO manifest among the kept ones,
     * then drop the old manifests. `keepLast` bounds time travel.
+    *
+    * @param minAgeMs retention guard for IN-FLIGHT writers: a committer
+    *   stages its data directories BEFORE winning the manifest race, so an
+    *   unreferenced directory younger than this may belong to a commit that
+    *   is about to land — deleting it would commit a manifest pointing at
+    *   nothing. Only directories whose mtime is older than `minAgeMs` are
+    *   reclaimed (the lakehouse retention-window rule); crashed writers'
+    *   leftovers age past it and are swept on a later vacuum.
     */
-  def vacuum(keepLast: Int = 1): Unit = {
+  def vacuum(keepLast: Int = 1, minAgeMs: Long = 3600000L): Unit = {
     require(keepLast >= 1, "must keep at least the latest version")
     val all = versions
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     val live = keep.flatMap(v => readManifest(v).values).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     if (Files.isDirectory(dataDir)) {
       val s = Files.list(dataDir)
       val dirs = try s.iterator().asScala.toSeq finally s.close()
-      dirs.filterNot(d => live.contains(d.toString)).foreach { d =>
-        val w = Files.walk(d)
-        try w.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.delete(p))
-        finally w.close()
-      }
+      dirs.filterNot(d => live.contains(d.toString))
+        .filter { d =>
+          try Files.getLastModifiedTime(d).toMillis < cutoff
+          catch { case _: java.io.IOException => false }
+        }
+        .foreach { d =>
+          val w = Files.walk(d)
+          try w.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.delete(p))
+          finally w.close()
+        }
     }
     drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
   }

@@ -50,13 +50,17 @@ object HeavyHitters {
   }
 
   /** Items of `itemCol` with frequency strictly greater than `1/k` of all
-    * items, with their EXACT counts: `(item, cnt)`. Deterministic — the
-    * result does not depend on partitioning (see class doc).
+    * NON-NULL items, with their EXACT counts: `(item, cnt)`. NULLs are
+    * excluded on both sides of the ratio — they can't ride the semi-join or
+    * the MG counters, and counting them in `n` alone would silently inflate
+    * the threshold against every real item. Deterministic — the result does
+    * not depend on partitioning (see class doc).
     */
   def frequent(df: DataFrame, itemCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     import df.sparkSession.implicits._
-    val items = df.select(col(itemCol).cast("string")).as[String]
+    val items = df.select(col(itemCol).cast("string"))
+      .filter(col(itemCol).isNotNull).as[String]
     val n = items.count()
     val cand = candidates(items, k)
     items.toDF("item")

@@ -220,7 +220,10 @@ object Multimodal {
           foreachBox(buf, s, e) { (t2, s2, _) =>
             if (t2 == "tkhd") {
               val version = buf.get(s2.toInt) & 0xff
-              val base = if (version == 1) s2 + 84 else s2 + 76
+              // width sits after version/flags(4) + times+id+duration
+              // (20 at v0, 32 at v1) + reserved(8) + layer/group/volume/
+              // reserved(8) + matrix(36): offset 76 at v0, 88 at v1
+              val base = if (version == 1) s2 + 88 else s2 + 76
               // 16.16 fixed point; audio tracks carry 0x0
               val tw = buf.getInt(base.toInt) >>> 16
               val th = buf.getInt(base.toInt + 4) >>> 16

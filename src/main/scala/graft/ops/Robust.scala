@@ -34,10 +34,13 @@ object Robust {
       .agg(
         expr(s"percentile($valueCol, ${pLo}D)").as("_lo"),
         expr(s"percentile($valueCol, ${pHi}D)").as("_hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumnRenamed(groupCol, "_grp")
+    // null-SAFE group equality: groupBy emits a NULL-group bounds row, and
+    // clip-don't-drop means NULL-group rows must clip too, not vanish
+    df.join(broadcast(bounds), col(groupCol) <=> col("_grp"))
       .withColumn(s"${valueCol}_w",
         graft.Functions.roundHalfUp(least(greatest(col(valueCol), col("_lo")), col("_hi")), 6))
-      .drop("_lo", "_hi")
+      .drop("_grp", "_lo", "_hi")
   }
 
   /** Flag rows whose absolute deviation from the group median exceeds
@@ -53,14 +56,17 @@ object Robust {
     require(k > 0, s"k must be positive, got $k")
     val med = df.groupBy(col(groupCol))
       .agg(expr(s"percentile($valueCol, 0.5D)").as("_med"))
-    val withDev = df.join(broadcast(med), Seq(groupCol))
+      .withColumnRenamed(groupCol, "_grp")
+    val withDev = df.join(broadcast(med), col(groupCol) <=> col("_grp"))
+      .drop("_grp")
       .withColumn("_dev", abs(col(valueCol) - col("_med")))
     val mad = withDev.groupBy(col(groupCol))
       .agg(expr("percentile(_dev, 0.5D)").as("_mad"))
-    withDev.join(broadcast(mad), Seq(groupCol))
+      .withColumnRenamed(groupCol, "_grp")
+    withDev.join(broadcast(mad), col(groupCol) <=> col("_grp"))
       .withColumn(s"${valueCol}_outlier",
         graft.Functions.roundHalfUp(col("_dev"), 6) >
           graft.Functions.roundHalfUp(col("_mad") * k, 6))
-      .drop("_med", "_dev", "_mad")
+      .drop("_grp", "_med", "_dev", "_mad")
   }
 }

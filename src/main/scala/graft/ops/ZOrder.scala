@@ -59,6 +59,10 @@ object ZOrder {
       Seq(min(col(c).cast("double")).as(s"min_$c"), max(col(c).cast("double")).as(s"max_$c")))
     val spans = df.agg(aggs.head, aggs.tail: _*).head()
     val quantized = cols.zipWithIndex.map { case (c, j) =>
+      // empty input or an all-NULL column has no span — name the culprit
+      // instead of surfacing a bare NPE from the driver
+      require(!spans.isNullAt(2 * j) && !spans.isNullAt(2 * j + 1),
+        s"cannot z-order on '$c': no non-null values (empty input or all-NULL column)")
       quantize(col(c), spans.getDouble(2 * j), spans.getDouble(2 * j + 1), bits)
     }
     df.withColumn("__zkey", zkey(quantized, bits))

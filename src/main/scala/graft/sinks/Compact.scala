@@ -24,9 +24,13 @@ import org.apache.spark.sql.SparkSession
   * without repartitioning).
   *
   * Commit per leaf mirrors [[graft.catalog.LakeCatalog.upsert]]'s swap: write
-  * to a staging dir, then two ATOMIC_MOVEs (old leaf → trash, staged → leaf).
-  * A reader can race the brief window between the moves on a plain
-  * filesystem; a lakehouse table format's snapshot commit is the airtight
+  * to a staging dir under `root/_compact` (invisible to partition discovery),
+  * then two ATOMIC_MOVEs (old leaf → path-preserving trash, staged → leaf).
+  * A crash at any point leaves the lake readable-or-recoverable: [[recover]]
+  * (run automatically at the start of each pass) restores a leaf stranded in
+  * trash and drops stale staging copies. A reader can still race the brief
+  * window between the two moves on a plain filesystem; a lakehouse table
+  * format's snapshot commit ([[graft.catalog.SnapshotLake]]) is the airtight
   * version, and this operator maps 1:1 onto its rewrite-files action.
   */
 object Compact {
@@ -61,11 +65,16 @@ object Compact {
 
   /** All leaf directories (directories containing at least one data file)
     * under `root`, found by a bounded recursive walk over partition dirs.
+    * `_`/`.`-prefixed directories are skipped — Spark's file index ignores
+    * them too, which is what makes `_compact` a safe staging area.
     */
   def leaves(root: String): Seq[Path] = {
     def walk(dir: Path): Seq[Path] = {
       val children = listDir(dir)
-      val subdirs = children.filter(p => Files.isDirectory(p))
+      val subdirs = children.filter { p =>
+        val n = p.getFileName.toString
+        Files.isDirectory(p) && !n.startsWith("_") && !n.startsWith(".")
+      }
       val here = if (children.exists(isDataFile)) Seq(dir) else Seq.empty
       here ++ subdirs.flatMap(walk)
     }
@@ -99,25 +108,64 @@ object Compact {
       minFiles: Int = 2,
       sortBy: Seq[String] = Nil): Report = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    recover(root)
+    // staging and trash live under root/_compact: the underscore prefix is
+    // invisible to Spark's partition discovery AND to leaves(), so a crash
+    // mid-rewrite never surfaces duplicate rows or mangled partition values
+    // to readers — recover() reconciles leftovers on the next run
+    val work = Paths.get(root, "_compact")
+    Files.createDirectories(work)
     val (todo, keep) = leafStats(root).partition { s =>
       s.files > minFiles && s.bytes / s.files < targetBytes / 2
     }
     todo.foreach { s =>
       val leaf = Paths.get(s.dir)
+      val rel = Paths.get(root).relativize(leaf)
       val nOut = math.max(1, math.ceil(s.bytes.toDouble / targetBytes).toInt)
-      val staged = leaf.resolveSibling(s"${leaf.getFileName}.compacting-${java.util.UUID.randomUUID()}")
-      val trash = leaf.resolveSibling(s"${leaf.getFileName}.old-${java.util.UUID.randomUUID()}")
+      val staged = work.resolve(s"staging-${java.util.UUID.randomUUID()}")
+      val trash = work.resolve(s"old-${java.util.UUID.randomUUID()}")
       val packed = spark.read.parquet(s.dir).coalesce(nOut)
       (if (sortBy.nonEmpty) packed.sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
        else packed)
         .write.mode("overwrite").parquet(staged.toString)
       // carry only data files into the final leaf (no _SUCCESS markers)
       listDir(staged).filterNot(isDataFile).foreach(Files.deleteIfExists(_))
-      Files.move(leaf, trash, StandardCopyOption.ATOMIC_MOVE)
+      // trash preserves the leaf's relative path so recover() can restore
+      // it if the swap is interrupted between the two moves
+      Files.createDirectories(trash.resolve(rel).getParent)
+      Files.move(leaf, trash.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
       Files.move(staged, leaf, StandardCopyOption.ATOMIC_MOVE)
       deleteRecursively(trash)
     }
     Report(todo, keep)
+  }
+
+  /** Reconcile an interrupted previous run: a trashed leaf whose original
+    * path is missing moves back (the crash hit between the two swap moves);
+    * everything else under `_compact` is a stale copy and is dropped.
+    */
+  def recover(root: String): Unit = {
+    val work = Paths.get(root, "_compact")
+    if (!Files.isDirectory(work)) return
+    listDir(work).filter(_.getFileName.toString.startsWith("old-")).foreach { trash =>
+      // find the trashed leaf dir(s): deepest dirs containing data files
+      def walk(d: Path): Seq[Path] = {
+        val children = listDir(d)
+        val here = if (children.exists(isDataFile)) Seq(d) else Seq.empty
+        here ++ children.filter(Files.isDirectory(_)).flatMap(walk)
+      }
+      walk(trash).foreach { trashedLeaf =>
+        val rel = trash.relativize(trashedLeaf)
+        val original = Paths.get(root).resolve(rel)
+        if (!Files.exists(original)) {
+          Files.createDirectories(original.getParent)
+          Files.move(trashedLeaf, original, StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      deleteRecursively(trash)
+    }
+    listDir(work).filter(_.getFileName.toString.startsWith("staging-"))
+      .foreach(deleteRecursively)
   }
 
   private def deleteRecursively(dir: Path): Unit =

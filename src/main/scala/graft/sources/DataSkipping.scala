@@ -136,14 +136,21 @@ object DataSkipping {
   }
 
   /** Files whose `[min_c, max_c]` intersects `[lo, hi]` — the candidate set
-    * for a `c BETWEEN lo AND hi` scan. Null stats (all-null file for `c`)
-    * keep the file: pruning must never be optimistic.
+    * for a `c BETWEEN lo AND hi` scan. A file is dropped only when
+    * disjointness is PROVEN (`min > hi || max < lo` evaluates TRUE); any
+    * NULL — null stats from an all-null file, or a type mismatch such as
+    * string stats compared against numeric bounds — keeps the file, so
+    * pruning degrades to extra I/O, never to a missing row.
     */
-  def pruneFiles(stats: DataFrame, c: String, lo: Double, hi: Double): Seq[String] =
-    stats.filter(
-        col(s"min_$c").isNull || col(s"max_$c").isNull ||
-        (col(s"min_$c") <= hi && col(s"max_$c") >= lo))
-      .select("file").collect().map(_.getString(0)).toSeq
+  def pruneFiles(stats: DataFrame, c: String, lo: Double, hi: Double): Seq[String] = {
+    val numericStats = stats.schema(s"min_$c").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val candidates =
+      if (!numericStats) stats // type mismatch: keep everything (ANSI would throw on the cast)
+      else stats.filter(
+        coalesce(!(col(s"min_$c") > hi || col(s"max_$c") < lo), lit(true)))
+    candidates.select("file").collect().map(_.getString(0)).toSeq
+  }
 
   /** Range scan through the stats index: read only candidate files, then
     * re-apply the exact predicate — result is identical to

@@ -83,13 +83,16 @@ object Streaming {
   /** Stream-stream interval-OVERLAP join — the streaming twin of
     * [[graft.ops.RangeJoin.overlap]]. Overlap of `[lS, lE)` and `[rS, rE)`
     * with bounded lengths (`lE ≤ lS + maxLeft`, `rE ≤ rS + maxRight`)
-    * implies `rS - maxRight ≤ lS ≤ rS + maxLeft`, so the two watermarked
-    * START columns carry a constant-bound time-range condition Spark can
-    * derive state watermarks from; the exact overlap predicate
-    * (`lS < rE && rS < lE`, on data columns) rides as the residual filter.
-    * As with [[pointInIntervalJoin]], the max lengths are SEMANTIC: an
-    * interval longer than its declared bound can silently miss matches, so
-    * emit clamped intervals or raise the bound.
+    * bounds the start distance: `rS < lE ≤ lS + maxLeft` gives
+    * `lS ≥ rS - maxLeft`, and `lS < rE ≤ rS + maxRight` gives
+    * `lS ≤ rS + maxRight` — note each side's own length bounds how far ITS
+    * start may trail the other. The two watermarked START columns carry
+    * that constant band as a time-range condition Spark can derive state
+    * watermarks from; the exact overlap predicate (`lS < rE && rS < lE`,
+    * on data columns) rides as the residual filter. As with
+    * [[pointInIntervalJoin]], the max lengths are SEMANTIC: an interval
+    * longer than its declared bound can silently miss matches, so emit
+    * clamped intervals or raise the bound.
     */
   def intervalOverlapJoin(
       left: DataFrame,
@@ -106,8 +109,8 @@ object Streaming {
       .join(
         right.withWatermark(rStart, watermark),
         col(leftKey) === col(rightKey) &&
-          col(lStart) >= col(rStart) - expr(s"INTERVAL $maxRightSeconds SECONDS") &&
-          col(lStart) <= col(rStart) + expr(s"INTERVAL $maxLeftSeconds SECONDS") &&
+          col(lStart) >= col(rStart) - expr(s"INTERVAL $maxLeftSeconds SECONDS") &&
+          col(lStart) <= col(rStart) + expr(s"INTERVAL $maxRightSeconds SECONDS") &&
           col(lStart) < col(rEnd) && col(rStart) < col(lEnd),
         "inner")
   }

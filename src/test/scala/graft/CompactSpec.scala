@@ -91,6 +91,31 @@ class CompactSpec extends SparkSpec {
     assert(got === Tables(spark, "/root/testdata/sf0.001", "orders").count())
   }
 
+  test("recover restores a leaf stranded mid-swap and drops stale staging copies") {
+    val lake = freshLake()
+    val before = spark.read.parquet(lake).count()
+    val leaf = Compact.leaves(lake).head
+    val rel = java.nio.file.Paths.get(lake).relativize(leaf)
+
+    // simulate a crash between the two swap moves: leaf sits in trash,
+    // plus an abandoned staging copy of another leaf
+    val work = java.nio.file.Paths.get(lake, "_compact")
+    val trash = work.resolve("old-deadbeef")
+    Files.createDirectories(trash.resolve(rel).getParent)
+    Files.move(leaf, trash.resolve(rel))
+    val staging = work.resolve("staging-cafe")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+
+    // the lake is still readable (staging/trash invisible to discovery)…
+    assert(spark.read.parquet(lake).count() < before)
+    // …and the next compact() run reconciles before doing anything else
+    Compact.compact(spark, lake, targetBytes = 512L * 1024 * 1024)
+    assert(Files.exists(leaf), "stranded leaf must be restored")
+    assert(!Files.exists(work.resolve("old-deadbeef")) && !Files.exists(staging))
+    assert(spark.read.parquet(lake).count() === before)
+  }
+
   test("minFiles keeps leaves at or below the threshold untouched") {
     val lake = freshLake()
     val report = Compact.compact(spark, lake, targetBytes = 512L * 1024 * 1024, minFiles = 5)

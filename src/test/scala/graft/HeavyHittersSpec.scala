@@ -58,6 +58,17 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.exists(_._1 == "h"))
   }
 
+  test("NULL items are excluded from both the candidates and the threshold base") {
+    import spark.implicits._
+    // 40 "a" + 60 nulls: among non-null items "a" is 100%; against an
+    // inflated n=100 at k=2 it would wrongly fail the 50% bar
+    val df = (Seq.fill(40)(Some("a")) ++ Seq.fill(60)(None: Option[String]))
+      .toDF("item")
+    val got = HeavyHitters.frequent(df, "item", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("a", 40L)))
+  }
+
   test("frequentTokens equals the exact token computation on real documents") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val toks = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))

@@ -50,10 +50,14 @@ class Mp4DecoderSpec extends SparkSpec {
     box("trak", box("tkhd", b.array()))
   }
 
+  /** tkhd v1 per ISO 14496-12: version/flags(4) + ctime(8) + mtime(8) +
+    * track_ID(4) + reserved(4) + duration(8) + reserved(8) + layer/group/
+    * volume/reserved(8) + matrix(36) = 88 bytes before width.
+    */
   private def tkhdV1(w: Int, h: Int): Array[Byte] = {
-    val b = ByteBuffer.allocate(92)
+    val b = ByteBuffer.allocate(96)
     b.putInt(0x01000000)
-    b.position(84)
+    b.position(88)
     b.putInt(w << 16).putInt(h << 16)
     box("trak", box("tkhd", b.array()))
   }

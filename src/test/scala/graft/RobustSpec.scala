@@ -32,4 +32,19 @@ class RobustSpec extends SparkSpec {
     // constant group: MAD 0, every row at dev 0 → not flagged
     assert(got(("b", 5.0)) === false)
   }
+
+  test("NULL group keys clip and flag like any other group (clip-don't-drop)") {
+    import spark.implicits._
+    val df = Seq((Some("g"), 1.0), (Some("g"), 9.0),
+      (None: Option[String], 1.0), (None, 2.0), (None, 3.0), (None, 4.0), (None, 5.0))
+      .toDF("grp", "v")
+    val w = Robust.winsorize(df, "grp", "v", 0.25, 0.75)
+    assert(w.count() === 7, "no row may vanish on a NULL group key")
+    val nullClipped = w.filter(col("grp").isNull)
+      .select("v", "v_w").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(nullClipped === Map(1.0 -> 2.0, 2.0 -> 2.0, 3.0 -> 3.0, 4.0 -> 4.0, 5.0 -> 4.0))
+    val m = Robust.madOutliers(df, "grp", "v", k = 3.0)
+    assert(m.count() === 7)
+    assert(m.filter(col("grp").isNull).count() === 5)
+  }
 }

@@ -102,7 +102,7 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(after.count() < before)
     // the pre-delete snapshot still has the rows (until vacuum)
     assert(lake.read(Seq("o_orderstatus"), Some(v1)).count() === before)
-    lake.vacuum(keepLast = 1)
+    lake.vacuum(keepLast = 1, minAgeMs = 0L)
     assert(lake.versions === Seq(v2))
     assert(lake.read(Seq("o_orderstatus")).count() === after.count())
   }
@@ -142,12 +142,55 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(lake.readPruned(Seq("o_orderkey"), "o_orderkey", 1e12, 2e12).count() === 0L)
   }
 
+  test("vacuum's retention window protects young unreferenced dirs (in-flight commits)") {
+    val (lake, dir) = fresh()
+    lake.commit(batch("F")("v1"), Seq("o_orderstatus"))
+    lake.commit(batch("F")("v2"), Seq("o_orderstatus"))
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    def dirCount() = {
+      val s = Files.list(dataDir); try s.count() finally s.close()
+    }
+    assert(dirCount() === 2)
+    // default retention: the young unreferenced v1 dir survives —
+    // vacuum cannot tell it from a commit that is about to land
+    lake.vacuum(keepLast = 1)
+    assert(dirCount() === 2, "young unreferenced dir must survive the retention window")
+    // age it past the window: reclaimed on the next pass
+    val s2 = Files.list(dataDir)
+    try s2.forEach(p => Files.setLastModifiedTime(
+      p, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L)))
+    finally s2.close()
+    lake.vacuum(keepLast = 1)
+    assert(dirCount() === 1)
+    assert(lake.read(Seq("o_orderstatus")).select("pointer").distinct()
+      .collect().map(_.getString(0)).toSet === Set("v2"))
+  }
+
+  test("NULL partition values are rejected; NULL-predicate rows survive deleteWhere") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    intercept[IllegalArgumentException] {
+      lake.commit(
+        Seq((1L, "p", "x"), (2L, null.asInstanceOf[String], "y"))
+          .toDF("id", "part", "v"),
+        Seq("part"))
+    }
+    // SQL DELETE semantics: predicate NULL (email IS NULL here) keeps the row
+    lake.commit(
+      Seq((1L, "p", "a@b.c"), (2L, "p", null.asInstanceOf[String]), (3L, "p", "x@y.z"))
+        .toDF("id", "part", "email"),
+      Seq("part"))
+    lake.deleteWhere(col("email") === "a@b.c", Seq("part"))
+    val ids = lake.read(Seq("part")).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 3L), "the NULL-email row must survive the delete")
+  }
+
   test("vacuum drops unreferenced data but keeps surviving snapshots readable") {
     val (lake, dir) = fresh()
     lake.commit(batch("F")("v1"), Seq("o_orderstatus"))
     lake.commit(batch("F")("v2"), Seq("o_orderstatus"))
     val v3 = lake.commit(batch("O")("v3"), Seq("o_orderstatus"))
-    lake.vacuum(keepLast = 1)
+    lake.vacuum(keepLast = 1, minAgeMs = 0L)
     assert(lake.versions === Seq(v3))
     val got = lake.read(Seq("o_orderstatus"))
       .select("pointer").distinct().collect().map(_.getString(0)).toSet

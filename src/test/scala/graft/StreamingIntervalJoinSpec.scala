@@ -122,4 +122,43 @@ class StreamingIntervalJoinSpec extends SparkSpec {
       .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === epochPairs)
   }
+
+  test("asymmetric length bounds drop nothing when each side's bound covers its lengths") {
+    // clamp the RIGHT intervals to ≤ 120 s so maxRight = 120 is valid while
+    // the left side keeps its long (≤ 30000 s) intervals — a regression
+    // guard for swapping the two bounds in the derived start-distance band
+    // (a long-left/short-right overlap where lS ≪ rS survives only if
+    // maxLeft bounds the lower side)
+    val shortViews = views.withColumn("r_end_ts",
+      least(col("r_end_ts"), (col("r_start_ts").cast("long") + 120L).cast("timestamp")))
+    val iDir = java.nio.file.Files.createTempDirectory("graft_soj_asym_l").toString
+    val vDir = java.nio.file.Files.createTempDirectory("graft_soj_asym_r").toString
+    intervals.write.mode("overwrite").parquet(iDir)
+    shortViews.write.mode("overwrite").parquet(vDir)
+
+    val joined = Streaming.intervalOverlapJoin(
+      spark.readStream.schema(intervals.schema).parquet(iDir),
+      spark.readStream.schema(shortViews.schema).parquet(vDir),
+      "l_user", "r_user", "l_start_ts", "l_end_ts", "r_start_ts", "r_end_ts",
+      maxLeftSeconds = 30000L, maxRightSeconds = 120L)
+    val name = s"graft_soj_asym_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.select("l_id", "r_id").writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val want = intervals.join(shortViews,
+        col("l_user") === col("r_user") &&
+          col("l_start_ts") < col("r_end_ts") && col("r_start_ts") < col("l_end_ts"))
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // the fixture must contain long-left overlaps that a swapped bound loses
+    assert(intervals.join(shortViews,
+        col("l_user") === col("r_user") &&
+          col("l_start_ts") < col("r_end_ts") && col("r_start_ts") < col("l_end_ts") &&
+          col("l_start_ts").cast("long") < col("r_start_ts").cast("long") - 120L)
+      .count() > 0, "fixture must exercise the asymmetric band")
+  }
 }

@@ -104,6 +104,30 @@ class ZOrderSpec extends SparkSpec {
     assert(viaFooter === full)
   }
 
+  test("string-typed stats never prune against numeric bounds (conservative)") {
+    val dir = Files.createTempDirectory("graft_str_stats").toString + "/lake"
+    Tables(spark, "/root/testdata/sf0.001", "documents")
+      .repartition(4).write.parquet(dir)
+    val stats = DataSkipping.scanStats(spark, dir, Seq("lang"))
+    val total = stats.count()
+    // a type mismatch must degrade to keep-everything, never drop files
+    assert(DataSkipping.pruneFiles(stats, "lang", 0, 1).size === total)
+  }
+
+  test("empty input and all-NULL columns fail with a named error, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.ZOrder.withZKey(empty, Seq("a", "b"))
+    }
+    assert(e1.getMessage.contains("'a'"))
+    val allNull = Seq((1L, None: Option[Double]), (2L, None)).toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.ZOrder.withZKey(allNull, Seq("a", "b"))
+    }
+    assert(e2.getMessage.contains("'b'"))
+  }
+
   test("fully-pruned range yields an empty frame with the lake schema") {
     val dir = Files.createTempDirectory("graft_zorder_empty").toString + "/lake"
     ZOrder.writeZOrdered(events, Seq("user_id", "value"), dir, nFiles = 4)
