@@ -215,7 +215,11 @@ class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L)
                 catch {
                   case _: java.io.IOException =>
                     attempt += 1
-                    try Thread.sleep(20) catch { case _: InterruptedException => () }
+                    // preserve the caller's interrupt: this runs in its
+                    // finally block during task cancellation, and eating
+                    // the flag would both spin the backoff and un-cancel it
+                    try Thread.sleep(20)
+                    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
                 }
               }
               if (!restored) Files.deleteIfExists(mine)

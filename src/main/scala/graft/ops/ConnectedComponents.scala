@@ -92,16 +92,24 @@ object ConnectedComponents {
     var done = edges.isEmpty
     while (!done && rounds < maxRounds) {
       edges = smallStar(largeStar(edges)).localCheckpoint(false)
-      // converged iff the edge set is a star forest: no edge target `v` still
-      // appears as a source `u`. Star forests are fixpoints of both steps and
-      // every round preserves components (Kiveris et al. §3), so this test is
-      // EXACT — and unlike signature-equality it stops at the converged round
-      // instead of spending one more full round proving the set stable. The
-      // semi-join probe is also the action that materializes this round's
-      // lazy checkpoint.
-      done = edges.alias("e")
+      // converged iff the edge set is a star forest WITH UNIQUE PARENTS:
+      // (a) no edge target `v` still appears as a source `u` (two-level
+      // chains remain), AND (b) no source carries two distinct targets.
+      // Condition (a) alone is NOT enough: {(5,1),(7,2),(3,1),(3,2)} has
+      // disjoint source/target sets yet node 3 still bridges roots 1 and 2
+      // — stopping there splits one component in two. With both conditions
+      // the stars are exactly the components (each round preserves
+      // components, Kiveris et al. §3), so the probe is exact and still
+      // one action: both violation sets union into a single isEmpty, which
+      // also materializes this round's lazy checkpoint.
+      val chained = edges.alias("e")
         .join(edges.select(col("u").as("_r")), col("v") === col("_r"), "left_semi")
-        .isEmpty
+        .select(col("u"))
+      val multiParent = edges.groupBy("u")
+        .agg(count(lit(1)).as("_nv")) // edges are distinct after smallStar
+        .filter(col("_nv") > 1)
+        .select(col("u"))
+      done = chained.union(multiParent).isEmpty
       rounds += 1
     }
     if (!done && rounds == maxRounds)

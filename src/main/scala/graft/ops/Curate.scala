@@ -75,7 +75,12 @@ object Curate {
     base
       .join(quality, Seq(idCol))
       .join(exact, Seq("_ch"))
-      .join(clusters, Seq(idCol))
+      // LEFT join + self-default: a caller-supplied cluster map may not
+      // cover documents ingested after it was built, and an inner join
+      // would silently drop them — absent ids default to their own cluster,
+      // exactly how assign() labels never-paired vertices
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), id))
       .select(
         id,
         col("quality_ok"),
@@ -150,6 +155,9 @@ object Curate {
     }
 
     docs
+      // batch-contract parity: decide() coalesces null text to '' — the
+      // stream twin must flag the doc, not NPE inside contentKey/flagsOf
+      .map(d => if (d.text == null) d.copy(text = "") else d)
       .groupByKey(d => Dedup.contentKey(d.text))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (hash: String, it: Iterator[Dedup.DocChunk], state: GroupState[Long]) => {

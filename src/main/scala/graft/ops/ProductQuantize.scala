@@ -245,28 +245,14 @@ object ProductQuantize {
       yield (mi, c, cb.books(mi)(c))
     spark.createDataFrame(rows).toDF("subspace", "code", "word")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
-    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"""{"m":${cb.m},"k":${cb.k},"dims":${cb.dims}}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    MetaJson.write(spark, path, MetaFile,
+      Seq("m" -> cb.m.toLong, "k" -> cb.k.toLong, "dims" -> cb.dims.toLong))
   }
 
   def load(spark: SparkSession, path: String): Codebooks = {
-    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"$path has no $MetaFile — not a codebook written by save")
-    val in = fs.open(p)
-    val json =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    def field(n: String): Int = {
-      val m = (s""""$n"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(json)
-      require(m.isDefined, s"$MetaFile at $path is missing field $n: $json")
-      m.get.group(1).toInt
-    }
-    val (m, k, dims) = (field("m"), field("k"), field("dims"))
+    val f = MetaJson.readFields(spark, path, MetaFile,
+      Seq("m", "k", "dims"), "a codebook written by save")
+    val (m, k, dims) = (f("m"), f("k"), f("dims"))
     val byCell = spark.read.parquet(s"$path/books")
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))

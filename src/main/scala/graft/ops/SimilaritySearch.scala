@@ -124,32 +124,14 @@ object SimilaritySearch {
     */
   def saveLshIndex(index: LshIndex, path: String): Unit = {
     index.relation.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    val spark = index.relation.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(
-      s"""{"planes":${index.planes},"dims":${index.dims}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    MetaJson.write(index.relation.sparkSession, path, MetaFile,
+      Seq("planes" -> index.planes.toLong, "dims" -> index.dims.toLong))
   }
 
   def loadLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
-    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"$path has no $MetaFile — not an index written by saveLshIndex; " +
-        "refusing to guess its hash geometry")
-    val in = fs.open(p)
-    val json =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    def field(k: String): Int = {
-      val m = s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(json)
-      require(m.isDefined, s"$MetaFile at $path is missing field $k: $json")
-      m.get.group(1).toInt
-    }
-    LshIndex(spark.read.parquet(path), field("planes"), field("dims"))
+    val f = MetaJson.readFields(spark, path, MetaFile,
+      Seq("planes", "dims"), "an index written by saveLshIndex")
+    LshIndex(spark.read.parquet(path), f("planes"), f("dims"))
   }
 
   /** Driver-side twin of [[lshBucket]] for a literal query vector — same

@@ -39,6 +39,37 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("a bridge node pointing at two roots must not stop the iteration early") {
+    // {(1,5),(3,5),(2,7),(3,7)} is ONE component (1-5-3-7-2), but after one
+    // large/small round the edge set {(5,1),(7,2),(3,1),(3,2)} has disjoint
+    // source/target sets while node 3 still bridges roots 1 and 2 — a probe
+    // checking only "no target is a source" declares convergence here and
+    // splits the component. Regression for the unique-parent condition.
+    val vertices = Seq(1L, 2L, 3L, 5L, 7L).toDF("id")
+    val pairs = Seq((1L, 5L), (3L, 5L), (2L, 7L), (3L, 7L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.assign(vertices, "id", pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L))
+  }
+
+  test("matches union-find on many small random graphs (bridge-prone shapes)") {
+    // small sparse graphs hit the bridge-node early-stop case far more often
+    // than the dense 200-node graphs above
+    (1 to 30).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = (1 to n)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges)
+      val vertices = (0 until n).map(_.toLong).toDF("id")
+      val got = ConnectedComponents.assign(
+          vertices, "id", edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"mismatch at seed $seed")
+    }
+  }
+
   test("a duplicate chain collapses to one cluster (star contraction, not propagation)") {
     // a 4096-node path is the worst case for min-label propagation (4096
     // rounds); star contraction must finish within the default round budget

@@ -69,6 +69,38 @@ class CurateSpec extends SparkSpec {
     assert(got(2L)._3 && got(2L)._4 && !got(3L)._4)
   }
 
+  test("decideStream flags null-text chunks like the batch side (no NPE)") {
+    import graft.ops.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val q = Curate.decideStream(source.toDS(), sampleRate = 1.0)
+      .writeStream.outputMode("append").format("memory").queryName("cr_null_stream").start()
+    try {
+      source.addData(Seq(Dedup.DocChunk(1L, null), Dedup.DocChunk(2L, null)))
+      q.processAllAvailable()
+      val got = spark.table("cr_null_stream").as[Curate.StreamFlags]
+        .collect().map(f => f.docId -> f).toMap
+      assert(got.keySet == Set(1L, 2L))
+      assert(!got(1L).qualityOk && !got(1L).keep, "empty text fails the quality gate")
+      // both nulls share the '' content key: min id is the canonical
+      assert(got(1L).firstSeen && !got(2L).firstSeen)
+    } finally q.stop()
+  }
+
+  test("a precomputed cluster map missing new docs defaults them to self, not drops them") {
+    val clustersOnlyDoc1 = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again " * 4),
+      (9L, "a genuinely different document with plenty of the usual words " * 4))
+      .toDF("doc_id", "text")
+    val got = Curate.decide(docs, "doc_id", "text", sampleRate = 1.0,
+        precomputedClusters = Some(clustersOnlyDoc1))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 9L), "uncovered doc must not vanish")
+    assert(got(9L)._5, "uncovered doc defaults to its own near-dup cluster")
+  }
+
   test("precomputedClusters gives identical flags and skips the eager CC pass") {
     import graft.ops.{ConnectedComponents, Dedup}
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
