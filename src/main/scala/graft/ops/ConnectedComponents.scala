@@ -102,14 +102,16 @@ object ConnectedComponents {
       // components, Kiveris et al. §3), so the probe is exact and still
       // one action: both violation sets union into a single isEmpty, which
       // also materializes this round's lazy checkpoint.
-      val chained = edges.alias("e")
-        .join(edges.select(col("u").as("_r")), col("v") === col("_r"), "left_semi")
-        .select(col("u"))
-      val multiParent = edges.groupBy("u")
-        .agg(count(lit(1)).as("_nv")) // edges are distinct after smallStar
-        .filter(col("_nv") > 1)
-        .select(col("u"))
-      done = chained.union(multiParent).isEmpty
+      // (b) first, as one cheap global aggregate: edges are distinct after
+      // smallStar, so unique parents ⇔ count(*) == countDistinct(u). This
+      // also materializes the round's checkpoint, and on non-converged
+      // rounds it usually fails already — the semi-join for (a) then only
+      // runs on candidate-final rounds.
+      val s = edges.agg(count(lit(1)).as("n"), count_distinct(col("u")).as("nu")).head()
+      done = s.getLong(0) == s.getLong(1) &&
+        edges.alias("e")
+          .join(edges.select(col("u").as("_r")), col("v") === col("_r"), "left_semi")
+          .isEmpty
       rounds += 1
     }
     if (!done && rounds == maxRounds)
