@@ -167,12 +167,20 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits, "need 0 <= maxHamming < bits")
     val nBands = maxHamming + 1
-    val w = (bits + nBands - 1) / nBands
+    // distribute bits floor/ceil across bands so EVERY band holds >= 1 real
+    // bit: a uniform ceil width would push trailing bands past the
+    // fingerprint (bits=16, maxHamming=4 → shifts 0,4,8,12,16 — the last
+    // band is constant 0 for every document and the join degenerates into
+    // an all-pairs cross product). Pigeonhole needs only contiguity and
+    // full coverage, which floor/ceil widths preserve.
+    val baseW = bits / nBands
+    val widths = (0 until nBands).map(b => baseW + (if (b < bits % nBands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val sh = simhash(df, idCol, textCol, bits)
     val banded = sh
       .select(col(idCol), col("simhash"),
         posexplode(array((0 until nBands).map { b =>
-          shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1))
+          shiftright(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1))
         }: _*)))
       .select(col(idCol), col("simhash"), col("pos").as("band"), col("col").as("bval"))
     val a = banded.alias("a")
@@ -351,6 +359,9 @@ object Dedup {
       shingle: Int = 3): Dataset[MinhashSig] = {
     import chunks.sparkSession.implicits._
     chunks
+      // a null-text chunk contributes no shingles (batch parity: posexplode
+      // over a null emits nothing) — it must not NPE the whole query
+      .map(c => if (c.text == null) c.copy(text = "") else c)
       .groupByKey(_.docId)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (id: Long, it: Iterator[DocChunk], state: GroupState[MinhashState]) => {
@@ -391,6 +402,10 @@ object Dedup {
   def firstSeenStream(docs: Dataset[DocChunk]): Dataset[FirstSeen] = {
     import docs.sparkSession.implicits._
     docs
+      // null text keys as '' instead of NPEing in contentKey — the one
+      // divergence from batch exact (which groups nulls under a NULL hash):
+      // on the stream, null-text and empty-text docs share a content key
+      .map(d => if (d.text == null) d.copy(text = "") else d)
       .groupByKey(d => contentKey(d.text))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (hash: String, it: Iterator[DocChunk], state: GroupState[Long]) => {

@@ -67,7 +67,11 @@ object Sampling {
       targetRate: Double,
       salt: String = ""): DataFrame = {
     require(targetRate > 0.0 && targetRate <= 1.0, "need 0 < targetRate <= 1")
-    val wMax = df.agg(max(col(weightCol).cast("double"))).head().getDouble(0)
+    val wMaxRow = df.agg(max(col(weightCol).cast("double"))).head()
+    // empty input / all-null weights: fail with the contract's message, not
+    // an unboxing NPE
+    require(!wMaxRow.isNullAt(0), "max weight must be positive (empty or all-null weights)")
+    val wMax = wMaxRow.getDouble(0)
     require(wMax > 0.0, "max weight must be positive")
     val scale = math.floor(targetRate / wMax * 1e9 + 0.5) / 1e9
     // huge weights (byte sizes, popularity counts) can push targetRate/wMax
@@ -130,7 +134,12 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(hashUniform(col(keyCol), salt), col(keyCol))
-    df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+    df
+      // null keys have a null uniform, which sorts FIRST and would crowd
+      // every stratum's sample with rows no other operator here would keep
+      // — drop them, the module-wide null-key rule
+      .filter(col(keyCol).isNotNull)
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
@@ -138,7 +147,11 @@ object Sampling {
   /** Assign each row a split label by hash band: `fractions` are
     * (label, weight) pairs; bands partition [0, 1) in the given order.
     * Deterministic, disjoint, exhaustive — a row can never change split
-    * between runs or land in two splits.
+    * between runs or land in two splits. NULL keys (whose hash uniform is
+    * null and would otherwise fall through every band into the LAST label —
+    * typically the small eval split) are routed explicitly to the FIRST
+    * label, the largest band by convention; filter them beforehand if they
+    * should not participate at all.
     */
   def split(
       df: DataFrame,
@@ -153,6 +166,7 @@ object Sampling {
       lit(fractions.last._1)) { case (((name, _), hi), acc) =>
       when(u < hi, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", label)
+    df.withColumn("split",
+      when(col(keyCol).isNull, lit(fractions.head._1)).otherwise(label))
   }
 }

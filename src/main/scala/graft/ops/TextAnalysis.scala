@@ -25,7 +25,21 @@ object TextAnalysis {
     */
   val QualityStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
-  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+  // ONE tokenization contract for the whole family (metrics, search, and
+  // the batch/stream bit-compatibility docs all lean on it)
+  private def toks(text: Column): Column = Dedup.tokens(text)
+
+  /** Normalize caller-supplied query tokens to the corpus tokenization
+    * (trim + lower, the [[Dedup.sqlTrim]]/[[Dedup.sqlLower]] semantics) and
+    * dedupe — an uppercase or padded query token would otherwise silently
+    * match nothing against the lowercased corpus tokens.
+    */
+  private def normalizedQuery(queryTokens: Seq[String]): Seq[String] = {
+    require(queryTokens.nonEmpty, "queryTokens must be non-empty")
+    val norm = queryTokens.map(t => Dedup.sqlTrim(Dedup.sqlLower(t))).distinct
+    require(norm.forall(_.nonEmpty), "queryTokens must not be blank")
+    norm
+  }
 
   /** Count of tokens that appear in `markers`. */
   private def hits(t: Column, markers: Seq[String]): Column =
@@ -135,6 +149,11 @@ object TextAnalysis {
       textCol: String,
       sep: String = "\n"): DataFrame = {
     val lines = df
+      // null ids are unaddressable here and sort FIRST inside min(struct):
+      // a null-id doc would win first-occurrence for every line it contains
+      // while the null-equality claim filter matches nobody — erasing those
+      // lines corpus-wide. Same null-key safety rule as temperatureMix.
+      .filter(col(idCol).isNotNull)
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .filter(col("col") =!= "")
       .select(col(idCol), col("pos").cast("long").as("_pos"), col("col").as("_line"),
@@ -285,23 +304,22 @@ object TextAnalysis {
       totalDocs: Long,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(queryTokens.nonEmpty && queryTokens.distinct == queryTokens,
-      "queryTokens must be non-empty and distinct")
+    val q = normalizedQuery(queryTokens)
     require(totalDocs > 0)
-    val tfCols = queryTokens.zipWithIndex.map { case (t, i) =>
+    val tfCols = q.zipWithIndex.map { case (t, i) =>
       sum(when(col("_tok") === t, 1L).otherwise(0L)).as(s"_tf$i")
     }
     val per = df
       .select(col(idCol), explode(toks(col(textCol))).as("_tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("_dl"), tfCols: _*)
-    val dfCols = queryTokens.indices.map { i =>
+    val dfCols = q.indices.map { i =>
       sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i")
     }
     val global = per.agg(
       (sum(col("_dl")).cast("double") / lit(totalDocs.toDouble)).as("_avgdl"),
       dfCols: _*)
-    val score = queryTokens.indices
+    val score = q.indices
       .map { i =>
         val idf = log(
           (lit(totalDocs.toDouble) - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5) + 1.0)
@@ -424,13 +442,12 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       queryTokens: Seq[String]): DataFrame = {
-    require(queryTokens.nonEmpty && queryTokens.distinct == queryTokens,
-      "queryTokens must be non-empty and distinct")
+    val q = normalizedQuery(queryTokens)
     df.select(col(idCol), explode(toks(col(textCol))).as("_tok"))
-      .filter(col("_tok").isin(queryTokens: _*))
+      .filter(col("_tok").isin(q: _*))
       .groupBy(col(idCol))
       .agg(count_distinct(col("_tok")).as("matched"))
-      .filter(col("matched") === queryTokens.size.toLong)
+      .filter(col("matched") === q.size.toLong)
       .select(col(idCol), col("matched"))
   }
 
@@ -504,15 +521,14 @@ object TextAnalysis {
       index: TextIndex,
       idCol: String,
       queryTokens: Seq[String]): DataFrame = {
-    require(queryTokens.nonEmpty && queryTokens.distinct == queryTokens,
-      "queryTokens must be non-empty and distinct")
-    val buckets = queryTokens
+    val q = normalizedQuery(queryTokens)
+    val buckets = q
       .map(t => SimilaritySearch.md5Bits32(t) % index.buckets).distinct
     index.relation
-      .filter(col("tok_bucket").isin(buckets: _*) && col("token").isin(queryTokens: _*))
+      .filter(col("tok_bucket").isin(buckets: _*) && col("token").isin(q: _*))
       .groupBy(col(idCol))
       .agg(count_distinct(col("token")).as("matched"))
-      .filter(col("matched") === queryTokens.size.toLong)
+      .filter(col("matched") === q.size.toLong)
       .select(col(idCol), col("matched"))
   }
 

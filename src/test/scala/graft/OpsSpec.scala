@@ -169,6 +169,56 @@ class OpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
   }
 
+  test("simhashPairs: ceil-width degenerate banding (bits=16, maxHamming=4) stays correct and keyed") {
+    // 5 bands over 16 bits with a uniform ceil width of 4 would place the
+    // last band entirely past the fingerprint — constant 0 for every doc,
+    // collapsing the join into all-pairs. floor/ceil widths keep every band
+    // on real bits; result must still equal brute force.
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    val banded = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxHamming = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val sh = graft.ops.Dedup.simhash(docs, "doc_id", "text", bits = 16)
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("search and bm25 normalize query tokens to the corpus tokenization") {
+    import graft.ops.TextAnalysis
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val clean = TextAnalysis.booleanSearch(docs, "doc_id", "text", Seq("scan", "join"))
+      .collect().map(_.getLong(0)).toSet
+    val messy = TextAnalysis.booleanSearch(docs, "doc_id", "text", Seq(" Scan", "JOIN "))
+      .collect().map(_.getLong(0)).toSet
+    assert(messy === clean && clean.nonEmpty,
+      "padded/uppercase query tokens must match like their normalized forms")
+    val b1 = TextAnalysis.bm25(docs, "doc_id", "text", Seq("scan"), totalDocs = 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b2 = TextAnalysis.bm25(docs, "doc_id", "text", Seq("  SCAN"), totalDocs = 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b1 === b2 && b1.nonEmpty)
+  }
+
+  test("dedupLinesGlobal: a null-id document cannot erase shared lines corpus-wide") {
+    val docs = Seq(
+      (Some(1L), "alpha\nshared line\nbeta"),
+      (Some(2L), "shared line\ngamma"),
+      (None: Option[Long], "shared line\nonly here"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.dedupLinesGlobal(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    // doc 1 (lowest addressable id) keeps the shared line; doc 2 loses it;
+    // the null-id doc is excluded rather than silently erasing the line
+    assert(got(1L).contains("shared line"))
+    assert(!got(2L).contains("shared line") && got(2L).contains("gamma"))
+    assert(got.keySet === Set(1L, 2L))
+  }
+
   test("persisted text index: indexed search equals direct, buckets prune partitions") {
     import graft.ops.TextAnalysis
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")

@@ -105,6 +105,33 @@ class SamplingSpec extends SparkSpec {
       rows.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("null keys: perStratumSample drops them, split routes them to the first label") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some("a"), "s1"), (Some("b"), "s1"), (Some("c"), "s1"),
+      (None: Option[String], "s1"), (None, "s1"), (None, "s1"))
+      .toDF("k", "stratum")
+    val sampled = Sampling.perStratumSample(df, "stratum", "k", k = 2)
+      .select("k").collect().map(_.getString(0))
+    assert(sampled.length === 2 && !sampled.contains(null),
+      "null keys must not crowd out sampled rows (null uniform sorts first)")
+
+    val splits = Sampling.split(df, "k", Seq(("train", 0.9), ("test", 0.1)))
+      .select("k", "split").collect()
+      .map(r => Option(r.getString(0)) -> r.getString(1))
+    splits.filter(_._1.isEmpty).foreach { case (_, s) =>
+      assert(s === "train", "null keys route to the FIRST (largest) split, not the last")
+    }
+  }
+
+  test("weightedSample gives the contract error on empty input, not an NPE") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(empty, "id", "w", 0.5)
+    }
+    assert(e.getMessage.contains("max weight must be positive"))
+  }
+
   test("weightedSample fails loudly when targetRate/wMax underflows the 9-decimal grid") {
     // byte-size-scale weights: targetRate/wMax ≈ 1e-16 rounds to scale 0.0,
     // which would silently keep nothing — must throw instead

@@ -192,6 +192,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("null-text chunks do not kill the streaming dedup queries") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mh = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val q1 = Dedup.minhashSignaturesStream(mh.toDS(), numHashes = 2).writeStream
+      .outputMode("append").format("memory").queryName("mh_null_stream").start()
+    try {
+      mh.addData(Seq(Dedup.DocChunk(1L, null), Dedup.DocChunk(2L, "real text here")))
+      q1.processAllAvailable() // would have NPE'd in shinglesOf before the guard
+      val ids = spark.table("mh_null_stream").select("docId")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L))
+    } finally q1.stop()
+
+    val fs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val q2 = Dedup.firstSeenStream(fs.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fs_null_stream").start()
+    try {
+      fs.addData(Seq(Dedup.DocChunk(5L, null), Dedup.DocChunk(3L, null)))
+      q2.processAllAvailable()
+      val kept = spark.table("fs_null_stream").select("docId")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(3L), "null texts share the '' content key; min id wins")
+    } finally q2.stop()
+  }
+
   test("checkpointed AvailableNow processes each file exactly once across runs") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_incr_src_").toString
