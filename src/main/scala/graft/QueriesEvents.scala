@@ -152,6 +152,33 @@ object QueriesEvents {
         .select("id_base", "repository", "pointer", "batch")
     }),
 
+    // K2 through the PHYSICAL snapshot-commit path: two real upserts into a
+    // SnapshotCatalog (manifest v1 then v2 — the second reads v1's parquet
+    // back and merges), then read the committed snapshot. Latest
+    // processing_date wins per PK, exactly the q_k2_upsert relational core,
+    // but here the answer round-trips through immutable data files + an
+    // atomic manifest swap instead of an in-plan window.
+    "q_k2_snapshot" -> ((s, dir) => {
+      def asCatalog(src: DataFrame, ptr: org.apache.spark.sql.Column, stamp: String) =
+        src.select(
+          lit("raw").as("repository"),
+          lit("bt").as("data_source"),
+          col("o_orderkey").cast("string").as("id_base"),
+          lit("x.txt").as("id_ext"),
+          ptr.as("pointer"),
+          to_timestamp(lit("2020-01-15 00:00:00")).as("collection_date"),
+          lit(null).cast("timestamp").as("collection_end"),
+          to_timestamp(lit(stamp)).as("processing_date"),
+          lit(null).cast("string").as("metadata"))
+      val orders = t(s, dir, "orders")
+      val cat = new graft.catalog.SnapshotCatalog(
+        s, java.nio.file.Files.createTempDirectory("graft_q_k2_snap").toString)
+      cat.upsert(asCatalog(orders, col("o_orderpriority"), "2020-02-01 00:00:00"))
+      cat.upsert(asCatalog(
+        orders.filter(col("o_orderkey") % 10 === 0), lit("updated"), "2020-02-02 00:00:00"))
+      cat.read().select("id_base", "pointer")
+    }),
+
     // §2.9: the flagship aggregation through the *real* Structured
     // Streaming engine (AvailableNow over a file source, complete-mode
     // memory sink) — same answer as the batch plan, exercised end-to-end
@@ -350,6 +377,15 @@ object QueriesEvents {
         |  SELECT o_orderkey, 'raw', 'updated', 2 FROM orders WHERE o_orderkey % 10 = 0)
         |SELECT id_base, repository, pointer, CAST(batch AS BIGINT) AS batch
         |FROM (SELECT *, row_number() OVER (PARTITION BY id_base, repository ORDER BY batch DESC) AS rn
+        |      FROM all_batches) WHERE rn = 1""".stripMargin,
+    "q_k2_snapshot" ->
+      """WITH all_batches AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id_base, o_orderpriority AS pointer, 1 AS batch
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS VARCHAR), 'updated', 2 FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT id_base, pointer
+        |FROM (SELECT *, row_number() OVER (PARTITION BY id_base ORDER BY batch DESC) AS rn
         |      FROM all_batches) WHERE rn = 1""".stripMargin,
     "q_rj_overlap" ->
       s"""WITH l AS ($intervalSql0click), r AS (${intervalSql("view", "r")})

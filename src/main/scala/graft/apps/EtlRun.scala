@@ -3,7 +3,7 @@ package graft.apps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.catalog.LakeCatalog
+import graft.catalog.CatalogStore
 import graft.incr.IncrementalDiff
 import graft.model.Schemas
 
@@ -24,7 +24,7 @@ object EtlRun {
   def run(
       spark: SparkSession,
       sourceItems: DataFrame,
-      catalog: LakeCatalog,
+      catalog: CatalogStore,
       repository: String,
       dataSource: String,
       pointer: Column = lit(null).cast("string"),

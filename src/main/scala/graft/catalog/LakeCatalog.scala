@@ -61,7 +61,8 @@ object LakeCatalog {
   *   abandoned (crashed holder) and taken over. Must comfortably exceed the
   *   heartbeat interval (lease/4) plus worst-case GC/FS stall.
   */
-class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L) {
+class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L)
+    extends CatalogStore {
 
   private def tablePath: Path = Paths.get(path, "current")
 
@@ -286,28 +287,5 @@ class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L)
     }
   }
 
-  /** Filtered catalog listing (reference `support/catalog.py:212-236` —
-    * repository/data_source/base/ext + date-range query, ordered). The
-    * repository/data_source filters prune partitions; the rest push down to
-    * the parquet scan; no pagination needed.
-    */
-  def query(
-      repository: String,
-      dataSource: Option[String] = None,
-      base: Option[String] = None,
-      extLike: Option[String] = None,
-      dateFrom: Option[java.sql.Timestamp] = None,
-      dateTo: Option[java.sql.Timestamp] = None,
-      latestFirst: Boolean = false): DataFrame = {
-    var df = read().filter(col("repository") === repository)
-    dataSource.foreach(ds => df = df.filter(col("data_source") === ds))
-    base.foreach(b => df = df.filter(col("id_base") === b))
-    extLike.foreach(p => df = df.filter(col("id_ext").like(p)))
-    dateFrom.foreach(d => df = df.filter(col("collection_date") >= lit(d)))
-    dateTo.foreach(d => df = df.filter(col("collection_date") < lit(d)))
-    val ord =
-      if (latestFirst) Seq(col("collection_date").desc, col("id_base"), col("id_ext"))
-      else Seq(col("collection_date"), col("id_base"), col("id_ext"))
-    df.orderBy(ord: _*)
-  }
+  // `query` (filtered catalog listing) comes from [[CatalogStore]].
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
 import graft.apps.EtlRun
-import graft.catalog.LakeCatalog
+import graft.catalog.CatalogStore
 
 /** Streaming variant of the EtlRun catalog gate (SURVEY §2.9; the batch
   * form is `graft.apps.EtlRun`): candidate items arrive as files, each
@@ -36,7 +36,7 @@ object StreamingEtlRun {
       spark: SparkSession,
       srcDir: String,
       schema: StructType,
-      catalog: LakeCatalog,
+      catalog: CatalogStore,
       repository: String,
       dataSource: String,
       checkpoint: String,
