@@ -343,6 +343,28 @@ object QueriesCorpus {
     "q_hh_tokens" -> ((s, dir) =>
       graft.ops.HeavyHitters.frequentTokens(t(s, dir, "documents"), "text", k = 50)),
 
+    // BPE round-1 pair counts: frequency-weighted adjacent symbol pairs
+    // over character-initial symbols + the end-of-word marker — the
+    // oracle-checkable core every learning round re-aggregates
+    "q_bpe_pairs" -> ((s, dir) =>
+      graft.ops.Bpe.initialPairCounts(t(s, dir, "documents"), "text")),
+
+    // BPE merge learning (12 rounds): iterative, so no SQL oracle — the
+    // rows-only check plus BpeSpec (Sennrich goldens + an independent
+    // reference implementation) carry correctness
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.ops.Bpe.learn(t(s, dir, "documents"), "text", numMerges = 12)),
+
+    // BPE encoding under the learned table: per-doc token count (zero
+    // shuffle, broadcast ranks). Token identity is spec-checked (round
+    // trip); counts are the scale-relevant output
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Bpe.encode(docs, "doc_id", "text",
+          graft.ops.Bpe.learn(docs, "text", numMerges = 12))
+        .select("doc_id", "n_tokens")
+    }),
+
     // one-row corpus health report: the snapshot summary a curation
     // pipeline publishes — doc/dup/quality/token counts, all exact
     // integers, every stage recomputed independently in the oracle
@@ -987,6 +1009,18 @@ object QueriesCorpus {
          |SELECT doc_id, floor(($terms) * 1000000 + 0.5) / 1000000 AS bm25
          |FROM per, g""".stripMargin
     },
+    "q_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |syms AS (SELECT freq, list_append(string_split(word, ''), '</w>') AS s FROM wf),
+        |pairs AS (
+        |  SELECT s[CAST(t.i AS INT)] AS left_sym, s[CAST(t.i AS INT)+1] AS right_sym, freq
+        |  FROM syms, unnest(range(1, len(s))) AS t(i))
+        |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
     "q_tx_vocab" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -1,0 +1,274 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary learning and tokenization — the missing
+  * middle of the tokenization story between [[TextAnalysis.tokenCounts]]'s
+  * pre-tokenizer word split and [[Pack]]'s sequence packing (Sennrich et
+  * al., "Neural Machine Translation of Rare Words with Subword Units", ACL
+  * 2016).
+  *
+  * Scale shape — the part that matters at 100 TB:
+  *   - The ONLY corpus-scale pass is [[wordFrequencies]]: one map-side-
+  *     combinable hash aggregate. Everything iterative runs over the
+  *     DISTINCT-WORD table, which is vocabulary-sized (Heaps' law: ~10⁶ rows
+  *     for a web corpus), not corpus-sized.
+  *   - Each learning round is one tiny argmax over pair counts (a 1-row
+  *     collect — the same bounded driver-side step as
+  *     [[IvfIndex]]'s centroid pull) plus one narrow map over the word
+  *     table, `localCheckpoint`ed to keep lineage flat across rounds (the
+  *     [[ConnectedComponents]] lesson).
+  *   - [[encode]] is a ZERO-SHUFFLE `mapPartitions`: merge ranks broadcast
+  *     (bounded by the merge budget), per-partition word→tokens cache (word
+  *     frequency is Zipfian, so the cache hit rate approaches 1), nothing
+  *     driver-side, nothing quadratic.
+  *
+  * Word splitting matches [[Dedup.tokens]] (lower-cased, trimmed,
+  * whitespace-split) so BPE composes with the dedup/quality family on
+  * identical token boundaries. Symbols are Unicode code points (surrogate
+  * pairs stay whole), each word closed by the [[EndOfWord]] marker so
+  * token sequences decode unambiguously back to words.
+  *
+  * Reference analog: none (the reference has no tokenizer) — this is part
+  * of the training-data-pipeline surface the engine adds, SURVEY §2's
+  * text-analysis extension.
+  */
+/** One vocabulary row of the learning loop: a distinct word's corpus
+  * frequency and its current symbol decomposition. Top-level (not nested in
+  * the object) because Catalyst's generated deserializer needs public
+  * constructor access.
+  */
+private[ops] case class BpeWord(freq: Long, syms: Array[String])
+
+object Bpe {
+
+  /** Closes every word's symbol sequence; never merges across words. */
+  val EndOfWord = "</w>"
+
+  private[ops] def codePoints(word: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** One greedy left-to-right merge pass of the adjacent pair (l, r):
+    * `a a a` under (a,a) becomes `aa a`, exactly Sennrich's re.sub order.
+    */
+  private[ops] def mergePair(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Standard BPE encoding of one word: repeatedly merge the LOWEST-RANK
+    * (earliest-learned) adjacent pair present until none applies.
+    */
+  private[ops] def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = codePoints(word) :+ EndOfWord
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        syms = mergePair(syms, syms(bestIdx), syms(bestIdx + 1))
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** word → occurrence count over the corpus: the single corpus-scale pass
+    * (map-side-combinable hash aggregate on the word).
+    */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Dedup.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Frequency-weighted adjacent symbol-pair counts over character-initial
+    * symbols (+ [[EndOfWord]]) — learning round 1's count table, exposed
+    * declaratively (posexplode-free: two slices zipped, all codegen'd) so
+    * the pair-counting core is DuckDB-oracle-checkable.
+    */
+  def initialPairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val syms = wordFrequencies(docs, textCol)
+      .select(col("freq"), concat(split(col("word"), ""), array(lit(EndOfWord))).as("s"))
+      .filter(size(col("s")) >= 2)
+    syms
+      .select(col("freq"), explode(arrays_zip(
+        slice(col("s"), lit(1), size(col("s")) - 1).as("l"),
+        slice(col("s"), lit(2), size(col("s")) - 1).as("r"))).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum("freq").as("pair_count"))
+  }
+
+  /** Learn `numMerges` merges: each round takes the globally most frequent
+    * adjacent symbol pair (ties broken lexicographically — deterministic
+    * across partitionings and reruns) and rewrites the word table. Stops
+    * early when the best pair's count falls below `minPairCount`.
+    *
+    * @return (rank, left_sym, right_sym, pair_count), rank 0 = first merge
+    */
+  def learn(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[BpeWord] = wordFrequencies(docs, textCol)
+      .select(col("freq"),
+        concat(split(col("word"), ""), array(lit(EndOfWord))).as("syms"))
+      .as[BpeWord]
+      .localCheckpoint(false)
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // the argmax materializes this round's lazy checkpoint as its one action
+      val top = vocab
+        .flatMap(w =>
+          if (w.syms.length < 2) Iterator.empty
+          else w.syms.iterator.zip(w.syms.iterator.drop(1)).map { case (l, r) => (l, r, w.freq) })
+        .toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, c))
+        vocab = vocab.map(w => BpeWord(w.freq, mergePair(w.syms, l, r)))
+          .localCheckpoint(false)
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** [[learn]] at vocabulary scale: `batchSize` merges per round instead of
+    * one, so a 32 k-merge vocabulary costs ~32k/B rounds, not 32 k
+    * driver round-trips. Each round takes the pair-count table ONCE and
+    * greedily selects the top pairs whose symbols are pairwise DISJOINT —
+    * disjoint merges cannot interfere within a word (neither consumes a
+    * symbol the other needs), so all of a round's merges apply in one map
+    * pass and each selected pair's count is exactly what sequential
+    * learning would have seen when its turn came *if no earlier same-round
+    * merge touched its neighborhood*. With `batchSize = 1` the selection IS
+    * sequential BPE (spec-asserted equal to [[learn]]); larger batches are
+    * the standard fast-trainer approximation: merge ORDER can diverge from
+    * strict greedy, but every emitted pair was a real adjacent pair with
+    * the emitted corpus count, and encode/decode semantics are unchanged.
+    */
+  def learnBatched(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      batchSize: Int = 64,
+      minPairCount: Long = 2L): DataFrame = {
+    require(batchSize >= 1, "batchSize must be at least 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[BpeWord] = wordFrequencies(docs, textCol)
+      .select(col("freq"),
+        concat(split(col("word"), ""), array(lit(EndOfWord))).as("syms"))
+      .as[BpeWord]
+      .localCheckpoint(false)
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - merges.size)
+      // 4× headroom: conflicts strike adjacent ranks (e.g. (e,s) blocks
+      // (s,t)), so the non-conflicting prefix of the top-4B list almost
+      // always holds B picks; a shortfall only costs an extra round
+      val top = vocab
+        .flatMap(w =>
+          if (w.syms.length < 2) Iterator.empty
+          else w.syms.iterator.zip(w.syms.iterator.drop(1)).map { case (l, r) => (l, r, w.freq) })
+        .toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("cnt"))
+        .filter(col("cnt") >= minPairCount)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(want * 4).collect()
+      val used = mutable.Set.empty[String]
+      val picked = mutable.ArrayBuffer.empty[(String, String, Long)]
+      top.iterator
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .foreach { case (l, r, c) =>
+          if (picked.size < want && !used(l) && !used(r)) {
+            picked += ((l, r, c)); used += l; used += r
+          }
+        }
+      if (picked.isEmpty) exhausted = true
+      else {
+        picked.foreach { case (l, r, c) => merges += ((merges.size, l, r, c)) }
+        val batch = picked.toArray
+        vocab = vocab.map { w =>
+          var s = w.syms
+          var i = 0
+          while (i < batch.length) { s = mergePair(s, batch(i)._1, batch(i)._2); i += 1 }
+          BpeWord(w.freq, s)
+        }.localCheckpoint(false)
+      }
+    }
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Tokenize every document with a learned merge table: (id, tokens,
+    * n_tokens). Null text encodes as zero tokens. The merge table is
+    * collected and broadcast — bounded by the merge budget, the same
+    * build-once/apply-many pattern as the persisted ANN indexes.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String, merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("rank").cast("int"), col("left_sym"), col("right_sym"))
+      .collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getInt(0)))
+      .toMap
+    val bRanks = spark.sparkContext.broadcast(ranks)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.tokens(coalesce(col(textCol), lit(""))).as("words"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val rk = bRanks.value
+        // Zipfian word frequencies ⇒ near-1 hit rate; capped so a
+        // pathological all-unique partition can't hold every encoding
+        val cache = new java.util.LinkedHashMap[String, Array[String]](1 << 12, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[String, Array[String]]) =
+            size() > (1 << 18)
+        }
+        it.map { case (id, words) =>
+          val toks = words.iterator.filter(_.nonEmpty).flatMap { w =>
+            var t = cache.get(w)
+            if (t == null) { t = encodeWord(w, rk); cache.put(w, t) }
+            t
+          }.toArray
+          (id, toks, toks.length.toLong)
+        }
+      }
+      .toDF(idCol, "tokens", "n_tokens")
+  }
+}

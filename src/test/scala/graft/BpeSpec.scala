@@ -1,0 +1,165 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bpe
+
+/** BPE learning + encoding: the Sennrich golden sequence, equivalence with
+  * an independent single-machine reference implementation on real corpus
+  * data, decode round-trips, and partitioning-independence.
+  */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Independent in-memory BPE learner (dictionary-of-tuples style, no
+    * shared code with the operator) for cross-checking.
+    */
+  private def referenceLearn(
+      wordFreq: Map[String, Long], k: Int, minCount: Long = 2L): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toVector :+ Bpe.EndOfWord) -> f }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (out.size < k && !done) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) += f)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < minCount) done = true
+        else {
+          out += ((l, r, c))
+          vocab = vocab.map { case (syms, f) =>
+            val merged = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                merged += (l + r); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            merged.toVector -> f
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def fixture(rows: (String, Long)*) =
+    rows.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+
+  test("Sennrich corpus: first merges are (e,s), (es,t), (est,</w>), then (l,o)") {
+    val docs = fixture(("low", 5), ("lower", 2), ("newest", 6), ("widest", 3))
+    val merges = Bpe.learn(docs, "text", 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges(0) === (("e", "s", 9L)))
+    assert(merges(1) === (("es", "t", 9L)))
+    assert(merges(2) === (("est", Bpe.EndOfWord, 9L)))
+    assert(merges(3) === (("l", "o", 7L)))
+  }
+
+  test("learn matches an independent reference implementation on sf0.001 documents") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val wf = Bpe.wordFrequencies(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceLearn(wf, 12)
+    val got = Bpe.learn(docs, "text", 12)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+  }
+
+  test("initialPairCounts agrees with the first learned merge's argmax") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val topPair = Bpe.initialPairCounts(docs, "text")
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(1).collect()(0)
+    val firstMerge = Bpe.learn(docs, "text", 1).collect()(0)
+    assert(topPair.getString(0) === firstMerge.getString(1))
+    assert(topPair.getString(1) === firstMerge.getString(2))
+    assert(topPair.getLong(2) === firstMerge.getLong(3))
+  }
+
+  test("encode round-trips: joined tokens reproduce the normalized words") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val merges = Bpe.learn(docs, "text", 20)
+    val decoded = Bpe.encode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"),
+        // strip the markers, re-join: tokens concatenate back to the words
+        regexp_replace(concat_ws("", col("tokens")), java.util.regex.Pattern.quote(Bpe.EndOfWord), " ")
+          .as("rejoined"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws(" ", graft.ops.Dedup.tokens(col("text"))).as("norm"))
+    val mismatches = decoded.join(orig, "doc_id")
+      .filter(trim(col("rejoined")) =!= col("norm"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("encode is partitioning-independent; no merges means chars+1 per word; merges only shrink") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.learn(docs, "text", 20)
+    val base = Bpe.encode(docs, "doc_id", "text", merges)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val repart = Bpe.encode(docs.repartition(17, col("doc_id")), "doc_id", "text", merges)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base === repart)
+
+    val empty = Bpe.encode(docs, "doc_id", "text", merges.limit(0))
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    val expectedBase = docs
+      .select(explode(graft.ops.Dedup.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .agg(sum(length(col("w")) + 1)).collect()(0).getLong(0)
+    assert(empty === expectedBase, "zero merges = one symbol per char + end marker")
+    assert(base.values.sum <= empty, "a merge can only shorten encodings")
+  }
+
+  test("learnBatched(batchSize=1) IS sequential BPE; larger batches stay valid") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val seq1 = Bpe.learn(docs, "text", 10).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val bat1 = Bpe.learnBatched(docs, "text", 10, batchSize = 1).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(bat1 === seq1)
+
+    val batched = Bpe.learnBatched(docs, "text", 24, batchSize = 8)
+    val rows = batched.orderBy("rank").collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 until rows.length), "ranks contiguous from 0")
+    assert(rows.forall(_.getLong(3) >= 2L), "every merge met the min pair count")
+    // rounds select symbol-disjoint pairs: within each batch no symbol repeats
+    // (weaker global check: a (l,r) pair never appears twice)
+    val pairs = rows.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length === pairs.length)
+
+    // the batched table still encodes losslessly and compresses
+    val enc = Bpe.encode(docs, "doc_id", "text", batched)
+    val noMerge = Bpe.encode(docs, "doc_id", "text", batched.limit(0))
+    assert(enc.agg(sum("n_tokens")).collect()(0).getLong(0) <
+      noMerge.agg(sum("n_tokens")).collect()(0).getLong(0))
+    val rejoined = enc.select(col("doc_id"),
+      regexp_replace(concat_ws("", col("tokens")),
+        java.util.regex.Pattern.quote(Bpe.EndOfWord), " ").as("rejoined"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws(" ", graft.ops.Dedup.tokens(col("text"))).as("norm"))
+    assert(rejoined.join(orig, "doc_id")
+      .filter(trim(col("rejoined")) =!= col("norm")).count() === 0L)
+  }
+
+  test("null and empty text encode to zero tokens") {
+    val docs = Seq((1L, "low low"), (2L, null.asInstanceOf[String]), (3L, "  "))
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", Bpe.learn(docs, "text", 2))
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === 0L && got(3L) === 0L)
+    assert(got(1L) > 0L)
+  }
+}
