@@ -55,9 +55,20 @@ object QueriesSampling {
     "q_sm_weighted" -> ((s, dir) =>
       Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
         targetRate = 0.8, salt = "ws")
-        .select("doc_id", "lang", "n_chars")))
+        .select("doc_id", "lang", "n_chars")),
+
+    // epoch-3 training order: reproducible global permutation, two-level
+    // position assignment (no whole-dataset window partition)
+    "q_sm_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 3L)
+        .select("doc_id", "pos")))
 
   val oracles: Map[String, String] = Map(
+    "q_sm_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
     "q_sm_hash" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${uSql("doc_id")} < 0.25""".stripMargin,

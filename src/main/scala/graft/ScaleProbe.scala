@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * Measured (local[32], min of 3): exact 1.3x, simhash 0.8x, quality 1.0x,
   * ann_brute 1.1x, lsh_buckets 1.1x, rp_project 1.0x, pk_concat 1.3x,
-  * rj_overlap 1.2x, hh_tokens 1.4x, bf_join 1.2x, minhash 2.6x,
-  * dd_clusters 3.5x, lsh_pairs 3.8x, tx_cdc 5.2x — all
-  * sub-linear per row. The two pair generators read higher
+  * rj_overlap 1.2x, hh_tokens 1.4x, bf_join 1.2x, bpe_encode 1.1x,
+  * sm_shuffle 1.3x, minhash 2.6x, dd_clusters 3.5x, lsh_pairs 3.8x,
+  * tx_cdc 5.2x — all sub-linear per row. The two pair generators read higher
   * (ngram_jaccard ~38x, cos_pairs ~43x) because their OUTPUT explodes by
   * construction, not because the algorithms are quadratic in corpus size:
   * 10 salted copies of everything grow result pairs ~3000x (79 → 232 400)
@@ -65,6 +65,12 @@ object ScaleProbe {
     }
 
     def docsAt(dir: String) = Tables(spark, dir, "documents")
+    // learned once on the base corpus: the probe measures APPLY cost
+    // (build-once/apply-many), and a fixed table keeps 1x/10x comparable
+    val bpeMerges = graft.ops.Bpe
+      .learnBatched(docsAt(base), "text", numMerges = 64, batchSize = 16)
+      .cache()
+    bpeMerges.count()
     val ops: Seq[(String, String => Long)] = Seq(
       "exact" -> (d => graft.ops.Dedup.exact(docsAt(d), "doc_id", "text").count()),
       "minhash_sig" -> (d =>
@@ -145,7 +151,17 @@ object ScaleProbe {
         graft.ops.BloomJoin.prefilteredJoin(
           docs.select("doc_id", "n_chars"), dim, "doc_id", "dim_id",
           expectedItems = 1000000L, numBits = 8388608L).count()
-      })
+      },
+      // broadcast-ranks mapPartitions over the corpus (learning cost is
+      // vocab-bound and excluded here — build once, apply many): ~linear
+      "bpe_encode" -> { d =>
+        val docs = docsAt(d)
+        graft.ops.Bpe.encode(docs, "doc_id", "text", bpeMerges).count()
+      },
+      // two-level position assignment: bucket-local rank + 256-row offsets
+      // join — expect ~linear (the global sort never materializes)
+      "sm_shuffle" -> (d =>
+        graft.ops.Sampling.epochShuffle(docsAt(d), "doc_id", epoch = 3L).count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)

@@ -169,4 +169,42 @@ object Sampling {
     df.withColumn("split",
       when(col(keyCol).isNull, lit(fractions.head._1)).otherwise(label))
   }
+
+  /** Deterministic global shuffle for training-epoch ordering: every row
+    * gets a reproducible position 0..n-1 by sorting on
+    * `md5(salt ⊕ epoch ⊕ ':' ⊕ key)` — a different but fixed permutation per
+    * epoch, identical across runs, partitionings, and engines (the property
+    * `rand()`-based shuffles lack: a crashed epoch resumes mid-order
+    * instead of reshuffling).
+    *
+    * Scale shape: positions are two-level, not one global window — a
+    * bucket-local `row_number` (the bucket is the sort key's leading byte,
+    * so bucket order IS hash order) plus cumulative bucket offsets, the
+    * [[Publish.firstSeenCounter]] pattern. The widest window partition is
+    * one of 256 hash buckets (~n/256 rows, uniform by construction — md5
+    * leading bytes don't skew), never the whole dataset.
+    */
+  def epochShuffle(
+      df: DataFrame, keyCol: String, epoch: Long, salt: String = ""): DataFrame = {
+    val sk = md5(concat(lit(salt), lit(epoch.toString), lit(":"), col(keyCol).cast("string")))
+    val local = df
+      .filter(col(keyCol).isNotNull) // module-wide null-key rule
+      .withColumn("_sk", sk)
+      .withColumn("_b", substring(col("_sk"), 1, 2))
+      .withColumn("_lr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_b")).orderBy(col("_sk"), col(keyCol))))
+    val offsetW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_b")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // ≤256 rows: the single-partition cumulative window is over buckets,
+    // not data
+    val offsets = local.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(offsetW), lit(0L)))
+      .select(col("_b"), col("_off"))
+    local
+      .join(offsets.hint("SHUFFLE_HASH"), Seq("_b"))
+      .withColumn("pos", col("_off") + col("_lr") - 1)
+      .drop("_sk", "_b", "_lr", "_off")
+  }
 }

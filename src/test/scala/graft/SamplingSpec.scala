@@ -168,4 +168,29 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet ==
       mixed.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("epochShuffle: positions are a permutation, epoch-distinct, partitioning-stable") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count()
+    val e3 = graft.ops.Sampling.epochShuffle(docs, "doc_id", epoch = 3L)
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact permutation 0..n-1
+    assert(e3.values.toSeq.sorted === (0L until n).toSeq)
+    // stable under repartitioning
+    val repart = graft.ops.Sampling
+      .epochShuffle(docs.repartition(13, org.apache.spark.sql.functions.col("lang")), "doc_id", epoch = 3L)
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart === e3)
+    // a different epoch is a genuinely different permutation
+    val e4 = graft.ops.Sampling.epochShuffle(docs, "doc_id", epoch = 4L)
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e4.values.toSeq.sorted === (0L until n).toSeq)
+    assert(e4 !== e3)
+    // no whole-dataset window partition in the plan: the only row_number
+    // partitions by the hash bucket
+    val plan = graft.ops.Sampling.epochShuffle(docs, "doc_id", 3L)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition(_sk"),
+      "position rank must partition by bucket, not run globally over the sort key")
+  }
 }
