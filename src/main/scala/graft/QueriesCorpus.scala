@@ -365,6 +365,14 @@ object QueriesCorpus {
         .select("doc_id", "n_tokens")
     }),
 
+    // the dense token-id artifact (base code points + merge products at
+    // |base|+rank): rows-only here, layout and losslessness spec-checked
+    "q_bpe_vocab" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Bpe.vocabulary(docs, "text",
+        graft.ops.Bpe.learnBatched(docs, "text", numMerges = 24, batchSize = 8))
+    }),
+
     // one-row corpus health report: the snapshot summary a curation
     // pipeline publishes — doc/dup/quality/token counts, all exact
     // integers, every stage recomputed independently in the oracle

@@ -76,8 +76,11 @@ object Bpe {
   /** Standard BPE encoding of one word: repeatedly merge the LOWEST-RANK
     * (earliest-learned) adjacent pair present until none applies.
     */
-  private[ops] def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = codePoints(word) :+ EndOfWord
+  private[ops] def encodeWord(
+      word: String,
+      ranks: Map[(String, String), Int],
+      endOfWord: String = EndOfWord): Array[String] = {
+    var syms = codePoints(word) :+ endOfWord
     var done = syms.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -110,9 +113,10 @@ object Bpe {
     * declaratively (posexplode-free: two slices zipped, all codegen'd) so
     * the pair-counting core is DuckDB-oracle-checkable.
     */
-  def initialPairCounts(docs: DataFrame, textCol: String): DataFrame = {
+  def initialPairCounts(
+      docs: DataFrame, textCol: String, endOfWord: String = EndOfWord): DataFrame = {
     val syms = wordFrequencies(docs, textCol)
-      .select(col("freq"), concat(split(col("word"), ""), array(lit(EndOfWord))).as("s"))
+      .select(col("freq"), concat(split(col("word"), ""), array(lit(endOfWord))).as("s"))
       .filter(size(col("s")) >= 2)
     syms
       .select(col("freq"), explode(arrays_zip(
@@ -133,38 +137,13 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      minPairCount: Long = 2L): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    var vocab: Dataset[BpeWord] = wordFrequencies(docs, textCol)
-      .select(col("freq"),
-        concat(split(col("word"), ""), array(lit(EndOfWord))).as("syms"))
-      .as[BpeWord]
-      .localCheckpoint(false)
-    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 0
-    var exhausted = false
-    while (rank < numMerges && !exhausted) {
-      // the argmax materializes this round's lazy checkpoint as its one action
-      val top = vocab
-        .flatMap(w =>
-          if (w.syms.length < 2) Iterator.empty
-          else w.syms.iterator.zip(w.syms.iterator.drop(1)).map { case (l, r) => (l, r, w.freq) })
-        .toDF("l", "r", "f")
-        .groupBy("l", "r").agg(sum("f").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < minPairCount) exhausted = true
-      else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, l, r, c))
-        vocab = vocab.map(w => BpeWord(w.freq, mergePair(w.syms, l, r)))
-          .localCheckpoint(false)
-        rank += 1
-      }
-    }
-    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
-  }
+      minPairCount: Long = 2L,
+      endOfWord: String = EndOfWord): DataFrame =
+    // batchSize = 1 selects exactly the global argmax each round — the
+    // sequential Sennrich algorithm (BpeSpec asserts the equivalence); one
+    // loop implementation, two entry points
+    learnBatched(docs, textCol, numMerges, batchSize = 1,
+      minPairCount = minPairCount, endOfWord = endOfWord)
 
   /** [[learn]] at vocabulary scale: `batchSize` merges per round instead of
     * one, so a 32 k-merge vocabulary costs ~32k/B rounds, not 32 k
@@ -185,13 +164,14 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       batchSize: Int = 64,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L,
+      endOfWord: String = EndOfWord): DataFrame = {
     require(batchSize >= 1, "batchSize must be at least 1")
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab: Dataset[BpeWord] = wordFrequencies(docs, textCol)
       .select(col("freq"),
-        concat(split(col("word"), ""), array(lit(EndOfWord))).as("syms"))
+        concat(split(col("word"), ""), array(lit(endOfWord))).as("syms"))
       .as[BpeWord]
       .localCheckpoint(false)
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -234,12 +214,96 @@ object Bpe {
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
-  /** Tokenize every document with a learned merge table: (id, tokens,
-    * n_tokens). Null text encodes as zero tokens. The merge table is
-    * collected and broadcast — bounded by the merge budget, the same
-    * build-once/apply-many pattern as the persisted ANN indexes.
+  /** The dense token-id table a trained model consumes: every symbol
+    * [[encode]] can emit gets one id. Base symbols are the corpus's distinct
+    * code points plus [[EndOfWord]] (ids 0.., lexicographic — deterministic
+    * across partitionings); merge products follow in rank order (the
+    * conventional BPE id layout: merge rank r ↦ id = |base| + r). Encoding
+    * with a vocabulary built from the SAME corpus+merges can therefore
+    * never emit an out-of-vocabulary token; unseen text at apply time can
+    * (new code points), which callers map to an UNK id of their choosing.
     */
-  def encode(docs: DataFrame, idCol: String, textCol: String, merges: DataFrame): DataFrame = {
+  def vocabulary(
+      docs: DataFrame,
+      textCol: String,
+      merges: DataFrame,
+      endOfWord: String = EndOfWord): DataFrame = {
+    val spark = docs.sparkSession
+    val base = wordFrequencies(docs, textCol)
+      .select(explode(split(col("word"), "")).as("token"))
+      .union(spark.range(1).select(lit(endOfWord).as("token")))
+      .distinct()
+      .select(col("token"),
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("token"))) - 1)
+          .cast("long").as("token_id"))
+      // the window above is single-partition but vocabulary-sized (distinct
+      // code points, typically 10²-10⁵ rows) — never corpus-sized. EAGER
+      // checkpoint: `base` is consumed twice (the count below and the
+      // returned union), and without the barrier each consumer re-runs the
+      // corpus-scale wordFrequencies aggregate
+      .localCheckpoint()
+    val nBase = base.count()
+    val out = base.unionByName(
+      merges.select(
+        concat(col("left_sym"), col("right_sym")).as("token"),
+        (col("rank").cast("long") + nBase).as("token_id")))
+    // Token strings are only unambiguous if nothing COLLIDES: a corpus whose
+    // text contains the marker's own characters can learn a merge product
+    // equal to EndOfWord (e.g. "</w>" from '<','/','w','>'), and two merges
+    // can concatenate to the same string ((x,yz) vs (xy,z) → "xyz"). A
+    // silent duplicate would break the dense-id contract and make
+    // encodeIds' inversion lossy — fail loudly instead; the fix is a
+    // marker the corpus cannot form, or fewer merges.
+    val dup = out.groupBy("token").count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"vocabulary token collision on '${dup(0).getString(0)}' — the corpus can form " +
+          "the end-of-word marker or two merges share a product; choose a marker the " +
+          "corpus cannot spell or reduce the merge budget")
+    out
+  }
+
+  /** [[encode]] to dense ids: (id, token_ids, n_tokens). Tokens outside
+    * `vocab` (impossible when vocab and merges come from the same corpus;
+    * possible for novel code points in new text) map to `unkId`.
+    */
+  def encodeIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame,
+      vocab: DataFrame,
+      unkId: Long = -1L,
+      endOfWord: String = EndOfWord): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids: Map[String, Long] = vocab.select("token", "token_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bIds = spark.sparkContext.broadcast(ids)
+    encode(docs, idCol, textCol, merges, endOfWord)
+      .select(col(idCol).cast("long"), col("tokens"), col("n_tokens"))
+      .as[(Long, Seq[String], Long)]
+      .map { case (id, toks, n) =>
+        val m = bIds.value
+        (id, toks.map(t => m.getOrElse(t, unkId)), n)
+      }
+      .toDF(idCol, "token_ids", "n_tokens")
+  }
+
+  /** Tokenize every document with a learned merge table: (id, tokens,
+    * n_tokens). Null text encodes as zero tokens; rows whose id is null (or
+    * fails the long cast) are dropped — the sampling module's null-key rule,
+    * and kinder than failing the whole job at encoder deserialization.
+    * The merge table is collected and broadcast — bounded by the merge
+    * budget, the same build-once/apply-many pattern as the persisted ANN
+    * indexes.
+    */
+  def encode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame,
+      endOfWord: String = EndOfWord): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranks: Map[(String, String), Int] = merges
@@ -251,6 +315,7 @@ object Bpe {
     docs
       .select(col(idCol).cast("long").as("id"),
         Dedup.tokens(coalesce(col(textCol), lit(""))).as("words"))
+      .filter(col("id").isNotNull)
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val rk = bRanks.value
@@ -263,7 +328,7 @@ object Bpe {
         it.map { case (id, words) =>
           val toks = words.iterator.filter(_.nonEmpty).flatMap { w =>
             var t = cache.get(w)
-            if (t == null) { t = encodeWord(w, rk); cache.put(w, t) }
+            if (t == null) { t = encodeWord(w, rk, endOfWord); cache.put(w, t) }
             t
           }.toArray
           (id, toks, toks.length.toLong)

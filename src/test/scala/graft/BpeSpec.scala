@@ -162,4 +162,36 @@ class BpeSpec extends SparkSpec {
     assert(got(2L) === 0L && got(3L) === 0L)
     assert(got(1L) > 0L)
   }
+
+  test("vocabulary + encodeIds: dense ids, no OOV on the training corpus, rank layout") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.learnBatched(docs, "text", 24, batchSize = 8)
+    val vocab = Bpe.vocabulary(docs, "text", merges)
+    val rows = vocab.collect().map(r => r.getString(0) -> r.getLong(1))
+    // dense, collision-free id space
+    assert(rows.map(_._2).sorted.toSeq === (0L until rows.length).toSeq)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // merge products occupy |base| + rank
+    val nBase = rows.length - merges.count().toInt
+    val byToken = rows.toMap
+    merges.collect().foreach { m =>
+      assert(byToken(m.getString(1) + m.getString(2)) === nBase + m.getInt(0))
+    }
+    // ids invert losslessly back to the token strings on the training corpus
+    val inv = rows.map { case (t, i) => i -> t }.toMap
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .select("doc_id", "tokens").collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val encIds = Bpe.encodeIds(docs, "doc_id", "text", merges, vocab)
+      .select("doc_id", "token_ids").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(encIds.keySet === enc.keySet)
+    encIds.foreach { case (d, idseq) =>
+      assert(idseq.forall(_ >= 0L), s"doc $d emitted an UNK on its own training corpus")
+      assert(idseq.map(inv) === enc(d))
+    }
+    // a novel code point at apply time maps to unkId
+    val novel = Seq((99L, "\u00e9tude")).toDF("doc_id", "text")
+    val got = Bpe.encodeIds(novel, "doc_id", "text", merges, vocab, unkId = -7L)
+      .select("token_ids").collect()(0).getSeq[Long](0)
+    assert(got.contains(-7L))
+  }
 }
