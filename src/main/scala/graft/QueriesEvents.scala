@@ -171,12 +171,26 @@ object QueriesEvents {
           to_timestamp(lit(stamp)).as("processing_date"),
           lit(null).cast("string").as("metadata"))
       val orders = t(s, dir, "orders")
-      val cat = new graft.catalog.SnapshotCatalog(
-        s, java.nio.file.Files.createTempDirectory("graft_q_k2_snap").toString)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_k2_snap")
+      val cat = new graft.catalog.SnapshotCatalog(s, tmp.toString)
       cat.upsert(asCatalog(orders, col("o_orderpriority"), "2020-02-01 00:00:00"))
       cat.upsert(asCatalog(
         orders.filter(col("o_orderkey") % 10 === 0), lit("updated"), "2020-02-02 00:00:00"))
-      cat.read().select("id_base", "pointer")
+      // pin the physical read into memory so the temp catalog can be
+      // deleted NOW — bench repeats this query and must not leak a full
+      // orders snapshot into /tmp per run (bounded: 2 narrow columns)
+      val result = cat.read().select("id_base", "pointer").collect()
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(result.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_base",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pointer",
+            org.apache.spark.sql.types.StringType))))
     }),
 
     // §2.9: the flagship aggregation through the *real* Structured

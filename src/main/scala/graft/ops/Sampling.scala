@@ -197,9 +197,14 @@ object Sampling {
     val offsetW = org.apache.spark.sql.expressions.Window
       .orderBy(col("_b")).rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // ≤256 rows: the single-partition cumulative window is over buckets,
-    // not data
-    val offsets = local.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+    // bucket sizes come from the WINDOWED side (max local rank ≡ bucket
+    // count): aggregating `local` itself — already hash-partitioned by _b
+    // for the row_number — adds no exchange, whereas a groupBy over the raw
+    // projection would partially aggregate before its shuffle and so could
+    // never reuse the window's exchange (second full scan + md5 pass).
+    // ≤256 rows after that: the single-partition cumulative window is over
+    // buckets, not data
+    val offsets = local.groupBy(col("_b")).agg(max(col("_lr")).cast("long").as("_n"))
       .withColumn("_off", coalesce(sum(col("_n")).over(offsetW), lit(0L)))
       .select(col("_b"), col("_off"))
     local
