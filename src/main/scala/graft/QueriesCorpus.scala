@@ -349,6 +349,11 @@ object QueriesCorpus {
     "q_bpe_pairs" -> ((s, dir) =>
       graft.ops.Bpe.initialPairCounts(t(s, dir, "documents"), "text")),
 
+    // byte-level round-1 pair counts: UTF-8 hex-block symbols (the GPT-2
+    // closed-alphabet mode) — oracle checks the byte decomposition exactly
+    "q_bpe_pairs_bytes" -> ((s, dir) =>
+      graft.ops.Bpe.initialPairCounts(t(s, dir, "documents"), "text", byteLevel = true)),
+
     // BPE merge learning (12 rounds): iterative, so no SQL oracle — the
     // rows-only check plus BpeSpec (Sennrich goldens + an independent
     // reference implementation) carry correctness
@@ -1024,6 +1029,21 @@ object QueriesCorpus {
         |        FROM documents)
         |  WHERE w <> '' GROUP BY 1),
         |syms AS (SELECT freq, list_append(string_split(word, ''), '</w>') AS s FROM wf),
+        |pairs AS (
+        |  SELECT s[CAST(t.i AS INT)] AS left_sym, s[CAST(t.i AS INT)+1] AS right_sym, freq
+        |  FROM syms, unnest(range(1, len(s))) AS t(i))
+        |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
+    "q_bpe_pairs_bytes" ->
+      """WITH wf AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |syms AS (
+        |  SELECT freq,
+        |    list_append(regexp_extract_all(lower(hex(CAST(word AS BLOB))), '..'), '</w>') AS s
+        |  FROM wf),
         |pairs AS (
         |  SELECT s[CAST(t.i AS INT)] AS left_sym, s[CAST(t.i AS INT)+1] AS right_sym, freq
         |  FROM syms, unnest(range(1, len(s))) AS t(i))

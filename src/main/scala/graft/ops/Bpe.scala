@@ -59,6 +59,31 @@ object Bpe {
     out.toArray
   }
 
+  /** UTF-8 byte decomposition for byte-level mode: each byte renders as a
+    * fixed-width lowercase hex block ("e2", "82", ...), so any text —
+    * including code points never seen at training time — decomposes into
+    * the same closed 256-symbol alphabet, and merge products (concatenated
+    * blocks) parse back to bytes unambiguously. The default end-of-word
+    * marker contains non-hex characters, so it can never collide with a
+    * byte-symbol product.
+    */
+  private[ops] def byteSyms(word: String): Array[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(b => f"${b & 0xff}%02x")
+
+  /** Inverse of [[byteSyms]] over a token sequence: strips `endOfWord`
+    * markers, parses the remaining concatenated hex blocks back to bytes,
+    * and decodes UTF-8 ONCE over the full byte run — a multi-byte code
+    * point may straddle a token boundary (merges know bytes, not
+    * characters), so per-token decoding would corrupt it. The default
+    * marker contains non-hex characters, making its removal unambiguous.
+    */
+  def decodeByteTokens(tokens: Seq[String], endOfWord: String = EndOfWord): String = {
+    val hexRun = tokens.mkString.replace(endOfWord, "")
+    new String(
+      hexRun.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** One greedy left-to-right merge pass of the adjacent pair (l, r):
     * `a a a` under (a,a) becomes `aa a`, exactly Sennrich's re.sub order.
     */
@@ -79,8 +104,9 @@ object Bpe {
   private[ops] def encodeWord(
       word: String,
       ranks: Map[(String, String), Int],
-      endOfWord: String = EndOfWord): Array[String] = {
-    var syms = codePoints(word) :+ endOfWord
+      endOfWord: String = EndOfWord,
+      byteLevel: Boolean = false): Array[String] = {
+    var syms = (if (byteLevel) byteSyms(word) else codePoints(word)) :+ endOfWord
     var done = syms.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -114,9 +140,12 @@ object Bpe {
     * the pair-counting core is DuckDB-oracle-checkable.
     */
   def initialPairCounts(
-      docs: DataFrame, textCol: String, endOfWord: String = EndOfWord): DataFrame = {
+      docs: DataFrame,
+      textCol: String,
+      endOfWord: String = EndOfWord,
+      byteLevel: Boolean = false): DataFrame = {
     val syms = wordFrequencies(docs, textCol)
-      .select(col("freq"), concat(split(col("word"), ""), array(lit(endOfWord))).as("s"))
+      .select(col("freq"), symsOf(col("word"), endOfWord, byteLevel).as("s"))
       .filter(size(col("s")) >= 2)
     syms
       .select(col("freq"), explode(arrays_zip(
@@ -138,12 +167,13 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       minPairCount: Long = 2L,
-      endOfWord: String = EndOfWord): DataFrame =
+      endOfWord: String = EndOfWord,
+      byteLevel: Boolean = false): DataFrame =
     // batchSize = 1 selects exactly the global argmax each round — the
     // sequential Sennrich algorithm (BpeSpec asserts the equivalence); one
     // loop implementation, two entry points
     learnBatched(docs, textCol, numMerges, batchSize = 1,
-      minPairCount = minPairCount, endOfWord = endOfWord)
+      minPairCount = minPairCount, endOfWord = endOfWord, byteLevel = byteLevel)
 
   /** [[learn]] at vocabulary scale: `batchSize` merges per round instead of
     * one, so a 32 k-merge vocabulary costs ~32k/B rounds, not 32 k
@@ -159,19 +189,31 @@ object Bpe {
     * strict greedy, but every emitted pair was a real adjacent pair with
     * the emitted corpus count, and encode/decode semantics are unchanged.
     */
+  /** Declarative symbol decomposition of a word column: code points (split
+    * by empty pattern keeps surrogate pairs whole) or UTF-8 hex byte
+    * blocks; always closed by the marker. Codegen'd — no UDF.
+    */
+  private def symsOf(word: org.apache.spark.sql.Column, endOfWord: String, byteLevel: Boolean) =
+    concat(
+      if (byteLevel)
+        regexp_extract_all(
+          lower(hex(org.apache.spark.sql.functions.encode(word, "UTF-8"))), lit(".."), lit(0))
+      else split(word, ""),
+      array(lit(endOfWord)))
+
   def learnBatched(
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
       batchSize: Int = 64,
       minPairCount: Long = 2L,
-      endOfWord: String = EndOfWord): DataFrame = {
+      endOfWord: String = EndOfWord,
+      byteLevel: Boolean = false): DataFrame = {
     require(batchSize >= 1, "batchSize must be at least 1")
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab: Dataset[BpeWord] = wordFrequencies(docs, textCol)
-      .select(col("freq"),
-        concat(split(col("word"), ""), array(lit(endOfWord))).as("syms"))
+      .select(col("freq"), symsOf(col("word"), endOfWord, byteLevel).as("syms"))
       .as[BpeWord]
       .localCheckpoint(false)
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -227,11 +269,21 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       merges: DataFrame,
-      endOfWord: String = EndOfWord): DataFrame = {
+      endOfWord: String = EndOfWord,
+      byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    val base = wordFrequencies(docs, textCol)
-      .select(explode(split(col("word"), "")).as("token"))
-      .union(spark.range(1).select(lit(endOfWord).as("token")))
+    import spark.implicits._
+    // byte-level base is CLOSED (all 256 byte symbols + marker, no corpus
+    // scan): every future input decomposes into it, so encodeIds can never
+    // emit UNK — the GPT-2 property
+    val baseTokens =
+      if (byteLevel)
+        ((0 until 256).map(b => f"$b%02x") :+ endOfWord).toDF("token")
+      else
+        wordFrequencies(docs, textCol)
+          .select(explode(split(col("word"), "")).as("token"))
+          .union(spark.range(1).select(lit(endOfWord).as("token")))
+    val base = baseTokens
       .distinct()
       .select(col("token"),
         (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("token"))) - 1)
@@ -274,13 +326,14 @@ object Bpe {
       merges: DataFrame,
       vocab: DataFrame,
       unkId: Long = -1L,
-      endOfWord: String = EndOfWord): DataFrame = {
+      endOfWord: String = EndOfWord,
+      byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ids: Map[String, Long] = vocab.select("token", "token_id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bIds = spark.sparkContext.broadcast(ids)
-    encode(docs, idCol, textCol, merges, endOfWord)
+    encode(docs, idCol, textCol, merges, endOfWord, byteLevel)
       .select(col(idCol).cast("long"), col("tokens"), col("n_tokens"))
       .as[(Long, Seq[String], Long)]
       .map { case (id, toks, n) =>
@@ -303,7 +356,8 @@ object Bpe {
       idCol: String,
       textCol: String,
       merges: DataFrame,
-      endOfWord: String = EndOfWord): DataFrame = {
+      endOfWord: String = EndOfWord,
+      byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranks: Map[(String, String), Int] = merges
@@ -328,7 +382,7 @@ object Bpe {
         it.map { case (id, words) =>
           val toks = words.iterator.filter(_.nonEmpty).flatMap { w =>
             var t = cache.get(w)
-            if (t == null) { t = encodeWord(w, rk, endOfWord); cache.put(w, t) }
+            if (t == null) { t = encodeWord(w, rk, endOfWord, byteLevel); cache.put(w, t) }
             t
           }.toArray
           (id, toks, toks.length.toLong)

@@ -194,4 +194,36 @@ class BpeSpec extends SparkSpec {
       .select("token_ids").collect()(0).getSeq[Long](0)
     assert(got.contains(-7L))
   }
+
+  test("byte-level mode: lossless on emoji/CJK, closed vocabulary, no UNK on novel text") {
+    val train = fixture(("low", 5), ("lower", 2), ("newest", 6), ("widest", 3))
+    val merges = Bpe.learn(train, "text", 8, byteLevel = true)
+    // pure-ASCII corpus: byte symbols == char symbols 1:1, so the first
+    // merge count must equal char mode's ((e,s) with count 9)
+    assert(merges.orderBy("rank").collect()(0).getLong(3) === 9L)
+
+    // apply to text FULL of symbols the trainer never saw
+    val novel = Seq(
+      (1L, "caf\u00e9 na\u00efve"),
+      (2L, "\u65e5\u672c\u8a9e \ud83d\ude00 mixed"),
+      (3L, "plain low")).toDF("doc_id", "text")
+    val enc = Bpe.encode(novel, "doc_id", "text", merges, byteLevel = true)
+    val decoded = enc.select("doc_id", "tokens").collect()
+      .map(r => r.getLong(0) -> Bpe.decodeByteTokens(r.getSeq[String](1))).toMap
+    val expected = novel.select(col("doc_id"),
+        concat_ws(" ", graft.ops.Dedup.tokens(col("text"))).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim).toMap
+    // decodeByteTokens drops word boundaries' markers; compare space-free
+    decoded.foreach { case (id, d) =>
+      assert(d === expected(id).replace(" ", ""), s"doc $id byte round-trip")
+    }
+
+    // closed vocabulary: 256 byte symbols + marker + merges, and encodeIds
+    // never emits UNK even on the novel corpus
+    val vocab = Bpe.vocabulary(train, "text", merges, byteLevel = true)
+    assert(vocab.count() === 257L + merges.count())
+    val ids = Bpe.encodeIds(novel, "doc_id", "text", merges, vocab, unkId = -7L, byteLevel = true)
+      .select("token_ids").collect().flatMap(_.getSeq[Long](0))
+    assert(!ids.contains(-7L), "byte-level vocabulary must be closed — no UNK ever")
+  }
 }
