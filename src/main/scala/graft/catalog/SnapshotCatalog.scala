@@ -58,6 +58,14 @@ class SnapshotCatalog(spark: SparkSession, path: String) extends CatalogStore {
 
   def versions: Seq[Long] = lake.versions
 
+  /** Catalog commit audit: (version, op, committed_at, partitions) per
+    * live version — "when did stage X's upsert land, touching what".
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    lake.history.toDF("version", "op", "committed_at", "partitions")
+  }
+
   /** Bound time travel: keep the last `keepLast` versions, reclaim data
     * directories no kept manifest references (see [[SnapshotLake.vacuum]]'s
     * in-flight-writer retention guard).

@@ -39,6 +39,44 @@ class SnapshotLake(spark: SparkSession, root: String) {
 
   private def manifestPath(v: Long): Path = manifestsDir.resolve(f"v$v%08d.json")
 
+  private def infoPath(v: Long): Path = manifestsDir.resolve(f"v$v%08d.info")
+
+  /** Advisory commit metadata, written AFTER the version is won (the
+    * manifest create is the commit point; a crash between the two leaves a
+    * valid commit with no info row — [[history]] reports op "unknown").
+    * Best-effort: an IO failure here must not fail a committed write.
+    */
+  private def writeInfo(v: Long, op: String, partitions: Int): Unit =
+    try Files.write(
+      infoPath(v),
+      s"""{"op":"$op","committed_at":${System.currentTimeMillis()},"partitions":$partitions}"""
+        .getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
+
+  /** Commit audit trail: one row per live version — (version, op,
+    * committed_at epoch-millis, touched partition count). Ops: "commit"
+    * (partition-grain replace), "upsert" (PK-grain merge), "delete"
+    * (predicate rewrite); "unknown" for versions whose info sidecar is
+    * missing (pre-feature commits, or a crash between manifest and info
+    * writes).
+    */
+  def history: Seq[(Long, String, Long, Int)] = versions.map { v =>
+    val parsed =
+      try {
+        val s = new String(Files.readAllBytes(infoPath(v)), "UTF-8")
+        def field(k: String) = s.split(s""""$k":""", 2) match {
+          case Array(_, rest) => Some(rest.takeWhile(c => c != ',' && c != '}').trim)
+          case _ => None
+        }
+        for {
+          op <- field("op").map(_.stripPrefix("\"").stripSuffix("\""))
+          at <- field("committed_at").map(_.toLong)
+          np <- field("partitions").map(_.toInt)
+        } yield (v, op, at, np)
+      } catch { case _: Exception => None }
+    parsed.getOrElse((v, "unknown", 0L, 0))
+  }
+
   /** value-encoded partition key, e.g. `status=F` (URL-encoded values). */
   private def keyOf(values: Seq[String]): String =
     values.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("/")
@@ -124,6 +162,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       if (writeManifestAtomic(next, base ++ newDirs)) committed = next
       // else: another writer took `next`; loop re-reads and re-merges
     }
+    writeInfo(committed, "commit", newDirs.size)
     committed
   }
 
@@ -178,8 +217,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
         keyOf(values) -> dir.toString
       }.toMap
       val next = base.getOrElse(0L) + 1
-      if (writeManifestAtomic(next, baseManifest ++ newDirs)) committed = next
-      else {
+      if (writeManifestAtomic(next, baseManifest ++ newDirs)) {
+        committed = next
+        writeInfo(committed, "upsert", newDirs.size)
+      } else {
         // conflict: the merge is stale — drop staged dirs and retry
         newDirs.values.foreach { d =>
           val p = Paths.get(d)
@@ -231,8 +272,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val manifest = rewritten.collect { case (k, Some(d)) => k -> d }
       if (manifest.isEmpty)
         throw new IllegalStateException("deleteWhere would empty the lake; refusing to commit")
-      if (writeManifestAtomic(next, manifest)) committed = next
-      else rewritten.values.flatten.foreach { d =>
+      if (writeManifestAtomic(next, manifest)) {
+        committed = next
+        writeInfo(committed, "delete", rewritten.size)
+      } else rewritten.values.flatten.foreach { d =>
         val p = Paths.get(d)
         if (Files.exists(p)) {
           val w = Files.walk(p)
@@ -330,6 +373,9 @@ class SnapshotLake(spark: SparkSession, root: String) {
           finally w.close()
         }
     }
-    drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    drop.foreach { v =>
+      Files.deleteIfExists(manifestPath(v))
+      Files.deleteIfExists(infoPath(v))
+    }
   }
 }

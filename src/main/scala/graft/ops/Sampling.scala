@@ -197,13 +197,16 @@ object Sampling {
     val offsetW = org.apache.spark.sql.expressions.Window
       .orderBy(col("_b")).rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // bucket sizes come from the WINDOWED side (max local rank ≡ bucket
-    // count): aggregating `local` itself — already hash-partitioned by _b
-    // for the row_number — adds no exchange, whereas a groupBy over the raw
-    // projection would partially aggregate before its shuffle and so could
-    // never reuse the window's exchange (second full scan + md5 pass).
-    // ≤256 rows after that: the single-partition cumulative window is over
-    // buckets, not data
+    // bucket sizes come from the windowed side (max local rank ≡ bucket
+    // count). Exchange reuse does NOT fire here (verified in the physical
+    // plan): column pruning narrows this branch to (key, _sk, _b) while the
+    // result branch carries the payload, so the exchanges canonicalize
+    // differently. That is the cheap side of the trade — the duplicated
+    // work is one extra scan + md5 + ~25-byte/row shuffle; the
+    // payload-carrying exchange happens exactly once, and checkpointing
+    // `local` to force reuse would materialize the payload instead.
+    // ≤256 rows after the aggregate: the single-partition cumulative window
+    // is over buckets, not data
     val offsets = local.groupBy(col("_b")).agg(max(col("_lr")).cast("long").as("_n"))
       .withColumn("_off", coalesce(sum(col("_n")).over(offsetW), lit(0L)))
       .select(col("_b"), col("_off"))

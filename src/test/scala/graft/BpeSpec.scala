@@ -226,4 +226,50 @@ class BpeSpec extends SparkSpec {
       .select("token_ids").collect().flatMap(_.getSeq[Long](0))
     assert(!ids.contains(-7L), "byte-level vocabulary must be closed — no UNK ever")
   }
+
+  test("marker collision: char-level vocabulary fails loudly; byte-level is immune") {
+    // a corpus that SPELLS the end-of-word marker: merges along < / w >
+    // eventually form the product "</w>", colliding with the marker token
+    val hostile = fixture(("</w>", 50), ("</wx", 10), ("low", 5))
+    val merges = Bpe.learn(hostile, "text", 12)
+    val products = merges.collect().map(r => r.getString(1) + r.getString(2))
+    assume(products.contains("</w>"), "fixture must actually form the marker")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.vocabulary(hostile, "text", merges)
+    }
+    assert(e.getMessage.contains("collision"))
+
+    // same corpus in byte-level mode: symbols are hex blocks, the marker
+    // contains non-hex characters, no collision is possible
+    val bMerges = Bpe.learn(hostile, "text", 12, byteLevel = true)
+    val bVocab = Bpe.vocabulary(hostile, "text", bMerges, byteLevel = true)
+    assert(bVocab.count() === 257L + bMerges.count())
+    val dec = Bpe.encode(hostile, "doc_id", "text", bMerges, byteLevel = true)
+      .select("tokens").collect()
+      .map(r => Bpe.decodeByteTokens(r.getSeq[String](0)))
+    assert(dec.count(_ == "</w>") === 50)
+  }
+
+  test("encode applies to a stream unchanged (stateless mapPartitions): stream == batch") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    val merges = Bpe.learn(docs, "text", 12)
+    val batch = Bpe.encode(docs, "doc_id", "text", merges)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Bpe.encode(source.toDF().toDF("doc_id", "text"), "doc_id", "text", merges)
+      .select("doc_id", "n_tokens")
+      .writeStream.outputMode("append").format("memory").queryName("bpe_stream_out").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      source.addData(a.toSeq); q.processAllAvailable()
+      source.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("bpe_stream_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }

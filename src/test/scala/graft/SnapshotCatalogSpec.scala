@@ -94,4 +94,25 @@ class SnapshotCatalogSpec extends SparkSpec {
     // catalog history: one version per non-empty run
     assert(cat.versions.size === 2)
   }
+
+  test("history records one audited row per commit; vacuum drops old audit rows") {
+    val cat = new SnapshotCatalog(spark, Files.createTempDirectory("graft_sc_hist").toString)
+    val t0 = System.currentTimeMillis()
+    cat.commit(batch("bt", 0, 10, "2020-02-01 00:00:00", "v1"))
+    cat.commit(batch("bt", 5, 10, "2020-02-02 00:00:00", "v2"))
+    val h = cat.history().orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(h.forall(_.getString(1) == "upsert"))
+    assert(h.forall(r => r.getLong(2) >= t0 && r.getLong(2) <= System.currentTimeMillis()))
+    assert(h.forall(_.getInt(3) === 1))
+    // raw partition-grain commits + deletes audit with their own ops
+    cat.lake.commit(
+      batch("wt", 0, 5, "2020-02-03 00:00:00", "v3"),
+      graft.catalog.LakeCatalog.PartitionCols)
+    cat.lake.deleteWhere(col("id_base") === "base_0", graft.catalog.LakeCatalog.PartitionCols)
+    val ops = cat.history().orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(ops === Seq("upsert", "upsert", "commit", "delete"))
+    cat.vacuum(keepLast = 1, minAgeMs = 0L)
+    assert(cat.history().count() === 1L)
+  }
 }
