@@ -271,6 +271,20 @@ object QueriesCorpus {
       Pack.packGreedy(t(s, dir, "documents"), "doc_id", "text",
         budget = 128, numShards = 8)),
 
+    // token-id packing: BPE byte-level encode (zero merges → per-word
+    // token count = UTF-8 bytes + 1, SQL-recomputable) through the
+    // concat-and-chunk layout; the oracle checks the full segment
+    // arithmetic, the ids themselves are conservation-checked in PackSpec
+    "q_pk_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val noMerges = graft.ops.Bpe.learn(docs, "text", numMerges = 0, byteLevel = true)
+      val vocab = graft.ops.Bpe.vocabulary(docs, "text", noMerges, byteLevel = true)
+      Pack.packTokenIds(
+          graft.ops.Bpe.encodeIds(docs, "doc_id", "text", noMerges, vocab, byteLevel = true),
+          "doc_id", "token_ids", budget = 128, numShards = 8)
+        .select("shard", "seq_idx", "doc_id", "seq_offset", "seg_tokens")
+    }),
+
     // duplicate-cluster representative: keep each near-dup cluster's
     // highest-quality member instead of its minimum id
     "q_dd_representative" -> ((s, dir) => {
@@ -1034,6 +1048,32 @@ object QueriesCorpus {
         |  FROM syms, unnest(range(1, len(s))) AS t(i))
         |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM pairs GROUP BY 1, 2""".stripMargin,
+    "q_pk_ids" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, CAST(sum(strlen(w) + 1) AS BIGINT) AS nt
+        |  FROM w WHERE w <> '' GROUP BY 1),
+        |base AS (
+        |  SELECT d.doc_id, coalesce(n.nt, 0) AS nt,
+        |    CAST('0x' || substr(md5('pkshard' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+        |    CAST('0x' || substr(md5('pk' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents d LEFT JOIN n USING (doc_id)
+        |  WHERE coalesce(n.nt, 0) >= 1),
+        |c AS (
+        |  SELECT doc_id, shard, nt,
+        |    CAST(sum(nt) OVER (PARTITION BY shard ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM base),
+        |seg AS (
+        |  SELECT shard, doc_id, nt, cum, cum - nt AS cb, CAST(sq.s AS BIGINT) AS seq_idx
+        |  FROM c, unnest(range(CAST((cum - nt) // 128 AS BIGINT),
+        |                       CAST((cum - 1) // 128 + 1 AS BIGINT))) AS sq(s))
+        |SELECT shard, seq_idx, doc_id,
+        |  cb + greatest(seq_idx * 128 - cb, 0) - seq_idx * 128 AS seq_offset,
+        |  least((seq_idx + 1) * 128, cum) - cb - greatest(seq_idx * 128 - cb, 0) AS seg_tokens
+        |FROM seg""".stripMargin,
     "q_bpe_pairs_bytes" ->
       """WITH wf AS (
         |  SELECT w AS word, count(*) AS freq

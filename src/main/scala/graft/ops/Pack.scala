@@ -48,16 +48,49 @@ object Pack {
       textCol: String,
       budget: Int,
       numShards: Int = 32,
-      salt: String = "pk"): DataFrame = {
+      salt: String = "pk"): DataFrame =
+    packSegments(df, idCol, toks(col(textCol)), budget, numShards, salt)
+      .withColumn("seg_text", concat_ws(" ", col("_seg")))
+      .drop("_seg")
+
+  /** [[packConcat]] over ALREADY-TOKENIZED sequences — the layout step after
+    * [[Bpe.encodeIds]]: identical concat-and-chunk arithmetic, but segments
+    * come back as slices of the input array (`seg_ids`), ready for training
+    * batch assembly. One row per (document × sequence) segment:
+    * (shard, seq_idx, id, seq_offset, seg_tokens, seg_ids).
+    */
+  def packTokenIds(
+      df: DataFrame,
+      idCol: String,
+      idsCol: String,
+      budget: Int,
+      numShards: Int = 32,
+      salt: String = "pk"): DataFrame =
+    packSegments(df, idCol, col(idsCol), budget, numShards, salt)
+      .withColumnRenamed("_seg", "seg_ids")
+
+  /** Shared concat-and-chunk core over any token-array column. Zero-token
+    * documents pack nowhere and are dropped explicitly: `sequence(a, b)`
+    * with b < a would otherwise generate a DESCENDING index range (Spark
+    * infers step -1), emitting phantom segments.
+    */
+  private def packSegments(
+      df: DataFrame,
+      idCol: String,
+      tokensArr: Column,
+      budget: Int,
+      numShards: Int,
+      salt: String): DataFrame = {
     require(budget >= 1 && numShards >= 1, "need budget >= 1 and numShards >= 1")
-    val nt = size(toks(col(textCol))).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col("_u"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val b = lit(budget.toLong)
     df.select(
-        col(idCol), toks(col(textCol)).as("_t"), nt.as("_nt"),
+        col(idCol), tokensArr.as("_t"),
+        coalesce(size(tokensArr), lit(0)).cast("long").as("_nt"),
         shardOf(col(idCol), numShards, salt).as("shard"),
         orderKey(col(idCol), salt).as("_u"))
+      .filter(col("_nt") >= 1)
       .withColumn("_cum", sum(col("_nt")).over(w))
       .withColumn("_cb", col("_cum") - col("_nt")) // tokens before this doc
       .select(
@@ -69,8 +102,8 @@ object Pack {
         col("shard"), col("seq_idx"), col(idCol),
         (col("_cb") + col("_s") - col("seq_idx") * b).as("seq_offset"),
         (col("_e") - col("_s")).as("seg_tokens"),
-        concat_ws(" ", slice(col("_t"),
-          (col("_s") + 1).cast("int"), (col("_e") - col("_s")).cast("int"))).as("seg_text"))
+        slice(col("_t"),
+          (col("_s") + 1).cast("int"), (col("_e") - col("_s")).cast("int")).as("_seg"))
   }
 
   /** Greedy next-fit packing (no document splitting): within each shard,

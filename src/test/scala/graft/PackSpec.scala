@@ -85,4 +85,47 @@ class PackSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(g1 == g2)
   }
+
+  test("packTokenIds: id conservation, exact-full sequences, empty docs drop, layout-stable") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(80)
+      .unionByName(Seq((90001L, ""), (90002L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+        .withColumn("n_chars", lit(0L)).select("doc_id", "text", "lang", "source", "n_chars"))
+    val merges = graft.ops.Bpe.learn(docs, "text", 8, byteLevel = true)
+    val vocab = graft.ops.Bpe.vocabulary(docs, "text", merges, byteLevel = true)
+    val enc = graft.ops.Bpe.encodeIds(docs, "doc_id", "text", merges, vocab, byteLevel = true)
+    val packed = Pack.packTokenIds(enc, "doc_id", "token_ids", budget = 64, numShards = 4)
+
+    // conservation: per doc, concatenating its segments in (shard, seq_idx,
+    // seq_offset) order reproduces token_ids exactly
+    val orig = enc.select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val segs = packed.collect()
+      .map(r => (r.getLong(2), (r.getLong(0), r.getLong(1), r.getLong(3), r.getSeq[Long](5))))
+      .groupBy(_._1).map { case (id, xs) =>
+        id -> xs.map(_._2).sortBy(x => (x._1, x._2, x._3)).flatMap(_._4).toSeq
+      }
+    segs.foreach { case (id, ids) => assert(ids === orig(id), s"doc $id id conservation") }
+    // empty/null docs pack nowhere (and emit NO phantom descending segments)
+    assert(!segs.contains(90001L) && !segs.contains(90002L))
+    assert(packed.filter(col("seq_idx") < 0 || col("seg_tokens") <= 0).count() === 0)
+
+    // every sequence except each shard's last is exactly full
+    val seqTotals = packed.groupBy("shard", "seq_idx")
+      .agg(sum("seg_tokens").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lastPerShard = seqTotals.keys.groupBy(_._1).map { case (s, ks) => s -> ks.map(_._2).max }
+    seqTotals.foreach { case ((s, q), n) =>
+      if (q != lastPerShard(s)) assert(n === 64L, s"sequence ($s,$q) must be exactly full")
+      else assert(n <= 64L)
+    }
+
+    // layout is partitioning-stable
+    val repacked = Pack.packTokenIds(
+      enc.repartition(7, col("doc_id")), "doc_id", "token_ids", budget = 64, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(repacked === packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+  }
 }
