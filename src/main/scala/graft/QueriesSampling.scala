@@ -61,9 +61,28 @@ object QueriesSampling {
     // position assignment (no whole-dataset window partition)
     "q_sm_shuffle" -> ((s, dir) =>
       Sampling.epochShuffle(t(s, dir, "documents"), "doc_id", epoch = 3L)
-        .select("doc_id", "pos")))
+        .select("doc_id", "pos")),
+
+    // token-budget mixture: 40k chars at 60/25/15 en/de/fr — zh/es absent
+    // from the target mix drop entirely; under-supplied strata keep whole
+    "q_sm_budget" -> ((s, dir) =>
+      Sampling.budgetMix(t(s, dir, "documents"), "lang", "doc_id", "n_chars",
+        budget = 40000.0, proportions = Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15),
+        salt = "bm")
+        .select("doc_id", "lang", "n_chars")))
 
   val oracles: Map[String, String] = Map(
+    "q_sm_budget" ->
+      s"""WITH w AS (SELECT lang, sum(CAST(n_chars AS DOUBLE)) AS tot
+         |    FROM documents GROUP BY 1),
+         |r AS (SELECT lang,
+         |    floor(least(1.0, 40000.0 *
+         |      CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.15
+         |                ELSE 0.0 END / tot) * 1000000000 + 0.5) / 1000000000 AS rate
+         |  FROM w)
+         |SELECT doc_id, d.lang, n_chars
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ${uSql("doc_id", "bm")} < rate""".stripMargin,
     "q_sm_shuffle" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (

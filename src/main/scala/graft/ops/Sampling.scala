@@ -115,6 +115,49 @@ object Sampling {
     stratifiedSample(df, strataCol, keyCol, rates, defaultRate = 0.0, salt)
   }
 
+  /** Token-budget mixture: sample each stratum (source/language/quality
+    * band) down so the mix approaches `budget` weighted units (tokens,
+    * bytes, docs) at the caller's target `proportions` — the "assemble a
+    * T-token training mix at these source weights" step. Per-stratum keep
+    * rate = min(1, budget·p_s / weight_s), rounded half-up to 9 decimals
+    * like [[temperatureMix]]; a stratum too small to fill its share is
+    * kept whole (the standard under-supply behavior — the result then
+    * lands under budget rather than distorting other sources). Strata
+    * absent from `proportions` drop (rate 0). Decisions are md5-keyed, so
+    * the mix is rerun-stable and monotone in budget: growing T only ever
+    * ADDS documents, never swaps them — an incremental training-set build
+    * keeps every earlier row.
+    *
+    * Scale shape: one map-side-combinable (stratum × weight) aggregate,
+    * collected at stratum cardinality (the [[temperatureMix]] contract),
+    * rates applied as a per-row filter — no join, no second shuffle.
+    */
+  def budgetMix(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      weightCol: String,
+      budget: Double,
+      proportions: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    require(budget > 0.0, "need budget > 0")
+    require(proportions.nonEmpty && proportions.values.forall(_ >= 0.0) &&
+      math.abs(proportions.values.sum - 1.0) < 1e-9,
+      "proportions must be non-negative and sum to 1")
+    val totals = df.groupBy(strataCol)
+      .agg(sum(col(weightCol).cast("double")).as("w"))
+      .collect()
+      .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getDouble(1)))
+      .toMap
+    val rates = proportions.flatMap { case (s, p) =>
+      totals.get(s).map { w =>
+        val r = if (w <= 0.0) 0.0 else math.min(1.0, budget * p / w)
+        s -> math.floor(r * 1e9 + 0.5) / 1e9
+      }
+    }
+    stratifiedSample(df, strataCol, keyCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** Exactly min(k, |stratum|) rows per stratum: the k rows with the
     * smallest md5-uniform per stratum — a deterministic reservoir sample
     * (min-wise sampling: each key's uniform is fixed, so growing a stratum

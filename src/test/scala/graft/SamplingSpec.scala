@@ -193,4 +193,35 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(_sk"),
       "position rank must partition by bucket, not run globally over the sort key")
   }
+
+  test("budgetMix: hits the target mix, keeps under-supplied strata whole, monotone in budget") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val props = Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15)
+    val got = graft.ops.Sampling.budgetMix(docs, "lang", "doc_id", "n_chars",
+      budget = 4000.0, proportions = props, salt = "bm")
+    // absent-from-target strata drop entirely
+    assert(got.filter(!col("lang").isin("en", "de", "fr")).count() === 0)
+    // achieved per-stratum weight lands near budget*p (hash sampling noise)
+    val weights = got.groupBy("lang").agg(sum("n_chars").as("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    props.foreach { case (lang, p) =>
+      val target = 4000.0 * p
+      assert(weights(lang) > target * 0.4 && weights(lang) < target * 2.2,
+        s"$lang weight ${weights(lang)} should be near $target")
+    }
+    // a budget exceeding the corpus keeps every targeted stratum whole
+    val whole = graft.ops.Sampling.budgetMix(docs, "lang", "doc_id", "n_chars",
+      budget = 1e9, proportions = props, salt = "bm")
+    val fullCounts = docs.filter(col("lang").isin("en", "de", "fr"))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wholeCounts = whole.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wholeCounts === fullCounts, "over-budget must keep targeted strata whole")
+    // monotone: growing the budget only ADDS docs
+    val small = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = graft.ops.Sampling.budgetMix(docs, "lang", "doc_id", "n_chars",
+      budget = 8000.0, proportions = props, salt = "bm")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "incremental budget growth must keep earlier rows")
+  }
 }
