@@ -78,6 +78,7 @@ object Bpe {
     * marker contains non-hex characters, making its removal unambiguous.
     */
   def decodeByteTokens(tokens: Seq[String], endOfWord: String = EndOfWord): String = {
+    requireByteMarker(endOfWord)
     val hexRun = tokens.mkString.replace(endOfWord, "")
     new String(
       hexRun.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray,
@@ -175,6 +176,31 @@ object Bpe {
     learnBatched(docs, textCol, numMerges, batchSize = 1,
       minPairCount = minPairCount, endOfWord = endOfWord, byteLevel = byteLevel)
 
+  /** Declarative symbol decomposition of a word column: code points (split
+    * by empty pattern keeps surrogate pairs whole) or UTF-8 hex byte
+    * blocks; always closed by the marker. Codegen'd — no UDF.
+    */
+  private def symsOf(word: org.apache.spark.sql.Column, endOfWord: String, byteLevel: Boolean) =
+    concat(
+      if (byteLevel)
+        regexp_extract_all(
+          lower(hex(org.apache.spark.sql.functions.encode(word, "UTF-8"))), lit(".."), lit(0))
+      else split(word, ""),
+      array(lit(endOfWord)))
+
+  /** Byte-level mode leans on the marker being UNSPELLABLE in the hex-block
+    * alphabet: a marker that parses as hex would collide with data bytes in
+    * the base vocabulary (silently collapsing the 257-token contract) and
+    * [[decodeByteTokens]]'s marker-stripping would eat legitimate bytes.
+    * Every byte-level entry point validates once, loudly.
+    */
+  private def requireByteMarker(endOfWord: String): Unit =
+    require(
+      endOfWord.nonEmpty &&
+        !endOfWord.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"byte-level end-of-word marker '$endOfWord' must be non-empty and contain a " +
+        "non-hex character (it would otherwise be indistinguishable from data bytes)")
+
   /** [[learn]] at vocabulary scale: `batchSize` merges per round instead of
     * one, so a 32 k-merge vocabulary costs ~32k/B rounds, not 32 k
     * driver round-trips. Each round takes the pair-count table ONCE and
@@ -189,18 +215,6 @@ object Bpe {
     * strict greedy, but every emitted pair was a real adjacent pair with
     * the emitted corpus count, and encode/decode semantics are unchanged.
     */
-  /** Declarative symbol decomposition of a word column: code points (split
-    * by empty pattern keeps surrogate pairs whole) or UTF-8 hex byte
-    * blocks; always closed by the marker. Codegen'd — no UDF.
-    */
-  private def symsOf(word: org.apache.spark.sql.Column, endOfWord: String, byteLevel: Boolean) =
-    concat(
-      if (byteLevel)
-        regexp_extract_all(
-          lower(hex(org.apache.spark.sql.functions.encode(word, "UTF-8"))), lit(".."), lit(0))
-      else split(word, ""),
-      array(lit(endOfWord)))
-
   def learnBatched(
       docs: DataFrame,
       textCol: String,
@@ -210,6 +224,7 @@ object Bpe {
       endOfWord: String = EndOfWord,
       byteLevel: Boolean = false): DataFrame = {
     require(batchSize >= 1, "batchSize must be at least 1")
+    if (byteLevel) requireByteMarker(endOfWord)
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab: Dataset[BpeWord] = wordFrequencies(docs, textCol)
@@ -273,6 +288,7 @@ object Bpe {
       byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    if (byteLevel) requireByteMarker(endOfWord)
     // byte-level base is CLOSED (all 256 byte symbols + marker, no corpus
     // scan): every future input decomposes into it, so encodeIds can never
     // emit UNK — the GPT-2 property
@@ -358,6 +374,7 @@ object Bpe {
       merges: DataFrame,
       endOfWord: String = EndOfWord,
       byteLevel: Boolean = false): DataFrame = {
+    if (byteLevel) requireByteMarker(endOfWord)
     val spark = docs.sparkSession
     import spark.implicits._
     val ranks: Map[(String, String), Int] = merges

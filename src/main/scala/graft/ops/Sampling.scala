@@ -24,6 +24,12 @@ object Sampling {
   def hashUniform(key: Column, salt: String = ""): Column =
     Functions.md5Bits(concat(lit(salt), key.cast("string")), 32) / lit(4294967296.0)
 
+  /** The module's single rate-rounding contract: half-up to 9 decimals, so
+    * every derived keep rate compares bit-identically in the SQL oracles.
+    * A precision change must happen HERE, nowhere else.
+    */
+  private def round9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
   /** Keep each row with probability `rate`, deterministically by key. The
     * same key always makes the same decision — resampling a grown corpus
     * keeps every previously selected row (important for incremental
@@ -73,7 +79,7 @@ object Sampling {
     require(!wMaxRow.isNullAt(0), "max weight must be positive (empty or all-null weights)")
     val wMax = wMaxRow.getDouble(0)
     require(wMax > 0.0, "max weight must be positive")
-    val scale = math.floor(targetRate / wMax * 1e9 + 0.5) / 1e9
+    val scale = round9(targetRate / wMax)
     // huge weights (byte sizes, popularity counts) can push targetRate/wMax
     // below the 9-decimal grid — fail loudly rather than sample nothing
     require(scale > 0.0,
@@ -110,7 +116,7 @@ object Sampling {
     require(counts.nonEmpty, "input has no non-null strata")
     val nMin = counts.map(_._2).min.toDouble
     val rates = counts.map { case (s, n) =>
-      s -> math.floor(math.pow(n / nMin, alpha - 1.0) * 1e9 + 0.5) / 1e9
+      s -> round9(math.pow(n / nMin, alpha - 1.0))
     }.toMap
     stratifiedSample(df, strataCol, keyCol, rates, defaultRate = 0.0, salt)
   }
@@ -122,7 +128,10 @@ object Sampling {
     * rate = min(1, budget·p_s / weight_s), rounded half-up to 9 decimals
     * like [[temperatureMix]]; a stratum too small to fill its share is
     * kept whole (the standard under-supply behavior — the result then
-    * lands under budget rather than distorting other sources). Strata
+    * lands under budget rather than distorting other sources; the w → 0
+    * limit keeps rate 1, so a targeted stratum with only zero/null weights
+    * is kept whole, contributing nothing). A targeted proportion of 0
+    * drops its stratum. Strata
     * absent from `proportions` drop (rate 0). Decisions are md5-keyed, so
     * the mix is rerun-stable and monotone in budget: growing T only ever
     * ADDS documents, never swaps them — an incremental training-set build
@@ -147,12 +156,21 @@ object Sampling {
     val totals = df.groupBy(strataCol)
       .agg(sum(col(weightCol).cast("double")).as("w"))
       .collect()
-      .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getDouble(1)))
+      .flatMap(r => Option(r.get(0)).map(s =>
+        // an all-null weight column sums to NULL — treat as total 0 (the
+        // under-supply limit below), not an unboxing NPE
+        s.toString -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1))))
       .toMap
     val rates = proportions.flatMap { case (s, p) =>
       totals.get(s).map { w =>
-        val r = if (w <= 0.0) 0.0 else math.min(1.0, budget * p / w)
-        s -> math.floor(r * 1e9 + 0.5) / 1e9
+        // p = 0 drops; w → 0 with p > 0 is the under-supply LIMIT of
+        // min(1, budget·p/w) → kept whole (matches IEEE x/0 = ∞ in the
+        // SQL twin), never a silent drop of a targeted stratum
+        val r =
+          if (p <= 0.0) 0.0
+          else if (w <= 0.0) 1.0
+          else math.min(1.0, budget * p / w)
+        s -> round9(r)
       }
     }
     stratifiedSample(df, strataCol, keyCol, rates, defaultRate = 0.0, salt)

@@ -272,4 +272,19 @@ class BpeSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("byte-level rejects hex-parsable markers loudly") {
+    val docs = fixture(("low", 3))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.learn(docs, "text", 2, endOfWord = "ff", byteLevel = true)
+    }
+    assert(e.getMessage.contains("non-hex"))
+    intercept[IllegalArgumentException] { Bpe.decodeByteTokens(Seq("61"), endOfWord = "0a") }
+    intercept[IllegalArgumentException] {
+      Bpe.vocabulary(docs, "text",
+        Bpe.learn(docs, "text", 0, byteLevel = true), endOfWord = "abc", byteLevel = true)
+    }
+    // char mode is unaffected: hex-looking markers are legal there
+    assert(Bpe.learn(docs, "text", 1, endOfWord = "ff").count() >= 0)
+  }
 }
