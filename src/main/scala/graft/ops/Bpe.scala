@@ -407,4 +407,70 @@ object Bpe {
       }
       .toDF(idCol, "tokens", "n_tokens")
   }
+
+  /** A complete trained tokenizer: the merge table, its dense id
+    * vocabulary, and the geometry both were built with.
+    */
+  case class BpeTokenizer(
+      merges: DataFrame,
+      vocab: DataFrame,
+      endOfWord: String,
+      byteLevel: Boolean)
+
+  private val MetaFile = "_bpe_meta.json"
+  private val MarkerFile = "_bpe_marker.txt"
+
+  /** Persist a trained tokenizer — the build-once/apply-many artifact
+    * pattern of the persisted ANN indexes ([[SimilaritySearch.saveLshIndex]],
+    * [[IvfIndex]]): merges and vocabulary as parquet, geometry as sidecar
+    * metadata, so any later job (or cluster) re-encodes IDENTICALLY without
+    * re-learning.
+    */
+  def saveTokenizer(t: BpeTokenizer, path: String): Unit = {
+    val spark = t.merges.sparkSession
+    t.merges.write.mode("overwrite").parquet(s"$path/merges")
+    t.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    MetaJson.write(spark, path, MetaFile,
+      Seq("byte_level" -> (if (t.byteLevel) 1L else 0L)))
+    val p = new org.apache.hadoop.fs.Path(path, MarkerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(t.endOfWord.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a tokenizer written by [[saveTokenizer]]; refuses a bare
+    * directory rather than guessing geometry.
+    */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession, path: String): BpeTokenizer = {
+    val f = MetaJson.readFields(spark, path, MetaFile,
+      Seq("byte_level"), "a tokenizer written by saveTokenizer")
+    val p = new org.apache.hadoop.fs.Path(path, MarkerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no $MarkerFile — not a tokenizer written by saveTokenizer")
+    val in = fs.open(p)
+    val endOfWord =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    BpeTokenizer(
+      spark.read.parquet(s"$path/merges"),
+      spark.read.parquet(s"$path/vocab"),
+      endOfWord,
+      f("byte_level") == 1)
+  }
+
+  /** [[encodeIds]] under a (possibly loaded) tokenizer artifact. */
+  def encodeWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      t: BpeTokenizer,
+      unkId: Long = -1L): DataFrame =
+    encodeIds(docs, idCol, textCol, t.merges, t.vocab, unkId, t.endOfWord, t.byteLevel)
 }

@@ -287,4 +287,27 @@ class BpeSpec extends SparkSpec {
     // char mode is unaffected: hex-looking markers are legal there
     assert(Bpe.learn(docs, "text", 1, endOfWord = "ff").count() >= 0)
   }
+
+  test("tokenizer artifact: save -> load -> encode is identical; bare dirs refused") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val merges = Bpe.learnBatched(docs, "text", 24, batchSize = 8, byteLevel = true)
+    val vocab = Bpe.vocabulary(docs, "text", merges, byteLevel = true)
+    val t = Bpe.BpeTokenizer(merges, vocab, Bpe.EndOfWord, byteLevel = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_tok").toString
+
+    val inMem = Bpe.encodeWith(docs, "doc_id", "text", t)
+      .select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    Bpe.saveTokenizer(t, dir)
+    val loaded = Bpe.loadTokenizer(spark, dir)
+    assert(loaded.byteLevel && loaded.endOfWord === Bpe.EndOfWord)
+    val viaDisk = Bpe.encodeWith(docs, "doc_id", "text", loaded)
+      .select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaDisk === inMem, "a loaded tokenizer must encode bit-identically")
+
+    val bare = java.nio.file.Files.createTempDirectory("graft_bpe_bare").toString
+    val e = intercept[IllegalArgumentException] { Bpe.loadTokenizer(spark, bare) }
+    assert(e.getMessage.contains("saveTokenizer"))
+  }
 }
