@@ -112,20 +112,41 @@ class SnapshotLake(spark: SparkSession, root: String) {
 
   def latestVersion: Option[Long] = versions.lastOption
 
-  /** manifest = partitionKey → (partition values, data dir). Stored as
-    * simple sorted `key<TAB>dir` lines inside a .json-named file for
-    * driver-tool friendliness; values re-derive from the key.
+  /** manifest = partitionKey → (partition values, data dir), plus
+    * transaction watermarks. Stored as simple sorted `key<TAB>dir` lines
+    * inside a .json-named file for driver-tool friendliness; values
+    * re-derive from the key. Transaction lines use the reserved prefix
+    * `#txn<TAB>appId<TAB>batchId` — a genuine partition key can never
+    * start with `#` (values are URL-encoded, `#` ⇒ `%23`) — and ride the
+    * SAME atomic manifest create as the data they gate, which is what
+    * makes [[commitIfNew]] exactly-once.
     */
+  private val TxnPrefix = "#txn"
+
   private def readManifest(v: Long): Map[String, String] =
     Files.readAllLines(manifestPath(v)).asScala
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith(TxnPrefix + "\t"))
       .map { line =>
         val Array(k, d) = line.split("\t", 2)
         k -> d
       }.toMap
 
-  private def writeManifestAtomic(v: Long, m: Map[String, String]): Boolean = {
-    val body = m.toSeq.sorted.map { case (k, d) => s"$k\t$d" }.mkString("\n")
+  /** appId → highest committed batch id, as of manifest `v`. */
+  private def readTxns(v: Long): Map[String, Long] =
+    Files.readAllLines(manifestPath(v)).asScala
+      .filter(_.startsWith(TxnPrefix + "\t"))
+      .map { line =>
+        val Array(_, app, b) = line.split("\t", 3)
+        java.net.URLDecoder.decode(app, "UTF-8") -> b.toLong
+      }.toMap
+
+  private def writeManifestAtomic(
+      v: Long, m: Map[String, String], txns: Map[String, Long] = Map.empty): Boolean = {
+    val dataLines = m.toSeq.sorted.map { case (k, d) => s"$k\t$d" }
+    val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) =>
+      s"$TxnPrefix\t${java.net.URLEncoder.encode(a, "UTF-8")}\t$b"
+    }
+    val body = (dataLines ++ txnLines).mkString("\n")
     try {
       // CREATE_NEW = the atomic commit point: exactly one writer wins v
       Files.write(manifestPath(v), body.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
@@ -134,6 +155,13 @@ class SnapshotLake(spark: SparkSession, root: String) {
       case _: java.nio.file.FileAlreadyExistsException => false
     }
   }
+
+  /** The last batch id committed under `appId`, or None if that stream has
+    * never committed here. Readable by monitoring; [[commitIfNew]] is the
+    * race-safe consumer.
+    */
+  def lastTxn(appId: String): Option[Long] =
+    latestVersion.flatMap(v => readTxns(v).get(appId))
 
   /** Commit `batch`: every `partitionCols` combination present in it is
     * (re)placed as a whole; all other partitions carry over from the latest
@@ -157,13 +185,73 @@ class SnapshotLake(spark: SparkSession, root: String) {
     }.toMap
     var committed = -1L
     while (committed < 0) {
-      val base = latestVersion.map(readManifest).getOrElse(Map.empty)
-      val next = latestVersion.getOrElse(0L) + 1
-      if (writeManifestAtomic(next, base ++ newDirs)) committed = next
+      val v = latestVersion
+      val base = v.map(readManifest).getOrElse(Map.empty)
+      val txns = v.map(readTxns).getOrElse(Map.empty) // carry watermarks forward
+      val next = v.getOrElse(0L) + 1
+      if (writeManifestAtomic(next, base ++ newDirs, txns)) committed = next
       // else: another writer took `next`; loop re-reads and re-merges
     }
     writeInfo(committed, "commit", newDirs.size)
     committed
+  }
+
+  /** Exactly-once [[commit]] for at-least-once producers (Structured
+    * Streaming `foreachBatch`, retried jobs): the commit lands only if
+    * `batchId` is NEWER than `appId`'s recorded watermark, and the
+    * watermark update rides the same atomic manifest create as the data —
+    * there is no state of the world with the data committed but the
+    * watermark missing (or vice versa). A replayed batch (crash before the
+    * checkpoint advanced, speculative rerun) returns None and stages
+    * nothing; a race between two attempts of the SAME batch resolves to
+    * exactly one winner through the optimistic version loop. This is the
+    * lakehouse `txn`/appId idempotent-sink pattern.
+    */
+  def commitIfNew(
+      appId: String,
+      batchId: Long,
+      batch: DataFrame,
+      partitionCols: Seq[String]): Option[Long] = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    // cheap pre-check before staging any data (re-checked under the race)
+    if (lastTxn(appId).exists(_ >= batchId)) return None
+    Files.createDirectories(manifestsDir)
+    Files.createDirectories(dataDir)
+    val touched = touchedPartitions(batch, partitionCols)
+    val newDirs: Map[String, String] = touched.map { values =>
+      val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
+      val pred = partitionCols.zip(values)
+        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      batch.filter(pred).drop(partitionCols: _*)
+        .write.parquet(dir.toString)
+      keyOf(values) -> dir.toString
+    }.toMap
+    var result: Option[Option[Long]] = None
+    while (result.isEmpty) {
+      val v = latestVersion
+      val txns = v.map(readTxns).getOrElse(Map.empty)
+      if (txns.get(appId).exists(_ >= batchId)) {
+        // lost the race to another attempt of this very batch: discard our
+        // staged dirs (vacuum would get them; eager is kinder)
+        newDirs.values.foreach { d =>
+          val p = Paths.get(d)
+          if (Files.exists(p)) {
+            val w = Files.walk(p)
+            try w.sorted(java.util.Comparator.reverseOrder()).forEach(x => Files.delete(x))
+            finally w.close()
+          }
+        }
+        result = Some(None)
+      } else {
+        val base = v.map(readManifest).getOrElse(Map.empty)
+        val next = v.getOrElse(0L) + 1
+        if (writeManifestAtomic(next, base ++ newDirs, txns + (appId -> batchId))) {
+          writeInfo(next, "commit", newDirs.size)
+          result = Some(Some(next))
+        }
+      }
+    }
+    result.get
   }
 
   /** PK-grain latest-wins upsert with snapshot-isolated OPTIMISTIC
@@ -217,7 +305,8 @@ class SnapshotLake(spark: SparkSession, root: String) {
         keyOf(values) -> dir.toString
       }.toMap
       val next = base.getOrElse(0L) + 1
-      if (writeManifestAtomic(next, baseManifest ++ newDirs)) {
+      val txns = base.map(readTxns).getOrElse(Map.empty)
+      if (writeManifestAtomic(next, baseManifest ++ newDirs, txns)) {
         committed = next
         writeInfo(committed, "upsert", newDirs.size)
       } else {
@@ -272,7 +361,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val manifest = rewritten.collect { case (k, Some(d)) => k -> d }
       if (manifest.isEmpty)
         throw new IllegalStateException("deleteWhere would empty the lake; refusing to commit")
-      if (writeManifestAtomic(next, manifest)) {
+      if (writeManifestAtomic(next, manifest, readTxns(base))) {
         committed = next
         writeInfo(committed, "delete", rewritten.size)
       } else rewritten.values.flatten.foreach { d =>

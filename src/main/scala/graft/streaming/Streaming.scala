@@ -137,4 +137,28 @@ object Streaming {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Exactly-once snapshot-lake sink for a streaming query: each micro
+    * batch commits through [[graft.catalog.SnapshotLake.commitIfNew]] keyed
+    * by (appId, batchId), so Structured Streaming's at-least-once
+    * `foreachBatch` delivery — replays after a crash before the checkpoint
+    * advanced, retried batches — lands each batch's data EXACTLY once: the
+    * batch-id watermark rides the same atomic manifest create as the data.
+    * Use a stable `appId` per logical stream; two streams writing the same
+    * lake need distinct ids (watermarks are per-app).
+    */
+  def snapshotSink(
+      df: DataFrame,
+      lake: graft.catalog.SnapshotLake,
+      partitionCols: Seq[String],
+      appId: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lake.commitIfNew(appId, batchId, batch, partitionCols)
+        ()
+      }
+      .start()
 }

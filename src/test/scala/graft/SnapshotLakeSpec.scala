@@ -200,4 +200,67 @@ class SnapshotLakeSpec extends SparkSpec {
     val nDirs = try s.count() finally s.close()
     assert(nDirs === 2, "exactly the two referenced partition dirs survive")
   }
+
+  test("commitIfNew: replayed batches land exactly once; racing attempts pick one winner") {
+    val (lake, _) = fresh()
+    // batch 0 commits, a replay of batch 0 is a no-op returning None
+    assert(lake.commitIfNew("appA", 0L, batch("F")("b0"), Seq("o_orderstatus")).isDefined)
+    assert(lake.commitIfNew("appA", 0L, batch("F")("b0-replay"), Seq("o_orderstatus")).isEmpty)
+    assert(lake.lastTxn("appA") === Some(0L))
+    val afterReplay = lake.read(Seq("o_orderstatus"))
+      .select("pointer").distinct().collect().map(_.getString(0)).toSet
+    assert(afterReplay === Set("b0"), "a replayed batch must not overwrite or duplicate")
+
+    // a LATER batch commits; an OLD batch arriving late (out-of-order
+    // replay after checkpoint loss) is rejected by the watermark
+    assert(lake.commitIfNew("appA", 1L, batch("O")("b1"), Seq("o_orderstatus")).isDefined)
+    assert(lake.commitIfNew("appA", 0L, batch("P")("b0-late"), Seq("o_orderstatus")).isEmpty)
+    assert(lake.lastTxn("appA") === Some(1L))
+
+    // watermarks are per-app: a different stream's batch 0 still lands,
+    // and normal commits/upserts carry all watermarks forward
+    assert(lake.commitIfNew("appB", 0L, batch("P")("appB-b0"), Seq("o_orderstatus")).isDefined)
+    lake.commit(batch("F")("manual"), Seq("o_orderstatus"))
+    assert(lake.lastTxn("appA") === Some(1L) && lake.lastTxn("appB") === Some(0L))
+
+    // concurrent attempts of the SAME batch: exactly one wins
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = (0 until 4).map(i =>
+      Future(lake.commitIfNew("appC", 7L, batch("O")(s"c$i"), Seq("o_orderstatus"))))
+    val winners = Await.result(Future.sequence(attempts), 180.seconds).flatten
+    assert(winners.size === 1, s"exactly one attempt of batch 7 may commit, got $winners")
+  }
+
+  test("snapshotSink: a real stream drains exactly-once; checkpoint loss does not duplicate") {
+    import org.apache.spark.sql.functions.col
+    val (lake, _) = fresh()
+    val srcDir = Files.createTempDirectory("graft_sink_src").toString
+    val cp1 = Files.createTempDirectory("graft_sink_cp1").toString
+    batch("F", "O")("wave1").write.mode("overwrite").parquet(srcDir)
+
+    val schema = batch("F")("x").schema
+    def drain(cp: String): Unit = {
+      val q = graft.streaming.Streaming.snapshotSink(
+        spark.readStream.schema(schema).parquet(srcDir),
+        lake, Seq("o_orderstatus"), "sinkApp", cp)
+      q.awaitTermination()
+    }
+    drain(cp1)
+    val n1 = lake.read(Seq("o_orderstatus")).count()
+    assert(n1 === batch("F", "O")("x").count())
+
+    // rerun with the SAME checkpoint: nothing new, no recommit
+    val vBefore = lake.latestVersion
+    drain(cp1)
+    assert(lake.latestVersion === vBefore, "an already-drained stream must commit nothing")
+
+    // TOTAL checkpoint loss: the source replays from scratch under a fresh
+    // checkpoint — batch ids restart at 0, which the app watermark rejects
+    drain(Files.createTempDirectory("graft_sink_cp2").toString)
+    assert(lake.read(Seq("o_orderstatus")).count() === n1,
+      "checkpoint loss must not duplicate rows")
+    assert(lake.latestVersion === vBefore)
+  }
 }
