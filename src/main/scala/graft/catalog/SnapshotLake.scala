@@ -287,7 +287,8 @@ class SnapshotLake(spark: SparkSession, root: String) {
         partitionCols.zip(values).foldLeft(spark.read.parquet(dir)) {
           case (df, (c, value)) => df.withColumn(c, lit(value))
         }
-      }.reduceOption(_ unionByName _)
+      // evolving schemas merge with NULLs for absent columns, same as read()
+      }.reduceOption(_.unionByName(_, allowMissingColumns = true))
       val merged = LakeCatalog.merge(
         current.fold(batch)(c =>
           c.unionByName(batch.withColumns(
@@ -390,7 +391,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
       partitionCols.zip(values).foldLeft(spark.read.parquet(dir)) {
         case (df, (c, value)) => df.withColumn(c, lit(value))
       }
-    }.reduce(_ unionByName _)
+    // schema evolution: a later commit may have ADDED columns, so older
+    // partitions read with those columns NULL (the lakehouse mergeSchema
+    // contract) instead of failing the union
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Per-file min/max stats for a snapshot's data files, read from parquet

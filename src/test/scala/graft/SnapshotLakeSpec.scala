@@ -263,4 +263,23 @@ class SnapshotLakeSpec extends SparkSpec {
       "checkpoint loss must not duplicate rows")
     assert(lake.latestVersion === vBefore)
   }
+
+  test("schema evolution: later commits may add columns; older partitions read as NULL") {
+    import org.apache.spark.sql.functions.col
+    val (lake, _) = fresh()
+    lake.commit(batch("F")("old"), Seq("o_orderstatus"))
+    // the next commit carries an extra column the first partition lacks
+    lake.commit(batch("O")("new").withColumn("quality", lit(0.9)), Seq("o_orderstatus"))
+    val all = lake.read(Seq("o_orderstatus"))
+    assert(all.columns.contains("quality"))
+    assert(all.filter(col("o_orderstatus") === "F" && col("quality").isNull).count() ===
+      batch("F")("x").count(), "pre-evolution rows surface the new column as NULL")
+    assert(all.filter(col("o_orderstatus") === "O" && col("quality") === 0.9).count() ===
+      batch("O")("x").count())
+    // PK upsert across the evolution boundary merges instead of failing
+    lake.upsert(batch("F")("upd").withColumn("quality", lit(0.5)),
+      Seq("o_orderkey"), "pointer", Seq("o_orderstatus"))
+    val f = lake.read(Seq("o_orderstatus")).filter(col("o_orderstatus") === "F")
+    assert(f.filter(col("quality") === 0.5).count() === batch("F")("x").count())
+  }
 }
