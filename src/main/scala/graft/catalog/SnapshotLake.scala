@@ -99,6 +99,30 @@ class SnapshotLake(spark: SparkSession, root: String) {
         }
       }.toSeq
 
+  /** Stage one immutable uniquely-named directory per touched partition —
+    * shared by every commit path, so write details (layout, options) can
+    * never diverge between batch and streaming.
+    */
+  private def stageDirs(
+      batch: DataFrame,
+      partitionCols: Seq[String],
+      touched: Seq[Seq[String]]): Map[String, String] =
+    touched.map { values =>
+      val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
+      val pred = partitionCols.zip(values)
+        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      batch.filter(pred).drop(partitionCols: _*)
+        .write.parquet(dir.toString)
+      keyOf(values) -> dir.toString
+    }.toMap
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir)) {
+      val w = Files.walk(dir)
+      try w.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.deleteIfExists(p))
+      finally w.close()
+    }
+
   def versions: Seq[Long] = {
     if (!Files.isDirectory(manifestsDir)) return Seq.empty
     val s = Files.list(manifestsDir)
@@ -123,25 +147,31 @@ class SnapshotLake(spark: SparkSession, root: String) {
     */
   private val TxnPrefix = "#txn"
 
-  private def readManifest(v: Long): Map[String, String] =
-    Files.readAllLines(manifestPath(v)).asScala
-      .filter(l => l.nonEmpty && !l.startsWith(TxnPrefix + "\t"))
-      .map { line =>
-        val Array(k, d) = line.split("\t", 2)
-        k -> d
-      }.toMap
+  /** One file read → (partition map, appId → batch-id watermarks). */
+  private def readManifestAndTxns(v: Long): (Map[String, String], Map[String, Long]) = {
+    val lines = Files.readAllLines(manifestPath(v)).asScala.filter(_.nonEmpty)
+    val (txnLines, dataLines) = lines.partition(_.startsWith(TxnPrefix + "\t"))
+    val data = dataLines.map { line =>
+      val Array(k, d) = line.split("\t", 2)
+      k -> d
+    }.toMap
+    val txns = txnLines.map { line =>
+      val Array(_, app, b) = line.split("\t", 3)
+      java.net.URLDecoder.decode(app, "UTF-8") -> b.toLong
+    }.toMap
+    (data, txns)
+  }
+
+  private def readManifest(v: Long): Map[String, String] = readManifestAndTxns(v)._1
 
   /** appId → highest committed batch id, as of manifest `v`. */
-  private def readTxns(v: Long): Map[String, Long] =
-    Files.readAllLines(manifestPath(v)).asScala
-      .filter(_.startsWith(TxnPrefix + "\t"))
-      .map { line =>
-        val Array(_, app, b) = line.split("\t", 3)
-        java.net.URLDecoder.decode(app, "UTF-8") -> b.toLong
-      }.toMap
+  private def readTxns(v: Long): Map[String, Long] = readManifestAndTxns(v)._2
 
+  // txns is deliberately NOT defaulted: every commit path must decide what
+  // happens to the watermarks — a forgotten argument would silently erase
+  // every stream's exactly-once state
   private def writeManifestAtomic(
-      v: Long, m: Map[String, String], txns: Map[String, Long] = Map.empty): Boolean = {
+      v: Long, m: Map[String, String], txns: Map[String, Long]): Boolean = {
     val dataLines = m.toSeq.sorted.map { case (k, d) => s"$k\t$d" }
     val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) =>
       s"$TxnPrefix\t${java.net.URLEncoder.encode(a, "UTF-8")}\t$b"
@@ -175,20 +205,16 @@ class SnapshotLake(spark: SparkSession, root: String) {
     // one immutable directory per touched partition, written before any
     // manifest race — losers retry only the (cheap) manifest merge
     val touched = touchedPartitions(batch, partitionCols)
-    val newDirs: Map[String, String] = touched.map { values =>
-      val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
-      val pred = partitionCols.zip(values)
-        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-      batch.filter(pred).drop(partitionCols: _*)
-        .write.parquet(dir.toString)
-      keyOf(values) -> dir.toString
-    }.toMap
+    // an empty batch on a FRESH lake would commit a data-less manifest that
+    // wedges read()/statsFor; there is nothing to commit either way
+    require(touched.nonEmpty, "batch has no rows — nothing to commit")
+    val newDirs = stageDirs(batch, partitionCols, touched)
     var committed = -1L
     while (committed < 0) {
       val v = latestVersion
-      val base = v.map(readManifest).getOrElse(Map.empty)
-      val txns = v.map(readTxns).getOrElse(Map.empty) // carry watermarks forward
+      val (base, txns) = v.map(readManifestAndTxns).getOrElse((Map.empty[String, String], Map.empty[String, Long]))
       val next = v.getOrElse(0L) + 1
+      // watermarks carry forward untouched
       if (writeManifestAtomic(next, base ++ newDirs, txns)) committed = next
       // else: another writer took `next`; loop re-reads and re-merges
     }
@@ -204,8 +230,20 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * watermark missing (or vice versa). A replayed batch (crash before the
     * checkpoint advanced, speculative rerun) returns None and stages
     * nothing; a race between two attempts of the SAME batch resolves to
-    * exactly one winner through the optimistic version loop. This is the
-    * lakehouse `txn`/appId idempotent-sink pattern.
+    * exactly one winner through the optimistic version loop. An EMPTY
+    * batch returns None without committing (no data needs replay
+    * protection, and a data-less first commit would wedge `read`). This is
+    * the lakehouse `txn`/appId idempotent-sink pattern.
+    *
+    * CHECKPOINT-LOSS CAVEAT (inherent to the pattern, exactly as in the
+    * lakehouse formats): batch ids are meaningful only RELATIVE TO ONE
+    * CHECKPOINT lineage. If the producer's checkpoint is lost and the
+    * source replays from scratch, ids restart at 0 and this watermark
+    * rejects them — including any NEW data bundled into those replayed
+    * batches. Recovering from checkpoint loss therefore requires either a
+    * fresh `appId` (plus downstream dedup of the re-delivered old rows) or
+    * repositioning the source past the already-committed data. Never reuse
+    * an old `appId` with a fresh checkpoint and expect new rows to land.
     */
   def commitIfNew(
       appId: String,
@@ -218,32 +256,18 @@ class SnapshotLake(spark: SparkSession, root: String) {
     Files.createDirectories(manifestsDir)
     Files.createDirectories(dataDir)
     val touched = touchedPartitions(batch, partitionCols)
-    val newDirs: Map[String, String] = touched.map { values =>
-      val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
-      val pred = partitionCols.zip(values)
-        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-      batch.filter(pred).drop(partitionCols: _*)
-        .write.parquet(dir.toString)
-      keyOf(values) -> dir.toString
-    }.toMap
+    if (touched.isEmpty) return None
+    val newDirs = stageDirs(batch, partitionCols, touched)
     var result: Option[Option[Long]] = None
     while (result.isEmpty) {
       val v = latestVersion
-      val txns = v.map(readTxns).getOrElse(Map.empty)
+      val (base, txns) = v.map(readManifestAndTxns).getOrElse((Map.empty[String, String], Map.empty[String, Long]))
       if (txns.get(appId).exists(_ >= batchId)) {
         // lost the race to another attempt of this very batch: discard our
         // staged dirs (vacuum would get them; eager is kinder)
-        newDirs.values.foreach { d =>
-          val p = Paths.get(d)
-          if (Files.exists(p)) {
-            val w = Files.walk(p)
-            try w.sorted(java.util.Comparator.reverseOrder()).forEach(x => Files.delete(x))
-            finally w.close()
-          }
-        }
+        newDirs.values.foreach(d => deleteRecursively(Paths.get(d)))
         result = Some(None)
       } else {
-        val base = v.map(readManifest).getOrElse(Map.empty)
         val next = v.getOrElse(0L) + 1
         if (writeManifestAtomic(next, base ++ newDirs, txns + (appId -> batchId))) {
           writeInfo(next, "commit", newDirs.size)
@@ -276,11 +300,13 @@ class SnapshotLake(spark: SparkSession, root: String) {
     Files.createDirectories(manifestsDir)
     Files.createDirectories(dataDir)
     val touched = touchedPartitions(batch, partitionCols)
+    require(touched.nonEmpty, "batch has no rows — nothing to upsert")
     val touchedKeys = touched.map(keyOf).toSet
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion
-      val baseManifest = base.map(readManifest).getOrElse(Map.empty)
+      val (baseManifest, txns) =
+        base.map(readManifestAndTxns).getOrElse((Map.empty[String, String], Map.empty[String, Long]))
       val existing = baseManifest.view.filterKeys(touchedKeys).toMap
       val current = existing.toSeq.sorted.map { case (key, dir) =>
         val values = key.split("/").map(java.net.URLDecoder.decode(_, "UTF-8"))
@@ -297,29 +323,14 @@ class SnapshotLake(spark: SparkSession, root: String) {
             partitionCols.map(c => c -> col(c).cast("string")).toMap),
             allowMissingColumns = true)),
         pk, versionCol)
-      val newDirs: Map[String, String] = touched.map { values =>
-        val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
-        val pred = partitionCols.zip(values)
-          .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-        merged.filter(pred).drop(partitionCols: _*)
-          .write.parquet(dir.toString)
-        keyOf(values) -> dir.toString
-      }.toMap
+      val newDirs = stageDirs(merged, partitionCols, touched)
       val next = base.getOrElse(0L) + 1
-      val txns = base.map(readTxns).getOrElse(Map.empty)
       if (writeManifestAtomic(next, baseManifest ++ newDirs, txns)) {
         committed = next
         writeInfo(committed, "upsert", newDirs.size)
       } else {
         // conflict: the merge is stale — drop staged dirs and retry
-        newDirs.values.foreach { d =>
-          val p = Paths.get(d)
-          if (Files.exists(p)) {
-            val w = Files.walk(p)
-            try w.sorted(java.util.Comparator.reverseOrder()).forEach(x => Files.delete(x))
-            finally w.close()
-          }
-        }
+        newDirs.values.foreach(d => deleteRecursively(Paths.get(d)))
       }
     }
     committed
@@ -365,14 +376,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       if (writeManifestAtomic(next, manifest, readTxns(base))) {
         committed = next
         writeInfo(committed, "delete", rewritten.size)
-      } else rewritten.values.flatten.foreach { d =>
-        val p = Paths.get(d)
-        if (Files.exists(p)) {
-          val w = Files.walk(p)
-          try w.sorted(java.util.Comparator.reverseOrder()).forEach(x => Files.delete(x))
-          finally w.close()
-        }
-      }
+      } else rewritten.values.flatten.foreach(d => deleteRecursively(Paths.get(d)))
     }
     committed
   }
@@ -432,7 +436,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(anyDir).schema)
     } else
-      spark.read.parquet(files: _*).filter(col(c) >= lo && col(c) <= hi)
+      // mixed-schema file sets (post-evolution versions) must merge, not
+      // sample one file's schema nondeterministically
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+        .filter(col(c) >= lo && col(c) <= hi)
   }
 
   /** Drop data directories referenced by NO manifest among the kept ones,
@@ -460,11 +467,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
           try Files.getLastModifiedTime(d).toMillis < cutoff
           catch { case _: java.io.IOException => false }
         }
-        .foreach { d =>
-          val w = Files.walk(d)
-          try w.sorted(java.util.Comparator.reverseOrder()).forEach(p => Files.delete(p))
-          finally w.close()
-        }
+        .foreach(deleteRecursively)
     }
     drop.foreach { v =>
       Files.deleteIfExists(manifestPath(v))

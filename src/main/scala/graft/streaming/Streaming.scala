@@ -146,16 +146,25 @@ object Streaming {
     * batch-id watermark rides the same atomic manifest create as the data.
     * Use a stable `appId` per logical stream; two streams writing the same
     * lake need distinct ids (watermarks are per-app).
+    *
+    * The default trigger is `AvailableNow` — drain what exists, then stop
+    * (the scheduled-batch deployment shape); pass a processing-time trigger
+    * for a resident continuous sink. See [[graft.catalog.SnapshotLake
+    * .commitIfNew]] for the checkpoint-loss caveat: batch ids are relative
+    * to ONE checkpoint lineage, so recovering from a lost checkpoint needs
+    * a fresh appId or a repositioned source — never the old appId with a
+    * fresh checkpoint.
     */
   def snapshotSink(
       df: DataFrame,
       lake: graft.catalog.SnapshotLake,
       partitionCols: Seq[String],
       appId: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         lake.commitIfNew(appId, batchId, batch, partitionCols)
         ()

@@ -282,4 +282,20 @@ class SnapshotLakeSpec extends SparkSpec {
     val f = lake.read(Seq("o_orderstatus")).filter(col("o_orderstatus") === "F")
     assert(f.filter(col("quality") === 0.5).count() === batch("F")("x").count())
   }
+
+  test("empty batches: commitIfNew is a None no-op (lake stays unborn); commit/upsert refuse") {
+    val (lake, _) = fresh()
+    val empty = batch("F")("x").limit(0)
+    // a no-data micro-batch before ANY real data must not wedge the lake
+    // with a data-less first manifest
+    assert(lake.commitIfNew("app", 0L, empty, Seq("o_orderstatus")).isEmpty)
+    assert(lake.latestVersion.isEmpty, "no manifest may exist after an empty batch")
+    intercept[IllegalArgumentException] { lake.commit(empty, Seq("o_orderstatus")) }
+    intercept[IllegalArgumentException] {
+      lake.upsert(empty, Seq("o_orderkey"), "pointer", Seq("o_orderstatus"))
+    }
+    // real data afterwards lands normally and reads fine
+    assert(lake.commitIfNew("app", 1L, batch("F")("b1"), Seq("o_orderstatus")).isDefined)
+    assert(lake.read(Seq("o_orderstatus")).count() === batch("F")("x").count())
+  }
 }
