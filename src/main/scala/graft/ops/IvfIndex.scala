@@ -170,6 +170,31 @@ object IvfIndex {
     Index(assignments, centroids)
   }
 
+  /** Incrementally extend a PERSISTED index: assign the new vectors to the
+    * existing (frozen) centroids and APPEND to the cell-partitioned
+    * assignment table — no rebuild, no rewrite of existing files, the same
+    * incremental-maintenance story as [[graft.catalog.SnapshotLake]]
+    * commits. Assignment is deterministic given centroids, so the appended
+    * index is bit-identical to one built over the union with the same
+    * centroid set (spec-asserted). Centroids stay frozen — the standard
+    * IVF maintenance trade: cell balance drifts as the corpus grows, so
+    * re-run [[refine]] + [[save]] when recall decays.
+    */
+  def append(
+      spark: SparkSession,
+      path: String,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1)
+    require(centroids.nonEmpty, s"$path has no centroids — not a saved IVF index")
+    assignTo(newVectors, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assignments")
+  }
+
   /** Search: top-k by cosine among vectors in the `nProbe` cells nearest to
     * the query.
     */

@@ -78,6 +78,36 @@ class AnnSpec extends SparkSpec {
       s"expected cell partition pruning in:\n$probedPlan")
   }
 
+  test("IVF append: incremental vectors join the persisted index without a rebuild") {
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val index = IvfIndex.build(half1, "vec_id", "embedding", nCells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString
+    IvfIndex.save(index, dir)
+
+    IvfIndex.append(spark, dir, half2, "vec_id", "embedding")
+    val grown = IvfIndex.load(spark, dir)
+    assert(grown.assignments.count() === emb.count(),
+      "appended index must cover the whole corpus")
+    assert(grown.centroids.toSet === index.centroids.toSet, "centroids stay frozen")
+
+    // assignment is deterministic per (vector, frozen centroids), so
+    // probing every cell of the grown index is still exact over the corpus
+    val appended = IvfIndex.search(grown, emb, "vec_id", "embedding", queryVec, 10, nProbe = 16)
+      .as[(Long, Double)].collect().toSeq
+    val exact = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", queryVec, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(appended === exact)
+
+    // appending an EMPTY batch is a clean no-op
+    IvfIndex.append(spark, dir, half2.limit(0), "vec_id", "embedding")
+    assert(IvfIndex.load(spark, dir).assignments.count() === emb.count())
+
+    // a bare directory refuses
+    val bare = java.nio.file.Files.createTempDirectory("graft_ivf_bare_").toString
+    intercept[Exception] { IvfIndex.append(spark, bare, half2, "vec_id", "embedding") }
+  }
+
   test("LSH top-k returns plausible neighbors from the query bucket") {
     val got = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec, 10, planes = 4)
     val rows = got.collect()
