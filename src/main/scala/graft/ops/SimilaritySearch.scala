@@ -134,6 +134,25 @@ object SimilaritySearch {
     LshIndex(spark.read.parquet(path), f("planes"), f("dims"))
   }
 
+  /** Incrementally extend a PERSISTED LSH index: hash the new vectors with
+    * the index's OWN persisted geometry (planes/dims from `_lsh_meta.json`
+    * — never the caller's idea of them) and append to the bucket-partitioned
+    * table. Hyperplanes are md5-derived plan-time constants, so appended
+    * rows land in exactly the buckets a full rebuild would give them —
+    * existing files untouched, the [[IvfIndex.append]] twin.
+    */
+  def appendLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val f = MetaJson.readFields(spark, path, MetaFile,
+      Seq("planes", "dims"), "an index written by saveLshIndex")
+    buildLshIndex(newVectors, idCol, vecCol, f("planes"), f("dims"))
+      .relation.write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
   /** Driver-side twin of [[lshBucket]] for a literal query vector — same
     * left-to-right multiply-add order, so the bucket id is bit-identical to
     * the column expression's.

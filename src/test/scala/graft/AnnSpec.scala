@@ -158,6 +158,39 @@ class AnnSpec extends SparkSpec {
       s"expected bucket partition pruning in:\n$plan")
   }
 
+  test("LSH append: new vectors hash into the persisted index's own geometry") {
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_app_").toString
+    SimilaritySearch.saveLshIndex(
+      SimilaritySearch.buildLshIndex(half1, "vec_id", "embedding",
+        planes = 4, dims = queryVec.length), dir)
+
+    SimilaritySearch.appendLshIndex(spark, dir, half2, "vec_id", "embedding")
+    val grown = SimilaritySearch.loadLshIndex(spark, dir)
+    assert(grown.relation.count() === emb.count())
+
+    // planes are plan-time constants, so the grown index equals a full
+    // rebuild bucket-for-bucket, and indexed search equals in-memory search
+    val rebuilt = SimilaritySearch.buildLshIndex(
+      emb, "vec_id", "embedding", planes = 4, dims = queryVec.length)
+    val a = grown.relation.select("vec_id", "bucket").as[(Long, Long)].collect().toSet
+    val b = rebuilt.relation.select("vec_id", "bucket").as[(Long, Long)].collect().toSet
+    assert(a === b)
+    val viaIndex = SimilaritySearch.lshTopKIndexed(grown, "vec_id", queryVec, 10)
+      .as[(Long, Double)].collect().toSeq
+    val inMem = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec, 10, planes = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaIndex === inMem)
+
+    // a bare directory has no geometry to hash against — refuse
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.appendLshIndex(
+        spark, java.nio.file.Files.createTempDirectory("graft_lsh_abare_").toString,
+        half2, "vec_id", "embedding")
+    }
+  }
+
   test("multi-probe LSH: zero probes == single bucket, more probes recover recall") {
     val index = SimilaritySearch.buildLshIndex(
       emb, "vec_id", "embedding", planes = 4, dims = queryVec.length)
