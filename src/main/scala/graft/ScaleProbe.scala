@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * Measured (local[32], min of 3): exact 1.3x, simhash 0.8x, quality 1.0x,
   * ann_brute 1.1x, lsh_buckets 1.1x, rp_project 1.0x, pk_concat 1.3x,
   * rj_overlap 1.2x, hh_tokens 1.4x, bf_join 1.2x, bpe_encode 1.1x,
-  * sm_shuffle 1.3x, minhash 2.6x, dd_clusters 3.5x, lsh_pairs 3.8x,
+  * sm_shuffle 1.3x, bpe_learn 0.9x (vocab-bound — flat in corpus size),
+  * minhash 2.6x, dd_clusters 3.5x, lsh_pairs 3.8x,
   * tx_cdc 5.2x — all sub-linear per row. The two pair generators read higher
   * (ngram_jaccard ~38x, cos_pairs ~43x) because their OUTPUT explodes by
   * construction, not because the algorithms are quadratic in corpus size:
@@ -161,7 +162,12 @@ object ScaleProbe {
       // two-level position assignment: bucket-local rank + 256-row offsets
       // join — expect ~linear (the global sort never materializes)
       "sm_shuffle" -> (d =>
-        graft.ops.Sampling.epochShuffle(docsAt(d), "doc_id", epoch = 3L).count()))
+        graft.ops.Sampling.epochShuffle(docsAt(d), "doc_id", epoch = 3L).count()),
+      // learning = ONE corpus-scale count pass + vocab-table rounds; a 10x
+      // corpus with ~constant vocabulary should cost ~the count pass alone
+      "bpe_learn" -> (d =>
+        graft.ops.Bpe.learnBatched(docsAt(d), "text",
+          numMerges = 16, batchSize = 8).count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
