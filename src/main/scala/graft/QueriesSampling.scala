@@ -69,7 +69,14 @@ object QueriesSampling {
       Sampling.budgetMix(t(s, dir, "documents"), "lang", "doc_id", "n_chars",
         budget = 40000.0, proportions = Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15),
         salt = "bm")
-        .select("doc_id", "lang", "n_chars")))
+        .select("doc_id", "lang", "n_chars")),
+
+    // curriculum order: short-document bands first, shuffled within band
+    "q_sm_curriculum" -> ((s, dir) =>
+      Sampling.tieredShuffle(
+          t(s, dir, "documents").withColumn("band", floor(col("n_chars") / 500)),
+          Seq("band"), "doc_id", epoch = 2L)
+        .select("doc_id", "band", "pos")))
 
   val oracles: Map[String, String] = Map(
     "q_sm_budget" ->
@@ -83,6 +90,12 @@ object QueriesSampling {
          |SELECT doc_id, d.lang, n_chars
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE ${uSql("doc_id", "bm")} < rate""".stripMargin,
+    "q_sm_curriculum" ->
+      """SELECT doc_id, CAST(floor(n_chars / 500) AS BIGINT) AS band,
+        |  CAST(row_number() OVER (
+        |    ORDER BY floor(n_chars / 500), md5('2:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
     "q_sm_shuffle" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (

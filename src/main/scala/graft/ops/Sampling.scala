@@ -246,17 +246,39 @@ object Sampling {
     * leading bytes don't skew), never the whole dataset.
     */
   def epochShuffle(
-      df: DataFrame, keyCol: String, epoch: Long, salt: String = ""): DataFrame = {
+      df: DataFrame, keyCol: String, epoch: Long, salt: String = ""): DataFrame =
+    tieredShuffle(df, Seq.empty, keyCol, epoch, salt)
+
+  /** Curriculum ordering: a reproducible global position that visits
+    * `tierCols` in ascending order (quality band, difficulty, sequence
+    * length — the curriculum-learning schedule) while shuffling
+    * deterministically WITHIN each tier, per epoch. With no tiers this IS
+    * [[epochShuffle]]. Same two-level scale shape: the widest window
+    * partition is one (tier × hash-bucket) slice; the cumulative offsets
+    * window runs over tiers×256 rows, never data. Rows with a NULL in any
+    * tier column drop with the null keys (the module rule) — route them to
+    * an explicit tier first if they should participate.
+    */
+  def tieredShuffle(
+      df: DataFrame,
+      tierCols: Seq[String],
+      keyCol: String,
+      epoch: Long,
+      salt: String = ""): DataFrame = {
     val sk = md5(concat(lit(salt), lit(epoch.toString), lit(":"), col(keyCol).cast("string")))
+    val tiers = tierCols.map(col)
+    val nonNull = (col(keyCol) +: tiers).map(_.isNotNull).reduce(_ && _)
     val local = df
-      .filter(col(keyCol).isNotNull) // module-wide null-key rule
+      .filter(nonNull) // module-wide null-key rule
       .withColumn("_sk", sk)
       .withColumn("_b", substring(col("_sk"), 1, 2))
       .withColumn("_lr", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_b")).orderBy(col("_sk"), col(keyCol))))
+          .partitionBy(tiers :+ col("_b"): _*).orderBy(col("_sk"), col(keyCol))))
+    // global order = (tiers asc, _sk asc): the bucket is the sort key's
+    // leading byte, so cumulative (tier, bucket) offsets reproduce it
     val offsetW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_b")).rowsBetween(
+      .orderBy(tiers :+ col("_b"): _*).rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     // bucket sizes come from the windowed side (max local rank ≡ bucket
     // count). Exchange reuse does NOT fire here (verified in the physical
@@ -266,13 +288,15 @@ object Sampling {
     // work is one extra scan + md5 + ~25-byte/row shuffle; the
     // payload-carrying exchange happens exactly once, and checkpointing
     // `local` to force reuse would materialize the payload instead.
-    // ≤256 rows after the aggregate: the single-partition cumulative window
-    // is over buckets, not data
-    val offsets = local.groupBy(col("_b")).agg(max(col("_lr")).cast("long").as("_n"))
+    // ≤ tiers×256 rows after the aggregate: the single-partition cumulative
+    // window is over (tier, bucket) cells, not data
+    val joinKeys = tierCols :+ "_b"
+    val offsets = local.groupBy(joinKeys.map(col): _*)
+      .agg(max(col("_lr")).cast("long").as("_n"))
       .withColumn("_off", coalesce(sum(col("_n")).over(offsetW), lit(0L)))
-      .select(col("_b"), col("_off"))
+      .select((joinKeys.map(col) :+ col("_off")): _*)
     local
-      .join(offsets.hint("SHUFFLE_HASH"), Seq("_b"))
+      .join(offsets.hint("SHUFFLE_HASH"), joinKeys)
       .withColumn("pos", col("_off") + col("_lr") - 1)
       .drop("_sk", "_b", "_lr", "_off")
   }

@@ -224,4 +224,28 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(big), "incremental budget growth must keep earlier rows")
   }
+
+  test("tieredShuffle: tiers in order, shuffled within; empty tiers degenerate to epochShuffle") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("band", org.apache.spark.sql.functions.floor(col("n_chars") / 500))
+    val got = graft.ops.Sampling.tieredShuffle(docs, Seq("band"), "doc_id", epoch = 2L)
+      .select("doc_id", "band", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact permutation
+    assert(got.map(_._3).sorted.toSeq === (0L until got.length))
+    // every position in band b precedes every position in band b+1
+    val maxByBand = got.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minByBand = got.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    val bands = maxByBand.keys.toSeq.sorted
+    bands.sliding(2).foreach {
+      case Seq(a, b) => assert(maxByBand(a) < minByBand(b), s"band $a must precede $b")
+      case _ =>
+    }
+    // with no tiers it IS epochShuffle
+    val plain = graft.ops.Sampling.epochShuffle(docs, "doc_id", epoch = 2L)
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaTiered = graft.ops.Sampling.tieredShuffle(docs, Seq.empty, "doc_id", epoch = 2L)
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaTiered === plain)
+  }
 }
