@@ -81,6 +81,16 @@ class SnapshotLake(spark: SparkSession, root: String) {
   private def keyOf(values: Seq[String]): String =
     values.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("/")
 
+  /** Manifests store data directories RELATIVE to the lake root
+    * (`data/<uuid>`), so the whole lake can be relocated/copied and opened
+    * from any spelling of `root` (absolute, relative, through a symlink).
+    * Absolute entries written by earlier versions still resolve as-is.
+    */
+  private def resolveDir(d: String): String = {
+    val p = Paths.get(d)
+    if (p.isAbsolute) d else Paths.get(root).resolve(p).toString
+  }
+
   /** Distinct partition-value tuples of `batch`. NULL partition values are
     * rejected outright: a NULL would stringify to "null" (colliding with
     * the literal string) and its rows would match no equality predicate at
@@ -108,13 +118,26 @@ class SnapshotLake(spark: SparkSession, root: String) {
       partitionCols: Seq[String],
       touched: Seq[Seq[String]]): Map[String, String] =
     touched.map { values =>
-      val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
+      val name = java.util.UUID.randomUUID().toString
       val pred = partitionCols.zip(values)
         .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
       batch.filter(pred).drop(partitionCols: _*)
-        .write.parquet(dir.toString)
-      keyOf(values) -> dir.toString
+        .write.parquet(dataDir.resolve(name).toString)
+      // manifests record root-relative dirs (lake stays relocatable)
+      keyOf(values) -> s"data/$name"
     }.toMap
+
+  /** Refresh staged directories' mtime so a long retry loop cannot age them
+    * past [[vacuum]]'s `minAgeMs` retention guard while the commit is still
+    * in flight — called immediately before each CAS attempt.
+    */
+  private def touchDirs(dirs: Iterable[String]): Unit =
+    dirs.foreach { d =>
+      try Files.setLastModifiedTime(
+        Paths.get(resolveDir(d)),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
+    }
 
   private def deleteRecursively(dir: java.nio.file.Path): Unit =
     if (Files.exists(dir)) {
@@ -177,12 +200,28 @@ class SnapshotLake(spark: SparkSession, root: String) {
       s"$TxnPrefix\t${java.net.URLEncoder.encode(a, "UTF-8")}\t$b"
     }
     val body = (dataLines ++ txnLines).mkString("\n")
+    // The commit point must be atomic in CONTENT, not just in name: a plain
+    // CREATE_NEW write is two observable steps (create, then fill), so a
+    // crash or IO error mid-write — or a concurrent reader racing the write
+    // — could surface a truncated manifest as latestVersion, and a retrying
+    // committer would then merge against the truncated base, silently
+    // dropping partitions. Instead the body lands fully (fsync'd) in an
+    // unpublished temp file, and PUBLICATION is one hard-link creation:
+    // link() fails atomically if v<N> exists, preserving the CAS, and a
+    // published manifest is always complete.
+    val tmp = Files.createTempFile(manifestsDir, ".stage-", ".tmp")
     try {
-      // CREATE_NEW = the atomic commit point: exactly one writer wins v
-      Files.write(manifestPath(v), body.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+      val ch = java.nio.channels.FileChannel.open(tmp, StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8")))
+        ch.force(true)
+      } finally ch.close()
+      Files.createLink(manifestPath(v), tmp)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
     }
   }
 
@@ -192,6 +231,51 @@ class SnapshotLake(spark: SparkSession, root: String) {
     */
   def lastTxn(appId: String): Option[Long] =
     latestVersion.flatMap(v => readTxns(v).get(appId))
+
+  /** Scan a set of manifest entries as ONE multi-path read. The naive
+    * per-partition plan (one `spark.read.parquet` + per-partition
+    * `withColumn` literals folded with `unionByName`) builds O(partitions)
+    * scan nodes — thousands at a real table's day×source grain. Here every
+    * directory feeds a single FileScan (`mergeSchema` carries the lakehouse
+    * schema-evolution contract — columns absent in older partitions read as
+    * NULL), and partition values re-attach via a broadcast join against the
+    * manifest's own (dir → values) mapping, keyed on the data directory's
+    * unique leaf name recovered from `input_file_name()`. The single-entry
+    * case skips the join entirely (plain literal columns).
+    */
+  private def readEntries(
+      entries: Seq[(String, String)], partitionCols: Seq[String]): DataFrame = {
+    require(entries.nonEmpty, "no manifest entries to read")
+    def valuesOf(key: String): Seq[String] =
+      key.split("/").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8"))
+    if (entries.size == 1) {
+      val (key, dir) = entries.head
+      partitionCols.zip(valuesOf(key))
+        .foldLeft(spark.read.parquet(resolveDir(dir))) {
+          case (df, (c, value)) => df.withColumn(c, lit(value))
+        }
+    } else {
+      val resolved = entries.map { case (k, d) => (k, resolveDir(d)) }
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(resolved.map(_._2): _*)
+      val dataCols = base.columns.toSeq
+      val dirCol = "__graft_part_dir"
+      val dimSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(
+          dirCol, org.apache.spark.sql.types.StringType, nullable = false) +:
+        partitionCols.map(c => org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.StringType, nullable = false)))
+      val dimRows = resolved.map { case (key, dir) =>
+        org.apache.spark.sql.Row.fromSeq(
+          Paths.get(dir).getFileName.toString +: valuesOf(key))
+      }
+      val dim = spark.createDataFrame(dimRows.asJava, dimSchema)
+      base
+        .withColumn(dirCol, element_at(split(input_file_name(), "/"), -2))
+        .join(broadcast(dim), Seq(dirCol))
+        .select((dataCols ++ partitionCols).map(col): _*)
+    }
+  }
 
   /** Commit `batch`: every `partitionCols` combination present in it is
     * (re)placed as a whole; all other partitions carry over from the latest
@@ -214,6 +298,8 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val v = latestVersion
       val (base, txns) = v.map(readManifestAndTxns).getOrElse((Map.empty[String, String], Map.empty[String, Long]))
       val next = v.getOrElse(0L) + 1
+      // keep staged dirs inside vacuum's retention window while we race
+      touchDirs(newDirs.values)
       // watermarks carry forward untouched
       if (writeManifestAtomic(next, base ++ newDirs, txns)) committed = next
       // else: another writer took `next`; loop re-reads and re-merges
@@ -265,10 +351,11 @@ class SnapshotLake(spark: SparkSession, root: String) {
       if (txns.get(appId).exists(_ >= batchId)) {
         // lost the race to another attempt of this very batch: discard our
         // staged dirs (vacuum would get them; eager is kinder)
-        newDirs.values.foreach(d => deleteRecursively(Paths.get(d)))
+        newDirs.values.foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
         result = Some(None)
       } else {
         val next = v.getOrElse(0L) + 1
+        touchDirs(newDirs.values)
         if (writeManifestAtomic(next, base ++ newDirs, txns + (appId -> batchId))) {
           writeInfo(next, "commit", newDirs.size)
           result = Some(Some(next))
@@ -297,6 +384,14 @@ class SnapshotLake(spark: SparkSession, root: String) {
       versionCol: String,
       partitionCols: Seq[String]): Long = {
     require(partitionCols.nonEmpty, "need at least one partition column")
+    // the merge is scoped to the batch's touched partitions, so a PK row
+    // whose partition value changed would leave its stale copy behind in the
+    // untouched old partition; requiring the partition columns inside the PK
+    // makes "a PK never moves between partitions" structural
+    require(partitionCols.forall(pk.contains),
+      s"partition columns ${partitionCols.mkString(",")} must all be part of " +
+        s"the PK ${pk.mkString(",")} — otherwise a PK row that changes " +
+        "partition value duplicates across partitions")
     Files.createDirectories(manifestsDir)
     Files.createDirectories(dataDir)
     val touched = touchedPartitions(batch, partitionCols)
@@ -308,13 +403,9 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val (baseManifest, txns) =
         base.map(readManifestAndTxns).getOrElse((Map.empty[String, String], Map.empty[String, Long]))
       val existing = baseManifest.view.filterKeys(touchedKeys).toMap
-      val current = existing.toSeq.sorted.map { case (key, dir) =>
-        val values = key.split("/").map(java.net.URLDecoder.decode(_, "UTF-8"))
-        partitionCols.zip(values).foldLeft(spark.read.parquet(dir)) {
-          case (df, (c, value)) => df.withColumn(c, lit(value))
-        }
       // evolving schemas merge with NULLs for absent columns, same as read()
-      }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      val current = Option.when(existing.nonEmpty)(
+        readEntries(existing.toSeq.sorted, partitionCols))
       val merged = LakeCatalog.merge(
         current.fold(batch)(c =>
           c.unionByName(batch.withColumns(
@@ -325,12 +416,13 @@ class SnapshotLake(spark: SparkSession, root: String) {
         pk, versionCol)
       val newDirs = stageDirs(merged, partitionCols, touched)
       val next = base.getOrElse(0L) + 1
+      touchDirs(newDirs.values)
       if (writeManifestAtomic(next, baseManifest ++ newDirs, txns)) {
         committed = next
         writeInfo(committed, "upsert", newDirs.size)
       } else {
         // conflict: the merge is stale — drop staged dirs and retry
-        newDirs.values.foreach(d => deleteRecursively(Paths.get(d)))
+        newDirs.values.foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
       }
     }
     committed
@@ -341,10 +433,16 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * one atomic manifest — readers see all deletions or none, and earlier
     * snapshots still contain the rows until [[vacuum]] reclaims them (run
     * `vacuum(1)` after a legal-erasure delete for physical removal). Same
-    * optimistic loop as [[upsert]]; partitions whose rewrite is row-free
-    * drop out of the manifest entirely. A stats-index integration would
-    * prune untouched partitions before the rewrite; here every live
-    * partition is rewritten (`predicate` pushes down into each scan).
+    * optimistic loop as [[upsert]].
+    *
+    * Partitions the predicate cannot touch are NOT rewritten: one pruned
+    * candidate scan (a single multi-path read whose pushed-down predicate
+    * lets parquet skip row groups via footer stats) finds the partitions
+    * that actually contain matching rows; every other partition carries over
+    * BY REFERENCE — same directory, zero rewrite I/O — so a selective delete
+    * on a 100 TB lake costs the candidate scan plus the rewrite of only the
+    * partitions it hit. Candidate partitions whose rewrite is row-free drop
+    * out of the manifest entirely.
     */
   def deleteWhere(predicate: org.apache.spark.sql.Column, partitionCols: Seq[String]): Long = {
     var committed = -1L
@@ -352,21 +450,30 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val base = latestVersion.getOrElse(
         throw new IllegalStateException(s"no commits at $root"))
       val baseManifest = readManifest(base)
+      // DELETE WHERE semantics: remove only rows where the predicate is
+      // TRUE — a NULL-evaluating predicate (e.g. equality against a NULL
+      // column) keeps its row, exactly as SQL DELETE would
+      val hit = coalesce(predicate, lit(false))
+      val candidates = readEntries(baseManifest.toSeq.sorted, partitionCols)
+        .filter(hit)
+        .select(partitionCols.map(col): _*).distinct().collect()
+        .map(r => keyOf(partitionCols.indices.map(i => String.valueOf(r.get(i)))))
+        .toSet
       val rewritten: Map[String, Option[String]] = baseManifest.map { case (key, dirIn) =>
-        val values = key.split("/").map(java.net.URLDecoder.decode(_, "UTF-8"))
-        val withParts = partitionCols.zip(values)
-          .foldLeft(spark.read.parquet(dirIn)) {
-            case (df, (c, value)) => df.withColumn(c, lit(value))
-          }
-        // DELETE WHERE semantics: remove only rows where the predicate is
-        // TRUE — a NULL-evaluating predicate (e.g. equality against a NULL
-        // column) keeps its row, exactly as SQL DELETE would
-        val kept = withParts.filter(!coalesce(predicate, lit(false))).drop(partitionCols: _*)
-        if (kept.isEmpty) key -> None
+        if (!candidates.contains(key)) key -> Some(dirIn) // untouched: by reference
         else {
-          val dir = dataDir.resolve(java.util.UUID.randomUUID().toString)
-          kept.write.parquet(dir.toString)
-          key -> Some(dir.toString)
+          val values = key.split("/").map(java.net.URLDecoder.decode(_, "UTF-8"))
+          val withParts = partitionCols.zip(values)
+            .foldLeft(spark.read.parquet(resolveDir(dirIn))) {
+              case (df, (c, value)) => df.withColumn(c, lit(value))
+            }
+          val kept = withParts.filter(!hit).drop(partitionCols: _*)
+          if (kept.isEmpty) key -> None
+          else {
+            val name = java.util.UUID.randomUUID().toString
+            kept.write.parquet(dataDir.resolve(name).toString)
+            key -> Some(s"data/$name")
+          }
         }
       }
       val next = base + 1
@@ -375,8 +482,9 @@ class SnapshotLake(spark: SparkSession, root: String) {
         throw new IllegalStateException("deleteWhere would empty the lake; refusing to commit")
       if (writeManifestAtomic(next, manifest, readTxns(base))) {
         committed = next
-        writeInfo(committed, "delete", rewritten.size)
-      } else rewritten.values.flatten.foreach(d => deleteRecursively(Paths.get(d)))
+        writeInfo(committed, "delete", candidates.size)
+      } else candidates.foreach(k => rewritten(k).foreach(
+        d => deleteRecursively(Paths.get(resolveDir(d)))))
     }
     committed
   }
@@ -390,15 +498,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(v)
     require(m.nonEmpty, s"empty manifest v$v")
-    m.toSeq.sorted.map { case (key, dir) =>
-      val values = key.split("/").map(java.net.URLDecoder.decode(_, "UTF-8"))
-      partitionCols.zip(values).foldLeft(spark.read.parquet(dir)) {
-        case (df, (c, value)) => df.withColumn(c, lit(value))
-      }
-    // schema evolution: a later commit may have ADDED columns, so older
-    // partitions read with those columns NULL (the lakehouse mergeSchema
-    // contract) instead of failing the union
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    readEntries(m.toSeq.sorted, partitionCols)
   }
 
   /** Per-file min/max stats for a snapshot's data files, read from parquet
@@ -410,9 +510,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
   def statsFor(cols: Seq[String], version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
-    readManifest(v).values.toSeq.sorted
-      .map(dir => graft.sources.DataSkipping.footerStats(spark, dir, cols))
-      .reduce(_ unionByName _)
+    // ONE distributed footer job across every manifest directory — not one
+    // job (and one plan node) per partition
+    graft.sources.DataSkipping.footerStatsAll(
+      spark, readManifest(v).values.toSeq.sorted.map(resolveDir), cols)
   }
 
   /** Snapshot range scan through footer stats: only candidate files of the
@@ -431,7 +532,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
     val files = graft.sources.DataSkipping.pruneFiles(stats, c, lo, hi)
     if (files.isEmpty) {
       val v = version.orElse(latestVersion).get
-      val anyDir = readManifest(v).values.head
+      val anyDir = resolveDir(readManifest(v).values.head)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(anyDir).schema)
@@ -457,17 +558,35 @@ class SnapshotLake(spark: SparkSession, root: String) {
     require(keepLast >= 1, "must keep at least the latest version")
     val all = versions
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
-    val live = keep.flatMap(v => readManifest(v).values).toSet
+    // liveness compares the directory's unique LEAF name (every data dir is
+    // data/<uuid>), never full path strings — immune to how `root` is
+    // spelled (relative vs absolute, symlinks) and to legacy absolute
+    // manifest entries, so relocating the lake or opening it via another
+    // path can never make live data look unreferenced
+    val live = keep.flatMap(v => readManifest(v).values)
+      .map(d => Paths.get(d).getFileName.toString).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     if (Files.isDirectory(dataDir)) {
       val s = Files.list(dataDir)
       val dirs = try s.iterator().asScala.toSeq finally s.close()
-      dirs.filterNot(d => live.contains(d.toString))
+      dirs.filterNot(d => live.contains(d.getFileName.toString))
         .filter { d =>
           try Files.getLastModifiedTime(d).toMillis < cutoff
           catch { case _: java.io.IOException => false }
         }
         .foreach(deleteRecursively)
+    }
+    // crashed committers may also leave unpublished manifest staging files
+    if (Files.isDirectory(manifestsDir)) {
+      val s = Files.list(manifestsDir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".stage-"))
+        .filter { p =>
+          try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: java.io.IOException => false }
+        }
+        .foreach(p => Files.deleteIfExists(p))
+      finally s.close()
     }
     drop.foreach { v =>
       Files.deleteIfExists(manifestPath(v))

@@ -224,10 +224,11 @@ object Multimodal {
               // (20 at v0, 32 at v1) + reserved(8) + layer/group/volume/
               // reserved(8) + matrix(36): offset 76 at v0, 88 at v1
               val base = if (version == 1) s2 + 88 else s2 + 76
-              // 16.16 fixed point; audio tracks carry 0x0
+              // 16.16 fixed point; audio tracks carry 0x0. Areas compare in
+              // Long: 16-bit dims reach 65535, whose Int product overflows
               val tw = buf.getInt(base.toInt) >>> 16
               val th = buf.getInt(base.toInt + 4) >>> 16
-              if (tw * th > w * h) { w = tw; h = th }
+              if (tw.toLong * th > w.toLong * h) { w = tw; h = th }
             }
           }
         case _ => ()

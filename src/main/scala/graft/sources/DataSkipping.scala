@@ -62,10 +62,20 @@ object DataSkipping {
     * yields null stats and the file is simply never pruned — missing
     * metadata degrades to extra I/O, never to a wrong answer.
     */
-  def footerStats(spark: SparkSession, root: String, cols: Seq[String]): DataFrame = {
+  def footerStats(spark: SparkSession, root: String, cols: Seq[String]): DataFrame =
+    footerStatsAll(spark, Seq(root), cols)
+
+  /** [[footerStats]] across MANY roots as one distributed job — the shape a
+    * manifest-driven caller ([[graft.catalog.SnapshotLake.statsFor]]) needs:
+    * a snapshot references thousands of partition directories, and building
+    * its stats must cost one job over the combined file list, not one job
+    * per directory.
+    */
+  def footerStatsAll(
+      spark: SparkSession, roots: Seq[String], cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
-    val files = listParquetFiles(java.nio.file.Paths.get(root))
-    require(files.nonEmpty, s"no parquet files under $root")
+    val files = roots.flatMap(r => listParquetFiles(java.nio.file.Paths.get(r)))
+    require(files.nonEmpty, s"no parquet files under ${roots.mkString(",")}")
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType, false) +:
       org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType, false) +:

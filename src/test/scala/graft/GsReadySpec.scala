@@ -68,4 +68,28 @@ class GsReadySpec extends SparkSpec {
   implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map { case (a, b, c) => a -> ((b, c)) }.toMap
   }
+
+  test("q_gs_ready executed plan: dims broadcast, nested-loop only for the dim×dim fuzzy cross, no range exchange") {
+    val df = QueriesGsReady.queries("q_gs_ready")(spark, "/root/testdata/sf0.001")
+    df.collect() // drive AQE to its final plan before inspecting
+    val plan = df.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+
+    // the ONLY nested-loop join allowed is the fuzzy similarity argmax —
+    // a dimension×dimension candidate cross (SURVEY §2.4's prescription);
+    // a nested-loop or cartesian against the fact side is a scale killer
+    // (fuzzy: seq_ratio; geo: haversine — RADIANS/ATAN2)
+    val nested = lines.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(nested.nonEmpty, "fuzzy stage should plan as a dim×dim nested-loop cross")
+    assert(nested.forall(l => l.contains("seq_ratio") || l.contains("RADIANS")),
+      s"nested-loop join outside the fuzzy/geo dim×dim stages:\n${nested.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"), "no cartesian product anywhere")
+
+    // every fact-side dim join must broadcast; a range exchange mid-chain
+    // would mean some stage sorted the whole fact globally
+    assert(lines.exists(_.contains("BroadcastHashJoin")),
+      "cascade dim joins must be broadcast hash joins")
+    assert(!plan.contains("rangepartitioning"),
+      "no global range exchange may appear in the ready chain")
+  }
 }

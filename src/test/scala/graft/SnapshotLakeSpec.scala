@@ -278,7 +278,7 @@ class SnapshotLakeSpec extends SparkSpec {
       batch("O")("x").count())
     // PK upsert across the evolution boundary merges instead of failing
     lake.upsert(batch("F")("upd").withColumn("quality", lit(0.5)),
-      Seq("o_orderkey"), "pointer", Seq("o_orderstatus"))
+      Seq("o_orderkey", "o_orderstatus"), "pointer", Seq("o_orderstatus"))
     val f = lake.read(Seq("o_orderstatus")).filter(col("o_orderstatus") === "F")
     assert(f.filter(col("quality") === 0.5).count() === batch("F")("x").count())
   }
@@ -292,10 +292,98 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(lake.latestVersion.isEmpty, "no manifest may exist after an empty batch")
     intercept[IllegalArgumentException] { lake.commit(empty, Seq("o_orderstatus")) }
     intercept[IllegalArgumentException] {
-      lake.upsert(empty, Seq("o_orderkey"), "pointer", Seq("o_orderstatus"))
+      lake.upsert(empty, Seq("o_orderkey", "o_orderstatus"), "pointer", Seq("o_orderstatus"))
+    }
+    // partition columns outside the PK are structurally rejected: the merge
+    // is partition-scoped, so a moving PK would duplicate across partitions
+    intercept[IllegalArgumentException] {
+      lake.upsert(batch("F")("x"), Seq("o_orderkey"), "pointer", Seq("o_orderstatus"))
     }
     // real data afterwards lands normally and reads fine
     assert(lake.commitIfNew("app", 1L, batch("F")("b1"), Seq("o_orderstatus")).isDefined)
     assert(lake.read(Seq("o_orderstatus")).count() === batch("F")("x").count())
+  }
+
+  private def manifestEntries(dir: String, v: Long): Map[String, String] = {
+    val p = java.nio.file.Paths.get(dir, "manifests", f"v$v%08d.json")
+    scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p)).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val Array(k, d) = l.split("\t", 2); k -> d }.toMap
+  }
+
+  test("manifests are root-relative: any root spelling works and vacuum keeps live data") {
+    val (lake, dir) = fresh()
+    lake.commit(batch("F")("v1"), Seq("o_orderstatus"))
+    lake.commit(batch("O")("v2"), Seq("o_orderstatus"))
+    assert(manifestEntries(dir, 2L).values.forall(d => !d.startsWith("/")),
+      "manifest entries must be root-relative")
+    val n = lake.read(Seq("o_orderstatus")).count()
+
+    // reopen through a DIFFERENT spelling of the same root — reads resolve,
+    // and vacuum must not mistake live dirs for unreferenced ones
+    val respelled = new SnapshotLake(spark, dir + "/./")
+    assert(respelled.read(Seq("o_orderstatus")).count() === n)
+    respelled.vacuum(keepLast = 2, minAgeMs = 0L)
+    assert(respelled.read(Seq("o_orderstatus")).count() === n,
+      "vacuum through an alternate root spelling must keep all live data")
+
+    // relocate the whole lake: relative manifests make it portable
+    val moved = Files.move(
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + "_moved"))
+    val atNewHome = new SnapshotLake(spark, moved.toString)
+    assert(atNewHome.read(Seq("o_orderstatus")).count() === n)
+  }
+
+  test("a leftover manifest staging file never surfaces as a version; vacuum sweeps it") {
+    val (lake, dir) = fresh()
+    lake.commit(batch("F")("v1"), Seq("o_orderstatus"))
+    val stale = java.nio.file.Paths.get(dir, "manifests", ".stage-crashed.tmp")
+    Files.write(stale, "half-writ".getBytes("UTF-8"))
+    assert(lake.versions === Seq(1L), "staging temp must be invisible to version listing")
+    assert(lake.read(Seq("o_orderstatus")).count() === batch("F")("x").count())
+    lake.commit(batch("O")("v2"), Seq("o_orderstatus")) // commits still land
+    lake.vacuum(keepLast = 2, minAgeMs = 0L)
+    assert(!Files.exists(stale), "aged staging temp must be reclaimed")
+  }
+
+  test("read plans ONE scan over hundreds of partitions, not a per-partition union") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_snap_many").toString
+    // author the partition layout with a single partitionBy write, then
+    // point one manifest at the 500 leaf directories
+    (0 until 500).map(i => (i.toLong, s"p$i")).toDF("id", "p")
+      .repartition(8).write.partitionBy("p")
+      .parquet(java.nio.file.Paths.get(root, "data").toString)
+    Files.createDirectories(java.nio.file.Paths.get(root, "manifests"))
+    val entries = (0 until 500).map(i => s"p$i\tdata/p=p$i").sorted
+    Files.write(java.nio.file.Paths.get(root, "manifests", "v00000001.json"),
+      entries.mkString("\n").getBytes("UTF-8"))
+
+    val lake = new SnapshotLake(spark, root)
+    val out = lake.read(Seq("p"))
+    // one parquet relation + the broadcast (dir → partition values) dim; the
+    // old per-partition union had 500 scan leaves here
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size <= 2, s"expected one scan + one local dim, got ${leaves.size} leaves")
+    assert(out.count() === 500L)
+    val row7 = out.filter(col("p") === "p7").select("id").collect()
+    assert(row7.map(_.getLong(0)).toSeq === Seq(7L),
+      "partition values must round-trip through the dir-name join")
+  }
+
+  test("deleteWhere rewrites only touched partitions; the rest carry over by reference") {
+    val (lake, dir) = fresh()
+    lake.commit(batch("F", "O", "P")("x"), Seq("o_orderstatus"))
+    val before = manifestEntries(dir, 1L)
+    lake.deleteWhere(
+      col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0,
+      Seq("o_orderstatus"))
+    val after = manifestEntries(dir, 2L)
+    assert(after("O") === before("O") && after("P") === before("P"),
+      "partitions the predicate cannot touch must keep their exact data dirs")
+    assert(after("F") !== before("F"), "the hit partition must be rewritten")
+    val got = lake.read(Seq("o_orderstatus"))
+    assert(got.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0).count() === 0L)
+    assert(got.filter(col("o_orderstatus") === "O").count() === batch("O")("x").count())
   }
 }
