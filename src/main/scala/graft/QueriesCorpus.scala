@@ -15,6 +15,18 @@ object QueriesCorpus {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
+  /** The BPE golden-oracle fixture corpus: nation ⋈ region names, ordered
+    * by nation key. Both dimensions are fixed-cardinality (25 / 5 rows) and
+    * byte-identical at every scale factor, so the golden merge/vocabulary
+    * tables generated once by tools/gen_bpe_golden.py (an INDEPENDENT
+    * Python implementation of the same Sennrich contract) hold at any
+    * sfDir the driver chooses.
+    */
+  private def bpeFixtureCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(concat(col("n_name"), lit(" "), col("r_name")).as("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy, one shuffle
     "q_dd_exact" -> ((s, dir) =>
@@ -368,11 +380,20 @@ object QueriesCorpus {
     "q_bpe_pairs_bytes" -> ((s, dir) =>
       graft.ops.Bpe.initialPairCounts(t(s, dir, "documents"), "text", byteLevel = true)),
 
-    // BPE merge learning (12 rounds): iterative, so no SQL oracle — the
-    // rows-only check plus BpeSpec (Sennrich goldens + an independent
-    // reference implementation) carry correctness
+    // BPE merge learning over the FIXTURE corpus (nation ⋈ region names —
+    // byte-identical at every scale factor), 16 rounds: hash-exact against
+    // a golden merge table produced by the independent Python reference
+    // implementation in tools/gen_bpe_golden.py. DuckDB can't express the
+    // iterative argmax, so the oracle is the checked-in golden itself.
     "q_bpe_merges" -> ((s, dir) =>
-      graft.ops.Bpe.learn(t(s, dir, "documents"), "text", numMerges = 12)),
+      graft.ops.Bpe.learn(bpeFixtureCorpus(s, dir), "text", numMerges = 16)),
+
+    // the same learning loop in byte-level mode (UTF-8 hex-block symbols):
+    // golden-checked like q_bpe_merges — the merge STRUCTURE must mirror
+    // the char-level table exactly (same corpus, closed alphabet)
+    "q_bpe_merges_bytes" -> ((s, dir) =>
+      graft.ops.Bpe.learn(bpeFixtureCorpus(s, dir), "text", numMerges = 16,
+        byteLevel = true)),
 
     // BPE encoding under the learned table: per-doc token count (zero
     // shuffle, broadcast ranks). Token identity is spec-checked (round
@@ -385,11 +406,12 @@ object QueriesCorpus {
     }),
 
     // the dense token-id artifact (base code points + merge products at
-    // |base|+rank): rows-only here, layout and losslessness spec-checked
+    // |base|+rank) over the fixture corpus: hash-exact against the golden
+    // vocabulary table (tools/gen_bpe_golden.py)
     "q_bpe_vocab" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = bpeFixtureCorpus(s, dir)
       graft.ops.Bpe.vocabulary(docs, "text",
-        graft.ops.Bpe.learnBatched(docs, "text", numMerges = 24, batchSize = 8))
+        graft.ops.Bpe.learn(docs, "text", numMerges = 16))
     }),
 
     // one-row corpus health report: the snapshot summary a curation
@@ -1048,6 +1070,90 @@ object QueriesCorpus {
         |  FROM syms, unnest(range(1, len(s))) AS t(i))
         |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM pairs GROUP BY 1, 2""".stripMargin,
+    // golden merge table (char-level, fixture corpus) — tools/gen_bpe_golden.py
+    "q_bpe_merges" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), 'a', 't', CAST(25 AS BIGINT)),
+        |  (CAST(1 AS INTEGER), 'at', 'i', CAST(25 AS BIGINT)),
+        |  (CAST(2 AS INTEGER), 'ati', 'o', CAST(25 AS BIGINT)),
+        |  (CAST(3 AS INTEGER), 'atio', 'n', CAST(25 AS BIGINT)),
+        |  (CAST(4 AS INTEGER), 'ation', '_', CAST(25 AS BIGINT)),
+        |  (CAST(5 AS INTEGER), 'n', 'ation_', CAST(25 AS BIGINT)),
+        |  (CAST(6 AS INTEGER), 'a', '</w>', CAST(15 AS BIGINT)),
+        |  (CAST(7 AS INTEGER), 'nation_', '1', CAST(11 AS BIGINT)),
+        |  (CAST(8 AS INTEGER), 'a', 's', CAST(10 AS BIGINT)),
+        |  (CAST(9 AS INTEGER), 'c', 'a</w>', CAST(10 AS BIGINT)),
+        |  (CAST(10 AS INTEGER), 'e', '</w>', CAST(10 AS BIGINT)),
+        |  (CAST(11 AS INTEGER), 'i', 'ca</w>', CAST(10 AS BIGINT)),
+        |  (CAST(12 AS INTEGER), 'r', 'ica</w>', CAST(10 AS BIGINT)),
+        |  (CAST(13 AS INTEGER), 'nation_', '2', CAST(6 AS BIGINT)),
+        |  (CAST(14 AS INTEGER), 'a', 'f', CAST(5 AS BIGINT)),
+        |  (CAST(15 AS INTEGER), 'a', 'm', CAST(5 AS BIGINT))) AS t(rank, left_sym, right_sym, pair_count)""".stripMargin,
+    // golden merge table (byte-level) — tools/gen_bpe_golden.py
+    "q_bpe_merges_bytes" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), '61', '74', CAST(25 AS BIGINT)),
+        |  (CAST(1 AS INTEGER), '6174', '69', CAST(25 AS BIGINT)),
+        |  (CAST(2 AS INTEGER), '617469', '6f', CAST(25 AS BIGINT)),
+        |  (CAST(3 AS INTEGER), '6174696f', '6e', CAST(25 AS BIGINT)),
+        |  (CAST(4 AS INTEGER), '6174696f6e', '5f', CAST(25 AS BIGINT)),
+        |  (CAST(5 AS INTEGER), '6e', '6174696f6e5f', CAST(25 AS BIGINT)),
+        |  (CAST(6 AS INTEGER), '61', '</w>', CAST(15 AS BIGINT)),
+        |  (CAST(7 AS INTEGER), '6e6174696f6e5f', '31', CAST(11 AS BIGINT)),
+        |  (CAST(8 AS INTEGER), '61', '73', CAST(10 AS BIGINT)),
+        |  (CAST(9 AS INTEGER), '63', '61</w>', CAST(10 AS BIGINT)),
+        |  (CAST(10 AS INTEGER), '65', '</w>', CAST(10 AS BIGINT)),
+        |  (CAST(11 AS INTEGER), '69', '6361</w>', CAST(10 AS BIGINT)),
+        |  (CAST(12 AS INTEGER), '72', '696361</w>', CAST(10 AS BIGINT)),
+        |  (CAST(13 AS INTEGER), '6e6174696f6e5f', '32', CAST(6 AS BIGINT)),
+        |  (CAST(14 AS INTEGER), '61', '66', CAST(5 AS BIGINT)),
+        |  (CAST(15 AS INTEGER), '61', '6d', CAST(5 AS BIGINT))) AS t(rank, left_sym, right_sym, pair_count)""".stripMargin,
+    // golden dense-id vocabulary (char-level base + merge products)
+    "q_bpe_vocab" ->
+      """SELECT * FROM (VALUES
+        |  ('0', CAST(0 AS BIGINT)),
+        |  ('1', CAST(1 AS BIGINT)),
+        |  ('2', CAST(2 AS BIGINT)),
+        |  ('3', CAST(3 AS BIGINT)),
+        |  ('4', CAST(4 AS BIGINT)),
+        |  ('5', CAST(5 AS BIGINT)),
+        |  ('6', CAST(6 AS BIGINT)),
+        |  ('7', CAST(7 AS BIGINT)),
+        |  ('8', CAST(8 AS BIGINT)),
+        |  ('9', CAST(9 AS BIGINT)),
+        |  ('</w>', CAST(10 AS BIGINT)),
+        |  ('_', CAST(11 AS BIGINT)),
+        |  ('a', CAST(12 AS BIGINT)),
+        |  ('c', CAST(13 AS BIGINT)),
+        |  ('d', CAST(14 AS BIGINT)),
+        |  ('e', CAST(15 AS BIGINT)),
+        |  ('f', CAST(16 AS BIGINT)),
+        |  ('i', CAST(17 AS BIGINT)),
+        |  ('l', CAST(18 AS BIGINT)),
+        |  ('m', CAST(19 AS BIGINT)),
+        |  ('n', CAST(20 AS BIGINT)),
+        |  ('o', CAST(21 AS BIGINT)),
+        |  ('p', CAST(22 AS BIGINT)),
+        |  ('r', CAST(23 AS BIGINT)),
+        |  ('s', CAST(24 AS BIGINT)),
+        |  ('t', CAST(25 AS BIGINT)),
+        |  ('u', CAST(26 AS BIGINT)),
+        |  ('at', CAST(27 AS BIGINT)),
+        |  ('ati', CAST(28 AS BIGINT)),
+        |  ('atio', CAST(29 AS BIGINT)),
+        |  ('ation', CAST(30 AS BIGINT)),
+        |  ('ation_', CAST(31 AS BIGINT)),
+        |  ('nation_', CAST(32 AS BIGINT)),
+        |  ('a</w>', CAST(33 AS BIGINT)),
+        |  ('nation_1', CAST(34 AS BIGINT)),
+        |  ('as', CAST(35 AS BIGINT)),
+        |  ('ca</w>', CAST(36 AS BIGINT)),
+        |  ('e</w>', CAST(37 AS BIGINT)),
+        |  ('ica</w>', CAST(38 AS BIGINT)),
+        |  ('rica</w>', CAST(39 AS BIGINT)),
+        |  ('nation_2', CAST(40 AS BIGINT)),
+        |  ('af', CAST(41 AS BIGINT)),
+        |  ('am', CAST(42 AS BIGINT))) AS t(token, token_id)""".stripMargin,
     "q_pk_ids" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
