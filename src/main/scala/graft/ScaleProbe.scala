@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   * ann_brute 1.1x, lsh_buckets 1.1x, rp_project 1.0x, pk_concat 1.3x,
   * rj_overlap 1.2x, hh_tokens 1.4x, bf_join 1.2x, bpe_encode 1.1x,
   * sm_shuffle 1.3x, bpe_learn 0.9x (vocab-bound — flat in corpus size),
+  * bpe_learn32k 1.3x (adaptive batch 64→4096; the synthetic corpus's pair
+  * tail exhausts at ~113/138 merges, so this records wall-time to
+  * exhaustion — 2.0/2.7 s — not a full 32 k vocabulary),
   * minhash 2.6x, dd_clusters 3.5x, lsh_pairs 3.8x,
   * tx_cdc 5.2x — all sub-linear per row. The two pair generators read higher
   * (ngram_jaccard ~38x, cos_pairs ~43x) because their OUTPUT explodes by
@@ -167,12 +170,22 @@ object ScaleProbe {
       // corpus with ~constant vocabulary should cost ~the count pass alone
       "bpe_learn" -> (d =>
         graft.ops.Bpe.learnBatched(docsAt(d), "text",
-          numMerges = 16, batchSize = 8).count()))
+          numMerges = 16, batchSize = 8).count()),
+      // vocabulary-scale learning with adaptive pacing (B: 64 → 4096):
+      // ~log₂ growth + vocab/maxB driver rounds instead of vocab/64; the
+      // corpus's pair tail may exhaust before the 32 k budget — the probe
+      // records the real wall-time either way
+      "bpe_learn32k" -> (d =>
+        graft.ops.Bpe.learnBatched(docsAt(d), "text",
+          numMerges = 32768, batchSize = 64, maxBatchSize = 4096).count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
     }
-    ops.foreach { case (name, f) =>
+    // local-iteration filter (unset for the full sweep), mirroring Verify's
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    ops.filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, f) =>
       f(base) // warm codegen on the small side
       val (t1, n1) = (1 to 3).map(_ => time(f(base))).minBy(_._1)
       val (t10, n10) = (1 to 3).map(_ => time(f(big))).minBy(_._1)

@@ -214,6 +214,16 @@ object Bpe {
     * the standard fast-trainer approximation: merge ORDER can diverge from
     * strict greedy, but every emitted pair was a real adjacent pair with
     * the emitted corpus count, and encode/decode semantics are unchanged.
+    *
+    * `maxBatchSize > batchSize` opts into ADAPTIVE growth: the batch
+    * doubles after every round that fills its quota from the 4× candidate
+    * headroom (conflicts were sparse) and halves back toward `batchSize`
+    * after a round that could not (dense conflicts or a thinning pair
+    * tail). A 32 k-merge vocabulary then costs ~log₂(32k/B) + 32k/maxB
+    * driver rounds instead of 32k/B — the sequential critical path the
+    * round-5 review called out — while every round still applies only
+    * symbol-disjoint merges, so the per-round validity argument above is
+    * unchanged. The default (`maxBatchSize = 0`) keeps the batch fixed.
     */
   def learnBatched(
       docs: DataFrame,
@@ -222,8 +232,11 @@ object Bpe {
       batchSize: Int = 64,
       minPairCount: Long = 2L,
       endOfWord: String = EndOfWord,
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false,
+      maxBatchSize: Int = 0): DataFrame = {
     require(batchSize >= 1, "batchSize must be at least 1")
+    val maxB = if (maxBatchSize <= 0) batchSize else maxBatchSize
+    require(maxB >= batchSize, "maxBatchSize must be 0 (fixed) or >= batchSize")
     if (byteLevel) requireByteMarker(endOfWord)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -233,8 +246,9 @@ object Bpe {
       .localCheckpoint(false)
     val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
+    var b = batchSize
     while (merges.size < numMerges && !exhausted) {
-      val want = math.min(batchSize, numMerges - merges.size)
+      val want = math.min(b, numMerges - merges.size)
       // 4× headroom: conflicts strike adjacent ranks (e.g. (e,s) blocks
       // (s,t)), so the non-conflicting prefix of the top-4B list almost
       // always holds B picks; a shortfall only costs an extra round
@@ -266,10 +280,26 @@ object Bpe {
           while (i < batch.length) { s = mergePair(s, batch(i)._1, batch(i)._2); i += 1 }
           BpeWord(w.freq, s)
         }.localCheckpoint(false)
+        // adaptive pacing: a filled quota means the headroom absorbed all
+        // conflicts → double; a shortfall means conflicts (or a thin tail)
+        // bit → back off toward the configured floor
+        b = if (picked.size == want) math.min(b * 2, maxB)
+            else math.max(batchSize, b / 2)
       }
     }
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
+
+  /** The 256 byte-fallback base tokens (SentencePiece `byte_fallback`
+    * spelling): char-level vocabularies built with `byteFallback = true`
+    * include them, and [[encodeIds]] expands any out-of-vocabulary symbol
+    * into its UTF-8 bytes under these ids — char-level mode then never
+    * emits UNK, the GPT-2 property byte-level mode has by construction.
+    * The angle-bracket spelling keeps them out of the data alphabet: a
+    * corpus that can spell `<0xNN>` itself trips [[vocabulary]]'s loud
+    * collision check rather than silently aliasing.
+    */
+  val ByteFallbackTokens: IndexedSeq[String] = (0 until 256).map(b => f"<0x$b%02X>")
 
   /** The dense token-id table a trained model consumes: every symbol
     * [[encode]] can emit gets one id. Base symbols are the corpus's distinct
@@ -278,27 +308,39 @@ object Bpe {
     * conventional BPE id layout: merge rank r ↦ id = |base| + r). Encoding
     * with a vocabulary built from the SAME corpus+merges can therefore
     * never emit an out-of-vocabulary token; unseen text at apply time can
-    * (new code points), which callers map to an UNK id of their choosing.
+    * (new code points), which callers map to an UNK id of their choosing —
+    * or, with `byteFallback = true` (char-level only; byte-level is already
+    * closed), to [[ByteFallbackTokens]] byte ids, which [[encodeIds]]
+    * recognizes in any vocabulary that carries the complete fallback
+    * alphabet, persisted tokenizers included.
     */
   def vocabulary(
       docs: DataFrame,
       textCol: String,
       merges: DataFrame,
       endOfWord: String = EndOfWord,
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false,
+      byteFallback: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     if (byteLevel) requireByteMarker(endOfWord)
+    require(!(byteLevel && byteFallback),
+      "byteFallback applies to char-level mode only — byte-level vocabularies " +
+        "are already closed (every input decomposes into the 256 byte symbols)")
     // byte-level base is CLOSED (all 256 byte symbols + marker, no corpus
     // scan): every future input decomposes into it, so encodeIds can never
     // emit UNK — the GPT-2 property
     val baseTokens =
       if (byteLevel)
         ((0 until 256).map(b => f"$b%02x") :+ endOfWord).toDF("token")
-      else
-        wordFrequencies(docs, textCol)
+      else {
+        val corpusBase = wordFrequencies(docs, textCol)
           .select(explode(split(col("word"), "")).as("token"))
           .union(spark.range(1).select(lit(endOfWord).as("token")))
+        if (byteFallback)
+          corpusBase.union(ByteFallbackTokens.toDF("token"))
+        else corpusBase
+      }
     val base = baseTokens
       .distinct()
       .select(col("token"),
@@ -333,7 +375,14 @@ object Bpe {
 
   /** [[encode]] to dense ids: (id, token_ids, n_tokens). Tokens outside
     * `vocab` (impossible when vocab and merges come from the same corpus;
-    * possible for novel code points in new text) map to `unkId`.
+    * possible for novel code points in new text) map to `unkId` — UNLESS
+    * the vocabulary carries the complete [[ByteFallbackTokens]] alphabet
+    * (built with `vocabulary(byteFallback = true)`), in which case each
+    * unknown symbol expands GPT-2-style into its UTF-8 byte ids and
+    * char-level encoding never emits UNK. Detection is on the collected id
+    * map, so tokenizers persisted by [[saveTokenizer]] keep the property
+    * with no artifact-format change. `n_tokens` counts the EMITTED ids
+    * (fallback expansion can lengthen a word).
     */
   def encodeIds(
       docs: DataFrame,
@@ -348,15 +397,59 @@ object Bpe {
     import spark.implicits._
     val ids: Map[String, Long] = vocab.select("token", "token_id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // byte-fallback ids indexed by byte value, present only when the vocab
+    // holds ALL 256 — a partial alphabet would make coverage input-dependent
+    val fallback: Option[Array[Long]] = {
+      val arr = ByteFallbackTokens.map(ids.get)
+      if (arr.forall(_.isDefined)) Some(arr.map(_.get).toArray) else None
+    }
     val bIds = spark.sparkContext.broadcast(ids)
+    val bFb = spark.sparkContext.broadcast(fallback)
     encode(docs, idCol, textCol, merges, endOfWord, byteLevel)
       .select(col(idCol).cast("long"), col("tokens"), col("n_tokens"))
       .as[(Long, Seq[String], Long)]
-      .map { case (id, toks, n) =>
+      .map { case (id, toks, _) =>
         val m = bIds.value
-        (id, toks.map(t => m.getOrElse(t, unkId)), n)
+        val fb = bFb.value
+        val out = toks.flatMap { t =>
+          m.get(t) match {
+            case Some(i) => Seq(i)
+            case None =>
+              fb match {
+                case Some(byteIds) =>
+                  t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                    .toSeq.map(b => byteIds(b & 0xff))
+                case None => Seq(unkId)
+              }
+          }
+        }
+        (id, out, out.length.toLong)
       }
       .toDF(idCol, "token_ids", "n_tokens")
+  }
+
+  /** Inverse of char-level token sequences back to text, byte-fallback
+    * aware: maximal runs of [[ByteFallbackTokens]] decode as ONE UTF-8 byte
+    * string (a multi-byte code point expands to several fallback tokens),
+    * ordinary symbols concatenate as-is, and `endOfWord` markers become
+    * word boundaries (single spaces). The byte-level twin is
+    * [[decodeByteTokens]].
+    */
+  def decodeCharTokens(tokens: Seq[String], endOfWord: String = EndOfWord): String = {
+    val Fb = "^<0x([0-9A-F]{2})>$".r
+    val sb = new java.lang.StringBuilder
+    val run = new java.io.ByteArrayOutputStream
+    def flush(): Unit = if (run.size() > 0) {
+      sb.append(new String(run.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      run.reset()
+    }
+    tokens.foreach {
+      case Fb(h) => run.write(Integer.parseInt(h, 16))
+      case t => flush(); sb.append(t)
+    }
+    flush()
+    sb.toString.split(java.util.regex.Pattern.quote(endOfWord), -1)
+      .mkString(" ").trim
   }
 
   /** Tokenize every document with a learned merge table: (id, tokens,

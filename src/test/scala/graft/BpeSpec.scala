@@ -154,6 +154,40 @@ class BpeSpec extends SparkSpec {
       .filter(trim(col("rejoined")) =!= col("norm")).count() === 0L)
   }
 
+  test("adaptive batch growth: same validity as fixed-batch, far fewer driver rounds") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val grown = Bpe.learnBatched(docs, "text", 256, batchSize = 4, maxBatchSize = 128)
+    val rows = grown.orderBy("rank").collect()
+    // growth ran well past several doublings of the batch (the corpus's
+    // pair tail exhausts before the 256 budget — that early stop is the
+    // contract, not a failure)
+    assert(rows.length > 64 && rows.length <= 256)
+    assert(rows.map(_.getInt(0)).toSeq === (0 until rows.length), "ranks contiguous from 0")
+    assert(rows.forall(_.getLong(3) >= 2L), "every merge met the min pair count")
+    val pairs = rows.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length === pairs.length)
+
+    // grown merges build a collision-free vocabulary and encode losslessly —
+    // the same contract the fixed-batch trainer meets
+    val vocab = Bpe.vocabulary(docs, "text", grown)
+    val ids = vocab.collect().map(_.getLong(1))
+    assert(ids.sorted.toSeq === (0L until ids.length).toSeq)
+    val enc = Bpe.encode(docs, "doc_id", "text", grown)
+    val rejoined = enc.select(col("doc_id"),
+      regexp_replace(concat_ws("", col("tokens")),
+        java.util.regex.Pattern.quote(Bpe.EndOfWord), " ").as("rejoined"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws(" ", graft.ops.Dedup.tokens(col("text"))).as("norm"))
+    assert(rejoined.join(orig, "doc_id")
+      .filter(trim(col("rejoined")) =!= col("norm")).count() === 0L)
+
+    // maxBatchSize = 0 (default) stays fixed: batchSize=1 remains exactly
+    // sequential even when growth is available elsewhere
+    intercept[IllegalArgumentException] {
+      Bpe.learnBatched(docs, "text", 8, batchSize = 16, maxBatchSize = 4)
+    }
+  }
+
   test("null and empty text encode to zero tokens") {
     val docs = Seq((1L, "low low"), (2L, null.asInstanceOf[String]), (3L, "  "))
       .toDF("doc_id", "text")
@@ -193,6 +227,47 @@ class BpeSpec extends SparkSpec {
     val got = Bpe.encodeIds(novel, "doc_id", "text", merges, vocab, unkId = -7L)
       .select("token_ids").collect()(0).getSeq[Long](0)
     assert(got.contains(-7L))
+  }
+
+  test("byte fallback: char-level vocabulary closes over novel code points, round-trips") {
+    val train = fixture(("low", 5), ("lower", 2), ("newest", 6), ("widest", 3))
+    val merges = Bpe.learn(train, "text", 8)
+    val vocab = Bpe.vocabulary(train, "text", merges, byteFallback = true)
+    // the fallback alphabet is fully present, on dense collision-free ids
+    val rows = vocab.collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.map(_._2).sorted.toSeq === (0L until rows.length).toSeq)
+    assert(Bpe.ByteFallbackTokens.forall(rows.map(_._1).toSet))
+
+    // text full of symbols the char-level trainer never saw: accents, CJK,
+    // an emoji outside the BMP \u2014 no UNK anywhere
+    val novel = Seq(
+      (1L, "caf\u00e9 \ud83c\udf89 low"),
+      (2L, "\u65e5\u672c\u8a9e newest")).toDF("doc_id", "text")
+    val enc = Bpe.encodeIds(novel, "doc_id", "text", merges, vocab, unkId = -7L)
+      .select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc.values.forall(_.forall(_ != -7L)), "fallback must leave no UNK")
+
+    // ids invert through the vocabulary and decodeCharTokens reassembles the
+    // normalized text, multi-byte code points reassembled across tokens
+    val inv = rows.map { case (t, i) => i -> t }.toMap
+    val expected = novel.select(col("doc_id"),
+        concat_ws(" ", graft.ops.Dedup.tokens(col("text"))).as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim).toMap
+    enc.foreach { case (id, idseq) =>
+      assert(Bpe.decodeCharTokens(idseq.map(inv)) === expected(id), s"doc $id round-trip")
+    }
+
+    // without fallback the same novel corpus DOES emit UNK (the guard this
+    // feature removes), and byte-level mode refuses the redundant flag
+    val plain = Bpe.vocabulary(train, "text", merges)
+    val unk = Bpe.encodeIds(novel, "doc_id", "text", merges, plain, unkId = -7L)
+      .select("token_ids").collect().flatMap(_.getSeq[Long](0))
+    assert(unk.contains(-7L))
+    intercept[IllegalArgumentException] {
+      Bpe.vocabulary(train, "text", Bpe.learn(train, "text", 2, byteLevel = true),
+        byteLevel = true, byteFallback = true)
+    }
   }
 
   test("byte-level mode: lossless on emoji/CJK, closed vocabulary, no UNK on novel text") {
