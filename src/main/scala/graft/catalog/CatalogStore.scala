@@ -33,6 +33,16 @@ trait CatalogStore {
     */
   def upsert(batch: DataFrame): Unit
 
+  /** Commit audit trail — "who wrote what when": one row per committed
+    * write, (version: long, op: string, committed_at: epoch-millis long,
+    * partitions: int), version monotone in commit order. Ops: "upsert"
+    * (PK-grain merge), "commit" (partition-grain replace), "delete";
+    * "unknown" where the audit sidecar is missing (pre-feature commits, or
+    * a crash between the commit point and the best-effort audit write —
+    * audit IO must never fail a committed write, in either backend).
+    */
+  def history(): DataFrame
+
   /** Filtered catalog listing (reference `support/catalog.py:212-236` —
     * repository/data_source/base/ext + date-range query, ordered). The
     * repository/data_source filters prune partitions; the rest push down to

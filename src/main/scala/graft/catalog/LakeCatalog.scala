@@ -284,7 +284,53 @@ class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L)
         }
       }
       Seq(trash, tmp).foreach(deleteRecursively)
+      writeAudit("upsert", touched.size)
     }
+  }
+
+  private def auditDir: Path = Paths.get(path, "audit")
+
+  /** Best-effort audit sidecar — one uniquely-named file per committed
+    * write, timestamp-prefixed so lexicographic order IS commit order
+    * (same contract as [[SnapshotLake]]'s `.info` files: an IO failure
+    * here must not fail the committed write it describes).
+    */
+  private def writeAudit(op: String, partitions: Int): Unit =
+    try {
+      Files.createDirectories(auditDir)
+      val at = System.currentTimeMillis()
+      Files.write(
+        auditDir.resolve(f"$at%013d-${java.util.UUID.randomUUID()}.json"),
+        s"""{"op":"$op","committed_at":$at,"partitions":$partitions}""".getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () }
+
+  /** Commit audit trail over the audit sidecars; versions are ordinals in
+    * commit-time order (this backend has no manifest versions). Catalogs
+    * written before auditing existed have an empty history — their commits
+    * left no sidecars to report.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(Long, String, Long, Int)] =
+      if (!Files.isDirectory(auditDir)) Seq.empty
+      else listDir(auditDir, "").sortBy(_.getFileName.toString).zipWithIndex.map {
+        case (p, i) =>
+          val parsed =
+            try {
+              val s = new String(Files.readAllBytes(p), "UTF-8")
+              def field(k: String) = s.split(s""""$k":""", 2) match {
+                case Array(_, rest) => Some(rest.takeWhile(c => c != ',' && c != '}').trim)
+                case _ => None
+              }
+              for {
+                op <- field("op").map(_.stripPrefix("\"").stripSuffix("\""))
+                at <- field("committed_at").map(_.toLong)
+                np <- field("partitions").map(_.toInt)
+              } yield (i + 1L, op, at, np)
+            } catch { case _: Exception => None }
+          parsed.getOrElse((i + 1L, "unknown", 0L, 0))
+      }
+    rows.toDF("version", "op", "committed_at", "partitions")
   }
 
   // `query` (filtered catalog listing) comes from [[CatalogStore]].

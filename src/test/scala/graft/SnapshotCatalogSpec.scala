@@ -116,6 +116,26 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(cat.history().count() === 1L)
   }
 
+  test("history is a CatalogStore surface: both backends answer who wrote what when") {
+    val backends: Seq[graft.catalog.CatalogStore] = Seq(
+      new LakeCatalog(spark, Files.createTempDirectory("graft_hist_lock").toString),
+      new SnapshotCatalog(spark, Files.createTempDirectory("graft_hist_snap").toString))
+    val t0 = System.currentTimeMillis()
+    backends.foreach { cat =>
+      assert(cat.history().count() === 0L, "empty catalog, empty audit")
+      cat.upsert(batch("bt", 0, 10, "2020-02-01 00:00:00", "v1"))
+      // second upsert touches TWO partitions
+      cat.upsert(
+        batch("bt", 5, 10, "2020-02-02 00:00:00", "v2")
+          .unionByName(batch("wt", 0, 5, "2020-02-02 00:00:00", "v2")))
+      val h = cat.history().orderBy("version").collect()
+      assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L), "versions monotone from 1")
+      assert(h.map(_.getString(1)).toSeq === Seq("upsert", "upsert"))
+      assert(h.forall(r => r.getLong(2) >= t0 && r.getLong(2) <= System.currentTimeMillis()))
+      assert(h.map(_.getInt(3)).toSeq === Seq(1, 2), "touched-partition counts audited")
+    }
+  }
+
   test("StreamingEtlRun drop-in: the snapshot backend gates a real stream exactly-once") {
     val src = Files.createTempDirectory("graft_scetl_src_").toString
     val ckpt = Files.createTempDirectory("graft_scetl_ck_").toString
