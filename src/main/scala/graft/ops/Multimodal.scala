@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   *     double so the DuckDB oracle can reproduce the whole mapPartitions
   *     contract byte-for-byte (an oracle cannot re-run ImageIO).
   *
-  * Audio/video codecs would slot in the same way (a JNI/ffmpeg-backed
-  * [[BinaryDecoder]]) without touching the plumbing.
+  * Audio rides the same seam ([[JavaSoundDecoder]]); video splits it in
+  * two: container truth is pure-JVM ([[parseMp4]], [[mp4SampleTable]]) and
+  * the bitstream→pixels step is the [[VideoFrameDecoder]] seam — real for
+  * MJPEG ([[MjpegFrameDecoder]]), ffmpeg/JNI-shaped for codecs the JDK
+  * cannot decode.
   */
 object Multimodal {
 
@@ -235,6 +238,247 @@ object Multimodal {
       }
     }
     if (tracks == 0 && durationMs == 0) None else Some(Mp4Meta(w, h, durationMs, tracks))
+  }
+
+  // ------------------------------------------------------------ video frames
+
+  /** One addressable media sample (≈ one encoded video frame) located by
+    * the container's sample tables: decode timestamp, byte extent within
+    * the payload, and ordinal.
+    */
+  final case class Mp4Sample(idx: Int, ptsMs: Long, offset: Long, size: Int)
+
+  /** The frame-decode seam — the ffmpeg-shaped injection point: one encoded
+    * sample in, decoded (width, height, mean luma 0–255) out, None when the
+    * codec is outside the implementation's reach. The CONTAINER side
+    * (which bytes are frame N, when is it presented) is already solved by
+    * [[mp4SampleTable]] in pure JVM code; only the bitstream→pixels step
+    * varies by codec:
+    *
+    *   - [[MjpegFrameDecoder]] — REAL pixels for Motion-JPEG tracks
+    *     (`jpeg`/`mjpa` sample entries): each sample is a self-contained
+    *     JPEG, which `javax.imageio` decodes without native code.
+    *   - [[StubFrameDecoder]] — deterministic md5-derived double for specs
+    *     and oracles, exactly the [[StubDecoder]] pattern.
+    *   - An H.264/H.265/AV1 decoder requires a native library (the JDK
+    *     ships no video codec); it plugs in here as an ffmpeg/JNI-backed
+    *     implementation with NO change to the Spark-side plumbing — this
+    *     sandbox has no JNI toolchain, so that implementation is explicitly
+    *     out of scope, not silently missing.
+    */
+  trait VideoFrameDecoder extends Serializable {
+    def decodeFrame(sample: Array[Byte]): Option[(Int, Int, Double)]
+  }
+
+  /** REAL pixel decode for MJPEG samples via `javax.imageio`: mean luma is
+    * computed over every pixel (Rec. 601 weights) — the smallest honest
+    * "looked at the actual pixels" feature.
+    */
+  object MjpegFrameDecoder extends VideoFrameDecoder {
+    def decodeFrame(sample: Array[Byte]): Option[(Int, Int, Double)] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sample))
+        if (img == null) None
+        else {
+          var sum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((img.getWidth, img.getHeight, sum / (img.getWidth.toLong * img.getHeight)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic md5-derived frame double (dimensions + fake luma), the
+    * spec/oracle twin of [[MjpegFrameDecoder]].
+    */
+  object StubFrameDecoder extends VideoFrameDecoder {
+    def decodeFrame(sample: Array[Byte]): Option[(Int, Int, Double)] = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(sample)
+      Some((64 + (h(0) & 0xff), 64 + (h(1) & 0xff), (h(2) & 0xff).toDouble))
+    }
+  }
+
+  /** The selected video track's codec fourcc and fully resolved sample
+    * table, or None when `bytes` is not an MP4 with a usable track. Track
+    * selection matches [[parseMoov]] (largest tkhd area). Sample extents
+    * come from `stsz`/`stsc`/`stco`(/`co64`), timestamps from `stts` over
+    * the `mdhd` timescale (composition offsets — B-frame reorder — are not
+    * applied; MJPEG and other all-intra codecs have none).
+    */
+  def mp4SampleTable(bytes: Array[Byte]): Option[(String, Seq[Mp4Sample])] =
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      var sawFtyp = false
+      var best: Option[(Long, String, Seq[Mp4Sample])] = None // (area, codec, samples)
+      foreachBox(buf, 0L, bytes.length.toLong) { (tag, s, e) =>
+        tag match {
+          case "ftyp" => sawFtyp = true
+          case "moov" =>
+            foreachBox(buf, s, e) { (t1, s1, e1) =>
+              if (t1 == "trak") {
+                var area = 0L
+                var codec = ""
+                var timescale = 0L
+                var stts = Seq.empty[(Long, Long)]    // (count, delta)
+                var sizes = Seq.empty[Int]
+                var chunkOffsets = Seq.empty[Long]
+                var stsc = Seq.empty[(Int, Int)]      // (first_chunk, samples_per_chunk)
+                foreachBox(buf, s1, e1) { (t2, s2, e2) =>
+                  t2 match {
+                    case "tkhd" =>
+                      val v = buf.get(s2.toInt) & 0xff
+                      val base = (if (v == 1) s2 + 88 else s2 + 76).toInt
+                      val tw = buf.getInt(base) >>> 16
+                      val th = buf.getInt(base + 4) >>> 16
+                      area = tw.toLong * th
+                    case "mdia" =>
+                      foreachBox(buf, s2, e2) { (t3, s3, e3) =>
+                        t3 match {
+                          case "mdhd" =>
+                            val v = buf.get(s3.toInt) & 0xff
+                            timescale =
+                              if (v == 1) buf.getInt(s3.toInt + 20).toLong & 0xffffffffL
+                              else buf.getInt(s3.toInt + 12).toLong & 0xffffffffL
+                          case "minf" =>
+                            foreachBox(buf, s3, e3) { (t4, s4, e4) =>
+                              if (t4 == "stbl") foreachBox(buf, s4, e4) { (t5, s5, _) =>
+                                val p = s5.toInt
+                                t5 match {
+                                  case "stsd" =>
+                                    if (buf.getInt(p + 4) > 0)
+                                      codec = new String(Array(
+                                        buf.get(p + 12), buf.get(p + 13),
+                                        buf.get(p + 14), buf.get(p + 15)), "ISO-8859-1")
+                                  case "stts" =>
+                                    val n = buf.getInt(p + 4)
+                                    stts = (0 until n).map(i => (
+                                      buf.getInt(p + 8 + i * 8).toLong & 0xffffffffL,
+                                      buf.getInt(p + 12 + i * 8).toLong & 0xffffffffL))
+                                  case "stsz" =>
+                                    val uniform = buf.getInt(p + 4)
+                                    val n = buf.getInt(p + 8)
+                                    sizes =
+                                      if (uniform != 0) Seq.fill(n)(uniform)
+                                      else (0 until n).map(i => buf.getInt(p + 12 + i * 4))
+                                  case "stsc" =>
+                                    val n = buf.getInt(p + 4)
+                                    stsc = (0 until n).map(i => (
+                                      buf.getInt(p + 8 + i * 12), buf.getInt(p + 12 + i * 12)))
+                                  case "stco" =>
+                                    val n = buf.getInt(p + 4)
+                                    chunkOffsets = (0 until n)
+                                      .map(i => buf.getInt(p + 8 + i * 4).toLong & 0xffffffffL)
+                                  case "co64" =>
+                                    val n = buf.getInt(p + 4)
+                                    chunkOffsets = (0 until n).map(i => buf.getLong(p + 8 + i * 8))
+                                  case _ => ()
+                                }
+                              }
+                            }
+                          case _ => ()
+                        }
+                      }
+                    case _ => ()
+                  }
+                }
+                if (sizes.nonEmpty && chunkOffsets.nonEmpty && stsc.nonEmpty &&
+                    timescale > 0 && best.forall(_._1 < area)) {
+                  // decode timestamps: running stts deltas → millis
+                  val pts = new Array[Long](sizes.length)
+                  var cum = 0L
+                  var i = 0
+                  stts.foreach { case (count, delta) =>
+                    var c = 0L
+                    while (c < count && i < pts.length) {
+                      pts(i) = cum * 1000L / timescale; cum += delta; i += 1; c += 1
+                    }
+                  }
+                  // chunk walk: stsc entry with the greatest first_chunk <= this
+                  // chunk governs its samples-per-chunk; offsets accumulate
+                  // within the chunk
+                  val samples = Seq.newBuilder[Mp4Sample]
+                  var sIdx = 0
+                  chunkOffsets.zipWithIndex.foreach { case (chunkOff, ci) =>
+                    val perChunk = stsc.takeWhile(_._1 <= ci + 1).lastOption.map(_._2).getOrElse(0)
+                    var within = 0L
+                    var k = 0
+                    while (k < perChunk && sIdx < sizes.length) {
+                      val sz = sizes(sIdx)
+                      if (chunkOff + within + sz <= bytes.length)
+                        samples += Mp4Sample(sIdx, pts(sIdx), chunkOff + within, sz)
+                      within += sz; sIdx += 1; k += 1
+                    }
+                  }
+                  best = Some((area, codec, samples.result()))
+                }
+              }
+            }
+          case _ => ()
+        }
+      }
+      if (sawFtyp) best.map { case (_, c, ss) => (c, ss) } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frame sampling through the REAL container path: resolve each payload's
+    * video sample table, keep every `everyNth`-th sample, slice its exact
+    * byte extent, and decode it through the [[VideoFrameDecoder]] seam —
+    * one output row per decoded frame: (id, frame_idx, pts_ms, codec,
+    * sample_len, width, height, mean_luma). Samples the decoder cannot
+    * handle (foreign codec, corrupt bitstream) produce no row; payloads
+    * that are not parseable MP4 produce no rows — corrupt assets are data,
+    * not errors. One batched `mapPartitions` pass, no shuffle, no driver
+    * involvement; the byte-slice stride twin (for opaque payloads with no
+    * container) is [[sampleFrames]].
+    */
+  def sampleMp4Frames(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      everyNth: Int = 1,
+      decoder: VideoFrameDecoder = StubFrameDecoder): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val idField = df.schema(idCol)
+    val schema = StructType(Seq(
+      idField,
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("pts_ms", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false),
+      StructField("sample_len", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val d = decoder
+      rows.flatMap { r =>
+        val id = r.get(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else mp4SampleTable(bytes) match {
+          case None => Iterator.empty
+          case Some((codec, samples)) =>
+            samples.iterator
+              .filter(_.idx % everyNth == 0)
+              .flatMap { s =>
+                val slice = java.util.Arrays.copyOfRange(
+                  bytes, s.offset.toInt, (s.offset + s.size).toInt)
+                d.decodeFrame(slice).map { case (w, h, luma) =>
+                  Row(id, s.idx, s.ptsMs, codec, s.size, w, h, luma)
+                }
+              }
+        }
+      }
+    }(enc)
   }
 
   // ----------------------------------------------------------------- audio

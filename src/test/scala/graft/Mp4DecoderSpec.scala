@@ -107,6 +107,116 @@ class Mp4DecoderSpec extends SparkSpec {
     assert(Multimodal.parseMp4(png) === None)
   }
 
+  // ------------------------------------------------ real frame decode path
+
+  /** A real JPEG (ImageIO-encoded) of a solid gray level. */
+  private def jpegBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(gray, gray, gray))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** A structurally valid MJPEG MP4: ftyp, mdat holding the encoded frames
+    * (chunk 1 = frames 0..1 contiguous, chunk 2 = frame 2 — exercising a
+    * multi-entry stsc), and a moov whose stbl addresses them exactly.
+    */
+  private def mjpegMp4(frames: Seq[Array[Byte]], timescale: Int, delta: Int): Array[Byte] = {
+    val ftyp = box("ftyp", "isom0000isomiso2".getBytes("ISO-8859-1"))
+    val mdatPayload = frames.reduce(_ ++ _)
+    val chunk1Off = ftyp.length + 8L
+    val chunk2Off = chunk1Off + frames(0).length + frames(1).length
+    def fullBox(tag: String, body: ByteBuffer) = box(tag, body.array())
+    val stsd = {
+      val b = ByteBuffer.allocate(8 + 16)
+      b.putInt(0).putInt(1)                      // version/flags, entry_count
+      b.putInt(16).put("jpeg".getBytes("ISO-8859-1")) // minimal sample entry
+      fullBox("stsd", b)
+    }
+    val stts = fullBox("stts",
+      ByteBuffer.allocate(16).putInt(0).putInt(1).putInt(frames.length).putInt(delta))
+    val stsc = fullBox("stsc", ByteBuffer.allocate(8 + 24)
+      .putInt(0).putInt(2)
+      .putInt(1).putInt(2).putInt(1)   // chunks 1.. : 2 samples each
+      .putInt(2).putInt(1).putInt(1))  // chunks 2.. : 1 sample each
+    val stsz = {
+      val b = ByteBuffer.allocate(12 + 4 * frames.length)
+      b.putInt(0).putInt(0).putInt(frames.length)
+      frames.foreach(f => b.putInt(f.length))
+      fullBox("stsz", b)
+    }
+    val stco = fullBox("stco", ByteBuffer.allocate(8 + 8)
+      .putInt(0).putInt(2).putInt(chunk1Off.toInt).putInt(chunk2Off.toInt))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val mdhd = {
+      val b = ByteBuffer.allocate(24)
+      b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(delta * frames.length)
+      fullBox("mdhd", b)
+    }
+    val trak = {
+      val tk = ByteBuffer.allocate(84)
+      tk.position(76)
+      tk.putInt(40 << 16).putInt(30 << 16)
+      box("trak", box("tkhd", tk.array()) ++ box("mdia", mdhd ++ box("minf", stbl)))
+    }
+    ftyp ++ box("mdat", mdatPayload) ++ box("moov", mvhdV0(timescale, delta * frames.length) ++ trak)
+  }
+
+  test("sample tables resolve frame extents and timestamps from the container") {
+    val frames = Seq(jpegBytes(40, 30, 16), jpegBytes(40, 30, 112), jpegBytes(40, 30, 208))
+    val bytes = mjpegMp4(frames, timescale = 600, delta = 200)
+    val (codec, samples) = Multimodal.mp4SampleTable(bytes).get
+    assert(codec === "jpeg")
+    assert(samples.map(_.idx) === Seq(0, 1, 2))
+    assert(samples.map(_.ptsMs) === Seq(0L, 333L, 666L)) // 200/600ths of a second
+    assert(samples.map(_.size) === frames.map(_.length))
+    // the located extents are EXACTLY the encoded frames
+    samples.zip(frames).foreach { case (s, f) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, s.offset.toInt, s.offset.toInt + s.size), f))
+    }
+    assert(Multimodal.mp4SampleTable(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("sampleMp4Frames decodes REAL pixels through the MJPEG seam") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val grays = Seq(16, 112, 208)
+    val good = mjpegMp4(grays.map(jpegBytes(40, 30, _)), timescale = 600, delta = 200)
+    val schema = StructType(Seq(
+      StructField("id", LongType, false), StructField("payload", BinaryType, true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, good), Row(2L, Array[Byte](9, 9, 9)), Row(3L, null)), 2), schema)
+    val got = Multimodal.sampleMp4Frames(df, "id", "payload",
+        decoder = Multimodal.MjpegFrameDecoder)
+      .orderBy("id", "frame_idx").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 1L, 1L), "only the parseable MP4 yields rows")
+    assert(got.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    assert(got.map(_.getLong(2)).toSeq === Seq(0L, 333L, 666L))
+    assert(got.forall(r => r.getInt(5) === 40 && r.getInt(6) === 30), "decoded dimensions")
+    // decoded MEAN LUMA tracks each frame's gray level (JPEG is lossy on a
+    // solid field only at the margin)
+    got.zip(grays).foreach { case (r, g) =>
+      assert(math.abs(r.getDouble(7) - g) <= 3.0, s"luma ${r.getDouble(7)} vs gray $g")
+    }
+    // stride sampling keeps every Nth frame
+    val every2 = Multimodal.sampleMp4Frames(df, "id", "payload",
+        everyNth = 2, decoder = Multimodal.MjpegFrameDecoder)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(every2.toSeq === Seq(0, 2))
+    // the stub double rides the same seam deterministically
+    val stub = Multimodal.sampleMp4Frames(df, "id", "payload")
+      .select("frame_idx", "mean_luma").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(stub.keySet === Set(0, 1, 2))
+  }
+
   test("rides the shared mapPartitions seam like every other decoder") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
