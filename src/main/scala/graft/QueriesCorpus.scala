@@ -25,7 +25,9 @@ object QueriesCorpus {
   private def bpeFixtureCorpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "nation")
       .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
-      .select(concat(col("n_name"), lit(" "), col("r_name")).as("text"))
+      .select(
+        col("n_nationkey").as("doc_id"),
+        concat(col("n_name"), lit(" "), col("r_name")).as("text"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy, one shuffle
@@ -403,6 +405,18 @@ object QueriesCorpus {
       graft.ops.Bpe.encode(docs, "doc_id", "text",
           graft.ops.Bpe.learn(docs, "text", numMerges = 12))
         .select("doc_id", "n_tokens")
+    }),
+
+    // the ENCODE step itself against the golden: per-fixture-doc token
+    // sequence (space-joined) and count under the 16 learned merges — the
+    // greedy lowest-rank merge loop is now hash-exact end to end, not just
+    // spec-bounded (the scale-path twin over `documents` is q_bpe_encode)
+    "q_bpe_encode_gold" -> ((s, dir) => {
+      val docs = bpeFixtureCorpus(s, dir)
+      graft.ops.Bpe.encode(docs, "doc_id", "text",
+          graft.ops.Bpe.learn(docs, "text", numMerges = 16))
+        .select(col("doc_id"), concat_ws(" ", col("tokens")).as("token_str"),
+          col("n_tokens"))
     }),
 
     // the dense token-id artifact (base code points + merge products at
@@ -1154,6 +1168,34 @@ object QueriesCorpus {
         |  ('nation_2', CAST(40 AS BIGINT)),
         |  ('af', CAST(41 AS BIGINT)),
         |  ('am', CAST(42 AS BIGINT))) AS t(token, token_id)""".stripMargin,
+    // golden encode table (char-level tokens per fixture doc)
+    "q_bpe_encode_gold" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'nation_ 0 </w> af rica</w>', CAST(5 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'nation_1 </w> am e rica</w>', CAST(5 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'nation_2 </w> as i a</w>', CAST(5 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'nation_ 3 </w> e u r o p e</w>', CAST(9 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'nation_ 4 </w> m i d d l e</w> e as t </w>', CAST(13 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'nation_ 5 </w> af rica</w>', CAST(5 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'nation_ 6 </w> am e rica</w>', CAST(6 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), 'nation_ 7 </w> as i a</w>', CAST(6 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), 'nation_ 8 </w> e u r o p e</w>', CAST(9 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), 'nation_ 9 </w> m i d d l e</w> e as t </w>', CAST(13 AS BIGINT)),
+        |  (CAST(10 AS BIGINT), 'nation_1 0 </w> af rica</w>', CAST(5 AS BIGINT)),
+        |  (CAST(11 AS BIGINT), 'nation_1 1 </w> am e rica</w>', CAST(6 AS BIGINT)),
+        |  (CAST(12 AS BIGINT), 'nation_1 2 </w> as i a</w>', CAST(6 AS BIGINT)),
+        |  (CAST(13 AS BIGINT), 'nation_1 3 </w> e u r o p e</w>', CAST(9 AS BIGINT)),
+        |  (CAST(14 AS BIGINT), 'nation_1 4 </w> m i d d l e</w> e as t </w>', CAST(13 AS BIGINT)),
+        |  (CAST(15 AS BIGINT), 'nation_1 5 </w> af rica</w>', CAST(5 AS BIGINT)),
+        |  (CAST(16 AS BIGINT), 'nation_1 6 </w> am e rica</w>', CAST(6 AS BIGINT)),
+        |  (CAST(17 AS BIGINT), 'nation_1 7 </w> as i a</w>', CAST(6 AS BIGINT)),
+        |  (CAST(18 AS BIGINT), 'nation_1 8 </w> e u r o p e</w>', CAST(9 AS BIGINT)),
+        |  (CAST(19 AS BIGINT), 'nation_1 9 </w> m i d d l e</w> e as t </w>', CAST(13 AS BIGINT)),
+        |  (CAST(20 AS BIGINT), 'nation_2 0 </w> af rica</w>', CAST(5 AS BIGINT)),
+        |  (CAST(21 AS BIGINT), 'nation_2 1 </w> am e rica</w>', CAST(6 AS BIGINT)),
+        |  (CAST(22 AS BIGINT), 'nation_2 2 </w> as i a</w>', CAST(6 AS BIGINT)),
+        |  (CAST(23 AS BIGINT), 'nation_2 3 </w> e u r o p e</w>', CAST(9 AS BIGINT)),
+        |  (CAST(24 AS BIGINT), 'nation_2 4 </w> m i d d l e</w> e as t </w>', CAST(13 AS BIGINT))) AS t(doc_id, token_str, n_tokens)""".stripMargin,
     "q_pk_ids" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w

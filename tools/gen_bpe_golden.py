@@ -22,13 +22,13 @@ END = "</w>"
 
 def corpus(con):
     rows = con.execute(
-        f"""SELECT n_name || ' ' || r_name
+        f"""SELECT n_nationkey, n_name || ' ' || r_name
             FROM '{sfdir}/nation.parquet' n
             JOIN '{sfdir}/region.parquet' r ON n_regionkey = r_regionkey
             ORDER BY n_nationkey"""
 
     ).fetchall()
-    return [r[0] for r in rows]
+    return [(r[0], r[1]) for r in rows]
 
 
 def word_freqs(texts):
@@ -38,6 +38,23 @@ def word_freqs(texts):
             if w:
                 freqs[w] = freqs.get(w, 0) + 1
     return freqs
+
+
+def encode_word(word, ranks, byte_level=False):
+    """Mirror of the documented encode contract: repeatedly merge the
+    LOWEST-RANK adjacent pair present (all its occurrences in one pass)
+    until none applies."""
+    syms = decompose(word, byte_level)
+    while len(syms) >= 2:
+        best, bestr = None, None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (bestr is None or r < bestr):
+                bestr, best = r, (a, b)
+        if best is None:
+            break
+        syms = merge_pair(syms, *best)
+    return syms
 
 
 def decompose(word, byte_level):
@@ -98,9 +115,25 @@ def sql_vocab(rows):
     return "SELECT * FROM (VALUES\n  " + vals + ") AS t(token, token_id)"
 
 
+def sql_encode(docs, merges):
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    vals = []
+    for doc_id, text in docs:
+        toks = []
+        for w in text.strip().lower().split():
+            if w:
+                toks.extend(encode_word(w, ranks))
+        vals.append(
+            f"(CAST({doc_id} AS BIGINT), '{' '.join(toks)}', "
+            f"CAST({len(toks)} AS BIGINT))")
+    return ("SELECT * FROM (VALUES\n  " + ",\n  ".join(vals) +
+            ") AS t(doc_id, token_str, n_tokens)")
+
+
 if __name__ == "__main__":
     con = duckdb.connect()
-    texts = corpus(con)
+    docs = corpus(con)
+    texts = [t for _, t in docs]
     char_merges = learn(texts, 16, byte_level=False)
     byte_merges = learn(texts, 16, byte_level=True)
     print("-- q_bpe_merges_gold (char-level, 16 merges)")
@@ -111,3 +144,6 @@ if __name__ == "__main__":
     print()
     print("-- q_bpe_vocab_gold (char-level base + 16 merge products)")
     print(sql_vocab(vocabulary(texts, char_merges)))
+    print()
+    print("-- q_bpe_encode_gold (char-level tokens per fixture doc)")
+    print(sql_encode(docs, char_merges))
