@@ -147,6 +147,13 @@ object ScaleProbe {
       // Misra-Gries candidates + recount: two ~linear passes
       "hh_tokens" -> (d =>
         graft.ops.HeavyHitters.frequentTokens(docsAt(d), "text", k = 50).count()),
+      // exact-substring spans: one window row per token (linear explode),
+      // then keyed groupBy/join/window — the salted 10x corpus duplicates
+      // every doc 10x, so FLAGGED spans blow up by construction; runtime
+      // should track the window count, not the span count
+      "dd_spans" -> (d =>
+        graft.ops.Dedup.repeatedSpans(docsAt(d), "doc_id", "text",
+          windowTokens = 8).count()),
       // bloom build on the 1/13 dim + probe filter on the fact: ~linear
       "bf_join" -> { d =>
         val docs = docsAt(d)

@@ -27,6 +27,62 @@ object Dedup {
     df.groupBy(md5(trim(lower(col(textCol)))).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /** Cross-document repeated-span detection — the exact-substring dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), at token-window grain: every `windowTokens`-token window
+    * of every document is hashed; windows whose hash occurs in at least
+    * `minDocs` DISTINCT documents are duplicated content, and each
+    * document's overlapping/adjacent duplicated windows merge into maximal
+    * spans `(id, span_start, span_end)` (token offsets, end exclusive) for
+    * the caller to cut or mask.
+    *
+    * Scale shape: the window explode is the honest price of exactness —
+    * ONE row per token (each token starts at most one window), linear in
+    * corpus size, exactly how ExactSubstr deploys without a distributed
+    * suffix array. Everything after is keyed: one hash-groupBy for
+    * document frequency, one keyed join back, one per-document window for
+    * the island merge. No driver state, no global sort.
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
+    val wins = df
+      .select(col(idCol), filter(tokens(col(textCol)), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= windowTokens)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - windowTokens),
+          // unit-separator joint: token boundaries must survive the concat or
+          // ("ab","c") and ("a","bc") would hash identically
+          i => md5(concat_ws("\u0001", slice(col("toks"), i + 1, lit(windowTokens))))))
+          .as(Seq("start_pos", "win_hash")))
+    val dup = wins.groupBy("win_hash")
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("win_hash")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start_pos"))
+    wins.join(dup, "win_hash")
+      .select(col(idCol), col("start_pos"))
+      .withColumn("prev", lag(col("start_pos"), 1).over(w))
+      // a window reaches start_pos + windowTokens: merge the next one when
+      // it starts at or before that point (overlapping or exactly adjacent
+      // duplicated windows form one contiguous duplicated region)
+      .withColumn("new_span",
+        when(col("prev").isNull || col("start_pos") > col("prev") + windowTokens, 1)
+          .otherwise(0))
+      .withColumn("span_id",
+        sum(col("new_span")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("start_pos")).as("span_start"),
+        (max(col("start_pos")) + windowTokens).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
   /** Exploded (carryCols..., shingle) rows: `n`-word shingles built with
     * `posexplode` + window `lead`, NOT `transform`/`slice` higher-order
     * functions — every operator here is whole-stage-codegen'd, while

@@ -102,6 +102,39 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("Dedup.repeatedSpans: maximal cross-document spans, window merge, minDocs gate") {
+    // docs 1 and 2 share a 10-token run (tokens 2..11 of doc 1, 0..9 of
+    // doc 2); doc 3 is unrelated; doc 4 repeats the run INTERNALLY only
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared tail1 tail2"),
+      (2L, s"$shared other words here"),
+      (3L, "nothing in common with anything at all here today"),
+      (4L, "solo text that appears just once in the corpus")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // 10 shared tokens at window 4 → overlapping windows merge into ONE
+    // maximal span per doc, exactly covering the run
+    assert(got === Set((1L, 2, 12), (2L, 0, 10)))
+
+    // windows of a doc with itself never pair (distinct-doc frequency)
+    val selfRep = Seq((9L, s"$shared filler $shared")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(selfRep, "doc_id", "text", windowTokens = 4).count() === 0L)
+
+    // minDocs raises the bar: the run must appear in >= 3 docs
+    val got3 = Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 4, minDocs = 3)
+    assert(got3.count() === 0L)
+
+    // token-boundary integrity: ("ab","c") vs ("a","bc") must NOT match
+    val tricky = Seq((1L, "ab c x y z"), (2L, "a bc x y z")).toDF("doc_id", "text")
+    val trickySpans = Dedup.repeatedSpans(tricky, "doc_id", "text", windowTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // only the genuinely shared "x y z" region pairs (windows at 2..3 /
+    // 2..3), never the boundary-shifted prefix
+    assert(trickySpans === Set((1L, 2, 5), (2L, 2, 5)))
+  }
+
   test("Dedup.exact groups identical normalized text") {
     val df = Seq((1L, "Hello  World"), (2L, "hello  world"), (3L, "other"))
       .toDF("id", "text")
