@@ -60,16 +60,18 @@ object QueriesExtra {
       SimilaritySearch.blockedKnn(
         t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 3)),
 
-    // LSH ANN top-k (rows-only check: approximate by construction; the
-    // deterministic bucket assignment is oracle-checked separately)
+    // LSH ANN top-k — approximate vs TRUE neighbors, but fully
+    // deterministic end to end (md5 hyperplanes, fixed tie order), so the
+    // oracle recomputes the whole probe: bucket, cosine, rank
     "q_ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec(emb), k = 10, planes = 6)
     }),
 
-    // multi-probe LSH ANN: own bucket + the 3 boundary-closest sign flips
-    // (rows-only check: approximate by construction; AnnSpec proves
-    // zero-probe == single-bucket, monotone recall, and a recall floor)
+    // multi-probe LSH ANN: own bucket + the 3 boundary-closest sign flips —
+    // the probe set derives from the query alone, so the oracle recomputes
+    // projections, flip choice, and the ranked union (AnnSpec additionally
+    // proves zero-probe == single-bucket, monotone recall, a recall floor)
     "q_ann_lsh_multiprobe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = queryVec(emb)
@@ -222,7 +224,46 @@ object QueriesExtra {
           col("day").cast("long").as("day"))
     })
 
+  /** Sign-bit term of LSH plane `p` over a DOUBLE[] column spelled `v` —
+    * the same md5-uniform hyperplane components as
+    * [[graft.ops.SimilaritySearch.planeComponents]] (QueriesCorpus's
+    * q_ann_lsh_buckets oracle uses the identical expression).
+    */
+  private def planeBitSql(p: Int) =
+    s"""CASE WHEN (SELECT sum(z[1] * (CAST('0x' || substr(md5('p$p:' || CAST(z[2] AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 - 0.5))
+       |  FROM unnest(list_zip(v, range(0, len(v)))) AS t(z)) > 0.0 THEN ${1L << p} ELSE 0 END""".stripMargin
+
+  private val lshBucketedSql =
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, CAST(${(0 until 6).map(planeBitSql).mkString(" + ")} AS BIGINT) AS bucket
+       |  FROM base)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ann_lsh_topk" ->
+      s"""WITH $lshBucketedSql
+         |SELECT bk.vec_id,
+         |  floor(list_cosine_similarity(bk.v, q.v) * 1000000 + 0.5) / 1000000 AS cos
+         |FROM bk, (SELECT v, bucket FROM bk WHERE vec_id = 0) q
+         |WHERE bk.bucket = q.bucket
+         |ORDER BY cos DESC, bk.vec_id LIMIT 10""".stripMargin,
+    "q_ann_lsh_multiprobe" -> {
+      // per-plane SIGNED projection of the query vector (vec_id = 0)
+      val projSql = (p: Int) =>
+        s"""SELECT $p AS p, (SELECT sum(z[1] * (CAST('0x' || substr(md5('p$p:' || CAST(z[2] AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 - 0.5))
+           |  FROM qv, unnest(list_zip(qv.v, range(0, len(qv.v)))) AS t(z)) AS pr""".stripMargin
+      s"""WITH $lshBucketedSql,
+         |qv AS (SELECT v FROM base WHERE vec_id = 0),
+         |proj AS (${(0 until 6).map(projSql).mkString("\n  UNION ALL ")}),
+         |qb AS (SELECT bucket AS b FROM bk WHERE vec_id = 0),
+         |flips AS (SELECT p FROM proj ORDER BY abs(pr), p LIMIT 3),
+         |probes AS (
+         |  SELECT b AS bucket FROM qb
+         |  UNION ALL SELECT xor(qb.b, CAST(1 << CAST(p AS INT) AS BIGINT)) FROM qb, flips)
+         |SELECT bk.vec_id,
+         |  floor(list_cosine_similarity(bk.v, (SELECT v FROM qv)) * 1000000 + 0.5) / 1000000 AS cos
+         |FROM bk JOIN probes ON bk.bucket = probes.bucket
+         |ORDER BY cos DESC, bk.vec_id LIMIT 10""".stripMargin
+    },
     "q_w7_sessionize" ->
       """WITH e AS (SELECT event_id, user_id,
         |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec
