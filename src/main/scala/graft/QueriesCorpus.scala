@@ -39,6 +39,15 @@ object QueriesCorpus {
     "q_dd_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", windowTokens = 8)),
 
+    // the apply side: the corpus with every flagged span cut out (the
+    // detect→cut composition, oracle-recomputed text for every doc)
+    "q_dd_spans_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.removeSpans(docs,
+        Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 8),
+        "doc_id", "text")
+    }),
+
     // MinHash signatures (4 permutations over 3-word shingles)
     "q_dd_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", numHashes = 4)),
@@ -635,37 +644,59 @@ object QueriesCorpus {
        |sh AS (SELECT doc_id, CAST($votes AS BIGINT) AS simhash FROM hashed)""".stripMargin
   }
 
+  /** CTE chain computing [[graft.ops.Dedup.repeatedSpans]] (8-token
+    * windows, minDocs 2) as `merged(doc_id, span_start, span_end)`, with
+    * `toks(doc_id, t)` exposed for reuse by the apply-side oracle.
+    */
+  private val spansCteSql =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, CAST(u.i AS INTEGER) AS start_pos,
+      |    md5(array_to_string(t[CAST(u.i+1 AS INT):CAST(u.i+8 AS INT)], chr(1))) AS win_hash
+      |  FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |dup AS (
+      |  SELECT win_hash FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, start_pos FROM wins JOIN dup USING (win_hash)),
+      |marked AS (
+      |  SELECT doc_id, start_pos,
+      |    CASE WHEN lag(start_pos) OVER w IS NULL
+      |           OR start_pos > lag(start_pos) OVER w + 8 THEN 1 ELSE 0 END AS new_span
+      |  FROM hits
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY start_pos)),
+      |spans AS (
+      |  SELECT doc_id, start_pos, sum(new_span) OVER (
+      |    PARTITION BY doc_id ORDER BY start_pos ROWS UNBOUNDED PRECEDING) AS span_id
+      |  FROM marked),
+      |merged AS (
+      |  SELECT doc_id, min(start_pos) AS span_start,
+      |    CAST(max(start_pos) + 8 AS INTEGER) AS span_end
+      |  FROM spans GROUP BY doc_id, span_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dd_exact" ->
       """SELECT md5(trim(lower(text))) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dd_spans" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, CAST(u.i AS INTEGER) AS start_pos,
-        |    md5(array_to_string(t[CAST(u.i+1 AS INT):CAST(u.i+8 AS INT)], chr(1))) AS win_hash
-        |  FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
-        |  WHERE len(t) >= 8),
-        |dup AS (
-        |  SELECT win_hash FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
-        |hits AS (SELECT doc_id, start_pos FROM wins JOIN dup USING (win_hash)),
-        |marked AS (
-        |  SELECT doc_id, start_pos,
-        |    CASE WHEN lag(start_pos) OVER w IS NULL
-        |           OR start_pos > lag(start_pos) OVER w + 8 THEN 1 ELSE 0 END AS new_span
-        |  FROM hits
-        |  WINDOW w AS (PARTITION BY doc_id ORDER BY start_pos)),
-        |spans AS (
-        |  SELECT doc_id, start_pos, sum(new_span) OVER (
-        |    PARTITION BY doc_id ORDER BY start_pos ROWS UNBOUNDED PRECEDING) AS span_id
-        |  FROM marked)
-        |SELECT doc_id, min(start_pos) AS span_start,
-        |  CAST(max(start_pos) + 8 AS INTEGER) AS span_end
-        |FROM spans GROUP BY doc_id, span_id""".stripMargin,
+      s"""WITH $spansCteSql
+         |SELECT doc_id, span_start, span_end FROM merged""".stripMargin,
+    "q_dd_spans_clean" ->
+      s"""WITH $spansCteSql,
+         |tok_rows AS (
+         |  SELECT doc_id, CAST(u.i AS INTEGER) AS idx, t[CAST(u.i+1 AS INT)] AS tok
+         |  FROM toks, unnest(range(0, len(t))) AS u(i)),
+         |keep AS (
+         |  SELECT tr.doc_id, tr.idx, tr.tok FROM tok_rows tr
+         |  WHERE NOT EXISTS (SELECT 1 FROM merged sp
+         |    WHERE sp.doc_id = tr.doc_id AND tr.idx >= sp.span_start AND tr.idx < sp.span_end))
+         |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+         |  FROM keep GROUP BY doc_id) k USING (doc_id)""".stripMargin,
     "q_dd_minhash_sig" ->
       s"""SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
          |FROM $shingleFrom""".stripMargin,

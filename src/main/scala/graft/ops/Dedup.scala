@@ -83,6 +83,42 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Apply side of [[repeatedSpans]]: cut every flagged token span out of
+    * each document, keeping first-token normalization (lower/trim/
+    * whitespace-collapse) — the "deduplicate the training set in place"
+    * step of Lee et al. Documents with no spans pass through with the same
+    * normalization, so output text is a pure function of (tokens, spans).
+    *
+    * Shape: ONE keyed left join (doc → its span list, spans per doc are
+    * few by construction) and per-row array lambdas — no explode, no
+    * window, no second shuffle.
+    */
+  def removeSpans(
+      df: DataFrame,
+      spans: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spansAgg = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    df.join(spansAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        filter(tokens(col(textCol)), t => t =!= "").as("_toks"), col("_spans"))
+      .select(
+        col(idCol),
+        concat_ws(" ", transform(
+          filter(
+            // pair every token with its index; spans address token offsets
+            arrays_zip(
+              col("_toks").as("tok"),
+              sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0))).as("idx")),
+            z => coalesce(
+              !exists(col("_spans"),
+                s => z.getField("idx") >= s.getField("span_start") &&
+                  z.getField("idx") < s.getField("span_end")),
+              lit(true))),
+          z => z.getField("tok"))).as("clean_text"))
+  }
+
   /** Exploded (carryCols..., shingle) rows: `n`-word shingles built with
     * `posexplode` + window `lead`, NOT `transform`/`slice` higher-order
     * functions — every operator here is whole-stage-codegen'd, while

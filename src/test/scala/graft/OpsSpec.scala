@@ -135,6 +135,25 @@ class OpsSpec extends SparkSpec {
     assert(trickySpans === Set((1L, 2, 5), (2L, 2, 5)))
   }
 
+  test("Dedup.removeSpans cuts exactly the flagged tokens; span-free docs normalize only") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared tail1 tail2"),
+      (2L, s"  $shared   OTHER words here "),
+      (3L, "untouched text stays as is")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 4)
+    val got = Dedup.removeSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "alpha beta tail1 tail2")
+    assert(got(2L) === "other words here", "normalization + cut compose")
+    assert(got(3L) === "untouched text stays as is")
+    // idempotence: a deduplicated corpus has no cross-doc spans left at
+    // the same window size
+    val clean = Dedup.removeSpans(docs, spans, "doc_id", "text")
+      .withColumnRenamed("clean_text", "text")
+    assert(Dedup.repeatedSpans(clean, "doc_id", "text", windowTokens = 4).count() === 0L)
+  }
+
   test("Dedup.exact groups identical normalized text") {
     val df = Seq((1L, "Hello  World"), (2L, "hello  world"), (3L, "other"))
       .toDF("id", "text")
