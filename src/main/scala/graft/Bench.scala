@@ -24,7 +24,7 @@ object Bench {
       "q_dd_clusters", "q_cr_keep", "q_tx_cdc", "q_pk_concat",
       "q_ann_brute", "q_tx_quality", "q_tx_fingerprint", "q_sc_recordid",
       "q_k2_upsert", "q_gs_ready", "q_rj_overlap", "q_bf_join",
-      "q_hh_tokens", "q_rb_winsor", "q_k2_snapshot", "q_bpe_encode",
+      "q_hh_tokens", "q_rb_winsor", "q_k2_snapshot", "q_bpe_encode", "q_dd_spans",
       "q_sm_shuffle")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different

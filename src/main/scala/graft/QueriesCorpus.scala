@@ -39,6 +39,19 @@ object QueriesCorpus {
     "q_dd_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", windowTokens = 8)),
 
+    // incremental spans: docs with id % 3 == 0 arrive as the new batch;
+    // the rest are history (held as the persisted window-hash artifact).
+    // history never reshuffles — only batch-pruned survivors move
+    "q_dd_spans_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val history = graft.ops.Dedup.windowRows(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", windowTokens = 8)
+        .select("win_hash").distinct()
+      graft.ops.Dedup.repeatedSpansAgainstHistory(
+        docs.filter(col("doc_id") % 3 === 0), history,
+        "doc_id", "text", windowTokens = 8)
+    }),
+
     // the apply side: the corpus with every flagged span cut out (the
     // detect→cut composition, oracle-recomputed text for every doc)
     "q_dd_spans_clean" -> ((s, dir) => {
@@ -684,6 +697,40 @@ object QueriesCorpus {
     "q_dd_spans" ->
       s"""WITH $spansCteSql
          |SELECT doc_id, span_start, span_end FROM merged""".stripMargin,
+    "q_dd_spans_incr" ->
+      """WITH btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |htoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |bwins AS (
+        |  SELECT doc_id, CAST(u.i AS INTEGER) AS start_pos,
+        |    md5(array_to_string(t[CAST(u.i+1 AS INT):CAST(u.i+8 AS INT)], chr(1))) AS win_hash
+        |  FROM btoks, unnest(range(0, len(t) - 7)) AS u(i) WHERE len(t) >= 8),
+        |hwins AS (
+        |  SELECT DISTINCT md5(array_to_string(t[CAST(u.i+1 AS INT):CAST(u.i+8 AS INT)], chr(1))) AS win_hash
+        |  FROM htoks, unnest(range(0, len(t) - 7)) AS u(i) WHERE len(t) >= 8),
+        |dup AS (
+        |  SELECT win_hash FROM bwins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |  UNION
+        |  SELECT win_hash FROM hwins WHERE win_hash IN (SELECT win_hash FROM bwins)),
+        |hits AS (SELECT doc_id, start_pos FROM bwins JOIN dup USING (win_hash)),
+        |marked AS (
+        |  SELECT doc_id, start_pos,
+        |    CASE WHEN lag(start_pos) OVER w IS NULL
+        |           OR start_pos > lag(start_pos) OVER w + 8 THEN 1 ELSE 0 END AS new_span
+        |  FROM hits
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY start_pos)),
+        |spans AS (
+        |  SELECT doc_id, start_pos, sum(new_span) OVER (
+        |    PARTITION BY doc_id ORDER BY start_pos ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM marked)
+        |SELECT doc_id, min(start_pos) AS span_start,
+        |  CAST(max(start_pos) + 8 AS INTEGER) AS span_end
+        |FROM spans GROUP BY doc_id, span_id""".stripMargin,
     "q_dd_spans_clean" ->
       s"""WITH $spansCteSql,
          |tok_rows AS (

@@ -51,8 +51,25 @@ object Dedup {
       minDocs: Int = 2): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
-    val wins = df
-      .select(col(idCol), filter(tokens(col(textCol)), t => t =!= "").as("toks"))
+    val wins = windowRows(df, idCol, textCol, windowTokens)
+    val dup = wins.groupBy("win_hash")
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("win_hash")
+    mergeIslands(wins.join(dup, "win_hash"), idCol, windowTokens)
+  }
+
+  /** (id, start_pos, win_hash) — one row per `windowTokens`-token window of
+    * every document; the shared explode of the repeated-span family. The
+    * distinct `win_hash` set is the persistable corpus artifact for
+    * [[repeatedSpansAgainstHistory]].
+    */
+  def windowRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int): DataFrame =
+    df.select(col(idCol), filter(tokens(col(textCol)), t => t =!= "").as("toks"))
       .filter(size(col("toks")) >= windowTokens)
       .select(col(idCol),
         posexplode(transform(
@@ -61,17 +78,18 @@ object Dedup {
           // ("ab","c") and ("a","bc") would hash identically
           i => md5(concat_ws("\u0001", slice(col("toks"), i + 1, lit(windowTokens))))))
           .as(Seq("start_pos", "win_hash")))
-    val dup = wins.groupBy("win_hash")
-      .agg(count_distinct(col(idCol)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select("win_hash")
+
+  /** Merge each document's flagged window start positions into maximal
+    * (span_start, span_end) islands — overlapping or exactly adjacent
+    * windows form one contiguous duplicated region.
+    */
+  private def mergeIslands(hits: DataFrame, idCol: String, windowTokens: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("start_pos"))
-    wins.join(dup, "win_hash")
+    hits
       .select(col(idCol), col("start_pos"))
       .withColumn("prev", lag(col("start_pos"), 1).over(w))
       // a window reaches start_pos + windowTokens: merge the next one when
-      // it starts at or before that point (overlapping or exactly adjacent
-      // duplicated windows form one contiguous duplicated region)
+      // it starts at or before that point
       .withColumn("new_span",
         when(col("prev").isNull || col("start_pos") > col("prev") + windowTokens, 1)
           .otherwise(0))
@@ -81,6 +99,42 @@ object Dedup {
       .agg(min(col("start_pos")).as("span_start"),
         (max(col("start_pos")) + windowTokens).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Incremental [[repeatedSpans]] for a growing corpus: spans in BATCH
+    * documents whose windows either already exist in `historyHashes` (the
+    * persisted distinct `win_hash` artifact of everything ingested so far —
+    * see [[windowRows]]) or repeat across at least `minDocs` distinct batch
+    * documents. The same never-reshuffle-history discipline as
+    * [[newAgainstHistory]]: history rows are semi-joined map-side against
+    * the (broadcast) batch window keys, so the only shuffle on the history
+    * side is the distinct over the pruned survivor set; with
+    * `broadcastBatch = false` the prune becomes a keyed shuffle join for
+    * batches too large to broadcast.
+    */
+  def repeatedSpansAgainstHistory(
+      batch: DataFrame,
+      historyHashes: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      minDocs: Int = 2,
+      broadcastBatch: Boolean = true): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
+    val wins = windowRows(batch, idCol, textCol, windowTokens)
+    val batchKeys = wins.select("win_hash").distinct()
+    val histKeys = historyHashes.select("win_hash")
+    val histTouched = (
+      if (broadcastBatch) histKeys.join(broadcast(batchKeys), Seq("win_hash"), "left_semi")
+      else histKeys.join(batchKeys, Seq("win_hash"), "left_semi")
+    ).distinct()
+    val batchDup = wins.groupBy("win_hash")
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("win_hash")
+    val dup = histTouched.union(batchDup).distinct()
+    mergeIslands(wins.join(dup, "win_hash"), idCol, windowTokens)
   }
 
   /** Apply side of [[repeatedSpans]]: cut every flagged token span out of

@@ -135,6 +135,31 @@ class OpsSpec extends SparkSpec {
     assert(trickySpans === Set((1L, 2, 5), (2L, 2, 5)))
   }
 
+  test("Dedup.repeatedSpansAgainstHistory: history windows flag batch spans; empty history == batch-only") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val histDocs = Seq((100L, s"archive prefix $shared archive suffix")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"fresh words then $shared and more"),
+      (2L, "entirely novel content nothing repeated anywhere today")).toDF("doc_id", "text")
+    val histHashes = Dedup.windowRows(histDocs, "doc_id", "text", 4)
+      .select("win_hash").distinct()
+    // doc 1's run appears once in the batch — only history can flag it
+    val got = Dedup.repeatedSpansAgainstHistory(batch, histHashes, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 3, 13)))
+    // both prune strategies agree
+    val shuffled = Dedup.repeatedSpansAgainstHistory(
+        batch, histHashes, "doc_id", "text", 4, broadcastBatch = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(shuffled === got)
+    // empty history degenerates to plain repeatedSpans
+    val empty = histHashes.limit(0)
+    val incrEmpty = Dedup.repeatedSpansAgainstHistory(batch, empty, "doc_id", "text", 4)
+      .collect().toSet
+    val plain = Dedup.repeatedSpans(batch, "doc_id", "text", 4).collect().toSet
+    assert(incrEmpty.map(_.toString) === plain.map(_.toString))
+  }
+
   test("Dedup.removeSpans cuts exactly the flagged tokens; span-free docs normalize only") {
     val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
     val docs = Seq(
