@@ -217,6 +217,41 @@ class Mp4DecoderSpec extends SparkSpec {
     assert(stub.keySet === Set(0, 1, 2))
   }
 
+  test("malformed sample tables degrade to None/empty, never throw") {
+    val frames = Seq(jpegBytes(8, 8, 50), jpegBytes(8, 8, 150), jpegBytes(8, 8, 250))
+    val good = mjpegMp4(frames, timescale = 600, delta = 200)
+    // truncate mid-moov: the box walk hits a size running past the buffer
+    assert(Multimodal.mp4SampleTable(good.dropRight(20)) === None)
+    // corrupt the stco chunk offsets to point past the payload: affected
+    // samples are skipped (bounds check), not sliced out of range
+    val stcoAt = {
+      val needle = "stco".getBytes("ISO-8859-1")
+      (0 until good.length - 4).find(i =>
+        good(i) == needle(0) && good(i + 1) == needle(1) &&
+        good(i + 2) == needle(2) && good(i + 3) == needle(3)).get
+    }
+    val bad = good.clone()
+    // first chunk offset field sits 12 bytes after the tag (version/flags
+    // + entry_count); write 0x7fffffff
+    bad(stcoAt + 12) = 0x7f.toByte
+    bad(stcoAt + 13) = 0xff.toByte
+    bad(stcoAt + 14) = 0xff.toByte
+    bad(stcoAt + 15) = 0xff.toByte
+    val (_, samples) = Multimodal.mp4SampleTable(bad).get
+    assert(samples.map(_.idx) === Seq(2), "chunk-1 samples out of bounds, chunk 2 intact")
+    // sampleMp4Frames over the corrupt payload still yields only the
+    // decodable frame — corrupt assets are data, not errors
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false), StructField("payload", BinaryType, true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, bad)), 1), schema)
+    val rows = Multimodal.sampleMp4Frames(df, "id", "payload",
+      decoder = Multimodal.MjpegFrameDecoder).collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(2))
+  }
+
   test("rides the shared mapPartitions seam like every other decoder") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
