@@ -39,6 +39,15 @@ object QueriesCorpus {
     "q_dd_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", windowTokens = 8)),
 
+    // duplication coverage: per-doc duplicated-token ratio from the spans —
+    // the "mostly boilerplate" curation gate signal
+    "q_dd_span_cov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.spanCoverage(docs,
+        Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 8),
+        "doc_id", "text")
+    }),
+
     // incremental spans: docs with id % 3 == 0 arrive as the new batch;
     // the rest are history (held as the persisted window-hash artifact).
     // history never reshuffles — only batch-pruned survivors move
@@ -697,6 +706,17 @@ object QueriesCorpus {
     "q_dd_spans" ->
       s"""WITH $spansCteSql
          |SELECT doc_id, span_start, span_end FROM merged""".stripMargin,
+    "q_dd_span_cov" ->
+      s"""WITH $spansCteSql,
+         |per AS (
+         |  SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS dup FROM merged
+         |  GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS total_tokens FROM toks)
+         |SELECT tot.doc_id, coalesce(per.dup, 0) AS dup_tokens, tot.total_tokens,
+         |  CASE WHEN tot.total_tokens = 0 THEN 0.0
+         |    ELSE floor(coalesce(per.dup, 0) * 1000000.0 / tot.total_tokens + 0.5) / 1000000
+         |  END AS dup_ratio
+         |FROM tot LEFT JOIN per USING (doc_id)""".stripMargin,
     "q_dd_spans_incr" ->
       """WITH btoks AS (
         |  SELECT doc_id,

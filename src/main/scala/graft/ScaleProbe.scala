@@ -8,20 +8,22 @@ import org.apache.spark.sql.functions._
   * should scale ~linearly in rows (ratio well under 10 on a machine with
   * spare cores); anything quadratic in corpus size would show ~100x.
   *
-  * Measured (local[32], min of 3): exact 1.3x, simhash 0.8x, quality 1.0x,
-  * ann_brute 1.1x, lsh_buckets 1.1x, rp_project 1.0x, pk_concat 1.3x,
-  * rj_overlap 1.2x, hh_tokens 1.4x, bf_join 1.2x, bpe_encode 1.1x,
-  * sm_shuffle 1.3x, bpe_learn 0.9x (vocab-bound — flat in corpus size),
-  * bpe_learn32k 1.3x (adaptive batch 64→4096; the synthetic corpus's pair
-  * tail exhausts at ~113/138 merges, so this records wall-time to
-  * exhaustion — 2.0/2.7 s — not a full 32 k vocabulary),
-  * minhash 2.6x, dd_clusters 3.5x, lsh_pairs 3.8x,
-  * tx_cdc 5.2x — all sub-linear per row. The two pair generators read higher
-  * (ngram_jaccard ~38x, cos_pairs ~43x) because their OUTPUT explodes by
-  * construction, not because the algorithms are quadratic in corpus size:
-  * 10 salted copies of everything grow result pairs ~3000x (79 → 232 400)
-  * and ~164x (1 450 → 237 827), and both joins cost by candidate pairs —
-  * runtime grew LESS than pair count in both cases. The scale knob is
+  * Measured (local[32], min of 3, round-6 sweep): exact 1.2x, simhash
+  * 1.0x, quality 1.1x, ann_brute 1.2x, lsh_buckets 1.0x, rp_project 1.0x,
+  * pk_concat 1.2x, rj_overlap 1.2x, hh_tokens 1.4x, bf_join 1.2x,
+  * bpe_encode 1.2x, sm_shuffle 1.6x, bpe_learn 1.0x (vocab-bound — flat
+  * in corpus size), bpe_learn32k 1.3x (adaptive batch 64→4096; the
+  * synthetic corpus's pair tail exhausts at ~113/138 merges, so this
+  * records wall-time to exhaustion — 1.7/2.2 s — not a full 32 k
+  * vocabulary), dd_spans 2.2x (flagged spans blow up 105x by salted
+  * construction; runtime tracks the window count), minhash 3.2x,
+  * lsh_pairs 3.5x, dd_clusters 4.2x, tx_cdc 4.5x — all sub-linear per
+  * row. The two pair generators read higher (ngram_jaccard ~26x,
+  * cos_pairs ~29x) because their OUTPUT explodes by construction, not
+  * because the algorithms are quadratic in corpus size: 10 salted copies
+  * of everything grow result pairs ~3000x (79 → 232 400) and ~164x
+  * (1 450 → 237 827), and both joins cost by candidate pairs — runtime
+  * grew LESS than pair count in both cases. The scale knob is
   * block/bucket granularity: real corpora keep per-block cardinality
   * bounded (finer blocks, more LSH bands), so pair work stays ~linear in
   * corpus size at ~constant duplicate density.

@@ -137,6 +137,33 @@ object Dedup {
     mergeIslands(wins.join(dup, "win_hash"), idCol, windowTokens)
   }
 
+  /** Per-document duplication coverage from a [[repeatedSpans]] result:
+    * (id, dup_tokens, total_tokens, dup_ratio) — the curation-gate signal
+    * ("drop documents that are mostly boilerplate") that pairs with
+    * [[graft.ops.TextAnalysis.qualityMetrics]]. Spans are disjoint maximal
+    * islands by construction, so their lengths sum without overlap. One
+    * keyed left join; empty documents report ratio 0.
+    */
+  def spanCoverage(
+      df: DataFrame,
+      spans: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start")).as("_dup"))
+    df.select(col(idCol),
+        size(filter(tokens(col(textCol)), t => t =!= "")).as("total_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("_dup"), lit(0L)).cast("long").as("dup_tokens"),
+        col("total_tokens"),
+        when(col("total_tokens") === 0, lit(0.0))
+          .otherwise(graft.Functions.roundHalfUp(
+            coalesce(col("_dup"), lit(0L)) / col("total_tokens"), 6))
+          .as("dup_ratio"))
+  }
+
   /** Apply side of [[repeatedSpans]]: cut every flagged token span out of
     * each document, keeping first-token normalization (lower/trim/
     * whitespace-collapse) — the "deduplicate the training set in place"

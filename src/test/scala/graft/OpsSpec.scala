@@ -160,6 +160,23 @@ class OpsSpec extends SparkSpec {
     assert(incrEmpty.map(_.toString) === plain.map(_.toString))
   }
 
+  test("Dedup.spanCoverage: duplicated-token ratio per doc, empty and span-free edges") {
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared tail1 tail2"), // 14 tokens, 10 duplicated
+      (2L, s"$shared"),                        // 10 tokens, all duplicated
+      (3L, "independent words only"),          // no spans
+      (4L, "   ")                              // empty after normalization
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 4)
+    val got = Dedup.spanCoverage(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((10L, 14, 0.714286)))
+    assert(got(2L) === ((10L, 10, 1.0)))
+    assert(got(3L) === ((0L, 3, 0.0)))
+    assert(got(4L) === ((0L, 0, 0.0)), "empty doc must not divide by zero")
+  }
+
   test("Dedup.removeSpans cuts exactly the flagged tokens; span-free docs normalize only") {
     val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
     val docs = Seq(
