@@ -249,6 +249,63 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("streaming span dedup: foreachBatch + window-hash history equals the batch operator") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_span_src_").toString
+    val spansOut = java.nio.file.Files.createTempDirectory("graft_span_out_").toString + "/spans"
+    val histDir = java.nio.file.Files.createTempDirectory("graft_span_hist_").toString + "/hist"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_span_ck_").toString
+
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val wave1 = Seq((1L, s"first sighting of $shared here"), (2L, "unrelated opening text"))
+    val wave2 = Seq((3L, s"second use of $shared again"), (4L, "still nothing repeated"))
+
+    // seed an empty history (schema only)
+    graft.ops.Dedup.windowRows(
+        wave1.toDF("doc_id", "text").limit(0), "doc_id", "text", 4)
+      .select("win_hash").write.mode("overwrite").parquet(histDir)
+
+    // each micro-batch: spans vs history so far, then append the batch's
+    // hashes — repeatedSpansAgainstHistory IS the streaming operator; the
+    // only state is the persisted win_hash artifact
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val hist = spark.read.parquet(histDir)
+          graft.ops.Dedup.repeatedSpansAgainstHistory(
+              batch, hist, "doc_id", "text", windowTokens = 4)
+            .write.mode("append").parquet(spansOut)
+          graft.ops.Dedup.windowRows(batch, "doc_id", "text", 4)
+            .select("win_hash").distinct()
+            .write.mode("append").parquet(histDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    // the run appeared once so far: nothing to flag yet
+    assert(!new java.io.File(spansOut).exists() ||
+      spark.read.parquet(spansOut).count() === 0L)
+
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    val got = spark.read.parquet(spansOut)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 3's run is flagged by wave 1's history, exactly where the batch
+    // operator over the union says a cross-wave duplicate lives
+    val batchAll = graft.ops.Dedup.repeatedSpans(
+        (wave1 ++ wave2).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === batchAll.filter { case (id, _, _) => id == 3L },
+      "stream flags exactly the later-wave half of the batch result")
+  }
+
   test("streaming EtlRun: exactly-once across restarts, replay, and checkpoint loss") {
     import spark.implicits._
     import java.sql.Timestamp
