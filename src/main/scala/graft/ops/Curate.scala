@@ -54,7 +54,14 @@ object Curate {
       lshNumHashes: Int = 8,
       lshBands: Int = 2,
       langMarkers: Seq[(String, Seq[String])] = TextAnalysis.LangMarkers,
-      precomputedClusters: Option[DataFrame] = None): DataFrame = {
+      precomputedClusters: Option[DataFrame] = None,
+      // opt-in boilerplate gate: documents whose [[Dedup.spanCoverage]]
+      // dup_ratio (cross-document repeated spans at `dupWindowTokens`)
+      // exceeds the limit get dup_ok = false ANDed into keep. None (the
+      // default) skips the span pass entirely and leaves the output
+      // schema unchanged.
+      maxDupRatio: Option[Double] = None,
+      dupWindowTokens: Int = 8): DataFrame = {
     val id = col(idCol)
     // null text ⇒ '' everywhere: md5(null) would null the content hash and
     // the inner joins below would silently drop the document
@@ -92,6 +99,18 @@ object Curate {
         "keep",
         col("quality_ok") && col("lang_ok") && col("exact_canonical") &&
           col("near_canonical") && col("sampled"))
+      .transform { flagged =>
+        maxDupRatio match {
+          case None => flagged
+          case Some(limit) =>
+            val cov = Dedup.spanCoverage(safe,
+                Dedup.repeatedSpans(safe, idCol, textCol, dupWindowTokens),
+                idCol, textCol)
+              .select(id, (col("dup_ratio") <= limit).as("dup_ok"))
+            flagged.join(cov, Seq(idCol))
+              .withColumn("keep", col("keep") && col("dup_ok"))
+        }
+      }
   }
 
   // ---- streaming ----------------------------------------------------------

@@ -53,6 +53,27 @@ class CurateSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("maxDupRatio gate: boilerplate-heavy docs drop; default leaves schema unchanged") {
+    val boiler = (1 to 12).map(i => s"legal$i").mkString(" ")
+    def unique(tag: String) = (1 to 30).map(i => s"the ${tag}word$i of text").mkString(" ")
+    val docs = Seq(
+      (1L, s"${unique("a")} $boiler"),          // ~9% dup — passes the gate
+      (2L, s"$boiler ${unique("b")} $boiler"),  // same boilerplate twice, still < limit
+      (3L, s"$boiler $boiler $boiler tiny tail here now also fine ok yes")) // mostly dup
+      .toDF("doc_id", "text")
+    val got = Curate.decide(docs, "doc_id", "text",
+        acceptLangs = Seq("en", "und"), maxDupRatio = Some(0.5), dupWindowTokens = 4)
+      .select("doc_id", "dup_ok", "keep")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(got(1L)._1, "minor boilerplate passes the dup gate")
+    assert(got(2L)._1)
+    assert(!got(3L)._1 && !got(3L)._2, "mostly-boilerplate doc fails dup gate and keep")
+
+    // default None: no dup pass, no dup_ok column — q_cr_keep's contract
+    val plain = Curate.decide(docs, "doc_id", "text")
+    assert(!plain.columns.contains("dup_ok"))
+  }
+
   test("null-text documents surface with flags instead of vanishing") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again " * 4),
