@@ -52,12 +52,27 @@ object Dedup {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
     val wins = windowRows(df, idCol, textCol, windowTokens)
-    val dup = wins.groupBy("win_hash")
-      .agg(count_distinct(col(idCol)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select("win_hash")
-    mergeIslands(wins.join(dup, "win_hash"), idCol, windowTokens)
+    mergeIslands(wins.join(crossDocHashes(wins, idCol, minDocs), "win_hash"),
+      idCol, windowTokens)
   }
+
+  /** Window hashes occurring in at least `minDocs` distinct documents. At
+    * the default minDocs = 2, "two distinct docs" is just min(id) ≠
+    * max(id) — two map-side-combinable aggregates instead of
+    * count_distinct's two-phase distinct expansion over every (hash, doc)
+    * pair, on the corpus-sized window table.
+    */
+  private def crossDocHashes(wins: DataFrame, idCol: String, minDocs: Int): DataFrame =
+    if (minDocs == 2)
+      wins.groupBy("win_hash")
+        .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
+        .filter(col("_lo") =!= col("_hi"))
+        .select("win_hash")
+    else
+      wins.groupBy("win_hash")
+        .agg(count_distinct(col(idCol)).as("df"))
+        .filter(col("df") >= minDocs)
+        .select("win_hash")
 
   /** (id, start_pos, win_hash) — one row per `windowTokens`-token window of
     * every document; the shared explode of the repeated-span family. The
@@ -129,11 +144,7 @@ object Dedup {
       if (broadcastBatch) histKeys.join(broadcast(batchKeys), Seq("win_hash"), "left_semi")
       else histKeys.join(batchKeys, Seq("win_hash"), "left_semi")
     ).distinct()
-    val batchDup = wins.groupBy("win_hash")
-      .agg(count_distinct(col(idCol)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select("win_hash")
-    val dup = histTouched.union(batchDup).distinct()
+    val dup = histTouched.union(crossDocHashes(wins, idCol, minDocs)).distinct()
     mergeIslands(wins.join(dup, "win_hash"), idCol, windowTokens)
   }
 
