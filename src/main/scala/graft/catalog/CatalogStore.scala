@@ -33,13 +33,18 @@ trait CatalogStore {
     */
   def upsert(batch: DataFrame): Unit
 
-  /** Commit audit trail — "who wrote what when": one row per committed
+  /** Commit audit trail — "who wrote what when": one row per audited
     * write, (version: long, op: string, committed_at: epoch-millis long,
     * partitions: int), version monotone in commit order. Ops: "upsert"
-    * (PK-grain merge), "commit" (partition-grain replace), "delete";
-    * "unknown" where the audit sidecar is missing (pre-feature commits, or
-    * a crash between the commit point and the best-effort audit write —
-    * audit IO must never fail a committed write, in either backend).
+    * (PK-grain merge), "commit" (partition-grain replace), "delete".
+    * Audit IO must never fail a committed write, so the trail is
+    * best-effort by contract, and the backends degrade differently when a
+    * sidecar is lost (crash or IO failure between commit point and audit
+    * write): [[SnapshotCatalog]]'s versions are the authoritative manifest
+    * numbers, so the affected commit still appears, as op "unknown";
+    * [[LakeCatalog]] has no record besides the sidecar, so that commit is
+    * absent from history and later ordinal versions shift — its versions
+    * identify rows within one stable history, not across sidecar loss.
     */
   def history(): DataFrame
 

@@ -307,7 +307,10 @@ class LakeCatalog(spark: SparkSession, path: String, lockLeaseMs: Long = 30000L)
   /** Commit audit trail over the audit sidecars; versions are ordinals in
     * commit-time order (this backend has no manifest versions). Catalogs
     * written before auditing existed have an empty history — their commits
-    * left no sidecars to report.
+    * left no sidecars to report — and a commit whose best-effort sidecar
+    * write failed is likewise absent (see the [[CatalogStore.history]]
+    * contract: only the snapshot backend can surface such commits as
+    * "unknown", because its manifest numbers are the authoritative record).
     */
   def history(): DataFrame = {
     import spark.implicits._

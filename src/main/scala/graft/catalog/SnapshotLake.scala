@@ -209,20 +209,30 @@ class SnapshotLake(spark: SparkSession, root: String) {
     // unpublished temp file, and PUBLICATION is one hard-link creation:
     // link() fails atomically if v<N> exists, preserving the CAS, and a
     // published manifest is always complete.
-    val tmp = Files.createTempFile(manifestsDir, ".stage-", ".tmp")
-    try {
-      val ch = java.nio.channels.FileChannel.open(tmp, StandardOpenOption.WRITE)
+    // bounded retry: a concurrent vacuum can sweep the temp between fsync
+    // and link (its staging grace window is generous but not transactional);
+    // the link then throws NoSuchFile and a fresh temp simply repeats the
+    // publish — the CAS semantics live entirely in createLink
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val tmp = Files.createTempFile(manifestsDir, ".stage-", ".tmp")
       try {
-        ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8")))
-        ch.force(true)
-      } finally ch.close()
-      Files.createLink(manifestPath(v), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally {
-      Files.deleteIfExists(tmp)
+        val ch = java.nio.channels.FileChannel.open(tmp, StandardOpenOption.WRITE)
+        try {
+          ch.write(java.nio.ByteBuffer.wrap(body.getBytes("UTF-8")))
+          ch.force(true)
+        } finally ch.close()
+        Files.createLink(manifestPath(v), tmp)
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => return false
+        case e: java.nio.file.NoSuchFileException if attempts < 3 => () // swept; retry
+      } finally {
+        Files.deleteIfExists(tmp)
+      }
     }
+    false // unreachable
   }
 
   /** The last batch id committed under `appId`, or None if that stream has
@@ -576,13 +586,20 @@ class SnapshotLake(spark: SparkSession, root: String) {
         }
         .foreach(deleteRecursively)
     }
-    // crashed committers may also leave unpublished manifest staging files
+    // crashed committers may also leave unpublished manifest staging files.
+    // These get a grace FLOOR independent of minAgeMs: an in-flight
+    // committer sits between fsync and createLink for milliseconds, and a
+    // minAgeMs=0 sweep (legitimate for data dirs under test) must not
+    // yank the temp out from under it — the temps are bytes-sized, so
+    // retaining them ten minutes costs nothing
+    val stageCutoff =
+      System.currentTimeMillis() - math.max(minAgeMs, 600000L)
     if (Files.isDirectory(manifestsDir)) {
       val s = Files.list(manifestsDir)
       try s.iterator().asScala
         .filter(_.getFileName.toString.startsWith(".stage-"))
         .filter { p =>
-          try Files.getLastModifiedTime(p).toMillis < cutoff
+          try Files.getLastModifiedTime(p).toMillis < stageCutoff
           catch { case _: java.io.IOException => false }
         }
         .foreach(p => Files.deleteIfExists(p))

@@ -140,10 +140,11 @@ object Dedup {
     val wins = windowRows(batch, idCol, textCol, windowTokens)
     val batchKeys = wins.select("win_hash").distinct()
     val histKeys = historyHashes.select("win_hash")
-    val histTouched = (
+    // no inner distinct on the survivors: the union's distinct below is the
+    // single dedup shuffle — an extra one here would double the exchange
+    val histTouched =
       if (broadcastBatch) histKeys.join(broadcast(batchKeys), Seq("win_hash"), "left_semi")
       else histKeys.join(batchKeys, Seq("win_hash"), "left_semi")
-    ).distinct()
     val dup = histTouched.union(crossDocHashes(wins, idCol, minDocs)).distinct()
     mergeIslands(wins.join(dup, "win_hash"), idCol, windowTokens)
   }
@@ -162,8 +163,12 @@ object Dedup {
       textCol: String): DataFrame = {
     val perDoc = spans.groupBy(col(idCol))
       .agg(sum(col("span_end") - col("span_start")).as("_dup"))
+    // null text counts as empty: size(NULL) is -1 under Spark's legacy
+    // sizeOfNull, which would corrupt token totals and diverge from the
+    // SQL oracle's NULL arithmetic
     df.select(col(idCol),
-        size(filter(tokens(col(textCol)), t => t =!= "")).as("total_tokens"))
+        size(filter(tokens(coalesce(col(textCol), lit(""))), t => t =!= ""))
+          .as("total_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(
         col(idCol),
@@ -194,7 +199,9 @@ object Dedup {
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
     df.join(spansAgg, Seq(idCol), "left")
       .select(col(idCol),
-        filter(tokens(col(textCol)), t => t =!= "").as("_toks"), col("_spans"))
+        // null text cleans to '' (not NULL) — flags surface, rows never vanish
+        filter(tokens(coalesce(col(textCol), lit(""))), t => t =!= "").as("_toks"),
+        col("_spans"))
       .select(
         col(idCol),
         concat_ws(" ", transform(

@@ -365,8 +365,16 @@ object Multimodal {
                                   case "stsz" =>
                                     val uniform = buf.getInt(p + 4)
                                     val n = buf.getInt(p + 8)
+                                    // uniform path allocates without touching the
+                                    // buffer, so a rogue sample_count must be
+                                    // bounded BEFORE Seq.fill: n samples of
+                                    // `uniform` bytes each cannot exceed the
+                                    // payload (the per-entry path self-bounds —
+                                    // reads past the buffer throw and are caught)
                                     sizes =
-                                      if (uniform != 0) Seq.fill(n)(uniform)
+                                      if (uniform != 0)
+                                        Seq.fill(math.max(0,
+                                          math.min(n, bytes.length / math.max(1, uniform))))(uniform)
                                       else (0 until n).map(i => buf.getInt(p + 12 + i * 4))
                                   case "stsc" =>
                                     val n = buf.getInt(p + 4)
@@ -412,9 +420,15 @@ object Multimodal {
                     var k = 0
                     while (k < perChunk && sIdx < sizes.length) {
                       val sz = sizes(sIdx)
-                      if (chunkOff + within + sz <= bytes.length)
+                      // negative sizes (stsz entries >= 2^31) and negative
+                      // offsets (co64 high bit) are malformed: emit nothing
+                      // and never advance the running offset by a negative —
+                      // a skipped guard here would surface as an uncaught
+                      // copyOfRange throw inside mapPartitions
+                      if (sz >= 0 && chunkOff >= 0 && chunkOff + within + sz <= bytes.length)
                         samples += Mp4Sample(sIdx, pts(sIdx), chunkOff + within, sz)
-                      within += sz; sIdx += 1; k += 1
+                      if (sz > 0) within += sz
+                      sIdx += 1; k += 1
                     }
                   }
                   best = Some((area, codec, samples.result()))

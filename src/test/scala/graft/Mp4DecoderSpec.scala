@@ -250,6 +250,34 @@ class Mp4DecoderSpec extends SparkSpec {
     val rows = Multimodal.sampleMp4Frames(df, "id", "payload",
       decoder = Multimodal.MjpegFrameDecoder).collect()
     assert(rows.map(_.getInt(1)).toSeq === Seq(2))
+
+    // negative stsz entry (>= 2^31 read as a negative Int): the affected
+    // sample emits nothing and later samples stay in sync — a missing
+    // guard would throw copyOfRange errors inside mapPartitions
+    val stszAt = {
+      val needle = "stsz".getBytes("ISO-8859-1")
+      (0 until good.length - 4).find(i =>
+        good(i) == needle(0) && good(i + 1) == needle(1) &&
+        good(i + 2) == needle(2) && good(i + 3) == needle(3)).get
+    }
+    val negSz = good.clone()
+    negSz(stszAt + 16) = 0xff.toByte // first size entry sign bit
+    val (_, negSamples) = Multimodal.mp4SampleTable(negSz).get
+    assert(!negSamples.exists(_.idx == 0), "negative-size sample never emits")
+    assert(negSamples.forall(s => s.offset >= 0 && s.size >= 0))
+
+    // rogue uniform sample_count (stsz sample_size != 0, count 2^31-1):
+    // bounded allocation, parse degrades instead of OOM
+    val uni = good.clone()
+    uni(stszAt + 8) = 0
+    uni(stszAt + 9) = 0
+    uni(stszAt + 10) = 0
+    uni(stszAt + 11) = 9          // uniform size 9
+    uni(stszAt + 12) = 0x7f.toByte // count = 0x7fffffff
+    uni(stszAt + 13) = 0xff.toByte
+    uni(stszAt + 14) = 0xff.toByte
+    uni(stszAt + 15) = 0xff.toByte
+    Multimodal.mp4SampleTable(uni) // must return promptly, not allocate 2^31 entries
   }
 
   test("rides the shared mapPartitions seam like every other decoder") {

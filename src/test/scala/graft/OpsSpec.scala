@@ -166,7 +166,8 @@ class OpsSpec extends SparkSpec {
       (1L, s"alpha beta $shared tail1 tail2"), // 14 tokens, 10 duplicated
       (2L, s"$shared"),                        // 10 tokens, all duplicated
       (3L, "independent words only"),          // no spans
-      (4L, "   ")                              // empty after normalization
+      (4L, "   "),                             // empty after normalization
+      (5L, null.asInstanceOf[String])          // null text counts as empty
     ).toDF("doc_id", "text")
     val spans = Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 4)
     val got = Dedup.spanCoverage(docs, spans, "doc_id", "text")
@@ -175,6 +176,7 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) === ((10L, 10, 1.0)))
     assert(got(3L) === ((0L, 3, 0.0)))
     assert(got(4L) === ((0L, 0, 0.0)), "empty doc must not divide by zero")
+    assert(got(5L) === ((0L, 0, 0.0)), "null text is zero tokens, never -1")
   }
 
   test("Dedup.removeSpans cuts exactly the flagged tokens; span-free docs normalize only") {
@@ -182,13 +184,15 @@ class OpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, s"alpha beta $shared tail1 tail2"),
       (2L, s"  $shared   OTHER words here "),
-      (3L, "untouched text stays as is")).toDF("doc_id", "text")
+      (3L, "untouched text stays as is"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val spans = Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 4)
     val got = Dedup.removeSpans(docs, spans, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) === "alpha beta tail1 tail2")
     assert(got(2L) === "other words here", "normalization + cut compose")
     assert(got(3L) === "untouched text stays as is")
+    assert(got(4L) === "", "null text cleans to empty string, row never vanishes")
     // idempotence: a deduplicated corpus has no cross-doc spans left at
     // the same window size
     val clean = Dedup.removeSpans(docs, spans, "doc_id", "text")

@@ -339,11 +339,19 @@ class SnapshotLakeSpec extends SparkSpec {
     lake.commit(batch("F")("v1"), Seq("o_orderstatus"))
     val stale = java.nio.file.Paths.get(dir, "manifests", ".stage-crashed.tmp")
     Files.write(stale, "half-writ".getBytes("UTF-8"))
+    // a crashed committer's leftover is OLD by the time vacuum sees it;
+    // a FRESH temp (a committer between fsync and link right now) must
+    // survive even a minAgeMs=0 sweep — staging files have a grace floor
+    val freshTmp = java.nio.file.Paths.get(dir, "manifests", ".stage-inflight.tmp")
+    Files.write(freshTmp, "publishing".getBytes("UTF-8"))
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
     assert(lake.versions === Seq(1L), "staging temp must be invisible to version listing")
     assert(lake.read(Seq("o_orderstatus")).count() === batch("F")("x").count())
     lake.commit(batch("O")("v2"), Seq("o_orderstatus")) // commits still land
     lake.vacuum(keepLast = 2, minAgeMs = 0L)
     assert(!Files.exists(stale), "aged staging temp must be reclaimed")
+    assert(Files.exists(freshTmp), "in-flight staging temp must survive the sweep")
   }
 
   test("read plans ONE scan over hundreds of partitions, not a per-partition union") {
