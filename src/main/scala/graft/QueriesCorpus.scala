@@ -539,6 +539,55 @@ object QueriesCorpus {
           col("audio_meta.mime").as("mime"))
     }),
 
+    // SemDeDup: intra-cluster cosine dedup (label as the precomputed
+    // cluster) — a vector is dropped iff a lower-id cluster-mate sits
+    // within cosine 0.30; the k-means-composed variant is spec-checked
+    "q_sd_keep" -> ((s, dir) =>
+      graft.ops.SemanticDedup.semanticKeep(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", eps = 0.30)),
+
+    // NB classifier model: per-(lang, token) add-one conditional log-probs
+    "q_nb_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.vocabStats(docs, "doc_id", "text").count()
+      graft.ops.Classify.nbTokenLogProbs(docs, "lang", "text", vocabSize = vocab)
+    }),
+
+    // NB classification: every document argmax-labeled against the
+    // lang-conditioned model (self-train/self-score, the perplexity
+    // contract); integer nano-nat scores make the argmax exact
+    "q_nb_predict" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.vocabStats(docs, "doc_id", "text").count()
+      graft.ops.Classify.nbPredict(
+        docs, "lang", "text", docs, "doc_id", "text", vocabSize = vocab)
+    }),
+
+    // DSIR importance weights: hashed-bigram log ratio of the en slice
+    // (target) against the whole corpus (raw), 64 feature buckets
+    "q_ds_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.ImportanceSampling.importanceWeights(
+        docs, "doc_id", "text",
+        graft.ops.ImportanceSampling.featureCounts(
+          docs.filter(col("lang") === "en"), "text", n = 2, buckets = 64),
+        graft.ops.ImportanceSampling.featureCounts(docs, "text", n = 2, buckets = 64),
+        n = 2, buckets = 64)
+    }),
+
+    // Gumbel top-50 importance resample over those weights (without
+    // replacement, md5-deterministic noise)
+    "q_ds_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.ops.ImportanceSampling.importanceWeights(
+        docs, "doc_id", "text",
+        graft.ops.ImportanceSampling.featureCounts(
+          docs.filter(col("lang") === "en"), "text", n = 2, buckets = 64),
+        graft.ops.ImportanceSampling.featureCounts(docs, "text", n = 2, buckets = 64),
+        n = 2, buckets = 64)
+      graft.ops.ImportanceSampling.gumbelTopK(w, "doc_id", "weight", k = 50, salt = "dsir")
+    }),
+
     // multimodal frame sampling: one "frame" per 100-char window
     "q_mm_frames" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -585,6 +634,40 @@ object QueriesCorpus {
 
   private val toksSql =
     "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
+
+  /** Non-empty token list — [[graft.ops.Classify]]'s tokenization. */
+  private val nbToksSql =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"""
+
+  /** DSIR recomputation (hashed bigrams, 64 buckets, target = lang 'en',
+    * raw = whole corpus): CTE chain ending in `d(doc_id, lang, tt)` and
+    * `w(doc_id, n_feats, w)` with `w` in integer nano-nats — shared by the
+    * weight and Gumbel-resample oracles.
+    */
+  private val dsirCteSql =
+    """d AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS tt
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(array_to_string(
+      |      tt[CAST(u.i AS INT) + 1 : CAST(u.i AS INT) + 2], ' ')), 1, 8) AS BIGINT) % 64
+      |      AS bucket
+      |  FROM d, unnest(range(0, len(tt) - 1)) AS u(i)
+      |  WHERE len(tt) >= 2),
+      |tc AS (SELECT bucket, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY 1),
+      |rc AS (SELECT bucket, count(*) AS rc FROM f GROUP BY 1),
+      |ts AS (SELECT sum(tc) AS t FROM tc),
+      |rs AS (SELECT sum(rc) AS r FROM rc),
+      |ratio AS (
+      |  SELECT rc.bucket,
+      |    CAST(floor((ln((coalesce(tc.tc, 0) + 1.0) / (ts.t + 64.0))
+      |              - ln((rc.rc + 1.0) / (rs.r + 64.0))) * 1e9 + 0.5) AS BIGINT) AS lr
+      |  FROM rc LEFT JOIN tc USING (bucket), ts, rs),
+      |w AS (
+      |  SELECT f.doc_id, count(*) AS n_feats, sum(r.lr) AS w
+      |  FROM f JOIN ratio r USING (bucket) GROUP BY 1)""".stripMargin
 
   /** 3-word shingle set of the raw (non-distinct) token sequence. */
   private val shinglesSql =
@@ -1495,5 +1578,75 @@ object QueriesCorpus {
       """SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
         |  md5(substr(text, CAST(u.i AS INT) * 100 + 1, 100)) AS frame_md5
         |FROM documents, unnest(range(0, (length(text) - 1) // 100 + 1)) AS u(i)
-        |WHERE length(text) >= 1""".stripMargin)
+        |WHERE length(text) >= 1""".stripMargin,
+    "q_sd_keep" ->
+      """SELECT v.vec_id, v.label AS cluster,
+        |  NOT EXISTS (
+        |    SELECT 1 FROM embeddings o
+        |    WHERE o.label = v.label AND o.vec_id < v.vec_id
+        |      AND floor(list_cosine_similarity(
+        |            CAST(o.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[]))
+        |            * 10000 + 0.5) / 10000 >= 0.30) AS keep
+        |FROM embeddings v""".stripMargin,
+    "q_nb_model" ->
+      s"""WITH tr AS (
+         |  SELECT lang AS label, $nbToksSql AS tt FROM documents),
+         |tok AS (SELECT label, unnest(tt) AS token FROM tr),
+         |cnt AS (SELECT label, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT label, sum(cnt) AS tot FROM cnt GROUP BY 1),
+         |v AS (SELECT count(DISTINCT token) AS v FROM tok)
+         |SELECT c.label, c.token, c.cnt,
+         |  floor(ln((c.cnt + 1.0) / (t.tot + 1.0 * v.v)) * 1e6 + 0.5) / 1e6 AS log_cond
+         |FROM cnt c JOIN tot t USING (label), v""".stripMargin,
+    "q_nb_predict" ->
+      s"""WITH tr AS (
+         |  SELECT doc_id, lang AS label, $nbToksSql AS tt FROM documents),
+         |tok AS (SELECT label, unnest(tt) AS token FROM tr),
+         |cnt AS (SELECT label, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT label, sum(c) AS tot FROM cnt GROUP BY 1),
+         |v AS (SELECT count(DISTINCT token) AS v FROM tok),
+         |pri AS (SELECT label, count(*) AS d FROM tr GROUP BY 1),
+         |td AS (SELECT count(*) AS td FROM tr),
+         |stats AS (
+         |  SELECT p.label,
+         |    CAST(floor(ln(CAST(p.d AS DOUBLE) / td.td) * 1e9 + 0.5) AS BIGINT) AS prior,
+         |    CAST(floor(ln(1.0 / (t.tot + 1.0 * v.v)) * 1e9 + 0.5) AS BIGINT) AS dflt
+         |  FROM pri p, td, v, tot t WHERE t.label = p.label),
+         |lp AS (
+         |  SELECT c.label, c.token,
+         |    CAST(floor(ln((c.c + 1.0) / (t.tot + 1.0 * v.v)) * 1e9 + 0.5) AS BIGINT) AS lp
+         |  FROM cnt c JOIN tot t USING (label), v),
+         |dt AS (SELECT doc_id, unnest(tt) AS token FROM tr),
+         |adj AS (
+         |  SELECT dt.doc_id, lp.label, sum(lp.lp - s.dflt) AS adj
+         |  FROM dt JOIN lp USING (token) JOIN stats s ON s.label = lp.label
+         |  GROUP BY 1, 2),
+         |base AS (
+         |  SELECT tr.doc_id, s.label, s.prior + len(tr.tt) * s.dflt AS b
+         |  FROM tr, stats s),
+         |sc AS (
+         |  SELECT base.doc_id, base.label,
+         |    floor((base.b + coalesce(a.adj, 0)) / 1e9 * 1e6 + 0.5) / 1e6 AS score
+         |  FROM base LEFT JOIN adj a
+         |    ON a.doc_id = base.doc_id AND a.label = base.label)
+         |SELECT doc_id, label AS pred_label, score FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) = 1""".stripMargin,
+    "q_ds_weights" ->
+      s"""WITH $dsirCteSql
+         |SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+         |  floor(coalesce(w.w, 0) / 1e9 * 1e6 + 0.5) / 1e6 AS weight
+         |FROM d LEFT JOIN w USING (doc_id)""".stripMargin,
+    "q_ds_sample" ->
+      s"""WITH $dsirCteSql,
+         |ww AS (
+         |  SELECT d.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+         |    floor(coalesce(w.w, 0) / 1e9 * 1e6 + 0.5) / 1e6 AS weight
+         |  FROM d LEFT JOIN w USING (doc_id))
+         |SELECT doc_id, weight,
+         |  floor((weight - ln(-ln(
+         |    (CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+         |      / 4294967296.0))) * 1e6 + 0.5) / 1e6 AS sample_key
+         |FROM ww
+         |ORDER BY sample_key DESC, doc_id
+         |LIMIT 50""".stripMargin)
 }

@@ -175,6 +175,31 @@ object ScaleProbe {
       // join — expect ~linear (the global sort never materializes)
       "sm_shuffle" -> (d =>
         graft.ops.Sampling.epochShuffle(docsAt(d), "doc_id", epoch = 3L).count()),
+      // NB scoring: vocab-keyed join + doc-keyed sum; vocabulary ~constant
+      // across the salted 10x corpus — expect ~linear in exploded tokens
+      "nb_predict" -> { d =>
+        val docs = docsAt(d)
+        val vocab = graft.ops.TextAnalysis.vocabStats(docs, "doc_id", "text").count()
+        graft.ops.Classify.nbPredict(
+          docs, "lang", "text", docs, "doc_id", "text", vocabSize = vocab).count()
+      },
+      // DSIR weights: bounded broadcast ratio table + per-doc sum — linear
+      "ds_weights" -> { d =>
+        val docs = docsAt(d)
+        graft.ops.ImportanceSampling.importanceWeights(
+          docs, "doc_id", "text",
+          graft.ops.ImportanceSampling.featureCounts(
+            docs.filter(col("lang") === "en"), "text", n = 2, buckets = 64),
+          graft.ops.ImportanceSampling.featureCounts(docs, "text", n = 2, buckets = 64),
+          n = 2, buckets = 64).count()
+      },
+      // SemDeDup: pair generation bounded by the largest cluster — the 10x
+      // embeddings multiply every label block 10x, so candidate pairs grow
+      // ~100x by construction; runtime should track pairs, not corpus²
+      "sd_keep" -> (d =>
+        graft.ops.SemanticDedup.semanticKeep(
+          Tables(spark, d, "embeddings"), "vec_id", "embedding", "label",
+          eps = 0.30).count()),
       // learning = ONE corpus-scale count pass + vocab-table rounds; a 10x
       // corpus with ~constant vocabulary should cost ~the count pass alone
       "bpe_learn" -> (d =>

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed text classification — the fastText-shaped quality/domain
+  * classifier every production corpus pipeline runs (CCNet/GPT-3-style
+  * "score every page against a trusted-corpus model"), as a multinomial
+  * Naive Bayes over whitespace tokens. Training is two map-side-combinable
+  * aggregates; scoring is one keyed join plus a bounded broadcast — nothing
+  * iterative, nothing driver-side, which is exactly why NB (not SGD) is the
+  * right first classifier at 100 TB.
+  *
+  * Determinism contract: every log term is floored to integer nano-nats and
+  * summed as LONGs (the [[TextAnalysis.bigramPerplexity]] discipline) —
+  * float sums are partition-order-dependent, integer sums are not — so
+  * scores and argmax labels are bit-identical across engines, reruns, and
+  * partitionings.
+  *
+  * Reference analog: the reference tags and routes records by
+  * source/data-type metadata (`/root/reference/atd_data_lake/config/
+  * config_app.py` purpose tables); this learns the routing signal from
+  * content instead.
+  */
+object Classify {
+
+  /** Non-empty whitespace tokens — the corpus-wide tokenization contract
+    * ([[Dedup.tokens]] minus empty strings, the [[Dedup.windowRows]] form).
+    */
+  private def toks(text: Column): Column =
+    filter(Dedup.tokens(text), t => t =!= "")
+
+  /** Exploded (label, token) rows with repetitions — multinomial evidence. */
+  private def tokenRows(train: DataFrame, labelCol: String, textCol: String): DataFrame =
+    train.select(col(labelCol).as("label"), explode(toks(col(textCol))).as("token"))
+
+  /** Per-(label, token) add-alpha conditional log-likelihoods:
+    * `(label, token, cnt, log_cond)` with
+    * `log_cond = ln((cnt + alpha) / (N_label + alpha·vocabSize))` rounded
+    * half-up 6. `vocabSize` is the caller-supplied distinct train-token
+    * count (bounded driver value — the [[TextAnalysis.bigramPerplexity]] /
+    * `tfidf` contract, keeps the relation lazily composable).
+    */
+  def nbTokenLogProbs(
+      train: DataFrame,
+      labelCol: String,
+      textCol: String,
+      vocabSize: Long,
+      alpha: Double = 1.0): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive (distinct train tokens)")
+    require(alpha > 0.0, "add-alpha smoothing needs alpha > 0")
+    val counts = tokenRows(train, labelCol, textCol)
+      .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("label").agg(sum(col("cnt")).as("_tot"))
+    counts.join(totals, Seq("label"))
+      .select(col("label"), col("token"), col("cnt"),
+        graft.Functions.roundHalfUp(
+          log((col("cnt").cast("double") + lit(alpha)) /
+            (col("_tot").cast("double") + lit(alpha * vocabSize))), 6).as("log_cond"))
+  }
+
+  /** Per-(doc, label) NB log-posterior scores:
+    * `(id, label, n_tokens, score)` for EVERY (document × train label),
+    * `score = ln P(label) + Σ_tokens ln P(token|label)` in nats (rounded
+    * half-up 6), unseen (token, label) pairs smoothed to
+    * `alpha / (N_label + alpha·vocabSize)`.
+    *
+    * Shape: the per-label token table is joined ONCE on `token` (inner —
+    * corpus-sized probe, vocab-sized build), and the unseen-token default
+    * is algebra, not a join: score = prior + n_tokens·default +
+    * Σ_matched (log_cond − default). The label-stats relation is
+    * labels-sized and broadcast; a hot token skews the probe side only.
+    */
+  def nbScores(
+      train: DataFrame,
+      labelCol: String,
+      trainTextCol: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Long,
+      alpha: Double = 1.0): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive (distinct train tokens)")
+    require(alpha > 0.0, "add-alpha smoothing needs alpha > 0")
+    val nano = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
+
+    val counts = tokenRows(train, labelCol, trainTextCol)
+      .groupBy("label", "token").agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy("label").agg(sum(col("_c")).as("_tot"))
+    // label priors: ln(docs_label / total_docs); total via a broadcast
+    // one-row aggregate (the bm25 avgdl trick — no driver action)
+    val docCounts = train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("_d"))
+    val totalDocs = docCounts.agg(sum(col("_d")).as("_td"))
+    val labelStats = docCounts
+      .crossJoin(broadcast(totalDocs))
+      .join(totals, Seq("label"))
+      .select(col("label"),
+        nano(log(col("_d").cast("double") / col("_td").cast("double"))).as("_prior"),
+        nano(log(lit(alpha) /
+          (col("_tot").cast("double") + lit(alpha * vocabSize)))).as("_default"))
+
+    val lp = counts.join(totals, Seq("label"))
+      .select(col("label"), col("token"),
+        nano(log((col("_c").cast("double") + lit(alpha)) /
+          (col("_tot").cast("double") + lit(alpha * vocabSize)))).as("_lp"))
+
+    val docToks = docs.select(col(idCol), explode(toks(col(textCol))).as("token"))
+    val adj = docToks
+      .join(lp, Seq("token"))
+      .join(broadcast(labelStats.select(col("label"), col("_default"))), Seq("label"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("_lp") - col("_default")).as("_adj"))
+
+    docs.select(col(idCol), size(toks(col(textCol))).cast("long").as("n_tokens"))
+      .crossJoin(broadcast(labelStats))
+      .join(adj, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"), col("n_tokens"),
+        (col("_prior") + col("n_tokens") * col("_default") +
+          coalesce(col("_adj"), lit(0L))).as("_nano"))
+      .select(col(idCol), col("label"), col("n_tokens"),
+        graft.Functions.roundHalfUp(col("_nano").cast("double") / lit(1e9), 6).as("score"))
+  }
+
+  /** Argmax over [[nbScores]]: `(id, pred_label, score)` — one row per
+    * document. The argmax orders on the ROUNDED score (the published
+    * value), ties to the lexicographically smallest label — so an oracle
+    * recomputing the same rounded scores picks the same winner.
+    */
+  def nbPredict(
+      train: DataFrame,
+      labelCol: String,
+      trainTextCol: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Long,
+      alpha: Double = 1.0): DataFrame = {
+    val scored = nbScores(train, labelCol, trainTextCol, docs, idCol, textCol, vocabSize, alpha)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("label"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"), col("score"))
+  }
+}

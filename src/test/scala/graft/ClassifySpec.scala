@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Classify, ImportanceSampling, SemanticDedup}
+
+/** NB classifier, DSIR importance weighting, and SemDeDup on hand-built
+  * fixtures: hand-computed posteriors, separability recovery, weight
+  * ordering, Gumbel-sample determinism, and the k-means-composed dedup.
+  */
+class ClassifySpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "spam", "buy cheap pills now"),
+      (1L, "spam", "cheap pills cheap deals"),
+      (2L, "ham", "meeting notes for the quarter"),
+      (3L, "ham", "the quarterly report notes"),
+      (4L, "ham", "notes from the board meeting"))
+      .toDF("id", "label", "text")
+  }
+
+  test("nbTokenLogProbs matches a hand-computed add-one estimate") {
+    val vocab = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") =!= "").distinct().count()
+    val got = Classify.nbTokenLogProbs(docs, "label", "text", vocabSize = vocab)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // spam corpus: 8 tokens total; "cheap" appears 3x; V distinct tokens
+    val (cnt, lp) = got(("spam", "cheap"))
+    assert(cnt === 3L)
+    val expect = math.log((3.0 + 1.0) / (8.0 + vocab.toDouble))
+    assert(math.abs(lp - expect) < 1e-6)
+    // a ham-only token never appears under spam (sparse table, not zero rows)
+    assert(!got.contains(("spam", "meeting")))
+  }
+
+  test("nbPredict recovers the training labels on a separable corpus") {
+    val vocab = 14L // distinct tokens in the fixture
+    val got = Classify.nbPredict(docs, "label", "text", docs, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "spam", 1L -> "spam", 2L -> "ham", 3L -> "ham", 4L -> "ham"))
+  }
+
+  test("nbScores: zero-token and unseen-token docs surface with prior-shaped scores") {
+    import spark.implicits._
+    val score = Seq((10L, ""), (11L, "zzz qqq")).toDF("id", "text")
+    val got = Classify.nbScores(docs, "label", "text", score, "id", "text", 14L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // empty doc: score is exactly the prior, n_tokens 0
+    val (n0, s0) = got((10L, "ham"))
+    assert(n0 === 0L)
+    assert(math.abs(s0 - math.log(3.0 / 5.0)) < 1e-6)
+    // both labels present for every doc (the cross join), unseen tokens
+    // score at the smoothed default, more tokens -> lower score
+    val (n1, s1) = got((11L, "ham"))
+    assert(n1 === 2L)
+    assert(s1 < s0)
+  }
+
+  test("importanceWeights ranks target-like docs above raw-like docs") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta alpha beta")).toDF("id", "text")
+    val raw = Seq(
+      (0L, "alpha beta alpha beta"),
+      (1L, "gamma delta gamma delta"),
+      (2L, "alpha beta gamma delta")).toDF("id", "text")
+    val w = ImportanceSampling.importanceWeights(
+      raw, "id", "text",
+      ImportanceSampling.featureCounts(target, "text", n = 2, buckets = 32),
+      ImportanceSampling.featureCounts(raw, "text", n = 2, buckets = 32),
+      n = 2, buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(0L) > w(2L), "pure target-gram doc must outweigh the mixed doc")
+    assert(w(2L) > w(1L), "mixed doc must outweigh the pure off-target doc")
+  }
+
+  test("importanceWeights: docs below the gram order surface with n_feats 0") {
+    import spark.implicits._
+    val one = Seq((0L, "solo"), (1L, "two tokens")).toDF("id", "text")
+    val counts = ImportanceSampling.featureCounts(one, "text", n = 2, buckets = 8)
+    val got = ImportanceSampling.importanceWeights(
+      one, "id", "text", counts, counts, n = 2, buckets = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L) === ((0L, 0.0)))
+    assert(got(1L)._1 === 1L)
+    // identical target/raw histograms: every log ratio is exactly 0
+    assert(got(1L)._2 === 0.0)
+  }
+
+  test("gumbelTopK is deterministic, without replacement, and salt-sensitive") {
+    import spark.implicits._
+    val w = (0L until 200L).map(i => (i, (i % 7).toDouble)).toDF("id", "weight")
+    val a = ImportanceSampling.gumbelTopK(w, "id", "weight", k = 30, salt = "s1")
+      .collect().map(_.getLong(0)).toSeq
+    val b = ImportanceSampling.gumbelTopK(w, "id", "weight", k = 30, salt = "s1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b, "same salt must reproduce the same sample in the same order")
+    assert(a.distinct.size === 30, "sampling is without replacement")
+    val c = ImportanceSampling.gumbelTopK(w, "id", "weight", k = 30, salt = "s2")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a !== c, "a different salt must draw a different sample")
+    // weight dominates noise on average: the top-30 skews to high weights
+    val meanW = a.map(i => (i % 7).toDouble).sum / 30.0
+    assert(meanW > 3.0, s"expected weight-skewed sample, got mean weight $meanW")
+  }
+
+  test("semanticKeep drops exactly the lower-id-covered cluster-mates") {
+    import spark.implicits._
+    val df = Seq(
+      // cluster 1: 10 and 11 nearly parallel (cos ~ 1), 12 orthogonal
+      (10L, 1, Seq(1.0f, 0.0f)),
+      (11L, 1, Seq(0.999f, 0.01f)),
+      (12L, 1, Seq(0.0f, 1.0f)),
+      // cluster 2: same direction as 10 but different cluster -> untouched
+      (20L, 2, Seq(1.0f, 0.0f)))
+      .toDF("id", "cluster", "vec")
+    val got = SemanticDedup.semanticKeep(df, "id", "vec", "cluster", eps = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(10L -> true, 11L -> false, 12L -> true, 20L -> true))
+  }
+
+  test("semanticDedupKMeans keeps one representative per tight direction bundle") {
+    import spark.implicits._
+    // two tight bundles of near-identical vectors; enough spread for k-means
+    val rows =
+      (0L until 6L).map(i => (i, Seq(1.0f, (i * 1e-4).toFloat))) ++
+        (10L until 16L).map(i => (i, Seq(-1e-4f * (i - 10), 1.0f)))
+    val df = rows.toDF("id", "vec")
+    val got = SemanticDedup.semanticDedupKMeans(df, "id", "vec", nClusters = 2, eps = 0.999)
+    assert(got.count() === 12L, "every vector surfaces with a verdict")
+    val kept = got.filter(col("keep")).collect().map(_.getLong(0)).toSet
+    // each bundle collapses to its min id within its cluster; cluster count
+    // is k-means-dependent but near-identical vectors always share a cell
+    assert(kept.contains(0L) && kept.contains(10L))
+    assert(kept.size <= 4, s"near-identical bundles must collapse, kept $kept")
+  }
+}
