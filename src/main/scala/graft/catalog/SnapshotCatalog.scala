@@ -72,4 +72,12 @@ class SnapshotCatalog(spark: SparkSession, path: String) extends CatalogStore {
     */
   def vacuum(keepLast: Int = 1, minAgeMs: Long = 3600000L): Unit =
     lake.vacuum(keepLast, minAgeMs)
+
+  /** Table maintenance: bin-pack each partition's accumulated small upsert
+    * files (every upsert rewrites its touched partitions into fresh dirs,
+    * so hot partitions fragment over time) into ~`targetBytes` files, as a
+    * normal snapshot commit — see [[SnapshotLake.optimize]].
+    */
+  def optimize(targetBytes: Long = 128L * 1024 * 1024): Long =
+    lake.optimize(targetBytes)
 }

@@ -499,6 +499,97 @@ class SnapshotLake(spark: SparkSession, root: String) {
     committed
   }
 
+  /** Small-file compaction as a TRANSACTION — the lakehouse OPTIMIZE.
+    * Each live partition whose file count exceeds its bin-packed target
+    * (`ceil(bytes / targetBytes)`, planned from file SIZES alone — no data
+    * scan) is rewritten into that many files and the new layout is
+    * committed as one new manifest version. Content is unchanged, only
+    * file boundaries move; earlier snapshots stay readable until [[vacuum]]
+    * reclaims the loose files. Partitions already at their packed count
+    * carry over BY REFERENCE, so steady-state optimize cost tracks the
+    * small-file backlog, not the table. (In-place dir compaction is
+    * [[graft.sinks.Compact]]; this is the immutable-snapshot form.)
+    *
+    * Concurrency: an optimize must never clobber data committed while it
+    * was rewriting. The merge substitutes a rewritten directory ONLY where
+    * the latest manifest still references the exact directory the rewrite
+    * read (the [[upsert]] CAS discipline); a partition replaced mid-flight
+    * keeps the concurrent writer's directory and this rewrite of stale
+    * bytes is discarded. If every rewrite was overtaken, nothing commits.
+    *
+    * Returns the committed version (or the current latest when there was
+    * nothing to do).
+    *
+    * With `zorderCols` set, every live partition is rewritten z-order
+    * clustered on those columns ([[graft.ops.ZOrder.writeZOrdered]] — the
+    * OPTIMIZE ZORDER BY form): each output file covers one contiguous
+    * z-range, so [[readPruned]]/[[statsFor]] consumers skip most files on
+    * any of the clustered dimensions. Z-ordering rewrites even
+    * already-packed partitions (clustering changes layout, not just file
+    * count); the columns must exist with non-null values in every live
+    * partition's schema.
+    */
+  def optimize(
+      targetBytes: Long = 128L * 1024 * 1024,
+      zorderCols: Seq[String] = Seq.empty): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val base = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val baseManifest = readManifest(base)
+    val rewrites: Map[String, String] = baseManifest.flatMap { case (key, dirIn) =>
+      val dir = Paths.get(resolveDir(dirIn))
+      val files = {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        finally s.close()
+      }
+      val total = files.map(Files.size).sum
+      val numOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+      if (zorderCols.isEmpty && files.size <= numOut) None
+      else {
+        val name = java.util.UUID.randomUUID().toString
+        // per-dir read: no mergeSchema needed — a rewrite preserves exactly
+        // its own partition's (possibly pre-evolution) schema
+        val src = spark.read.parquet(dir.toString)
+        if (zorderCols.nonEmpty)
+          graft.ops.ZOrder.writeZOrdered(
+            src, zorderCols, dataDir.resolve(name).toString, numOut)
+        else
+          src.coalesce(numOut).write.parquet(dataDir.resolve(name).toString)
+        Some(key -> s"data/$name")
+      }
+    }
+    if (rewrites.isEmpty) return base
+    var committed = -1L
+    while (committed < 0) {
+      val v = latestVersion.getOrElse(base)
+      val (m, txns) = readManifestAndTxns(v)
+      val merged = m.map { case (k, d) =>
+        if (baseManifest.get(k).contains(d)) k -> rewrites.getOrElse(k, d)
+        else k -> d // partition replaced since we planned: keep theirs
+      }
+      if (merged == m) {
+        // every rewrite overtaken (or its partition deleted): discard all
+        rewrites.values.foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
+        return v
+      }
+      touchDirs(rewrites.values)
+      if (writeManifestAtomic(v + 1, merged, txns)) {
+        committed = v + 1
+        val applied = rewrites.count { case (k, d) => merged.get(k).contains(d) }
+        writeInfo(committed, "optimize", applied)
+        // rewrites that lost their partition to a concurrent writer are
+        // stale bytes nothing references — reclaim them eagerly
+        rewrites.foreach { case (k, d) =>
+          if (!merged.get(k).contains(d))
+            deleteRecursively(Paths.get(resolveDir(d)))
+        }
+      }
+    }
+    committed
+  }
+
   /** Read a snapshot (default: latest). Partition values come back as
     * string columns named after `partitionCols` given at commit time —
     * callers re-cast as needed (mirrors partition-directory discovery).

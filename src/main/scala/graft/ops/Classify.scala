@@ -85,8 +85,15 @@ object Classify {
     require(alpha > 0.0, "add-alpha smoothing needs alpha > 0")
     val nano = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
 
+    // ONE corpus-scale pass: the (label, token) count table is the model —
+    // vocab×labels rows, bounded — and every downstream relation (lp,
+    // totals, label stats) derives from it. Without a materialization
+    // barrier the count pipeline appears in four plan subtrees and Spark
+    // re-scans the train corpus for each; localCheckpoint truncates the
+    // lineage to the materialized model (the IvfIndex.refine discipline).
     val counts = tokenRows(train, labelCol, trainTextCol)
       .groupBy("label", "token").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
     val totals = counts.groupBy("label").agg(sum(col("_c")).as("_tot"))
     // label priors: ln(docs_label / total_docs); total via a broadcast
     // one-row aggregate (the bm25 avgdl trick — no driver action)

@@ -394,4 +394,80 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(got.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0).count() === 0L)
     assert(got.filter(col("o_orderstatus") === "O").count() === batch("O")("x").count())
   }
+
+  private def parquetFiles(dir: String, relDir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, relDir)
+    val s = Files.list(p)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    finally s.close()
+  }
+
+  test("optimize bin-packs small files transactionally; content and history survive") {
+    val (lake, dir) = fresh()
+    // force a small-file mess: 8 files per partition
+    lake.commit(batch("F", "O")("x").repartition(8), Seq("o_orderstatus"))
+    val before = manifestEntries(dir, 1L)
+    assert(parquetFiles(dir, before("F")).size === 8)
+    val contentBefore = lake.read(Seq("o_orderstatus"))
+      .collect().map(_.toString).sorted.toSeq
+
+    val v = lake.optimize(targetBytes = 1L << 30) // everything fits one file
+    assert(v === 2L)
+    val after = manifestEntries(dir, 2L)
+    assert((after("F") !== before("F")) && (after("O") !== before("O")))
+    assert(parquetFiles(dir, after("F")).size === 1, "8 small files pack to 1")
+    assert(lake.read(Seq("o_orderstatus"))
+      .collect().map(_.toString).sorted.toSeq === contentBefore,
+      "optimize must not change a single row")
+    // time travel still reads the pre-optimize layout
+    assert(lake.read(Seq("o_orderstatus"), Some(1L)).count() === contentBefore.size.toLong)
+    // already-packed partitions carry over by reference: second run no-ops
+    assert(lake.optimize(targetBytes = 1L << 30) === 2L,
+      "nothing left to pack — no new version")
+    // history records the maintenance op
+    assert(lake.history.map(_._2).contains("optimize"))
+  }
+
+  test("optimize(zorderCols) clusters files: per-file spans shrink, content survives") {
+    val (lake, dir) = fresh()
+    lake.commit(batch("F")("x").repartition(8), Seq("o_orderstatus"))
+    val contentBefore = lake.read(Seq("o_orderstatus"))
+      .collect().map(_.toString).sorted.toSeq
+    // small target -> several z-ordered output files
+    val v = lake.optimize(targetBytes = 2048L, zorderCols = Seq("o_orderkey"))
+    assert(v === 2L)
+    assert(lake.read(Seq("o_orderstatus"))
+      .collect().map(_.toString).sorted.toSeq === contentBefore)
+    val stats = lake.statsFor(Seq("o_orderkey"))
+      .collect().map(r => (r.getDouble(r.fieldIndex("min_o_orderkey")),
+        r.getDouble(r.fieldIndex("max_o_orderkey"))))
+    assert(stats.length >= 3, s"expected several clustered files, got ${stats.length}")
+    val globalSpan = stats.map(_._2).max - stats.map(_._1).min
+    val meanSpan = stats.map(s => s._2 - s._1).sum / stats.length
+    assert(meanSpan < globalSpan / 2.0,
+      s"z-ordered files must each cover a narrow key range " +
+        s"(mean $meanSpan vs global $globalSpan)")
+  }
+
+  test("optimize never clobbers a concurrent commit to the same partition") {
+    val (lake, dir) = fresh()
+    lake.commit(batch("F", "O")("old").repartition(6), Seq("o_orderstatus"))
+    // simulate the race: plan+rewrite happened against v1, but a writer
+    // replaces partition F before optimize's manifest merge runs — the
+    // interleaving is deterministic here because optimize re-reads the
+    // latest manifest inside its CAS loop
+    val t = new Thread(() => lake.optimize(targetBytes = 1L << 30))
+    lake.commit(batch("F")("new"), Seq("o_orderstatus"))
+    t.start(); t.join()
+
+    val got = lake.read(Seq("o_orderstatus"))
+      .groupBy("o_orderstatus", "pointer").count()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("F", "new")),
+      "the concurrent writer's F partition must survive the optimize")
+    assert(!got.contains(("F", "old")),
+      "optimize must never resurrect the pre-commit F bytes")
+    assert(got.contains(("O", "old")))
+  }
 }
