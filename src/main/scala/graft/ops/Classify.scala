@@ -27,9 +27,11 @@ object Classify {
 
   /** Non-empty whitespace tokens — the corpus-wide tokenization contract
     * ([[Dedup.tokens]] minus empty strings, the [[Dedup.windowRows]] form).
+    * NULL text counts as empty: `size(NULL)` is -1 under Spark's legacy
+    * sizeOfNull, which would corrupt the n_tokens·default score term.
     */
   private def toks(text: Column): Column =
-    filter(Dedup.tokens(text), t => t =!= "")
+    filter(Dedup.tokens(coalesce(text, lit(""))), t => t =!= "")
 
   /** Exploded (label, token) rows with repetitions — multinomial evidence. */
   private def tokenRows(train: DataFrame, labelCol: String, textCol: String): DataFrame =

@@ -76,8 +76,13 @@ object ImportanceSampling {
     val nano = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
     val tTot = targetCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("_tt"))
     val rTot = rawCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("_rt"))
-    val ratio = targetCounts.select(col("bucket"), col("cnt").as("_tc"))
-      .join(rawCounts.select(col("bucket"), col("cnt").as("_rc")), Seq("bucket"), "full_outer")
+    // the ratio table spans the FULL bucket domain, not just buckets seen
+    // in a histogram: a doc feature absent from both corpora still carries
+    // the (smoothed) both-zero log ratio ln((R+αB)/(T+αB)) — dropping it
+    // would silently skew weights toward docs with unseen vocabulary
+    val ratio = docs.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(targetCounts.select(col("bucket"), col("cnt").as("_tc")), Seq("bucket"), "left")
+      .join(rawCounts.select(col("bucket"), col("cnt").as("_rc")), Seq("bucket"), "left")
       .crossJoin(broadcast(tTot))
       .crossJoin(broadcast(rTot))
       .select(col("bucket"),

@@ -92,6 +92,38 @@ class ClassifySpec extends SparkSpec {
     assert(got(1L)._2 === 0.0)
   }
 
+  test("importanceWeights: features unseen in BOTH corpora get the smoothed ratio, not dropped") {
+    import spark.implicits._
+    // histograms built from a disjoint corpus: every feature of the scored
+    // docs is absent from both → each carries ln((R+aB)/(T+aB)), and with
+    // R > T that is a POSITIVE constant per feature (visible, not zero)
+    val histCorpus = Seq((100L, "aa bb aa bb aa bb")).toDF("id", "text")
+    val target = ImportanceSampling.featureCounts(histCorpus, "text", n = 2, buckets = 16)
+    val raw = ImportanceSampling.featureCounts(
+      Seq((200L, "aa bb aa bb aa bb aa bb aa bb aa bb")).toDF("id", "text"),
+      "text", n = 2, buckets = 16)
+    val docs = Seq((0L, "zz yy xx")).toDF("id", "text")
+    val got = ImportanceSampling.importanceWeights(
+      docs, "id", "text", target, raw, n = 2, buckets = 16)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(got._1 === 2L, "both bigrams must count as features")
+    // T=5, R=11, B=16, alpha=1: per-feature ratio = ln((11+16)/(5+16))
+    val expect = 2.0 * math.log(27.0 / 21.0)
+    assert(math.abs(got._2 - expect) < 1e-5,
+      s"unseen-everywhere features must carry the smoothed both-zero ratio, got ${got._2}")
+  }
+
+  test("nbScores: NULL text scores as an empty document") {
+    import spark.implicits._
+    val score = Seq((20L, Option.empty[String]), (21L, Some(""))).toDF("id", "text")
+    val got = Classify.nbScores(docs, "label", "text", score, "id", "text", 14L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got((20L, "ham")) === got((21L, "ham")),
+      "NULL text must score identically to empty text")
+    assert(got((20L, "ham"))._1 === 0L)
+  }
+
   test("gumbelTopK is deterministic, without replacement, and salt-sensitive") {
     import spark.implicits._
     val w = (0L until 200L).map(i => (i, (i % 7).toDouble)).toDF("id", "weight")
