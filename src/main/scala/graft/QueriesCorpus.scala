@@ -393,6 +393,16 @@ object QueriesCorpus {
         vocabSize = vocab, addK = 0.5)
     }),
 
+    // trigram stupid-backoff LM scores against the same train split — the
+    // web-scale backoff recipe (count tables + keyed joins, λ = 0.4)
+    "q_tx_sb_ppl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val vocab = TextAnalysis.vocabStats(train, "doc_id", "text").count()
+      TextAnalysis.stupidBackoffScore(
+        train, "doc_id", "text", docs, "doc_id", "text", vocabSize = vocab)
+    }),
+
     // per-language top-20 tokens (grouped frequent items)
     "q_tx_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokensPerGroup(t(s, dir, "documents"), "lang", "doc_id", "text", k = 20)),
@@ -1029,6 +1039,55 @@ object QueriesCorpus {
         |SELECT d.doc_id, coalesce(ag.n_bigrams, 0) AS n_bigrams,
         |  floor(CAST(ss AS DOUBLE) / n_bigrams / 1e9 * 1e6 + 0.5) / 1e6 AS avg_nll,
         |  floor(exp(CAST(ss AS DOUBLE) / n_bigrams / 1e9) * 1e4 + 0.5) / 1e4 AS perplexity
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
+    "q_tx_sb_ppl" ->
+      """WITH tr AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |t3 AS (
+        |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+        |    t[CAST(i AS INT) + 2] AS w3
+        |  FROM tr, unnest(range(1, len(t) - 1)) AS u(i)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM t3 GROUP BY 1, 2, 3),
+        |bt AS (
+        |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |  FROM tr, unnest(range(1, len(t))) AS u(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bt GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT x AS token, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS x FROM tr) WHERE x <> '' GROUP BY 1),
+        |nn AS (SELECT coalesce(sum(c1), 0) AS n FROM c1),
+        |v AS (
+        |  SELECT count(DISTINCT x) AS v
+        |  FROM (SELECT unnest(t) AS x FROM tr) WHERE x <> ''),
+        |sb AS (
+        |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+        |    t[CAST(i AS INT) + 2] AS w3
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |        FROM documents), unnest(range(1, len(t) - 1)) AS u(i)),
+        |nll AS (
+        |  SELECT sb.doc_id,
+        |    CAST(floor(-ln(
+        |      CASE
+        |        WHEN c3.c3 IS NOT NULL AND c12.c2 IS NOT NULL
+        |          THEN CAST(c3.c3 AS DOUBLE) / c12.c2
+        |        WHEN c23.c2 IS NOT NULL
+        |          THEN 0.4 * CAST(c23.c2 AS DOUBLE) / cw2.c1
+        |        WHEN cu.c1 IS NOT NULL
+        |          THEN 0.4 * 0.4 * CAST(cu.c1 AS DOUBLE) / nn.n
+        |        ELSE 0.4 * 0.4 / (nn.n + v.v)
+        |      END) * 1e9 + 0.5) AS BIGINT) AS s
+        |  FROM sb
+        |  LEFT JOIN c3 USING (w1, w2, w3)
+        |  LEFT JOIN c2 c12 ON c12.w1 = sb.w1 AND c12.w2 = sb.w2
+        |  LEFT JOIN c2 c23 ON c23.w1 = sb.w2 AND c23.w2 = sb.w3
+        |  LEFT JOIN c1 cw2 ON cw2.token = sb.w2
+        |  LEFT JOIN c1 cu ON cu.token = sb.w3
+        |  CROSS JOIN nn CROSS JOIN v),
+        |ag AS (SELECT doc_id, count(*) AS n_trigrams, sum(s) AS ss FROM nll GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ag.n_trigrams, 0) AS n_trigrams,
+        |  floor(CAST(ss AS DOUBLE) / n_trigrams / 1e9 * 1e6 + 0.5) / 1e6 AS avg_nll,
+        |  floor(exp(CAST(ss AS DOUBLE) / n_trigrams / 1e9) * 1e4 + 0.5) / 1e4 AS sb_ppl
         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
     "q_pq_encode" ->
       s"""WITH $pqCteSql

@@ -62,43 +62,35 @@ object Classify {
             (col("_tot").cast("double") + lit(alpha * vocabSize))), 6).as("log_cond"))
   }
 
-  /** Per-(doc, label) NB log-posterior scores:
-    * `(id, label, n_tokens, score)` for EVERY (document × train label),
-    * `score = ln P(label) + Σ_tokens ln P(token|label)` in nats (rounded
-    * half-up 6), unseen (token, label) pairs smoothed to
-    * `alpha / (N_label + alpha·vocabSize)`.
-    *
-    * Shape: the per-label token table is joined ONCE on `token` (inner —
-    * corpus-sized probe, vocab-sized build), and the unseen-token default
-    * is algebra, not a join: score = prior + n_tokens·default +
-    * Σ_matched (log_cond − default). The label-stats relation is
-    * labels-sized and broadcast; a hot token skews the probe side only.
+  /** A fitted model: `tokenLogLik(label, token, _lp)` with `_lp` the
+    * add-alpha conditional log-likelihood in integer nano-nats, and
+    * `labelStats(label, _prior, _default)` with the log prior and the
+    * unseen-token default, same units. Both are bounded relations
+    * (vocab×labels / labels) — the persistable build-once/score-many
+    * artifact ([[saveNbModel]]/[[loadNbModel]]).
     */
-  def nbScores(
+  case class NbModel(tokenLogLik: DataFrame, labelStats: DataFrame)
+
+  /** Fit the model: ONE corpus-scale token-count pass (localCheckpoint'd —
+    * without the barrier the count pipeline appears in four plan subtrees
+    * and Spark re-scans the train corpus for each; the [[IvfIndex.refine]]
+    * discipline) plus one narrow doc-count pass for the priors. Totals ride
+    * broadcast one-row aggregates (the bm25 avgdl trick — no driver
+    * action).
+    */
+  def nbFit(
       train: DataFrame,
       labelCol: String,
-      trainTextCol: String,
-      docs: DataFrame,
-      idCol: String,
       textCol: String,
       vocabSize: Long,
-      alpha: Double = 1.0): DataFrame = {
+      alpha: Double = 1.0): NbModel = {
     require(vocabSize > 0, "vocabSize must be positive (distinct train tokens)")
     require(alpha > 0.0, "add-alpha smoothing needs alpha > 0")
     val nano = (c: Column) => floor(c * lit(1e9) + lit(0.5)).cast("long")
-
-    // ONE corpus-scale pass: the (label, token) count table is the model —
-    // vocab×labels rows, bounded — and every downstream relation (lp,
-    // totals, label stats) derives from it. Without a materialization
-    // barrier the count pipeline appears in four plan subtrees and Spark
-    // re-scans the train corpus for each; localCheckpoint truncates the
-    // lineage to the materialized model (the IvfIndex.refine discipline).
-    val counts = tokenRows(train, labelCol, trainTextCol)
+    val counts = tokenRows(train, labelCol, textCol)
       .groupBy("label", "token").agg(count(lit(1)).as("_c"))
       .localCheckpoint(true)
     val totals = counts.groupBy("label").agg(sum(col("_c")).as("_tot"))
-    // label priors: ln(docs_label / total_docs); total via a broadcast
-    // one-row aggregate (the bm25 avgdl trick — no driver action)
     val docCounts = train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("_d"))
     val totalDocs = docCounts.agg(sum(col("_d")).as("_td"))
     val labelStats = docCounts
@@ -108,27 +100,82 @@ object Classify {
         nano(log(col("_d").cast("double") / col("_td").cast("double"))).as("_prior"),
         nano(log(lit(alpha) /
           (col("_tot").cast("double") + lit(alpha * vocabSize)))).as("_default"))
-
     val lp = counts.join(totals, Seq("label"))
       .select(col("label"), col("token"),
         nano(log((col("_c").cast("double") + lit(alpha)) /
           (col("_tot").cast("double") + lit(alpha * vocabSize)))).as("_lp"))
+    NbModel(lp, labelStats)
+  }
 
+  /** Score `docs` against a fitted model: `(id, label, n_tokens, score)`
+    * for EVERY (document × model label), `score = ln P(label) +
+    * Σ_tokens ln P(token|label)` in nats (rounded half-up 6).
+    *
+    * Shape: the per-label token table is joined ONCE on `token` (inner —
+    * corpus-sized probe, vocab-sized build), and the unseen-token default
+    * is algebra, not a join: score = prior + n_tokens·default +
+    * Σ_matched (log_cond − default). The label-stats relation is
+    * labels-sized and broadcast; a hot token skews the probe side only.
+    */
+  def nbScoresWith(
+      model: NbModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
     val docToks = docs.select(col(idCol), explode(toks(col(textCol))).as("token"))
     val adj = docToks
-      .join(lp, Seq("token"))
-      .join(broadcast(labelStats.select(col("label"), col("_default"))), Seq("label"))
+      .join(model.tokenLogLik, Seq("token"))
+      .join(broadcast(model.labelStats.select(col("label"), col("_default"))), Seq("label"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("_lp") - col("_default")).as("_adj"))
-
     docs.select(col(idCol), size(toks(col(textCol))).cast("long").as("n_tokens"))
-      .crossJoin(broadcast(labelStats))
+      .crossJoin(broadcast(model.labelStats))
       .join(adj, Seq(idCol, "label"), "left")
       .select(col(idCol), col("label"), col("n_tokens"),
         (col("_prior") + col("n_tokens") * col("_default") +
           coalesce(col("_adj"), lit(0L))).as("_nano"))
       .select(col(idCol), col("label"), col("n_tokens"),
         graft.Functions.roundHalfUp(col("_nano").cast("double") / lit(1e9), 6).as("score"))
+  }
+
+  /** [[nbFit]] + [[nbScoresWith]] in one expression (the self-contained
+    * train-and-score form the oracle queries use).
+    */
+  def nbScores(
+      train: DataFrame,
+      labelCol: String,
+      trainTextCol: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Long,
+      alpha: Double = 1.0): DataFrame =
+    nbScoresWith(nbFit(train, labelCol, trainTextCol, vocabSize, alpha), docs, idCol, textCol)
+
+  private val NbMetaFile = "_nb_meta.json"
+
+  /** Persist the fitted model: the token table partitioned nowhere (vocab×
+    * labels rows — a scan, not a lookup), label stats as one file, plus a
+    * marker sidecar so [[loadNbModel]] refuses bare directories.
+    */
+  def saveNbModel(model: NbModel, path: String): Unit = {
+    model.tokenLogLik.write.mode("overwrite").parquet(s"$path/tokens")
+    model.labelStats.coalesce(1).write.mode("overwrite").parquet(s"$path/labels")
+    val spark = model.tokenLogLik.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, NbMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("""{"format":"nb-v1"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def loadNbModel(spark: org.apache.spark.sql.SparkSession, path: String): NbModel = {
+    val p = new org.apache.hadoop.fs.Path(path, NbMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no $NbMetaFile — not a model written by saveNbModel")
+    NbModel(spark.read.parquet(s"$path/tokens"), spark.read.parquet(s"$path/labels"))
   }
 
   /** Argmax over [[nbScores]]: `(id, pred_label, score)` — one row per
@@ -144,8 +191,19 @@ object Classify {
       idCol: String,
       textCol: String,
       vocabSize: Long,
-      alpha: Double = 1.0): DataFrame = {
-    val scored = nbScores(train, labelCol, trainTextCol, docs, idCol, textCol, vocabSize, alpha)
+      alpha: Double = 1.0): DataFrame =
+    argmax(
+      nbScores(train, labelCol, trainTextCol, docs, idCol, textCol, vocabSize, alpha), idCol)
+
+  /** [[nbPredict]] against a fitted/loaded model — the score-many form. */
+  def nbPredictWith(
+      model: NbModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    argmax(nbScoresWith(model, docs, idCol, textCol), idCol)
+
+  private def argmax(scored: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("label"))
     scored
       .withColumn("_rn", row_number().over(w))

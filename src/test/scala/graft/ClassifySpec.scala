@@ -62,6 +62,24 @@ class ClassifySpec extends SparkSpec {
     assert(s1 < s0)
   }
 
+  test("persisted NB model scores bit-identically to the in-memory fit; bare dirs refused") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    val model = Classify.nbFit(docs, "label", "text", vocabSize = 14L)
+    Classify.saveNbModel(model, s"$tmp/model")
+    val loaded = Classify.loadNbModel(spark, s"$tmp/model")
+    val direct = Classify.nbScoresWith(model, docs, "id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val viaDisk = Classify.nbScoresWith(loaded, docs, "id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(direct === viaDisk, "loaded model must reproduce every score exactly")
+    assert(Classify.nbPredictWith(loaded, docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(0L -> "spam", 1L -> "spam", 2L -> "ham", 3L -> "ham", 4L -> "ham"))
+    intercept[IllegalArgumentException] {
+      Classify.loadNbModel(spark, tmp) // no marker sidecar
+    }
+  }
+
   test("importanceWeights ranks target-like docs above raw-like docs") {
     import spark.implicits._
     val target = Seq((100L, "alpha beta alpha beta")).toDF("id", "text")

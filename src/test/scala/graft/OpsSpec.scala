@@ -526,6 +526,35 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("stupidBackoffScore walks the full backoff ladder with hand-computed scores") {
+    // train: one doc, 4 tokens -> trigrams {(a b c), (b c a)}... keep it
+    // countable: "a b c a b" gives trigrams (a,b,c),(b,c,a),(c,a,b);
+    // bigrams (a,b)x2,(b,c),(c,a); unigrams a:2 b:2 c:1, N=5, V=3
+    val train = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"), // seen trigram: S = c3/c12 = 1/2
+      (11L, "x b c"), // unseen trigram, seen bigram (b,c): S = 0.4 * 1/2
+      (12L, "x y c"), // unseen bigram (y,c), seen unigram c: S = 0.16 * 1/5
+      (13L, "x y z"), // OOV w3: S = 0.16 / (5 + 3)
+      (14L, "a b")) // < 3 tokens -> no trigrams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScore(
+        train, "doc_id", "text", score, "doc_id", "text", vocabSize = 3L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    def nll(s: Double) = -math.log(s)
+    assert(got(10L)._1 === 1L)
+    assert(math.abs(got(10L)._2.get - nll(0.5)) < 1e-5)
+    assert(math.abs(got(11L)._2.get - nll(0.4 * 0.5)) < 1e-5)
+    assert(math.abs(got(12L)._2.get - nll(0.16 * 1.0 / 5.0)) < 1e-5)
+    assert(math.abs(got(13L)._2.get - nll(0.16 / 8.0)) < 1e-5)
+    assert(got(14L) === ((0L, None)))
+    // the ladder is monotone: each backoff level scores worse
+    assert(got(10L)._2.get < got(11L)._2.get)
+    assert(got(11L)._2.get < got(12L)._2.get)
+    assert(got(12L)._2.get < got(13L)._2.get)
+  }
+
   test("Publish.firstSeenCounter numbers by first appearance and resets daily") {
     val rows = Seq(
       (ts("2020-01-01 08:00:00"), "u2"),
