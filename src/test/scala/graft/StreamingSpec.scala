@@ -306,6 +306,99 @@ class StreamingSpec extends SparkSpec {
       "stream flags exactly the later-wave half of the batch result")
   }
 
+  test("micro-batch shuffle: epochShuffle(epoch = batchId) runs unchanged on a stream") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_shuf_src_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_shuf_out_").toString + "/shuffled"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_shuf_ck_").toString
+
+    val wave1 = (0L until 50L).map(i => (i, s"w1 doc $i"))
+    val wave2 = (100L until 160L).map(i => (i, s"w2 doc $i"))
+
+    // online fine-tuning feed: each micro-batch gets its own reproducible
+    // training order — epochShuffle with epoch = batchId IS the streaming
+    // operator (stateless per batch, deterministic given ids)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          graft.ops.Sampling.epochShuffle(batch, "doc_id", epoch = batchId)
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+
+    val got = spark.read.parquet(out)
+      .select("batch_id", "doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byBatch = got.groupBy(_._1)
+    assert(byBatch.keySet === Set(0L, 1L))
+    byBatch.foreach { case (bid, rows) =>
+      // positions form a 0..n-1 permutation within each micro-batch
+      assert(rows.map(_._3).sorted.toSeq === rows.indices.map(_.toLong).toSeq,
+        s"batch $bid positions must be a dense permutation")
+      // and equal the batch operator run at that epoch over the same rows
+      val wave = if (bid == 0L) wave1 else wave2
+      val batchTwin = graft.ops.Sampling.epochShuffle(
+          wave.toDF("doc_id", "text"), "doc_id", epoch = bid)
+        .select("doc_id", "pos")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (_, id, pos) =>
+        assert(batchTwin(id) === pos, s"batch $bid doc $id")
+      }
+    }
+  }
+
+  test("streaming NB scoring against a persisted model equals batch scoring") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_nbs_src_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_nbs_out_").toString + "/scored"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nbs_ck_").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_nbs_m_").toString + "/model"
+
+    val train = Seq(
+      (1L, "spam", "buy cheap pills now"),
+      (2L, "ham", "meeting notes for the quarter"),
+      (3L, "ham", "notes from the board meeting")).toDF("id", "label", "text")
+    graft.ops.Classify.saveNbModel(
+      graft.ops.Classify.nbFit(train, "label", "text", vocabSize = 12L), modelDir)
+
+    val docs = Seq((10L, "cheap pills"), (11L, "board meeting notes"), (12L, ""))
+    docs.toDF("doc_id", "text").write.mode("append").parquet(src)
+    // the model loads ONCE outside the per-batch closure — scoring is a
+    // stateless join against the loaded artifact, so it streams unchanged
+    val model = graft.ops.Classify.loadNbModel(spark, modelDir)
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Classify.nbPredictWith(model, batch, "doc_id", "text")
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val batchTwin = graft.ops.Classify.nbPredictWith(
+        model, docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed === batchTwin, "stream and batch must agree score-for-score")
+    assert(streamed.map(_._1) === Set(10L, 11L, 12L), "empty docs surface too")
+  }
+
   test("streaming EtlRun: exactly-once across restarts, replay, and checkpoint loss") {
     import spark.implicits._
     import java.sql.Timestamp
