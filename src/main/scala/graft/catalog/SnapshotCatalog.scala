@@ -80,4 +80,12 @@ class SnapshotCatalog(spark: SparkSession, path: String) extends CatalogStore {
     */
   def optimize(targetBytes: Long = 128L * 1024 * 1024): Long =
     lake.optimize(targetBytes)
+
+  /** Change data feed between two catalog versions ([[SnapshotLake
+    * .changes]] with the catalog's PK): which catalog entries a sync
+    * consumer must reprocess, computed only over partitions whose manifest
+    * entry moved.
+    */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame =
+    lake.changes(fromVersion, toVersion, LakeCatalog.PK, LakeCatalog.PartitionCols)
 }

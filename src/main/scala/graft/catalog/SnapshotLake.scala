@@ -590,6 +590,95 @@ class SnapshotLake(spark: SparkSession, root: String) {
     committed
   }
 
+  /** Partition keys whose data directory differs between two versions
+    * (added, removed, or replaced) — a pure manifest compare, no data I/O.
+    * Directories are immutable, so a differing dir is the EXACT condition
+    * for "this partition may contain changed rows". Conservative across an
+    * [[optimize]] boundary (rewritten dirs hold identical rows — the row
+    * diff then correctly reports nothing).
+    */
+  def changedPartitions(fromVersion: Long, toVersion: Long): Set[String] = {
+    val a = readManifest(fromVersion)
+    val b = readManifest(toVersion)
+    (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
+  }
+
+  /** Change data feed between two versions: row-level deltas computed ONLY
+    * over [[changedPartitions]] — untouched partitions are never scanned,
+    * so the cost tracks what changed, not the table. Returns the full row
+    * plus `_change` ∈ insert / delete / update_pre / update_post (the
+    * Delta CDF vocabulary): `insert` rows exist only at `toVersion`,
+    * `delete` only at `fromVersion`, and a PK present in both with ANY
+    * non-PK difference emits its before image as `update_pre` and after
+    * image as `update_post`. PK-identical rows are suppressed.
+    *
+    * Rows are matched on `pk` (which must include the partition columns —
+    * the [[upsert]] "rows never move between partitions" contract) and
+    * compared as whole structs; under schema evolution a column absent at
+    * `fromVersion` reads as NULL there, so rows gaining a value surface as
+    * updates — exactly what a downstream consumer must reprocess.
+    */
+  def changes(
+      fromVersion: Long,
+      toVersion: Long,
+      pk: Seq[String],
+      partitionCols: Seq[String]): DataFrame = {
+    require(pk.nonEmpty, "need a primary key to align rows across versions")
+    require(partitionCols.forall(pk.contains),
+      s"pk (${pk.mkString(",")}) must include every partition column " +
+        s"(${partitionCols.mkString(",")}) — rows must not move between partitions")
+    val changed = changedPartitions(fromVersion, toVersion)
+    if (changed.isEmpty)
+      return read(partitionCols, Some(toVersion)).limit(0)
+        .withColumn("_change", lit(""))
+    def side(v: Long): Option[DataFrame] = {
+      val entries = readManifest(v).filter { case (k, _) => changed.contains(k) }
+      if (entries.isEmpty) None else Some(readEntries(entries.toSeq.sorted, partitionCols))
+    }
+    val oldS = side(fromVersion)
+    val newS = side(toVersion)
+    (oldS, newS) match {
+      case (None, None) => // unreachable: changed non-empty implies a side
+        read(partitionCols, Some(toVersion)).limit(0).withColumn("_change", lit(""))
+      case (None, Some(n)) => n.withColumn("_change", lit("insert"))
+      case (Some(o), None) => o.withColumn("_change", lit("delete"))
+      case (Some(o), Some(n)) =>
+        // align schemas (evolution: missing columns read as NULL)
+        val allCols = (o.columns ++ n.columns).distinct.toSeq
+        def pad(df: DataFrame) = allCols.foldLeft(df)((d, c) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+        val dataCols = allCols.filterNot(pk.contains)
+        val rowStruct = (df: DataFrame) => struct(dataCols.map(df.apply): _*)
+        val po = pad(o).alias("o")
+        val pn = pad(n).alias("n")
+        val joinCond = pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
+        val joined = po.join(pn, joinCond, "full_outer")
+        // side-presence probe: partition columns are non-null by commit-time
+        // rejection, so a NULL here means "row absent on this side" even
+        // when other PK components are legitimately NULL
+        val oPk = col(s"o.${partitionCols.head}")
+        val nPk = col(s"n.${partitionCols.head}")
+        val oRow = struct((pk ++ dataCols).map(c => col(s"o.$c").as(c)): _*)
+        val nRow = struct((pk ++ dataCols).map(c => col(s"n.$c").as(c)): _*)
+        // NULL-safe struct compare: <=> over the whole data payload; rows
+        // identical across versions drop here (optimize-only boundaries
+        // then emit zero events)
+        val same = rowStruct(po) <=> rowStruct(pn)
+        val tagged = joined
+          .filter(oPk.isNull || nPk.isNull || !same)
+          .select(
+            when(oPk.isNull, array(struct(lit("insert").as("_change"), nRow.as("r"))))
+              .when(nPk.isNull, array(struct(lit("delete").as("_change"), oRow.as("r"))))
+              .otherwise(array(
+                struct(lit("update_pre").as("_change"), oRow.as("r")),
+                struct(lit("update_post").as("_change"), nRow.as("r"))))
+              .as("_evs"))
+        tagged
+          .select(explode(col("_evs")).as("_ev"))
+          .select(col("_ev._change").as("_change"), col("_ev.r.*"))
+    }
+  }
+
   /** Read a snapshot (default: latest). Partition values come back as
     * string columns named after `partitionCols` given at commit time —
     * callers re-cast as needed (mirrors partition-directory discovery).

@@ -79,6 +79,18 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(cat.read().count() === 100)
   }
 
+  test("changes(): catalog CDF names exactly the entries a sync consumer must reprocess") {
+    val cat = new SnapshotCatalog(spark, Files.createTempDirectory("graft_sc_cdf").toString)
+    val v1 = cat.commit(batch("bt", 0, 10, "2020-02-01 00:00:00", "v1"))
+    // 5 overridden (later stamp), 3 new, wt untouched elsewhere
+    val v2 = cat.commit(batch("bt", 5, 8, "2020-02-02 00:00:00", "v2"))
+    val got = cat.changes(v1, v2)
+      .groupBy("_change").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("update_pre" -> 5L, "update_post" -> 5L, "insert" -> 3L),
+      s"5..9 override, 10..12 insert; got $got")
+  }
+
   test("EtlRun drop-in: exactly-once item gating over the snapshot backend") {
     val cat = new SnapshotCatalog(spark, Files.createTempDirectory("graft_sc_etl").toString)
     val day1 = Seq(

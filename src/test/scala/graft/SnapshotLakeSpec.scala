@@ -450,6 +450,59 @@ class SnapshotLakeSpec extends SparkSpec {
         s"(mean $meanSpan vs global $globalSpan)")
   }
 
+  test("changes(): version-to-version CDF emits exactly the row deltas, pruned by manifest") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    def rows(ver: Long, data: Seq[(Long, String, String)]) =
+      data.toDF("id", "part", "payload").withColumn("ver", lit(ver))
+    val v1 = lake.upsert(
+      rows(1L, Seq((1L, "a", "one"), (2L, "a", "two"), (3L, "b", "three"), (9L, "c", "nine"))),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    // v2: update id 2, insert id 4 (same partition), delete nothing in 'a';
+    // partition 'b' and 'c' untouched
+    val v2 = lake.upsert(
+      rows(2L, Seq((2L, "a", "TWO"), (4L, "a", "four"))),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    assert(lake.changedPartitions(v1, v2) === Set("a"))
+
+    val got = lake.changes(v1, v2, pk = Seq("id", "part"), partitionCols = Seq("part"))
+      .collect().map(r => (r.getString(0), r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("payload")))).toSet
+    assert(got === Set(
+      ("update_pre", 2L, "two"), ("update_post", 2L, "TWO"),
+      ("insert", 4L, "four")),
+      s"unchanged rows (1, 3, 9) must be suppressed; got $got")
+
+    // deleteWhere shows up as deletes; the untouched partitions still prune
+    val v3 = lake.deleteWhere(col("id") === 4L, Seq("part"))
+    val dels = lake.changes(v2, v3, Seq("id", "part"), Seq("part"))
+      .collect().map(r => (r.getString(0), r.getLong(r.fieldIndex("id")))).toSet
+    assert(dels === Set(("delete", 4L)))
+
+    // an optimize-only boundary changes dirs but zero rows → zero events
+    val v4 = lake.optimize(targetBytes = 1L << 30)
+    if (v4 > v3)
+      assert(lake.changes(v3, v4, Seq("id", "part"), Seq("part")).count() === 0L,
+        "optimize moves bytes, not rows — the CDF must be empty")
+
+    // identity: no version gap, no events
+    assert(lake.changes(v2, v2, Seq("id", "part"), Seq("part")).count() === 0L)
+  }
+
+  test("changes() across schema evolution: rows gaining a column surface as updates") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    val v1 = lake.commit(
+      Seq((1L, "a"), (2L, "a")).toDF("id", "part"), Seq("part"))
+    val v2 = lake.commit(
+      Seq((1L, "a", "x"), (2L, "a", null.asInstanceOf[String])).toDF("id", "part", "extra"),
+      Seq("part"))
+    val got = lake.changes(v1, v2, Seq("id", "part"), Seq("part"))
+      .collect().map(r => (r.getString(0), r.getLong(r.fieldIndex("id")))).toSet
+    // id 1 gained a value (NULL → x): update pair; id 2 stayed NULL: suppressed
+    assert(got === Set(("update_pre", 1L), ("update_post", 1L)))
+  }
+
   test("optimize never clobbers a concurrent commit to the same partition") {
     val (lake, dir) = fresh()
     lake.commit(batch("F", "O")("old").repartition(6), Seq("o_orderstatus"))
