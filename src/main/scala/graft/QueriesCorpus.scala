@@ -474,6 +474,46 @@ object QueriesCorpus {
         graft.ops.Bpe.learn(docs, "text", numMerges = 16))
     }),
 
+    // unigram-LM (SentencePiece) seed statistic: frequency-weighted
+    // substring counts over the boundary-marked distinct words — exact
+    // long arithmetic, reproduced in plain SQL by the oracle
+    "q_ug_seed" -> ((s, dir) =>
+      graft.ops.Unigram.seedCounts(t(s, dir, "documents"), "text")),
+
+    // unigram EM learning over the FIXTURE corpus (the q_bpe_merges
+    // corpus), hash-exact against the golden piece table produced by the
+    // independent Python reference implementation in
+    // tools/gen_unigram_golden.py. DuckDB can't express the EM/prune
+    // loop, so the oracle is the checked-in golden itself. logp is
+    // excluded (float text-form drift); piece SET + dense ids are the
+    // contract — the logp-dependent behavior is gated by q_ug_encode_gold
+    "q_ug_vocab" -> ((s, dir) =>
+      graft.ops.Unigram.learn(bpeFixtureCorpus(s, dir), "text",
+          vocabSize = 40, seedSize = 40)
+        .select(col("piece"), col("piece_id"))),
+
+    // the Viterbi ENCODE step under the learned vocabulary: per-fixture-doc
+    // token sequence + count, hash-exact against the golden — gates the
+    // learned probabilities end to end (segmentation argmax is logp-driven)
+    "q_ug_encode_gold" -> ((s, dir) => {
+      val docs = bpeFixtureCorpus(s, dir)
+      graft.ops.Unigram.encode(docs, "doc_id", "text",
+          graft.ops.Unigram.learn(docs, "text", vocabSize = 40, seedSize = 40))
+        .select(col("doc_id"), concat_ws(" ", col("tokens")).as("token_str"),
+          col("n_tokens"))
+    }),
+
+    // unigram encoding at corpus scale (zero-shuffle mapPartitions,
+    // broadcast vocabulary): per-doc token count over `documents` — the
+    // scale-path twin of q_ug_encode_gold (rows-only check, like
+    // q_bpe_encode; token identity is golden- and spec-gated)
+    "q_ug_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Unigram.encode(docs, "doc_id", "text",
+          graft.ops.Unigram.learn(docs, "text", vocabSize = 40, seedSize = 40))
+        .select("doc_id", "n_tokens")
+    }),
+
     // one-row corpus health report: the snapshot summary a curation
     // pipeline publishes — doc/dup/quality/token counts, all exact
     // integers, every stage recomputed independently in the oracle
@@ -1467,6 +1507,93 @@ object QueriesCorpus {
         |  (CAST(22 AS BIGINT), 'nation_2 2 </w> as i a</w>', CAST(6 AS BIGINT)),
         |  (CAST(23 AS BIGINT), 'nation_2 3 </w> e u r o p e</w>', CAST(9 AS BIGINT)),
         |  (CAST(24 AS BIGINT), 'nation_2 4 </w> m i d d l e</w> e as t </w>', CAST(13 AS BIGINT))) AS t(doc_id, token_str, n_tokens)""".stripMargin,
+    // unigram seed statistic: substring counts of the ▁-marked distinct
+    // words, weighted by word frequency — exact integer arithmetic
+    "q_ug_seed" ->
+      """WITH wf AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |mw AS (SELECT '▁' || word AS m, freq FROM wf),
+        |subs AS (
+        |  SELECT substr(m, CAST(t.i AS INT), CAST(l.j AS INT)) AS piece, freq
+        |  FROM mw,
+        |       unnest(range(1, length(m) + 1)) AS t(i),
+        |       unnest(range(1, least(8, length(m) - CAST(t.i AS INT) + 1) + 1)) AS l(j))
+        |SELECT piece, CAST(sum(freq) AS BIGINT) AS weight FROM subs GROUP BY 1""".stripMargin,
+    // golden unigram piece table (fixture corpus, vocab_size=40,
+    // seed_size=40) — tools/gen_unigram_golden.py
+    "q_ug_vocab" ->
+      """SELECT * FROM (VALUES
+        |  ('0', CAST(0 AS BIGINT)),
+        |  ('1', CAST(1 AS BIGINT)),
+        |  ('2', CAST(2 AS BIGINT)),
+        |  ('3', CAST(3 AS BIGINT)),
+        |  ('4', CAST(4 AS BIGINT)),
+        |  ('5', CAST(5 AS BIGINT)),
+        |  ('6', CAST(6 AS BIGINT)),
+        |  ('7', CAST(7 AS BIGINT)),
+        |  ('8', CAST(8 AS BIGINT)),
+        |  ('9', CAST(9 AS BIGINT)),
+        |  ('_', CAST(10 AS BIGINT)),
+        |  ('a', CAST(11 AS BIGINT)),
+        |  ('america', CAST(12 AS BIGINT)),
+        |  ('ation_', CAST(13 AS BIGINT)),
+        |  ('ation_1', CAST(14 AS BIGINT)),
+        |  ('ation_2', CAST(15 AS BIGINT)),
+        |  ('c', CAST(16 AS BIGINT)),
+        |  ('d', CAST(17 AS BIGINT)),
+        |  ('e', CAST(18 AS BIGINT)),
+        |  ('f', CAST(19 AS BIGINT)),
+        |  ('i', CAST(20 AS BIGINT)),
+        |  ('ion_', CAST(21 AS BIGINT)),
+        |  ('ion_1', CAST(22 AS BIGINT)),
+        |  ('l', CAST(23 AS BIGINT)),
+        |  ('m', CAST(24 AS BIGINT)),
+        |  ('n', CAST(25 AS BIGINT)),
+        |  ('na', CAST(26 AS BIGINT)),
+        |  ('nation_', CAST(27 AS BIGINT)),
+        |  ('nation_1', CAST(28 AS BIGINT)),
+        |  ('nation_2', CAST(29 AS BIGINT)),
+        |  ('o', CAST(30 AS BIGINT)),
+        |  ('p', CAST(31 AS BIGINT)),
+        |  ('r', CAST(32 AS BIGINT)),
+        |  ('s', CAST(33 AS BIGINT)),
+        |  ('t', CAST(34 AS BIGINT)),
+        |  ('u', CAST(35 AS BIGINT)),
+        |  ('▁', CAST(36 AS BIGINT)),
+        |  ('▁africa', CAST(37 AS BIGINT)),
+        |  ('▁america', CAST(38 AS BIGINT)),
+        |  ('▁nation_', CAST(39 AS BIGINT))) AS t(piece, piece_id)""".stripMargin,
+    // golden unigram Viterbi encode table — tools/gen_unigram_golden.py
+    "q_ug_encode_gold" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), '▁nation_ 0 ▁africa', CAST(3 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), '▁ nation_1 ▁america', CAST(3 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), '▁ nation_2 ▁ a s i a', CAST(7 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), '▁nation_ 3 ▁ e u r o p e', CAST(9 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), '▁nation_ 4 ▁ m i d d l e ▁ e a s t', CAST(14 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), '▁nation_ 5 ▁africa', CAST(3 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), '▁nation_ 6 ▁america', CAST(3 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), '▁nation_ 7 ▁ a s i a', CAST(7 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), '▁nation_ 8 ▁ e u r o p e', CAST(9 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), '▁nation_ 9 ▁ m i d d l e ▁ e a s t', CAST(14 AS BIGINT)),
+        |  (CAST(10 AS BIGINT), '▁ nation_1 0 ▁africa', CAST(4 AS BIGINT)),
+        |  (CAST(11 AS BIGINT), '▁ nation_1 1 ▁america', CAST(4 AS BIGINT)),
+        |  (CAST(12 AS BIGINT), '▁ nation_1 2 ▁ a s i a', CAST(8 AS BIGINT)),
+        |  (CAST(13 AS BIGINT), '▁ nation_1 3 ▁ e u r o p e', CAST(10 AS BIGINT)),
+        |  (CAST(14 AS BIGINT), '▁ nation_1 4 ▁ m i d d l e ▁ e a s t', CAST(15 AS BIGINT)),
+        |  (CAST(15 AS BIGINT), '▁ nation_1 5 ▁africa', CAST(4 AS BIGINT)),
+        |  (CAST(16 AS BIGINT), '▁ nation_1 6 ▁america', CAST(4 AS BIGINT)),
+        |  (CAST(17 AS BIGINT), '▁ nation_1 7 ▁ a s i a', CAST(8 AS BIGINT)),
+        |  (CAST(18 AS BIGINT), '▁ nation_1 8 ▁ e u r o p e', CAST(10 AS BIGINT)),
+        |  (CAST(19 AS BIGINT), '▁ nation_1 9 ▁ m i d d l e ▁ e a s t', CAST(15 AS BIGINT)),
+        |  (CAST(20 AS BIGINT), '▁ nation_2 0 ▁africa', CAST(4 AS BIGINT)),
+        |  (CAST(21 AS BIGINT), '▁ nation_2 1 ▁america', CAST(4 AS BIGINT)),
+        |  (CAST(22 AS BIGINT), '▁ nation_2 2 ▁ a s i a', CAST(8 AS BIGINT)),
+        |  (CAST(23 AS BIGINT), '▁ nation_2 3 ▁ e u r o p e', CAST(10 AS BIGINT)),
+        |  (CAST(24 AS BIGINT), '▁ nation_2 4 ▁ m i d d l e ▁ e a s t', CAST(15 AS BIGINT))) AS t(doc_id, token_str, n_tokens)""".stripMargin,
     "q_pk_ids" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w

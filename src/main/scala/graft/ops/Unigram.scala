@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, StructField, StructType, StringType, DoubleType}
+import org.apache.spark.sql.types.DecimalType
 
 /** Unigram language-model tokenizer — the SentencePiece algorithm (Kudo,
   * "Subword Regularization", ACL 2018): a piece vocabulary learned by EM
@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.{DecimalType, StructField, StructType, StringT
   *     identically on every executor.
   *   - [[encode]] is a ZERO-SHUFFLE `mapPartitions`: vocabulary broadcast,
   *     per-partition word→pieces cache (Zipfian hit rate), no driver state.
+  *
+  * The learned artifact is golden-oracled against an INDEPENDENT Python
+  * implementation of the same contract (tools/gen_unigram_golden.py — the
+  * [[Bpe]] golden pattern): q_ug_vocab and q_ug_encode_gold are hash-exact,
+  * q_ug_seed is plain-SQL-oracled.
   *
   * Word splitting matches [[Dedup.tokens]] (lower-cased, trimmed,
   * whitespace-split), so the tokenizer composes with the dedup/quality
@@ -79,32 +84,13 @@ object Unigram {
 
   /** Frequency-weighted substring occurrence counts over the
     * boundary-marked distinct words: (piece, weight) where weight =
-    * Σ_words freq(word) × occurrences(piece, ▁word). The seed-candidate
-    * statistic, exposed declaratively (two generator explodes over the
-    * DISTINCT-WORD table — never corpus-scale) so it is oracle-checkable
-    * in plain SQL.
+    * Σ_words freq(word) × occurrences(piece, ▁word) — the seed-candidate
+    * statistic. One typed flatMap over the DISTINCT-WORD table (never
+    * corpus-scale); exact long arithmetic, so the q_ug_seed DuckDB oracle
+    * reproduces it in plain SQL.
     */
   def seedCounts(docs: DataFrame, textCol: String, maxPieceLen: Int = 8): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
-    Bpe.wordFrequencies(docs, textCol)
-      .select(concat(lit(Boundary), col("word")).as("mw"), col("freq"))
-      .select(col("freq"), posexplode(split(col("mw"), "")).as(Seq("start", "ch")))
-      .drop("ch")
-      .select(col("freq"), col("start"),
-        explode(sequence(lit(1), least(lit(maxPieceLen), length(col("mw")) - col("start"))))
-          .as("len"))
-      .join(
-        Bpe.wordFrequencies(docs, textCol)
-          .select(concat(lit(Boundary), col("word")).as("mw"), col("freq")),
-        Seq.empty[String], "cross")
-      .limit(0) // placeholder — replaced below
-  }
-
-  // The join-free real implementation: substring explode via a typed map
-  // (seedCountsTyped) — kept private; seedCounts above is rebuilt here.
-
-  /** One row per (piece, weight): see [[seedCounts]]. */
-  private def seedCountsDf(docs: DataFrame, textCol: String, maxPieceLen: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     Bpe.wordFrequencies(docs, textCol)
@@ -120,9 +106,10 @@ object Unigram {
   /** Seed piece selection: all single code points (segmentation coverage —
     * every corpus word must remain segmentable after any prune), plus the
     * top multi-character substrings by SentencePiece's freq × length score,
-    * up to `seedSize` total. Deterministic tiebreak (score desc, piece
-    * asc); top-k via orderBy+limit (TakeOrderedAndProject — no global
-    * sort materializes). Returns (piece, weight, is_char).
+    * up to `seedSize` multi-character pieces. Deterministic tiebreak
+    * (score desc, piece asc) over exact integer scores; top-k via
+    * orderBy+limit (TakeOrderedAndProject — no global sort materializes).
+    * Returns (piece, weight, is_char).
     */
   def seedVocab(
       docs: DataFrame,
@@ -130,7 +117,7 @@ object Unigram {
       seedSize: Int = 2000,
       maxPieceLen: Int = 8): DataFrame = {
     require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
-    val counts = seedCountsDf(docs, textCol, maxPieceLen)
+    val counts = seedCounts(docs, textCol, maxPieceLen)
       .withColumn("is_char", length(col("piece")) === 1)
     val chars = counts.filter(col("is_char"))
     val multi = counts.filter(!col("is_char"))
@@ -215,8 +202,11 @@ object Unigram {
     * lexicographic. Positions no vocabulary piece covers (novel code
     * points at apply time) take a single-char UNK edge at `unkLogp`,
     * emitting the raw character — [[encodeIds]] maps it to the UNK id.
+    * If the end position is UNREACHABLE (possible when `unkLogp` is -inf,
+    * as in [[pruneLosses]]' alternative-segmentation probe), returns an
+    * EMPTY array rather than looping on a zero back-pointer.
     */
-  private[ops] def viterbiSegment(
+  private[graft] def viterbiSegment(
       cps: Array[String],
       logp: collection.Map[String, Double],
       maxPieceLen: Int,
@@ -250,10 +240,12 @@ object Unigram {
       }
       i += 1
     }
+    if (best(n) == NegInf) return Array.empty
     val out = mutable.ArrayBuffer.empty[String]
     var pos = n
     while (pos > 0) {
       val l = bkLen(pos)
+      if (l == 0) return Array.empty // defensive: corrupt backtrack
       out += cps.slice(pos - l, pos).mkString
       pos -= l
     }
@@ -302,35 +294,54 @@ object Unigram {
     * table, M on the (vocabulary-sized) collected counts. Pieces whose
     * expected count underflows to zero keep a floor probability so
     * coverage never collapses mid-iteration. Returns (new logp map,
-    * corpus log-likelihood under the OLD parameters).
+    * corpus log-likelihood under the OLD parameters, the E-step's
+    * expected counts — the prune-decision weights, so [[learn]] never
+    * pays a second E-step for them).
     */
   private def emRound(
       words: DataFrame,
       logp: Map[String, Double],
-      maxPieceLen: Int): (Map[String, Double], Double) = {
+      maxPieceLen: Int): (Map[String, Double], Double, Map[String, Double]) = {
     val (cdf, ll) = expectedCounts(words, logp, maxPieceLen)
     val counts: Seq[(String, java.math.BigDecimal)] =
       cdf.collect().map(r => r.getString(0) -> r.getDecimal(1)).toSeq.sortBy(_._1)
+    val countsMap: Map[String, Double] =
+      counts.map { case (p, v) => p -> v.doubleValue() }.toMap
     val total = counts.map(_._2.doubleValue()).sum
     val floor = 1e-10 // pieces unreachable this round keep epsilon mass
     val updated = logp.keys.toSeq.sorted.map { p =>
-      val c = counts.collectFirst { case (`p`, v) => v.doubleValue() }.getOrElse(0.0)
-      p -> math.log(math.max(c, floor) / total)
+      p -> math.log(math.max(countsMap.getOrElse(p, 0.0), floor) / total)
     }.toMap
-    (updated, ll)
+    (updated, ll, countsMap)
+  }
+
+  /** A read-only view of `m` with one key hidden — O(1) to build, so
+    * [[pruneLosses]]' leave-one-out probes cost O(V) total instead of the
+    * O(V²) map copies `m - key` per piece would.
+    */
+  private final class Masked(m: Map[String, Double], hide: String)
+      extends scala.collection.AbstractMap[String, Double] {
+    def get(k: String): Option[Double] = if (k == hide) None else m.get(k)
+    def iterator: Iterator[(String, Double)] = m.iterator.filter(_._1 != hide)
+    def -(key: String): scala.collection.Map[String, Double] =
+      iterator.filter(_._1 != key).toMap
+    def -(key1: String, key2: String, keys: String*): scala.collection.Map[String, Double] = {
+      val drop = (Seq(key1, key2) ++ keys).toSet
+      iterator.filterNot(kv => drop(kv._1)).toMap
+    }
   }
 
   /** Likelihood loss of dropping each multi-char piece: expected_count ×
     * (logp(piece) − best alternative segmentation of the piece's own
     * surface without itself). Driver-side but vocabulary-sized (each
-    * alternative is a ≤maxPieceLen Viterbi over the remaining map).
+    * alternative is a ≤maxPieceLen Viterbi over the masked map).
     */
   private def pruneLosses(
       logp: Map[String, Double],
       counts: Map[String, Double],
       maxPieceLen: Int): Seq[(String, Double)] =
     logp.toSeq.collect { case (p, lp) if Bpe.codePoints(p).length > 1 =>
-      val without = logp - p
+      val without = new Masked(logp, p)
       val alt = {
         val cps = Bpe.codePoints(p)
         val seg = viterbiSegment(cps, without, maxPieceLen, NegInf)
@@ -345,7 +356,8 @@ object Unigram {
     * prune keep-top `shrink`) until the target, final EM, exact trim.
     * Returns (piece, logp, piece_id) with dense ids in lexicographic piece
     * order (deterministic across partitionings — all aggregation is
-    * decimal-exact, all driver reductions sorted).
+    * decimal-exact, all driver reductions sorted). Golden-oracled against
+    * tools/gen_unigram_golden.py (q_ug_vocab).
     */
   def learn(
       docs: DataFrame,
@@ -387,12 +399,10 @@ object Unigram {
     while (!done) {
       var lastCounts = Map.empty[String, Double]
       for (_ <- 1 to emIters) {
-        val (next, _) = emRound(words, logp, maxPieceLen)
+        val (next, _, counts) = emRound(words, logp, maxPieceLen)
         logp = next
+        lastCounts = counts
       }
-      val (cdf, _) = expectedCounts(words, logp, maxPieceLen)
-      lastCounts = cdf.collect()
-        .map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
       val multi = logp.size - charBudget
       if (multi <= vocabSize - charBudget) done = true
       else {
@@ -406,7 +416,7 @@ object Unigram {
     }
     // final re-estimation on the trimmed vocabulary
     for (_ <- 1 to emIters) {
-      val (next, _) = emRound(words, logp, maxPieceLen)
+      val (next, _, _) = emRound(words, logp, maxPieceLen)
       logp = next
     }
     logp.toSeq.sortBy(_._1).zipWithIndex
@@ -420,6 +430,8 @@ object Unigram {
     * text → zero tokens; null/uncastable ids drop (the sampling module's
     * null-key rule). Novel code points emit themselves as single-char
     * pieces at a penalty below every vocabulary piece (UNK edges).
+    * Lower-casing is Locale.ROOT — locale-independent, matching the
+    * Spark-side `lower` the training word frequencies use.
     */
   def encode(
       docs: DataFrame,
@@ -446,7 +458,7 @@ object Unigram {
               e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 50000
         }
         it.map { case (id, text) =>
-          val toks = text.trim.toLowerCase.split("\\s+").iterator
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
             .filter(_.nonEmpty)
             .flatMap { w =>
               val hit = cache.get(w)
@@ -496,12 +508,42 @@ object Unigram {
   def decode(tokens: Seq[String]): String =
     tokens.mkString.replace(Boundary, " ").trim
 
-  /** Persist a learned vocabulary as a parquet artifact (the
-    * build-once/apply-many pattern shared with [[Bpe.saveTokenizer]]). */
-  def saveTokenizer(vocab: DataFrame, path: String): Unit =
-    vocab.select("piece", "logp", "piece_id").coalesce(1)
-      .write.mode("overwrite").parquet(path)
+  /** A persisted unigram tokenizer: the learned (piece, logp, piece_id)
+    * vocabulary plus the lattice geometry it was learned under —
+    * segmentation at a different `maxPieceLen` than training would silently
+    * change every encoding, so the artifact carries it.
+    */
+  case class UnigramTokenizer(vocab: DataFrame, maxPieceLen: Int)
 
-  def loadTokenizer(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  private val MetaFile = "_unigram_meta.json"
+
+  /** Persist a learned tokenizer — the build-once/apply-many artifact
+    * pattern of [[Bpe.saveTokenizer]] / [[Classify]]'s NB model: vocabulary
+    * as parquet, geometry as a sidecar, so any later job (or cluster)
+    * re-encodes IDENTICALLY without re-learning.
+    */
+  def saveTokenizer(t: UnigramTokenizer, path: String): Unit = {
+    val spark = t.vocab.sparkSession
+    t.vocab.select("piece", "logp", "piece_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    MetaJson.write(spark, path, MetaFile, Seq("max_piece_len" -> t.maxPieceLen.toLong))
+  }
+
+  /** Load a tokenizer written by [[saveTokenizer]]; refuses a bare
+    * directory rather than guessing geometry.
+    */
+  def loadTokenizer(spark: SparkSession, path: String): UnigramTokenizer = {
+    val f = MetaJson.readFields(spark, path, MetaFile,
+      Seq("max_piece_len"), "a tokenizer written by Unigram.saveTokenizer")
+    UnigramTokenizer(spark.read.parquet(s"$path/vocab"), f("max_piece_len"))
+  }
+
+  /** [[encodeIds]] under a (possibly loaded) tokenizer artifact. */
+  def encodeWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      t: UnigramTokenizer,
+      unkId: Long = -1L): DataFrame =
+    encodeIds(docs, idCol, textCol, t.vocab, unkId, t.maxPieceLen)
 }
