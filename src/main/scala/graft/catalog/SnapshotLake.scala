@@ -98,34 +98,93 @@ class SnapshotLake(spark: SparkSession, root: String) {
     */
   private def touchedPartitions(
       batch: DataFrame, partitionCols: Seq[String]): Seq[Seq[String]] =
-    batch.select(partitionCols.map(col): _*).distinct().collect()
+    // cast-to-string FIRST so key rendering is exactly what the Hive-layout
+    // staging write renders into directory names (one stringification rule
+    // everywhere, Spark's)
+    batch.select(partitionCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
       .map { r =>
         partitionCols.indices.map { i =>
           if (r.isNullAt(i))
             throw new IllegalArgumentException(
               s"NULL value in partition column '${partitionCols(i)}' — " +
                 "coalesce partition columns to a sentinel before committing")
-          String.valueOf(r.get(i))
+          r.getString(i)
         }
       }.toSeq
 
+  /** Stage every partition of `df` in ONE Spark job: a Hive-layout
+    * `partitionBy` write into a transient staging directory, whose leaf
+    * directories are then renamed (cheap same-FS metadata moves) into the
+    * uniquely-named immutable `data/<uuid>` dirs the manifests reference.
+    * Replaces the former one-job-per-partition driver loop — a commit
+    * touching P partitions cost P full passes over the batch; now it costs
+    * one, regardless of P. Partition columns travel as strings (the
+    * manifest-key contract) and are dropped from the data files, exactly as
+    * before. Returns key → root-relative dir for every partition that had
+    * rows; partitions with no rows produce no entry.
+    */
+  private def stagePartitioned(
+      df: DataFrame, partitionCols: Seq[String]): Map[String, String] = {
+    val staging = dataDir.resolve(s"_stage-${java.util.UUID.randomUUID()}")
+    df.withColumns(partitionCols.map(c => c -> col(c).cast("string")).toMap)
+      .write.partitionBy(partitionCols: _*).parquet(staging.toString)
+    // walk the Hive tree: one level per partition column, `col=value` names
+    def leaves(dir: Path, depth: Int): Seq[(List[String], Path)] =
+      if (depth == 0) Seq((Nil, dir))
+      else {
+        val s = Files.list(dir)
+        val subs = try s.iterator().asScala.filter(Files.isDirectory(_)).toList finally s.close()
+        subs.flatMap { sub =>
+          val name = sub.getFileName.toString
+          val eq = name.indexOf('=')
+          if (eq < 0) Nil // _temporary leftovers etc — not a partition dir
+          else {
+            // NULL partition values are rejected before staging, so Hive's
+            // default-partition name can only mean the empty string (which
+            // the writer renders the same way)
+            val raw = name.substring(eq + 1)
+            val value =
+              if (raw == "__HIVE_DEFAULT_PARTITION__") ""
+              else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(raw)
+            leaves(sub, depth - 1).map { case (vs, p) => (value :: vs, p) }
+          }
+        }
+      }
+    val dirs = leaves(staging, partitionCols.size).map { case (values, p) =>
+      val name = java.util.UUID.randomUUID().toString
+      Files.move(p, dataDir.resolve(name))
+      keyOf(values) -> s"data/$name"
+    }.toMap
+    deleteRecursively(staging)
+    dirs
+  }
+
   /** Stage one immutable uniquely-named directory per touched partition —
     * shared by every commit path, so write details (layout, options) can
-    * never diverge between batch and streaming.
+    * never diverge between batch and streaming. One Spark job total
+    * ([[stagePartitioned]]); every touched partition must surface (a
+    * non-deterministic batch whose rows shifted between the touched-set
+    * collect and the staging write fails loudly here instead of committing
+    * a partition-less manifest entry).
     */
   private def stageDirs(
       batch: DataFrame,
       partitionCols: Seq[String],
-      touched: Seq[Seq[String]]): Map[String, String] =
-    touched.map { values =>
-      val name = java.util.UUID.randomUUID().toString
-      val pred = partitionCols.zip(values)
-        .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-      batch.filter(pred).drop(partitionCols: _*)
-        .write.parquet(dataDir.resolve(name).toString)
-      // manifests record root-relative dirs (lake stays relocatable)
-      keyOf(values) -> s"data/$name"
-    }.toMap
+      touched: Seq[Seq[String]]): Map[String, String] = {
+    val dirs = stagePartitioned(batch, partitionCols)
+    val expected = touched.map(keyOf).toSet
+    if (dirs.keySet != expected) {
+      dirs.values.foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
+      throw new IllegalStateException(
+        s"staged partitions [${dirs.keySet.toSeq.sorted.mkString(",")}] != touched " +
+          s"[${expected.toSeq.sorted.mkString(",")}] — the batch re-evaluated to a " +
+          "different row set between planning and staging; cache or checkpoint " +
+          "non-deterministic inputs before committing")
+    }
+    dirs
+  }
 
   /** Refresh staged directories' mtime so a long retry loop cannot age them
     * past [[vacuum]]'s `minAgeMs` retention guard while the commit is still
@@ -469,22 +528,21 @@ class SnapshotLake(spark: SparkSession, root: String) {
         .select(partitionCols.map(col): _*).distinct().collect()
         .map(r => keyOf(partitionCols.indices.map(i => String.valueOf(r.get(i)))))
         .toSet
+      // ONE rewrite job over exactly the candidate partitions (the former
+      // one-job-per-candidate driver loop made a selective delete's latency
+      // linear in candidate count): read them together, drop matching rows,
+      // stage Hive-layout. A candidate absent from the staged map lost all
+      // its rows — it drops out of the manifest entirely.
+      val staged: Map[String, String] =
+        if (candidates.isEmpty) Map.empty
+        else stagePartitioned(
+          readEntries(
+            baseManifest.filter { case (k, _) => candidates.contains(k) }.toSeq.sorted,
+            partitionCols).filter(!hit),
+          partitionCols)
       val rewritten: Map[String, Option[String]] = baseManifest.map { case (key, dirIn) =>
         if (!candidates.contains(key)) key -> Some(dirIn) // untouched: by reference
-        else {
-          val values = key.split("/").map(java.net.URLDecoder.decode(_, "UTF-8"))
-          val withParts = partitionCols.zip(values)
-            .foldLeft(spark.read.parquet(resolveDir(dirIn))) {
-              case (df, (c, value)) => df.withColumn(c, lit(value))
-            }
-          val kept = withParts.filter(!hit).drop(partitionCols: _*)
-          if (kept.isEmpty) key -> None
-          else {
-            val name = java.util.UUID.randomUUID().toString
-            kept.write.parquet(dataDir.resolve(name).toString)
-            key -> Some(s"data/$name")
-          }
-        }
+        else key -> staged.get(key)
       }
       val next = base + 1
       val manifest = rewritten.collect { case (k, Some(d)) => k -> d }
@@ -536,30 +594,52 @@ class SnapshotLake(spark: SparkSession, root: String) {
     val base = latestVersion.getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     val baseManifest = readManifest(base)
-    val rewrites: Map[String, String] = baseManifest.flatMap { case (key, dirIn) =>
-      val dir = Paths.get(resolveDir(dirIn))
-      val files = {
-        val s = Files.list(dir)
-        try s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        finally s.close()
-      }
-      val total = files.map(Files.size).sum
-      val numOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-      if (zorderCols.isEmpty && files.size <= numOut) None
-      else {
-        val name = java.util.UUID.randomUUID().toString
-        // per-dir read: no mergeSchema needed — a rewrite preserves exactly
-        // its own partition's (possibly pre-evolution) schema
-        val src = spark.read.parquet(dir.toString)
-        if (zorderCols.nonEmpty)
-          graft.ops.ZOrder.writeZOrdered(
-            src, zorderCols, dataDir.resolve(name).toString, numOut)
-        else
-          src.coalesce(numOut).write.parquet(dataDir.resolve(name).toString)
-        Some(key -> s"data/$name")
-      }
+    // plan from file SIZES alone (driver-side metadata listing, no data scan)
+    val plan: Seq[(String, Path, Int)] = baseManifest.toSeq.sorted.flatMap {
+      case (key, dirIn) =>
+        val dir = Paths.get(resolveDir(dirIn))
+        val files = {
+          val s = Files.list(dir)
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally s.close()
+        }
+        val total = files.map(Files.size).sum
+        val numOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+        if (zorderCols.isEmpty && files.size <= numOut) None
+        else Some((key, dir, numOut))
     }
+    // per-dir rewrites keep each partition's exact packed file count, its
+    // own (possibly pre-evolution) schema, and the z-order clustering — but
+    // run through a BOUNDED pool of concurrent Spark jobs (the Delta
+    // OPTIMIZE shape) instead of a driver-sequential loop, so a small-file
+    // backlog across many partitions compacts at pool parallelism, not one
+    // tiny job at a time
+    val rewrites: Map[String, String] =
+      if (plan.isEmpty) Map.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, plan.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val fs = plan.map { case (key, dir, numOut) =>
+            scala.concurrent.Future {
+              val name = java.util.UUID.randomUUID().toString
+              val src = spark.read.parquet(dir.toString)
+              if (zorderCols.nonEmpty)
+                graft.ops.ZOrder.writeZOrdered(
+                  src, zorderCols, dataDir.resolve(name).toString, numOut)
+              else
+                src.coalesce(numOut).write.parquet(dataDir.resolve(name).toString)
+              key -> s"data/$name"
+            }
+          }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(fs),
+            scala.concurrent.duration.Duration.Inf).toMap
+        } finally pool.shutdown()
+      }
     if (rewrites.isEmpty) return base
     var committed = -1L
     while (committed < 0) {
@@ -598,9 +678,25 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * diff then correctly reports nothing).
     */
   def changedPartitions(fromVersion: Long, toVersion: Long): Set[String] = {
-    val a = readManifest(fromVersion)
-    val b = readManifest(toVersion)
+    val a = manifestForChanges(fromVersion)
+    val b = manifestForChanges(toVersion)
     (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
+  }
+
+  /** Manifest read for the change feed, failing with a NAMED error when the
+    * requested version has been reclaimed by [[vacuum]] (which drops old
+    * manifests past `keepLast`) — a raw missing-file error here would read
+    * as corruption, and silently returning empty would make the feed claim
+    * "no changes" against a baseline that no longer exists.
+    */
+  private def manifestForChanges(v: Long): Map[String, String] = {
+    if (!Files.exists(manifestPath(v)))
+      throw new IllegalStateException(
+        s"version $v is not available at $root — vacuumed (or never committed); " +
+          s"live versions: [${versions.mkString(",")}]. A change feed cannot be " +
+          "computed from a reclaimed snapshot; re-baseline from a full read of a " +
+          "live version")
+    readManifest(v)
   }
 
   /** Change data feed between two versions: row-level deltas computed ONLY

@@ -523,4 +523,98 @@ class SnapshotLakeSpec extends SparkSpec {
       "optimize must never resurrect the pre-commit F bytes")
     assert(got.contains(("O", "old")))
   }
+
+  /** Run `body` while counting Spark jobs: (result, jobs started, max jobs
+    * in flight at once). The listener bus is async, so counters are read
+    * only after they have been quiescent for half a second.
+    */
+  private def withJobStats[T](body: => T): (T, Int, Int) = {
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val running = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxConc = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        started.incrementAndGet()
+        val r = running.incrementAndGet()
+        maxConc.getAndUpdate(m => math.max(m, r))
+      }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        running.decrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = body
+      var last = -1
+      var stable = 0
+      while (stable < 5) {
+        Thread.sleep(100)
+        val s = started.get()
+        if (s == last) stable += 1 else { stable = 0; last = s }
+      }
+      (out, started.get(), maxConc.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("commit and deleteWhere stage 50 partitions in one job each — job count is bounded") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    val df = (0 until 2000).map(i => (i.toLong, s"p${i % 50}", s"payload$i"))
+      .toDF("id", "part", "payload")
+    val (_, commitJobs, _) = withJobStats(lake.commit(df, Seq("part")))
+    assert(commitJobs <= 12,
+      s"commit of 50 partitions ran $commitJobs jobs — staging must be one " +
+        "partitionBy job, not one job per partition")
+    // the delete touches EVERY partition (ids 0..999 cover all 50 residues)
+    // and keeps rows in every partition; before batching this was 50+ jobs
+    val (_, delJobs, _) = withJobStats(
+      lake.deleteWhere(col("id") < 1000, Seq("part")))
+    assert(delJobs <= 12,
+      s"deleteWhere across 50 candidate partitions ran $delJobs jobs")
+    val got = lake.read(Seq("part"))
+    assert(got.count() === 1000L)
+    assert(got.filter(col("id") < 1000).count() === 0L)
+    assert(got.select("part").distinct().count() === 50L)
+  }
+
+  test("optimize compacts a 40-partition backlog with overlapping bounded-pool jobs") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    val df = (0 until 4000).map(i => (i.toLong, s"p${i % 40}", s"x$i"))
+      .toDF("id", "part", "payload")
+    lake.commit(df.repartition(8), Seq("part")) // ~8 small files per partition
+    val before = lake.read(Seq("part")).select("id", "part", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val (v, _, maxConc) = withJobStats(lake.optimize(targetBytes = 1L << 30))
+    assert(v === 2L)
+    assert(maxConc >= 2,
+      s"40 per-partition rewrites never overlapped (max in flight $maxConc) — " +
+        "the bounded pool must run them concurrently, not driver-sequentially")
+    val after = lake.read(Seq("part")).select("id", "part", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after === before, "optimize must not change a single row")
+  }
+
+  test("changes()/changedPartitions against a vacuumed baseline fail loudly, not empty") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    def rows(p: String, n: Int) =
+      (0 until n).map(i => (i.toLong, p)).toDF("id", "part")
+    lake.commit(rows("a", 5), Seq("part"))
+    lake.commit(rows("b", 5), Seq("part"))
+    lake.commit(rows("c", 5), Seq("part"))
+    lake.vacuum(keepLast = 1, minAgeMs = 0L)
+    val e = intercept[IllegalStateException] {
+      lake.changes(1L, 3L, Seq("id", "part"), Seq("part"))
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    assert(e.getMessage.contains("version 1"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      lake.changedPartitions(1L, 3L)
+    }
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+    // the surviving span still feeds the CDF normally
+    assert(lake.changes(3L, 3L, Seq("id", "part"), Seq("part")).count() === 0L)
+  }
 }
