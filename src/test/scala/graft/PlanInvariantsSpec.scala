@@ -22,7 +22,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_bpe_encode",    // broadcast-ranks zero-shuffle tokenize
     "q_dd_spans",      // window explode + keyed groupBy/join + island merge
     "q_j1_incr_diff",  // interval anti-join incremental diff
-    "q_a1_traffic15")  // flagship 15-min aggregation
+    "q_a1_traffic15",  // flagship 15-min aggregation
+    "q_tx_quality")    // per-row quality projection (r6 bench-drift watch)
 
   queries.foreach { name =>
     test(s"$name: no cartesian, no nested-loop join, no global sort mid-chain") {
@@ -35,5 +36,37 @@ class PlanInvariantsSpec extends SparkSpec {
       assert(!plan.contains("rangepartitioning"),
         s"global range exchange mid-chain in $name")
     }
+  }
+
+  // The two round-6 bench-drift suspects get STRONGER pins than the generic
+  // three: both are single-pass scans whose only legitimate plan is
+  // shuffle-free, so any future Exchange (or a TakeOrdered degrading to a
+  // global sort) is a named plan flip, not noise.
+
+  test("q_tx_quality: pure per-row projection — zero exchanges, no aggregate, no join") {
+    val df = SparkEntry.queries("q_tx_quality")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q_tx_quality must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"q_tx_quality must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q_tx_quality must not aggregate:\n$plan")
+  }
+
+  test("q_ann_brute: one-row broadcast cross + TakeOrderedAndProject — fact side never shuffles") {
+    val df = SparkEntry.queries("q_ann_brute")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must stay a TakeOrdered, not a sort+limit:\n$plan")
+    // the SANCTIONED quadratic: the single query vector broadcasts and
+    // nested-loops against the fact scan — the fact side itself must never
+    // move (no hash/range exchange, no shuffled join, no driver cartesian)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the one-row query side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"driver cartesian in q_ann_brute:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fact side must not shuffle into a join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"no fact-side exchange allowed:\n$plan")
   }
 }
