@@ -39,6 +39,14 @@ object QueriesCorpus {
     "q_dd_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", windowTokens = 8)),
 
+    // sub-window exact-substring spans: threshold-grain detection with a
+    // content-verification pass — finds the 5..7-token cross-doc runs the
+    // fixed 8-token indexing window above is structurally blind to (and
+    // whole documents shorter than that window, which its explode skips)
+    "q_dd_spans_sub" -> ((s, dir) =>
+      Dedup.repeatedSpansExact(t(s, dir, "documents"), "doc_id", "text",
+        minMatchTokens = 5)),
+
     // duplication coverage: per-doc duplicated-token ratio from the spans —
     // the "mostly boilerplate" curation gate signal
     "q_dd_span_cov" -> ((s, dir) => {
@@ -803,23 +811,30 @@ object QueriesCorpus {
     * windows, minDocs 2) as `merged(doc_id, span_start, span_end)`, with
     * `toks(doc_id, t)` exposed for reuse by the apply-side oracle.
     */
-  private val spansCteSql =
-    """toks AS (
+  // parameterized by window/threshold grain `w`; `byContent` groups the
+  // cross-doc test on the window text itself (repeatedSpansExact's verified
+  // semantics) instead of its md5 — identical absent collisions, and the
+  // oracle checking BOTH forms pins that equivalence from the SQL side
+  private def spansCteSql(w: Int, byContent: Boolean = false): String = {
+    val winExpr =
+      s"array_to_string(t[CAST(u.i+1 AS INT):CAST(u.i+$w AS INT)], chr(1))"
+    val key = if (byContent) winExpr else s"md5($winExpr)"
+    s"""toks AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS t
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
       |  FROM documents),
       |wins AS (
       |  SELECT doc_id, CAST(u.i AS INTEGER) AS start_pos,
-      |    md5(array_to_string(t[CAST(u.i+1 AS INT):CAST(u.i+8 AS INT)], chr(1))) AS win_hash
-      |  FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
-      |  WHERE len(t) >= 8),
+      |    $key AS win_key
+      |  FROM toks, unnest(range(0, len(t) - ${w - 1})) AS u(i)
+      |  WHERE len(t) >= $w),
       |dup AS (
-      |  SELECT win_hash FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
-      |hits AS (SELECT doc_id, start_pos FROM wins JOIN dup USING (win_hash)),
+      |  SELECT win_key FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, start_pos FROM wins JOIN dup USING (win_key)),
       |marked AS (
       |  SELECT doc_id, start_pos,
       |    CASE WHEN lag(start_pos) OVER w IS NULL
-      |           OR start_pos > lag(start_pos) OVER w + 8 THEN 1 ELSE 0 END AS new_span
+      |           OR start_pos > lag(start_pos) OVER w + $w THEN 1 ELSE 0 END AS new_span
       |  FROM hits
       |  WINDOW w AS (PARTITION BY doc_id ORDER BY start_pos)),
       |spans AS (
@@ -828,8 +843,9 @@ object QueriesCorpus {
       |  FROM marked),
       |merged AS (
       |  SELECT doc_id, min(start_pos) AS span_start,
-      |    CAST(max(start_pos) + 8 AS INTEGER) AS span_end
+      |    CAST(max(start_pos) + $w AS INTEGER) AS span_end
       |  FROM spans GROUP BY doc_id, span_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dd_exact" ->
@@ -837,10 +853,15 @@ object QueriesCorpus {
         |  count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dd_spans" ->
-      s"""WITH $spansCteSql
+      s"""WITH ${spansCteSql(8)}
+         |SELECT doc_id, span_start, span_end FROM merged""".stripMargin,
+    // threshold grain 5, cross-doc test on the window CONTENT itself
+    // (repeatedSpansExact's verified semantics)
+    "q_dd_spans_sub" ->
+      s"""WITH ${spansCteSql(5, byContent = true)}
          |SELECT doc_id, span_start, span_end FROM merged""".stripMargin,
     "q_dd_span_cov" ->
-      s"""WITH $spansCteSql,
+      s"""WITH ${spansCteSql(8)},
          |per AS (
          |  SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS dup FROM merged
          |  GROUP BY doc_id),
@@ -885,7 +906,7 @@ object QueriesCorpus {
         |  CAST(max(start_pos) + 8 AS INTEGER) AS span_end
         |FROM spans GROUP BY doc_id, span_id""".stripMargin,
     "q_dd_spans_clean" ->
-      s"""WITH $spansCteSql,
+      s"""WITH ${spansCteSql(8)},
          |tok_rows AS (
          |  SELECT doc_id, CAST(u.i AS INTEGER) AS idx, t[CAST(u.i+1 AS INT)] AS tok
          |  FROM toks, unnest(range(0, len(t))) AS u(i)),

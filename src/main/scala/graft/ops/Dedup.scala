@@ -56,23 +56,27 @@ object Dedup {
       idCol, windowTokens)
   }
 
-  /** Window hashes occurring in at least `minDocs` distinct documents. At
-    * the default minDocs = 2, "two distinct docs" is just min(id) ≠
-    * max(id) — two map-side-combinable aggregates instead of
-    * count_distinct's two-phase distinct expansion over every (hash, doc)
-    * pair, on the corpus-sized window table.
+  /** Keys (window hashes or window contents) occurring in at least
+    * `minDocs` distinct documents. At the default minDocs = 2, "two
+    * distinct docs" is just min(id) ≠ max(id) — two map-side-combinable
+    * aggregates instead of count_distinct's two-phase distinct expansion
+    * over every (key, doc) pair, on the corpus-sized window table.
     */
-  private def crossDocHashes(wins: DataFrame, idCol: String, minDocs: Int): DataFrame =
+  private def crossDocKeys(
+      rows: DataFrame, keyCol: String, idCol: String, minDocs: Int): DataFrame =
     if (minDocs == 2)
-      wins.groupBy("win_hash")
+      rows.groupBy(keyCol)
         .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
         .filter(col("_lo") =!= col("_hi"))
-        .select("win_hash")
+        .select(keyCol)
     else
-      wins.groupBy("win_hash")
+      rows.groupBy(keyCol)
         .agg(count_distinct(col(idCol)).as("df"))
         .filter(col("df") >= minDocs)
-        .select("win_hash")
+        .select(keyCol)
+
+  private def crossDocHashes(wins: DataFrame, idCol: String, minDocs: Int): DataFrame =
+    crossDocKeys(wins, "win_hash", idCol, minDocs)
 
   /** (id, start_pos, win_hash) — one row per `windowTokens`-token window of
     * every document; the shared explode of the repeated-span family. The
@@ -147,6 +151,69 @@ object Dedup {
       else histKeys.join(batchKeys, Seq("win_hash"), "left_semi")
     val dup = histTouched.union(crossDocHashes(wins, idCol, minDocs)).distinct()
     mergeIslands(wins.join(dup, "win_hash"), idCol, windowTokens)
+  }
+
+  /** Like [[windowRows]] but carrying the window's joined token CONTENT
+    * alongside its hash — the verification-side explode of
+    * [[repeatedSpansExact]]. Same unit-separator joint, so
+    * `md5(win_text)` here IS [[windowRows]]' `win_hash` derivation.
+    */
+  private def windowTextRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int): DataFrame =
+    df.select(col(idCol), filter(tokens(col(textCol)), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= windowTokens)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - windowTokens),
+          i => concat_ws("\u0001", slice(col("toks"), i + 1, lit(windowTokens)))))
+          .as(Seq("start_pos", "win_text")))
+      .withColumn("win_hash", md5(col("win_text")))
+
+  /** Exact-substring spans at THRESHOLD grain — the suffix-array detection
+    * semantics of Lee et al.'s ExactSubstr, closing [[repeatedSpans]]'
+    * sub-window blind spot: that operator conflates its indexing window
+    * with the match threshold, so duplicates SHORTER than `windowTokens`
+    * (including whole documents below the window size, which its explode
+    * skips outright) are invisible. Here `minMatchTokens` IS the match
+    * threshold: every cross-document duplicated substring of at least
+    * `minMatchTokens` tokens is found with exact maximal extents — a
+    * duplicated run of length L ≥ t contains the stride-1 t-token window at
+    * each of its L−t+1 start positions, and the island merge reconstructs
+    * [s, s+L) exactly, which is the guarantee a suffix array gives by
+    * construction (proven against the brute-force reference in
+    * SpansPropertySpec, and against [[repeatedSpans]] at equal grain).
+    *
+    * Detection is also strictly exact, not 128-bit-probable: candidate
+    * hashes from the first pass are RE-VERIFIED by grouping on the actual
+    * window token content, so an md5 collision can never flag a span that
+    * is not truly duplicated.
+    *
+    * Scale shape: pass 1 is [[windowRows]]' linear explode + the keyed
+    * cross-doc aggregate, exactly as [[repeatedSpans]] (one row per token —
+    * the honest linear cost). Pass 2 re-derives window CONTENT and joins it
+    * to the surviving hashes BEFORE any shuffle of the text payload, so the
+    * string-carrying exchange is bounded by the corpus' duplicated volume,
+    * not its size. No driver state, no global sort.
+    */
+  def repeatedSpansExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minMatchTokens: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(minMatchTokens >= 1, s"minMatchTokens must be >= 1, got $minMatchTokens")
+    require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
+    val wins = windowRows(df, idCol, textCol, minMatchTokens)
+    val candidates = crossDocHashes(wins, idCol, minDocs)
+    // verification pass: window text only for pass-1 survivors; the join
+    // prunes the exploded text rows map-side before the content aggregate
+    val content = windowTextRows(df, idCol, textCol, minMatchTokens)
+      .join(candidates, "win_hash")
+    val verified = crossDocKeys(content, "win_text", idCol, minDocs)
+    mergeIslands(content.join(verified, "win_text"), idCol, minMatchTokens)
   }
 
   /** Per-document duplication coverage from a [[repeatedSpans]] result:

@@ -102,4 +102,43 @@ class SpansPropertySpec extends SparkSpec {
       assert(got === want, s"trial $trial docs=$docs")
     }
   }
+
+  test("sub-window: a 30-token duplicate invisible at windowTokens=50 is found exactly") {
+    // a shared 30-token run inside two longer documents, plus a 30-token
+    // document that IS the run (shorter than the indexing window — the
+    // fixed-window explode skips it outright)
+    val run = (0 until 30).map(i => s"r$i")
+    val docA = ((0 until 20).map(i => s"a$i") ++ run ++ (0 until 20).map(i => s"za$i")).mkString(" ")
+    val docB = ((0 until 15).map(i => s"b$i") ++ run ++ (0 until 25).map(i => s"zb$i")).mkString(" ")
+    val docC = run.mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    // the fixed 50-token indexing window is structurally blind to all of it
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 50).count() === 0L)
+    // threshold-grain detection finds every occurrence with exact extents
+    val got = Dedup.repeatedSpansExact(docs, "doc_id", "text", minMatchTokens = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 20, 50), (2L, 15, 45), (3L, 0, 30)))
+    // ...and nothing below the threshold: at minMatch=31 the 30-token run
+    // must vanish again (no 31-token window fits inside it)
+    assert(Dedup.repeatedSpansExact(docs, "doc_id", "text", minMatchTokens = 31).count() === 0L)
+  }
+
+  test("repeatedSpansExact == repeatedSpans == reference at equal grain (15 random corpora)") {
+    val rnd = new scala.util.Random(77L)
+    val alphabet = Seq("a", "b", "c", "d", "e")
+    (1 to 15).foreach { trial =>
+      val w = 2 + rnd.nextInt(3)
+      val minDocs = 2 + rnd.nextInt(2)
+      val docs = (0 until 6).map { id =>
+        val n = rnd.nextInt(16)
+        (id.toLong, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val exactSpans = Dedup.repeatedSpansExact(df, "doc_id", "text", w, minDocs)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val want = reference(docs, w, minDocs)
+      assert(exactSpans === want,
+        s"trial $trial (w=$w minDocs=$minDocs) docs=$docs")
+    }
+  }
 }
