@@ -25,7 +25,8 @@ object Bench {
       "q_ann_brute", "q_tx_quality", "q_tx_fingerprint", "q_sc_recordid",
       "q_k2_upsert", "q_gs_ready", "q_rj_overlap", "q_bf_join",
       "q_hh_tokens", "q_rb_winsor", "q_k2_snapshot", "q_bpe_encode", "q_dd_spans",
-      "q_sm_shuffle", "q_nb_predict", "q_ds_weights", "q_sd_keep")
+      "q_sm_shuffle", "q_nb_predict", "q_ds_weights", "q_sd_keep",
+      "q_dd_spans_sub", "q_ug_encode")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),
