@@ -77,6 +77,10 @@ object ScaleProbe {
       .learnBatched(docsAt(base), "text", numMerges = 64, batchSize = 16)
       .cache()
     bpeMerges.count()
+    val ugVocab = graft.ops.Unigram
+      .learn(docsAt(base), "text", vocabSize = 40, seedSize = 40)
+      .cache()
+    ugVocab.count()
     val ops: Seq[(String, String => Long)] = Seq(
       "exact" -> (d => graft.ops.Dedup.exact(docsAt(d), "doc_id", "text").count()),
       "minhash_sig" -> (d =>
@@ -211,7 +215,22 @@ object ScaleProbe {
       // records the real wall-time either way
       "bpe_learn32k" -> (d =>
         graft.ops.Bpe.learnBatched(docsAt(d), "text",
-          numMerges = 32768, batchSize = 64, maxBatchSize = 4096).count()))
+          numMerges = 32768, batchSize = 64, maxBatchSize = 4096).count()),
+      // threshold-grain spans + content verification: pass 1 is the same
+      // linear window explode as dd_spans; pass 2's text shuffle is bounded
+      // by the duplicated volume (the salted 10x corpus duplicates every
+      // doc, so flagged rows blow up by construction — runtime should
+      // track the window count plus that duplicated remnant)
+      "dd_spans_sub" -> (d =>
+        graft.ops.Dedup.repeatedSpansExact(docsAt(d), "doc_id", "text",
+          minMatchTokens = 5).count()),
+      // unigram Viterbi encode under the base-learned vocabulary
+      // (build-once/apply-many, the bpe_encode twin): zero-shuffle
+      // mapPartitions with a per-partition word cache — expect ~linear
+      "ug_encode" -> { d =>
+        val docs = docsAt(d)
+        graft.ops.Unigram.encode(docs, "doc_id", "text", ugVocab).count()
+      })
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
