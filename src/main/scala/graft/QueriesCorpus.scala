@@ -522,6 +522,43 @@ object QueriesCorpus {
         .select("doc_id", "n_tokens")
     }),
 
+    // logistic-regression quality classifier (the GPT-3/LLaMA
+    // "reference-like pages" filter, Classify's discriminative sibling):
+    // full-batch GD over hashed-bigram counts on the FIXTURE corpus,
+    // hash-exact against the independent Python implementation in
+    // tools/gen_lr_golden.py (weights in micro-units so the oracle's
+    // k/1e6 is the same IEEE double as roundHalfUp(w, 6))
+    "q_lr_model" -> ((s, dir) => {
+      val docs = bpeFixtureCorpus(s, dir)
+        .withColumn("label", (col("doc_id") % 2).cast("int"))
+      graft.ops.Logistic.lrFit(docs, "label", "text",
+          n = 2, buckets = 64, iters = 40, step = 0.5, l2 = 1e-3)
+        .weights.select(col("bucket"),
+          Functions.roundHalfUp(col("weight"), 6).as("weight"))
+    }),
+
+    // hard decisions under the model above — margin-sign, never the
+    // rounded score, so the class can't flip between engines
+    "q_lr_predict" -> ((s, dir) => {
+      val docs = bpeFixtureCorpus(s, dir)
+      val model = graft.ops.Logistic.lrFit(
+        docs.withColumn("label", (col("doc_id") % 2).cast("int")),
+        "label", "text", n = 2, buckets = 64, iters = 40, step = 0.5, l2 = 1e-3)
+      graft.ops.Logistic.lrPredict(docs, "doc_id", "text", model)
+    }),
+
+    // the corpus-scale path: train on the documents table's language
+    // label and score every doc (one GD job per iteration, map-side-
+    // combinable bucket gradient — rows-only check like q_bpe_encode;
+    // the learning loop itself is golden-gated by q_lr_model)
+    "q_lr_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("label", when(col("lang") === "en", 1).otherwise(0))
+      val model = graft.ops.Logistic.lrFit(docs, "label", "text",
+        n = 2, buckets = 64, iters = 10)
+      graft.ops.Logistic.lrPredict(docs, "doc_id", "text", model)
+    }),
+
     // one-row corpus health report: the snapshot summary a curation
     // pipeline publishes — doc/dup/quality/token counts, all exact
     // integers, every stage recomputed independently in the oracle
@@ -1615,6 +1652,102 @@ object QueriesCorpus {
         |  (CAST(22 AS BIGINT), '▁ nation_2 2 ▁ a s i a', CAST(8 AS BIGINT)),
         |  (CAST(23 AS BIGINT), '▁ nation_2 3 ▁ e u r o p e', CAST(10 AS BIGINT)),
         |  (CAST(24 AS BIGINT), '▁ nation_2 4 ▁ m i d d l e ▁ e a s t', CAST(15 AS BIGINT))) AS t(doc_id, token_str, n_tokens)""".stripMargin,
+    // golden LR model (fixture corpus; micro-unit weights) — tools/gen_lr_golden.py
+    "q_lr_model" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(-1 AS BIGINT), CAST(-63829 AS DOUBLE)/1000000.0),
+        |  (CAST(0 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(1 AS BIGINT), CAST(-350216 AS DOUBLE)/1000000.0),
+        |  (CAST(2 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(3 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(4 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(5 AS BIGINT), CAST(370098 AS DOUBLE)/1000000.0),
+        |  (CAST(6 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(7 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(8 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(9 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(10 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(11 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(12 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(13 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(14 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(15 AS BIGINT), CAST(-350216 AS DOUBLE)/1000000.0),
+        |  (CAST(16 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(17 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(18 AS BIGINT), CAST(-224752 AS DOUBLE)/1000000.0),
+        |  (CAST(19 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(20 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(21 AS BIGINT), CAST(952336 AS DOUBLE)/1000000.0),
+        |  (CAST(22 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(23 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(24 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(25 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(26 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(27 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(28 AS BIGINT), CAST(-327039 AS DOUBLE)/1000000.0),
+        |  (CAST(29 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(30 AS BIGINT), CAST(370098 AS DOUBLE)/1000000.0),
+        |  (CAST(31 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(32 AS BIGINT), CAST(-640508 AS DOUBLE)/1000000.0),
+        |  (CAST(33 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(34 AS BIGINT), CAST(-619735 AS DOUBLE)/1000000.0),
+        |  (CAST(35 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(36 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(37 AS BIGINT), CAST(-327039 AS DOUBLE)/1000000.0),
+        |  (CAST(38 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(39 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(40 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(41 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(42 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(43 AS BIGINT), CAST(370098 AS DOUBLE)/1000000.0),
+        |  (CAST(44 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(45 AS BIGINT), CAST(370098 AS DOUBLE)/1000000.0),
+        |  (CAST(46 AS BIGINT), CAST(-640508 AS DOUBLE)/1000000.0),
+        |  (CAST(47 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(48 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(49 AS BIGINT), CAST(-350216 AS DOUBLE)/1000000.0),
+        |  (CAST(50 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(51 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(52 AS BIGINT), CAST(370098 AS DOUBLE)/1000000.0),
+        |  (CAST(53 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(54 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(55 AS BIGINT), CAST(-350216 AS DOUBLE)/1000000.0),
+        |  (CAST(56 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(57 AS BIGINT), CAST(-350216 AS DOUBLE)/1000000.0),
+        |  (CAST(58 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(59 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(60 AS BIGINT), CAST(370098 AS DOUBLE)/1000000.0),
+        |  (CAST(61 AS BIGINT), CAST(393986 AS DOUBLE)/1000000.0),
+        |  (CAST(62 AS BIGINT), CAST(0 AS DOUBLE)/1000000.0),
+        |  (CAST(63 AS BIGINT), CAST(676264 AS DOUBLE)/1000000.0)) AS t(bucket, weight)""".stripMargin,
+    // golden LR margin-sign decisions — tools/gen_lr_golden.py
+    "q_lr_predict" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(10 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(11 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(12 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(13 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(14 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(15 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(16 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(17 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(18 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(19 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(20 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(21 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(22 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (CAST(23 AS BIGINT), CAST(1 AS BIGINT)),
+        |  (CAST(24 AS BIGINT), CAST(0 AS BIGINT))) AS t(doc_id, pred)""".stripMargin,
     "q_pk_ids" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w

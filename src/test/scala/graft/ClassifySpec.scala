@@ -189,4 +189,92 @@ class ClassifySpec extends SparkSpec {
     assert(kept.contains(0L) && kept.contains(10L))
     assert(kept.size <= 4, s"near-identical bundles must collapse, kept $kept")
   }
+
+  // ---- logistic-regression quality classifier (graft.ops.Logistic) ----
+  // the learning loop itself is golden-gated (q_lr_model/q_lr_predict vs
+  // tools/gen_lr_golden.py); these cover the operator-level properties
+
+  private def lrCorpus = {
+    import spark.implicits._
+    // class-1 docs speak of databases, class-0 of weather — distinctive
+    // bigrams on both sides, plus shared filler
+    Seq(
+      (0L, 0, "sunny sky with light clouds today"),
+      (1L, 0, "heavy rain and strong wind today"),
+      (2L, 0, "light clouds then heavy rain"),
+      (3L, 1, "query plan joins the sorted table"),
+      (4L, 1, "sorted table scan feeds the query plan"),
+      (5L, 1, "the query plan prunes every partition")
+    ).toDF("doc_id", "label", "text")
+  }
+
+  test("lrFit separates a separable corpus; margins decide classes exactly") {
+    val model = graft.ops.Logistic.lrFit(lrCorpus, "label", "text",
+      n = 2, buckets = 128, iters = 60)
+    val preds = graft.ops.Logistic.lrPredict(lrCorpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lrCorpus.select("doc_id", "label").collect().foreach { r =>
+      assert(preds(r.getLong(0)) === r.getInt(1).toLong, s"doc ${r.getLong(0)}")
+    }
+    // scores live in (0,1) and agree with the margin sign
+    val scores = graft.ops.Logistic.lrScores(lrCorpus, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    scores.foreach { case (id, m, s) =>
+      assert(s > 0.0 && s < 1.0)
+      assert((m >= 0) === (preds(id) == 1L), s"doc $id")
+    }
+  }
+
+  test("lrFit is invariant under repartitioning (decimal-exact gradients)") {
+    val a = graft.ops.Logistic.lrFit(lrCorpus, "label", "text",
+        n = 2, buckets = 64, iters = 25)
+      .weights.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = graft.ops.Logistic.lrFit(lrCorpus.repartition(7), "label", "text",
+        n = 2, buckets = 64, iters = 25)
+      .weights.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b) // bit-identical, every weight and the intercept
+  }
+
+  test("lr model artifact: save/load scores bit-identically; bare dir refused") {
+    val dir = java.nio.file.Files.createTempDirectory("lr-art").toString
+    try {
+      val model = graft.ops.Logistic.lrFit(lrCorpus, "label", "text",
+        n = 2, buckets = 64, iters = 25)
+      graft.ops.Logistic.saveLrModel(model, s"$dir/m")
+      val loaded = graft.ops.Logistic.loadLrModel(spark, s"$dir/m")
+      assert(loaded.n === 2 && loaded.buckets === 64)
+      val direct = graft.ops.Logistic.lrScores(lrCorpus, "doc_id", "text", model)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      val reloaded = graft.ops.Logistic.lrScores(lrCorpus, "doc_id", "text", loaded)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(direct === reloaded)
+      val bare = s"$dir/bare"
+      new java.io.File(bare).mkdirs()
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Logistic.loadLrModel(spark, bare)
+      }
+      assert(e.getMessage.contains("saveLrModel"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("lrFit rejects null/non-binary labels; short docs ride the intercept") {
+    import spark.implicits._
+    val bad = Seq((0L, 2, "two label"), (1L, 0, "fine doc")).toDF("doc_id", "label", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Logistic.lrFit(bad, "label", "text", iters = 1)
+    }
+    assert(e.getMessage.contains("0/1"))
+    // a one-token doc has no bigram: it still trains (intercept gradient)
+    // and scores (margin = intercept alone)
+    val short = lrCorpus.unionByName(Seq((9L, 1, "word")).toDF("doc_id", "label", "text"))
+    val model = graft.ops.Logistic.lrFit(short, "label", "text",
+      n = 2, buckets = 64, iters = 5)
+    val nine = graft.ops.Logistic.lrScores(short, "doc_id", "text", model)
+      .filter(col("doc_id") === 9L).collect()
+    assert(nine.length === 1)
+    val b0 = model.weights.filter(col("bucket") === -1L).head().getDouble(1)
+    assert(math.abs(nine(0).getDouble(1) - b0) < 1e-12, "margin must be the intercept")
+  }
 }
