@@ -522,6 +522,43 @@ object QueriesCorpus {
         .select("doc_id", "n_tokens")
     }),
 
+    // WordPiece learning over the FIXTURE corpus (BERT's tokenizer — the
+    // third subword family next to BPE and Unigram): 16 likelihood-ratio
+    // merges, hash-exact against the independent Python implementation in
+    // tools/gen_wordpiece_golden.py. DuckDB can't express the iterative
+    // argmax, so the oracle is the checked-in golden itself.
+    "q_wp_merges" -> ((s, dir) =>
+      graft.ops.WordPiece.learn(bpeFixtureCorpus(s, dir), "text", numMerges = 16)),
+
+    // the dense token-id artifact (sorted base + [UNK], merge products at
+    // |base|+rank) — golden-checked like q_bpe_vocab
+    "q_wp_vocab" -> ((s, dir) => {
+      val docs = bpeFixtureCorpus(s, dir)
+      graft.ops.WordPiece.vocabulary(docs, "text",
+        graft.ops.WordPiece.learn(docs, "text", numMerges = 16))
+    }),
+
+    // BERT greedy longest-match-first encoding under the learned
+    // vocabulary, per-fixture-doc token sequence — hash-exact
+    "q_wp_encode_gold" -> ((s, dir) => {
+      val docs = bpeFixtureCorpus(s, dir)
+      graft.ops.WordPiece.encode(docs, "doc_id", "text",
+          graft.ops.WordPiece.vocabulary(docs, "text",
+            graft.ops.WordPiece.learn(docs, "text", numMerges = 16)))
+        .select(col("doc_id"), concat_ws(" ", col("tokens")).as("token_str"),
+          col("n_tokens"))
+    }),
+
+    // corpus-scale encoding twin (zero-shuffle mapPartitions, broadcast
+    // vocabulary) — rows-only like q_bpe_encode/q_ug_encode
+    "q_wp_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.WordPiece.encode(docs, "doc_id", "text",
+          graft.ops.WordPiece.vocabulary(docs, "text",
+            graft.ops.WordPiece.learn(docs, "text", numMerges = 12)))
+        .select("doc_id", "n_tokens")
+    }),
+
     // logistic-regression quality classifier (the GPT-3/LLaMA
     // "reference-like pages" filter, Classify's discriminative sibling):
     // full-batch GD over hashed-bigram counts on the FIXTURE corpus,
@@ -1652,6 +1689,103 @@ object QueriesCorpus {
         |  (CAST(22 AS BIGINT), '▁ nation_2 2 ▁ a s i a', CAST(8 AS BIGINT)),
         |  (CAST(23 AS BIGINT), '▁ nation_2 3 ▁ e u r o p e', CAST(10 AS BIGINT)),
         |  (CAST(24 AS BIGINT), '▁ nation_2 4 ▁ m i d d l e ▁ e a s t', CAST(15 AS BIGINT))) AS t(doc_id, token_str, n_tokens)""".stripMargin,
+    // golden WordPiece merge table — tools/gen_wordpiece_golden.py
+    "q_wp_merges" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), '##d', '##l', CAST(5 AS BIGINT)),
+        |  (CAST(1 AS INTEGER), '##d', '##dl', CAST(5 AS BIGINT)),
+        |  (CAST(2 AS INTEGER), 'e', '##u', CAST(5 AS BIGINT)),
+        |  (CAST(3 AS INTEGER), '##ddl', '##e', CAST(5 AS BIGINT)),
+        |  (CAST(4 AS INTEGER), '##m', '##e', CAST(5 AS BIGINT)),
+        |  (CAST(5 AS INTEGER), '##p', '##e', CAST(5 AS BIGINT)),
+        |  (CAST(6 AS INTEGER), '##f', '##r', CAST(5 AS BIGINT)),
+        |  (CAST(7 AS INTEGER), '##me', '##r', CAST(5 AS BIGINT)),
+        |  (CAST(8 AS INTEGER), 'eu', '##r', CAST(5 AS BIGINT)),
+        |  (CAST(9 AS INTEGER), 'a', '##fr', CAST(5 AS BIGINT)),
+        |  (CAST(10 AS INTEGER), 'a', '##mer', CAST(5 AS BIGINT)),
+        |  (CAST(11 AS INTEGER), 'a', '##s', CAST(5 AS BIGINT)),
+        |  (CAST(12 AS INTEGER), '##n', '##_', CAST(25 AS BIGINT)),
+        |  (CAST(13 AS INTEGER), '##n_', '##1', CAST(11 AS BIGINT)),
+        |  (CAST(14 AS INTEGER), '##n_', '##2', CAST(6 AS BIGINT)),
+        |  (CAST(15 AS INTEGER), '##o', '##n_', CAST(8 AS BIGINT))) AS t(rank, left_sym, right_sym, pair_count)""".stripMargin,
+    // golden WordPiece vocabulary — tools/gen_wordpiece_golden.py
+    "q_wp_vocab" ->
+      """SELECT * FROM (VALUES
+        |  ('##0', CAST(0 AS BIGINT)),
+        |  ('##1', CAST(1 AS BIGINT)),
+        |  ('##2', CAST(2 AS BIGINT)),
+        |  ('##3', CAST(3 AS BIGINT)),
+        |  ('##4', CAST(4 AS BIGINT)),
+        |  ('##5', CAST(5 AS BIGINT)),
+        |  ('##6', CAST(6 AS BIGINT)),
+        |  ('##7', CAST(7 AS BIGINT)),
+        |  ('##8', CAST(8 AS BIGINT)),
+        |  ('##9', CAST(9 AS BIGINT)),
+        |  ('##_', CAST(10 AS BIGINT)),
+        |  ('##a', CAST(11 AS BIGINT)),
+        |  ('##c', CAST(12 AS BIGINT)),
+        |  ('##d', CAST(13 AS BIGINT)),
+        |  ('##e', CAST(14 AS BIGINT)),
+        |  ('##f', CAST(15 AS BIGINT)),
+        |  ('##i', CAST(16 AS BIGINT)),
+        |  ('##l', CAST(17 AS BIGINT)),
+        |  ('##m', CAST(18 AS BIGINT)),
+        |  ('##n', CAST(19 AS BIGINT)),
+        |  ('##o', CAST(20 AS BIGINT)),
+        |  ('##p', CAST(21 AS BIGINT)),
+        |  ('##r', CAST(22 AS BIGINT)),
+        |  ('##s', CAST(23 AS BIGINT)),
+        |  ('##t', CAST(24 AS BIGINT)),
+        |  ('##u', CAST(25 AS BIGINT)),
+        |  ('[UNK]', CAST(26 AS BIGINT)),
+        |  ('a', CAST(27 AS BIGINT)),
+        |  ('e', CAST(28 AS BIGINT)),
+        |  ('m', CAST(29 AS BIGINT)),
+        |  ('n', CAST(30 AS BIGINT)),
+        |  ('##dl', CAST(31 AS BIGINT)),
+        |  ('##ddl', CAST(32 AS BIGINT)),
+        |  ('eu', CAST(33 AS BIGINT)),
+        |  ('##ddle', CAST(34 AS BIGINT)),
+        |  ('##me', CAST(35 AS BIGINT)),
+        |  ('##pe', CAST(36 AS BIGINT)),
+        |  ('##fr', CAST(37 AS BIGINT)),
+        |  ('##mer', CAST(38 AS BIGINT)),
+        |  ('eur', CAST(39 AS BIGINT)),
+        |  ('afr', CAST(40 AS BIGINT)),
+        |  ('amer', CAST(41 AS BIGINT)),
+        |  ('as', CAST(42 AS BIGINT)),
+        |  ('##n_', CAST(43 AS BIGINT)),
+        |  ('##n_1', CAST(44 AS BIGINT)),
+        |  ('##n_2', CAST(45 AS BIGINT)),
+        |  ('##on_', CAST(46 AS BIGINT))) AS t(token, token_id)""".stripMargin,
+    // golden WordPiece greedy encode — tools/gen_wordpiece_golden.py
+    "q_wp_encode_gold" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'n ##a ##t ##i ##on_ ##0 afr ##i ##c ##a', CAST(10 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 amer ##i ##c ##a', CAST(10 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'n ##a ##t ##i ##on_ ##2 as ##i ##a', CAST(9 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'n ##a ##t ##i ##on_ ##3 eur ##o ##pe', CAST(9 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'n ##a ##t ##i ##on_ ##4 m ##i ##ddle e ##a ##s ##t', CAST(13 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'n ##a ##t ##i ##on_ ##5 afr ##i ##c ##a', CAST(10 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'n ##a ##t ##i ##on_ ##6 amer ##i ##c ##a', CAST(10 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), 'n ##a ##t ##i ##on_ ##7 as ##i ##a', CAST(9 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), 'n ##a ##t ##i ##on_ ##8 eur ##o ##pe', CAST(9 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), 'n ##a ##t ##i ##on_ ##9 m ##i ##ddle e ##a ##s ##t', CAST(13 AS BIGINT)),
+        |  (CAST(10 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 ##0 afr ##i ##c ##a', CAST(11 AS BIGINT)),
+        |  (CAST(11 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 ##1 amer ##i ##c ##a', CAST(11 AS BIGINT)),
+        |  (CAST(12 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 ##2 as ##i ##a', CAST(10 AS BIGINT)),
+        |  (CAST(13 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 ##3 eur ##o ##pe', CAST(10 AS BIGINT)),
+        |  (CAST(14 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 ##4 m ##i ##ddle e ##a ##s ##t', CAST(14 AS BIGINT)),
+        |  (CAST(15 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 ##5 afr ##i ##c ##a', CAST(11 AS BIGINT)),
+        |  (CAST(16 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 ##6 amer ##i ##c ##a', CAST(11 AS BIGINT)),
+        |  (CAST(17 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 ##7 as ##i ##a', CAST(10 AS BIGINT)),
+        |  (CAST(18 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 ##8 eur ##o ##pe', CAST(10 AS BIGINT)),
+        |  (CAST(19 AS BIGINT), 'n ##a ##t ##i ##on_ ##1 ##9 m ##i ##ddle e ##a ##s ##t', CAST(14 AS BIGINT)),
+        |  (CAST(20 AS BIGINT), 'n ##a ##t ##i ##on_ ##2 ##0 afr ##i ##c ##a', CAST(11 AS BIGINT)),
+        |  (CAST(21 AS BIGINT), 'n ##a ##t ##i ##on_ ##2 ##1 amer ##i ##c ##a', CAST(11 AS BIGINT)),
+        |  (CAST(22 AS BIGINT), 'n ##a ##t ##i ##on_ ##2 ##2 as ##i ##a', CAST(10 AS BIGINT)),
+        |  (CAST(23 AS BIGINT), 'n ##a ##t ##i ##on_ ##2 ##3 eur ##o ##pe', CAST(10 AS BIGINT)),
+        |  (CAST(24 AS BIGINT), 'n ##a ##t ##i ##on_ ##2 ##4 m ##i ##ddle e ##a ##s ##t', CAST(14 AS BIGINT))) AS t(doc_id, token_str, n_tokens)""".stripMargin,
     // golden LR model (fixture corpus; micro-unit weights) — tools/gen_lr_golden.py
     "q_lr_model" ->
       """SELECT * FROM (VALUES

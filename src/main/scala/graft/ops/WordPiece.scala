@@ -1,0 +1,244 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer (Schuster & Nakajima 2012; the BERT tokenizer) —
+  * the third of the three dominant subword families next to [[Bpe]]
+  * (merge-frequency) and [[Unigram]] (likelihood/EM). WordPiece is BPE's
+  * sibling with a LIKELIHOOD-RATIO merge objective: each round merges the
+  * adjacent symbol pair maximizing `count(l,r) / (count(l)·count(r))` —
+  * the pair whose merge most increases corpus likelihood under a unigram
+  * LM — and continuation symbols carry the `##` prefix instead of an
+  * end-of-word marker.
+  *
+  * Scale shape (the [[Bpe.learn]] discipline): the ONLY corpus-scale pass
+  * is [[Bpe.wordFrequencies]]; every learning round re-aggregates the
+  * DISTINCT-WORD symbol table (vocabulary-sized by Heaps' law) — one pair
+  * aggregate, one symbol aggregate, two bounded joins, a 1-row distributed
+  * argmax (TakeOrdered, never a global sort). [[encode]] is a zero-shuffle
+  * `mapPartitions` with the vocabulary broadcast (BERT's greedy
+  * longest-match-first, whole word → UNK on any uncoverable position).
+  * Scores divide exact Long counts as `cnt / (lc.toDouble * rc.toDouble)`
+  * — one IEEE op order, so ranks are reproducible bit-for-bit anywhere and
+  * the learning loop is golden-oracled against an independent Python
+  * implementation (tools/gen_wordpiece_golden.py, the [[Bpe]] pattern).
+  *
+  * Reference analog: none (training-data extension) — SURVEY §2's
+  * text-analysis surface; [[Bpe]]/[[Unigram]]'s sibling.
+  */
+object WordPiece {
+
+  /** BERT's continuation prefix. */
+  val Continuation = "##"
+
+  /** BERT's unknown-word token: greedy matching maps a word with ANY
+    * uncoverable position to this single token (never a partial spell).
+    */
+  val Unk = "[UNK]"
+
+  /** WordPiece decomposition of one word: first code point bare, the rest
+    * `##`-prefixed. */
+  private[graft] def wpSyms(word: String): Array[String] = {
+    val cps = Bpe.codePoints(word)
+    cps.zipWithIndex.map { case (c, i) => if (i == 0) c else Continuation + c }
+  }
+
+  /** Merge product: the right symbol sheds its continuation prefix (the
+    * left one keeps its word-position marking). */
+  private[graft] def wpProduct(l: String, r: String): String =
+    l + r.stripPrefix(Continuation)
+
+  /** One left-to-right merge pass of the exact adjacent pair (l, r). */
+  private[graft] def wpMergePair(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += wpProduct(l, r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learn `numMerges` merges: each round takes the pair with the highest
+    * likelihood-ratio score `cnt / (count(l)·count(r))` among pairs at or
+    * above `minPairCount`, ties broken lexicographically on (l, r).
+    * Returns (rank, left_sym, right_sym, pair_count) — counts exact Longs,
+    * so the table is hash-exact across engines (q_wp_merges).
+    */
+  def learn(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[BpeWord] = Bpe.wordFrequencies(docs, textCol)
+      .select(col("freq"), col("word")).as[(Long, String)]
+      .map { case (f, w) => BpeWord(f, wpSyms(w)) }
+      .localCheckpoint(false)
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val pairs = vocab
+        .flatMap(w =>
+          if (w.syms.length < 2) Iterator.empty
+          else w.syms.iterator.zip(w.syms.iterator.drop(1)).map { case (l, r) => (l, r, w.freq) })
+        .toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("cnt"))
+        .filter(col("cnt") >= minPairCount)
+      val syms = vocab
+        .flatMap(w => w.syms.iterator.map(s => (s, w.freq)))
+        .toDF("s", "f")
+        .groupBy("s").agg(sum("f").as("scnt"))
+      val top = pairs
+        .join(syms.select(col("s").as("l"), col("scnt").as("_lc")), Seq("l"))
+        .join(syms.select(col("s").as("r"), col("scnt").as("_rc")), Seq("r"))
+        // ONE IEEE op order — double(product) then divide — mirrored
+        // exactly by the Python golden generator
+        .withColumn("_score",
+          col("cnt").cast("double") / (col("_lc").cast("double") * col("_rc").cast("double")))
+        .orderBy(col("_score").desc, col("l"), col("r"))
+        .limit(1).select("l", "r", "cnt").collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.size, l, r, c))
+        vocab = vocab.map(w => BpeWord(w.freq, wpMergePair(w.syms, l, r)))
+          .localCheckpoint(false)
+      }
+    }
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The dense token-id table: base symbols are the corpus's distinct
+    * word-start code points and `##`-continuations plus [[Unk]] (ids 0..,
+    * lexicographic), merge products follow in rank order (rank r ↦ id =
+    * |base| + r) — the [[Bpe.vocabulary]] layout.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = Bpe.wordFrequencies(docs, textCol)
+      .select(col("word")).as[String]
+      .flatMap(w => wpSyms(w).iterator)
+      .distinct()
+      .collect().toSeq
+    val baseSorted = (base :+ Unk).sorted
+    val products = merges.select("rank", "left_sym", "right_sym").collect()
+      .sortBy(_.getInt(0))
+      .map(r => wpProduct(r.getString(1), r.getString(2)))
+    val rows = baseSorted.zipWithIndex.map { case (t, i) => (t, i.toLong) } ++
+      products.zipWithIndex.map { case (t, i) => (t, (baseSorted.size + i).toLong) }
+    val dup = rows.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"vocabulary collision: ${dup.take(3).mkString(",")} — a merge product " +
+        "collides with a base symbol (or two merges share a product)")
+    rows.toDF("token", "token_id")
+  }
+
+  /** Greedy longest-match-first tokenization (BERT's WordPiece algorithm):
+    * per word, repeatedly take the LONGEST vocabulary piece matching at the
+    * cursor (continuation positions must match `##`-prefixed pieces); if no
+    * piece fits at some position the WHOLE word becomes [[Unk]]. Returns
+    * (id, tokens, n_tokens). Zero-shuffle `mapPartitions`, vocabulary
+    * broadcast, per-partition word cache ([[Bpe.encode]]'s shape); null
+    * text → zero tokens, null/uncastable ids drop.
+    */
+  def encode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens: Set[String] = vocab.select("token").collect().map(_.getString(0)).toSet
+    require(tokens.nonEmpty, "empty vocabulary")
+    val maxLen = tokens.iterator.map(t => Bpe.codePoints(t.stripPrefix(Continuation)).length)
+      .max
+    val bV = spark.sparkContext.broadcast((tokens, maxLen))
+    docs
+      .filter(col(idCol).isNotNull && col(idCol).cast("long").isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (v, mx) = bV.value
+        val cache = new java.util.LinkedHashMap[String, Array[String]](1 << 14, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 50000
+        }
+        def segment(word: String): Array[String] = {
+          val cps = Bpe.codePoints(word)
+          val out = mutable.ArrayBuffer.empty[String]
+          var pos = 0
+          while (pos < cps.length) {
+            val prefix = if (pos == 0) "" else Continuation
+            var len = math.min(mx, cps.length - pos)
+            var found: String = null
+            while (found == null && len >= 1) {
+              val cand = prefix + cps.slice(pos, pos + len).mkString
+              if (v.contains(cand)) found = cand else len -= 1
+            }
+            if (found == null) return Array(Unk)
+            out += found
+            pos += len
+          }
+          out.toArray
+        }
+        it.map { case (id, text) =>
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
+            .filter(_.nonEmpty)
+            .flatMap { w =>
+              val hit = cache.get(w)
+              if (hit != null) hit
+              else { val seg = segment(w); cache.put(w, seg); seg }
+            }.toSeq
+          (id, toks, toks.length.toLong)
+        }
+      }
+      .toDF(idCol, "tokens", "n_tokens")
+  }
+
+  /** [[encode]] to dense ids under a [[vocabulary]] table; [[Unk]] rides
+    * its own vocabulary id (it is always in the base). */
+  def encodeIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids: Map[String, Long] = vocab.select("token", "token_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(ids.contains(Unk), s"vocabulary must carry $Unk")
+    val bIds = spark.sparkContext.broadcast(ids)
+    encode(docs, idCol, textCol, vocab)
+      .select(col(idCol).cast("long"), col("tokens"), col("n_tokens"))
+      .as[(Long, Seq[String], Long)]
+      .map { case (id, toks, n) =>
+        val m = bIds.value
+        (id, toks.map(t => m(t)), n)
+      }
+      .toDF(idCol, "token_ids", "n_tokens")
+  }
+
+  /** Decode: continuations glue to their predecessor, other boundaries are
+    * spaces. Inverse of [[encode]] up to normalization, except [[Unk]]
+    * (lossy by design). */
+  def decode(tokens: Seq[String]): String = {
+    val sb = new StringBuilder
+    tokens.foreach { t =>
+      if (t.startsWith(Continuation)) sb.append(t.stripPrefix(Continuation))
+      else {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(t)
+      }
+    }
+    sb.toString
+  }
+}

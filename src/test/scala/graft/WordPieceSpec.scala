@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.WordPiece
+
+/** WordPiece tokenizer contracts; the learning loop and greedy encode are
+  * ALSO golden-oracled (q_wp_merges/q_wp_vocab/q_wp_encode_gold vs
+  * tools/gen_wordpiece_golden.py) — this suite covers the operator-level
+  * properties the goldens can't see.
+  */
+class WordPieceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "unhappy unhappy runner runs"),
+    (1L, "happy runner runs unhappily"),
+    (2L, "the happy runner runs")
+  ).toDF("doc_id", "text")
+
+  test("decomposition and merge product carry the continuation marker") {
+    assert(WordPiece.wpSyms("abc").toSeq === Seq("a", "##b", "##c"))
+    assert(WordPiece.wpProduct("a", "##b") === "ab")
+    assert(WordPiece.wpProduct("##a", "##b") === "##ab")
+    assert(WordPiece.wpMergePair(Array("a", "##b", "##b"), "a", "##b").toSeq
+      === Seq("ab", "##b"))
+  }
+
+  test("learn merges by likelihood ratio, not raw frequency") {
+    // 'xy' appears 3x and 'ab' 4x, but x/y occur ONLY together while
+    // a/b also occur apart — the ratio must prefer (x, ##y)
+    val docs = Seq(
+      (0L, "xy xy xy ab ab ab ab az bz az bz")
+    ).toDF("doc_id", "text")
+    val first = WordPiece.learn(docs, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).head
+    assert(first === ("x", "##y"))
+  }
+
+  test("greedy encode is longest-match-first; uncoverable words become one [UNK]") {
+    val merges = WordPiece.learn(corpus, "text", numMerges = 10)
+    val vocab = WordPiece.vocabulary(corpus, "text", merges)
+    val novel = Seq((7L, "runner ☃melt runs")).toDF("doc_id", "text")
+    val toks = WordPiece.encode(novel, "doc_id", "text", vocab)
+      .as[(Long, Seq[String], Long)].collect()(0)._2
+    // the snowman word has an uncoverable first position → single [UNK],
+    // never a partial spell of the rest
+    assert(toks.count(_ == WordPiece.Unk) === 1)
+    assert(!toks.exists(t => t.contains("melt") && t != WordPiece.Unk || t == "##m"))
+    // coverable words round-trip through decode
+    val clean = WordPiece.encode(corpus, "doc_id", "text", vocab)
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1)
+    corpus.as[(Long, String)].collect().sortBy(_._1).zip(clean).foreach {
+      case ((_, text), (_, ts, n)) =>
+        assert(n === ts.length.toLong)
+        val norm = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        assert(WordPiece.decode(ts) === norm)
+    }
+  }
+
+  test("learn is invariant under repartitioning") {
+    val a = WordPiece.learn(corpus, "text", numMerges = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val b = WordPiece.learn(corpus.repartition(7), "text", numMerges = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(a === b)
+  }
+
+  test("encodeIds maps through the dense table; [UNK] rides its own id") {
+    val merges = WordPiece.learn(corpus, "text", numMerges = 6)
+    val vocab = WordPiece.vocabulary(corpus, "text", merges)
+    val ids = vocab.as[(String, Long)].collect().toMap
+    val got = WordPiece.encodeIds(
+        Seq((1L, "runner ☃")).toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .as[(Long, Seq[Long], Long)].collect()(0)._2
+    assert(got.contains(ids(WordPiece.Unk)))
+    assert(got.forall(i => i >= 0 && i < vocab.count()))
+  }
+
+  test("null text → zero tokens; null id drops; empty vocab refused") {
+    val merges = WordPiece.learn(corpus, "text", numMerges = 4)
+    val vocab = WordPiece.vocabulary(corpus, "text", merges)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7L, "runs"), Row(8L, null), Row(null, "dropped")),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val got = WordPiece.encode(docs, "doc_id", "text", vocab)
+      .as[(Long, Seq[String], Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.keySet === Set(7L, 8L)) // the null id dropped
+    assert(got(7L) >= 1L && got(8L) === 0L)
+    intercept[IllegalArgumentException] {
+      WordPiece.encode(docs, "doc_id", "text", vocab.limit(0))
+    }
+  }
+}
