@@ -227,6 +227,40 @@ object WordPiece {
       .toDF(idCol, "token_ids", "n_tokens")
   }
 
+  /** A persisted WordPiece tokenizer: the dense [[vocabulary]] table is the
+    * whole geometry (greedy matching derives its max piece length from the
+    * vocabulary itself). */
+  case class WordPieceTokenizer(vocab: DataFrame)
+
+  private val MetaFile = "_wordpiece_meta.json"
+
+  /** Persist a tokenizer — the build-once/apply-many artifact pattern of
+    * [[Bpe.saveTokenizer]]/[[Unigram.saveTokenizer]]: vocabulary as
+    * parquet plus a marker sidecar, so any later job re-encodes
+    * IDENTICALLY without re-learning. */
+  def saveTokenizer(t: WordPieceTokenizer, path: String): Unit = {
+    val spark = t.vocab.sparkSession
+    t.vocab.select("token", "token_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    MetaJson.write(spark, path, MetaFile, Seq("wordpiece_v" -> 1L))
+  }
+
+  /** Load a tokenizer written by [[saveTokenizer]]; refuses a bare
+    * directory. */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession, path: String): WordPieceTokenizer = {
+    MetaJson.readFields(spark, path, MetaFile,
+      Seq("wordpiece_v"), "a tokenizer written by WordPiece.saveTokenizer")
+    WordPieceTokenizer(spark.read.parquet(s"$path/vocab"))
+  }
+
+  /** [[encodeIds]] under a (possibly loaded) tokenizer artifact. */
+  def encodeWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      t: WordPieceTokenizer): DataFrame =
+    encodeIds(docs, idCol, textCol, t.vocab)
+
   /** Decode: continuations glue to their predecessor, other boundaries are
     * spaces. Inverse of [[encode]] up to normalization, except [[Unk]]
     * (lossy by design). */

@@ -399,6 +399,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1) === Set(10L, 11L, 12L), "empty docs surface too")
   }
 
+  test("streaming LR scoring against a persisted model equals batch scoring") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_lrs_src_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lrs_out_").toString + "/scored"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lrs_ck_").toString
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_lrs_m_").toString + "/model"
+
+    val train = Seq(
+      (1L, 1, "buy cheap pills now"),
+      (2L, 0, "meeting notes for the quarter"),
+      (3L, 0, "notes from the board meeting")).toDF("id", "label", "text")
+    graft.ops.Logistic.saveLrModel(
+      graft.ops.Logistic.lrFit(train, "label", "text", n = 2, buckets = 64, iters = 20),
+      modelDir)
+
+    val docs = Seq((10L, "buy cheap pills"), (11L, "board meeting notes"), (12L, ""))
+    docs.toDF("doc_id", "text").write.mode("append").parquet(src)
+    // the model loads ONCE outside the per-batch closure — scoring is a
+    // stateless broadcast-weights pass, so it streams unchanged
+    val model = graft.ops.Logistic.loadLrModel(spark, modelDir)
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Logistic.lrScores(batch, "doc_id", "text", model)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val batchTwin = graft.ops.Logistic.lrScores(
+        docs.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(streamed === batchTwin, "stream and batch must agree margin-for-margin")
+    assert(streamed.map(_._1) === Set(10L, 11L, 12L), "empty docs surface too")
+  }
+
   test("streaming EtlRun: exactly-once across restarts, replay, and checkpoint loss") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -77,6 +77,30 @@ class WordPieceSpec extends SparkSpec {
     assert(got.forall(i => i >= 0 && i < vocab.count()))
   }
 
+  test("tokenizer artifact: save/load encodes bit-identically; bare dir refused") {
+    val dir = java.nio.file.Files.createTempDirectory("wp-art").toString
+    try {
+      val vocab = WordPiece.vocabulary(corpus, "text",
+        WordPiece.learn(corpus, "text", numMerges = 8))
+      val t = WordPiece.WordPieceTokenizer(vocab)
+      WordPiece.saveTokenizer(t, s"$dir/tok")
+      val loaded = WordPiece.loadTokenizer(spark, s"$dir/tok")
+      val direct = WordPiece.encodeWith(corpus, "doc_id", "text", t)
+        .as[(Long, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+      val reloaded = WordPiece.encodeWith(corpus, "doc_id", "text", loaded)
+        .as[(Long, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+      assert(direct === reloaded)
+      val bare = s"$dir/bare"
+      new java.io.File(bare).mkdirs()
+      val e = intercept[IllegalArgumentException] {
+        WordPiece.loadTokenizer(spark, bare)
+      }
+      assert(e.getMessage.contains("saveTokenizer"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("null text → zero tokens; null id drops; empty vocab refused") {
     val merges = WordPiece.learn(corpus, "text", numMerges = 4)
     val vocab = WordPiece.vocabulary(corpus, "text", merges)
