@@ -100,7 +100,11 @@ class SnapshotLake(spark: SparkSession, root: String) {
       batch: DataFrame, partitionCols: Seq[String]): Seq[Seq[String]] =
     // cast-to-string FIRST so key rendering is exactly what the Hive-layout
     // staging write renders into directory names (one stringification rule
-    // everywhere, Spark's)
+    // everywhere, Spark's). NOTE this is a manifest-key CONTRACT: lakes
+    // written before the one-job staging change rendered non-string
+    // partition values via Row.get.toString, which differs for TIMESTAMP
+    // columns ('…00:00:00.0' vs '…00:00:00') — such lakes (none exist in
+    // this repo's history) would need a one-time key rewrite
     batch.select(partitionCols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
       .map { r =>
@@ -109,7 +113,16 @@ class SnapshotLake(spark: SparkSession, root: String) {
             throw new IllegalArgumentException(
               s"NULL value in partition column '${partitionCols(i)}' — " +
                 "coalesce partition columns to a sentinel before committing")
-          r.getString(i)
+          val v = r.getString(i)
+          // reserved: the Hive-layout staging write renders BOTH null and ""
+          // as this directory name; NULL is rejected above and "" therefore
+          // round-trips unambiguously — but the literal string itself would
+          // alias with "" and silently mis-key its partition
+          if (v == "__HIVE_DEFAULT_PARTITION__")
+            throw new IllegalArgumentException(
+              s"partition column '${partitionCols(i)}' carries the reserved " +
+                "value '__HIVE_DEFAULT_PARTITION__' — recode it before committing")
+          v
         }
       }.toSeq
 

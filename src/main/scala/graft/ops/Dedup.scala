@@ -88,15 +88,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       windowTokens: Int): DataFrame =
-    df.select(col(idCol), filter(tokens(col(textCol)), t => t =!= "").as("toks"))
-      .filter(size(col("toks")) >= windowTokens)
-      .select(col(idCol),
-        posexplode(transform(
-          sequence(lit(0), size(col("toks")) - windowTokens),
-          // unit-separator joint: token boundaries must survive the concat or
-          // ("ab","c") and ("a","bc") would hash identically
-          i => md5(concat_ws("\u0001", slice(col("toks"), i + 1, lit(windowTokens))))))
-          .as(Seq("start_pos", "win_hash")))
+    windowTextRows(df, idCol, textCol, windowTokens)
+      .select(col(idCol), col("start_pos"), col("win_hash"))
 
   /** Merge each document's flagged window start positions into maximal
     * (span_start, span_end) islands — overlapping or exactly adjacent
@@ -153,10 +146,12 @@ object Dedup {
     mergeIslands(wins.join(dup, "win_hash"), idCol, windowTokens)
   }
 
-  /** Like [[windowRows]] but carrying the window's joined token CONTENT
-    * alongside its hash — the verification-side explode of
-    * [[repeatedSpansExact]]. Same unit-separator joint, so
-    * `md5(win_text)` here IS [[windowRows]]' `win_hash` derivation.
+  /** The single window-derivation source of truth: (id, start_pos,
+    * win_text, win_hash) with `win_hash = md5(win_text)` — [[windowRows]]
+    * projects the hash side, [[repeatedSpansExact]]'s verification pass
+    * reads the content side, and the two can never drift apart because
+    * both come from here. Unit-separator joint: token boundaries must
+    * survive the concat or ("ab","c") and ("a","bc") would alias.
     */
   private def windowTextRows(
       df: DataFrame,

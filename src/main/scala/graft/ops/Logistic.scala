@@ -102,9 +102,14 @@ object Logistic {
     // docFeatures keys on an id column; for training the PK is irrelevant
     // (gradients sum over rows, never group by id), so synthesize one —
     // partitioning-dependent ids cannot leak into the learned weights
+    // localCheckpoint BEFORE fanning out: docFeatures evaluates this frame
+    // on two branches (features and labels) and the synthetic row id must
+    // be the SAME row id on both — a non-deterministic source re-evaluated
+    // per branch would silently pair features with the wrong labels
     val base = docs
       .withColumn("_y", col(labelCol).cast("double"))
       .withColumn("_rowid", monotonically_increasing_id())
+      .localCheckpoint()
     val bad = base.filter(col("_y").isNull || (col("_y") =!= 0.0 && col("_y") =!= 1.0))
       .limit(1).collect()
     if (bad.nonEmpty)
@@ -144,6 +149,9 @@ object Logistic {
     * `score = roundHalfUp(sigmoid(margin), 6)`. Zero-shuffle apart from the
     * per-doc feature aggregation; the model enters as a literal array.
     * Null/uncastable ids drop (the sampling module's null-key rule).
+    * `idCol` must be unique per row (after the long cast): duplicate ids
+    * would merge their documents' features into one vector — the id IS the
+    * feature-aggregation key, as everywhere in the scoring family.
     */
   def lrScores(
       docs: DataFrame,

@@ -323,6 +323,9 @@ object Unigram {
       extends scala.collection.AbstractMap[String, Double] {
     def get(k: String): Option[Double] = if (k == hide) None else m.get(k)
     def iterator: Iterator[(String, Double)] = m.iterator.filter(_._1 != hide)
+    // the two `-` overloads below are abstract members of 2.13's
+    // collection.MapOps (the compiler demands them); nothing here calls
+    // them — pruneLosses only reads get/getOrElse
     def -(key: String): scala.collection.Map[String, Double] =
       iterator.filter(_._1 != key).toMap
     def -(key1: String, key2: String, keys: String*): scala.collection.Map[String, Double] = {

@@ -596,6 +596,23 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(after === before, "optimize must not change a single row")
   }
 
+  test("the reserved Hive default-partition value is rejected; empty string round-trips") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    val e = intercept[IllegalArgumentException] {
+      lake.commit(Seq((1L, "__HIVE_DEFAULT_PARTITION__")).toDF("id", "part"), Seq("part"))
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // "" renders into the same directory name, but with NULL and the
+    // literal both rejected it is unambiguous and must survive a round trip
+    lake.commit(Seq((1L, ""), (2L, "p")).toDF("id", "part"), Seq("part"))
+    val got = lake.read(Seq("part")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "", 2L -> "p"))
+    lake.deleteWhere(col("id") === 2L, Seq("part"))
+    assert(lake.read(Seq("part")).collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("changes()/changedPartitions against a vacuumed baseline fail loudly, not empty") {
     import spark.implicits._
     val (lake, _) = fresh()
