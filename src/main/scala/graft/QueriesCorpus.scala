@@ -411,6 +411,13 @@ object QueriesCorpus {
         train, "doc_id", "text", docs, "doc_id", "text", vocabSize = vocab)
     }),
 
+    // Gopher rule-based quality gate (Rae et al. 2021 A.1.1): published
+    // thresholds over word count / mean word length / symbol / bullet /
+    // ellipsis / alphabetic / required-stopword rules — every metric and
+    // the AND-ed keep recomputed independently by the oracle
+    "q_tx_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+
     // per-language top-20 tokens (grouped frequent items)
     "q_tx_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokensPerGroup(t(s, dir, "documents"), "lang", "doc_id", "text", k = 20)),
@@ -1318,6 +1325,42 @@ object QueriesCorpus {
         |      'https?://[^\s]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+    "q_tx_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS word_count,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END AS mean_word_len,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(length(text) - length(replace(text, '#', ''))
+        |        + (length(text) - length(replace(text, '...', ''))) / 3
+        |        + length(text) - length(replace(text, chr(8230), '')) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END AS symbol_ratio,
+        |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(len(list_filter(ls, l -> starts_with(l, chr(8226))
+        |          OR starts_with(l, '-') OR starts_with(l, '*'))) AS DOUBLE)
+        |        / CAST(len(ls) AS DOUBLE)) * 10000 + 0.5) / 10000 END AS bullet_ratio,
+        |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(len(list_filter(ls, l -> ends_with(l, '...')
+        |          OR ends_with(l, chr(8230)))) AS DOUBLE)
+        |        / CAST(len(ls) AS DOUBLE)) * 10000 + 0.5) / 10000 END AS ellipsis_ratio,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END AS alpha_ratio,
+        |    CAST(len(list_filter(list_distinct(w), x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT *,
+        |  (word_count BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+        |    AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS keep
+        |FROM m""".stripMargin,
     "q_tx_repetition" ->
       """WITH lined AS (
         |  SELECT doc_id,

@@ -170,6 +170,81 @@ object TextAnalysis {
         count(lit(1)).as("kept_lines"))
   }
 
+  /** The Gopher required-word list: a kept document must contain at least
+    * [[gopherRules]]' `minStopHits` of these (Rae et al. 2021, A.1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher's rule-based document filter (Rae et al., "Scaling Language
+    * Models: … Gopher", 2021, Appendix A.1.1) — the canonical web-corpus
+    * heuristic gate, published thresholds as defaults:
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio ('#' or '…'/'...') ≤ 0.1
+    *   - ≤ 90% of lines start with a bullet ('•', '-', '*')
+    *   - ≤ 30% of lines end with an ellipsis
+    *   - ≥ 80% of words contain ≥ 1 alphabetic character
+    *   - ≥ `minStopHits` distinct words from [[GopherStopwords]]
+    *
+    * Returns the per-rule metrics plus the AND-ed `keep` — per-row array
+    * expressions only (zero shuffle, whole-stage codegen'd), composing
+    * with [[repetitionMetrics]] and [[graft.ops.Curate]] exactly like
+    * [[qualityMetrics]]. Ratios round half-up 4 so the DuckDB oracle
+    * (q_tx_gopher) reproduces them digit-for-digit.
+    */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3,
+      minAlphaRatio: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val t = toks(col(textCol))
+    val nW = size(t)
+    def ratio(num: Column, den: Column) =
+      when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    val meanLen = ratio(aggregate(t, lit(0L), (acc, x) => acc + length(x)), nW)
+    // occurrence counts via length deltas — '…' counts as one symbol,
+    // '...' as one per three dots
+    val hashes = length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))
+    val dots = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), java.util.regex.Pattern.quote("..."), ""))) / 3
+    val ell1 = length(col(textCol)) - length(regexp_replace(col(textCol), "…", ""))
+    val symRatio = ratio(hashes + dots + ell1, nW)
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("-") || l.startsWith("*")))
+    val ellLines = size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+    val alphaWords = size(filter(t, w => w.rlike("[a-z]")))
+    val stopHits = hits(array_distinct(t), GopherStopwords)
+    val r = (c: Column) => graft.Functions.roundHalfUp(c, 4)
+    df.select(
+      col(idCol),
+      nW.cast("long").as("word_count"),
+      r(meanLen).as("mean_word_len"),
+      r(symRatio).as("symbol_ratio"),
+      r(ratio(bulletLines, nLines)).as("bullet_ratio"),
+      r(ratio(ellLines, nLines)).as("ellipsis_ratio"),
+      r(ratio(alphaWords, nW)).as("alpha_ratio"),
+      stopHits.cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("word_count").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_ratio") <= maxBulletRatio &&
+          col("ellipsis_ratio") <= maxEllipsisRatio &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("stop_hits") >= minStopHits)
+  }
+
   /** Repetition metrics — the Gopher-style within-document repetition
     * signals corpus filters threshold on (repeated boilerplate correlates
     * with low-quality web text). All per-row array expressions: no UDFs,

@@ -599,4 +599,36 @@ class OpsSpec extends SparkSpec {
       assert(got == naive, s"mismatch at bucketsPerDay=$buckets")
     }
   }
+
+  test("gopherRules: each published rule trips on its own fixture") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val longOk = (1 to 60).map(i => s"the of and that word$i").mkString(" ") // 300 words, stopwords
+    val docs = Seq(
+      (0L, longOk),                                       // passes every rule
+      (1L, "too short to keep with the rest"),            // word count < 50
+      (2L, (1 to 60).map(_ => "# the of #").mkString(" ")), // symbol ratio > 0.1
+      (3L, (1 to 60).map(i => s"• the of item$i\n").mkString), // all lines bulleted
+      (4L, (1 to 60).map(i => s"the of trail$i...\n").mkString), // all lines ellipsis
+      (5L, (1 to 30).map(_ => "the of 123 456 789 000").mkString(" ")), // alpha < 0.8
+      (6L, (1 to 60).map(i => s"zz$i yy$i xx$i ww$i").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(got(0L), "the clean long document must pass")
+    Seq(1L, 2L, 3L, 4L, 5L, 6L).foreach(id => assert(!got(id), s"doc $id must fail"))
+    // and the failing docs fail for the RIGHT rule
+    val rows = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) < 50)
+    assert(rows(2L).getDouble(3) > 0.1, "symbol_ratio")
+    assert(rows(3L).getDouble(4) > 0.9, "bullet_ratio")
+    assert(rows(4L).getDouble(5) > 0.3, "ellipsis_ratio")
+    assert(rows(5L).getDouble(6) < 0.8, "alpha_ratio")
+    assert(rows(6L).getLong(7) < 2, "stop_hits")
+    // zero shuffle: a per-row projection must stay exchange-free
+    val plan = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

@@ -21,6 +21,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_hh_tokens",     // Misra-Gries + exact recount
     "q_bpe_encode",    // broadcast-ranks zero-shuffle tokenize
     "q_dd_spans",      // window explode + keyed groupBy/join + island merge
+    "q_dd_spans_sub",  // threshold-grain spans + content-verify pass
     "q_j1_incr_diff",  // interval anti-join incremental diff
     "q_a1_traffic15",  // flagship 15-min aggregation
     "q_tx_quality")    // per-row quality projection (r6 bench-drift watch)
