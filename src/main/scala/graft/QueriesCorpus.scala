@@ -418,6 +418,11 @@ object QueriesCorpus {
     "q_tx_gopher" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
 
+    // C4 line-level cleaner (Raffel et al. 2020 §2.2): terminal-
+    // punctuation line gate + lorem-ipsum/brace/sentence-count page gate
+    "q_tx_c4" -> ((s, dir) =>
+      TextAnalysis.c4Clean(t(s, dir, "documents"), "doc_id", "text")),
+
     // per-language top-20 tokens (grouped frequent items)
     "q_tx_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokensPerGroup(t(s, dir, "documents"), "lang", "doc_id", "text", k = 20)),
@@ -1325,6 +1330,29 @@ object QueriesCorpus {
         |      'https?://[^\s]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+    "q_tx_c4" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, text,
+        |    list_filter(ls, l -> (ends_with(l, '.') OR ends_with(l, '!')
+        |        OR ends_with(l, '?') OR ends_with(l, '"'))
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 3) AS kept,
+        |    ls
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |    CAST(len(kept) AS BIGINT) AS lines_kept,
+        |    CAST(len(ls) AS BIGINT) AS lines_total
+        |  FROM k)
+        |SELECT doc_id, clean_text, lines_kept, lines_total,
+        |  CAST(length(clean_text) - length(regexp_replace(clean_text, '[.!?]', '', 'g')) AS BIGINT) AS sentences,
+        |  NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+        |    AND length(clean_text) - length(regexp_replace(clean_text, '[.!?]', '', 'g')) >= 3 AS keep
+        |FROM m""".stripMargin,
     "q_tx_gopher" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -245,6 +245,45 @@ object TextAnalysis {
           col("stop_hits") >= minStopHits)
   }
 
+  /** C4's line-level cleaner (Raffel et al., "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", 2020,
+    * §2.2) — the other canonical web-corpus gate next to [[gopherRules]]:
+    *
+    *   - keep only lines ending in terminal punctuation (. ! ? ")
+    *     that carry at least `minLineWords` words;
+    *   - drop the whole page if it mentions "lorem ipsum" or contains a
+    *     curly brace (code), or if fewer than `minSentences` sentences
+    *     survive the line filter (sentences ≈ terminal-punctuation marks
+    *     in the cleaned text, C4's own approximation).
+    *
+    * Returns (id, clean_text, lines_kept, lines_total, sentences, keep).
+    * Per-row array expressions only — zero shuffle, codegen'd; the DuckDB
+    * oracle (q_tx_c4) recomputes every column.
+    */
+  def c4Clean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineWords: Int = 3,
+      minSentences: Int = 3): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords)
+    val cleanText = array_join(kept, "\n")
+    val sentences = length(cleanText) -
+      length(regexp_replace(cleanText, "[.!?]", ""))
+    val lowered = lower(col(textCol))
+    df.select(
+      col(idCol),
+      cleanText.as("clean_text"),
+      size(kept).cast("long").as("lines_kept"),
+      size(lines).cast("long").as("lines_total"),
+      sentences.cast("long").as("sentences"),
+      (!lowered.contains("lorem ipsum") && !col(textCol).contains("{") &&
+        sentences >= minSentences).as("keep"))
+  }
+
   /** Repetition metrics — the Gopher-style within-document repetition
     * signals corpus filters threshold on (repeated boilerplate correlates
     * with low-quality web text). All per-row array expressions: no UDFs,

@@ -631,4 +631,29 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("c4Clean: line gate + page gates behave per the published rules") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (0L, "A good first sentence here.\nShort one.\nAnother full sentence follows!\nno terminal punctuation line\nAnd a questioning sentence, truly?"),
+      (1L, "Contains lorem ipsum filler text.\nSecond sentence is fine.\nThird sentence stands here."),
+      (2L, "Code page with braces.\nfunction f() { return 1 }\nMore prose sentences here.\nEven more prose right here."),
+      (3L, "Only one surviving sentence here.\nnope\nnah")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // doc 0: "Short one." has 2 words (< 3) and the bare line has no
+    // terminal punctuation — both drop; 3 sentences survive → keep
+    val (clean0, kept0, total0, sent0, keep0) = got(0L)
+    assert(kept0 === 3L && total0 === 5L && sent0 === 3L && keep0)
+    assert(!clean0.contains("Short one") && !clean0.contains("no terminal"))
+    // doc 1: three clean sentences but the lorem-ipsum page gate trips
+    assert(got(1L)._2 === 3L && !got(1L)._5)
+    // doc 2: curly brace page gate
+    assert(!got(2L)._5)
+    // doc 3: only one sentence survives (< 3)
+    assert(got(3L)._2 === 1L && !got(3L)._5)
+  }
 }
