@@ -638,6 +638,12 @@ object QueriesCorpus {
         minQuality = 0.5, acceptLangs = Seq("en", "und"),
         sampleRate = 0.9, sampleSalt = "cr")),
 
+    // the composed WEB-curation pipeline (FineWeb/RefinedWeb recipe):
+    // Gopher rules ∧ C4 gates ∧ repetition caps ∧ exact-dup canonical,
+    // every flag recomputed independently by the oracle
+    "q_cr_web" -> ((s, dir) =>
+      Curate.decideWeb(t(s, dir, "documents"), "doc_id", "text")),
+
     // benchmark decontamination: eval = every 5th doc, train = the rest;
     // containment of the EVAL doc's bigram shingle set
     "q_dc_overlap" -> ((s, dir) => {
@@ -1330,6 +1336,70 @@ object QueriesCorpus {
         |      'https?://[^\s]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+    "q_cr_web" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    (CAST(len(w) AS BIGINT) BETWEEN 50 AND 100000)
+        |    AND (CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END BETWEEN 3.0 AND 10.0)
+        |    AND (CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(length(text) - length(replace(text, '#', ''))
+        |        + (length(text) - length(replace(text, '...', ''))) / 3
+        |        + length(text) - length(replace(text, chr(8230), '')) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.1)
+        |    AND (CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(len(list_filter(ls, l -> starts_with(l, chr(8226))
+        |          OR starts_with(l, '-') OR starts_with(l, '*'))) AS DOUBLE)
+        |        / CAST(len(ls) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.9)
+        |    AND (CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(len(list_filter(ls, l -> ends_with(l, '...')
+        |          OR ends_with(l, chr(8230)))) AS DOUBLE)
+        |        / CAST(len(ls) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.3)
+        |    AND (CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END >= 0.8)
+        |    AND (len(list_filter(list_distinct(w), x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], x))) >= 2) AS gopher_ok
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id,
+        |    NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+        |      AND length(coalesce(ct, '')) - length(regexp_replace(coalesce(ct, ''), '[.!?]', '', 'g')) >= 3 AS c4_ok
+        |  FROM (
+        |    SELECT doc_id, text, array_to_string(
+        |      list_filter(ls, l -> (ends_with(l, '.') OR ends_with(l, '!')
+        |          OR ends_with(l, '?') OR ends_with(l, '"'))
+        |        AND len(list_filter(regexp_split_to_array(l, '\s+'), x -> x <> '')) >= 3),
+        |      chr(10)) AS ct
+        |    FROM t)),
+        |r AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN len(rls) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(len(rls) - len(list_distinct(rls)) AS DOUBLE)
+        |        / CAST(len(rls) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.3)
+        |    AND (CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.3)
+        |    AND (CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+        |      (CAST(list_max(list_transform(list_distinct(w), d ->
+        |          len(list_filter(w, x -> x = d)))) AS DOUBLE)
+        |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.2) AS rep_ok
+        |  FROM (SELECT doc_id, w, string_split(text, chr(10)) AS rls
+        |        FROM t)),
+        |ch AS (SELECT doc_id, md5(trim(lower(text))) AS h FROM documents),
+        |canon AS (SELECT h, min(doc_id) AS cid FROM ch GROUP BY 1)
+        |SELECT t.doc_id, g.gopher_ok, c.c4_ok, r.rep_ok,
+        |  (t.doc_id = canon.cid) AS exact_canonical,
+        |  g.gopher_ok AND c.c4_ok AND r.rep_ok AND (t.doc_id = canon.cid) AS keep
+        |FROM t
+        |JOIN g USING (doc_id) JOIN c USING (doc_id) JOIN r USING (doc_id)
+        |JOIN ch ON ch.doc_id = t.doc_id JOIN canon ON canon.h = ch.h""".stripMargin,
     "q_tx_c4" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -188,6 +188,55 @@ object Curate {
         })
   }
 
+  /** The published WEB-curation composition — the FineWeb/RefinedWeb recipe
+    * assembled from this engine's cited gates, each individually
+    * oracle-verified (q_tx_gopher, q_tx_c4, q_tx_repetition, q_dd_exact):
+    *
+    *   - `gopher_ok` — [[TextAnalysis.gopherRules]]' rule set
+    *   - `c4_ok`     — [[TextAnalysis.c4Clean]]'s line/page gates
+    *   - `rep_ok`    — [[TextAnalysis.repetitionMetrics]] ratios under the
+    *                   Gopher repetition thresholds (dup-line ≤ 0.3 and
+    *                   the token-grain ratios below their caps)
+    *   - `exact_canonical` — the doc is its content hash's minimum id
+    *
+    * ANDed into `keep`; flags surfaced per document (observability over
+    * destructive filtering, the [[decide]] contract). Scale shape: the
+    * three heuristic gates are ONE shared per-row projection (the
+    * expression builders compose — no flag-join fan-out); the only
+    * shuffles are the exact-dedup hash aggregate and its keyed join back.
+    */
+  def decideWeb(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDupLineRatio: Double = 0.3,
+      maxDupTokenRatio: Double = 0.3,
+      maxTopTokenRatio: Double = 0.2): DataFrame = {
+    val id = col(idCol)
+    val safe = docs.withColumn(textCol, coalesce(col(textCol), lit("")))
+    val gopherKeep = TextAnalysis
+      .gopherExprs(textCol, 50, 100000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2)
+      .toMap.apply("keep")
+    val c4Keep = TextAnalysis.c4Exprs(textCol, 3, 3).toMap.apply("keep")
+    val rep = TextAnalysis.repetitionExprs(textCol, "\n").toMap
+    val repOk = rep("dup_line_ratio") <= maxDupLineRatio &&
+      rep("dup_token_ratio") <= maxDupTokenRatio &&
+      rep("top_token_ratio") <= maxTopTokenRatio
+    val flagged = safe.select(
+      id,
+      md5(trim(lower(col(textCol)))).as("_ch"),
+      gopherKeep.as("gopher_ok"),
+      c4Keep.as("c4_ok"),
+      repOk.as("rep_ok"))
+    val exact = Dedup.exact(safe, idCol, textCol)
+      .select(col("content_hash").as("_ch"), col("canonical_id"))
+    flagged.join(exact, Seq("_ch"))
+      .select(id, col("gopher_ok"), col("c4_ok"), col("rep_ok"),
+        (id === col("canonical_id")).as("exact_canonical"))
+      .withColumn("keep",
+        col("gopher_ok") && col("c4_ok") && col("rep_ok") && col("exact_canonical"))
+  }
+
   /** Cluster representative selection: instead of keeping each duplicate
     * cluster's MINIMUM id (the [[ConnectedComponents]] default), keep its
     * best-scoring member — real pipelines keep the longest / highest-quality

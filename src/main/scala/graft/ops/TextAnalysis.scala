@@ -205,7 +205,25 @@ object TextAnalysis {
       maxBulletRatio: Double = 0.9,
       maxEllipsisRatio: Double = 0.3,
       minAlphaRatio: Double = 0.8,
-      minStopHits: Int = 2): DataFrame = {
+      minStopHits: Int = 2): DataFrame =
+    df.select(col(idCol) +: gopherExprs(textCol, minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletRatio,
+      maxEllipsisRatio, minAlphaRatio, minStopHits)
+      .map { case (n, c) => c.as(n) }: _*)
+
+  /** The [[gopherRules]] output columns as named pure expressions — shared
+    * with [[Curate.decideWeb]]'s single-projection composition. */
+  private[ops] def gopherExprs(
+      textCol: String,
+      minWords: Int,
+      maxWords: Int,
+      minMeanWordLen: Double,
+      maxMeanWordLen: Double,
+      maxSymbolRatio: Double,
+      maxBulletRatio: Double,
+      maxEllipsisRatio: Double,
+      minAlphaRatio: Double,
+      minStopHits: Int): Seq[(String, Column)] = {
     val t = toks(col(textCol))
     val nW = size(t)
     def ratio(num: Column, den: Column) =
@@ -226,23 +244,26 @@ object TextAnalysis {
     val alphaWords = size(filter(t, w => w.rlike("[a-z]")))
     val stopHits = hits(array_distinct(t), GopherStopwords)
     val r = (c: Column) => graft.Functions.roundHalfUp(c, 4)
-    df.select(
-      col(idCol),
-      nW.cast("long").as("word_count"),
-      r(meanLen).as("mean_word_len"),
-      r(symRatio).as("symbol_ratio"),
-      r(ratio(bulletLines, nLines)).as("bullet_ratio"),
-      r(ratio(ellLines, nLines)).as("ellipsis_ratio"),
-      r(ratio(alphaWords, nW)).as("alpha_ratio"),
-      stopHits.cast("long").as("stop_hits"))
-      .withColumn("keep",
-        col("word_count").between(minWords, maxWords) &&
-          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
-          col("symbol_ratio") <= maxSymbolRatio &&
-          col("bullet_ratio") <= maxBulletRatio &&
-          col("ellipsis_ratio") <= maxEllipsisRatio &&
-          col("alpha_ratio") >= minAlphaRatio &&
-          col("stop_hits") >= minStopHits)
+    val wordCount = nW.cast("long")
+    val meanLenR = r(meanLen)
+    val symR = r(symRatio)
+    val bulletR = r(ratio(bulletLines, nLines))
+    val ellR = r(ratio(ellLines, nLines))
+    val alphaR = r(ratio(alphaWords, nW))
+    val stopL = stopHits.cast("long")
+    Seq(
+      "word_count" -> wordCount,
+      "mean_word_len" -> meanLenR,
+      "symbol_ratio" -> symR,
+      "bullet_ratio" -> bulletR,
+      "ellipsis_ratio" -> ellR,
+      "alpha_ratio" -> alphaR,
+      "stop_hits" -> stopL,
+      "keep" -> (wordCount.between(minWords, maxWords) &&
+        meanLenR.between(minMeanWordLen, maxMeanWordLen) &&
+        symR <= maxSymbolRatio && bulletR <= maxBulletRatio &&
+        ellR <= maxEllipsisRatio && alphaR >= minAlphaRatio &&
+        stopL >= minStopHits))
   }
 
   /** C4's line-level cleaner (Raffel et al., "Exploring the Limits of
@@ -265,7 +286,16 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       minLineWords: Int = 3,
-      minSentences: Int = 3): DataFrame = {
+      minSentences: Int = 3): DataFrame =
+    df.select(col(idCol) +: c4Exprs(textCol, minLineWords, minSentences)
+      .map { case (n, c) => c.as(n) }: _*)
+
+  /** The [[c4Clean]] output columns as named pure expressions — shared with
+    * [[Curate.decideWeb]]'s single-projection composition. */
+  private[ops] def c4Exprs(
+      textCol: String,
+      minLineWords: Int,
+      minSentences: Int): Seq[(String, Column)] = {
     val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
     val kept = filter(lines, l =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
@@ -274,14 +304,13 @@ object TextAnalysis {
     val sentences = length(cleanText) -
       length(regexp_replace(cleanText, "[.!?]", ""))
     val lowered = lower(col(textCol))
-    df.select(
-      col(idCol),
-      cleanText.as("clean_text"),
-      size(kept).cast("long").as("lines_kept"),
-      size(lines).cast("long").as("lines_total"),
-      sentences.cast("long").as("sentences"),
-      (!lowered.contains("lorem ipsum") && !col(textCol).contains("{") &&
-        sentences >= minSentences).as("keep"))
+    Seq(
+      "clean_text" -> cleanText,
+      "lines_kept" -> size(kept).cast("long"),
+      "lines_total" -> size(lines).cast("long"),
+      "sentences" -> sentences.cast("long"),
+      "keep" -> (!lowered.contains("lorem ipsum") && !col(textCol).contains("{") &&
+        sentences >= minSentences))
   }
 
   /** Repetition metrics — the Gopher-style within-document repetition
@@ -301,7 +330,13 @@ object TextAnalysis {
     * the same bound (and the same explode fallback, documented at
     * [[dedupLines]]) as the rest of the per-document family.
     */
-  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String, sep: String = "\n"): DataFrame = {
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String, sep: String = "\n"): DataFrame =
+    df.select(col(idCol) +: repetitionExprs(textCol, sep)
+      .map { case (n, c) => c.as(n) }: _*)
+
+  /** The [[repetitionMetrics]] output columns as named pure expressions —
+    * shared with [[Curate.decideWeb]]'s single-projection composition. */
+  private[ops] def repetitionExprs(textCol: String, sep: String): Seq[(String, Column)] = {
     val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
     val nLines = size(lines)
     val dupLines = nLines - size(array_distinct(lines))
@@ -319,13 +354,12 @@ object TextAnalysis {
       array_distinct(t), d => size(filter(t, x => x === d))))
     def ratio(num: Column, den: Column) =
       when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
-    df.select(
-      col(idCol),
-      graft.Functions.roundHalfUp(ratio(dupLines, nLines), 4).as("dup_line_ratio"),
-      graft.Functions.roundHalfUp(ratio(dupLineChars, allLineChars), 4).as("dup_line_char_ratio"),
-      graft.Functions.roundHalfUp(ratio(dupToks, nToks), 4).as("dup_token_ratio"),
-      graft.Functions.roundHalfUp(
-        when(nToks === 0, lit(0.0)).otherwise(ratio(topTok, nToks)), 4).as("top_token_ratio"))
+    Seq(
+      "dup_line_ratio" -> graft.Functions.roundHalfUp(ratio(dupLines, nLines), 4),
+      "dup_line_char_ratio" -> graft.Functions.roundHalfUp(ratio(dupLineChars, allLineChars), 4),
+      "dup_token_ratio" -> graft.Functions.roundHalfUp(ratio(dupToks, nToks), 4),
+      "top_token_ratio" -> graft.Functions.roundHalfUp(
+        when(nToks === 0, lit(0.0)).otherwise(ratio(topTok, nToks)), 4))
   }
 
   /** Corpus vocabulary statistics: per-token total frequency (tf) and

@@ -171,4 +171,39 @@ class CurateSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("decideWeb: each gate trips independently; heuristics stay one projection") {
+    import spark.implicits._
+    val goodText = (1 to 60)
+      .map(i => s"unit$i the alpha$i of bravo$i charlie$i delta$i echo$i ok$i.")
+      .mkString("\n")
+    val docs = Seq(
+      (0L, goodText),                                   // passes everything
+      (1L, goodText),                                   // exact dup of 0 → not canonical
+      (2L, "short no keep."),                           // gopher word count
+      (3L, goodText + "\nfunction f() { broken }"),     // c4 brace gate
+      (4L, (1 to 200).map(_ => "the of and that same same") // repetition caps
+        .mkString(" ") + ".")
+    ).toDF("doc_id", "text")
+    val df = graft.ops.Curate.decideWeb(docs, "doc_id", "text")
+    val got = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(got(0L) === ((true, true, true, true, true)))
+    assert(got(1L)._4 === false && got(1L)._5 === false, "dup must lose canonicality")
+    assert(got(2L)._1 === false && got(2L)._5 === false, "gopher gate")
+    assert(got(3L)._2 === false && got(3L)._5 === false, "c4 gate")
+    assert(got(4L)._3 === false && got(4L)._5 === false, "repetition gate")
+    // the three heuristic gates must NOT fan out into per-flag joins: the
+    // only joins in the plan belong to the exact-dedup canonical lookup
+    df.collect()
+    // AQE's toString carries Final AND Initial plan sections — count the
+    // final one only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"))
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size
+    assert(joins <= 1, s"flag fan-out joins detected ($joins):\n$plan")
+  }
 }
