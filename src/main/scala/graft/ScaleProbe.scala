@@ -81,6 +81,10 @@ object ScaleProbe {
       .learn(docsAt(base), "text", vocabSize = 40, seedSize = 40)
       .cache()
     ugVocab.count()
+    val wpVocab = graft.ops.WordPiece.vocabulary(docsAt(base), "text",
+        graft.ops.WordPiece.learn(docsAt(base), "text", numMerges = 32))
+      .cache()
+    wpVocab.count()
     val ops: Seq[(String, String => Long)] = Seq(
       "exact" -> (d => graft.ops.Dedup.exact(docsAt(d), "doc_id", "text").count()),
       "minhash_sig" -> (d =>
@@ -230,7 +234,25 @@ object ScaleProbe {
       "ug_encode" -> { d =>
         val docs = docsAt(d)
         graft.ops.Unigram.encode(docs, "doc_id", "text", ugVocab).count()
-      })
+      },
+      // WordPiece greedy encode under the base-learned vocabulary — the
+      // same broadcast-vocab mapPartitions shape, expect ~linear
+      "wp_encode" -> { d =>
+        val docs = docsAt(d)
+        graft.ops.WordPiece.encode(docs, "doc_id", "text", wpVocab).count()
+      },
+      // LR fit: per-iteration cost = one pass + a ≤buckets map-side-
+      // combinable shuffle; 10x rows ⇒ ~10x scan work per iteration
+      "lr_fit" -> { d =>
+        val docs = docsAt(d).withColumn("_y",
+          when(col("lang") === "en", 1).otherwise(0))
+        graft.ops.Logistic.lrFit(docs, "_y", "text",
+          n = 2, buckets = 64, iters = 5).weights.count()
+      },
+      // composed web-curation gates: one per-row projection + the exact-
+      // dedup aggregate/join — expect ~linear
+      "cr_web" -> (d =>
+        graft.ops.Curate.decideWeb(docsAt(d), "doc_id", "text").count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
