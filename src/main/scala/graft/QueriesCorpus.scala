@@ -411,6 +411,21 @@ object QueriesCorpus {
         train, "doc_id", "text", docs, "doc_id", "text", vocabSize = vocab)
     }),
 
+    // CCNet perplexity bucketing (Wenzek et al. 2020): per-language
+    // head/middle/tail terciles over the stupid-backoff perplexity —
+    // the exact ntile form the approx histogram path is oracled against
+    "q_tx_ccnet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val vocab = TextAnalysis.vocabStats(train, "doc_id", "text").count()
+      val scored = TextAnalysis.stupidBackoffScore(
+        train, "doc_id", "text", docs, "doc_id", "text", vocabSize = vocab)
+      TextAnalysis.perplexityBuckets(
+          scored.join(docs.select("doc_id", "lang"), Seq("doc_id")),
+          "doc_id", "lang", "sb_ppl")
+        .select("doc_id", "lang", "sb_ppl", "ppl_bucket")
+    }),
+
     // Gopher rule-based quality gate (Rae et al. 2021 A.1.1): published
     // thresholds over word count / mean word length / symbol / bullet /
     // ellipsis / alphabetic / required-stopword rules — every metric and
@@ -939,6 +954,58 @@ object QueriesCorpus {
       |  FROM spans GROUP BY doc_id, span_id)""".stripMargin
   }
 
+  // the full stupid-backoff scoring query, shared verbatim between its
+  // own oracle and the CCNet bucket composition
+  private val sbPplOracleSql: String =
+    """WITH tr AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |t3 AS (
+        |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+        |    t[CAST(i AS INT) + 2] AS w3
+        |  FROM tr, unnest(range(1, len(t) - 1)) AS u(i)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM t3 GROUP BY 1, 2, 3),
+        |bt AS (
+        |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |  FROM tr, unnest(range(1, len(t))) AS u(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bt GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT x AS token, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS x FROM tr) WHERE x <> '' GROUP BY 1),
+        |nn AS (SELECT coalesce(sum(c1), 0) AS n FROM c1),
+        |v AS (
+        |  SELECT count(DISTINCT x) AS v
+        |  FROM (SELECT unnest(t) AS x FROM tr) WHERE x <> ''),
+        |sb AS (
+        |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+        |    t[CAST(i AS INT) + 2] AS w3
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |        FROM documents), unnest(range(1, len(t) - 1)) AS u(i)),
+        |nll AS (
+        |  SELECT sb.doc_id,
+        |    CAST(floor(-ln(
+        |      CASE
+        |        WHEN c3.c3 IS NOT NULL AND c12.c2 IS NOT NULL
+        |          THEN CAST(c3.c3 AS DOUBLE) / c12.c2
+        |        WHEN c23.c2 IS NOT NULL
+        |          THEN 0.4 * CAST(c23.c2 AS DOUBLE) / cw2.c1
+        |        WHEN cu.c1 IS NOT NULL
+        |          THEN 0.4 * 0.4 * CAST(cu.c1 AS DOUBLE) / nn.n
+        |        ELSE 0.4 * 0.4 / (nn.n + v.v)
+        |      END) * 1e9 + 0.5) AS BIGINT) AS s
+        |  FROM sb
+        |  LEFT JOIN c3 USING (w1, w2, w3)
+        |  LEFT JOIN c2 c12 ON c12.w1 = sb.w1 AND c12.w2 = sb.w2
+        |  LEFT JOIN c2 c23 ON c23.w1 = sb.w2 AND c23.w2 = sb.w3
+        |  LEFT JOIN c1 cw2 ON cw2.token = sb.w2
+        |  LEFT JOIN c1 cu ON cu.token = sb.w3
+        |  CROSS JOIN nn CROSS JOIN v),
+        |ag AS (SELECT doc_id, count(*) AS n_trigrams, sum(s) AS ss FROM nll GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ag.n_trigrams, 0) AS n_trigrams,
+        |  floor(CAST(ss AS DOUBLE) / n_trigrams / 1e9 * 1e6 + 0.5) / 1e6 AS avg_nll,
+        |  floor(exp(CAST(ss AS DOUBLE) / n_trigrams / 1e9) * 1e4 + 0.5) / 1e4 AS sb_ppl
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dd_exact" ->
       """SELECT md5(trim(lower(text))) AS content_hash, min(doc_id) AS canonical_id,
@@ -1193,55 +1260,17 @@ object QueriesCorpus {
         |  floor(CAST(ss AS DOUBLE) / n_bigrams / 1e9 * 1e6 + 0.5) / 1e6 AS avg_nll,
         |  floor(exp(CAST(ss AS DOUBLE) / n_bigrams / 1e9) * 1e4 + 0.5) / 1e4 AS perplexity
         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
-    "q_tx_sb_ppl" ->
-      """WITH tr AS (
-        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
-        |  FROM documents WHERE doc_id % 5 <> 0),
-        |t3 AS (
-        |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
-        |    t[CAST(i AS INT) + 2] AS w3
-        |  FROM tr, unnest(range(1, len(t) - 1)) AS u(i)),
-        |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM t3 GROUP BY 1, 2, 3),
-        |bt AS (
-        |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
-        |  FROM tr, unnest(range(1, len(t))) AS u(i)),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bt GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT x AS token, count(*) AS c1
-        |  FROM (SELECT unnest(t) AS x FROM tr) WHERE x <> '' GROUP BY 1),
-        |nn AS (SELECT coalesce(sum(c1), 0) AS n FROM c1),
-        |v AS (
-        |  SELECT count(DISTINCT x) AS v
-        |  FROM (SELECT unnest(t) AS x FROM tr) WHERE x <> ''),
-        |sb AS (
-        |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
-        |    t[CAST(i AS INT) + 2] AS w3
-        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-        |        FROM documents), unnest(range(1, len(t) - 1)) AS u(i)),
-        |nll AS (
-        |  SELECT sb.doc_id,
-        |    CAST(floor(-ln(
-        |      CASE
-        |        WHEN c3.c3 IS NOT NULL AND c12.c2 IS NOT NULL
-        |          THEN CAST(c3.c3 AS DOUBLE) / c12.c2
-        |        WHEN c23.c2 IS NOT NULL
-        |          THEN 0.4 * CAST(c23.c2 AS DOUBLE) / cw2.c1
-        |        WHEN cu.c1 IS NOT NULL
-        |          THEN 0.4 * 0.4 * CAST(cu.c1 AS DOUBLE) / nn.n
-        |        ELSE 0.4 * 0.4 / (nn.n + v.v)
-        |      END) * 1e9 + 0.5) AS BIGINT) AS s
-        |  FROM sb
-        |  LEFT JOIN c3 USING (w1, w2, w3)
-        |  LEFT JOIN c2 c12 ON c12.w1 = sb.w1 AND c12.w2 = sb.w2
-        |  LEFT JOIN c2 c23 ON c23.w1 = sb.w2 AND c23.w2 = sb.w3
-        |  LEFT JOIN c1 cw2 ON cw2.token = sb.w2
-        |  LEFT JOIN c1 cu ON cu.token = sb.w3
-        |  CROSS JOIN nn CROSS JOIN v),
-        |ag AS (SELECT doc_id, count(*) AS n_trigrams, sum(s) AS ss FROM nll GROUP BY 1)
-        |SELECT d.doc_id, coalesce(ag.n_trigrams, 0) AS n_trigrams,
-        |  floor(CAST(ss AS DOUBLE) / n_trigrams / 1e9 * 1e6 + 0.5) / 1e6 AS avg_nll,
-        |  floor(exp(CAST(ss AS DOUBLE) / n_trigrams / 1e9) * 1e4 + 0.5) / 1e4 AS sb_ppl
-        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin,
+    "q_tx_sb_ppl" -> sbPplOracleSql,
+    // CCNet terciles over the stupid-backoff scores, per language
+    "q_tx_ccnet" ->
+      s"""WITH scored AS ($sbPplOracleSql)
+         |SELECT doc_id, lang, sb_ppl,
+         |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+         |FROM (
+         |  SELECT s.doc_id, d.lang, s.sb_ppl,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY s.sb_ppl ASC NULLS LAST, s.doc_id) AS t
+         |  FROM scored s JOIN documents d USING (doc_id))""".stripMargin,
     "q_pq_encode" ->
       s"""WITH $pqCteSql
          |SELECT vec_id, subspace, code FROM enc""".stripMargin,

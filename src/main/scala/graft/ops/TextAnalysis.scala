@@ -170,6 +170,65 @@ object TextAnalysis {
         count(lit(1)).as("kept_lines"))
   }
 
+  /** CCNet's perplexity bucketing (Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", 2020): per
+    * language, split documents into equal head / middle / tail thirds by
+    * LM perplexity ascending (head = most-fluent third — the slice CCNet
+    * keeps for pretraining). `scored` carries one row per doc with
+    * `langCol` and `pplCol` (e.g. [[stupidBackoffScore]]'s `sb_ppl`).
+    *
+    * This is the EXACT tercile form — one ntile window per language, ties
+    * broken on the id so the assignment is deterministic and the DuckDB
+    * oracle (q_tx_ccnet) reproduces it row-for-row. A language's window
+    * partition carries all its rows, so at web scale use
+    * [[perplexityBucketsApprox]] (CCNet itself cuts on histogram
+    * thresholds); this exact twin is its oracle on bounded data — the
+    * q_ann_brute / LSH relationship.
+    */
+  def perplexityBuckets(
+      scored: DataFrame,
+      idCol: String,
+      langCol: String,
+      pplCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col(pplCol).asc_nulls_last, col(idCol).asc)
+    scored
+      .withColumn("_t", ntile(3).over(w))
+      .withColumn("ppl_bucket",
+        when(col("_t") === 1, "head").when(col("_t") === 2, "middle")
+          .otherwise("tail"))
+      .drop("_t")
+  }
+
+  /** The web-scale twin of [[perplexityBuckets]]: per-language tercile
+    * CUTOFFS from a mergeable bounded-memory sketch
+    * (`approx_percentile`), broadcast back and applied per row — no
+    * language-wide window, no skewed partition. Buckets can differ from
+    * the exact form only for documents whose perplexity sits within the
+    * sketch's error of a cutoff (the CCNet histogram-threshold shape).
+    */
+  def perplexityBucketsApprox(
+      scored: DataFrame,
+      idCol: String,
+      langCol: String,
+      pplCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val cuts = scored
+      .filter(col(pplCol).isNotNull)
+      .groupBy(col(langCol))
+      .agg(percentile_approx(col(pplCol),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("_cuts"))
+    scored.join(broadcast(cuts), Seq(langCol), "left")
+      .withColumn("ppl_bucket",
+        when(col(pplCol).isNull, lit("tail"))
+          .when(col(pplCol) <= element_at(col("_cuts"), 1), "head")
+          .when(col(pplCol) <= element_at(col("_cuts"), 2), "middle")
+          .otherwise("tail"))
+      // the key join put langCol first — restore the caller's column order
+      .select(scored.columns.map(col).toSeq :+ col("ppl_bucket"): _*)
+  }
+
   /** The Gopher required-word list: a kept document must contain at least
     * [[gopherRules]]' `minStopHits` of these (Rae et al. 2021, A.1.1). */
   val GopherStopwords: Seq[String] =

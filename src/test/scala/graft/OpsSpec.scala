@@ -632,6 +632,33 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("perplexityBuckets: per-language terciles; approx twin agrees off-cutoff") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // two languages, six docs each, distinct perplexities
+    val scored = (0 until 6).map(i => (i.toLong, "en", 10.0 + i)) ++
+      (10 until 16).map(i => (i.toLong, "de", 100.0 - i))
+    val df = scored.toDF("doc_id", "lang", "ppl")
+    val exact = TextAnalysis.perplexityBuckets(df, "doc_id", "lang", "ppl")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // en ascending by ppl: 0,1 head; 2,3 middle; 4,5 tail
+    assert(exact(0L) === "head" && exact(1L) === "head")
+    assert(exact(2L) === "middle" && exact(3L) === "middle")
+    assert(exact(4L) === "tail" && exact(5L) === "tail")
+    // de ppl DESCENDS with id: 15,14 head … 11,10 tail
+    assert(exact(15L) === "head" && exact(10L) === "tail")
+    val approx = TextAnalysis.perplexityBucketsApprox(df, "doc_id", "lang", "ppl")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(approx === exact, "with distinct values and n % 3 == 0 the twins agree")
+    // null perplexity sinks to tail in both forms
+    val withNull = df.unionByName(Seq((99L, "en", null.asInstanceOf[java.lang.Double]))
+      .toDF("doc_id", "lang", "ppl"))
+    assert(TextAnalysis.perplexityBuckets(withNull, "doc_id", "lang", "ppl")
+      .filter(col("doc_id") === 99L).head().getString(3) === "tail")
+    assert(TextAnalysis.perplexityBucketsApprox(withNull, "doc_id", "lang", "ppl")
+      .filter(col("doc_id") === 99L).head().getString(3) === "tail")
+  }
+
   test("c4Clean: line gate + page gates behave per the published rules") {
     import spark.implicits._
     import graft.ops.TextAnalysis
