@@ -788,6 +788,38 @@ class SnapshotLake(spark: SparkSession, root: String) {
     }
   }
 
+  /** Delta-style RESTORE: make `version`'s content the LATEST state again
+    * as a NEW commit whose manifest references that version's immutable
+    * data directories — zero data I/O, pure metadata, exactly the
+    * by-reference carry-over [[optimize]] uses. History is append-only
+    * (the rollback is itself a commit, auditable via [[history]]), the
+    * restored directories become live again so [[vacuum]] keeps them, and
+    * [[changes]] across the restore boundary reports precisely the rows
+    * that reverted. Exactly-once watermarks carry forward from the CURRENT
+    * latest, not the restored version — a restore moves data back, never
+    * the idempotence clock (replaying an already-committed batch after a
+    * restore must still be a no-op).
+    *
+    * Restoring a vacuumed version fails with the same named error as the
+    * change feed ([[manifestForChanges]]) — its data is gone.
+    */
+  def restore(version: Long): Long = {
+    val target = manifestForChanges(version)
+    require(target.nonEmpty, s"empty manifest v$version")
+    var committed = -1L
+    while (committed < 0) {
+      val latest = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val txns = readTxns(latest)
+      touchDirs(target.values)
+      if (writeManifestAtomic(latest + 1, target, txns)) {
+        committed = latest + 1
+        writeInfo(committed, "restore", target.size)
+      }
+    }
+    committed
+  }
+
   /** Read a snapshot (default: latest). Partition values come back as
     * string columns named after `partitionCols` given at commit time —
     * callers re-cast as needed (mirrors partition-directory discovery).

@@ -613,6 +613,35 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(lake.read(Seq("part")).collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("restore: rollback is a by-reference commit; history, vacuum, and CDF agree") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    def rows(p: String, pointer: String) =
+      (0 until 5).map(i => (i.toLong, p, pointer)).toDF("id", "part", "pointer")
+    lake.commit(rows("a", "v1"), Seq("part"))
+    lake.commit(rows("a", "v2"), Seq("part"))
+    lake.commit(rows("b", "v3"), Seq("part"))
+    val v4 = lake.restore(1L)
+    assert(v4 === 4L)
+    // content is exactly v1's
+    val got = lake.read(Seq("part")).select("part", "pointer").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "v1")))
+    assert(lake.history.map(_._2).contains("restore"))
+    // the restore boundary reports exactly the reverted rows
+    val ch = lake.changes(3L, v4, Seq("id", "part"), Seq("part"))
+    assert(ch.filter(col("_change") === "delete").count() === 5L, "partition b rows revert away")
+    assert(ch.filter(col("_change") === "update_post")
+      .select("pointer").distinct().collect().map(_.getString(0)).toSeq === Seq("v1"))
+    // vacuum keeps the restored (re-referenced) dirs live
+    lake.vacuum(keepLast = 1, minAgeMs = 0L)
+    assert(lake.read(Seq("part")).select("pointer").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("v1"))
+    // restoring a vacuumed version fails with the named error
+    val e = intercept[IllegalStateException](lake.restore(2L))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
   test("changes()/changedPartitions against a vacuumed baseline fail loudly, not empty") {
     import spark.implicits._
     val (lake, _) = fresh()
