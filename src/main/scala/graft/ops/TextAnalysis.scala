@@ -192,13 +192,18 @@ object TextAnalysis {
       pplCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(langCol))
-      .orderBy(col(pplCol).asc_nulls_last, col(idCol).asc)
-    scored
+      .orderBy(col(pplCol).asc, col(idCol).asc)
+    // NULL perplexity is "fluency unknown" → tail, HARD-mapped (matching
+    // the approx twin) and EXCLUDED from the tercile window — inside it a
+    // null row would still consume a tercile slot and shift real docs
+    val scoredRows = scored.filter(col(pplCol).isNotNull)
       .withColumn("_t", ntile(3).over(w))
       .withColumn("ppl_bucket",
         when(col("_t") === 1, "head").when(col("_t") === 2, "middle")
           .otherwise("tail"))
       .drop("_t")
+    scoredRows.unionByName(
+      scored.filter(col(pplCol).isNull).withColumn("ppl_bucket", lit("tail")))
   }
 
   /** The web-scale twin of [[perplexityBuckets]]: per-language tercile
@@ -216,10 +221,15 @@ object TextAnalysis {
       accuracy: Int = 10000): DataFrame = {
     val cuts = scored
       .filter(col(pplCol).isNotNull)
-      .groupBy(col(langCol))
+      .groupBy(col(langCol).as("_cut_lang"))
       .agg(percentile_approx(col(pplCol),
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("_cuts"))
-    scored.join(broadcast(cuts), Seq(langCol), "left")
+    // null-SAFE key match: a NULL language is a real group (undetected
+    // language) and must tercile like any other, exactly as the exact form
+    // windows it — a plain equi-join would drop its cutoffs and silently
+    // sink every null-lang doc to tail
+    scored.join(broadcast(cuts), col(langCol) <=> col("_cut_lang"), "left")
+      .drop("_cut_lang")
       .withColumn("ppl_bucket",
         when(col(pplCol).isNull, lit("tail"))
           .when(col(pplCol) <= element_at(col("_cuts"), 1), "head")
@@ -283,7 +293,9 @@ object TextAnalysis {
       maxEllipsisRatio: Double,
       minAlphaRatio: Double,
       minStopHits: Int): Seq[(String, Column)] = {
-    val t = toks(col(textCol))
+    // empty-token filter: Dedup.tokens("") is [""], which would count a
+    // blank page as one word — the oracles filter empties, so must we
+    val t = filter(toks(col(textCol)), x => x =!= "")
     val nW = size(t)
     def ratio(num: Column, den: Column) =
       when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))

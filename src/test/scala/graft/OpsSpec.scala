@@ -650,13 +650,26 @@ class OpsSpec extends SparkSpec {
     val approx = TextAnalysis.perplexityBucketsApprox(df, "doc_id", "lang", "ppl")
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(approx === exact, "with distinct values and n % 3 == 0 the twins agree")
-    // null perplexity sinks to tail in both forms
+    // null perplexity sinks to tail in both forms AND does not consume a
+    // tercile slot: the en terciles must be unchanged by the null row
     val withNull = df.unionByName(Seq((99L, "en", null.asInstanceOf[java.lang.Double]))
       .toDF("doc_id", "lang", "ppl"))
-    assert(TextAnalysis.perplexityBuckets(withNull, "doc_id", "lang", "ppl")
-      .filter(col("doc_id") === 99L).head().getString(3) === "tail")
+    val exactN = TextAnalysis.perplexityBuckets(withNull, "doc_id", "lang", "ppl")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(exactN(99L) === "tail")
+    assert(exactN.filterKeys(_ != 99L).toMap === exact, "null must not shift real terciles")
     assert(TextAnalysis.perplexityBucketsApprox(withNull, "doc_id", "lang", "ppl")
       .filter(col("doc_id") === 99L).head().getString(3) === "tail")
+    // a NULL language is a real group (undetected language): both forms
+    // tercile it rather than defaulting it to tail
+    val nullLang = (20 until 26).map(i => (i.toLong, null.asInstanceOf[String], 5.0 + i))
+      .toDF("doc_id", "lang", "ppl")
+    val ex = TextAnalysis.perplexityBuckets(nullLang, "doc_id", "lang", "ppl")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val ap = TextAnalysis.perplexityBucketsApprox(nullLang, "doc_id", "lang", "ppl")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(ex === ap)
+    assert(ex(20L) === "head" && ex(25L) === "tail")
   }
 
   test("c4Clean: line gate + page gates behave per the published rules") {

@@ -74,7 +74,9 @@ def fit(docs):
             r = 1.0 / (1.0 + math.exp(-m)) - y
             contribs = [(-1, r)] + [(b, r * x) for b, x in f]
             for b, g in contribs:
-                q = Decimal(g).quantize(QUANTUM, rounding=ROUND_HALF_UP)
+                # mirror the engine: Spark casts double->DECIMAL(38,18) via the
+                # SHORTEST decimal form (Double.toString), not the exact binary
+                q = Decimal(repr(g)).quantize(QUANTUM, rounding=ROUND_HALF_UP)
                 grads[b] = grads.get(b, Decimal(0)) + q
         w = [w[b] - STEP * (float(grads.get(b, Decimal(0))) / n_docs + L2 * w[b])
              for b in range(BUCKETS)]

@@ -129,7 +129,9 @@ def em_round(wf, logp, max_piece_len):
     for w, f in wf.items():
         counts, _ = forward_backward(list(BOUNDARY + w), logp, max_piece_len)
         for p, e in counts.items():
-            q = Decimal(e * f).quantize(QUANTUM, rounding=ROUND_HALF_UP)
+            # mirror the engine: Spark casts double->DECIMAL(38,18) via the
+            # SHORTEST decimal form (Double.toString), not the exact binary
+            q = Decimal(repr(e * f)).quantize(QUANTUM, rounding=ROUND_HALF_UP)
             dec[p] = dec.get(p, Decimal(0)) + q
     items = sorted(dec.items())
     counts_map = {p: float(v) for p, v in items}
