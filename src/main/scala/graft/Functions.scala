@@ -4,11 +4,12 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.expressions.SequenceRatio
+import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, SequenceRatio, SquaredDistance}
 
 /** The engine's scalar-function surface (reference SURVEY.md §2.10–2.11),
-  * composed from codegen'd built-ins wherever possible; the only custom
-  * Catalyst expression is [[graft.expressions.SequenceRatio]].
+  * composed from codegen'd built-ins wherever possible; the custom Catalyst
+  * expressions are [[graft.expressions.SequenceRatio]] and the fused vector
+  * math in [[graft.expressions.VectorExpressions]].
   *
   * Hash-derived pseudo-random values are all md5-based so that any SQL engine
   * (the DuckDB oracle included) reproduces them bit-for-bit — no dependence
@@ -16,13 +17,49 @@ import graft.expressions.SequenceRatio
   */
 object Functions {
 
-  /** Register custom expressions for SQL use (`seq_ratio(a, b)`). */
+  /** Register custom expressions for SQL use (`seq_ratio(a, b)`,
+    * `vec_cosine(a, b)`, ...).
+    */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "seq_ratio",
       exprs => SequenceRatio(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sqdist", exprs => SquaredDistance(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_norm", exprs => L2Norm(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_normalize", exprs => L2Normalize(exprs.head), "built-in")
   }
+
+  /** Dot product of two `array<double>` columns — fused codegen'd loop with
+    * `aggregate(zip_with(a, b, *), 0.0, +)` fold semantics (bit-identical).
+    */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine similarity (0.0 when either norm is zero) — fused single-loop
+    * twin of the `zip_with`/`aggregate` composite.
+    */
+  def vecCosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Squared Euclidean distance of two `array<double>` columns. */
+  def vecSqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** L2 norm: `sqrt(aggregate(a, 0.0, acc + x*x))`. */
+  def vecNorm(a: Column): Column =
+    ColumnBridge.column(L2Norm(ColumnBridge.expression(a)))
+
+  /** Unit-normalize; zero vectors (and empty arrays) pass through. */
+  def vecNormalize(a: Column): Column =
+    ColumnBridge.column(L2Normalize(ColumnBridge.expression(a)))
 
   /** Ratcliff–Obershelp similarity (difflib-compatible), as a Column. */
   def seqRatio(a: Column, b: Column): Column =

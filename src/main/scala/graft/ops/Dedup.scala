@@ -684,15 +684,13 @@ object Dedup {
     // dot product instead of dot + two norms (the pair side is quadratic;
     // the per-row side is linear — always shift work to the linear side).
     val v = col(vecCol).cast("array<double>")
-    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
     val base = df.select(
       col(idCol).as("id"),
       col(blockCol).as("blk"),
-      when(norm === 0.0, v).otherwise(transform(v, x => x / norm)).as("v"))
+      graft.Functions.vecNormalize(v).as("v"))
     val a = base.alias("a")
     val b = base.hint("SHUFFLE_HASH").alias("b")
-    val dot = aggregate(
-      zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val dot = graft.Functions.vecDot(col("a.v"), col("b.v"))
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"),

@@ -71,9 +71,21 @@ object Logistic {
 
   /** margin = w₀ + Σ w[bucket]·x, folded left-to-right over the
     * bucket-sorted array — a fixed association order, so the double sum is
-    * reproducible everywhere.
+    * reproducible everywhere. Fused codegen'd
+    * [[graft.expressions.WeightedBucketSum]] (this is the per-document hot
+    * loop of corpus-scale scoring); [[marginColHof]] is the fold it must
+    * match bit-for-bit.
     */
   private def marginCol(w: Array[Double], b0: Double): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WeightedBucketSum(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("_f")),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(w), b0))
+
+  /** The original higher-order fold — kept as the executable specification
+    * of [[marginCol]] (VectorExpressionsSpec pins bit-identical margins).
+    */
+  private[graft] def marginColHof(w: Array[Double], b0: Double): Column =
     aggregate(col("_f"), lit(b0),
       (acc, s) => acc +
         element_at(array(w.map(lit).toSeq: _*), s.getField("bucket").cast("int") + 1) *

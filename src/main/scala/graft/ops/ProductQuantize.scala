@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * mean cells — both driver-bounded by construction (the IVF centroid
   * contract). `encode`/`adcDistance` are pure per-row expressions against
   * plan-time literal codebooks: no join, no shuffle, embarrassingly parallel.
-  * The expression carries m·k·dsub arithmetic terms — fine to k ≈ 32; a
-  * k=256 production codebook wants a codegen'd custom Expression (the
-  * [[graft.expressions.SequenceRatio]] pattern) or the exploded join path,
-  * which [[IvfIndex]] already demonstrates for the cell case.
+  * Per-subspace distances run through the fused codegen'd
+  * [[graft.expressions.SquaredDistance]] over a `slice` — m·k fused calls
+  * instead of m·k·dsub inline arithmetic terms, so generated-code size
+  * scales with the codebook count, not codebook×dimension; k=256 production
+  * codebooks stay within codegen limits (the exploded join path, which
+  * [[IvfIndex]] demonstrates for the cell case, remains the fallback).
   *
   * Reference analog: none (no vector search in the reference); part of the
   * training-data-pipeline surface this engine adds.
@@ -53,12 +55,9 @@ object ProductQuantize {
     * SQL list fold produces.
     */
   private def subDist(vec: Column, mi: Int, dsub: Int, word: Seq[Double]): Column = {
-    val terms = (0 until dsub).map { j =>
-      val x = element_at(vec, mi * dsub + j + 1)
-      val c = lit(word(j))
-      (x - c) * (x - c)
-    }
-    graft.Functions.roundHalfUp(terms.reduce(_ + _), 6)
+    val sub = slice(vec, mi * dsub + 1, dsub)
+    val w = array(word.map(lit): _*)
+    graft.Functions.roundHalfUp(graft.Functions.vecSqDist(sub, w), 6)
   }
 
   /** Driver-side twin of [[subDist]] (identical term order, identical
@@ -227,9 +226,7 @@ object ProductQuantize {
     short
       .select(col(idCol),
         graft.Functions.roundHalfUp(
-          aggregate(
-            zip_with(col("_v"), q, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, t) => acc + t), 6).as("d2"))
+          graft.Functions.vecSqDist(col("_v"), q), 6).as("d2"))
       .orderBy(col("d2"), col(idCol))
       .limit(topK)
   }

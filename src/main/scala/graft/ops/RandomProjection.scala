@@ -37,8 +37,7 @@ object RandomProjection {
     val scale = math.sqrt(outDims.toDouble)
     array((0 until outDims).map { o =>
       val row = array(m(o).map(lit): _*)
-      aggregate(
-        zip_with(vec, row, (x, w) => x * w), lit(0.0), (acc, x) => acc + x) / scale
+      graft.Functions.vecDot(vec, row) / scale
     }: _*)
   }
 

@@ -22,9 +22,20 @@ object SimilaritySearch {
 
   /** Cosine similarity of two `array<double>` columns (0 when either norm is
     * 0). Sequential left-to-right accumulation — bit-compatible with a SQL
-    * oracle evaluating the same expression.
+    * oracle evaluating the same expression. Implemented by the fused
+    * codegen'd [[graft.expressions.CosineSimilarity]] (one primitive loop,
+    * no intermediate arrays, stays inside WholeStageCodegen); the
+    * higher-order-function twin below is the semantics oracle its spec pins
+    * it against.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column = graft.Functions.vecCosine(a, b)
+
+  /** The original `zip_with`/`aggregate` composite — kept as the executable
+    * specification of [[cosine]]'s value + null semantics
+    * (VectorExpressionsSpec asserts bit-identical results, including the
+    * null/unequal-length/zero-norm corners).
+    */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
     val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
@@ -78,10 +89,7 @@ object SimilaritySearch {
     (0 until planes)
       .map { p =>
         val plane = array(comps(p).map(lit): _*)
-        val proj = aggregate(
-          zip_with(vec, plane, (x, c) => x * c),
-          lit(0.0),
-          (acc, x) => acc + x)
+        val proj = graft.Functions.vecDot(vec, plane)
         when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
       }
       .reduce(_ + _)
