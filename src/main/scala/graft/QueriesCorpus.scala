@@ -452,6 +452,25 @@ object QueriesCorpus {
     "q_hh_tokens" -> ((s, dir) =>
       graft.ops.HeavyHitters.frequentTokens(t(s, dir, "documents"), "text", k = 50)),
 
+    // fill-in-the-middle transform (Bavarian et al. 2022): deterministic
+    // character cuts + PSM/SPM sentinel serialization — every split point
+    // and mode decision md5-derived, so the oracle rebuilds each output
+    // string exactly
+    "q_fim" -> ((s, dir) =>
+      graft.ops.Fim.transform(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "format", "out_text")),
+
+    // Count-Min sketch: the whole counter table (≤ depth×width rows) — the
+    // third bounded-memory counting primitive; md5 hashing makes every
+    // counter value oracle-checkable exactly
+    "q_cms_sketch" -> ((s, dir) =>
+      graft.ops.CountMin.sketch(t(s, dir, "documents"), "text", depth = 3, width = 64)),
+
+    // CMS point estimates for every distinct corpus token: min over hash
+    // rows — the one-sided (over)estimate the sketch answers queries with
+    "q_cms_estimate" -> ((s, dir) =>
+      graft.ops.CountMin.estimateAll(t(s, dir, "documents"), "text", depth = 3, width = 64)),
+
     // BPE round-1 pair counts: frequency-weighted adjacent symbol pairs
     // over character-initial symbols + the end-of-word marker — the
     // oracle-checkable core every learning round re-aggregates
@@ -1619,6 +1638,56 @@ object QueriesCorpus {
         |tt AS (SELECT token FROM t WHERE token <> '')
         |SELECT token, count(*) AS cnt FROM tt GROUP BY token
         |HAVING count(*) * 50 > (SELECT count(*) FROM tt)""".stripMargin,
+    "q_fim" -> {
+      def u(salt: String) =
+        s"(CAST('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+      s"""WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         |c AS (SELECT doc_id, t,
+         |        CAST(floor(${u("fimc1")} * (length(t) + 1)) AS INT) AS c1,
+         |        CAST(floor(${u("fimc2")} * (length(t) + 1)) AS INT) AS c2,
+         |        ${u("fima")} AS ua, ${u("fims")} AS us
+         |      FROM b),
+         |d AS (SELECT doc_id, t, least(c1, c2) AS lo, greatest(c1, c2) AS hi, ua, us FROM c),
+         |e AS (SELECT doc_id, t,
+         |        substr(t, 1, greatest(lo, 0)) AS pre,
+         |        substr(t, lo + 1, greatest(hi - lo, 0)) AS mid,
+         |        substr(t, hi + 1, greatest(length(t) - hi, 0)) AS suf,
+         |        CASE WHEN NOT (ua < 0.5) THEN 'none'
+         |             WHEN us < 0.5 THEN 'spm' ELSE 'psm' END AS format
+         |      FROM d)
+         |SELECT doc_id, format,
+         |  CASE format WHEN 'none' THEN t
+         |       WHEN 'spm' THEN '<SUF>' || suf || '<PRE>' || pre || '<MID>' || mid
+         |       ELSE '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid END AS out_text
+         |FROM e""".stripMargin
+    },
+    "q_cms_sketch" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents),
+        |tt AS (SELECT tok FROM t WHERE tok <> ''),
+        |rb AS (SELECT g.r AS r,
+        |         CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || ':' || tok), 1, 8)
+        |           AS BIGINT) % 64 AS bucket
+        |       FROM tt CROSS JOIN range(0, 3) g(r))
+        |SELECT r AS "row", bucket, count(*) AS cnt FROM rb GROUP BY 1, 2""".stripMargin,
+    "q_cms_estimate" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents),
+        |tt AS (SELECT tok FROM t WHERE tok <> ''),
+        |sk AS (SELECT g.r AS r,
+        |         CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || ':' || tok), 1, 8)
+        |           AS BIGINT) % 64 AS bucket,
+        |         count(*) AS cnt
+        |       FROM tt CROSS JOIN range(0, 3) g(r)
+        |       GROUP BY 1, 2),
+        |v AS (SELECT DISTINCT tok FROM tt),
+        |probes AS (SELECT tok, g.r AS r,
+        |         CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || ':' || tok), 1, 8)
+        |           AS BIGINT) % 64 AS bucket
+        |       FROM v CROSS JOIN range(0, 3) g(r))
+        |SELECT p.tok AS token, min(coalesce(sk.cnt, 0)) AS est
+        |FROM probes p LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
+        |GROUP BY 1""".stripMargin,
     "q_tx_search" -> booleanSearchOracleSql,
     "q_tx_search_indexed" -> booleanSearchOracleSql,
     "q_tx_bm25" -> {
