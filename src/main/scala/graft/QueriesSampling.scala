@@ -30,6 +30,15 @@ object QueriesSampling {
         rates = Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.05)
         .select("doc_id", "lang")),
 
+    // upsampling with repetition: epochs-per-domain mixing (rates > 1) —
+    // en seen 2.5x (every doc twice, an md5-chosen half a third time),
+    // de once, fr thinned to half, everything else dropped
+    "q_sm_upsample" -> ((s, dir) =>
+      Sampling.upsample(
+        t(s, dir, "documents"), "lang", "doc_id",
+        rates = Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.5), defaultRate = 0.0)
+        .select("doc_id", "lang", "epoch")),
+
     // train/val/test split: disjoint, exhaustive, rerun-stable
     "q_sm_split" -> ((s, dir) =>
       Sampling.split(
@@ -108,6 +117,16 @@ object QueriesSampling {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${uSql("doc_id")} <
          |  CASE WHEN lang = 'de' THEN 0.1 WHEN lang = 'en' THEN 0.5 ELSE 0.05 END""".stripMargin,
+    "q_sm_upsample" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE lang WHEN 'en' THEN 2.0 WHEN 'de' THEN 1.0 ELSE 0.0 END
+         |      + CASE WHEN ${uSql("doc_id")} <
+         |          CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.5 ELSE 0.0 END
+         |        THEN 1.0 ELSE 0.0 END AS BIGINT) AS copies
+         |  FROM documents)
+         |SELECT doc_id, lang, unnest(generate_series(0, copies - 1)) AS epoch
+         |FROM c WHERE copies > 0""".stripMargin,
     "q_sm_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${uSql("doc_id")} < 0.8 THEN 'train'

@@ -176,6 +176,58 @@ object Sampling {
     stratifiedSample(df, strataCol, keyCol, rates, defaultRate = 0.0, salt)
   }
 
+  /** Deterministic upsampling with repetition — the rate ≥ 1 half of data
+    * mixing that [[stratifiedSample]]/[[budgetMix]] (rates capped at 1)
+    * cannot express: emit each row `⌊rate⌋` or `⌈rate⌉` times so a stratum
+    * at rate 2.5 contributes every document twice plus a deterministic
+    * md5-chosen half again — the "epochs per domain" knob of LLM data
+    * recipes (e.g. Wikipedia seen 3.4× per epoch in GPT-3's mix, Brown et
+    * al. 2020 Table 2.2). Copies carry an `epoch` column (0-based) so
+    * downstream shuffling ([[epochShuffle]]) can permute each repetition
+    * independently and packing can tell copies apart; the extra fractional
+    * copy takes the HIGHEST epoch index, so epoch e is always a superset
+    * of epoch e+1's documents and rate growth is monotone: raising a rate
+    * only ever ADDS (row, epoch) pairs.
+    *
+    * Rates below 1 degenerate to [[stratifiedSample]] semantics with the
+    * copy tagged epoch 0 (the same md5 decision — `hashUniform(key) <
+    * frac`), so one operator covers the whole mixing range.
+    *
+    * Scale shape: zero shuffles, zero joins — rates enter as a plan-time
+    * literal when-chain, the copy count is a per-row expression, and the
+    * replication is a generator (`explode(sequence(...))`), so output
+    * volume is exactly the mixed corpus size and nothing is buffered.
+    * `sequence` is guarded by a `copies > 0` filter — Spark's `sequence(0,
+    * -1)` would emit a descending phantom range, the [[Pack.packTokenIds]]
+    * lesson.
+    */
+  def upsample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 64.0),
+      "per-stratum rates must be in [0, 64] — a larger rate is almost surely a bug")
+    require(defaultRate >= 0.0 && defaultRate <= 64.0, "defaultRate out of [0, 64]")
+    val whole = rates.foldLeft(lit(math.floor(defaultRate))) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit(math.floor(r))).otherwise(acc)
+    }
+    val frac = rates.foldLeft(lit(round9(defaultRate - math.floor(defaultRate)))) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit(round9(r - math.floor(r)))).otherwise(acc)
+    }
+    val copies = (whole +
+      when(hashUniform(col(keyCol), salt) < frac, lit(1.0)).otherwise(lit(0.0)))
+      .cast("long")
+    df.withColumn("_copies", copies)
+      .where(col("_copies") > 0L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_copies") - 1L)))
+      .drop("_copies")
+  }
+
   /** Exactly min(k, |stratum|) rows per stratum: the k rows with the
     * smallest md5-uniform per stratum — a deterministic reservoir sample
     * (min-wise sampling: each key's uniform is fixed, so growing a stratum

@@ -248,4 +248,52 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaTiered === plain)
   }
+
+  test("upsample: dense per-row epochs, copy counts bracket the rate, rate<=1 degenerates") {
+    val rates = Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.5)
+    val up = Sampling.upsample(docs, "lang", "doc_id", rates, defaultRate = 0.0)
+      .select("doc_id", "lang", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = up.groupBy(_._1)
+    byDoc.foreach { case (_, rows) =>
+      val epochs = rows.map(_._3).sorted
+      assert(epochs.toSeq == (0L until rows.length.toLong), s"epochs not dense: ${epochs.toSeq}")
+      val lang = rows.head._2
+      val r = rates(lang)
+      assert(rows.length >= math.floor(r).toInt && rows.length <= math.ceil(r).toInt,
+        s"$lang copies=${rows.length} outside [floor, ceil] of $r")
+    }
+    // every de doc appears exactly once at epoch 0
+    val deIn = docs.where(col("lang") === "de").count()
+    assert(byDoc.count { case (_, rows) => rows.head._2 == "de" } == deIn)
+    assert(up.filter(_._2 == "de").forall(_._3 == 0L))
+    // unknown strata (defaultRate 0) contribute nothing
+    assert(up.forall(t => rates.contains(t._2)))
+    // rate <= 1 is exactly stratifiedSample + epoch 0
+    val viaStrat = Sampling.stratifiedSample(docs, "lang", "doc_id",
+        Map("fr" -> 0.5), defaultRate = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaUp = up.filter(_._2 == "fr").map(_._1).toSet
+    assert(viaUp == viaStrat)
+  }
+
+  test("upsample is monotone in rate: (row, epoch) pairs only ever grow") {
+    def pairs(r: Double): Set[(Long, Long)] =
+      Sampling.upsample(docs, "lang", "doc_id", Map("en" -> r))
+        .select("doc_id", "epoch").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val grid = Seq(0.3, 1.0, 1.3, 1.7, 2.0, 2.7, 3.0)
+    grid.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(pairs(lo).subsetOf(pairs(hi)), s"rate $lo not a subset of $hi")
+    }
+  }
+
+  test("upsample guards absurd rates loudly") {
+    intercept[IllegalArgumentException] {
+      Sampling.upsample(docs, "lang", "doc_id", Map("en" -> 65.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.upsample(docs, "lang", "doc_id", Map("en" -> 2.0), defaultRate = -0.1)
+    }
+  }
 }
