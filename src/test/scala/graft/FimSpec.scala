@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Fim
+
+class FimSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  private def originals: Map[Long, String] =
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("PSM/SPM outputs reconstruct the original document exactly") {
+    val orig = originals
+    val out = Fim.transform(docs, "doc_id", "text")
+      .select("doc_id", "format", "out_text").collect()
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("psm", "spm", "none")))
+    // with ~60 docs and rates 0.5/0.5 all three formats should appear
+    assert(out.map(_.getString(1)).distinct.length == 3)
+    out.foreach { r =>
+      val (id, fmt, s) = (r.getLong(0), r.getString(1), r.getString(2))
+      def cut1(str: String, sep: String): (String, String) = {
+        val i = str.indexOf(sep)
+        assert(i >= 0, s"missing $sep in: $str")
+        (str.substring(0, i), str.substring(i + sep.length))
+      }
+      fmt match {
+        case "none" => assert(s == orig(id))
+        case "psm" =>
+          // <PRE>pre<SUF>suf<MID>mid  →  pre + mid + suf == original
+          assert(s.startsWith("<PRE>"), s"psm must start with <PRE>: $s")
+          val (pre, rest) = cut1(s.stripPrefix("<PRE>"), "<SUF>")
+          val (suf, mid) = cut1(rest, "<MID>")
+          assert(pre + mid + suf == orig(id), s"psm doc $id does not reconstruct")
+        case "spm" =>
+          assert(s.startsWith("<SUF>"), s"spm must start with <SUF>: $s")
+          val (suf, rest) = cut1(s.stripPrefix("<SUF>"), "<PRE>")
+          val (pre, mid) = cut1(rest, "<MID>")
+          assert(pre + mid + suf == orig(id), s"spm doc $id does not reconstruct")
+      }
+    }
+  }
+
+  test("deterministic and partition-independent") {
+    val a = Fim.transform(docs.repartition(1), "doc_id", "text")
+      .select("doc_id", "format", "out_text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val b = Fim.transform(docs.repartition(7), "doc_id", "text")
+      .select("doc_id", "format", "out_text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(a == b)
+  }
+
+  test("fimRate 0 passes everything through; fimRate 1 + spmRate 0 is all-PSM") {
+    val none = Fim.transform(docs, "doc_id", "text", fimRate = 0.0)
+      .select("format").distinct().collect().map(_.getString(0)).toSeq
+    assert(none == Seq("none"))
+    val allPsm = Fim.transform(docs, "doc_id", "text", fimRate = 1.0, spmRate = 0.0)
+      .select("format").distinct().collect().map(_.getString(0)).toSeq
+    assert(allPsm == Seq("psm"))
+  }
+
+  test("custom sentinels are honored; empty document serializes to bare sentinels") {
+    import spark.implicits._
+    val tiny = Seq((1L, ""), (2L, "ab")).toDF("doc_id", "text")
+    val out = Fim.transform(tiny, "doc_id", "text", fimRate = 1.0, spmRate = 0.0,
+        preTok = "[P]", sufTok = "[S]", midTok = "[M]")
+      .select("doc_id", "out_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "[P][S][M]")
+    assert(out(2L).startsWith("[P]"))
+    assert(out(2L).contains("[S]") && out(2L).contains("[M]"))
+    assert(out(2L).replace("[P]", "").replace("[S]", "").replace("[M]", "").length == 2)
+  }
+}
