@@ -411,6 +411,16 @@ object QueriesCorpus {
         train, "doc_id", "text", docs, "doc_id", "text", vocabSize = vocab)
     }),
 
+    // interpolated Kneser-Ney bigram LM against the same train split —
+    // the continuation-count smoothing KenLM/CCNet builds on (D = 0.75)
+    "q_tx_kn_ppl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val vocab = TextAnalysis.vocabStats(train, "doc_id", "text").count()
+      TextAnalysis.kneserNeyScore(
+        train, "doc_id", "text", docs, "doc_id", "text", vocabSize = vocab)
+    }),
+
     // CCNet perplexity bucketing (Wenzek et al. 2020): per-language
     // head/middle/tail terciles over the stupid-backoff perplexity —
     // the exact ntile form the approx histogram path is oracled against
@@ -1025,7 +1035,50 @@ object QueriesCorpus {
         |  floor(exp(CAST(ss AS DOUBLE) / n_trigrams / 1e9) * 1e4 + 0.5) / 1e4 AS sb_ppl
         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
 
+  private val knPplOracleSql: String =
+    """WITH tr AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |bg AS (
+        |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |  FROM tr, unnest(range(1, len(t))) AS u(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1x, count(*) AS n1f
+        |        FROM c2 GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+        |tot AS (SELECT count(*) AS bt FROM c2),
+        |v AS (
+        |  SELECT count(DISTINCT x) AS v
+        |  FROM (SELECT unnest(t) AS x FROM tr) WHERE x <> ''),
+        |sc AS (
+        |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |        FROM documents), unnest(range(1, len(t))) AS u(i)),
+        |nll AS (
+        |  SELECT sc.doc_id,
+        |    CAST(floor(-ln(
+        |      CASE WHEN ctx.c1x IS NOT NULL THEN
+        |        greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+        |          / CAST(ctx.c1x AS DOUBLE)
+        |        + 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.c1x AS DOUBLE)
+        |          * ((CAST(coalesce(cont.n1b, 0) AS DOUBLE) + 1.0)
+        |             / (CAST(tot.bt AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        |      ELSE (CAST(coalesce(cont.n1b, 0) AS DOUBLE) + 1.0)
+        |             / (CAST(tot.bt AS DOUBLE) + CAST(v.v AS DOUBLE))
+        |      END) * 1e9 + 0.5) AS BIGINT) AS s
+        |  FROM sc
+        |  LEFT JOIN c2 ON c2.w1 = sc.w1 AND c2.w2 = sc.w2
+        |  LEFT JOIN ctx ON ctx.w1 = sc.w1
+        |  LEFT JOIN cont ON cont.w2 = sc.w2
+        |  CROSS JOIN tot CROSS JOIN v),
+        |ag AS (SELECT doc_id, count(*) AS n_bigrams, sum(s) AS ss FROM nll GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ag.n_bigrams, 0) AS n_bigrams,
+        |  floor(CAST(ss AS DOUBLE) / n_bigrams / 1e9 * 1e6 + 0.5) / 1e6 AS avg_nll,
+        |  floor(exp(CAST(ss AS DOUBLE) / n_bigrams / 1e9) * 1e4 + 0.5) / 1e4 AS kn_ppl
+        |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_tx_kn_ppl" -> knPplOracleSql,
     "q_dd_exact" ->
       """SELECT md5(trim(lower(text))) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS dup_count

@@ -926,6 +926,77 @@ object TextAnalysis {
         graft.Functions.roundHalfUp(exp(mean), 4).as("sb_ppl"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 §3) — the discount-and-continuation smoothing KenLM (and
+    * therefore CCNet's fluency signal) is built on, completing the LM
+    * family beside the add-k bigram and trigram stupid-backoff scorers.
+    * The KN innovation is the backoff distribution: instead of unigram
+    * FREQUENCY, a word's weight is how many distinct contexts it follows
+    * (`N1+(·w)`), so "francisco" (frequent but glued to "san") stops
+    * looking probable in novel contexts — the property the spec pins.
+    *
+    * With fixed discount D:
+    * {{{
+    *   P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+    *              + D·N1+(w1·)/c(w1·) · Pcont(w2)      if w1 seen
+    *            = Pcont(w2)                             otherwise
+    *   Pcont(w2) = (N1+(·w2) + 1) / (|bigram types| + V)
+    * }}}
+    * (`Pcont` is add-one smoothed over the V-token vocabulary so unseen
+    * words carry uniform mass and every probability is strictly positive.)
+    *
+    * Scale shape: the count tables come from ONE pass over the train
+    * corpus (`c2` and two bounded re-aggregations of it); scoring is three
+    * keyed joins against those tables plus one broadcast one-row total —
+    * the stupid-backoff plan shape exactly. Per-bigram NLLs accumulate as
+    * integer nano-nats, so doc scores are partitioning-independent and the
+    * DuckDB oracle (q_tx_kn_ppl) reproduces them digit-for-digit.
+    */
+  def kneserNeyScore(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      score: DataFrame,
+      scoreIdCol: String,
+      scoreTextCol: String,
+      vocabSize: Long,
+      discount: Double = 0.75): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive (distinct train tokens)")
+    require(discount > 0.0 && discount < 1.0, s"KN discount must be in (0,1), got $discount")
+    val c2 = bigramRows(train, trainIdCol, trainTextCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
+    // left-context stats: c(w1·) and N1+(w1·) — re-aggregations of c2,
+    // never a second corpus pass
+    val ctx = c2.groupBy("w1").agg(sum("_c2").as("_c1x"), count(lit(1)).as("_n1f"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("_n1b"))
+    val totals = c2.agg(count(lit(1)).as("_bt"))
+    val sb = bigramRows(score, scoreIdCol, scoreTextCol)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+    val d = lit(discount)
+    val pcont = (coalesce(col("_n1b"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("_bt").cast("double") + lit(vocabSize.toDouble))
+    val p = when(col("_c1x").isNotNull,
+        greatest(coalesce(col("_c2"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("_c1x").cast("double") +
+          d * col("_n1f").cast("double") / col("_c1x").cast("double") * pcont)
+      .otherwise(pcont)
+    val perDoc = sb
+      .select(col(scoreIdCol), floor(-log(p) * 1e9 + 0.5).cast("long").as("_nll"))
+      .groupBy(scoreIdCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nll")).as("_ss"))
+    val mean = col("_ss").cast("double") / col("n_bigrams").cast("double") / 1e9
+    score.select(col(scoreIdCol))
+      .join(perDoc, Seq(scoreIdCol), "left")
+      .select(
+        col(scoreIdCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        graft.Functions.roundHalfUp(mean, 6).as("avg_nll"),
+        graft.Functions.roundHalfUp(exp(mean), 4).as("kn_ppl"))
+  }
+
   /** Train-corpus unigram occurrence counts `(token, _c1)`. */
   private def df1(train: DataFrame, idCol: String, textCol: String): DataFrame =
     train.select(explode(toks(col(textCol))).as("token"))

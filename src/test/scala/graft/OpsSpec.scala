@@ -555,6 +555,57 @@ class OpsSpec extends SparkSpec {
     assert(got(12L)._2.get < got(13L)._2.get)
   }
 
+  test("kneserNeyScore: hand-computed discount + continuation interpolation") {
+    // train "a b c a b": c2 = {(a,b):2, (b,c):1, (c,a):1}; ctx(a)=(2,1),
+    // ctx(b)=ctx(c)=(1,1); every seen token follows exactly 1 distinct
+    // context so Pcont = (1+1)/(3+3) = 1/3; unseen tokens get 1/6. D=0.75.
+    val train = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"), // seen bigram: (2-.75)/2 + .75*(1/2)*(1/3) = 0.75
+      (11L, "a c"), // unseen bigram, seen context a: 0 + .75*(1/2)*(1/3) = 0.125
+      (12L, "x a"), // unseen context: pure continuation = 1/3
+      (13L, "x z"), // unseen context AND word: 1/6
+      (14L, "a")) // single token -> no bigrams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyScore(
+        train, "doc_id", "text", score, "doc_id", "text", vocabSize = 3L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    def nll(p: Double) = -math.log(p)
+    assert(got(10L)._1 === 1L)
+    assert(math.abs(got(10L)._2.get - nll(0.75)) < 1e-5)
+    assert(math.abs(got(11L)._2.get - nll(0.125)) < 1e-5)
+    assert(math.abs(got(12L)._2.get - nll(1.0 / 3.0)) < 1e-5)
+    assert(math.abs(got(13L)._2.get - nll(1.0 / 6.0)) < 1e-5)
+    assert(got(14L) === ((0L, None)))
+    assert(got(10L)._2.get < got(11L)._2.get)
+    assert(got(12L)._2.get < got(13L)._2.get)
+  }
+
+  test("kneserNeyScore: continuation counts beat raw frequency (the 'francisco' property)") {
+    // 'francisco' and 'glasses' are equally frequent (3 each), but
+    // francisco follows ONE distinct context while glasses follows three.
+    // In a novel context KN must prefer glasses — the signature that
+    // distinguishes it from frequency-backoff smoothing (stupid backoff
+    // scores these two identically here).
+    val train = Seq(
+      (1L, "san francisco"), (2L, "san francisco"), (3L, "san francisco"),
+      (4L, "new glasses"), (5L, "old glasses"), (6L, "my glasses"))
+      .toDF("doc_id", "text")
+    val score = Seq((10L, "qq francisco"), (11L, "qq glasses")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyScore(
+        train, "doc_id", "text", score, "doc_id", "text", vocabSize = 6L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(11L) < got(10L),
+      s"glasses (3 contexts) must score better than francisco (1 context): $got")
+    // exact values: Pcont(francisco) = 2/10, Pcont(glasses) = 4/10
+    val gotNll = TextAnalysis.kneserNeyScore(
+        train, "doc_id", "text", score, "doc_id", "text", vocabSize = 6L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(gotNll(10L) - -math.log(0.2)) < 1e-5)
+    assert(math.abs(gotNll(11L) - -math.log(0.4)) < 1e-5)
+  }
+
   test("Publish.firstSeenCounter numbers by first appearance and resets daily") {
     val rows = Seq(
       (ts("2020-01-01 08:00:00"), "u2"),
