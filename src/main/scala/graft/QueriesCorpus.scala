@@ -161,6 +161,23 @@ object QueriesCorpus {
           .as("bucket"))
     }),
 
+    // exact hard-negative mining: top-5 most-similar OTHER-label vectors
+    // per anchor — contrastive-training data prep; quadratic exact
+    // baseline (the q_ann_brute role) for the LSH-bucketed scale path
+    "q_ann_negatives" -> ((s, dir) =>
+      SimilaritySearch.hardNegatives(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 5)),
+
+    // LSH-bucketed hard negatives: candidates keyed on the md5-hyperplane
+    // bucket — deterministic geometry makes even the approximate path
+    // fully oracle-checkable
+    "q_ann_negatives_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dims = emb.select(size(col("embedding"))).head().getInt(0)
+      SimilaritySearch.hardNegativesLsh(
+        emb, "vec_id", "embedding", "label", k = 5, planes = 4, dims = dims)
+    }),
+
     // product quantization codes: md5-sample codebooks (m=4 subspaces,
     // k=8 codewords), every vector encoded to its nearest codeword per
     // subspace on the rounded-distance grid — exploded (vec_id, subspace,
@@ -1253,6 +1270,41 @@ object QueriesCorpus {
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0
         |ORDER BY cos DESC, b.vec_id LIMIT 20""".stripMargin,
+    "q_ann_negatives" ->
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS negative,
+        |    floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM base a JOIN base b ON a.label <> b.label),
+        |ranked AS (
+        |  SELECT id, negative, cos,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, negative)
+        |      AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT id, negative, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_ann_negatives_lsh" -> {
+      val planeBit = (p: Int) =>
+        s"""CASE WHEN (SELECT sum(z[1] * (CAST('0x' || substr(md5('p$p:' || CAST(z[2] AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 - 0.5))
+           |  FROM unnest(list_zip(v, range(0, len(v)))) AS t(z)) > 0.0 THEN ${1L << p} ELSE 0 END""".stripMargin
+      s"""WITH base AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bucketed AS (
+         |  SELECT vec_id, label, v,
+         |    CAST(${(0 until 4).map(planeBit).mkString(" + ")} AS BIGINT) AS bucket
+         |  FROM base),
+         |pairs AS (
+         |  SELECT a.vec_id AS id, b.vec_id AS negative,
+         |    floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS cos
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.label <> b.label),
+         |ranked AS (
+         |  SELECT id, negative, cos,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, negative)
+         |      AS BIGINT) AS rank
+         |  FROM pairs)
+         |SELECT id, negative, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
     "q_ann_lsh_buckets" -> {
       // plane p bit: sign of sum_d v[d] * (md5-uniform('p<p>:<d>') - 0.5)
       val planeBit = (p: Int) =>

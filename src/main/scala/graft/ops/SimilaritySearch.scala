@@ -85,6 +85,7 @@ object SimilaritySearch {
     * plane arrays.
     */
   def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    if (planes == 0) return lit(0L) // degenerate geometry: one bucket
     val comps = planeComponents(planes, dims)
     (0 until planes)
       .map { p =>
@@ -259,6 +260,70 @@ object SimilaritySearch {
     * rows sharing `blockCol`), via window ranking — the IVF-style "probe one
     * cell" pattern.
     */
+  /** Exact hard-negative mining for contrastive training: for every anchor,
+    * the `k` most-cosine-similar vectors carrying a DIFFERENT label — the
+    * "hard negatives" a contrastive or embedding-finetune pipeline pairs
+    * with each anchor. Quadratic by construction (a label-mismatch theta
+    * join): this is the exact baseline [[hardNegativesLsh]] is oracled
+    * against, the q_ann_brute relationship — never the scale path itself.
+    */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      col(labelCol).as("lbl"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = base.alias("a")
+    val b = base.alias("b")
+    val scored = a
+      .join(b, col("a.lbl") =!= col("b.lbl"))
+      .select(
+        col("a.id").as("id"),
+        col("b.id").as("negative"),
+        graft.Functions.roundHalfUp(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("negative"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
+  /** The scale path of [[hardNegatives]]: candidates are restricted to the
+    * anchor's LSH bucket, turning the label-mismatch cross into a KEYED
+    * equi-join on `bucket` (the [[lshTopK]] pruning applied to mining).
+    * Deterministic md5 geometry means the result — including which
+    * candidates were considered — is reproducible in SQL, so this
+    * approximate path gets a FULL oracle (q_ann_negatives_lsh), not a
+    * rows-only check; its recall versus the exact baseline is what the
+    * spec measures. `planes = 0` degenerates to one bucket == the exact
+    * form, the equivalence AnnSpec pins.
+    */
+  def hardNegativesLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      planes: Int,
+      dims: Int): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      col(labelCol).as("lbl"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+    val a = base.alias("a")
+    val b = base.hint("SHUFFLE_HASH").alias("b")
+    val scored = a
+      .join(b, col("a.bucket") === col("b.bucket") && col("a.lbl") =!= col("b.lbl"))
+      .select(
+        col("a.id").as("id"),
+        col("b.id").as("negative"),
+        graft.Functions.roundHalfUp(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("negative"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+  }
+
   def blockedKnn(
       df: DataFrame,
       idCol: String,

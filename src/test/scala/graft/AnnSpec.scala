@@ -304,6 +304,41 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: every negative crosses labels; LSH at planes=0 == exact; recall") {
+    val dims = queryVec.length
+    val exact = SimilaritySearch.hardNegatives(emb, "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (id, neg, _, rank) =>
+      assert(labels(id) != labels(neg), s"$id -> $neg shares a label")
+      assert(rank >= 1 && rank <= 5)
+    }
+    // per-anchor ranks are dense from 1
+    exact.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length.toLong),
+        s"anchor $id ranks not dense")
+    }
+    // degenerate geometry: one bucket -> identical to the exact form
+    val degenerate = SimilaritySearch
+      .hardNegativesLsh(emb, "vec_id", "embedding", "label", k = 5, planes = 0, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(degenerate.toSet == exact.toSet)
+    // real geometry: a meaningful fraction of the true hard negatives
+    // survive bucket pruning (same-bucket = similar direction, which is
+    // exactly where hard negatives live)
+    val lsh = SimilaritySearch
+      .hardNegativesLsh(emb, "vec_id", "embedding", "label", k = 5, planes = 4, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2)).toSet
+    val recall = lsh.count(exactPairs).toDouble / exactPairs.size
+    assert(lsh.nonEmpty, "LSH mining returned nothing")
+    assert(recall > 0.1, s"LSH hard-negative recall degenerate: $recall")
+    // and every LSH pair is label-crossing too
+    lsh.foreach { case (id, neg) => assert(labels(id) != labels(neg)) }
+  }
+
   test("salted aggregation equals plain aggregation") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
     val plain = events.groupBy("event_type")

@@ -359,6 +359,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS maintenance: per-batch sketch merge equals the batch sketch") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_cms_src_").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_cms_sk_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cms_ck_").toString
+    val (depth, width) = (3, 64)
+
+    val wave1 = (0L until 40L).map(i => (i, s"alpha beta tok$i gamma"))
+    val wave2 = (100L until 130L).map(i => (i, s"beta delta tok$i"))
+
+    // counts are linear, so the running sketch is maintained by building a
+    // sketch of each micro-batch and counter-merging it with the persisted
+    // one — no reprocessing of history, the per-shard roll-up story applied
+    // to time instead of space. Versioned dirs keep the read/write paths
+    // disjoint (never overwrite what you are reading).
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val inc = graft.ops.CountMin.sketch(batch, "text", depth, width)
+          val prev = new java.io.File(s"$base/v${batchId - 1}")
+          val merged =
+            if (prev.exists()) graft.ops.CountMin.merge(
+              batch.sparkSession.read.parquet(prev.toString), inc)
+            else inc
+          merged.write.mode("overwrite").parquet(s"$base/v$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+
+    val streamed = spark.read.parquet(s"$base/v1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batchTwin = graft.ops.CountMin.sketch(
+        (wave1 ++ wave2).toDF("doc_id", "text"), "text", depth, width)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batchTwin,
+      "incrementally merged stream sketch must equal the batch sketch counter-for-counter")
+  }
+
   test("streaming NB scoring against a persisted model equals batch scoring") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_nbs_src_").toString
