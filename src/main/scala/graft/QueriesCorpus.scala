@@ -161,6 +161,23 @@ object QueriesCorpus {
           .as("bucket"))
     }),
 
+    // mean pooling: per-label element-wise mean embedding (the chunk→doc
+    // reduction), decimal-exact sums — exploded (group, dim, m) so the
+    // oracle checks every component
+    "q_vec_meanpool" -> ((s, dir) =>
+      graft.ops.VectorOps.meanPool(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("group"), posexplode(col("vec")))
+        .select(col("group"), col("pos").cast("long").as("dim"),
+          graft.Functions.roundHalfUp(col("col"), 6).as("m"))),
+
+    // Matryoshka truncation: first-4-dims slice re-normalized (Kusupati et
+    // al. 2022) — exploded components, rounded 6
+    "q_vec_matryoshka" -> ((s, dir) =>
+      graft.ops.VectorOps.matryoshka(t(s, dir, "embeddings"), "embedding", dims = 4)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          graft.Functions.roundHalfUp(col("col"), 6).as("val"))),
+
     // exact hard-negative mining: top-5 most-similar OTHER-label vectors
     // per anchor — contrastive-training data prep; quadratic exact
     // baseline (the q_ann_brute role) for the LSH-bucketed scale path
@@ -1270,6 +1287,25 @@ object QueriesCorpus {
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0
         |ORDER BY cos DESC, b.vec_id LIMIT 20""".stripMargin,
+    "q_vec_meanpool" ->
+      """WITH e AS (
+        |  SELECT label, z[1] AS x, CAST(z[2] AS BIGINT) AS dim
+        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |       unnest(list_zip(v, range(0, len(v)))) AS t(z))
+        |SELECT label AS "group", dim,
+        |  floor(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS m
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_vec_matryoshka" ->
+      """WITH c AS (
+        |  SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:4] AS t FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, t,
+        |    sqrt(t[1]*t[1] + t[2]*t[2] + t[3]*t[3] + t[4]*t[4]) AS nm
+        |  FROM c)
+        |SELECT vec_id, CAST(u.i AS BIGINT) AS dim,
+        |  floor((CASE WHEN nm = 0.0 THEN t[CAST(u.i AS INT)]
+        |              ELSE t[CAST(u.i AS INT)] / nm END) * 1e6 + 0.5) / 1e6 AS val
+        |FROM n, unnest(range(1, 5)) AS u(i)""".stripMargin,
     "q_ann_negatives" ->
       """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |              FROM embeddings),

@@ -252,7 +252,32 @@ object ScaleProbe {
       // composed web-curation gates: one per-row projection + the exact-
       // dedup aggregate/join — expect ~linear
       "cr_web" -> (d =>
-        graft.ops.Curate.decideWeb(docsAt(d), "doc_id", "text").count()))
+        graft.ops.Curate.decideWeb(docsAt(d), "doc_id", "text").count()),
+      // CMS counters: bounded depth×width output, map-side combine absorbs
+      // the token stream — expect ~linear in scan, constant in state
+      "cms_sketch" -> (d =>
+        graft.ops.CountMin.sketch(docsAt(d), "text", depth = 3, width = 64).count()),
+      // FIM serialization: pure per-row string projection — expect ~linear
+      "fim" -> (d =>
+        graft.ops.Fim.transform(docsAt(d), "doc_id", "text").count()),
+      // KN scoring with tables learned at the probed scale: one corpus
+      // pass for counts + keyed scoring joins — expect ~linear
+      "kn_ppl" -> { d =>
+        val docs = docsAt(d)
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+        val vocab = graft.ops.TextAnalysis.vocabStats(train, "doc_id", "text").count()
+        graft.ops.TextAnalysis.kneserNeyScore(
+          train, "doc_id", "text", docs, "doc_id", "text", vocabSize = vocab).count()
+      },
+      // LSH hard negatives: pair volume tracks bucket occupancy — the 10x
+      // corpus densifies buckets, so expect superlinear pair growth (the
+      // honest cost of mining more candidates), bounded by the keyed join
+      "ann_negatives_lsh" -> { d =>
+        val emb = Tables(spark, d, "embeddings")
+        val dims = emb.select(size(col("embedding"))).head().getInt(0)
+        graft.ops.SimilaritySearch.hardNegativesLsh(
+          emb, "vec_id", "embedding", "label", k = 5, planes = 6, dims = dims).count()
+      })
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)

@@ -24,7 +24,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_dd_spans_sub",  // threshold-grain spans + content-verify pass
     "q_j1_incr_diff",  // interval anti-join incremental diff
     "q_a1_traffic15",  // flagship 15-min aggregation
-    "q_tx_quality")    // per-row quality projection (r6 bench-drift watch)
+    "q_tx_quality",    // per-row quality projection (r6 bench-drift watch)
+    "q_cms_sketch",    // CMS: bounded-key aggregate, no joins
+    "q_ann_negatives_lsh") // hard negatives: bucket-KEYED pair join, never a cross
 
   queries.foreach { name =>
     test(s"$name: no cartesian, no nested-loop join, no global sort mid-chain") {
@@ -43,6 +45,21 @@ class PlanInvariantsSpec extends SparkSpec {
   // three: both are single-pass scans whose only legitimate plan is
   // shuffle-free, so any future Exchange (or a TakeOrdered degrading to a
   // global sort) is a named plan flip, not noise.
+
+  // KN deliberately carries ONE broadcast one-row cross (the bigram-type
+  // total, the stupid-backoff shape); every other join must stay keyed.
+  test("q_tx_kn_ppl: keyed count-table joins; only the one-row totals broadcast crosses") {
+    val df = SparkEntry.queries("q_tx_kn_ppl")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in q_tx_kn_ppl")
+    assert(!plan.contains("rangepartitioning"), s"global range exchange in q_tx_kn_ppl")
+    // every nested-loop line is the sanctioned broadcast one-row Cross
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("BuildRight, Cross"),
+        s"non-sanctioned nested-loop join in q_tx_kn_ppl: $l")
+    }
+  }
 
   test("q_tx_quality: pure per-row projection — zero exchanges, no aggregate, no join") {
     val df = SparkEntry.queries("q_tx_quality")(spark, "/root/testdata/sf0.001")
