@@ -98,6 +98,18 @@ object QueriesCorpus {
         "id_a", "id_b")
     }),
 
+    // leakage-safe split: near-dup clusters (LSH pairs + star contraction)
+    // move to train/val/test as units — the split key is the cluster id
+    "q_cr_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curate.leakageSafeSplit(
+        docs.select(col("doc_id")), "doc_id",
+        Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 8, bands = 2),
+        "id_a", "id_b",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "cluster_id", "split")
+    }),
+
     // SimHash 16-bit fingerprints
     "q_dd_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)),
@@ -1223,6 +1235,34 @@ object QueriesCorpus {
          |  UNION
          |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+    },
+    "q_cr_split" -> {
+      val bandSelects = (0 until 2)
+        .map { b =>
+          val sig = (0 until 4).map(r => minhashSql(b * 4 + r)).mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM $shingleFrom"
+        }
+        .mkString("\n  UNION ALL ")
+      val u = "(CAST('0x' || substr(md5('' || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+      s"""WITH RECURSIVE banded AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN $u < 0.8 THEN 'train'
+         |       WHEN $u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cl""".stripMargin
     },
     "q_dd_cdc_pairs" ->
       s"""WITH $cdcCtePrefix,

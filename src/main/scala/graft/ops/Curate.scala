@@ -245,6 +245,35 @@ object Curate {
     * id (deterministic total order, the same rule as every argmax here).
     * One window keyed by cluster — the only shuffle.
     */
+  /** Leakage-safe train/val/test split: near-duplicate documents must land
+    * on the SAME side, or evaluation silently scores memorized training
+    * text (the contamination failure Lee et al. 2022 measure). The split
+    * decision is keyed on the duplicate-CLUSTER id (minimum member id,
+    * [[ConnectedComponents.assign]] over the caller's dup pairs) instead
+    * of the document id, so whole clusters move together; singleton
+    * documents key on themselves, degenerating to [[Sampling.split]]
+    * exactly. Output keeps `cluster_id` and adds `split` — the same
+    * md5-deterministic, rerun-stable decision every sampler here makes.
+    *
+    * Scale shape: the pair clustering is the O(log n)-round star
+    * contraction already spec'd scale-safe; the split itself is a per-row
+    * hash compare. Nothing new shuffles.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    val clusters = ConnectedComponents.assign(
+      docs.select(col(idCol)), idCol, pairs, aCol, bCol)
+    val keyed = docs.join(clusters, Seq(idCol), "left")
+      .withColumn("_split_key", coalesce(col("cluster_id"), col(idCol).cast("long")))
+    Sampling.split(keyed, "_split_key", fractions, salt).drop("_split_key")
+  }
+
   def representatives(
       scored: DataFrame,
       idCol: String,

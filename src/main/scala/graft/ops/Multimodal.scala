@@ -118,6 +118,71 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image resize: `javax.imageio` decode → deterministic
+    * NEAREST_NEIGHBOR rescale on a headless `java.awt` raster → PNG
+    * re-encode. Adds `resized` (binary PNG), `resize_w`/`resize_h`, and
+    * `resize_ok`; unreadable payloads (and null cells) degrade to a null
+    * payload with `resize_ok = false` — corrupt assets are data, not
+    * errors. Nearest-neighbor is chosen over bilinear deliberately: its
+    * integer source-pixel lookup is bit-reproducible across JVMs, so two
+    * cluster runs (or a backfill vs. the original run) produce identical
+    * rasters — the determinism contract every operator here keeps. One
+    * batched `mapPartitions` pass, cost O(pixels) per asset; at 100 TB
+    * this is the embarrassingly parallel scan it should be, with no
+    * shuffle and output size bounded by `targetW × targetH`.
+    */
+  def resizeImages(
+      df: DataFrame,
+      binCol: String,
+      targetW: Int,
+      targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dimensions must be positive")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", org.apache.spark.sql.types.BinaryType),
+      StructField("resize_w", org.apache.spark.sql.types.IntegerType),
+      StructField("resize_h", org.apache.spark.sql.types.IntegerType),
+      StructField("resize_ok", org.apache.spark.sql.types.BooleanType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val out = if (bytes == null) None else resizePng(bytes, targetW, targetH)
+        val tail = out match {
+          case Some(b) => Seq(b, targetW, targetH, true)
+          case None => Seq(null, 0, 0, false)
+        }
+        Row.fromSeq(r.toSeq ++ tail)
+      }
+    }(enc)
+  }
+
+  /** Decode → nearest-neighbor rescale → PNG bytes; None on anything
+    * unreadable (same NonFatal discipline as [[ImageIoDecoder]]).
+    */
+  private[ops] def resizePng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_RENDERING,
+            java.awt.RenderingHints.VALUE_RENDER_SPEED)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ok = javax.imageio.ImageIO.write(dst, "png", bos)
+        if (ok) Some(bos.toByteArray) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Frame sampling: emit every `strideBytes`-th slice of the payload as its
     * own row (video frame-sample shape: one row per sampled frame, keyed by
     * frame index). Pure column expressions — no UDF.

@@ -206,4 +206,31 @@ class CurateSpec extends SparkSpec {
       .findAllIn(plan).size
     assert(joins <= 1, s"flag fan-out joins detected ($joins):\n$plan")
   }
+
+  test("leakageSafeSplit: dup clusters move as units; singletons equal the plain split") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => Tuple1(i)).toDF("doc_id")
+    // chains {0,1,2}, {10,11}, everything else singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Curate.leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b", fr)
+      .select("doc_id", "cluster_id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 100)
+    // clusters resolve to min member, and every member shares its split
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(Seq(0L, 1L, 2L).map(byId(_)._2).distinct == Seq(0L))
+    assert(Seq(0L, 1L, 2L).map(byId(_)._3).distinct.length == 1)
+    assert(Seq(10L, 11L).map(byId(_)._2).distinct == Seq(10L))
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.length == 1)
+    // singletons: identical to the plain md5 split on their own id
+    val plain = graft.ops.Sampling.split(docs, "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.filter(t => !Seq(0L, 1L, 2L, 10L, 11L).contains(t._1)).foreach { case (id, cid, s) =>
+      assert(cid == id)
+      assert(s == plain(id), s"singleton $id diverged from plain split")
+    }
+    // all three labels appear over 100 keys
+    assert(got.map(_._3).distinct.toSet == Set("train", "val", "test"))
+  }
 }

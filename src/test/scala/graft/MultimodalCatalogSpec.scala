@@ -94,6 +94,55 @@ class MultimodalCatalogSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real resize downsamples quadrant colors correctly and degrades on junk") {
+    // 8×8 PNG with four solid quadrant colors — nearest-neighbor 4×4 must
+    // land each output quadrant on its source color exactly
+    val (red, green, blue, white) = (0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val src = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach { y =>
+      (0 until 8).foreach { x =>
+        val c = (x < 4, y < 4) match {
+          case (true, true) => red
+          case (false, true) => green
+          case (true, false) => blue
+          case (false, false) => white
+        }
+        src.setRGB(x, y, c)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val pngBytes = bos.toByteArray
+
+    val df = Seq(
+      (1L, pngBytes),
+      (2L, "junk junk junk".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "bin")
+    val got = Multimodal.resizeImages(df, "bin", targetW = 4, targetH = 4)
+      .select("id", "resized", "resize_w", "resize_h", "resize_ok")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]), r.getInt(2), r.getInt(3),
+          r.getBoolean(4))).toMap
+
+    assert(got(2L) == ((None, 0, 0, false)), "junk must degrade, not fail")
+    assert(got(3L) == ((None, 0, 0, false)), "null payload must degrade")
+    val (Some(outBytes), w, h, ok) = got(1L)
+    assert((w, h, ok) == ((4, 4, true)))
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(out.getWidth == 4 && out.getHeight == 4)
+    def rgb(x: Int, y: Int) = out.getRGB(x, y) & 0xffffff
+    assert(rgb(0, 0) == red && rgb(3, 0) == green && rgb(0, 3) == blue && rgb(3, 3) == white)
+
+    // upscale path: 8×8 → 16×16 keeps quadrants solid (every output pixel
+    // maps to exactly one source pixel under nearest-neighbor)
+    val up = Multimodal.resizeImages(Seq((1L, pngBytes)).toDF("id", "bin"), "bin", 16, 16)
+      .select("resized").head().getAs[Array[Byte]](0)
+    val upImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    assert(upImg.getWidth == 16 && (upImg.getRGB(2, 2) & 0xffffff) == red &&
+      (upImg.getRGB(13, 13) & 0xffffff) == white)
+  }
+
   test("multimodal: frame sampling emits one row per stride window") {
     val df = Seq((1L, "a" * 250), (2L, "b" * 99))
       .toDF("id", "s").select(col("id"), col("s").cast("binary").as("bin"))
