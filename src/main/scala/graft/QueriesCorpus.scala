@@ -744,6 +744,20 @@ object QueriesCorpus {
         n = 2, threshold = 0.3)
     }),
 
+    // incremental decontamination: same answer as q_dc_overlap through the
+    // persisted bucket-partitioned shingle index (build once, probe each
+    // new benchmark with partition pruning — the corpus never re-tokenizes)
+    "q_dc_overlap_idx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Decontaminate.buildShingleIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 2, buckets = 16)
+      val path = java.nio.file.Files.createTempDirectory("graft_shix_q_").toString
+      Decontaminate.saveShingleIndex(idx, path)
+      Decontaminate.ngramOverlapIndexed(
+        Decontaminate.loadShingleIndex(s, path),
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", threshold = 0.3)
+    }),
+
     // multimodal plumbing: opaque binary payload + typed metadata through
     // the REAL batched mapPartitions decode path (graft.ops.Multimodal); the
     // decoder is a deterministic md5-derived stub, so the DuckDB oracle can
@@ -1122,6 +1136,21 @@ object QueriesCorpus {
         |  floor(CAST(ss AS DOUBLE) / n_bigrams / 1e9 * 1e6 + 0.5) / 1e6 AS avg_nll,
         |  floor(exp(CAST(ss AS DOUBLE) / n_bigrams / 1e9) * 1e4 + 0.5) / 1e4 AS kn_ppl
         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
+
+  private val dcOverlapOracleSql: String =
+    """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |        i -> array_to_string(t[i:i+1], ' ')),
+        |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)),
+        |pairs AS (
+        |  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+        |    floor(CAST(len(list_intersect(tr.sh, ev.sh)) AS DOUBLE) / len(ev.sh) * 10000 + 0.5) / 10000
+        |      AS contamination
+        |  FROM sh tr JOIN sh ev ON tr.doc_id % 5 <> 0 AND ev.doc_id % 5 = 0)
+        |SELECT train_id, eval_id, contamination FROM pairs WHERE contamination >= 0.3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_tx_kn_ppl" -> knPplOracleSql,
@@ -2437,20 +2466,10 @@ object QueriesCorpus {
          |JOIN ex e ON e.ch = md5(trim(lower(d.text)))
          |JOIN cl ON cl.doc_id = d.doc_id""".stripMargin
     },
-    "q_dc_overlap" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-        |        i -> array_to_string(t[i:i+1], ' ')),
-        |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sh
-        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)),
-        |pairs AS (
-        |  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
-        |    floor(CAST(len(list_intersect(tr.sh, ev.sh)) AS DOUBLE) / len(ev.sh) * 10000 + 0.5) / 10000
-        |      AS contamination
-        |  FROM sh tr JOIN sh ev ON tr.doc_id % 5 <> 0 AND ev.doc_id % 5 = 0)
-        |SELECT train_id, eval_id, contamination FROM pairs WHERE contamination >= 0.3""".stripMargin,
+    // the indexed path must give the SAME answer as the direct scan — one
+    // oracle text serves both queries
+    "q_dc_overlap_idx" -> dcOverlapOracleSql,
+    "q_dc_overlap" -> dcOverlapOracleSql,
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1856 + 64 AS BIGINT) AS width,
