@@ -217,6 +217,15 @@ object QueriesEvents {
           "event_type", "value", 0.05, 0.95)
         .select("event_id", "event_type", "value_w")),
 
+    // robust stats: per-type quantile normalization (percent_rank) — the
+    // cross-source score calibration; the approx histogram path is
+    // spec-bounded against this exact form
+    "q_rb_qnorm" -> ((s, dir) =>
+      graft.ops.Robust.quantileNormalize(
+          t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value")
+        .select("event_id", "event_type", "value_qn")),
+
     // robust stats: median-absolute-deviation outlier flags at k = 3
     "q_rb_mad" -> ((s, dir) =>
       graft.ops.Robust.madOutliers(
@@ -411,6 +420,14 @@ object QueriesEvents {
         |SELECT event_id, e.event_type,
         |  floor(least(greatest(value, lo), hi) * 1000000 + 0.5) / 1000000 AS value_w
         |FROM events e JOIN q USING (event_type)""".stripMargin,
+    "q_rb_qnorm" ->
+      """SELECT event_id, event_type,
+        |  floor(percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+        |    * 1000000 + 0.5) / 1000000 AS value_qn
+        |FROM events WHERE value IS NOT NULL
+        |UNION ALL
+        |SELECT event_id, event_type, NULL AS value_qn
+        |FROM events WHERE value IS NULL""".stripMargin,
     "q_rb_mad" ->
       """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |    FROM events GROUP BY 1),

@@ -69,4 +69,61 @@ object Robust {
           graft.Functions.roundHalfUp(col("_mad") * k, 6))
       .drop("_grp", "_med", "_dev", "_mad")
   }
+
+  /** Per-group quantile normalization: `<valueCol>_qn` = `percent_rank`
+    * within the group — the rank-based calibration that makes quality
+    * scores comparable ACROSS sources (a 0.9 means "top decile of its own
+    * domain" whether the domain's raw scores cluster at 3 or at 300), so
+    * one global threshold mixes sources fairly. Standard `(rank−1)/(n−1)`
+    * semantics: ties share a value, a singleton group normalizes to 0.0,
+    * and NULL scores pass through with a NULL rank (excluded from the
+    * window so they cannot shift real rows — the [[TextAnalysis
+    * .perplexityBuckets]] convention).
+    *
+    * This exact form windows each group whole — fine up to millions of
+    * rows per group; at web scale use [[quantileNormalizeApprox]], whose
+    * oracle this is (the q_ann_brute / LSH relationship again).
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn(s"${valueCol}_qn",
+        graft.Functions.roundHalfUp(percent_rank().over(w), 6))
+      .unionByName(
+        df.filter(col(valueCol).isNull)
+          .withColumn(s"${valueCol}_qn", lit(null).cast("double")))
+  }
+
+  /** The scale path: per-group quantile CUTS from a mergeable
+    * `approx_percentile` sketch (grid of `grid` interior cut points),
+    * broadcast back and applied per row — no group-wide window, no skewed
+    * partition. `<valueCol>_qn` = fraction of cuts STRICTLY below the
+    * value — strict, because `percent_rank` gives ties their MINIMUM rank,
+    * and cuts that equal a heavily-tied value must therefore not count —
+    * so the result lands within ~1/grid of the exact percent-rank (plus
+    * sketch error near a cut); the spec bounds the observed gap.
+    */
+  def quantileNormalizeApprox(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      grid: Int = 200,
+      accuracy: Int = 10000): DataFrame = {
+    require(grid >= 2, s"grid=$grid must be at least 2")
+    val ps = array((1 until grid).map(i => lit(i.toDouble / grid)): _*)
+    val cuts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("_grp"))
+      .agg(percentile_approx(col(valueCol), ps, lit(accuracy)).as("_cuts"))
+    df.join(broadcast(cuts), col(groupCol) <=> col("_grp"), "left")
+      .withColumn(s"${valueCol}_qn",
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(graft.Functions.roundHalfUp(
+            size(filter(col("_cuts"), c => c < col(valueCol))).cast("double") /
+              lit((grid - 1).toDouble), 6)))
+      .drop("_grp", "_cuts")
+  }
 }

@@ -33,6 +33,37 @@ class RobustSpec extends SparkSpec {
     assert(got(("b", 5.0)) === false)
   }
 
+  test("quantileNormalize: min-rank tie semantics, singleton 0, NULL passthrough") {
+    import spark.implicits._
+    // group g: values 10, 20, 20, 40  →  pr = 0, 1/3, 1/3, 1
+    val df = Seq(
+      (1L, "g", Some(10.0)), (2L, "g", Some(20.0)),
+      (3L, "g", Some(20.0)), (4L, "g", Some(40.0)),
+      (5L, "solo", Some(7.0)), (6L, "g", None))
+      .toDF("id", "grp", "v")
+    val got = Robust.quantileNormalize(df, "grp", "v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L).contains(0.0))
+    assert(got(2L).contains(math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6))
+    assert(got(2L) == got(3L), "ties must share their minimum rank")
+    assert(got(4L).contains(1.0))
+    assert(got(5L).contains(0.0), "singleton group normalizes to 0")
+    assert(got(6L).isEmpty, "NULL score passes through with NULL rank")
+  }
+
+  test("quantileNormalizeApprox tracks the exact form within grid resolution") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val exact = Robust.quantileNormalize(events, "event_type", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val approx = Robust.quantileNormalizeApprox(events, "event_type", "value", grid = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    val worst = exact.keys.map(k => math.abs(exact(k) - approx(k))).max
+    assert(worst <= 0.06, s"approx quantile normalization drifted: worst gap $worst")
+  }
+
   test("NULL group keys clip and flag like any other group (clip-don't-drop)") {
     import spark.implicits._
     val df = Seq((Some("g"), 1.0), (Some("g"), 9.0),
