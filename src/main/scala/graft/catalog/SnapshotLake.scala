@@ -803,6 +803,43 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * Restoring a vacuumed version fails with the same named error as the
     * change feed ([[manifestForChanges]]) — its data is gone.
     */
+  /** Shallow (zero-copy) clone: start a NEW lake at `dstRoot` whose first
+    * manifest references this lake's data directories by ABSOLUTE path —
+    * no data I/O, the Delta `SHALLOW CLONE` shape. The clone then lives
+    * its own life: commits/upserts/deletes at the clone stage fresh
+    * directories under ITS root and only re-reference the source for
+    * partitions still untouched — the experiment-on-production-data
+    * workflow without a copy. Stream watermarks carry over, so a producer
+    * replaying into the clone keeps exactly-once semantics from the clone
+    * point.
+    *
+    * THE SHARED-DATA CAVEAT (inherent to shallow clones everywhere):
+    * `vacuum` on the SOURCE only knows the source's own manifests — it can
+    * reclaim directories the clone still references, after which clone
+    * reads of those partitions fail loudly (path not found), never
+    * silently empty. Vacuum at the CLONE is safe: reclamation is rooted at
+    * the clone's `data/` dir, which contains only directories the clone
+    * itself staged. Cloning a vacuumed version fails with the
+    * [[manifestForChanges]] named error.
+    */
+  def cloneTo(dstRoot: String, version: Option[Long] = None): Long = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"cannot clone: no commits at $root"))
+    val src = manifestForChanges(v)
+    require(src.nonEmpty, s"empty manifest v$v")
+    val absolute = src.map { case (k, d) => k -> resolveDir(d) }
+    val txns = readTxns(v)
+    val dst = new SnapshotLake(spark, dstRoot)
+    require(dst.latestVersion.isEmpty,
+      s"clone target $dstRoot already has commits — refusing to overwrite a live lake")
+    Files.createDirectories(dst.manifestsDir)
+    Files.createDirectories(dst.dataDir)
+    require(dst.writeManifestAtomic(1L, absolute, txns),
+      s"clone target $dstRoot gained a concurrent commit — aborting")
+    dst.writeInfo(1L, "clone", absolute.size)
+    1L
+  }
+
   def restore(version: Long): Long = {
     val target = manifestForChanges(version)
     require(target.nonEmpty, s"empty manifest v$version")

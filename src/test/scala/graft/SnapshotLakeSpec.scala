@@ -663,4 +663,70 @@ class SnapshotLakeSpec extends SparkSpec {
     // the surviving span still feeds the CDF normally
     assert(lake.changes(3L, 3L, Seq("id", "part"), Seq("part")).count() === 0L)
   }
+
+  test("shallow clone: zero-copy reference, independent divergence, carried watermarks") {
+    val (src, srcDir) = fresh()
+    src.commit(batch("F", "O", "P")("first"), Seq("o_orderstatus"))
+    src.commitIfNew("streamA", 7L, batch("F")("second"), Seq("o_orderstatus"))
+
+    val dstDir = Files.createTempDirectory("graft_snap_clone").toString + "/lake"
+    val cv = src.cloneTo(dstDir)
+    assert(cv === 1L)
+    val clone = new SnapshotLake(spark, dstDir)
+
+    // content identical to the source snapshot, with ZERO data copied
+    val srcRows = src.read(Seq("o_orderstatus")).collect().map(_.toString).sorted
+    val cloneRows = clone.read(Seq("o_orderstatus")).collect().map(_.toString).sorted
+    assert(cloneRows.toSeq == srcRows.toSeq)
+    val cloneData = java.nio.file.Paths.get(dstDir, "data")
+    val staged = { val s = Files.list(cloneData); try s.count() finally s.close() }
+    assert(staged === 0L, "shallow clone must not stage any data directories")
+
+    // watermarks carry: replaying the already-committed batch is a no-op
+    assert(clone.lastTxn("streamA").contains(7L))
+    assert(clone.commitIfNew("streamA", 7L, batch("F")("replay"), Seq("o_orderstatus")).isEmpty)
+
+    // divergence: a commit at the clone stays at the clone
+    clone.commit(batch("O")("cloned-edit"), Seq("o_orderstatus"))
+    val after = clone.read(Seq("o_orderstatus"))
+      .select("o_orderstatus", "pointer").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after === Set(("F", "second"), ("O", "cloned-edit"), ("P", "first")))
+    val srcAfter = src.read(Seq("o_orderstatus"))
+      .select("pointer").distinct().collect().map(_.getString(0)).toSet
+    assert(srcAfter === Set("first", "second"), "source must not see clone edits")
+
+    // vacuum at the CLONE only reclaims clone-staged dirs — source intact
+    clone.vacuum(keepLast = 1, minAgeMs = 0L)
+    assert(src.read(Seq("o_orderstatus")).count() > 0)
+    assert(clone.read(Seq("o_orderstatus")).count() > 0)
+
+    // refusal: cloning onto a live lake
+    val e = intercept[IllegalArgumentException] { src.cloneTo(dstDir) }
+    assert(e.getMessage.contains("refusing"), e.getMessage)
+  }
+
+  test("shallow clone caveats: vacuumed-version refusal; source vacuum breaks clone loudly") {
+    val (src, _) = fresh()
+    src.commit(batch("F")("v1"), Seq("o_orderstatus"))
+    src.commit(batch("F")("v2"), Seq("o_orderstatus"))
+    src.vacuum(keepLast = 1, minAgeMs = 0L)
+    val e = intercept[IllegalStateException] {
+      src.cloneTo(Files.createTempDirectory("graft_snap_cv").toString + "/lake", Some(1L))
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+
+    // clone latest, then vacuum the source past it: the shared-data caveat —
+    // the clone's read must fail LOUDLY, never return silently empty
+    val dst = Files.createTempDirectory("graft_snap_cx").toString + "/lake"
+    src.cloneTo(dst)
+    val clone = new SnapshotLake(spark, dst)
+    assert(clone.read(Seq("o_orderstatus")).count() > 0)
+    src.commit(batch("F")("v3"), Seq("o_orderstatus"))
+    src.vacuum(keepLast = 1, minAgeMs = 0L) // reclaims v2's dir, still clone-referenced
+    val broken = intercept[Exception] {
+      clone.read(Seq("o_orderstatus")).collect()
+    }
+    assert(broken != null)
+  }
 }
