@@ -98,6 +98,16 @@ object QueriesCorpus {
         "id_a", "id_b")
     }),
 
+    // sparse tf-idf cosine pairs (APSS): lexical similarity join over the
+    // df-capped vocabulary (cap = N/10 — the stopword guard is the scale
+    // configuration), integer-exact weights so every cosine oracles
+    "q_tx_apss" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+        totalDocs = n, threshold = 0.5, maxDocFreq = n / 10)
+    }),
+
     // leakage-safe split: near-dup clusters (LSH pairs + star contraction)
     // move to train/val/test as units — the split key is the cluster id
     "q_cr_split" -> ((s, dir) => {
@@ -1265,6 +1275,32 @@ object QueriesCorpus {
          |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
     },
+    "q_tx_apss" ->
+      """WITH pd AS (
+        |  SELECT doc_id AS d, tok AS token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |dfq AS (
+        |  SELECT token, count(*) AS df FROM pd GROUP BY 1
+        |  HAVING count(*) * 10 <= (SELECT n FROM nn)),
+        |w AS (
+        |  SELECT d, token,
+        |    CAST(floor(tf * ln(CAST(nn.n AS DOUBLE) / df) * 1e6 + 0.5) AS HUGEINT) AS wq
+        |  FROM pd JOIN dfq USING (token) CROSS JOIN nn),
+        |norms AS (SELECT d, sum(wq * wq) AS n2 FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT a.d AS id_a, b.d AS id_b, sum(a.wq * b.wq) AS dot
+        |  FROM w a JOIN w b ON a.token = b.token AND a.d < b.d
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    floor(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) * 1e4 + 0.5) / 1e4
+        |      AS cos
+        |  FROM dots JOIN norms na ON na.d = id_a JOIN norms nb ON nb.d = id_b)
+        |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.5""".stripMargin,
     "q_cr_split" -> {
       val bandSelects = (0 until 2)
         .map { b =>

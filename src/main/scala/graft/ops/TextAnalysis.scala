@@ -502,6 +502,63 @@ object TextAnalysis {
           col("tf") * log(lit(totalDocs.toDouble) / col("df")), 6).as("tfidf"))
   }
 
+  /** All-pairs sparse cosine similarity over tf-idf vectors (the APSS /
+    * similarity-join problem, Bayardo et al. 2007 shape): document pairs
+    * whose LEXICAL cosine meets `threshold` — the sparse complement of
+    * [[graft.ops.Dedup.embeddingNearDupPairs]] (no embedding model needed,
+    * and exact rather than learned similarity).
+    *
+    * Exactness discipline: weights `tf·ln(N/df)` are quantized to a fixed
+    * 1e-6 integer grid, so norms and dot products are ORDER-FREE exact
+    * integer sums (DECIMAL(38,0)) — bit-identical under any partitioning,
+    * and reproducible by the SQL oracle; only the final
+    * `dot/(√na·√nb)` happens in floating point, on identical integers.
+    *
+    * Scale shape: an inverted-index self-join on token — pair volume
+    * tracks Σ df², so `maxDocFreq` caps the blowup a stopword-grade token
+    * would cause (the [[graft.ops.Dedup.cdcChunkPairs]] stop-chunk guard):
+    * similarity is then DEFINED over the df-capped vocabulary, which is
+    * also what discriminates — a token every document carries ranks no
+    * pair above any other. No cap (`Long.MaxValue`) keeps the full measure
+    * for bounded corpora.
+    */
+  def tfidfCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      totalDocs: Long,
+      threshold: Double,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    require(totalDocs > 0 && threshold > 0.0 && maxDocFreq >= 1)
+    val perDoc = df
+      .select(col(idCol).as("_doc"), explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("_doc", "token")
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val w = perDoc.join(docFreq, "token")
+      .select(col("_doc"), col("token"),
+        floor(col("tf") * log(lit(totalDocs.toDouble) / col("df")) * 1e6 + 0.5)
+          .cast("decimal(38,0)").as("wq"))
+    val norms = w.groupBy("_doc").agg(sum(col("wq") * col("wq")).as("n2"))
+    val a = w.alias("a")
+    val b = w.hint("SHUFFLE_HASH").alias("b")
+    val dots = a
+      .join(b, col("a.token") === col("b.token") && col("a._doc") < col("b._doc"))
+      .groupBy(col("a._doc").as("id_a"), col("b._doc").as("id_b"))
+      .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+    dots
+      .join(norms.select(col("_doc").as("id_a"), col("n2").as("na2")), Seq("id_a"))
+      .join(norms.select(col("_doc").as("id_b"), col("n2").as("nb2")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.Functions.roundHalfUp(
+          col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 4)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** BM25 relevance of every document to a fixed query (Robertson/Sparck
     * Jones with the Lucene idf: `ln((N − df + 0.5)/(df + 0.5) + 1)`) — the
     * sparse-retrieval scorer for RAG/search over a curated corpus.

@@ -606,6 +606,64 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(gotNll(11L) - -math.log(0.4)) < 1e-5)
   }
 
+  test("tfidfCosinePairs: exact quantized cosine, stopword cap, partition invariance") {
+    import spark.implicits._
+    // every doc carries the stopword 'the'; discrimination lives in the
+    // rare terms. d1/d2 share {alpha, beta}; d3 shares nothing rare.
+    val docs = Seq(
+      (1L, "the alpha beta gamma"),
+      (2L, "the alpha beta delta"),
+      (3L, "the zeta eta theta"),
+      (4L, "the alpha alpha beta gamma")) // d1 with doubled alpha
+      .toDF("doc_id", "text")
+    val n = 4L
+
+    // local mirror of the quantized measure (df-capped vocabulary)
+    def wq(tf: Long, df: Long): Long =
+      math.floor(tf * math.log(n.toDouble / df) * 1e6 + 0.5).toLong
+    // dfs over the rare terms: alpha 3, beta 3, gamma 2, delta 1, zeta/eta/theta 1
+    def cos(a: Map[String, Long], b: Map[String, Long], df: Map[String, Long]): Double = {
+      val wa = a.map { case (t, tf) => t -> wq(tf, df(t)) }
+      val wb = b.map { case (t, tf) => t -> wq(tf, df(t)) }
+      val dot = wa.keySet.intersect(wb.keySet).toSeq.map(t => wa(t) * wb(t)).sum.toDouble
+      val na = math.sqrt(wa.values.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(wb.values.map(x => x * x).sum.toDouble)
+      math.floor(dot / (na * nb) * 1e4 + 0.5) / 1e4
+    }
+    val df = Map("alpha" -> 3L, "beta" -> 3L, "gamma" -> 2L, "delta" -> 1L,
+      "zeta" -> 1L, "eta" -> 1L, "theta" -> 1L)
+    val d1 = Map("alpha" -> 1L, "beta" -> 1L, "gamma" -> 1L)
+    val d2 = Map("alpha" -> 1L, "beta" -> 1L, "delta" -> 1L)
+    val d4 = Map("alpha" -> 2L, "beta" -> 1L, "gamma" -> 1L)
+
+    // cap at df<=3 excludes only 'the' (df 4)
+    val got = graft.ops.TextAnalysis.tfidfCosinePairs(
+        docs, "doc_id", "text", totalDocs = n, threshold = 0.01, maxDocFreq = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == cos(d1, d2, df))
+    assert(got((1L, 4L)) == cos(d1, d4, df))
+    assert(!got.contains((1L, 3L)), "docs sharing only the capped stopword must not pair")
+    assert(!got.contains((2L, 3L)))
+    assert(got((1L, 4L)) > got((1L, 2L)), "near-duplicate outranks partial overlap")
+
+    // without the cap, 'the' (idf ln(1) = 0 → weight 0) still cannot rank
+    // anything: zero-weight pairs surface with cosine 0 and fall to threshold
+    val uncapped = graft.ops.TextAnalysis.tfidfCosinePairs(
+        docs, "doc_id", "text", totalDocs = n, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(!uncapped.contains((1L, 3L)), "an every-doc token carries zero idf weight")
+    assert(uncapped((1L, 2L)) == got((1L, 2L)))
+
+    // bit-identical under repartitioning (integer-exact sums)
+    val one = graft.ops.TextAnalysis.tfidfCosinePairs(
+        docs.repartition(1), "doc_id", "text", n, 0.01, 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val seven = graft.ops.TextAnalysis.tfidfCosinePairs(
+        docs.repartition(7), "doc_id", "text", n, 0.01, 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(one == seven)
+  }
+
   test("Publish.firstSeenCounter numbers by first appearance and resets daily") {
     val rows = Seq(
       (ts("2020-01-01 08:00:00"), "u2"),
