@@ -98,6 +98,14 @@ object QueriesCorpus {
         "id_a", "id_b")
     }),
 
+    // edit-distance similarity join: part names within levenshtein 3 —
+    // length-banded candidates (keyed join, never a cross), built-in
+    // levenshtein verify the oracle reproduces exactly
+    "q_dd_editdist" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        t(s, dir, "part").filter(col("p_partkey") % 7 === 0),
+        "p_partkey", "p_name", maxDist = 3)),
+
     // sparse tf-idf cosine pairs (APSS): lexical similarity join over the
     // df-capped vocabulary (cap = N/10 — the stopword guard is the scale
     // configuration), integer-exact weights so every cosine oracles
@@ -1275,6 +1283,13 @@ object QueriesCorpus {
          |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
     },
+    "q_dd_editdist" ->
+      """WITH b AS (
+        |  SELECT p_partkey AS id, trim(lower(p_name)) AS s
+        |  FROM part WHERE p_partkey % 7 = 0)
+        |SELECT a.id AS id_a, bb.id AS id_b, levenshtein(a.s, bb.s) AS dist
+        |FROM b a JOIN b bb ON a.id < bb.id
+        |WHERE levenshtein(a.s, bb.s) <= 3""".stripMargin,
     "q_tx_apss" ->
       """WITH pd AS (
         |  SELECT doc_id AS d, tok AS token, count(*) AS tf

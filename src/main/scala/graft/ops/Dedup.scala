@@ -788,4 +788,54 @@ object Dedup {
         col(idCol), col("content_hash"),
         coalesce(col("_seen"), lit(false)).as("seen_before"))
   }
+
+  /** Edit-distance similarity join over SHORT strings (titles, names,
+    * labels): pairs with `levenshtein ≤ maxDist` — the fuzzy-dedup join
+    * for the dimension-ish side of a corpus, where token-set measures
+    * ([[ngramJaccardPairs]]) are too coarse to see a one-character typo.
+    *
+    * Candidate generation is LENGTH BANDING (the first filter of the
+    * PassJoin family): every string is exploded to bands
+    * `[len − maxDist, len]`, and a pair is taken from exactly one shared
+    * band — the one equal to `min(len_a, len_b)`. Complete by the length
+    * lemma (each edit changes length by at most 1, so `|len_a − len_b| >
+    * maxDist` already implies distance > maxDist) and exactly-once by the
+    * min-band pick, so no dedup shuffle follows. The verify step is the
+    * codegen'd built-in `levenshtein`, which the DuckDB oracle reproduces
+    * exactly.
+    *
+    * Scale shape: a keyed equi-join on the band (never a cartesian),
+    * candidate volume Σ over bands of |band| × |within-maxDist lengths| —
+    * for natural short-string length distributions this is a small
+    * multiple of the true pair count. Positional q-gram count filtering
+    * is the known next refinement if a corpus's length histogram
+    * degenerates (one dominant length).
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int,
+      normalize: Boolean = true): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be non-negative")
+    val raw = col(strCol).cast("string")
+    val s = if (normalize) trim(lower(raw)) else raw
+    val base = df
+      .select(col(idCol).as("id"), s.as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+    val banded = base.withColumn("band",
+      explode(sequence(greatest(col("len") - maxDist, lit(0)), col("len"))))
+    val a = banded.alias("a")
+    val b = banded.hint("SHUFFLE_HASH").alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.id") < col("b.id") &&
+          col("a.band") === least(col("a.len"), col("b.len")))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

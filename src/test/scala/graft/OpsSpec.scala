@@ -606,6 +606,49 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(gotNll(11L) - -math.log(0.4)) < 1e-5)
   }
 
+  test("editDistancePairs: banded candidates == naive theta join, exactly once, known values") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "kitten"), (2L, "sitting"),       // the classic dist-3 pair
+      (3L, "red bolt"), (4L, "red bolts"),   // dist 1
+      (5L, "Red  Bolt"), (6L, "zzzzzzzzzzzzzz"), // normalization; an outlier
+      (7L, "a"), (8L, ""), (9L, "ab"))       // short/empty edges
+      .toDF("id", "name")
+    val got = graft.ops.Dedup.editDistancePairs(fixture, "id", "name", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 3L)
+    assert(got((3L, 4L)) == 1L)
+    assert(got((7L, 8L)) == 1L && got((7L, 9L)) == 1L && got((8L, 9L)) == 2L)
+    assert(!got.keySet.exists(p => p._1 == 6L || p._2 == 6L), "outlier pairs with nothing")
+    // "Red  Bolt" normalizes to "red  bolt": one extra space -> dist 1 to "red bolt"
+    assert(got((3L, 5L)) == 1L)
+
+    // randomized completeness + exactly-once vs the naive theta join
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc"
+    val rows = (1 to 120).map(i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(7))(alphabet(rnd.nextInt(3))).mkString))
+    val df = rows.toDF("id", "name").repartition(5)
+    val banded = graft.ops.Dedup.editDistancePairs(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(banded.length == banded.distinct.length, "a pair must be emitted exactly once")
+    val naive = {
+      val a = df.select(col("id").as("ia"), trim(lower(col("name"))).as("sa"))
+      val bb = df.select(col("id").as("ib"), trim(lower(col("name"))).as("sb"))
+      a.crossJoin(bb).filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"), levenshtein(col("sa"), col("sb")).cast("long").as("d"))
+        .filter(col("d") <= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(banded.toSet == naive, "length banding must lose no pair and add none")
+
+    // the plan is a keyed band join, never a cartesian
+    val plan = graft.ops.Dedup.editDistancePairs(df, "id", "name", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance join must stay keyed:\n$plan")
+  }
+
   test("tfidfCosinePairs: exact quantized cosine, stopword cap, partition invariance") {
     import spark.implicits._
     // every doc carries the stopword 'the'; discrimination lives in the
