@@ -98,6 +98,11 @@ object QueriesCorpus {
         "id_a", "id_b")
     }),
 
+    // Unicode script profile: per-block character counts + dominant script
+    // (script detection before language id) — pure regexp projections
+    "q_tx_script" -> ((s, dir) =>
+      TextAnalysis.scriptProfile(t(s, dir, "documents"), "doc_id", "text")),
+
     // edit-distance similarity join: part names within levenshtein 3 —
     // length-banded candidates (keyed join, never a cross), built-in
     // levenshtein verify the oracle reproduces exactly
@@ -1282,6 +1287,24 @@ object QueriesCorpus {
          |  UNION
          |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+    },
+    "q_tx_script" -> {
+      val counts = graft.ops.TextAnalysis.ScriptRanges.map { case (name, r) =>
+        s"length(regexp_replace(coalesce(text, ''), '[^$r]', '', 'g')) AS n_$name"
+      }.mkString(",\n        |  ")
+      val names = graft.ops.TextAnalysis.ScriptRanges.map(_._1)
+      val best = names.map(n => s"n_$n").mkString("greatest(", ", ", ")")
+      val cases = names.map(n => s"WHEN n_$n = _best AND _best > 0 THEN '$n'")
+        .mkString("\n        |       ")
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |  $counts
+        |  FROM documents),
+        |b AS (SELECT *, $best AS _best FROM c)
+        |SELECT doc_id, ${names.map(n => s"n_$n").mkString(", ")},
+        |  CASE $cases
+        |       ELSE 'und' END AS script
+        |FROM b""".stripMargin
     },
     "q_dd_editdist" ->
       """WITH b AS (

@@ -502,6 +502,48 @@ object TextAnalysis {
           col("tf") * log(lit(totalDocs.toDouble) / col("df")), 6).as("tfidf"))
   }
 
+  /** Unicode script blocks for [[scriptProfile]], as portable character
+    * RANGES (not `\p{script=…}` classes — Java and RE2 spell those
+    * differently, and the engine's oracle contract needs one regex both
+    * evaluate identically). Each entry is the script's principal BMP block;
+    * known approximations: the Latin-1 range includes × (U+00D7) and ÷
+    * (U+00F7), and CJK covers the unified-ideograph block only.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{00C0}-\\x{00FF}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "hebrew" -> "\\x{0590}-\\x{05FF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}",
+    "hangul" -> "\\x{AC00}-\\x{D7AF}",
+    "kana" -> "\\x{3040}-\\x{30FF}")
+
+  /** Per-document Unicode script profile: one character count per script
+    * block plus the dominant `script` ('und' when no scripted character at
+    * all) — the script-detection gate multilingual pipelines run BEFORE
+    * language id (a Cyrillic page should never reach an n-gram model
+    * trained on Latin text, and mixed-script spam shows up as a split
+    * profile). Ties break by [[ScriptRanges]] order, so the answer is
+    * deterministic and the DuckDB oracle reproduces it with the same CASE
+    * chain. Pure per-row regexp projections — zero shuffle, scan-bound.
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counts = ScriptRanges.map { case (name, r) =>
+      name -> length(regexp_replace(t, s"[^$r]", "")).cast("long")
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val dominant = counts.foldRight(lit("und"): Column) { case ((name, c), acc) =>
+      when(c === best && best > 0L, lit(name)).otherwise(acc)
+    }
+    df.select(
+      (col(idCol) +:
+        counts.map { case (name, c) => c.as(s"n_$name") }) :+
+        dominant.as("script"): _*)
+  }
+
   /** All-pairs sparse cosine similarity over tf-idf vectors (the APSS /
     * similarity-join problem, Bayardo et al. 2007 shape): document pairs
     * whose LEXICAL cosine meets `threshold` — the sparse complement of

@@ -606,6 +606,33 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(gotNll(11L) - -math.log(0.4)) < 1e-5)
   }
 
+  test("scriptProfile: per-block counts, dominance, ties by declared order, und fallback") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),                    // latin 10
+      (2L, "привет мир"),                     // cyrillic 9
+      (3L, "hello привет"),                   // 5 latin vs 6 cyrillic → cyrillic
+      (4L, "αβγ אבג"),                        // greek 3, hebrew 3 → tie → greek (declared order)
+      (5L, "日本語 と かな"),                  // cjk 3, kana 3 → tie → cjk
+      (6L, "1234 !?"),                        // no scripted chars → und
+      (7L, null.asInstanceOf[String]))        // null → und, zero counts
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .collect().map { r =>
+        r.getLong(0) -> (r.getString(r.length - 1),
+          graft.ops.TextAnalysis.ScriptRanges.zipWithIndex
+            .map { case ((n, _), i) => n -> r.getLong(i + 1) }.toMap)
+      }.toMap
+    assert(got(1L)._1 == "latin" && got(1L)._2("latin") == 10L)
+    assert(got(2L)._1 == "cyrillic" && got(2L)._2("cyrillic") == 9L)
+    assert(got(3L)._1 == "cyrillic" && got(3L)._2("latin") == 5L && got(3L)._2("cyrillic") == 6L)
+    assert(got(4L)._1 == "greek", "ties must break by ScriptRanges order")
+    assert(got(4L)._2("greek") == 3L && got(4L)._2("hebrew") == 3L)
+    assert(got(5L)._1 == "cjk" && got(5L)._2("cjk") == 3L && got(5L)._2("kana") == 3L)
+    assert(got(6L)._1 == "und" && got(6L)._2.values.sum == 0L)
+    assert(got(7L)._1 == "und" && got(7L)._2.values.sum == 0L)
+  }
+
   test("editDistancePairs: banded candidates == naive theta join, exactly once, known values") {
     import spark.implicits._
     val fixture = Seq(
