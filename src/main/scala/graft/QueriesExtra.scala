@@ -31,6 +31,20 @@ object QueriesExtra {
           "user_id", "ts_sec", "event_id", gapSeconds = 1800)
         .select("event_id", "user_id", "session_id")),
 
+    // session-LEVEL aggregation via the native session_window operator
+    // (merge-on-overlap; boundary-touching windows coalesce, the same
+    // diff > 1800 split rule as assignBatch)
+    "q_w7_session_agg" -> ((s, dir) =>
+      Sessionize
+        .sessionAgg(
+          t(s, dir, "events")
+            .select(col("user_id"), Functions.toSecond(col("ts")).as("tss")),
+          "user_id", "tss", gapSeconds = 1800)
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_sec"),
+          unix_timestamp(col("session_end")).as("end_sec"),
+          col("n_events"))),
+
     // §2.10 tz conversion at the parse edge (reference util/date_util.py:67-85):
     // interpret a naive local wall-clock as America/Chicago, store UTC
     "q_sc_tzconvert" -> ((s, dir) =>
@@ -276,6 +290,21 @@ object QueriesExtra {
         |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+    "q_w7_session_agg" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (SELECT user_id, sec,
+        |    CASE WHEN lag(sec, 1) OVER w IS NULL OR sec - lag(sec, 1) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |s AS (SELECT user_id, sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(sec) AS start_sec, max(sec) + 1800 AS end_sec,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_sc_tzconvert" ->
       """SELECT o_orderkey,
         |  strftime(make_timestamp(CAST(epoch(timezone('America/Chicago', o_orderdate)) AS BIGINT)*1000000), '%Y-%m-%d %H:%M') AS utc_str

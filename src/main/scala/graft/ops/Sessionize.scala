@@ -36,6 +36,34 @@ object Sessionize {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Session-LEVEL aggregation through Spark's native `session_window`
+    * (merge-on-overlap windows: sessions merge while successive gaps are
+    * ≤ `gapSeconds` — windows touching at a boundary coalesce — and each
+    * session ends `gapSeconds` after its last event). One aggregate —
+    * Catalyst owns the merge, including the streaming state-store variant
+    * with watermark expiry.
+    *
+    * Grouping is EXACTLY [[assignBatch]]'s (`diff > g` starts a session;
+    * an event landing precisely at the gap stays merged, spec-pinned on
+    * the boundary fixture and by randomized equivalence), so the two forms
+    * are interchangeable: per-row ids when downstream needs event grain,
+    * this when it needs session grain.
+    */
+  def sessionAgg(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds >= 1, s"gapSeconds=$gapSeconds must be positive")
+    df.groupBy(col(keyCol), session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   case class Event(key: Long, tsSec: Long, id: Long)
   case class Sessioned(key: Long, id: Long, sessionId: Long)
   case class State(lastTs: Long, sessionId: Long)
