@@ -695,6 +695,103 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio resampling: decode signed-PCM (WAV/AIFF/AU, the
+    * [[AudioIoDecoder]] family) to mono, LINEAR-interpolate to `targetHz`,
+    * and re-encode as 16-bit little-endian mono WAV — so the output is
+    * again an opaque binary the lake (and [[pcmWindowFeatures]]) consumes
+    * unchanged. Adds `resampled`, `out_frames`, `resample_ok`; unreadable
+    * payloads degrade (`resample_ok = false`), the corpus contract.
+    *
+    * Interpolation is the exact two-point formula at source position
+    * `j · srcRate / targetHz` — pure double arithmetic in one
+    * deterministic order, so backfills are bit-reproducible. One batched
+    * `mapPartitions` pass, zero shuffle; output size tracks
+    * `targetHz / srcRate`.
+    */
+  def resamplePcm(
+      df: DataFrame,
+      binCol: String,
+      targetHz: Int): DataFrame = {
+    require(targetHz >= 1, s"targetHz=$targetHz must be positive")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resampled", org.apache.spark.sql.types.BinaryType),
+      StructField("out_frames", IntegerType, nullable = false),
+      StructField("resample_ok", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val out =
+          if (bytes == null) None
+          else decodePcmMonoWithRate(bytes).flatMap { case (samples, srcHz) =>
+            if (samples.isEmpty) None
+            else Some(encodeWav16Mono(resampleLinear(samples, srcHz, targetHz), targetHz))
+          }
+        val tail = out match {
+          case Some((wav, n)) => Seq(wav, n, true)
+          case None => Seq(null, 0, false)
+        }
+        Row.fromSeq(r.toSeq ++ tail)
+      }
+    }(enc)
+  }
+
+  /** `out(j) = lerp(in, j · src/target)` with the exact two-point formula;
+    * output length `⌊(n−1)·target/src⌋ + 1` keeps every position in range.
+    */
+  private[ops] def resampleLinear(
+      in: Array[Double], srcHz: Double, targetHz: Double): Array[Double] = {
+    val ratio = srcHz / targetHz
+    val nOut = math.floor((in.length - 1) / ratio).toInt + 1
+    val out = new Array[Double](nOut)
+    var j = 0
+    while (j < nOut) {
+      val p = j * ratio
+      val i = math.min(p.toInt, in.length - 1)
+      val frac = p - i
+      out(j) =
+        if (i + 1 < in.length) in(i) + frac * (in(i + 1) - in(i)) else in(i)
+      j += 1
+    }
+    out
+  }
+
+  /** Normalized [-1, 1] mono samples → 16-bit LE mono WAV bytes (clamped,
+    * round-half-up quantization). Returns (bytes, frame count).
+    */
+  private[ops] def encodeWav16Mono(
+      samples: Array[Double], rateHz: Int): (Array[Byte], Int) = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val q = math.max(-32768.0, math.min(32767.0, math.floor(samples(i) * 32767.0 + 0.5)))
+      val s = q.toInt
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    (bos.toByteArray, samples.length)
+  }
+
+  /** [[decodePcmMono]] plus the container's sample rate. */
+  private def decodePcmMonoWithRate(bytes: Array[Byte]): Option[(Array[Double], Double)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val rate = ais.getFormat.getFrameRate.toDouble
+        if (rate <= 0) None
+        else decodePcmMono(bytes).map(s => (s, rate))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Decode a signed-PCM payload to normalized [-1, 1] mono samples; None
     * when the container or encoding is unsupported.
     */

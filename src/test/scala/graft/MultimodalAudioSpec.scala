@@ -96,4 +96,53 @@ class MultimodalAudioSpec extends SparkSpec {
     assert(frames === bytes.length / (ch * bits / 8))
     assert(mime === "audio/fake")
   }
+
+  test("resamplePcm: sine survives 2x down- and upsampling; output chains; junk degrades") {
+    // 200 Hz sine at 8000 Hz, one second
+    val srcRate = 8000
+    val n = srcRate
+    val sine = Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * 200.0 * i / srcRate) * 30000).toInt.toShort)
+    val wav = wavBytes(srcRate.toFloat, 1, sine)
+    val df = payloadDf(Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")), (3L, null)))
+
+    val down = Multimodal.resamplePcm(df, "payload", targetHz = 4000)
+      .select("id", "resampled", "out_frames", "resample_ok")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]), r.getInt(2), r.getBoolean(3)))
+      .toMap
+    assert(down(2L) == ((None, 0, false)) && down(3L) == ((None, 0, false)))
+    val (Some(outWav), outFrames, ok) = down(1L)
+    assert(ok && outFrames == (n - 1) / 2 + 1, s"got $outFrames frames")
+
+    // decode the re-encoded WAV and check it IS the 200 Hz sine at 4000 Hz
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(outWav))
+    assert(ais.getFormat.getFrameRate == 4000f && ais.getFormat.getChannels == 1)
+    val data = ais.readAllBytes()
+    val worst = (0 until outFrames).map { j =>
+      val s = ((data(j * 2 + 1) << 8) | (data(j * 2) & 0xff)).toDouble / 32768.0
+      val want = math.sin(2 * math.Pi * 200.0 * j / 4000.0) * (30000.0 / 32768.0)
+      math.abs(s - want)
+    }.max
+    // 16-bit quantization (twice) + linear interpolation of a 200 Hz tone
+    // sampled at 8 kHz: interp error ≤ (2πf/sr)²/8 ≈ 0.003
+    assert(worst < 0.01, s"resampled sine drifted: worst $worst")
+
+    // upsample back: frame count lands near n again, and the output chains
+    // into pcmWindowFeatures unchanged (it is a real WAV)
+    val up = Multimodal.resamplePcm(
+        payloadDf(Seq((1L, outWav))), "payload", targetHz = 8000)
+      .select("out_frames").head().getInt(0)
+    assert(math.abs(up - n) <= 2)
+    val feats = Multimodal.pcmWindowFeatures(
+        Multimodal.resamplePcm(df, "payload", 4000)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("resampled").as("payload")),
+        "id", "payload", windowFrames = 4000)
+      .collect()
+    assert(feats.length == 1)
+    // full-scale-ish sine RMS ≈ amplitude/√2
+    val rms = feats.head.getDouble(3)
+    assert(math.abs(rms - (30000.0 / 32768.0) / math.sqrt(2.0)) < 0.01, s"rms $rms")
+  }
 }
