@@ -98,6 +98,12 @@ object QueriesCorpus {
         "id_a", "id_b")
     }),
 
+    // one-pass table profile: per-column rows/nulls/distinct/min/max —
+    // the dataset-health report, exact and fully oracle-checked
+    "q_pf_describe" -> ((s, dir) =>
+      graft.ops.Profile.describe(
+        t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))),
+
     // Unicode script profile: per-block character counts + dominant script
     // (script detection before language id) — pure regexp projections
     "q_tx_script" -> ((s, dir) =>
@@ -1287,6 +1293,17 @@ object QueriesCorpus {
          |  UNION
          |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+    },
+    "q_pf_describe" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
     },
     "q_tx_script" -> {
       val counts = graft.ops.TextAnalysis.ScriptRanges.map { case (name, r) =>

@@ -606,6 +606,25 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(gotNll(11L) - -math.log(0.4)) < 1e-5)
   }
 
+  test("Profile.describe: exact per-column stats from ONE scan, nulls counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10L), (2L, Some("b"), 10L),
+      (3L, None, 30L), (4L, Some("a"), 40L))
+      .toDF("id", "tag", "v")
+    val got = graft.ops.Profile.describe(df, Seq("id", "tag", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("tag") == ((4L, 1L, 2L, "a", "b")))
+    assert(got("v") == ((4L, 0L, 3L, "10", "40")))
+    // the whole report is one aggregate over one scan — no per-column jobs
+    val plan = graft.ops.Profile.describe(df, Seq("id", "tag", "v"))
+      .queryExecution.executedPlan.toString
+    val scans = "LocalTableScan|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"profile must read the table once, found $scans scans:\n$plan")
+  }
+
   test("scriptProfile: per-block counts, dominance, ties by declared order, und fallback") {
     import spark.implicits._
     val docs = Seq(
