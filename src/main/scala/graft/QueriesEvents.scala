@@ -217,6 +217,30 @@ object QueriesEvents {
           "event_type", "value", 0.05, 0.95)
         .select("event_id", "event_type", "value_w")),
 
+    // forward fill: carry each user's last click value across non-click
+    // events — last(ignoreNulls) over a running keyed window
+    "q_ts_ffill" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        unix_timestamp(Functions.toSecond(col("ts"))).as("tss"),
+        when(col("event_type") === "click", col("value")).as("_v"))
+      graft.ops.TimeSeries.forwardFill(e, "user_id", "tss", "event_id", Seq("_v"))
+        .select(col("event_id"), col("user_id"),
+          Functions.roundHalfUp(col("_v_ff"), 6).as("v_ff"))
+    }),
+
+    // grid resample: one row per (user, hour slot) carrying the as-of
+    // reading — grid construction + the AsOf union-window fill
+    "q_ts_grid" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id"),
+        unix_timestamp(Functions.toSecond(col("ts"))).as("sec"),
+        col("value"), col("event_id"))
+      graft.ops.TimeSeries.resampleGrid(e, "user_id", "sec", "value", "event_id", 3600L)
+        .select(col("user_id"), col("grid_ts"), col("snap_sec").as("obs_sec"),
+          Functions.roundHalfUp(col("snap_value"), 6).as("v"))
+    }),
+
     // robust stats: per-type quantile normalization (percent_rank) — the
     // cross-source score calibration; the approx histogram path is
     // spec-bounded against this exact form
@@ -420,6 +444,33 @@ object QueriesEvents {
         |SELECT event_id, e.event_type,
         |  floor(least(greatest(value, lo), hi) * 1000000 + 0.5) / 1000000 AS value_w
         |FROM events e JOIN q USING (event_type)""".stripMargin,
+    "q_ts_ffill" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    CASE WHEN event_type = 'click' THEN value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  floor(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e6 + 0.5) / 1e6
+        |    AS v_ff
+        |FROM e""".stripMargin,
+    "q_ts_grid" ->
+      """WITH o0 AS (SELECT user_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    value, event_id
+        |  FROM events),
+        |o AS (SELECT user_id, sec, value FROM o0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, sec ORDER BY event_id DESC) = 1),
+        |b AS (SELECT user_id, min(sec) AS lo, max(sec) AS hi FROM o GROUP BY 1),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(
+        |      (lo + 3599) - ((lo + 3599) % 3600), hi - (hi % 3600), 3600)) AS grid_ts
+        |  FROM b
+        |  WHERE hi - (hi % 3600) >= (lo + 3599) - ((lo + 3599) % 3600))
+        |SELECT g.user_id, g.grid_ts, o.sec AS obs_sec,
+        |  floor(o.value * 1e6 + 0.5) / 1e6 AS v
+        |FROM g ASOF JOIN o ON g.user_id = o.user_id AND g.grid_ts >= o.sec""".stripMargin,
     "q_rb_qnorm" ->
       """SELECT event_id, event_type,
         |  floor(percent_rank() OVER (PARTITION BY event_type ORDER BY value)

@@ -606,6 +606,41 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(gotNll(11L) - -math.log(0.4)) < 1e-5)
   }
 
+  test("TimeSeries: forward fill carries last non-null; grid resample slots + dedup") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 7L, 100L, Some(1.0)),
+      (2L, 7L, 200L, None),        // hole → carries 1.0
+      (3L, 7L, 300L, Some(3.0)),
+      (4L, 7L, 300L, None),        // same second, higher id → still 3.0 after fill
+      (5L, 9L, 100L, None))        // leading null stays null
+      .toDF("id", "k", "sec", "v")
+    val ff = graft.ops.TimeSeries.forwardFill(rows, "k", "sec", "id", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(ff(1L).contains(1.0) && ff(2L).contains(1.0))
+    assert(ff(3L).contains(3.0) && ff(4L).contains(3.0))
+    assert(ff(5L).isEmpty)
+
+    // grid: key 7 observed at 100..1000; step 250 → slots 250, 500, 750, 1000
+    val obs = Seq(
+      (1L, 7L, 100L, 10.0),
+      (2L, 7L, 400L, 40.0),
+      (3L, 7L, 400L, 41.0),   // same second, HIGHER id wins the dedup
+      (4L, 7L, 1000L, 99.0),
+      (5L, 9L, 50L, 5.0))     // span < step → no slots for key 9
+      .toDF("id", "k", "sec", "v")
+    val grid = graft.ops.TimeSeries.resampleGrid(obs, "k", "sec", "v", "id", 250L)
+      .select(col("k"), col("grid_ts"), col("snap_sec"), col("snap_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(grid.keySet == Set((7L, 250L), (7L, 500L), (7L, 750L), (7L, 1000L)))
+    assert(grid((7L, 250L)) == ((100L, 10.0)))
+    assert(grid((7L, 500L)) == ((400L, 41.0)), "tiebreak must pick the higher id at 400")
+    assert(grid((7L, 750L)) == ((400L, 41.0)))
+    assert(grid((7L, 1000L)) == ((1000L, 99.0)), "slot equal to an observation is inclusive")
+  }
+
   test("Profile.describe: exact per-column stats from ONE scan, nulls counted") {
     import spark.implicits._
     val df = Seq(
