@@ -30,6 +30,13 @@ object QueriesSampling {
         rates = Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.05)
         .select("doc_id", "lang")),
 
+    // weighted reservoir (Efraimidis-Spirakis): 25 docs per language, keep
+    // probability tracking n_chars as the weight
+    "q_sm_wreservoir" -> ((s, dir) =>
+      Sampling.weightedPerStratumSample(
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 25)
+        .select("doc_id", "lang", "n_chars")),
+
     // upsampling with repetition: epochs-per-domain mixing (rates > 1) —
     // en seen 2.5x (every doc twice, an md5-chosen half a third time),
     // de once, fr thinned to half, everything else dropped
@@ -117,6 +124,15 @@ object QueriesSampling {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${uSql("doc_id")} <
          |  CASE WHEN lang = 'de' THEN 0.1 WHEN lang = 'en' THEN 0.5 ELSE 0.05 END""".stripMargin,
+    "q_sm_wreservoir" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    floor(-ln((CAST('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1) / 4294967296.0)
+         |      / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) / 1e9 AS score
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0.0)
+         |SELECT doc_id, lang, n_chars FROM s
+         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) <= 25""".stripMargin,
     "q_sm_upsample" ->
       s"""WITH c AS (
          |  SELECT doc_id, lang,

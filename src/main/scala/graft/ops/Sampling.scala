@@ -257,6 +257,45 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Weighted reservoir sampling without replacement, exactly
+    * `min(k, positive-weight rows)` per stratum (Efraimidis & Spirakis
+    * 2006): rank rows by the exponential key `−ln(u)/w` (equivalent to
+    * their `u^(1/w)` maximization) and keep each stratum's k smallest —
+    * a doc with twice the weight is (asymptotically) twice as likely to
+    * make the sample, the quality-weighted version of
+    * [[perStratumSample]]. The uniform is md5-derived on the OPEN-ZERO
+    * grid `(bits+1)/2³²` so `ln` never sees 0; non-positive/NULL weights
+    * never sample (the [[weightedSample]] convention) and NULL keys drop
+    * (the module-wide rule). Scores compare rounded half-up 9 with a key
+    * tiebreak, so selection is deterministic and the SQL oracle
+    * (q_sm_wreservoir) reproduces it. Raising a row's weight can only
+    * keep it selected (its key is decreasing in w) — monotone, spec'd.
+    *
+    * Scale shape: one keyed window ranking per stratum, the
+    * [[perStratumSample]] plan exactly.
+    */
+  def weightedPerStratumSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1)
+    val u = (Functions.md5Bits(concat(lit(salt), col(keyCol).cast("string")), 32) + 1L) /
+      lit(4294967296.0)
+    val wgt = col(weightCol).cast("double")
+    val score = Functions.roundHalfUp(-log(u) / wgt, 9)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(score, col(keyCol))
+    df
+      .filter(col(keyCol).isNotNull && wgt > 0.0)
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(win))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Assign each row a split label by hash band: `fractions` are
     * (label, weight) pairs; bands partition [0, 1) in the given order.
     * Deterministic, disjoint, exhaustive — a row can never change split

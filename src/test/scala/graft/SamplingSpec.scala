@@ -288,6 +288,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedPerStratumSample: exact k, zero/null weights out, weight monotone") {
+    import spark.implicits._
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        if (i % 10 == 0) 0.0 else 1.0 + (i % 5))) :+ ((61L, "a", -3.0)) :+ ((62L, "b", 0.0))
+    val df = rows.toDF("id", "grp", "w")
+    val got = Sampling.weightedPerStratumSample(df, "grp", "id", "w", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.count(_._2 == "a") == 10 && got.count(_._2 == "b") == 10)
+    assert(got.forall(_._3 > 0.0), "non-positive weights must never sample")
+    // tiny stratum: kept whole
+    val tiny = Sampling.weightedPerStratumSample(
+        Seq((1L, "x", 2.0), (2L, "x", 5.0)).toDF("id", "grp", "w"), "grp", "id", "w", 10)
+      .count()
+    assert(tiny == 2L)
+    // monotone in weight: growing a selected doc's weight keeps it selected
+    val base = Sampling.weightedPerStratumSample(df, "grp", "id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    val someSelected = base.head
+    val boosted = df.withColumn("w",
+      when(col("id") === someSelected, col("w") * 100).otherwise(col("w")))
+    val after = Sampling.weightedPerStratumSample(boosted, "grp", "id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(after.contains(someSelected), "raising a selected doc's weight must keep it")
+    // deterministic
+    val again = Sampling.weightedPerStratumSample(df, "grp", "id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == base)
+  }
+
   test("upsample guards absurd rates loudly") {
     intercept[IllegalArgumentException] {
       Sampling.upsample(docs, "lang", "doc_id", Map("en" -> 65.0))
