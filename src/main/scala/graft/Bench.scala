@@ -27,7 +27,8 @@ object Bench {
       "q_hh_tokens", "q_rb_winsor", "q_k2_snapshot", "q_bpe_encode", "q_dd_spans",
       "q_sm_shuffle", "q_nb_predict", "q_ds_weights", "q_sd_keep",
       "q_dd_spans_sub", "q_ug_encode", "q_tx_kn_ppl", "q_cms_sketch",
-      "q_ann_negatives_lsh", "q_fim")
+      "q_ann_negatives_lsh", "q_fim", "q_tx_apss", "q_dd_editdist",
+      "q_ts_grid", "q_cr_split")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

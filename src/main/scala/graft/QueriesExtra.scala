@@ -103,6 +103,22 @@ object QueriesExtra {
           .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty")),
         keyCols = Seq("l_returnflag"), sumCols = Seq("qty"))),
 
+    // pivot (wide reshaping): per-user event counts, one column per
+    // event type — explicit value list so the schema is plan-time fixed
+    // (a discovery pivot would scan twice and produce data-dependent
+    // columns, both wrong for a pipeline job)
+    "q_x_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))),
+
     // distinct-count aggregate (exact; Catalyst plans the two-phase
     // distinct expansion)
     "q_x_count_distinct" -> ((s, dir) =>
@@ -290,6 +306,14 @@ object QueriesExtra {
         |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
+    "q_x_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
     "q_w7_session_agg" ->
       """WITH e AS (SELECT user_id,
         |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec

@@ -272,6 +272,16 @@ object ScaleProbe {
       // LSH hard negatives: pair volume tracks bucket occupancy — the 10x
       // corpus densifies buckets, so expect superlinear pair growth (the
       // honest cost of mining more candidates), bounded by the keyed join
+      // APSS with the df cap scaling as n/10: pair volume tracks the
+      // rare-token tail, which the salted 10x corpus inflates — expect
+      // superlinear pair growth bounded by the cap, like lsh_pairs
+      "tx_apss" -> { d =>
+        val docs = docsAt(d)
+        val n = docs.count()
+        graft.ops.TextAnalysis.tfidfCosinePairs(
+          docs, "doc_id", "text", totalDocs = n, threshold = 0.5,
+          maxDocFreq = n / 10).count()
+      },
       "ann_negatives_lsh" -> { d =>
         val emb = Tables(spark, d, "embeddings")
         val dims = emb.select(size(col("embedding"))).head().getInt(0)

@@ -36,6 +36,35 @@ object TimeSeries {
     }
   }
 
+  case class FfEvent(key: Long, tsSec: Long, id: Long, v: Option[Double])
+  case class FfFilled(key: Long, id: Long, vFf: Option[Double])
+  case class FfState(lastV: Double, hasV: Boolean)
+
+  /** Streaming twin of [[forwardFill]]: per-key state carries the last
+    * non-null reading (ONE value per key — bounded state); within each
+    * micro-batch events apply in (time, id) order, the batch ordering
+    * exactly. The live-telemetry shape: holes in a device feed fill as
+    * they stream, and a restart resumes from the state store.
+    */
+  def forwardFillStream(
+      events: org.apache.spark.sql.Dataset[FfEvent]): org.apache.spark.sql.Dataset[FfFilled] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: Long, it: Iterator[FfEvent], state: GroupState[FfState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.tsSec, e.id))
+          var st = state.getOption.getOrElse(FfState(0.0, hasV = false))
+          val out = sorted.map { e =>
+            e.v.foreach(v => st = FfState(v, hasV = true))
+            FfFilled(key, e.id, if (st.hasV) Some(st.lastV) else None)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   private def roundUpTo(c: Column, step: Long): Column = {
     val shifted = c + lit(step - 1)
     shifted - pmod(shifted, lit(step))

@@ -359,6 +359,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming forward fill: per-key state carries readings across micro-batches") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_ff_src_").toString
+    val name = "ff_out"
+    // wave 1 ends with key 7 holding 2.0; wave 2's leading hole must fill
+    // from the STATE, not from anything inside its own batch
+    val wave1 = Seq(
+      graft.ops.TimeSeries.FfEvent(7L, 100L, 1L, Some(1.0)),
+      graft.ops.TimeSeries.FfEvent(7L, 200L, 2L, None),
+      graft.ops.TimeSeries.FfEvent(7L, 300L, 3L, Some(2.0)))
+    val wave2 = Seq(
+      graft.ops.TimeSeries.FfEvent(7L, 400L, 4L, None),
+      graft.ops.TimeSeries.FfEvent(7L, 500L, 5L, Some(9.0)),
+      graft.ops.TimeSeries.FfEvent(8L, 100L, 6L, None)) // fresh key, no state
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("key LONG, tsSec LONG, id LONG, v DOUBLE")
+        .parquet(src)
+        .as[graft.ops.TimeSeries.FfEvent]
+      val q = graft.ops.TimeSeries.forwardFillStream(stream).writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    wave1.toDF().write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF().write.mode("append").parquet(src)
+    runOnce()
+
+    val got = spark.table(name)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val batchTwin = graft.ops.TimeSeries.forwardFill(
+        (wave1 ++ wave2).toDF(), "key", "tsSec", "id", Seq("v"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got == batchTwin, s"stream must equal batch fill: $got vs $batchTwin")
+    assert(got(4L).contains(2.0), "wave-2 hole must fill from wave-1 state")
+    assert(got(6L).isEmpty, "a fresh key with no reading stays null")
+  }
+
   test("streaming CMS maintenance: per-batch sketch merge equals the batch sketch") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_cms_src_").toString
