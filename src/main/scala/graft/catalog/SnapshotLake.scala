@@ -803,6 +803,47 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * Restoring a vacuumed version fails with the same named error as the
     * change feed ([[manifestForChanges]]) — its data is gone.
     */
+  /** SCD Type-2 materialization from the version history: one row per
+    * (primary key × value incarnation) with `valid_from_version` /
+    * `valid_to_version` (NULL = still current) — the
+    * slowly-changing-dimension view warehouses keep by hand, derived here
+    * mechanically from the lake's own commits. "When did this device's
+    * config change, and what was it before" becomes a plain filter.
+    *
+    * Construction: the FIRST live version's full snapshot opens every
+    * initial interval; each subsequent version contributes only its
+    * [[changes]] delta (manifest-diff pruned — cost tracks what changed,
+    * never the table), where inserts/update-posts OPEN intervals and
+    * deletes CLOSE them. One keyed window (`lead` over version per PK)
+    * then assigns each interval its end. History length bounds the driver
+    * loop; vacuumed spans fail with the named [[manifestForChanges]]
+    * error, the CDF contract.
+    */
+  def scd2(pk: Seq[String], partitionCols: Seq[String]): DataFrame = {
+    val vs = versions
+    require(vs.nonEmpty, s"no commits at $root")
+    val base = read(partitionCols, Some(vs.head))
+      .withColumn("_v", lit(vs.head))
+      .withColumn("_kind", lit("open"))
+    val steps = vs.sliding(2).collect { case Seq(a, b) =>
+      changes(a, b, pk, partitionCols)
+        .filter(col("_change").isin("insert", "update_post", "delete"))
+        .withColumn("_v", lit(b))
+        .withColumn("_kind",
+          when(col("_change") === "delete", lit("close")).otherwise(lit("open")))
+        .drop("_change")
+    }.toSeq
+    val all = steps.foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk.map(col): _*).orderBy(col("_v"))
+    all
+      .withColumn("_valid_to", lead(col("_v"), 1).over(w))
+      .filter(col("_kind") === "open")
+      .drop("_kind")
+      .withColumnRenamed("_v", "valid_from_version")
+      .withColumnRenamed("_valid_to", "valid_to_version")
+  }
+
   /** Shallow (zero-copy) clone: start a NEW lake at `dstRoot` whose first
     * manifest references this lake's data directories by ABSOLUTE path —
     * no data I/O, the Delta `SHALLOW CLONE` shape. The clone then lives

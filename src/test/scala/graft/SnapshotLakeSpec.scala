@@ -664,6 +664,35 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(lake.changes(3L, 3L, Seq("id", "part"), Seq("part")).count() === 0L)
   }
 
+  test("scd2: validity intervals from the commit history (insert, update, delete)") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    def rows(ver: Long, t: (Long, String, String)*) =
+      t.toSeq.toDF("id", "part", "val").withColumn("ver", lit(ver))
+    // v1: A=a1, B=b1   v2: A→a2 (update), C=c1 (insert)   v3: delete B
+    lake.upsert(rows(1L, (1L, "p", "a1"), (2L, "p", "b1")), Seq("id", "part"), "ver", Seq("part"))
+    lake.upsert(rows(2L, (1L, "p", "a2"), (3L, "p", "c1")), Seq("id", "part"), "ver", Seq("part"))
+    lake.deleteWhere(col("id") === 2L, Seq("part"))
+
+    val got = lake.scd2(Seq("id", "part"), Seq("part"))
+      .select(col("id"), col("val"), col("valid_from_version"),
+        col("valid_to_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == Set(
+      (1L, "a1", 1L, Some(2L)), // superseded by the v2 update
+      (1L, "a2", 2L, None),     // current
+      (2L, "b1", 1L, Some(3L)), // closed by the v3 delete
+      (3L, "c1", 2L, None)),    // current since v2
+      s"wrong interval table: $got")
+
+    // the current slice (valid_to NULL) must equal the latest snapshot
+    val current = got.filter(_._4.isEmpty).map(t => (t._1, t._2))
+    val latest = lake.read(Seq("part")).select("id", "val")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(current == latest)
+  }
+
   test("shallow clone: zero-copy reference, independent divergence, carried watermarks") {
     val (src, srcDir) = fresh()
     src.commit(batch("F", "O", "P")("first"), Seq("o_orderstatus"))
