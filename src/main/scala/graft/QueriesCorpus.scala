@@ -556,6 +556,20 @@ object QueriesCorpus {
     "q_cms_estimate" -> ((s, dir) =>
       graft.ops.CountMin.estimateAll(t(s, dir, "documents"), "text", depth = 3, width = 64)),
 
+    // KMV bottom-k distinct sketch: per-language k smallest distinct token
+    // hashes — unlike HLL (q_x_approx_distinct, rows-only), every byte is
+    // md5-derived, so the sketch itself is hash-exact against the oracle
+    "q_kmv_sketch" -> ((s, dir) =>
+      graft.ops.Kmv.sketchTokens(t(s, dir, "documents"), "lang", "text", k = 32)
+        .select(col("lang"), col("pos").cast("long").as("pos"), col("h"))),
+
+    // KMV distinct-count estimates: exact below k, (k−1)·2^60/h_k above —
+    // the estimator arithmetic recomputed exactly by the oracle
+    "q_kmv_estimate" -> ((s, dir) =>
+      graft.ops.Kmv.estimate(
+        graft.ops.Kmv.sketchTokens(t(s, dir, "documents"), "lang", "text", k = 32),
+        "lang", k = 32)),
+
     // BPE round-1 pair counts: frequency-weighted adjacent symbol pairs
     // over character-initial symbols + the end-of-word marker — the
     // oracle-checkable core every learning round re-aggregates
@@ -1989,6 +2003,29 @@ object QueriesCorpus {
         |SELECT p.tok AS token, min(coalesce(sk.cnt, 0)) AS est
         |FROM probes p LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
         |GROUP BY 1""".stripMargin,
+    "q_kmv_sketch" ->
+      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE lang IS NOT NULL),
+        |h AS (SELECT DISTINCT lang,
+        |        CAST('0x' || substr(md5('kmv:' || tok), 1, 15) AS BIGINT) AS h
+        |      FROM t WHERE tok <> ''),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+        |      FROM h)
+        |SELECT lang, pos, h FROM r WHERE pos <= 32""".stripMargin,
+    "q_kmv_estimate" ->
+      """WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE lang IS NOT NULL),
+        |h AS (SELECT DISTINCT lang,
+        |        CAST('0x' || substr(md5('kmv:' || tok), 1, 15) AS BIGINT) AS h
+        |      FROM t WHERE tok <> ''),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+        |      FROM h),
+        |sk AS (SELECT lang, h FROM r WHERE pos <= 32)
+        |SELECT lang,
+        |  CASE WHEN count(*) < 32 THEN count(*)
+        |       ELSE CAST(floor(31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE))
+        |              AS BIGINT) END AS est
+        |FROM sk GROUP BY lang""".stripMargin,
     "q_tx_search" -> booleanSearchOracleSql,
     "q_tx_search_indexed" -> booleanSearchOracleSql,
     "q_tx_bm25" -> {

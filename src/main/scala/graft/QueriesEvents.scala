@@ -241,6 +241,40 @@ object QueriesEvents {
           Functions.roundHalfUp(col("snap_value"), 6).as("v"))
     }),
 
+    // grid interpolation: one row per (user, hour slot) with the value
+    // linearly interpolated between the bracketing observations — two
+    // as-of union-window passes, no interval explosion
+    "q_ts_interp" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id"),
+        unix_timestamp(Functions.toSecond(col("ts"))).as("sec"),
+        col("value"), col("event_id"))
+      graft.ops.TimeSeries.interpolateGrid(e, "user_id", "sec", "value", "event_id", 3600L)
+        .select(col("user_id"), col("grid_ts"), col("prev_sec"), col("next_sec"),
+          Functions.roundHalfUp(col("v"), 6).as("v"))
+    }),
+
+    // EWMA smoothing (alpha = 0.3): per-step 9-decimal quantization makes
+    // the sequential recursion bit-reproducible — the oracle replays it in
+    // a recursive CTE
+    "q_ts_ewma" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        unix_timestamp(Functions.toSecond(col("ts"))).as("sec"),
+        col("value"))
+      graft.ops.TimeSeries.ewma(e, "user_id", "sec", "event_id", "value", alpha = 0.3)
+    }),
+
+    // per-key OLS trend: drift slope/intercept from DECIMAL-exact sums —
+    // one map-side-combinable aggregate per sensor
+    "q_ts_trend" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("user_id"),
+        unix_timestamp(Functions.toSecond(col("ts"))).as("sec"),
+        col("value"))
+      graft.ops.TimeSeries.trend(e, "user_id", "sec", "value")
+    }),
+
     // robust stats: per-type quantile normalization (percent_rank) — the
     // cross-source score calibration; the approx histogram path is
     // spec-bounded against this exact form
@@ -471,6 +505,64 @@ object QueriesEvents {
         |SELECT g.user_id, g.grid_ts, o.sec AS obs_sec,
         |  floor(o.value * 1e6 + 0.5) / 1e6 AS v
         |FROM g ASOF JOIN o ON g.user_id = o.user_id AND g.grid_ts >= o.sec""".stripMargin,
+    "q_ts_interp" ->
+      """WITH o0 AS (SELECT user_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    value, event_id
+        |  FROM events),
+        |o AS (SELECT user_id, sec, value FROM o0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, sec ORDER BY event_id DESC) = 1),
+        |b AS (SELECT user_id, min(sec) AS lo, max(sec) AS hi FROM o GROUP BY 1),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(
+        |      (lo + 3599) - ((lo + 3599) % 3600), hi - (hi % 3600), 3600)) AS grid_ts
+        |  FROM b
+        |  WHERE hi - (hi % 3600) >= (lo + 3599) - ((lo + 3599) % 3600)),
+        |pv AS (SELECT g.user_id, g.grid_ts, o.sec AS prev_sec, o.value AS prev_v
+        |  FROM g ASOF JOIN o ON g.user_id = o.user_id AND g.grid_ts >= o.sec),
+        |n0 AS (SELECT user_id, -sec AS nsec, sec, value FROM o),
+        |gg AS (SELECT user_id, grid_ts, -grid_ts AS ngrid FROM g),
+        |nx AS (SELECT gg.user_id, gg.grid_ts, n0.sec AS next_sec, n0.value AS next_v
+        |  FROM gg ASOF JOIN n0 ON gg.user_id = n0.user_id AND gg.ngrid >= n0.nsec)
+        |SELECT pv.user_id, pv.grid_ts, prev_sec, next_sec,
+        |  floor(CASE WHEN next_sec = prev_sec THEN prev_v
+        |        ELSE prev_v + (next_v - prev_v) *
+        |          (CAST(pv.grid_ts - prev_sec AS DOUBLE) /
+        |           CAST(next_sec - prev_sec AS DOUBLE)) END * 1000000 + 0.5) / 1000000 AS v
+        |FROM pv JOIN nx ON pv.user_id = nx.user_id AND pv.grid_ts = nx.grid_ts""".stripMargin,
+    "q_ts_ewma" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, event_id AS id, value AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT),
+        |        event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT k, id, rn, floor(v * 1e9 + 0.5) / 1e9 AS s FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.k, e.id, e.rn, floor((0.3 * e.v + (1.0 - 0.3) * r.s) * 1e9 + 0.5) / 1e9
+        |  FROM r JOIN e ON e.k = r.k AND e.rn = r.rn + 1)
+        |SELECT k AS user_id, id AS event_id, s AS ewma FROM r""".stripMargin,
+    "q_ts_trend" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS x, value
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT user_id, x, x - min(x) OVER (PARTITION BY user_id) AS xc, value FROM b),
+        |g AS (SELECT user_id, count(*) AS n, min(x) AS x0,
+        |    CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(xc AS DECIMAL(19,0)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+        |  FROM c GROUP BY 1),
+        |s AS (SELECT user_id, n, x0,
+        |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, sy, sx FROM g)
+        |SELECT user_id, n, x0,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE floor((num / den) * 1000000 + 0.5) / 1000000 END AS slope,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE floor(((sy - (num / den) * sx) / n) * 1000000 + 0.5) / 1000000
+        |       END AS intercept
+        |FROM s""".stripMargin,
     "q_rb_qnorm" ->
       """SELECT event_id, event_type,
         |  floor(percent_rank() OVER (PARTITION BY event_type ORDER BY value)

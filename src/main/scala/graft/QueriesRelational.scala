@@ -261,9 +261,64 @@ object QueriesRelational {
         .select(
           col("event_id"),
           regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("k"))
-        .filter(col("k") >= 50)))
+        .filter(col("k") >= 50)),
+
+    // data-quality constraint suite: six row-local checks in ONE scan +
+    // one referential check (anti-join); the FK ref is orders thinned to
+    // o_orderkey % 3 <> 0 so the violation path actually fires
+    "q_dv_checks" -> ((s, dir) => {
+      import graft.ops.Validate._
+      graft.ops.Validate.report(
+        t(s, dir, "lineitem"),
+        Seq(
+          NotNull("l_returnflag"),
+          InRange("l_quantity", 1.0, 25.0),
+          AcceptedValues("l_returnflag", Seq("A", "N")),
+          Matches("l_linestatus", "^[OF]$"),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          Unique(Seq("l_orderkey")),
+          ForeignKey(Seq("l_orderkey"), "orders_mod3",
+            t(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0),
+            Seq("o_orderkey"))))
+    }))
 
   val oracles: Map[String, String] = Map(
+    "q_dv_checks" ->
+      """WITH tot AS (SELECT count(*) AS total FROM lineitem),
+        |arms AS (
+        |  SELECT 'not_null(l_returnflag)' AS check_id, 'not_null' AS check_type,
+        |    'l_returnflag' AS target,
+        |    (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL) AS violations
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity)', 'in_range', 'l_quantity',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 25.0))
+        |  UNION ALL
+        |  SELECT 'accepted(l_returnflag)', 'accepted', 'l_returnflag',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N'))
+        |  UNION ALL
+        |  SELECT 'matches(l_linestatus)', 'matches', 'l_linestatus',
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$'))
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)', 'unique', 'l_orderkey,l_linenumber',
+        |    (SELECT count(*) - count(DISTINCT
+        |       coalesce(CAST(l_orderkey AS VARCHAR), chr(2)) || chr(1) ||
+        |       coalesce(CAST(l_linenumber AS VARCHAR), chr(2))) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey)', 'unique', 'l_orderkey',
+        |    (SELECT count(*) - count(DISTINCT
+        |       coalesce(CAST(l_orderkey AS VARCHAR), chr(2))) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'fk(l_orderkey->orders_mod3)', 'foreign_key', 'l_orderkey',
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM orders o
+        |        WHERE o.o_orderkey % 3 <> 0 AND o.o_orderkey = l.l_orderkey)))
+        |SELECT check_id, check_type, target, violations, total,
+        |  violations = 0 AS passed
+        |FROM arms, tot""".stripMargin,
     "q_a7_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_f1_isin" ->

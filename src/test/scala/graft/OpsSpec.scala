@@ -641,6 +641,64 @@ class OpsSpec extends SparkSpec {
     assert(grid((7L, 1000L)) == ((1000L, 99.0)), "slot equal to an observation is inclusive")
   }
 
+  test("TimeSeries.interpolateGrid: linear values between bracketing observations") {
+    import spark.implicits._
+    val obs = Seq(
+      (1L, 7L, 100L, 10.0),
+      (2L, 7L, 500L, 50.0),
+      (3L, 7L, 1000L, 0.0),
+      (4L, 9L, 0L, 1.0),
+      (5L, 9L, 100L, 3.0))
+      .toDF("id", "k", "sec", "v")
+    val got = graft.ops.TimeSeries.interpolateGrid(obs, "k", "sec", "v", "id", 250L)
+      .select(col("k"), col("grid_ts"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // key 7 slots: 250, 500, 750, 1000
+    assert(math.abs(got((7L, 250L)) - (10.0 + 40.0 * 150.0 / 400.0)) < 1e-12)
+    assert(got((7L, 500L)) == 50.0, "slot on an observation returns it exactly")
+    assert(math.abs(got((7L, 750L)) - (50.0 - 50.0 * 250.0 / 500.0)) < 1e-12)
+    assert(got((7L, 1000L)) == 0.0)
+    // key 9 spans 0..100: only slot 0 (grid starts at ceil(0)=0)
+    assert(got((9L, 0L)) == 1.0)
+    assert(got.keySet == Set((7L, 250L), (7L, 500L), (7L, 750L), (7L, 1000L), (9L, 0L)))
+  }
+
+  test("TimeSeries.ewma: hand-computed recursion, null drop, partition invariance") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 7L, 100L, Some(10.0)),
+      (2L, 7L, 200L, None), // dropped
+      (3L, 7L, 300L, Some(20.0)),
+      (4L, 7L, 400L, Some(0.0)),
+      (5L, 9L, 100L, Some(4.0)))
+      .toDF("id", "k", "sec", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TimeSeries.ewma(df, "k", "sec", "id", "v", alpha = 0.5)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val got = run(rows)
+    assert(got == Map(1L -> 10.0, 3L -> 15.0, 4L -> 7.5, 5L -> 4.0))
+    assert(run(rows.repartition(7)) == got, "partitioning must not change the recursion")
+  }
+
+  test("TimeSeries.trend: exact slope/intercept; degenerate keys null out") {
+    import spark.implicits._
+    val rows = Seq(
+      (7L, 1000000L, 1.0), (7L, 1000010L, 2.0), (7L, 1000020L, 3.0), // slope 0.1/s
+      (8L, 500L, 42.0),                    // single point → nulls
+      (9L, 600L, 1.0), (9L, 600L, 5.0))    // zero x-variance → nulls
+      .toDF("k", "sec", "v")
+    val got = graft.ops.TimeSeries.trend(rows, "k", "sec", "v")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      }.toMap
+    assert(got(7L) == ((3L, 1000000L, Some(0.1), Some(1.0))),
+      "fit of (0,1),(10,2),(20,3) is v = 1 + 0.1·xc")
+    assert(got(8L) == ((1L, 500L, None, None)))
+    assert(got(9L) == ((2L, 600L, None, None)))
+  }
+
   test("Profile.describe: exact per-column stats from ONE scan, nulls counted") {
     import spark.implicits._
     val df = Seq(
