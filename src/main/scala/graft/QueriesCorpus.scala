@@ -211,6 +211,13 @@ object QueriesCorpus {
         .select(col("group"), col("pos").cast("long").as("dim"),
           graft.Functions.roundHalfUp(col("col"), 6).as("m"))),
 
+    // PCA step 1 — the corpus-scale pass: exact covariance cells from ONE
+    // aggregate (shuffle ≤ d(d+1)/2 rows total); the driver-side eigen step
+    // is spec-bounded like IVF's Lloyd loop
+    "q_vec_cov" -> ((s, dir) =>
+      graft.ops.Pca.covariance(t(s, dir, "embeddings"), "embedding", dims = 64)
+        .select(col("i"), col("j"), graft.Functions.roundHalfUp(col("cov"), 9).as("cov"))),
+
     // Matryoshka truncation: first-4-dims slice re-normalized (Kusupati et
     // al. 2022) — exploded components, rounded 6
     "q_vec_matryoshka" -> ((s, dir) =>
@@ -1469,6 +1476,19 @@ object QueriesCorpus {
         |SELECT label AS "group", dim,
         |  floor(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS m
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_vec_cov" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |c AS (SELECT ii.i AS i, jj.j AS j,
+        |        CAST(v[CAST(ii.i AS INT) + 1] AS DECIMAL(18,9)) AS xi,
+        |        CAST(v[CAST(jj.j AS INT) + 1] AS DECIMAL(18,9)) AS xj
+        |      FROM v, range(0, 64) ii(i), range(0, 64) jj(j)
+        |      WHERE jj.j >= ii.i)
+        |SELECT i, j,
+        |  floor(((CAST(sum(xi * xj) AS DOUBLE)
+        |          - CAST(sum(xi) AS DOUBLE) * CAST(sum(xj) AS DOUBLE) / count(*))
+        |         / (count(*) - 1)) * 1e9 + 0.5) / 1e9 AS cov
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "q_vec_matryoshka" ->
       """WITH c AS (
         |  SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:4] AS t FROM embeddings),

@@ -449,6 +449,90 @@ class StreamingSpec extends SparkSpec {
       "incrementally merged stream sketch must equal the batch sketch counter-for-counter")
   }
 
+  test("streaming EWMA: per-key smoothed state carries across micro-batches ≡ batch") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_ew_src_").toString
+    val name = "ewma_out"
+    val wave1 = Seq(
+      graft.ops.TimeSeries.EwEvent("7", 100L, 1L, 10.0),
+      graft.ops.TimeSeries.EwEvent("7", 300L, 2L, 20.0))
+    val wave2 = Seq(
+      graft.ops.TimeSeries.EwEvent("7", 400L, 3L, 0.0), // continues from s=15
+      graft.ops.TimeSeries.EwEvent("8", 100L, 4L, 4.0)) // fresh key seeds with x₁
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("key STRING, tsSec LONG, id LONG, v DOUBLE")
+        .parquet(src)
+        .as[graft.ops.TimeSeries.EwEvent]
+      val q = graft.ops.TimeSeries.ewmaStream(stream, alpha = 0.5).writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    wave1.toDF().write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF().write.mode("append").parquet(src)
+    runOnce()
+
+    val got = spark.table(name)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val batchTwin = graft.ops.TimeSeries.ewma(
+        (wave1 ++ wave2).map(e => (e.key, e.tsSec, e.id, e.v))
+          .toDF("key", "tsSec", "id", "v"),
+        "key", "tsSec", "id", "v", alpha = 0.5)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got == batchTwin, s"stream must equal batch EWMA: $got vs $batchTwin")
+    assert(got(3L) == 7.5, "wave-2 step must continue from wave-1 state (0.5·0 + 0.5·15)")
+  }
+
+  test("streaming KMV maintenance: per-batch sketch merge equals the batch sketch") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_kmv_src_").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_kmv_sk_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kmv_ck_").toString
+    val k = 16
+
+    val wave1 = (0L until 60L).map(i => (i, "en", s"alpha tok$i"))
+    val wave2 = (100L until 140L).map(i => (i, if (i % 2 == 0) "en" else "de", s"tok$i beta"))
+
+    // the bottom-k of distinct hashes is a function of the per-shard
+    // bottom-ks, so the running sketch is maintained by sketching each
+    // micro-batch and bottom-k-merging with the persisted one — the CMS
+    // roll-up story with min-order union instead of counter addition
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, lang STRING, text STRING").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val inc = graft.ops.Kmv.sketchTokens(batch, "lang", "text", k)
+          val prev = new java.io.File(s"$base/v${batchId - 1}")
+          val merged =
+            if (prev.exists()) graft.ops.Kmv.merge(
+              batch.sparkSession.read.parquet(prev.toString), inc, "lang", k)
+            else inc
+          merged.write.mode("overwrite").parquet(s"$base/v$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("doc_id", "lang", "text").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("doc_id", "lang", "text").write.mode("append").parquet(src)
+    runOnce()
+
+    val streamed = spark.read.parquet(s"$base/v1")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val batchTwin = graft.ops.Kmv.sketchTokens(
+        (wave1 ++ wave2).toDF("doc_id", "lang", "text"), "lang", "text", k)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed === batchTwin,
+      "incrementally merged stream sketch must equal the batch sketch hash-for-hash")
+  }
+
   test("streaming NB scoring against a persisted model equals batch scoring") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_nbs_src_").toString
