@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, SequenceRatio, SquaredDistance}
+import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, SequenceRatio, SquaredDistance, UnicodeNormalize}
 
 /** The engine's scalar-function surface (reference SURVEY.md §2.10–2.11),
   * composed from codegen'd built-ins wherever possible; the custom Catalyst
@@ -35,7 +35,17 @@ object Functions {
       "vec_norm", exprs => L2Norm(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_normalize", exprs => L2Normalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_nfc", exprs => UnicodeNormalize(exprs.head, "NFC"), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_nfkc", exprs => UnicodeNormalize(exprs.head, "NFKC"), "built-in")
   }
+
+  /** Unicode-normalize a string column to `form` (NFC/NFD/NFKC/NFKD) —
+    * a codegen'd [[graft.expressions.UnicodeNormalize]].
+    */
+  def unicodeNormalize(c: Column, form: String): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(c), form))
 
   /** Dot product of two `array<double>` columns — fused codegen'd loop with
     * `aggregate(zip_with(a, b, *), 0.0, +)` fold semantics (bit-identical).

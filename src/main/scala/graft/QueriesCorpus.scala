@@ -563,6 +563,16 @@ object QueriesCorpus {
     "q_cms_estimate" -> ((s, dir) =>
       graft.ops.CountMin.estimateAll(t(s, dir, "documents"), "text", depth = 3, width = 64)),
 
+    // Unicode NFC canonicalization (codegen'd native expression): a
+    // decomposed suffix is appended so composition provably happens —
+    // é from e+U+0301, Ä from A+U+0308, with ﬁ (U+FB01) kept under NFC
+    "q_tx_nfc" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.normalizeText(
+          concat(col("text"), lit(" cafe\u0301 A\u0308 \uFB01n")), form = "NFC")
+          .as("t_norm"))),
+
     // KMV bottom-k distinct sketch: per-language k smallest distinct token
     // hashes — unlike HLL (q_x_approx_distinct, rows-only), every byte is
     // md5-derived, so the sketch itself is hash-exact against the oracle
@@ -2023,6 +2033,11 @@ object QueriesCorpus {
         |SELECT p.tok AS token, min(coalesce(sk.cnt, 0)) AS est
         |FROM probes p LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
         |GROUP BY 1""".stripMargin,
+    "q_tx_nfc" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(776)
+        |    || ' ' || chr(64257) || 'n') AS t_norm
+        |FROM documents""".stripMargin,
     "q_kmv_sketch" ->
       """WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
         |    FROM documents WHERE lang IS NOT NULL),

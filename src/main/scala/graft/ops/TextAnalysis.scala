@@ -1112,4 +1112,30 @@ object TextAnalysis {
 
   def scrub(text: Column): Column =
     regexp_replace(regexp_replace(text, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
+
+  /** Unicode canonicalization for tokenizer/dedup pipelines: normalize to
+    * `form` (SentencePiece uses NFKC — Kudo & Richardson 2018 §2), with
+    * optional accent stripping (NFD → drop combining marks → re-normalize,
+    * the fastText/CCNet convention) and locale-independent lowercasing.
+    * Visually identical strings collide again instead of forking vocabulary
+    * entries or escaping exact-dedup.
+    *
+    * Pure per-row projection: one codegen'd
+    * [[graft.expressions.UnicodeNormalize]] (+ builtin regexp/lower), zero
+    * shuffles; NULLs pass through.
+    */
+  def normalizeText(
+      text: Column,
+      form: String = "NFKC",
+      stripAccents: Boolean = false,
+      toLower: Boolean = false): Column = {
+    val base =
+      if (stripAccents)
+        graft.Functions.unicodeNormalize(
+          regexp_replace(
+            graft.Functions.unicodeNormalize(text, "NFD"), "\\p{Mn}+", ""),
+          form)
+      else graft.Functions.unicodeNormalize(text, form)
+    if (toLower) lower(base) else base
+  }
 }

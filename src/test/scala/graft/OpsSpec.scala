@@ -699,6 +699,38 @@ class OpsSpec extends SparkSpec {
     assert(got(9L) == ((2L, 600L, None, None)))
   }
 
+  test("normalizeText: NFC/NFKC goldens, accent strip, lower, null, codegen parity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cafe\u0301"),        // decomposed e + combining acute -> composes
+      (2L, "\uFB01ne \u00BD"),   // fi ligature + vulgar half: NFC keeps, NFKC expands
+      (3L, "A\u0308 \u00C5"),    // A + combining diaeresis, precomposed A-ring
+      (4L, "\u00F8 stra\u00DFe"),// o-slash and sharp-s: accent strip must NOT touch them
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    def run(form: String, strip: Boolean = false, lower: Boolean = false) =
+      docs.select(col("id"),
+          graft.ops.TextAnalysis.normalizeText(col("t"), form, strip, lower).as("n"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val nfc = run("NFC")
+    assert(nfc(1L) == "caf\u00E9")
+    assert(nfc(2L) == "\uFB01ne \u00BD", "NFC keeps compatibility chars")
+    assert(nfc(3L) == "\u00C4 \u00C5")
+    assert(nfc(5L) == null)
+    val nfkc = run("NFKC")
+    assert(nfkc(2L) == "fine 1\u20442", "NFKC expands the ligature and the fraction")
+    val stripped = run("NFC", strip = true)
+    assert(stripped(1L) == "cafe" && stripped(3L) == "A A")
+    assert(stripped(4L) == "\u00F8 stra\u00DFe", "\u00F8/\u00DF carry no combining marks")
+    val lowered = run("NFKC", strip = true, lower = true)
+    assert(lowered(2L) == "fine 1\u20442" && lowered(3L) == "a a")
+    // codegen and interpreted paths must agree (the SequenceRatio contract)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run("NFKC", strip = true, lower = true) == lowered)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("Profile.describe: exact per-column stats from ONE scan, nulls counted") {
     import spark.implicits._
     val df = Seq(
