@@ -563,6 +563,12 @@ object QueriesCorpus {
     "q_cms_estimate" -> ((s, dir) =>
       graft.ops.CountMin.estimateAll(t(s, dir, "documents"), "text", depth = 3, width = 64)),
 
+    // χ² token–label association (feature selection for the classifier
+    // family): one-vs-rest 2×2 document-frequency contingency per (token,
+    // lang), exact integer counts, formula mirrored in DOUBLE
+    "q_nb_chi2" -> ((s, dir) =>
+      graft.ops.Classify.chiSquareTokens(t(s, dir, "documents"), "lang", "text", minDf = 5L)),
+
     // Unicode NFC canonicalization (codegen'd native expression): a
     // decomposed suffix is appended so composition provably happens —
     // é from e+U+0301, Ä from A+U+0308, with ﬁ (U+FB01) kept under NFC
@@ -2033,6 +2039,29 @@ object QueriesCorpus {
         |SELECT p.tok AS token, min(coalesce(sk.cnt, 0)) AS est
         |FROM probes p LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
         |GROUP BY 1""".stripMargin,
+    "q_nb_chi2" ->
+      """WITH base AS (SELECT doc_id, lang, text FROM documents WHERE lang IS NOT NULL),
+        |dt AS (SELECT DISTINCT doc_id, lang, tok FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM base) WHERE tok <> ''),
+        |lt AS (SELECT lang, count(*) AS n_label FROM base GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |tl AS (SELECT tok, lang, count(*) AS a FROM dt GROUP BY 1, 2),
+        |tt AS (SELECT tok, sum(a) AS df_tok FROM tl GROUP BY 1 HAVING sum(a) >= 5),
+        |c2 AS (SELECT tl.tok, tl.lang, tl.a AS df_label,
+        |    CAST(tl.a AS DOUBLE) AS aa,
+        |    CAST(tt.df_tok - tl.a AS DOUBLE) AS bb,
+        |    CAST(lt.n_label - tl.a AS DOUBLE) AS cc,
+        |    CAST(nn.n - tt.df_tok - lt.n_label + tl.a AS DOUBLE) AS dd,
+        |    CAST(nn.n AS DOUBLE) AS nd
+        |  FROM tl JOIN tt USING (tok) JOIN lt USING (lang) CROSS JOIN nn)
+        |SELECT tok AS token, lang AS label, df_label,
+        |  CASE WHEN (aa + bb) * (cc + dd) * (aa + cc) * (bb + dd) = 0 THEN NULL
+        |       ELSE floor(nd * (aa * dd - bb * cc) * (aa * dd - bb * cc)
+        |         / ((aa + bb) * (cc + dd) * (aa + cc) * (bb + dd))
+        |         * 1000000 + 0.5) / 1000000 END AS chi2
+        |FROM c2""".stripMargin,
     "q_tx_nfc" ->
       """SELECT doc_id,
         |  nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(776)

@@ -284,6 +284,22 @@ object QueriesEvents {
           "event_type", "value")
         .select("event_id", "event_type", "value_qn")),
 
+    // O7's scale path: exact per-group top-k via bounded per-partition
+    // heaps + a broadcast-semi recovery join — no per-group sort of the
+    // fact table (the window form q_o7_topk is the oracle-shaped twin)
+    "q_o8_grouptopk" -> ((s, dir) =>
+      graft.ops.TopK.groupTopK(
+          t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", "event_id", k = 3)
+        .select("event_id", "event_type", "value")),
+
+    // robust stats: per-flag Pearson correlation between quantity and
+    // price — five DECIMAL-exact sums in one aggregate, closed form in
+    // DOUBLE (sqrt is IEEE-correctly-rounded, so both engines agree)
+    "q_rb_corr" -> ((s, dir) =>
+      graft.ops.Robust.groupCorr(
+        t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")),
+
     // robust stats: median-absolute-deviation outlier flags at k = 3
     "q_rb_mad" -> ((s, dir) =>
       graft.ops.Robust.madOutliers(
@@ -571,6 +587,31 @@ object QueriesEvents {
         |UNION ALL
         |SELECT event_id, event_type, NULL AS value_qn
         |FROM events WHERE value IS NULL""".stripMargin,
+    "q_o8_grouptopk" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE value IS NOT NULL
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY value DESC, CAST(event_id AS VARCHAR)) <= 3""".stripMargin,
+    "q_rb_corr" ->
+      """WITH g AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))
+        |      * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))
+        |      * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))
+        |      * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+        |       THEN NULL
+        |       ELSE floor((n * sxy - sx * sy)
+        |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |         * 1000000 + 0.5) / 1000000 END AS corr
+        |FROM g""".stripMargin,
     "q_rb_mad" ->
       """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |    FROM events GROUP BY 1),

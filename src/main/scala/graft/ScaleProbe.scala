@@ -287,7 +287,21 @@ object ScaleProbe {
         val dims = emb.select(size(col("embedding"))).head().getInt(0)
         graft.ops.SimilaritySearch.hardNegativesLsh(
           emb, "vec_id", "embedding", "label", k = 5, planes = 6, dims = dims).count()
-      })
+      },
+      "kmv_sketch" -> (d =>
+        graft.ops.Kmv.sketchTokens(docsAt(d), "lang", "text", k = 32).count()),
+      "vec_cov" -> { d =>
+        val emb = Tables(spark, d, "embeddings")
+        val dims = emb.select(size(col("embedding"))).head().getInt(0)
+        graft.ops.Pca.covariance(emb, "embedding", dims).count()
+      },
+      "tx_nfc" -> (d =>
+        docsAt(d).select(
+            graft.ops.TextAnalysis.normalizeText(col("text"), "NFKC",
+              stripAccents = true, toLower = true).as("t"))
+          .filter(length(col("t")) > 0).count()),
+      "nb_chi2" -> (d =>
+        graft.ops.Classify.chiSquareTokens(docsAt(d), "lang", "text", minDf = 5L).count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)

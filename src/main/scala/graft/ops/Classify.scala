@@ -210,4 +210,55 @@ object Classify {
       .filter(col("_rn") === 1)
       .select(col(idCol), col("label").as("pred_label"), col("score"))
   }
+
+  /** χ² token–label association — the classic feature-selection score for
+    * the classifier family (which tokens predict which label): for each
+    * (token, label) the one-vs-rest 2×2 document-frequency contingency
+    * table (A = docs with token & label, B = token & ¬label, C = ¬token &
+    * label, D = neither) scored
+    * `χ² = n·(AD − BC)² / ((A+B)(C+D)(A+C)(B+D))`.
+    *
+    * Scale shape: distinct (doc, token) pairs — one corpus pass — then a
+    * token-keyed count aggregate; the per-label document totals are a
+    * bounded one-row-per-label aggregate joined broadcast. All counts are
+    * exact integers; the formula evaluates in DOUBLE mirrored by the
+    * oracle. `minDf` prunes the hapax tail before the join (at web scale
+    * almost all tokens, and χ² is meaningless at df=1 anyway).
+    *
+    * Output: (token, label, df_label, chi2) per surviving (token, label).
+    */
+  def chiSquareTokens(
+      docs: DataFrame,
+      labelCol: String,
+      textCol: String,
+      minDf: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.filter(col(labelCol).isNotNull)
+    val docTok = base
+      .select(col(labelCol).as("label"), explode(array_distinct(toks(col(textCol)))).as("token"))
+    val labelTotals = base.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_label"))
+    val n = base.count() // one bounded scalar → plan-time literal
+    val tokLabel = docTok.groupBy("token", "label").agg(count(lit(1)).as("a"))
+    val tokTotals = tokLabel.groupBy("token").agg(sum(col("a")).as("df_tok"))
+      .filter(col("df_tok") >= minDf)
+    val cells = tokLabel
+      .join(tokTotals, Seq("token")) // semi-prunes below-minDf tokens too
+      .join(broadcast(labelTotals), Seq("label"))
+      .select(
+        col("token"), col("label"), col("a").as("df_label"),
+        col("a").cast("double").as("_a"),
+        (col("df_tok") - col("a")).cast("double").as("_b"),
+        (col("n_label") - col("a")).cast("double").as("_c"),
+        (lit(n) - col("df_tok") - col("n_label") + col("a")).cast("double").as("_d"))
+    val ad_bc = col("_a") * col("_d") - col("_b") * col("_c")
+    val denom = (col("_a") + col("_b")) * (col("_c") + col("_d")) *
+      (col("_a") + col("_c")) * (col("_b") + col("_d"))
+    cells.select(
+      col("token"), col("label"), col("df_label"),
+      when(denom === 0, lit(null).cast("double"))
+        .otherwise(graft.Functions.roundHalfUp(
+          lit(n.toDouble) * ad_bc * ad_bc / denom, 6))
+        .as("chi2"))
+  }
 }

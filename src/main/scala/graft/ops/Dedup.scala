@@ -826,16 +826,37 @@ object Dedup {
       .withColumn("len", length(col("s")))
     val banded = base.withColumn("band",
       explode(sequence(greatest(col("len") - maxDist, lit(0)), col("len"))))
-    val a = banded.alias("a")
-    val b = banded.hint("SHUFFLE_HASH").alias("b")
-    a.join(b,
+    // Length bands are few and skewed (real corpora cluster hard around a
+    // modal length), and the banded relation is tiny in BYTES while the
+    // verify work is quadratic in band population — exactly the
+    // compute-heavy/small-bytes shape AQE coalesces onto one task. So:
+    // salt the probe side, replicate the (tiny) build side across the
+    // salts, and repartition BOTH sides explicitly on (band, salt) — the
+    // join's equi-keys — so the hot band's pair verification spreads over
+    // `salts` tasks and the explicit partitioning survives AQE untouched.
+    // The salt never reaches the result, so murmur hash is fine here (the
+    // md5 discipline binds result-affecting randomness only).
+    val salts = 32
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val aS = banded.withColumn("_salt", pmod(hash(col("id")), lit(salts)))
+      .repartition(parallelism, col("band"), col("_salt"))
+      .alias("a")
+    val bS = banded.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(parallelism, col("band"), col("_salt"))
+      .hint("SHUFFLE_HASH")
+      .alias("b")
+    aS.join(bS,
         col("a.band") === col("b.band") &&
+          col("a._salt") === col("b._salt") &&
           col("a.id") < col("b.id") &&
           col("a.band") === least(col("a.len"), col("b.len")))
       .select(
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
-        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        // banded DP: O(maxDist·len) per pair instead of O(len²), returns -1
+        // above the threshold — most candidates are rejections, so the
+        // band is the fast path
+        levenshtein(col("a.s"), col("b.s"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }

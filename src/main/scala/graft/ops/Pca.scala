@@ -196,6 +196,27 @@ object Pca {
       .select(idCols.map(col) :+ array(projections: _*).as("proj"): _*)
   }
 
+  /** Whitening projection: [[transform]] with each component scaled by
+    * `1/√(λⱼ + eps)` so the output has (approximately) identity covariance —
+    * the standard preprocessing before cosine-based dedup or k-means when
+    * the raw embedding dimensions have wildly different variances. Scales
+    * fold into the same plan-time literals; still zero shuffles.
+    */
+  def whiten(
+      df: DataFrame,
+      vecCol: String,
+      idCols: Seq[String],
+      model: PcaModel,
+      eps: Double = 1e-12): DataFrame = {
+    require(eps > 0.0, s"eps=$eps must be positive")
+    val scaled = model.copy(components = model.components.zip(model.eigenvalues).map {
+      case (w, lam) =>
+        val s = 1.0 / math.sqrt(math.max(lam, 0.0) + eps)
+        w.map(_ * s)
+    })
+    transform(df, vecCol, idCols, scaled)
+  }
+
   /** Persist the model as bounded parquet (mean + per-component rows) with
     * a geometry sidecar — the library's build-once/apply-many artifact
     * contract (LshIndex/NbModel/BpeTokenizer pattern).

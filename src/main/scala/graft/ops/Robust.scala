@@ -126,4 +126,43 @@ object Robust {
               lit((grid - 1).toDouble), 6)))
       .drop("_grp", "_cuts")
   }
+
+  /** Per-group Pearson correlation between two numeric columns — "are these
+    * metrics coupled per segment" as ONE map-side-combinable aggregate:
+    * `(group, n, corr)` with
+    * `r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))`.
+    *
+    * The five sums are DECIMAL-exact (order-free, partition-invariant); the
+    * closed form — including both square roots, which IEEE 754 rounds
+    * correctly and therefore identically in every engine — evaluates in
+    * DOUBLE, mirrored op-for-op by the oracle. Rows with a NULL in either
+    * column are excluded (pairwise deletion); degenerate groups (n < 2 or
+    * zero variance on either side) return NULL.
+    *
+    * Spark's builtin `corr` is a single-pass DOUBLE accumulation whose
+    * result depends on partition merge order; this form trades one extra
+    * decimal column for bit-reproducibility, the engine-wide contract.
+    */
+  def groupCorr(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,6)")
+    val y = col(yCol).cast("decimal(18,6)")
+    val g = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("_sx"),
+        sum(y).cast("double").as("_sy"),
+        sum(x * x).cast("double").as("_sxx"),
+        sum(y * y).cast("double").as("_syy"),
+        sum(x * y).cast("double").as("_sxy"))
+    val num = col("n") * col("_sxy") - col("_sx") * col("_sy")
+    val dx = col("n") * col("_sxx") - col("_sx") * col("_sx")
+    val dy = col("n") * col("_syy") - col("_sy") * col("_sy")
+    g.select(
+      col(groupCol), col("n"),
+      when(col("n") < 2 || dx <= 0 || dy <= 0, lit(null).cast("double"))
+        .otherwise(graft.Functions.roundHalfUp(num / (sqrt(dx) * sqrt(dy)), 6))
+        .as("corr"))
+  }
 }

@@ -277,4 +277,29 @@ class ClassifySpec extends SparkSpec {
     val b0 = model.weights.filter(col("bucket") === -1L).head().getDouble(1)
     assert(math.abs(nine(0).getDouble(1) - b0) < 1e-12, "margin must be the intercept")
   }
+  test("chiSquareTokens: hand-computed 2x2, per-doc distinctness, minDf prune") {
+    import spark.implicits._
+    // 6 docs: 'spam' appears in all 3 bad docs and 1 good doc; 'meeting'
+    // only in good docs; 'the' everywhere (chi2 = 0); 'rare' in one doc
+    val docs = Seq(
+      (1L, "bad", "spam spam the offer"),   // repeated token counts once
+      (2L, "bad", "spam the offer"),
+      (3L, "bad", "spam the rare"),
+      (4L, "good", "meeting the spam"),
+      (5L, "good", "meeting the notes"),
+      (6L, "good", "the notes"))
+      .toDF("doc_id", "label", "text")
+    val got = graft.ops.Classify.chiSquareTokens(docs, "label", "text", minDf = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // spam/bad: A=3 B=1 C=0 D=2, n=6: chi2 = 6*(3*2-1*0)^2/(4*2*3*3) = 216/72 = 3.0
+    assert(got(("spam", "bad")) == ((3L, Some(3.0))))
+    assert(got(("spam", "good")) == ((1L, Some(3.0))), "one-vs-rest is symmetric for 2 labels")
+    // the: present in every doc -> D column empty -> denom 0 -> NULL
+    assert(got(("the", "bad")) == ((3L, None)))
+    // meeting/good: A=2 B=0 C=1 D=3: chi2 = 6*(6-0)^2/(2*4*3*3) = 216/72 = 3.0
+    assert(got(("meeting", "good")) == ((2L, Some(3.0))))
+    assert(!got.keySet.exists(_._1 == "rare"), "df=1 pruned by minDf=2")
+    assert(!got.keySet.exists(_._1 == "offer") || got(("offer", "bad"))._1 == 2L)
+  }
 }

@@ -131,4 +131,16 @@ class PcaSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
+  test("whiten: projected components have ~unit variance") {
+    val m = Pca.fit(planar, "embedding", 5, 2)
+    val proj = Pca.whiten(planar, "embedding", Seq("vec_id"), m)
+      .select(posexplode(col("proj")))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    for (jc <- 0 until 2) {
+      val xs = proj.filter(_._1 == jc).map(_._2)
+      val mu = xs.sum / xs.length
+      val varr = xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
+      assert(math.abs(varr - 1.0) < 1e-6, s"var(white$jc)=$varr")
+    }
+  }
 }

@@ -78,4 +78,25 @@ class RobustSpec extends SparkSpec {
     assert(m.count() === 7)
     assert(m.filter(col("grp").isNull).count() === 5)
   }
+  test("groupCorr: exact ±1 on linear data, degenerate nulls, pairwise deletion") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", Some(1.0), Some(10.0)), ("up", Some(2.0), Some(20.0)),
+      ("up", Some(3.0), Some(30.0)),
+      ("down", Some(1.0), Some(9.0)), ("down", Some(2.0), Some(6.0)),
+      ("down", Some(3.0), Some(3.0)),
+      ("flat", Some(1.0), Some(5.0)), ("flat", Some(2.0), Some(5.0)),
+      ("one", Some(1.0), Some(1.0)),
+      ("holes", Some(1.0), Some(1.0)), ("holes", None, Some(9.0)),
+      ("holes", Some(2.0), None), ("holes", Some(2.0), Some(2.0)))
+      .toDF("grp", "x", "y")
+    val got = Robust.groupCorr(df, "grp", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got("up") == ((3L, Some(1.0))))
+    assert(got("down") == ((3L, Some(-1.0))))
+    assert(got("flat") == ((2L, None)), "zero y-variance nulls out")
+    assert(got("one") == ((1L, None)), "single point nulls out")
+    assert(got("holes") == ((2L, Some(1.0))), "null-x/null-y rows excluded pairwise")
+  }
 }
