@@ -188,7 +188,28 @@ object QueriesExtra {
     // snapshot lake time travel: two partition-grain commits, then the v1
     // snapshot and the latest snapshot read side by side — the oracle proves
     // old versions stay exact after later commits overwrite a partition
-    "q_tt_snapshot" -> ((s, dir) => timeTravel(s, dir)))
+    "q_tt_snapshot" -> ((s, dir) => timeTravel(s, dir)),
+
+    // profiling: equi-width histogram — bounds become plan-time literals,
+    // the bucket groupBy shuffles ≤ buckets rows
+    "q_pf_hist" -> ((s, dir) =>
+      graft.ops.Profile.histogramEquiWidth(
+        t(s, dir, "events").select(col("value")), "value", buckets = 16)),
+
+    // native ROLLUP: per-(type, day) counts plus subtotals and the grand
+    // total, grouping_id disambiguating subtotal NULLs from data NULLs
+    "q_x_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .rollup(col("event_type"), to_date(col("ts")).as("event_day"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"))
+        .select("event_type", "event_day", "gid", "n")),
+
+    // native CUBE: every grouping-set combination of (type, day)
+    "q_x_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), to_date(col("ts")).as("event_day"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"))
+        .select("event_type", "event_day", "gid", "n")))
 
   private def timeTravel(s: SparkSession, dir: String): DataFrame =
     compactCache.getOrElseUpdate("tt|" + s.hashCode() + "|" + dir, {
@@ -269,6 +290,25 @@ object QueriesExtra {
        |  FROM base)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_pf_hist" ->
+      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM v)
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |         ELSE least(floor((v - lo) * 16 / (hi - lo)), 15) END AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM v, b GROUP BY 1""".stripMargin,
+    "q_x_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS event_day,
+        |  CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""".stripMargin,
+    "q_x_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS event_day,
+        |  CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY CUBE(event_type, CAST(ts AS DATE))""".stripMargin,
     "q_ann_lsh_topk" ->
       s"""WITH $lshBucketedSql
          |SELECT bk.vec_id,

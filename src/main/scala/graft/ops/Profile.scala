@@ -48,4 +48,31 @@ object Profile {
       .select(explode(array(entries: _*)).as("e"))
       .select("e.column", "e.n_rows", "e.n_nulls", "e.n_distinct", "e.min_str", "e.max_str")
   }
+
+  /** Equi-width histogram of a numeric column: `(bucket, cnt)` over
+    * `buckets` equal bins spanning [min, max], the top edge closing into
+    * the last bucket. Two passes — one bounds aggregate whose two scalars
+    * become plan-time literals, one bucket `groupBy` (map-side combinable,
+    * shuffle ≤ buckets rows). NULLs excluded; a constant column lands
+    * whole in bucket 0. Bucket arithmetic is plain double ops mirrored by
+    * the oracle.
+    */
+  def histogramEquiWidth(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 100000, s"buckets=$buckets out of [1, 100000]")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"))
+    val bounds = vals.agg(min(col("_v")).as("lo"), max(col("_v")).as("hi")).head()
+    if (bounds.isNullAt(0)) {
+      // empty input: zero-row histogram with the right schema
+      return vals.select(lit(0L).as("bucket"), lit(0L).as("cnt")).limit(0)
+    }
+    val lo = bounds.getDouble(0)
+    val hi = bounds.getDouble(1)
+    val bucket =
+      if (hi == lo) lit(0L)
+      else least(
+        floor((col("_v") - lit(lo)) * lit(buckets) / (lit(hi) - lit(lo))),
+        lit((buckets - 1).toDouble)).cast("long")
+    vals.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
+  }
 }

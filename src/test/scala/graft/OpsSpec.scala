@@ -699,6 +699,21 @@ class OpsSpec extends SparkSpec {
     assert(got(9L) == ((2L, 600L, None, None)))
   }
 
+  test("Profile.histogramEquiWidth: bucket math, top edge, constant column, empties") {
+    import spark.implicits._
+    val df = Seq(Some(0.0), Some(2.5), Some(5.0), Some(9.9), Some(10.0), None)
+      .toDF("v")
+    val got = graft.ops.Profile.histogramEquiWidth(df, "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // [0,10] in 4 buckets of 2.5: 0→b0, 2.5→b1, 5→b2, 9.9→b3, 10→b3 (top edge)
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    val const = graft.ops.Profile.histogramEquiWidth(
+      Seq(7.0, 7.0, 7.0).toDF("v"), "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(const == Map(0L -> 3L), "constant column lands whole in bucket 0")
+    assert(graft.ops.Profile.histogramEquiWidth(df.limit(0), "v", 4).count() == 0)
+  }
+
   test("normalizeText: NFC/NFKC goldens, accent strip, lower, null, codegen parity") {
     import spark.implicits._
     val docs = Seq(

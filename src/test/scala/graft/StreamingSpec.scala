@@ -533,6 +533,52 @@ class StreamingSpec extends SparkSpec {
       "incrementally merged stream sketch must equal the batch sketch hash-for-hash")
   }
 
+  test("streaming top-k maintenance: per-batch winners merged with state equal batch top-k") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_tk_src_").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_tk_sk_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tk_ck_").toString
+    val k = 3
+
+    val wave1 = (0L until 50L).map(i => (i, s"g${i % 4}", (i * 37 % 101).toDouble))
+    val wave2 = (100L until 140L).map(i => (i, s"g${i % 4}", (i * 53 % 101).toDouble))
+
+    // top-k over row sets is mergeable: top-k(A ∪ B) = top-k(top-k(A) ∪ B),
+    // so the running winner table is maintained by folding each micro-batch
+    // into the persisted winners — the KMV/CMS roll-up pattern for rankings
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("id LONG, g STRING, v DOUBLE").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val prev = new java.io.File(s"$base/v${batchId - 1}")
+          val pool =
+            if (prev.exists())
+              batch.sparkSession.read.parquet(prev.toString).unionByName(batch)
+            else batch
+          graft.ops.TopK.groupTopK(pool, "g", "v", "id", k)
+            .write.mode("overwrite").parquet(s"$base/v$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("id", "g", "v").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("id", "g", "v").write.mode("append").parquet(src)
+    runOnce()
+
+    val streamed = spark.read.parquet(s"$base/v1")
+      .select("id").as[Long].collect().toSet
+    val batchTwin = graft.ops.TopK.groupTopK(
+        (wave1 ++ wave2).toDF("id", "g", "v"), "g", "v", "id", k)
+      .select("id").as[Long].collect().toSet
+    assert(streamed === batchTwin,
+      "incrementally folded winners must equal the batch top-k row-for-row")
+  }
+
   test("streaming NB scoring against a persisted model equals batch scoring") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_nbs_src_").toString
