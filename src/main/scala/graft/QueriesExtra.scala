@@ -196,6 +196,17 @@ object QueriesExtra {
       graft.ops.Profile.histogramEquiWidth(
         t(s, dir, "events").select(col("value")), "value", buckets = 16)),
 
+    // drift monitoring: PSI of click values against the view baseline —
+    // two bounded bucket aggregates, terms quantized to integer picounits
+    // so the sum is order-free
+    "q_pf_psi" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.ops.Profile.psi(
+        e.filter(col("event_type") === "view").select(col("value")),
+        e.filter(col("event_type") === "click").select(col("value")),
+        "value", buckets = 16)
+    }),
+
     // native ROLLUP: per-(type, day) counts plus subtotals and the grand
     // total, grouping_id disambiguating subtotal NULLs from data NULLs
     "q_x_rollup" -> ((s, dir) =>
@@ -297,6 +308,30 @@ object QueriesExtra {
         |         ELSE least(floor((v - lo) * 16 / (hi - lo)), 15) END AS BIGINT) AS bucket,
         |  count(*) AS cnt
         |FROM v, b GROUP BY 1""".stripMargin,
+    "q_pf_psi" ->
+      """WITH rv AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |    WHERE value IS NOT NULL AND event_type = 'view'),
+        |cv AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |    WHERE value IS NOT NULL AND event_type = 'click'),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM rv),
+        |rh AS (SELECT CAST(greatest(least(floor((v - lo) * 16 / (hi - lo)), 15), 0)
+        |         AS BIGINT) AS bucket, count(*) AS cr FROM rv, b GROUP BY 1),
+        |ch AS (SELECT CAST(greatest(least(floor((v - lo) * 16 / (hi - lo)), 15), 0)
+        |         AS BIGINT) AS bucket, count(*) AS cc FROM cv, b GROUP BY 1),
+        |sp AS (SELECT unnest(range(0, 16)) AS bucket),
+        |j AS (SELECT coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+        |      FROM sp LEFT JOIN rh USING (bucket) LEFT JOIN ch USING (bucket)),
+        |t AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM j) AS n_ref,
+        |       (SELECT CAST(sum(cc) AS BIGINT) FROM j) AS n_cur),
+        |terms AS (SELECT CAST(floor(
+        |    ((CAST(cr AS DOUBLE) + 1e-6) / (CAST(n_ref AS DOUBLE) + 16 * 1e-6)
+        |     - (CAST(cc AS DOUBLE) + 1e-6) / (CAST(n_cur AS DOUBLE) + 16 * 1e-6))
+        |    * ln(((CAST(cr AS DOUBLE) + 1e-6) / (CAST(n_ref AS DOUBLE) + 16 * 1e-6))
+        |         / ((CAST(cc AS DOUBLE) + 1e-6) / (CAST(n_cur AS DOUBLE) + 16 * 1e-6)))
+        |    * 1e12 + 0.5) AS BIGINT) AS tq FROM j, t)
+        |SELECT n_ref, n_cur,
+        |  floor(CAST(sum(tq) AS DOUBLE) / 1e12 * 1000000 + 0.5) / 1000000 AS psi
+        |FROM terms, t GROUP BY 1, 2""".stripMargin,
     "q_x_rollup" ->
       """SELECT event_type, CAST(ts AS DATE) AS event_day,
         |  CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass data profiling: per-column row/null/distinct counts and
@@ -74,5 +74,76 @@ object Profile {
         floor((col("_v") - lit(lo)) * lit(buckets) / (lit(hi) - lit(lo))),
         lit((buckets - 1).toDouble)).cast("long")
     vals.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Population Stability Index between a REFERENCE sample and a CURRENT
+    * sample of the same numeric column — the standard ingest drift monitor
+    * ("has this feed's distribution moved since the baseline"):
+    * `PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)` over `buckets` equal-width
+    * bins fixed by the REFERENCE min/max (current values outside the
+    * reference range clamp into the edge buckets), with Laplace smoothing
+    * `(cnt + eps) / (n + buckets·eps)` so empty buckets stay finite.
+    * Rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Scale shape: two bucket aggregates (each shuffling ≤ buckets rows)
+    * joined on the dense bucket spine. Each bucket's term is quantized to
+    * integer picounits before the final sum, so the total is order-free
+    * and exactly reproducible by the oracle (a raw double Σ would depend
+    * on aggregation order).
+    *
+    * Output: one row `(n_ref, n_cur, psi)`; NULL psi when either side is
+    * empty.
+    */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      buckets: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(buckets >= 2 && buckets <= 100000, s"buckets=$buckets out of [2, 100000]")
+    require(eps > 0.0, s"eps=$eps must be positive")
+    val spark = ref.sparkSession
+    val refVals = ref.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"))
+    val curVals = cur.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"))
+    val bounds = refVals.agg(min(col("_v")).as("lo"), max(col("_v")).as("hi")).head()
+    if (bounds.isNullAt(0))
+      return spark.range(1).select(
+        lit(0L).as("n_ref"), lit(curVals.count()).as("n_cur"),
+        lit(null).cast("double").as("psi"))
+    val lo = bounds.getDouble(0)
+    val hi = bounds.getDouble(1)
+    def bucketOf(v: Column): Column =
+      if (hi == lo) lit(0L)
+      else greatest(
+        least(
+          floor((v - lit(lo)) * lit(buckets) / (lit(hi) - lit(lo))),
+          lit((buckets - 1).toDouble)),
+        lit(0.0)).cast("long")
+    def hist(vals: DataFrame, cntName: String): DataFrame =
+      vals.groupBy(bucketOf(col("_v")).as("bucket")).agg(count(lit(1)).as(cntName))
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+    val joined = spine
+      .join(hist(refVals, "_cr"), Seq("bucket"), "left")
+      .join(hist(curVals, "_cc"), Seq("bucket"), "left")
+      .select(
+        coalesce(col("_cr"), lit(0L)).as("cr"),
+        coalesce(col("_cc"), lit(0L)).as("cc"))
+    val totals = joined.agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur")).head()
+    val nRef = totals.getLong(0)
+    val nCur = totals.getLong(1)
+    if (nRef == 0L || nCur == 0L)
+      return spark.range(1).select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        lit(null).cast("double").as("psi"))
+    val p = (col("cr").cast("double") + lit(eps)) / lit(nRef.toDouble + buckets * eps)
+    val q = (col("cc").cast("double") + lit(eps)) / lit(nCur.toDouble + buckets * eps)
+    val term = (p - q) * log(p / q)
+    joined
+      .select(floor(term * lit(1e12) + lit(0.5)).cast("long").as("_t"))
+      .agg(sum(col("_t")).as("_ts"))
+      .select(
+        lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        graft.Functions.roundHalfUp(col("_ts").cast("double") / lit(1e12), 6).as("psi"))
   }
 }

@@ -714,6 +714,25 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Profile.histogramEquiWidth(df.limit(0), "v", 4).count() == 0)
   }
 
+  test("Profile.psi: zero on identical, large on shifted, clamps and empties") {
+    import spark.implicits._
+    val refD = (0 until 200).map(i => (i % 100).toDouble).toDF("v")
+    val sameD = (0 until 400).map(i => (i % 100).toDouble).toDF("v")
+    def psiOf(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) = {
+      val r = graft.ops.Profile.psi(a, b, "v", 10).head()
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    val (nr, nc, same) = psiOf(refD, sameD)
+    assert(nr == 200L && nc == 400L)
+    assert(same.exists(math.abs(_) < 1e-4), s"identical shape must be ~0, got $same")
+    // shifted: current values clamp into the top reference bucket
+    val shifted = (0 until 200).map(_ => 500.0).toDF("v")
+    val (_, _, drift) = psiOf(refD, shifted)
+    assert(drift.exists(_ > 0.25), s"total shift must alarm, got $drift")
+    assert(psiOf(refD, refD.limit(0))._3.isEmpty, "empty current -> NULL psi")
+    assert(psiOf(refD.limit(0), refD)._3.isEmpty, "empty reference -> NULL psi")
+  }
+
   test("normalizeText: NFC/NFKC goldens, accent strip, lower, null, codegen parity") {
     import spark.implicits._
     val docs = Seq(
