@@ -417,7 +417,24 @@ object Dedup {
       idCol: String,
       textCol: String,
       bits: Int = 16,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol, bits), idCol, "simhash", bits, maxHamming)
+
+  /** Banded Hamming-distance pairs over ANY integer fingerprint column —
+    * the pigeonhole join [[simhashPairs]] uses, factored out so other
+    * fingerprints (image dHash, audio chromaprints) get the same scale
+    * path: radius-k pairs must agree exactly on at least one of k+1
+    * contiguous bit bands, so candidates meet in a KEYED equi-join on
+    * (band, band value) and the popcount verify runs only on candidates.
+    * NULL fingerprints (undecodable assets) are excluded.
+    */
+  def hammingPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bits: Int,
+      maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits=$bits out of [1, 64]")
     require(maxHamming >= 0 && maxHamming < bits, "need 0 <= maxHamming < bits")
     val nBands = maxHamming + 1
     // distribute bits floor/ceil across bands so EVERY band holds >= 1 real
@@ -429,13 +446,14 @@ object Dedup {
     val baseW = bits / nBands
     val widths = (0 until nBands).map(b => baseW + (if (b < bits % nBands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    val sh = simhash(df, idCol, textCol, bits)
-    val banded = sh
-      .select(col(idCol), col("simhash"),
+    def mask(w: Int) = if (w >= 64) lit(-1L) else lit((1L << w) - 1)
+    val banded = df
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol),
         posexplode(array((0 until nBands).map { b =>
-          shiftright(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+          shiftright(col(hashCol), starts(b)).bitwiseAND(mask(widths(b)))
         }: _*)))
-      .select(col(idCol), col("simhash"), col("pos").as("band"), col("col").as("bval"))
+      .select(col(idCol), col(hashCol), col("pos").as("band"), col("col").as("bval"))
     val a = banded.alias("a")
     val b = banded.hint("SHUFFLE_HASH").alias("b")
     a.join(
@@ -444,7 +462,7 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(
         col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -834,4 +834,79 @@ object Multimodal {
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
+  /** 64-bit perceptual difference-hash (dHash) of an image column — the
+    * near-duplicate fingerprint for the IMAGE half of the corpus, feeding
+    * the same banded Hamming join as text SimHash
+    * ([[Dedup.hammingPairs]]): decode pixels (full decode, unlike the
+    * header-only metadata pass), nearest-neighbor-sample a 9×8 integer
+    * luma grid, and set bit `y·8 + x` when `luma(x, y) > luma(x+1, y)`.
+    * Robust to re-encoding, scaling, and mild brightness shifts — exactly
+    * the duplicates a crawled image corpus is full of.
+    *
+    * Determinism: integer nearest-neighbor sampling + integer luma
+    * (299r + 587g + 114b)/1000 make the hash bit-reproducible across JVMs
+    * (the [[resizeImages]] contract). Undecodable or null payloads yield
+    * a NULL hash (excluded from pairing). One batched `mapPartitions`
+    * pass, no shuffle; at 100 TB this is the embarrassingly parallel scan
+    * plus [[Dedup.hammingPairs]]'s keyed band join.
+    */
+  def imageDHash(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("dhash", org.apache.spark.sql.types.LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val h: java.lang.Long =
+          if (bytes == null) null
+          else
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null || img.getWidth < 1 || img.getHeight < 1) null
+              else {
+                val w = img.getWidth; val ht = img.getHeight
+                val g = Array.ofDim[Int](9, 8)
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 9) {
+                    val sx = x * w / 9
+                    val sy = y * ht / 8
+                    val rgb = img.getRGB(sx, sy)
+                    g(x)(y) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+                      + 114 * (rgb & 0xff)) / 1000
+                    x += 1
+                  }
+                  y += 1
+                }
+                var bitsOut = 0L
+                y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    if (g(x)(y) > g(x + 1)(y)) bitsOut |= 1L << (y * 8 + x)
+                    x += 1
+                  }
+                  y += 1
+                }
+                java.lang.Long.valueOf(bitsOut)
+              }
+            } catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(r.toSeq :+ (if (h == null) null else h.longValue))
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs: [[imageDHash]] + the banded Hamming join —
+    * `(id_a, id_b, hamming)` for pairs within `maxHamming` bits.
+    */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs(
+      imageDHash(df, binCol).select(col(idCol), col("dhash")),
+      idCol, "dhash", bits = 64, maxHamming = maxHamming)
 }

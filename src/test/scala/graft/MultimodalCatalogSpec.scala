@@ -180,4 +180,43 @@ class MultimodalCatalogSpec extends SparkSpec {
       dateFrom = Some(Timestamp.valueOf("2020-01-16 00:00:00")))
     assert(q.select("pointer").as[String].collect().toSeq == Seq("p2"))
   }
+  test("imageDHash: stable fingerprint, brightness-robust, near-dup pairs, degrade") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // horizontal gradient (strong left-to-right structure)
+    val grad = png(32, 32)((x, _) => { val v = x * 8; (v << 16) | (v << 8) | v })
+    // same gradient, globally brightened: dHash compares NEIGHBORS, so the
+    // fingerprint must be nearly identical
+    val gradBright = png(32, 32)((x, _) => {
+      val v = math.min(255, x * 8 + 40); (v << 16) | (v << 8) | v })
+    // vertical stripes: completely different gradient signature
+    val stripes = png(32, 32)((x, _) => if ((x / 4) % 2 == 0) 0xffffff else 0x000000)
+    val rows = Seq(
+      (1L, grad), (2L, grad), (3L, gradBright), (4L, stripes),
+      (5L, "not an image".getBytes("UTF-8")), (6L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "img")
+    val hashed = graft.ops.Multimodal.imageDHash(rows, "img")
+      .select("id", "dhash")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashed(1L).isDefined && hashed(1L) == hashed(2L),
+      "identical bytes must hash identically")
+    assert(hashed(5L).isEmpty && hashed(6L).isEmpty, "junk and null degrade to NULL")
+    val d13 = java.lang.Long.bitCount(hashed(1L).get ^ hashed(3L).get)
+    val d14 = java.lang.Long.bitCount(hashed(1L).get ^ hashed(4L).get)
+    assert(d13 <= 4, s"brightness shift must barely move the hash, got $d13 bits")
+    assert(d14 > 10, s"different structure must be far, got $d14 bits")
+    val pairs = graft.ops.Multimodal.imageNearDupPairs(rows, "id", "img", maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"gradient trio must pair up, got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "stripes must not pair")
+  }
 }

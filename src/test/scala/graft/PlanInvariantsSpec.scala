@@ -26,7 +26,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_a1_traffic15",  // flagship 15-min aggregation
     "q_tx_quality",    // per-row quality projection (r6 bench-drift watch)
     "q_cms_sketch",    // CMS: bounded-key aggregate, no joins
-    "q_ann_negatives_lsh") // hard negatives: bucket-KEYED pair join, never a cross
+    "q_ann_negatives_lsh", // hard negatives: bucket-KEYED pair join, never a cross
+    "q_dd_editdist",   // salted band join: keyed SHUFFLE_HASH, never a cross
+    "q_kmv_sketch")    // bounded-heap candidates + bounded bottom-k window
 
   queries.foreach { name =>
     test(s"$name: no cartesian, no nested-loop join, no global sort mid-chain") {
