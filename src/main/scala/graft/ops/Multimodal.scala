@@ -864,34 +864,7 @@ object Multimodal {
             try {
               val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
               if (img == null || img.getWidth < 1 || img.getHeight < 1) null
-              else {
-                val w = img.getWidth; val ht = img.getHeight
-                val g = Array.ofDim[Int](9, 8)
-                var y = 0
-                while (y < 8) {
-                  var x = 0
-                  while (x < 9) {
-                    val sx = x * w / 9
-                    val sy = y * ht / 8
-                    val rgb = img.getRGB(sx, sy)
-                    g(x)(y) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-                      + 114 * (rgb & 0xff)) / 1000
-                    x += 1
-                  }
-                  y += 1
-                }
-                var bitsOut = 0L
-                y = 0
-                while (y < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    if (g(x)(y) > g(x + 1)(y)) bitsOut |= 1L << (y * 8 + x)
-                    x += 1
-                  }
-                  y += 1
-                }
-                java.lang.Long.valueOf(bitsOut)
-              }
+              else java.lang.Long.valueOf(dHashOfImage(img))
             } catch { case scala.util.control.NonFatal(_) => null }
         Row.fromSeq(r.toSeq :+ (if (h == null) null else h.longValue))
       }
@@ -909,4 +882,174 @@ object Multimodal {
     Dedup.hammingPairs(
       imageDHash(df, binCol).select(col(idCol), col("dhash")),
       idCol, "dhash", bits = 64, maxHamming = maxHamming)
+  /** 64-bit audio fingerprint — the AUDIO leg of the near-dup triple
+    * (text SimHash / image dHash / this), feeding the same
+    * [[Dedup.hammingPairs]] banded join: decode mono PCM, split the clip
+    * into 65 POSITION-PROPORTIONAL windows (boundaries at ⌊w·N/65⌋, so
+    * two copies of the same material at different sample rates or
+    * durations align window-for-window), and set bit `w` when
+    * `rms(w) > rms(w+1)` — the energy-envelope gradient. Uniform gain
+    * scales every window's RMS identically, so the fingerprint is
+    * volume-invariant by construction, the dHash brightness argument in
+    * the audio domain.
+    *
+    * Undecodable/empty payloads yield NULL. One batched `mapPartitions`
+    * pass, no shuffle.
+    */
+  def audioFingerprint(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("afp", org.apache.spark.sql.types.LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val h: Option[Long] =
+          if (bytes == null) None
+          else decodePcmMono(bytes).filter(_.nonEmpty).map { samples =>
+            val n = samples.length
+            val rms = Array.ofDim[Double](65)
+            var w = 0
+            while (w < 65) {
+              val from = (w.toLong * n / 65).toInt
+              val until = ((w + 1).toLong * n / 65).toInt
+              var sumSq = 0.0
+              var i = from
+              while (i < until) { sumSq += samples(i) * samples(i); i += 1 }
+              rms(w) = if (until > from) math.sqrt(sumSq / (until - from)) else 0.0
+              w += 1
+            }
+            var bitsOut = 0L
+            w = 0
+            while (w < 64) {
+              if (rms(w) > rms(w + 1)) bitsOut |= 1L << w
+              w += 1
+            }
+            bitsOut
+          }
+        Row.fromSeq(r.toSeq :+ h.map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint]] + the banded Hamming
+    * join — `(id_a, id_b, hamming)` within `maxHamming` bits.
+    */
+  def audioNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 8): DataFrame =
+    Dedup.hammingPairs(
+      audioFingerprint(df, binCol).select(col(idCol), col("afp")),
+      idCol, "afp", bits = 64, maxHamming = maxHamming)
+  /** The shared dHash grid: integer nearest-neighbor 9×8 luma sampling +
+    * horizontal gradient bits — one audited body for images AND video
+    * frames.
+    */
+  private def dHashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val ht = img.getHeight
+    val g = Array.ofDim[Int](9, 8)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val sx = x * w / 9
+        val sy = y * ht / 8
+        val rgb = img.getRGB(sx, sy)
+        g(x)(y) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var bitsOut = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(x)(y) > g(x + 1)(y)) bitsOut |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bitsOut
+  }
+
+  /** Per-frame perceptual hashes for MJPEG videos: resolve the sample
+    * table ([[mp4SampleTable]]), decode every `everyNth`-th frame's JPEG
+    * slice, and emit `(id, frame_idx, dhash)` — the video leg of the
+    * near-dup family at frame grain. Foreign codecs and corrupt payloads
+    * produce no rows (the [[sampleMp4Frames]] degrade contract).
+    */
+  def videoFrameHashes(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      everyNth: Int = 1): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    val idField = df.schema(idCol)
+    val schema = StructType(Seq(
+      idField,
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("dhash", org.apache.spark.sql.types.LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Iterator.empty
+        else mp4SampleTable(bytes) match {
+          case Some((codec, samples)) if codec == "mjpeg" || codec == "jpeg" =>
+            samples.iterator
+              .filter(_.idx % everyNth == 0)
+              .flatMap { smp =>
+                try {
+                  val slice = java.util.Arrays.copyOfRange(
+                    bytes, smp.offset.toInt, (smp.offset + smp.size).toInt)
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(slice))
+                  if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+                  else Some(Row(id, smp.idx, dHashOfImage(img)))
+                } catch { case scala.util.control.NonFatal(_) => None }
+              }
+          case _ => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  /** Video near-duplicate pairs: videos sharing at least `minShared`
+    * DISTINCT frame hashes — the [[Dedup.cdcChunkPairs]] shape with frames
+    * as chunks, so a re-encoded or trimmed copy still pairs as long as
+    * enough frames survive perceptually. The join is KEYED on the frame
+    * hash; `maxFrameFreq` drops boilerplate frames (test cards, black
+    * frames) whose document frequency would explode the pair count.
+    */
+  def videoNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      everyNth: Int = 1,
+      minShared: Int = 2,
+      maxFrameFreq: Int = 0): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val allFrames = videoFrameHashes(df, idCol, binCol, everyNth)
+      .select(col(idCol), col("dhash")).distinct()
+    val frames =
+      if (maxFrameFreq <= 0) allFrames
+      else allFrames.join(
+        allFrames.groupBy("dhash").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxFrameFreq)
+          .select("dhash"),
+        Seq("dhash"), "left_semi")
+    val a = frames.alias("a")
+    val b = frames.hint("SHUFFLE_HASH").alias("b")
+    a.join(b, col("a.dhash") === col("b.dhash") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
 }

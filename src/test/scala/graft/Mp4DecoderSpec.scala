@@ -294,4 +294,57 @@ class Mp4DecoderSpec extends SparkSpec {
     assert(got(1L) === ((320, 240, "video/mp4")))
     assert(got(2L) === ((0, 0, "application/octet-stream")))
   }
+  /** JPEG of a horizontal gradient offset by `shift` — structured content
+    * for perceptual-hash tests (solid frames hash to 0 by construction).
+    */
+  private def gradJpeg(w: Int, h: Int, shift: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = math.min(255, (x * 256 / w + shift) % 256)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def stripesJpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, if ((x / 4) % 2 == 0) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("videoFrameHashes + videoNearDupPairs: shared frames pair, foreign content doesn't") {
+    val g1 = gradJpeg(40, 32, 0)
+    val g2 = gradJpeg(40, 32, 0) // identical bytes -> identical frame hash
+    val st = stripesJpeg(40, 32)
+    val vidA = mjpegMp4(Seq(g1, st, g1), timescale = 600, delta = 200)
+    val vidB = mjpegMp4(Seq(g2, st), timescale = 600, delta = 200) // shares 2 distinct hashes
+    val vidC = mjpegMp4(Seq(gradJpeg(40, 32, 128), stripesJpeg(40, 32).reverse),
+      timescale = 600, delta = 200) // reversed bytes: undecodable second frame
+    val junk = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, vidA), org.apache.spark.sql.Row(2L, vidB),
+        org.apache.spark.sql.Row(3L, vidC), org.apache.spark.sql.Row(4L, junk)), 2),
+      schema)
+
+    val hashes = Multimodal.videoFrameHashes(df, "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(hashes.keySet.count(_._1 == 1L) == 3 && hashes.keySet.count(_._1 == 2L) == 2)
+    assert(!hashes.keySet.exists(_._1 == 4L), "junk payload yields no frames")
+    assert(hashes((1L, 0)) == hashes((2L, 0)), "identical frame bytes hash identically")
+    assert(hashes((1L, 0)) != hashes((1L, 1)), "gradient vs stripes must differ")
+
+    val pairs = Multimodal.videoNearDupPairs(df, "id", "payload", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"only A-B share >= 2 frames, got $pairs")
+    assert(pairs((1L, 2L)) == 2L, "two DISTINCT shared frame hashes")
+  }
 }

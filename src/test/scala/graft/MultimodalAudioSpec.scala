@@ -145,4 +145,40 @@ class MultimodalAudioSpec extends SparkSpec {
     val rms = feats.head.getDouble(3)
     assert(math.abs(rms - (30000.0 / 32768.0) / math.sqrt(2.0)) < 0.01, s"rms $rms")
   }
+  test("audioFingerprint: volume-invariant, rate-aligned, structure-sensitive, degrade") {
+    // amplitude-modulated sine: RMS envelope rises then falls — a real
+    // energy structure for the gradient bits to latch onto
+    def clip(rate: Int, seconds: Double, gain: Double, envPeriods: Double): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val samples = Array.tabulate[Short](n) { i =>
+        val t = i.toDouble / rate
+        val env = 0.5 * (1.0 - math.cos(2 * math.Pi * envPeriods * i / n))
+        (gain * env * 12000.0 * math.sin(2 * math.Pi * 440.0 * t)).toShort
+      }
+      wavBytes(rate.toFloat, 1, samples)
+    }
+    val base = clip(8000, 1.0, 1.0, 3.0)
+    val quiet = clip(8000, 1.0, 0.25, 3.0)          // same structure, -12 dB
+    val resampled = clip(16000, 1.0, 1.0, 3.0)      // same material, 2x rate
+    val other = clip(8000, 1.0, 1.0, 11.0)          // different envelope
+    val junk = Array.tabulate[Byte](128)(i => (i * 13).toByte)
+    val df = payloadDf(Seq(
+      (1L, base), (2L, quiet), (3L, resampled), (4L, other), (5L, junk),
+      (6L, null.asInstanceOf[Array[Byte]])))
+    val got = Multimodal.audioFingerprint(df, "payload")
+      .select("id", "afp")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(5L).isEmpty && got(6L).isEmpty, "junk and null degrade to NULL")
+    assert(got(1L) == got(2L), "uniform gain must not move a single bit")
+    val dResample = java.lang.Long.bitCount(got(1L).get ^ got(3L).get)
+    val dOther = java.lang.Long.bitCount(got(1L).get ^ got(4L).get)
+    assert(dResample <= 8, s"rate change must stay close, got $dResample bits")
+    assert(dOther > 12, s"different envelope must be far, got $dOther bits")
+    val pairs = Multimodal.audioNearDupPairs(df, "id", "payload", maxHamming = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"gain/rate variants must pair, got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "different material must not pair")
+  }
 }
