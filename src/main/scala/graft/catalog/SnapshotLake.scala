@@ -77,6 +77,53 @@ class SnapshotLake(spark: SparkSession, root: String) {
     parsed.getOrElse((v, "unknown", 0L, 0))
   }
 
+  /** Iceberg-style `files` metadata view of a snapshot: one row per live
+    * data FILE — `(partitionCols..., file, bytes, rows)` — resolved from
+    * the version's manifest, with sizes from the filesystem and row counts
+    * from parquet footers. Footer reads run in ONE distributed job (the
+    * [[graft.sources.DataSkipping.footerStatsAll]] discipline); the driver
+    * touches only the metadata-bounded path list. The operational
+    * companion to [[history]]: small-file skew, partition balance, and
+    * OPTIMIZE effectiveness all read straight off it, without scanning a
+    * byte of data.
+    */
+  def files(partitionCols: Seq[String], version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalArgumentException(s"lake at $root has no versions"))
+    require(Files.exists(manifestPath(v)),
+      s"version $v does not exist (or was vacuumed) at $root")
+    val entries = readManifest(v).toSeq
+    val paths: Seq[(Seq[String], String, Long)] = entries.flatMap { case (key, dir) =>
+      val values = key.split("/").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      val d = Paths.get(resolveDir(dir))
+      val listing = Files.list(d)
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (values, p.toString, Files.size(p)))
+        .toList
+      finally listing.close()
+    }
+    val counted = spark.createDataset(paths.map { case (vals, f, b) => (vals, f, b) })
+      .repartition(math.min(paths.size.max(1), 64))
+      .map { case (vals, f, b) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, new org.apache.hadoop.fs.Path(f),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        var rows = 0L
+        val it = meta.getBlocks.iterator()
+        while (it.hasNext) rows += it.next().getRowCount
+        (vals, f, b, rows)
+      }
+      .toDF("_values", "file", "bytes", "rows")
+    partitionCols.zipWithIndex
+      .foldLeft(counted) { case (df, (c, i)) =>
+        df.withColumn(c, col("_values").getItem(i))
+      }
+      .select((partitionCols.map(col) ++ Seq(col("file"), col("bytes"), col("rows"))): _*)
+  }
+
   /** value-encoded partition key, e.g. `status=F` (URL-encoded values). */
   private def keyOf(values: Seq[String]): String =
     values.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("/")

@@ -758,4 +758,29 @@ class SnapshotLakeSpec extends SparkSpec {
     }
     assert(broken != null)
   }
+  test("files() metadata view: per-file rows/bytes, time travel, optimize visibility") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    val v1 = lake.commit(batch("F", "O")("first").repartition(4), Seq("o_orderstatus"))
+    val f1 = lake.files(Seq("o_orderstatus"), Some(v1))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(f1.forall(_._3 > 0L), "every file has positive bytes")
+    val rowsByPart = f1.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val expect = batch("F", "O")("first")
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rowsByPart == expect, s"footer row counts must sum to the table: $rowsByPart vs $expect")
+    assert(f1.groupBy(_._1).forall(_._2.length > 1), "repartition(4) left multiple files")
+
+    lake.optimize(targetBytes = 1L << 30)
+    val v2 = lake.latestVersion.get
+    val f2 = lake.files(Seq("o_orderstatus"), Some(v2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(f2.groupBy(_._1).forall(_._2.length == 1), "optimize bin-packs to one file")
+    assert(f2.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap == expect,
+      "optimize conserves rows")
+    // the old layout stays visible through time travel
+    assert(lake.files(Seq("o_orderstatus"), Some(v1)).count() == f1.length.toLong)
+    intercept[IllegalArgumentException] { lake.files(Seq("o_orderstatus"), Some(999L)) }
+  }
 }
