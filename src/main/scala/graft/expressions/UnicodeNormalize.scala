@@ -27,12 +27,16 @@ case class UnicodeNormalize(child: Expression, form: String)
   override def dataType: DataType = StringType
   override def prettyName: String = s"unicode_${form.toLowerCase(java.util.Locale.ROOT)}"
 
+  // resolved ONCE per expression instance / per generated class — the enum
+  // lookup must not run per row on the hot tokenize path
+  @transient private lazy val resolvedForm = java.text.Normalizer.Form.valueOf(form)
+
   override protected def nullSafeEval(s: Any): Any =
-    UnicodeNormalize.normalizeUTF8(s.asInstanceOf[UTF8String], form)
+    UnicodeNormalize.normalizeUTF8(s.asInstanceOf[UTF8String], resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s =>
-      s"""graft.expressions.UnicodeNormalize.normalizeUTF8($s, "$form")""")
+      s"graft.expressions.UnicodeNormalize.normalizeUTF8($s, java.text.Normalizer.Form.$form)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -42,12 +46,12 @@ object UnicodeNormalize {
 
   val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
 
-  /** Codegen entry point — interpreted eval routes through it too. Already-
+  /** Codegen entry point — interpreted eval routes through it too (with
+    * the Form constant embedded directly in the generated code). Already-
     * normalized strings (the overwhelmingly common case for web text) are
     * detected by `isNormalized`'s quick-check pass without allocating.
     */
-  def normalizeUTF8(s: UTF8String, form: String): UTF8String = {
-    val f = java.text.Normalizer.Form.valueOf(form)
+  def normalizeUTF8(s: UTF8String, f: java.text.Normalizer.Form): UTF8String = {
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))

@@ -232,7 +232,6 @@ object Classify {
       labelCol: String,
       textCol: String,
       minDf: Long = 2L): DataFrame = {
-    val spark = docs.sparkSession
     val base = docs.filter(col(labelCol).isNotNull)
     val docTok = base
       .select(col(labelCol).as("label"), explode(array_distinct(toks(col(textCol)))).as("token"))

@@ -81,6 +81,12 @@ object Kmv {
     * `(groupCol, pos, h)` with `pos` 1-based ascending. NULL groups and
     * NULL items are excluded (they can't hash and a NULL group would
     * silently pool unrelated items, the [[HeavyHitters.frequent]] rule).
+    *
+    * TYPE CONTRACT: the returned `groupCol` is STRING regardless of the
+    * input type (the typed bounded-heap pass keys on the string form, and
+    * the merge/estimate path stays type-stable across sketches from
+    * different sources). Cast back before equi-joining against the source
+    * table's native key type.
     */
   def sketch(
       df: DataFrame,

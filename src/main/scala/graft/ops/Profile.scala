@@ -92,7 +92,8 @@ object Profile {
     * on aggregation order).
     *
     * Output: one row `(n_ref, n_cur, psi)`; NULL psi when either side is
-    * empty.
+    * empty; a CONSTANT reference baseline refuses loudly (bucketing a
+    * degenerate distribution would report total drift as stable).
     */
   def psi(
       ref: DataFrame,
@@ -114,9 +115,14 @@ object Profile {
         lit(null).cast("double").as("psi"))
     val lo = bounds.getDouble(0)
     val hi = bounds.getDouble(1)
+    // a constant baseline has no shape to compare against — every value of
+    // BOTH sides would land in one bucket and total drift would read as
+    // "stable". A drift monitor must fail loudly there, not reassure.
+    require(hi > lo,
+      s"reference distribution is constant at $lo — PSI is undefined on a " +
+        "degenerate baseline; check the feed with Validate.AcceptedValues instead")
     def bucketOf(v: Column): Column =
-      if (hi == lo) lit(0L)
-      else greatest(
+      greatest(
         least(
           floor((v - lit(lo)) * lit(buckets) / (lit(hi) - lit(lo))),
           lit((buckets - 1).toDouble)),
@@ -124,22 +130,27 @@ object Profile {
     def hist(vals: DataFrame, cntName: String): DataFrame =
       vals.groupBy(bucketOf(col("_v")).as("bucket")).agg(count(lit(1)).as(cntName))
     val spine = spark.range(buckets).select(col("id").as("bucket"))
-    val joined = spine
+    // ≤ buckets rows: collect ONCE — the only evaluation of either
+    // histogram — then re-enter Spark over the literal cells so the term
+    // arithmetic (log included) runs through the same engine expressions
+    // the oracle mirrors
+    val cells = spine
       .join(hist(refVals, "_cr"), Seq("bucket"), "left")
       .join(hist(curVals, "_cc"), Seq("bucket"), "left")
       .select(
         coalesce(col("_cr"), lit(0L)).as("cr"),
         coalesce(col("_cc"), lit(0L)).as("cc"))
-    val totals = joined.agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur")).head()
-    val nRef = totals.getLong(0)
-    val nCur = totals.getLong(1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nRef = cells.map(_._1).sum
+    val nCur = cells.map(_._2).sum
     if (nRef == 0L || nCur == 0L)
       return spark.range(1).select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
         lit(null).cast("double").as("psi"))
+    import spark.implicits._
     val p = (col("cr").cast("double") + lit(eps)) / lit(nRef.toDouble + buckets * eps)
     val q = (col("cc").cast("double") + lit(eps)) / lit(nCur.toDouble + buckets * eps)
     val term = (p - q) * log(p / q)
-    joined
+    cells.toDF("cr", "cc")
       .select(floor(term * lit(1e12) + lit(0.5)).cast("long").as("_t"))
       .agg(sum(col("_t")).as("_ts"))
       .select(

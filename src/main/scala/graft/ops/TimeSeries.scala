@@ -202,8 +202,12 @@ object TimeSeries {
     val spark = df.sparkSession
     import spark.implicits._
     val beta = 1.0 - alpha
+    // every consumed column must be non-null: the typed tuple below has
+    // primitive Long/Double fields, and a NULL ts/id would NPE the
+    // deserializer instead of dropping the row
     val typed = df
-      .filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .filter(col(valueCol).isNotNull && col(keyCol).isNotNull &&
+        col(tsSecCol).isNotNull && col(idCol).isNotNull)
       .select(
         col(keyCol).cast("string").as("k"),
         col(tsSecCol).cast("long").as("ts"),

@@ -51,18 +51,31 @@ object TopK {
     import spark.implicits._
 
     val sign = if (descending) -1.0 else 1.0
+    // `+ 0.0` canonicalizes -0.0 to +0.0: Spark SQL treats them as EQUAL in
+    // the final window's sort while a raw JVM total ordering would not — a
+    // (0.0 vs -0.0) tie must resolve by tiebreak identically in the heap
+    // and in the window or the heap could evict the window's pick.
     val slim = df
       .filter(col(groupCol).isNotNull && col(orderCol).isNotNull &&
         col(tiebreakCol).isNotNull)
       .select(
         col(groupCol).cast("string").as("g"),
-        (col(orderCol).cast("double") * sign).as("v"),
+        (col(orderCol).cast("double") * sign + lit(0.0)).as("v"),
         col(tiebreakCol).cast("string").as("tb"))
       .as[(String, Double, String)]
 
-    // per-partition bounded heaps: worst element on top, evict on overflow
+    // per-partition bounded heaps: worst element on top, evict on overflow.
+    // The heap MUST use the same ordering the final window applies:
+    // TotalOrdering for doubles (NaN greatest, matching Spark's sort), and
+    // UTF-8 BINARY order for the tiebreak (Spark compares UTF8String bytes;
+    // Java String.compareTo is UTF-16 code-unit order, which disagrees once
+    // supplementary-plane characters meet U+E000..U+FFFF).
+    val utf8Ord: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val candidates = slim.mapPartitions { it =>
-      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, utf8Ord)
       val heaps = mutable.HashMap.empty[String, mutable.PriorityQueue[(Double, String)]]
       it.foreach { case (g, v, tb) =>
         val h = heaps.getOrElseUpdate(g, mutable.PriorityQueue.empty[(Double, String)](ord))

@@ -121,12 +121,14 @@ object Validate {
       case c =>
         sum(when(violationExpr(c), 1L).otherwise(0L)).as(c.id)
     }
+    val declaredOrd = checks.map(_.id).zipWithIndex.toMap
     val localReport: Option[DataFrame] =
       if (rowLocal.isEmpty) None
       else {
         val agg = df.agg(count(lit(1)).as("_total"), aggExprs: _*)
         val rows = array(rowLocal.map { c =>
           struct(
+            lit(declaredOrd(c.id)).as("_ord"),
             lit(c.id).as("check_id"),
             lit(c.checkType).as("check_type"),
             lit(c.target).as("target"),
@@ -150,6 +152,7 @@ object Validate {
         .join(right, fk.columns, "left_anti")
         .agg(count(lit(1)).as("violations"))
         .select(
+          lit(declaredOrd(fk.id)).as("_ord"),
           lit(fk.id).as("check_id"),
           lit(fk.checkType).as("check_type"),
           lit(fk.target).as("target"),
@@ -157,7 +160,9 @@ object Validate {
           lit(total).as("total"))
     }
 
+    // the report is O(checks) rows, so the declared-order sort costs nothing
     val all = (localReport.toSeq ++ fkReports).reduce(_ unionByName _)
     all.withColumn("passed", col("violations") === 0L)
+      .orderBy("_ord").drop("_ord")
   }
 }

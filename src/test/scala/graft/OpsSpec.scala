@@ -731,6 +731,11 @@ class OpsSpec extends SparkSpec {
     assert(drift.exists(_ > 0.25), s"total shift must alarm, got $drift")
     assert(psiOf(refD, refD.limit(0))._3.isEmpty, "empty current -> NULL psi")
     assert(psiOf(refD.limit(0), refD)._3.isEmpty, "empty reference -> NULL psi")
+    intercept[IllegalArgumentException] {
+      // constant baseline: bucketing would report total drift as stable —
+      // the monitor must refuse loudly, not reassure
+      graft.ops.Profile.psi((0 until 50).map(_ => 7.0).toDF("v"), shifted, "v", 10).head()
+    }
   }
 
   test("normalizeText: NFC/NFKC goldens, accent strip, lower, null, codegen parity") {

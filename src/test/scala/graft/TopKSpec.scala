@@ -81,4 +81,13 @@ class TopKSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"winner set must broadcast into the recovery join:\n$plan")
   }
+  test("signed-zero ties resolve like the SQL window (heap must not evict the pick)") {
+    import spark.implicits._
+    // descending flips signs: 0.0 -> -0.0 and -0.0 -> 0.0; SQL treats them
+    // equal so the tiebreak must decide — id "1" (binary-least) wins
+    val df = Seq((1L, "a", 0.0), (2L, "a", -0.0)).toDF("id", "g", "v").repartition(1)
+    val got = TopK.groupTopK(df, "g", "v", "id", 1)
+      .select("id").as[Long].collect().toSet
+    assert(got == windowTwin(df, 1, desc = true), s"heap pick $got != window pick")
+  }
 }

@@ -82,4 +82,13 @@ class ValidateSpec extends SparkSpec {
       ForeignKey(Seq("a", "b"), "r", fixture, Seq("x"))
     }
   }
+  test("report rows come back in declared order even with an FK declared first") {
+    val ref = Seq(1L).toDF("rk")
+    val ids = Validate.report(fixture, Seq(
+      ForeignKey(Seq("k"), "r", ref, Seq("rk")),
+      NotNull("comment"),
+      Unique(Seq("k"))))
+      .select("check_id").collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("fk(k->r)", "not_null(comment)", "unique(k)"))
+  }
 }
