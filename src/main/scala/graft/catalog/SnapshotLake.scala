@@ -124,6 +124,92 @@ class SnapshotLake(spark: SparkSession, root: String) {
       .select((partitionCols.map(col) ++ Seq(col("file"), col("bytes"), col("rows"))): _*)
   }
 
+  // ------------------------------------------------- incremental consumers
+
+  private def consumersDir = Paths.get(root, "consumers")
+
+  private def consumerPath(id: String): Path = {
+    require(id.nonEmpty && id.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"consumer id '$id' must be [A-Za-z0-9_-]+ (it names a file)")
+    consumersDir.resolve(id)
+  }
+
+  /** The version this consumer has acknowledged, if any. */
+  def consumerOffset(id: String): Option[Long] = {
+    val p = consumerPath(id)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+  }
+
+  /** Everything this consumer has NOT yet acknowledged, plus the version
+    * to acknowledge once processed — downstream incremental pipelines
+    * consume the lake like a log:
+    *
+    *   - first call (no offset): the full current snapshot, every row
+    *     tagged `_change = "insert"` — the bootstrap read;
+    *   - subsequent calls: the [[changes]] CDF delta from the acknowledged
+    *     version to the current latest;
+    *   - caught up: a zero-row frame with the CDF schema.
+    *
+    * Delivery is AT-LEAST-ONCE by construction: a crash between processing
+    * and [[ackConsumer]] replays the same delta — pair the downstream
+    * write with [[commitIfNew]] (or any idempotent sink keyed on
+    * (consumer, version)) for exactly-once end to end. The returned
+    * version is a SNAPSHOT pin: commits landing after this call are
+    * simply the next delta.
+    */
+  def changesForConsumer(
+      id: String,
+      pk: Seq[String],
+      partitionCols: Seq[String]): (DataFrame, Long) = {
+    val latest = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    consumerOffset(id) match {
+      case None =>
+        (read(partitionCols, Some(latest)).withColumn("_change", lit("insert")), latest)
+      case Some(v) if v == latest =>
+        (read(partitionCols, Some(latest)).limit(0).withColumn("_change", lit("")), latest)
+      case Some(v) =>
+        require(v < latest, s"consumer '$id' offset $v is ahead of latest $latest")
+        (changes(v, latest, pk, partitionCols), latest)
+    }
+  }
+
+  /** Acknowledge `version` for this consumer. Offsets only move FORWARD —
+    * a stale acknowledger (a zombie of a crashed consumer run) cannot
+    * rewind a successor — and the write is atomic (temp + ATOMIC_MOVE),
+    * so readers never observe a torn offset.
+    */
+  def ackConsumer(id: String, version: Long): Unit = {
+    require(versions.contains(version),
+      s"cannot ack version $version — it does not exist at $root")
+    require(consumerOffset(id).forall(_ <= version),
+      s"cannot rewind consumer '$id' from ${consumerOffset(id).get} to $version")
+    Files.createDirectories(consumersDir)
+    val tmp = Files.createTempFile(consumersDir, s".$id", ".tmp")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, consumerPath(id),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** [[commit]] gated by a [[graft.ops.Validate]] suite: the batch lands
+    * ONLY if every check passes; otherwise nothing is staged and the
+    * failing report is in the exception — the write-side quality gate
+    * (CHECK constraints on a lakehouse table).
+    */
+  def commitValidated(
+      batch: DataFrame,
+      partitionCols: Seq[String],
+      checks: Seq[graft.ops.Validate.Check]): Long = {
+    val report = graft.ops.Validate.report(batch, checks).collect()
+    val failed = report.filter(!_.getBoolean(5))
+    require(failed.isEmpty,
+      "batch rejected by validation: " + failed.map(r =>
+        s"${r.getString(0)} (${r.getLong(3)} violations)").mkString("; "))
+    commit(batch, partitionCols)
+  }
+
   /** value-encoded partition key, e.g. `status=F` (URL-encoded values). */
   private def keyOf(values: Seq[String]): String =
     values.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("/")

@@ -783,4 +783,59 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(lake.files(Seq("o_orderstatus"), Some(v1)).count() == f1.length.toLong)
     intercept[IllegalArgumentException] { lake.files(Seq("o_orderstatus"), Some(999L)) }
   }
+  test("incremental consumer: bootstrap, delta, caught-up, replay, monotone ack") {
+    import spark.implicits._
+    val (lake, _) = fresh()
+    val v1 = lake.commit(batch("F", "O")("first"), Seq("o_orderstatus"))
+
+    // bootstrap: full snapshot as inserts
+    val (boot, ackV1) = lake.changesForConsumer("etl", Seq("o_orderkey", "o_orderstatus"),
+      Seq("o_orderstatus"))
+    assert(ackV1 == v1)
+    assert(boot.filter(col("_change") =!= "insert").count() == 0)
+    assert(boot.count() == batch("F", "O")("first").count())
+
+    // crash before ack: the SAME bootstrap replays (at-least-once)
+    val (replay, _) = lake.changesForConsumer("etl", Seq("o_orderkey", "o_orderstatus"),
+      Seq("o_orderstatus"))
+    assert(replay.count() == boot.count(), "unacknowledged delta must replay")
+
+    lake.ackConsumer("etl", ackV1)
+    // caught up: zero rows
+    val (empty, sameV) = lake.changesForConsumer("etl", Seq("o_orderkey", "o_orderstatus"),
+      Seq("o_orderstatus"))
+    assert(sameV == v1 && empty.count() == 0)
+
+    // a second commit becomes the next delta, and equals the direct CDF
+    val v2 = lake.commit(batch("F")("second"), Seq("o_orderstatus"))
+    val (delta, ackV2) = lake.changesForConsumer("etl", Seq("o_orderkey", "o_orderstatus"),
+      Seq("o_orderstatus"))
+    assert(ackV2 == v2)
+    val direct = lake.changes(v1, v2, Seq("o_orderkey", "o_orderstatus"), Seq("o_orderstatus"))
+    assert(delta.select("o_orderkey", "_change").collect().toSet ==
+      direct.select("o_orderkey", "_change").collect().toSet)
+    lake.ackConsumer("etl", ackV2)
+
+    // two independent consumers have independent offsets
+    assert(lake.consumerOffset("other").isEmpty)
+    intercept[IllegalArgumentException] { lake.ackConsumer("etl", v1) } // no rewind
+    intercept[IllegalArgumentException] { lake.ackConsumer("etl", 999L) }
+    intercept[IllegalArgumentException] { lake.consumerOffset("../evil") }
+  }
+
+  test("commitValidated: a failing check rejects the batch atomically, a passing one lands") {
+    import graft.ops.Validate._
+    val (lake, dir) = fresh()
+    val good = batch("F")("first")
+    lake.commitValidated(good, Seq("o_orderstatus"), Seq(NotNull("pointer")))
+    assert(lake.read(Seq("o_orderstatus")).count() == good.count())
+    val bad = good.withColumn("pointer",
+      when(col("o_orderkey") % 10 === 0, lit(null).cast("string")).otherwise(col("pointer")))
+    val e = intercept[IllegalArgumentException] {
+      lake.commitValidated(bad, Seq("o_orderstatus"), Seq(NotNull("pointer")))
+    }
+    assert(e.getMessage.contains("not_null(pointer)"), e.getMessage)
+    assert(lake.latestVersion.contains(1L), "rejected batch must not create a version")
+    assert(lake.read(Seq("o_orderstatus")).filter(col("pointer").isNull).count() == 0)
+  }
 }
