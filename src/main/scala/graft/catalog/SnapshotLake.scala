@@ -95,7 +95,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       s"version $v does not exist (or was vacuumed) at $root")
     val entries = readManifest(v).toSeq
     val paths: Seq[(Seq[String], String, Long)] = entries.flatMap { case (key, dir) =>
-      val values = key.split("/").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8"))
+      val values = partValuesOf(key)
       val d = Paths.get(resolveDir(dir))
       val listing = Files.list(d)
       try listing.iterator().asScala
@@ -106,15 +106,17 @@ class SnapshotLake(spark: SparkSession, root: String) {
     }
     val counted = spark.createDataset(paths.map { case (vals, f, b) => (vals, f, b) })
       .repartition(math.min(paths.size.max(1), 64))
-      .map { case (vals, f, b) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-          conf, new org.apache.hadoop.fs.Path(f),
-          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-        var rows = 0L
-        val it = meta.getBlocks.iterator()
-        while (it.hasNext) rows += it.next().getRowCount
-        (vals, f, b, rows)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration() // once per task
+        it.map { case (vals, f, b) =>
+          val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            conf, new org.apache.hadoop.fs.Path(f),
+            org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+          var rows = 0L
+          val bit = meta.getBlocks.iterator()
+          while (bit.hasNext) rows += bit.next().getRowCount
+          (vals, f, b, rows)
+        }
       }
       .toDF("_values", "file", "bytes", "rows")
     partitionCols.zipWithIndex
@@ -164,11 +166,18 @@ class SnapshotLake(spark: SparkSession, root: String) {
       partitionCols: Seq[String]): (DataFrame, Long) = {
     val latest = latestVersion.getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
+    def canon(df: DataFrame): DataFrame = {
+      val cols = df.columns.filterNot(_ == "_change").toSeq
+      val ordered = pk.filter(cols.contains) ++ cols.filterNot(pk.contains)
+      df.select((col("_change") +: ordered.map(col)): _*)
+    }
     consumerOffset(id) match {
       case None =>
-        (read(partitionCols, Some(latest)).withColumn("_change", lit("insert")), latest)
+        (canon(read(partitionCols, Some(latest)).withColumn("_change", lit("insert"))),
+          latest)
       case Some(v) if v == latest =>
-        (read(partitionCols, Some(latest)).limit(0).withColumn("_change", lit("")), latest)
+        (canon(read(partitionCols, Some(latest)).limit(0).withColumn("_change", lit(""))),
+          latest)
       case Some(v) =>
         require(v < latest, s"consumer '$id' offset $v is ahead of latest $latest")
         (changes(v, latest, pk, partitionCols), latest)
@@ -183,14 +192,28 @@ class SnapshotLake(spark: SparkSession, root: String) {
   def ackConsumer(id: String, version: Long): Unit = {
     require(versions.contains(version),
       s"cannot ack version $version — it does not exist at $root")
-    require(consumerOffset(id).forall(_ <= version),
-      s"cannot rewind consumer '$id' from ${consumerOffset(id).get} to $version")
     Files.createDirectories(consumersDir)
-    val tmp = Files.createTempFile(consumersDir, s".$id", ".tmp")
-    Files.write(tmp, version.toString.getBytes("UTF-8"))
-    Files.move(tmp, consumerPath(id),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the forward-only check and the move must be ONE critical section: a
+    // plain check-then-rename would let a zombie of a crashed run ack an
+    // old version AFTER its successor advanced, rewinding the offset and
+    // re-delivering a delta. A per-consumer OS file lock serializes
+    // acknowledgers on this host; an object-store deployment swaps this
+    // for a conditional put, behind the same method.
+    val lockPath = consumersDir.resolve(s".$id.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        require(consumerOffset(id).forall(_ <= version),
+          s"cannot rewind consumer '$id' from ${consumerOffset(id).get} to $version")
+        val tmp = Files.createTempFile(consumersDir, s".$id", ".tmp")
+        Files.write(tmp, version.toString.getBytes("UTF-8"))
+        Files.move(tmp, consumerPath(id),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** [[commit]] gated by a [[graft.ops.Validate]] suite: the batch lands
@@ -202,13 +225,25 @@ class SnapshotLake(spark: SparkSession, root: String) {
       batch: DataFrame,
       partitionCols: Seq[String],
       checks: Seq[graft.ops.Validate.Check]): Long = {
-    val report = graft.ops.Validate.report(batch, checks).collect()
+    // pin the batch ONCE: validating and then re-evaluating a
+    // non-deterministic plan (sampling, a concurrently-changing source)
+    // could commit rows the validation never saw
+    val pinned = batch.localCheckpoint(true)
+    val report = graft.ops.Validate.report(pinned, checks).collect()
     val failed = report.filter(!_.getBoolean(5))
     require(failed.isEmpty,
       "batch rejected by validation: " + failed.map(r =>
         s"${r.getString(0)} (${r.getLong(3)} violations)").mkString("; "))
-    commit(batch, partitionCols)
+    commit(pinned, partitionCols)
   }
+
+  /** Decode a manifest key back to partition VALUES. limit -1: a trailing
+    * empty segment (an empty-string value in the LAST partition column)
+    * must survive the split — the default drops it and the value would
+    * read back as NULL.
+    */
+  private def partValuesOf(key: String): Seq[String] =
+    key.split("/", -1).toSeq.map(java.net.URLDecoder.decode(_, "UTF-8"))
 
   /** value-encoded partition key, e.g. `status=F` (URL-encoded values). */
   private def keyOf(values: Seq[String]): String =
@@ -461,8 +496,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
   private def readEntries(
       entries: Seq[(String, String)], partitionCols: Seq[String]): DataFrame = {
     require(entries.nonEmpty, "no manifest entries to read")
-    def valuesOf(key: String): Seq[String] =
-      key.split("/").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8"))
+    def valuesOf(key: String): Seq[String] = partValuesOf(key)
     if (entries.size == 1) {
       val (key, dir) = entries.head
       partitionCols.zip(valuesOf(key))
@@ -869,10 +903,18 @@ class SnapshotLake(spark: SparkSession, root: String) {
     require(partitionCols.forall(pk.contains),
       s"pk (${pk.mkString(",")}) must include every partition column " +
         s"(${partitionCols.mkString(",")}) — rows must not move between partitions")
+    // every branch (and [[changesForConsumer]]'s bootstrap) returns the
+    // SAME column order — (_change, pk..., dataCols...) — so positional
+    // consumers can union bootstrap and delta frames safely
+    def canon(df: DataFrame): DataFrame = {
+      val cols = df.columns.filterNot(_ == "_change").toSeq
+      val ordered = pk.filter(cols.contains) ++ cols.filterNot(pk.contains)
+      df.select((col("_change") +: ordered.map(col)): _*)
+    }
     val changed = changedPartitions(fromVersion, toVersion)
     if (changed.isEmpty)
-      return read(partitionCols, Some(toVersion)).limit(0)
-        .withColumn("_change", lit(""))
+      return canon(read(partitionCols, Some(toVersion)).limit(0)
+        .withColumn("_change", lit("")))
     def side(v: Long): Option[DataFrame] = {
       val entries = readManifest(v).filter { case (k, _) => changed.contains(k) }
       if (entries.isEmpty) None else Some(readEntries(entries.toSeq.sorted, partitionCols))
@@ -881,9 +923,9 @@ class SnapshotLake(spark: SparkSession, root: String) {
     val newS = side(toVersion)
     (oldS, newS) match {
       case (None, None) => // unreachable: changed non-empty implies a side
-        read(partitionCols, Some(toVersion)).limit(0).withColumn("_change", lit(""))
-      case (None, Some(n)) => n.withColumn("_change", lit("insert"))
-      case (Some(o), None) => o.withColumn("_change", lit("delete"))
+        canon(read(partitionCols, Some(toVersion)).limit(0).withColumn("_change", lit("")))
+      case (None, Some(n)) => canon(n.withColumn("_change", lit("insert")))
+      case (Some(o), None) => canon(o.withColumn("_change", lit("delete")))
       case (Some(o), Some(n)) =>
         // align schemas (evolution: missing columns read as NULL)
         val allCols = (o.columns ++ n.columns).distinct.toSeq
@@ -915,9 +957,9 @@ class SnapshotLake(spark: SparkSession, root: String) {
                 struct(lit("update_pre").as("_change"), oRow.as("r")),
                 struct(lit("update_post").as("_change"), nRow.as("r"))))
               .as("_evs"))
-        tagged
+        canon(tagged
           .select(explode(col("_evs")).as("_ev"))
-          .select(col("_ev._change").as("_change"), col("_ev.r.*"))
+          .select(col("_ev._change").as("_change"), col("_ev.r.*")))
     }
   }
 

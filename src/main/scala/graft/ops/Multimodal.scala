@@ -1002,7 +1002,9 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         if (bytes == null) Iterator.empty
         else mp4SampleTable(bytes) match {
-          case Some((codec, samples)) if codec == "mjpeg" || codec == "jpeg" =>
+          // fourccs are exactly 4 bytes: "jpeg" (MP4 Motion-JPEG) and
+          // "mjpa" (Motion-JPEG Format A) are the ImageIO-decodable entries
+          case Some((codec, samples)) if codec == "jpeg" || codec == "mjpa" =>
             samples.iterator
               .filter(_.idx % everyNth == 0)
               .flatMap { smp =>

@@ -104,9 +104,12 @@ object Profile {
     require(buckets >= 2 && buckets <= 100000, s"buckets=$buckets out of [2, 100000]")
     require(eps > 0.0, s"eps=$eps must be positive")
     val spark = ref.sparkSession
-    val refVals = ref.filter(col(valueCol).isNotNull)
+    // NaN is excluded like NULL on BOTH sides: it has no bucket, and a
+    // single reference NaN would poison max() and misdiagnose the baseline
+    // as constant
+    val refVals = ref.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .select(col(valueCol).cast("double").as("_v"))
-    val curVals = cur.filter(col(valueCol).isNotNull)
+    val curVals = cur.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .select(col(valueCol).cast("double").as("_v"))
     val bounds = refVals.agg(min(col("_v")).as("lo"), max(col("_v")).as("hi")).head()
     if (bounds.isNullAt(0))

@@ -70,19 +70,27 @@ object TopK {
     // UTF-8 BINARY order for the tiebreak (Spark compares UTF8String bytes;
     // Java String.compareTo is UTF-16 code-unit order, which disagrees once
     // supplementary-plane characters meet U+E000..U+FFFF).
-    val utf8Ord: Ordering[String] = (a: String, b: String) =>
-      java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // tiebreaks are encoded to UTF-8 ONCE at insertion and compared as
+    // bytes in the heap — both to match Spark's binary string order and to
+    // avoid re-encoding on every sift comparison
+    val byteOrd: Ordering[Array[Byte]] =
+      (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
     val candidates = slim.mapPartitions { it =>
-      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, utf8Ord)
-      val heaps = mutable.HashMap.empty[String, mutable.PriorityQueue[(Double, String)]]
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, byteOrd)
+      val heaps =
+        mutable.HashMap.empty[String, mutable.PriorityQueue[(Double, Array[Byte])]]
       it.foreach { case (g, v, tb) =>
-        val h = heaps.getOrElseUpdate(g, mutable.PriorityQueue.empty[(Double, String)](ord))
-        if (h.size < k) h.enqueue((v, tb))
-        else if (ord.lt((v, tb), h.head)) { h.dequeue(); h.enqueue((v, tb)) }
+        val h = heaps.getOrElseUpdate(
+          g, mutable.PriorityQueue.empty[(Double, Array[Byte])](ord))
+        val e = (v, tb.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (h.size < k) h.enqueue(e)
+        else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
       }
-      heaps.iterator.flatMap { case (g, h) => h.iterator.map { case (v, tb) => (g, v, tb) } }
+      heaps.iterator.flatMap { case (g, h) =>
+        h.iterator.map { case (v, tb) =>
+          (g, v, new String(tb, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
     }.toDF("g", "v", "tb")
 
     val w = Window.partitionBy(col("g")).orderBy(col("v"), col("tb"))
