@@ -105,6 +105,22 @@ object QueriesEvents {
     // (reference support/catalog.py:105-188 "previous-date" site lookup)
     "q_j8_asof_back" -> ((s, dir) => asof(s, dir, forward = false)),
 
+    // J8 with a staleness bound (pandas merge_asof tolerance): the latest
+    // signup at-or-before each purchase attaches only when it is at most
+    // one day old — stale matches null out whole, facts are all kept
+    "q_j15_asof_tol" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), Functions.toSecond(col("ts")).as("pts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), Functions.toSecond(col("ts")).as("sts"), col("event_id"))
+      AsOf.joinWithTolerance(purchases, signups, "user_id", "pts", "sts",
+          snapCols = Seq("event_id"), toleranceSeconds = 86400L,
+          forward = false, tiebreak = Some("event_id"))
+        .select(col("event_id"), col("user_id"), col("pts").as("purchase_ts"),
+          col("snap_event_id"), col("snap_sts").as("signup_ts"))
+    }),
+
     // W1: daily first-seen counter, privacy pseudonymization
     // (reference bt_extract_soc.py:73-91)
     "q_w1_first_seen" -> ((s, dir) =>
@@ -437,6 +453,26 @@ object QueriesEvents {
         |FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15'""".stripMargin,
     "q_j7_asof_fwd" -> asofOracle(true),
     "q_j8_asof_back" -> asofOracle(false),
+    "q_j15_asof_tol" ->
+      """WITH p AS (SELECT event_id, user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS s_id, user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS sts
+        |  FROM events WHERE event_type = 'signup'),
+        |j AS (SELECT p.event_id, s.s_id, s.sts,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY s.sts DESC, s.s_id DESC) AS rn
+        |  FROM p JOIN s ON p.user_id = s.user_id AND s.sts <= p.pts),
+        |pick AS (SELECT event_id, s_id, sts FROM j WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.pts AS purchase_ts,
+        |  CASE WHEN pick.sts IS NOT NULL
+        |        AND epoch(p.pts) - epoch(pick.sts) <= 86400
+        |       THEN pick.s_id END AS snap_event_id,
+        |  CASE WHEN pick.sts IS NOT NULL
+        |        AND epoch(p.pts) - epoch(pick.sts) <= 86400
+        |       THEN pick.sts END AS signup_ts
+        |FROM p LEFT JOIN pick ON p.event_id = pick.event_id""".stripMargin,
     "q_w1_first_seen" ->
       """WITH fs AS (
         |  SELECT CAST(ts AS DATE) AS day, user_id,

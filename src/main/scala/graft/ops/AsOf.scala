@@ -87,4 +87,45 @@ object AsOf {
       .filter(col("_isSnap") === 0)
       .select(factCols.map(col) ++ payload.map(c => col(s"_snap.$c").as(s"snap_$c")): _*)
   }
+
+  /** [[join]] with a STALENESS bound — pandas `merge_asof(tolerance=...)`:
+    * the nearest snapshot only attaches when it lies within
+    * `toleranceSeconds` of the fact time; a nearer-than-nothing-but-stale
+    * snapshot nulls out exactly like no snapshot at all. The device-feed
+    * contract "use the last reading unless it's older than X" — without
+    * the bound an as-of join happily carries a reading forward forever.
+    *
+    * Pure post-filter on the joined output (no extra shuffle): every
+    * `snap_*` column nulls together, so a stale match can never leak a
+    * partial row.
+    */
+  def joinWithTolerance(
+      facts: DataFrame,
+      snapshots: DataFrame,
+      key: String,
+      factTime: String,
+      snapTime: String,
+      snapCols: Seq[String],
+      toleranceSeconds: Long,
+      forward: Boolean = false,
+      tiebreak: Option[String] = None): DataFrame = {
+    require(toleranceSeconds >= 0, s"toleranceSeconds=$toleranceSeconds must be >= 0")
+    val joined = join(facts, snapshots, key, factTime, snapTime, snapCols,
+      forward, tiebreak)
+    val factSec = unix_timestamp(col(factTime).cast("timestamp"))
+    val snapSec = unix_timestamp(col(s"snap_$snapTime").cast("timestamp"))
+    val within =
+      if (forward) snapSec - factSec <= toleranceSeconds
+      else factSec - snapSec <= toleranceSeconds
+    // materialize the keep decision FIRST: the fold below overwrites
+    // snap_<snapTime> itself, and re-deriving the predicate from a
+    // half-nulled row would be order-dependent
+    val payload = (snapTime +: snapCols).distinct.map(c => s"snap_$c")
+    payload
+      .foldLeft(joined.withColumn("_fresh",
+        col(s"snap_$snapTime").isNotNull && within)) { (df, c) =>
+        df.withColumn(c, when(col("_fresh"), col(c)))
+      }
+      .drop("_fresh")
+  }
 }

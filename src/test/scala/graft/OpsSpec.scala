@@ -699,6 +699,37 @@ class OpsSpec extends SparkSpec {
     assert(got(9L) == ((2L, 600L, None, None)))
   }
 
+  test("AsOf.joinWithTolerance: fresh attaches, stale nulls whole, missing stays null") {
+    import spark.implicits._
+    val facts = Seq(
+      (1L, 7L, 1000L),  // nearest snap at 990 (10s old) -> fresh at tol=60
+      (2L, 7L, 5000L),  // nearest snap at 990 (4010s old) -> stale
+      (3L, 9L, 1000L))  // no snapshot at all
+      .toDF("fid", "k", "ft")
+    val snaps = Seq((7L, 990L, 100L, "a"), (7L, 400L, 101L, "b"))
+      .toDF("k", "st", "sid", "tag")
+    val got = graft.ops.AsOf.joinWithTolerance(
+        facts, snaps, "k", "ft", "st", Seq("sid", "tag"),
+        toleranceSeconds = 60L, forward = false, tiebreak = Some("sid"))
+      .collect().map { r =>
+        r.getLong(0) -> ((
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getString(5))))
+      }.toMap
+    assert(got(1L) == ((Some(990L), Some(100L), Some("a"))))
+    assert(got(2L) == ((None, None, None)), "stale match must null EVERY snap column")
+    assert(got(3L) == ((None, None, None)))
+    // forward direction: snapshot 10s ahead fresh, 4010s ahead stale
+    val fwd = graft.ops.AsOf.joinWithTolerance(
+        Seq((1L, 7L, 980L), (2L, 7L, 400L)).toDF("fid", "k", "ft"),
+        Seq((7L, 990L, 100L, "a")).toDF("k", "st", "sid", "tag"),
+        "k", "ft", "st", Seq("sid", "tag"),
+        toleranceSeconds = 60L, forward = true, tiebreak = Some("sid"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(!fwd(1L) && fwd(2L))
+  }
+
   test("Profile.histogramEquiWidth: bucket math, top edge, constant column, empties") {
     import spark.implicits._
     val df = Seq(Some(0.0), Some(2.5), Some(5.0), Some(9.9), Some(10.0), None)

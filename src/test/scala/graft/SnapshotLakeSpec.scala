@@ -838,4 +838,45 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(lake.latestVersion.contains(1L), "rejected batch must not create a version")
     assert(lake.read(Seq("o_orderstatus")).filter(col("pointer").isNull).count() == 0)
   }
+  test("consumer x commitIfNew: exactly-once lake-to-lake replication under replay") {
+    import spark.implicits._
+    val (src, _) = fresh()
+    val (dst, _) = fresh()
+    val pk = Seq("o_orderkey", "o_orderstatus")
+
+    def replicateOnce(): Unit = {
+      val (delta, v) = src.changesForConsumer("repl", pk, Seq("o_orderstatus"))
+      // apply the delta's post-image rows; commitIfNew keyed on the SOURCE
+      // version makes any replay a no-op — the lakehouse txn pattern
+      val rows = delta.filter(col("_change").isin("insert", "update_post"))
+        .drop("_change")
+      if (rows.isEmpty) () else {
+        dst.commitIfNew("repl", v, rows, Seq("o_orderstatus"))
+        ()
+      }
+      src.ackConsumer("repl", v)
+    }
+
+    src.commit(batch("F", "O")("first"), Seq("o_orderstatus"))
+    replicateOnce()
+    assert(dst.read(Seq("o_orderstatus")).count() ==
+      batch("F", "O")("first").count())
+
+    // crash AFTER apply but BEFORE ack: the replayed delta must not
+    // duplicate anything in dst
+    val v2 = src.commit(batch("F")("second"), Seq("o_orderstatus"))
+    val (delta2, ackV) = src.changesForConsumer("repl", pk, Seq("o_orderstatus"))
+    val rows2 = delta2.filter(col("_change").isin("insert", "update_post")).drop("_change")
+    assert(dst.commitIfNew("repl", ackV, rows2, Seq("o_orderstatus")).isDefined)
+    val afterFirstApply = dst.read(Seq("o_orderstatus")).collect().toSet
+    // zombie replay of the SAME unacked delta: no-op
+    assert(dst.commitIfNew("repl", ackV, rows2, Seq("o_orderstatus")).isEmpty)
+    assert(dst.read(Seq("o_orderstatus")).collect().toSet == afterFirstApply)
+    src.ackConsumer("repl", ackV)
+
+    // dst F partition now carries the second batch's pointer
+    assert(dst.read(Seq("o_orderstatus"))
+      .filter(col("o_orderstatus") === "F" && col("pointer") =!= "second").count() == 0)
+    assert(ackV == v2)
+  }
 }
