@@ -88,4 +88,16 @@ class SnapshotCatalog(spark: SparkSession, path: String) extends CatalogStore {
     */
   def changes(fromVersion: Long, toVersion: Long): DataFrame =
     lake.changes(fromVersion, toVersion, LakeCatalog.PK, LakeCatalog.PartitionCols)
+
+  /** Catalog-level incremental consumption: unacknowledged entry changes +
+    * the version to [[ackConsumer]] once processed — downstream syncs
+    * consume catalog updates like a log ([[SnapshotLake.changesForConsumer]]
+    * with the catalog's PK).
+    */
+  def changesForConsumer(id: String): (DataFrame, Long) =
+    lake.changesForConsumer(id, LakeCatalog.PK, LakeCatalog.PartitionCols)
+
+  def ackConsumer(id: String, version: Long): Unit = lake.ackConsumer(id, version)
+
+  def consumerOffset(id: String): Option[Long] = lake.consumerOffset(id)
 }

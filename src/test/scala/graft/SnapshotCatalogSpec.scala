@@ -181,4 +181,18 @@ class SnapshotCatalogSpec extends SparkSpec {
     // and the catalog history audited one upsert per NON-EMPTY novel batch
     assert(cat.history().filter(col("op") === "upsert").count() === cat.versions.size.toLong)
   }
+  test("catalog consumers ride the lake's offset machinery") {
+    val cat = new SnapshotCatalog(spark, Files.createTempDirectory("graft_catcons").toString)
+    cat.upsert(batch("bt", 0, 3, "2020-02-01 00:00:00", "p1"))
+    val (boot, v1) = cat.changesForConsumer("sync")
+    assert(boot.count() == 3 &&
+      boot.filter(col("_change") =!= "insert").count() == 0)
+    cat.ackConsumer("sync", v1)
+    cat.upsert(batch("bt", 0, 1, "2020-02-02 00:00:00", "p2"))
+    val (delta, v2) = cat.changesForConsumer("sync")
+    assert(v2 > v1 && delta.count() > 0)
+    assert(cat.consumerOffset("sync").contains(v1))
+    cat.ackConsumer("sync", v2)
+    assert(cat.consumerOffset("sync").contains(v2))
+  }
 }
