@@ -552,6 +552,14 @@ object QueriesCorpus {
       graft.ops.Fim.transform(t(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "format", "out_text")),
 
+    // T5 span corruption (Raffel et al. 2020 §3.1.4): deterministic
+    // block/span construction — offsets, sentinel numbering, and both
+    // output strings all md5-derived, so the oracle rebuilds every
+    // input/target pair exactly
+    "q_t5_spans" -> ((s, dir) =>
+      graft.ops.Fim.spanCorrupt(t(s, dir, "documents"), "doc_id", "text",
+        blockTokens = 8, spanTokens = 3)),
+
     // Count-Min sketch: the whole counter table (≤ depth×width rows) — the
     // third bounded-memory counting primitive; md5 hashing makes every
     // counter value oracle-checkable exactly
@@ -2012,6 +2020,37 @@ object QueriesCorpus {
          |       ELSE '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid END AS out_text
          |FROM e""".stripMargin
     },
+    "q_t5_spans" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |tk AS (SELECT doc_id, len(l) AS n, z[1] AS tok, CAST(z[2] AS BIGINT) AS pos
+        |  FROM d, unnest(list_zip(l, range(0, len(l)))) AS t(z)),
+        |c AS (SELECT doc_id, n, tok, pos,
+        |    pos // 8 AS blk, pos % 8 AS ib, n // 8 AS numfull,
+        |    CAST('0x' || substr(md5('t5:' || CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(pos // 8 AS VARCHAR)), 1, 8) AS BIGINT) % 6 AS off
+        |  FROM tk),
+        |cl AS (SELECT doc_id, n, pos, blk, ib, off, tok,
+        |    (blk < numfull AND ib >= off AND ib < off + 3) AS corr FROM c),
+        |agg AS (SELECT doc_id, any_value(n) AS n,
+        |    string_agg(CASE WHEN NOT corr THEN tok
+        |        WHEN ib = off THEN '<extra_id_' || CAST(blk AS VARCHAR) || '>' END,
+        |      ' ' ORDER BY pos) AS input_text,
+        |    string_agg(CASE
+        |        WHEN corr AND ib = off
+        |          THEN '<extra_id_' || CAST(blk AS VARCHAR) || '> ' || tok
+        |        WHEN corr THEN tok END,
+        |      ' ' ORDER BY pos) AS tgt
+        |  FROM cl GROUP BY doc_id)
+        |SELECT doc.doc_id, coalesce(agg.n, 0) AS n_tokens,
+        |  coalesce(agg.input_text, '') AS input_text,
+        |  CASE WHEN agg.tgt IS NULL OR agg.tgt = ''
+        |       THEN '<extra_id_' || CAST(coalesce(agg.n, 0) // 8 AS VARCHAR) || '>'
+        |       ELSE agg.tgt || ' <extra_id_' || CAST(agg.n // 8 AS VARCHAR) || '>'
+        |       END AS target_text
+        |FROM documents doc LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_cms_sketch" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
         |    FROM documents),

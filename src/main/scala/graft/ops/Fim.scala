@@ -87,4 +87,84 @@ object Fim {
     */
   private def substring_index_slice(text: Column, pos: Column, len: Column): Column =
     text.substr(pos, greatest(len, lit(0)))
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * mask-denoising objective's data transform, [[transform]]'s sibling:
+    * replace spans of tokens with numbered sentinels in the INPUT and emit
+    * the masked spans behind the same sentinels as the TARGET.
+    *
+    * Deterministic block construction instead of sequential sampling: the
+    * token stream partitions into blocks of `blockTokens`; every FULL
+    * block corrupts exactly ONE `spanTokens`-token span at an md5-derived
+    * offset (corruption rate = spanTokens/blockTokens, mean span length =
+    * spanTokens — the two knobs of the paper, here exact instead of in
+    * expectation). The partial tail block stays uncorrupted. Block
+    * arithmetic is pure integer math on the token position, so the whole
+    * transform — offsets, sentinel numbering, both output strings — is
+    * reproducible by the SQL oracle (q_t5_spans), which a
+    * sequentially-sampled corruption could never be.
+    *
+    *   input  = … tok <extra_id_b> tok …   (span b replaced by sentinel b)
+    *   target = <extra_id_0> span₀ <extra_id_1> span₁ … <extra_id_n>
+    *
+    * with the standard terminal sentinel (n = number of corrupted spans).
+    * Documents shorter than one block pass through uncorrupted (input =
+    * tokens, target = the terminal sentinel alone).
+    *
+    * Scale shape: one explode + one keyed groupBy per doc (the
+    * [[graft.ops.VectorOps.meanPool]] ordered-assembly pattern: collect →
+    * array_sort → join, with null pieces dropped by `array_join`). At
+    * 100 TB this is the same linear one-row-per-token price as
+    * [[Dedup.windowRows]].
+    */
+  def spanCorrupt(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int,
+      spanTokens: Int,
+      sentinelPrefix: String = "<extra_id_",
+      salt: String = "t5"): DataFrame = {
+    require(blockTokens >= 2, s"blockTokens=$blockTokens must be >= 2")
+    require(spanTokens >= 1 && spanTokens < blockTokens,
+      s"need 1 <= spanTokens < blockTokens, got $spanTokens/$blockTokens")
+    val b = lit(blockTokens.toLong)
+    val toks = filter(Dedup.tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
+    val base = docs.select(
+      col(idCol), col(textCol),
+      posexplode_outer(toks).as(Seq("pos", "tok")),
+      size(toks).cast("long").as("_n"))
+    val block = floor(col("pos") / b)
+    val inBlock = col("pos") % b
+    val numFull = floor(col("_n") / b)
+    val off = pmod(
+      graft.Functions.md5Bits(
+        concat(lit(s"$salt:"), col(idCol).cast("string"), lit(":"), block.cast("string")),
+        32),
+      lit((blockTokens - spanTokens + 1).toLong))
+    val corrupted = col("pos").isNotNull && block < numFull &&
+      inBlock >= off && inBlock < off + spanTokens
+    val sentinel = concat(lit(sentinelPrefix), block.cast("string"), lit(">"))
+    val inPiece =
+      when(!corrupted, col("tok"))                 // kept token (or null tail row)
+        .when(inBlock === off, sentinel)           // span start → sentinel
+    val tgtPiece =
+      when(corrupted && inBlock === off, concat_ws(" ", sentinel, col("tok")))
+        .when(corrupted, col("tok"))
+    val assembled = base
+      .groupBy(col(idCol), col("_n"))
+      .agg(
+        array_join(org.apache.spark.sql.functions.transform(
+          array_sort(collect_list(struct(col("pos"), inPiece.as("p")))),
+          e => e.getField("p")), " ").as("input_text"),
+        array_join(org.apache.spark.sql.functions.transform(
+          array_sort(collect_list(struct(col("pos"), tgtPiece.as("p")))),
+          e => e.getField("p")), " ").as("_tgt"))
+    assembled.select(
+      col(idCol), col("_n").as("n_tokens"),
+      col("input_text"),
+      concat_ws(" ",
+        when(col("_tgt") =!= "", col("_tgt")),
+        concat(lit(sentinelPrefix), floor(col("_n") / b).cast("string"), lit(">")))
+        .as("target_text"))
+  }
 }

@@ -74,4 +74,49 @@ class FimSpec extends SparkSpec {
     assert(out(2L).contains("[S]") && out(2L).contains("[M]"))
     assert(out(2L).replace("[P]", "").replace("[S]", "").replace("[M]", "").length == 2)
   }
+  test("spanCorrupt: exact block/span construction, round trip, short-doc passthrough") {
+    import spark.implicits._
+    // recompute the md5 offset the operator derives, driver-side
+    def off(id: Long, blk: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t5:$id:$blk".getBytes("UTF-8"))
+      val bits = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      bits % 3 // blockTokens - spanTokens + 1 = 3
+    }
+    val tokens = (0 until 10).map(i => s"t$i")
+    val docs = Seq(
+      (1L, tokens.mkString(" ")),   // 10 tokens: blocks [0..3],[4..7], tail [8,9]
+      (2L, "a b"),                  // shorter than a block: passthrough
+      (3L, ""),                     // empty
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Fim.spanCorrupt(docs, "doc_id", "text",
+        blockTokens = 4, spanTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getString(3))))
+      .toMap
+
+    // hand-build doc 1's expectation from the recomputed offsets
+    val (o0, o1) = (off(1L, 0L), off(1L, 1L))
+    val in1 = (tokens.take(4).patch(o0.toInt, Seq("<extra_id_0>"), 2) ++
+      tokens.slice(4, 8).patch(o1.toInt, Seq("<extra_id_1>"), 2) ++
+      tokens.drop(8)).mkString(" ")
+    val tgt1 = (Seq("<extra_id_0>") ++ tokens.slice(o0.toInt, o0.toInt + 2) ++
+      Seq("<extra_id_1>") ++ tokens.slice(4 + o1.toInt, 4 + o1.toInt + 2) ++
+      Seq("<extra_id_2>")).mkString(" ")
+    assert(got(1L) == ((10L, in1, tgt1)))
+
+    assert(got(2L) == ((2L, "a b", "<extra_id_0>")), "short doc passes through")
+    assert(got(3L) == ((0L, "", "<extra_id_0>")))
+    assert(got(4L) == ((0L, "", "<extra_id_0>")))
+
+    // round trip: substituting each target span back over its sentinel
+    // reconstructs the original token stream
+    val spans = tgt1.split("<extra_id_[0-9]+>").map(_.trim).filter(_.nonEmpty)
+    var recon = in1
+    spans.zipWithIndex.foreach { case (sp, i) =>
+      recon = recon.replace(s"<extra_id_$i>", sp)
+    }
+    assert(recon == tokens.mkString(" "), s"round trip failed: $recon")
+  }
 }
