@@ -216,6 +216,53 @@ class SnapshotLake(spark: SparkSession, root: String) {
     } finally ch.close()
   }
 
+  /** Incremental partition-grain replication into another lake — the
+    * CORRECT composition of the consumer offset machinery with
+    * [[commitIfNew]]'s exactly-once watermark. What replicates is the
+    * SOURCE SNAPSHOT of every changed partition (whole partitions, never
+    * the row delta): replaying a row-grain CDF delta through a
+    * partition-replacing commit would silently drop the UNCHANGED rows of
+    * a partially-changed partition and could never express deletes.
+    * Partition removals propagate as (idempotent) deletes on the
+    * destination.
+    *
+    * One call consumes everything unacknowledged, applies, and acks.
+    * Crash anywhere and the replay is harmless: the delete is a no-op on
+    * already-removed partitions and the commit is a no-op behind the
+    * (consumerId, source-version) watermark — at-least-once consume +
+    * idempotent apply = exactly-once end to end. Returns the acknowledged
+    * source version.
+    */
+  def replicateTo(
+      dst: SnapshotLake,
+      consumerId: String,
+      partitionCols: Seq[String]): Long = {
+    val latest = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val from = consumerOffset(consumerId)
+    if (from.contains(latest)) return latest
+    val manifest = readManifest(latest)
+    val changedKeys: Set[String] = from match {
+      case None => manifest.keySet // bootstrap: everything
+      case Some(v) => changedPartitions(v, latest)
+    }
+    val liveChanged = manifest.filter { case (k, _) => changedKeys.contains(k) }
+    val removed = changedKeys -- manifest.keySet
+    if (removed.nonEmpty && dst.latestVersion.isDefined) {
+      val pred = removed.toSeq.sorted.map { key =>
+        partitionCols.zip(partValuesOf(key))
+          .map { case (c, v) => col(c).cast("string") === lit(v) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      dst.deleteWhere(pred, partitionCols)
+    }
+    if (liveChanged.nonEmpty)
+      dst.commitIfNew(consumerId, latest,
+        readEntries(liveChanged.toSeq.sorted, partitionCols), partitionCols)
+    ackConsumer(consumerId, latest)
+    latest
+  }
+
   /** [[commit]] gated by a [[graft.ops.Validate]] suite: the batch lands
     * ONLY if every check passes; otherwise nothing is staged and the
     * failing report is in the exception — the write-side quality gate

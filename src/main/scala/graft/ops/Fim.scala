@@ -130,7 +130,7 @@ object Fim {
     val b = lit(blockTokens.toLong)
     val toks = filter(Dedup.tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
     val base = docs.select(
-      col(idCol), col(textCol),
+      col(idCol),
       posexplode_outer(toks).as(Seq("pos", "tok")),
       size(toks).cast("long").as("_n"))
     val block = floor(col("pos") / b)
@@ -141,8 +141,13 @@ object Fim {
         concat(lit(s"$salt:"), col(idCol).cast("string"), lit(":"), block.cast("string")),
         32),
       lit((blockTokens - spanTokens + 1).toLong))
-    val corrupted = col("pos").isNotNull && block < numFull &&
-      inBlock >= off && inBlock < off + spanTokens
+    // coalesce: a NULL doc id has no per-doc randomness to derive — such
+    // docs pass through UNCORRUPTED rather than losing their full-block
+    // tokens to null-propagating when() branches
+    val corrupted = coalesce(
+      col("pos").isNotNull && block < numFull &&
+        inBlock >= off && inBlock < off + spanTokens,
+      lit(false))
     val sentinel = concat(lit(sentinelPrefix), block.cast("string"), lit(">"))
     val inPiece =
       when(!corrupted, col("tok"))                 // kept token (or null tail row)

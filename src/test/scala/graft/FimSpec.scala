@@ -107,6 +107,14 @@ class FimSpec extends SparkSpec {
     assert(got(1L) == ((10L, in1, tgt1)))
 
     assert(got(2L) == ((2L, "a b", "<extra_id_0>")), "short doc passes through")
+    // a NULL doc id has no per-doc randomness: the doc must pass through
+    // uncorrupted, not lose its full-block tokens to null propagation
+    val nullId = graft.ops.Fim.spanCorrupt(
+        Seq((Option.empty[Long], tokens.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", blockTokens = 4, spanTokens = 2)
+      .collect().head
+    assert(nullId.getString(2) == tokens.mkString(" "))
+    assert(nullId.getString(3) == "<extra_id_2>")
     assert(got(3L) == ((0L, "", "<extra_id_0>")))
     assert(got(4L) == ((0L, "", "<extra_id_0>")))
 

@@ -838,45 +838,46 @@ class SnapshotLakeSpec extends SparkSpec {
     assert(lake.latestVersion.contains(1L), "rejected batch must not create a version")
     assert(lake.read(Seq("o_orderstatus")).filter(col("pointer").isNull).count() == 0)
   }
-  test("consumer x commitIfNew: exactly-once lake-to-lake replication under replay") {
+  test("replicateTo: partial-partition change, deletes, replay — exactly once") {
     import spark.implicits._
     val (src, _) = fresh()
     val (dst, _) = fresh()
-    val pk = Seq("o_orderkey", "o_orderstatus")
 
-    def replicateOnce(): Unit = {
-      val (delta, v) = src.changesForConsumer("repl", pk, Seq("o_orderstatus"))
-      // apply the delta's post-image rows; commitIfNew keyed on the SOURCE
-      // version makes any replay a no-op — the lakehouse txn pattern
-      val rows = delta.filter(col("_change").isin("insert", "update_post"))
-        .drop("_change")
-      if (rows.isEmpty) () else {
-        dst.commitIfNew("repl", v, rows, Seq("o_orderstatus"))
-        ()
-      }
-      src.ackConsumer("repl", v)
-    }
-
+    // bootstrap
     src.commit(batch("F", "O")("first"), Seq("o_orderstatus"))
-    replicateOnce()
-    assert(dst.read(Seq("o_orderstatus")).count() ==
-      batch("F", "O")("first").count())
+    src.replicateTo(dst, "repl", Seq("o_orderstatus"))
+    assert(dst.read(Seq("o_orderstatus")).count() == batch("F", "O")("first").count())
 
-    // crash AFTER apply but BEFORE ack: the replayed delta must not
-    // duplicate anything in dst
-    val v2 = src.commit(batch("F")("second"), Seq("o_orderstatus"))
-    val (delta2, ackV) = src.changesForConsumer("repl", pk, Seq("o_orderstatus"))
-    val rows2 = delta2.filter(col("_change").isin("insert", "update_post")).drop("_change")
-    assert(dst.commitIfNew("repl", ackV, rows2, Seq("o_orderstatus")).isDefined)
-    val afterFirstApply = dst.read(Seq("o_orderstatus")).collect().toSet
-    // zombie replay of the SAME unacked delta: no-op
-    assert(dst.commitIfNew("repl", ackV, rows2, Seq("o_orderstatus")).isEmpty)
-    assert(dst.read(Seq("o_orderstatus")).collect().toSet == afterFirstApply)
-    src.ackConsumer("repl", ackV)
+    // PARTIAL change of partition F: only odd keys move to "second" — the
+    // row-delta-through-partition-commit antipattern would drop the even
+    // rows; whole-partition snapshot replication must keep them
+    val fAll = batch("F")("first")
+    val fMixed = fAll.withColumn("pointer",
+      when(col("o_orderkey") % 2 === 1, lit("second")).otherwise(col("pointer")))
+    src.commit(fMixed, Seq("o_orderstatus"))
+    src.replicateTo(dst, "repl", Seq("o_orderstatus"))
+    val fAtDst = dst.read(Seq("o_orderstatus")).filter(col("o_orderstatus") === "F")
+    assert(fAtDst.count() == fAll.count(), "unchanged rows of the partition must survive")
+    assert(fAtDst.filter(col("o_orderkey") % 2 === 1 && col("pointer") =!= "second")
+      .count() == 0)
+    assert(fAtDst.filter(col("o_orderkey") % 2 === 0 && col("pointer") =!= "first")
+      .count() == 0)
 
-    // dst F partition now carries the second batch's pointer
-    assert(dst.read(Seq("o_orderstatus"))
-      .filter(col("o_orderstatus") === "F" && col("pointer") =!= "second").count() == 0)
-    assert(ackV == v2)
+    // partition REMOVAL propagates as a delete
+    src.deleteWhere(col("o_orderstatus") === "O", Seq("o_orderstatus"))
+    src.replicateTo(dst, "repl", Seq("o_orderstatus"))
+    assert(dst.read(Seq("o_orderstatus")).filter(col("o_orderstatus") === "O").count() == 0)
+
+    // replay safety: a zombie that re-runs the SAME round after a
+    // simulated crash-before-ack cannot duplicate or resurrect anything
+    val v4 = src.commit(batch("P")("third"), Seq("o_orderstatus"))
+    src.replicateTo(dst, "repl", Seq("o_orderstatus"))
+    val settled = dst.read(Seq("o_orderstatus")).collect().toSet
+    // zombie: wind the consumer world back by replaying apply directly
+    assert(dst.commitIfNew("repl", v4,
+      batch("P")("third"), Seq("o_orderstatus")).isEmpty, "watermark blocks the replay")
+    assert(dst.read(Seq("o_orderstatus")).collect().toSet == settled)
+    // caught-up call is a no-op returning the same version
+    assert(src.replicateTo(dst, "repl", Seq("o_orderstatus")) == v4)
   }
 }
