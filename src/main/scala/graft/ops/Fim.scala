@@ -127,49 +127,47 @@ object Fim {
     require(blockTokens >= 2, s"blockTokens=$blockTokens must be >= 2")
     require(spanTokens >= 1 && spanTokens < blockTokens,
       s"need 1 <= spanTokens < blockTokens, got $spanTokens/$blockTokens")
-    val b = lit(blockTokens.toLong)
+    val b = blockTokens.toLong
     val toks = filter(Dedup.tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
     val base = docs.select(
-      col(idCol),
-      posexplode_outer(toks).as(Seq("pos", "tok")),
-      size(toks).cast("long").as("_n"))
-    val block = floor(col("pos") / b)
-    val inBlock = col("pos") % b
-    val numFull = floor(col("_n") / b)
-    val off = pmod(
+      col(idCol), toks.as("_t"), size(toks).cast("long").as("_n"))
+      .withColumn("_nf", floor(col("_n") / b))
+    def sentinel(blk: Column) = concat(lit(sentinelPrefix), blk.cast("string"), lit(">"))
+    def offOf(blk: Column) = pmod(
       graft.Functions.md5Bits(
-        concat(lit(s"$salt:"), col(idCol).cast("string"), lit(":"), block.cast("string")),
+        concat(lit(s"$salt:"), col(idCol).cast("string"), lit(":"), blk.cast("string")),
         32),
       lit((blockTokens - spanTokens + 1).toLong))
-    // coalesce: a NULL doc id has no per-doc randomness to derive — such
-    // docs pass through UNCORRUPTED rather than losing their full-block
-    // tokens to null-propagating when() branches
-    val corrupted = coalesce(
-      col("pos").isNotNull && block < numFull &&
-        inBlock >= off && inBlock < off + spanTokens,
-      lit(false))
-    val sentinel = concat(lit(sentinelPrefix), block.cast("string"), lit(">"))
-    val inPiece =
-      when(!corrupted, col("tok"))                 // kept token (or null tail row)
-        .when(inBlock === off, sentinel)           // span start → sentinel
-    val tgtPiece =
-      when(corrupted && inBlock === off, concat_ws(" ", sentinel, col("tok")))
-        .when(corrupted, col("tok"))
-    val assembled = base
-      .groupBy(col(idCol), col("_n"))
-      .agg(
-        array_join(org.apache.spark.sql.functions.transform(
-          array_sort(collect_list(struct(col("pos"), inPiece.as("p")))),
-          e => e.getField("p")), " ").as("input_text"),
-        array_join(org.apache.spark.sql.functions.transform(
-          array_sort(collect_list(struct(col("pos"), tgtPiece.as("p")))),
-          e => e.getField("p")), " ").as("_tgt"))
-    assembled.select(
+    // per-block assembly as pure array expressions — ONE row per document,
+    // zero shuffles (the explode + ordered-groupBy formulation moves one
+    // row per TOKEN through an exchange; this is the same result at scan
+    // cost). `slice` is 1-based; block bl covers [bl·B, bl·B + B).
+    val blockIdx = sequence(lit(0L), col("_nf") - 1)
+    val inBlocks = flatten(org.apache.spark.sql.functions.transform(blockIdx, bl =>
+      concat(
+        slice(col("_t"), (bl * b + 1).cast("int"), offOf(bl).cast("int")),
+        array(sentinel(bl)),
+        slice(col("_t"), (bl * b + offOf(bl) + spanTokens + 1).cast("int"),
+          (lit(b) - offOf(bl) - spanTokens).cast("int")))))
+    val tail = slice(col("_t"), (col("_nf") * b + 1).cast("int"),
+      (col("_n") - col("_nf") * b).cast("int"))
+    val tgtBlocks = flatten(org.apache.spark.sql.functions.transform(blockIdx, bl =>
+      concat(
+        array(sentinel(bl)),
+        slice(col("_t"), (bl * b + offOf(bl) + 1).cast("int"), lit(spanTokens)))))
+    // a NULL doc id has no per-doc randomness to derive: pass through
+    // uncorrupted. The corruptible path needs _nf > 0 (sequence(0, -1)
+    // would emit a DESCENDING range — the Pack.packTokenIds trap).
+    val corruptible = col(idCol).isNotNull && col("_nf") > 0
+    base.select(
       col(idCol), col("_n").as("n_tokens"),
-      col("input_text"),
-      concat_ws(" ",
-        when(col("_tgt") =!= "", col("_tgt")),
-        concat(lit(sentinelPrefix), floor(col("_n") / b).cast("string"), lit(">")))
+      array_join(
+        when(corruptible, concat(inBlocks, tail)).otherwise(col("_t")), " ")
+        .as("input_text"),
+      array_join(
+        concat(
+          when(corruptible, tgtBlocks).otherwise(array().cast("array<string>")),
+          array(sentinel(col("_nf")))), " ")
         .as("target_text"))
   }
 }
