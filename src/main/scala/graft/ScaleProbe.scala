@@ -301,7 +301,10 @@ object ScaleProbe {
               stripAccents = true, toLower = true).as("t"))
           .filter(length(col("t")) > 0).count()),
       "nb_chi2" -> (d =>
-        graft.ops.Classify.chiSquareTokens(docsAt(d), "lang", "text", minDf = 5L).count()))
+        graft.ops.Classify.chiSquareTokens(docsAt(d), "lang", "text", minDf = 5L).count()),
+      "t5_spans" -> (d =>
+        graft.ops.Fim.spanCorrupt(docsAt(d), "doc_id", "text",
+          blockTokens = 8, spanTokens = 3).count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)

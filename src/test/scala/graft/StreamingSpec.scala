@@ -579,6 +579,27 @@ class StreamingSpec extends SparkSpec {
       "incrementally folded winners must equal the batch top-k row-for-row")
   }
 
+  test("streaming span corruption: stateless per-row transform streams unchanged") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_t5_src_").toString
+    val name = "t5_out"
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until 20).map(j => s"w${i}_$j").mkString(" ")))
+    docs.toDF("doc_id", "text").write.mode("append").parquet(src)
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+      .transform(df =>
+        graft.ops.Fim.spanCorrupt(df, "doc_id", "text", blockTokens = 8, spanTokens = 3))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+    val batch = graft.ops.Fim.spanCorrupt(
+        docs.toDF("doc_id", "text"), "doc_id", "text", blockTokens = 8, spanTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(streamed == batch, "stream must equal batch string-for-string")
+  }
+
   test("streaming NB scoring against a persisted model equals batch scoring") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_nbs_src_").toString
