@@ -560,6 +560,12 @@ object QueriesCorpus {
       graft.ops.Fim.spanCorrupt(t(s, dir, "documents"), "doc_id", "text",
         blockTokens = 8, spanTokens = 3)),
 
+    // UL2 mixture-of-denoisers: md5-routed R/X span corruption + S
+    // continuation — the whole mixture (routing draw included) rebuilt in
+    // SQL
+    "q_ul2_mix" -> ((s, dir) =>
+      graft.ops.Fim.ul2Mix(t(s, dir, "documents"), "doc_id", "text")),
+
     // Count-Min sketch: the whole counter table (≤ depth×width rows) — the
     // third bounded-memory counting primitive; md5 hashing makes every
     // counter value oracle-checkable exactly
@@ -2020,6 +2026,7 @@ object QueriesCorpus {
          |       ELSE '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid END AS out_text
          |FROM e""".stripMargin
     },
+    "q_ul2_mix" -> ul2MixOracleSql,
     "q_t5_spans" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\s+'),
@@ -2793,4 +2800,62 @@ object QueriesCorpus {
          |FROM ww
          |ORDER BY sample_key DESC, doc_id
          |LIMIT 50""".stripMargin)
+  /** UL2 oracle: the q_t5_spans SQL shape instantiated per denoiser
+    * (geometry + salt + routing-draw predicate) plus the S-continuation
+    * arm — integer thresholds over the 32-bit md5 domain, no float
+    * comparison between engines.
+    */
+  private def ul2MixOracleSql: String = {
+    val rT = math.floor(0.5 * 4294967296.0).toLong
+    val xT = math.floor(0.75 * 4294967296.0).toLong
+    val draw = "CAST('0x' || substr(md5('ul2:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    def corruptArm(tag: String, salt: String, b: Int, l: Int, pred: String): String =
+      s"""SELECT doc.doc_id, '$tag' AS denoiser, coalesce(agg.n, 0) AS n_tokens,
+         |  coalesce(agg.input_text, '') AS input_text,
+         |  CASE WHEN agg.tgt IS NULL OR agg.tgt = ''
+         |       THEN '<extra_id_' || CAST(coalesce(agg.n, 0) // $b AS VARCHAR) || '>'
+         |       ELSE agg.tgt || ' <extra_id_' || CAST(agg.n // $b AS VARCHAR) || '>'
+         |       END AS target_text
+         |FROM (SELECT * FROM documents WHERE $pred) doc LEFT JOIN (
+         |  WITH d AS (SELECT doc_id,
+         |      list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+         |        x -> x <> '') AS l
+         |    FROM documents WHERE $pred),
+         |  tk AS (SELECT doc_id, len(l) AS n, z[1] AS tok, CAST(z[2] AS BIGINT) AS pos
+         |    FROM d, unnest(list_zip(l, range(0, len(l)))) AS t(z)),
+         |  c AS (SELECT doc_id, n, tok, pos,
+         |      pos // $b AS blk, pos % $b AS ib, n // $b AS numfull,
+         |      CAST('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR) || ':'
+         |        || CAST(pos // $b AS VARCHAR)), 1, 8) AS BIGINT) % ${b - l + 1} AS off
+         |    FROM tk),
+         |  cl AS (SELECT doc_id, n, pos, blk, ib, off, tok,
+         |      (blk < numfull AND ib >= off AND ib < off + $l) AS corr FROM c)
+         |  SELECT doc_id, any_value(n) AS n,
+         |      string_agg(CASE WHEN NOT corr THEN tok
+         |          WHEN ib = off THEN '<extra_id_' || CAST(blk AS VARCHAR) || '>' END,
+         |        ' ' ORDER BY pos) AS input_text,
+         |      string_agg(CASE
+         |          WHEN corr AND ib = off
+         |            THEN '<extra_id_' || CAST(blk AS VARCHAR) || '> ' || tok
+         |          WHEN corr THEN tok END,
+         |        ' ' ORDER BY pos) AS tgt
+         |  FROM cl GROUP BY doc_id) agg USING (doc_id)""".stripMargin
+    val sArm =
+      s"""SELECT doc_id, 's' AS denoiser, CAST(len(l) AS BIGINT) AS n_tokens,
+         |  array_to_string(list_concat(l[1:cut], ['<extra_id_0>']), ' ') AS input_text,
+         |  array_to_string(list_concat(list_concat(['<extra_id_0>'],
+         |    l[cut + 1:len(l)]), ['<extra_id_1>']), ' ') AS target_text
+         |FROM (
+         |  SELECT doc_id, l,
+         |    CAST(CAST('0x' || substr(md5('ul2-s:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT) % (len(l) + 1) AS INT) AS cut
+         |  FROM (SELECT doc_id,
+         |      list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+         |        x -> x <> '') AS l
+         |    FROM documents WHERE $draw >= $xT))""".stripMargin
+    Seq(
+      corruptArm("r", "ul2-r", 16, 3, s"$draw < $rT"),
+      corruptArm("x", "ul2-x", 16, 8, s"$draw >= $rT AND $draw < $xT"),
+      sArm).mkString("\n", "\nUNION ALL\n", "")
+  }
 }

@@ -170,4 +170,73 @@ object Fim {
           array(sentinel(col("_nf")))), " ")
         .as("target_text"))
   }
+  /** UL2 mixture-of-denoisers (Tay et al. 2022): route each document to
+    * one of the three denoising objectives by an md5 draw —
+    *
+    *   - R (regular): [[spanCorrupt]] at a modest rate/span,
+    *   - X (extreme):  [[spanCorrupt]] with long spans (high corruption),
+    *   - S (sequential): prefix → suffix continuation (split at an
+    *     md5-uniform token cut; `input = prefix <extra_id_0>`,
+    *     `target = <extra_id_0> suffix <extra_id_1>`),
+    *
+    * emitting `(id, denoiser, n_tokens, input_text, target_text)`. The
+    * routing draw, both corruption geometries, and the S cut are all
+    * md5-derived, so the WHOLE mixture is SQL-oracle-able (q_ul2_mix).
+    * Three per-row transforms over disjoint subsets — zero shuffles.
+    */
+  def ul2Mix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rRate: Double = 0.5,
+      xRate: Double = 0.25,
+      rBlock: Int = 16, rSpan: Int = 3,
+      xBlock: Int = 16, xSpan: Int = 8,
+      sentinelPrefix: String = "<extra_id_",
+      salt: String = "ul2"): DataFrame = {
+    require(rRate >= 0 && xRate >= 0 && rRate + xRate <= 1.0,
+      s"rates must be non-negative with rRate + xRate <= 1, got $rRate/$xRate")
+    // integer thresholds over the 32-bit md5 domain: no float comparison
+    // can disagree between engines
+    val rThresh = math.floor(rRate * 4294967296.0).toLong
+    val xThresh = math.floor((rRate + xRate) * 4294967296.0).toLong
+    val draw = graft.Functions.md5Bits(
+      concat(lit(s"$salt:"), col(idCol).cast("string")), 32)
+    val tagged = docs.withColumn("_u", draw)
+    def part(pred: Column) = tagged.filter(pred).drop("_u")
+
+    val r = spanCorrupt(part(col("_u") < rThresh), idCol, textCol,
+        rBlock, rSpan, sentinelPrefix, salt = s"$salt-r")
+      .withColumn("denoiser", lit("r"))
+    val x = spanCorrupt(part(col("_u") >= rThresh && col("_u") < xThresh),
+        idCol, textCol, xBlock, xSpan, sentinelPrefix, salt = s"$salt-x")
+      .withColumn("denoiser", lit("x"))
+
+    val sDocs = part(col("_u") >= xThresh)
+    val toks = filter(Dedup.tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
+    val sent0 = lit(s"${sentinelPrefix}0>")
+    val sent1 = lit(s"${sentinelPrefix}1>")
+    val sPart = sDocs
+      .select(col(idCol), toks.as("_t"), size(toks).cast("long").as("_n"))
+      .withColumn("_cut",
+        pmod(graft.Functions.md5Bits(
+          concat(lit(s"$salt-s:"), col(idCol).cast("string")), 32),
+          col("_n") + 1))
+      .select(
+        col(idCol), col("_n").as("n_tokens"),
+        array_join(concat(
+          slice(col("_t"), lit(1), col("_cut").cast("int")), array(sent0)), " ")
+          .as("input_text"),
+        array_join(concat(
+          array(sent0),
+          slice(col("_t"), (col("_cut") + 1).cast("int"),
+            (col("_n") - col("_cut")).cast("int")),
+          array(sent1)), " ")
+          .as("target_text"))
+      .withColumn("denoiser", lit("s"))
+
+    r.unionByName(x).unionByName(sPart)
+      .select(col(idCol), col("denoiser"), col("n_tokens"),
+        col("input_text"), col("target_text"))
+  }
 }

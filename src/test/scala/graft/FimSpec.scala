@@ -127,4 +127,36 @@ class FimSpec extends SparkSpec {
     }
     assert(recon == tokens.mkString(" "), s"round trip failed: $recon")
   }
+  test("ul2Mix: every doc routed exactly once, rates track, S arm reconstructs") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i =>
+      (i, (0 until 24).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val got = graft.ops.Fim.ul2Mix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(3), r.getString(4)))).toMap
+    assert(got.size == 400, "every doc appears exactly once")
+    val byDen = got.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(math.abs(byDen("r") - 200) < 60, s"r rate ~0.5: $byDen")
+    assert(math.abs(byDen("x") - 100) < 50, s"x rate ~0.25: $byDen")
+    assert(math.abs(byDen("s") - 100) < 50, s"s rate ~0.25: $byDen")
+    // S arm: prefix + suffix reassemble the original exactly
+    got.collect { case (id, ("s", in, tgt)) =>
+      val prefix = in.stripSuffix("<extra_id_0>").trim
+      val suffix = tgt.stripPrefix("<extra_id_0>").stripSuffix("<extra_id_1>").trim
+      val orig = (0 until 24).map(j => s"w${id}_$j").mkString(" ")
+      assert(Seq(prefix, suffix).filter(_.nonEmpty).mkString(" ") == orig,
+        s"S round trip failed for $id")
+    }
+    // X corrupts more than R: average sentinel-stripped input is shorter
+    def kept(in: String) = in.split(" ").count(!_.startsWith("<extra_id_"))
+    val rKept = got.values.collect { case ("r", in, _) => kept(in) }
+    val xKept = got.values.collect { case ("x", in, _) => kept(in) }
+    assert(xKept.sum.toDouble / xKept.size < rKept.sum.toDouble / rKept.size,
+      "extreme denoiser must remove more tokens")
+    // deterministic
+    val again = graft.ops.Fim.ul2Mix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(3), r.getString(4)))).toMap
+    assert(again == got)
+  }
 }
