@@ -2808,7 +2808,8 @@ object QueriesCorpus {
   private def ul2MixOracleSql: String = {
     val rT = math.floor(0.5 * 4294967296.0).toLong
     val xT = math.floor(0.75 * 4294967296.0).toLong
-    val draw = "CAST('0x' || substr(md5('ul2:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    // coalesce(-1) mirrors the engine: a NULL id routes to the R arm
+    val draw = "coalesce(CAST('0x' || substr(md5('ul2:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), -1)"
     def corruptArm(tag: String, salt: String, b: Int, l: Int, pred: String): String =
       s"""SELECT doc.doc_id, '$tag' AS denoiser, coalesce(agg.n, 0) AS n_tokens,
          |  coalesce(agg.input_text, '') AS input_text,

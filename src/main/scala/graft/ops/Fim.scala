@@ -110,11 +110,11 @@ object Fim {
     * Documents shorter than one block pass through uncorrupted (input =
     * tokens, target = the terminal sentinel alone).
     *
-    * Scale shape: one explode + one keyed groupBy per doc (the
-    * [[graft.ops.VectorOps.meanPool]] ordered-assembly pattern: collect →
-    * array_sort → join, with null pieces dropped by `array_join`). At
-    * 100 TB this is the same linear one-row-per-token price as
-    * [[Dedup.windowRows]].
+    * Scale shape: per-block array expressions over the token array — ONE
+    * row per document, zero shuffles, scan-bound (an earlier explode +
+    * ordered-groupBy formulation moved one row per TOKEN through an
+    * exchange for the same result, 10× slower at sf0.1). Stateless
+    * per-row, so it runs unchanged on a stream.
     */
   def spanCorrupt(
       docs: DataFrame,
@@ -127,54 +127,91 @@ object Fim {
     require(blockTokens >= 2, s"blockTokens=$blockTokens must be >= 2")
     require(spanTokens >= 1 && spanTokens < blockTokens,
       s"need 1 <= spanTokens < blockTokens, got $spanTokens/$blockTokens")
-    val b = blockTokens.toLong
     val toks = filter(Dedup.tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
     val base = docs.select(
       col(idCol), toks.as("_t"), size(toks).cast("long").as("_n"))
-      .withColumn("_nf", floor(col("_n") / b))
+    val (inE, tgtE) = corruptionExprs(col(idCol), col("_t"), col("_n"),
+      blockTokens, spanTokens, sentinelPrefix, salt)
+    base.select(
+      col(idCol), col("_n").as("n_tokens"),
+      inE.as("input_text"), tgtE.as("target_text"))
+  }
+
+  /** The block-corruption (input, target) string expressions over a
+    * prepared (id, token-array, count) row — one audited body shared by
+    * [[spanCorrupt]] and [[ul2Mix]]'s single-scan mixture. Offsets are
+    * precomputed ONCE per block (one md5 each) and looked up by the
+    * assembly lambdas; a NULL id (no per-doc randomness) passes through
+    * uncorrupted. `slice` is 1-based; block bl covers [bl·B, bl·B + B).
+    * The corruptible guard also protects `sequence` from the descending
+    * `sequence(0, -1)` trap (the Pack.packTokenIds lesson).
+    */
+  private def corruptionExprs(
+      idExpr: Column,
+      t: Column,
+      n: Column,
+      blockTokens: Int,
+      spanTokens: Int,
+      sentinelPrefix: String,
+      salt: String): (Column, Column) = {
+    val b = blockTokens.toLong
+    val nf = floor(n / b)
     def sentinel(blk: Column) = concat(lit(sentinelPrefix), blk.cast("string"), lit(">"))
-    def offOf(blk: Column) = pmod(
-      graft.Functions.md5Bits(
-        concat(lit(s"$salt:"), col(idCol).cast("string"), lit(":"), blk.cast("string")),
-        32),
-      lit((blockTokens - spanTokens + 1).toLong))
-    // per-block assembly as pure array expressions — ONE row per document,
-    // zero shuffles (the explode + ordered-groupBy formulation moves one
-    // row per TOKEN through an exchange; this is the same result at scan
-    // cost). `slice` is 1-based; block bl covers [bl·B, bl·B + B).
-    val blockIdx = sequence(lit(0L), col("_nf") - 1)
+    val blockIdx = sequence(lit(0L), nf - 1)
+    val offs = org.apache.spark.sql.functions.transform(blockIdx, bl =>
+      pmod(
+        graft.Functions.md5Bits(
+          concat(lit(s"$salt:"), idExpr.cast("string"), lit(":"), bl.cast("string")),
+          32),
+        lit((blockTokens - spanTokens + 1).toLong)))
+    def offAt(bl: Column) = element_at(offs, (bl + 1).cast("int"))
     val inBlocks = flatten(org.apache.spark.sql.functions.transform(blockIdx, bl =>
       concat(
-        slice(col("_t"), (bl * b + 1).cast("int"), offOf(bl).cast("int")),
+        slice(t, (bl * b + 1).cast("int"), offAt(bl).cast("int")),
         array(sentinel(bl)),
-        slice(col("_t"), (bl * b + offOf(bl) + spanTokens + 1).cast("int"),
-          (lit(b) - offOf(bl) - spanTokens).cast("int")))))
-    val tail = slice(col("_t"), (col("_nf") * b + 1).cast("int"),
-      (col("_n") - col("_nf") * b).cast("int"))
+        slice(t, (bl * b + offAt(bl) + spanTokens + 1).cast("int"),
+          (lit(b) - offAt(bl) - spanTokens).cast("int")))))
+    val tail = slice(t, (nf * b + 1).cast("int"), (n - nf * b).cast("int"))
     val tgtBlocks = flatten(org.apache.spark.sql.functions.transform(blockIdx, bl =>
       concat(
         array(sentinel(bl)),
-        slice(col("_t"), (bl * b + offOf(bl) + 1).cast("int"), lit(spanTokens)))))
-    // a NULL doc id has no per-doc randomness to derive: pass through
-    // uncorrupted. The corruptible path needs _nf > 0 (sequence(0, -1)
-    // would emit a DESCENDING range — the Pack.packTokenIds trap).
-    val corruptible = col(idCol).isNotNull && col("_nf") > 0
-    base.select(
-      col(idCol), col("_n").as("n_tokens"),
-      array_join(
-        when(corruptible, concat(inBlocks, tail)).otherwise(col("_t")), " ")
-        .as("input_text"),
+        slice(t, (bl * b + offAt(bl) + 1).cast("int"), lit(spanTokens)))))
+    val corruptible = idExpr.isNotNull && nf > 0
+    (array_join(when(corruptible, concat(inBlocks, tail)).otherwise(t), " "),
       array_join(
         concat(
           when(corruptible, tgtBlocks).otherwise(array().cast("array<string>")),
-          array(sentinel(col("_nf")))), " ")
-        .as("target_text"))
+          array(sentinel(nf))), " "))
   }
+
+  /** The S-denoiser (prefix → suffix continuation) string expressions:
+    * split at an md5-uniform token cut; a NULL id coalesces the cut to n,
+    * so the doc serializes whole-prefix (deterministic, nothing lost).
+    */
+  private def continuationExprs(
+      idExpr: Column,
+      t: Column,
+      n: Column,
+      sentinelPrefix: String,
+      salt: String): (Column, Column) = {
+    val sent0 = lit(s"${sentinelPrefix}0>")
+    val sent1 = lit(s"${sentinelPrefix}1>")
+    val cut = coalesce(
+      pmod(graft.Functions.md5Bits(
+        concat(lit(s"$salt:"), idExpr.cast("string")), 32), n + 1),
+      n)
+    (array_join(concat(slice(t, lit(1), cut.cast("int")), array(sent0)), " "),
+      array_join(concat(
+        array(sent0),
+        slice(t, (cut + 1).cast("int"), (n - cut).cast("int")),
+        array(sent1)), " "))
+  }
+
   /** UL2 mixture-of-denoisers (Tay et al. 2022): route each document to
     * one of the three denoising objectives by an md5 draw —
     *
-    *   - R (regular): [[spanCorrupt]] at a modest rate/span,
-    *   - X (extreme):  [[spanCorrupt]] with long spans (high corruption),
+    *   - R (regular): block corruption at a modest rate/span,
+    *   - X (extreme): block corruption with long spans (high corruption),
     *   - S (sequential): prefix → suffix continuation (split at an
     *     md5-uniform token cut; `input = prefix <extra_id_0>`,
     *     `target = <extra_id_0> suffix <extra_id_1>`),
@@ -182,7 +219,12 @@ object Fim {
     * emitting `(id, denoiser, n_tokens, input_text, target_text)`. The
     * routing draw, both corruption geometries, and the S cut are all
     * md5-derived, so the WHOLE mixture is SQL-oracle-able (q_ul2_mix).
-    * Three per-row transforms over disjoint subsets — zero shuffles.
+    *
+    * ONE scan: the arms are CASE branches over shared expressions, so each
+    * row computes exactly its own arm (CaseWhen evaluates only the taken
+    * branch) and the source is read once — not three filtered sub-plans.
+    * A NULL id draws −1 and routes to the R arm, whose NULL-id contract is
+    * uncorrupted passthrough: no document can vanish from the mixture.
     */
   def ul2Mix(
       docs: DataFrame,
@@ -200,43 +242,26 @@ object Fim {
     // can disagree between engines
     val rThresh = math.floor(rRate * 4294967296.0).toLong
     val xThresh = math.floor((rRate + xRate) * 4294967296.0).toLong
-    val draw = graft.Functions.md5Bits(
-      concat(lit(s"$salt:"), col(idCol).cast("string")), 32)
-    val tagged = docs.withColumn("_u", draw)
-    def part(pred: Column) = tagged.filter(pred).drop("_u")
-
-    val r = spanCorrupt(part(col("_u") < rThresh), idCol, textCol,
-        rBlock, rSpan, sentinelPrefix, salt = s"$salt-r")
-      .withColumn("denoiser", lit("r"))
-    val x = spanCorrupt(part(col("_u") >= rThresh && col("_u") < xThresh),
-        idCol, textCol, xBlock, xSpan, sentinelPrefix, salt = s"$salt-x")
-      .withColumn("denoiser", lit("x"))
-
-    val sDocs = part(col("_u") >= xThresh)
     val toks = filter(Dedup.tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
-    val sent0 = lit(s"${sentinelPrefix}0>")
-    val sent1 = lit(s"${sentinelPrefix}1>")
-    val sPart = sDocs
-      .select(col(idCol), toks.as("_t"), size(toks).cast("long").as("_n"))
-      .withColumn("_cut",
-        pmod(graft.Functions.md5Bits(
-          concat(lit(s"$salt-s:"), col(idCol).cast("string")), 32),
-          col("_n") + 1))
-      .select(
-        col(idCol), col("_n").as("n_tokens"),
-        array_join(concat(
-          slice(col("_t"), lit(1), col("_cut").cast("int")), array(sent0)), " ")
-          .as("input_text"),
-        array_join(concat(
-          array(sent0),
-          slice(col("_t"), (col("_cut") + 1).cast("int"),
-            (col("_n") - col("_cut")).cast("int")),
-          array(sent1)), " ")
-          .as("target_text"))
-      .withColumn("denoiser", lit("s"))
-
-    r.unionByName(x).unionByName(sPart)
-      .select(col(idCol), col("denoiser"), col("n_tokens"),
-        col("input_text"), col("target_text"))
+    val base = docs.select(
+      col(idCol), toks.as("_t"), size(toks).cast("long").as("_n"),
+      coalesce(
+        graft.Functions.md5Bits(
+          concat(lit(s"$salt:"), col(idCol).cast("string")), 32),
+        lit(-1L)).as("_u"))
+    val (inR, tgtR) = corruptionExprs(col(idCol), col("_t"), col("_n"),
+      rBlock, rSpan, sentinelPrefix, s"$salt-r")
+    val (inX, tgtX) = corruptionExprs(col(idCol), col("_t"), col("_n"),
+      xBlock, xSpan, sentinelPrefix, s"$salt-x")
+    val (inS, tgtS) = continuationExprs(col(idCol), col("_t"), col("_n"),
+      sentinelPrefix, s"$salt-s")
+    def route(r: Column, x: Column, sC: Column) =
+      when(col("_u") < rThresh, r).when(col("_u") < xThresh, x).otherwise(sC)
+    base.select(
+      col(idCol),
+      route(lit("r"), lit("x"), lit("s")).as("denoiser"),
+      col("_n").as("n_tokens"),
+      route(inR, inX, inS).as("input_text"),
+      route(tgtR, tgtX, tgtS).as("target_text"))
   }
 }

@@ -131,10 +131,11 @@ class FimSpec extends SparkSpec {
     import spark.implicits._
     val docs = (0L until 400L).map(i =>
       (i, (0 until 24).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
-    val got = graft.ops.Fim.ul2Mix(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) ->
-        ((r.getString(1), r.getString(3), r.getString(4)))).toMap
-    assert(got.size == 400, "every doc appears exactly once")
+    val rows = graft.ops.Fim.ul2Mix(docs, "doc_id", "text").collect()
+    assert(rows.length == 400, "every doc emitted exactly once (no arm overlap)")
+    val got = rows.map(r => r.getLong(0) ->
+      ((r.getString(1), r.getString(3), r.getString(4)))).toMap
+    assert(got.size == 400)
     val byDen = got.values.groupBy(_._1).view.mapValues(_.size).toMap
     assert(math.abs(byDen("r") - 200) < 60, s"r rate ~0.5: $byDen")
     assert(math.abs(byDen("x") - 100) < 50, s"x rate ~0.25: $byDen")
@@ -154,6 +155,13 @@ class FimSpec extends SparkSpec {
     assert(xKept.sum.toDouble / xKept.size < rKept.sum.toDouble / rKept.size,
       "extreme denoiser must remove more tokens")
     // deterministic
+    // NULL id: draws -1 -> R arm -> uncorrupted passthrough, never dropped
+    val nullRow = graft.ops.Fim.ul2Mix(
+        Seq((Option.empty[Long], "alpha beta gamma")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+    assert(nullRow.length == 1 && nullRow.head.getString(1) == "r")
+    assert(nullRow.head.getString(3) == "alpha beta gamma")
     val again = graft.ops.Fim.ul2Mix(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getString(3), r.getString(4)))).toMap
