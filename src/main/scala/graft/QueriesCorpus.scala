@@ -560,6 +560,11 @@ object QueriesCorpus {
       graft.ops.Fim.spanCorrupt(t(s, dir, "documents"), "doc_id", "text",
         blockTokens = 8, spanTokens = 3)),
 
+    // Shannon character entropy — the compressibility quality signal;
+    // per-char nano-nat terms summed as longs so the oracle is hash-exact
+    "q_tx_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")),
+
     // UL2 mixture-of-denoisers: md5-routed R/X span corruption + S
     // continuation — the whole mixture (routing draw included) rebuilt in
     // SQL
@@ -2026,6 +2031,20 @@ object QueriesCorpus {
          |       ELSE '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid END AS out_text
          |FROM e""".stripMargin
     },
+    "q_tx_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |wn AS (SELECT doc_id, c, k,
+        |    sum(k) OVER (PARTITION BY doc_id) AS n FROM cc),
+        |per AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS nc,
+        |    sum(CAST(floor(-((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9 + 0.5) AS BIGINT)) AS e
+        |  FROM wn GROUP BY 1)
+        |SELECT d.doc_id, coalesce(per.nc, 0) AS n_chars,
+        |  floor(CAST(coalesce(per.e, 0) AS DOUBLE) / 1e9 * 1000000 + 0.5) / 1000000
+        |    AS entropy_nats
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
     "q_ul2_mix" -> ul2MixOracleSql,
     "q_t5_spans" ->
       """WITH d AS (SELECT doc_id,

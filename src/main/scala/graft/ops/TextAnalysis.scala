@@ -1138,4 +1138,39 @@ object TextAnalysis {
       else graft.Functions.unicodeNormalize(text, form)
     if (toLower) lower(base) else base
   }
+  /** Shannon character entropy per document (nats) — the
+    * randomness/compressibility quality signal: boilerplate, repeated
+    * padding, and base64/hex blobs sit at the entropy extremes that the
+    * length/punctuation heuristics miss. `H = −Σ (c/n)·ln(c/n)` over the
+    * document's character distribution.
+    *
+    * Determinism: each character class's term is floored to integer
+    * nano-nats and the per-document total is a LONG sum — order-free under
+    * any partitioning, mirrored exactly by the oracle (the
+    * [[bigramPerplexity]] discipline). One explode + one keyed groupBy;
+    * shuffle is one row per (doc, distinct char); the doc spine re-joins
+    * so empty/NULL documents report (0, 0.0) instead of vanishing. A NULL
+    * id is unaddressable by the spine join and likewise reports (0, 0.0).
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs
+      .select(col(idCol), explode(split(coalesce(col(textCol), lit("")), "")).as("_ch"))
+      .filter(col("_ch") =!= "")
+    val counts = chars.groupBy(col(idCol), col("_ch")).agg(count(lit(1)).as("_c"))
+    val withN = counts.withColumn("_n",
+      sum(col("_c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    val term = floor(-(p * log(p)) * lit(1e9) + lit(0.5)).cast("long")
+    val per = withN
+      .groupBy(col(idCol))
+      .agg(max(col("_n")).as("_nc"), sum(term).as("_e"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("_nc"), lit(0L)).as("n_chars"),
+        graft.Functions.roundHalfUp(
+          coalesce(col("_e"), lit(0L)).cast("double") / lit(1e9), 6).as("entropy_nats"))
+  }
 }

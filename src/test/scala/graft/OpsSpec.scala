@@ -769,6 +769,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: analytic values, padding extreme, empty/null spine rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),           // one symbol: H = 0
+      (2L, "ab"),             // two equiprobable: H = ln 2
+      (3L, "abcd"),           // four equiprobable: H = ln 4
+      (4L, "aaaaaaaab"),      // skewed: H = -(8/9)ln(8/9) - (1/9)ln(1/9)
+      (5L, ""),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, 0.0)))
+    assert(math.abs(got(2L)._2 - math.log(2)) < 1e-6)
+    assert(math.abs(got(3L)._2 - math.log(4)) < 1e-6)
+    val h4 = -(8.0 / 9) * math.log(8.0 / 9) - (1.0 / 9) * math.log(1.0 / 9)
+    assert(got(4L)._1 == 9L && math.abs(got(4L)._2 - h4) < 1e-6)
+    assert(got(5L) == ((0L, 0.0)) && got(6L) == ((0L, 0.0)),
+      "empty and null docs must surface as zero rows, not vanish")
+    assert(got(4L)._2 < got(3L)._2, "padding-skewed text reads lower entropy")
+  }
+
   test("normalizeText: NFC/NFKC goldens, accent strip, lower, null, codegen parity") {
     import spark.implicits._
     val docs = Seq(
