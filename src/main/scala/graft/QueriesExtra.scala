@@ -148,8 +148,10 @@ object QueriesExtra {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))),
 
-    // IVF ANN search, 4 of 16 cells probed (rows-only check; AnnSpec proves
-    // nProbe=all == brute force and bounds recall at nProbe=4)
+    // IVF ANN search, 4 of 16 cells probed — FULLY oracled: the md5-sampled
+    // centroids, the cosine-argmax assignment, and the probe ranking are
+    // all deterministic, so the SQL replays the whole index (AnnSpec
+    // additionally proves nProbe=all == brute force and bounds recall)
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val index = graft.ops.IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
@@ -301,6 +303,34 @@ object QueriesExtra {
        |  FROM base)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full IVF oracle: every stage of the index is deterministic — the 16
+    // seed centroids are the embeddings with the smallest md5(vec_id)
+    // (IvfIndex.build's sample), assignment is the cosine argmax with ties
+    // to the lowest cell, the probe set is the 4 cells nearest the vec_id=0
+    // query — so DuckDB can replay the whole search exactly
+    "q_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT cell FROM cent, q
+        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cell LIMIT 4),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+        |          c.cell) AS rn
+        |    FROM embeddings e, cent c) WHERE rn = 1)
+        |SELECT e.vec_id,
+        |  floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) * 1000000 + 0.5)
+        |    / 1000000 AS cos
+        |FROM embeddings e
+        |JOIN assign a ON a.vec_id = e.vec_id
+        |JOIN probed p ON p.cell = a.cell, q
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "q_pf_hist" ->
       """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
         |b AS (SELECT min(v) AS lo, max(v) AS hi FROM v)

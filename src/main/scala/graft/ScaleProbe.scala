@@ -69,6 +69,21 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
       println(s"[scaleprobe] built 10x embeddings at $big")
     }
+    if (!new java.io.File(s"$big/part.parquet").exists()) {
+      val part = Tables(spark, base, "part")
+      val n = part.agg(max("p_partkey")).head().getLong(0) + 1
+      // salt each copy's names with a copy-distinct token so the length
+      // bands densify (10x rows per band) while near-dup structure within
+      // a copy is preserved — the honest stress for the banded join
+      val copies = (0 until 10).map { c =>
+        part.select(
+          (col("p_partkey") + lit(c * n)).as("p_partkey"),
+          concat(col("p_name"), lit(s" s$c")).as("p_name"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/part.parquet")
+      println(s"[scaleprobe] built 10x part at $big")
+    }
 
     def docsAt(dir: String) = Tables(spark, dir, "documents")
     // learned once on the base corpus: the probe measures APPLY cost
@@ -304,7 +319,22 @@ object ScaleProbe {
         graft.ops.Classify.chiSquareTokens(docsAt(d), "lang", "text", minDf = 5L).count()),
       "t5_spans" -> (d =>
         graft.ops.Fim.spanCorrupt(docsAt(d), "doc_id", "text",
-          blockTokens = 8, spanTokens = 3).count()))
+          blockTokens = 8, spanTokens = 3).count()),
+      // PassJoin-banded edit-distance join over the salted 10x part names:
+      // each length band holds 10x rows, so candidate pairs grow ~100x by
+      // construction (the salt suffix keeps cross-copy names within
+      // distance 3 of each other) — runtime should track candidate pairs
+      // through the salted SHUFFLE_HASH verify, never corpus²
+      "dd_editdist" -> (d =>
+        graft.ops.Dedup.editDistancePairs(
+          Tables(spark, d, "part").filter(col("p_partkey") % 7 === 0),
+          "p_partkey", "p_name", maxDist = 3).count()),
+      // WordPiece batched learning (the round-8 learnBatched): vocabulary-
+      // bound rounds like bpe_learn — a 10x corpus with ~constant
+      // vocabulary should cost ~the one corpus-scale count pass more
+      "wp_learn" -> (d =>
+        graft.ops.WordPiece.learnBatched(docsAt(d), "text",
+          numMerges = 16, batchSize = 8).count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)

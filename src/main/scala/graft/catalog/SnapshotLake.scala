@@ -198,7 +198,12 @@ class SnapshotLake(spark: SparkSession, root: String) {
     // old version AFTER its successor advanced, rewinding the offset and
     // re-delivering a delta. A per-consumer OS file lock serializes
     // acknowledgers on this host; an object-store deployment swaps this
-    // for a conditional put, behind the same method.
+    // for a conditional put, behind the same method. The lock file
+    // PERSISTS by design (one dot-prefixed empty file per consumer,
+    // bounded by consumer count): deleting it after release is the
+    // classic unlink race — a second acknowledger can still hold the
+    // deleted inode while a third recreates the path, leaving two
+    // processes "holding" different locks.
     val lockPath = consumersDir.resolve(s".$id.lock")
     val ch = java.nio.channels.FileChannel.open(lockPath,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE)

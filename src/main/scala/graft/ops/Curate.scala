@@ -237,6 +237,72 @@ object Curate {
         col("gopher_ok") && col("c4_ok") && col("rep_ok") && col("exact_canonical"))
   }
 
+  /** Per-document web-curation stream flags — [[decideWeb]]'s streaming
+    * shape. */
+  case class WebStreamFlags(
+      docId: Long,
+      gopherOk: Boolean,
+      c4Ok: Boolean,
+      repOk: Boolean,
+      exactCanonical: Boolean,
+      keep: Boolean)
+
+  /** Intermediate gate row of [[decideWebStream]] — public because Spark's
+    * generated deserializer cannot access a private case class. */
+  case class WebGateRow(
+      docId: Long, ch: String, gopherOk: Boolean, c4Ok: Boolean, repOk: Boolean)
+
+  /** Streaming twin of [[decideWeb]] for live web ingest. The three
+    * heuristic gates are the SAME column-expression builders the batch
+    * operator composes (`gopherExprs`/`c4Exprs`/`repetitionExprs` — pure
+    * per-row projections, so they run unchanged on an unbounded stream and
+    * can never drift from batch); only `exact_canonical` is stateful, the
+    * [[decideStream]] per-content-hash rule: within one micro-batch the
+    * minimum docId wins (the batch canonical rule), across batches first
+    * arrival wins, and replays are idempotent because the state remembers
+    * the canonical docId.
+    */
+  def decideWebStream(
+      docs: org.apache.spark.sql.Dataset[Dedup.DocChunk],
+      maxDupLineRatio: Double = 0.3,
+      maxDupTokenRatio: Double = 0.3,
+      maxTopTokenRatio: Double = 0.2)
+      : org.apache.spark.sql.Dataset[WebStreamFlags] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gopherKeep = TextAnalysis
+      .gopherExprs("text", 50, 100000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2)
+      .toMap.apply("keep")
+    val c4Keep = TextAnalysis.c4Exprs("text", 3, 3).toMap.apply("keep")
+    val rep = TextAnalysis.repetitionExprs("text", "\n").toMap
+    val repOk = rep("dup_line_ratio") <= maxDupLineRatio &&
+      rep("dup_token_ratio") <= maxDupTokenRatio &&
+      rep("top_token_ratio") <= maxTopTokenRatio
+    docs
+      // batch-contract parity: decideWeb coalesces null text to ''
+      .map(d => if (d.text == null) d.copy(text = "") else d)
+      .select(
+        col("docId"),
+        md5(trim(lower(col("text")))).as("ch"),
+        gopherKeep.as("gopherOk"),
+        c4Keep.as("c4Ok"),
+        repOk.as("repOk"))
+      .as[WebGateRow]
+      .groupByKey(_.ch)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, it: Iterator[WebGateRow], state: GroupState[Long]) => {
+          val items = it.toSeq.sortBy(_.docId)
+          val canonical =
+            if (state.exists) state.get
+            else { val c = items.head.docId; state.update(c); c }
+          items.iterator.map { g =>
+            val first = g.docId == canonical
+            WebStreamFlags(g.docId, g.gopherOk, g.c4Ok, g.repOk, first,
+              g.gopherOk && g.c4Ok && g.repOk && first)
+          }
+        })
+  }
+
   /** Cluster representative selection: instead of keeping each duplicate
     * cluster's MINIMUM id (the [[ConnectedComponents]] default), keep its
     * best-scoring member — real pipelines keep the longest / highest-quality

@@ -146,24 +146,35 @@ object Dedup {
     mergeIslands(wins.join(dup, "win_hash"), idCol, windowTokens)
   }
 
+  /** The shared tokenization of the repeated-span family: [[windowTextRows]]
+    * (pass 1, hashing) and [[repeatedSpansExact]]'s verification rebuild
+    * (pass 2, content) BOTH go through these expressions, so the two passes
+    * can never disagree on what a token or a window string is. The joint is
+    * the unit separator: token boundaries must survive the concat or
+    * ("ab","c") and ("a","bc") would alias. */
+  private def cleanTokens(text: Column): Column =
+    filter(tokens(text), t => t =!= "")
+
+  private def windowJoint(toks: Column, start0: Column, windowTokens: Int): Column =
+    concat_ws("\u0001", slice(toks, start0 + 1, lit(windowTokens)))
+
   /** The single window-derivation source of truth: (id, start_pos,
     * win_text, win_hash) with `win_hash = md5(win_text)` — [[windowRows]]
-    * projects the hash side, [[repeatedSpansExact]]'s verification pass
-    * reads the content side, and the two can never drift apart because
-    * both come from here. Unit-separator joint: token boundaries must
-    * survive the concat or ("ab","c") and ("a","bc") would alias.
+    * projects the hash side; [[repeatedSpansExact]]'s verification pass
+    * rebuilds the content side from the same [[cleanTokens]]/[[windowJoint]]
+    * expressions, so the two can never drift apart.
     */
   private def windowTextRows(
       df: DataFrame,
       idCol: String,
       textCol: String,
       windowTokens: Int): DataFrame =
-    df.select(col(idCol), filter(tokens(col(textCol)), t => t =!= "").as("toks"))
+    df.select(col(idCol), cleanTokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= windowTokens)
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0), size(col("toks")) - windowTokens),
-          i => concat_ws("\u0001", slice(col("toks"), i + 1, lit(windowTokens)))))
+          i => windowJoint(col("toks"), i, windowTokens)))
           .as(Seq("start_pos", "win_text")))
       .withColumn("win_hash", md5(col("win_text")))
 
@@ -186,12 +197,18 @@ object Dedup {
     * window token content, so an md5 collision can never flag a span that
     * is not truly duplicated.
     *
-    * Scale shape: pass 1 is [[windowRows]]' linear explode + the keyed
-    * cross-doc aggregate, exactly as [[repeatedSpans]] (one row per token —
-    * the honest linear cost). Pass 2 re-derives window CONTENT and joins it
-    * to the surviving hashes BEFORE any shuffle of the text payload, so the
-    * string-carrying exchange is bounded by the corpus' duplicated volume,
-    * not its size. No driver state, no global sort.
+    * Scale shape: the corpus is tokenized and window-hashed ONCE — pass 1
+    * is [[windowRows]]' linear explode + the keyed cross-doc aggregate,
+    * exactly as [[repeatedSpans]] (one row per token — the honest linear
+    * cost). Pass 2 never re-walks the corpus: surviving (id, start_pos)
+    * pairs aggregate per document (a long-only exchange bounded by
+    * duplicated volume), join back to the RAW text keyed by id — pruning
+    * the text side to documents that still hold a candidate — and window
+    * content is rebuilt by slicing only at surviving positions. The
+    * string-carrying exchange is therefore bounded by the corpus'
+    * duplicated volume, not its size, and window strings are built for
+    * survivors only instead of every window a second time. No driver
+    * state, no global sort.
     */
   def repeatedSpansExact(
       df: DataFrame,
@@ -203,10 +220,17 @@ object Dedup {
     require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
     val wins = windowRows(df, idCol, textCol, minMatchTokens)
     val candidates = crossDocHashes(wins, idCol, minDocs)
-    // verification pass: window text only for pass-1 survivors; the join
-    // prunes the exploded text rows map-side before the content aggregate
-    val content = windowTextRows(df, idCol, textCol, minMatchTokens)
-      .join(candidates, "win_hash")
+    // verification pass: survivor positions per doc, then window text
+    // re-derived ONLY for those positions — same tokens() pipeline as
+    // windowTextRows, so pass-2 content can never drift from pass-1 hashes
+    val survivorPos = wins.join(candidates, "win_hash")
+      .groupBy(col(idCol)).agg(collect_list(col("start_pos")).as("_pos"))
+    val content = df.join(survivorPos, Seq(idCol))
+      .select(col(idCol),
+        cleanTokens(col(textCol)).as("_toks"),
+        explode(col("_pos")).as("start_pos"))
+      .select(col(idCol), col("start_pos"),
+        windowJoint(col("_toks"), col("start_pos"), minMatchTokens).as("win_text"))
     val verified = crossDocKeys(content, "win_text", idCol, minDocs)
     mergeIslands(content.join(verified, "win_text"), idCol, minMatchTokens)
   }

@@ -141,7 +141,11 @@ object Kmv {
         col(groupCol),
         when(col("_nc") < k, col("_nc"))
           .otherwise(
-            floor(lit((k - 1).toDouble) * lit(Pow2_60) / col("_hk").cast("double"))
+            // h_k clamped to >= 1: an item whose 60-bit md5 prefix is 0
+            // (2^-60 per distinct item, but adversarially constructible)
+            // would otherwise divide by zero → Infinity → garbage long
+            floor(lit((k - 1).toDouble) * lit(Pow2_60) /
+                greatest(col("_hk"), lit(1L)).cast("double"))
               .cast("long"))
           .as("est"))
   }

@@ -55,11 +55,14 @@ object Profile {
     * become plan-time literals, one bucket `groupBy` (map-side combinable,
     * shuffle ≤ buckets rows). NULLs excluded; a constant column lands
     * whole in bucket 0. Bucket arithmetic is plain double ops mirrored by
-    * the oracle.
+    * the oracle. NaNs are excluded like NULLs ([[psi]]'s convention): one
+    * NaN would otherwise poison max() so hi=NaN, and `least(NaN, ...)`
+    * silently lands every row in the last bucket — a degenerate histogram
+    * with no error.
     */
   def histogramEquiWidth(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1 && buckets <= 100000, s"buckets=$buckets out of [1, 100000]")
-    val vals = df.filter(col(valueCol).isNotNull)
+    val vals = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .select(col(valueCol).cast("double").as("_v"))
     val bounds = vals.agg(min(col("_v")).as("lo"), max(col("_v")).as("hi")).head()
     if (bounds.isNullAt(0)) {

@@ -222,7 +222,12 @@ object Sampling {
     val copies = (whole +
       when(hashUniform(col(keyCol), salt) < frac, lit(1.0)).otherwise(lit(0.0)))
       .cast("long")
-    df.withColumn("_copies", copies)
+    // NULL keys drop — the module-wide convention (stratifiedSample,
+    // weightedPerStratumSample): a NULL key has no uniform, so the
+    // fractional copy would silently never fire and the row would
+    // replicate floor(rate) times, a behavior nobody asked for
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("_copies", copies)
       .where(col("_copies") > 0L)
       .withColumn("epoch", explode(sequence(lit(0L), col("_copies") - 1L)))
       .drop("_copies")

@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * is [[Bpe.wordFrequencies]]; every learning round re-aggregates the
   * DISTINCT-WORD symbol table (vocabulary-sized by Heaps' law) — one pair
   * aggregate, one symbol aggregate, two bounded joins, a 1-row distributed
-  * argmax (TakeOrdered, never a global sort). [[encode]] is a zero-shuffle
+  * argmax (TakeOrdered, never a global sort). For realistic (30 k-merge)
+  * vocabularies use [[learnBatched]] — symbol-disjoint B merges per round,
+  * the [[Bpe.learnBatched]] pattern — so latency is ~merges/B driver
+  * rounds, not one per merge. [[encode]] is a zero-shuffle
   * `mapPartitions` with the vocabulary broadcast (BERT's greedy
   * longest-match-first, whole word → UNK on any uncoverable position).
   * Scores divide exact Long counts as `cnt / (lc.toDouble * rc.toDouble)`
@@ -110,6 +113,100 @@ object WordPiece {
         merges += ((merges.size, l, r, c))
         vocab = vocab.map(w => BpeWord(w.freq, wpMergePair(w.syms, l, r)))
           .localCheckpoint(false)
+      }
+    }
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** [[learn]] at vocabulary scale — the [[Bpe.learnBatched]] shape ported
+    * to the likelihood-ratio objective: `batchSize` merges per round, so a
+    * 30 k-merge vocabulary costs ~30k/B driver rounds instead of 30 k
+    * sequential round-trips. Each round computes the scored pair table ONCE
+    * (pair counts joined to both symbol counts, `cnt/(lc·rc)`) and greedily
+    * selects the top-scored pairs whose symbols are pairwise DISJOINT.
+    * Disjointness makes same-round picks exactly non-interfering: merging
+    * (a,b) only consumes occurrences of a and b and only destroys pairs
+    * overlapping an (a,b) occurrence — all of which share a or b — so a
+    * disjoint pick's count, BOTH its symbol counts, and hence its score are
+    * bit-identical to what sequential learning would have seen. With
+    * `batchSize = 1` the selection IS sequential WordPiece (spec-asserted
+    * equal to [[learn]]); larger batches are the standard fast-trainer
+    * approximation — merge ORDER can diverge from strict greedy (an early
+    * merge's product may spawn a higher-scoring pair mid-batch), but every
+    * emitted pair carries its true corpus count and encode semantics are
+    * unchanged.
+    *
+    * `maxBatchSize > batchSize` opts into the same ADAPTIVE pacing as
+    * [[Bpe.learnBatched]]: double after a round that fills its quota from
+    * the 4× candidate headroom, halve back toward `batchSize` after one
+    * that cannot — ~log₂(30k/B) + 30k/maxB rounds for a realistic
+    * vocabulary. Default (`maxBatchSize = 0`) keeps the batch fixed.
+    */
+  def learnBatched(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      batchSize: Int = 64,
+      minPairCount: Long = 2L,
+      maxBatchSize: Int = 0): DataFrame = {
+    require(batchSize >= 1, "batchSize must be at least 1")
+    val maxB = if (maxBatchSize <= 0) batchSize else maxBatchSize
+    require(maxB >= batchSize, "maxBatchSize must be 0 (fixed) or >= batchSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[BpeWord] = Bpe.wordFrequencies(docs, textCol)
+      .select(col("freq"), col("word")).as[(Long, String)]
+      .map { case (f, w) => BpeWord(f, wpSyms(w)) }
+      .localCheckpoint(false)
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    var b = batchSize
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(b, numMerges - merges.size)
+      val pairs = vocab
+        .flatMap(w =>
+          if (w.syms.length < 2) Iterator.empty
+          else w.syms.iterator.zip(w.syms.iterator.drop(1)).map { case (l, r) => (l, r, w.freq) })
+        .toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("cnt"))
+        .filter(col("cnt") >= minPairCount)
+      val syms = vocab
+        .flatMap(w => w.syms.iterator.map(s => (s, w.freq)))
+        .toDF("s", "f")
+        .groupBy("s").agg(sum("f").as("scnt"))
+      // 4× headroom (the Bpe.learnBatched rationale): conflicts strike
+      // adjacent ranks, so the disjoint prefix of the top-4B list almost
+      // always holds B picks; a shortfall only costs an extra round
+      val top = pairs
+        .join(syms.select(col("s").as("l"), col("scnt").as("_lc")), Seq("l"))
+        .join(syms.select(col("s").as("r"), col("scnt").as("_rc")), Seq("r"))
+        // ONE IEEE op order — double(product) then divide — the learn()
+        // order, mirrored by the Python golden generator
+        .withColumn("_score",
+          col("cnt").cast("double") / (col("_lc").cast("double") * col("_rc").cast("double")))
+        .orderBy(col("_score").desc, col("l"), col("r"))
+        .limit(want * 4).select("l", "r", "cnt").collect()
+      val used = mutable.Set.empty[String]
+      val picked = mutable.ArrayBuffer.empty[(String, String, Long)]
+      top.iterator
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .foreach { case (l, r, c) =>
+          if (picked.size < want && !used(l) && !used(r)) {
+            picked += ((l, r, c)); used += l; used += r
+          }
+        }
+      if (picked.isEmpty) exhausted = true
+      else {
+        picked.foreach { case (l, r, c) => merges += ((merges.size, l, r, c)) }
+        val batch = picked.toArray
+        vocab = vocab.map { w =>
+          var s = w.syms
+          var i = 0
+          while (i < batch.length) { s = wpMergePair(s, batch(i)._1, batch(i)._2); i += 1 }
+          BpeWord(w.freq, s)
+        }.localCheckpoint(false)
+        b = if (picked.size == want) math.min(b * 2, maxB)
+            else math.max(batchSize, b / 2)
       }
     }
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")

@@ -172,6 +172,63 @@ class CurateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decideWebStream twins the batch flags; replays re-emit identically") {
+    import graft.ops.Dedup
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val batch = Curate.decideWeb(docs, "doc_id", "text")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val q = Curate.decideWebStream(source.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("cr_web_stream").start()
+    try {
+      source.addData(rows.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      q.processAllAvailable()
+      val first = spark.table("cr_web_stream").as[Curate.WebStreamFlags].collect()
+      assert(first.length == rows.length)
+      first.foreach { f =>
+        val b = batch(f.docId)
+        // (id, gopher_ok, c4_ok, rep_ok, exact_canonical, keep)
+        assert(f.gopherOk == b._2 && f.c4Ok == b._3 && f.repOk == b._4,
+          s"heuristic gates diverge for ${f.docId}: $f vs $b")
+        // one micro-batch: min-docId canonical — identical to batch
+        assert(f.exactCanonical == b._5, s"exactCanonical diverges for ${f.docId}")
+        assert(f.keep == b._6 &&
+          f.keep == (f.gopherOk && f.c4Ok && f.repOk && f.exactCanonical))
+      }
+      // full replay: identical flags (canonical remembered in state)
+      source.addData(rows.map { case (id, tx) => Dedup.DocChunk(id, tx) })
+      q.processAllAvailable()
+      val all = spark.table("cr_web_stream").as[Curate.WebStreamFlags].collect()
+      assert(all.length == rows.length * 2)
+      all.groupBy(_.docId).values.foreach { g =>
+        assert(g.toSet.size == 1, s"replay changed flags: $g")
+      }
+    } finally q.stop()
+  }
+
+  test("decideWebStream flags null-text chunks like the batch side (no NPE)") {
+    import graft.ops.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Dedup.DocChunk]
+    val q = Curate.decideWebStream(source.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cr_web_null_stream").start()
+    try {
+      source.addData(Seq(Dedup.DocChunk(1L, null), Dedup.DocChunk(2L, null)))
+      q.processAllAvailable()
+      val got = spark.table("cr_web_null_stream").as[Curate.WebStreamFlags]
+        .collect().map(f => f.docId -> f).toMap
+      assert(got.keySet == Set(1L, 2L))
+      assert(!got(1L).gopherOk && !got(1L).keep, "empty text fails the gopher gate")
+      // both nulls share the '' content key: min id is the canonical
+      assert(got(1L).exactCanonical && !got(2L).exactCanonical)
+    } finally q.stop()
+  }
+
   test("decideWeb: each gate trips independently; heuristics stay one projection") {
     import spark.implicits._
     val goodText = (1 to 60)

@@ -743,6 +743,12 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(const == Map(0L -> 3L), "constant column lands whole in bucket 0")
     assert(graft.ops.Profile.histogramEquiWidth(df.limit(0), "v", 4).count() == 0)
+    // a NaN is excluded like a NULL (it would otherwise poison max() and
+    // silently dump every row in the last bucket)
+    val withNan = graft.ops.Profile.histogramEquiWidth(
+      (df.as[Option[Double]].collect().toSeq :+ Some(Double.NaN)).toDF("v"), "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withNan == got, "NaN must not change the histogram")
   }
 
   test("Profile.psi: zero on identical, large on shifted, clamps and empties") {

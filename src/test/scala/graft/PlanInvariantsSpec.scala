@@ -74,6 +74,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), s"q_tx_quality must not aggregate:\n$plan")
   }
 
+  test("q_dd_simhash: pure per-row projection — zero exchanges, no aggregate, no join") {
+    // the r7 bench-drift watch (0.22 → 0.44 s on unchanged code): pin the
+    // only legitimate plan — a shuffle-free per-row fingerprint projection —
+    // so any future regression is provably host noise, not a plan flip
+    val df = SparkEntry.queries("q_dd_simhash")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q_dd_simhash must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"q_dd_simhash must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q_dd_simhash must not aggregate:\n$plan")
+  }
+
   test("q_ann_brute: one-row broadcast cross + TakeOrderedAndProject — fact side never shuffles") {
     val df = SparkEntry.queries("q_ann_brute")(spark, "/root/testdata/sf0.001")
     df.collect()

@@ -318,6 +318,18 @@ class SamplingSpec extends SparkSpec {
     assert(again == base)
   }
 
+  test("upsample drops NULL keys (module-wide convention)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "en"), Row(null, "en")),
+      StructType(Seq(StructField("doc_id", LongType), StructField("lang", StringType))))
+    val out = Sampling.upsample(withNull, "lang", "doc_id", Map("en" -> 2.0))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out.forall(_ == 1L), "NULL-key rows drop, never replicate")
+    assert(out.length === 2)
+  }
+
   test("upsample guards absurd rates loudly") {
     intercept[IllegalArgumentException] {
       Sampling.upsample(docs, "lang", "doc_id", Map("en" -> 65.0))

@@ -306,6 +306,69 @@ class StreamingSpec extends SparkSpec {
       "stream flags exactly the later-wave half of the batch result")
   }
 
+  test("streaming span coverage: per-batch coverage over history spans equals batch") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_cov_src_").toString
+    val covOut = java.nio.file.Files.createTempDirectory("graft_cov_out_").toString + "/cov"
+    val histDir = java.nio.file.Files.createTempDirectory("graft_cov_hist_").toString + "/hist"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cov_ck_").toString
+
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val wave1 = Seq((1L, s"first sighting of $shared here"), (2L, "unrelated opening text"))
+    val wave2 = Seq((3L, s"second use of $shared again"), (4L, "still nothing repeated"))
+
+    graft.ops.Dedup.windowRows(
+        wave1.toDF("doc_id", "text").limit(0), "doc_id", "text", 4)
+      .select("win_hash").write.mode("overwrite").parquet(histDir)
+
+    // the curation-gate twin: each micro-batch derives its spans against
+    // the accumulated window-hash history, then spanCoverage — the same
+    // pure function as batch — flags the batch's docs; the only state is
+    // the persisted win_hash artifact
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val hist = spark.read.parquet(histDir)
+          val spans = graft.ops.Dedup.repeatedSpansAgainstHistory(
+            batch, hist, "doc_id", "text", windowTokens = 4)
+          graft.ops.Dedup.spanCoverage(batch, spans, "doc_id", "text")
+            .write.mode("append").parquet(covOut)
+          graft.ops.Dedup.windowRows(batch, "doc_id", "text", 4)
+            .select("win_hash").distinct()
+            .write.mode("append").parquet(histDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+
+    val got = spark.read.parquet(covOut)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L), "every streamed doc gets a coverage row")
+    // batch reference: spans over the union, coverage over the same docs —
+    // the stream twin must agree wherever cross-wave flags are visible to
+    // it (wave-2 docs see wave-1 history; wave-1 docs streamed first, so
+    // their coverage is 0 — the first-sighting semantics)
+    val allDocs = (wave1 ++ wave2).toDF("doc_id", "text")
+    val batchCov = graft.ops.Dedup.spanCoverage(
+        allDocs,
+        graft.ops.Dedup.repeatedSpans(allDocs, "doc_id", "text", 4),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got(3L) === batchCov(3L), "wave-2 dup coverage equals the batch operator")
+    assert(got(4L) === batchCov(4L))
+    assert(got(1L)._1 === 0L, "first sighting carries zero dup coverage")
+    assert(got(1L)._2 === batchCov(1L)._2, "token totals agree regardless of wave")
+  }
+
   test("micro-batch shuffle: epochShuffle(epoch = batchId) runs unchanged on a stream") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_shuf_src_").toString

