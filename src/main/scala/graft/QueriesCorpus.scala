@@ -2152,7 +2152,8 @@ object QueriesCorpus {
         |sk AS (SELECT lang, h FROM r WHERE pos <= 32)
         |SELECT lang,
         |  CASE WHEN count(*) < 32 THEN count(*)
-        |       ELSE CAST(floor(31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE))
+        |       ELSE CAST(floor(31.0 * 1152921504606846976.0
+        |              / CAST(greatest(max(h), 1) AS DOUBLE))
         |              AS BIGINT) END AS est
         |FROM sk GROUP BY lang""".stripMargin,
     "q_tx_search" -> booleanSearchOracleSql,

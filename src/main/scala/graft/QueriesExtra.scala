@@ -332,7 +332,8 @@ object QueriesExtra {
         |JOIN probed p ON p.cell = a.cell, q
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "q_pf_hist" ->
-      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |    WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
         |b AS (SELECT min(v) AS lo, max(v) AS hi FROM v)
         |SELECT CAST(CASE WHEN hi = lo THEN 0
         |         ELSE least(floor((v - lo) * 16 / (hi - lo)), 15) END AS BIGINT) AS bucket,

@@ -140,7 +140,7 @@ object QueriesSampling {
          |      + CASE WHEN ${uSql("doc_id")} <
          |          CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.5 ELSE 0.0 END
          |        THEN 1.0 ELSE 0.0 END AS BIGINT) AS copies
-         |  FROM documents)
+         |  FROM documents WHERE doc_id IS NOT NULL)
          |SELECT doc_id, lang, unnest(generate_series(0, copies - 1)) AS epoch
          |FROM c WHERE copies > 0""".stripMargin,
     "q_sm_split" ->

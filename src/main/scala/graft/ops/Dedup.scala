@@ -201,8 +201,9 @@ object Dedup {
     * is [[windowRows]]' linear explode + the keyed cross-doc aggregate,
     * exactly as [[repeatedSpans]] (one row per token — the honest linear
     * cost). Pass 2 never re-walks the corpus: surviving (id, start_pos)
-    * pairs aggregate per document (a long-only exchange bounded by
-    * duplicated volume), join back to the RAW text keyed by id — pruning
+    * pairs aggregate per (document, bounded position chunk) — a long-only
+    * exchange bounded by duplicated volume, with no single row holding an
+    * unbounded array — join back to the RAW text keyed by id — pruning
     * the text side to documents that still hold a candidate — and window
     * content is rebuilt by slicing only at surviving positions. The
     * string-carrying exchange is therefore bounded by the corpus'
@@ -222,9 +223,17 @@ object Dedup {
     val candidates = crossDocHashes(wins, idCol, minDocs)
     // verification pass: survivor positions per doc, then window text
     // re-derived ONLY for those positions — same tokens() pipeline as
-    // windowTextRows, so pass-2 content can never drift from pass-1 hashes
+    // windowTextRows, so pass-2 content can never drift from pass-1 hashes.
+    // Positions aggregate per (doc, 4096-position chunk), not per doc: a
+    // pathologically self-duplicated large document then spreads its
+    // position set across many bounded rows instead of concentrating one
+    // unbounded array (one long per token) on a single row. Typical docs
+    // land in one chunk, so the text side is still replicated ~once.
+    val posChunk = 4096L
     val survivorPos = wins.join(candidates, "win_hash")
-      .groupBy(col(idCol)).agg(collect_list(col("start_pos")).as("_pos"))
+      .groupBy(col(idCol), floor(col("start_pos") / posChunk).as("_chunk"))
+      .agg(collect_list(col("start_pos")).as("_pos"))
+      .drop("_chunk")
     val content = df.join(survivorPos, Seq(idCol))
       .select(col(idCol),
         cleanTokens(col(textCol)).as("_toks"),

@@ -128,13 +128,16 @@ object WordPiece {
     * (a,b) only consumes occurrences of a and b and only destroys pairs
     * overlapping an (a,b) occurrence — all of which share a or b — so a
     * disjoint pick's count, BOTH its symbol counts, and hence its score are
-    * bit-identical to what sequential learning would have seen. With
-    * `batchSize = 1` the selection IS sequential WordPiece (spec-asserted
-    * equal to [[learn]]); larger batches are the standard fast-trainer
-    * approximation — merge ORDER can diverge from strict greedy (an early
-    * merge's product may spawn a higher-scoring pair mid-batch), but every
-    * emitted pair carries its true corpus count and encode semantics are
-    * unchanged.
+    * bit-identical to what sequential learning would have seen. The `used`
+    * set also holds each pick's PRODUCT, so no same-round pick's symbol can
+    * be an earlier pick's product — without that exclusion a later merge
+    * would consume occurrences created mid-batch and its emitted round-start
+    * count would understate what was merged. With `batchSize = 1` the
+    * selection IS sequential WordPiece (spec-asserted equal to [[learn]]);
+    * larger batches are the standard fast-trainer approximation — merge
+    * ORDER can diverge from strict greedy (an early merge's product may
+    * spawn a higher-scoring pair mid-batch), but every emitted pair carries
+    * its true corpus count and encode semantics are unchanged.
     *
     * `maxBatchSize > batchSize` opts into the same ADAPTIVE pacing as
     * [[Bpe.learnBatched]]: double after a round that fills its quota from
@@ -186,13 +189,18 @@ object WordPiece {
           col("cnt").cast("double") / (col("_lc").cast("double") * col("_rc").cast("double")))
         .orderBy(col("_score").desc, col("l"), col("r"))
         .limit(want * 4).select("l", "r", "cnt").collect()
+      // `used` holds each pick's symbols AND its product: a later pick whose
+      // symbol equals an earlier pick's product would consume occurrences
+      // created mid-batch, so its round-start count would understate what
+      // gets merged — excluding products keeps every emitted pair_count
+      // exactly the corpus count at the moment the merge applies
       val used = mutable.Set.empty[String]
       val picked = mutable.ArrayBuffer.empty[(String, String, Long)]
       top.iterator
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .foreach { case (l, r, c) =>
           if (picked.size < want && !used(l) && !used(r)) {
-            picked += ((l, r, c)); used += l; used += r
+            picked += ((l, r, c)); used += l; used += r; used += wpProduct(l, r)
           }
         }
       if (picked.isEmpty) exhausted = true
