@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Preference, Prototype, Sft}
+
+/** Round-9 wave: post-training data preparation — SFT conversation
+  * assembly ([[graft.ops.Sft]]), DPO preference-pair construction
+  * ([[graft.ops.Preference]]), and D4-style prototypicality pruning
+  * ([[graft.ops.Prototype]]). Message/candidate fixtures are derived
+  * deterministically from the synthetic tables inside each query body so
+  * the DuckDB oracle can rebuild the identical input frame.
+  */
+object QueriesSft {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Conversations from events: conv = user, turns ordered by event_id,
+    * roles mapped from event_type (signup→system, view/click→user,
+    * rest→assistant), with a deterministic sprinkling of empty contents
+    * (error events with event_id % 7 == 0) so every validation flag trips
+    * somewhere in the fixture.
+    */
+  private def eventMessages(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select(
+        col("user_id").as("conv_id"),
+        col("event_id"),
+        when(col("event_type") === "signup", "system")
+          .when(col("event_type").isin("view", "click"), "user")
+          .otherwise("assistant").as("role"),
+        when(col("event_type") === "error" && col("event_id") % 7 === 0, lit(""))
+          .otherwise(concat(col("event_type"), lit(":"),
+            col("event_id").cast("string"))).as("content"))
+
+  /** Conversations from documents: four consecutive docs form one
+    * conversation (system, user, assistant, user), content is each doc's
+    * first 150 characters.
+    */
+  private def docMessages(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(
+        floor(col("doc_id") / 4).cast("long").as("conv_id"),
+        (col("doc_id") % 4).cast("long").as("turn_idx"),
+        when(col("doc_id") % 4 === 0, "system")
+          .when(col("doc_id") % 4 === 1, "user")
+          .when(col("doc_id") % 4 === 2, "assistant")
+          .otherwise("user").as("role"),
+        substring(col("text"), 1, 150).as("content"))
+
+  /** The md5-frozen 16-cell centroid relation over embeddings — the
+    * [[graft.ops.IvfIndex.build]] seed rule, so the oracle replays it.
+    */
+  private def frozenCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("cell"),
+        col("embedding").cast("array<double>").as("cv"),
+        md5(col("vec_id").cast("string")).as("_h"))
+      .orderBy("_h")
+      .limit(16)
+      .select("cell", "cv")
+
+  /** Scored DPO candidates from events: prompt = user, candidate = event,
+    * score = value. */
+  private def candidates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sft_validate" -> ((s, dir) =>
+      Sft.validate(eventMessages(s, dir), "conv_id", "event_id", "role", "content")),
+
+    "q_sft_render" -> ((s, dir) =>
+      Sft.render(docMessages(s, dir), "conv_id", "turn_idx", "role", "content")),
+
+    "q_sft_lossmask" -> ((s, dir) =>
+      Sft.lossMaskSpans(docMessages(s, dir), "conv_id", "turn_idx", "role", "content")),
+
+    "q_dpo_pairs" -> ((s, dir) =>
+      Preference.pairs(candidates(s, dir), "user_id", "event_id", "value",
+        minMargin = 50.0)),
+
+    "q_dpo_pairs_topk" -> ((s, dir) =>
+      Preference.pairsTopBottom(candidates(s, dir), "user_id", "event_id", "value",
+        k = 3, minMargin = 100.0)),
+
+    "q_proto_rank" -> ((s, dir) =>
+      Prototype.prototypicality(t(s, dir, "embeddings"), "vec_id", "embedding",
+        frozenCentroids(s, dir))),
+
+    "q_proto_prune" -> ((s, dir) =>
+      Prototype.prune(t(s, dir, "embeddings"), "vec_id", "embedding",
+        frozenCentroids(s, dir), dropTopFrac = 0.25, dropBottomFrac = 0.125)))
+
+  /** The shared message-fixture CTE, verbatim in every SFT oracle. */
+  private val eventMsgsSql =
+    """SELECT user_id AS conv_id, event_id,
+      |    CASE WHEN event_type = 'signup' THEN 'system'
+      |         WHEN event_type IN ('view', 'click') THEN 'user'
+      |         ELSE 'assistant' END AS role,
+      |    CASE WHEN event_type = 'error' AND event_id % 7 = 0 THEN ''
+      |         ELSE event_type || ':' || CAST(event_id AS VARCHAR) END AS content
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL""".stripMargin
+
+  private val docMsgsSql =
+    """SELECT CAST(floor(doc_id / 4) AS BIGINT) AS conv_id,
+      |    CAST(doc_id % 4 AS BIGINT) AS turn_idx,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'system'
+      |         WHEN doc_id % 4 = 1 THEN 'user'
+      |         WHEN doc_id % 4 = 2 THEN 'assistant'
+      |         ELSE 'user' END AS role,
+      |    substr(text, 1, 150) AS content
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin
+
+  private val protoRankSql =
+    """WITH cent AS (
+      |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+      |sc AS (
+      |  SELECT e.vec_id, c.cell,
+      |    floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+      |      * 1000000 + 0.5) / 1000000 AS sim
+      |  FROM embeddings e, cent c),
+      |a AS (
+      |  SELECT vec_id, cell, sim AS cos_centroid FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) = 1)
+      |SELECT vec_id, cell, cos_centroid,
+      |  CAST(row_number() OVER (PARTITION BY cell
+      |    ORDER BY cos_centroid DESC, vec_id) AS BIGINT) AS rank,
+      |  count(*) OVER (PARTITION BY cell) AS n_cluster
+      |FROM a""".stripMargin
+
+  private val dpoCandidatesSql =
+    """SELECT user_id, event_id, CAST(value AS DOUBLE) AS s FROM events
+      |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      |    AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sft_validate" ->
+      s"""WITH m AS ($eventMsgsSql),
+         |p AS (SELECT conv_id, role, content,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY event_id) - 1 AS pos
+         |  FROM m),
+         |l AS (SELECT conv_id,
+         |    max(CASE WHEN pos = 0 AND role = 'system' THEN 1 ELSE 0 END) AS lead
+         |  FROM p GROUP BY conv_id),
+         |f AS (SELECT p.conv_id, pos, role, content, lead,
+         |    CASE WHEN lead = 1 AND pos = 0 THEN role = 'system'
+         |         ELSE role = CASE WHEN (pos - lead) % 2 = 0
+         |                          THEN 'user' ELSE 'assistant' END END AS turn_ok
+         |  FROM p JOIN l ON p.conv_id = l.conv_id)
+         |SELECT conv_id,
+         |  (bool_and(turn_ok) AND max(pos) >= max(lead)) AS roles_ok,
+         |  bool_and(content IS NOT NULL AND trim(content) <> '') AS no_empty,
+         |  (arg_max(role, pos) = 'assistant') AS ends_assistant,
+         |  count(*) AS n_turns,
+         |  (bool_and(turn_ok) AND max(pos) >= max(lead)
+         |    AND bool_and(content IS NOT NULL AND trim(content) <> '')
+         |    AND arg_max(role, pos) = 'assistant') AS keep
+         |FROM f GROUP BY conv_id""".stripMargin,
+
+    "q_sft_render" ->
+      s"""WITH m AS ($docMsgsSql),
+         |r AS (SELECT conv_id,
+         |    string_agg('<|' || role || '|>' || chr(10) || content || '<|end|>' || chr(10),
+         |      '' ORDER BY turn_idx) AS text,
+         |    count(*) AS n_turns
+         |  FROM m GROUP BY conv_id)
+         |SELECT conv_id, text, n_turns, length(text) AS n_chars FROM r""".stripMargin,
+
+    "q_sft_lossmask" ->
+      s"""WITH m AS ($docMsgsSql),
+         |p AS (SELECT conv_id, turn_idx, role,
+         |    length('<|' || role || '|>' || chr(10)) AS hlen,
+         |    length(content) AS clen,
+         |    length('<|' || role || '|>' || chr(10) || content
+         |      || '<|end|>' || chr(10)) AS plen
+         |  FROM m),
+         |c AS (SELECT conv_id, turn_idx, role, hlen, clen,
+         |    CAST(COALESCE(sum(plen) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS before
+         |  FROM p)
+         |SELECT conv_id, turn_idx,
+         |  before + hlen AS start_pos,
+         |  before + hlen + clen AS end_pos
+         |FROM c WHERE role = 'assistant'""".stripMargin,
+
+    "q_dpo_pairs" ->
+      s"""WITH c AS ($dpoCandidatesSql),
+         |hi AS (SELECT user_id, event_id AS chosen_id, s AS chosen_score FROM c
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY s DESC, event_id) = 1),
+         |lo AS (SELECT user_id, event_id AS rejected_id, s AS rejected_score FROM c
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY s, event_id) = 1)
+         |SELECT user_id, chosen_id, rejected_id, chosen_score, rejected_score,
+         |  chosen_score - rejected_score AS margin
+         |FROM hi JOIN lo USING (user_id)
+         |WHERE chosen_id <> rejected_id
+         |  AND chosen_score - rejected_score >= 50.0""".stripMargin,
+
+    "q_dpo_pairs_topk" ->
+      s"""WITH c AS ($dpoCandidatesSql),
+         |top AS (SELECT user_id, event_id AS chosen_id, s AS chosen_score FROM c
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY s DESC, event_id) <= 3),
+         |bot AS (SELECT user_id, event_id AS rejected_id, s AS rejected_score FROM c
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY s, event_id) <= 3)
+         |SELECT user_id, chosen_id, rejected_id, chosen_score, rejected_score,
+         |  chosen_score - rejected_score AS margin
+         |FROM top JOIN bot USING (user_id)
+         |WHERE chosen_id <> rejected_id AND chosen_score > rejected_score
+         |  AND chosen_score - rejected_score >= 100.0""".stripMargin,
+
+    "q_proto_rank" -> protoRankSql,
+
+    "q_proto_prune" ->
+      s"""WITH ranked AS ($protoRankSql)
+         |SELECT vec_id, cell, cos_centroid,
+         |  (rank > floor(0.25 * n_cluster)
+         |    AND rank <= n_cluster - floor(0.125 * n_cluster)) AS keep
+         |FROM ranked""".stripMargin)
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supervised-fine-tuning data preparation: conversation validation, chat
+  * template rendering, and loss-mask span computation over a long
+  * `(conv_id, turn_idx, role, content)` message table — the assembly step
+  * every SFT/RLHF pipeline runs between raw dialogue capture and the
+  * tokenizer (Ouyang et al. 2022 §3; the template shape follows the
+  * publicly documented ChatML/Llama-chat pattern of role-delimited
+  * segments).
+  *
+  * Reference analog: the reference renders publisher-specific output
+  * layouts from the same canonical rows
+  * (`/root/reference/atd_data_lake/publish.py:36-88`); rendering a chat
+  * template is that projection with order-sensitive concatenation.
+  *
+  * Scale shape: everything here is ONE hash exchange on `conv_id`
+  * (conversations are small — tens of turns — so per-group state is
+  * bounded; a window/sort within the group never spills). Rendering uses
+  * `collect_list` + `array_sort` rather than a window so the whole
+  * conversation collapses to one row in the same exchange that orders it.
+  * Offsets come from a cumulative sum over rendered-piece LENGTHS — the
+  * text itself is concatenated once, never re-scanned per turn.
+  *
+  * Determinism contract: the template is fixed (`<|role|>\n` + content +
+  * `<|end|>\n` per turn, turns in `turn_idx` order), lengths are measured
+  * in Unicode code points (Spark `length` ≡ DuckDB `length` on NFC inputs),
+  * so rendered text, offsets, and masks are hash-exact across engines
+  * (oracles q_sft_render / q_sft_lossmask / q_sft_validate).
+  */
+object Sft {
+
+  /** `<|role|>\n` — the per-turn header the template prepends. */
+  private def header(role: Column): Column = concat(lit("<|"), role, lit("|>\n"))
+  private val footer = "<|end|>\n"
+
+  /** One rendered piece: header + content + footer. */
+  private def piece(role: Column, content: Column): Column =
+    concat(header(role), content, lit(footer))
+
+  /** Per-conversation structural validation flags:
+    *
+    *   - `roles_ok`   — after an OPTIONAL single leading `system` turn, the
+    *     remaining turns alternate `user`, `assistant`, `user`, … starting
+    *     with `user` (so `system` never appears past position 0 and two
+    *     same-role turns are never adjacent);
+    *   - `no_empty`   — no turn's content is NULL or whitespace-only;
+    *   - `ends_assistant` — the final turn (by `turn_idx`) is `assistant`;
+    *   - `keep`       — the conjunction, the gate a curation pipeline
+    *     applies before rendering.
+    *
+    * One exchange: a window `row_number` orders turns, then per-turn
+    * conformance collapses with `bool_and`. Conversations with a single
+    * system turn and nothing else fail `roles_ok` (no user turn to start
+    * the alternation).
+    */
+  def validate(
+      msgs: DataFrame,
+      convCol: String,
+      idxCol: String,
+      roleCol: String,
+      contentCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+    val pos = row_number().over(w) - lit(1)
+    val withPos = msgs.select(
+      col(convCol), col(roleCol).as("_role"), col(contentCol).as("_content"),
+      pos.as("_pos"),
+      // position within the alternation = pos shifted down when the
+      // conversation leads with a system turn; NULL role never counts
+      first(coalesce(col(roleCol) === "system", lit(false))).over(w)
+        .as("_leads_system"))
+    val altPos = when(col("_leads_system"), col("_pos") - lit(1)).otherwise(col("_pos"))
+    val turnOk =
+      when(col("_leads_system") && col("_pos") === 0, col("_role") === "system")
+        .otherwise(col("_role") ===
+          when(altPos % 2 === 0, lit("user")).otherwise(lit("assistant")))
+    withPos
+      // NULL role compares to NULL — coalesce so aggregate skipping can
+      // never let a NULL-role turn pass the alternation silently
+      .withColumn("_turn_ok", coalesce(turnOk, lit(false)))
+      .groupBy(col(convCol))
+      .agg(
+        bool_and(col("_turn_ok")).as("_all_ok"),
+        // _leads_system is constant within a conversation, so bool_and
+        // just reads it back out of the aggregate
+        bool_and(col("_leads_system")).as("_lead"),
+        max(col("_pos")).as("_max_pos"),
+        bool_and(col("_content").isNotNull &&
+          trim(col("_content")) =!= "").as("no_empty"),
+        max_by(col("_role"), col("_pos")).as("_last_role"),
+        count(lit(1)).as("n_turns"))
+      .select(
+        col(convCol),
+        // a lone system turn has no alternation to satisfy — reject
+        (col("_all_ok") &&
+          col("_max_pos") >= when(col("_lead"), 1).otherwise(0)).as("roles_ok"),
+        col("no_empty"),
+        (col("_last_role") === "assistant").as("ends_assistant"),
+        col("n_turns"),
+        (col("_all_ok") &&
+          col("_max_pos") >= when(col("_lead"), 1).otherwise(0) &&
+          col("no_empty") &&
+          col("_last_role") === "assistant").as("keep"))
+  }
+
+  /** Render each conversation to one training string: pieces in `turn_idx`
+    * order, `<|role|>\ncontent<|end|>\n` each. Output
+    * `(convCol, text, n_turns, n_chars)`; `n_chars` counts code points.
+    * One `collect_list` aggregate; `array_sort` on the (idx, piece) structs
+    * orders turns without a window sort.
+    */
+  def render(
+      msgs: DataFrame,
+      convCol: String,
+      idxCol: String,
+      roleCol: String,
+      contentCol: String): DataFrame =
+    msgs
+      .select(col(convCol),
+        struct(col(idxCol).cast("long").as("i"),
+          piece(col(roleCol), col(contentCol)).as("p")).as("_tp"))
+      .groupBy(col(convCol))
+      .agg(collect_list(col("_tp")).as("_tps"))
+      .select(col(convCol),
+        concat_ws("", transform(array_sort(col("_tps")), t => t("p")).as("_")).as("text"),
+        size(col("_tps")).cast("long").as("n_turns"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  /** Character spans of ASSISTANT turn CONTENT within [[render]]'s output —
+    * the spans a trainer leaves unmasked (loss is computed there; user,
+    * system, and template decoration are masked). Output one row per
+    * assistant turn: `(convCol, idxCol, start_pos, end_pos)`, 0-based,
+    * end-exclusive, in code points, so
+    * `substring(text, start_pos + 1, end_pos - start_pos)` over the
+    * rendered text is exactly the turn's content (spec-asserted).
+    *
+    * Offsets are a cumulative sum of rendered-piece lengths over a
+    * `turn_idx` window — the same single `conv_id` exchange as [[render]];
+    * the rendered text is never scanned.
+    */
+  def lossMaskSpans(
+      msgs: DataFrame,
+      convCol: String,
+      idxCol: String,
+      roleCol: String,
+      contentCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val pieceLen = length(piece(col(roleCol), col(contentCol))).cast("long")
+    val before = coalesce(sum(pieceLen).over(w), lit(0L))
+    msgs
+      .withColumn("_start", before + length(header(col(roleCol))).cast("long"))
+      .filter(col(roleCol) === "assistant")
+      .select(col(convCol), col(idxCol),
+        col("_start").as("start_pos"),
+        (col("_start") + length(col(contentCol)).cast("long")).as("end_pos"))
+  }
+}

@@ -103,4 +103,41 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("rangepartitioning"),
       s"no fact-side exchange allowed:\n$plan")
   }
+
+  test("q_dpo_pairs: ONE exchange, partial struct-extreme aggregate map-side, no window") {
+    val df = SparkEntry.queries("q_dpo_pairs")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"extremes must aggregate, not window:\n$plan")
+    assert(!plan.contains("Join"), s"q_dpo_pairs must not join:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 2, // final plan + AQE-cached subplan ref
+      s"q_dpo_pairs must shuffle once (one row per prompt):\n$plan")
+    // partial aggregation must run before the exchange so the shuffle
+    // carries one row per prompt, not one per candidate
+    val beforeExchange = plan.substring(plan.indexOf("Exchange"))
+    assert(beforeExchange.contains("SortAggregate") ||
+      beforeExchange.contains("HashAggregate"),
+      s"no map-side partial aggregate under the exchange:\n$plan")
+  }
+
+  test("q_sft_render: ONE conv-keyed exchange, no window sort, no join") {
+    val df = SparkEntry.queries("q_sft_render")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"turn ordering must ride array_sort:\n$plan")
+    assert(!plan.contains("Join"), s"q_sft_render must not join:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"no global sort:\n$plan")
+  }
+
+  test("q_proto_prune: centroid side broadcasts; cell-keyed window only — no cross, no global sort") {
+    val df = SparkEntry.queries("q_proto_prune")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"driver cartesian in q_proto_prune:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle into the centroid join:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"no global sort:\n$plan")
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Preference
+
+/** DPO pair construction: tie canon, margin gating, degenerate groups,
+  * unusable scores, and the top/bottom-k pruning bound.
+  */
+class PreferenceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def cand(rows: (Long, Long, Double)*) =
+    rows.toDF("prompt", "id", "score")
+
+  test("pairs: extremes with smaller-id tie canon on both sides") {
+    val df = cand(
+      (1L, 10L, 5.0), (1L, 11L, 5.0), // tied best — 10 wins
+      (1L, 12L, 1.0), (1L, 13L, 1.0), // tied worst — 12 wins
+      (2L, 20L, 9.0), (2L, 21L, 2.0))
+    val out = Preference.pairs(df, "prompt", "id", "score")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 10L, 12L, 5.0, 1.0, 4.0),
+      (2L, 20L, 21L, 9.0, 2.0, 7.0)))
+  }
+
+  test("pairs: margin gate, single-candidate prompts, and NaN/NULL scores drop") {
+    val df = Seq(
+      (1L, Some(10L), Some(4.0)), (1L, Some(11L), Some(3.5)), // margin 0.5 < 1.0
+      (2L, Some(20L), Some(9.0)), (2L, Some(21L), Some(1.0)), // margin 8.0
+      (3L, Some(30L), Some(5.0)),                             // lone candidate
+      (4L, Some(40L), Some(Double.NaN)), (4L, Some(41L), None), // all unusable
+      (5L, Some(50L), Some(2.0)), (5L, Some(51L), Some(Double.NaN)) // NaN out → lone
+    ).toDF("prompt", "id", "score")
+    val out = Preference.pairs(df, "prompt", "id", "score", minMargin = 1.0)
+      .select("prompt").as[Long].collect().toSeq
+    assert(out == Seq(2L))
+  }
+
+  test("pairsTopBottom: k² bound, strict score inequality, overlap never self-pairs") {
+    val df = cand(
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (1L, 4L, 4.0), (1L, 5L, 5.0),
+      // prompt 2: two candidates, both in top-3 AND bottom-3
+      (2L, 20L, 1.0), (2L, 21L, 1.0))
+    val out = Preference.pairsTopBottom(df, "prompt", "id", "score", k = 3)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    val p1 = out.filter(_._1 == 1L)
+    // top-3 = {5,4,3}, bottom-3 = {1,2,3}; pairs need chosen > rejected strictly
+    assert(p1.map(r => (r._2, r._3)).toSet ==
+      Set((5L, 1L), (5L, 2L), (5L, 3L), (4L, 1L), (4L, 2L), (4L, 3L), (3L, 1L), (3L, 2L)))
+    assert(p1.forall(r => r._4 > r._5 && r._6 == r._4 - r._5))
+    // equal scores never pair, identical candidate never self-pairs
+    assert(!out.exists(_._1 == 2L))
+  }
+
+  test("pairsTopBottom with k=1 ≡ pairs at the same margin") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter($"user_id".isNotNull && $"event_id".isNotNull)
+      .select($"user_id", $"event_id", $"value")
+    val a = Preference.pairs(events, "user_id", "event_id", "value", minMargin = 10.0)
+      .select("user_id", "chosen_id", "rejected_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Preference
+      .pairsTopBottom(events, "user_id", "event_id", "value", k = 1, minMargin = 10.0)
+      .select("user_id", "chosen_id", "rejected_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+}

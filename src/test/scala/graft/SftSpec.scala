@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sft
+
+/** SFT conversation assembly: validation flags per structural defect,
+  * exact template rendering, and the render/lossmask composition law —
+  * every assistant span sliced out of the rendered text must be exactly
+  * that turn's content.
+  */
+class SftSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def msgs(rows: (Long, Long, String, String)*) =
+    rows.toDF("conv", "idx", "role", "content")
+
+  private def flags(df: org.apache.spark.sql.DataFrame) =
+    Sft.validate(df, "conv", "idx", "role", "content")
+      .select("conv", "roles_ok", "no_empty", "ends_assistant", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("validate: each structural defect trips exactly its flag") {
+    val f = flags(msgs(
+      // 1: canonical system-led conversation — all green
+      (1L, 0L, "system", "be helpful"), (1L, 1L, "user", "hi"),
+      (1L, 2L, "assistant", "hello"),
+      // 2: no system lead, still alternates — green
+      (2L, 0L, "user", "q"), (2L, 1L, "assistant", "a"),
+      // 3: double user — roles_ok fails
+      (3L, 0L, "user", "q"), (3L, 1L, "user", "q2"), (3L, 2L, "assistant", "a"),
+      // 4: lone system turn — roles_ok fails (nothing to alternate)
+      (4L, 0L, "system", "be helpful"),
+      // 5: whitespace-only content — no_empty fails
+      (5L, 0L, "user", "q"), (5L, 1L, "assistant", "   "),
+      // 6: ends on user — ends_assistant fails
+      (6L, 0L, "user", "q"), (6L, 1L, "assistant", "a"), (6L, 2L, "user", "bye"),
+      // 7: system in the middle — roles_ok fails
+      (7L, 0L, "user", "q"), (7L, 1L, "system", "sneak"), (7L, 2L, "assistant", "a")))
+    assert(f(1L) == ((true, true, true, true)))
+    assert(f(2L) == ((true, true, true, true)))
+    assert(f(3L) == ((false, true, true, false)))
+    assert(f(4L) == ((false, true, false, false)))
+    assert(f(5L) == ((true, false, true, false)))
+    assert(f(6L) == ((true, true, false, false)))
+    assert(f(7L) == ((false, true, true, false)))
+  }
+
+  test("validate: NULL role can never pass the alternation") {
+    val df = Seq((1L, 0L, Option("user"), "q"), (1L, 1L, Option.empty[String], "a"))
+      .toDF("conv", "idx", "role", "content")
+    val f = Sft.validate(df, "conv", "idx", "role", "content")
+      .select("roles_ok").as[Boolean].head()
+    assert(!f)
+  }
+
+  test("render: exact template, turns in idx order regardless of input order") {
+    val df = msgs((1L, 2L, "assistant", "hello"), (1L, 0L, "system", "sys"),
+      (1L, 1L, "user", "hi"))
+    val out = Sft.render(df, "conv", "idx", "role", "content")
+      .as[(Long, String, Long, Long)].head()
+    val expected = "<|system|>\nsys<|end|>\n<|user|>\nhi<|end|>\n<|assistant|>\nhello<|end|>\n"
+    assert(out == ((1L, expected, 3L, expected.length.toLong)))
+  }
+
+  test("lossMaskSpans ∘ render: every assistant span slices back to its content") {
+    // the q_sft fixture shape at sf0.001 — real corpus text through both ops
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(
+        floor(col("doc_id") / 4).cast("long").as("conv"),
+        (col("doc_id") % 4).cast("long").as("idx"),
+        when(col("doc_id") % 4 === 0, "system")
+          .when(col("doc_id") % 4 === 1, "user")
+          .when(col("doc_id") % 4 === 2, "assistant")
+          .otherwise("user").as("role"),
+        substring(col("text"), 1, 150).as("content"))
+    val rendered = Sft.render(docs, "conv", "idx", "role", "content")
+    val spans = Sft.lossMaskSpans(docs, "conv", "idx", "role", "content")
+    val sliced = spans
+      .join(rendered, "conv")
+      .join(docs.filter(col("role") === "assistant"), Seq("conv", "idx"))
+      .select(
+        col("text").substr(col("start_pos") + 1, col("end_pos") - col("start_pos"))
+          .as("slice"),
+        col("content"))
+    assert(sliced.count() > 0)
+    assert(sliced.filter(col("slice") =!= col("content")).count() == 0)
+    // spans never overlap template decoration: all spans are in-bounds
+    val bad = spans.join(rendered, "conv")
+      .filter(col("start_pos") < 0 || col("end_pos") > col("n_chars"))
+    assert(bad.count() == 0)
+  }
+}
