@@ -88,6 +88,13 @@ object QueriesSft {
       Preference.pairsTopBottom(candidates(s, dir), "user_id", "event_id", "value",
         k = 3, minMargin = 100.0)),
 
+    "q_dpo_advantage" -> ((s, dir) =>
+      Preference.groupAdvantage(candidates(s, dir), "user_id", "event_id", "value")),
+
+    "q_dpo_bestofn" -> ((s, dir) =>
+      Preference.bestOfN(candidates(s, dir), "user_id", "event_id", "value",
+        minScore = 220.0)),
+
     "q_proto_rank" -> ((s, dir) =>
       Prototype.prototypicality(t(s, dir, "embeddings"), "vec_id", "embedding",
         frozenCentroids(s, dir))),
@@ -217,6 +224,31 @@ object QueriesSft {
          |FROM top JOIN bot USING (user_id)
          |WHERE chosen_id <> rejected_id AND chosen_score > rejected_score
          |  AND chosen_score - rejected_score >= 100.0""".stripMargin,
+
+    "q_dpo_advantage" ->
+      s"""WITH c AS ($dpoCandidatesSql),
+         |m AS (SELECT user_id, event_id, s,
+         |    CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(s AS DECIMAL(18,6)))
+         |      OVER (PARTITION BY user_id) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(s AS DECIMAL(18,6)) * CAST(s AS DECIMAL(18,6)))
+         |      OVER (PARTITION BY user_id) AS DOUBLE) AS s2
+         |  FROM c)
+         |SELECT user_id, event_id, s AS score,
+         |  CASE WHEN greatest((s2 * n - s1 * s1) / (n * n), 0.0) > 0
+         |       THEN floor((s - s1 / n)
+         |         / sqrt(greatest((s2 * n - s1 * s1) / (n * n), 0.0))
+         |         * 1000000 + 0.5) / 1000000
+         |       ELSE 0.0 END AS advantage
+         |FROM m""".stripMargin,
+
+    "q_dpo_bestofn" ->
+      s"""WITH c AS ($dpoCandidatesSql),
+         |b AS (SELECT user_id, event_id AS best_id, s AS best_score FROM c
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY s DESC, event_id) = 1)
+         |SELECT user_id, best_id, best_score FROM b
+         |WHERE best_score >= 220.0""".stripMargin,
 
     "q_proto_rank" -> protoRankSql,
 

@@ -112,4 +112,113 @@ object Preference {
         col("chosen_score"), col("rejected_score"),
         (col("chosen_score") - col("rejected_score")).as("margin"))
   }
+
+  /** Group-relative advantage (the GRPO normalization, Shao et al. 2024
+    * §4.1; RLOO uses the mean-only variant): per candidate,
+    * `advantage = (score - mean_group) / std_group`, population std. The
+    * group moments come from exact DECIMAL(18,6) sums over ONE
+    * prompt-partitioned window (the [[TrafficAgg]] moment discipline, so
+    * the mean is order-free and cross-engine exact); the advantage is
+    * rounded half-up to 6 decimals. A degenerate group (n == 1, or all
+    * scores equal → std 0) gets advantage 0.0 — the GRPO convention, and
+    * division-safe. Output: `(promptCol, idCol, score, advantage)`.
+    */
+  def groupAdvantage(
+      df: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val w = Window.partitionBy(col(promptCol))
+    val dec = s.cast("decimal(18,6)")
+    val n = count(lit(1)).over(w).cast("double")
+    val s1 = sum(dec).over(w).cast("double")
+    val s2 = sum(dec * dec).over(w).cast("double")
+    val mean = s1 / n
+    val variance = greatest((s2 * n - s1 * s1) / (n * n), lit(0.0))
+    val std = sqrt(variance)
+    df.filter(usableScore(scoreCol) && col(idCol).isNotNull)
+      .select(col(promptCol), col(idCol), s.as("score"),
+        when(std > 0.0,
+          graft.Functions.roundHalfUp((s - mean) / std, 6))
+          .otherwise(lit(0.0)).as("advantage"))
+  }
+
+  /** Rejection-sampling selection (RFT / Llama-2 §3.2.2): the single best
+    * candidate per prompt (ties → smaller id), kept only when its score
+    * clears `minScore` — the filter that turns best-of-N generations into
+    * an SFT batch. Same one-exchange struct-extreme aggregate as [[pairs]].
+    * Output: `(promptCol, best_id, best_score)`.
+    */
+  def bestOfN(
+      df: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      minScore: Double): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    df.filter(usableScore(scoreCol) && col(idCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(max(struct(s.as("s"), (-col(idCol)).as("negid"))).as("_hi"))
+      .select(col(promptCol), (-col("_hi.negid")).as("best_id"),
+        col("_hi.s").as("best_score"))
+      .filter(col("best_score") >= minScore)
+  }
+
+  /** A scored candidate on the stream. */
+  case class Cand(promptId: Long, candId: Long, score: Double)
+  /** Running per-prompt extremes. */
+  case class Extremes(hiScore: Double, hiId: Long, loScore: Double, loId: Long)
+  /** The refreshed pair a batch emits for a prompt that received data. */
+  case class PairUpdate(
+      promptId: Long, chosenId: Long, rejectedId: Long,
+      chosenScore: Double, rejectedScore: Double, margin: Double)
+
+  /** Streaming maintenance of [[pairs]]: per-prompt (max, min) extremes
+    * are MERGEABLE, so state is two (score, id) cells per prompt —
+    * bounded regardless of how many candidates stream through. Each
+    * micro-batch folds its candidates into the state with the batch tie
+    * canon (higher score wins; equal score → smaller id) and emits the
+    * prompt's refreshed pair; the LATEST emission per prompt equals the
+    * batch [[pairs]] over everything seen (StreamingSpec). Margin gating
+    * is the consumer's filter — the state must remember extremes even
+    * while the margin is still below threshold. NaN scores are dropped at
+    * the edge like the batch side.
+    */
+  def pairsStream(
+      cands: org.apache.spark.sql.Dataset[Cand]): org.apache.spark.sql.Dataset[PairUpdate] = {
+    import cands.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def beatsHi(s: Double, id: Long, st: Extremes): Boolean =
+      s > st.hiScore || (s == st.hiScore && id < st.hiId)
+    def beatsLo(s: Double, id: Long, st: Extremes): Boolean =
+      s < st.loScore || (s == st.loScore && id < st.loId)
+    cands
+      .filter(c => !c.score.isNaN)
+      .groupByKey(_.promptId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (prompt: Long, it: Iterator[Cand], state: GroupState[Extremes]) => {
+          var st = state.getOption.orNull
+          it.foreach { c =>
+            st =
+              if (st == null) Extremes(c.score, c.candId, c.score, c.candId)
+              else {
+                val hi =
+                  if (beatsHi(c.score, c.candId, st)) (c.score, c.candId)
+                  else (st.hiScore, st.hiId)
+                val lo =
+                  if (beatsLo(c.score, c.candId, st)) (c.score, c.candId)
+                  else (st.loScore, st.loId)
+                Extremes(hi._1, hi._2, lo._1, lo._2)
+              }
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            if (st.hiId == st.loId) Iterator.empty // single candidate so far
+            else Iterator.single(PairUpdate(prompt, st.hiId, st.loId,
+              st.hiScore, st.loScore, st.hiScore - st.loScore))
+          }
+        })
+  }
 }

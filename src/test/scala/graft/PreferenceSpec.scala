@@ -53,6 +53,64 @@ class PreferenceSpec extends SparkSpec {
     assert(!out.exists(_._1 == 2L))
   }
 
+  test("groupAdvantage: z-scores sum to ~0 per group, degenerate groups get 0.0") {
+    val df = cand(
+      (1L, 10L, 2.0), (1L, 11L, 4.0), (1L, 12L, 6.0), // mean 4, pop-std sqrt(8/3)
+      (2L, 20L, 5.0),                                  // lone candidate
+      (3L, 30L, 7.0), (3L, 31L, 7.0))                  // zero variance
+    val out = Preference.groupAdvantage(df, "prompt", "id", "score")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._2 -> r._4).toMap
+    // the operator's exact op order: (s2·n − s1²)/n² then sqrt
+    val std = math.sqrt((56.0 * 3.0 - 144.0) / 9.0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(10L) == r6((2.0 - 4.0) / std) && out(11L) == 0.0 &&
+      out(12L) == r6((6.0 - 4.0) / std))
+    assert(out(20L) == 0.0 && out(30L) == 0.0 && out(31L) == 0.0)
+  }
+
+  test("bestOfN: per-prompt argmax with tie canon, absolute threshold gate") {
+    val df = cand(
+      (1L, 10L, 9.0), (1L, 11L, 9.0), (1L, 12L, 1.0), // tie — 10 wins
+      (2L, 20L, 3.0), (2L, 21L, 4.9))                  // best below threshold
+    val out = Preference.bestOfN(df, "prompt", "id", "score", minScore = 5.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 10L, 9.0)))
+  }
+
+  test("pairsStream: latest emission per prompt equals batch pairs over everything seen") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Preference.{Cand, PairUpdate}
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Cand]
+    val q = Preference.pairsStream(source.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("dpo_stream").start()
+    try {
+      source.addData(Seq(Cand(1L, 10L, 5.0), Cand(1L, 11L, 2.0), Cand(2L, 20L, 1.0)))
+      q.processAllAvailable()
+      // wave 2: a new extreme on prompt 1, prompt 2 completes, NaN dropped
+      source.addData(Seq(Cand(1L, 12L, 9.0), Cand(2L, 21L, 8.0),
+        Cand(2L, 22L, Double.NaN)))
+      q.processAllAvailable()
+      val emissions = spark.table("dpo_stream").as[PairUpdate].collect()
+      // deterministic replay: the per-prompt LAST emission is the live pair
+      val latest = emissions.groupBy(_.promptId).map { case (p, es) => p -> es.last }
+      val batch = Preference.pairs(
+        Seq((1L, 10L, 5.0), (1L, 11L, 2.0), (1L, 12L, 9.0),
+          (2L, 20L, 1.0), (2L, 21L, 8.0)).toDF("prompt", "id", "score"),
+        "prompt", "id", "score")
+        .as[(Long, Long, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      latest.foreach { case (p, u) =>
+        val b = batch(p)
+        assert((u.chosenId, u.rejectedId, u.chosenScore, u.rejectedScore) ==
+          ((b._2, b._3, b._4, b._5)), s"prompt $p stream/batch disagree")
+      }
+      assert(latest.keySet == batch.keySet)
+      // wave-1 lone candidate on prompt 2 must emit nothing (no pair yet)
+      val wave1P2 = emissions.filter(e => e.promptId == 2L)
+      assert(wave1P2.length == 1, "prompt 2 pairs only once both extremes exist")
+    } finally q.stop()
+  }
+
   test("pairsTopBottom with k=1 ≡ pairs at the same margin") {
     val events = Tables(spark, "/root/testdata/sf0.001", "events")
       .filter($"user_id".isNotNull && $"event_id".isNotNull)
