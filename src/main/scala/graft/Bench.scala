@@ -31,7 +31,9 @@ object Bench {
       "q_ts_grid", "q_cr_split",
       "q_kmv_sketch", "q_dv_checks", "q_vec_cov", "q_ts_ewma", "q_tx_nfc",
       "q_o8_grouptopk", "q_nb_chi2", "q_rb_corr", "q_pf_psi", "q_t5_spans",
-      "q_ul2_mix")
+      "q_ul2_mix",
+      "q_sft_render", "q_sft_lossmask", "q_dpo_pairs", "q_dpo_advantage",
+      "q_proto_prune", "q_pv_gate")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   * bounded (finer blocks, more LSH bands), so pair work stays ~linear in
   * corpus size at ~constant duplicate density.
   *
+  * Round-9 sweep (same methodology): sft_render 1.2x, dpo_advantage 1.1x
+  * (10x PROMPT GROUPS at constant group size — the events blow-up offsets
+  * user_id per copy), pv_gate 1.3x, proto_prune 1.2x — the conversation /
+  * preference / privacy / prototype exchanges are all keyed and scale in
+  * rows, not groups².
+  *
   * The 10x corpus is synthesized under /tmp (never under /root/testdata):
   * each copy salts the text with a distinct token so near-dup structure is
   * preserved but contents differ across copies.
@@ -68,6 +74,23 @@ object ScaleProbe {
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
       println(s"[scaleprobe] built 10x embeddings at $big")
+    }
+    if (!new java.io.File(s"$big/events.parquet").exists()) {
+      val ev = Tables(spark, base, "events")
+      val n = ev.agg(max("event_id")).head().getLong(0) + 1
+      val u = ev.agg(max("user_id")).head().getLong(0) + 1
+      // offset user_id per copy: 10x PROMPT GROUPS at constant group size —
+      // the honest scale for the per-prompt preference/advantage aggregates
+      // (10x rows into one group would only deepen a single partition)
+      val copies = (0 until 10).map { c =>
+        ev.select(
+          (col("event_id") + lit(c * n)).as("event_id"),
+          col("ts"), (col("user_id") + lit(c * u)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/events.parquet")
+      println(s"[scaleprobe] built 10x events at $big")
     }
     if (!new java.io.File(s"$big/part.parquet").exists()) {
       val part = Tables(spark, base, "part")
@@ -334,7 +357,51 @@ object ScaleProbe {
       // vocabulary should cost ~the one corpus-scale count pass more
       "wp_learn" -> (d =>
         graft.ops.WordPiece.learnBatched(docsAt(d), "text",
-          numMerges = 16, batchSize = 8).count()))
+          numMerges = 16, batchSize = 8).count()),
+      // round-9 families: conversation render (one conv-keyed exchange),
+      // per-prompt advantage (one window exchange over 10x GROUPS at
+      // constant size), the privacy gate (agg + null-safe keyed join),
+      // and prototype pruning (broadcast assign + cell-keyed window)
+      "sft_render" -> { d =>
+        val msgs = docsAt(d)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          .select(
+            floor(col("doc_id") / 4).cast("long").as("conv_id"),
+            (col("doc_id") % 4).cast("long").as("turn_idx"),
+            when(col("doc_id") % 4 === 0, "system")
+              .when(col("doc_id") % 4 === 1, "user")
+              .when(col("doc_id") % 4 === 2, "assistant")
+              .otherwise("user").as("role"),
+            substring(col("text"), 1, 150).as("content"))
+        graft.ops.Sft.render(msgs, "conv_id", "turn_idx", "role", "content").count()
+      },
+      "dpo_advantage" -> { d =>
+        val ev = Tables(spark, d, "events")
+          .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+          .select(col("user_id"), col("event_id"), col("value"))
+        graft.ops.Preference
+          .groupAdvantage(ev, "user_id", "event_id", "value").count()
+      },
+      "pv_gate" -> { d =>
+        val ev = Tables(spark, d, "events")
+          .select(col("event_id"), col("event_type"),
+            graft.ops.Privacy.generalize(col("value"), 50.0).as("vbucket"),
+            col("user_id"))
+        graft.ops.Privacy
+          .releaseGate(ev, Seq("event_type", "vbucket"), "user_id", 50L, 60L)
+          .count()
+      },
+      "proto_prune" -> { d =>
+        // centroids frozen from the BASE embeddings (build-once/apply-many;
+        // a fixed relation keeps 1x/10x comparable, the bpeMerges pattern)
+        val cents = Tables(spark, base, "embeddings")
+          .select(col("vec_id").cast("long").as("cell"),
+            col("embedding").cast("array<double>").as("cv"),
+            md5(col("vec_id").cast("string")).as("_h"))
+          .orderBy("_h").limit(16).select("cell", "cv")
+        graft.ops.Prototype.prune(Tables(spark, d, "embeddings"),
+          "vec_id", "embedding", cents, 0.25, 0.125).count()
+      })
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
