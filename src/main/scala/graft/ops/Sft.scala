@@ -158,4 +158,69 @@ object Sft {
         col("_start").as("start_pos"),
         (col("_start") + length(col(contentCol)).cast("long")).as("end_pos"))
   }
+
+  /** One conversation turn on the stream. */
+  case class Turn(convId: Long, turnIdx: Long, role: String, content: String)
+  /** Folded per-conversation validation state: everything [[validate]]
+    * derives, expressible as a LEFT FOLD over turns in `turnIdx` order —
+    * which is what makes streaming maintenance possible with O(1) state
+    * per conversation.
+    */
+  case class ConvState(
+      lead: Boolean, nTurns: Long, allOk: Boolean,
+      noEmpty: Boolean, lastRole: String)
+  /** The refreshed flags a batch emits for a conversation that grew. */
+  case class ValidateUpdate(
+      convId: Long, rolesOk: Boolean, noEmpty: Boolean,
+      endsAssistant: Boolean, nTurns: Long, keep: Boolean)
+
+  /** Streaming twin of [[validate]]: per-conversation flags maintained as
+    * turns arrive. CONTRACT: turns of one conversation arrive in
+    * `turnIdx` order across micro-batches (the Kafka
+    * partition-per-conversation guarantee); within a batch they are
+    * sorted, so only CROSS-batch disorder violates it. State is one
+    * [[ConvState]] per conversation — five scalars regardless of length,
+    * because every [[validate]] flag is a left fold over ordered turns.
+    * Each batch emits the refreshed flags for conversations that received
+    * turns; the LATEST emission per conversation equals the batch
+    * [[validate]] over everything seen (SftSpec).
+    */
+  def validateStream(
+      turns: org.apache.spark.sql.Dataset[Turn]): org.apache.spark.sql.Dataset[ValidateUpdate] = {
+    import turns.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fold(st: ConvState, t: Turn): ConvState = {
+      val pos = st.nTurns
+      val lead = if (pos == 0) t.role == "system" else st.lead
+      val turnOk =
+        if (lead && pos == 0) true // the system lead itself
+        else {
+          val altPos = pos - (if (lead) 1 else 0)
+          t.role == (if (altPos % 2 == 0) "user" else "assistant")
+        }
+      // Spark SQL trim strips only ' ' (not \t\n like java.lang.String.trim)
+      // — the batch twin uses SQL trim, so mirror it exactly
+      ConvState(
+        lead, pos + 1,
+        st.allOk && turnOk,
+        st.noEmpty && t.content != null && !t.content.forall(_ == ' '),
+        t.role)
+    }
+    turns
+      .groupByKey(_.convId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (conv: Long, it: Iterator[Turn], state: GroupState[ConvState]) => {
+          val init = state.getOption
+            .getOrElse(ConvState(lead = false, 0L, allOk = true, noEmpty = true, null))
+          val st = it.toSeq.sortBy(_.turnIdx).foldLeft(init)(fold)
+          if (st.nTurns == init.nTurns) Iterator.empty
+          else {
+            state.update(st)
+            val rolesOk = st.allOk && (st.nTurns - 1) >= (if (st.lead) 1L else 0L)
+            Iterator.single(ValidateUpdate(conv, rolesOk, st.noEmpty,
+              st.lastRole == "assistant", st.nTurns,
+              rolesOk && st.noEmpty && st.lastRole == "assistant"))
+          }
+        })
+  }
 }

@@ -65,6 +65,54 @@ class SftSpec extends SparkSpec {
     assert(out == ((1L, expected, 3L, expected.length.toLong)))
   }
 
+  test("validateStream: latest emission per conversation ≡ batch validate over everything seen") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Sft.{Turn, ValidateUpdate}
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Turn]
+    val q = Sft.validateStream(source.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sft_stream").start()
+    try {
+      // wave 1 splits conversations MID-stream: conv 1 is valid-so-far but
+      // incomplete, conv 2 already broken, conv 3 tab-only content
+      source.addData(Seq(
+        Turn(1L, 0L, "system", "sys"), Turn(1L, 1L, "user", "hi"),
+        Turn(2L, 0L, "user", "q"), Turn(2L, 1L, "user", "q2"),
+        Turn(3L, 0L, "user", "\t")))
+      q.processAllAvailable()
+      // wave 2 completes them (out of input order WITHIN the batch — sorted)
+      source.addData(Seq(
+        Turn(1L, 3L, "user", "thanks"), Turn(1L, 2L, "assistant", "hello"),
+        Turn(2L, 2L, "assistant", "a"),
+        Turn(3L, 1L, "assistant", "ans")))
+      q.processAllAvailable()
+      val latest = spark.table("sft_stream").as[ValidateUpdate].collect()
+        .groupBy(_.convId).map { case (c, es) => c -> es.maxBy(_.nTurns) }
+      val allTurns = Seq(
+        (1L, 0L, "system", "sys"), (1L, 1L, "user", "hi"),
+        (1L, 2L, "assistant", "hello"), (1L, 3L, "user", "thanks"),
+        (2L, 0L, "user", "q"), (2L, 1L, "user", "q2"), (2L, 2L, "assistant", "a"),
+        (3L, 0L, "user", "\t"), (3L, 1L, "assistant", "ans"))
+        .toDF("conv", "idx", "role", "content")
+      val batch = Sft.validate(allTurns, "conv", "idx", "role", "content")
+        .select("conv", "roles_ok", "no_empty", "ends_assistant", "n_turns", "keep")
+        .as[(Long, Boolean, Boolean, Boolean, Long, Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(latest.keySet == batch.keySet)
+      latest.foreach { case (c, u) =>
+        val b = batch(c)
+        assert((u.rolesOk, u.noEmpty, u.endsAssistant, u.nTurns, u.keep) ==
+          ((b._2, b._3, b._4, b._5, b._6)), s"conv $c stream/batch disagree")
+      }
+      // SQL-trim parity: tab-only content must NOT read as empty (conv 3)
+      assert(latest(3L).noEmpty, "tab-only content is non-empty under SQL trim")
+      // the wave-1 snapshot of conv 1 was keep=false (ends on user) — the
+      // stream legitimately emitted an interim state that wave 2 corrected
+      val wave1Conv1 = spark.table("sft_stream").as[ValidateUpdate].collect()
+        .filter(u => u.convId == 1L && u.nTurns == 2L)
+      assert(wave1Conv1.length == 1 && !wave1Conv1.head.keep)
+    } finally q.stop()
+  }
+
   test("lossMaskSpans ∘ render: every assistant span slices back to its content") {
     // the q_sft fixture shape at sf0.001 — real corpus text through both ops
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
