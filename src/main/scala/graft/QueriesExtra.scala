@@ -22,6 +22,56 @@ object QueriesExtra {
       .head().getSeq[Double](0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // incremental materialized-aggregate maintenance end-to-end: a real
+    // SnapshotLake takes a commit, an upsert (retract-and-readd), and a
+    // partition delete; the rollup refreshes after EACH version (bootstrap
+    // + two CDF folds, never a base re-scan) and the maintained state must
+    // equal the final table's rollup recomputed in SQL
+    "q_magg_rollup" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      def asRows(src: DataFrame, ver: Int) = src.select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("part"),
+        col("o_orderpriority").as("grp"),
+        col("o_totalprice").cast("double").as("v"),
+        lit(ver).cast("long").as("ver"))
+      val lakeDir = java.nio.file.Files.createTempDirectory("graft_q_magg_lake")
+      val aggDir = java.nio.file.Files.createTempDirectory("graft_q_magg_state")
+      val lake = new graft.catalog.SnapshotLake(s, lakeDir.toString)
+      val agg = graft.catalog.MaterializedAgg(s, lake, aggDir.toString,
+        consumerId = "q_magg", pk = Seq("k", "part"), partitionCols = Seq("part"),
+        groupCols = Seq("grp"), sumCols = Seq("v"))
+      lake.commit(asRows(orders, 1), Seq("part"))
+      agg.refresh()
+      lake.upsert(
+        asRows(orders.filter(col("o_orderkey") % 10 === 0), 2)
+          .withColumn("grp", lit("UPDATED"))
+          .withColumn("v", col("v") * 2),
+        Seq("k", "part"), "ver", Seq("part"))
+      agg.refresh()
+      lake.deleteWhere(col("part") === "F", Seq("part"))
+      agg.refresh()
+      val result = agg.read()
+        .select(col("grp"), col("cnt"),
+          Functions.roundHalfUp(col("v_sum").cast("double"), 2).as("v_sum"))
+        .collect()
+      Seq(lakeDir, aggDir).foreach { d =>
+        val walk = java.nio.file.Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(result.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("grp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v_sum",
+            org.apache.spark.sql.types.DoubleType))))
+    }),
+
     // W-class: gap-based sessionization (30-min gap) over events
     "q_w7_sessionize" -> ((s, dir) =>
       Sessionize
@@ -303,6 +353,22 @@ object QueriesExtra {
        |  FROM base)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the maintained rollup must equal the FINAL table state's rollup:
+    // orders minus partition 'F', with %10 keys re-grouped to UPDATED at
+    // doubled value by the upsert
+    "q_magg_rollup" ->
+      """WITH final AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'UPDATED'
+        |              ELSE o_orderpriority END AS grp,
+        |    CASE WHEN o_orderkey % 10 = 0
+        |         THEN CAST(o_totalprice AS DOUBLE) * 2
+        |         ELSE CAST(o_totalprice AS DOUBLE) END AS v
+        |  FROM orders WHERE o_orderstatus <> 'F')
+        |SELECT grp, count(*) AS cnt,
+        |  floor(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) * 100 + 0.5) / 100
+        |    AS v_sum
+        |FROM final GROUP BY grp""".stripMargin,
+
     // full IVF oracle: every stage of the index is deterministic — the 16
     // seed centroids are the embeddings with the smallest md5(vec_id)
     // (IvfIndex.build's sample), assignment is the cosine argmax with ties
