@@ -501,6 +501,95 @@ object Bpe {
       .toDF(idCol, "tokens", "n_tokens")
   }
 
+  /** [[encode]] that additionally reports, for every emitted token, the
+    * code-point range of its source WORD in the document text — the
+    * coordinate bridge between character-level annotations (PII spans,
+    * [[Sft.lossMaskSpans]] loss masks, dedup span removal) and token
+    * space. Output is one row per token:
+    * `(idCol, token_pos, token, word_start, word_end)` — `token_pos`
+    * 0-based over the document, offsets 0-based end-exclusive code points.
+    *
+    * Tokens of a multi-token word all carry the WORD's range (sub-word
+    * boundaries inside a merged symbol are not meaningful post-merge, and
+    * word grain is what span intersection needs). Parity contract with
+    * [[encode]]: the token sequence is IDENTICAL (spec-asserted) — words
+    * here are the maximal non-whitespace runs of the lowered text, which
+    * is exactly `split(trim(lower(text)), "\\s+")`'s non-empty pieces.
+    * Offsets assume case-folding preserves length (true outside a handful
+    * of Unicode special cases like İ; the engine lowercases with the same
+    * JVM rules both sides, so token TEXT can never diverge — only exotic
+    * offsets could, documented not guarded).
+    *
+    * Same scale shape as [[encode]]: broadcast ranks, per-partition word
+    * cache, zero shuffles; one output row per token (the honest linear
+    * cost of token-grain downstream work).
+    */
+  def encodeWithOffsets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame,
+      endOfWord: String = EndOfWord,
+      byteLevel: Boolean = false): DataFrame = {
+    if (byteLevel) requireByteMarker(endOfWord)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("rank").cast("int"), col("left_sym"), col("right_sym"))
+      .collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getInt(0)))
+      .toMap
+    val bRanks = spark.sparkContext.broadcast(ranks)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        lower(coalesce(col(textCol), lit(""))).as("text"))
+      .filter(col("id").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bRanks.value
+        // the encode() per-partition LRU — same Zipfian-hit-rate rationale
+        val cache = new java.util.LinkedHashMap[String, Array[String]](1 << 12, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[String, Array[String]]) =
+            size() > (1 << 18)
+        }
+        // EXACTLY the regex \s class the tokenizer splits on — NOT
+        // Character.isWhitespace, which additionally matches U+001C-1F and
+        // U+2028/2029 and would shift word boundaries vs encode()
+        def isWs(c: Int): Boolean =
+          c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+        it.flatMap { case (id, text) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long, Long)]
+          var tokenPos = 0L
+          var i = 0 // UTF-16 index
+          var cp = 0L // code-point index
+          val n = text.length
+          while (i < n) {
+            var c = text.codePointAt(i)
+            if (isWs(c)) { i += Character.charCount(c); cp += 1 }
+            else {
+              val start = cp
+              val wordStart = i
+              while (i < n && { c = text.codePointAt(i); !isWs(c) }) {
+                i += Character.charCount(c); cp += 1
+              }
+              val word = text.substring(wordStart, i)
+              var toks = cache.get(word)
+              if (toks == null) {
+                toks = encodeWord(word, rk, endOfWord, byteLevel); cache.put(word, toks)
+              }
+              var t = 0
+              while (t < toks.length) {
+                out += ((id, tokenPos, toks(t), start, cp))
+                tokenPos += 1; t += 1
+              }
+            }
+          }
+          out
+        }
+      }
+      .toDF(idCol, "token_pos", "token", "word_start", "word_end")
+  }
+
   /** A complete trained tokenizer: the merge table, its dense id
     * vocabulary, and the geometry both were built with.
     */

@@ -159,6 +159,39 @@ object Sft {
         (col("_start") + length(col(contentCol)).cast("long")).as("end_pos"))
   }
 
+  /** Project character-level loss-mask spans onto token space: given a
+    * token-offset table (one row per token with its source word's
+    * code-point range — [[graft.ops.Bpe.encodeWithOffsets]]'s output
+    * shape) and a span table ([[lossMaskSpans]]'s `(id, start_pos,
+    * end_pos)` shape), emit every token with `trainable = true` iff its
+    * word range OVERLAPS some span of the same document. Overlap (not
+    * containment) is the right policy at word grain: a template delimiter
+    * fused to the last content word by whitespace tokenization must stay
+    * trainable rather than silently truncating the span.
+    *
+    * Spans collapse to ONE array row per document first (bounded — one
+    * span per assistant turn), so the token side flows through a single
+    * keyed left join exactly once: no token-side re-aggregation, no
+    * windows, no driver state. Output:
+    * `(idCol, token_pos, token, trainable)`.
+    */
+  def lossMaskTokens(
+      tokens: DataFrame,
+      spans: DataFrame,
+      idCol: String): DataFrame = {
+    val spansArr = spans
+      .groupBy(col(idCol))
+      .agg(collect_list(
+        struct(col("start_pos").as("s"), col("end_pos").as("e"))).as("_spans"))
+    tokens
+      .join(spansArr, Seq(idCol), "left")
+      .select(col(idCol), col("token_pos"), col("token"),
+        coalesce(
+          exists(col("_spans"),
+            sp => col("word_start") < sp("e") && sp("s") < col("word_end")),
+          lit(false)).as("trainable"))
+  }
+
   /** One conversation turn on the stream. */
   case class Turn(convId: Long, turnIdx: Long, role: String, content: String)
   /** Folded per-conversation validation state: everything [[validate]]

@@ -113,6 +113,66 @@ class SftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("encodeWithOffsets: token parity with encode, offsets slice words back, masks match char truth") {
+    import graft.ops.{Bpe, Sft}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(
+        floor(col("doc_id") / 4).cast("long").as("conv"),
+        (col("doc_id") % 4).cast("long").as("idx"),
+        when(col("doc_id") % 4 === 0, "system")
+          .when(col("doc_id") % 4 === 1, "user")
+          .when(col("doc_id") % 4 === 2, "assistant")
+          .otherwise("user").as("role"),
+        substring(col("text"), 1, 150).as("content"))
+    val rendered = Sft.render(docs, "conv", "idx", "role", "content").cache()
+    val merges = Bpe.learn(
+      Tables(spark, "/root/testdata/sf0.001", "documents"), "text", numMerges = 24)
+    val withOff = Bpe.encodeWithOffsets(rendered, "conv", "text", merges).cache()
+
+    // 1. token parity: sequence identical to encode()
+    val viaEncode = Bpe.encode(rendered, "conv", "text", merges)
+      .select(col("conv"), col("tokens"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaOffsets = withOff.orderBy("conv", "token_pos")
+      .select("conv", "token").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (c, ts) => c -> ts.map(_._2).toSeq }
+    assert(viaOffsets.keySet == viaEncode.keySet)
+    viaOffsets.foreach { case (c, ts) =>
+      assert(ts == viaEncode(c), s"conv $c token sequences diverge")
+    }
+
+    // 2. offsets slice the LOWERED text back to a non-whitespace word
+    val sliced = withOff
+      .join(rendered.select(col("conv"), lower(col("text")).as("_lt")), "conv")
+      .select(col("_lt").substr(col("word_start") + 1,
+        col("word_end") - col("word_start")).as("w"))
+      .distinct().as[String].collect()
+    assert(sliced.nonEmpty)
+    assert(!sliced.exists(w => w.isEmpty || w.exists(c => " \t\n\f\r".contains(c))),
+      "every offset range must be exactly one whitespace-free word")
+
+    // 3. composition law: token trainable ⟺ its word overlaps a char span
+    // — ground truth recomputed DRIVER-SIDE from the collected spans
+    val spans = Sft.lossMaskSpans(docs, "conv", "idx", "role", "content")
+    val masked = Sft.lossMaskTokens(withOff, spans, "conv")
+    val spansByConv = spans.select("conv", "start_pos", "end_pos")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (c, ss) => c -> ss.map(s => (s._2, s._3)) }
+    val offs = withOff.select("conv", "token_pos", "word_start", "word_end")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, p, ws, we) =>
+        (c, p) -> spansByConv.getOrElse(c, Array.empty[(Long, Long)])
+          .exists { case (s, e) => ws < e && s < we }
+      }.toMap
+    val got = masked.select("conv", "token_pos", "trainable")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == offs.size)
+    assert(got.forall { case (c, p, t) => offs((c, p)) == t })
+    // both mask states occur (assistant content and template decoration)
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
+
   test("lossMaskSpans ∘ render: every assistant span slices back to its content") {
     // the q_sft fixture shape at sf0.001 — real corpus text through both ops
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
