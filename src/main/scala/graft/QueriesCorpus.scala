@@ -405,6 +405,27 @@ object QueriesCorpus {
       Pack.packConcat(t(s, dir, "documents"), "doc_id", "text",
         budget = 128, numShards = 8)),
 
+    // loss-mask propagation through packing: a parallel per-token boolean
+    // array (mask[i] = i % 3 == 0, SQL-recomputable) rides the identical
+    // chunk arithmetic; the oracle rebuilds each segment's mask bits from
+    // the [s, e) indices alone, so any slice misalignment hash-fails
+    "q_pk_mask" -> ((s, dir) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val prepared = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("ids"),
+          // NULL text → NULL ids; the mask must be NULL too (both sides of
+          // the length guard null) so the row drops instead of raising
+          when(toks.isNotNull,
+            transform(sequence(lit(0), size(toks) - 1), i => i % 3 === 0))
+            .as("mask"))
+      Pack.packTokenIdsWithMask(prepared, "doc_id", "ids", "mask",
+          budget = 128, numShards = 8)
+        .select(col("shard"), col("seq_idx"), col("doc_id"), col("seq_offset"),
+          col("seg_tokens"),
+          array_join(transform(col("seg_mask"),
+            b => when(b, "1").otherwise("0")), "").as("seg_mask_bits"))
+    }),
+
     // sequence packing, greedy next-fit (no splitting): per-shard sequential
     // fold over md5-ordered (id, tokens) triples
     "q_pk_greedy" -> ((s, dir) =>
@@ -1945,6 +1966,30 @@ object QueriesCorpus {
         |  array_to_string(tt[CAST(greatest(seq_idx * 128 - cb, 0) AS INT) + 1
         |    : CAST(least((seq_idx + 1) * 128, cum) - cb AS INT)], ' ') AS seg_text
         |FROM seg""".stripMargin,
+    "q_pk_mask" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tt,
+        |    CAST('0x' || substr(md5('pkshard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+        |    CAST('0x' || substr(md5('pk' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tt, shard, CAST(len(tt) AS BIGINT) AS nt,
+        |    CAST(sum(CAST(len(tt) AS BIGINT)) OVER (PARTITION BY shard ORDER BY u, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM base),
+        |seg AS (
+        |  SELECT shard, doc_id, nt, cum, cum - nt AS cb, CAST(sq.s AS BIGINT) AS seq_idx
+        |  FROM c, unnest(range(CAST((cum - nt) // 128 AS BIGINT),
+        |                       CAST((cum - 1) // 128 + 1 AS BIGINT))) AS sq(s))
+        |SELECT shard, seq_idx, doc_id,
+        |  cb + greatest(seq_idx * 128 - cb, 0) - seq_idx * 128 AS seq_offset,
+        |  least((seq_idx + 1) * 128, cum) - cb - greatest(seq_idx * 128 - cb, 0) AS seg_tokens,
+        |  array_to_string(list_transform(
+        |    range(CAST(greatest(seq_idx * 128 - cb, 0) AS BIGINT),
+        |          CAST(least((seq_idx + 1) * 128, cum) - cb AS BIGINT)),
+        |    x -> CASE WHEN x % 3 = 0 THEN '1' ELSE '0' END), '') AS seg_mask_bits
+        |FROM seg""".stripMargin,
+
     "q_pk_greedy" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id,

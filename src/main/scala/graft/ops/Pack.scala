@@ -69,6 +69,27 @@ object Pack {
     packSegments(df, idCol, col(idsCol), budget, numShards, salt)
       .withColumnRenamed("_seg", "seg_ids")
 
+  /** [[packTokenIds]] that carries a PARALLEL per-token array (the
+    * loss-mask case: [[Sft.lossMaskTokens]]' trainable flags, one per
+    * token) through the identical chunk arithmetic — each segment slices
+    * BOTH arrays with the same [s, e), so `seg_ids(i)` and `seg_mask(i)`
+    * always describe the same token after packing. A document whose mask
+    * length disagrees with its id length fails LOUDLY (raise_error names
+    * the id) instead of packing misaligned supervision. Output adds
+    * `seg_mask` to the [[packTokenIds]] columns.
+    */
+  def packTokenIdsWithMask(
+      df: DataFrame,
+      idCol: String,
+      idsCol: String,
+      maskCol: String,
+      budget: Int,
+      numShards: Int = 32,
+      salt: String = "pk"): DataFrame =
+    packSegments(df, idCol, col(idsCol), budget, numShards, salt,
+      parallel = Seq("seg_mask" -> col(maskCol)))
+      .withColumnRenamed("_seg", "seg_ids")
+
   /** Shared concat-and-chunk core over any token-array column. Zero-token
     * documents pack nowhere and are dropped explicitly: `sequence(a, b)`
     * with b < a would otherwise generate a DESCENDING index range (Spark
@@ -80,30 +101,47 @@ object Pack {
       tokensArr: Column,
       budget: Int,
       numShards: Int,
-      salt: String): DataFrame = {
+      salt: String,
+      parallel: Seq[(String, Column)] = Nil): DataFrame = {
     require(budget >= 1 && numShards >= 1, "need budget >= 1 and numShards >= 1")
     val w = Window.partitionBy(col("shard")).orderBy(col("_u"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val b = lit(budget.toLong)
+    val parallelIn = parallel.map { case (name, c) =>
+      // a parallel array whose length disagrees with the token array would
+      // pack misaligned supervision — refuse loudly, naming the document
+      // (NullType from raise_error coerces to the array branch's type)
+      when(coalesce(size(c), lit(-1)) === coalesce(size(tokensArr), lit(-1)), c)
+        .otherwise(raise_error(concat(
+          lit(s"parallel array '$name' length mismatch at $idCol="),
+          col(idCol).cast("string")))).as(s"_p_$name")
+    }
+    val parallelKeep = parallel.map { case (name, _) => col(s"_p_$name") }
     df.select(
-        col(idCol), tokensArr.as("_t"),
-        coalesce(size(tokensArr), lit(0)).cast("long").as("_nt"),
-        shardOf(col(idCol), numShards, salt).as("shard"),
-        orderKey(col(idCol), salt).as("_u"))
+        (col(idCol) +: tokensArr.as("_t") +:
+          coalesce(size(tokensArr), lit(0)).cast("long").as("_nt") +:
+          shardOf(col(idCol), numShards, salt).as("shard") +:
+          orderKey(col(idCol), salt).as("_u") +: parallelIn): _*)
       .filter(col("_nt") >= 1)
       .withColumn("_cum", sum(col("_nt")).over(w))
       .withColumn("_cb", col("_cum") - col("_nt")) // tokens before this doc
       .select(
-        col("shard"), col(idCol), col("_t"), col("_nt"), col("_cum"), col("_cb"),
-        explode(sequence(floor(col("_cb") / b), floor((col("_cum") - 1) / b))).as("seq_idx"))
+        (col("shard") +: col(idCol) +: col("_t") +: col("_nt") +: col("_cum") +:
+          col("_cb") +:
+          explode(sequence(floor(col("_cb") / b), floor((col("_cum") - 1) / b)))
+            .as("seq_idx") +: parallelKeep): _*)
       .withColumn("_s", greatest(col("seq_idx") * b - col("_cb"), lit(0L)))
       .withColumn("_e", least((col("seq_idx") + 1) * b, col("_cum")) - col("_cb"))
       .select(
-        col("shard"), col("seq_idx"), col(idCol),
-        (col("_cb") + col("_s") - col("seq_idx") * b).as("seq_offset"),
-        (col("_e") - col("_s")).as("seg_tokens"),
-        slice(col("_t"),
-          (col("_s") + 1).cast("int"), (col("_e") - col("_s")).cast("int")).as("_seg"))
+        (col("shard") +: col("seq_idx") +: col(idCol) +:
+          (col("_cb") + col("_s") - col("seq_idx") * b).as("seq_offset") +:
+          (col("_e") - col("_s")).as("seg_tokens") +:
+          slice(col("_t"),
+            (col("_s") + 1).cast("int"), (col("_e") - col("_s")).cast("int")).as("_seg") +:
+          parallel.map { case (name, _) =>
+            slice(col(s"_p_$name"),
+              (col("_s") + 1).cast("int"), (col("_e") - col("_s")).cast("int")).as(name)
+          }): _*)
   }
 
   /** Greedy next-fit packing (no document splitting): within each shard,

@@ -128,4 +128,59 @@ class PackSpec extends SparkSpec {
     assert(repacked === packed.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
   }
+
+  test("packTokenIdsWithMask: mask slices stay aligned to their ids and conserve exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ids are positions, masks alternate with a doc-specific phase — any
+    // misalignment after packing is visible as a broken (id, mask) pair
+    val docs = (1L to 40L).map { d =>
+      val n = (d % 13 + 1).toInt
+      (d, (0 until n).map(i => d * 100 + i), (0 until n).map(i => (i + d) % 2 == 0))
+    }.toDF("doc_id", "ids", "mask")
+    val packed = graft.ops.Pack
+      .packTokenIdsWithMask(docs, "doc_id", "ids", "mask", budget = 16, numShards = 4)
+    val segs = packed
+      .select("doc_id", "seq_idx", "seg_ids", "seg_mask")
+      .as[(Long, Long, Seq[Long], Seq[Boolean])].collect()
+    // alignment: every (id, mask) pair matches the source construction
+    segs.foreach { case (d, _, ids, mask) =>
+      assert(ids.length == mask.length)
+      ids.zip(mask).foreach { case (id, m) =>
+        val i = id - d * 100
+        assert(m == ((i + d) % 2 == 0), s"doc $d token $i mask misaligned")
+      }
+    }
+    // conservation: concatenating a doc's mask slices in seq order
+    // reconstructs its original mask exactly
+    val rebuilt = segs.groupBy(_._1).map { case (d, ss) =>
+      d -> ss.sortBy(_._2).flatMap(_._4).toSeq
+    }
+    val orig = docs.select("doc_id", "mask").as[(Long, Seq[Boolean])].collect().toMap
+    assert(rebuilt.keySet == orig.keySet)
+    rebuilt.foreach { case (d, m) => assert(m == orig(d), s"doc $d mask not conserved") }
+    // shared columns identical to packTokenIds
+    val plain = graft.ops.Pack
+      .packTokenIds(docs, "doc_id", "ids", budget = 16, numShards = 4)
+      .select("shard", "seq_idx", "doc_id", "seq_offset", "seg_tokens", "seg_ids")
+      .collect().map(_.toString).sorted.toSeq
+    val shared = packed
+      .select("shard", "seq_idx", "doc_id", "seq_offset", "seg_tokens", "seg_ids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(shared == plain)
+  }
+
+  test("packTokenIdsWithMask refuses a mask whose length disagrees with the ids") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq(1L, 2L, 3L), Seq(true, false)))
+      .toDF("doc_id", "ids", "mask")
+    val e = intercept[Exception] {
+      graft.ops.Pack
+        .packTokenIdsWithMask(bad, "doc_id", "ids", "mask", budget = 8, numShards = 2)
+        .collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("length mismatch"), s"unexpected error chain: $messages")
+  }
 }
