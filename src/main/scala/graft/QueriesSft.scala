@@ -95,6 +95,14 @@ object QueriesSft {
       Preference.bestOfN(candidates(s, dir), "user_id", "event_id", "value",
         minScore = 220.0)),
 
+    "q_pf_embdrift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Profile.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "embedding", frozenCentroids(s, dir))
+    }),
+
     "q_proto_rank" -> ((s, dir) =>
       Prototype.prototypicality(t(s, dir, "embeddings"), "vec_id", "embedding",
         frozenCentroids(s, dir))),
@@ -249,6 +257,33 @@ object QueriesSft {
          |    ORDER BY s DESC, event_id) = 1)
          |SELECT user_id, best_id, best_score FROM b
          |WHERE best_score >= 220.0""".stripMargin,
+
+    "q_pf_embdrift" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        |sc AS (
+        |  SELECT e.vec_id, c.cell,
+        |    floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+        |      * 1000000 + 0.5) / 1000000 AS sim
+        |  FROM embeddings e, cent c),
+        |a AS (
+        |  SELECT vec_id, cell FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) = 1),
+        |r AS (SELECT cell, count(*) AS cr FROM a WHERE vec_id % 2 = 0 GROUP BY 1),
+        |cu AS (SELECT cell, count(*) AS cc FROM a WHERE vec_id % 2 = 1 GROUP BY 1),
+        |u AS (SELECT COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+        |  FROM r FULL OUTER JOIN cu USING (cell)),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(cr) AS BIGINT) AS nr,
+        |    CAST(sum(cc) AS BIGINT) AS nc FROM u),
+        |t AS (SELECT floor(
+        |    ((cr + 1e-6) / (nr + k * 1e-6) - (cc + 1e-6) / (nc + k * 1e-6))
+        |    * ln(((cr + 1e-6) / (nr + k * 1e-6)) / ((cc + 1e-6) / (nc + k * 1e-6)))
+        |    * 1e12 + 0.5) AS t
+        |  FROM u, k)
+        |SELECT (SELECT nr FROM k) AS n_ref, (SELECT nc FROM k) AS n_cur,
+        |  floor(CAST(sum(t) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS psi
+        |FROM t""".stripMargin,
 
     "q_proto_rank" -> protoRankSql,
 

@@ -163,4 +163,88 @@ object Profile {
         lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
         graft.Functions.roundHalfUp(col("_ts").cast("double") / lit(1e12), 6).as("psi"))
   }
+
+  /** [[psi]] over a CATEGORICAL column — population stability across
+    * discrete classes (language mix, cluster membership, source mix)
+    * instead of numeric buckets. The spine is the union of categories
+    * observed on either side (a category present only in `cur` is drift,
+    * not an error), NULL categories are excluded like NULL values, and
+    * the same eps smoothing / picounit-quantized term sum keeps the
+    * result order-free and oracle-exact. Cardinality is asserted ≤ 100000
+    * — the same "the histogram must be driver-sized" bound as [[psi]].
+    * Output: one row `(n_ref, n_cur, psi)`.
+    */
+  def psiCategorical(
+      ref: DataFrame,
+      cur: DataFrame,
+      catCol: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0.0, s"eps=$eps must be positive")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    def counts(df: DataFrame, name: String) =
+      df.filter(col(catCol).isNotNull)
+        .select(col(catCol).cast("string").as("_cat"))
+        .groupBy("_cat").agg(count(lit(1)).as(name))
+    val cells = counts(ref, "_cr")
+      .join(counts(cur, "_cc"), Seq("_cat"), "full_outer")
+      .select(coalesce(col("_cr"), lit(0L)).as("cr"),
+        coalesce(col("_cc"), lit(0L)).as("cc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    require(cells.size <= 100000,
+      s"${cells.size} categories — psiCategorical needs a driver-sized spine")
+    val k = cells.size
+    val nRef = cells.map(_._1).sum
+    val nCur = cells.map(_._2).sum
+    if (nRef == 0L || nCur == 0L || k == 0)
+      return spark.range(1).select(lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        lit(null).cast("double").as("psi"))
+    val p = (col("cr").cast("double") + lit(eps)) / lit(nRef.toDouble + k * eps)
+    val q = (col("cc").cast("double") + lit(eps)) / lit(nCur.toDouble + k * eps)
+    val term = (p - q) * log(p / q)
+    cells.toDF("cr", "cc")
+      .select(floor(term * lit(1e12) + lit(0.5)).cast("long").as("_t"))
+      .agg(sum(col("_t")).as("_ts"))
+      .select(
+        lit(nRef).as("n_ref"), lit(nCur).as("n_cur"),
+        graft.Functions.roundHalfUp(col("_ts").cast("double") / lit(1e12), 6).as("psi"))
+  }
+
+  /** Embedding-space drift: assign BOTH corpora to a frozen `(cell, cv)`
+    * centroid relation (6-decimal rounded cosine argmax, ties to the
+    * lowest cell — the [[Prototype]] rule) and compare the cluster
+    * membership mixes with [[psiCategorical]]. This is the monitor a
+    * production embedding pipeline runs between model versions or data
+    * snapshots: numeric PSI per dimension misses rotations that cluster
+    * PSI catches.
+    *
+    * The centroids collect to the driver (nCells ≈ √n — the [[IvfIndex]]
+    * bound) and the assignment is a LITERAL expression — per-row cosines
+    * against embedded constant vectors, zero joins, zero shuffles (the
+    * PCA literal-axes trick); the only exchanges are the two bounded
+    * per-cell count aggregates.
+    */
+  def embeddingDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      vecCol: String,
+      centroids: DataFrame,
+      eps: Double = 1e-6): DataFrame = {
+    val cells: Seq[(Long, Seq[Double])] = centroids
+      .select(col("cell").cast("long"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(cells.nonEmpty, "need at least one centroid")
+    def assigned(df: DataFrame): DataFrame = {
+      val v = col(vecCol).cast("array<double>")
+      val scored = array(cells.map { case (c, cv) =>
+        struct(
+          (-graft.Functions.roundHalfUp(
+            graft.Functions.vecCosine(v, typedlit(cv)), 6)).as("n"),
+          lit(c).as("c"))
+      }: _*)
+      // lexicographic min of (-sim, cell) = highest sim, tie → lowest cell
+      df.filter(v.isNotNull).select(array_min(scored)("c").as("cell"))
+    }
+    psiCategorical(assigned(ref), assigned(cur), "cell", eps)
+  }
 }

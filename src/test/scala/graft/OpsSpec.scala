@@ -775,6 +775,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("psiCategorical: zero on identical mix, alarms on class shift, cur-only class is drift") {
+    import spark.implicits._
+    val refC = ((0 until 80).map(_ => "en") ++ (0 until 20).map(_ => "de")).toDF("lang")
+    val sameC = ((0 until 160).map(_ => "en") ++ (0 until 40).map(_ => "de")).toDF("lang")
+    def psiOf(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) = {
+      val r = graft.ops.Profile.psiCategorical(a, b, "lang").head()
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    val (nr, nc, same) = psiOf(refC, sameC)
+    assert(nr == 100L && nc == 200L)
+    assert(same.exists(math.abs(_) < 1e-4), s"identical mix must be ~0, got $same")
+    val flipped = ((0 until 20).map(_ => "en") ++ (0 until 80).map(_ => "de")).toDF("lang")
+    assert(psiOf(refC, flipped)._3.exists(_ > 0.25), "flipped mix must alarm")
+    // a category absent from ref is legitimate drift, not an error
+    val novel = (0 until 100).map(_ => "fr").toDF("lang")
+    assert(psiOf(refC, novel)._3.exists(_ > 1.0), "novel class must alarm hard")
+    assert(psiOf(refC, refC.limit(0))._3.isEmpty, "empty current -> NULL psi")
+  }
+
+  test("embeddingDrift: ~0 on a self-split, alarms when clusters empty out") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb
+      .select(col("vec_id").cast("long").as("cell"),
+        col("embedding").cast("array<double>").as("cv"),
+        md5(col("vec_id").cast("string")).as("_h"))
+      .orderBy("_h").limit(8).select("cell", "cv")
+    val ref = emb.filter(col("vec_id") % 2 === 0)
+    val cur = emb.filter(col("vec_id") % 2 === 1)
+    val r = graft.ops.Profile.embeddingDrift(ref, cur, "embedding", cents).head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(math.abs(r.getDouble(2)) < 0.2,
+      s"random halves of one corpus must read stable, got ${r.getDouble(2)}")
+    // restrict cur to ONE cluster: membership mix collapses -> alarm
+    val idx = graft.ops.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    val oneCell = emb.join(
+      idx.assignments.groupBy("cell").count().orderBy(desc("count")).limit(1)
+        .join(idx.assignments, "cell").select("vec_id"), "vec_id")
+    val d = graft.ops.Profile.embeddingDrift(emb, oneCell, "embedding", cents).head()
+    assert(d.getDouble(2) > 0.5, s"collapsed membership must alarm, got ${d.getDouble(2)}")
+  }
+
   test("charEntropy: analytic values, padding extreme, empty/null spine rows") {
     import spark.implicits._
     val docs = Seq(
