@@ -103,6 +103,40 @@ class MaterializedAggSpec extends SparkSpec {
     same(agg, lake)
   }
 
+  test("streaming composition: exactly-once lake sink + per-wave refresh keep the rollup live") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (lake, agg) = fresh()
+    val src = Files.createTempDirectory("graft_magg_src").toString
+    val ckpt = Files.createTempDirectory("graft_magg_ck").toString
+
+    def runWave(): Unit = {
+      val q = graft.streaming.Streaming.snapshotSink(
+        spark.readStream.schema("k LONG, part STRING, grp STRING, v DOUBLE").parquet(src),
+        lake, Seq("part"), appId = "magg_stream", checkpoint = ckpt,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      agg.refresh()
+    }
+
+    rows((1L, "p1", "a", 1.0), (2L, "p1", "b", 2.0))
+      .write.mode("append").parquet(src)
+    runWave(); same(agg, lake)
+    rows((3L, "p2", "a", 5.0), (4L, "p2", "b", 0.5))
+      .write.mode("append").parquet(src)
+    runWave(); same(agg, lake)
+    // replay the whole stream from a FRESH checkpoint: commitIfNew dedups
+    // the lake commits, so the rollup must not double
+    val q2 = graft.streaming.Streaming.snapshotSink(
+      spark.readStream.schema("k LONG, part STRING, grp STRING, v DOUBLE").parquet(src),
+      lake, Seq("part"), appId = "magg_stream",
+      checkpoint = Files.createTempDirectory("graft_magg_ck2").toString,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    agg.refresh(); same(agg, lake)
+    assert(agg.read().agg(sum(col("cnt"))).head().getLong(0) == 4L,
+      "replayed stream must not inflate the rollup")
+  }
+
   test("zero-state read before the first refresh has the rollup schema") {
     val (lake, agg) = fresh()
     lake.commit(rows((1L, "p1", "a", 1.0)), Seq("part"))

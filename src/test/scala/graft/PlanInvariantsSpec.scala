@@ -30,7 +30,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_dd_editdist",   // salted band join: keyed SHUFFLE_HASH, never a cross
     "q_kmv_sketch",    // bounded-heap candidates + bounded bottom-k window
     "q_vec_cov",       // d(d+1)/2-bounded covariance aggregate, no joins
-    "q_o8_grouptopk")  // heap candidates + broadcast-semi recovery, no fact sort
+    "q_o8_grouptopk",  // heap candidates + broadcast-semi recovery, no fact sort
+    "q_dpo_advantage", // one prompt-keyed window of decimal moments
+    "q_pv_gate",       // group stats + null-safe keyed join back
+    "q_pk_mask",       // chunk arithmetic + parallel-array slices, keyed only
+    "q_sft_lossmask")  // conv-keyed prefix-sum window
 
   queries.foreach { name =>
     test(s"$name: no cartesian, no nested-loop join, no global sort mid-chain") {
