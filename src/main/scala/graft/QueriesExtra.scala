@@ -198,6 +198,16 @@ object QueriesExtra {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))),
 
+    // in-house HLL: unlike the engine-internal sketch above, registers AND
+    // estimate are deterministic relational algebra — fully oracled
+    "q_hll_registers" -> ((s, dir) =>
+      graft.ops.Hll.registers(
+        t(s, dir, "events").filter(col("event_id").isNotNull), "event_id", p = 8)),
+
+    "q_hll_estimate" -> ((s, dir) =>
+      graft.ops.Hll.estimate(
+        t(s, dir, "events").filter(col("event_id").isNotNull), "event_id", p = 8)),
+
     // IVF ANN search, 4 of 16 cells probed — FULLY oracled: the md5-sampled
     // centroids, the cosine-argmax assignment, and the probe ranking are
     // all deterministic, so the SQL replays the whole index (AnnSpec
@@ -353,6 +363,38 @@ object QueriesExtra {
        |  FROM base)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_hll_registers" ->
+      """WITH h AS (
+        |  SELECT CAST('0x' || substr(md5('hll:' || CAST(event_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS h
+        |  FROM events WHERE event_id IS NOT NULL)
+        |SELECT h >> 52 AS bucket,
+        |  max(52 - length(ltrim(bin(h & ((1::BIGINT << 52) - 1)), '0')) + 1) AS m_rank
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "q_hll_estimate" ->
+      """WITH h AS (
+        |  SELECT CAST('0x' || substr(md5('hll:' || CAST(event_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS h
+        |  FROM events WHERE event_id IS NOT NULL),
+        |regs AS (
+        |  SELECT h >> 52 AS bucket,
+        |    max(52 - length(ltrim(bin(h & ((1::BIGINT << 52) - 1)), '0')) + 1) AS m_rank
+        |  FROM h GROUP BY 1),
+        |sp AS (SELECT unnest(range(0, 256)) AS bucket),
+        |j AS (SELECT COALESCE(m_rank, 0) AS mr FROM sp LEFT JOIN regs USING (bucket)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+        |    sum(CAST(power(2, 60 - mr) AS DECIMAL(38,0))) AS s
+        |  FROM j)
+        |SELECT n_buckets, v_empty,
+        |  CAST(floor(CASE WHEN (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+        |        * power(2, 60) / CAST(s AS DOUBLE) <= 640.0 AND v_empty > 0
+        |      THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))
+        |      ELSE (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+        |        * power(2, 60) / CAST(s AS DOUBLE) END + 0.5) AS BIGINT) AS est
+        |FROM a""".stripMargin,
+
     // the maintained rollup must equal the FINAL table state's rollup:
     // orders minus partition 'F', with %10 keys re-grouped to UPDATED at
     // doubled value by the upsert

@@ -775,6 +775,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Hll: estimate within sketch error, linear-counting regime near-exact, registers merge") {
+    import spark.implicits._
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("event_id").isNotNull)
+    val exact = events.select("event_id").distinct().count()
+    val est = graft.ops.Hll.estimate(events, "event_id", p = 8)
+      .select("est").as[Long].head()
+    // m=256 → standard error 1.04/√256 = 6.5%; allow 3σ
+    assert(math.abs(est - exact).toDouble / exact < 0.20,
+      s"est $est vs exact $exact out of sketch error")
+    // small-cardinality regime: linear counting is near-exact
+    val small = (1L to 60L).toDF("v")
+    val estSmall = graft.ops.Hll.estimate(small, "v", p = 8)
+      .select("est").as[Long].head()
+    assert(math.abs(estSmall - 60L) <= 3L, s"linear counting drifted: $estSmall")
+    // merge law: registers(A ∪ B) ≡ merge(registers(A), registers(B)),
+    // and the merged estimate equals the union's estimate exactly
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 3 === 0) // overlaps a
+    val direct = graft.ops.Hll.registers(a.unionByName(b), "event_id", p = 8)
+      .as[(Long, Long)].collect().toSet
+    val merged = graft.ops.Hll.mergeRegisters(
+      graft.ops.Hll.registers(a, "event_id", p = 8),
+      graft.ops.Hll.registers(b, "event_id", p = 8))
+      .as[(Long, Long)].collect().toSet
+    assert(direct == merged)
+    // duplicated input never moves a register (insert idempotence)
+    val doubled = graft.ops.Hll.registers(
+      events.unionByName(events), "event_id", p = 8).as[(Long, Long)].collect().toSet
+    val once = graft.ops.Hll.registers(events, "event_id", p = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(doubled == once)
+  }
+
   test("psiCategorical: zero on identical mix, alarms on class shift, cur-only class is drift") {
     import spark.implicits._
     val refC = ((0 until 80).map(_ => "en") ++ (0 until 20).map(_ => "de")).toDF("lang")

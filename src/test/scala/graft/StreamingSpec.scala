@@ -512,6 +512,57 @@ class StreamingSpec extends SparkSpec {
       "incrementally merged stream sketch must equal the batch sketch counter-for-counter")
   }
 
+  test("streaming HLL maintenance: per-batch register merge equals the batch sketch") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_hll_src_").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_hll_sk_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hll_ck_").toString
+
+    val wave1 = (0L until 400L).map(i => Tuple1(i * 7))
+    val wave2 = (300L until 700L).map(i => Tuple1(i * 7)) // overlaps wave 1
+
+    // registers merge by per-bucket max — the CMS maintenance story with
+    // max instead of plus, same versioned-dir discipline
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("v LONG").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val inc = graft.ops.Hll.registers(batch, "v", p = 8)
+          val prev = new java.io.File(s"$base/v${batchId - 1}")
+          val merged =
+            if (prev.exists()) graft.ops.Hll.mergeRegisters(
+              batch.sparkSession.read.parquet(prev.toString), inc)
+            else inc
+          merged.write.mode("overwrite").parquet(s"$base/v$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("v").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("v").write.mode("append").parquet(src)
+    runOnce()
+
+    val streamed = spark.read.parquet(s"$base/v1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchTwin = graft.ops.Hll.registers(
+        (wave1 ++ wave2).toDF("v"), "v", p = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batchTwin,
+      "incrementally merged registers must equal the batch sketch register-for-register")
+    // and the estimate over the maintained registers equals the batch estimate
+    val estStream = graft.ops.Hll
+      .estimateFromRegisters(spark.read.parquet(s"$base/v1"), p = 8)
+      .select("est").as[Long].head()
+    val estBatch = graft.ops.Hll.estimate((wave1 ++ wave2).toDF("v"), "v", p = 8)
+      .select("est").as[Long].head()
+    assert(estStream == estBatch)
+  }
+
   test("streaming EWMA: per-key smoothed state carries across micro-batches ≡ batch") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_ew_src_").toString
