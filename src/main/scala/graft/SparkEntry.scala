@@ -28,7 +28,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesEvents.queries ++ QueriesCorpus.queries ++
       QueriesExtra.queries ++ QueriesGsReady.queries ++ QueriesPerfmet.queries ++
-      QueriesSampling.queries ++ QueriesSft.queries ++ QueriesPrivacy.queries
+      QueriesSampling.queries ++ QueriesSft.queries ++ QueriesPrivacy.queries ++
+      QueriesWeb.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get the driver's weaker rows-only
@@ -37,5 +38,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesEvents.oracles ++ QueriesCorpus.oracles ++
       QueriesExtra.oracles ++ QueriesGsReady.oracles ++ QueriesPerfmet.oracles ++
-      QueriesSampling.oracles ++ QueriesSft.oracles ++ QueriesPrivacy.oracles
+      QueriesSampling.oracles ++ QueriesSft.oracles ++ QueriesPrivacy.oracles ++
+      QueriesWeb.oracles
 }

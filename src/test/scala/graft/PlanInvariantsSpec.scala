@@ -90,6 +90,32 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), s"q_dd_simhash must not aggregate:\n$plan")
   }
 
+  test("q_web_html / q_bp_clean: extraction chains are zero-exchange per-row projections") {
+    for (name <- Seq("q_web_html", "q_bp_clean")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
+      assert(!plan.contains("HashAggregate"), s"$name must not aggregate:\n$plan")
+    }
+  }
+
+  test("q_url_domain: one map-side-partial aggregate on the bounded domain key") {
+    val df = SparkEntry.queries("q_url_domain")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // AQE prints the pre-adaptive plan again under "== Initial Plan ==" —
+    // pin the FINAL physical plan only
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"q_url_domain must not join:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"q_url_domain needs exactly ONE exchange:\n$plan")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(plan.lastIndexOf("HashAggregate") > exchangeIdx,
+      s"map-side partial aggregate must run UNDER the exchange:\n$plan")
+  }
+
   test("q_ann_brute: one-row broadcast cross + TakeOrderedAndProject — fact side never shuffles") {
     val df = SparkEntry.queries("q_ann_brute")(spark, "/root/testdata/sf0.001")
     df.collect()

@@ -714,6 +714,83 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "stream must equal batch string-for-string")
   }
 
+  test("streaming web extraction: stateless per-row chains stream unchanged") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_web_src_").toString
+    val name = "web_out"
+    val docs = (0L until 30L).map(i =>
+      (i, s"<div><p>body $i &amp; tail</p><script>1<2</script></div>\n" +
+        s"Home | About | Contact\nreal content line number $i here"))
+    docs.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.ops.WebExtract.htmlToText(col("text")).as("extracted"),
+      graft.ops.WebExtract.removeBoilerplate(col("text")).as("cleaned"))
+    val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+      .transform(shape)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val batch = shape(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(streamed == batch, "stream must equal batch string-for-string")
+  }
+
+  test("streaming domain-rollup maintenance: per-batch fold equals the batch rollup") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_dom_src_").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_dom_st_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dom_ck_").toString
+
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.ops.WebExtract.registeredDomain(
+        graft.ops.WebExtract.urlHost(col("url"))).as("domain"),
+        col("n_chars"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+
+    // counts/sums are mergeable: fold each micro-batch's rollup into the
+    // persisted one by pointwise addition — the CMS/KMV roll-up pattern
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("url STRING, n_chars LONG").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val inc = rollup(batch)
+          val prev = new java.io.File(s"$base/v${batchId - 1}")
+          val merged =
+            if (prev.exists())
+              batch.sparkSession.read.parquet(prev.toString)
+                .unionByName(inc)
+                .groupBy("domain")
+                .agg(sum(col("n_docs")).as("n_docs"),
+                  sum(col("tot_chars")).as("tot_chars"))
+            else inc
+          merged.write.mode("overwrite").parquet(s"$base/v$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val wave1 = (0L until 40L).map(i => (s"https://www.site${i % 4}.com/p$i", i))
+    val wave2 = (0L until 30L).map(i => (s"https://cdn.site${i % 6}.co.uk/q$i", i + 100L))
+    wave1.toDF("url", "n_chars").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("url", "n_chars").write.mode("append").parquet(src)
+    runOnce()
+
+    val streamed = spark.read.parquet(s"$base/v1")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batchTwin = rollup((wave1 ++ wave2).toDF("url", "n_chars"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batchTwin,
+      "incrementally folded domain rollup must equal the batch rollup")
+  }
+
   test("streaming NB scoring against a persisted model equals batch scoring") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_nbs_src_").toString
