@@ -73,6 +73,18 @@ object QueriesSampling {
         targetRate = 0.8, salt = "ws")
         .select("doc_id", "lang", "n_chars")),
 
+    // DoReMi-style domain reweighting: per-language mixture weights from
+    // proxy-vs-reference excess loss (losses synthesized deterministically
+    // from n_chars so the whole update — aggregate, exp, normalize — oracles)
+    "q_sm_reweight" -> ((s, dir) =>
+      Sampling.domainReweight(
+        t(s, dir, "documents").select(
+          col("lang"),
+          ((col("n_chars") % 97).cast("double") / 10.0).as("cur"),
+          ((col("n_chars") % 89).cast("double") / 10.0).as("ref")),
+        "lang", "cur", "ref",
+        baseWeights = Map("en" -> 2.0), eta = 0.5)),
+
     // epoch-3 training order: reproducible global permutation, two-level
     // position assignment (no whole-dataset window partition)
     "q_sm_shuffle" -> ((s, dir) =>
@@ -160,6 +172,27 @@ object QueriesSampling {
          |SELECT doc_id, lang, n_chars FROM documents, m
          |WHERE CAST(n_chars AS DOUBLE) > 0.0
          |  AND ${uSql("doc_id", "ws")} < CAST(n_chars AS DOUBLE) * m.scale""".stripMargin,
+    "q_sm_reweight" ->
+      """WITH r AS (
+        |  SELECT lang,
+        |    CAST(n_chars % 97 AS DOUBLE) / 10.0 AS cur,
+        |    CAST(n_chars % 89 AS DOUBLE) / 10.0 AS ref
+        |  FROM documents WHERE lang IS NOT NULL),
+        |d AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    floor(CAST(sum(CAST(cur AS DECIMAL(28,12)) - CAST(ref AS DECIMAL(28,12)))
+        |        AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS excess
+        |  FROM r GROUP BY lang),
+        |u AS (
+        |  SELECT *, CAST(floor((CASE WHEN lang = 'en' THEN 2.0 ELSE 1.0 END)
+        |      * exp(0.5 * excess) * 1000000000.0 + 0.5) AS BIGINT) AS u9
+        |  FROM d),
+        |t AS (SELECT CAST(sum(u9) AS BIGINT) AS t9 FROM u)
+        |SELECT lang, n_docs, excess,
+        |  floor(CAST(u9 AS DOUBLE) / CAST(t9 AS DOUBLE) * 1000000000.0 + 0.5)
+        |    / 1000000000.0 AS weight
+        |FROM u, t""".stripMargin,
     "q_sm_temperature" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          |m AS (SELECT min(n) AS nmin FROM c),

@@ -501,6 +501,35 @@ object Bpe {
       .toDF(idCol, "tokens", "n_tokens")
   }
 
+  /** Corpus-scale inverse of [[encode]]: `(idCol, decoded)` with the
+    * token sequence reassembled into text via [[decodeCharTokens]] /
+    * [[decodeByteTokens]]. BPE is lossless ABOVE its normalization, so
+    * `decode(encode(text))` equals the normalized text exactly — the
+    * space-joined non-empty pieces of `split(trim(lower(text)), "\\s+")`
+    * — which is what makes the round trip a REAL oracle (q_bpe_roundtrip:
+    * the SQL side recomputes the normalization from the raw corpus and
+    * never needs the tokenizer). Embarrassingly parallel per-row work,
+    * zero shuffle.
+    */
+  def decode(
+      encoded: DataFrame,
+      idCol: String,
+      endOfWord: String = EndOfWord,
+      byteLevel: Boolean = false): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded
+      .select(col(idCol).cast("long"), col("tokens"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        val text =
+          if (byteLevel) decodeByteTokens(toks, endOfWord)
+          else decodeCharTokens(toks, endOfWord)
+        (id, text)
+      }
+      .toDF(idCol, "decoded")
+  }
+
   /** [[encode]] that additionally reports, for every emitted token, the
     * code-point range of its source WORD in the document text — the
     * coordinate bridge between character-level annotations (PII spans,

@@ -177,4 +177,52 @@ object Kmv {
           explode(filter(Dedup.tokens(coalesce(col(textCol), lit(""))), t => t =!= ""))
             .as("_tok")),
       groupCol, "_tok", k, salt)
+
+  /** Theta-sketch-style set algebra over two KMV sketches with the SAME
+    * (k, salt) geometry: per group, bottom-k of the hash union is exactly
+    * `sketch(A ∪ B)`, and the fraction of those union-sketch hashes that
+    * appear in BOTH input sketches is the standard KMV Jaccard estimator.
+    * Output per group:
+    *
+    *   - `n_merged` — union-sketch size (< k ⇒ the union was exhaustively
+    *     sketched and everything below is exact);
+    *   - `n_both` — union-sketch hashes present in both inputs;
+    *   - `jaccard` — n_both / n_merged, half-up at 9 decimals;
+    *   - `est_union` — [[estimate]] of the merged sketch;
+    *   - `est_intersection` — ⌊jaccard · est_union⌋, the inclusion-
+    *     exclusion-free intersection estimate.
+    *
+    * Every join is keyed on (group, h) over ≤k-row-per-group relations —
+    * sketch-sized work regardless of corpus size. Groups present in only
+    * one input get jaccard 0 (nothing can be in both).
+    */
+  def jaccardEstimate(a: DataFrame, b: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val ha = a.select(col(groupCol).as("g"), col("h"))
+    val hb = b.select(col(groupCol).as("g"), col("h"))
+    val merged = bottomK(ha.union(hb).distinct(), k)
+    val both = ha.join(hb, Seq("g", "h"), "left_semi")
+      .withColumn("_inBoth", lit(1L))
+    val est = estimate(merged.withColumnRenamed("g", groupCol), groupCol, k)
+      .withColumnRenamed(groupCol, "g")
+      .withColumnRenamed("est", "est_union")
+    merged
+      .join(both, Seq("g", "h"), "left")
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n_merged"),
+        sum(coalesce(col("_inBoth"), lit(0L))).as("n_both"))
+      .join(est, Seq("g"))
+      .select(
+        col("g").as(groupCol),
+        col("n_merged"),
+        col("n_both"),
+        graft.Functions.roundHalfUp(
+          col("n_both").cast("double") / col("n_merged").cast("double"), 9)
+          .as("jaccard"),
+        col("est_union"),
+        floor(col("n_both").cast("double") / col("n_merged").cast("double")
+          * col("est_union").cast("double")).cast("long")
+          .as("est_intersection"))
+  }
 }

@@ -396,4 +396,64 @@ object Sampling {
       .withColumn("pos", col("_off") + col("_lr") - 1)
       .drop("_sk", "_b", "_lr", "_off")
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, simplified to its
+    * one-step multiplicative update): given per-document losses under the
+    * CURRENT proxy model and a REFERENCE model, each domain's new mixture
+    * weight is
+    *
+    *   w'(d) ∝ w(d) · exp(η · excess(d)),   excess(d) = mean(cur − ref)
+    *
+    * normalized to sum 1. Domains where the proxy lags the reference
+    * (high excess loss) get up-weighted — the data-mixture tuning step of
+    * a large pretraining run.
+    *
+    * Determinism: the per-domain mean uses DECIMAL(28,12) sums over
+    * 12-decimal quantized losses (order-free exact, the TrafficAgg moment
+    * discipline); exp/normalize run per DOMAIN row (bounded), with the
+    * output half-up at 9 decimals — fully oracle-replayable. Scale: one
+    * map-side-partial aggregate keyed on domain + a broadcast one-row
+    * total; no corpus-keyed joins.
+    *
+    * Output: `(domainCol, n_docs, excess, weight)` — `excess` half-up 6.
+    */
+  def domainReweight(
+      df: DataFrame,
+      domainCol: String,
+      curLossCol: String,
+      refLossCol: String,
+      baseWeights: Map[String, Double] = Map.empty,
+      eta: Double = 1.0): DataFrame = {
+    require(eta > 0.0, s"eta must be positive, got $eta")
+    val q = (c: String) => col(c).cast("decimal(28,12)")
+    val perDomain = df
+      .filter(col(domainCol).isNotNull &&
+        col(curLossCol).isNotNull && col(refLossCol).isNotNull)
+      .groupBy(col(domainCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(q(curLossCol) - q(refLossCol)).as("_d"))
+      .select(
+        col(domainCol), col("n_docs"),
+        Functions.roundHalfUp(
+          col("_d").cast("double") / col("n_docs").cast("double"), 6)
+          .as("excess"))
+    val base = baseWeights.foldLeft(lit(1.0)) { case (acc, (d, w)) =>
+      when(col(domainCol) === d, lit(w)).otherwise(acc)
+    }
+    // unnormalized weights quantized to integer nano-units BEFORE the
+    // normalizing sum — a double sum over domains would be fold-order
+    // dependent; a long sum is order-free and oracle-exact
+    val unnorm = perDomain
+      .select(col(domainCol), col("n_docs"), col("excess"),
+        floor(base * exp(lit(eta) * col("excess")) * 1e9 + 0.5)
+          .cast("long").as("_u9"))
+    val total = unnorm.agg(sum(col("_u9")).as("_t9"))
+    unnorm
+      .crossJoin(broadcast(total))
+      .select(
+        col(domainCol), col("n_docs"), col("excess"),
+        Functions.roundHalfUp(
+          col("_u9").cast("double") / col("_t9").cast("double"), 9).as("weight"))
+  }
 }

@@ -928,6 +928,96 @@ object TextAnalysis {
         graft.Functions.roundHalfUp(exp(mean), 4).as("perplexity"))
   }
 
+  /** PMI collocation mining: pointwise mutual information of adjacent
+    * token pairs,
+    *
+    *   pmi(x,y) = ln( (c(x,y)/N₂) / ((c(x)/N₁)·(c(y)/N₁)) )
+    *
+    * with c(x,y) corpus bigram counts, c(·) corpus unigram counts, N₂/N₁
+    * their totals — the classic collocation detector (Church & Hanks
+    * 1990), used on training corpora to spot glued-together artifacts
+    * ("click here", "all rights reserved") and to audit tokenizer merge
+    * candidates. Pairs below `minCount` are noise (PMI's low-count bias)
+    * and are dropped BEFORE the joins.
+    *
+    * Output: `(w1, w2, pair_count, pmi)` with pmi half-up at 6 decimals,
+    * computed per output row (no float aggregation — the only sums are
+    * exact long counts, so the relation is hash-exact for the oracle).
+    *
+    * Scale shape: two map-side-combinable count aggregates keyed by
+    * bigram/token, two vocab-keyed joins on the ≥minCount survivors, and
+    * one broadcast of the two-scalar totals row. Never all-pairs.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val c2 = bigramRows(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val uni = df
+      .select(explode(filter(toks(col(textCol)), t => t =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = c2.agg(sum(col("pair_count")).as("n2"))
+      .crossJoin(uni.agg(sum(col("c")).as("n1")))
+    c2.filter(col("pair_count") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_w2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("w1"), col("w2"), col("pair_count"),
+        graft.Functions.roundHalfUp(
+          log(col("pair_count").cast("double") * col("n1").cast("double") *
+            col("n1").cast("double") /
+            (col("n2").cast("double") * col("c_w1").cast("double") *
+              col("c_w2").cast("double"))), 6).as("pmi"))
+  }
+
+  /** Search-result snippet extraction: the `windowTokens`-token window of
+    * each document with the most query-token hits (earliest window on
+    * ties), as search engines render hit context. Output per document:
+    * `(idCol, start_tok, n_hits, snippet)` — `start_tok` the 0-based token
+    * offset of the chosen window, `snippet` its tokens space-joined.
+    * Documents shorter than the window return the whole document;
+    * hit-free documents return the leading window with `n_hits = 0`.
+    *
+    * Pure array expressions over the token list — no explode, no shuffle,
+    * embarrassingly parallel per row. Cost is O(tokens · windowTokens)
+    * per document (windowed hit-count via slice sums), the right trade
+    * below ~10²-token windows; a prefix-sum rewrite saves nothing until
+    * windows get much longer than snippets ever are.
+    */
+  def snippets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTokens: Seq[String],
+      windowTokens: Int = 12): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val qn = normalizedQuery(queryTokens)
+    require(qn.nonEmpty, "query must contain at least one token")
+    val pos = array_position(col("_scores"), array_max(col("_scores")))
+    df
+      .select(col(idCol),
+        filter(toks(col(textCol)), t => t =!= "").as("_tk"))
+      .select(col(idCol), col("_tk"),
+        transform(col("_tk"),
+          t => when(t.isin(qn: _*), 1).otherwise(0)).as("_hit"))
+      .select(col(idCol), col("_tk"),
+        transform(
+          sequence(lit(0), greatest(size(col("_tk")) - windowTokens, lit(0))),
+          i => aggregate(slice(col("_hit"), i + 1, lit(windowTokens)),
+            lit(0), (a, x) => a + x))
+          .as("_scores"))
+      .select(
+        col(idCol),
+        (pos - 1).cast("long").as("start_tok"),
+        array_max(col("_scores")).cast("long").as("n_hits"),
+        array_join(slice(col("_tk"), pos.cast("int"), lit(windowTokens)), " ")
+          .as("snippet"))
+  }
+
   /** Per-document trigram occurrences (w1, w2, w3) in token order — the
     * n=3 sibling of [[bigramRows]] (posexplode + two lead windows over the
     * same sort, one window pass). Documents with fewer than three tokens

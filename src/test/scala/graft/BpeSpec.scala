@@ -385,4 +385,21 @@ class BpeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { Bpe.loadTokenizer(spark, bare) }
     assert(e.getMessage.contains("saveTokenizer"))
   }
+
+  test("decode(encode) == normalized text, corpus-scale and per-row") {
+    val docs = Seq(
+      (1L, "  The   QUICK brown\tfox  "),
+      (2L, "internationalization nation station"),
+      (3L, ""),
+      (4L, "single")).toDF("doc_id", "text")
+    val merges = Bpe.learn(docs, "text", numMerges = 8)
+    val decoded = Bpe.decode(Bpe.encode(docs, "doc_id", "text", merges), "doc_id")
+      .as[(Long, String)].collect().toMap
+    val expect = Map(
+      1L -> "the quick brown fox",
+      2L -> "internationalization nation station",
+      3L -> "",
+      4L -> "single")
+    assert(decoded === expect, s"got $decoded")
+  }
 }

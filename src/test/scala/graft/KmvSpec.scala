@@ -101,4 +101,46 @@ class KmvSpec extends SparkSpec {
       Kmv.sketch(rows(("a", "x")), "g", "item", 1)
     }
   }
+
+  test("jaccardEstimate: identical sets → jaccard 1, disjoint small sets → exact") {
+    val a = Kmv.sketch(rows(group("a", 10): _*), "g", "item", k)
+    val same = Kmv.jaccardEstimate(a, a, "g", k)
+      .select("n_merged", "n_both", "jaccard", "est_union", "est_intersection")
+      .head()
+    assert(same.getLong(0) == 10L && same.getLong(1) == 10L)
+    assert(same.getDouble(2) == 1.0)
+    assert(same.getLong(3) == 10L, "sub-k union sketch is exact")
+    assert(same.getLong(4) == 10L)
+
+    // disjoint 10+10 = 20 distinct hashes with k=32: union stays exact
+    val a32 = Kmv.sketch(rows(group("a", 10): _*), "g", "item", 32)
+    val b32 = Kmv.sketch(
+      rows((0 until 10).map(i => ("a", s"other$i")): _*), "g", "item", 32)
+    val disj = Kmv.jaccardEstimate(a32, b32, "g", 32)
+      .select("n_merged", "n_both", "jaccard", "est_union", "est_intersection")
+      .head()
+    assert(disj.getLong(0) == 20L && disj.getLong(1) == 0L)
+    assert(disj.getDouble(2) == 0.0 && disj.getLong(4) == 0L)
+    assert(disj.getLong(3) == 20L, "20 < k ⇒ union exact")
+  }
+
+  test("jaccardEstimate: 50% overlap estimates near truth above k") {
+    // A = 0..599, B = 300..899: |A∪B| = 900, |A∩B| = 300, J = 1/3
+    val a = Kmv.sketch(rows((0 until 600).map(i => ("a", s"v$i")): _*), "g", "item", 64)
+    val b = Kmv.sketch(rows((300 until 900).map(i => ("a", s"v$i")): _*), "g", "item", 64)
+    val r = Kmv.jaccardEstimate(a, b, "g", 64)
+      .select("jaccard", "est_union", "est_intersection").head()
+    val j = r.getDouble(0); val u = r.getLong(1); val i = r.getLong(2)
+    assert(math.abs(j - 1.0 / 3.0) < 0.2, s"jaccard $j far from 1/3")
+    assert(math.abs(u - 900.0) / 900.0 < 0.35, s"union est $u far from 900")
+    assert(math.abs(i - 300.0) / 300.0 < 0.6, s"intersection est $i far from 300")
+  }
+
+  test("jaccardEstimate: group present in only one sketch gets jaccard 0") {
+    val a = Kmv.sketch(rows(("a", "x"), ("a", "y")), "g", "item", k)
+    val b = Kmv.sketch(rows(("b", "z")), "g", "item", k)
+    val out = Kmv.jaccardEstimate(a, b, "g", k)
+      .select("g", "n_both").as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 0L, "b" -> 0L))
+  }
 }
