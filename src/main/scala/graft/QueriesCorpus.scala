@@ -98,6 +98,21 @@ object QueriesCorpus {
         "id_a", "id_b")
     }),
 
+    // integer-quantized PageRank over a deterministic md5-derived link
+    // graph (3 out-edges per doc) — the iterated fixpoint itself is
+    // oracle-replayed (all-integer update rule, unrolled CTEs in SQL)
+    "q_graph_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(
+        col("doc_id").as("src"),
+        explode(array((0 until 3).map(k =>
+          Functions.md5Bits(
+            concat(lit("pr:"), col("doc_id").cast("string"), lit(s":$k")), 60) % n): _*))
+          .as("dst"))
+      graft.ops.PageRank.run(edges, "src", "dst", iterations = 5)
+    }),
+
     // one-pass table profile: per-column rows/nulls/distinct/min/max —
     // the dataset-health report, exact and fully oracle-checked
     "q_pf_describe" -> ((s, dir) =>
@@ -492,6 +507,40 @@ object QueriesCorpus {
         queryTokens = Seq("scan", "join", "window"), totalDocs = docs.count())
     }),
 
+    // PMI collocations: adjacent-pair pointwise mutual information over
+    // corpus bigram/unigram counts — pairs under the count floor drop
+    "q_tx_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 20L)),
+
+    // hit-context snippets: the 12-token window with the most query hits
+    // per doc (earliest tie) — pure array expressions, zero shuffle
+    "q_tx_snippet" -> ((s, dir) =>
+      TextAnalysis.snippets(t(s, dir, "documents"), "doc_id", "text",
+        queryTokens = Seq("scan", "join", "window"), windowTokens = 12)),
+
+    // hybrid retrieval: BM25 lexical list fused with the embedding cosine
+    // list by Reciprocal Rank Fusion — rank-only, calibration-free; both
+    // candidate lists truncate to top-50 BEFORE fusion (the bounded part)
+    "q_rrf_fuse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lex = TextAnalysis.bm25(docs, "doc_id", "text",
+        queryTokens = Seq("scan", "join", "window"), totalDocs = docs.count())
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val sem = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(
+          col("vec_id").as("doc_id"),
+          Functions.roundHalfUp(
+            SimilaritySearch.cosine(col("embedding").cast("array<double>"), col("qv")),
+            6).as("cos"))
+      graft.ops.Fusion.rrf(
+        Seq((lex, "bm25"), (sem, "cos")), "doc_id",
+        kRrf = 60, perListTopN = 50, topK = 20)
+    }),
+
     // bigram-LM perplexity: model fit on docs with doc_id % 5 != 0 (the
     // decontamination train split), every document scored against it —
     // the KenLM-style quality signal with exact-integer nano-nat sums
@@ -633,6 +682,19 @@ object QueriesCorpus {
         graft.ops.Kmv.sketchTokens(t(s, dir, "documents"), "lang", "text", k = 32),
         "lang", k = 32)),
 
+    // theta-sketch-style set algebra: per-language vocabulary overlap
+    // between the two source halves from their KMV sketches alone —
+    // union estimate, Jaccard, intersection estimate, all sketch-derived
+    "q_kmv_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val half = expr("CAST(substring(source, 4, 10) AS INT)")
+      val a = graft.ops.Kmv.sketchTokens(
+        docs.filter(half < 10), "lang", "text", k = 32)
+      val b = graft.ops.Kmv.sketchTokens(
+        docs.filter(half >= 10), "lang", "text", k = 32)
+      graft.ops.Kmv.jaccardEstimate(a, b, "lang", k = 32)
+    }),
+
     // BPE round-1 pair counts: frequency-weighted adjacent symbol pairs
     // over character-initial symbols + the end-of-word marker — the
     // oracle-checkable core every learning round re-aggregates
@@ -667,6 +729,18 @@ object QueriesCorpus {
       graft.ops.Bpe.encode(docs, "doc_id", "text",
           graft.ops.Bpe.learn(docs, "text", numMerges = 12))
         .select("doc_id", "n_tokens")
+    }),
+
+    // encode→decode round trip over the whole corpus: BPE is lossless
+    // above its normalization, so the decoded text must equal the
+    // space-joined normalized tokens — an oracle the SQL side computes
+    // from the RAW corpus without ever running the tokenizer
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Bpe.decode(
+        graft.ops.Bpe.encode(docs, "doc_id", "text",
+          graft.ops.Bpe.learn(docs, "text", numMerges = 12)),
+        "doc_id")
     }),
 
     // the ENCODE step itself against the golden: per-fixture-doc token
@@ -1370,6 +1444,32 @@ object QueriesCorpus {
          |  UNION
          |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+    },
+    "q_graph_pagerank" -> {
+      // the all-integer update rule makes the ITERATED fixpoint exactly
+      // replayable: each Spark round unrolls to one CTE pair (contrib sum,
+      // rank update) with // integer division mirroring Spark's `div`
+      val iters = (1 to 5).map { i =>
+        val p = i - 1
+        s"""c$i AS (SELECT e.dst AS node, sum(r$p.r // o.outdeg) AS s
+           |  FROM e JOIN r$p ON e.src = r$p.node JOIN o ON e.src = o.src
+           |  GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |    (1000000000000 // 100) * 15 // nn + (85 * coalesce(c.s, 0)) // 100 AS r
+           |  FROM n LEFT JOIN c$i c ON n.node = c.node, params)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT doc_id AS src,
+         |    CAST('0x' || substr(md5('pr:' || CAST(doc_id AS VARCHAR)
+         |        || ':' || CAST(t.k AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % (SELECT count(*) FROM documents) AS dst
+         |  FROM documents, range(0, 3) t(k)),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |o AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+         |params AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM n),
+         |r0 AS (SELECT node, 1000000000000 // nn AS r FROM n, params),
+         |$iters
+         |SELECT node, CAST(r AS BIGINT) AS rank_pico FROM r5""".stripMargin
     },
     "q_pf_describe" -> {
       val cols = Seq("doc_id", "lang", "source", "n_chars")
@@ -2201,6 +2301,49 @@ object QueriesCorpus {
         |              / CAST(greatest(max(h), 1) AS DOUBLE))
         |              AS BIGINT) END AS est
         |FROM sk GROUP BY lang""".stripMargin,
+    "q_kmv_jaccard" ->
+      """WITH tA AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents
+        |    WHERE lang IS NOT NULL AND CAST(substr(source, 4, 10) AS INT) < 10),
+        |hA AS (SELECT DISTINCT lang,
+        |        CAST('0x' || substr(md5('kmv:' || tok), 1, 15) AS BIGINT) AS h
+        |      FROM tA WHERE tok <> ''),
+        |rA AS (SELECT lang, h FROM (
+        |        SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+        |        FROM hA) WHERE pos <= 32),
+        |tB AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents
+        |    WHERE lang IS NOT NULL AND CAST(substr(source, 4, 10) AS INT) >= 10),
+        |hB AS (SELECT DISTINCT lang,
+        |        CAST('0x' || substr(md5('kmv:' || tok), 1, 15) AS BIGINT) AS h
+        |      FROM tB WHERE tok <> ''),
+        |rB AS (SELECT lang, h FROM (
+        |        SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+        |        FROM hB) WHERE pos <= 32),
+        |u AS (SELECT lang, h FROM rA UNION SELECT lang, h FROM rB),
+        |m AS (SELECT lang, h FROM (
+        |        SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+        |        FROM u) WHERE pos <= 32),
+        |mb AS (SELECT m.lang, m.h,
+        |        CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END AS inboth
+        |      FROM m
+        |      LEFT JOIN rA a ON m.lang = a.lang AND m.h = a.h
+        |      LEFT JOIN rB b ON m.lang = b.lang AND m.h = b.h),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_merged,
+        |        CAST(sum(inboth) AS BIGINT) AS n_both, max(h) AS hk
+        |      FROM mb GROUP BY lang),
+        |e AS (SELECT *,
+        |        CASE WHEN n_merged < 32 THEN n_merged
+        |             ELSE CAST(floor(31.0 * 1152921504606846976.0
+        |                    / CAST(greatest(hk, 1) AS DOUBLE)) AS BIGINT) END AS est_union
+        |      FROM g)
+        |SELECT lang, n_merged, n_both,
+        |  floor(CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE) * 1000000000.0 + 0.5)
+        |    / 1000000000.0 AS jaccard,
+        |  est_union,
+        |  CAST(floor(CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE)
+        |    * CAST(est_union AS DOUBLE)) AS BIGINT) AS est_intersection
+        |FROM e""".stripMargin,
     "q_tx_search" -> booleanSearchOracleSql,
     "q_tx_search_indexed" -> booleanSearchOracleSql,
     "q_tx_bm25" -> {
@@ -2230,6 +2373,107 @@ object QueriesCorpus {
          |SELECT doc_id, floor(($terms) * 1000000 + 0.5) / 1000000 AS bm25
          |FROM per, g""".stripMargin
     },
+    "q_tx_pmi" ->
+      """WITH ar AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS a
+        |    FROM documents),
+        |bg AS (SELECT a[CAST(t.i AS INT)] AS w1, a[CAST(t.i AS INT) + 1] AS w2
+        |    FROM ar, unnest(range(1, len(a))) AS t(i)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+        |    FROM bg GROUP BY 1, 2),
+        |un AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+        |    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |          FROM documents)
+        |    WHERE tok <> '' GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(pair_count) AS BIGINT) FROM c2) AS n2,
+        |               (SELECT CAST(sum(c) AS BIGINT) FROM un) AS n1)
+        |SELECT c2.w1, c2.w2, c2.pair_count,
+        |  floor(ln(CAST(pair_count AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |    / (CAST(n2 AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))
+        |    * 1000000 + 0.5) / 1000000 AS pmi
+        |FROM c2 JOIN un ca ON c2.w1 = ca.w JOIN un cb ON c2.w2 = cb.w, tot
+        |WHERE pair_count >= 20""".stripMargin,
+    "q_tx_snippet" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, tk,
+        |    list_transform(tk, x -> CASE WHEN list_contains(
+        |      ['scan', 'join', 'window'], x) THEN 1 ELSE 0 END) AS hit
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, tk,
+        |    list_transform(range(0, greatest(len(tk) - 12, 0) + 1),
+        |      i -> coalesce(list_sum(list_slice(hit, CAST(i AS INT) + 1,
+        |        CAST(i AS INT) + 12)), 0)) AS scores
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT) AS start_tok,
+        |  CAST(list_max(scores) AS BIGINT) AS n_hits,
+        |  array_to_string(list_slice(tk,
+        |    CAST(list_position(scores, list_max(scores)) AS INT),
+        |    CAST(list_position(scores, list_max(scores)) AS INT) + 11), ' ')
+        |    AS snippet
+        |FROM s""".stripMargin,
+    "q_rrf_fuse" -> {
+      val toks = Seq("scan", "join", "window")
+      val k1 = 1.2; val b = 0.75
+      val tfs = toks.zipWithIndex
+        .map { case (t, i) => s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf$i" }
+        .mkString(", ")
+      val dfs = toks.indices
+        .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val terms = toks.indices
+        .map { i =>
+          s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * ${k1 + 1.0}
+             | / (tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))""".stripMargin
+        }
+        .mkString(" + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl, $tfs
+         |  FROM tk GROUP BY doc_id),
+         |g AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl,
+         |    CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n, $dfs
+         |  FROM per),
+         |bm AS (SELECT doc_id, floor(($terms) * 1000000 + 0.5) / 1000000 AS bm25
+         |  FROM per, g),
+         |lexTop AS (SELECT doc_id AS id, bm25 AS s FROM bm
+         |  ORDER BY s DESC, id LIMIT 50),
+         |lexR AS (SELECT id,
+         |    1.0 / (60.0 + row_number() OVER (ORDER BY s DESC, id)) AS c0
+         |  FROM lexTop),
+         |cos AS (SELECT e.vec_id AS id,
+         |    floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 AS s
+         |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0),
+         |semTop AS (SELECT id, s FROM cos ORDER BY s DESC, id LIMIT 50),
+         |semR AS (SELECT id,
+         |    1.0 / (60.0 + row_number() OVER (ORDER BY s DESC, id)) AS c1
+         |  FROM semTop),
+         |j AS (SELECT COALESCE(a.id, bb.id) AS id, a.c0, bb.c1
+         |  FROM lexR a FULL OUTER JOIN semR bb ON a.id = bb.id),
+         |f AS (SELECT id, coalesce(c0, 0.0) + coalesce(c1, 0.0) AS raw,
+         |    (CASE WHEN c0 IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+         |  FROM j)
+         |SELECT id AS doc_id,
+         |  floor(raw * 1000000000.0 + 0.5) / 1000000000.0 AS rrf,
+         |  CAST(n_lists AS BIGINT) AS n_lists
+         |FROM f ORDER BY raw DESC, id LIMIT 20""".stripMargin
+    },
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(
+        |    regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+        |    x -> x <> ''), ' ') AS decoded
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
     "q_bpe_pairs" ->
       """WITH wf AS (
         |  SELECT w AS word, count(*) AS freq
