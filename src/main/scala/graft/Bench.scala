@@ -33,7 +33,11 @@ object Bench {
       "q_o8_grouptopk", "q_nb_chi2", "q_rb_corr", "q_pf_psi", "q_t5_spans",
       "q_ul2_mix",
       "q_sft_render", "q_sft_lossmask", "q_dpo_pairs", "q_dpo_advantage",
-      "q_proto_prune", "q_pv_gate")
+      "q_proto_prune", "q_pv_gate", "q_pk_mask", "q_pf_embdrift",
+      "q_hll_estimate", "q_magg_rollup",
+      "q_web_html", "q_url_parse", "q_url_domain", "q_bp_clean",
+      "q_rrf_fuse", "q_tx_pmi", "q_kmv_jaccard", "q_bpe_roundtrip",
+      "q_graph_pagerank", "q_tx_snippet", "q_sm_reweight")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

@@ -401,6 +401,56 @@ object ScaleProbe {
           .orderBy("_h").limit(16).select("cell", "cv")
         graft.ops.Prototype.prune(Tables(spark, d, "embeddings"),
           "vec_id", "embedding", cents, 0.25, 0.125).count()
+      },
+      // per-row regex chain — expect ~linear
+      "web_html" -> { d =>
+        val docs = docsAt(d)
+        docs.select(graft.ops.WebExtract.htmlToText(
+          concat(lit("<div><p>"), col("text"), lit(" &amp; x</p><script>1<2</script></div>")))
+          .as("x")).count()
+      },
+      // per-row URL parts + ONE bounded-key aggregate — expect ~linear
+      "url_domain" -> { d =>
+        val docs = docsAt(d)
+        docs.select(
+          graft.ops.WebExtract.registeredDomain(graft.ops.WebExtract.urlHost(
+            concat(lit("https://www."), col("source"), lit(".example.com/a/"),
+              col("doc_id").cast("string")))).as("domain"))
+          .groupBy("domain").count().count()
+      },
+      // two count aggregates + vocab-keyed joins — expect ~linear (vocab
+      // grows only by the 10 salt tokens)
+      "tx_pmi" -> (d =>
+        graft.ops.TextAnalysis.pmiCollocations(docsAt(d), "doc_id", "text",
+          minCount = 20L).count()),
+      // 5 iterations of src-keyed join + dst sum over 3·N edges — expect
+      // ~linear in edges
+      "graph_pagerank" -> { d =>
+        val docs = docsAt(d)
+        val n = docs.count()
+        val edges = docs.select(
+          col("doc_id").as("src"),
+          explode(array((0 until 3).map(k => Functions.md5Bits(
+            concat(lit("pr:"), col("doc_id").cast("string"), lit(s":$k")), 60) % n): _*))
+            .as("dst"))
+        graft.ops.PageRank.run(edges, "src", "dst", iterations = 5).count()
+      },
+      // rank lists truncate to top-50 BEFORE fusion — expect ~flat beyond
+      // the scan+truncate cost
+      "rrf_fuse" -> { d =>
+        val docs = docsAt(d)
+        val lex = graft.ops.TextAnalysis.bm25(docs, "doc_id", "text",
+          queryTokens = Seq("scan", "join", "window"), totalDocs = docs.count())
+        val emb = Tables(spark, d, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>").as("qv"))
+        val sem = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            Functions.roundHalfUp(graft.ops.SimilaritySearch.cosine(
+              col("embedding").cast("array<double>"), col("qv")), 6).as("cos"))
+        graft.ops.Fusion.rrf(Seq((lex, "bm25"), (sem, "cos")), "doc_id",
+          kRrf = 60, perListTopN = 50, topK = 20).count()
       })
 
     def time(f: => Long): (Double, Long) = {
