@@ -37,7 +37,8 @@ object Bench {
       "q_hll_estimate", "q_magg_rollup",
       "q_web_html", "q_url_parse", "q_url_domain", "q_bp_clean",
       "q_rrf_fuse", "q_tx_pmi", "q_kmv_jaccard", "q_bpe_roundtrip",
-      "q_graph_pagerank", "q_tx_snippet", "q_sm_reweight")
+      "q_graph_pagerank", "q_tx_snippet", "q_sm_reweight",
+      "q_ann_mmr", "q_ann_recall", "q_tx_qexp")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),
@@ -65,7 +66,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
+    // printed AGAIN after spark.stop(): executor-shutdown WARN chatter lands
+    // between the first print and process exit, and a tail-reading harness
+    // can otherwise lose the metric line off the end of its capture window
+    println(line)
   }
 }

@@ -519,6 +519,15 @@ object QueriesCorpus {
       TextAnalysis.snippets(t(s, dir, "documents"), "doc_id", "text",
         queryTokens = Seq("scan", "join", "window"), windowTokens = 12)),
 
+    // RM1-lite pseudo-relevance-feedback expansion: top terms of the
+    // bm25 top-10 docs by exact pico-unit normalized term frequency
+    "q_tx_qexp" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.expandQuery(docs, "doc_id", "text",
+        queryTokens = Seq("scan", "join", "window"),
+        totalDocs = docs.count(), fbDocs = 10, fbTerms = 8)
+    }),
+
     // hybrid retrieval: BM25 lexical list fused with the embedding cosine
     // list by Reciprocal Rank Fusion — rank-only, calibration-free; both
     // candidate lists truncate to top-50 BEFORE fusion (the bounded part)
@@ -2417,6 +2426,45 @@ object QueriesCorpus {
         |    CAST(list_position(scores, list_max(scores)) AS INT) + 11), ' ')
         |    AS snippet
         |FROM s""".stripMargin,
+    "q_tx_qexp" -> {
+      val toks = Seq("scan", "join", "window")
+      val k1 = 1.2; val b = 0.75
+      val tfs = toks.zipWithIndex
+        .map { case (t, i) => s"sum(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf$i" }
+        .mkString(", ")
+      val dfs = toks.indices
+        .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val terms = toks.indices
+        .map { i =>
+          s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * ${k1 + 1.0}
+             | / (tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))""".stripMargin
+        }
+        .mkString(" + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl, $tfs
+         |  FROM tk GROUP BY doc_id),
+         |g AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl,
+         |    CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n, $dfs
+         |  FROM per),
+         |bm AS (SELECT doc_id, floor(($terms) * 1000000 + 0.5) / 1000000 AS bm25
+         |  FROM per, g),
+         |td AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |tf AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk t JOIN td USING (doc_id) WHERE t.tok <> '' GROUP BY 1, 2),
+         |dl2 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |w AS (SELECT tf.tok, (tf.tf * 1000000000000) // dl2.dl AS w
+         |  FROM tf JOIN dl2 USING (doc_id)
+         |  WHERE tf.tok NOT IN ('scan', 'join', 'window')),
+         |gw AS (SELECT tok AS term, CAST(sum(w) AS BIGINT) AS weight_pico
+         |  FROM w GROUP BY 1 ORDER BY weight_pico DESC, term LIMIT 8)
+         |SELECT term, weight_pico,
+         |  CAST(row_number() OVER (ORDER BY weight_pico DESC, term) AS BIGINT) AS rank
+         |FROM gw""".stripMargin
+    },
     "q_rrf_fuse" -> {
       val toks = Seq("scan", "join", "window")
       val k1 = 1.2; val b = 0.75

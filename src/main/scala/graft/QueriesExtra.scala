@@ -132,6 +132,27 @@ object QueriesExtra {
       SimilaritySearch.lshTopK(emb, "vec_id", "embedding", queryVec(emb), k = 10, planes = 6)
     }),
 
+    // ANN acceptance gate: recall@10 of the LSH probe against the exact
+    // brute-force list — both sides deterministic, so even the recall
+    // NUMBER is oracle-checked (the index-build quality gate at scale)
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = queryVec(emb)
+      SimilaritySearch.recallAtK(
+        SimilaritySearch.lshTopK(emb, "vec_id", "embedding", q, k = 10, planes = 6),
+        SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, k = 10),
+        "vec_id")
+    }),
+
+    // MMR diversified re-rank of the top-30 cosine candidates: the greedy
+    // integer-micro-unit loop is exact, so all 8 selection steps oracle
+    "q_ann_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.mmrRerank(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", queryVec(emb),
+        candidates = 30, k = 8, lambdaPct = 70)
+    }),
+
     // multi-probe LSH ANN: own bucket + the 3 boundary-closest sign flips —
     // the probe set derives from the query alone, so the oracle recomputes
     // projections, flip choice, and the ranked union (AnnSpec additionally
@@ -490,6 +511,55 @@ object QueriesExtra {
          |FROM bk, (SELECT v, bucket FROM bk WHERE vec_id = 0) q
          |WHERE bk.bucket = q.bucket
          |ORDER BY cos DESC, bk.vec_id LIMIT 10""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH $lshBucketedSql,
+         |l AS (SELECT bk.vec_id
+         |  FROM bk, (SELECT v, bucket FROM bk WHERE vec_id = 0) q
+         |  WHERE bk.bucket = q.bucket
+         |  ORDER BY floor(list_cosine_similarity(bk.v, q.v) * 1000000 + 0.5)
+         |    / 1000000 DESC, bk.vec_id LIMIT 10),
+         |b AS (SELECT bk.vec_id
+         |  FROM bk, (SELECT v FROM bk WHERE vec_id = 0) q
+         |  ORDER BY floor(list_cosine_similarity(bk.v, q.v) * 1000000 + 0.5)
+         |    / 1000000 DESC, bk.vec_id LIMIT 10),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM b
+         |  WHERE vec_id IN (SELECT vec_id FROM l)),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM b)
+         |SELECT k, hits,
+         |  floor(CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) * 1000000 + 0.5)
+         |    / 1000000 AS recall
+         |FROM kk, h""".stripMargin,
+    "q_ann_mmr" -> {
+      val steps = (1 to 8).map { i =>
+        // every CTE MATERIALIZED: sel_i is referenced twice by s_{i+1}, and
+        // default inlining would re-expand the whole chain exponentially
+        if (i == 1)
+          """s1 AS MATERIALIZED (SELECT id, v, rel_u, CAST(70 * rel_u AS BIGINT) AS score_u
+            |  FROM cands ORDER BY score_u DESC, id LIMIT 1),
+            |sel1 AS MATERIALIZED (SELECT id, v FROM s1)""".stripMargin
+        else
+          s"""s$i AS MATERIALIZED (SELECT c.id, c.v, c.rel_u,
+             |    CAST(70 * c.rel_u - 30 * (SELECT max(CAST(floor(
+             |      list_cosine_similarity(c.v, s.v) * 1000000 + 0.5) AS BIGINT))
+             |      FROM sel${i - 1} s) AS BIGINT) AS score_u
+             |  FROM cands c WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+             |  ORDER BY score_u DESC, id LIMIT 1),
+             |sel$i AS MATERIALIZED (SELECT id, v FROM sel${i - 1}
+             |  UNION ALL SELECT id, v FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 8)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, id AS vec_id, rel_u, score_u AS mmr_u FROM s$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH cands AS MATERIALIZED (
+         |  SELECT b.vec_id AS id, CAST(b.embedding AS DOUBLE[]) AS v,
+         |    CAST(floor(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+         |      CAST(q.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS rel_u
+         |  FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  WHERE b.vec_id <> 0
+         |  ORDER BY rel_u DESC, id LIMIT 30),
+         |$steps
+         |$out""".stripMargin
+    },
     "q_ann_lsh_multiprobe" -> {
       // per-plane SIGNED projection of the query vector (vec_id = 0)
       val projSql = (p: Int) =>

@@ -345,4 +345,97 @@ object SimilaritySearch {
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("neighbor"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
+
+  /** Retrieval-quality evaluation: recall@k of an approximate result list
+    * against the exact baseline — |approx ∩ exact| / |exact| on the id
+    * column. One row out: `(k, hits, recall)` (recall half-up 6). The
+    * standard acceptance gate for an ANN index build: compute exact top-k
+    * on a sampled query set, compare the index answers, alarm under a
+    * floor. Joins are id-keyed over two ≤k-row relations — evaluation
+    * cost is bounded by k, never the corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, idCol: String): DataFrame = {
+    val a = approx.select(col(idCol).cast("long").as("_id")).distinct()
+    val e = exact.select(col(idCol).cast("long").as("_id")).distinct()
+    val hits = e.join(a, Seq("_id"), "left_semi").agg(count(lit(1)).as("hits"))
+    e.agg(count(lit(1)).as("k"))
+      .crossJoin(broadcast(hits))
+      .select(
+        col("k"), col("hits"),
+        graft.Functions.roundHalfUp(
+          col("hits").cast("double") / col("k").cast("double"), 6).as("recall"))
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick `k` of the top-`candidates` cosine hits, each step
+    * maximizing
+    *
+    *   score(i) = λ·rel(i) − (1−λ)·max_{j∈selected} sim(i, j)
+    *
+    * — relevance traded against redundancy, the standard last-mile
+    * diversifier after ANN retrieval. Scores are integer micro-units
+    * (λ as a percentage, cosines floor(x·10⁶+0.5)-quantized), so every
+    * argmax is exact, ties break on ascending id, and the WHOLE greedy
+    * loop is replayable in SQL (oracle q_ann_mmr unrolls the k steps as
+    * correlated-subquery CTEs).
+    *
+    * Scale shape: candidate selection is the one corpus-touching step
+    * (distributed take-ordered, the [[bruteForceTopK]] cost); the loop
+    * then runs k bounded jobs over the localCheckpoint'ed ≤candidates
+    * rows, with each step's penalty computed against the already-selected
+    * vectors embedded as plan-time literals (the [[graft.ops.Pca]]
+    * literal-axes trick) — per-query re-rank cost is O(k · candidates ·
+    * dim), independent of corpus size.
+    *
+    * Output: `(rank, id, rel_u, mmr_u)` — rank 1-based selection order.
+    */
+  def mmrRerank(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      candidates: Int = 30,
+      k: Int = 10,
+      lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates >= k >= 1, got $candidates/$k")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct in [0,100], got $lambdaPct")
+    val spark = df.sparkSession
+    val qv = array(query.map(lit): _*)
+    val cands = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("id").isNotNull && col("v").isNotNull)
+      .select(col("id"), col("v"),
+        floor(cosine(col("v"), qv) * 1e6 + 0.5).cast("long").as("rel_u"))
+      .orderBy(col("rel_u").desc, col("id"))
+      .limit(candidates)
+      .localCheckpoint() // scanned k times below — compute the corpus pass once
+    var selected = Vector.empty[(Long, Seq[Double], Long, Long)]
+    for (_ <- 1 to k) {
+      val penalty: Column =
+        if (selected.isEmpty) lit(0L)
+        else {
+          val sims = selected.map { case (_, sv, _, _) =>
+            floor(cosine(col("v"), array(sv.map(lit): _*)) * 1e6 + 0.5).cast("long")
+          }
+          if (sims.size == 1) sims.head else greatest(sims: _*)
+        }
+      val pool =
+        if (selected.isEmpty) cands
+        else cands.filter(!col("id").isin(selected.map(_._1): _*))
+      val best = pool
+        .select(col("id"), col("v"), col("rel_u"),
+          (lit(lambdaPct.toLong) * col("rel_u")
+            - lit((100 - lambdaPct).toLong) * penalty).as("score_u"))
+        .orderBy(col("score_u").desc, col("id"))
+        .limit(1)
+        .collect()(0)
+      selected = selected :+ ((best.getLong(0), best.getSeq[Double](1),
+        best.getLong(2), best.getLong(3)))
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, rel, score), i) => (i + 1L, id, rel, score) }
+      .toDF("rank", idCol, "rel_u", "mmr_u")
+  }
 }

@@ -650,6 +650,57 @@ object TextAnalysis {
       .select(col(idCol), graft.Functions.roundHalfUp(score, 6).as("bm25"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (RM1-lite, Lavrenko &
+    * Croft 2001): score the corpus with [[bm25]], take the top `fbDocs`
+    * feedback documents, and weight every term by its summed normalized
+    * term frequency Σ_d tf(t,d)/|d| across them; the top `fbTerms` terms
+    * NOT already in the query become the expansion. Per-(doc, term)
+    * weights quantize to integer pico-units (`tf·10¹² div dl` — exact,
+    * so the cross-doc sum is order-free) and the final ranking breaks
+    * ties on the term string.
+    *
+    * Output: `(term, weight_pico, rank)`, rank 1-based.
+    *
+    * Scale shape: the bm25 pass is the corpus cost; everything after runs
+    * on the `fbDocs` feedback documents (left-semi join against the
+    * broadcast top-doc ids), so expansion adds one bounded aggregation.
+    */
+  def expandQuery(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTokens: Seq[String],
+      totalDocs: Long,
+      fbDocs: Int = 10,
+      fbTerms: Int = 5): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, "fbDocs and fbTerms must be >= 1")
+    val qn = normalizedQuery(queryTokens)
+    val top = bm25(df, idCol, textCol, queryTokens, totalDocs)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(fbDocs)
+      .select(col(idCol))
+    val tf = df
+      .join(broadcast(top), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(filter(toks(col(textCol)), t => t =!= "")).as("_t"))
+      .groupBy(col(idCol), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("_tf")).as("_dl"))
+    val ranked = tf
+      .join(dl, Seq(idCol))
+      .select(col("_t"), expr("(_tf * 1000000000000) div _dl").as("_w"))
+      .filter(!col("_t").isin(qn: _*))
+      .groupBy(col("_t"))
+      .agg(sum(col("_w")).as("weight_pico"))
+      .orderBy(col("weight_pico").desc, col("_t"))
+      .limit(fbTerms)
+    ranked
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("weight_pico").desc, col("_t"))).cast("long"))
+      .select(col("_t").as("term"), col("weight_pico"), col("rank"))
+  }
+
   /** Training-sample chunking: split each document into sliding token
     * windows of `chunkTokens` tokens advancing by `chunkTokens -
     * overlapTokens` (consecutive chunks share `overlapTokens` tokens, so no

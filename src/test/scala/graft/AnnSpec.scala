@@ -360,4 +360,47 @@ class AnnSpec extends SparkSpec {
       .select("k", "payload", "label").as[(Int, String, String)].collect().toSet
     assert(salted == plain)
   }
+
+  test("recallAtK: identical lists 1.0, half overlap 0.5, disjoint 0.0") {
+    def lst(ids: Long*) = ids.map(Tuple1(_)).toDF("vec_id")
+    def recall(a: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.recallAtK(a, e, "vec_id")
+        .select("k", "hits", "recall").head()
+    val full = recall(lst(1, 2, 3, 4), lst(1, 2, 3, 4))
+    assert(full.getLong(0) == 4L && full.getLong(1) == 4L && full.getDouble(2) == 1.0)
+    val half = recall(lst(1, 2, 9, 8), lst(1, 2, 3, 4))
+    assert(half.getLong(1) == 2L && half.getDouble(2) == 0.5)
+    val none = recall(lst(7, 8), lst(1, 2, 3, 4))
+    assert(none.getLong(1) == 0L && none.getDouble(2) == 0.0)
+  }
+
+  test("mmrRerank: a duplicate of the first pick loses to a diverse lower-rel hit") {
+    // query = (1,0); ids 1,2 identical max-relevance vectors; id 3 diverse
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.mmrRerank(emb, "vec_id", "embedding",
+      query = Seq(1.0, 0.0), candidates = 3, k = 2, lambdaPct = 30)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 3L)),
+      s"step 1 takes min-id max-rel, step 2 must diversify: $out")
+    // relevance-heavy lambda keeps the duplicate instead
+    val rel = SimilaritySearch.mmrRerank(emb, "vec_id", "embedding",
+      query = Seq(1.0, 0.0), candidates = 3, k = 2, lambdaPct = 90)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(rel == Seq((1L, 1L), (2L, 2L)), s"lambda=90 is relevance-first: $rel")
+  }
+
+  test("mmrRerank: k = candidates returns a full permutation, deterministic") {
+    val emb = (1L to 6L).map(i => (i, Seq(math.cos(i * 0.4), math.sin(i * 0.4))))
+      .toDF("vec_id", "embedding")
+    val a = SimilaritySearch.mmrRerank(emb, "vec_id", "embedding",
+      Seq(1.0, 0.0), candidates = 6, k = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(a.sorted == (1L to 6L), s"must be a permutation: $a")
+    val b = SimilaritySearch.mmrRerank(emb.repartition(7), "vec_id", "embedding",
+      Seq(1.0, 0.0), candidates = 6, k = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(a == b, "integer scores make the greedy order partition-invariant")
+  }
 }

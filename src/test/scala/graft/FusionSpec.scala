@@ -99,6 +99,20 @@ class FusionSpec extends SparkSpec {
     assert(out("en")._3 == expectedEn, s"got ${out("en")._3}, want $expectedEn")
   }
 
+  test("expandQuery: feedback-doc terms rank by exact pico tf/dl, query terms excluded") {
+    val docs = Seq(
+      (1L, "q a a b"), (2L, "q a c"), (3L, "z z z z"), (4L, "y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.expandQuery(docs, "doc_id", "text",
+      queryTokens = Seq("q"), totalDocs = 4L, fbDocs = 2, fbTerms = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    // feedback docs are 1 and 2 (the only q-carriers); a = 2/4 + 1/3,
+    // c = 1/3, b = 1/4 — in exact pico units
+    assert(out == Seq(
+      ("a", 500000000000L + 333333333333L, 1L),
+      ("c", 333333333333L, 2L)), s"got $out")
+  }
+
   test("domainReweight: base weights multiply in; null losses drop") {
     val docs = Seq(
       ("a", Some(1.0), Some(1.0)), ("b", Some(1.0), Some(1.0)),
