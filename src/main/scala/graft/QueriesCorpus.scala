@@ -98,6 +98,22 @@ object QueriesCorpus {
         "id_a", "id_b")
     }),
 
+    // distributed suffix array (prefix doubling): per-doc suffix ranks —
+    // the oracle sorts the suffixes DIRECTLY, so algorithm and check are
+    // fully independent
+    "q_sa_ranks" -> ((s, dir) =>
+      graft.ops.SuffixArray.ranks(t(s, dir, "documents"), "doc_id", "text")),
+
+    // longest repeated substring per doc from adjacent-suffix LCPs, over
+    // text with a guaranteed synthesized repeat of its own prefix
+    "q_sa_lrs" -> ((s, dir) =>
+      graft.ops.SuffixArray.longestRepeat(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          concat(substring(col("text"), 1, 120), lit(" "),
+            substring(col("text"), 1, 60)).as("text")),
+        "doc_id", "text")),
+
     // integer-quantized PageRank over a deterministic md5-derived link
     // graph (3 out-edges per doc) — the iterated fixpoint itself is
     // oracle-replayed (all-integer update rule, unrolled CTEs in SQL)
@@ -1454,6 +1470,38 @@ object QueriesCorpus {
          |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
     },
+    "q_sa_ranks" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, unnest(range(0, length(text))) AS pos
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY substr(text, CAST(pos AS INT) + 1)) AS BIGINT) AS sa_rank
+        |FROM p""".stripMargin,
+    "q_sa_lrs" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 120) || ' ' || substr(text, 1, 60) AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |dd AS (SELECT doc_id, t FROM d WHERE length(t) > 0),
+        |p AS (SELECT doc_id, t, unnest(range(0, length(t))) AS i FROM dd),
+        |r AS (SELECT doc_id, t, i, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY substr(t, CAST(i AS INT) + 1)) AS rk FROM p),
+        |pr AS (SELECT a.doc_id, a.t, a.i AS i, b.i AS j
+        |  FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.rk = a.rk + 1),
+        |l AS (SELECT doc_id, t, i, j,
+        |    least(length(t) - i, length(t) - j, 256) AS m FROM pr),
+        |lc AS (SELECT doc_id,
+        |    CASE WHEN m <= 0 THEN 0
+        |         ELSE coalesce(nullif(list_position(
+        |           list_transform(range(1, m + 1), k ->
+        |             substr(t, CAST(i + k AS INT), 1) <> substr(t, CAST(j + k AS INT), 1)),
+        |           true), 0) - 1, m) END AS lcp
+        |  FROM l),
+        |mx AS (SELECT doc_id, max(lcp) AS lrs FROM lc GROUP BY doc_id)
+        |SELECT dd.doc_id, CAST(coalesce(mx.lrs, 0) AS BIGINT) AS lrs_len
+        |FROM dd LEFT JOIN mx ON dd.doc_id = mx.doc_id""".stripMargin,
     "q_graph_pagerank" -> {
       // the all-integer update rule makes the ITERATED fixpoint exactly
       // replayable: each Spark round unrolls to one CTE pair (contrib sum,

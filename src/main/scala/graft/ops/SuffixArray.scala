@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix arrays by prefix doubling (Manber & Myers 1990) —
+  * the index structure behind exact-substring deduplication at scale
+  * (Lee et al. 2022 build one over the whole training corpus; the
+  * engine's windowed [[Dedup.repeatedSpansExact]] is the hash-grain
+  * variant, this is the exact-rank variant).
+  *
+  * Algorithm: one row per (document, position) carrying the current rank
+  * of the suffix's leading `k` characters; each round widens k → 2k by
+  * pairing every rank with the rank `k` positions ahead (`lead(k)` over
+  * the position order — out-of-range pairs rank −1, which is exactly the
+  * "shorter suffix sorts first" rule) and re-densifying. ⌈log₂ maxLen⌉
+  * rounds; every round is one window pass + one rank pass, all integer —
+  * deterministic under any partitioning, and the FINAL order is plain
+  * lexicographic suffix order, which the oracle recomputes by sorting
+  * `substr(text, pos+1)` directly (q_sa_ranks — algorithm and oracle are
+  * fully independent).
+  *
+  * Scale shape: rows = total corpus characters; per round, state is
+  * (id, pos, rank) triples — ~24 bytes/char — shuffled twice. Windows
+  * partition on the document id, so documents parallelize freely;
+  * a SINGLE multi-terabyte document would serialize its window (the
+  * known limit of this form — the corpus-grain variant replaces the
+  * per-doc window with a range-partitioned global sort + two-phase
+  * offset ranking, the [[Sampling]] `pos` pattern). Rounds
+  * `localCheckpoint` — the loop output feeds the next round's windows,
+  * the [[ConnectedComponents]] lineage rule.
+  *
+  * Reference analog: none (training-data extension).
+  */
+object SuffixArray {
+
+  /** Per-document suffix ranks: `(idCol, pos, sa_rank)` — `pos` 0-based
+    * character position, `sa_rank` the 1-based position of that suffix in
+    * the document's sorted suffix order. Empty/NULL documents emit
+    * nothing.
+    */
+  def ranks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val maxLenRow = base.agg(max(length(col("t")))).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    var rows = base
+      .select(col("id"), explode(sequence(lit(0), length(col("t")) - 1)).as("pos"),
+        col("t"))
+      .select(col("id"), col("pos"),
+        ascii(expr("substring(t, pos + 1, 1)")).cast("long").as("rank"))
+      .localCheckpoint()
+    var k = 1
+    while (k < maxLen) {
+      val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+      val byRank = Window.partitionBy(col("id")).orderBy(col("rank"), col("r2"))
+      rows = rows
+        .withColumn("r2", coalesce(lead(col("rank"), k).over(byPos), lit(-1L)))
+        .withColumn("rank", dense_rank().over(byRank).cast("long"))
+        .drop("r2")
+        .localCheckpoint()
+      k *= 2
+    }
+    rows.select(col("id").as(idCol), col("pos").cast("long").as("pos"),
+      col("rank").as("sa_rank"))
+  }
+
+  /** Longest repeated substring length per document: the max longest
+    * common prefix between lexicographically ADJACENT suffixes — the
+    * suffix-array identity that makes "longest duplicated span" a
+    * rank-join instead of an all-pairs compare. LCP of an adjacent pair
+    * is evaluated by a character-compare array expression over the two
+    * positions (cost O(doc · avgLcp); the corpus-grain variant derives
+    * LCPs from the doubling round ranks instead — ⌈log n⌉ slim joins —
+    * when documents outgrow per-row arrays).
+    *
+    * Output: `(idCol, lrs_len)` — 0 for documents with no repeat (and
+    * for single-character documents); empty/NULL docs emit nothing.
+    * `maxLcp` caps the per-pair compare window (exact whenever the true
+    * LRS is under the cap; a repeat longer than the cap reports the cap —
+    * the bound that keeps per-row arrays from going quadratic in doc
+    * length).
+    */
+  def longestRepeat(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxLcp: Int = 256): DataFrame = {
+    require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
+    val sa = ranks(df, idCol, textCol)
+    val texts = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val a = sa.select(col(idCol).as("id"), col("pos").as("i"), col("sa_rank"))
+    val b = sa.select(col(idCol).as("id"), col("pos").as("j"),
+      (col("sa_rank") - 1).as("sa_rank"))
+    val pairs = a.join(b, Seq("id", "sa_rank")) // adjacent suffixes (i, j)
+    val lcp = {
+      // longest shared prefix of suffixes at i and j: first mismatching
+      // offset over the shorter remainder (array_position is 1-based and
+      // 0 when no mismatch ⇒ whole shorter remainder is shared)
+      val m = least(length(col("t")) - col("i"), length(col("t")) - col("j"),
+        lit(maxLcp.toLong))
+      val flags = transform(
+        sequence(lit(1L), m),
+        x => substring(col("t"), (col("i") + x).cast("int"), lit(1)) =!=
+          substring(col("t"), (col("j") + x).cast("int"), lit(1)))
+      when(m <= 0, lit(0L))
+        .otherwise(
+          coalesce(nullif(array_position(flags, true), lit(0L)) - 1, m.cast("long")))
+    }
+    texts
+      .join(pairs, Seq("id"), "left")
+      .select(col("id"), when(col("i").isNotNull, lcp).otherwise(lit(0L)).as("_l"))
+      .groupBy(col("id"))
+      .agg(max(col("_l")).as("lrs_len"))
+      .select(col("id").as(idCol), col("lrs_len"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.SuffixArray
+
+/** Prefix-doubling suffix ranks and LCP-derived longest repeats against
+  * hand-computed fixtures.
+  */
+class SuffixArraySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("banana: ranks are the classic suffix order") {
+    val out = SuffixArray.ranks(Seq((1L, "banana")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    // sorted suffixes: a(5) ana(3) anana(1) banana(0) na(4) nana(2)
+    assert(out == Map(5L -> 1L, 3L -> 2L, 1L -> 3L, 0L -> 4L, 4L -> 5L, 2L -> 6L),
+      s"got $out")
+  }
+
+  test("ranks: multiple docs independent; empty and null docs emit nothing") {
+    val df = Seq((1L, "ab"), (2L, "ba"), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val out = SuffixArray.ranks(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).map(r => r._2 -> r._3).toMap == Map(0L -> 1L, 1L -> 2L)) // ab < b
+    assert(out(2L).map(r => r._2 -> r._3).toMap == Map(1L -> 1L, 0L -> 2L)) // a < ba
+  }
+
+  test("ranks: partition-invariant (integer algorithm)") {
+    val docs = (1L to 20L).map(i => (i, s"doc $i " * 4 + s"tail$i"))
+    val a = SuffixArray.ranks(docs.toDF("doc_id", "text").repartition(1), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = SuffixArray.ranks(docs.toDF("doc_id", "text").repartition(13), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("longestRepeat: banana has 'ana' (3); unique-char docs report 0") {
+    val out = SuffixArray.longestRepeat(
+      Seq((1L, "banana"), (2L, "abcdef"), (3L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 0L), s"got $out")
+  }
+
+  test("longestRepeat: maxLcp caps a longer repeat at the cap") {
+    val df = Seq((1L, "abcdefgh abcdefgh")).toDF("doc_id", "text")
+    val full = SuffixArray.longestRepeat(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(full(1L) == 8L, s"true LRS is 'abcdefgh' (8), got $full")
+    val capped = SuffixArray.longestRepeat(df, "doc_id", "text", maxLcp = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(capped(1L) == 3L, s"cap must bound the report, got $capped")
+  }
+}
