@@ -32,7 +32,13 @@ import org.apache.spark.sql.functions._
   * (10x PROMPT GROUPS at constant group size — the events blow-up offsets
   * user_id per copy), pv_gate 1.3x, proto_prune 1.2x — the conversation /
   * preference / privacy / prototype exchanges are all keyed and scale in
-  * rows, not groups².
+  * rows, not groups². Wave-2 additions: web_html 1.2x, url_domain 1.1x
+  * (per-row chains), rrf_fuse 1.1x (fusion is bounded post-truncation —
+  * only the scan grows), graph_pagerank 1.8x (5 keyed join+sum rounds
+  * over 10x edges), tx_pmi 4.5x (the salted copies append a distinct
+  * token per copy, so the BIGRAM key space itself grows ~an order — the
+  * count aggregates track distinct-bigram volume, not corpus²; output
+  * rows grew 900 → 1241).
   *
   * The 10x corpus is synthesized under /tmp (never under /root/testdata):
   * each copy salts the text with a distinct token so near-dup structure is
@@ -410,11 +416,14 @@ object ScaleProbe {
           .as("x")).count()
       },
       // per-row URL parts + ONE bounded-key aggregate — expect ~linear
+      // (the 10x corpus has no `source` column; the lang+mod stem keeps
+      // the domain keyspace bounded the same way)
       "url_domain" -> { d =>
         val docs = docsAt(d)
         docs.select(
           graft.ops.WebExtract.registeredDomain(graft.ops.WebExtract.urlHost(
-            concat(lit("https://www."), col("source"), lit(".example.com/a/"),
+            concat(lit("https://www."), col("lang"),
+              (col("doc_id") % 20).cast("string"), lit(".example.com/a/"),
               col("doc_id").cast("string")))).as("domain"))
           .groupBy("domain").count().count()
       },

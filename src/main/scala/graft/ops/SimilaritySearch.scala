@@ -411,7 +411,8 @@ object SimilaritySearch {
       .limit(candidates)
       .localCheckpoint() // scanned k times below — compute the corpus pass once
     var selected = Vector.empty[(Long, Seq[Double], Long, Long)]
-    for (_ <- 1 to k) {
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
       val penalty: Column =
         if (selected.isEmpty) lit(0L)
         else {
@@ -429,9 +430,12 @@ object SimilaritySearch {
             - lit((100 - lambdaPct).toLong) * penalty).as("score_u"))
         .orderBy(col("score_u").desc, col("id"))
         .limit(1)
-        .collect()(0)
-      selected = selected :+ ((best.getLong(0), best.getSeq[Double](1),
-        best.getLong(2), best.getLong(3)))
+        .collect()
+      // a corpus smaller than k exhausts the pool — return what exists
+      // rather than failing the re-rank
+      if (best.isEmpty) exhausted = true
+      else selected = selected :+ ((best(0).getLong(0), best(0).getSeq[Double](1),
+        best(0).getLong(2), best(0).getLong(3)))
     }
     import spark.implicits._
     selected.zipWithIndex

@@ -109,9 +109,14 @@ object WebExtract {
     * lower-cased scheme+host; default ports (http:80, https:443) dropped,
     * other ports kept; empty path becomes "/"; query params with tracking
     * prefixes drop and the survivors SORT (byte order — param order never
-    * splits a dedup group); fragment dropped.
+    * splits a dedup group); fragment dropped. A value with no `scheme://`
+    * cannot be parsed and passes through unchanged — fabricating
+    * `"://…"` would merge every malformed row into one dedup group.
     */
-  def normalizeUrl(u: Column): Column = {
+  def normalizeUrl(u: Column): Column =
+    when(urlScheme(u) === "", u).otherwise(normalizeParsedUrl(u))
+
+  private def normalizeParsedUrl(u: Column): Column = {
     val scheme = urlScheme(u)
     val host = urlHost(u)
     val port = urlPort(u)

@@ -391,6 +391,14 @@ class AnnSpec extends SparkSpec {
     assert(rel == Seq((1L, 1L), (2L, 2L)), s"lambda=90 is relevance-first: $rel")
   }
 
+  test("mmrRerank: a pool smaller than k returns what exists, no failure") {
+    val emb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.mmrRerank(emb, "vec_id", "embedding",
+      Seq(1.0, 0.0), candidates = 5, k = 5)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L)), s"two rows in, two picks out: $out")
+  }
+
   test("mmrRerank: k = candidates returns a full permutation, deterministic") {
     val emb = (1L to 6L).map(i => (i, Seq(math.cos(i * 0.4), math.sin(i * 0.4))))
       .toDF("vec_id", "embedding")

@@ -87,6 +87,13 @@ class WebExtractSpec extends SparkSpec {
       "https://a.com/")
   }
 
+  test("normalizeUrl: schemeless input passes through unchanged") {
+    assert(one(WebExtract.normalizeUrl(lit("example.com/path?a=1"))) ==
+      "example.com/path?a=1")
+    assert(one(WebExtract.normalizeUrl(lit("not a url at all"))) ==
+      "not a url at all")
+  }
+
   test("registeredDomain: cc-SLD takes three labels, plain TLD two") {
     assert(one(WebExtract.registeredDomain(lit("www.shop.example.co.uk"))) ==
       "example.co.uk")
