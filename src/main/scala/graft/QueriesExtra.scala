@@ -251,6 +251,11 @@ object QueriesExtra {
     // the pruning actually skips files on both clustered dimensions
     "q_zo_skip" -> ((s, dir) => zorderPruned(s, dir)),
 
+    // bloom-indexed equality scan: per-file relational bloom bitsets prune
+    // files for a point lookup on a high-cardinality string (the dimension
+    // min/max stats can't skip on); the oracle proves pruning loses no row
+    "q_bl_skip" -> ((s, dir) => bloomPruned(s, dir)),
+
     // bloom-pruned fact→dim join: fact rows are dropped by a Bloom sketch of
     // the dim keys BEFORE the join shuffle; the oracle proves the result is
     // row-identical to the plain join (no false negatives, survivors
@@ -338,6 +343,24 @@ object QueriesExtra {
   // (Bench warm runs, repeated Verify) reuse the compacted lake
   private val compactCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def bloomPruned(s: SparkSession, dir: String): DataFrame =
+    compactCache.getOrElseUpdate("bl|" + s.hashCode() + "|" + dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_q").toString + "/lake"
+      // high-cardinality string key (the synthetic orders table has no
+      // clerk column): a customer-derived tag, clustered so files skip
+      val clerk = concat(lit("clerk"), (col("o_custkey") % 500).cast("string"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), clerk.as("o_clerk"), col("o_totalprice"))
+        .repartition(16, col("o_clerk"))
+        .write.mode("overwrite").parquet(tmp)
+      val stats = graft.sources.DataSkipping.bloomStats(s, Seq(tmp), "o_clerk")
+      val probe = s.read.parquet(tmp).orderBy("o_orderkey")
+        .select("o_clerk").head().getString(0)
+      graft.sources.DataSkipping
+        .readBloomPruned(s, Seq(tmp), stats, "o_clerk", probe)
+        .select("o_orderkey", "o_clerk", "o_totalprice")
+    })
 
   private def zorderPruned(s: SparkSession, dir: String): DataFrame =
     compactCache.getOrElseUpdate("zo|" + s.hashCode() + "|" + dir, {
@@ -651,6 +674,13 @@ object QueriesExtra {
     "q_zo_skip" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE value >= 100.0 AND value <= 200.0""".stripMargin,
+    "q_bl_skip" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, 'clerk' || CAST(o_custkey % 500 AS VARCHAR) AS o_clerk,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, o_clerk, o_totalprice FROM c
+        |WHERE o_clerk = (SELECT o_clerk FROM c ORDER BY o_orderkey LIMIT 1)""".stripMargin,
     "q_bf_join" ->
       """SELECT l_orderkey, l_linenumber, s_suppkey, s_name
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -185,4 +185,112 @@ object DataSkipping {
         spark.read.option("basePath", root).parquet(files: _*)
     base.filter(col(c) >= lo && col(c) <= hi)
   }
+
+  // ------------------------------------------------------------- bloom
+
+  /** md5-derived 60-bit hash of a string — the Scala-side twin of
+    * [[graft.Functions.md5Bits]](_, 60) (same hex-prefix derivation), so
+    * query-time probe positions match the build-time positions computed
+    * inside Spark expressions bit-for-bit.
+    */
+  private[sources] def md5Bits60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Per-file Bloom bitsets for EQUALITY pruning on a (typically
+    * high-cardinality string) column — the skipping dimension min/max
+    * stats cannot provide: a uuid/clerk/url column's min..max spans
+    * everything, but its bloom bits are dense and selective.
+    *
+    * Relational representation — `(file, word, bits)`, one row per
+    * non-empty 64-bit word of each file's `bits`-wide filter — built with
+    * ONE scan + two keyed aggregations, no UDF or driver state: distinct
+    * (file, value) → `hashes` md5 positions each → per-(file, word)
+    * `bit_or` of the position masks. Mergeable (bit_or again) and
+    * persistable via [[save]]/[[load]] like the min/max stats.
+    *
+    * False positives only: a probe can keep a file the value is not in
+    * (extra I/O), never drop one it is in — [[bloomPruneFiles]] keeps a
+    * file iff EVERY probe bit is set, and a file absent from the stats
+    * relation entirely (all-NULL column) contains no values and prunes.
+    */
+  def bloomStats(
+      spark: SparkSession,
+      roots: Seq[String],
+      c: String,
+      bits: Int = 8192,
+      hashes: Int = 3): DataFrame = {
+    require(bits >= 64 && bits % 64 == 0, s"bits must be a positive multiple of 64, got $bits")
+    require(hashes >= 1, s"hashes must be >= 1, got $hashes")
+    val values = spark.read.parquet(roots: _*)
+      .select(input_file_name().as("file"), col(c).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .distinct()
+    val posCols = (0 until hashes).map(i =>
+      (graft.Functions.md5Bits(concat(lit(s"bf$i:"), col("v")), 60) % bits).cast("int"))
+    values
+      .select(col("file"), explode(array(posCols: _*)).as("pos"))
+      .select(col("file"), (col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), pos % 64)").as("mask"))
+      .groupBy(col("file"), col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Files that MIGHT contain `value`: every one of the value's probe
+    * bits is set in the file's filter. Probe positions are computed on
+    * the driver (`hashes` md5 calls); the membership test is one filter +
+    * one tiny aggregate over the stats relation.
+    */
+  def bloomPruneFiles(
+      stats: DataFrame,
+      value: String,
+      bits: Int = 8192,
+      hashes: Int = 3): Seq[String] = {
+    val need = (0 until hashes)
+      .map(i => (md5Bits60(s"bf$i:$value") % bits).toInt)
+      .distinct
+      .map(p => (p / 64, 1L << (p % 64)))
+      .groupBy(_._1)
+      .map { case (w, ms) => w -> ms.map(_._2).reduce(_ | _) }
+    val hitExpr = need
+      .map { case (w, m) =>
+        when(col("word") === w && (col("bits").bitwiseAND(m)) === m, 1)
+          .otherwise(0)
+      }
+      .reduce[org.apache.spark.sql.Column](_ + _)
+    stats
+      .groupBy(col("file"))
+      .agg(sum(hitExpr).as("_hits"))
+      .filter(col("_hits") === need.size)
+      .select("file")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+  }
+
+  /** Equality scan through the bloom index: read only candidate files,
+    * re-apply the exact predicate — identical result to a full
+    * `filter(c === value)`, I/O proportional to the files that might
+    * match.
+    */
+  def readBloomPruned(
+      spark: SparkSession,
+      roots: Seq[String],
+      stats: DataFrame,
+      c: String,
+      value: String,
+      bits: Int = 8192,
+      hashes: Int = 3): DataFrame = {
+    val files = bloomPruneFiles(stats, value, bits, hashes)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(roots: _*).schema)
+      else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    base.filter(col(c).cast("string") === value)
+  }
 }
