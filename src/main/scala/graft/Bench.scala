@@ -39,7 +39,7 @@ object Bench {
       "q_rrf_fuse", "q_tx_pmi", "q_kmv_jaccard", "q_bpe_roundtrip",
       "q_graph_pagerank", "q_tx_snippet", "q_sm_reweight",
       "q_ann_mmr", "q_ann_recall", "q_tx_qexp", "q_sa_ranks", "q_sa_lrs",
-      "q_bl_skip")
+      "q_bl_skip", "q_tx_ppmi")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

@@ -529,6 +529,12 @@ object QueriesCorpus {
       TextAnalysis.pmiCollocations(
         t(s, dir, "documents"), "doc_id", "text", minCount = 20L)),
 
+    // windowed PPMI co-occurrence (window ±2): the count-based word
+    // association matrix — lead-passes, no positions self-join
+    "q_tx_ppmi" -> ((s, dir) =>
+      TextAnalysis.ppmiCooccurrence(
+        t(s, dir, "documents"), "doc_id", "text", window = 2, minCount = 40L)),
+
     // hit-context snippets: the 12-token window with the most query hits
     // per doc (earliest tie) — pure array expressions, zero shuffle
     "q_tx_snippet" -> ((s, dir) =>
@@ -2449,6 +2455,32 @@ object QueriesCorpus {
         |    * 1000000 + 0.5) / 1000000 AS pmi
         |FROM c2 JOIN un ca ON c2.w1 = ca.w JOIN un cb ON c2.w2 = cb.w, tot
         |WHERE pair_count >= 20""".stripMargin,
+    "q_tx_ppmi" ->
+      """WITH ar AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS a
+        |    FROM documents),
+        |bg AS (
+        |  SELECT least(a[CAST(t.i AS INT)], a[CAST(t.i AS INT) + 1]) AS w1,
+        |         greatest(a[CAST(t.i AS INT)], a[CAST(t.i AS INT) + 1]) AS w2
+        |  FROM ar, unnest(range(1, len(a))) AS t(i)
+        |  UNION ALL
+        |  SELECT least(a[CAST(t.i AS INT)], a[CAST(t.i AS INT) + 2]),
+        |         greatest(a[CAST(t.i AS INT)], a[CAST(t.i AS INT) + 2])
+        |  FROM ar, unnest(range(1, len(a) - 1)) AS t(i)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+        |    FROM bg GROUP BY 1, 2),
+        |un AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+        |    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |          FROM documents)
+        |    WHERE tok <> '' GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(pair_count) AS BIGINT) FROM c2) AS n2,
+        |               (SELECT CAST(sum(c) AS BIGINT) FROM un) AS n1)
+        |SELECT c2.w1, c2.w2, c2.pair_count,
+        |  floor(greatest(ln(CAST(pair_count AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      * CAST(n1 AS DOUBLE)
+        |    / (CAST(n2 AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 0.0)
+        |    * 1000000 + 0.5) / 1000000 AS ppmi
+        |FROM c2 JOIN un ca ON c2.w1 = ca.w JOIN un cb ON c2.w2 = cb.w, tot
+        |WHERE pair_count >= 40""".stripMargin,
     "q_tx_snippet" ->
       """WITH t AS (
         |  SELECT doc_id,

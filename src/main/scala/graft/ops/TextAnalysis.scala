@@ -1025,6 +1025,67 @@ object TextAnalysis {
               col("c_w2").cast("double"))), 6).as("pmi"))
   }
 
+  /** Windowed PPMI co-occurrence (the count-based word-association matrix
+    * behind classical distributional embeddings — Levy & Goldberg 2014):
+    * token pairs co-occurring within `window` positions (unordered,
+    * canonical (min, max) spelling), scored
+    *
+    *   ppmi(x,y) = max(0, ln( (c(x,y)/N₂) / ((c(x)/N₁)·(c(y)/N₁)) ))
+    *
+    * with pair counts from `window` lead-passes over ONE per-doc position
+    * sort (no positions self-join), unigram counts as in
+    * [[pmiCollocations]], and pairs below `minCount` dropped before the
+    * joins. Output: `(w1, w2, pair_count, ppmi)` with w1 ≤ w2 and ppmi
+    * half-up 6 (0.0-floored — negative associations carry no signal at
+    * these counts).
+    */
+  def ppmiCooccurrence(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 3,
+      minCount: Long = 5L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val base = df
+      .repartition(parallelism, col(idCol))
+      .select(col(idCol), posexplode(toks(col(textCol))))
+      .select(col(idCol), col("pos"), col("col").as("_w"))
+    val withLeads = (1 to window).foldLeft(base) { (d, k) =>
+      d.withColumn(s"_n$k", lead(col("_w"), k).over(w))
+    }
+    val pairs = (1 to window)
+      .map(k =>
+        withLeads
+          .filter(col(s"_n$k").isNotNull && col("_w") =!= "" && col(s"_n$k") =!= "")
+          .select(
+            least(col("_w"), col(s"_n$k")).as("w1"),
+            greatest(col("_w"), col(s"_n$k")).as("w2")))
+      .reduce(_ unionAll _)
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val uni = df
+      .select(explode(filter(toks(col(textCol)), t => t =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = c2.agg(sum(col("pair_count")).as("n2"))
+      .crossJoin(uni.agg(sum(col("c")).as("n1")))
+    c2.filter(col("pair_count") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_w2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("w1"), col("w2"), col("pair_count"),
+        graft.Functions.roundHalfUp(
+          greatest(
+            log(col("pair_count").cast("double") * col("n1").cast("double") *
+              col("n1").cast("double") /
+              (col("n2").cast("double") * col("c_w1").cast("double") *
+                col("c_w2").cast("double"))),
+            lit(0.0)), 6).as("ppmi"))
+  }
+
   /** Search-result snippet extraction: the `windowTokens`-token window of
     * each document with the most query-token hits (earliest window on
     * ties), as search engines render hit context. Output per document:

@@ -63,6 +63,24 @@ class FusionSpec extends SparkSpec {
     assert(out == Set(("p", "q")))
   }
 
+  test("ppmi: window-2 pairs are unordered, counted once per occurrence, 0-floored") {
+    // "a b a b": window 2 pairs → (a,b)×3 [pos12, 23, 34], (a,a)×1, (b,b)×1
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.ppmiCooccurrence(docs, "doc_id", "text",
+      window = 2, minCount = 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "a"), ("b", "b")), s"got $out")
+    assert(out(("a", "b"))._1 == 3L && out(("a", "a"))._1 == 1L)
+    // N2 = 5, N1 = 4, c(a) = c(b) = 2
+    def ppmi(c2: Long) = math.max(0.0,
+      math.log(c2.toDouble * 4.0 * 4.0 / (5.0 * 2.0 * 2.0)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(("a", "b"))._2 == r6(ppmi(3)), s"got ${out(("a", "b"))._2}")
+    assert(out(("a", "a"))._2 == r6(ppmi(1)) && out(("a", "a"))._2 == 0.0,
+      "ln(16/20) < 0 floors to 0")
+  }
+
   test("snippets: densest window wins, earliest on ties, short docs whole") {
     val docs = Seq(
       // hits at 0, 7, 8 → windows starting at 6 and 7 both hold two
