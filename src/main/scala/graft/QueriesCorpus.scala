@@ -87,6 +87,29 @@ object QueriesCorpus {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 8, bands = 2)),
 
+    // one-permutation MinHash (k=8 buckets, rotation densification): ONE
+    // hash per shingle and ZERO shuffles — the hash-once scale path of
+    // q_dd_minhash_sig (plan-pinned as a pure projection)
+    "q_dd_oph_sig" -> ((s, dir) =>
+      Dedup.ophSignatures(t(s, dir, "documents"), "doc_id", "text", k = 8)),
+
+    // OPH-LSH candidate pairs (2 bands of 4 densified slots — r=4 keeps
+    // per-band collision at jaccard⁴; a first cut at 4 bands of 2 read
+    // 58 s at sf0.1 from candidate explosion, the r-selectivity lesson)
+    "q_dd_oph_pairs" -> ((s, dir) =>
+      Dedup.ophLshPairs(t(s, dir, "documents"), "doc_id", "text", k = 8, bands = 2)),
+
+    // n-gram novelty vs a reference corpus (even doc_ids are the trained
+    // reference, odd doc_ids are scored): distinct-shingle membership via
+    // ONE keyed left join — the upweight-unseen-content curation signal
+    "q_tx_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.noveltyScore(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+    }),
+
     // duplicate GROUPS: LSH pairs clustered by alternating-star connected
     // components — every doc labeled with its component's min id (singletons
     // label themselves); keep-one-per-cluster is `doc_id = cluster_id`
@@ -1142,6 +1165,31 @@ object QueriesCorpus {
   private def minhashSql(seed: Int): String =
     s"list_min(list_transform(sh, x -> md5('s$seed:' || x)))"
 
+  /** OPH signature CTE chain ending in `oph(doc_id, oph0..oph{k-1})`:
+    * one 32-bit hash per shingle, bucket minima (`h % k`), then rotation
+    * densification unrolled as a k-way coalesce per slot — the exact
+    * arithmetic of [[graft.ops.Dedup.ophSignatures]].
+    */
+  private def ophCteSql(k: Int): String = {
+    val mins =
+      s"list_transform(range(0, $k), j -> list_min(list_filter(hs, v -> v % $k = j)))"
+    val slots = (0 until k).map { j =>
+      val args = (0 until k).map { off =>
+        val idx = (j + off) % k + 1
+        if (off == 0) s"m[$idx]" else s"m[$idx] + $off"
+      }.mkString(", ")
+      s"coalesce($args) AS oph$j"
+    }.mkString(",\n  ")
+    s"""h AS (
+       |  SELECT doc_id,
+       |    list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS hs
+       |  FROM $shingleFrom),
+       |mm AS (SELECT doc_id, $mins AS m FROM h),
+       |oph AS (
+       |  SELECT doc_id, $slots
+       |  FROM mm)""".stripMargin
+  }
+
   private val shingleFrom =
     s"(SELECT doc_id, $shinglesSql AS sh FROM " +
       "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM documents))"
@@ -1451,6 +1499,40 @@ object QueriesCorpus {
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
     },
+    "q_dd_oph_sig" ->
+      s"""WITH ${ophCteSql(8)}
+         |SELECT doc_id, ${(0 until 8).map(j => s"oph$j").mkString(", ")} FROM oph""".stripMargin,
+    "q_dd_oph_pairs" -> {
+      val bandSelects = (0 until 2)
+        .map { b =>
+          val sig = (0 until 4)
+            .map(r => s"CAST(oph${b * 4 + r} AS VARCHAR)").mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM oph"
+        }
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${ophCteSql(8)},
+         |banded AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+    },
+    "q_tx_novelty" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt
+         |  FROM documents),
+         |sh AS (SELECT doc_id, unnest($shinglesSql) AS shingle FROM tt),
+         |ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+         |sc AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+         |a AS (
+         |  SELECT sc.doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM sc LEFT JOIN ref r USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_shingles, 0) AS n_shingles,
+         |  coalesce(a.n_novel, 0) AS n_novel,
+         |  floor(CAST(a.n_novel AS DOUBLE) / a.n_shingles * 1e9 + 0.5) / 1e9 AS novelty
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN a USING (doc_id)""".stripMargin,
     "q_dd_clusters" -> {
       // same banded-pair CTE as q_dd_lsh_pairs, then transitive closure via
       // a recursive min-label reach: r reaches id ⇒ r reaches id's

@@ -284,6 +284,15 @@ object QueriesExtra {
       graft.ops.Profile.histogramEquiWidth(
         t(s, dir, "events").select(col("value")), "value", buckets = 16)),
 
+    // mergeable grid-sketch quantiles over explicit bounds [0, 500): the
+    // fixed grid makes counts additive across batches/streams (unlike the
+    // data-derived q_pf_hist bounds); estimates are bucket upper edges,
+    // error ≤ one grid width, every step oracle-replayed
+    "q_pf_quantiles" -> ((s, dir) =>
+      graft.ops.Profile.gridQuantiles(
+        t(s, dir, "events").select(col("value")), "value",
+        lo = 0.0, hi = 500.0, buckets = 50, qs = Seq(0.25, 0.5, 0.9, 0.99))),
+
     // drift monitoring: PSI of click values against the view baseline —
     // two bounded bucket aggregates, terms quantized to integer picounits
     // so the sum is order-free
@@ -491,6 +500,21 @@ object QueriesExtra {
         |         ELSE least(floor((v - lo) * 16 / (hi - lo)), 15) END AS BIGINT) AS bucket,
         |  count(*) AS cnt
         |FROM v, b GROUP BY 1""".stripMargin,
+    "q_pf_quantiles" ->
+      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |    WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+        |c AS (SELECT CAST(greatest(least(
+        |      floor((v - 0.0) * 50 / (500.0 - 0.0)), 49), 0) AS BIGINT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM v GROUP BY 1),
+        |cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM c),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |q AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |p AS (SELECT q.q, n.n, min(cum.bucket) AS bucket
+        |  FROM cum, n, q WHERE cum.cum >= ceil(q.q * n.n) GROUP BY 1, 2)
+        |SELECT q, n, bucket,
+        |  floor((0.0 + (bucket + 1) * ((500.0 - 0.0) / 50)) * 1e9 + 0.5) / 1e9 AS estimate
+        |FROM p""".stripMargin,
     "q_pf_psi" ->
       """WITH rv AS (SELECT CAST(value AS DOUBLE) AS v FROM events
         |    WHERE value IS NOT NULL AND event_type = 'view'),

@@ -53,6 +53,29 @@ object QueriesSampling {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
 
+    // UniMax allocation (budget 700 rows, ≤2 epochs per language): integer
+    // water-filling over the language histogram — capped small languages
+    // release budget to the larger ones after them; the sequential fill
+    // itself is replayed by the oracle as a recursive CTE
+    "q_sm_unimax" -> ((s, dir) =>
+      Sampling.unimaxAllocation(
+        t(s, dir, "documents"), "lang", budget = 700L, maxEpochs = 2.0)),
+
+    // the applied UniMax mix: per-language quotas taken by md5 rank
+    "q_sm_unimax_take" -> ((s, dir) =>
+      Sampling.unimaxMix(t(s, dir, "documents"), "lang", "doc_id",
+        budget = 700L, maxEpochs = 2.0, salt = "um")
+        .select("doc_id", "lang")),
+
+    // temporal split at the 80th time percentile with a 1-day embargo gap:
+    // train strictly before cutoff − 86400 s, test at/after the cutoff,
+    // the gap excluded from both — the anti-leakage split for
+    // time-correlated corpora
+    "q_sm_timesplit" -> ((s, dir) =>
+      Sampling.temporalSplitEmbargo(
+        t(s, dir, "events").select("event_id", "ts", "user_id"),
+        "ts", frac = 0.8, embargoSeconds = 86400L)),
+
     // exactly min(k, |stratum|) docs per language: deterministic min-wise
     // reservoir (k smallest md5-uniforms per stratum)
     "q_sm_pergroup" -> ((s, dir) =>
@@ -106,7 +129,48 @@ object QueriesSampling {
           Seq("band"), "doc_id", epoch = 2L)
         .select("doc_id", "band", "pos")))
 
+  /** UniMax water-fill CTE chain (budget 700, maxEpochs 2.0) ending in
+    * `fill(i, remaining, lang, n, cap, quota)` — the driver loop of
+    * [[graft.ops.Sampling.unimaxAllocation]] replayed as a recursive CTE.
+    */
+  private val unimaxCteSql =
+    """s AS (
+      |  SELECT lang, count(*) AS n, CAST(floor(count(*) * 2.0) AS BIGINT) AS cap
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      |o AS (SELECT lang, n, cap,
+      |    CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+      |    CAST(count(*) OVER () AS BIGINT) AS tot
+      |  FROM s),
+      |fill(i, remaining, lang, n, cap, quota) AS (
+      |  SELECT o.i, 700 - least(o.cap, 700 // o.tot), o.lang, o.n, o.cap,
+      |      least(o.cap, 700 // o.tot)
+      |    FROM o WHERE o.i = 1
+      |  UNION ALL
+      |  SELECT o.i, f.remaining - least(o.cap, f.remaining // (o.tot - o.i + 1)),
+      |      o.lang, o.n, o.cap, least(o.cap, f.remaining // (o.tot - o.i + 1))
+      |    FROM fill f JOIN o ON o.i = f.i + 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sm_unimax" ->
+      s"""WITH RECURSIVE $unimaxCteSql
+         |SELECT lang, n AS n_rows, cap, quota FROM fill""".stripMargin,
+    "q_sm_unimax_take" ->
+      s"""WITH RECURSIVE $unimaxCteSql
+         |SELECT doc_id, d.lang FROM documents d JOIN fill USING (lang)
+         |WHERE doc_id IS NOT NULL
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY d.lang ORDER BY ${uSql("doc_id", "um")}, doc_id) <= fill.quota""".stripMargin,
+    "q_sm_timesplit" ->
+      """WITH r AS (SELECT event_id, ts, user_id FROM events WHERE ts IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM r),
+        |c AS (SELECT ts, count(*) AS c FROM r GROUP BY 1),
+        |cum AS (SELECT ts, sum(c) OVER (ORDER BY ts) AS cum FROM c),
+        |cut AS (SELECT min(ts) AS cutoff FROM cum, n WHERE cum >= ceil(n * 0.8))
+        |SELECT r.event_id, r.ts, r.user_id,
+        |  CASE WHEN r.ts >= cut.cutoff THEN 'test'
+        |       WHEN epoch_us(r.ts) < epoch_us(cut.cutoff) - 86400000000 THEN 'train'
+        |       ELSE 'embargo' END AS split
+        |FROM r, cut""".stripMargin,
     "q_sm_budget" ->
       s"""WITH w AS (SELECT lang, sum(CAST(n_chars AS DOUBLE)) AS tot
          |    FROM documents GROUP BY 1),

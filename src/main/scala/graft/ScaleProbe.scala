@@ -38,7 +38,14 @@ import org.apache.spark.sql.functions._
   * over 10x edges), tx_pmi 4.5x (the salted copies append a distinct
   * token per copy, so the BIGRAM key space itself grows ~an order — the
   * count aggregates track distinct-bigram volume, not corpus²; output
-  * rows grew 900 → 1241).
+  * rows grew 900 → 1241). Wave-3 additions: oph_sig 1.1x (hash-once
+  * projection, aggregated over a slot so count-pruning can't fake it),
+  * oph_pairs 3.7x (output pairs grew 255 → 240 947 by salted
+  * construction — runtime tracks candidates, the lsh_pairs story),
+  * tx_novelty 1.1x (distinct-shingle keyed join), sm_timesplit 1.1x
+  * (bounded distinct-time window + per-row label), pf_quantiles 1.0x
+  * (one map-side bucket aggregate; the sketch is 50 rows at any scale),
+  * sm_unimax 1.3x (per-language rank windows).
   *
   * The 10x corpus is synthesized under /tmp (never under /root/testdata):
   * each copy salts the text with a distinct token so near-dup structure is
@@ -460,7 +467,32 @@ object ScaleProbe {
               col("embedding").cast("array<double>"), col("qv")), 6).as("cos"))
         graft.ops.Fusion.rrf(Seq((lex, "bm25"), (sem, "cos")), "doc_id",
           kRrf = 60, perListTopN = 50, topK = 20).count()
-      })
+      },
+      // agg over a slot defeats count()'s column pruning — the probe must
+      // pay the hash pipeline, not just a parquet row count
+      "oph_sig" -> (d =>
+        graft.ops.Dedup.ophSignatures(docsAt(d), "doc_id", "text", k = 8)
+          .agg(sum(col("oph0"))).count()),
+      "oph_pairs" -> (d =>
+        graft.ops.Dedup.ophLshPairs(docsAt(d), "doc_id", "text", k = 8, bands = 2).count()),
+      "tx_novelty" -> { d =>
+        val docs = docsAt(d)
+        graft.ops.TextAnalysis.noveltyScore(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text").count()
+      },
+      "sm_timesplit" -> (d =>
+        graft.ops.Sampling.temporalSplitEmbargo(
+          Tables(spark, d, "events").select("event_id", "ts", "user_id"),
+          "ts", frac = 0.8, embargoSeconds = 86400L).count()),
+      "pf_quantiles" -> (d =>
+        graft.ops.Profile.gridQuantiles(
+          Tables(spark, d, "events").select(col("value")), "value",
+          lo = 0.0, hi = 500.0, buckets = 50, qs = Seq(0.25, 0.5, 0.9, 0.99)).count()),
+      "sm_unimax" -> (d =>
+        graft.ops.Sampling.unimaxMix(docsAt(d), "lang", "doc_id",
+          budget = 700L, maxEpochs = 2.0, salt = "um").count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)

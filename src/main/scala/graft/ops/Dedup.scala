@@ -910,4 +910,126 @@ object Dedup {
         levenshtein(col("a.s"), col("b.s"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
+
+  /** Distinct `n`-word shingles of [[tokens]] as a per-row ARRAY — the
+    * array-expression twin of [[shingleRows]] for operators that stay
+    * shuffle-free: index i ∈ 1..max(len−n+1, 1), shingle = the (clipped)
+    * n-token slice starting at i, deduplicated. Identical contract to
+    * [[shinglesOf]] / the oracle's `shinglesSql`.
+    */
+  private[ops] def shingleArray(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val tt = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(tt) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(tt, i, lit(n)))))
+  }
+
+  /** One-permutation-hashing MinHash with rotation densification (Li, Owen
+    * & Zhang, NIPS 2012; Shrivastava & Li, ICML 2014): ONE 32-bit hash per
+    * distinct shingle — slot `j` of the signature is the minimum hash whose
+    * value lands in bucket `j = h mod k` — versus [[minhashSignatures]]'
+    * k independent md5 evaluations per shingle. Empty buckets (short
+    * documents fill few of the k buckets) are densified by borrowing the
+    * nearest non-empty bucket circularly to the RIGHT, offset-shifted
+    * (`value + distance`): two documents collide on a borrowed slot only
+    * when the borrow source AND distance agree, the rotation scheme's
+    * unbiasedness device. A document with no shingles at all (NULL text)
+    * emits NULL slots.
+    *
+    * Scale shape: the entire signature is ONE per-row projection — no
+    * explode, no exchange, no window (the [[simhash]] shape; plan-pinned).
+    * Per-shingle hashes are materialized once into an array; the k bucket
+    * minima and k densified slots are array expressions over it, and the
+    * two projections stay separate (the minima array is expensive and
+    * multiply-referenced, so CollapseProject leaves it alone) — at 100 TB
+    * this is a map-only pass where [[minhashSignatures]] pays a keyed
+    * exchange AND k× the hashing. Reference analog: the reference hashes
+    * each record body once for its dedup key, not once per comparison
+    * (/root/reference/atd_data_lake/support/last_upd_fs.py:60) — the same
+    * hash-once economics applied to MinHash permutations.
+    *
+    * Emits `oph0..oph{k-1}` LONG columns.
+    */
+  def ophSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      shingle: Int = 3): DataFrame = {
+    require(k >= 2 && k <= 64, s"k=$k buckets must be in 2..64")
+    // gate on text presence: concat_ws over a NULL token slice yields ""
+    // (not NULL), so an ungated pipeline would hash phantom "" shingles
+    // for NULL-text docs instead of emitting the contract's NULL slots
+    val hs = when(col(textCol).isNotNull,
+      transform(
+        shingleArray(col(textCol), shingle),
+        x => graft.Functions.md5Bits(x, 32)))
+    // THREE projections, deliberately: higher-order array expressions are
+    // interpreted (no whole-stage-codegen subexpression elimination), so if
+    // `hs` were inlined into each bucket minimum the corpus would be
+    // tokenized and md5-hashed k times per row — measured 8× slower at
+    // sf0.1. A multiply-referenced non-cheap alias is exactly what
+    // CollapseProject refuses to inline, so the hash array and the minima
+    // array each materialize once per row.
+    val mins = (0 until k).map(j =>
+      array_min(filter(col("_hs"), v => pmod(v, lit(k.toLong)) === lit(j.toLong))))
+    val slots = (0 until k).map { j =>
+      coalesce((0 until k).map { off =>
+        val src = element_at(col("_m"), (j + off) % k + 1)
+        if (off == 0) src else src + lit(off.toLong)
+      }: _*).as(s"oph$j")
+    }
+    df.select(col(idCol), hs.as("_hs"))
+      .select(col(idCol), array(mins: _*).as("_m"))
+      .select(col(idCol) +: slots: _*)
+  }
+
+  /** LSH candidate pairs over [[ophSignatures]] — [[minhashLshPairs]]'
+    * banded SHUFFLE_HASH self-join (band index + band signature key,
+    * ReuseExchange computes the signature pipeline once) fed by the
+    * hash-once signature. Documents with NULL signatures (no shingles) are
+    * excluded up front: `concat_ws` would silently skip their NULL slots
+    * and collide every empty document into one band bucket, where the SQL
+    * twin's NULL-propagating `||` matches nothing — dropping them keeps
+    * both engines at "no pairs from empty docs".
+    */
+  def ophLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 2,
+      shingle: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    // NULL-text docs are exactly the NULL-signature docs — filter BEFORE
+    // the signature so the predicate never rewrites through the projection
+    // chain (a pushed isnotnull(oph0) would inline the full hash pipeline
+    // into the Filter, paying it twice per row). The explicit repartition
+    // is the shingleRows lesson: signature compute vastly exceeds bytes,
+    // and the corpus often arrives as few input splits — without it the
+    // heavy map runs in one task and AQE cannot help (the exchange sits
+    // ABOVE this stage).
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val sigs = ophSignatures(
+      df.filter(col(textCol).isNotNull).repartition(parallelism, col(idCol)),
+      idCol, textCol, k, shingle)
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"oph${b * rows + r}")): _*).as("sig"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = banded.alias("a")
+    val b = banded.hint("SHUFFLE_HASH").alias("b")
+    a.join(
+        b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
 }

@@ -79,6 +79,71 @@ object Profile {
     vals.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Fixed-grid bucket counts with EXPLICIT bounds — the mergeable quantile
+    * sketch: because `[lo, hi)` is caller-fixed (not data-derived), counts
+    * from disjoint batches/partitions/streams merge by plain addition, so
+    * the sketch maintains under unions with O(buckets) state — the property
+    * [[histogramEquiWidth]]'s data-derived bounds lack. Values clamp into
+    * the edge buckets ([[psi]]'s out-of-range convention: the sketch never
+    * drops a value it was told about). NULL/NaN excluded as always.
+    */
+  def gridCounts(
+      df: DataFrame, valueCol: String, lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= 100000, s"buckets=$buckets out of [1, 100000]")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val vals = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .select(col(valueCol).cast("double").as("_v"))
+    val bucket = greatest(
+      least(
+        floor((col("_v") - lit(lo)) * lit(buckets) / (lit(hi) - lit(lo))),
+        lit((buckets - 1).toDouble)),
+      lit(0.0)).cast("long")
+    vals.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[gridCounts]] sketch: for each requested
+    * `q`, the smallest bucket whose cumulative count reaches `ceil(q·n)`
+    * and that bucket's UPPER edge as the estimate — a value guaranteed ≥
+    * the true q-quantile of the clamped data, with error bounded by one
+    * grid width `(hi−lo)/buckets`. All arithmetic is the same IEEE op
+    * sequence in both engines (`ceil(q·n)`, `lo + (b+1)·((hi−lo)/buckets)`),
+    * so estimates oracle exactly.
+    *
+    * Scale shape: the sketch is ≤ buckets rows; the cumulative window and
+    * the quantile probe run over that bounded relation — the corpus is
+    * touched only by [[gridCounts]]' one map-side-combinable aggregate.
+    */
+  def quantilesFromCounts(
+      counts: DataFrame, lo: Double, hi: Double, buckets: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts.withColumn("_cum", sum(col("cnt")).over(w))
+    val total = counts.agg(sum(col("cnt")).as("_n"))
+    val qdf = total.select(explode(array(qs.map(lit): _*)).as("q"), col("_n"))
+    val width = (hi - lo) / buckets
+    cum
+      .crossJoin(broadcast(qdf))
+      .filter(col("_cum") >= ceil(col("q") * col("_n")))
+      .groupBy(col("q"), col("_n"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(
+        col("q"), col("_n").as("n"), col("bucket"),
+        graft.Functions.roundHalfUp(
+          lit(lo) + (col("bucket") + lit(1L)).cast("double") * lit(width), 9)
+          .as("estimate"))
+  }
+
+  /** [[gridCounts]] + [[quantilesFromCounts]] with explicit bounds in one
+    * call — the self-contained form the oracle query uses.
+    */
+  def gridQuantiles(
+      df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      buckets: Int, qs: Seq[Double]): DataFrame =
+    quantilesFromCounts(gridCounts(df, valueCol, lo, hi, buckets), lo, hi, buckets, qs)
+
   /** Population Stability Index between a REFERENCE sample and a CURRENT
     * sample of the same numeric column — the standard ingest drift monitor
     * ("has this feed's distribution moved since the baseline"):

@@ -456,4 +456,145 @@ object Sampling {
         Functions.roundHalfUp(
           col("_u9").cast("double") / col("_t9").cast("double"), 9).as("weight"))
   }
+
+  /** Temporal train/test split with an embargo gap — the leakage guard
+    * hash-band [[split]] cannot express: when labels depend on the future
+    * (forecasting, recsys, dedup-against-history evaluation), a random
+    * split trains on events AFTER the test window. Cutoff = the earliest
+    * time whose cumulative row count reaches `ceil(frac·n)` (the explicit
+    * percentile_disc definition, evaluated with the same IEEE `ceil(n·frac)`
+    * in both engines); rows at/after the cutoff are `test`, rows strictly
+    * before `cutoff − embargoSeconds` are `train`, and the gap between is
+    * labeled `embargo` — excluded from both sides so near-boundary
+    * autocorrelation (a doc and its near-dup seconds apart) cannot leak.
+    * Ties at the cutoff all land in `test`, so `train` never exceeds the
+    * requested fraction. NULL-time rows are dropped — unplaceable.
+    *
+    * Scale shape: the cutoff derives from a DISTINCT-time count table —
+    * bounded by time grain × range, not corpus rows — one cumulative
+    * window over that bounded relation, then a broadcast one-row cutoff
+    * against a per-row labeling projection. The corpus itself never
+    * sorts and never shuffles.
+    */
+  def temporalSplitEmbargo(
+      df: DataFrame,
+      timeCol: String,
+      frac: Double,
+      embargoSeconds: Long): DataFrame = {
+    require(frac > 0.0 && frac < 1.0, s"frac=$frac must be in (0, 1)")
+    require(embargoSeconds >= 0L, s"embargoSeconds=$embargoSeconds must be >= 0")
+    val rows = df.filter(col(timeCol).isNotNull)
+    val counts = rows.groupBy(col(timeCol)).agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(timeCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cutoff = counts
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .crossJoin(broadcast(counts.agg(sum(col("_c")).as("_n"))))
+      .filter(col("_cum") >= ceil(col("_n") * lit(frac)))
+      .agg(min(col(timeCol)).as("_cutoff"))
+    val trainEdge = col("_cutoff") - expr(s"INTERVAL '$embargoSeconds' SECOND")
+    rows
+      .crossJoin(broadcast(cutoff))
+      .select(df.columns.map(col) :+
+        when(col(timeCol) >= col("_cutoff"), lit("test"))
+          .when(col(timeCol) < trainEdge, lit("train"))
+          .otherwise(lit("embargo")).as("split"): _*)
+  }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling"): spread `budget` rows as UNIFORMLY as
+    * possible across strata, capping each stratum at `maxEpochs × its
+    * size` — the anti-oversampling alternative to temperature mixing
+    * ([[temperatureMix]]), which still lets a huge corpus starve small
+    * ones and repeats tiny ones without bound. Integer water-filling:
+    * strata ascend by cap (ties by name); each takes `min(cap,
+    * remaining budget div remaining strata)` — a capped stratum's unused
+    * share flows to the larger strata after it. Truncation from the
+    * integer division can leave a few rows of budget unspent; the budget
+    * is an upper bound, never exceeded.
+    *
+    * Returns `(stratum, n_rows, cap, quota)`. Driver math over the
+    * bounded stratum list ([[budgetMix]]'s collect precedent); the oracle
+    * replays the sequential fill as a recursive CTE, so the loop itself
+    * is verified, not just its inputs. NULL strata drop (module rule).
+    */
+  def unimaxAllocation(
+      df: DataFrame,
+      strataCol: String,
+      budget: Long,
+      maxEpochs: Double): DataFrame = {
+    require(budget >= 0L, s"budget=$budget must be >= 0")
+    require(maxEpochs > 0.0, s"maxEpochs=$maxEpochs must be positive")
+    val sizes = df
+      .filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val ordered = sizes
+      .map { case (s, n) => (s, n, math.floor(n * maxEpochs).toLong) }
+      .sortBy { case (s, _, cap) => (cap, s) }
+    var remaining = budget
+    val rows = ordered.zipWithIndex.map { case ((s, n, cap), i) =>
+      val fair = remaining / (ordered.length - i)
+      val quota = math.min(cap, fair)
+      remaining -= quota
+      (s, n, cap, quota)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF(strataCol, "n_rows", "cap", "quota")
+  }
+
+  /** Apply a per-stratum quota map deterministically: each stratum keeps
+    * its `quota` smallest rows by md5-uniform ([[perStratumSample]]'s
+    * selection, per-stratum k) — composed with [[unimaxAllocation]] this
+    * is the full UniMax mix. Strata absent from the map drop; NULL keys
+    * drop (module rule).
+    *
+    * Scale shape: quotas enter as a plan-time literal when-chain, the
+    * ranking is one keyed window per stratum — the [[perStratumSample]]
+    * plan exactly, no join.
+    */
+  def takeQuotas(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      quotas: Map[String, Long],
+      salt: String = ""): DataFrame = {
+    require(quotas.nonEmpty, "need at least one stratum quota")
+    require(quotas.values.forall(_ >= 0L), "quotas must be non-negative")
+    val quotaExpr = quotas.foldLeft(lit(-1L)) { case (acc, (s, q)) =>
+      when(col(strataCol) === s, lit(q)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashUniform(col(keyCol), salt), col(keyCol))
+    df
+      .filter(col(keyCol).isNotNull && col(strataCol).isNotNull)
+      .withColumn("_q", quotaExpr)
+      .filter(col("_q") >= 0L)
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") <= col("_q"))
+      .drop("_rn", "_q")
+  }
+
+  /** [[unimaxAllocation]] + [[takeQuotas]] in one call: the self-contained
+    * UniMax mixing operator (allocation collected driver-side — strata are
+    * bounded — then applied as literal quotas).
+    */
+  def unimaxMix(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      budget: Long,
+      maxEpochs: Double,
+      salt: String = ""): DataFrame = {
+    val quotas = unimaxAllocation(df, strataCol, budget, maxEpochs)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(3))
+      .toMap
+    takeQuotas(df, strataCol, keyCol, quotas, salt)
+  }
 }

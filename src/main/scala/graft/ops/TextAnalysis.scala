@@ -1375,4 +1375,48 @@ object TextAnalysis {
         graft.Functions.roundHalfUp(
           coalesce(col("_e"), lit(0L)).cast("double") / lit(1e9), 6).as("entropy_nats"))
   }
+
+  /** N-gram novelty against a reference corpus — the "how much of this
+    * document has the model never seen" curation signal (the complement of
+    * [[Decontaminate]]'s overlap: there the reference is a benchmark to
+    * EXCLUDE against; here it is the already-trained corpus and HIGH
+    * novelty is what upweighting wants). Per scored document: the count of
+    * its distinct `shingle`-word shingles, how many are absent from the
+    * reference's shingle set, and their ratio (round-half-up 9).
+    *
+    * Scale shape: both sides reduce to DISTINCT shingle relations first
+    * (map-side partial aggregates), the membership probe is ONE keyed
+    * left join on the shingle string — never doc×doc — and the reference
+    * side carries no payload beyond the key, so at 100 TB the exchange is
+    * bounded by distinct-shingle volume, not corpus volume. Hot
+    * boilerplate shingles skew only the probe side of the join.
+    * Documents with no shingles (NULL text) keep their spine row:
+    * `n_shingles = 0`, `novelty` NULL.
+    */
+  def noveltyScore(
+      docs: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingle: Int = 3): DataFrame = {
+    val refSh = Dedup.shingleRows(reference, idCol, textCol, shingle)
+      .select(col("shingle")).distinct()
+      .withColumn("_seen", lit(1))
+    val scored = Dedup.shingleRows(docs, idCol, textCol, shingle)
+      .select(col(idCol), col("shingle")).distinct()
+    val agg = scored
+      .join(refSh, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("_total"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("_novel"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("_total"), lit(0L)).as("n_shingles"),
+        coalesce(col("_novel"), lit(0L)).as("n_novel"),
+        graft.Functions.roundHalfUp(
+          col("_novel").cast("double") / col("_total").cast("double"), 9).as("novelty"))
+  }
 }

@@ -91,6 +91,24 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, "a b c"), (1L, "b c d"), (2L, "x"), (3L, "p q")))
   }
 
+  test("noveltyScore: novel-shingle fraction vs reference; NULL text keeps its spine row") {
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, Some("a b c d")),  // every shingle seen → novelty 0
+      (2L, Some("x y z w")),  // fully novel → novelty 1
+      (3L, Some("a b c x")),  // "a b c" seen, "b c x" novel → 0.5
+      (4L, Option.empty[String])) // no shingles → nulls
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScore(scored, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 0L, Some(0.0))))
+    assert(got(2L) == ((2L, 2L, Some(1.0))))
+    assert(got(3L) == ((2L, 1L, Some(0.5))))
+    assert(got(4L) == ((0L, 0L, None)))
+  }
+
   test("Dedup: identical docs share all minhashes, LSH pairs them") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -749,6 +767,35 @@ class OpsSpec extends SparkSpec {
       (df.as[Option[Double]].collect().toSeq :+ Some(Double.NaN)).toDF("v"), "v", 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(withNan == got, "NaN must not change the histogram")
+  }
+
+  test("Profile.gridQuantiles: mergeable counts, clamping, error bound vs exact") {
+    val vals = (1 to 100).map(_.toDouble)
+    val df = vals.toDF("v")
+    // counts with explicit bounds merge by addition across arbitrary splits
+    val whole = graft.ops.Profile.gridCounts(df, "v", 0.0, 100.0, 10)
+      .as[(Long, Long)].collect().toMap
+    val partA = graft.ops.Profile.gridCounts(df.filter(col("v") <= 37), "v", 0.0, 100.0, 10)
+      .as[(Long, Long)].collect().toMap
+    val partB = graft.ops.Profile.gridCounts(df.filter(col("v") > 37), "v", 0.0, 100.0, 10)
+      .as[(Long, Long)].collect().toMap
+    val merged = (partA.keySet ++ partB.keySet)
+      .map(b => b -> (partA.getOrElse(b, 0L) + partB.getOrElse(b, 0L))).toMap
+    assert(merged == whole, "fixed-grid counts must be additive")
+    // out-of-range values clamp into edge buckets, never drop
+    val clamped = graft.ops.Profile.gridCounts(
+      Seq(-5.0, 0.5, 999.0).toDF("v"), "v", 0.0, 100.0, 10)
+      .as[(Long, Long)].collect().toMap
+    assert(clamped == Map(0L -> 2L, 9L -> 1L))
+    // estimates: upper bucket edges, within one grid width of the truth
+    val est = graft.ops.Profile.gridQuantiles(df, "v", 0.0, 100.0, 10,
+      Seq(0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    // the 50th order statistic (50.0) lands in bucket 5 → upper edge 60;
+    // the 90th (90.0) in bucket 9 (cum(b8)=89 < 90) → upper edge 100
+    assert(est(0.5) == 60.0 && est(0.9) == 100.0 && est(1.0) == 100.0)
+    val exact50 = 50.0
+    assert(est(0.5) >= exact50 && est(0.5) - exact50 <= 10.0, "error bound: one width")
   }
 
   test("Profile.psi: zero on identical, large on shifted, clamps and empties") {

@@ -90,6 +90,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), s"q_dd_simhash must not aggregate:\n$plan")
   }
 
+  test("q_dd_oph_sig: hash-once MinHash is a zero-exchange per-row projection") {
+    // the whole point of OPH over q_dd_minhash_sig is losing the per-seed
+    // hash aggregate's exchange — if a shuffle ever appears here, the
+    // operator has regressed to the shape it exists to avoid
+    val df = SparkEntry.queries("q_dd_oph_sig")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q_dd_oph_sig must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"q_dd_oph_sig must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q_dd_oph_sig must not aggregate:\n$plan")
+  }
+
   test("q_web_html / q_bp_clean: extraction chains are zero-exchange per-row projections") {
     for (name <- Seq("q_web_html", "q_bp_clean")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")

@@ -338,4 +338,71 @@ class SamplingSpec extends SparkSpec {
       Sampling.upsample(docs, "lang", "doc_id", Map("en" -> 2.0), defaultRate = -0.1)
     }
   }
+
+  test("unimaxAllocation: water-fill caps small strata, releases budget to larger ones") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 50).map(i => (i.toLong, "b")) ++
+      (51 to 150).map(i => (i.toLong, "c"))).toDF("id", "s")
+    val got = Sampling.unimaxAllocation(df, "s", budget = 120L, maxEpochs = 1.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // caps: a 15, b 60, c 150. Fill ascending: a min(15, 120/3)=15 (capped),
+    // b min(60, 105/2)=52, c min(150, 53)=53 — a's unused share flowed on
+    assert(got == Map(
+      "a" -> ((10L, 15L, 15L)),
+      "b" -> ((40L, 60L, 52L)),
+      "c" -> ((100L, 150L, 53L))))
+    assert(got.values.map(_._3).sum == 120L, "this fill spends the whole budget")
+    // budget above total caps: every stratum capped, budget not exceeded
+    val capped = Sampling.unimaxAllocation(df, "s", budget = 10000L, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(capped == Map("a" -> 10L, "b" -> 40L, "c" -> 100L))
+  }
+
+  test("takeQuotas: per-stratum md5-rank take, min(quota, size) rows, unlisted strata drop") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 50).map(i => (i.toLong, "b")) ++
+      (51 to 60).map(i => (i.toLong, "z"))).toDF("id", "s")
+    val got = Sampling.takeQuotas(df, "s", "id", Map("a" -> 15L, "b" -> 7L), salt = "t")
+    val byStratum = got.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byStratum == Map("a" -> 10L, "b" -> 7L)) // quota>size keeps all; z unlisted
+    // deterministic: rerun picks the identical rows
+    val ids1 = got.select("id").as[Long].collect().toSet
+    val ids2 = Sampling.takeQuotas(df, "s", "id", Map("a" -> 15L, "b" -> 7L), salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
+  test("temporalSplitEmbargo: cutoff at ceil(frac·n), embargo gap excluded, cutoff ties are test") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // 10 rows at seconds 1..9 with second 8 duplicated — ceil(0.8·10)=8, the
+    // 8th row by time is the FIRST second-8 row, so cutoff = t8 and both
+    // t8 rows (ties) land in test
+    val rows = ((1 to 9).map(i => (i.toLong, Option(ts(i)))) :+ (10L, Option(ts(8)))) :+
+      (99L, Option.empty[java.sql.Timestamp])
+    val df = rows.toDF("event_id", "ts")
+    val got = Sampling.temporalSplitEmbargo(df, "ts", frac = 0.8, embargoSeconds = 2L)
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    assert(!got.contains(99L), "NULL-time row must be dropped")
+    assert(got.filter(_._2 == "test").keySet == Set(8L, 10L, 9L))
+    // train is STRICTLY before cutoff − embargo = 8 − 2 = 6
+    assert(got.filter(_._2 == "train").keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got.filter(_._2 == "embargo").keySet == Set(6L, 7L))
+  }
+
+  test("temporalSplitEmbargo: zero embargo leaves no gap; frac bounds enforced") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val df = (1 to 10).map(i => (i.toLong, ts(i))).toDF("event_id", "ts")
+    val got = Sampling.temporalSplitEmbargo(df, "ts", frac = 0.5, embargoSeconds = 0L)
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    assert(got.values.toSet == Set("train", "test"))
+    assert(got.filter(_._2 == "train").keySet == (1L to 4L).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.temporalSplitEmbargo(df, "ts", frac = 1.0, embargoSeconds = 0L)
+    }
+  }
 }
