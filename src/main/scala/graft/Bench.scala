@@ -41,7 +41,9 @@ object Bench {
       "q_ann_mmr", "q_ann_recall", "q_tx_qexp", "q_sa_ranks", "q_sa_lrs",
       "q_bl_skip", "q_tx_ppmi",
       "q_dd_oph_sig", "q_dd_oph_pairs", "q_tx_novelty", "q_sm_timesplit",
-      "q_pf_quantiles", "q_sm_unimax_take")
+      "q_pf_quantiles", "q_sm_unimax_take", "q_ann_maxsim",
+      "q_bt_strength", "q_tx_phrase", "q_tx_pii", "q_tx_tags",
+      "q_dd_softweight", "q_ann_brute_batch")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

@@ -121,6 +121,12 @@ object QueriesCorpus {
         "id_a", "id_b")
     }),
 
+    // soft dedup: weight 1/cluster_size instead of keep-one — repeated
+    // content loses its n× gradient mass, per-cluster weights sum to 1
+    "q_dd_softweight" -> ((s, dir) =>
+      Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, bands = 2)),
+
     // distributed suffix array (prefix doubling): per-doc suffix ranks —
     // the oracle sorts the suffixes DIRECTLY, so algorithm and check are
     // fully independent
@@ -228,6 +234,30 @@ object QueriesCorpus {
         t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.30)),
 
     // exact brute-force cosine top-k against the vec_id=0 query vector
+    // late-interaction max-sim retrieval (ColBERT): docs carry 4 vectors
+    // each (vec_id div 4), a 3-vector query scores each doc as the sum of
+    // per-query best matches — query vectors enter as plan-time literals,
+    // ONE keyed aggregate, TakeOrdered top-k
+    "q_ann_maxsim" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qvs: Seq[Seq[Double]] = emb.filter(col("vec_id") < 3).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().toSeq.map(_.getSeq[Double](0).toList)
+      val docs = emb.filter(col("vec_id") >= 100)
+        .select((col("vec_id") / 4).cast("long").as("doc_id"), col("embedding"))
+      SimilaritySearch.maxSimTopK(docs, "doc_id", "embedding", qvs, k = 10)
+    }),
+
+    // batched multi-query exact top-k (the recall-sweep shape): 5 query
+    // vectors share ONE corpus scan; per-query winners via the grouped
+    // bounded-heap path — the corpus is never sorted
+    "q_ann_brute_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopKBatch(
+        emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+
     "q_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -525,6 +555,34 @@ object QueriesCorpus {
     "q_tx_search" -> ((s, dir) =>
       TextAnalysis.booleanSearch(t(s, dir, "documents"), "doc_id", "text",
         queryTokens = Seq("scan", "join", "window"))),
+
+    // exact phrase retrieval ("hash join" adjacency): per-row array filter
+    // over token positions, zero shuffle — the adjacency predicate the
+    // conjunctive search above cannot express
+    "q_tx_phrase" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        phrase = Seq("hash", "join"))),
+
+    // PII audit over carrier text synthesized from doc fields in BOTH
+    // engines (the q_web_html precedent — the raw corpus is PII-free, so
+    // the patterns must be exercised by construction): per-pattern counts
+    // + release flag, pure per-row regexp_count projection
+    "q_tx_pii" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val carrier = when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com http://site"),
+          col("doc_id") % 7, lit(".org 10.0."), col("doc_id") % 256, lit(".1")))
+      TextAnalysis.piiAudit(
+        docs.select(col("doc_id"), carrier.as("text")), "doc_id", "text")
+    }),
+
+    // dictionary keyword tagging: (doc, term) rows for an 8-term topic
+    // dictionary entering as one literal array — per-row intersect
+    "q_tx_tags" -> ((s, dir) =>
+      TextAnalysis.tagKeywords(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("join", "window", "stream", "vector",
+          "hash", "sort", "customer", "quantum"))),
 
     // the same conjunctive search through a persisted inverted index
     // (build → save → load → search; answers must be identical, so the
@@ -1194,6 +1252,35 @@ object QueriesCorpus {
     s"(SELECT doc_id, $shinglesSql AS sh FROM " +
       "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM documents))"
 
+  /** MinHash-LSH duplicate clusters as a reusable CTE chain ending in
+    * `clusters(doc_id, cluster_id)`: the q_dd_lsh_pairs banding plus a
+    * recursive min-label transitive closure (r reaches id ⇒ r reaches
+    * id's neighbors; min reachable label = the component minimum). Shared
+    * by q_dd_clusters and the soft-dedup weight oracle.
+    */
+  private val clustersCteSql: String = {
+    val bandSelects = (0 until 2)
+      .map { b =>
+        val sig = (0 until 4).map(r => minhashSql(b * 4 + r)).mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM $shingleFrom"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+       |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+  }
+
   /** CDC chunk-boundary CTEs (window 4, divisor 16), shared by q_tx_cdc and
     * the shifted-dup pair oracle: `j(doc_id, tt, starts, ends)`.
     */
@@ -1533,31 +1620,15 @@ object QueriesCorpus {
          |  floor(CAST(a.n_novel AS DOUBLE) / a.n_shingles * 1e9 + 0.5) / 1e9 AS novelty
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
          |LEFT JOIN a USING (doc_id)""".stripMargin,
-    "q_dd_clusters" -> {
-      // same banded-pair CTE as q_dd_lsh_pairs, then transitive closure via
-      // a recursive min-label reach: r reaches id ⇒ r reaches id's
-      // neighbors; min reachable label per id = the component minimum
-      val bandSelects = (0 until 2)
-        .map { b =>
-          val sig = (0 until 4).map(r => minhashSql(b * 4 + r)).mkString(" || '_' || ")
-          s"SELECT doc_id, $b AS band, $sig AS sig FROM $shingleFrom"
-        }
-        .mkString("\n  UNION ALL ")
-      s"""WITH RECURSIVE banded AS (
-         |  $bandSelects),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT id_a AS u, id_b AS v FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
-         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
-    },
+    "q_dd_clusters" ->
+      s"""WITH RECURSIVE $clustersCteSql
+         |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
+    "q_dd_softweight" ->
+      s"""WITH RECURSIVE $clustersCteSql,
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1)
+         |SELECT c.doc_id, c.cluster_id, sz.cluster_size,
+         |  floor(1.0 / sz.cluster_size * 1e9 + 0.5) / 1e9 AS weight
+         |FROM clusters c JOIN sz USING (cluster_id)""".stripMargin,
     "q_sa_ranks" ->
       """WITH p AS (
         |  SELECT doc_id, text, unnest(range(0, length(text))) AS pos
@@ -1763,6 +1834,33 @@ object QueriesCorpus {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 >= 0.30""".stripMargin,
+    "q_ann_brute_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id >= 5),
+        |s AS (SELECT q.query_id, d.vec_id,
+        |    floor(list_cosine_similarity(d.dv, q.qv) * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM d, q)
+        |SELECT query_id, vec_id, cos FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos DESC, CAST(vec_id AS VARCHAR)) <= 10""".stripMargin,
+    "q_ann_maxsim" ->
+      """WITH d AS (
+        |  SELECT CAST(vec_id // 4 AS BIGINT) AS doc_id, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings WHERE vec_id >= 100),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |c AS (SELECT d.doc_id, q.qid,
+        |    floor(list_cosine_similarity(d.dv, q.qv) * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM d, q),
+        |m AS (SELECT doc_id,
+        |    max(CASE WHEN qid = 0 THEN cos END) AS m0,
+        |    max(CASE WHEN qid = 1 THEN cos END) AS m1,
+        |    max(CASE WHEN qid = 2 THEN cos END) AS m2
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, floor((m0 + m1 + m2) * 1000000 + 0.5) / 1000000 AS maxsim
+        |FROM m ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin,
     "q_ann_brute" ->
       """SELECT b.vec_id,
         |  floor(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 AS cos
@@ -2490,6 +2588,37 @@ object QueriesCorpus {
         |    * CAST(est_union AS DOUBLE)) AS BIGINT) AS est_intersection
         |FROM e""".stripMargin,
     "q_tx_search" -> booleanSearchOracleSql,
+    "q_tx_phrase" ->
+      """WITH tt AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    len(list_filter(range(1, greatest(len(t) - 1, 0) + 1),
+        |      i -> t[CAST(i AS INT)] = 'hash' AND t[CAST(i AS INT) + 1] = 'join')) AS n
+        |  FROM tt)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_matches FROM p WHERE n > 0""".stripMargin,
+    "q_tx_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text
+        |    ELSE text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.org 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |    CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+        |  FROM d)
+        |SELECT doc_id, n_emails, n_urls, n_ips,
+        |  (n_emails + n_urls + n_ips = 0) AS clean
+        |FROM c""".stripMargin,
+    "q_tx_tags" ->
+      """SELECT doc_id,
+        |  unnest(list_intersect(
+        |    list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+        |    ['join', 'window', 'stream', 'vector',
+        |     'hash', 'sort', 'customer', 'quantum'])) AS term
+        |FROM documents""".stripMargin,
     "q_tx_search_indexed" -> booleanSearchOracleSql,
     "q_tx_bm25" -> {
       val toks = Seq("scan", "join", "window")

@@ -84,6 +84,22 @@ object QueriesSft {
       Preference.pairs(candidates(s, dir), "user_id", "event_id", "value",
         minMargin = 50.0)),
 
+    // Bradley-Terry strength fit over md5-free deterministic pairwise
+    // matches derived from events (a = user % 32, b = user div 32 mod 32,
+    // win = parity of floor(value·100)): 5 full-batch gradient iterations
+    // in integer nano-units — the ITERATED fixpoint itself is replayed by
+    // the oracle as unrolled CTE pairs (the PageRank discipline)
+    "q_bt_strength" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val m = e
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(
+          (col("user_id") % 32).as("item_a"),
+          ((col("user_id") / 32).cast("long") % 32).as("item_b"),
+          (floor(col("value") * 100).cast("long") % 2).as("win_a"))
+      Preference.bradleyTerry(m, "item_a", "item_b", "win_a", iterations = 5)
+    }),
+
     "q_dpo_pairs_topk" -> ((s, dir) =>
       Preference.pairsTopBottom(candidates(s, dir), "user_id", "event_id", "value",
         k = 3, minMargin = 100.0)),
@@ -155,6 +171,38 @@ object QueriesSft {
       |    AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_bt_strength" -> {
+      val iters = 5
+      val sb = new StringBuilder
+      sb.append(
+        """WITH m AS (
+          |  SELECT user_id % 32 AS a, (user_id // 32) % 32 AS b,
+          |    CAST(floor(value * 100) AS BIGINT) % 2 AS w
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+          |    AND user_id % 32 <> (user_id // 32) % 32),
+          |items AS (SELECT DISTINCT item FROM
+          |  (SELECT a AS item FROM m UNION ALL SELECT b FROM m)),
+          |games AS (SELECT item, count(*) AS n_games FROM
+          |  (SELECT a AS item FROM m UNION ALL SELECT b FROM m) GROUP BY 1),
+          |t0 AS (SELECT item, CAST(0 AS BIGINT) AS t FROM items)""".stripMargin)
+      for (i <- 1 to iters) {
+        val p = i - 1
+        sb.append(s""",
+          |g$i AS (
+          |  SELECT m.a, m.b,
+          |    CAST(floor((m.w - 1.0 / (1.0 + exp(-(CAST(ta.t - tb.t AS DOUBLE) / 1e9)))) * 1e8 + 0.5) AS BIGINT) AS g
+          |  FROM m JOIN t$p ta ON ta.item = m.a JOIN t$p tb ON tb.item = m.b),
+          |d$i AS (SELECT item, CAST(sum(d) AS BIGINT) AS d FROM
+          |  (SELECT a AS item, g AS d FROM g$i UNION ALL SELECT b, -g FROM g$i) GROUP BY 1),
+          |t$i AS (SELECT t$p.item, t$p.t + coalesce(d$i.d, 0) AS t
+          |  FROM t$p LEFT JOIN d$i USING (item))""".stripMargin)
+      }
+      sb.append(s"""
+        |SELECT t$iters.item, games.n_games, t$iters.t AS theta_nano
+        |FROM t$iters JOIN games USING (item)""".stripMargin)
+      sb.toString
+    },
     "q_sft_validate" ->
       s"""WITH m AS ($eventMsgsSql),
          |p AS (SELECT conv_id, role, content,

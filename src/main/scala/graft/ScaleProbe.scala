@@ -45,7 +45,11 @@ import org.apache.spark.sql.functions._
   * tx_novelty 1.1x (distinct-shingle keyed join), sm_timesplit 1.1x
   * (bounded distinct-time window + per-row label), pf_quantiles 1.0x
   * (one map-side bucket aggregate; the sketch is 50 rows at any scale),
-  * sm_unimax 1.3x (per-language rank windows).
+  * sm_unimax 1.3x (per-language rank windows). Wave-4/5/6: ann_maxsim
+  * 1.0x (literal query vectors, one keyed max-aggregate), bt_strength
+  * 1.2x (item-bounded θ broadcast per round), tx_phrase 1.2x, tx_pii
+  * 0.9x, tx_tags 1.3x (per-row projections), dd_softweight 2.7x (the
+  * dd_clusters iterative family, tracking cluster structure growth).
   *
   * The 10x corpus is synthesized under /tmp (never under /root/testdata):
   * each copy salts the text with a distinct token so near-dup structure is
@@ -492,7 +496,46 @@ object ScaleProbe {
           lo = 0.0, hi = 500.0, buckets = 50, qs = Seq(0.25, 0.5, 0.9, 0.99)).count()),
       "sm_unimax" -> (d =>
         graft.ops.Sampling.unimaxMix(docsAt(d), "lang", "doc_id",
-          budget = 700L, maxEpochs = 2.0, salt = "um").count()))
+          budget = 700L, maxEpochs = 2.0, salt = "um").count()),
+      "ann_maxsim" -> { d =>
+        val emb = Tables(spark, d, "embeddings")
+        val qvs: Seq[Seq[Double]] = emb.filter(col("vec_id") < 3).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().toSeq.map(_.getSeq[Double](0).toList)
+        graft.ops.SimilaritySearch.maxSimTopK(
+          emb.filter(col("vec_id") >= 100)
+            .select((col("vec_id") / 4).cast("long").as("doc_id"), col("embedding")),
+          "doc_id", "embedding", qvs, k = 10).count()
+      },
+      "bt_strength" -> { d =>
+        val e = Tables(spark, d, "events")
+        val m = e
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(
+            (col("user_id") % 32).as("item_a"),
+            ((col("user_id") / 32).cast("long") % 32).as("item_b"),
+            (floor(col("value") * 100).cast("long") % 2).as("win_a"))
+        graft.ops.Preference.bradleyTerry(m, "item_a", "item_b", "win_a",
+          iterations = 5).count()
+      },
+      "tx_phrase" -> (d =>
+        graft.ops.TextAnalysis.phraseSearch(docsAt(d), "doc_id", "text",
+          phrase = Seq("hash", "join")).count()),
+      "tx_pii" -> (d =>
+        graft.ops.TextAnalysis.piiAudit(docsAt(d), "doc_id", "text")
+          .agg(sum(col("n_emails"))).count()),
+      "tx_tags" -> (d =>
+        graft.ops.TextAnalysis.tagKeywords(docsAt(d), "doc_id", "text",
+          terms = Seq("join", "window", "stream", "vector",
+            "hash", "sort", "customer", "quantum")).count()),
+      "dd_softweight" -> (d =>
+        graft.ops.Dedup.softDedupWeights(docsAt(d), "doc_id", "text").count()),
+      "ann_brute_batch" -> { d =>
+        val emb = Tables(spark, d, "embeddings")
+        graft.ops.SimilaritySearch.bruteForceTopKBatch(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10).count()
+      })
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)

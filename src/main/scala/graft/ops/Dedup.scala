@@ -1032,4 +1032,40 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
+
+  /** Soft deduplication: every document keeps a training WEIGHT
+    * `1/|its near-dup cluster|` instead of hard keep-one-drop-rest —
+    * repeated content stops contributing n× gradient mass but each copy's
+    * unique context (surrounding metadata, source mix) stays in the
+    * corpus; summed weights per cluster are exactly 1, so the effective
+    * epoch size equals the hard-deduped corpus. Clusters come from
+    * [[minhashLshPairs]] + alternating-star connected components
+    * (singletons weigh 1.0). Output: `(id, cluster_id, cluster_size,
+    * weight)` — feed `weight` to [[graft.ops.Sampling.weightedSample]] or
+    * a loss-weighting column.
+    *
+    * Scale shape: everything through clustering is the q_dd_clusters
+    * plan; the size join is keyed on cluster_id over the id-sized
+    * relation — no new shuffle class. Weight = round-half-up-9 of
+    * `1/size`, oracle-exact.
+    */
+  def softDedupWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      shingle: Int = 3): DataFrame = {
+    val clusters = ConnectedComponents.assign(
+      df.select(col(idCol)), idCol,
+      minhashLshPairs(df, idCol, textCol, numHashes, bands, shingle),
+      "id_a", "id_b")
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    clusters
+      .join(sizes, Seq("cluster_id"))
+      .select(
+        col(idCol), col("cluster_id"), col("cluster_size"),
+        graft.Functions.roundHalfUp(
+          lit(1.0) / col("cluster_size").cast("double"), 9).as("weight"))
+  }
 }

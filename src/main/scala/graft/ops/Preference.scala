@@ -221,4 +221,74 @@ object Preference {
           }
         })
   }
+
+  /** Bradley–Terry pairwise strength fitting (Bradley & Terry 1952) — the
+    * step between pairwise preference labels and scalar item strengths
+    * (reward models train on exactly such comparisons, Ouyang et al. 2022
+    * §3.2; chatbot leaderboards rank with the same model): full-batch
+    * gradient ascent on the BT log-likelihood. Per iteration every match
+    * contributes `±(win − σ(θ_a − θ_b))` to its two endpoints.
+    *
+    * Exactness discipline (the Logistic/PageRank recipe): strengths live
+    * in integer NANO units; each match's gradient is quantized to
+    * `floor(g·10⁸ + 0.5)` — the 0.1 learning rate folded into the
+    * quantum — BEFORE the per-item sum, so cross-match aggregation is an
+    * order-free integer sum and the ITERATED fixpoint is bit-deterministic
+    * under any partitioning, replayable by unrolled SQL CTE pairs
+    * (q_bt_strength). σ's `exp` evaluates in double on both engines (the
+    * domainReweight precedent).
+    *
+    * Scale shape: matches are corpus-scale, θ is ITEM-bounded — per
+    * iteration θ broadcasts into the match table twice (keyed joins on
+    * each endpoint), the gradient sum is one map-side-combinable per-item
+    * aggregate, and θ localCheckpoints per round (bounded rows — the
+    * PageRank lineage lesson). NULL endpoints/labels and self-matches
+    * drop. Returns `(item, n_games, theta_nano)`.
+    */
+  def bradleyTerry(
+      matches: DataFrame,
+      aCol: String,
+      bCol: String,
+      winCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val m = matches
+      .select(
+        col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"),
+        col(winCol).cast("long").as("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("w").isNotNull &&
+        col("a") =!= col("b"))
+    val items = m.select(col("a").as("item"))
+      .union(m.select(col("b").as("item")))
+      .distinct()
+    val games = m.select(col("a").as("item"))
+      .union(m.select(col("b").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("n_games"))
+    var theta = items.select(col("item"), lit(0L).as("t")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val ta = theta.select(col("item").as("a"), col("t").as("_ta"))
+      val tb = theta.select(col("item").as("b"), col("t").as("_tb"))
+      val g = m
+        .join(broadcast(ta), Seq("a"))
+        .join(broadcast(tb), Seq("b"))
+        .select(
+          col("a"), col("b"),
+          floor(
+            (col("w").cast("double") -
+              lit(1.0) / (lit(1.0) +
+                exp(-((col("_ta") - col("_tb")).cast("double") / lit(1e9))))) *
+              lit(1e8) + lit(0.5)).cast("long").as("_g"))
+      val delta = g.select(col("a").as("item"), col("_g").as("d"))
+        .union(g.select(col("b").as("item"), (-col("_g")).as("d")))
+        .groupBy("item").agg(sum(col("d")).as("_d"))
+      theta = theta
+        .join(delta, Seq("item"), "left")
+        .select(col("item"), (col("t") + coalesce(col("_d"), lit(0L))).as("t"))
+        .localCheckpoint()
+    }
+    theta
+      .join(games, Seq("item"))
+      .select(col("item"), col("n_games"), col("t").as("theta_nano"))
+  }
 }

@@ -136,6 +136,15 @@ object Profile {
           .as("estimate"))
   }
 
+  /** Merge two [[gridCounts]] sketches built with the SAME bounds and
+    * bucket count: plain per-bucket addition — the additive law the fixed
+    * grid buys (the [[graft.ops.Hll.mergeRegisters]] maintenance story
+    * with `+` instead of `max`). Streaming quantile maintenance folds each
+    * batch's counts into the persisted sketch with this.
+    */
+  def mergeGridCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
   /** [[gridCounts]] + [[quantilesFromCounts]] with explicit bounds in one
     * call — the self-contained form the oracle query uses.
     */

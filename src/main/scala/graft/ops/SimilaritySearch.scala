@@ -59,6 +59,79 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Batched multi-query exact top-k: ALL queries' cosine scans fused into
+    * ONE corpus pass — the recall-sweep / evaluation-harness shape, where
+    * per-query [[bruteForceTopK]] calls would each rescan the corpus. The
+    * bounded query table broadcasts into a crossJoin (rows × |Q| scored
+    * pairs, never materialized past the heaps), and per-query top-k rides
+    * [[TopK.groupTopK]]'s bounded-heap path — the corpus is never sorted,
+    * candidates are ≤ partitions × |Q| × k. Ties break on the STRING form
+    * of the id ([[TopK.groupTopK]]'s tiebreak contract, mirrored by the
+    * oracle). Output: `(query_id, id, cos)` rows, k per query.
+    */
+  def bruteForceTopKBatch(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val q = queries.select(
+      col(qidCol).as("query_id"),
+      col(qvecCol).cast("array<double>").as("_qv"))
+    val scored = docs
+      .crossJoin(broadcast(q))
+      .select(
+        col("query_id"),
+        col(idCol),
+        graft.Functions.roundHalfUp(
+          cosine(col(vecCol).cast("array<double>"), col("_qv")), 6).as("cos"))
+    TopK.groupTopK(scored, "query_id", "cos", idCol, k)
+  }
+
+  /** Late-interaction (ColBERT-style, Khattab & Zaharia 2020) max-sim
+    * retrieval: documents carry MULTIPLE vectors (one per passage/token
+    * block); a multi-vector query scores a document as
+    * `Σ_q max_{d ∈ doc} cos(q, d)` — each query vector finds its best
+    * match inside the document independently, which single-vector cosine
+    * (one pooled embedding per side) cannot express. Returns the top-k
+    * `(id, maxsim)` by score desc, id asc.
+    *
+    * Scale shape: query vectors are bounded (a query's token count) and
+    * enter as plan-time LITERAL arrays (the embeddingDrift trick) — no
+    * join, no broadcast, no row blow-up; per doc-vector row all |Q|
+    * cosines are one codegen'd projection, the per-document maxima fold in
+    * ONE map-side-combinable keyed aggregate (|Q| max columns), and the
+    * top-k is a TakeOrdered partial reduce. At 100 TB: one scan, one keyed
+    * exchange of |docs|·|Q| maxima, k rows out. Per-vector cosines are
+    * rounded half-up 6 BEFORE the max and the |Q| maxima sum
+    * left-associated, so every step replays exactly in SQL.
+    */
+  def maxSimTopK(
+      docVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVecs: Seq[Seq[Double]],
+      k: Int): DataFrame = {
+    require(queryVecs.nonEmpty, "need at least one query vector")
+    require(k >= 1, s"k=$k must be >= 1")
+    val v = col(vecCol).cast("array<double>")
+    val cosCols = queryVecs.zipWithIndex.map { case (qv, i) =>
+      graft.Functions.roundHalfUp(cosine(v, typedlit(qv)), 6).as(s"_c$i")
+    }
+    val maxes = queryVecs.indices.map(i => max(col(s"_c$i")).as(s"_m$i"))
+    val total = queryVecs.indices.map(i => col(s"_m$i")).reduce(_ + _)
+    docVecs
+      .select(col(idCol) +: cosCols: _*)
+      .groupBy(col(idCol))
+      .agg(maxes.head, maxes.tail: _*)
+      .select(col(idCol), graft.Functions.roundHalfUp(total, 6).as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Scala-side twin of `Functions.md5Bits(_, 32)` (same md5-hex-prefix
     * derivation) so hyperplane components can be precomputed once at plan
     * time instead of per row × plane × dim — at a billion embeddings × 6

@@ -47,13 +47,25 @@ object SuffixArray {
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
     val maxLenRow = base.agg(max(length(col("t")))).head()
     val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    // seed at k = 128, not 1: the initial rank is a dense_rank over the
+    // 128-char prefix STRING (binary UTF-8 order = code-point order, the
+    // same order per-char ascii seeding induces; a suffix shorter than the
+    // prefix sorts before its extensions, exactly the -1 sentinel rule) —
+    // one window pass over wider sort keys replaces the first SEVEN
+    // doubling rounds, each of which costs two window passes plus a
+    // checkpoint materialization of every (id, pos, rank) row. Rounds =
+    // max(0, ⌈log₂(maxLen/128)⌉); typical web docs finish in 2-4 rounds.
+    val seedK = 128
     var rows = base
       .select(col("id"), explode(sequence(lit(0), length(col("t")) - 1)).as("pos"),
         col("t"))
       .select(col("id"), col("pos"),
-        ascii(expr("substring(t, pos + 1, 1)")).cast("long").as("rank"))
+        expr(s"substring(t, pos + 1, $seedK)").as("_pfx"))
+      .withColumn("rank",
+        dense_rank().over(Window.partitionBy(col("id")).orderBy(col("_pfx"))).cast("long"))
+      .drop("_pfx")
       .localCheckpoint()
-    var k = 1
+    var k = seedK
     while (k < maxLen) {
       val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
       val byRank = Window.partitionBy(col("id")).orderBy(col("rank"), col("r2"))

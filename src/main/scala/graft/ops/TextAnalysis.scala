@@ -1311,9 +1311,48 @@ object TextAnalysis {
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlPattern = "https?://[^\\s]+"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   def scrub(text: Column): Column =
     regexp_replace(regexp_replace(text, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
+
+  /** PII audit: per-document match COUNTS for each sensitive pattern plus
+    * a release flag — the report a curation pipeline needs before deciding
+    * to [[scrub]] or drop (counting, unlike replacement, also quantifies
+    * leak density for dataset cards). Pure per-row `regexp_count`
+    * projection, zero shuffles; the patterns are the shared
+    * Java-regex/RE2-compatible dialect of the scrub/web family.
+    */
+  def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nEmails = regexp_count(t, lit(EmailPattern)).cast("long")
+    val nUrls = regexp_count(t, lit(UrlPattern)).cast("long")
+    val nIps = regexp_count(t, lit(Ipv4Pattern)).cast("long")
+    df.select(
+      col(idCol),
+      nEmails.as("n_emails"),
+      nUrls.as("n_urls"),
+      nIps.as("n_ips"),
+      (nEmails + nUrls + nIps === 0L).as("clean"))
+  }
+
+  /** Dictionary keyword tagging: one `(id, term)` row per dictionary term
+    * present in the document's token set — topic tagging, allow/block-list
+    * routing, eval-suite tagging. The dictionary enters as ONE literal
+    * array (bounded by construction); matching is `array_intersect` on the
+    * distinct token set — per-row, zero shuffles, output bounded by
+    * |dictionary| per document.
+    */
+  def tagKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one dictionary term")
+    val dict = terms.map(_.trim.toLowerCase(java.util.Locale.ROOT)).distinct
+    val matched = array_intersect(array_distinct(toks(col(textCol))), typedlit(dict))
+    df.select(col(idCol), explode(matched).as("term"))
+  }
 
   /** Unicode canonicalization for tokenizer/dedup pipelines: normalize to
     * `form` (SentencePiece uses NFKC — Kudo & Richardson 2018 §2), with
@@ -1374,6 +1413,48 @@ object TextAnalysis {
         coalesce(col("_nc"), lit(0L)).as("n_chars"),
         graft.Functions.roundHalfUp(
           coalesce(col("_e"), lit(0L)).cast("double") / lit(1e9), 6).as("entropy_nats"))
+  }
+
+  /** Exact phrase search: documents whose token stream contains the query
+    * tokens CONSECUTIVELY, with the match count — the adjacency predicate
+    * boolean token search ([[search]]) cannot express ("hash join" ≠ a doc
+    * with "hash" here and "join" there). Query terms normalize through the
+    * family tokenization (lower/trim), match positions are evaluated as a
+    * per-row array filter over the token array — no explode, no join, no
+    * shuffle; the `size ≥ phrase length` guard keeps `sequence` from
+    * emitting its descending phantom range on short docs (the Pack
+    * lesson). Returns `(id, n_matches)` for matching documents only.
+    */
+  def phraseSearch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "need at least one phrase token")
+    val terms = phrase.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+    val tt = toks(col(textCol))
+    val l = terms.length
+    // the token array must bind ONCE per row: a naked `element_at(tt, i)`
+    // inside the position lambda re-evaluates the split() expression per
+    // position per term — O(positions²) tokenizations per document,
+    // measured 3 s at sf0.1. Wrapping the computation in a one-element
+    // `transform` makes the array a LAMBDA VARIABLE (an evaluated value,
+    // not an expression), so every inner reference is a cheap lookup; the
+    // array_contains gate then keeps the positional scan to docs that
+    // contain every phrase token at all.
+    val n = element_at(
+      transform(array(tt), a => {
+        val hits = filter(
+          sequence(lit(1), size(a) - (l - 1)),
+          i => terms.zipWithIndex
+            .map { case (w, o) => element_at(a, i + lit(o)) === lit(w) }
+            .reduce(_ && _))
+        val gate = terms.distinct.map(w => array_contains(a, w)).reduce(_ && _)
+        when(size(a) >= l && gate, size(hits)).otherwise(lit(0))
+      }),
+      1).cast("long")
+    df.select(col(idCol), n.as("n_matches"))
+      .filter(col("n_matches") > 0L)
   }
 
   /** N-gram novelty against a reference corpus — the "how much of this

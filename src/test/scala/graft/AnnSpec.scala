@@ -411,4 +411,44 @@ class AnnSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(a == b, "integer scores make the greedy order partition-invariant")
   }
+
+  test("bruteForceTopKBatch: per-query results equal the single-query scan") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val docs = emb.filter(col("vec_id") >= 3)
+    val batch = graft.ops.SimilaritySearch.bruteForceTopKBatch(
+        docs, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(batch.keySet == Set(0L, 1L, 2L))
+    queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().foreach { qr =>
+        val qid = qr.getLong(0)
+        val single = graft.ops.SimilaritySearch.bruteForceTopK(
+            docs, "vec_id", "embedding", qr.getSeq[Double](1), k = 5)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val got = batch(qid).map(t => t._2 -> t._3).toMap
+        assert(got == single, s"query $qid batch != single")
+      }
+  }
+
+  test("maxSimTopK: each query vector matches its best doc vector independently") {
+    // doc 1 covers BOTH query directions across two different vectors;
+    // doc 2 nails only the first; doc 3 is diagonal noise
+    val docs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0)), (2L, Seq(1.0, 0.0, 0.0)),
+      (3L, Seq(0.6, 0.6, 0.6)), (3L, Seq(0.6, 0.6, 0.6)))
+      .toDF("doc_id", "v")
+    val q = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val got = SimilaritySearch.maxSimTopK(docs, "doc_id", "v", q, k = 3)
+      .as[(Long, Double)].collect()
+    // doc1: 1 + 1 = 2; doc3: 2·cos(diag, axis) = 2·0.57735 ≈ 1.154698;
+    // doc2: 1 + 0 = 1 — multi-vector coverage beats repeating one match
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L))
+    assert(got.head._2 == 2.0)
+    assert(math.abs(got(1)._2 - 1.154700) < 1e-5)
+    // a single pooled vector could not rank doc1 over doc3: mean-pooled
+    // doc1 = (0.5, 0.5, 0) scores the same on both query directions
+  }
 }

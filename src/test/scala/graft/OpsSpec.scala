@@ -91,6 +91,50 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, "a b c"), (1L, "b c d"), (2L, "x"), (3L, "p q")))
   }
 
+  test("piiAudit: per-pattern counts and the clean flag") {
+    val df = Seq(
+      (1L, "plain text nothing here"),
+      (2L, "mail me at a.b@x.org or c@y.io today"),
+      (3L, "see https://a.b/c and http://d.e 192.168.0.1 10.0.0.2"),
+      (4L, "edge 999.1.2.3 still counts as ipv4 shape"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiAudit(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getBoolean(4))).toMap
+    assert(got(1L) == (((0L, 0L, 0L), true)))
+    assert(got(2L) == (((2L, 0L, 0L), false)))
+    assert(got(3L) == (((0L, 2L, 2L), false)))
+    assert(got(4L) == (((0L, 0L, 1L), false)))
+  }
+
+  test("tagKeywords: case-normalized dictionary intersect, no-match docs vanish") {
+    val df = Seq(
+      (1L, "the HASH and the join"),
+      (2L, "nothing relevant at all"),
+      (3L, Seq.fill(3)("join").mkString(" "))) // dup tokens tag once
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tagKeywords(df, "doc_id", "text", Seq("Hash", "JOIN"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "hash"), (1L, "join"), (3L, "join")))
+  }
+
+  test("phraseSearch: adjacency required, overlaps counted, short docs safe") {
+    val df = Seq(
+      (1L, "fast hash join beats sort"),     // one match
+      (2L, "hash of the join column"),       // tokens present, not adjacent
+      (3L, "hash join hash join again"),     // two matches
+      (4L, "HASH  JOIN"),                    // case + multi-space normalize
+      (5L, "join"),                          // shorter than the phrase
+      (6L, "a a a"))                         // overlap: "a a" matches twice
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(df, "doc_id", "text", Seq("hash", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L, 4L -> 1L))
+    val overlaps = TextAnalysis.phraseSearch(df, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(overlaps == Map(6L -> 2L), "overlapping occurrences both count")
+  }
+
   test("noveltyScore: novel-shingle fraction vs reference; NULL text keeps its spine row") {
     val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
     val scored = Seq(
@@ -118,6 +162,18 @@ class OpsSpec extends SparkSpec {
     val pairs = Dedup.minhashLshPairs(df, "id", "text")
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("softDedupWeights: per-cluster weights sum to 1, singletons weigh 1.0") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with other words entirely here now"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.softDedupWeights(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 0.5)) && got(2L) == ((2L, 0.5)))
+    assert(got(3L) == ((1L, 1.0)))
   }
 
   test("Dedup.repeatedSpans: maximal cross-document spans, window merge, minDocs gate") {

@@ -124,4 +124,37 @@ class PreferenceSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("bradleyTerry: winners rise, losers fall, symmetric fixture is antisymmetric") {
+    // 1 beats 2 three times, loses once → θ1 > 0 > θ2, and with only these
+    // two items the update is exactly antisymmetric
+    val m = Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 2L, 1L), (1L, 2L, 0L))
+      .toDF("a", "b", "w")
+    val got = Preference.bradleyTerry(m, "a", "b", "w")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == 4L && got(2L)._1 == 4L)
+    assert(got(1L)._2 > 0L && got(2L)._2 < 0L)
+    assert(got(1L)._2 == -got(2L)._2, "two-item BT is exactly antisymmetric")
+    // transitive chain: A beats B, B beats C (twice each) → θA > θB > θC
+    val chain = Seq((10L, 20L, 1L), (10L, 20L, 1L), (20L, 30L, 1L), (20L, 30L, 1L))
+      .toDF("a", "b", "w")
+    val th = Preference.bradleyTerry(chain, "a", "b", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(th(10L) > th(20L) && th(20L) > th(30L))
+  }
+
+  test("bradleyTerry: self-matches and NULL labels drop; partitioning never changes θ") {
+    val m = Seq(
+      (Some(1L), Some(2L), Some(1L)), (Some(1L), Some(1L), Some(1L)),
+      (Some(1L), Some(2L), None), (None, Some(2L), Some(0L)),
+      (Some(1L), Some(2L), Some(1L)))
+      .toDF("a", "b", "w")
+    val one = Preference.bradleyTerry(m.repartition(1), "a", "b", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val many = Preference.bradleyTerry(m.repartition(13), "a", "b", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == many, "integer gradient sums make the fixpoint partition-invariant")
+    // only the two usable matches count as games
+    assert(one.map(t => t._1 -> t._2).toMap == Map(1L -> 2L, 2L -> 2L))
+  }
 }

@@ -512,6 +512,56 @@ class StreamingSpec extends SparkSpec {
       "incrementally merged stream sketch must equal the batch sketch counter-for-counter")
   }
 
+  test("streaming grid-quantile maintenance: per-batch count merge equals the batch sketch") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_gq_src_").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_gq_sk_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gq_ck_").toString
+
+    val wave1 = (1 to 400).map(i => Tuple1(i * 0.7))
+    val wave2 = (200 to 900).map(i => Tuple1(i * 0.7)) // overlaps wave 1
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("v DOUBLE").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val inc = graft.ops.Profile.gridCounts(batch, "v", 0.0, 700.0, 20)
+          val prev = new java.io.File(s"$base/v${batchId - 1}")
+          val merged =
+            if (prev.exists()) graft.ops.Profile.mergeGridCounts(
+              batch.sparkSession.read.parquet(prev.toString), inc)
+            else inc
+          merged.write.mode("overwrite").parquet(s"$base/v$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("v").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("v").write.mode("append").parquet(src)
+    runOnce()
+
+    val streamed = spark.read.parquet(s"$base/v1")
+      .as[(Long, Long)].collect().toMap
+    val all = (wave1 ++ wave2).toDF("v")
+    val batchTwin = graft.ops.Profile.gridCounts(all, "v", 0.0, 700.0, 20)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batchTwin,
+      "incrementally merged counts must equal the batch sketch bucket-for-bucket")
+    // and quantiles over the maintained sketch equal the batch quantiles
+    val qs = Seq(0.5, 0.95)
+    val estStream = graft.ops.Profile.quantilesFromCounts(
+        spark.read.parquet(s"$base/v1"), 0.0, 700.0, 20, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    val estBatch = graft.ops.Profile.gridQuantiles(all, "v", 0.0, 700.0, 20, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(estStream == estBatch)
+  }
+
   test("streaming HLL maintenance: per-batch register merge equals the batch sketch") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_hll_src_").toString
