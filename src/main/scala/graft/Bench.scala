@@ -43,7 +43,9 @@ object Bench {
       "q_dd_oph_sig", "q_dd_oph_pairs", "q_tx_novelty", "q_sm_timesplit",
       "q_pf_quantiles", "q_sm_unimax_take", "q_ann_maxsim",
       "q_bt_strength", "q_tx_phrase", "q_tx_pii", "q_tx_tags",
-      "q_dd_softweight", "q_ann_brute_batch")
+      "q_dd_softweight", "q_ann_brute_batch",
+      "q_pk_lenbucket", "q_pk_padwaste", "q_kappa", "q_ann_metrics",
+      "q_ev_auc", "q_ev_ece", "q_ev_fleiss", "q_ev_wilson")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

@@ -258,6 +258,27 @@ object QueriesCorpus {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
     }),
 
+    // retrieval-quality metrics over the batched run: graded qrels from
+    // label agreement (2 for even-id matches, 1 for odd), per-query
+    // precision/recall/MRR/NDCG@10 — the recall-sweep measurement half
+    "q_ann_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val runs = SimilaritySearch.bruteForceTopKBatch(
+        emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("_ql"))
+      val qrels = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("doc_id"), col("label"))
+        .join(broadcast(q), col("label") === col("_ql"))
+        .select(col("qid"), col("doc_id"),
+          (lit(1L) + col("doc_id") % 2).as("rel"))
+      graft.ops.RankEval.metricsAtK(
+        runs, "query_id", "doc_id", "cos",
+        qrels, "qid", "doc_id", "rel", k = 10)
+    }),
+
     "q_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -515,6 +536,19 @@ object QueriesCorpus {
     "q_pk_greedy" -> ((s, dir) =>
       Pack.packGreedy(t(s, dir, "documents"), "doc_id", "text",
         budget = 128, numShards = 8)),
+
+    // length-bucketed batch assembly (the padded-batch layout SFT needs):
+    // fixed integer edges, md5-ordered fill within bucket, batches of 8
+    "q_pk_lenbucket" -> ((s, dir) =>
+      Pack.lengthBucketBatches(t(s, dir, "documents"), "doc_id", "text",
+        edges = Seq(16L, 32L, 64L, 128L, 1024L), batchSize = 8)),
+
+    // padding-efficiency report over the same assignment: per-batch max
+    // length, actual vs padded tokens, waste fraction
+    "q_pk_padwaste" -> ((s, dir) =>
+      Pack.paddingWaste(
+        Pack.lengthBucketBatches(t(s, dir, "documents"), "doc_id", "text",
+          edges = Seq(16L, 32L, 64L, 128L, 1024L), batchSize = 8))),
 
     // token-id packing: BPE byte-level encode (zero merges → per-word
     // token count = UTF-8 bytes + 1, SQL-recomputable) through the
@@ -1281,6 +1315,31 @@ object QueriesCorpus {
        |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
   }
 
+  /** Length-bucketed batch assignment (edges 16/32/64/128/1024, batch 8,
+    * salt "lb") — shared by q_pk_lenbucket and the padding-waste oracle.
+    */
+  private val lenBucketSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST('0x' || substr(md5('lb' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |      / 4294967296.0 AS u
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |b AS (
+      |  SELECT doc_id, n_tokens, u,
+      |    CAST(CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+      |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+      |         WHEN n_tokens <= 1024 THEN 1024 END AS BIGINT) AS bucket
+      |  FROM base WHERE n_tokens <= 1024),
+      |r AS (
+      |  SELECT doc_id, n_tokens, bucket,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY u, doc_id) AS rn
+      |  FROM b)
+      |SELECT doc_id, n_tokens, bucket,
+      |  CAST((rn - 1) // 8 AS BIGINT) AS batch_idx,
+      |  CAST((rn - 1) % 8 AS BIGINT) AS pos_in_batch
+      |FROM r""".stripMargin
+
   /** CDC chunk-boundary CTEs (window 4, divisor 16), shared by q_tx_cdc and
     * the shifted-dup pair oracle: `j(doc_id, tt, starts, ends)`.
     */
@@ -1834,6 +1893,56 @@ object QueriesCorpus {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 >= 0.30""".stripMargin,
+    "q_ann_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label
+        |  FROM embeddings WHERE vec_id >= 5),
+        |s AS (SELECT q.query_id, d.vec_id,
+        |    floor(list_cosine_similarity(d.dv, q.qv) * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM d, q),
+        |run AS (SELECT query_id, vec_id, cos FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, CAST(vec_id AS VARCHAR)) <= 10),
+        |ranked AS (
+        |  SELECT query_id AS query, vec_id AS doc, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM run),
+        |qrels AS (
+        |  SELECT q.query_id AS query, d.vec_id AS doc, 1 + d.vec_id % 2 AS rel
+        |  FROM d JOIN q ON d.label = q.ql),
+        |j AS (
+        |  SELECT r.query, r.doc, r.rnk, coalesce(qr.rel, 0) AS rel
+        |  FROM ranked r LEFT JOIN qrels qr USING (query, doc)),
+        |obs AS (
+        |  SELECT query,
+        |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits,
+        |    min(CASE WHEN rel > 0 THEN rnk END) AS first_hit,
+        |    CAST(sum(CAST(floor(CAST(rel AS DOUBLE)
+        |      / (ln(rnk + 1.0) / ln(2.0)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_nano
+        |  FROM j GROUP BY 1),
+        |idl AS (
+        |  SELECT query, count(*) AS n_rel,
+        |    CAST(sum(CASE WHEN irank <= 10 THEN CAST(floor(CAST(rel AS DOUBLE)
+        |      / (ln(irank + 1.0) / ln(2.0)) * 1e9 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS idcg_nano
+        |  FROM (SELECT query, rel,
+        |      row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc) AS irank
+        |    FROM qrels WHERE rel > 0) GROUP BY 1)
+        |SELECT obs.query, coalesce(idl.n_rel, 0) AS n_rel,
+        |  CAST(obs.n_hits AS BIGINT) AS n_hits,
+        |  floor(CAST(obs.n_hits AS DOUBLE) / 10.0 * 1000000 + 0.5) / 1000000 AS precision,
+        |  CASE WHEN coalesce(idl.n_rel, 0) = 0 THEN NULL
+        |    ELSE floor(CAST(obs.n_hits AS DOUBLE) / idl.n_rel * 1000000 + 0.5) / 1000000
+        |  END AS recall,
+        |  CASE WHEN obs.first_hit IS NULL THEN 0.0
+        |    ELSE floor(1.0 / obs.first_hit * 1000000 + 0.5) / 1000000 END AS rr,
+        |  floor(CAST(obs.dcg_nano AS DOUBLE) / 1e9 * 1000000 + 0.5) / 1000000 AS dcg,
+        |  floor(CAST(coalesce(idl.idcg_nano, 0) AS DOUBLE) / 1e9 * 1000000 + 0.5) / 1000000 AS idcg,
+        |  CASE WHEN coalesce(idl.idcg_nano, 0) <= 0 THEN NULL
+        |    ELSE floor(CAST(obs.dcg_nano AS DOUBLE) / idl.idcg_nano * 1000000 + 0.5) / 1000000
+        |  END AS ndcg
+        |FROM obs LEFT JOIN idl USING (query)""".stripMargin,
     "q_ann_brute_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 5),
@@ -2351,6 +2460,16 @@ object QueriesCorpus {
         |    CASE WHEN s.fill + i.nt > 128 THEN i.nt ELSE s.fill + i.nt END
         |  FROM st s JOIN it i ON i.shard = s.shard AND i.k = s.k + 1)
         |SELECT shard, bin AS seq_idx, doc_id, nt FROM st""".stripMargin,
+    "q_pk_lenbucket" -> lenBucketSql,
+    "q_pk_padwaste" ->
+      s"""WITH asg AS ($lenBucketSql)
+         |SELECT bucket, batch_idx, count(*) AS rows,
+         |  max(n_tokens) AS max_len,
+         |  CAST(sum(n_tokens) AS BIGINT) AS actual_tokens,
+         |  count(*) * max(n_tokens) AS padded_tokens,
+         |  floor((1.0 - CAST(sum(n_tokens) AS DOUBLE)
+         |    / (count(*) * max(n_tokens))) * 1000000 + 0.5) / 1000000 AS waste_frac
+         |FROM asg GROUP BY 1, 2""".stripMargin,
     "q_tx_dedup_global" ->
       """WITH lined AS (
         |  SELECT doc_id, concat_ws(chr(10), 'shared header',

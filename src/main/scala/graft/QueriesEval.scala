@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Preference, RankEval}
+
+/** Evaluation & calibration family — the measurement layer a training-data
+  * pipeline needs before trusting a filter model or a preference dataset:
+  * grouped ROC-AUC (exact Mann–Whitney), reliability bins + ECE, McNemar's
+  * paired test, Fleiss' multi-rater kappa, and Wilson-bounded win rates.
+  * Every statistic is integers (or one fixed IEEE expression) until a
+  * single final divide, so the DuckDB oracle replays it bit-for-bit.
+  *
+  * Fixtures derive deterministically from the synthetic `events` table so
+  * both engines rebuild identical inputs (the QueriesSft convention).
+  */
+object QueriesEval {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Events with a usable numeric value — the shared fixture base. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id").isNotNull && col("value").isNotNull &&
+        !isnan(col("value").cast("double")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // grouped ROC-AUC over a deliberately tie-heavy score (1-decimal
+    // quantized value) with pseudo-labels event_id%3==0 — exercises the
+    // tie-corrected average-rank path in every group
+    "q_ev_auc" -> ((s, dir) =>
+      RankEval.aucByGroup(
+        ev(s, dir).select(
+          col("event_type").as("grp"),
+          (floor(col("value") * 10) / 10).as("score"),
+          (col("event_id") % 3 === 0).cast("int").as("label")),
+        "grp", "score", "label")),
+
+    // reliability-diagram bins: prob = fractional part of |value| (exact
+    // IEEE in both engines), labels event_id%2, 10 bins per event_type
+    "q_ev_calib" -> ((s, dir) =>
+      RankEval.calibrationBins(
+        ev(s, dir).select(
+          col("event_type").as("grp"),
+          (abs(col("value")) - floor(abs(col("value")))).as("p"),
+          (col("event_id") % 2 === 0).cast("int").as("label")),
+        "grp", "p", "label", bins = 10)),
+
+    // expected calibration error folded from the same micro-unit bins
+    "q_ev_ece" -> ((s, dir) =>
+      RankEval.ece(
+        ev(s, dir).select(
+          col("event_type").as("grp"),
+          (abs(col("value")) - floor(abs(col("value")))).as("p"),
+          (col("event_id") % 2 === 0).cast("int").as("label")),
+        "grp", "p", "label", bins = 10)),
+
+    // McNemar's paired test between two synthetic systems (correct on
+    // id%3!=0 vs id%5!=0) — discordant cells large and deterministic
+    "q_ev_mcnemar" -> ((s, dir) =>
+      RankEval.mcnemar(
+        t(s, dir, "events").filter(col("event_id").isNotNull)
+          .select(col("event_id"),
+            (col("event_id") % 3 =!= 0).as("a_ok"),
+            (col("event_id") % 5 =!= 0).as("b_ok")),
+        "event_id", "a_ok", "b_ok")),
+
+    // Fleiss' kappa for a 3-rater panel (labels floor(v·10/7/13) mod 3 —
+    // correlated but distinct raters, so kappa lands strictly inside (0,1))
+    "q_ev_fleiss" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val r = e.select(col("event_id").as("item"), lit("a").as("rater"),
+          (floor(col("value") * 10).cast("long") % 3).as("label"))
+        .unionByName(e.select(col("event_id").as("item"), lit("b").as("rater"),
+          (floor(col("value") * 7).cast("long") % 3).as("label")))
+        .unionByName(e.select(col("event_id").as("item"), lit("c").as("rater"),
+          (floor(col("value") * 13).cast("long") % 3).as("label")))
+      Preference.fleissKappa(r, "item", "rater", "label", ratersPerItem = 3)
+    }),
+
+    // Wilson-bounded win-rate leaderboard over the Bradley-Terry match
+    // fixture — the arena sort key with exact integer wins/games
+    "q_ev_wilson" -> ((s, dir) => {
+      val m = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(
+          (col("user_id") % 32).as("item_a"),
+          ((col("user_id") / 32).cast("long") % 32).as("item_b"),
+          (floor(col("value") * 100).cast("long") % 2).as("win_a"))
+      Preference.winRates(m, "item_a", "item_b", "win_a")
+    }))
+
+  /** Shared fixture CTE: events with usable value. */
+  private val evSql: String =
+    """SELECT event_id, event_type, user_id, value FROM events
+      |WHERE event_id IS NOT NULL AND value IS NOT NULL
+      |  AND NOT isnan(CAST(value AS DOUBLE))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ev_auc" ->
+      s"""WITH ev AS ($evSql),
+         |e AS (
+         |  SELECT event_type AS grp, floor(value * 10) / 10 AS s,
+         |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+         |  FROM ev WHERE event_type IS NOT NULL),
+         |r AS (
+         |  SELECT grp, y,
+         |    rank() OVER (PARTITION BY grp ORDER BY s) AS rmin,
+         |    count(*) OVER (PARTITION BY grp, s) AS ties
+         |  FROM e),
+         |a AS (
+         |  SELECT grp,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         |    CAST(sum(CASE WHEN y = 1 THEN 2 * rmin + (ties - 1) ELSE 0 END) AS BIGINT) AS s2
+         |  FROM r GROUP BY 1)
+         |SELECT grp, n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE floor(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+         |      / (2.0 * n_pos * n_neg) * 1000000 + 0.5) / 1000000 END AS auc
+         |FROM a""".stripMargin,
+    "q_ev_calib" ->
+      s"""WITH ev AS ($evSql),
+         |e AS (
+         |  SELECT event_type AS grp, abs(value) - floor(abs(value)) AS p,
+         |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS y
+         |  FROM ev WHERE event_type IS NOT NULL),
+         |b AS (
+         |  SELECT grp, CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, y,
+         |    CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS pm
+         |  FROM e),
+         |g AS (
+         |  SELECT grp, bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS hits,
+         |    CAST(sum(pm) AS BIGINT) AS spm
+         |  FROM b GROUP BY 1, 2)
+         |SELECT grp, bin, n, hits,
+         |  floor(CAST(spm AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) * 1000000 + 0.5) / 1000000 AS conf,
+         |  floor(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS acc
+         |FROM g""".stripMargin,
+    "q_ev_ece" ->
+      s"""WITH ev AS ($evSql),
+         |e AS (
+         |  SELECT event_type AS grp, abs(value) - floor(abs(value)) AS p,
+         |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS y
+         |  FROM ev WHERE event_type IS NOT NULL),
+         |b AS (
+         |  SELECT grp, CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, y,
+         |    CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS pm
+         |  FROM e),
+         |g AS (
+         |  SELECT grp, bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS hits,
+         |    CAST(sum(pm) AS BIGINT) AS spm
+         |  FROM b GROUP BY 1, 2)
+         |SELECT grp, CAST(sum(n) AS BIGINT) AS n,
+         |  floor(CAST(sum(abs(hits * 1000000 - spm)) AS DOUBLE)
+         |    / (CAST(sum(n) AS DOUBLE) * 1e6) * 1000000 + 0.5) / 1000000 AS ece
+         |FROM g GROUP BY 1""".stripMargin,
+    "q_ev_mcnemar" ->
+      """WITH e AS (
+        |  SELECT event_id % 3 <> 0 AS a_ok, event_id % 5 <> 0 AS b_ok
+        |  FROM events WHERE event_id IS NOT NULL),
+        |t AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+        |    CAST(sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS BIGINT) AS c_only
+        |  FROM e)
+        |SELECT n, b_only, c_only,
+        |  CASE WHEN b_only + c_only = 0 THEN NULL
+        |    ELSE floor(CAST((b_only - c_only) * (b_only - c_only) AS DOUBLE)
+        |      / (b_only + c_only) * 1000000 + 0.5) / 1000000 END AS chi2,
+        |  CASE WHEN b_only + c_only = 0 THEN NULL
+        |    ELSE floor(CAST(greatest(abs(b_only - c_only) - 1, 0)
+        |        * greatest(abs(b_only - c_only) - 1, 0) AS DOUBLE)
+        |      / (b_only + c_only) * 1000000 + 0.5) / 1000000 END AS chi2_cc
+        |FROM t""".stripMargin,
+    "q_ev_fleiss" ->
+      s"""WITH ev AS ($evSql),
+         |e AS (
+         |  SELECT event_id AS item,
+         |    CAST(floor(value * 10) AS BIGINT) % 3 AS la,
+         |    CAST(floor(value * 7) AS BIGINT) % 3 AS lb,
+         |    CAST(floor(value * 13) AS BIGINT) % 3 AS lc
+         |  FROM ev),
+         |r AS (
+         |  SELECT item, la AS label FROM e UNION ALL
+         |  SELECT item, lb FROM e UNION ALL
+         |  SELECT item, lc FROM e),
+         |cells AS (SELECT item, label, count(*) AS nij FROM r GROUP BY 1, 2),
+         |an AS (SELECT CAST(sum(nij * nij) AS BIGINT) - count(DISTINCT item) * 3 AS a,
+         |    count(DISTINCT item) AS n_items FROM cells),
+         |s2t AS (SELECT CAST(sum(sj * sj) AS BIGINT) AS s2 FROM
+         |  (SELECT label, CAST(sum(nij) AS BIGINT) AS sj FROM cells GROUP BY 1))
+         |SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+         |  floor(CAST(a AS DOUBLE) / CAST(n_items * 3 * 2 AS DOUBLE) * 1000000 + 0.5)
+         |    / 1000000 AS p_bar,
+         |  floor(CAST(s2 AS DOUBLE)
+         |      / CAST(CAST(n_items * 3 AS HUGEINT) * (n_items * 3) AS DOUBLE)
+         |      * 1000000 + 0.5) / 1000000 AS p_e,
+         |  CASE WHEN CAST(n_items * 3 AS HUGEINT) * (n_items * 3) = s2 THEN NULL
+         |    ELSE floor(
+         |      CAST(CAST(a AS HUGEINT) * (CAST(n_items * 3 AS HUGEINT) * (n_items * 3))
+         |         - CAST(s2 AS HUGEINT) * (n_items * 3 * 2) AS DOUBLE)
+         |      / CAST(CAST(n_items * 3 * 2 AS HUGEINT)
+         |         * (CAST(n_items * 3 AS HUGEINT) * (n_items * 3) - s2) AS DOUBLE)
+         |      * 1000000 + 0.5) / 1000000 END AS kappa
+         |FROM an, s2t""".stripMargin,
+    "q_ev_wilson" ->
+      """WITH m AS (
+        |  SELECT user_id % 32 AS a, (user_id // 32) % 32 AS b,
+        |    CAST(floor(value * 100) AS BIGINT) % 2 AS w
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND user_id % 32 <> (user_id // 32) % 32),
+        |sides AS (
+        |  SELECT a AS item, CASE WHEN w > 0 THEN 1 ELSE 0 END AS won FROM m
+        |  UNION ALL
+        |  SELECT b, CASE WHEN w > 0 THEN 0 ELSE 1 END FROM m),
+        |g AS (
+        |  SELECT item, count(*) AS games, CAST(sum(won) AS BIGINT) AS wins
+        |  FROM sides GROUP BY 1)
+        |SELECT item, games, wins,
+        |  floor(CAST(wins AS DOUBLE) / CAST(games AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS win_rate,
+        |  floor(
+        |    ((CAST(wins AS DOUBLE) / CAST(games AS DOUBLE)
+        |        + (1.96 * 1.96) / (2.0 * CAST(games AS DOUBLE))
+        |        - 1.96 * sqrt((CAST(wins AS DOUBLE) / CAST(games AS DOUBLE)
+        |            * (1.0 - CAST(wins AS DOUBLE) / CAST(games AS DOUBLE))
+        |            + (1.96 * 1.96) / (4.0 * CAST(games AS DOUBLE)))
+        |          / CAST(games AS DOUBLE)))
+        |      / (1.0 + (1.96 * 1.96) / CAST(games AS DOUBLE)))
+        |    * 1000000 + 0.5) / 1000000 AS wilson_lb
+        |FROM g""".stripMargin)
+}

@@ -100,6 +100,20 @@ object QueriesSft {
       Preference.bradleyTerry(m, "item_a", "item_b", "win_a", iterations = 5)
     }),
 
+    // Cohen's kappa between two synthetic raters derived from event values
+    // (floor(v·10) mod 3 vs floor(v·7) mod 3) — correlated but not equal, so
+    // κ lands strictly between chance and 1 and every term is exercised
+    "q_kappa" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("value").isNotNull &&
+          !isnan(col("value").cast("double")))
+      val ratings = e.select(col("event_id"), lit("a").as("rater"),
+          (floor(col("value") * 10).cast("long") % 3).as("label"))
+        .unionByName(e.select(col("event_id"), lit("b").as("rater"),
+          (floor(col("value") * 7).cast("long") % 3).as("label")))
+      Preference.cohenKappa(ratings, "event_id", "rater", "label", "a", "b")
+    }),
+
     "q_dpo_pairs_topk" -> ((s, dir) =>
       Preference.pairsTopBottom(candidates(s, dir), "user_id", "event_id", "value",
         k = 3, minMargin = 100.0)),
@@ -203,6 +217,28 @@ object QueriesSft {
         |FROM t$iters JOIN games USING (item)""".stripMargin)
       sb.toString
     },
+    "q_kappa" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(floor(value * 10) AS BIGINT) % 3 AS la,
+        |    CAST(floor(value * 7) AS BIGINT) % 3 AS lb
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(CAST(value AS DOUBLE))),
+        |p AS (SELECT event_id, max(la) AS la, max(lb) AS lb FROM e GROUP BY 1),
+        |tot AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agree FROM p),
+        |ch AS (
+        |  SELECT coalesce(sum(a.na * b.nb), 0) AS sab FROM
+        |    (SELECT la AS c, count(*) AS na FROM p GROUP BY 1) a
+        |    JOIN (SELECT lb AS c, count(*) AS nb FROM p GROUP BY 1) b USING (c))
+        |SELECT tot.n AS n_items, CAST(tot.agree AS BIGINT) AS n_agree,
+        |  floor(CAST(tot.agree AS DOUBLE) / tot.n * 1000000 + 0.5) / 1000000 AS po,
+        |  floor(CAST(ch.sab AS DOUBLE) / (tot.n * tot.n) * 1000000 + 0.5) / 1000000 AS pe,
+        |  CASE WHEN tot.n * tot.n - ch.sab <= 0 THEN NULL
+        |    ELSE floor(CAST(tot.n * tot.agree - ch.sab AS DOUBLE)
+        |      / CAST(tot.n * tot.n - ch.sab AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |  END AS kappa
+        |FROM tot, ch""".stripMargin,
     "q_sft_validate" ->
       s"""WITH m AS ($eventMsgsSql),
          |p AS (SELECT conv_id, role, content,

@@ -29,7 +29,7 @@ object SparkEntry {
     QueriesRelational.queries ++ QueriesEvents.queries ++ QueriesCorpus.queries ++
       QueriesExtra.queries ++ QueriesGsReady.queries ++ QueriesPerfmet.queries ++
       QueriesSampling.queries ++ QueriesSft.queries ++ QueriesPrivacy.queries ++
-      QueriesWeb.queries
+      QueriesWeb.queries ++ QueriesEval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get the driver's weaker rows-only
@@ -39,5 +39,5 @@ object SparkEntry {
     QueriesRelational.oracles ++ QueriesEvents.oracles ++ QueriesCorpus.oracles ++
       QueriesExtra.oracles ++ QueriesGsReady.oracles ++ QueriesPerfmet.oracles ++
       QueriesSampling.oracles ++ QueriesSft.oracles ++ QueriesPrivacy.oracles ++
-      QueriesWeb.oracles
+      QueriesWeb.oracles ++ QueriesEval.oracles
 }

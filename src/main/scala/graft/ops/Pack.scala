@@ -192,4 +192,78 @@ object Pack {
       }
       .toDF("shard", "seq_idx", idCol, "nt")
   }
+
+  /** Length-bucketed batch assembly — the PADDED-batch counterpart of
+    * [[packConcat]]'s concat layout: documents route to the smallest
+    * bucket edge that fits their token count (fixed, explicit `edges`,
+    * ascending — the production trainer convention, and integer-exact in
+    * any engine, unlike pow-2-via-log2 float edges), then fill batches of
+    * `batchSize` within each bucket in deterministic md5 order. Grouping
+    * near-equal lengths is what keeps per-batch padding small when
+    * sequences must stay document-aligned (SFT, reward modeling — where
+    * concat-packing's attention bleed is unacceptable).
+    *
+    * One row per kept document: `(id, n_tokens, bucket, batch_idx,
+    * pos_in_batch)`. Documents longer than the last edge DROP (they need
+    * truncation upstream, and silently routing them to a too-small bucket
+    * would corrupt the padding accounting); NULL ids and NULL texts drop;
+    * empty docs land in the first bucket at 1 token (`split` on whitespace
+    * never yields 0 tokens).
+    *
+    * Scale shape: bucket assignment is a per-row CASE over the bounded
+    * edge list (zero shuffle); batch numbering is one rank window per
+    * bucket — the same single-exchange class as [[Sampling.epochShuffle]],
+    * with ≤ |edges| partitions of the window key space. Pair with
+    * [[paddingWaste]] for the efficiency report.
+    */
+  def lengthBucketBatches(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      edges: Seq[Long],
+      batchSize: Int,
+      salt: String = "lb"): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      s"edges must be non-empty, ascending, distinct: $edges")
+    require(edges.head >= 1, s"smallest edge must be >= 1: $edges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val nt = size(toks(col(textCol))).cast("long")
+    val bucket = edges.reverse.foldLeft(lit(null).cast("long")) { (acc, e) =>
+      when(col("n_tokens") <= e, lit(e)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("_u"), col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), nt.as("n_tokens"), orderKey(col(idCol), salt).as("_u"))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .select(
+        col(idCol), col("n_tokens"), col("bucket"),
+        ((col("_rn") - 1L) / batchSize).cast("long").as("batch_idx"),
+        ((col("_rn") - 1L) % batchSize).as("pos_in_batch"))
+  }
+
+  /** Padding-efficiency report over a [[lengthBucketBatches]] assignment:
+    * per (bucket, batch) — row count, the batch's max length (what dynamic
+    * padding pads to), actual vs padded token totals, and the waste
+    * fraction `1 − actual/padded` rounded half-up 6. One keyed aggregate
+    * on the (bucket, batch) pair; integer arithmetic until the final
+    * quantized divide.
+    */
+  def paddingWaste(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy(col("bucket"), col("batch_idx"))
+      .agg(
+        count(lit(1)).as("rows"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("actual_tokens"))
+      .select(
+        col("bucket"), col("batch_idx"), col("rows"), col("max_len"),
+        col("actual_tokens"),
+        (col("rows") * col("max_len")).as("padded_tokens"),
+        Functions.roundHalfUp(
+          lit(1.0) - col("actual_tokens").cast("double") /
+            (col("rows") * col("max_len")).cast("double"), 6).as("waste_frac"))
 }
+

@@ -291,4 +291,173 @@ object Preference {
       .join(games, Seq("item"))
       .select(col("item"), col("n_games"), col("t").as("theta_nano"))
   }
+
+  /** Cohen's kappa (Cohen 1960) between two raters over shared items — the
+    * inter-annotator agreement gate preference data needs before anyone
+    * trains on it (noisy labels cap reward-model quality; κ quantifies the
+    * noise). Only items BOTH raters labeled count. Returns one row
+    * `(n_items, n_agree, po, pe, kappa)`.
+    *
+    * Exactness: po, pe, and κ are ratios of INTEGER counts —
+    * `po = agree/n`, `pe = Σ_c nA_c·nB_c / n²`, and the closed form
+    * `κ = (n·agree − Σ_c nA_c·nB_c) / (n² − Σ_c nA_c·nB_c)` makes the
+    * whole statistic ONE integer-over-integer divide, rounded half-up 6 —
+    * no intermediate float survives between engines. κ is NULL when the
+    * denominator is 0 (pe = 1: both raters constant — agreement is
+    * unmeasurable, and reporting 0 would smuggle in a judgment).
+    *
+    * Scale shape: the rater pivot is one keyed aggregate on the item
+    * (max-by-rater — items are rated once per rater; duplicate ratings
+    * take the max label deterministically), the per-class marginal product
+    * is a CLASS-bounded aggregate, and the final row folds in one reduce.
+    */
+  def cohenKappa(
+      df: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String,
+      raterA: String,
+      raterB: String): DataFrame = {
+    val paired = df
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull &&
+        col(raterCol).isin(raterA, raterB))
+      .groupBy(col(itemCol))
+      .agg(
+        max(when(col(raterCol) === raterA, col(labelCol))).as("_la"),
+        max(when(col(raterCol) === raterB, col(labelCol))).as("_lb"))
+      .filter(col("_la").isNotNull && col("_lb").isNotNull)
+    val totals = paired.agg(
+      count(lit(1)).as("n_items"),
+      sum(when(col("_la") === col("_lb"), 1L).otherwise(0L)).as("n_agree"))
+    val chance = paired
+      .select(col("_la").as("_c")).groupBy(col("_c")).agg(count(lit(1)).as("_na"))
+      .join(
+        paired.select(col("_lb").as("_c")).groupBy(col("_c")).agg(count(lit(1)).as("_nb")),
+        Seq("_c"), "inner")
+      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)).as("_sab"))
+    val n = col("n_items")
+    val den = (n * n - col("_sab")).cast("double")
+    totals.crossJoin(chance).select(
+      n, col("n_agree"),
+      graft.Functions.roundHalfUp(col("n_agree").cast("double") / n, 6).as("po"),
+      graft.Functions.roundHalfUp(col("_sab").cast("double") / (n * n), 6).as("pe"),
+      when(den <= 0.0, lit(null).cast("double"))
+        .otherwise(graft.Functions.roundHalfUp(
+          (n * col("n_agree") - col("_sab")).cast("double") / den, 6))
+        .as("kappa"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) — multi-rater categorical agreement, the
+    * generalization [[cohenKappa]] can't express past two raters. Input:
+    * one row per (item, rater, label); each (item, rater) de-duplicates to
+    * its max label (the cohenKappa convention), and only items rated by
+    * EXACTLY `ratersPerItem` distinct raters count — Fleiss' formula
+    * assumes a fixed panel size, and silently mixing panel sizes would
+    * corrupt the chance term. Output one row:
+    * `(n_items, n_raters, p_bar, p_e, kappa)`.
+    *
+    * Exactness: with A = ΣΣ n_ij² − N·n, D1 = N·n·(n−1), S2 = Σ_j s_j²,
+    * D2 = (N·n)², the statistic is
+    * `κ = (A·D2 − S2·D1) / (D1·(D2 − S2))` — one integer-over-integer
+    * divide (products in DECIMAL(38,0) so corpus-scale N cannot overflow a
+    * long), rounded half-up 6; p_bar = A/D1 and p_e = S2/D2 likewise.
+    * κ is NULL when D2 = S2 (every rating in one class — chance agreement
+    * is total and the statistic undefined).
+    *
+    * Scale shape: two keyed aggregates on the item (dedup + per-(item,
+    * label) cell counts), one CLASS-bounded aggregate for the marginals,
+    * and a one-row fold; nothing wider than (items × labels) ever
+    * shuffles.
+    */
+  def fleissKappa(
+      df: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String,
+      ratersPerItem: Int): DataFrame = {
+    require(ratersPerItem >= 2, s"ratersPerItem must be >= 2, got $ratersPerItem")
+    val nInt = ratersPerItem.toLong
+    val rated = df
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("_item"), col(raterCol).as("_rater"))
+      .agg(max(col(labelCol)).as("_label"))
+    val complete = rated
+      .groupBy(col("_item"))
+      .agg(count(lit(1)).as("_nr"))
+      .filter(col("_nr") === nInt)
+      .select(col("_item"))
+    val cells = rated
+      .join(complete, Seq("_item"))
+      .groupBy(col("_item"), col("_label"))
+      .agg(count(lit(1)).as("_nij"))
+    val aAndN = cells.agg(
+      (coalesce(sum(col("_nij") * col("_nij")), lit(0L)) -
+        countDistinct(col("_item")) * nInt).as("_a"),
+      countDistinct(col("_item")).as("_n_items"))
+    val s2 = cells
+      .groupBy(col("_label"))
+      .agg(sum(col("_nij")).as("_sj"))
+      .agg(coalesce(sum(col("_sj") * col("_sj")), lit(0L)).as("_s2"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val nTot = dec(col("_n_items")) * lit(nInt)            // N·n
+    val d1 = nTot * lit(nInt - 1L)                         // N·n·(n−1)
+    val d2 = nTot * nTot                                   // (N·n)²
+    aAndN.crossJoin(s2).select(
+      col("_n_items").as("n_items"),
+      lit(nInt).as("n_raters"),
+      graft.Functions.roundHalfUp(
+        col("_a").cast("double") / d1.cast("double"), 6).as("p_bar"),
+      graft.Functions.roundHalfUp(
+        col("_s2").cast("double") / d2.cast("double"), 6).as("p_e"),
+      when(d2 === dec(col("_s2")), lit(null).cast("double"))
+        .otherwise(graft.Functions.roundHalfUp(
+          (dec(col("_a")) * d2 - dec(col("_s2")) * d1).cast("double") /
+            (d1 * (d2 - dec(col("_s2")))).cast("double"), 6))
+        .as("kappa"))
+  }
+
+  /** Arena-style win-rate leaderboard with Wilson lower bounds (Wilson
+    * 1927 — the sort key that doesn't promote a lucky 2-0 above a solid
+    * 70-30): from a pairwise match table, per item — games, wins, raw win
+    * rate, and the 95% Wilson score interval's lower bound. Draws are not
+    * modeled; `winACol > 0` means A won, else B won (the [[bradleyTerry]]
+    * input contract). Self-matches and NULL rows drop.
+    *
+    * Exactness: wins/games are integers; p̂ = wins/games is one IEEE
+    * divide, and the Wilson bound is evaluated in ONE fixed expression
+    * shape — `(p̂ + z²/(2n) − z·√((p̂·(1−p̂) + z²/(4n))/n)) / (1 + z²/n)`
+    * with z² precomputed as z·z — so every multiply/divide/sqrt is the
+    * same correctly-rounded IEEE op sequence in any engine; the result
+    * rounds half-up 6. The SQL oracle replays the identical expression.
+    *
+    * Scale shape: the match table unpivots into (item, won) rows and folds
+    * in ONE map-side-combinable keyed aggregate; output is |items| rows.
+    */
+  def winRates(
+      matches: DataFrame,
+      itemACol: String,
+      itemBCol: String,
+      winACol: String,
+      z: Double = 1.96): DataFrame = {
+    val m = matches.filter(
+      col(itemACol).isNotNull && col(itemBCol).isNotNull && col(winACol).isNotNull &&
+        col(itemACol) =!= col(itemBCol))
+    val sides = m.select(col(itemACol).as("item"),
+        when(col(winACol).cast("long") > 0L, 1L).otherwise(0L).as("_w"))
+      .unionByName(m.select(col(itemBCol).as("item"),
+        when(col(winACol).cast("long") > 0L, 0L).otherwise(1L).as("_w")))
+    val zz = z * z
+    val nD = col("games").cast("double")
+    val p = col("wins").cast("double") / nD
+    val wilson = (p + lit(zz) / (lit(2.0) * nD) -
+      lit(z) * sqrt((p * (lit(1.0) - p) + lit(zz) / (lit(4.0) * nD)) / nD)) /
+      (lit(1.0) + lit(zz) / nD)
+    sides
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("games"), sum(col("_w")).as("wins"))
+      .select(
+        col("item"), col("games"), col("wins"),
+        graft.Functions.roundHalfUp(p, 6).as("win_rate"),
+        graft.Functions.roundHalfUp(wilson, 6).as("wilson_lb"))
+  }
 }

@@ -1,0 +1,298 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality metrics — precision/recall/hit@k, MRR, NDCG — over a
+  * run table of scored candidates and a qrels table of graded relevance
+  * judgments (the TREC evaluation contract; NDCG per Järvelin &
+  * Kekäläinen 2002). This is the measurement half of the
+  * [[SimilaritySearch]] family: retrieval without these numbers is a
+  * vibe, and a recall sweep (IVF nProbe, LSH bands) needs them per
+  * configuration.
+  *
+  * Reference analog: the reference's perfmet health reporting
+  * (`/root/reference/atd_data_lake/perfmet.py:103-138`) aggregates
+  * per-sensor observation quality the same way this aggregates per-query
+  * retrieval quality — a keyed metric table over a join of observed
+  * against expected.
+  *
+  * Determinism contract: ranks derive from `(score DESC, doc ASC)` —
+  * bit-stable for any scored run. Unjudged retrieved docs count as
+  * relevance 0 (the TREC convention). DCG terms quantize to integer
+  * NANO units — `floor(rel / log2(rank+1) · 1e9 + 0.5)`, with log2
+  * spelled `ln(x)/ln(2)` so both engines run the same IEEE ops — BEFORE
+  * the per-query sum, so the sum is order-free; NDCG is one quantized
+  * divide of the two nano sums. `recall` is NULL when a query has zero
+  * relevant docs (undefined, not 0); `ndcg` likewise when IDCG = 0.
+  *
+  * Scale shape: the run table is already top-k-bounded per query
+  * (|Q|·k rows); the qrels join is keyed on (query, doc); per-query
+  * ideal-DCG is a window over each query's bounded judgment set; output
+  * is one row per query. No global sort anywhere.
+  */
+object RankEval {
+
+  private def q9(c: Column): Column = floor(c * lit(1e9) + lit(0.5)).cast("long")
+
+  private def log2d(c: Column): Column = log(c) / log(lit(2.0))
+
+  /** Per-query metrics at cutoff `k`: `(query, n_rel, n_hits, precision,
+    * recall, rr, dcg, idcg, ndcg)`. `runs` holds scored candidates
+    * `(qidCol, docCol, scoreCol)`; `qrels` holds judgments `(relQidCol,
+    * relDocCol, relCol)` with graded relevance ≥ 0 (0 = judged
+    * irrelevant). Every query present in `runs` emits a row.
+    */
+  def metricsAtK(
+      runs: DataFrame,
+      qidCol: String,
+      docCol: String,
+      scoreCol: String,
+      qrels: DataFrame,
+      relQidCol: String,
+      relDocCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rels = qrels
+      .filter(col(relQidCol).isNotNull && col(relDocCol).isNotNull && col(relCol).isNotNull)
+      .select(
+        col(relQidCol).as("query"),
+        col(relDocCol).as("_doc"),
+        col(relCol).cast("long").as("_rel"))
+
+    // observed side: rank the run, keep top k, attach judgments
+    val rankW = Window.partitionBy(col("query"))
+      .orderBy(col("_score").desc, col("_doc"))
+    val ranked = runs
+      .filter(col(qidCol).isNotNull && col(docCol).isNotNull)
+      .select(
+        col(qidCol).as("query"),
+        col(docCol).as("_doc"),
+        col(scoreCol).cast("double").as("_score"))
+      .withColumn("_rank", row_number().over(rankW))
+      .filter(col("_rank") <= k)
+      .join(rels, Seq("query", "_doc"), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0L)))
+    val observed = ranked
+      .groupBy(col("query"))
+      .agg(
+        sum(when(col("_rel") > 0L, 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("_rel") > 0L, col("_rank"))).as("_first_hit"),
+        sum(q9(col("_rel").cast("double") / log2d(col("_rank").cast("double") + lit(1.0))))
+          .as("_dcg_nano"))
+
+    // ideal side: this query's judgments sorted by relevance — what a
+    // perfect ranker would have put in the first min(k, |rel>0|) slots
+    val idealW = Window.partitionBy(col("query"))
+      .orderBy(col("_rel").desc, col("_doc"))
+    val ideal = rels
+      .filter(col("_rel") > 0L)
+      .withColumn("_irank", row_number().over(idealW))
+      .groupBy(col("query"))
+      .agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("_irank") <= k,
+          q9(col("_rel").cast("double") / log2d(col("_irank").cast("double") + lit(1.0))))
+          .otherwise(0L)).as("_idcg_nano"))
+
+    observed
+      .join(ideal, Seq("query"), "left")
+      .select(
+        col("query"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_hits"),
+        graft.Functions.roundHalfUp(col("n_hits").cast("double") / lit(k.toDouble), 6)
+          .as("precision"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(graft.Functions.roundHalfUp(
+            col("n_hits").cast("double") / col("n_rel").cast("double"), 6))
+          .as("recall"),
+        when(col("_first_hit").isNull, lit(0.0))
+          .otherwise(graft.Functions.roundHalfUp(
+            lit(1.0) / col("_first_hit").cast("double"), 6))
+          .as("rr"),
+        graft.Functions.roundHalfUp(col("_dcg_nano").cast("double") / lit(1e9), 6)
+          .as("dcg"),
+        graft.Functions.roundHalfUp(
+          coalesce(col("_idcg_nano"), lit(0L)).cast("double") / lit(1e9), 6)
+          .as("idcg"),
+        when(coalesce(col("_idcg_nano"), lit(0L)) <= 0L, lit(null).cast("double"))
+          .otherwise(graft.Functions.roundHalfUp(
+            col("_dcg_nano").cast("double") / col("_idcg_nano").cast("double"), 6))
+          .as("ndcg"))
+  }
+
+  /** Grouped ROC-AUC via the exact Mann–Whitney rank-sum identity —
+    * `AUC = (Σ_{pos} r̄ − nP(nP+1)/2) / (nP·nN)` with r̄ the AVERAGE rank
+    * under ascending score (ties share their mean rank — the standard
+    * tie-corrected U statistic). The classifier-quality number a filter
+    * model (GPT-3/CCNet-style) reports per domain/language stratum.
+    *
+    * Exactness: average ranks are carried DOUBLED — `2r̄ = 2·rank_min +
+    * (ties−1)` is always an integer — so the whole statistic is integers
+    * until one final divide: `AUC = (Σ 2r̄ − nP(nP+1)) / (2·nP·nN)`,
+    * rounded half-up 6. No float ever aggregates. AUC is NULL when a group
+    * lacks either class (undefined, not 0.5 — reporting chance level for
+    * an unmeasurable group would smuggle in a judgment). NULL/NaN scores
+    * and NULL labels drop.
+    *
+    * Scale shape: ONE exchange on the group key; rank_min and the tie
+    * count ride two window passes over the same (group, score) sort order
+    * (no second exchange); the final fold is a map-side-combinable keyed
+    * aggregate. Per-group data must fit a partition's sort — the grouped
+    * eval contract, same class as [[metricsAtK]]'s per-query windows.
+    */
+  def aucByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull &&
+        col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
+      .select(
+        col(groupCol).as("grp"),
+        col(scoreCol).cast("double").as("_s"),
+        when(col(labelCol).cast("long") > 0L, 1L).otherwise(0L).as("_y"))
+    val rankW = Window.partitionBy(col("grp")).orderBy(col("_s"))
+    val tieW = Window.partitionBy(col("grp"), col("_s"))
+    val ranked = base
+      .withColumn("_rmin", rank().over(rankW))
+      .withColumn("_ties", count(lit(1)).over(tieW))
+      .withColumn("_2r", lit(2L) * col("_rmin") + (col("_ties") - 1L))
+    ranked
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("_y")).as("n_pos"),
+        sum(lit(1L) - col("_y")).as("n_neg"),
+        sum(when(col("_y") === 1L, col("_2r")).otherwise(0L)).as("_s2"))
+      .select(
+        col("grp"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(graft.Functions.roundHalfUp(
+            (col("_s2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"))
+  }
+
+  /** Reliability-diagram bins for a probabilistic classifier: per (group,
+    * bin) — count, hits, mean confidence, empirical accuracy. Bin
+    * `floor(p·bins)` clamped to bins−1 (so p = 1.0 lands in the last bin);
+    * the bin index derives from the RAW double — one IEEE multiply+floor,
+    * identical in any engine. Per-row probabilities quantize to integer
+    * MICRO units before the confidence sum, so the sum is order-free.
+    * NULL/NaN probabilities and NULL labels drop; p outside [0, 1] is the
+    * caller's bug and fails loudly via the bin range check.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      groupCol: String,
+      probCol: String,
+      labelCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull &&
+        col(probCol).isNotNull && !isnan(col(probCol).cast("double")))
+      .select(
+        col(groupCol).as("grp"),
+        col(probCol).cast("double").as("_p"),
+        when(col(labelCol).cast("long") > 0L, 1L).otherwise(0L).as("_y"))
+    val binC = least(floor(col("_p") * bins).cast("long"), lit(bins - 1L))
+    base
+      .withColumn("bin", binC)
+      .withColumn("_pm", floor(col("_p") * 1e6 + lit(0.5)).cast("long"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_y")).as("hits"),
+        sum(col("_pm")).as("_spm"))
+      .select(
+        col("grp"), col("bin"), col("n"), col("hits"),
+        graft.Functions.roundHalfUp(
+          col("_spm").cast("double") / (col("n").cast("double") * 1e6), 6).as("conf"),
+        graft.Functions.roundHalfUp(
+          col("hits").cast("double") / col("n").cast("double"), 6).as("acc"))
+  }
+
+  /** Expected calibration error per group, folded from the same micro-unit
+    * arithmetic as [[calibrationBins]]: `ECE = Σ_b (n_b/N)·|acc_b − conf_b|
+    * = Σ_b |hits_b·10⁶ − Σpm_b| / (N·10⁶)` — every term integer, ONE
+    * divide at the end (rounded half-up 6). One row per group:
+    * `(grp, n, ece)`.
+    */
+  def ece(
+      df: DataFrame,
+      groupCol: String,
+      probCol: String,
+      labelCol: String,
+      bins: Int): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull &&
+        col(probCol).isNotNull && !isnan(col(probCol).cast("double")))
+      .select(
+        col(groupCol).as("grp"),
+        col(probCol).cast("double").as("_p"),
+        when(col(labelCol).cast("long") > 0L, 1L).otherwise(0L).as("_y"))
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    base
+      .withColumn("bin", least(floor(col("_p") * bins).cast("long"), lit(bins - 1L)))
+      .withColumn("_pm", floor(col("_p") * 1e6 + lit(0.5)).cast("long"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col("_y")).as("_hits"),
+        sum(col("_pm")).as("_spm"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("_n")).as("n"),
+        sum(abs(col("_hits") * lit(1000000L) - col("_spm"))).as("_dev"))
+      .select(
+        col("grp"), col("n"),
+        graft.Functions.roundHalfUp(
+          col("_dev").cast("double") / (col("n").cast("double") * 1e6), 6).as("ece"))
+  }
+
+  /** McNemar's paired test over two systems' per-item correctness — the
+    * significance check for "model B beats model A on the same eval set"
+    * (McNemar 1947; Dietterich 1998 recommends exactly this for paired
+    * classifier comparison). Input: one row per item with boolean-ish
+    * correctness columns for each system. Output one row: the discordant
+    * counts `b` (A right, B wrong) and `c` (A wrong, B right), the χ²
+    * statistic `(b−c)²/(b+c)`, and the continuity-corrected variant
+    * `(max(|b−c|−1, 0))²/(b+c)`. Both are integer-over-integer divides
+    * (rounded half-up 6); both are NULL when b+c = 0 (no discordant pairs
+    * — the test is undefined, and 0 would read as "definitely equal").
+    * Rows with a NULL on either side drop. One map-side-combinable
+    * aggregate; no shuffle wider than one row.
+    */
+  def mcnemar(
+      df: DataFrame,
+      itemCol: String,
+      aCorrectCol: String,
+      bCorrectCol: String): DataFrame = {
+    val a = col(aCorrectCol).cast("boolean")
+    val b = col(bCorrectCol).cast("boolean")
+    val disc = col("b_only") + col("c_only")
+    df.filter(col(itemCol).isNotNull && a.isNotNull && b.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("b_only"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("c_only"))
+      .select(
+        col("n"), col("b_only"), col("c_only"),
+        when(disc === 0L, lit(null).cast("double"))
+          .otherwise(graft.Functions.roundHalfUp(
+            ((col("b_only") - col("c_only")) * (col("b_only") - col("c_only")))
+              .cast("double") / disc.cast("double"), 6))
+          .as("chi2"),
+        when(disc === 0L, lit(null).cast("double"))
+          .otherwise(graft.Functions.roundHalfUp(
+            (greatest(abs(col("b_only") - col("c_only")) - 1L, lit(0L)) *
+              greatest(abs(col("b_only") - col("c_only")) - 1L, lit(0L)))
+              .cast("double") / disc.cast("double"), 6))
+          .as("chi2_cc"))
+  }
+}

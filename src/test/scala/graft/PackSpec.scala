@@ -183,4 +183,48 @@ class PackSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(messages.contains("length mismatch"), s"unexpected error chain: $messages")
   }
+
+  test("lengthBucketBatches: smallest fitting edge, overlong drops, batches bounded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c"),                       // 3 tokens -> bucket 4
+      (2L, "a b c d"),                     // 4 tokens -> bucket 4 (edge inclusive)
+      (3L, "a b c d e"),                   // 5 tokens -> bucket 8
+      (4L, (1 to 20).map(_ => "t").mkString(" ")), // 20 tokens -> over last edge: DROPS
+      (5L, "x"), (6L, "y z"))              // bucket 4
+      .toDF("doc_id", "text")
+    val got = Pack.lengthBucketBatches(d, "doc_id", "text",
+      edges = Seq(4L, 8L), batchSize = 2)
+    val rows = got.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(!rows.contains(4L), "doc longer than the last edge must drop")
+    assert(rows(1L)._2 == 4L && rows(2L)._2 == 4L && rows(3L)._2 == 8L)
+    assert(rows(5L)._2 == 4L && rows(6L)._2 == 4L)
+    // bucket 4 holds 4 docs in batches of 2: two full batches, positions 0/1
+    val b4 = rows.values.filter(_._2 == 4L).toSeq
+    assert(b4.map(_._3).distinct.sorted == Seq(0L, 1L), "two batches in bucket 4")
+    assert(b4.groupBy(_._3).values.forall(_.size == 2), "every bucket-4 batch is full")
+    assert(b4.map(_._4).forall(p => p == 0L || p == 1L))
+    // deterministic under partitioning
+    val again = Pack.lengthBucketBatches(d.repartition(7), "doc_id", "text",
+      edges = Seq(4L, 8L), batchSize = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == got.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("paddingWaste: padded = rows x max_len, waste fraction exact") {
+    import spark.implicits._
+    val assigned = Seq(
+      // one batch: lengths 3 and 4 -> padded 8, actual 7, waste 1/8
+      (1L, 3L, 4L, 0L, 0L), (2L, 4L, 4L, 0L, 1L),
+      // singleton batch: zero waste
+      (3L, 5L, 8L, 0L, 0L))
+      .toDF("doc_id", "n_tokens", "bucket", "batch_idx", "pos_in_batch")
+    val got = Pack.paddingWaste(assigned)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got((4L, 0L)) == ((2L, 4L, 7L, 8L, 0.125)))
+    assert(got((8L, 0L)) == ((1L, 5L, 5L, 5L, 0.0)))
+  }
 }

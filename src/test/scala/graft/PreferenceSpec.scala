@@ -157,4 +157,89 @@ class PreferenceSpec extends SparkSpec {
     // only the two usable matches count as games
     assert(one.map(t => t._1 -> t._2).toMap == Map(1L -> 2L, 2L -> 2L))
   }
+
+  test("cohenKappa: perfect agreement is 1, textbook fixture matches, constant raters are NULL") {
+    def ratings(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("item", "rater", "label")
+    // perfect agreement
+    val perfect = Preference.cohenKappa(
+      ratings((1L to 6L).flatMap(i => Seq((i, "a", i % 2), (i, "b", i % 2)))),
+      "item", "rater", "label", "a", "b").head()
+    assert(perfect.getAs[Double]("kappa") == 1.0 && perfect.getAs[Double]("po") == 1.0)
+    // the classic 2x2 worked example: n=50, agree=20+15=35, marginals
+    // a:(25,25) b:(30,20) -> pe=(25*30+25*20)/2500=0.5, kappa=(0.7-0.5)/0.5=0.4
+    val rows =
+      (1L to 20L).flatMap(i => Seq((i, "a", 1L), (i, "b", 1L))) ++        // yes/yes
+      (21L to 25L).flatMap(i => Seq((i, "a", 1L), (i, "b", 0L))) ++       // yes/no
+      (26L to 35L).flatMap(i => Seq((i, "a", 0L), (i, "b", 1L))) ++       // no/yes
+      (36L to 50L).flatMap(i => Seq((i, "a", 0L), (i, "b", 0L)))          // no/no
+    val classic = Preference.cohenKappa(ratings(rows), "item", "rater", "label", "a", "b").head()
+    assert(classic.getAs[Long]("n_items") == 50L && classic.getAs[Long]("n_agree") == 35L)
+    assert(classic.getAs[Double]("po") == 0.7 && classic.getAs[Double]("pe") == 0.5)
+    assert(classic.getAs[Double]("kappa") == 0.4)
+    // both raters constant -> pe = 1 -> undefined, reported NULL not 0
+    val const = Preference.cohenKappa(
+      ratings((1L to 4L).flatMap(i => Seq((i, "a", 1L), (i, "b", 1L)))),
+      "item", "rater", "label", "a", "b").head()
+    assert(const.isNullAt(const.fieldIndex("kappa")))
+    // items missing one rater's label are excluded from every count
+    val partial = Preference.cohenKappa(
+      ratings(Seq((1L, "a", 1L), (1L, "b", 1L), (2L, "a", 0L), (3L, "b", 1L))),
+      "item", "rater", "label", "a", "b").head()
+    assert(partial.getAs[Long]("n_items") == 1L)
+  }
+
+  test("fleissKappa: hand-worked 3-rater panel, incomplete items drop, one-class NULL") {
+    def ratings(rows: Seq[(Long, String, String)]) =
+      rows.toDF("item", "rater", "label")
+    // N=4, n=3: AAA / AAB / BBB / ABC.
+    // Σn² = 9+5+9+3 = 26, A = 26−12 = 14, D1 = 24 → P̄ = 14/24 = 0.583333
+    // col sums A=6 B=5 C=1 → S2 = 62, D2 = 144 → Pe = 62/144 = 0.430556
+    // κ = (14·144 − 62·24)/(24·(144−62)) = 528/1968 = 0.268293
+    val rows = Seq(
+      (1L, "r1", "A"), (1L, "r2", "A"), (1L, "r3", "A"),
+      (2L, "r1", "A"), (2L, "r2", "A"), (2L, "r3", "B"),
+      (3L, "r1", "B"), (3L, "r2", "B"), (3L, "r3", "B"),
+      (4L, "r1", "A"), (4L, "r2", "B"), (4L, "r3", "C"))
+    val got = Preference.fleissKappa(ratings(rows), "item", "rater", "label", 3).head()
+    assert(got.getAs[Long]("n_items") == 4L && got.getAs[Long]("n_raters") == 3L)
+    assert(got.getAs[Double]("p_bar") == 0.583333)
+    assert(got.getAs[Double]("p_e") == 0.430556)
+    assert(got.getAs[Double]("kappa") == 0.268293)
+    // an item rated by only 2 of the 3 panelists is excluded entirely
+    val withPartial = Preference.fleissKappa(
+      ratings(rows ++ Seq((5L, "r1", "A"), (5L, "r2", "A"))),
+      "item", "rater", "label", 3).head()
+    assert(withPartial.getAs[Long]("n_items") == 4L)
+    assert(withPartial.getAs[Double]("kappa") == 0.268293)
+    // every rating one class → Pe = 1 → undefined
+    val oneClass = Preference.fleissKappa(
+      ratings(Seq((1L, "r1", "A"), (1L, "r2", "A"), (1L, "r3", "A"))),
+      "item", "rater", "label", 3).head()
+    assert(oneClass.isNullAt(oneClass.fieldIndex("kappa")))
+  }
+
+  test("winRates: wilson lower bound demotes the lucky 2-0 below the solid 70-100") {
+    // x beats y twice (2 games each); p beats q 70 of 100
+    val matches =
+      Seq(("x", "y", 1L), ("x", "y", 1L)) ++
+      (1 to 70).map(_ => ("p", "q", 1L)) ++
+      (1 to 30).map(_ => ("p", "q", 0L))
+    val got = Preference.winRates(matches.toDF("item_a", "item_b", "win_a"),
+      "item_a", "item_b", "win_a")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("x").getAs[Long]("games") == 2L && got("x").getAs[Long]("wins") == 2L)
+    assert(got("x").getAs[Double]("win_rate") == 1.0)
+    assert(got("p").getAs[Double]("win_rate") == 0.7)
+    // raw rate ranks x first; the wilson bound flips the order
+    assert(got("x").getAs[Double]("wilson_lb") < got("p").getAs[Double]("wilson_lb"))
+    // exact replay of the fixed expression shape for the 2-0 case
+    val z = 1.96; val zz = z * z; val n = 2.0; val ph = 1.0
+    val lb = (ph + zz / (2.0 * n) - z * math.sqrt((ph * (1.0 - ph) + zz / (4.0 * n)) / n)) /
+      (1.0 + zz / n)
+    assert(got("x").getAs[Double]("wilson_lb") == math.floor(lb * 1e6 + 0.5) / 1e6)
+    // zero-win item: bound clamps at (numerically) zero, never negative
+    assert(got("y").getAs[Long]("wins") == 0L && got("y").getAs[Double]("wilson_lb") >= 0.0)
+    assert(got("q").getAs[Double]("wilson_lb") < got("q").getAs[Double]("win_rate"))
+  }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.ops.RankEval
+
+/** Retrieval-metric semantics: graded NDCG, rank derivation, unjudged-as-0,
+  * and the NULL conventions for undefined recall/NDCG.
+  */
+class RankEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, Long, Double)]) =
+    rows.toDF("qid", "doc", "score")
+  private def rels(rows: Seq[(Long, Long, Long)]) =
+    rows.toDF("qid", "doc", "rel")
+
+  test("metricsAtK: perfect ranking scores ndcg 1, reversed ranking less") {
+    val qrels = rels(Seq((1L, 10L, 2L), (1L, 11L, 1L)))
+    val perfect = RankEval.metricsAtK(
+      run(Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.1))),
+      "qid", "doc", "score", qrels, "qid", "doc", "rel", k = 3).head()
+    assert(perfect.getAs[Double]("ndcg") == 1.0)
+    assert(perfect.getAs[Long]("n_hits") == 2L && perfect.getAs[Long]("n_rel") == 2L)
+    assert(perfect.getAs[Double]("rr") == 1.0)
+    assert(perfect.getAs[Double]("recall") == 1.0)
+    val reversed = RankEval.metricsAtK(
+      run(Seq((1L, 10L, 0.1), (1L, 11L, 0.8), (1L, 12L, 0.9))),
+      "qid", "doc", "score", qrels, "qid", "doc", "rel", k = 3).head()
+    assert(reversed.getAs[Double]("ndcg") < 1.0)
+    assert(reversed.getAs[Double]("rr") == 0.5, "first relevant at rank 2")
+    // hand value: DCG = 1/log2(3) + 2/log2(4) = 0.630930 + 1.0; IDCG =
+    // 2/log2(2) + 1/log2(3) = 2.630930 (nano-quantized per term)
+    assert(math.abs(reversed.getAs[Double]("dcg") - 1.630930) < 1e-6)
+    assert(math.abs(reversed.getAs[Double]("idcg") - 2.630930) < 1e-6)
+  }
+
+  test("metricsAtK: cutoff excludes late hits, unjudged docs count 0, no-rel query is NULL") {
+    val qrels = rels(Seq((1L, 12L, 1L), (2L, 99L, 1L)))
+    val got = RankEval.metricsAtK(
+      run(Seq(
+        (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.1),   // hit ranked 3rd
+        (2L, 10L, 0.9))),                                 // judged set disjoint
+      "qid", "doc", "score", qrels, "qid", "doc", "rel", k = 2)
+      .collect().map(r => r.getAs[Long]("query") -> r).toMap
+    val q1 = got(1L)
+    assert(q1.getAs[Long]("n_hits") == 0L, "relevant doc ranked below the cutoff")
+    assert(q1.getAs[Double]("rr") == 0.0)
+    assert(q1.getAs[Double]("recall") == 0.0, "n_rel counts ALL judged-relevant docs")
+    assert(q1.isNullAt(q1.fieldIndex("ndcg")) == false && q1.getAs[Double]("ndcg") == 0.0,
+      "judged query with idcg > 0 gets ndcg 0, not NULL")
+    val q2 = got(2L)
+    assert(q2.getAs[Long]("n_rel") == 1L && q2.getAs[Long]("n_hits") == 0L)
+    // a query with NO judged-relevant docs at all: recall and ndcg NULL
+    val none = RankEval.metricsAtK(
+      run(Seq((3L, 10L, 0.9))), "qid", "doc", "score",
+      rels(Seq((3L, 10L, 0L))), "qid", "doc", "rel", k = 2).head()
+    assert(none.isNullAt(none.fieldIndex("recall")))
+    assert(none.isNullAt(none.fieldIndex("ndcg")))
+  }
+
+  test("metricsAtK: score ties break on doc ascending, results partition-invariant") {
+    val qrels = rels(Seq((1L, 11L, 1L)))
+    val r = run(Seq((1L, 10L, 0.5), (1L, 11L, 0.5), (1L, 12L, 0.5)))
+    val got = RankEval.metricsAtK(r, "qid", "doc", "score",
+      qrels, "qid", "doc", "rel", k = 2).head()
+    assert(got.getAs[Double]("rr") == 0.5, "tie canon puts doc 10 first, hit at rank 2")
+    val many = RankEval.metricsAtK(r.repartition(13), "qid", "doc", "score",
+      qrels, "qid", "doc", "rel", k = 2).head()
+    assert(got.toString == many.toString)
+  }
+
+  test("aucByGroup: tie-corrected hand value, perfect separation, single-class NULL") {
+    // group g: pos scores {0.9, 0.5}, neg {0.5, 0.1} — the 0.5 tie spans
+    // classes. Avg ranks asc: 0.1→1, 0.5→2.5 (×2), 0.9→4.
+    // U = (2.5 + 4) − 2·3/2 = 3.5; AUC = 3.5/(2·2) = 0.875.
+    val df = Seq(
+      ("g", 0.9, 1), ("g", 0.5, 1), ("g", 0.5, 0), ("g", 0.1, 0),
+      ("h", 1.0, 1), ("h", 0.9, 1), ("h", 0.2, 0),   // perfect separation
+      ("i", 0.3, 1), ("i", 0.7, 1))                  // positives only
+      .toDF("grp", "score", "label")
+    val got = RankEval.aucByGroup(df, "grp", "score", "label")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("g").getAs[Double]("auc") == 0.875)
+    assert(got("g").getAs[Long]("n_pos") == 2L && got("g").getAs[Long]("n_neg") == 2L)
+    assert(got("h").getAs[Double]("auc") == 1.0)
+    assert(got("i").isNullAt(got("i").fieldIndex("auc")), "single-class AUC is undefined")
+    // partition invariance (the rank windows key on the group)
+    val many = RankEval.aucByGroup(df.repartition(11), "grp", "score", "label")
+      .collect().map(_.toString).sorted.toSeq
+    assert(many == got.values.map(_.toString).toSeq.sorted)
+  }
+
+  test("calibrationBins + ece: hand-computed bins, p=1.0 lands in the last bin") {
+    val df = Seq(
+      ("g", 0.05, 0), ("g", 0.15, 1), ("g", 0.95, 1), ("g", 1.0, 1))
+      .toDF("grp", "p", "label")
+    val bins = RankEval.calibrationBins(df, "grp", "p", "label", bins = 10)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(bins.keySet == Set(0L, 1L, 9L), "p = 1.0 clamps into bin 9")
+    assert(bins(0L).getAs[Long]("n") == 1L && bins(0L).getAs[Double]("acc") == 0.0 &&
+      bins(0L).getAs[Double]("conf") == 0.05)
+    assert(bins(1L).getAs[Double]("acc") == 1.0 && bins(1L).getAs[Double]("conf") == 0.15)
+    assert(bins(9L).getAs[Long]("n") == 2L && bins(9L).getAs[Double]("conf") == 0.975)
+    // ECE = (|0−0.05| + |1−0.15| + |2−1.95|)/4 = 0.95/4 = 0.2375
+    val e = RankEval.ece(df, "grp", "p", "label", bins = 10).head()
+    assert(e.getAs[Long]("n") == 4L && e.getAs[Double]("ece") == 0.2375)
+  }
+
+  test("mcnemar: textbook discordant cells, no-discordance is NULL") {
+    // 10 items A-only-right, 5 items B-only-right, 3 both, 2 neither
+    val rows =
+      (1 to 10).map(i => (i.toLong, true, false)) ++
+      (11 to 15).map(i => (i.toLong, false, true)) ++
+      (16 to 18).map(i => (i.toLong, true, true)) ++
+      (19 to 20).map(i => (i.toLong, false, false))
+    val got = RankEval.mcnemar(rows.toDF("item", "a_ok", "b_ok"),
+      "item", "a_ok", "b_ok").head()
+    assert(got.getAs[Long]("n") == 20L)
+    assert(got.getAs[Long]("b_only") == 10L && got.getAs[Long]("c_only") == 5L)
+    assert(got.getAs[Double]("chi2") == 1.666667)       // 25/15
+    assert(got.getAs[Double]("chi2_cc") == 1.066667)    // 16/15
+    val agree = RankEval.mcnemar(
+      Seq((1L, true, true), (2L, false, false)).toDF("item", "a_ok", "b_ok"),
+      "item", "a_ok", "b_ok").head()
+    assert(agree.isNullAt(agree.fieldIndex("chi2")), "b + c = 0 is undefined, not 0")
+  }
+}
