@@ -45,7 +45,9 @@ object Bench {
       "q_bt_strength", "q_tx_phrase", "q_tx_pii", "q_tx_tags",
       "q_dd_softweight", "q_ann_brute_batch",
       "q_pk_lenbucket", "q_pk_padwaste", "q_kappa", "q_ann_metrics",
-      "q_ev_auc", "q_ev_ece", "q_ev_fleiss", "q_ev_wilson")
+      "q_ev_auc", "q_ev_ece", "q_ev_fleiss", "q_ev_wilson",
+      "q_cl_flags", "q_sm_topfrac", "q_dd_calibration", "q_ann_ap",
+      "q_ev_perm")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

@@ -87,6 +87,20 @@ object QueriesCorpus {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 8, bands = 2)),
 
+    // minhash calibration report: signature-estimated vs exact shingle-set
+    // jaccard (+ absolute error) for every LSH candidate pair — the
+    // is-k-big-enough measurement before a corpus-scale dedup commits
+    "q_dd_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, bands = 2)),
+
+    // LSH parameter planner: the collision S-curve for every (bands, rows)
+    // factorization of k=128 at five probed jaccard levels — powers as
+    // left-associated multiply chains, never libm pow()
+    "q_dd_lshplan" -> ((s, dir) =>
+      Dedup.lshPlan(s, numHashes = 128,
+        thresholds = Seq(0.3, 0.5, 0.7, 0.8, 0.9))),
+
     // one-permutation MinHash (k=8 buckets, rotation densification): ONE
     // hash per shingle and ZERO shuffles — the hash-once scale path of
     // q_dd_minhash_sig (plan-pinned as a pure projection)
@@ -275,6 +289,26 @@ object QueriesCorpus {
         .select(col("qid"), col("doc_id"),
           (lit(1L) + col("doc_id") % 2).as("rel"))
       graft.ops.RankEval.metricsAtK(
+        runs, "query_id", "doc_id", "cos",
+        qrels, "qid", "doc_id", "rel", k = 10)
+    }),
+
+    // average precision over the same judged run: per-precision terms
+    // nano-quantized before the order-free per-query sum (TREC AP)
+    "q_ann_ap" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val runs = SimilaritySearch.bruteForceTopKBatch(
+        emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("_ql"))
+      val qrels = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("doc_id"), col("label"))
+        .join(broadcast(q), col("label") === col("_ql"))
+        .select(col("qid"), col("doc_id"),
+          (lit(1L) + col("doc_id") % 2).as("rel"))
+      graft.ops.RankEval.averagePrecisionAtK(
         runs, "query_id", "doc_id", "cos",
         qrels, "qid", "doc_id", "rel", k = 10)
     }),
@@ -1340,6 +1374,32 @@ object QueriesCorpus {
       |  CAST((rn - 1) % 8 AS BIGINT) AS pos_in_batch
       |FROM r""".stripMargin
 
+  /** Judged ANN run CTE chain shared by q_ann_metrics / q_ann_ap — ends in
+    * `j(query, doc, rnk, rel)` (top-10 batched brute run joined to the
+    * label-agreement qrels) plus `qrels(query, doc, rel)`.
+    */
+  private val annJudgedRunCteSql: String =
+    """q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+      |  FROM embeddings WHERE vec_id < 5),
+      |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label
+      |  FROM embeddings WHERE vec_id >= 5),
+      |s AS (SELECT q.query_id, d.vec_id,
+      |    floor(list_cosine_similarity(d.dv, q.qv) * 1000000 + 0.5) / 1000000 AS cos
+      |  FROM d, q),
+      |run AS (SELECT query_id, vec_id, cos FROM s
+      |  QUALIFY row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, CAST(vec_id AS VARCHAR)) <= 10),
+      |ranked AS (
+      |  SELECT query_id AS query, vec_id AS doc, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM run),
+      |qrels AS (
+      |  SELECT q.query_id AS query, d.vec_id AS doc, 1 + d.vec_id % 2 AS rel
+      |  FROM d JOIN q ON d.label = q.ql),
+      |j AS (
+      |  SELECT r.query, r.doc, r.rnk, coalesce(qr.rel, 0) AS rel
+      |  FROM ranked r LEFT JOIN qrels qr USING (query, doc))""".stripMargin
+
   /** CDC chunk-boundary CTEs (window 4, divisor 16), shared by q_tx_cdc and
     * the shifted-dup pair oracle: `j(doc_id, tt, starts, ends)`.
     */
@@ -1645,6 +1705,44 @@ object QueriesCorpus {
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
     },
+    "q_dd_calibration" -> {
+      val bandSelects = (0 until 2)
+        .map { b =>
+          val sig = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM sigs"
+        }
+        .mkString("\n  UNION ALL ")
+      val matches = (0 until 8)
+        .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, sh,
+         |    ${(0 until 8).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+         |  FROM $shingleFrom),
+         |banded AS (
+         |  $bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT p.id_a, p.id_b,
+         |    floor(CAST($matches AS DOUBLE) / 8 * 1000000 + 0.5) / 1000000 AS est_jaccard,
+         |    len(list_intersect(a.sh, b.sh)) AS i,
+         |    len(a.sh) AS sa, len(b.sh) AS sb
+         |  FROM pairs p
+         |  JOIN sigs a ON a.doc_id = p.id_a
+         |  JOIN sigs b ON b.doc_id = p.id_b),
+         |x AS (
+         |  SELECT id_a, id_b, est_jaccard,
+         |    CASE WHEN sa + sb - i = 0 THEN 1.0
+         |      ELSE floor(CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE)
+         |        * 1000000 + 0.5) / 1000000 END AS exact_jaccard
+         |  FROM j)
+         |SELECT id_a, id_b, est_jaccard, exact_jaccard,
+         |  floor(abs(est_jaccard - exact_jaccard) * 1000000 + 0.5) / 1000000 AS abs_err
+         |FROM x""".stripMargin
+    },
     "q_dd_oph_sig" ->
       s"""WITH ${ophCteSql(8)}
          |SELECT doc_id, ${(0 until 8).map(j => s"oph$j").mkString(", ")} FROM oph""".stripMargin,
@@ -1893,27 +1991,45 @@ object QueriesCorpus {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 >= 0.30""".stripMargin,
+    "q_ann_ap" ->
+      s"""WITH $annJudgedRunCteSql,
+         |cum AS (
+         |  SELECT query, rnk, rel,
+         |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY query ORDER BY rnk) AS ch
+         |  FROM j),
+         |obs AS (
+         |  SELECT query,
+         |    CAST(sum(CASE WHEN rel > 0
+         |      THEN CAST(floor(CAST(ch AS DOUBLE) / rnk * 1e9 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS apn
+         |  FROM cum GROUP BY 1),
+         |idl AS (SELECT query, count(*) AS n_rel FROM qrels WHERE rel > 0 GROUP BY 1)
+         |SELECT obs.query, coalesce(idl.n_rel, 0) AS n_rel,
+         |  CASE WHEN coalesce(idl.n_rel, 0) = 0 THEN NULL
+         |    ELSE floor(CAST(apn AS DOUBLE) / (CAST(idl.n_rel AS DOUBLE) * 1e9)
+         |      * 1000000 + 0.5) / 1000000 END AS ap
+         |FROM obs LEFT JOIN idl USING (query)""".stripMargin,
+    "q_dd_lshplan" ->
+      """WITH RECURSIVE pr(b, r) AS (
+        |  SELECT * FROM (VALUES (1, 128), (2, 64), (4, 32), (8, 16),
+        |    (16, 8), (32, 4), (64, 2), (128, 1)) v(b, r)),
+        |th AS (SELECT CAST(x AS DOUBLE) AS s
+        |  FROM (SELECT unnest([0.3, 0.5, 0.7, 0.8, 0.9]) AS x)),
+        |g AS (SELECT b, r, s FROM pr, th),
+        |sr AS (
+        |  SELECT b, r, s, 1 AS i, s AS v FROM g
+        |  UNION ALL SELECT b, r, s, i + 1, v * s FROM sr WHERE i < r),
+        |srf AS (SELECT b, r, s, v FROM sr WHERE i = r),
+        |qb AS (
+        |  SELECT b, r, s, v, 1 AS jj, 1.0 - v AS w FROM srf
+        |  UNION ALL SELECT b, r, s, v, jj + 1, w * (1.0 - v) FROM qb WHERE jj < b),
+        |f AS (SELECT b, r, s, w FROM qb WHERE jj = b)
+        |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows, s AS jaccard,
+        |  floor((1.0 - w) * 1000000 + 0.5) / 1000000 AS p_collide
+        |FROM f""".stripMargin,
     "q_ann_metrics" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
-        |  FROM embeddings WHERE vec_id < 5),
-        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv, label
-        |  FROM embeddings WHERE vec_id >= 5),
-        |s AS (SELECT q.query_id, d.vec_id,
-        |    floor(list_cosine_similarity(d.dv, q.qv) * 1000000 + 0.5) / 1000000 AS cos
-        |  FROM d, q),
-        |run AS (SELECT query_id, vec_id, cos FROM s
-        |  QUALIFY row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos DESC, CAST(vec_id AS VARCHAR)) <= 10),
-        |ranked AS (
-        |  SELECT query_id AS query, vec_id AS doc, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-        |  FROM run),
-        |qrels AS (
-        |  SELECT q.query_id AS query, d.vec_id AS doc, 1 + d.vec_id % 2 AS rel
-        |  FROM d JOIN q ON d.label = q.ql),
-        |j AS (
-        |  SELECT r.query, r.doc, r.rnk, coalesce(qr.rel, 0) AS rel
-        |  FROM ranked r LEFT JOIN qrels qr USING (query, doc)),
+      s"""WITH $annJudgedRunCteSql,
         |obs AS (
         |  SELECT query,
         |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Preference, RankEval}
+import graft.ops.{LabelNoise, Preference, RankEval}
 
 /** Evaluation & calibration family — the measurement layer a training-data
   * pipeline needs before trusting a filter model or a preference dataset:
@@ -80,6 +80,29 @@ object QueriesEval {
       Preference.fleissKappa(r, "item", "rater", "label", ratersPerItem = 3)
     }),
 
+    // confident-learning label-noise flags: classes 0..2, probs from
+    // fractional parts of |value|·(c+2), given labels event_id%3 — the
+    // thresholds compare via integer cross-multiplication (no division)
+    "q_cl_flags" -> ((s, dir) =>
+      LabelNoise.confidentFlags(clFixture(s, dir), "item", "given", "cls", "p")),
+
+    // the confident joint over the same flags — off-diagonal mass is the
+    // estimated label-error rate per (given, suggested) cell
+    "q_cl_joint" -> ((s, dir) =>
+      LabelNoise.confidentJoint(
+        LabelNoise.confidentFlags(clFixture(s, dir), "item", "given", "cls", "p"))),
+
+    // paired sign-flip permutation test over per-item metric deltas
+    // (frac(|v|·3) − frac(|v|·5)): 200 md5-derived replicates, integer
+    // |S_b| ≥ |S| comparisons, add-one p-value
+    "q_ev_perm" -> ((s, dir) =>
+      RankEval.pairedPermutationTest(
+        ev(s, dir).select(
+          col("event_id").as("item"),
+          ((abs(col("value")) * 3 - floor(abs(col("value")) * 3)) -
+            (abs(col("value")) * 5 - floor(abs(col("value")) * 5))).as("delta")),
+        "item", "delta", replicates = 200)),
+
     // Wilson-bounded win-rate leaderboard over the Bradley-Terry match
     // fixture — the arena sort key with exact integer wins/games
     "q_ev_wilson" -> ((s, dir) => {
@@ -92,13 +115,56 @@ object QueriesEval {
       Preference.winRates(m, "item_a", "item_b", "win_a")
     }))
 
+  /** Long-format (item, given, class, prob) fixture for confident
+    * learning: three classes, probabilities = fractional parts of
+    * |value|·(class+2) — deterministic, engine-identical IEEE arithmetic.
+    */
+  private def clFixture(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("event_id"), col("value"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("cls"))
+      .select(
+        col("event_id").as("item"),
+        (col("event_id") % 3).as("given"),
+        col("cls"),
+        (abs(col("value")) * (col("cls") + 2) -
+          floor(abs(col("value")) * (col("cls") + 2))).as("p"))
+
   /** Shared fixture CTE: events with usable value. */
   private val evSql: String =
     """SELECT event_id, event_type, user_id, value FROM events
       |WHERE event_id IS NOT NULL AND value IS NOT NULL
       |  AND NOT isnan(CAST(value AS DOUBLE))""".stripMargin
 
+  /** Confident-learning CTE chain shared by q_cl_flags / q_cl_joint —
+    * ends in `w(item, suggested)` and `spine(item, given)`.
+    */
+  private def clCteSql: String =
+    s"""ev AS ($evSql),
+       |p AS (
+       |  SELECT event_id AS item, event_id % 3 AS given, CAST(c AS BIGINT) AS cls,
+       |    CAST(floor((abs(value) * (c + 2) - floor(abs(value) * (c + 2)))
+       |      * 1e6 + 0.5) AS BIGINT) AS pm
+       |  FROM ev, (SELECT unnest([0, 1, 2]) AS c)),
+       |th AS (SELECT cls, count(*) AS cnt, CAST(sum(pm) AS BIGINT) AS spm
+       |  FROM p WHERE cls = given GROUP BY 1),
+       |q AS (
+       |  SELECT p.item, p.cls, p.pm,
+       |    row_number() OVER (PARTITION BY p.item ORDER BY p.pm DESC, p.cls) AS rn
+       |  FROM p JOIN th USING (cls) WHERE p.pm * th.cnt >= th.spm),
+       |w AS (SELECT item, cls AS suggested FROM q WHERE rn = 1),
+       |spine AS (SELECT DISTINCT item, given FROM p)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_cl_flags" ->
+      s"""WITH $clCteSql
+         |SELECT s.item, s.given, w.suggested,
+         |  coalesce(w.suggested <> s.given, false) AS flagged
+         |FROM spine s LEFT JOIN w USING (item)""".stripMargin,
+    "q_cl_joint" ->
+      s"""WITH $clCteSql
+         |SELECT s.given, w.suggested, count(*) AS n
+         |FROM spine s JOIN w USING (item) GROUP BY 1, 2""".stripMargin,
     "q_ev_auc" ->
       s"""WITH ev AS ($evSql),
          |e AS (
@@ -206,6 +272,29 @@ object QueriesEval {
          |         * (CAST(n_items * 3 AS HUGEINT) * (n_items * 3) - s2) AS DOUBLE)
          |      * 1000000 + 0.5) / 1000000 END AS kappa
          |FROM an, s2t""".stripMargin,
+    "q_ev_perm" ->
+      s"""WITH ev AS ($evSql),
+         |d AS (
+         |  SELECT CAST(event_id AS VARCHAR) AS item,
+         |    CAST(floor(((abs(value) * 3 - floor(abs(value) * 3))
+         |      - (abs(value) * 5 - floor(abs(value) * 5))) * 1e6 + 0.5) AS BIGINT) AS dm
+         |  FROM ev),
+         |obs AS (SELECT count(*) AS n, CAST(coalesce(sum(dm), 0) AS BIGINT) AS s FROM d),
+         |f AS (
+         |  SELECT b,
+         |    CAST(sum((CAST('0x' || substr(md5('perm:' || b || ':' || item), 1, 1) AS BIGINT)
+         |      % 2 * 2 - 1) * dm) AS BIGINT) AS sb
+         |  FROM d, (SELECT unnest(range(0, 200)) AS b) GROUP BY 1),
+         |h AS (SELECT CAST(sum(CASE WHEN abs(sb) >= abs(s) THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM f, obs)
+         |SELECT obs.n, CAST(200 AS BIGINT) AS replicates,
+         |  CASE WHEN obs.n = 0 THEN NULL
+         |    ELSE floor(CAST(obs.s AS DOUBLE) / (CAST(obs.n AS DOUBLE) * 1e6)
+         |      * 1000000 + 0.5) / 1000000 END AS mean_delta,
+         |  coalesce(h.hits, 200) AS hits,
+         |  floor(CAST(coalesce(h.hits, 200) + 1 AS DOUBLE) / 201 * 1000000 + 0.5)
+         |    / 1000000 AS p_value
+         |FROM obs, h""".stripMargin,
     "q_ev_wilson" ->
       """WITH m AS (
         |  SELECT user_id % 32 AS a, (user_id // 32) % 32 AS b,

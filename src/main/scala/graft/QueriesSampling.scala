@@ -127,7 +127,14 @@ object QueriesSampling {
       Sampling.tieredShuffle(
           t(s, dir, "documents").withColumn("band", floor(col("n_chars") / 500)),
           Seq("band"), "doc_id", epoch = 2L)
-        .select("doc_id", "band", "pos")))
+        .select("doc_id", "band", "pos")),
+
+    // stratified quality cut: keep each language's top 30% by n_chars —
+    // exactly ceil(0.3·n_g) rows per group, (score DESC, doc_id) tie canon
+    "q_sm_topfrac" -> ((s, dir) =>
+      Sampling.topFractionPerGroup(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", "n_chars", frac = 0.3)))
 
   /** UniMax water-fill CTE chain (budget 700, maxEpochs 2.0) ending in
     * `fill(i, remaining, lang, n, cap, quota)` — the driver loop of
@@ -151,6 +158,19 @@ object QueriesSampling {
       |    FROM fill f JOIN o ON o.i = f.i + 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sm_topfrac" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |    AND NOT isnan(CAST(n_chars AS DOUBLE))),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM d)
+        |SELECT doc_id, lang, n_chars FROM r
+        |WHERE rn <= CAST(ceil(0.3 * CAST(n AS DOUBLE)) AS BIGINT)""".stripMargin,
     "q_sm_unimax" ->
       s"""WITH RECURSIVE $unimaxCteSql
          |SELECT lang, n AS n_rows, cap, quota FROM fill""".stripMargin,

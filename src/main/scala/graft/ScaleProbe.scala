@@ -535,6 +535,41 @@ object ScaleProbe {
         graft.ops.SimilaritySearch.bruteForceTopKBatch(
           emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10).count()
+      },
+      "ev_auc" -> { d =>
+        val ev = Tables(spark, d, "events")
+          .filter(col("event_id").isNotNull && col("value").isNotNull)
+        graft.ops.RankEval.aucByGroup(
+          ev.select(col("event_type").as("grp"),
+            (floor(col("value") * 10) / 10).as("score"),
+            (col("event_id") % 3 === 0).cast("int").as("label")),
+          "grp", "score", "label").count()
+      },
+      "cl_flags" -> { d =>
+        val ev = Tables(spark, d, "events")
+          .filter(col("event_id").isNotNull && col("value").isNotNull)
+          .select(col("event_id"), col("value"),
+            explode(array(lit(0L), lit(1L), lit(2L))).as("cls"))
+          .select(col("event_id").as("item"), (col("event_id") % 3).as("given"),
+            col("cls"),
+            (abs(col("value")) * (col("cls") + 2) -
+              floor(abs(col("value")) * (col("cls") + 2))).as("p"))
+        graft.ops.LabelNoise.confidentFlags(ev, "item", "given", "cls", "p").count()
+      },
+      "sm_topfrac" -> (d =>
+        graft.ops.Sampling.topFractionPerGroup(
+          docsAt(d).select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", "n_chars", frac = 0.3).count()),
+      "dd_calibration" -> (d =>
+        graft.ops.Dedup.minhashCalibration(docsAt(d), "doc_id", "text").count()),
+      "ev_perm" -> { d =>
+        val ev = Tables(spark, d, "events")
+          .filter(col("event_id").isNotNull && col("value").isNotNull)
+        graft.ops.RankEval.pairedPermutationTest(
+          ev.select(col("event_id").as("item"),
+            ((abs(col("value")) * 3 - floor(abs(col("value")) * 3)) -
+              (abs(col("value")) * 5 - floor(abs(col("value")) * 5))).as("delta")),
+          "item", "delta", replicates = 200).count()
       })
 
     def time(f: => Long): (Double, Long) = {

@@ -1068,4 +1068,114 @@ object Dedup {
         graft.Functions.roundHalfUp(
           lit(1.0) / col("cluster_size").cast("double"), 9).as("weight"))
   }
+
+  /** MinHash calibration report: for every LSH candidate pair, the
+    * signature-estimated Jaccard (matching slots / k) NEXT TO the exact
+    * shingle-set Jaccard and their absolute error — the measurement that
+    * tells you whether a (numHashes, bands) configuration is honest
+    * BEFORE a 100 TB dedup run commits to it (the MinHash estimator is
+    * unbiased with sd ≈ 1/√k; k = 8 is deliberately coarse, and this
+    * report is how that coarseness gets quantified rather than trusted).
+    *
+    * Exactness: slot matches and shingle-set sizes are integers; both
+    * Jaccards round half-up 6 BEFORE the error subtraction, which then
+    * rounds the same way — every step replayable. Zero-union pairs (two
+    * empty-ish docs) read exact = 1.0, the [[ngramJaccardPairs]]
+    * convention.
+    *
+    * Scale shape: pairs are LSH-bounded (never all-pairs); the exact side
+    * prunes the distinct-shingle relation to candidate ids with a
+    * LEFT-SEMI join BEFORE the intersection join, so shingle volume is
+    * bounded by the candidates' text, not the corpus; sizes and
+    * intersections are keyed aggregates.
+    */
+  def minhashCalibration(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      shingle: Int = 3): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, shingle)
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingle)
+    val aSide = sigs.select(
+      col(idCol).as("id_a") +: (0 until numHashes).map(i => col(s"mh$i").as(s"_a$i")): _*)
+    val bSide = sigs.select(
+      col(idCol).as("id_b") +: (0 until numHashes).map(i => col(s"mh$i").as(s"_b$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"_a$i") === col(s"_b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = pairs
+      .join(aSide, Seq("id_a"))
+      .join(bSide, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.Functions.roundHalfUp(
+          matches.cast("double") / numHashes, 6).as("est_jaccard"))
+
+    val candidateIds = pairs.select(col("id_a").as("_id"))
+      .unionByName(pairs.select(col("id_b").as("_id")))
+      .distinct()
+    val shingleSet = shingleRows(df, idCol, textCol, shingle)
+      .select(col(idCol).as("_id"), col("shingle"))
+      .join(candidateIds, Seq("_id"), "left_semi")
+      .distinct()
+    val sizes = shingleSet.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
+    val inter = pairs
+      .join(shingleSet.select(col("_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shingleSet.select(col("_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_inter"))
+    val unionSz = col("_sza") + col("_szb") - col("_i")
+    est
+      .join(pairs
+        .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sza")), Seq("id_a"))
+        .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_szb")), Seq("id_b"))
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("_sza"), col("_szb"),
+          coalesce(col("_inter"), lit(0L)).as("_i")),
+        Seq("id_a", "id_b"))
+      .select(
+        col("id_a"), col("id_b"), col("est_jaccard"),
+        when(unionSz === 0L, lit(1.0))
+          .otherwise(graft.Functions.roundHalfUp(
+            col("_i").cast("double") / unionSz.cast("double"), 6)).as("exact_jaccard"))
+      .withColumn("abs_err",
+        graft.Functions.roundHalfUp(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+  }
+
+  /** LSH parameter planner: for every (bands, rows) factorization of
+    * `numHashes` and every probed Jaccard level, the candidate-collision
+    * probability `1 − (1 − s^r)^b` — the S-curve a dedup run tunes
+    * against BEFORE burning a corpus-scale pass (the r-selectivity lesson
+    * from the OPH wave, as a table instead of a 58-second surprise).
+    *
+    * Exactness: both powers evaluate as LEFT-ASSOCIATED repeated
+    * multiplication — `s·s·…` then `(1−s^r)·(1−s^r)·…` — the identical
+    * IEEE sequence the SQL oracle replays as recursive-CTE multiply
+    * chains (`pow()` would be libm-dependent and is never called).
+    * Result rounds half-up 6.
+    *
+    * Scale shape: |divisors(k)| × |thresholds| rows of pure driver-free
+    * projection — there is no data input at all; the table is the plan.
+    */
+  def lshPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int,
+      thresholds: Seq[Double]): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    import spark.implicits._
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0).map(b => (b, numHashes / b))
+    pairs
+      .map { case (b, r) =>
+        val base = thresholds.toDF("jaccard")
+        val sr = (1 until r).foldLeft(col("jaccard"))((acc, _) => acc * col("jaccard"))
+        val oneMinus = lit(1.0) - sr
+        val qb = (1 until b).foldLeft(oneMinus)((acc, _) => acc * oneMinus)
+        base.select(
+          lit(b.toLong).as("bands"), lit(r.toLong).as("rows"), col("jaccard"),
+          graft.Functions.roundHalfUp(lit(1.0) - qb, 6).as("p_collide"))
+      }
+      .reduce(_ unionByName _)
+  }
 }

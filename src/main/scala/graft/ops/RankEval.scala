@@ -191,6 +191,21 @@ object RankEval {
       groupCol: String,
       probCol: String,
       labelCol: String,
+      bins: Int): DataFrame =
+    calibrationFromCounts(calibrationCounts(df, groupCol, probCol, labelCol, bins))
+
+  /** The raw mergeable state behind [[calibrationBins]]: per (group, bin)
+    * — count, hits, and the micro-unit confidence sum, all integers. Two
+    * batches' counts ADD per cell (spec-asserted merge law), so a
+    * streaming consumer maintains calibration exactly by folding each
+    * batch with [[mergeCalibrationCounts]] — the CMS/grid-quantile
+    * register discipline.
+    */
+  def calibrationCounts(
+      df: DataFrame,
+      groupCol: String,
+      probCol: String,
+      labelCol: String,
       bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val base = df
@@ -200,22 +215,30 @@ object RankEval {
         col(groupCol).as("grp"),
         col(probCol).cast("double").as("_p"),
         when(col(labelCol).cast("long") > 0L, 1L).otherwise(0L).as("_y"))
-    val binC = least(floor(col("_p") * bins).cast("long"), lit(bins - 1L))
     base
-      .withColumn("bin", binC)
+      .withColumn("bin", least(floor(col("_p") * bins).cast("long"), lit(bins - 1L)))
       .withColumn("_pm", floor(col("_p") * 1e6 + lit(0.5)).cast("long"))
       .groupBy(col("grp"), col("bin"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("_y")).as("hits"),
-        sum(col("_pm")).as("_spm"))
-      .select(
-        col("grp"), col("bin"), col("n"), col("hits"),
-        graft.Functions.roundHalfUp(
-          col("_spm").cast("double") / (col("n").cast("double") * 1e6), 6).as("conf"),
-        graft.Functions.roundHalfUp(
-          col("hits").cast("double") / col("n").cast("double"), 6).as("acc"))
+        sum(col("_pm")).as("spm"))
   }
+
+  /** Per-cell addition of two [[calibrationCounts]] tables. */
+  def mergeCalibrationCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("grp"), col("bin"))
+      .agg(sum(col("n")).as("n"), sum(col("hits")).as("hits"), sum(col("spm")).as("spm"))
+
+  /** Derive the reliability diagram (conf, acc per cell) from counts. */
+  def calibrationFromCounts(counts: DataFrame): DataFrame =
+    counts.select(
+      col("grp"), col("bin"), col("n"), col("hits"),
+      graft.Functions.roundHalfUp(
+        col("spm").cast("double") / (col("n").cast("double") * 1e6), 6).as("conf"),
+      graft.Functions.roundHalfUp(
+        col("hits").cast("double") / col("n").cast("double"), 6).as("acc"))
 
   /** Expected calibration error per group, folded from the same micro-unit
     * arithmetic as [[calibrationBins]]: `ECE = Σ_b (n_b/N)·|acc_b − conf_b|
@@ -253,6 +276,129 @@ object RankEval {
         col("grp"), col("n"),
         graft.Functions.roundHalfUp(
           col("_dev").cast("double") / (col("n").cast("double") * 1e6), 6).as("ece"))
+  }
+
+  /** Per-query average precision at cutoff `k` (binary relevance: rel > 0)
+    * — the area-under-PR-curve companion to [[metricsAtK]]'s NDCG:
+    * `AP = (1/n_rel) · Σ_{i ≤ k, rel_i} P@i`, with each precision term
+    * `hits_≤i / i` quantized to integer NANO units BEFORE the per-query
+    * sum (order-free — the DCG discipline), and ONE final divide by the
+    * TOTAL judged-relevant count (TREC convention: missing relevant docs
+    * cost you, whether they were below the cutoff or never retrieved).
+    * AP is NULL when a query has no judged-relevant docs. Ranks derive
+    * from `(score DESC, doc ASC)`; unjudged docs count relevance 0.
+    *
+    * Scale shape: identical to [[metricsAtK]] — the run is |Q|·k-bounded,
+    * the running hit count rides the SAME per-query sort as the rank
+    * window, and the qrels join is keyed.
+    */
+  def averagePrecisionAtK(
+      runs: DataFrame,
+      qidCol: String,
+      docCol: String,
+      scoreCol: String,
+      qrels: DataFrame,
+      relQidCol: String,
+      relDocCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rels = qrels
+      .filter(col(relQidCol).isNotNull && col(relDocCol).isNotNull && col(relCol).isNotNull)
+      .select(
+        col(relQidCol).as("query"),
+        col(relDocCol).as("_doc"),
+        col(relCol).cast("long").as("_rel"))
+    val rankW = Window.partitionBy(col("query"))
+      .orderBy(col("_score").desc, col("_doc"))
+    val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perQuery = runs
+      .filter(col(qidCol).isNotNull && col(docCol).isNotNull)
+      .select(
+        col(qidCol).as("query"),
+        col(docCol).as("_doc"),
+        col(scoreCol).cast("double").as("_score"))
+      .withColumn("_rank", row_number().over(rankW))
+      .filter(col("_rank") <= k)
+      .join(rels, Seq("query", "_doc"), "left")
+      .withColumn("_hit", when(coalesce(col("_rel"), lit(0L)) > 0L, 1L).otherwise(0L))
+      .withColumn("_cumhits", sum(col("_hit")).over(cumW))
+      .groupBy(col("query"))
+      .agg(sum(when(col("_hit") === 1L,
+        q9(col("_cumhits").cast("double") / col("_rank").cast("double")))
+        .otherwise(0L)).as("_ap_nano"))
+    val relTotals = rels
+      .filter(col("_rel") > 0L)
+      .groupBy(col("query"))
+      .agg(count(lit(1)).as("n_rel"))
+    perQuery
+      .join(relTotals, Seq("query"), "left")
+      .select(
+        col("query"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(graft.Functions.roundHalfUp(
+            col("_ap_nano").cast("double") / (col("n_rel").cast("double") * 1e9), 6))
+          .as("ap"))
+  }
+
+  /** Paired sign-flip permutation test (Fisher randomization; the
+    * recommended significance check for per-query metric deltas between
+    * two retrieval/eval systems — Smucker, Allan & Carterette 2007 find
+    * it the least error-prone of the classical choices): under H₀ the
+    * sign of each per-item delta is exchangeable, so compare the observed
+    * |Σδ| against `replicates` deterministic sign-flipped sums, and
+    * report `p = (1 + #{b : |S_b| ≥ |S|}) / (B + 1)` (the add-one
+    * estimator — a permutation p-value of exactly 0 is never honest).
+    *
+    * Determinism contract: deltas quantize to integer MICRO units, every
+    * replicate sum is an integer, and the flip signs derive from
+    * `md5(salt:b:item)` parity — no RNG, so any engine (and any rerun)
+    * produces the identical p-value. The |S_b| ≥ |S| comparison is
+    * integer-vs-integer; division happens exactly twice (mean and p),
+    * both rounded half-up 6. NULL/NaN deltas drop.
+    *
+    * Scale shape: ONE cross join of the per-item delta table with the
+    * bounded replicate range (|items|·B rows — eval-scale by definition,
+    * never corpus-scale), one map-side-combinable sum per replicate, a
+    * B-bounded fold to the hit count, one output row:
+    * `(n, replicates, mean_delta, hits, p_value)`.
+    */
+  def pairedPermutationTest(
+      df: DataFrame,
+      itemCol: String,
+      deltaCol: String,
+      replicates: Int,
+      salt: String = "perm"): DataFrame = {
+    require(replicates >= 1, s"replicates must be >= 1, got $replicates")
+    val spark = df.sparkSession
+    val base = df
+      .filter(col(itemCol).isNotNull && col(deltaCol).isNotNull &&
+        !isnan(col(deltaCol).cast("double")))
+      .select(
+        col(itemCol).cast("string").as("_item"),
+        floor(col(deltaCol).cast("double") * 1e6 + lit(0.5)).cast("long").as("_dm"))
+    val observed = base.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("_dm")), lit(0L)).as("_s"))
+    val sign = graft.Functions.md5Bits(
+      concat(lit(s"$salt:"), col("_b"), lit(":"), col("_item")), 4) % 2L * 2L - 1L
+    val flips = base
+      .crossJoin(broadcast(spark.range(replicates).select(col("id").as("_b"))))
+      .groupBy(col("_b"))
+      .agg(sum(sign * col("_dm")).as("_sb"))
+    val hits = flips
+      .crossJoin(broadcast(observed))
+      .agg(sum(when(abs(col("_sb")) >= abs(col("_s")), 1L).otherwise(0L)).as("hits"))
+    observed.crossJoin(hits).select(
+      col("n"),
+      lit(replicates.toLong).as("replicates"),
+      when(col("n") === 0L, lit(null).cast("double"))
+        .otherwise(graft.Functions.roundHalfUp(
+          col("_s").cast("double") / (col("n").cast("double") * 1e6), 6)).as("mean_delta"),
+      coalesce(col("hits"), lit(replicates.toLong)).as("hits"),
+      graft.Functions.roundHalfUp(
+        (col("hits") + 1L).cast("double") / (replicates + 1).toDouble, 6).as("p_value"))
   }
 
   /** McNemar's paired test over two systems' per-item correctness — the

@@ -597,4 +597,42 @@ object Sampling {
       .toMap
     takeQuotas(df, strataCol, keyCol, quotas, salt)
   }
+
+  /** Keep each group's top `frac` fraction by score — the stratified
+    * quality cut ("top 30% by classifier score PER DOMAIN") that a global
+    * threshold gets wrong whenever score distributions differ across
+    * domains (a global cut empties the hard domains and keeps the easy
+    * ones wholesale; LLaMA/CCNet filter per language bucket for exactly
+    * this reason).
+    *
+    * Exactly `ceil(frac · n_g)` rows per group survive: rank by
+    * `(score DESC, key ASC)` — the deterministic tie canon — against the
+    * group's total count, both from windows over ONE exchange on the
+    * group key. The cutoff count is one IEEE multiply + ceil of an exact
+    * integer-valued double, identical in any engine. NULL keys drop (the
+    * module-wide rule); NULL/NaN scores drop (unusable as quality
+    * evidence, and NaN would poison the ordering differently per engine).
+    *
+    * Scale shape: the [[perStratumSample]] plan — one keyed window sort
+    * per group, no second exchange for the count (same partitioning).
+    */
+  def topFractionPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      scoreCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).cast("double").desc, col(keyCol))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df
+      .filter(col(keyCol).isNotNull && col(scoreCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .filter(col("_rn") <= ceil(lit(frac) * col("_n").cast("double")).cast("long"))
+      .drop("_rn", "_n")
+  }
 }

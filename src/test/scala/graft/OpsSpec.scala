@@ -164,6 +164,58 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhashCalibration: identical pair reads 1/1/0; exact side matches a driver recompute") {
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      // shares a long prefix with 1/2 so the LSH may or may not pair it —
+      // whatever pairs come out, the exact side must equal the recompute
+      4L -> "the quick brown fox jumps over the lazy dog again and never",
+      3L -> "completely different content with other words entirely here now")
+    val df = texts.toSeq.toDF("id", "text")
+    val got = Dedup.minhashCalibration(df, "id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.contains((1L, 2L)))
+    assert(got((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // exact jaccard of every emitted pair equals the driver-side set math
+    got.foreach { case ((a, b), (_, exact, err)) =>
+      val sa = Dedup.shinglesOf(texts(a), 3).toSet
+      val sb = Dedup.shinglesOf(texts(b), 3).toSet
+      val inter = (sa & sb).size.toDouble
+      val expected =
+        math.floor(inter / (sa.size + sb.size - inter) * 1e6 + 0.5) / 1e6
+      assert(exact == expected, s"pair ($a,$b)")
+      assert(err >= 0.0 && err <= 1.0)
+    }
+  }
+
+  test("lshPlan: S-curve endpoints, monotonicity, and the multiply-chain values") {
+    val plan = Dedup.lshPlan(spark, numHashes = 8, thresholds = Seq(0.2, 0.5, 0.9))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) -> r.getDouble(3))
+      .toMap
+    // all 4 factorizations of 8 × 3 thresholds
+    assert(plan.size == 12)
+    assert(plan.keys.map(k => (k._1, k._2)).toSet ==
+      Set((1L, 8L), (2L, 4L), (4L, 2L), (8L, 1L)))
+    // driver recompute with the same left-associated chains
+    def p(b: Int, r: Int, s: Double): Double = {
+      val sr = (1 until r).foldLeft(s)((acc, _) => acc * s)
+      val om = 1.0 - sr
+      val qb = (1 until b).foldLeft(om)((acc, _) => acc * om)
+      math.floor((1.0 - qb) * 1e6 + 0.5) / 1e6
+    }
+    plan.foreach { case ((b, r, s), got) =>
+      assert(got == p(b.toInt, r.toInt, s), s"($b,$r,$s)")
+    }
+    // more bands at fixed k = higher recall at every s; curve rises in s
+    assert(plan((8L, 1L, 0.5)) > plan((2L, 4L, 0.5)))
+    assert(plan((2L, 4L, 0.9)) > plan((2L, 4L, 0.5)))
+  }
+
   test("softDedupWeights: per-cluster weights sum to 1, singletons weigh 1.0") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

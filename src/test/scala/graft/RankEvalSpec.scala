@@ -105,6 +105,80 @@ class RankEvalSpec extends SparkSpec {
     assert(e.getAs[Long]("n") == 4L && e.getAs[Double]("ece") == 0.2375)
   }
 
+  test("averagePrecisionAtK: hand value, below-cutoff relevants still cost, no-rel NULL") {
+    // run for q1: docs 10(rel), 11, 12(rel), ranked by score desc.
+    // P@1 = 1, P@3 = 2/3 → AP = (1 + 0.666667)/n_rel
+    val qrels = rels(Seq((1L, 10L, 1L), (1L, 12L, 1L)))
+    val got = RankEval.averagePrecisionAtK(
+      run(Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7))),
+      "qid", "doc", "score", qrels, "qid", "doc", "rel", k = 3).head()
+    val expected = math.floor(
+      (math.floor(1.0 / 1.0 * 1e9 + 0.5) + math.floor(2.0 / 3.0 * 1e9 + 0.5)) / (2.0 * 1e9)
+        * 1e6 + 0.5) / 1e6
+    assert(got.getAs[Double]("ap") == expected && expected == 0.833333)
+    // a third relevant doc never retrieved: denominator grows to 3
+    val m = RankEval.averagePrecisionAtK(
+      run(Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7))),
+      "qid", "doc", "score", rels(Seq((1L, 10L, 1L), (1L, 12L, 1L), (1L, 99L, 1L))),
+      "qid", "doc", "rel", k = 3).head()
+    assert(m.getAs[Long]("n_rel") == 3L)
+    assert(m.getAs[Double]("ap") < got.getAs[Double]("ap"))
+    // zero judged-relevant → NULL
+    val none = RankEval.averagePrecisionAtK(
+      run(Seq((2L, 10L, 0.9))), "qid", "doc", "score",
+      rels(Seq((2L, 10L, 0L))), "qid", "doc", "rel", k = 3).head()
+    assert(none.isNullAt(none.fieldIndex("ap")))
+  }
+
+  test("calibrationCounts merge law: two halves folded equal the whole") {
+    val all = Seq(
+      ("g", 0.05, 0), ("g", 0.15, 1), ("g", 0.95, 1), ("g", 1.0, 1),
+      ("h", 0.42, 0), ("h", 0.44, 1), ("h", 0.91, 1))
+      .toDF("grp", "p", "label")
+    val h1 = all.limit(3)
+    val h2 = all.exceptAll(h1)
+    val whole = RankEval.calibrationCounts(all, "grp", "p", "label", 10)
+      .collect().map(_.toString).sorted.toSeq
+    val merged = RankEval.mergeCalibrationCounts(
+      RankEval.calibrationCounts(h1, "grp", "p", "label", 10),
+      RankEval.calibrationCounts(h2, "grp", "p", "label", 10))
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged == whole)
+    // and the derived diagram over merged counts equals the batch diagram
+    val viaMerge = RankEval.calibrationFromCounts(
+      RankEval.mergeCalibrationCounts(
+        RankEval.calibrationCounts(h1, "grp", "p", "label", 10),
+        RankEval.calibrationCounts(h2, "grp", "p", "label", 10)))
+      .collect().map(_.toString).sorted.toSeq
+    val batch = RankEval.calibrationBins(all, "grp", "p", "label", 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaMerge == batch)
+  }
+
+  test("pairedPermutationTest: driver md5 recompute matches; zero-sum deltas give p = 1") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sign(b: Long, item: String): Long =
+      if (Integer.parseInt(md5hex(s"perm:$b:$item").substring(0, 1), 16) % 2 == 1) 1L else -1L
+    val deltas = Map("a" -> 0.3, "b" -> 0.2, "c" -> -0.1)
+    val df = deltas.toSeq.toDF("item", "delta")
+    val got = RankEval.pairedPermutationTest(df, "item", "delta", replicates = 16).head()
+    val dm = deltas.map { case (k, v) => k -> math.floor(v * 1e6 + 0.5).toLong }
+    val s = dm.values.sum
+    val hits = (0L until 16L).count { b =>
+      math.abs(dm.map { case (k, v) => sign(b, k) * v }.sum) >= math.abs(s)
+    }
+    assert(got.getAs[Long]("n") == 3L && got.getAs[Long]("replicates") == 16L)
+    assert(got.getAs[Long]("hits") == hits.toLong)
+    assert(got.getAs[Double]("p_value") == math.floor((hits + 1.0) / 17.0 * 1e6 + 0.5) / 1e6)
+    assert(got.getAs[Double]("mean_delta") == math.floor(s / (3.0 * 1e6) * 1e6 + 0.5) / 1e6)
+    // exactly offsetting deltas: |S| = 0, every replicate ties or beats → p = 1
+    val sym = RankEval.pairedPermutationTest(
+      Seq(("x", 0.5), ("y", -0.5)).toDF("item", "delta"),
+      "item", "delta", replicates = 32).head()
+    assert(sym.getAs[Long]("hits") == 32L && sym.getAs[Double]("p_value") == 1.0)
+  }
+
   test("mcnemar: textbook discordant cells, no-discordance is NULL") {
     // 10 items A-only-right, 5 items B-only-right, 3 both, 2 neither
     val rows =

@@ -405,4 +405,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.temporalSplitEmbargo(df, "ts", frac = 1.0, embargoSeconds = 0L)
     }
   }
+
+  test("topFractionPerGroup: exactly ceil(frac·n) per group, score-desc with key tie canon") {
+    import spark.implicits._
+    val df = Seq(
+      // group A, 5 rows: scores 9, 7, 7, 3, 1 — frac 0.4 keeps ceil(2) = 2
+      ("A", 1L, 9.0), ("A", 5L, 7.0), ("A", 2L, 7.0), ("A", 3L, 3.0), ("A", 4L, 1.0),
+      // group B, 1 row: ceil(0.4) = 1 keeps it
+      ("B", 10L, 0.5),
+      // dropped rows: NULL key, NaN score
+      ("A", 0L, Double.NaN))
+      .toDF("grp", "id", "score")
+      .unionByName(Seq(("A", Option.empty[Long], 99.0)).toDF("grp", "id", "score"))
+    val got = Sampling.topFractionPerGroup(df, "grp", "id", "score", frac = 0.4)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    // the 7.0 tie breaks toward the smaller id: 2 beats 5
+    assert(got == Set(("A", 1L), ("A", 2L), ("B", 10L)))
+    // frac = 1.0 keeps every valid row
+    val all = Sampling.topFractionPerGroup(df, "grp", "id", "score", frac = 1.0)
+    assert(all.count() == 6)
+    // partition invariance
+    val many = Sampling.topFractionPerGroup(df.repartition(9), "grp", "id", "score", 0.4)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(many == got)
+  }
 }
