@@ -50,6 +50,12 @@ import org.apache.spark.sql.functions._
   * 1.2x (item-bounded θ broadcast per round), tx_phrase 1.2x, tx_pii
   * 0.9x, tx_tags 1.3x (per-row projections), dd_softweight 2.7x (the
   * dd_clusters iterative family, tracking cluster structure growth).
+  * Round-9 eval/triage wave: ev_auc 0.8x (group-keyed windows over a
+  * 5-group key space — depth grows, groups don't), cl_flags 1.7x (keyed
+  * threshold join + struct-max), sm_topfrac 1.5x (per-language windows),
+  * dd_calibration 3.1x (OUTPUT pairs grew 249 → 237 040 by salted
+  * construction — runtime tracks candidate pairs, the lsh_pairs story),
+  * ev_perm 1.2x (200 bounded replicate sums).
   *
   * The 10x corpus is synthesized under /tmp (never under /root/testdata):
   * each copy salts the text with a distinct token so near-dup structure is

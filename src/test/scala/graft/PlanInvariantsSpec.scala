@@ -34,7 +34,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_dpo_advantage", // one prompt-keyed window of decimal moments
     "q_pv_gate",       // group stats + null-safe keyed join back
     "q_pk_mask",       // chunk arithmetic + parallel-array slices, keyed only
-    "q_sft_lossmask")  // conv-keyed prefix-sum window
+    "q_sft_lossmask",  // conv-keyed prefix-sum window
+    "q_cl_flags",      // broadcast thresholds + item-keyed struct-max + keyed spine join
+    "q_dd_calibration", // LSH-keyed pairs + semi-pruned shingle intersection join
+    "q_sm_topfrac")    // one group-keyed window pair, no join
 
   queries.foreach { name =>
     test(s"$name: no cartesian, no nested-loop join, no global sort mid-chain") {
@@ -169,6 +172,29 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"turn ordering must ride array_sort:\n$plan")
     assert(!plan.contains("Join"), s"q_sft_render must not join:\n$plan")
     assert(!plan.contains("rangepartitioning"), s"no global sort:\n$plan")
+  }
+
+  test("q_ev_auc: rank and tie windows share ONE group-keyed exchange, no join") {
+    val df = SparkEntry.queries("q_ev_auc")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q_ev_auc must not join:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"no global sort:\n$plan")
+    // the (grp, score) tie window's ClusteredDistribution is satisfied by
+    // the rank window's hashpartitioning(grp) — a second exchange means
+    // the windows stopped sharing the partitioning
+    assert(plan.split("Exchange").length - 1 <= 2, // final plan + AQE subplan ref
+      s"q_ev_auc must exchange once on the group key:\n$plan")
+  }
+
+  test("q_sm_topfrac: no join; the rank and count windows never range-shuffle") {
+    val df = SparkEntry.queries("q_sm_topfrac")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q_sm_topfrac must not join:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"no global sort:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"q_sm_topfrac must exchange once on the group key:\n$plan")
   }
 
   test("q_proto_prune: centroid side broadcasts; cell-keyed window only — no cross, no global sort") {
