@@ -460,6 +460,22 @@ object QueriesCorpus {
     "q_tx_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
 
+    // tokenization economics: byte-BPE floor token count (bytes+1 per
+    // word), tokens-per-word fertility, bytes-per-token compression
+    "q_tx_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizationStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // sentence-aware RAG chunks: greedy-pack sentences to ≤64 tokens,
+    // sentences never split, chunk concatenation restores the document.
+    // The synthetic corpus has no punctuation, so the fixture synthesizes
+    // a period after every 5th word IN BOTH ENGINES (the q_tx_pii
+    // precedent) — multi-sentence docs actually exercise the packer
+    "q_tx_sentchunks" -> ((s, dir) =>
+      TextAnalysis.sentenceChunks(
+        t(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ")),
+        "doc_id", "text", maxTokens = 64)),
+
     // order-insensitive content fingerprint
     "q_tx_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2324,6 +2340,48 @@ object QueriesCorpus {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
         |FROM documents""".stripMargin,
+    "q_tx_sentchunks" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(
+        |      regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g'),
+        |      '[^.!?]*[.!?]+|[^.!?]+') AS sents
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |sx AS (
+        |  SELECT doc_id, sents, unnest(range(1, len(sents) + 1)) AS pos FROM d),
+        |s AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    sents[CAST(pos AS INT)] AS sv,
+        |    CAST(len(string_split_regex(trim(sents[CAST(pos AS INT)]), '\s+')) AS BIGINT) AS nt
+        |  FROM sx),
+        |st(doc_id, pos, idx, fill) AS (
+        |  SELECT doc_id, pos, CAST(0 AS BIGINT), nt FROM s WHERE pos = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.pos,
+        |    CASE WHEN st.fill + s.nt > 64 THEN st.idx + 1 ELSE st.idx END,
+        |    CASE WHEN st.fill + s.nt > 64 THEN s.nt ELSE st.fill + s.nt END
+        |  FROM st JOIN s ON s.doc_id = st.doc_id AND s.pos = st.pos + 1)
+        |SELECT st.doc_id, st.idx AS chunk_idx,
+        |  count(*) AS n_sentences, CAST(sum(s.nt) AS BIGINT) AS n_tokens,
+        |  string_agg(s.sv, '' ORDER BY s.pos) AS chunk_text
+        |FROM st JOIN s USING (doc_id, pos)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_tx_fertility" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS BIGINT) AS n_words,
+        |    CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+        |    CAST(length(coalesce(text, '')) AS BIGINT) AS n_cp,
+        |    CAST(strlen(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', '', 'g')) AS BIGINT)
+        |      + CAST(len(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS BIGINT)
+        |      AS byte_tokens
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, n_words, n_bytes, n_cp, byte_tokens,
+        |  floor(CAST(byte_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS tokens_per_word,
+        |  floor(CAST(n_bytes AS DOUBLE) / CAST(byte_tokens AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS bytes_per_token
+        |FROM b""".stripMargin,
     "q_tx_dedup_lines" ->
       """WITH lined AS (
         |  SELECT doc_id,

@@ -316,6 +316,13 @@ object QueriesEvents {
       graft.ops.Robust.groupCorr(
         t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")),
 
+    // robust location: 10%-trimmed mean per event type — drop each tail's
+    // floor(0.1·n) values by (value, event_id) rank, average the core
+    "q_rb_trimmed" -> ((s, dir) =>
+      graft.ops.Robust.trimmedMean(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "event_id", "value", trim = 0.1)),
+
     // robust stats: median-absolute-deviation outlier flags at k = 3
     "q_rb_mad" -> ((s, dir) =>
       graft.ops.Robust.madOutliers(
@@ -648,6 +655,25 @@ object QueriesEvents {
         |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
         |         * 1000000 + 0.5) / 1000000 END AS corr
         |FROM g""".stripMargin,
+    "q_rb_trimmed" ->
+      """WITH e AS (
+        |  SELECT event_type AS grp, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(CAST(value AS DOUBLE))),
+        |r AS (
+        |  SELECT grp, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM e),
+        |f AS (
+        |  SELECT grp, v FROM r
+        |  WHERE rn > CAST(floor(0.1 * CAST(n AS DOUBLE)) AS BIGINT)
+        |    AND rn <= n - CAST(floor(0.1 * CAST(n AS DOUBLE)) AS BIGINT))
+        |SELECT grp AS event_type, count(*) AS n_kept,
+        |  floor(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |    * 1000000 + 0.5) / 1000000 AS trimmed_mean
+        |FROM f GROUP BY 1""".stripMargin,
     "q_rb_mad" ->
       """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |    FROM events GROUP BY 1),

@@ -576,6 +576,17 @@ object ScaleProbe {
             ((abs(col("value")) * 3 - floor(abs(col("value")) * 3)) -
               (abs(col("value")) * 5 - floor(abs(col("value")) * 5))).as("delta")),
           "item", "delta", replicates = 200).count()
+      },
+      "tx_sentchunks" -> (d =>
+        graft.ops.TextAnalysis.sentenceChunks(
+          docsAt(d).withColumn("text",
+            regexp_replace(col("text"), "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ")),
+          "doc_id", "text", maxTokens = 64).count()),
+      "rb_trimmed" -> { d =>
+        val ev = Tables(spark, d, "events")
+        graft.ops.Robust.trimmedMean(
+          ev.select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "event_id", "value", trim = 0.1).count()
       })
 
     def time(f: => Long): (Double, Long) = {

@@ -165,4 +165,48 @@ object Robust {
         .otherwise(graft.Functions.roundHalfUp(num / (sqrt(dx) * sqrt(dy)), 6))
         .as("corr"))
   }
+
+  /** Per-group trimmed mean: drop each group's lowest and highest
+    * `floor(trim·n)` values by rank, average the core — the
+    * outlier-robust location estimate for metric dashboards where
+    * [[winsorize]]'s clipping would double-count the boundary value.
+    *
+    * Determinism contract: ranks order by `(value, tiebreak key)` so the
+    * drop set is exact and reproducible even on heavily tied metrics;
+    * the kept values sum as DECIMAL(28,6) (order-free) and ONE divide
+    * produces the mean, rounded half-up 6. `n_kept = n − 2·floor(trim·n)`
+    * is always ≥ 1 for trim < 0.5 (enforced). NULL/NaN values and NULL
+    * keys drop.
+    *
+    * Scale shape: one rank window + count window over ONE exchange on
+    * the group key (the [[graft.ops.Sampling.topFractionPerGroup]]
+    * plan), then a map-side-combinable keyed mean.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      trim: Double): DataFrame = {
+    require(trim >= 0.0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).cast("double"), col(keyCol))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .withColumn("_k", floor(lit(trim) * col("_n").cast("double")).cast("long"))
+      .filter(col("_rn") > col("_k") && col("_rn") <= col("_n") - col("_k"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col(valueCol).cast("decimal(28,6)")).as("_s"))
+      .select(
+        col(groupCol), col("n_kept"),
+        graft.Functions.roundHalfUp(
+          col("_s").cast("double") / col("n_kept").cast("double"), 6).as("trimmed_mean"))
+  }
 }

@@ -1500,4 +1500,111 @@ object TextAnalysis {
         graft.Functions.roundHalfUp(
           col("_novel").cast("double") / col("_total").cast("double"), 9).as("novelty"))
   }
+
+  /** Sentence-aware RAG chunking: split text into sentences (runs ending
+    * in `.!?` terminators; the trailing unterminated run is its own
+    * sentence), then GREEDY-pack consecutive sentences into chunks of at
+    * most `maxTokens` whitespace tokens — sentences are never split, so
+    * an oversized sentence becomes its own (over-budget) chunk. The
+    * retrieval-standard chunker [[chunkTokens]]' fixed-stride token
+    * windows can't express: chunk boundaries land on sentence boundaries,
+    * and concatenating a doc's chunk texts restores the document
+    * byte-for-byte (the sentence regex consumes every character exactly
+    * once — alternation, no lookarounds, so Java regex and RE2 agree).
+    *
+    * One row per (doc, chunk): `(id, chunk_idx, n_sentences, n_tokens,
+    * chunk_text)`. Docs with NULL/empty text yield no chunks.
+    *
+    * Scale shape: sentence split + per-sentence token counts + the greedy
+    * fold all run in the per-row ARRAY domain (one `aggregate` HOF pass,
+    * token counts precomputed once per sentence — the bind-once lesson);
+    * only the final chunk assembly exchanges, keyed on (id, chunk_idx)
+    * with ordered rebuild via array_sort (the Sft.render shape — no
+    * window sort).
+    */
+  def sentenceChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val sents = regexp_extract_all(col(textCol), lit("[^.!?]*[.!?]+|[^.!?]+"), lit(0))
+    // precompute each sentence's token count ONCE (a naked size(split(...))
+    // inside the fold would re-split per reference)
+    val pre = transform(sents, s =>
+      struct(s.as("s"), size(split(trim(s), "\\s+")).cast("long").as("nt")))
+    // greedy fold: (current chunk idx, its fill, per-sentence assignments)
+    val folded = aggregate(
+      col("_pre"),
+      struct(lit(0L).as("idx"), lit(0L).as("fill"),
+        array().cast("array<long>").as("asg")),
+      (acc, p) => {
+        val over = acc.getField("fill") > 0L &&
+          acc.getField("fill") + p.getField("nt") > maxTokens.toLong
+        struct(
+          when(over, acc.getField("idx") + 1L).otherwise(acc.getField("idx")).as("idx"),
+          when(over, p.getField("nt"))
+            .otherwise(acc.getField("fill") + p.getField("nt")).as("fill"),
+          concat(acc.getField("asg"),
+            array(when(over, acc.getField("idx") + 1L)
+              .otherwise(acc.getField("idx")))).as("asg"))
+      })
+    df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
+      .withColumn("_pre", pre)
+      .filter(size(col("_pre")) > 0)
+      .withColumn("_asg", folded.getField("asg"))
+      .select(col(idCol),
+        posexplode(arrays_zip(col("_pre"), col("_asg"))).as(Seq("_pos", "_z")))
+      .select(
+        col(idCol),
+        col("_z._asg").as("chunk_idx"),
+        col("_pos"),
+        col("_z._pre.s").as("_s"),
+        col("_z._pre.nt").as("_nt"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(col("_nt")).as("n_tokens"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("_pos"), col("_s")))),
+          z => z.getField("_s"))).as("chunk_text"))
+  }
+
+  /** Tokenization-economics report — the dataset-card numbers that decide
+    * whether a corpus is worth its training-token budget: per doc, the
+    * whitespace word count, raw byte / code-point sizes, the byte-level
+    * BPE floor token count (zero merges: every word costs its UTF-8 bytes
+    * + 1 — the [[Bpe]] identity q_pk_ids already exploits, here used as
+    * the tokenizer-independent upper bound), tokens-per-word fertility
+    * and bytes-per-token compression rate.
+    *
+    * Conventions: NULL text reads as the empty string; the whitespace
+    * split never yields zero words (empty → 1), so neither ratio can
+    * divide by zero. All counts are integers; the two ratios are single
+    * divides rounded half-up 6. Pure per-row projection — zero shuffles
+    * at any corpus size.
+    */
+  def tokenizationStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val norm = trim(lower(t))
+    val words = size(split(norm, "\\s+")).cast("long")
+    val wordBytes = octet_length(regexp_replace(norm, "\\s+", ""))
+    df.filter(col(idCol).isNotNull)
+      .select(
+        col(idCol),
+        words.as("n_words"),
+        octet_length(t).cast("long").as("n_bytes"),
+        length(t).cast("long").as("n_cp"),
+        (wordBytes + words).as("byte_tokens"))
+      .select(
+        col(idCol), col("n_words"), col("n_bytes"), col("n_cp"), col("byte_tokens"),
+        graft.Functions.roundHalfUp(
+          col("byte_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("tokens_per_word"),
+        graft.Functions.roundHalfUp(
+          col("n_bytes").cast("double") / col("byte_tokens").cast("double"), 6)
+          .as("bytes_per_token"))
+  }
 }

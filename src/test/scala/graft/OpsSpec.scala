@@ -192,6 +192,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sentenceChunks: greedy packing, oversized sentence isolated, byte-exact reconstruction") {
+    val text = "One two. Three four five. Six."
+    val df = Seq(
+      (1L, text),
+      (2L, "a b c d e f."),          // 6 tokens, budget 3 → one oversized chunk
+      (3L, "no terminator here"),    // trailing run is its own sentence
+      (4L, ""))                      // empty → no chunks
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.sentenceChunks(df, "doc_id", "text", maxTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // doc 1: "One two."(2) | " Three four five."(3) + " Six."(1) pack to 4
+    assert(got((1L, 0L)) == ((1L, 2L, "One two.")))
+    assert(got((1L, 1L)) == ((2L, 4L, " Three four five. Six.")))
+    // reconstruction: chunks in order restore the document byte-for-byte
+    val rebuilt = got.toSeq.filter(_._1._1 == 1L).sortBy(_._1._2).map(_._2._3).mkString
+    assert(rebuilt == text)
+    val over = graft.ops.TextAnalysis.sentenceChunks(df, "doc_id", "text", maxTokens = 3)
+      .filter("doc_id = 2").collect()
+    assert(over.length == 1 && over(0).getLong(3) == 6L,
+      "oversized sentence gets its own over-budget chunk, never splits")
+    assert(!got.keySet.exists(_._1 == 4L), "empty docs yield no chunks")
+    assert(got((3L, 0L))._3 == "no terminator here")
+  }
+
+  test("tokenizationStats: byte-BPE floor identity, multibyte text, NULL/empty conventions") {
+    val df = Seq(
+      (1L, "Hello  world"),       // 2 words, 10 word bytes → 12 byte tokens
+      (2L, "héllo"),              // 1 word, 6 bytes / 5 code points → 7 tokens
+      (3L, ""),                   // empty → 1 word (split convention), 1 token
+      (4L, null.asInstanceOf[String])) // NULL reads as empty
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.tokenizationStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got(1L) == ((2L, 12L, 12L, 12L, 6.0, 1.0)))
+    assert(got(2L) == ((1L, 6L, 5L, 7L, 7.0, 0.857143)))
+    assert(got(3L)._1 == 1L && got(3L)._4 == 1L && got(3L)._5 == 1.0)
+    assert(got(4L) == got(3L).copy(), "NULL text ≡ empty text")
+  }
+
   test("lshPlan: S-curve endpoints, monotonicity, and the multiply-chain values") {
     val plan = Dedup.lshPlan(spark, numHashes = 8, thresholds = Seq(0.2, 0.5, 0.9))
       .collect()

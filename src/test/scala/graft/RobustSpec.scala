@@ -99,4 +99,31 @@ class RobustSpec extends SparkSpec {
     assert(got("one") == ((1L, None)), "single point nulls out")
     assert(got("holes") == ((2L, Some(1.0))), "null-x/null-y rows excluded pairwise")
   }
+
+  test("trimmedMean: drops floor(trim·n) per tail, outlier can't move the core") {
+    import spark.implicits._
+    // group g: 10 values — 1..8 plus outliers -1000 and +1000.
+    // trim 0.1 → floor(1) per tail → keeps 1..8, mean 4.5 exactly.
+    val g = (1 to 8).map(i => ("g", i.toLong, i.toDouble)) ++
+      Seq(("g", 100L, -1000.0), ("g", 101L, 1000.0))
+    // group h: 3 values, trim 0.1 → floor(0.3)=0 dropped → plain mean
+    val h = Seq(("h", 1L, 1.0), ("h", 2L, 2.0), ("h", 3L, 6.0))
+    val got = Robust.trimmedMean((g ++ h).toDF("grp", "id", "v"), "grp", "id", "v", 0.1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("g") == ((8L, 4.5)))
+    assert(got("h") == ((3L, 3.0)))
+    // trim 0 ≡ plain mean; trim ≥ 0.5 rejected
+    val zero = Robust.trimmedMean(h.toDF("grp", "id", "v"), "grp", "id", "v", 0.0)
+      .head()
+    assert(zero.getLong(1) == 3L && zero.getDouble(2) == 3.0)
+    intercept[IllegalArgumentException] {
+      Robust.trimmedMean(h.toDF("grp", "id", "v"), "grp", "id", "v", 0.5)
+    }
+    // value ties: the (value, key) rank canon makes the drop set exact
+    val ties = Seq(("t", 1L, 5.0), ("t", 2L, 5.0), ("t", 3L, 5.0), ("t", 4L, 9.0))
+    val tgot = Robust.trimmedMean(ties.toDF("grp", "id", "v"), "grp", "id", "v", 0.25)
+      .head()
+    // floor(1) per tail: drops (5.0, id 1) and (9.0, id 4) → keeps 5, 5
+    assert(tgot.getLong(1) == 2L && tgot.getDouble(2) == 5.0)
+  }
 }

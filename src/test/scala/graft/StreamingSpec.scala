@@ -987,4 +987,50 @@ class StreamingSpec extends SparkSpec {
     assert(appended.count() > 0)
     assert(appended.count() <= total.count())
   }
+
+  test("streaming calibration maintenance: per-batch cell merge equals the batch diagram") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_cal_src_").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_cal_sk_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cal_ck_").toString
+
+    val wave1 = (1 to 300).map(i => ("m", (i % 100) / 100.0, i % 2))
+    val wave2 = (50 to 500).map(i => ("m", (i % 97) / 97.0, (i + 1) % 2))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("grp STRING, p DOUBLE, label INT").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val inc = graft.ops.RankEval.calibrationCounts(batch, "grp", "p", "label", 10)
+          val prev = new java.io.File(s"$base/v${batchId - 1}")
+          val merged =
+            if (prev.exists()) graft.ops.RankEval.mergeCalibrationCounts(
+              batch.sparkSession.read.parquet(prev.toString), inc)
+            else inc
+          merged.write.mode("overwrite").parquet(s"$base/v$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("grp", "p", "label").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("grp", "p", "label").write.mode("append").parquet(src)
+    runOnce()
+
+    val all = (wave1 ++ wave2).toDF("grp", "p", "label")
+    val streamedDiagram = graft.ops.RankEval.calibrationFromCounts(
+        spark.read.parquet(s"$base/v1"))
+      .collect().map(_.toString).sorted.toSeq
+    val batchDiagram = graft.ops.RankEval.calibrationBins(all, "grp", "p", "label", 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamedDiagram == batchDiagram,
+      "reliability diagram over maintained counts must equal the batch diagram")
+    // and the maintained ECE: derive from the same counts
+    val ones = graft.ops.RankEval.ece(all, "grp", "p", "label", 10).head()
+    assert(ones.getAs[Double]("ece") >= 0.0)
+  }
 }
