@@ -848,6 +848,19 @@ object QueriesCorpus {
     "q_cms_estimate" -> ((s, dir) =>
       graft.ops.CountMin.estimateAll(t(s, dir, "documents"), "text", depth = 3, width = 64)),
 
+    // CMS inner product: equi-join size estimate between the even- and
+    // odd-doc token multisets from their sketches alone (AMS/CMS §4.2) —
+    // the broadcast-vs-salt-vs-bucket planning number without a rescan
+    "q_cms_inner" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.CountMin.innerProductEstimate(
+        graft.ops.CountMin.sketch(
+          docs.filter(col("doc_id") % 2 === 0), "text", depth = 3, width = 64),
+        graft.ops.CountMin.sketch(
+          docs.filter(col("doc_id") % 2 === 1), "text", depth = 3, width = 64),
+        depth = 3)
+    }),
+
     // χ² token–label association (feature selection for the classifier
     // family): one-vs-rest 2×2 document-frequency contingency per (token,
     // lang), exact integer counts, formula mirrored in DOUBLE
@@ -2767,6 +2780,26 @@ object QueriesCorpus {
         |           AS BIGINT) % 64 AS bucket
         |       FROM tt CROSS JOIN range(0, 3) g(r))
         |SELECT r AS "row", bucket, count(*) AS cnt FROM rb GROUP BY 1, 2""".stripMargin,
+    "q_cms_inner" ->
+      """WITH ta AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE doc_id % 2 = 1),
+        |ska AS (SELECT g.r AS r,
+        |    CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || ':' || tok), 1, 8)
+        |      AS BIGINT) % 64 AS bucket, count(*) AS cnt
+        |  FROM (SELECT tok FROM ta WHERE tok <> '') CROSS JOIN range(0, 3) g(r)
+        |  GROUP BY 1, 2),
+        |skb AS (SELECT g.r AS r,
+        |    CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || ':' || tok), 1, 8)
+        |      AS BIGINT) % 64 AS bucket, count(*) AS cnt
+        |  FROM (SELECT tok FROM tb WHERE tok <> '') CROSS JOIN range(0, 3) g(r)
+        |  GROUP BY 1, 2),
+        |rs AS (SELECT a.r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS v
+        |  FROM ska a JOIN skb b ON a.r = b.r AND a.bucket = b.bucket GROUP BY 1),
+        |allr AS (SELECT unnest(range(0, 3)) AS r)
+        |SELECT CAST(min(coalesce(rs.v, 0)) AS BIGINT) AS est
+        |FROM allr LEFT JOIN rs USING (r)""".stripMargin,
     "q_cms_estimate" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
         |    FROM documents),

@@ -92,6 +92,25 @@ object QueriesEval {
       LabelNoise.confidentJoint(
         LabelNoise.confidentFlags(clFixture(s, dir), "item", "given", "cls", "p"))),
 
+    // per-class P/R/F1 scorecard between two value-derived labelings
+    // (floor(v·10)%3 as truth, floor(v·7)%3 as prediction)
+    "q_ev_f1" -> ((s, dir) =>
+      RankEval.classificationReport(
+        ev(s, dir).select(
+          (floor(col("value") * 10).cast("long") % 3).as("label"),
+          (floor(col("value") * 7).cast("long") % 3).as("pred")),
+        "label", "pred")),
+
+    // macro/micro summary over the same report: accuracy + macro means
+    // of the already-rounded per-class metrics (order-free micro sums)
+    "q_ev_f1_macro" -> ((s, dir) =>
+      RankEval.classificationSummary(
+        RankEval.classificationReport(
+          ev(s, dir).select(
+            (floor(col("value") * 10).cast("long") % 3).as("label"),
+            (floor(col("value") * 7).cast("long") % 3).as("pred")),
+          "label", "pred"))),
+
     // paired sign-flip permutation test over per-item metric deltas
     // (frac(|v|·3) − frac(|v|·5)): 200 md5-derived replicates, integer
     // |S_b| ≥ |S| comparisons, add-one p-value
@@ -155,7 +174,70 @@ object QueriesEval {
        |w AS (SELECT item, cls AS suggested FROM q WHERE rn = 1),
        |spine AS (SELECT DISTINCT item, given FROM p)""".stripMargin
 
+  /** Per-class report CTE chain shared by q_ev_f1 / q_ev_f1_macro —
+    * ends in `rep(cls, tp, fp, fn, precision, recall, precision_defined,
+    * recall_defined, f1)`.
+    */
+  private def f1CteSql: String =
+    s"""ev AS ($evSql),
+       |d AS (
+       |  SELECT CAST(CAST(floor(value * 10) AS BIGINT) % 3 AS VARCHAR) AS l,
+       |    CAST(CAST(floor(value * 7) AS BIGINT) % 3 AS VARCHAR) AS p
+       |  FROM ev),
+       |cells AS (SELECT l, p, count(*) AS n FROM d GROUP BY 1, 2),
+       |cls AS (SELECT l AS cls FROM cells UNION SELECT p FROM cells),
+       |tpt AS (SELECT l AS cls, CAST(sum(n) AS BIGINT) AS tp FROM cells WHERE l = p GROUP BY 1),
+       |pt AS (SELECT p AS cls, CAST(sum(n) AS BIGINT) AS pt FROM cells GROUP BY 1),
+       |lt AS (SELECT l AS cls, CAST(sum(n) AS BIGINT) AS lt FROM cells GROUP BY 1),
+       |j AS (
+       |  SELECT cls.cls, coalesce(tp, 0) AS tp,
+       |    coalesce(pt, 0) - coalesce(tp, 0) AS fp,
+       |    coalesce(lt, 0) - coalesce(tp, 0) AS fn
+       |  FROM cls LEFT JOIN tpt USING (cls) LEFT JOIN pt USING (cls)
+       |    LEFT JOIN lt USING (cls)),
+       |m AS (
+       |  SELECT cls, tp, fp, fn,
+       |    CASE WHEN tp + fp = 0 THEN 0.0
+       |      ELSE floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000 + 0.5) / 1000000
+       |    END AS precision,
+       |    CASE WHEN tp + fn = 0 THEN 0.0
+       |      ELSE floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000 + 0.5) / 1000000
+       |    END AS recall,
+       |    tp + fp > 0 AS precision_defined, tp + fn > 0 AS recall_defined
+       |  FROM j),
+       |rep AS (
+       |  SELECT cls, tp, fp, fn, precision, recall,
+       |    precision_defined, recall_defined,
+       |    CASE WHEN precision + recall = 0 THEN 0.0
+       |      ELSE floor(2 * precision * recall / (precision + recall)
+       |        * 1000000 + 0.5) / 1000000 END AS f1
+       |  FROM m)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ev_f1" ->
+      s"""WITH $f1CteSql
+         |SELECT * FROM rep""".stripMargin,
+    "q_ev_f1_macro" ->
+      s"""WITH $f1CteSql,
+         |s AS (
+         |  SELECT count(*) AS n_classes,
+         |    CAST(sum(tp) AS BIGINT) AS tps,
+         |    CAST(sum(tp) + sum(fn) AS BIGINT) AS n,
+         |    CAST(sum(CAST(floor(precision * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sp,
+         |    CAST(sum(CAST(floor(recall * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sr,
+         |    CAST(sum(CAST(floor(f1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sf
+         |  FROM rep)
+         |SELECT n_classes,
+         |  CASE WHEN n = 0 THEN NULL
+         |    ELSE floor(CAST(tps AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+         |      / 1000000 END AS accuracy,
+         |  floor(CAST(sp AS DOUBLE) / (CAST(n_classes AS DOUBLE) * 1e6)
+         |    * 1000000 + 0.5) / 1000000 AS macro_precision,
+         |  floor(CAST(sr AS DOUBLE) / (CAST(n_classes AS DOUBLE) * 1e6)
+         |    * 1000000 + 0.5) / 1000000 AS macro_recall,
+         |  floor(CAST(sf AS DOUBLE) / (CAST(n_classes AS DOUBLE) * 1e6)
+         |    * 1000000 + 0.5) / 1000000 AS macro_f1
+         |FROM s""".stripMargin,
     "q_cl_flags" ->
       s"""WITH $clCteSql
          |SELECT s.item, s.given, w.suggested,

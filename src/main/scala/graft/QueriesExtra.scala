@@ -174,6 +174,13 @@ object QueriesExtra {
           .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty")),
         keyCols = Seq("l_returnflag"), sumCols = Seq("qty"))),
 
+    // key-skew diagnosis on a prospective join key: Gini of per-key
+    // counts folded from the bounded count-of-counts table — the
+    // broadcast-vs-salt-vs-bucket decision input
+    "q_skew_report" -> ((s, dir) =>
+      graft.ops.Skew.keySkewReport(
+        t(s, dir, "events").select(col("user_id")), "user_id")),
+
     // pivot (wide reshaping): per-user event counts, one column per
     // event type — explicit value list so the schema is plan-time fixed
     // (a discovery pivot would scan twice and produce data-dependent
@@ -671,6 +678,37 @@ object QueriesExtra {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS f FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |cc AS (SELECT f, count(*) AS m FROM c GROUP BY 1),
+        |cum AS (SELECT f, m,
+        |    coalesce(sum(m) OVER (ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        |  FROM cc),
+        |blocks AS (SELECT
+        |    CAST(f AS HUGEINT) * (CAST(m AS HUGEINT) * s
+        |      + (CAST(m AS HUGEINT) * (m + 1)) // 2) AS bs,
+        |    CAST(f AS HUGEINT) * m AS t, m, f
+        |  FROM cum),
+        |fold AS (SELECT coalesce(sum(bs), 0) AS S, coalesce(sum(t), 0) AS T,
+        |    CAST(coalesce(sum(m), 0) AS BIGINT) AS n_keys,
+        |    CAST(max(f) AS BIGINT) AS top1_cnt
+        |  FROM blocks),
+        |base AS (SELECT count(*) AS n_rows,
+        |    CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |      AS n_null
+        |  FROM events)
+        |SELECT n_rows, n_null, n_keys, top1_cnt,
+        |  CASE WHEN n_rows - n_null = 0 THEN NULL
+        |    ELSE floor(CAST(top1_cnt AS DOUBLE) / CAST(n_rows - n_null AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS top1_share,
+        |  CASE WHEN CAST(n_keys AS HUGEINT) * T = 0 THEN NULL
+        |    ELSE floor(CAST(2 * S - (CAST(n_keys AS HUGEINT) + 1) * T AS DOUBLE)
+        |      / CAST(CAST(n_keys AS HUGEINT) * T AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS gini
+        |FROM base, fold""".stripMargin,
     "q_x_percentile" ->
       """SELECT event_type,
         |  floor(quantile_cont(value, 0.25) * 1000000 + 0.5) / 1000000 AS p25,

@@ -55,7 +55,10 @@ import org.apache.spark.sql.functions._
   * threshold join + struct-max), sm_topfrac 1.5x (per-language windows),
   * dd_calibration 3.1x (OUTPUT pairs grew 249 → 237 040 by salted
   * construction — runtime tracks candidate pairs, the lsh_pairs story),
-  * ev_perm 1.2x (200 bounded replicate sums).
+  * ev_perm 1.2x (200 bounded replicate sums), tx_sentchunks 1.4x (per-row
+  * fold + keyed assembly; output chunks grew 10x with rows), rb_trimmed
+  * 2.6x (5 constant groups deepen 10x — the honest grouped-sort n·log n,
+  * same class as ev_auc whose rank-only pass read 0.8x).
   *
   * The 10x corpus is synthesized under /tmp (never under /root/testdata):
   * each copy salts the text with a distinct token so near-dup structure is

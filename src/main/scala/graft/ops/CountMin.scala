@@ -120,4 +120,33 @@ object CountMin {
     */
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.union(b).groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Equi-join SIZE estimate from two sketches alone (the AMS/CMS inner
+    * product, Cormode & Muthukrishnan 2005 §4.2): the true join
+    * cardinality on a key is `Σ_v f_A(v)·f_B(v)`, and
+    * `min_r Σ_w a[r][w]·b[r][w]` over-estimates it by at most ε·|A|·|B|
+    * with probability 1−δ — the shuffle-planning number (pick broadcast
+    * vs salt vs bucket) WITHOUT touching either corpus again, from
+    * sketches that were already maintained per shard/day.
+    *
+    * Both sketches must share (depth, width, salt) geometry — the
+    * [[merge]] contract. Absent counters are zero, so the per-row sum
+    * only needs the INNER join of non-empty cells. Output one row:
+    * `(est)` = the minimum row sum, 0 when the sketches share no touched
+    * counters. Pure integer arithmetic; the join is keyed on (row,
+    * bucket) against ≤ depth×width relations.
+    */
+  def innerProductEstimate(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth=$depth out of range [1, 16]")
+    val rows = a.alias("a")
+      .join(b.alias("b"), Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("_rs"))
+    // a hash row whose cells never collide is absent from `rows`; its sum
+    // is 0 and the minimum must see it — fold against the full row range
+    val allRows = a.sparkSession.range(depth).select(col("id").as("row"))
+    allRows
+      .join(rows, Seq("row"), "left")
+      .agg(min(coalesce(col("_rs"), lit(0L))).as("est"))
+  }
 }

@@ -342,6 +342,97 @@ object RankEval {
           .as("ap"))
   }
 
+  /** Per-class classification report — precision / recall / F1 per class
+    * over (label, prediction) pairs, the multiclass completion of the
+    * eval family (a domain/language/quality classifier's scorecard).
+    * Classes = the union of observed labels and predictions, so a class
+    * the model never predicts (or invents) still gets its row.
+    *
+    * Exactness: tp/fp/fn are integer cells of the (label, pred)
+    * contingency (ONE bounded keyed aggregate — cells ≤ classes², never
+    * corpus-scale); precision/recall are single divides rounded half-up
+    * 6, F1 = 2pr/(p+r) computed FROM THE ROUNDED p and r (the oracle
+    * replays the same two-step). The sklearn zero-division convention:
+    * a metric with a zero denominator reports 0.0, and the `defined`
+    * flags say which cells were degenerate rather than smuggling the
+    * judgment into the number.
+    */
+  def classificationReport(
+      df: DataFrame,
+      labelCol: String,
+      predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .select(col(labelCol).cast("string").as("_l"), col(predCol).cast("string").as("_p"))
+      .groupBy(col("_l"), col("_p"))
+      .agg(count(lit(1)).as("_n"))
+    val classes = cells.select(col("_l").as("cls"))
+      .unionByName(cells.select(col("_p").as("cls"))).distinct()
+    val tp = cells.filter(col("_l") === col("_p"))
+      .select(col("_l").as("cls"), col("_n").as("_tp"))
+    val predTot = cells.groupBy(col("_p").as("cls")).agg(sum(col("_n")).as("_pt"))
+    val labelTot = cells.groupBy(col("_l").as("cls")).agg(sum(col("_n")).as("_lt"))
+    val p = col("precision")
+    val r = col("recall")
+    classes
+      .join(tp, Seq("cls"), "left")
+      .join(predTot, Seq("cls"), "left")
+      .join(labelTot, Seq("cls"), "left")
+      .select(
+        col("cls"),
+        coalesce(col("_tp"), lit(0L)).as("tp"),
+        (coalesce(col("_pt"), lit(0L)) - coalesce(col("_tp"), lit(0L))).as("fp"),
+        (coalesce(col("_lt"), lit(0L)) - coalesce(col("_tp"), lit(0L))).as("fn"))
+      .select(
+        col("cls"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0L, lit(0.0))
+          .otherwise(graft.Functions.roundHalfUp(
+            col("tp").cast("double") / (col("tp") + col("fp")).cast("double"), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0L, lit(0.0))
+          .otherwise(graft.Functions.roundHalfUp(
+            col("tp").cast("double") / (col("tp") + col("fn")).cast("double"), 6))
+          .as("recall"),
+        (col("tp") + col("fp") > 0L).as("precision_defined"),
+        (col("tp") + col("fn") > 0L).as("recall_defined"))
+      .withColumn("f1",
+        when(p + r === 0.0, lit(0.0))
+          .otherwise(graft.Functions.roundHalfUp(lit(2.0) * p * r / (p + r), 6)))
+  }
+
+  /** Macro / micro summary over a [[classificationReport]]: one row with
+    * the class count, micro accuracy `Σtp / N` (for single-label
+    * multiclass, micro-P = micro-R = accuracy), and macro means of the
+    * per-class precision / recall / F1 (zero-division cells counted as
+    * their reported 0.0 — the sklearn convention). Macro means average
+    * the ALREADY-ROUNDED per-class values in integer micro units, so the
+    * mean is order-free and replayable.
+    */
+  def classificationSummary(report: DataFrame): DataFrame = {
+    val micro = (c: Column) => floor(c * 1e6 + lit(0.5)).cast("long")
+    report.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("tp")).as("_tps"),
+      (sum(col("tp")) + sum(col("fn"))).as("_n"),
+      sum(micro(col("precision"))).as("_sp"),
+      sum(micro(col("recall"))).as("_sr"),
+      sum(micro(col("f1"))).as("_sf"))
+      .select(
+        col("n_classes"),
+        when(col("_n") === 0L, lit(null).cast("double"))
+          .otherwise(graft.Functions.roundHalfUp(
+            col("_tps").cast("double") / col("_n").cast("double"), 6)).as("accuracy"),
+        graft.Functions.roundHalfUp(
+          col("_sp").cast("double") / (col("n_classes").cast("double") * 1e6), 6)
+          .as("macro_precision"),
+        graft.Functions.roundHalfUp(
+          col("_sr").cast("double") / (col("n_classes").cast("double") * 1e6), 6)
+          .as("macro_recall"),
+        graft.Functions.roundHalfUp(
+          col("_sf").cast("double") / (col("n_classes").cast("double") * 1e6), 6)
+          .as("macro_f1"))
+  }
+
   /** Paired sign-flip permutation test (Fisher randomization; the
     * recommended significance check for per-query metric deltas between
     * two retrieval/eval systems — Smucker, Allan & Carterette 2007 find

@@ -192,6 +192,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("CMS inner product: exact join size at collision-free width, one-sided otherwise") {
+    // A tokens {x×3, y×2}, B {x×4, z}: true join size on token = 3·4 = 12
+    val a = Seq((1L, "x x x y y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x x x x z")).toDF("doc_id", "text")
+    val wide = graft.ops.CountMin.innerProductEstimate(
+      graft.ops.CountMin.sketch(a, "text", 3, 4096),
+      graft.ops.CountMin.sketch(b, "text", 3, 4096), depth = 3).head().getLong(0)
+    assert(wide == 12L, "3 tokens in 4096 buckets: no collisions, estimate is exact")
+    // tiny width forces collisions: the estimate stays one-sided (≥ true)
+    val narrow = graft.ops.CountMin.innerProductEstimate(
+      graft.ops.CountMin.sketch(a, "text", 3, 2),
+      graft.ops.CountMin.sketch(b, "text", 3, 2), depth = 3).head().getLong(0)
+    assert(narrow >= 12L)
+    // disjoint vocabularies at wide geometry: estimate 0
+    val disj = graft.ops.CountMin.innerProductEstimate(
+      graft.ops.CountMin.sketch(Seq((1L, "p q")).toDF("doc_id", "text"), "text", 3, 4096),
+      graft.ops.CountMin.sketch(Seq((2L, "r s")).toDF("doc_id", "text"), "text", 3, 4096),
+      depth = 3).head().getLong(0)
+    assert(disj == 0L)
+  }
+
+  test("keySkewReport: hand Gini, uniform is 0, NULL keys counted apart") {
+    // a×6, b×2, c×1, d×1, NULL×2 → counts [1,1,2,6]: S=33, G=(66−50)/40=0.4
+    val rows = Seq.fill(6)(Some("a")) ++ Seq.fill(2)(Some("b")) ++
+      Seq(Some("c"), Some("d"), None, None)
+    val got = graft.ops.Skew.keySkewReport(rows.toDF("k"), "k").head()
+    assert(got.getAs[Long]("n_rows") == 12L && got.getAs[Long]("n_null") == 2L)
+    assert(got.getAs[Long]("n_keys") == 4L && got.getAs[Long]("top1_cnt") == 6L)
+    assert(got.getAs[Double]("top1_share") == 0.6)
+    assert(got.getAs[Double]("gini") == 0.4)
+    // perfectly uniform: gini 0
+    val uni = graft.ops.Skew.keySkewReport(
+      Seq("a", "a", "b", "b", "c", "c").toDF("k"), "k").head()
+    assert(uni.getAs[Double]("gini") == 0.0)
+    // all keys NULL: everything undefined except the counts
+    val nil = graft.ops.Skew.keySkewReport(
+      Seq(Option.empty[String], None).toDF("k"), "k").head()
+    assert(nil.getAs[Long]("n_keys") == 0L)
+    assert(nil.isNullAt(nil.fieldIndex("gini")) && nil.isNullAt(nil.fieldIndex("top1_share")))
+  }
+
   test("sentenceChunks: greedy packing, oversized sentence isolated, byte-exact reconstruction") {
     val text = "One two. Three four five. Six."
     val df = Seq(

@@ -155,6 +155,30 @@ class RankEvalSpec extends SparkSpec {
     assert(viaMerge == batch)
   }
 
+  test("classificationReport + summary: hand contingency, zero-division convention") {
+    val pairs =
+      Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++
+      Seq.fill(2)(("b", "b")) ++ Seq(("b", "a")) ++ Seq(("c", "a"))
+    val df = pairs.toDF("label", "pred")
+    val rep = RankEval.classificationReport(df, "label", "pred")
+    val got = rep.collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b", "c"), "never-predicted class c still gets a row")
+    val a = got("a")
+    assert(a.getAs[Long]("tp") == 3L && a.getAs[Long]("fp") == 2L && a.getAs[Long]("fn") == 1L)
+    assert(a.getAs[Double]("precision") == 0.6 && a.getAs[Double]("recall") == 0.75)
+    assert(a.getAs[Double]("f1") == 0.666667)
+    val c = got("c")
+    assert(c.getAs[Double]("precision") == 0.0 && !c.getAs[Boolean]("precision_defined"),
+      "zero-division reports 0.0 with the defined flag false")
+    assert(c.getAs[Boolean]("recall_defined") && c.getAs[Double]("recall") == 0.0)
+    val s = RankEval.classificationSummary(rep).head()
+    assert(s.getAs[Long]("n_classes") == 3L)
+    assert(s.getAs[Double]("accuracy") == 0.625)
+    assert(s.getAs[Double]("macro_precision") == 0.422222)
+    assert(s.getAs[Double]("macro_recall") == 0.472222)
+    assert(s.getAs[Double]("macro_f1") == 0.444445)
+  }
+
   test("pairedPermutationTest: driver md5 recompute matches; zero-sum deltas give p = 1") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
