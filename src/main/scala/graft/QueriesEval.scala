@@ -111,6 +111,17 @@ object QueriesEval {
             (floor(col("value") * 7).cast("long") % 3).as("pred")),
           "label", "pred"))),
 
+    // split conformal: calibrate on even event ids, cover odd ones —
+    // threshold = ⌈(n+1)·0.9⌉-th smallest nonconformity score
+    "q_ev_conformal" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_id"),
+        (abs(col("value")) * 3 - floor(abs(col("value")) * 3)).as("score"))
+      RankEval.splitConformal(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 === 1),
+        "score", alpha = 0.1)
+    }),
+
     // paired sign-flip permutation test over per-item metric deltas
     // (frac(|v|·3) − frac(|v|·5)): 200 md5-derived replicates, integer
     // |S_b| ≥ |S| comparisons, add-one p-value
@@ -354,6 +365,32 @@ object QueriesEval {
          |         * (CAST(n_items * 3 AS HUGEINT) * (n_items * 3) - s2) AS DOUBLE)
          |      * 1000000 + 0.5) / 1000000 END AS kappa
          |FROM an, s2t""".stripMargin,
+    "q_ev_conformal" ->
+      s"""WITH ev AS ($evSql),
+         |b AS (
+         |  SELECT event_id, abs(value) * 3 - floor(abs(value) * 3) AS s
+         |  FROM ev),
+         |cal AS (SELECT s FROM b WHERE event_id % 2 = 0),
+         |tst AS (SELECT s FROM b WHERE event_id % 2 = 1),
+         |nk AS (
+         |  SELECT count(*) AS n_cal,
+         |    CAST(ceil(CAST(count(*) + 1 AS DOUBLE) * 0.9) AS BIGINT) AS k
+         |  FROM cal),
+         |rk AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal),
+         |q AS (SELECT max(rk.s) AS qraw FROM rk, nk WHERE rk.rn <= nk.k),
+         |cov AS (
+         |  SELECT count(*) AS n_test,
+         |    CAST(coalesce(sum(CASE WHEN nk.k > nk.n_cal OR tst.s <= q.qraw
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_covered
+         |  FROM tst, nk, q)
+         |SELECT nk.n_cal, nk.k,
+         |  CASE WHEN nk.k > nk.n_cal THEN NULL
+         |    ELSE floor(q.qraw * 1000000 + 0.5) / 1000000 END AS qhat,
+         |  cov.n_test, cov.n_covered,
+         |  CASE WHEN cov.n_test = 0 THEN NULL
+         |    ELSE floor(CAST(cov.n_covered AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
+         |      * 1000000 + 0.5) / 1000000 END AS coverage
+         |FROM nk, q, cov""".stripMargin,
     "q_ev_perm" ->
       s"""WITH ev AS ($evSql),
          |d AS (

@@ -342,6 +342,63 @@ object RankEval {
           .as("ap"))
   }
 
+  /** Split conformal prediction (Vovk et al.; Angelopoulos & Bates 2023
+    * tutorial): from a CALIBRATION set of nonconformity scores (higher =
+    * more nonconforming), the threshold
+    * `q̂ = the ⌈(n+1)(1−α)⌉-th smallest score` guarantees marginal
+    * coverage ≥ 1−α on exchangeable test data — the distribution-free
+    * "how confident is this filter model" wrapper that needs no model
+    * internals. Reports the threshold AND the realized test coverage in
+    * one row: `(n_cal, k, qhat, n_test, n_covered, coverage)`.
+    *
+    * Conventions: when k > n (tiny calibration set for the requested α)
+    * the honest threshold is +∞ — `qhat` is NULL and every test row
+    * counts covered. NULL/NaN scores drop on both sides. The k-th order
+    * statistic is a VALUE, so rank ties among equal scores cannot change
+    * it. `qhat` rounds half-up 6 for display; the coverage comparison
+    * uses the raw double.
+    *
+    * Scale shape: one global rank window over the CALIBRATION set — a
+    * bounded eval-scale relation by contract (the [[metricsAtK]]
+    * per-query window class; never run this on a corpus) — and one
+    * map-side-combinable fold over the test side.
+    */
+  def splitConformal(
+      cal: DataFrame,
+      test: DataFrame,
+      scoreCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    def scores(df: DataFrame) = df
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
+      .select(col(scoreCol).cast("double").as("_s"))
+    val calS = scores(cal)
+    val nk = calS.agg(count(lit(1)).as("n_cal"))
+      .select(col("n_cal"),
+        ceil((col("n_cal") + 1L).cast("double") * (1.0 - alpha)).cast("long").as("k"))
+    val ranked = calS.withColumn("_rn",
+      row_number().over(Window.orderBy(col("_s"))))
+    val qhat = ranked
+      .crossJoin(broadcast(nk))
+      .filter(col("_rn") <= col("k"))
+      .agg(max(col("_s")).as("_qraw"))
+    val covered = scores(test)
+      .crossJoin(broadcast(nk.crossJoin(qhat)))
+      .agg(
+        count(lit(1)).as("n_test"),
+        coalesce(sum(when(col("k") > col("n_cal") || col("_s") <= col("_qraw"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_covered"))
+    nk.crossJoin(qhat).crossJoin(covered).select(
+      col("n_cal"), col("k"),
+      when(col("k") > col("n_cal"), lit(null).cast("double"))
+        .otherwise(graft.Functions.roundHalfUp(col("_qraw"), 6)).as("qhat"),
+      col("n_test"), col("n_covered"),
+      when(col("n_test") === 0L, lit(null).cast("double"))
+        .otherwise(graft.Functions.roundHalfUp(
+          col("n_covered").cast("double") / col("n_test").cast("double"), 6))
+        .as("coverage"))
+  }
+
   /** Per-class classification report — precision / recall / F1 per class
     * over (label, prediction) pairs, the multiclass completion of the
     * eval family (a domain/language/quality classifier's scorecard).

@@ -155,6 +155,26 @@ class RankEvalSpec extends SparkSpec {
     assert(viaMerge == batch)
   }
 
+  test("splitConformal: order-statistic threshold, coverage count, tiny-cal infinity") {
+    val cal = (1 to 9).map(i => Tuple1(i.toDouble)).toDF("score")
+    val test = Seq(1.0, 5.5, 10.0).map(Tuple1(_)).toDF("score")
+    // α = 0.5: k = ceil(10·0.5) = 5 → qhat = 5.0; only score 1.0 ≤ 5
+    val mid = RankEval.splitConformal(cal, test, "score", alpha = 0.5).head()
+    assert(mid.getAs[Long]("n_cal") == 9L && mid.getAs[Long]("k") == 5L)
+    assert(mid.getAs[Double]("qhat") == 5.0)
+    assert(mid.getAs[Long]("n_covered") == 1L)
+    assert(mid.getAs[Double]("coverage") == 0.333333)
+    // α = 0.1: k = ceil(10·0.9) = 9 → qhat = max = 9.0; covers 1.0 and 5.5
+    val tight = RankEval.splitConformal(cal, test, "score", alpha = 0.1).head()
+    assert(tight.getAs[Long]("k") == 9L && tight.getAs[Double]("qhat") == 9.0)
+    assert(tight.getAs[Long]("n_covered") == 2L)
+    // calibration too small for α: k > n → infinite threshold, full coverage
+    val tiny = RankEval.splitConformal(
+      Seq(1.0, 2.0).map(Tuple1(_)).toDF("score"), test, "score", alpha = 0.1).head()
+    assert(tiny.getAs[Long]("k") == 3L && tiny.isNullAt(tiny.fieldIndex("qhat")))
+    assert(tiny.getAs[Long]("n_covered") == 3L && tiny.getAs[Double]("coverage") == 1.0)
+  }
+
   test("classificationReport + summary: hand contingency, zero-division convention") {
     val pairs =
       Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++
