@@ -139,7 +139,18 @@ object QueriesSft {
 
     "q_proto_prune" -> ((s, dir) =>
       Prototype.prune(t(s, dir, "embeddings"), "vec_id", "embedding",
-        frozenCentroids(s, dir), dropTopFrac = 0.25, dropBottomFrac = 0.125)))
+        frozenCentroids(s, dir), dropTopFrac = 0.25, dropBottomFrac = 0.125)),
+
+    // cluster quality vs known labels: purity + NMI of the frozen-centroid
+    // IVF assignment against the embeddings label column — the external
+    // validity check before a semantic dedup trusts its cluster structure
+    "q_sd_nmi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.ClusterEval.purityNmi(
+        graft.ops.ClusterEval.assignCells(
+          emb.filter(col("label").isNotNull), "embedding", frozenCentroids(s, dir)),
+        "cell", "label")
+    }))
 
   /** The shared message-fixture CTE, verbatim in every SFT oracle. */
   private val eventMsgsSql =
@@ -368,6 +379,56 @@ object QueriesSft {
         |SELECT (SELECT nr FROM k) AS n_ref, (SELECT nc FROM k) AS n_cur,
         |  floor(CAST(sum(t) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS psi
         |FROM t""".stripMargin,
+
+    "q_sd_nmi" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        |sc AS (
+        |  SELECT e.vec_id, e.label, c.cell,
+        |    floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+        |      * 1000000 + 0.5) / 1000000 AS sim
+        |  FROM embeddings e, cent c
+        |  WHERE e.label IS NOT NULL AND e.embedding IS NOT NULL),
+        |asg AS (
+        |  SELECT vec_id, label, cell FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) = 1),
+        |cells AS (SELECT cell, label, count(*) AS n FROM asg GROUP BY 1, 2),
+        |ac AS (SELECT cell, CAST(sum(n) AS BIGINT) AS a FROM cells GROUP BY 1),
+        |bk AS (SELECT label, CAST(sum(n) AS BIGINT) AS b FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS nn,
+        |    count(DISTINCT cell) AS n_clusters, count(DISTINCT label) AS n_labels
+        |  FROM cells),
+        |pur AS (SELECT CAST(coalesce(sum(mx), 0) AS BIGINT) AS pure
+        |  FROM (SELECT cell, max(n) AS mx FROM cells GROUP BY 1)),
+        |mi AS (
+        |  SELECT CAST(coalesce(sum(CAST(floor(
+        |      (CAST(n AS DOUBLE) / nn)
+        |      * ln((CAST(n AS DOUBLE) * nn) / (CAST(a AS DOUBLE) * CAST(b AS DOUBLE)))
+        |      * 1e12 + 0.5) AS BIGINT)), 0) AS BIGINT) AS m
+        |  FROM cells JOIN ac USING (cell) JOIN bk USING (label), tot),
+        |hc AS (
+        |  SELECT CAST(coalesce(sum(CAST(floor(
+        |      -(CAST(a AS DOUBLE) / nn) * ln(CAST(a AS DOUBLE) / nn)
+        |      * 1e12 + 0.5) AS BIGINT)), 0) AS BIGINT) AS h
+        |  FROM ac, tot),
+        |hl AS (
+        |  SELECT CAST(coalesce(sum(CAST(floor(
+        |      -(CAST(b AS DOUBLE) / nn) * ln(CAST(b AS DOUBLE) / nn)
+        |      * 1e12 + 0.5) AS BIGINT)), 0) AS BIGINT) AS h
+        |  FROM bk, tot)
+        |SELECT tot.nn AS n, tot.n_clusters, tot.n_labels,
+        |  CASE WHEN tot.nn = 0 THEN NULL
+        |    ELSE floor(CAST(pur.pure AS DOUBLE) / CAST(tot.nn AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS purity,
+        |  floor(CAST(mi.m AS DOUBLE) / 1e12 * 1000000 + 0.5) / 1000000 AS mi,
+        |  floor(CAST(hc.h AS DOUBLE) / 1e12 * 1000000 + 0.5) / 1000000 AS h_cluster,
+        |  floor(CAST(hl.h AS DOUBLE) / 1e12 * 1000000 + 0.5) / 1000000 AS h_label,
+        |  CASE WHEN hc.h <= 0 OR hl.h <= 0 THEN NULL
+        |    ELSE floor(CAST(mi.m AS DOUBLE)
+        |      / sqrt(CAST(hc.h AS DOUBLE) * CAST(hl.h AS DOUBLE))
+        |      * 1000000 + 0.5) / 1000000 END AS nmi
+        |FROM tot, pur, mi, hc, hl""".stripMargin,
 
     "q_proto_rank" -> protoRankSql,
 
