@@ -58,7 +58,11 @@ import org.apache.spark.sql.functions._
   * ev_perm 1.2x (200 bounded replicate sums), tx_sentchunks 1.4x (per-row
   * fold + keyed assembly; output chunks grew 10x with rows), rb_trimmed
   * 2.6x (5 constant groups deepen 10x — the honest grouped-sort n·log n,
-  * same class as ev_auc whose rank-only pass read 0.8x).
+  * same class as ev_auc whose rank-only pass read 0.8x), cms_inner 1.0x
+  * (sketch-bounded inner product — the scan grows, the join doesn't),
+  * skew_report 1.2x, ev_f1 1.0x (bounded contingency), sd_nmi 2.2x
+  * (16 cosines per row — per-row CPU dominates, embarrassingly
+  * parallel).
   *
   * The 10x corpus is synthesized under /tmp (never under /root/testdata):
   * each copy salts the text with a distinct token so near-dup structure is
@@ -590,6 +594,39 @@ object ScaleProbe {
         graft.ops.Robust.trimmedMean(
           ev.select(col("event_id"), col("event_type"), col("value")),
           "event_type", "event_id", "value", trim = 0.1).count()
+      },
+      "cms_inner" -> { d =>
+        val docs = docsAt(d)
+        graft.ops.CountMin.innerProductEstimate(
+          graft.ops.CountMin.sketch(
+            docs.filter(col("doc_id") % 2 === 0), "text", 3, 64),
+          graft.ops.CountMin.sketch(
+            docs.filter(col("doc_id") % 2 === 1), "text", 3, 64),
+          depth = 3).count()
+      },
+      "skew_report" -> (d =>
+        graft.ops.Skew.keySkewReport(
+          Tables(spark, d, "events").select(col("user_id")), "user_id").count()),
+      "ev_f1" -> { d =>
+        val ev = Tables(spark, d, "events")
+          .filter(col("event_id").isNotNull && col("value").isNotNull)
+        graft.ops.RankEval.classificationReport(
+          ev.select(
+            (floor(col("value") * 10).cast("long") % 3).as("label"),
+            (floor(col("value") * 7).cast("long") % 3).as("pred")),
+          "label", "pred").count()
+      },
+      "sd_nmi" -> { d =>
+        val emb = Tables(spark, d, "embeddings")
+        val cents = emb
+          .select(col("vec_id").cast("long").as("cell"),
+            col("embedding").cast("array<double>").as("cv"),
+            md5(col("vec_id").cast("string")).as("_h"))
+          .orderBy("_h").limit(16).select("cell", "cv")
+        graft.ops.ClusterEval.purityNmi(
+          graft.ops.ClusterEval.assignCells(
+            emb.filter(col("label").isNotNull), "embedding", cents),
+          "cell", "label").count()
       })
 
     def time(f: => Long): (Double, Long) = {
