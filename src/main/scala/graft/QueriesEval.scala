@@ -111,6 +111,21 @@ object QueriesEval {
             (floor(col("value") * 7).cast("long") % 3).as("pred")),
           "label", "pred"))),
 
+    // Krippendorff's alpha with MISSING ratings: rater c skips every
+    // third item, so pairable sizes vary between 2 and 3 — the case
+    // Cohen (two raters) and Fleiss (fixed panel) cannot express
+    "q_ev_kripp" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val r = e.select(col("event_id").as("item"), lit("a").as("rater"),
+          (floor(col("value") * 10).cast("long") % 3).as("label"))
+        .unionByName(e.select(col("event_id").as("item"), lit("b").as("rater"),
+          (floor(col("value") * 7).cast("long") % 3).as("label")))
+        .unionByName(e.filter(col("event_id") % 3 =!= 0)
+          .select(col("event_id").as("item"), lit("c").as("rater"),
+            (floor(col("value") * 13).cast("long") % 3).as("label")))
+      Preference.krippendorffAlpha(r, "item", "rater", "label")
+    }),
+
     // split conformal: calibrate on even event ids, cover odd ones —
     // threshold = ⌈(n+1)·0.9⌉-th smallest nonconformity score
     "q_ev_conformal" -> ((s, dir) => {
@@ -365,6 +380,46 @@ object QueriesEval {
          |         * (CAST(n_items * 3 AS HUGEINT) * (n_items * 3) - s2) AS DOUBLE)
          |      * 1000000 + 0.5) / 1000000 END AS kappa
          |FROM an, s2t""".stripMargin,
+    "q_ev_kripp" ->
+      s"""WITH ev AS ($evSql),
+         |e AS (
+         |  SELECT event_id AS item,
+         |    CAST(floor(value * 10) AS BIGINT) % 3 AS la,
+         |    CAST(floor(value * 7) AS BIGINT) % 3 AS lb,
+         |    CAST(floor(value * 13) AS BIGINT) % 3 AS lc
+         |  FROM ev),
+         |r AS (
+         |  SELECT item, la AS label FROM e
+         |  UNION ALL SELECT item, lb FROM e
+         |  UNION ALL SELECT item, lc FROM e WHERE item % 3 <> 0),
+         |g AS (SELECT item, label, count(*) AS nic FROM r GROUP BY 1, 2),
+         |ni AS (SELECT item, CAST(sum(nic) AS BIGINT) AS n_i,
+         |    CAST(sum(nic * nic) AS BIGINT) AS s2
+         |  FROM g GROUP BY 1),
+         |p AS (SELECT * FROM ni WHERE n_i >= 2),
+         |dn AS (
+         |  SELECT CAST(coalesce(sum(CAST(floor(
+         |      CAST(n_i * n_i - s2 AS DOUBLE) / CAST(n_i - 1 AS DOUBLE)
+         |      * 1e9 + 0.5) AS BIGINT)), 0) AS BIGINT) AS dn,
+         |    count(*) AS n_items
+         |  FROM p),
+         |m AS (SELECT label, CAST(sum(nic) AS BIGINT) AS nc
+         |  FROM g JOIN p USING (item) GROUP BY 1),
+         |tot AS (SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(CAST(nc AS HUGEINT) * nc), 0) AS HUGEINT) AS sc2,
+         |    count(*) AS n_values
+         |  FROM m)
+         |SELECT dn.n_items, tot.n AS n_pairable, tot.n_values,
+         |  floor(CAST(dn.dn AS DOUBLE) / 1e9 * 1000000 + 0.5) / 1000000 AS d_o,
+         |  CASE WHEN tot.n < 2 THEN NULL
+         |    ELSE floor(CAST(CAST(tot.n AS HUGEINT) * tot.n - tot.sc2 AS DOUBLE)
+         |      / CAST(tot.n - 1 AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS d_e,
+         |  CASE WHEN tot.n < 2
+         |      OR CAST(CAST(tot.n AS HUGEINT) * tot.n - tot.sc2 AS DOUBLE) <= 0 THEN NULL
+         |    ELSE floor((1.0 - CAST(dn.dn AS DOUBLE) * CAST(tot.n - 1 AS DOUBLE)
+         |      / (CAST(CAST(tot.n AS HUGEINT) * tot.n - tot.sc2 AS DOUBLE) * 1e9))
+         |      * 1000000 + 0.5) / 1000000 END AS alpha
+         |FROM dn, tot""".stripMargin,
     "q_ev_conformal" ->
       s"""WITH ev AS ($evSql),
          |b AS (

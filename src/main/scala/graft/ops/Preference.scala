@@ -416,6 +416,70 @@ object Preference {
         .as("kappa"))
   }
 
+  /** Krippendorff's alpha, nominal metric (Krippendorff 2004 §11) — the
+    * agreement coefficient that handles what [[cohenKappa]] (two raters)
+    * and [[fleissKappa]] (fixed panel) can't: ANY number of raters with
+    * MISSING ratings. Items keep whatever raters they have; only items
+    * with ≥ 2 ratings are pairable, and single-rating items drop (they
+    * carry no agreement evidence).
+    *
+    * Exactness: with per-item value counts n_ic, the observed
+    * disagreement is `D_o = Σ_i (n_i² − Σ_c n_ic²)/(n_i − 1)` — each
+    * item's rational term quantizes to integer NANO units before the
+    * order-free sum — and the expected disagreement denominator
+    * `n² − Σ_c n_c²` is pure integers (DECIMAL(38) products), so
+    * `α = 1 − D_o_nano·(n−1) / ((n² − Σn_c²)·10⁹)` is ONE final
+    * expression, rounded half-up 6. α is NULL when every pairable rating
+    * is one value (D_e = 0 — agreement is unmeasurable). (item, rater)
+    * duplicates dedup to their max label, the [[cohenKappa]] convention.
+    *
+    * Scale shape: two item-keyed aggregates, one label-bounded marginal
+    * aggregate, one-row folds — nothing wider than (items × labels)
+    * shuffles. Output one row:
+    * `(n_items, n_pairable, n_values, d_o, d_e, alpha)`.
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String): DataFrame = {
+    val rated = df
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("_item"), col(raterCol).as("_rater"))
+      .agg(max(col(labelCol)).as("_label"))
+    val g = rated.groupBy(col("_item"), col("_label")).agg(count(lit(1)).as("_nic"))
+    val ni = g.groupBy(col("_item"))
+      .agg(sum(col("_nic")).as("_ni"), sum(col("_nic") * col("_nic")).as("_s2"))
+    val pairable = ni.filter(col("_ni") >= 2L)
+    val dOn = pairable.agg(coalesce(sum(
+      floor((col("_ni") * col("_ni") - col("_s2")).cast("double") /
+        (col("_ni") - 1L).cast("double") * 1e9 + lit(0.5)).cast("long")), lit(0L))
+      .as("_dn"))
+    val nItems = pairable.agg(count(lit(1)).as("n_items"))
+    val margins = g
+      .join(pairable.select(col("_item")), Seq("_item"), "left_semi")
+      .groupBy(col("_label"))
+      .agg(sum(col("_nic")).as("_nc"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tot = margins.agg(
+      coalesce(sum(col("_nc")), lit(0L)).as("_n"),
+      coalesce(sum(dec(col("_nc")) * dec(col("_nc"))), dec(lit(0))).as("_sc2"),
+      count(lit(1)).as("n_values"))
+    val deNum = (dec(col("_n")) * dec(col("_n")) - col("_sc2")).cast("double")
+    nItems.crossJoin(dOn).crossJoin(tot).select(
+      col("n_items"),
+      col("_n").as("n_pairable"),
+      col("n_values"),
+      graft.Functions.roundHalfUp(col("_dn").cast("double") / 1e9, 6).as("d_o"),
+      when(col("_n") < 2L, lit(null).cast("double"))
+        .otherwise(graft.Functions.roundHalfUp(
+          deNum / (col("_n") - 1L).cast("double"), 6)).as("d_e"),
+      when(col("_n") < 2L || deNum <= 0.0, lit(null).cast("double"))
+        .otherwise(graft.Functions.roundHalfUp(
+          lit(1.0) - col("_dn").cast("double") * (col("_n") - 1L).cast("double") /
+            (deNum * 1e9), 6)).as("alpha"))
+  }
+
   /** Arena-style win-rate leaderboard with Wilson lower bounds (Wilson
     * 1927 — the sort key that doesn't promote a lucky 2-0 above a solid
     * 70-30): from a pairwise match table, per item — games, wins, raw win

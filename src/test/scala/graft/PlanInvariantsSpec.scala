@@ -37,7 +37,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_sft_lossmask",  // conv-keyed prefix-sum window
     "q_cl_flags",      // broadcast thresholds + item-keyed struct-max + keyed spine join
     "q_dd_calibration", // LSH-keyed pairs + semi-pruned shingle intersection join
-    "q_sm_topfrac")    // one group-keyed window pair, no join
+    "q_sm_topfrac",    // one group-keyed window pair, no join
+    "q_ev_f1",         // class-bounded contingency + keyed marginal joins
+    "q_rb_trimmed",    // group-keyed rank/count windows + keyed mean
+    "q_tx_sentchunks", // per-row fold + ONE (id, chunk)-keyed assembly
+    "q_tx_fertility")  // pure per-row projection
 
   queries.foreach { name =>
     test(s"$name: no cartesian, no nested-loop join, no global sort mid-chain") {

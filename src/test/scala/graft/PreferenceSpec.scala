@@ -219,6 +219,34 @@ class PreferenceSpec extends SparkSpec {
     assert(oneClass.isNullAt(oneClass.fieldIndex("kappa")))
   }
 
+  test("krippendorffAlpha: hand values with a missing rating, perfect = 1, one-class NULL") {
+    def ratings(rows: Seq[(Long, String, String)]) = rows.toDF("item", "rater", "label")
+    // i1: A,A  i2: A,B  i3: B,B  i4: B alone (unpairable, drops)
+    // n = 6, margins A=3 B=3; D_o = 0 + 2 + 0 = 2; D_e = (36−18)/5 = 3.6
+    // α = 1 − 2·5/18 = 0.444444̄ → 0.444444
+    val rows = Seq(
+      (1L, "r1", "A"), (1L, "r2", "A"),
+      (2L, "r1", "A"), (2L, "r2", "B"),
+      (3L, "r1", "B"), (3L, "r2", "B"),
+      (4L, "r1", "B"))
+    val got = Preference.krippendorffAlpha(ratings(rows), "item", "rater", "label").head()
+    assert(got.getAs[Long]("n_items") == 3L && got.getAs[Long]("n_pairable") == 6L)
+    assert(got.getAs[Long]("n_values") == 2L)
+    assert(got.getAs[Double]("d_o") == 2.0 && got.getAs[Double]("d_e") == 3.6)
+    assert(got.getAs[Double]("alpha") == 0.444444)
+    // perfect agreement, variable panel sizes: D_o = 0 → α = 1 exactly
+    val perfect = Preference.krippendorffAlpha(
+      ratings(Seq((1L, "r1", "A"), (1L, "r2", "A"), (1L, "r3", "A"),
+        (2L, "r1", "B"), (2L, "r2", "B"))),
+      "item", "rater", "label").head()
+    assert(perfect.getAs[Double]("alpha") == 1.0)
+    // every pairable rating one value: D_e = 0 → undefined
+    val oneClass = Preference.krippendorffAlpha(
+      ratings(Seq((1L, "r1", "A"), (1L, "r2", "A"))),
+      "item", "rater", "label").head()
+    assert(oneClass.isNullAt(oneClass.fieldIndex("alpha")))
+  }
+
   test("winRates: wilson lower bound demotes the lucky 2-0 below the solid 70-100") {
     // x beats y twice (2 games each); p beats q 70 of 100
     val matches =

@@ -988,6 +988,41 @@ class StreamingSpec extends SparkSpec {
     assert(appended.count() <= total.count())
   }
 
+  test("streaming sentence chunking: per-batch chunking over whole docs equals batch") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_sch_src_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sch_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sch_ck_").toString
+    val wave1 = (0L until 20L).map(i =>
+      (i, (0 until 15).map(j => s"w${i}_$j" + (if (j % 4 == 3) "." else "")).mkString(" ")))
+    val wave2 = (20L until 35L).map(i =>
+      (i, (0 until 9).map(j => s"s${i}_$j" + (if (j % 3 == 2) "!" else "")).mkString(" ")))
+    def runOnce(): Unit = {
+      // docs arrive WHOLE, so chunking each batch independently is exact —
+      // the per-doc operator commutes with any batch split
+      val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ops.TextAnalysis.sentenceChunks(batch, "doc_id", "text", maxTokens = 6)
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    val streamed = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val batch = graft.ops.TextAnalysis.sentenceChunks(
+        (wave1 ++ wave2).toDF("doc_id", "text"), "doc_id", "text", maxTokens = 6)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, "per-batch chunking must equal whole-corpus chunking")
+  }
+
   test("streaming calibration maintenance: per-batch cell merge equals the batch diagram") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_cal_src_").toString
