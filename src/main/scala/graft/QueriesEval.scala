@@ -111,6 +111,29 @@ object QueriesEval {
             (floor(col("value") * 7).cast("long") % 3).as("pred")),
           "label", "pred"))),
 
+    // Brier score per event type over the calibration fixture — the
+    // proper scoring rule ECE alone can't substitute for
+    "q_ev_brier" -> ((s, dir) =>
+      RankEval.brierScore(
+        ev(s, dir).select(
+          col("event_type").as("grp"),
+          (abs(col("value")) - floor(abs(col("value")))).as("p"),
+          (col("event_id") % 2 === 0).cast("int").as("label")),
+        "grp", "p", "label")),
+
+    // Cochran's Q across THREE systems (correct on id%3/%5/%7 != 0) —
+    // the k-system same-success-rate test McNemar can't express
+    "q_ev_cochran" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_id").isNotNull)
+      val r = e.select(col("event_id").as("item"), lit("s3").as("sys"),
+          (col("event_id") % 3 =!= 0).as("ok"))
+        .unionByName(e.select(col("event_id").as("item"), lit("s5").as("sys"),
+          (col("event_id") % 5 =!= 0).as("ok")))
+        .unionByName(e.select(col("event_id").as("item"), lit("s7").as("sys"),
+          (col("event_id") % 7 =!= 0).as("ok")))
+      RankEval.cochranQ(r, "item", "sys", "ok")
+    }),
+
     // Krippendorff's alpha with MISSING ratings: rater c skips every
     // third item, so pairable sizes vary between 2 and 3 — the case
     // Cohen (two raters) and Fleiss (fixed panel) cannot express
@@ -380,6 +403,48 @@ object QueriesEval {
          |         * (CAST(n_items * 3 AS HUGEINT) * (n_items * 3) - s2) AS DOUBLE)
          |      * 1000000 + 0.5) / 1000000 END AS kappa
          |FROM an, s2t""".stripMargin,
+    "q_ev_brier" ->
+      s"""WITH ev AS ($evSql),
+         |e AS (
+         |  SELECT event_type AS grp, abs(value) - floor(abs(value)) AS p,
+         |    CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM ev WHERE event_type IS NOT NULL),
+         |b AS (SELECT grp,
+         |    CAST(floor((p - y) * (p - y) * 1e9 + 0.5) AS BIGINT) AS sen
+         |  FROM e)
+         |SELECT grp, count(*) AS n,
+         |  floor(CAST(sum(sen) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9)
+         |    * 1000000 + 0.5) / 1000000 AS brier
+         |FROM b GROUP BY 1""".stripMargin,
+    "q_ev_cochran" ->
+      """WITH r AS (
+        |  SELECT event_id AS item, 's3' AS sys,
+        |    CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END AS c
+        |  FROM events WHERE event_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_id, 's5', CASE WHEN event_id % 5 <> 0 THEN 1 ELSE 0 END
+        |  FROM events WHERE event_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_id, 's7', CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END
+        |  FROM events WHERE event_id IS NOT NULL),
+        |kk AS (SELECT count(DISTINCT sys) AS k FROM r),
+        |li AS (SELECT item, count(*) AS nr, CAST(sum(c) AS BIGINT) AS l
+        |  FROM r GROUP BY 1),
+        |p AS (SELECT li.* FROM li, kk WHERE li.nr = kk.k),
+        |ia AS (SELECT count(*) AS n_items, CAST(coalesce(sum(l), 0) AS BIGINT) AS t,
+        |    CAST(coalesce(sum(CAST(l AS HUGEINT) * l), 0) AS HUGEINT) AS sl2
+        |  FROM p),
+        |gs AS (SELECT CAST(coalesce(sum(CAST(gj AS HUGEINT) * gj), 0) AS HUGEINT) AS sg2
+        |  FROM (SELECT sys, CAST(sum(c) AS BIGINT) AS gj
+        |    FROM r JOIN p USING (item) GROUP BY 1))
+        |SELECT ia.n_items, kk.k,
+        |  CASE WHEN CAST(kk.k AS HUGEINT) * ia.t - ia.sl2 <= 0 THEN NULL
+        |    ELSE floor(
+        |      CAST((kk.k - 1) * (CAST(kk.k AS HUGEINT) * gs.sg2
+        |          - CAST(ia.t AS HUGEINT) * ia.t) AS DOUBLE)
+        |      / CAST(CAST(kk.k AS HUGEINT) * ia.t - ia.sl2 AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 END AS q_stat
+        |FROM ia, gs, kk""".stripMargin,
     "q_ev_kripp" ->
       s"""WITH ev AS ($evSql),
          |e AS (

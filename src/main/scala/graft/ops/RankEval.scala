@@ -549,6 +549,83 @@ object RankEval {
         (col("hits") + 1L).cast("double") / (replicates + 1).toDouble, 6).as("p_value"))
   }
 
+  /** Per-group Brier score — the mean squared error of probabilistic
+    * predictions, `(1/N)·Σ(p−y)²` (Brier 1950): the PROPER scoring rule
+    * companion to [[ece]] (ECE measures calibration alone; Brier charges
+    * for calibration AND resolution together, and can't be gamed by
+    * predicting the base rate). Per-row squared errors quantize to
+    * integer NANO units before the order-free sum; one divide, rounded
+    * half-up 6. NULL/NaN probabilities and NULL labels drop. One
+    * map-side-combinable keyed aggregate.
+    */
+  def brierScore(
+      df: DataFrame,
+      groupCol: String,
+      probCol: String,
+      labelCol: String): DataFrame = {
+    val y = when(col(labelCol).cast("long") > 0L, 1.0).otherwise(0.0)
+    val se = (col(probCol).cast("double") - y) * (col(probCol).cast("double") - y)
+    df
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull &&
+        col(probCol).isNotNull && !isnan(col(probCol).cast("double")))
+      .select(col(groupCol).as("grp"),
+        floor(se * 1e9 + lit(0.5)).cast("long").as("_sen"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("_sen")).as("_s"))
+      .select(col("grp"), col("n"),
+        graft.Functions.roundHalfUp(
+          col("_s").cast("double") / (col("n").cast("double") * 1e9), 6).as("brier"))
+  }
+
+  /** Cochran's Q test (Cochran 1950) — "do these k systems have the same
+    * success rate on the same items?", the k-system generalization of
+    * [[mcnemar]]. Input: one row per (item, system) with boolean-ish
+    * correctness; (item, system) duplicates dedup to max, and only items
+    * rated by ALL k systems count (the [[Preference.fleissKappa]]
+    * complete-panel discipline — mixing panel sizes corrupts the
+    * statistic). With G_j the per-system success totals, L_i the
+    * per-item totals and T = ΣG_j:
+    * `Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²)` — pure integers
+    * (DECIMAL(38) products) until ONE divide, rounded half-up 6;
+    * χ²-distributed with k−1 df under H₀. Q is NULL when every item is
+    * unanimous (denominator 0 — no discordance to test). Output one row:
+    * `(n_items, k, q_stat)`.
+    */
+  def cochranQ(
+      df: DataFrame,
+      itemCol: String,
+      systemCol: String,
+      correctCol: String): DataFrame = {
+    val rated = df
+      .filter(col(itemCol).isNotNull && col(systemCol).isNotNull &&
+        col(correctCol).isNotNull)
+      .groupBy(col(itemCol).as("_item"), col(systemCol).as("_sys"))
+      .agg(max(when(col(correctCol).cast("boolean"), 1L).otherwise(0L)).as("_c"))
+    val kRow = rated.agg(countDistinct(col("_sys")).as("k"))
+    val perItem = rated.groupBy(col("_item"))
+      .agg(count(lit(1)).as("_nr"), sum(col("_c")).as("_li"))
+      .crossJoin(broadcast(kRow))
+      .filter(col("_nr") === col("k"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val itemAgg = perItem.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum(col("_li")), lit(0L)).as("_t"),
+      coalesce(sum(dec(col("_li")) * dec(col("_li"))), dec(lit(0))).as("_sl2"))
+    val perSys = rated
+      .join(perItem.select(col("_item")), Seq("_item"), "left_semi")
+      .groupBy(col("_sys"))
+      .agg(sum(col("_c")).as("_gj"))
+      .agg(coalesce(sum(dec(col("_gj")) * dec(col("_gj"))), dec(lit(0))).as("_sg2"))
+    val den = dec(col("k")) * dec(col("_t")) - col("_sl2")
+    itemAgg.crossJoin(perSys).crossJoin(broadcast(kRow)).select(
+      col("n_items"), col("k"),
+      when(den <= dec(lit(0)), lit(null).cast("double"))
+        .otherwise(graft.Functions.roundHalfUp(
+          (dec(col("k") - 1L) * (dec(col("k")) * col("_sg2") -
+            dec(col("_t")) * dec(col("_t")))).cast("double") / den.cast("double"), 6))
+        .as("q_stat"))
+  }
+
   /** McNemar's paired test over two systems' per-item correctness — the
     * significance check for "model B beats model A on the same eval set"
     * (McNemar 1947; Dietterich 1998 recommends exactly this for paired

@@ -155,6 +155,39 @@ class RankEvalSpec extends SparkSpec {
     assert(viaMerge == batch)
   }
 
+  test("brierScore: hand mean of squared errors; perfect predictions score 0") {
+    val df = Seq(("g", 0.8, 1), ("g", 0.5, 0)).toDF("grp", "p", "label")
+    val got = RankEval.brierScore(df, "grp", "p", "label").head()
+    // (0.04 + 0.25)/2 = 0.145
+    assert(got.getAs[Long]("n") == 2L && got.getAs[Double]("brier") == 0.145)
+    val perfect = RankEval.brierScore(
+      Seq(("g", 1.0, 1), ("g", 0.0, 0)).toDF("grp", "p", "label"),
+      "grp", "p", "label").head()
+    assert(perfect.getAs[Double]("brier") == 0.0)
+  }
+
+  test("cochranQ: textbook 3-system value, incomplete items drop, unanimity is NULL") {
+    // G = (4,2,1), T = 7, ΣL² = 15, ΣG² = 21 → Q = 2·(63−49)/(21−15) = 28/6
+    val rows = Seq(
+      (1L, "a", true), (1L, "b", true), (1L, "c", false),
+      (2L, "a", true), (2L, "b", false), (2L, "c", false),
+      (3L, "a", true), (3L, "b", true), (3L, "c", true),
+      (4L, "a", true), (4L, "b", false), (4L, "c", false))
+    val got = RankEval.cochranQ(rows.toDF("item", "sys", "ok"), "item", "sys", "ok").head()
+    assert(got.getAs[Long]("n_items") == 4L && got.getAs[Long]("k") == 3L)
+    assert(got.getAs[Double]("q_stat") == 4.666667)
+    // an item missing one system's verdict is excluded entirely
+    val withPartial = RankEval.cochranQ(
+      (rows ++ Seq((5L, "a", true))).toDF("item", "sys", "ok"), "item", "sys", "ok").head()
+    assert(withPartial.getAs[Long]("n_items") == 4L)
+    assert(withPartial.getAs[Double]("q_stat") == 4.666667)
+    // every item unanimous: denominator 0 → NULL, not 0
+    val unanimous = RankEval.cochranQ(
+      Seq((1L, "a", true), (1L, "b", true), (2L, "a", false), (2L, "b", false))
+        .toDF("item", "sys", "ok"), "item", "sys", "ok").head()
+    assert(unanimous.isNullAt(unanimous.fieldIndex("q_stat")))
+  }
+
   test("splitConformal: order-statistic threshold, coverage count, tiny-cal infinity") {
     val cal = (1 to 9).map(i => Tuple1(i.toDouble)).toDF("score")
     val test = Seq(1.0, 5.5, 10.0).map(Tuple1(_)).toDF("score")
