@@ -41,7 +41,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_ev_f1",         // class-bounded contingency + keyed marginal joins
     "q_rb_trimmed",    // group-keyed rank/count windows + keyed mean
     "q_tx_sentchunks", // per-row fold + ONE (id, chunk)-keyed assembly
-    "q_tx_fertility")  // pure per-row projection
+    "q_tx_fertility",  // pure per-row projection
+    "q_ev_brier",      // one keyed aggregate of nano-quantized terms
+    "q_cms_inner")     // (row, bucket)-keyed sketch join, depth-bounded
 
   queries.foreach { name =>
     test(s"$name: no cartesian, no nested-loop join, no global sort mid-chain") {
