@@ -148,14 +148,17 @@ object QueriesCorpus {
       graft.ops.SuffixArray.ranks(t(s, dir, "documents"), "doc_id", "text")),
 
     // longest repeated substring per doc from adjacent-suffix LCPs, over
-    // text with a guaranteed synthesized repeat of its own prefix
+    // text with a guaranteed synthesized repeat of its own prefix; the
+    // 48-char cap sits BELOW the synthesized 60-char repeat so the oracle
+    // exercises both capped=true (long docs truncate) and capped=false
+    // (short docs exhaust the shorter suffix before the cap)
     "q_sa_lrs" -> ((s, dir) =>
       graft.ops.SuffixArray.longestRepeat(
         t(s, dir, "documents").select(
           col("doc_id"),
           concat(substring(col("text"), 1, 120), lit(" "),
             substring(col("text"), 1, 60)).as("text")),
-        "doc_id", "text")),
+        "doc_id", "text", maxLcp = 48)),
 
     // integer-quantized PageRank over a deterministic md5-derived link
     // graph (3 out-edges per doc) — the iterated fixpoint itself is
@@ -1836,16 +1839,20 @@ object QueriesCorpus {
         |pr AS (SELECT a.doc_id, a.t, a.i AS i, b.i AS j
         |  FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.rk = a.rk + 1),
         |l AS (SELECT doc_id, t, i, j,
-        |    least(length(t) - i, length(t) - j, 256) AS m FROM pr),
-        |lc AS (SELECT doc_id,
+        |    least(length(t) - i, length(t) - j) AS shorter,
+        |    least(length(t) - i, length(t) - j, 48) AS m FROM pr),
+        |lc AS (SELECT doc_id, shorter,
         |    CASE WHEN m <= 0 THEN 0
         |         ELSE coalesce(nullif(list_position(
         |           list_transform(range(1, m + 1), k ->
         |             substr(t, CAST(i + k AS INT), 1) <> substr(t, CAST(j + k AS INT), 1)),
         |           true), 0) - 1, m) END AS lcp
         |  FROM l),
-        |mx AS (SELECT doc_id, max(lcp) AS lrs FROM lc GROUP BY doc_id)
-        |SELECT dd.doc_id, CAST(coalesce(mx.lrs, 0) AS BIGINT) AS lrs_len
+        |mx AS (SELECT doc_id, max(lcp) AS lrs,
+        |    max(CASE WHEN lcp = 48 AND shorter > 48 THEN 1 ELSE 0 END) AS cm
+        |  FROM lc GROUP BY doc_id)
+        |SELECT dd.doc_id, CAST(coalesce(mx.lrs, 0) AS BIGINT) AS lrs_len,
+        |  coalesce(mx.cm, 0) = 1 AS capped
         |FROM dd LEFT JOIN mx ON dd.doc_id = mx.doc_id""".stripMargin,
     "q_graph_pagerank" -> {
       // the all-integer update rule makes the ITERATED fixpoint exactly

@@ -265,11 +265,13 @@ object QueriesSft {
          |  FROM p JOIN l ON p.conv_id = l.conv_id)
          |SELECT conv_id,
          |  (bool_and(turn_ok) AND max(pos) >= max(lead)) AS roles_ok,
-         |  bool_and(content IS NOT NULL AND trim(content) <> '') AS no_empty,
+         |  bool_and(content IS NOT NULL
+         |    AND regexp_replace(content, '[ \\t\\n\\r\\f]', '', 'g') <> '') AS no_empty,
          |  (arg_max(role, pos) = 'assistant') AS ends_assistant,
          |  count(*) AS n_turns,
          |  (bool_and(turn_ok) AND max(pos) >= max(lead)
-         |    AND bool_and(content IS NOT NULL AND trim(content) <> '')
+         |    AND bool_and(content IS NOT NULL
+         |      AND regexp_replace(content, '[ \\t\\n\\r\\f]', '', 'g') <> '')
          |    AND arg_max(role, pos) = 'assistant') AS keep
          |FROM f GROUP BY conv_id""".stripMargin,
 

@@ -535,8 +535,9 @@ object Bpe {
     * coordinate bridge between character-level annotations (PII spans,
     * [[Sft.lossMaskSpans]] loss masks, dedup span removal) and token
     * space. Output is one row per token:
-    * `(idCol, token_pos, token, word_start, word_end)` — `token_pos`
-    * 0-based over the document, offsets 0-based end-exclusive code points.
+    * `(idCol, token_pos, token, word_start, word_end, offsets_exact)` —
+    * `token_pos` 0-based over the document, offsets 0-based end-exclusive
+    * code points.
     *
     * Tokens of a multi-token word all carry the WORD's range (sub-word
     * boundaries inside a merged symbol are not meaningful post-merge, and
@@ -545,9 +546,16 @@ object Bpe {
     * here are the maximal non-whitespace runs of the lowered text, which
     * is exactly `split(trim(lower(text)), "\\s+")`'s non-empty pieces.
     * Offsets assume case-folding preserves length (true outside a handful
-    * of Unicode special cases like İ; the engine lowercases with the same
-    * JVM rules both sides, so token TEXT can never diverge — only exotic
-    * offsets could, documented not guarded).
+    * of Unicode special cases like İ, whose lowercase is i + combining
+    * dot — TWO code points). That assumption is now GUARDED, not just
+    * documented: each row carries `offsets_exact` — whether the document's
+    * code-point length survived lowering unchanged. When it is false the
+    * token TEXT is still correct (both sides lowercase with the same JVM
+    * rules) but offsets index the LOWERED text and may drift from the
+    * original; downstream span-intersection consumers
+    * ([[Sft.lossMaskTokens]]) should gate on the flag and re-derive spans
+    * over the lowered text (or drop the document) instead of silently
+    * shifting masks.
     *
     * Same scale shape as [[encode]]: broadcast ranks, per-partition word
     * cache, zero shuffles; one output row per token (the honest linear
@@ -571,9 +579,13 @@ object Bpe {
     val bRanks = spark.sparkContext.broadcast(ranks)
     docs
       .select(col(idCol).cast("long").as("id"),
-        lower(coalesce(col(textCol), lit(""))).as("text"))
+        lower(coalesce(col(textCol), lit(""))).as("text"),
+        // code-point length preserved under case folding ⇒ offsets into
+        // the lowered text equal offsets into the original
+        (length(lower(coalesce(col(textCol), lit("")))) ===
+          length(coalesce(col(textCol), lit("")))).as("exact"))
       .filter(col("id").isNotNull)
-      .as[(Long, String)]
+      .as[(Long, String, Boolean)]
       .mapPartitions { it =>
         val rk = bRanks.value
         // the encode() per-partition LRU — same Zipfian-hit-rate rationale
@@ -586,8 +598,8 @@ object Bpe {
         // U+2028/2029 and would shift word boundaries vs encode()
         def isWs(c: Int): Boolean =
           c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
-        it.flatMap { case (id, text) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long, Long)]
+        it.flatMap { case (id, text, exact) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long, Long, Boolean)]
           var tokenPos = 0L
           var i = 0 // UTF-16 index
           var cp = 0L // code-point index
@@ -608,7 +620,7 @@ object Bpe {
               }
               var t = 0
               while (t < toks.length) {
-                out += ((id, tokenPos, toks(t), start, cp))
+                out += ((id, tokenPos, toks(t), start, cp, exact))
                 tokenPos += 1; t += 1
               }
             }
@@ -616,7 +628,7 @@ object Bpe {
           out
         }
       }
-      .toDF(idCol, "token_pos", "token", "word_start", "word_end")
+      .toDF(idCol, "token_pos", "token", "word_start", "word_end", "offsets_exact")
   }
 
   /** A complete trained tokenizer: the merge table, its dense id

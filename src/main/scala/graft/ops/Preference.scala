@@ -42,9 +42,11 @@ object Preference {
     * `(promptCol, chosen_id, rejected_id, chosen_score, rejected_score,
     * margin)`.
     *
-    * Both extremes come from ONE `groupBy(prompt)` via struct min/max —
-    * `max(struct(score, -id))` is the lexicographic argmax with the
-    * smaller id winning ties (negating the id flips the tie direction).
+    * Both extremes come from ONE `groupBy(prompt)` via struct mins —
+    * `min(struct(-score, id))` is the lexicographic argmax over score with
+    * the smaller id winning ties (the tie direction flips by negating the
+    * double score, which is an exact sign-flip; the id is never negated,
+    * so arbitrary orderable ids — strings included — tie-break correctly).
     * The aggregate is a map-side-partial sort-aggregate: one shuffled row
     * per prompt (verified in the executed plan — PlanInvariantsSpec).
     */
@@ -59,15 +61,19 @@ object Preference {
     df.filter(usableScore(scoreCol) && col(idCol).isNotNull)
       .groupBy(col(promptCol))
       .agg(
-        max(struct(s.as("s"), (-col(idCol)).as("negid"))).as("_hi"),
+        // the "smaller id wins ties" direction flips by negating the SCORE
+        // (a double — sign-flip is exact, no overflow), never the id: the
+        // id stays its declared type, so string/arbitrary orderable ids
+        // tie-break correctly instead of silently casting to NULL
+        min(struct((-s).as("negs"), col(idCol).as("id"))).as("_hi"),
         min(struct(s.as("s"), col(idCol).as("id"))).as("_lo"))
       .select(
         col(promptCol),
-        (-col("_hi.negid")).as("chosen_id"),
+        col("_hi.id").as("chosen_id"),
         col("_lo.id").as("rejected_id"),
-        col("_hi.s").as("chosen_score"),
+        (-col("_hi.negs")).as("chosen_score"),
         col("_lo.s").as("rejected_score"),
-        (col("_hi.s") - col("_lo.s")).as("margin"))
+        (-col("_hi.negs") - col("_lo.s")).as("margin"))
       .filter(col("chosen_id") =!= col("rejected_id") &&
         col("margin") >= minMargin)
   }
@@ -159,9 +165,9 @@ object Preference {
     val s = col(scoreCol).cast("double")
     df.filter(usableScore(scoreCol) && col(idCol).isNotNull)
       .groupBy(col(promptCol))
-      .agg(max(struct(s.as("s"), (-col(idCol)).as("negid"))).as("_hi"))
-      .select(col(promptCol), (-col("_hi.negid")).as("best_id"),
-        col("_hi.s").as("best_score"))
+      .agg(min(struct((-s).as("negs"), col(idCol).as("id"))).as("_hi"))
+      .select(col(promptCol), col("_hi.id").as("best_id"),
+        (-col("_hi.negs")).as("best_score"))
       .filter(col("best_score") >= minScore)
   }
 

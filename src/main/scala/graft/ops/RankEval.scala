@@ -183,8 +183,12 @@ object RankEval {
     * the bin index derives from the RAW double — one IEEE multiply+floor,
     * identical in any engine. Per-row probabilities quantize to integer
     * MICRO units before the confidence sum, so the sum is order-free.
-    * NULL/NaN probabilities and NULL labels drop; p outside [0, 1] is the
-    * caller's bug and fails loudly via the bin range check.
+    * NULL/NaN probabilities and NULL labels drop; p outside [0, 1] is
+    * clamped into the edge bins (bin 0 below, bin bins−1 above) so a
+    * stray out-of-range score can never write a negative bin index —
+    * the micro-unit confidence sum still records the raw p, so the
+    * reliability row for the edge bin exposes the anomaly (conf outside
+    * the bin's nominal range) instead of silently corrupting the table.
     */
   def calibrationBins(
       df: DataFrame,
@@ -216,7 +220,7 @@ object RankEval {
         col(probCol).cast("double").as("_p"),
         when(col(labelCol).cast("long") > 0L, 1L).otherwise(0L).as("_y"))
     base
-      .withColumn("bin", least(floor(col("_p") * bins).cast("long"), lit(bins - 1L)))
+      .withColumn("bin", greatest(least(floor(col("_p") * bins).cast("long"), lit(bins - 1L)), lit(0L)))
       .withColumn("_pm", floor(col("_p") * 1e6 + lit(0.5)).cast("long"))
       .groupBy(col("grp"), col("bin"))
       .agg(
@@ -261,7 +265,7 @@ object RankEval {
         when(col(labelCol).cast("long") > 0L, 1L).otherwise(0L).as("_y"))
     require(bins >= 2, s"bins must be >= 2, got $bins")
     base
-      .withColumn("bin", least(floor(col("_p") * bins).cast("long"), lit(bins - 1L)))
+      .withColumn("bin", greatest(least(floor(col("_p") * bins).cast("long"), lit(bins - 1L)), lit(0L)))
       .withColumn("_pm", floor(col("_p") * 1e6 + lit(0.5)).cast("long"))
       .groupBy(col("grp"), col("bin"))
       .agg(

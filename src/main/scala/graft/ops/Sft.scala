@@ -88,8 +88,13 @@ object Sft {
         // just reads it back out of the aggregate
         bool_and(col("_leads_system")).as("_lead"),
         max(col("_pos")).as("_max_pos"),
+        // true whitespace-only detection: an explicit char class (space,
+        // tab, LF, CR, FF) that Java regex and DuckDB's RE2 read
+        // identically — SQL `trim` strips only spaces, so a tab-only turn
+        // would sneak past it
         bool_and(col("_content").isNotNull &&
-          trim(col("_content")) =!= "").as("no_empty"),
+          regexp_replace(col("_content"), "[ \\t\\n\\r\\f]", "") =!= "")
+          .as("no_empty"),
         max_by(col("_role"), col("_pos")).as("_last_role"),
         count(lit(1)).as("n_turns"))
       .select(
@@ -231,12 +236,12 @@ object Sft {
           val altPos = pos - (if (lead) 1 else 0)
           t.role == (if (altPos % 2 == 0) "user" else "assistant")
         }
-      // Spark SQL trim strips only ' ' (not \t\n like java.lang.String.trim)
-      // — the batch twin uses SQL trim, so mirror it exactly
+      // same whitespace class as the batch twin's regexp_replace
+      // ("[ \t\n\r\f]") — the two twins must agree on what "empty" means
       ConvState(
         lead, pos + 1,
         st.allOk && turnOk,
-        st.noEmpty && t.content != null && !t.content.forall(_ == ' '),
+        st.noEmpty && t.content != null && !t.content.forall(" \t\n\r\f".contains(_)),
         t.role)
     }
     turns

@@ -452,13 +452,18 @@ object SimilaritySearch {
     * loop is replayable in SQL (oracle q_ann_mmr unrolls the k steps as
     * correlated-subquery CTEs).
     *
-    * Scale shape: candidate selection is the one corpus-touching step
-    * (distributed take-ordered, the [[bruteForceTopK]] cost); the loop
-    * then runs k bounded jobs over the localCheckpoint'ed ≤candidates
-    * rows, with each step's penalty computed against the already-selected
-    * vectors embedded as plan-time literals (the [[graft.ops.Pca]]
-    * literal-axes trick) — per-query re-rank cost is O(k · candidates ·
-    * dim), independent of corpus size.
+    * Scale shape: candidate selection is the one corpus-touching step —
+    * and the ONLY Spark job (distributed take-ordered, the
+    * [[bruteForceTopK]] cost). The pool is bounded by construction
+    * (≤ `candidates` rows), so it collects ONCE and the greedy loop runs
+    * driver-side — O(k · candidates · dim) scalar work that was never
+    * distributed-shaped to begin with (each step reads every candidate
+    * against every selected vector). The previous form ran k sequential
+    * `limit(1)` jobs over a localCheckpoint'ed pool; same answers, k×
+    * the job-scheduling latency. Driver cosines replicate the
+    * [[cosine]] expression's IEEE op sequence exactly (in-order
+    * multiply-add folds, `Math.sqrt`, one divide, zero-norm → 0) — the
+    * micro-unit scores, and therefore the oracle replay, are unchanged.
     *
     * Output: `(rank, id, rel_u, mmr_u)` — rank 1-based selection order.
     */
@@ -474,7 +479,8 @@ object SimilaritySearch {
     require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct in [0,100], got $lambdaPct")
     val spark = df.sparkSession
     val qv = array(query.map(lit): _*)
-    val cands = df
+    // the ONE Spark job: distributed take-ordered of the top candidates
+    val pool: Array[(Long, Array[Double], Long)] = df
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .filter(col("id").isNotNull && col("v").isNotNull)
@@ -482,33 +488,51 @@ object SimilaritySearch {
         floor(cosine(col("v"), qv) * 1e6 + 0.5).cast("long").as("rel_u"))
       .orderBy(col("rel_u").desc, col("id"))
       .limit(candidates)
-      .localCheckpoint() // scanned k times below — compute the corpus pass once
-    var selected = Vector.empty[(Long, Seq[Double], Long, Long)]
-    var exhausted = false
-    for (_ <- 1 to k if !exhausted) {
-      val penalty: Column =
-        if (selected.isEmpty) lit(0L)
-        else {
-          val sims = selected.map { case (_, sv, _, _) =>
-            floor(cosine(col("v"), array(sv.map(lit): _*)) * 1e6 + 0.5).cast("long")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+
+    // bit-exact driver twin of the codegen'd cosine: in-order
+    // multiply-add folds, Math.sqrt norms, zero-norm → 0, one divide
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); i += 1 }
+      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      val sna = math.sqrt(na); val snb = math.sqrt(nb)
+      if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
+    }
+    def simU(a: Array[Double], b: Array[Double]): Long =
+      math.floor(cos(a, b) * 1e6 + 0.5).toLong
+
+    var selected = Vector.empty[(Long, Array[Double], Long, Long)]
+    val chosen = scala.collection.mutable.LongMap.empty[Boolean]
+    var step = 0
+    // a corpus smaller than k exhausts the pool — return what exists
+    while (step < k && selected.length < pool.length) {
+      var bestId = Long.MinValue; var bestScore = Long.MinValue
+      var bestVec: Array[Double] = null; var bestRel = 0L; var found = false
+      pool.foreach { case (id, v, relU) =>
+        if (!chosen.contains(id)) {
+          var penalty = 0L
+          if (selected.nonEmpty) {
+            penalty = Long.MinValue
+            selected.foreach { case (_, sv, _, _) =>
+              val s = simU(v, sv); if (s > penalty) penalty = s
+            }
           }
-          if (sims.size == 1) sims.head else greatest(sims: _*)
+          val score = lambdaPct.toLong * relU - (100L - lambdaPct) * penalty
+          if (!found || score > bestScore || (score == bestScore && id < bestId)) {
+            found = true; bestId = id; bestScore = score; bestVec = v; bestRel = relU
+          }
         }
-      val pool =
-        if (selected.isEmpty) cands
-        else cands.filter(!col("id").isin(selected.map(_._1): _*))
-      val best = pool
-        .select(col("id"), col("v"), col("rel_u"),
-          (lit(lambdaPct.toLong) * col("rel_u")
-            - lit((100 - lambdaPct).toLong) * penalty).as("score_u"))
-        .orderBy(col("score_u").desc, col("id"))
-        .limit(1)
-        .collect()
-      // a corpus smaller than k exhausts the pool — return what exists
-      // rather than failing the re-rank
-      if (best.isEmpty) exhausted = true
-      else selected = selected :+ ((best(0).getLong(0), best(0).getSeq[Double](1),
-        best(0).getLong(2), best(0).getLong(3)))
+      }
+      if (!found) step = k
+      else {
+        selected = selected :+ ((bestId, bestVec, bestRel, bestScore))
+        chosen(bestId) = true
+        step += 1
+      }
     }
     import spark.implicits._
     selected.zipWithIndex

@@ -89,12 +89,15 @@ object SuffixArray {
     * LCPs from the doubling round ranks instead — ⌈log n⌉ slim joins —
     * when documents outgrow per-row arrays).
     *
-    * Output: `(idCol, lrs_len)` — 0 for documents with no repeat (and
-    * for single-character documents); empty/NULL docs emit nothing.
-    * `maxLcp` caps the per-pair compare window (exact whenever the true
-    * LRS is under the cap; a repeat longer than the cap reports the cap —
-    * the bound that keeps per-row arrays from going quadratic in doc
-    * length).
+    * Output: `(idCol, lrs_len, capped)` — `lrs_len` 0 for documents with
+    * no repeat (and for single-character documents); empty/NULL docs emit
+    * nothing. `maxLcp` caps the per-pair compare window (the bound that
+    * keeps per-row arrays from going quadratic in doc length); `capped`
+    * is true iff the reported length hit the cap with BOTH suffixes still
+    * unexhausted — i.e. the true LRS is ≥ `maxLcp` and the report may
+    * understate it. A downstream exact-substring gate escalates exactly
+    * the `capped` docs to a higher cap instead of guessing whether
+    * `lrs_len == maxLcp` meant "exactly maxLcp" or "at least maxLcp".
     */
   def longestRepeat(
       df: DataFrame,
@@ -111,12 +114,14 @@ object SuffixArray {
     val b = sa.select(col(idCol).as("id"), col("pos").as("j"),
       (col("sa_rank") - 1).as("sa_rank"))
     val pairs = a.join(b, Seq("id", "sa_rank")) // adjacent suffixes (i, j)
+    // the shorter remainder — when it exceeds the cap, a full-window match
+    // means the true LCP is ≥ maxLcp and the pair's report is TRUNCATED
+    val shorter = least(length(col("t")) - col("i"), length(col("t")) - col("j"))
     val lcp = {
       // longest shared prefix of suffixes at i and j: first mismatching
       // offset over the shorter remainder (array_position is 1-based and
       // 0 when no mismatch ⇒ whole shorter remainder is shared)
-      val m = least(length(col("t")) - col("i"), length(col("t")) - col("j"),
-        lit(maxLcp.toLong))
+      val m = least(shorter, lit(maxLcp.toLong))
       val flags = transform(
         sequence(lit(1L), m),
         x => substring(col("t"), (col("i") + x).cast("int"), lit(1)) =!=
@@ -127,9 +132,12 @@ object SuffixArray {
     }
     texts
       .join(pairs, Seq("id"), "left")
-      .select(col("id"), when(col("i").isNotNull, lcp).otherwise(lit(0L)).as("_l"))
+      .select(col("id"),
+        when(col("i").isNotNull, lcp).otherwise(lit(0L)).as("_l"),
+        when(col("i").isNotNull && lcp === maxLcp.toLong &&
+          shorter > maxLcp.toLong, 1L).otherwise(0L).as("_cap"))
       .groupBy(col("id"))
-      .agg(max(col("_l")).as("lrs_len"))
-      .select(col("id").as(idCol), col("lrs_len"))
+      .agg(max(col("_l")).as("lrs_len"), max(col("_cap")).as("_cm"))
+      .select(col("id").as(idCol), col("lrs_len"), (col("_cm") === 1L).as("capped"))
   }
 }

@@ -38,7 +38,11 @@ class SftSpec extends SparkSpec {
       // 6: ends on user — ends_assistant fails
       (6L, 0L, "user", "q"), (6L, 1L, "assistant", "a"), (6L, 2L, "user", "bye"),
       // 7: system in the middle — roles_ok fails
-      (7L, 0L, "user", "q"), (7L, 1L, "system", "sneak"), (7L, 2L, "assistant", "a")))
+      (7L, 0L, "user", "q"), (7L, 1L, "system", "sneak"), (7L, 2L, "assistant", "a"),
+      // 8: tab/newline-only content — no_empty must catch NON-space
+      // whitespace too (SQL trim strips only spaces; the op uses an
+      // explicit whitespace class)
+      (8L, 0L, "user", "q"), (8L, 1L, "assistant", "\t\n \r")))
     assert(f(1L) == ((true, true, true, true)))
     assert(f(2L) == ((true, true, true, true)))
     assert(f(3L) == ((false, true, true, false)))
@@ -46,6 +50,7 @@ class SftSpec extends SparkSpec {
     assert(f(5L) == ((true, false, true, false)))
     assert(f(6L) == ((true, true, false, false)))
     assert(f(7L) == ((false, true, true, false)))
+    assert(f(8L) == ((true, false, true, false)))
   }
 
   test("validate: NULL role can never pass the alternation") {
@@ -103,8 +108,9 @@ class SftSpec extends SparkSpec {
         assert((u.rolesOk, u.noEmpty, u.endsAssistant, u.nTurns, u.keep) ==
           ((b._2, b._3, b._4, b._5, b._6)), s"conv $c stream/batch disagree")
       }
-      // SQL-trim parity: tab-only content must NOT read as empty (conv 3)
-      assert(latest(3L).noEmpty, "tab-only content is non-empty under SQL trim")
+      // whitespace-class parity: tab-only content reads as EMPTY in both
+      // twins (the explicit [ \t\n\r\f] class, not SQL's space-only trim)
+      assert(!latest(3L).noEmpty, "tab-only content is empty under the whitespace class")
       // the wave-1 snapshot of conv 1 was keep=false (ends on user) — the
       // stream legitimately emitted an interim state that wave 2 corrected
       val wave1Conv1 = spark.table("sft_stream").as[ValidateUpdate].collect()
@@ -151,6 +157,15 @@ class SftSpec extends SparkSpec {
     assert(sliced.nonEmpty)
     assert(!sliced.exists(w => w.isEmpty || w.exists(c => " \t\n\f\r".contains(c))),
       "every offset range must be exactly one whitespace-free word")
+
+    // 2b. case-fold guard: ASCII-ish corpus text keeps offsets exact; a
+    // doc with \u0130 (lowercase is 2 code points) flags inexact
+    assert(withOff.filter(!col("offsets_exact")).isEmpty,
+      "corpus text must keep offsets_exact = true")
+    val turkish = Bpe.encodeWithOffsets(
+      Seq((99L, "\u0130stanbul rocks")).toDF("conv", "text"), "conv", "text", merges)
+    assert(turkish.count() > 0 && turkish.filter(col("offsets_exact")).isEmpty,
+      "\u0130 changes code-point length under lowering - must flag inexact")
 
     // 3. composition law: token trainable ⟺ its word overlaps a char span
     // — ground truth recomputed DRIVER-SIDE from the collected spans

@@ -36,21 +36,33 @@ class SuffixArraySpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("longestRepeat: banana has 'ana' (3); unique-char docs report 0") {
+  test("longestRepeat: banana has 'ana' (3); unique-char docs report 0; none capped") {
     val out = SuffixArray.longestRepeat(
       Seq((1L, "banana"), (2L, "abcdef"), (3L, "x")).toDF("doc_id", "text"),
       "doc_id", "text")
-      .as[(Long, Long)].collect().toMap
-    assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 0L), s"got $out")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((3L, false)), 2L -> ((0L, false)), 3L -> ((0L, false))),
+      s"got $out")
   }
 
-  test("longestRepeat: maxLcp caps a longer repeat at the cap") {
+  test("longestRepeat: maxLcp caps a longer repeat at the cap AND flags it") {
     val df = Seq((1L, "abcdefgh abcdefgh")).toDF("doc_id", "text")
     val full = SuffixArray.longestRepeat(df, "doc_id", "text")
-      .as[(Long, Long)].collect().toMap
-    assert(full(1L) == 8L, s"true LRS is 'abcdefgh' (8), got $full")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(full(1L) == ((8L, false)), s"true LRS is 'abcdefgh' (8), uncapped, got $full")
     val capped = SuffixArray.longestRepeat(df, "doc_id", "text", maxLcp = 3)
-      .as[(Long, Long)].collect().toMap
-    assert(capped(1L) == 3L, s"cap must bound the report, got $capped")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(capped(1L) == ((3L, true)), s"cap must bound the report and flag it, got $capped")
+  }
+
+  test("longestRepeat: capped=false when the report EQUALS the cap exactly") {
+    // repeat 'abc' (3) with maxLcp = 3: the shorter suffix exhausts at the
+    // cap boundary — 'abc abc': suffix at 4 has remainder exactly 3, all
+    // matched, so the true LRS IS 3; no truncation happened
+    val out = SuffixArray.longestRepeat(
+      Seq((1L, "abc abc")).toDF("doc_id", "text"), "doc_id", "text", maxLcp = 3)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((3L, false)),
+      s"shorter-suffix exhaustion at the cap is exact, not truncated: $out")
   }
 }
