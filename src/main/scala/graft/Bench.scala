@@ -39,6 +39,7 @@ object Bench {
       "q_rrf_fuse", "q_tx_pmi", "q_kmv_jaccard", "q_bpe_roundtrip",
       "q_graph_pagerank", "q_tx_snippet", "q_sm_reweight",
       "q_ann_mmr", "q_ann_recall", "q_tx_qexp", "q_sa_ranks", "q_sa_lrs",
+      "q_sa_ranks_global",
       "q_bl_skip", "q_tx_ppmi",
       "q_dd_oph_sig", "q_dd_oph_pairs", "q_tx_novelty", "q_sm_timesplit",
       "q_pf_quantiles", "q_sm_unimax_take", "q_ann_maxsim",

@@ -147,6 +147,13 @@ object QueriesCorpus {
     "q_sa_ranks" -> ((s, dir) =>
       graft.ops.SuffixArray.ranks(t(s, dir, "documents"), "doc_id", "text")),
 
+    // corpus-grain suffix array: the SAME ranks via range-partitioned
+    // global sorts + two-phase offset ranking — zero per-doc windows, so
+    // a single giant document can never serialize a partition; same
+    // fully-independent direct-sort oracle as q_sa_ranks
+    "q_sa_ranks_global" -> ((s, dir) =>
+      graft.ops.SuffixArray.ranksGlobal(t(s, dir, "documents"), "doc_id", "text")),
+
     // longest repeated substring per doc from adjacent-suffix LCPs, over
     // text with a guaranteed synthesized repeat of its own prefix; the
     // 48-char cap sits BELOW the synthesized 60-char repeat so the oracle
@@ -881,7 +888,7 @@ object QueriesCorpus {
           .as("t_norm"))),
 
     // KMV bottom-k distinct sketch: per-language k smallest distinct token
-    // hashes — unlike HLL (q_x_approx_distinct, rows-only), every byte is
+    // hashes — like the in-house HLL (q_x_approx_distinct), every byte is
     // md5-derived, so the sketch itself is hash-exact against the oracle
     "q_kmv_sketch" -> ((s, dir) =>
       graft.ops.Kmv.sketchTokens(t(s, dir, "documents"), "lang", "text", k = 32)
@@ -1125,6 +1132,56 @@ object QueriesCorpus {
     // every flag recomputed independently by the oracle
     "q_cr_web" -> ((s, dir) =>
       Curate.decideWeb(t(s, dir, "documents"), "doc_id", "text")),
+
+    // THE end-to-end pretraining-curation composition — every stage is an
+    // individually-oracled operator, chained as ONE plan the way a real
+    // 100 TB run executes it: synthetic-HTML extract → web quality gates
+    // (gopher ∧ c4 ∧ repetition ∧ exact-canonical) → LSH near-dup cluster
+    // canonical → bigram decontamination against the eval slice →
+    // temperature sampling over languages → pack with loss masks. The
+    // oracle replays the WHOLE chain in SQL from the same raw rows.
+    "q_e2e_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      // stage 1: extraction from a deterministic HTML carrier
+      val extracted = docs.select(col("doc_id"), col("lang"),
+        graft.ops.WebExtract.htmlToText(concat(
+          lit("<div><h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+          col("text"), lit(" &amp; tail</p><script>skip<this</script></div>")))
+          .as("text"))
+      // stage 2: web gates (FineWeb/RefinedWeb recipe) — keep survivors
+      val web = graft.ops.Curate.decideWeb(extracted, "doc_id", "text")
+      val kept1 = extracted
+        .join(web.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      // stage 3: near-dup LSH clusters — keep each cluster's canonical
+      val clusters = graft.ops.ConnectedComponents.assign(
+        kept1.select(col("doc_id")), "doc_id",
+        graft.ops.Dedup.minhashLshPairs(kept1, "doc_id", "text",
+          numHashes = 8, bands = 2),
+        "id_a", "id_b")
+      val kept2 = kept1.join(
+        clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+        Seq("doc_id"))
+      // stage 4: decontaminate against the eval slice (doc_id % 10 = 0)
+      val evalSet = extracted.filter(col("doc_id") % 10 === 0)
+      val contaminated = graft.ops.Decontaminate.ngramOverlap(
+        kept2, "doc_id", "text", evalSet, "doc_id", "text",
+        n = 2, threshold = 0.3)
+        .select(col("train_id").as("doc_id")).distinct()
+      val kept3 = kept2.join(contaminated, Seq("doc_id"), "left_anti")
+      // stage 5: temperature mix over languages (α = 0.5)
+      val kept4 = graft.ops.Sampling.temperatureMix(
+        kept3, "lang", "doc_id", alpha = 0.5, salt = "e2e")
+      // stage 6: pack with loss masks (the q_pk_mask contract)
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val prepared = kept4.select(col("doc_id"), toks.as("ids"),
+        transform(sequence(lit(0), size(toks) - 1), i => i % 3 === 0).as("mask"))
+      Pack.packTokenIdsWithMask(prepared, "doc_id", "ids", "mask",
+          budget = 128, numShards = 8)
+        .select(col("shard"), col("seq_idx"), col("doc_id"), col("seq_offset"),
+          col("seg_tokens"),
+          array_join(transform(col("seg_mask"),
+            b => when(b, "1").otherwise("0")), "").as("seg_mask_bits"))
+    }),
 
     // benchmark decontamination: eval = every 5th doc, train = the rest;
     // containment of the EVAL doc's bigram shingle set
@@ -1634,6 +1691,185 @@ object QueriesCorpus {
         |  floor(exp(CAST(ss AS DOUBLE) / n_bigrams / 1e9) * 1e4 + 0.5) / 1e4 AS kn_ppl
         |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
 
+  /** The q_e2e_curate oracle: the WHOLE six-stage curation chain replayed
+    * in SQL — each stage is the (adapted) oracle fragment of its
+    * individually-verified query: q_web_html's extraction chain,
+    * q_cr_web's gate CTEs, q_dd_clusters' banded-LSH recursive closure,
+    * q_dc_overlap's bigram containment, q_sm_temperature's rate filter,
+    * and q_pk_mask's segment arithmetic.
+    */
+  private val e2eCurateOracleSql: String = {
+    val bandSelects = (0 until 2)
+      .map { b =>
+        val sig = (0 until 4)
+          .map(r => s"list_min(list_transform(sh, x -> md5('s${b * 4 + r}:' || x)))")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM ksh"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |raw AS (SELECT doc_id, lang, text FROM documents WHERE doc_id IS NOT NULL),
+       |h AS (SELECT doc_id, lang,
+       |  '<div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+       |  ' &amp; tail</p><script>skip<this</script></div>' AS x FROM raw),
+       |s1 AS (SELECT doc_id, lang,
+       |  regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM h),
+       |s2 AS (SELECT doc_id, lang,
+       |  regexp_replace(x, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM s1),
+       |s3 AS (SELECT doc_id, lang,
+       |  regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM s2),
+       |s4 AS (SELECT doc_id, lang, regexp_replace(x,
+       |  '(?i)<(?:br|hr)[^>]*>|</(?:p|div|li|tr|h[1-6]|ul|ol|table)[^>]*>',
+       |  chr(10), 'g') AS x FROM s3),
+       |s5 AS (SELECT doc_id, lang,
+       |  regexp_replace(x, '<[^>]+>', ' ', 'g') AS x FROM s4),
+       |s6 AS (SELECT doc_id, lang,
+       |  replace(replace(replace(replace(replace(replace(replace(x,
+       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |    '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x FROM s5),
+       |e2e_docs AS (SELECT doc_id, lang, array_to_string(
+       |  list_filter(
+       |    list_transform(string_split(x, chr(10)),
+       |      l -> trim(regexp_replace(l, '[ \t]+', ' ', 'g'))),
+       |    l -> l <> ''),
+       |  chr(10)) AS text FROM s6),
+       |wt AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS w,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ls
+       |  FROM e2e_docs),
+       |wg AS (
+       |  SELECT doc_id,
+       |    (CAST(len(w) AS BIGINT) BETWEEN 50 AND 100000)
+       |    AND (CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+       |      (CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+       |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END BETWEEN 3.0 AND 10.0)
+       |    AND (CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+       |      (CAST(length(text) - length(replace(text, '#', ''))
+       |        + (length(text) - length(replace(text, '...', ''))) / 3
+       |        + length(text) - length(replace(text, chr(8230), '')) AS DOUBLE)
+       |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.1)
+       |    AND (CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(
+       |      (CAST(len(list_filter(ls, l -> starts_with(l, chr(8226))
+       |          OR starts_with(l, '-') OR starts_with(l, '*'))) AS DOUBLE)
+       |        / CAST(len(ls) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.9)
+       |    AND (CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(
+       |      (CAST(len(list_filter(ls, l -> ends_with(l, '...')
+       |          OR ends_with(l, chr(8230)))) AS DOUBLE)
+       |        / CAST(len(ls) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.3)
+       |    AND (CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+       |      (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END >= 0.8)
+       |    AND (len(list_filter(list_distinct(w), x -> list_contains(
+       |      ['the','be','to','of','and','that','have','with'], x))) >= 2) AS gopher_ok
+       |  FROM wt),
+       |wc AS (
+       |  SELECT doc_id,
+       |    NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+       |      AND length(coalesce(ct, '')) - length(regexp_replace(coalesce(ct, ''), '[.!?]', '', 'g')) >= 3 AS c4_ok
+       |  FROM (
+       |    SELECT doc_id, text, array_to_string(
+       |      list_filter(ls, l -> (ends_with(l, '.') OR ends_with(l, '!')
+       |          OR ends_with(l, '?') OR ends_with(l, '"'))
+       |        AND len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x <> '')) >= 3),
+       |      chr(10)) AS ct
+       |    FROM wt)),
+       |wr AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN len(rls) = 0 THEN 0.0 ELSE floor(
+       |      (CAST(len(rls) - len(list_distinct(rls)) AS DOUBLE)
+       |        / CAST(len(rls) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.3)
+       |    AND (CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+       |      (CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+       |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.3)
+       |    AND (CASE WHEN len(w) = 0 THEN 0.0 ELSE floor(
+       |      (CAST(list_max(list_transform(list_distinct(w), d ->
+       |          len(list_filter(w, x -> x = d)))) AS DOUBLE)
+       |        / CAST(len(w) AS DOUBLE)) * 10000 + 0.5) / 10000 END <= 0.2) AS rep_ok
+       |  FROM (SELECT doc_id, w, string_split(text, chr(10)) AS rls
+       |        FROM wt)),
+       |wch AS (SELECT doc_id, md5(trim(lower(text))) AS ch FROM e2e_docs),
+       |wcanon AS (SELECT ch, min(doc_id) AS cid FROM wch GROUP BY 1),
+       |k1 AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM e2e_docs d
+       |  JOIN wg USING (doc_id) JOIN wc USING (doc_id) JOIN wr USING (doc_id)
+       |  JOIN wch ON wch.doc_id = d.doc_id JOIN wcanon ON wcanon.ch = wch.ch
+       |  WHERE wg.gopher_ok AND wc.c4_ok AND wr.rep_ok AND d.doc_id = wcanon.cid),
+       |ktt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM k1),
+       |ksh AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(tt) - 2, 1) + 1),
+       |      i -> array_to_string(tt[i:i+2], ' '))) AS sh
+       |  FROM ktt),
+       |banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM k1
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+       |clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |k2 AS (
+       |  SELECT k1.doc_id, k1.lang, k1.text FROM k1
+       |  JOIN clusters c ON k1.doc_id = c.doc_id AND c.doc_id = c.cluster_id),
+       |trsh AS (SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+       |        i -> array_to_string(t[i:i+1], ' ')),
+       |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM k2)),
+       |evsh AS (SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+       |        i -> array_to_string(t[i:i+1], ' ')),
+       |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |        FROM e2e_docs WHERE doc_id % 10 = 0)),
+       |cont AS (
+       |  SELECT DISTINCT tr.doc_id
+       |  FROM trsh tr JOIN evsh ev ON
+       |    floor(CAST(len(list_intersect(tr.sh, ev.sh)) AS DOUBLE)
+       |      / len(ev.sh) * 10000 + 0.5) / 10000 >= 0.3),
+       |k3 AS (SELECT * FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |tc AS (SELECT lang, count(*) AS n FROM k3 WHERE lang IS NOT NULL GROUP BY lang),
+       |tmn AS (SELECT min(n) AS nmin FROM tc),
+       |trt AS (SELECT lang,
+       |  floor(power(CAST(n AS DOUBLE) / CAST(nmin AS DOUBLE), -0.5)
+       |    * 1000000000 + 0.5) / 1000000000 AS rate FROM tc, tmn),
+       |k4 AS (
+       |  SELECT d.doc_id, d.text FROM k3 d JOIN trt USING (lang)
+       |  WHERE (CAST('0x' || substr(md5('e2e' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+       |    AS BIGINT) / 4294967296.0) < trt.rate),
+       |pbase AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt,
+       |    CAST('0x' || substr(md5('pkshard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+       |    CAST('0x' || substr(md5('pk' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 AS u
+       |  FROM k4),
+       |pc AS (
+       |  SELECT doc_id, tt, shard, CAST(len(tt) AS BIGINT) AS nt,
+       |    CAST(sum(CAST(len(tt) AS BIGINT)) OVER (PARTITION BY shard ORDER BY u, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM pbase),
+       |pseg AS (
+       |  SELECT shard, doc_id, nt, cum, cum - nt AS cb, CAST(sq.s AS BIGINT) AS seq_idx
+       |  FROM pc, unnest(range(CAST((cum - nt) // 128 AS BIGINT),
+       |                       CAST((cum - 1) // 128 + 1 AS BIGINT))) AS sq(s))
+       |SELECT shard, seq_idx, doc_id,
+       |  cb + greatest(seq_idx * 128 - cb, 0) - seq_idx * 128 AS seq_offset,
+       |  least((seq_idx + 1) * 128, cum) - cb - greatest(seq_idx * 128 - cb, 0) AS seg_tokens,
+       |  array_to_string(list_transform(
+       |    range(CAST(greatest(seq_idx * 128 - cb, 0) AS BIGINT),
+       |          CAST(least((seq_idx + 1) * 128, cum) - cb AS BIGINT)),
+       |    x -> CASE WHEN x % 3 = 0 THEN '1' ELSE '0' END), '') AS seg_mask_bits
+       |FROM pseg""".stripMargin
+  }
+
   private val dcOverlapOracleSql: String =
     """WITH sh AS (
         |  SELECT doc_id,
@@ -1819,6 +2055,15 @@ object QueriesCorpus {
          |  floor(1.0 / sz.cluster_size * 1e9 + 0.5) / 1e9 AS weight
          |FROM clusters c JOIN sz USING (cluster_id)""".stripMargin,
     "q_sa_ranks" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, unnest(range(0, length(text))) AS pos
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY substr(text, CAST(pos AS INT) + 1)) AS BIGINT) AS sa_rank
+        |FROM p""".stripMargin,
+    "q_sa_ranks_global" ->
       """WITH p AS (
         |  SELECT doc_id, text, unnest(range(0, length(text))) AS pos
         |  FROM documents
@@ -3689,6 +3934,7 @@ object QueriesCorpus {
     // oracle text serves both queries
     "q_dc_overlap_idx" -> dcOverlapOracleSql,
     "q_dc_overlap" -> dcOverlapOracleSql,
+    "q_e2e_curate" -> e2eCurateOracleSql,
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1856 + 64 AS BIGINT) AS width,

@@ -219,12 +219,16 @@ object QueriesExtra {
           Functions.roundHalfUp(element_at(col("ps"), 2), 6).as("p50"),
           Functions.roundHalfUp(element_at(col("ps"), 3), 6).as("p95"))),
 
-    // approximate distinct (HLL++) — rows-only check (approximate by
-    // definition); the 100 TB shape for cardinality over billions of keys
+    // approximate distinct per group — the 100 TB shape for cardinality
+    // over billions of keys. Runs the in-house deterministic HLL
+    // (md5-derived registers, DECIMAL-exact register sum) instead of the
+    // engine-internal HLL++, so the whole row — registers folded to an
+    // estimate — is a full hash match against the oracle, not rows-only
     "q_x_approx_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))),
+      graft.ops.Hll.estimateByGroup(
+        t(s, dir, "lineitem"), "l_returnflag", "l_partkey", p = 8)
+        .select(col("l_returnflag"), col("n_buckets"), col("v_empty"),
+          col("est").as("approx_parts"))),
 
     // in-house HLL: unlike the engine-internal sketch above, registers AND
     // estimate are deterministic relational algebra — fully oracled
@@ -431,6 +435,32 @@ object QueriesExtra {
         |SELECT h >> 52 AS bucket,
         |  max(52 - length(ltrim(bin(h & ((1::BIGINT << 52) - 1)), '0')) + 1) AS m_rank
         |FROM h GROUP BY 1""".stripMargin,
+
+    "q_x_approx_distinct" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST('0x' || substr(md5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL),
+        |regs AS (
+        |  SELECT grp, h >> 52 AS bucket,
+        |    max(52 - length(ltrim(bin(h & ((1::BIGINT << 52) - 1)), '0')) + 1) AS m_rank
+        |  FROM h GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT grp FROM regs),
+        |sp AS (SELECT grp, unnest(range(0, 256)) AS bucket FROM g),
+        |j AS (SELECT sp.grp, COALESCE(regs.m_rank, 0) AS mr
+        |  FROM sp LEFT JOIN regs ON sp.grp = regs.grp AND sp.bucket = regs.bucket),
+        |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty,
+        |    sum(CAST(power(2, 60 - mr) AS DECIMAL(38,0))) AS s
+        |  FROM j GROUP BY grp)
+        |SELECT grp AS l_returnflag, n_buckets, v_empty,
+        |  CAST(floor(CASE WHEN (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+        |        * power(2, 60) / CAST(s AS DOUBLE) <= 640.0 AND v_empty > 0
+        |      THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))
+        |      ELSE (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+        |        * power(2, 60) / CAST(s AS DOUBLE) END + 0.5) AS BIGINT) AS approx_parts
+        |FROM a""".stripMargin,
 
     "q_hll_estimate" ->
       """WITH h AS (

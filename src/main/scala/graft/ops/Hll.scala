@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * deterministic relational pieces, so unlike the engine-internal
   * `approx_count_distinct` the whole sketch — registers AND estimate — is
   * hash-exact across engines and DuckDB-oracle-checkable
-  * (q_hll_registers / q_hll_estimate; the built-in stays available as
-  * q_x_approx_distinct for comparison).
+  * (q_hll_registers / q_hll_estimate; the grouped form
+  * [[estimateByGroup]] replaces `approx_count_distinct` in
+  * q_x_approx_distinct, turning the last HLL-adjacent rows-only oracle
+  * row into a full hash match).
   *
   * Reference analog: the reference counts distinct devices per day with a
   * full distinct pass (`/root/reference/atd_data_lake/perfmet.py`); this
@@ -106,4 +108,67 @@ object Hll {
   /** [[registers]] + [[estimateFromRegisters]] in one call. */
   def estimate(df: DataFrame, valueCol: String, p: Int): DataFrame =
     estimateFromRegisters(registers(df, valueCol, p), p)
+
+  /** Grouped register table: `(groupCol, bucket, m_rank)` — one row per
+    * (group, non-empty bucket), ≤ groups·2^p rows. NULL groups and NULL
+    * values are excluded. Same one map-side-combinable aggregate shape as
+    * [[registers]], keyed on (group, bucket).
+    */
+  def registersByGroup(
+      df: DataFrame, groupCol: String, valueCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val rest = Width - p
+    val h = hash60(col(valueCol))
+    val restBits = h.bitwiseAND(lit((1L << rest) - 1L))
+    val msb = length(ltrim(bin(restBits), "0"))
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(
+        col(groupCol),
+        shiftright(h, rest).as("bucket"),
+        (lit(rest) - msb + 1).cast("long").as("_rank"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("_rank")).as("m_rank"))
+  }
+
+  /** Per-group cardinality estimate — the fully-oracled replacement for
+    * `groupBy(g).agg(approx_count_distinct(v))` (whose HLL++ registers an
+    * external engine cannot reproduce). One row per group:
+    * `(groupCol, n_buckets, v_empty, est)`. The empty-bucket spine is
+    * `distinct groups × 2^p` — group-bounded, never corpus-bounded; the
+    * estimate arithmetic is identical to [[estimateFromRegisters]]
+    * (DECIMAL-exact register sum, one final double divide, linear
+    * counting below 2.5m).
+    */
+  def estimateByGroup(
+      df: DataFrame, groupCol: String, valueCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val spark = df.sparkSession
+    val m = 1 << p
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    val regs = registersByGroup(df, groupCol, valueCol, p)
+    val spine = regs.select(col(groupCol)).distinct()
+      .crossJoin(spark.range(m).select(col("id").as("bucket")))
+    spine.join(regs, Seq(groupCol, "bucket"), "left")
+      .select(col(groupCol), coalesce(col("m_rank"), lit(0L)).as("mr"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum((col("mr") === 0L).cast("long")).as("v_empty"),
+        sum(pow(lit(2.0), lit(Width.toDouble) - col("mr").cast("double"))
+          .cast("decimal(38,0)")).as("s"))
+      .select(col(groupCol), col("n_buckets"), col("v_empty"),
+        floor(
+          when(
+            lit(alpha) * lit(m.toDouble * m) * lit(math.pow(2.0, Width)) /
+              col("s").cast("double") <= lit(2.5 * m) && col("v_empty") > 0L,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+            .otherwise(
+              lit(alpha) * lit(m.toDouble * m) * lit(math.pow(2.0, Width)) /
+                col("s").cast("double"))
+            + lit(0.5)).cast("long").as("est"))
+  }
 }

@@ -18,8 +18,9 @@ import graft.Functions
   * approximate), and KMV — distinct CARDINALITY at bounded state.
   *
   * Unlike `approx_count_distinct` (HyperLogLog++, whose register values an
-  * external engine cannot reproduce — q_x_approx_distinct is rows-only for
-  * that reason), every byte of a KMV sketch is md5-derived and therefore
+  * external engine cannot reproduce — the reason q_x_approx_distinct now
+  * runs [[Hll.estimateByGroup]] instead), every byte of a KMV sketch is
+  * md5-derived and therefore
   * recomputable by the DuckDB oracle: the sketch itself AND the estimates
   * are hash-exact (q_kmv_sketch / q_kmv_estimate).
   *

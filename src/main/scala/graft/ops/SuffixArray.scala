@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,119 @@ object SuffixArray {
     }
     rows.select(col("id").as(idCol), col("pos").cast("long").as("pos"),
       col("rank").as("sa_rank"))
+  }
+
+  /** Corpus-grain suffix ranks: the SAME output contract as [[ranks]] —
+    * `(idCol, pos, sa_rank)` per-document suffix order — but with ZERO
+    * per-document windows anywhere in the plan, so one pathologically
+    * large document parallelizes across the whole cluster instead of
+    * serializing a single window partition (the documented limit of
+    * [[ranks]]). This is the variant a Lee-et-al-grain exact-substring
+    * dedup runs when documents can be books, logs, or concatenated
+    * shards.
+    *
+    * Mechanics — every ranking step is a RANGE-PARTITIONED global sort
+    * + two-phase offset ranking ([[globalDenseRank]]):
+    *   1. seed: global dense rank over `(id, 128-char prefix)` — id
+    *      leads the sort key, so each document's ranks form a contiguous
+    *      integer block, disjoint across documents (the invariant the
+    *      loop preserves);
+    *   2. doubling round: the `lead(k)` window of [[ranks]] becomes a
+    *      keyed SELF-JOIN on `(id, pos + k)` — unique keys, no skew —
+    *      and re-densification is another global rank over `(rank, r2)`
+    *      (id can drop from the key: ranks are already doc-disjoint);
+    *   3. final: per-doc rank = `rank − min(rank) + 1` per document —
+    *      exact because each doc's final ranks are CONSECUTIVE (dense
+    *      rank over doc-contiguous, within-doc-distinct keys). The min
+    *      table is one row per doc; the join back is id-keyed with AQE
+    *      skew-split handling the giant doc's row block.
+    *
+    * Cost vs [[ranks]]: ~2× the exchanges per round (self-join + two
+    * rank exchanges vs two window passes) — the price of skew immunity.
+    * Rows carry only (id, pos, rank) + a transient ≤128-char prefix;
+    * the document text itself is never shuffled. Rounds
+    * `localCheckpoint` (lineage control, the [[ranks]] rule).
+    *
+    * Reference analog: none (training-data extension).
+    */
+  def ranksGlobal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val maxLenRow = base.agg(max(length(col("t")))).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    val seedK = 128
+    var rows = base
+      .select(col("id"), explode(sequence(lit(0), length(col("t")) - 1)).as("pos"),
+        col("t"))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        expr(s"substring(t, pos + 1, $seedK)").as("_pfx"))
+    // lineage/determinism control lives INSIDE globalDenseRank (its one
+    // localCheckpoint per call); the thin broadcast-join tail above it is
+    // deterministic to recompute, so no second materialization out here
+    rows = globalDenseRank(rows, Seq(col("id"), col("_pfx")))
+      .drop("_pfx")
+    var k = seedK
+    while (k < maxLen) {
+      // the lead(k) of the windowed variant as a keyed SELF-JOIN: the
+      // right side's keys are freshly-aliased attributes (rid, rpos), so
+      // the self-join can never silently resolve both sides to the same
+      // expression id
+      val ahead = rows.select(col("id").as("rid"), (col("pos") - k).as("rpos"),
+        col("rank").as("r2"))
+      val paired = rows
+        .join(ahead, col("id") === col("rid") && col("pos") === col("rpos"), "left")
+        .select(col("id"), col("pos"), col("rank").as("_r1"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      rows = globalDenseRank(paired, Seq(col("_r1"), col("r2")))
+        .drop("_r1", "r2")
+      k *= 2
+    }
+    val mins = rows.groupBy(col("id")).agg(min(col("rank")).as("_m"))
+    rows.join(mins, Seq("id"))
+      .select(col("id").as(idCol), col("pos"),
+        (col("rank") - col("_m") + 1L).as("sa_rank"))
+  }
+
+  /** Two-phase global dense rank over `keys` — the scalable replacement
+    * for an unpartitioned `dense_rank().over(orderBy(keys))` (which moves
+    * everything to ONE partition): range-partition on the keys (equal
+    * keys land together — the RangePartitioner contract that makes local
+    * dense ranks compose), rank WITHIN each partition, then add each
+    * partition's distinct-key count as an offset via a ≤numPartitions-row
+    * broadcast. Output: input columns + `rank` (1-based, dense, global).
+    * Range bounds come from sampling, so PARTITION SIZES vary run to run
+    * — rank VALUES never do (the composition is exact for any bounds).
+    */
+  private[graft] def globalDenseRank(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    // materialized ONCE: both consumers below (the offsets aggregate and
+    // the final join) must see the SAME partition ids — the range
+    // partitioner's sampled bounds are not deterministic across separate
+    // computations, so an unmaterialized plan could hand each branch a
+    // different _pid assignment and misalign the offsets
+    val local = df
+      .repartitionByRange(nPart, keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrank",
+        dense_rank().over(Window.partitionBy(col("_pid")).orderBy(keys: _*)).cast("long"))
+      .localCheckpoint()
+    // per-partition distinct-key counts → cumulative offsets: a
+    // ≤numPartitions-row table (the epochShuffle offsets pattern) — the
+    // single-partition window is bounded by construction
+    val offsets = local
+      .groupBy(col("_pid")).agg(max(col("_lrank")).as("_cnt"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_cnt")).over(
+            Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn("rank", col("_lrank") + col("_off"))
+      .drop("_pid", "_lrank", "_off")
   }
 
   /** Longest repeated substring length per document: the max longest

@@ -36,6 +36,44 @@ class SuffixArraySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ranksGlobal: identical to ranks on a mixed corpus (zero per-doc windows)") {
+    val docs = ((1L to 30L).map(i => (i, s"doc $i body " * (i % 5 + 1).toInt + s"tail$i")) ++
+      Seq((31L, "banana"), (32L, "a"), (33L, ""), (34L, null)))
+      .toDF("doc_id", "text")
+    val viaWindow = SuffixArray.ranks(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaGlobal = SuffixArray.ranksGlobal(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaGlobal == viaWindow)
+  }
+
+  test("ranksGlobal: one giant doc among small ones — ranks still exact") {
+    // the exact case the per-doc window variant serializes: one document
+    // 100x the length of its neighbors; correctness checked against a
+    // driver-side direct suffix sort (independent of BOTH variants)
+    val giant = (1 to 100).map(i => s"chunk $i of the long doc ").mkString
+    val docs = (Seq((1L, giant)) ++ (2L to 10L).map(i => (i, s"small doc $i")))
+      .toDF("doc_id", "text")
+    val out = SuffixArray.ranksGlobal(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(r => r._2 -> r._3).toMap }
+    val texts = Map(1L -> giant) ++ (2L to 10L).map(i => i -> s"small doc $i").toMap
+    texts.foreach { case (id, t) =>
+      val expect = t.indices.sortBy(t.substring(_)).zipWithIndex
+        .map { case (pos, r) => pos.toLong -> (r + 1L) }.toMap
+      assert(out(id) == expect, s"doc $id rank table diverges from direct sort")
+    }
+  }
+
+  test("ranksGlobal: partition-invariant") {
+    val docs = (1L to 20L).map(i => (i, s"doc $i " * 4 + s"tail$i"))
+    val a = SuffixArray.ranksGlobal(docs.toDF("doc_id", "text").repartition(1), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = SuffixArray.ranksGlobal(docs.toDF("doc_id", "text").repartition(13), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("longestRepeat: banana has 'ana' (3); unique-char docs report 0; none capped") {
     val out = SuffixArray.longestRepeat(
       Seq((1L, "banana"), (2L, "abcdef"), (3L, "x")).toDF("doc_id", "text"),
