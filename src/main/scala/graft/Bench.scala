@@ -39,7 +39,6 @@ object Bench {
       "q_rrf_fuse", "q_tx_pmi", "q_kmv_jaccard", "q_bpe_roundtrip",
       "q_graph_pagerank", "q_tx_snippet", "q_sm_reweight",
       "q_ann_mmr", "q_ann_recall", "q_tx_qexp", "q_sa_ranks", "q_sa_lrs",
-      "q_sa_ranks_global",
       "q_bl_skip", "q_tx_ppmi",
       "q_dd_oph_sig", "q_dd_oph_pairs", "q_tx_novelty", "q_sm_timesplit",
       "q_pf_quantiles", "q_sm_unimax_take", "q_ann_maxsim",
@@ -50,7 +49,8 @@ object Bench {
       "q_cl_flags", "q_sm_topfrac", "q_dd_calibration", "q_ann_ap",
       "q_ev_perm", "q_tx_sentchunks", "q_tx_fertility", "q_rb_trimmed",
       "q_cms_inner", "q_skew_report", "q_ev_f1", "q_ev_f1_macro", "q_ev_conformal",
-      "q_sd_nmi", "q_ev_kripp", "q_ev_brier", "q_ev_cochran")
+      "q_sd_nmi", "q_ev_kripp", "q_ev_brier", "q_ev_cochran",
+      "q_sa_ranks_global", "q_e2e_curate", "q_x_approx_distinct")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

@@ -1142,11 +1142,19 @@ object QueriesCorpus {
     // oracle replays the WHOLE chain in SQL from the same raw rows.
     "q_e2e_curate" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
-      // stage 1: extraction from a deterministic HTML carrier
+      // stage 1: extraction from a deterministic HTML carrier. The second
+      // <p> block is prose "furniture" (stopwords + three real sentences)
+      // — the synthetic corpus is keyword soup with no punctuation, so
+      // without it the Gopher stopword clause and the C4 sentence gate
+      // would reject EVERY document and the pipeline would be vacuous;
+      // with it the gates discriminate on word count and repetition,
+      // the realistic failure modes
       val extracted = docs.select(col("doc_id"), col("lang"),
         graft.ops.WebExtract.htmlToText(concat(
           lit("<div><h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
-          col("text"), lit(" &amp; tail</p><script>skip<this</script></div>")))
+          col("text"), lit(" &amp; tail</p><p>the size of this page will " +
+            "be fine. we have that and more to be sure. it should do " +
+            "with ease.</p><script>skip<this</script></div>")))
           .as("text"))
       // stage 2: web gates (FineWeb/RefinedWeb recipe) — keep survivors
       val web = graft.ops.Curate.decideWeb(extracted, "doc_id", "text")
@@ -1161,8 +1169,13 @@ object QueriesCorpus {
       val kept2 = kept1.join(
         clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
         Seq("doc_id"))
-      // stage 4: decontaminate against the eval slice (doc_id % 10 = 0)
-      val evalSet = extracted.filter(col("doc_id") % 10 === 0)
+      // stage 4: decontaminate against the eval slice (doc_id % 10 = 0) —
+      // the benchmark is probed AS PUBLISHED (raw text), not re-wrapped in
+      // the extraction carrier: a train doc embedding the benchmark's
+      // content still scores ~1 (its internal bigrams survive extraction),
+      // while unrelated docs don't inherit spurious carrier bigrams
+      val evalSet = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
       val contaminated = graft.ops.Decontaminate.ngramOverlap(
         kept2, "doc_id", "text", evalSet, "doc_id", "text",
         n = 2, threshold = 0.3)
@@ -1711,7 +1724,7 @@ object QueriesCorpus {
        |raw AS (SELECT doc_id, lang, text FROM documents WHERE doc_id IS NOT NULL),
        |h AS (SELECT doc_id, lang,
        |  '<div><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
-       |  ' &amp; tail</p><script>skip<this</script></div>' AS x FROM raw),
+       |  ' &amp; tail</p><p>the size of this page will be fine. we have that and more to be sure. it should do with ease.</p><script>skip<this</script></div>' AS x FROM raw),
        |s1 AS (SELECT doc_id, lang,
        |  regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM h),
        |s2 AS (SELECT doc_id, lang,
@@ -1830,7 +1843,7 @@ object QueriesCorpus {
        |        i -> array_to_string(t[i:i+1], ' ')),
        |      x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))) AS sh
        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-       |        FROM e2e_docs WHERE doc_id % 10 = 0)),
+       |        FROM raw WHERE doc_id % 10 = 0)),
        |cont AS (
        |  SELECT DISTINCT tr.doc_id
        |  FROM trsh tr JOIN evsh ev ON

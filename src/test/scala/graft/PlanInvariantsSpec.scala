@@ -43,7 +43,17 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_tx_sentchunks", // per-row fold + ONE (id, chunk)-keyed assembly
     "q_tx_fertility",  // pure per-row projection
     "q_ev_brier",      // one keyed aggregate of nano-quantized terms
-    "q_cms_inner")     // (row, bucket)-keyed sketch join, depth-bounded
+    "q_cms_inner",     // (row, bucket)-keyed sketch join, depth-bounded
+    // the round-9 heavy five (the rows where a silent plan flip costs the
+    // most — VERDICT r9 task #2); executedPlan shows the final
+    // post-localCheckpoint segment for the iterative ones, which is
+    // exactly the segment a flip would corrupt (final window round /
+    // rank-join / state read)
+    "q_sa_ranks",      // per-doc windows: hash-partitioned, never ranged
+    "q_sa_lrs",        // adjacent-rank self-join keyed on (id, rank)
+    "q_graph_pagerank", // per-round keyed join + map-side partial sum
+    "q_magg_rollup",   // maintained-state read + bounded rollup
+    "q_e2e_curate")    // the six-stage composition: every join keyed
 
   queries.foreach { name =>
     test(s"$name: no cartesian, no nested-loop join, no global sort mid-chain") {
@@ -201,6 +211,30 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"no global sort:\n$plan")
     assert(plan.split("Exchange").length - 1 <= 2,
       s"q_sm_topfrac must exchange once on the group key:\n$plan")
+  }
+
+  test("q_pf_embdrift: literal-centroid assignment — ZERO joins; only the two bounded per-cell count aggregates exchange") {
+    val df = SparkEntry.queries("q_pf_embdrift")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(!plan.contains("rangepartitioning"), s"no global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_pf_embdrift must not cross:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle into a join — centroids are literals:\n$plan")
+  }
+
+  test("q_sa_ranks_global: the two-phase rank join stays keyed/broadcast — no cartesian, no nested loop") {
+    // rangepartitioning IS this operator's design (the skew-immune global
+    // sort), so unlike q_sa_ranks it is NOT banned here — only unkeyed
+    // quadratic shapes are
+    val df = SparkEntry.queries("q_sa_ranks_global")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q_sa_ranks_global:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed nested-loop join in q_sa_ranks_global:\n$plan")
   }
 
   test("q_proto_prune: centroid side broadcasts; cell-keyed window only — no cross, no global sort") {
