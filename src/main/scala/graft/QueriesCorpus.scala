@@ -167,6 +167,16 @@ object QueriesCorpus {
             substring(col("text"), 1, 60)).as("text")),
         "doc_id", "text", maxLcp = 48)),
 
+    // cross-document exact-substring detection at the Lee-et-al grain:
+    // per doc, the longest substring shared with ANY other document, via
+    // adjacent cross-doc LCPs in CORPUS suffix order — n−1 adjacent pairs
+    // replace all-pairs, so pair volume is linear no matter how much
+    // duplication exists; the oracle sorts every suffix of every doc
+    // directly and replays the adjacent compare
+    "q_sa_crossdoc" -> ((s, dir) =>
+      graft.ops.SuffixArray.crossDocRepeat(
+        t(s, dir, "documents"), "doc_id", "text", maxLcp = 64)),
+
     // integer-quantized PageRank over a deterministic md5-derived link
     // graph (3 out-edges per doc) — the iterated fixpoint itself is
     // oracle-replayed (all-integer update rule, unrolled CTEs in SQL)
@@ -1156,10 +1166,15 @@ object QueriesCorpus {
             "be fine. we have that and more to be sure. it should do " +
             "with ease.</p><script>skip<this</script></div>")))
           .as("text"))
+        // the regexp extraction chain feeds FOUR consumers (gates, LSH,
+        // decontamination eval side, pack) and the eager star-contraction
+        // re-triggers lineage per round — materialize it once
+        .localCheckpoint()
       // stage 2: web gates (FineWeb/RefinedWeb recipe) — keep survivors
       val web = graft.ops.Curate.decideWeb(extracted, "doc_id", "text")
       val kept1 = extracted
         .join(web.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint() // reused by LSH pairs, the canonical join, and stage 4+
       // stage 3: near-dup LSH clusters — keep each cluster's canonical
       val clusters = graft.ops.ConnectedComponents.assign(
         kept1.select(col("doc_id")), "doc_id",
@@ -2112,6 +2127,39 @@ object QueriesCorpus {
         |SELECT dd.doc_id, CAST(coalesce(mx.lrs, 0) AS BIGINT) AS lrs_len,
         |  coalesce(mx.cm, 0) = 1 AS capped
         |FROM dd LEFT JOIN mx ON dd.doc_id = mx.doc_id""".stripMargin,
+    "q_sa_crossdoc" ->
+      """WITH p AS (
+        |  SELECT doc_id, text AS t, unnest(range(0, length(text))) AS i
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0),
+        |r AS (SELECT doc_id, t, i,
+        |    row_number() OVER (ORDER BY substr(t, CAST(i AS INT) + 1), doc_id, i) AS seq
+        |  FROM p),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.t AS ta, b.t AS tb, a.i AS i, b.i AS j
+        |  FROM r a JOIN r b ON b.seq = a.seq + 1 AND a.doc_id <> b.doc_id),
+        |l AS (SELECT id_a, id_b,
+        |    least(length(ta) - i, length(tb) - j) AS shorter,
+        |    substr(ta, CAST(i + 1 AS INT), 64) AS ra,
+        |    substr(tb, CAST(j + 1 AS INT), 64) AS rb
+        |  FROM pr),
+        |lc AS (SELECT id_a, id_b, shorter,
+        |    CASE WHEN least(shorter, 64) <= 0 THEN 0
+        |         ELSE coalesce(nullif(list_position(
+        |           list_transform(range(1, least(shorter, 64) + 1), k ->
+        |             substr(ra, CAST(k AS INT), 1) <> substr(rb, CAST(k AS INT), 1)),
+        |           true), 0) - 1, least(shorter, 64)) END AS lcp
+        |  FROM l),
+        |sides AS (
+        |  SELECT id_a AS doc_id, lcp,
+        |    CASE WHEN lcp = 64 AND shorter > 64 THEN 1 ELSE 0 END AS cap FROM lc
+        |  UNION ALL
+        |  SELECT id_b, lcp,
+        |    CASE WHEN lcp = 64 AND shorter > 64 THEN 1 ELSE 0 END FROM lc),
+        |mx AS (SELECT doc_id, max(lcp) AS ml, max(cap) AS mc FROM sides GROUP BY doc_id)
+        |SELECT p0.doc_id, CAST(coalesce(mx.ml, 0) AS BIGINT) AS xdoc_len,
+        |  coalesce(mx.mc, 0) = 1 AS capped
+        |FROM (SELECT DISTINCT doc_id FROM p) p0 LEFT JOIN mx USING (doc_id)""".stripMargin,
     "q_graph_pagerank" -> {
       // the all-integer update rule makes the ITERATED fixpoint exactly
       // replayable: each Spark round unrolls to one CTE pair (contrib sum,

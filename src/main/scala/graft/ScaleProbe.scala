@@ -64,6 +64,14 @@ import org.apache.spark.sql.functions._
   * (16 cosines per row — per-row CPU dominates, embarrassingly
   * parallel).
   *
+  * Round-10 sweep: sa_ranks 2.4x, sa_ranks_global 3.0x (range exchanges
+  * over 10x rows), sa_lrs 1.9x, magg_rollup 1.9x (10x delta volume into
+  * the same bounded group space — the |delta|+|groups| design), ev_kripp
+  * 1.6x (bounded label space), e2e_curate 2.1x (the whole six-stage
+  * composition tracks its dedup/gate stages). Skew gate (sa_skew):
+  * ranksGlobal on the one-100x-doc corpus runs at 0.90x of uniform
+  * (gate <= 2); the per-doc-window variant reads 2.04x on the same data.
+  *
   * The 10x corpus is synthesized under /tmp (never under /root/testdata):
   * each copy salts the text with a distinct token so near-dup structure is
   * preserved but contents differ across copies.
@@ -121,6 +129,22 @@ object ScaleProbe {
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$big/events.parquet")
       println(s"[scaleprobe] built 10x events at $big")
+    }
+    if (!new java.io.File(s"$big/orders.parquet").exists()) {
+      val ord = Tables(spark, base, "orders")
+      val n = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+      // offset keys per copy; status/priority/price distributions repeat,
+      // which is the honest scale for the IVM rollup (10x delta volume
+      // into the SAME bounded group space)
+      val copies = (0 until 10).map { c =>
+        ord.select(
+          (col("o_orderkey") + lit(c * n)).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$big/orders.parquet")
+      println(s"[scaleprobe] built 10x orders at $big")
     }
     if (!new java.io.File(s"$big/part.parquet").exists()) {
       val part = Tables(spark, base, "part")
@@ -627,13 +651,76 @@ object ScaleProbe {
           graft.ops.ClusterEval.assignCells(
             emb.filter(col("label").isNotNull), "embedding", cents),
           "cell", "label").count()
-      })
+      },
+      // round-10: the r9 heavy five + the e2e composition, each run
+      // verbatim through its SparkEntry query (same plan the bench and
+      // the oracle measure). sa_ranks: per-doc windows, 10x docs at
+      // ~constant maxLen — expect ~linear; sa_ranks_global: the same
+      // rows through range exchanges + pending-only rounds — expect
+      // ~linear; sa_lrs: adjacent-rank join + capped char compares —
+      // ~linear; magg_rollup: real lake commits + CDF folds, refresh
+      // bounded by |delta|+|groups| — expect ~linear in delta volume;
+      // ev_kripp: bounded label space, keyed coincidence aggregates —
+      // ~linear; e2e_curate: the whole six-stage chain — tracks its
+      // dedup/gate stages (~linear scan + candidate-bounded pairs)
+      "sa_ranks" -> (d => SparkEntry.queries("q_sa_ranks")(spark, d).count()),
+      // cross-doc repeats: the salted 10x corpus multiplies duplicated
+      // volume 10x, but adjacent-pair volume stays LINEAR in suffixes —
+      // the whole point of the SA grain over pairwise comparison; rounds
+      // grow with surviving ties (duplicated volume)
+      "sa_crossdoc" -> (d => SparkEntry.queries("q_sa_crossdoc")(spark, d).count()),
+      "sa_ranks_global" -> (d =>
+        SparkEntry.queries("q_sa_ranks_global")(spark, d).count()),
+      "sa_lrs" -> (d => SparkEntry.queries("q_sa_lrs")(spark, d).count()),
+      "magg_rollup" -> (d => SparkEntry.queries("q_magg_rollup")(spark, d).count()),
+      "ev_kripp" -> (d => SparkEntry.queries("q_ev_kripp")(spark, d).count()),
+      "e2e_curate" -> (d => SparkEntry.queries("q_e2e_curate")(spark, d).count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
     }
     // local-iteration filter (unset for the full sweep), mirroring Verify's
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
+    // --- corpus-grain suffix-array SKEW probe (round-10, VERDICT r9 #1) --
+    // uniform = the sf0.01 corpus; skewed = the same corpus + ONE document
+    // 100x the average length (assembled from the corpus's own texts with
+    // distinct chunk markers — a realistic giant: a book or a concatenated
+    // log, not one paragraph repeated). ranksGlobal must stay within 2x of
+    // the uniform run: the giant's rows range-partition across the cluster
+    // and the pending-only rounds touch only its unresolved ties. The
+    // per-doc-window variant is timed on the same corpora for contrast —
+    // its giant-doc window serializes one partition by construction.
+    if (only.forall(_.contains("sa_skew"))) {
+      val uni = "/root/testdata/sf0.01"
+      val skewDir = "/tmp/graft_skew_sa"
+      if (!new java.io.File(s"$skewDir/documents.parquet").exists()) {
+        val docs = Tables(spark, uni, "documents").select("doc_id", "text", "lang", "n_chars")
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val chunks = docs.orderBy("doc_id").limit(100)
+          .select(col("doc_id"), col("text")).collect()
+        val giant = chunks.zipWithIndex
+          .map { case (r, i) => s"gchunk$i " + r.getString(1) }
+          .mkString(" ")
+        import spark.implicits._
+        docs.unionByName(
+            Seq((maxId + 1, giant, "en", giant.length.toLong))
+              .toDF("doc_id", "text", "lang", "n_chars"))
+          .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+        println(s"[scaleprobe] built skewed corpus (giant doc: ${giant.length} chars) at $skewDir")
+      }
+      def globalAt(d: String) = graft.ops.SuffixArray
+        .ranksGlobal(Tables(spark, d, "documents"), "doc_id", "text").count()
+      def windowedAt(d: String) = graft.ops.SuffixArray
+        .ranks(Tables(spark, d, "documents"), "doc_id", "text").count()
+      globalAt(uni) // warm
+      val (gu, _) = (1 to 3).map(_ => time(globalAt(uni))).minBy(_._1)
+      val (gs, _) = (1 to 3).map(_ => time(globalAt(skewDir))).minBy(_._1)
+      val (wu, _) = (1 to 3).map(_ => time(windowedAt(uni))).minBy(_._1)
+      val (ws, _) = (1 to 3).map(_ => time(windowedAt(skewDir))).minBy(_._1)
+      println(f"[scaleprobe] sa_skew ranksGlobal uniform: $gu%6.2fs  skewed: $gs%6.2fs  ratio: ${gs / gu}%5.2f (gate: <= 2)")
+      println(f"[scaleprobe] sa_skew ranks(window) uniform: $wu%6.2fs  skewed: $ws%6.2fs  ratio: ${ws / wu}%5.2f (contrast)")
+    }
     ops.filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, f) =>
       f(base) // warm codegen on the small side

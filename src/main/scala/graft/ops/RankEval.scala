@@ -210,23 +210,45 @@ object RankEval {
       groupCol: String,
       probCol: String,
       labelCol: String,
-      bins: Int): DataFrame = {
-    require(bins >= 2, s"bins must be >= 2, got $bins")
-    val base = df
-      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull &&
-        col(probCol).isNotNull && !isnan(col(probCol).cast("double")))
-      .select(
-        col(groupCol).as("grp"),
-        col(probCol).cast("double").as("_p"),
-        when(col(labelCol).cast("long") > 0L, 1L).otherwise(0L).as("_y"))
-    base
-      .withColumn("bin", greatest(least(floor(col("_p") * bins).cast("long"), lit(bins - 1L)), lit(0L)))
-      .withColumn("_pm", floor(col("_p") * 1e6 + lit(0.5)).cast("long"))
+      bins: Int): DataFrame =
+    calibrationEvents(df, groupCol, probCol, labelCol, bins)
       .groupBy(col("grp"), col("bin"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("_y")).as("hits"),
-        sum(col("_pm")).as("spm"))
+        sum(col("y")).as("hits"),
+        sum(col("pm")).as("spm"))
+
+  /** The per-ROW calibration projection under [[calibrationCounts]] —
+    * `(grp, bin, y, pm)`, one row per usable prediction. Public because it
+    * is the event grain an INCREMENTALLY-maintained calibration table
+    * ingests: `n = Σ 1`, `hits = Σ y`, `spm = Σ pm` are all signed sums,
+    * so a [[graft.catalog.MaterializedAgg]] with
+    * `groupCols = (grp, bin), sumCols = (y, pm)` maintains the exact
+    * [[calibrationCounts]] state — retractions included — at CDF delta
+    * cost, and [[eceFromCounts]] turns any snapshot of that state into
+    * the live ECE (the continuous filter-model monitor).
+    */
+  def calibrationEvents(
+      df: DataFrame,
+      groupCol: String,
+      probCol: String,
+      labelCol: String,
+      bins: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    df
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull &&
+        col(probCol).isNotNull && !isnan(col(probCol).cast("double")))
+      .select(carryCols.map(col) ++ Seq(
+        col(groupCol).as("grp"),
+        col(probCol).cast("double").as("_p"),
+        when(col(labelCol).cast("long") > 0L, 1L).otherwise(0L).as("y")): _*)
+      .select(carryCols.map(col) ++ Seq(
+        col("grp"),
+        greatest(least(floor(col("_p") * bins).cast("long"), lit(bins - 1L)), lit(0L))
+          .as("bin"),
+        col("y"),
+        floor(col("_p") * 1e6 + lit(0.5)).cast("long").as("pm")): _*)
   }
 
   /** Per-cell addition of two [[calibrationCounts]] tables. */
@@ -255,32 +277,25 @@ object RankEval {
       groupCol: String,
       probCol: String,
       labelCol: String,
-      bins: Int): DataFrame = {
-    val base = df
-      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull &&
-        col(probCol).isNotNull && !isnan(col(probCol).cast("double")))
-      .select(
-        col(groupCol).as("grp"),
-        col(probCol).cast("double").as("_p"),
-        when(col(labelCol).cast("long") > 0L, 1L).otherwise(0L).as("_y"))
-    require(bins >= 2, s"bins must be >= 2, got $bins")
-    base
-      .withColumn("bin", greatest(least(floor(col("_p") * bins).cast("long"), lit(bins - 1L)), lit(0L)))
-      .withColumn("_pm", floor(col("_p") * 1e6 + lit(0.5)).cast("long"))
-      .groupBy(col("grp"), col("bin"))
-      .agg(
-        count(lit(1)).as("_n"),
-        sum(col("_y")).as("_hits"),
-        sum(col("_pm")).as("_spm"))
+      bins: Int): DataFrame =
+    eceFromCounts(calibrationCounts(df, groupCol, probCol, labelCol, bins))
+
+  /** [[ece]] folded from an already-maintained [[calibrationCounts]] table
+    * `(grp, bin, n, hits, spm)` — what a continuously-maintained
+    * calibration state (a [[graft.catalog.MaterializedAgg]] over the lake
+    * CDF, or a streaming [[mergeCalibrationCounts]] fold) reads out as the
+    * live metric without touching row-grain data.
+    */
+  def eceFromCounts(counts: DataFrame): DataFrame =
+    counts
       .groupBy(col("grp"))
       .agg(
-        sum(col("_n")).as("n"),
-        sum(abs(col("_hits") * lit(1000000L) - col("_spm"))).as("_dev"))
+        sum(col("n")).as("n"),
+        sum(abs(col("hits") * lit(1000000L) - col("spm"))).as("_dev"))
       .select(
         col("grp"), col("n"),
         graft.Functions.roundHalfUp(
           col("_dev").cast("double") / (col("n").cast("double") * 1e6), 6).as("ece"))
-  }
 
   /** Per-query average precision at cutoff `k` (binary relevance: rel > 0)
     * — the area-under-PR-curve companion to [[metricsAtK]]'s NDCG:

@@ -35,6 +35,35 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
+  /** One row per (document, position) carrying the `seedK`-char prefix of
+    * that position's suffix — WITHOUT the quadratic trap: Spark's
+    * `substring(t, pos+1, k)` seeks the character offset by scanning the
+    * string from byte 0 (UTF8String has no char index), so per-position
+    * substrings over one L-char document cost O(L²) total. Instead the
+    * document explodes into 512-char chunks FIRST (each chunk overlaps
+    * the next by seedK−1 chars so every position's full window is local),
+    * and positions substring within their ≤639-char chunk — O(L) chunk
+    * extraction + O(chunk) per-row seeks ⇒ linear in corpus characters.
+    * The giant-document ScaleProbe (sa_skew) is the regression gate.
+    */
+  private def seedPrefixRows(base: DataFrame, seedK: Int): DataFrame = {
+    val stride = 512
+    val chunkLen = stride + seedK - 1
+    base
+      .select(col("id"), col("t"), length(col("t")).as("tlen"))
+      .select(col("id"), col("t"), col("tlen"),
+        explode(expr(s"sequence(bigint(0), (tlen - 1) div $stride)")).as("c"))
+      .select(col("id"), col("c"), col("tlen"),
+        expr(s"substring(t, cast(c * $stride + 1 as int), $chunkLen)").as("chunk"))
+      .select(col("id"), col("c"), col("chunk"),
+        explode(expr(
+          s"sequence(bigint(0), least(bigint(${stride - 1}), bigint(tlen) - c * $stride - 1))"))
+          .as("off"))
+      .select(col("id"),
+        (col("c") * stride + col("off")).as("pos"),
+        expr(s"substring(chunk, cast(off + 1 as int), $seedK)").as("_pfx"))
+  }
+
   /** Per-document suffix ranks: `(idCol, pos, sa_rank)` — `pos` 0-based
     * character position, `sa_rank` the 1-based position of that suffix in
     * the document's sorted suffix order. Empty/NULL documents emit
@@ -56,11 +85,7 @@ object SuffixArray {
     // checkpoint materialization of every (id, pos, rank) row. Rounds =
     // max(0, ⌈log₂(maxLen/128)⌉); typical web docs finish in 2-4 rounds.
     val seedK = 128
-    var rows = base
-      .select(col("id"), explode(sequence(lit(0), length(col("t")) - 1)).as("pos"),
-        col("t"))
-      .select(col("id"), col("pos"),
-        expr(s"substring(t, pos + 1, $seedK)").as("_pfx"))
+    var rows = seedPrefixRows(base, seedK)
       .withColumn("rank",
         dense_rank().over(Window.partitionBy(col("id")).orderBy(col("_pfx"))).cast("long"))
       .drop("_pfx")
@@ -89,27 +114,38 @@ object SuffixArray {
     * dedup runs when documents can be books, logs, or concatenated
     * shards.
     *
-    * Mechanics — every ranking step is a RANGE-PARTITIONED global sort
-    * + two-phase offset ranking ([[globalDenseRank]]):
-    *   1. seed: global dense rank over `(id, 128-char prefix)` — id
-    *      leads the sort key, so each document's ranks form a contiguous
-    *      integer block, disjoint across documents (the invariant the
-    *      loop preserves);
-    *   2. doubling round: the `lead(k)` window of [[ranks]] becomes a
-    *      keyed SELF-JOIN on `(id, pos + k)` — unique keys, no skew —
-    *      and re-densification is another global rank over `(rank, r2)`
-    *      (id can drop from the key: ranks are already doc-disjoint);
+    * Mechanics — MIN-rank bucket numbers (the Manber-Myers bucket form:
+    * a tie group's rank is the global position of its first row, so a
+    * resolved row's rank is FINAL and later rounds never renumber it)
+    * with every ranking step a RANGE-PARTITIONED global sort + two-phase
+    * offset ranking ([[globalMinRank]]):
+    *   1. seed: global min-rank over `(id, 128-char prefix)` — id leads
+    *      the sort key, so each document's ranks form a contiguous block,
+    *      disjoint across documents (the invariant the loop preserves);
+    *      rows whose tie group has size 1 are RESOLVED immediately;
+    *   2. doubling round — over PENDING rows only: the `lead(k)` window
+    *      of [[ranks]] becomes a keyed SELF-JOIN on `(id, pos + k)`
+    *      against ALL rows (resolved ranks are valid order keys forever),
+    *      then `rank += (within-group min-rank of (rank, r2)) − 1` —
+    *      exact because splitting a tie group never moves rows of OTHER
+    *      groups (the min-rank freeze property dense ranks lack). Newly
+    *      singleton groups freeze. With one giant document among normal
+    *      ones, the normal documents resolve in the first round or two
+    *      and every later round touches only the giant's remaining ties —
+    *      total work tracks Σ pending(round), not rows × rounds;
     *   3. final: per-doc rank = `rank − min(rank) + 1` per document —
-    *      exact because each doc's final ranks are CONSECUTIVE (dense
-    *      rank over doc-contiguous, within-doc-distinct keys). The min
-    *      table is one row per doc; the join back is id-keyed with AQE
-    *      skew-split handling the giant doc's row block.
+    *      exact because final min-ranks are the distinct global positions
+    *      1..n, doc-contiguous hence consecutive within each document.
+    *      The min table is one row per doc; the join back is id-keyed
+    *      with AQE skew-split handling the giant doc's row block.
     *
-    * Cost vs [[ranks]]: ~2× the exchanges per round (self-join + two
-    * rank exchanges vs two window passes) — the price of skew immunity.
-    * Rows carry only (id, pos, rank) + a transient ≤128-char prefix;
-    * the document text itself is never shuffled. Rounds
-    * `localCheckpoint` (lineage control, the [[ranks]] rule).
+    * Cost vs [[ranks]]: more exchanges per round (self-join + rank + two
+    * bounded keyed aggregates vs two window passes) — but over the
+    * SHRINKING pending set, and skew-immune. Rows carry only
+    * (id, pos, rank, resolved) + a transient ≤128-char prefix; the
+    * document text itself is never shuffled. Rounds `localCheckpoint`
+    * (lineage control, the [[ranks]] rule); the loop exits EARLY the
+    * moment every suffix is resolved, not at ⌈log₂ maxLen⌉.
     *
     * Reference analog: none (training-data extension).
     */
@@ -121,30 +157,49 @@ object SuffixArray {
     val maxLenRow = base.agg(max(length(col("t")))).head()
     val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     val seedK = 128
-    var rows = base
-      .select(col("id"), explode(sequence(lit(0), length(col("t")) - 1)).as("pos"),
-        col("t"))
-      .select(col("id"), col("pos").cast("long").as("pos"),
-        expr(s"substring(t, pos + 1, $seedK)").as("_pfx"))
-    // lineage/determinism control lives INSIDE globalDenseRank (its one
-    // localCheckpoint per call); the thin broadcast-join tail above it is
-    // deterministic to recompute, so no second materialization out here
-    rows = globalDenseRank(rows, Seq(col("id"), col("_pfx")))
-      .drop("_pfx")
+    // tie-group sizes → resolved flag; the group-keyed aggregate is
+    // map-side combinable and the join back AQE-skew-splittable (a
+    // pathological all-one-char document is one huge tie group)
+    def withResolved(r: DataFrame): DataFrame = {
+      val sizes = r.groupBy(col("rank")).agg(count(lit(1)).as("_n"))
+      r.join(sizes, Seq("rank"))
+        .withColumn("resolved", col("_n") === 1L)
+        .drop("_n")
+    }
+    var rows = withResolved(
+      globalMinRank(seedPrefixRows(base, seedK), Seq(col("id"), col("_pfx")))
+        .drop("_pfx"))
+      .localCheckpoint()
     var k = seedK
-    while (k < maxLen) {
-      // the lead(k) of the windowed variant as a keyed SELF-JOIN: the
-      // right side's keys are freshly-aliased attributes (rid, rpos), so
-      // the self-join can never silently resolve both sides to the same
-      // expression id
+    var pending = rows.filter(!col("resolved")).count()
+    while (k < maxLen && pending > 0) {
+      val pend = rows.filter(!col("resolved"))
+        .select(col("id"), col("pos"), col("rank").as("_r1"))
+      // the lead(k) of the windowed variant as a keyed SELF-JOIN against
+      // ALL rows (frozen ranks are valid order keys); the right side's
+      // keys are freshly-aliased attributes so the self-join can never
+      // silently resolve both sides to the same expression id
       val ahead = rows.select(col("id").as("rid"), (col("pos") - k).as("rpos"),
         col("rank").as("r2"))
-      val paired = rows
+      val paired = pend
         .join(ahead, col("id") === col("rid") && col("pos") === col("rpos"), "left")
-        .select(col("id"), col("pos"), col("rank").as("_r1"),
+        .select(col("id"), col("pos"), col("_r1"),
           coalesce(col("r2"), lit(-1L)).as("r2"))
-      rows = globalDenseRank(paired, Seq(col("_r1"), col("r2")))
-        .drop("_r1", "r2")
+      // min-rank among pending rows by (old rank, r2); subtracting the
+      // group's first position turns it into the WITHIN-group offset —
+      // every tie group is wholly pending (a size->1 group froze already),
+      // so ranking pending rows only is exact
+      val pranked = globalMinRank(paired, Seq(col("_r1"), col("r2")))
+        .withColumnRenamed("rank", "_pr")
+      val gmin = pranked.groupBy(col("_r1")).agg(min(col("_pr")).as("_g"))
+      val upd = pranked.join(gmin, Seq("_r1"))
+        .select(col("id"), col("pos"), (col("_r1") + col("_pr") - col("_g")).as("rank"))
+      rows = rows.filter(col("resolved"))
+        .unionByName(withResolved(upd))
+        .localCheckpoint()
+      pending = rows.filter(!col("resolved")).count()
+      if (sys.env.contains("GRAFT_SA_DEBUG"))
+        println(s"[sa] round k=$k -> pending=$pending")
       k *= 2
     }
     val mins = rows.groupBy(col("id")).agg(min(col("rank")).as("_m"))
@@ -153,17 +208,168 @@ object SuffixArray {
         (col("rank") - col("_m") + 1L).as("sa_rank"))
   }
 
-  /** Two-phase global dense rank over `keys` — the scalable replacement
-    * for an unpartitioned `dense_rank().over(orderBy(keys))` (which moves
-    * everything to ONE partition): range-partition on the keys (equal
-    * keys land together — the RangePartitioner contract that makes local
-    * dense ranks compose), rank WITHIN each partition, then add each
-    * partition's distinct-key count as an offset via a ≤numPartitions-row
-    * broadcast. Output: input columns + `rank` (1-based, dense, global).
-    * Range bounds come from sampling, so PARTITION SIZES vary run to run
-    * — rank VALUES never do (the composition is exact for any bounds).
+  /** Corpus-order suffix buckets: every suffix of every document ranked in
+    * ONE lexicographic order across the whole corpus — the index grain of
+    * Lee et al. 2022's exact-substring dedup, where the thing being asked
+    * is "which documents share long runs", not "what repeats within one
+    * document". Output `(idCol, pos, corpus_rank)`: `corpus_rank` is the
+    * min-rank BUCKET number (identical suffixes — which by construction
+    * can only come from different documents — share a bucket; that
+    * equality is the signal, not a defect).
+    *
+    * Same machinery as [[ranksGlobal]] minus the doc key in the seed:
+    * seed buckets come from the 128-char prefix alone, doubling rounds
+    * extend within each suffix's own document (`r2` looked up at
+    * `(id, pos+k)`, −1 past the end), resolved buckets freeze, and the
+    * loop runs to ⌈log₂ maxLen⌉ — surviving ties at that point are
+    * character-for-character identical suffixes and correctly stay
+    * bucketed together. Work per round is bounded by the surviving
+    * pending set, i.e. by the corpus's DUPLICATED volume, not its size.
+    *
+    * Reference analog: none (training-data extension).
     */
-  private[graft] def globalDenseRank(df: DataFrame, keys: Seq[Column]): DataFrame = {
+  def corpusRanks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val maxLenRow = base.agg(max(length(col("t")))).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+    val seedK = 128
+    def withResolved(r: DataFrame): DataFrame = {
+      val sizes = r.groupBy(col("rank")).agg(count(lit(1)).as("_n"))
+      r.join(sizes, Seq("rank"))
+        .withColumn("resolved", col("_n") === 1L)
+        .drop("_n")
+    }
+    var rows = withResolved(
+      globalMinRank(seedPrefixRows(base, seedK), Seq(col("_pfx")))
+        .drop("_pfx"))
+      .localCheckpoint()
+    var k = seedK
+    var pending = rows.filter(!col("resolved")).count()
+    while (k < maxLen && pending > 0) {
+      val pend = rows.filter(!col("resolved"))
+        .select(col("id"), col("pos"), col("rank").as("_r1"))
+      val ahead = rows.select(col("id").as("rid"), (col("pos") - k).as("rpos"),
+        col("rank").as("r2"))
+      val paired = pend
+        .join(ahead, col("id") === col("rid") && col("pos") === col("rpos"), "left")
+        .select(col("id"), col("pos"), col("_r1"),
+          coalesce(col("r2"), lit(-1L)).as("r2"))
+      val pranked = globalMinRank(paired, Seq(col("_r1"), col("r2")))
+        .withColumnRenamed("rank", "_pr")
+      val gmin = pranked.groupBy(col("_r1")).agg(min(col("_pr")).as("_g"))
+      val upd = pranked.join(gmin, Seq("_r1"))
+        .select(col("id"), col("pos"), (col("_r1") + col("_pr") - col("_g")).as("rank"))
+      rows = rows.filter(col("resolved"))
+        .unionByName(withResolved(upd))
+        .localCheckpoint()
+      pending = rows.filter(!col("resolved")).count()
+      if (sys.env.contains("GRAFT_SA_DEBUG"))
+        println(s"[sa-corpus] round k=$k -> pending=$pending")
+      k *= 2
+    }
+    rows.select(col("id").as(idCol), col("pos"), col("rank").as("corpus_rank"))
+  }
+
+  /** Longest substring each document shares with ANY OTHER document —
+    * cross-document exact-substring detection at the Lee-et-al grain,
+    * and the reason [[corpusRanks]] exists: in corpus suffix order, the
+    * maximum cross-document LCP is always attained at some ADJACENT pair
+    * whose documents differ (for any cross-doc pair (u, v), every
+    * adjacency between them has LCP ≥ LCP(u, v), and at least one of
+    * those adjacencies crosses a document change), so n−1 adjacent pairs
+    * replace all-pairs comparison — pair volume is LINEAR in corpus
+    * characters regardless of how much duplication exists.
+    *
+    * Output `(idCol, xdoc_len, capped)` — `xdoc_len` 0 for documents
+    * sharing nothing ≥1 char with any other; `capped` as in
+    * [[longestRepeat]]: the report hit `maxLcp` with both suffixes still
+    * unexhausted, so the true shared run is ≥ the cap and the doc should
+    * escalate (re-run at a higher cap, or straight to span removal).
+    *
+    * Scale shape: one global position assignment (all-distinct keys, the
+    * [[globalMinRank]] two-phase), one keyed adjacent-pair self-join on
+    * that position, and per-pair compares bounded by `maxLcp` over
+    * remainder windows PRE-EXTRACTED per suffix row via the chunked
+    * [[seedPrefixRows]] path — never a join that ships whole documents
+    * to pair rows (which would shuffle O(L²) bytes for an L-char doc:
+    * every one of its ~2L adjacencies would carry the full text), and
+    * never a per-character seek into a full document.
+    */
+  def crossDocRepeat(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxLcp: Int = 64): DataFrame = {
+    require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
+    val sa = corpusRanks(df, idCol, textCol)
+    val texts = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // total order: bucket rank, then (id, pos) — ties are identical
+    // suffixes, so any tie order is lexicographically valid
+    val ordered = globalMinRank(
+      sa.select(col(idCol).cast("long").as("id"), col("pos"),
+        col("corpus_rank").as("_cr")),
+      Seq(col("_cr"), col("id"), col("pos")))
+      .select(col("id"), col("pos"), col("rank").as("_seq"))
+    // per-suffix maxLcp-char remainder window (linear chunked extraction)
+    // + the doc length for the exhaustion test — slim columns only
+    val rems = seedPrefixRows(texts, maxLcp)
+      .withColumnRenamed("_pfx", "rem")
+    val lens = texts.select(col("id"), length(col("t")).cast("long").as("tlen"))
+    val rows = ordered
+      .join(rems, Seq("id", "pos"))
+      .join(lens, Seq("id"))
+    val a = rows.select(col("id").as("id_a"), col("pos").as("i"), col("_seq"),
+      col("rem").as("ra"), col("tlen").as("la"))
+    val b = rows.select(col("id").as("id_b"), col("pos").as("j"),
+      (col("_seq") - 1L).as("_seq"), col("rem").as("rb"), col("tlen").as("lb"))
+    val pairs = a.join(b, Seq("_seq"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        least(col("la") - col("i"), col("lb") - col("j")).as("_shorter"),
+        col("ra"), col("rb"))
+    val m = least(col("_shorter"), lit(maxLcp.toLong))
+    val flags = transform(
+      sequence(lit(1L), m),
+      x => substring(col("ra"), x.cast("int"), lit(1)) =!=
+        substring(col("rb"), x.cast("int"), lit(1)))
+    val lcp = when(m <= 0, lit(0L))
+      .otherwise(
+        coalesce(nullif(array_position(flags, true), lit(0L)) - 1, m.cast("long")))
+    val scored = pairs.select(col("id_a"), col("id_b"),
+      lcp.as("_l"),
+      when(lcp === maxLcp.toLong && col("_shorter") > maxLcp.toLong, 1L)
+        .otherwise(0L).as("_cap"))
+    val bothSides = scored.select(col("id_a").as("id"), col("_l"), col("_cap"))
+      .unionByName(scored.select(col("id_b").as("id"), col("_l"), col("_cap")))
+    texts.select(col("id"))
+      .join(
+        bothSides.groupBy(col("id"))
+          .agg(max(col("_l")).as("_ml"), max(col("_cap")).as("_mc")),
+        Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("_ml"), lit(0L)).as("xdoc_len"),
+        (coalesce(col("_mc"), lit(0L)) === 1L).as("capped"))
+  }
+
+  /** Two-phase global MIN-rank over `keys` — the scalable replacement for
+    * an unpartitioned `rank().over(orderBy(keys))` (which moves everything
+    * to ONE partition): range-partition on the keys (equal keys land
+    * together — the RangePartitioner contract that makes local ranks
+    * compose), rank WITHIN each partition, then add each partition's ROW
+    * count as an offset via a ≤numPartitions-row broadcast. Output: input
+    * columns + `rank` (1-based; tied keys share the position of the
+    * group's first row — the Manber-Myers bucket number, whose freeze
+    * property [[ranksGlobal]]'s pending-only rounds depend on). Range
+    * bounds come from sampling, so PARTITION SIZES vary run to run — rank
+    * VALUES never do (the composition is exact for any bounds).
+    */
+  private[graft] def globalMinRank(df: DataFrame, keys: Seq[Column]): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     // materialized ONCE: both consumers below (the offsets aggregate and
     // the final join) must see the SAME partition ids — the range
@@ -174,13 +380,13 @@ object SuffixArray {
       .repartitionByRange(nPart, keys: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lrank",
-        dense_rank().over(Window.partitionBy(col("_pid")).orderBy(keys: _*)).cast("long"))
+        rank().over(Window.partitionBy(col("_pid")).orderBy(keys: _*)).cast("long"))
       .localCheckpoint()
-    // per-partition distinct-key counts → cumulative offsets: a
-    // ≤numPartitions-row table (the epochShuffle offsets pattern) — the
-    // single-partition window is bounded by construction
+    // per-partition row counts → cumulative offsets: a ≤numPartitions-row
+    // table (the epochShuffle offsets pattern) — the single-partition
+    // window is bounded by construction
     val offsets = local
-      .groupBy(col("_pid")).agg(max(col("_lrank")).as("_cnt"))
+      .groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
       .withColumn("_off",
         coalesce(
           sum(col("_cnt")).over(

@@ -74,6 +74,64 @@ class SuffixArraySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("corpusRanks: one lexicographic order across docs; identical suffixes share a bucket") {
+    val docs = Seq((1L, "banana"), (2L, "banana"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val out = SuffixArray.corpusRanks(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    // direct truth: sort ALL suffixes; a bucket rank = 1 + count of
+    // strictly smaller suffix strings
+    val all = Seq(1L -> "banana", 2L -> "banana", 3L -> "xyz").flatMap {
+      case (id, t) => t.indices.map(p => (id, p.toLong, t.substring(p)))
+    }
+    val expected = all.map { case (id, p, s) =>
+      (id, p) -> (1L + all.count(_._3 < s))
+    }.toMap
+    assert(out.map(r => (r._1, r._2) -> r._3).toMap == expected)
+    // docs 1 and 2 are identical: every suffix pair shares its bucket
+    val byDoc = out.groupBy(_._1).map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
+    assert(byDoc(1L) == byDoc(2L))
+  }
+
+  test("crossDocRepeat: shared runs found, disjoint-alphabet doc reports 0, cap flags") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a quick brown fox leaps"), // shares " quick brown fox " → with doc 1
+      (3L, "zzzqqqvvv")) // shares nothing with 1 or 2
+      .toDF("doc_id", "text")
+    val out = SuffixArray.crossDocRepeat(docs, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // longest shared substring of docs 1/2 is " quick brown fox " minus
+    // the differing tails: "quick brown fox " + first shared char of the
+    // next word? jumps vs leaps share nothing at that offset — the run is
+    // " quick brown fox " (17 with both spaces) — compute directly:
+    def lcs(a: String, b: String): Int = {
+      var best = 0
+      for (i <- a.indices; j <- b.indices) {
+        var l = 0
+        while (i + l < a.length && j + l < b.length && a(i + l) == b(j + l)) l += 1
+        if (l > best) best = l
+      }
+      best
+    }
+    val t1 = "the quick brown fox jumps"; val t2 = "a quick brown fox leaps"
+    val t3 = "zzzqqqvvv"
+    val expected12 = lcs(t1, t2).toLong
+    assert(out(1L) == ((expected12, false)), s"doc1 got ${out(1L)}, want $expected12")
+    assert(out(2L) == ((expected12, false)))
+    // doc 3 still shares single characters ('q' with "quick") — the
+    // driver-side LCS is the ground truth, not intuition
+    val expected3 = math.max(lcs(t3, t1), lcs(t3, t2)).toLong
+    assert(out(3L) == ((expected3, false)), s"doc3 got ${out(3L)}, want $expected3")
+
+    // cap: identical 100-char docs with maxLcp 16 → capped, report 16
+    val twins = Seq((1L, "b" + "ab" * 50), (2L, "b" + "ab" * 50)).toDF("doc_id", "text")
+    val capped = SuffixArray.crossDocRepeat(twins, "doc_id", "text", maxLcp = 16)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(capped(1L) == ((16L, true)) && capped(2L) == ((16L, true)), s"got $capped")
+  }
+
   test("longestRepeat: banana has 'ana' (3); unique-char docs report 0; none capped") {
     val out = SuffixArray.longestRepeat(
       Seq((1L, "banana"), (2L, "abcdef"), (3L, "x")).toDF("doc_id", "text"),
