@@ -80,6 +80,50 @@ object QueriesSft {
     "q_sft_lossmask" -> ((s, dir) =>
       Sft.lossMaskSpans(docMessages(s, dir), "conv_id", "turn_idx", "role", "content")),
 
+    // the SFT data funnel as ONE plan: structural validation gates →
+    // keep survivors → render to training strings → loss-mask spans →
+    // per-conversation trainable-character budget (the number an SFT
+    // data build reports: how much loss-bearing content survived).
+    // The oracle recomputes trainable_chars a DIFFERENT way (assistant
+    // content lengths directly, not span end−start), so span arithmetic
+    // and summary must agree through two independent derivations.
+    "q_e2e_sft" -> ((s, dir) => {
+      // three docs form one conversation (system, user, assistant); a
+      // deterministic subset is BROKEN so the gates actually gate: every
+      // 5th conversation swaps its middle role (roles_ok fails), every
+      // 7th makes the middle content tab+space-only (no_empty fails via
+      // the whitespace class — the SQL-trim blind spot)
+      val conv = floor(col("doc_id") / 3).cast("long")
+      val msgs = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(
+          conv.as("conv_id"),
+          (col("doc_id") % 3).cast("long").as("turn_idx"),
+          when(col("doc_id") % 3 === 0, "system")
+            .when(col("doc_id") % 3 === 1,
+              when(conv % 5 === 0, "assistant").otherwise("user"))
+            .otherwise("assistant").as("role"),
+          when(conv % 7 === 0 && col("doc_id") % 3 === 1, lit("\t "))
+            .otherwise(substring(col("text"), 1, 120)).as("content"))
+      val keep = Sft.validate(msgs, "conv_id", "turn_idx", "role", "content")
+        .filter(col("keep")).select("conv_id")
+      val kept = msgs.join(keep, Seq("conv_id"))
+      val rendered = Sft.render(kept, "conv_id", "turn_idx", "role", "content")
+      val spans = Sft.lossMaskSpans(kept, "conv_id", "turn_idx", "role", "content")
+      rendered
+        .join(
+          spans.groupBy(col("conv_id")).agg(
+            count(lit(1)).as("n_spans"),
+            sum(col("end_pos") - col("start_pos")).as("trainable_chars")),
+          Seq("conv_id"), "left")
+        .select(col("conv_id"), col("text"), col("n_turns"), col("n_chars"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("trainable_chars"), lit(0L)).as("trainable_chars"),
+          Functions.roundHalfUp(
+            coalesce(col("trainable_chars"), lit(0L)).cast("double") /
+              col("n_chars").cast("double"), 6).as("coverage"))
+    }),
+
     "q_dpo_pairs" -> ((s, dir) =>
       Preference.pairs(candidates(s, dir), "user_id", "event_id", "value",
         minMargin = 50.0)),
@@ -274,6 +318,52 @@ object QueriesSft {
          |      AND regexp_replace(content, '[ \\t\\n\\r\\f]', '', 'g') <> '')
          |    AND arg_max(role, pos) = 'assistant') AS keep
          |FROM f GROUP BY conv_id""".stripMargin,
+
+    "q_e2e_sft" ->
+      s"""WITH m AS (
+         |  SELECT CAST(floor(doc_id / 3) AS BIGINT) AS conv_id,
+         |    CAST(doc_id % 3 AS BIGINT) AS turn_idx,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'system'
+         |         WHEN doc_id % 3 = 1 THEN
+         |           CASE WHEN CAST(floor(doc_id / 3) AS BIGINT) % 5 = 0
+         |                THEN 'assistant' ELSE 'user' END
+         |         ELSE 'assistant' END AS role,
+         |    CASE WHEN CAST(floor(doc_id / 3) AS BIGINT) % 7 = 0 AND doc_id % 3 = 1
+         |         THEN chr(9) || ' '
+         |         ELSE substr(text, 1, 120) END AS content
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |p AS (SELECT conv_id, role, content,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS pos
+         |  FROM m),
+         |l AS (SELECT conv_id,
+         |    max(CASE WHEN pos = 0 AND role = 'system' THEN 1 ELSE 0 END) AS lead
+         |  FROM p GROUP BY conv_id),
+         |f AS (SELECT p.conv_id, pos, role, content, lead,
+         |    CASE WHEN lead = 1 AND pos = 0 THEN role = 'system'
+         |         ELSE role = CASE WHEN (pos - lead) % 2 = 0
+         |                          THEN 'user' ELSE 'assistant' END END AS turn_ok
+         |  FROM p JOIN l ON p.conv_id = l.conv_id),
+         |v AS (SELECT conv_id FROM f GROUP BY conv_id
+         |  HAVING bool_and(turn_ok) AND max(pos) >= max(lead)
+         |    AND bool_and(content IS NOT NULL
+         |      AND regexp_replace(content, '[ \\t\\n\\r\\f]', '', 'g') <> '')
+         |    AND arg_max(role, pos) = 'assistant'),
+         |kept AS (SELECT m.* FROM m JOIN v USING (conv_id)),
+         |r AS (SELECT conv_id,
+         |    string_agg('<|' || role || '|>' || chr(10) || content || '<|end|>' || chr(10),
+         |      '' ORDER BY turn_idx) AS text,
+         |    count(*) AS n_turns
+         |  FROM kept GROUP BY conv_id),
+         |sa AS (SELECT conv_id, count(*) AS n_spans,
+         |    CAST(sum(length(content)) AS BIGINT) AS trainable_chars
+         |  FROM kept WHERE role = 'assistant' GROUP BY conv_id)
+         |SELECT r.conv_id, r.text, CAST(r.n_turns AS BIGINT) AS n_turns,
+         |  CAST(length(r.text) AS BIGINT) AS n_chars,
+         |  coalesce(sa.n_spans, 0) AS n_spans,
+         |  coalesce(sa.trainable_chars, 0) AS trainable_chars,
+         |  floor(CAST(coalesce(sa.trainable_chars, 0) AS DOUBLE)
+         |    / CAST(length(r.text) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS coverage
+         |FROM r LEFT JOIN sa USING (conv_id)""".stripMargin,
 
     "q_sft_render" ->
       s"""WITH m AS ($docMsgsSql),

@@ -68,7 +68,10 @@ import org.apache.spark.sql.functions._
   * over 10x rows), sa_lrs 1.9x, magg_rollup 1.9x (10x delta volume into
   * the same bounded group space — the |delta|+|groups| design), ev_kripp
   * 1.6x (bounded label space), e2e_curate 2.1x (the whole six-stage
-  * composition tracks its dedup/gate stages). Skew gate (sa_skew):
+  * composition tracks its dedup/gate stages), sa_crossdoc 4.0x (the
+  * salted 10x corpus makes the never-resolving duplicate-suffix tie set
+  * ~10x denser AND adds 10x rows — adjacent-pair volume stays linear,
+  * which is the whole point over pairwise comparison). Skew gate (sa_skew):
   * ranksGlobal on the one-100x-doc corpus runs at 0.90x of uniform
   * (gate <= 2); the per-doc-window variant reads 2.04x on the same data.
   *

@@ -53,7 +53,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_sa_lrs",        // adjacent-rank self-join keyed on (id, rank)
     "q_graph_pagerank", // per-round keyed join + map-side partial sum
     "q_magg_rollup",   // maintained-state read + bounded rollup
-    "q_e2e_curate")    // the six-stage composition: every join keyed
+    "q_e2e_curate",    // the six-stage composition: every join keyed
+    "q_e2e_sft")       // the SFT funnel: conv-keyed gates/render/spans only
 
   queries.foreach { name =>
     test(s"$name: no cartesian, no nested-loop join, no global sort mid-chain") {
@@ -225,16 +226,18 @@ class PlanInvariantsSpec extends SparkSpec {
       s"the corpus must never shuffle into a join — centroids are literals:\n$plan")
   }
 
-  test("q_sa_ranks_global: the two-phase rank join stays keyed/broadcast — no cartesian, no nested loop") {
-    // rangepartitioning IS this operator's design (the skew-immune global
+  test("q_sa_ranks_global / q_sa_crossdoc: two-phase rank joins stay keyed/broadcast — no cartesian, no nested loop") {
+    // rangepartitioning IS these operators' design (the skew-immune global
     // sort), so unlike q_sa_ranks it is NOT banned here — only unkeyed
     // quadratic shapes are
-    val df = SparkEntry.queries("q_sa_ranks_global")(spark, "/root/testdata/sf0.001")
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), s"cartesian in q_sa_ranks_global:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"unkeyed nested-loop join in q_sa_ranks_global:\n$plan")
+    for (name <- Seq("q_sa_ranks_global", "q_sa_crossdoc")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in $name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"unkeyed nested-loop join in $name:\n$plan")
+    }
   }
 
   test("q_proto_prune: centroid side broadcasts; cell-keyed window only — no cross, no global sort") {
