@@ -91,7 +91,15 @@ object SuffixArray {
       .drop("_pfx")
       .localCheckpoint()
     var k = seedK
-    while (k < maxLen) {
+    // early exit: a round is only needed while some rank is still TIED
+    // within its doc (the 128-char seed resolves typical prose corpora
+    // outright — ⌈log₂(maxLen/128)⌉ full window rounds would all be
+    // no-ops); the tie probe is one map-side-combinable aggregate with
+    // limit(1), far cheaper than the two window passes it saves
+    def tiesExist(r: DataFrame): Boolean =
+      !r.groupBy(col("id"), col("rank")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1L).limit(1).isEmpty
+    while (k < maxLen && tiesExist(rows)) {
       val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
       val byRank = Window.partitionBy(col("id")).orderBy(col("rank"), col("r2"))
       rows = rows
