@@ -236,7 +236,17 @@ object SuffixArray {
     *
     * Reference analog: none (training-data extension).
     */
-  def corpusRanks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def corpusRanks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpusRanksResolved(df, idCol, textCol)
+      .select(col(idCol), col("pos"), col("corpus_rank"))
+
+  /** [[corpusRanks]] plus the internal `resolved` flag (bucket size 1) —
+    * what lets [[crossDocRepeat]] assign total-order positions by ranking
+    * ONLY the tied rows (duplicate-volume-bounded) instead of the whole
+    * corpus again: a resolved bucket's rank IS its global position.
+    */
+  private[graft] def corpusRanksResolved(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) > 0)
@@ -278,7 +288,8 @@ object SuffixArray {
         println(s"[sa-corpus] round k=$k -> pending=$pending")
       k *= 2
     }
-    rows.select(col("id").as(idCol), col("pos"), col("rank").as("corpus_rank"))
+    rows.select(col("id").as(idCol), col("pos"), col("rank").as("corpus_rank"),
+      col("resolved"))
   }
 
   /** Longest substring each document shares with ANY OTHER document —
@@ -312,18 +323,28 @@ object SuffixArray {
       textCol: String,
       maxLcp: Int = 64): DataFrame = {
     require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
-    val sa = corpusRanks(df, idCol, textCol)
+    val sa = corpusRanksResolved(df, idCol, textCol)
+      .select(col(idCol).cast("long").as("id"), col("pos"),
+        col("corpus_rank").as("_cr"), col("resolved"))
     val texts = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) > 0)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
     // total order: bucket rank, then (id, pos) — ties are identical
-    // suffixes, so any tie order is lexicographically valid
-    val ordered = globalMinRank(
-      sa.select(col(idCol).cast("long").as("id"), col("pos"),
-        col("corpus_rank").as("_cr")),
+    // suffixes, so any tie order is lexicographically valid. A RESOLVED
+    // bucket's min-rank already IS its global position, so only the TIED
+    // rows (bounded by the corpus's duplicated volume) go through a rank
+    // pass: position = bucket rank + within-bucket offset
+    val solo = sa.filter(col("resolved"))
+      .select(col("id"), col("pos"), col("_cr").as("_seq"))
+    val tiedRanked = globalMinRank(
+      sa.filter(!col("resolved")).select(col("id"), col("pos"), col("_cr")),
       Seq(col("_cr"), col("id"), col("pos")))
-      .select(col("id"), col("pos"), col("rank").as("_seq"))
+      .withColumnRenamed("rank", "_pr")
+    val gmin = tiedRanked.groupBy(col("_cr")).agg(min(col("_pr")).as("_g"))
+    val tiedSeq = tiedRanked.join(gmin, Seq("_cr"))
+      .select(col("id"), col("pos"), (col("_cr") + col("_pr") - col("_g")).as("_seq"))
+    val ordered = solo.unionByName(tiedSeq)
     // per-suffix maxLcp-char remainder window (linear chunked extraction)
     // + the doc length for the exhaustion test — slim columns only
     val rems = seedPrefixRows(texts, maxLcp)
