@@ -132,6 +132,34 @@ class SuffixArraySpec extends SparkSpec {
     assert(capped(1L) == ((16L, true)) && capped(2L) == ((16L, true)), s"got $capped")
   }
 
+  test("crossDocRepeat: equals driver-side brute-force LCS over a seeded random corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val texts: Map[Long, String] = (1L to 12L).map { i =>
+      val t = Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // docs 3 and 9 additionally share a guaranteed multi-word run
+      i -> (if (i == 3L || i == 9L) t + " shared run of words here" else t)
+    }.toMap
+    def lcs(a: String, b: String): Int = {
+      var best = 0
+      for (i <- a.indices; j <- b.indices) {
+        var l = 0
+        while (i + l < a.length && j + l < b.length && a(i + l) == b(j + l)) l += 1
+        if (l > best) best = l
+      }
+      best
+    }
+    val out = SuffixArray.crossDocRepeat(
+      texts.toSeq.toDF("doc_id", "text"), "doc_id", "text", maxLcp = 256)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    texts.keys.foreach { i =>
+      val expected = texts.keys.filter(_ != i)
+        .map(j => lcs(texts(i), texts(j))).max.toLong
+      assert(out(i) == ((expected, false)),
+        s"doc $i: got ${out(i)}, brute-force LCS says $expected")
+    }
+  }
+
   test("longestRepeat: banana has 'ana' (3); unique-char docs report 0; none capped") {
     val out = SuffixArray.longestRepeat(
       Seq((1L, "banana"), (2L, "abcdef"), (3L, "x")).toDF("doc_id", "text"),
