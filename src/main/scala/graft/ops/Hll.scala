@@ -137,7 +137,11 @@ object Hll {
     * `distinct groups × 2^p` — group-bounded, never corpus-bounded; the
     * estimate arithmetic is identical to [[estimateFromRegisters]]
     * (DECIMAL-exact register sum, one final double divide, linear
-    * counting below 2.5m).
+    * counting below 2.5m). A group whose every value is NULL emits
+    * NOTHING (the spine derives from non-empty registers) — unlike the
+    * engine-internal `approx_count_distinct`, which would report 0; a
+    * caller needing the zero rows left-joins this against its group
+    * dimension.
     */
   def estimateByGroup(
       df: DataFrame, groupCol: String, valueCol: String, p: Int): DataFrame = {
