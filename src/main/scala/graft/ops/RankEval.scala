@@ -236,6 +236,12 @@ object RankEval {
       bins: Int,
       carryCols: Seq[String] = Nil): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
+    // carry columns ride alongside the generated event columns in the same
+    // projection — a carry named like one of them (or like the transient
+    // _p) would be ambiguous-or-shadowed downstream, silently
+    val reserved = Set("grp", "bin", "y", "pm", "_p")
+    require(!carryCols.exists(reserved.contains),
+      s"carryCols must not collide with generated columns ${reserved.mkString("/")}, got $carryCols")
     df
       .filter(col(groupCol).isNotNull && col(labelCol).isNotNull &&
         col(probCol).isNotNull && !isnan(col(probCol).cast("double")))

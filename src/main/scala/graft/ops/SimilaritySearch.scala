@@ -457,8 +457,10 @@ object SimilaritySearch {
     * [[bruteForceTopK]] cost). The pool is bounded by construction
     * (≤ `candidates` rows), so it collects ONCE and the greedy loop runs
     * driver-side — O(k · candidates · dim) scalar work that was never
-    * distributed-shaped to begin with (each step reads every candidate
-    * against every selected vector). The previous form ran k sequential
+    * distributed-shaped to begin with (each candidate carries a running
+    * max-penalty, refreshed against only the newly selected vector — max
+    * is monotone, so this equals the rescan-all form exactly). The
+    * previous form ran k sequential
     * `limit(1)` jobs over a localCheckpoint'ed pool; same answers, k×
     * the job-scheduling latency. Driver cosines replicate the
     * [[cosine]] expression's IEEE op sequence exactly (in-order
@@ -486,19 +488,28 @@ object SimilaritySearch {
       .filter(col("id").isNotNull && col("v").isNotNull)
       .select(col("id"), col("v"),
         floor(cosine(col("v"), qv) * 1e6 + 0.5).cast("long").as("rel_u"))
+      // the [[cosine]] expression answers NULL for a vector whose length
+      // differs from the query's or that carries null elements — such a row
+      // has no defined relevance and CANNOT be a candidate. Dropping the
+      // NULLs here (they used to ride at the tail of the desc sort and could
+      // enter an underfilled pool) is also what makes the driver-side `cos`
+      // twin below total: every surviving vector has exactly query-length
+      // null-free doubles, so every pool PAIR is equal-length too and the
+      // twin never meets the ragged case the engine answers with NULL.
+      .filter(col("rel_u").isNotNull)
       .orderBy(col("rel_u").desc, col("id"))
       .limit(candidates)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
 
-    // bit-exact driver twin of the codegen'd cosine: in-order
-    // multiply-add folds, Math.sqrt norms, zero-norm → 0, one divide
+    // bit-exact driver twin of the codegen'd cosine for the EQUAL-LENGTH
+    // null-free vectors the pool filter guarantees: in-order multiply-add
+    // folds, Math.sqrt norms, zero-norm → 0, one divide
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); i += 1 }
-      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
-      i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
       val sna = math.sqrt(na); val snb = math.sqrt(nb)
       if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
     }
@@ -506,33 +517,41 @@ object SimilaritySearch {
       math.floor(cos(a, b) * 1e6 + 0.5).toLong
 
     var selected = Vector.empty[(Long, Array[Double], Long, Long)]
-    val chosen = scala.collection.mutable.LongMap.empty[Boolean]
+    val n = pool.length
+    val taken = new Array[Boolean](n)
+    // running max-penalty per candidate, updated with ONLY the newly
+    // selected vector each step — max is monotone, so this is result-
+    // identical to re-scanning all selected vectors while cutting the
+    // greedy loop from O(k²·candidates·dim) to O(k·candidates·dim)
+    val maxPen = Array.fill(n)(Long.MinValue)
     var step = 0
     // a corpus smaller than k exhausts the pool — return what exists
-    while (step < k && selected.length < pool.length) {
-      var bestId = Long.MinValue; var bestScore = Long.MinValue
-      var bestVec: Array[Double] = null; var bestRel = 0L; var found = false
-      pool.foreach { case (id, v, relU) =>
-        if (!chosen.contains(id)) {
-          var penalty = 0L
-          if (selected.nonEmpty) {
-            penalty = Long.MinValue
-            selected.foreach { case (_, sv, _, _) =>
-              val s = simU(v, sv); if (s > penalty) penalty = s
-            }
-          }
+    while (step < k && selected.length < n) {
+      var best = -1; var bestId = Long.MinValue; var bestScore = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val (id, _, relU) = pool(i)
+          val penalty = if (selected.isEmpty) 0L else maxPen(i)
           val score = lambdaPct.toLong * relU - (100L - lambdaPct) * penalty
-          if (!found || score > bestScore || (score == bestScore && id < bestId)) {
-            found = true; bestId = id; bestScore = score; bestVec = v; bestRel = relU
+          if (best < 0 || score > bestScore || (score == bestScore && id < bestId)) {
+            best = i; bestId = id; bestScore = score
           }
         }
+        i += 1
       }
-      if (!found) step = k
-      else {
-        selected = selected :+ ((bestId, bestVec, bestRel, bestScore))
-        chosen(bestId) = true
-        step += 1
+      val (bid, bv, brel) = pool(best)
+      selected = selected :+ ((bid, bv, brel, bestScore))
+      taken(best) = true
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val s = simU(pool(j)._2, bv)
+          if (s > maxPen(j)) maxPen(j) = s
+        }
+        j += 1
       }
+      step += 1
     }
     import spark.implicits._
     selected.zipWithIndex
