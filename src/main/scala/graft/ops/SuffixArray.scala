@@ -244,9 +244,25 @@ object SuffixArray {
     * what lets [[crossDocRepeat]] assign total-order positions by ranking
     * ONLY the tied rows (duplicate-volume-bounded) instead of the whole
     * corpus again: a resolved bucket's rank IS its global position.
+    *
+    * `resolveLcp` is the CONSUMER'S observation cap: a caller that
+    * truncates every LCP report at `resolveLcp` chars cannot observe any
+    * rank refinement past prefix length `resolveLcp` — suffixes still tied
+    * once `k ≥ resolveLcp` share a ≥resolveLcp-char prefix, so every pair
+    * among them already reports the cap (or, for identical-short-suffix
+    * buckets, their exact common length), and every bucket-BOUNDARY LCP is
+    * fully determined by the already-resolved prefix. Splitting such
+    * buckets further only permutes tie order, which the consumer's
+    * tied-rows total-order pass handles arbitrarily-but-deterministically.
+    * The doubling loop therefore exits once `k ≥ max(seedK, resolveLcp)`
+    * — for a 64-char cap the 128-char seed alone suffices and ZERO
+    * doubling rounds run, dropping the loop's range exchanges +
+    * checkpoint barriers entirely. Default `Int.MaxValue` = resolve fully
+    * (the [[corpusRanks]] contract).
     */
   private[graft] def corpusRanksResolved(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String,
+      resolveLcp: Int = Int.MaxValue): DataFrame = {
     val base = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) > 0)
@@ -265,7 +281,7 @@ object SuffixArray {
         .drop("_pfx"))
       .localCheckpoint()
     var k = seedK
-    var pending = rows.filter(!col("resolved")).count()
+    var pending = if (k >= resolveLcp) 0L else rows.filter(!col("resolved")).count()
     while (k < maxLen && pending > 0) {
       val pend = rows.filter(!col("resolved"))
         .select(col("id"), col("pos"), col("rank").as("_r1"))
@@ -283,10 +299,10 @@ object SuffixArray {
       rows = rows.filter(col("resolved"))
         .unionByName(withResolved(upd))
         .localCheckpoint()
-      pending = rows.filter(!col("resolved")).count()
-      if (sys.env.contains("GRAFT_SA_DEBUG"))
-        println(s"[sa-corpus] round k=$k -> pending=$pending")
       k *= 2
+      pending = if (k >= resolveLcp) 0L else rows.filter(!col("resolved")).count()
+      if (sys.env.contains("GRAFT_SA_DEBUG"))
+        println(s"[sa-corpus] round k=${k / 2} -> pending=$pending")
     }
     rows.select(col("id").as(idCol), col("pos"), col("rank").as("corpus_rank"),
       col("resolved"))
@@ -323,7 +339,12 @@ object SuffixArray {
       textCol: String,
       maxLcp: Int = 64): DataFrame = {
     require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
-    val sa = corpusRanksResolved(df, idCol, textCol)
+    // cap-aware ranking: this consumer truncates every LCP report at
+    // maxLcp, so bucket refinement past that prefix length is
+    // unobservable (see corpusRanksResolved) — for the default 64-char
+    // cap the 128-char seed pass alone ranks the corpus, zero doubling
+    // rounds
+    val sa = corpusRanksResolved(df, idCol, textCol, resolveLcp = maxLcp)
       .select(col(idCol).cast("long").as("id"), col("pos"),
         col("corpus_rank").as("_cr"), col("resolved"))
     val texts = df

@@ -160,6 +160,58 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("crossDocRepeat: cap-aware ranking — seed-tied fixture exact with ZERO doubling rounds") {
+    // two docs share a 300-char pseudo-random run (>> the 128-char seed),
+    // embedded mid-document so remainders exceed the cap on both sides;
+    // a third doc shares a short 20-char run with doc 1; a fourth (digits
+    // only vs letters elsewhere... still shares single spaces) is covered
+    // by the brute-force truth. With maxLcp = 64 < seedK the doubling
+    // loop must not run at all — the seed buckets stay TIED (proved via
+    // corpusRanksResolved's resolved flag below) yet the capped report is
+    // exact: intra-bucket pairs all report the cap, bucket-boundary LCPs
+    // are seed-determined.
+    val rnd = new scala.util.Random(7)
+    val letters = "abcdefghijklmnopqrstuvwxyz "
+    val run = (1 to 300).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    val short = "twenty char run here"
+    val texts: Map[Long, String] = Map(
+      1L -> (s"doc one starts $run and then doc one ends with $short"),
+      2L -> (s"two begins differently $run two closes"),
+      3L -> (s"third text containing $short plus an unrelated tail"),
+      4L -> "9081726354 4523198076 1029384756")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    def lcs(a: String, b: String): Int = {
+      var best = 0
+      for (i <- a.indices; j <- b.indices) {
+        var l = 0
+        while (i + l < a.length && j + l < b.length && a(i + l) == b(j + l)) l += 1
+        if (l > best) best = l
+      }
+      best
+    }
+    val cap = 64
+    val out = SuffixArray.crossDocRepeat(docs, "doc_id", "text", maxLcp = cap)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    texts.keys.foreach { i =>
+      val truth = texts.keys.filter(_ != i).map(j => lcs(texts(i), texts(j))).max
+      val expectLen = math.min(truth, cap).toLong
+      val expectCap = truth > cap
+      assert(out(i) == ((expectLen, expectCap)),
+        s"doc $i: got ${out(i)}, brute LCS says $truth -> ($expectLen, $expectCap)")
+    }
+    // the cap-aware path really did SKIP resolution: the 300-char shared
+    // run leaves seed buckets tied in the capped rank table, while the
+    // default full resolution clears every non-identical tie
+    import org.apache.spark.sql.functions.col
+    val cappedTies = SuffixArray.corpusRanksResolved(docs, "doc_id", "text", resolveLcp = cap)
+      .filter(!col("resolved")).count()
+    val fullTies = SuffixArray.corpusRanksResolved(docs, "doc_id", "text")
+      .filter(!col("resolved")).count()
+    assert(cappedTies > 0L, "seed-tied fixture must leave ties under the cap")
+    assert(fullTies < cappedTies,
+      s"full resolution should clear seed ties ($fullTies vs $cappedTies)")
+  }
+
   test("longestRepeat: banana has 'ana' (3); unique-char docs report 0; none capped") {
     val out = SuffixArray.longestRepeat(
       Seq((1L, "banana"), (2L, "abcdef"), (3L, "x")).toDF("doc_id", "text"),
