@@ -303,6 +303,95 @@ object Curate {
         })
   }
 
+  /** One micro-batch of the INCREMENTAL web-curation chain — the
+    * streaming/lake form of the q_e2e_curate gate/dedup stages, against
+    * two persisted KEPT-history artifacts:
+    *   - `historyHashes` — distinct `(content_hash)` of every doc kept so
+    *     far (the [[Dedup.exact]] md5 key);
+    *   - `historyBands`  — distinct `(band, sig)` of every kept doc (the
+    *     [[Dedup.lshBandRows]] collision index: two docs are LSH
+    *     candidates iff they share a row here).
+    *
+    * Per-batch-doc flags, surfaced unfiltered (the [[decide]]
+    * observability contract): `gopher_ok`/`c4_ok`/`rep_ok` (the
+    * [[decideWeb]] per-row gates), `exact_canonical` (batch-local min id
+    * per content hash), `exact_new` (hash unseen in history),
+    * `near_canonical`/`near_new` (NULL for docs the earlier stages already
+    * rejected — near-dup runs over gate survivors only, mirroring the
+    * batch chain's stage order), and `keep` = the full conjunction.
+    *
+    * Streaming-order semantics: within one batch the minimum id wins
+    * (matching the batch canonical rule); across batches first arrival
+    * wins. The composition over ALL waves equals the one-shot batch chain
+    * (decideWeb keep → LSH clusters → keep canonical) whenever duplicate
+    * clusters are band-cliques whose minimum id arrives no later than the
+    * other members — transitive chains split across waves can differ,
+    * exactly as [[decideStream]] documents for exact dedup. Replays are
+    * idempotent: flags are a pure function of (batch, history artifacts).
+    *
+    * Scale shape: the history sides are NEVER reshuffled — each is
+    * semi-pruned map-side against its (broadcast) batch key set, and only
+    * the pruned survivors (bounded by the batch's own collision footprint)
+    * join back. Gates are per-row; within-batch near-dup pairs cost LSH +
+    * star contraction over the batch alone.
+    */
+  def decideWebAgainstHistory(
+      batch: DataFrame,
+      historyHashes: DataFrame,
+      historyBands: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      shingle: Int = 3): DataFrame = {
+    val id = col(idCol)
+    val web = decideWeb(batch, idCol, textCol)
+      .select(id, col("gopher_ok"), col("c4_ok"), col("rep_ok"),
+        col("exact_canonical"))
+    // exact vs history: prune history map-side against the broadcast batch
+    // hash set, then flag batch docs against the (small) intersection
+    val batchHashes = batch.select(id,
+      md5(trim(lower(coalesce(col(textCol), lit(""))))).as("_ch"))
+    val histHit = historyHashes.select(col("content_hash").as("_ch"))
+      .join(broadcast(batchHashes.select(col("_ch")).distinct()), Seq("_ch"),
+        "left_semi")
+    val exactNew = batchHashes.join(histHit, Seq("_ch"), "left_anti")
+      .select(id).withColumn("_en", lit(true))
+    val gated = web.join(exactNew, Seq(idCol), "left")
+      .select(id, col("gopher_ok"), col("c4_ok"), col("rep_ok"),
+        col("exact_canonical"), coalesce(col("_en"), lit(false)).as("exact_new"))
+    // near-dup over gate+exact survivors only (the batch chain's order)
+    val survivors = batch.join(
+      gated.filter(col("gopher_ok") && col("c4_ok") && col("rep_ok") &&
+        col("exact_canonical") && col("exact_new")).select(id),
+      Seq(idCol))
+    val bandRows = Dedup.lshBandRows(
+      survivors, idCol, textCol, numHashes, bands, shingle)
+    val histBandHit = historyBands.select(col("band"), col("sig"))
+      .join(broadcast(bandRows.select(col("band"), col("sig")).distinct()),
+        Seq("band", "sig"), "left_semi")
+    val nearOld = bandRows.join(histBandHit, Seq("band", "sig"), "left_semi")
+      .select(id).distinct().withColumn("_nold", lit(true))
+    val clusters = ConnectedComponents.assign(
+      survivors.select(id), idCol,
+      Dedup.minhashLshPairs(survivors, idCol, textCol, numHashes, bands, shingle),
+      "id_a", "id_b")
+    val near = clusters
+      .join(nearOld, Seq(idCol), "left")
+      .select(id,
+        (id === col("cluster_id")).as("near_canonical"),
+        (coalesce(col("_nold"), lit(false)) === false).as("near_new"))
+    gated.join(near, Seq(idCol), "left")
+      .select(id, col("gopher_ok"), col("c4_ok"), col("rep_ok"),
+        col("exact_canonical"), col("exact_new"),
+        col("near_canonical"), col("near_new"))
+      .withColumn("keep",
+        col("gopher_ok") && col("c4_ok") && col("rep_ok") &&
+          col("exact_canonical") && col("exact_new") &&
+          coalesce(col("near_canonical"), lit(false)) &&
+          coalesce(col("near_new"), lit(false)))
+  }
+
   /** Cluster representative selection: instead of keeping each duplicate
     * cluster's MINIMUM id (the [[ConnectedComponents]] default), keep its
     * best-scoring member — real pipelines keep the longest / highest-quality

@@ -313,6 +313,47 @@ object Dedup {
           z => z.getField("tok"))).as("clean_text"))
   }
 
+  /** Apply side of [[graft.ops.SuffixArray.crossDocSpans]]: cut every
+    * flagged CHARACTER span `[span_start, span_end)` out of each document's
+    * raw text — no tokenization, no normalization; documents with no spans
+    * pass through byte-identical (NULL text cleans to '' so flags surface
+    * and rows never vanish, the [[removeSpans]] rule).
+    *
+    * Shape: ONE keyed left join (doc → its sorted span list; spans per doc
+    * are few by construction) and a per-row `aggregate` stitch over the
+    * span array — cursor walks the text once appending the kept segment
+    * before each span, then the tail. No explode, no window, no second
+    * shuffle. Precondition: spans within a doc are disjoint (the island
+    * merge guarantees it); an overlapping span would stitch a negative-
+    * length segment, which substr treats as empty — over-removal, never
+    * resurrection.
+    */
+  def removeCharSpans(
+      df: DataFrame,
+      spans: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spansAgg = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("_spans"))
+    val txt = coalesce(col(textCol), lit(""))
+    val stitched = aggregate(
+      col("_spans"),
+      struct(lit(0L).as("cur"), lit("").as("acc")),
+      (a, sp) => struct(
+        sp.getField("span_end").as("cur"),
+        concat(a.getField("acc"),
+          txt.substr((a.getField("cur") + 1L).cast("int"),
+            (sp.getField("span_start") - a.getField("cur")).cast("int")))
+          .as("acc")),
+      a => concat(a.getField("acc"),
+        txt.substr((a.getField("cur") + 1L).cast("int"),
+          length(txt) - a.getField("cur").cast("int"))))
+    df.join(spansAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_spans").isNull, txt).otherwise(stitched).as("clean_text"))
+  }
+
   /** Exploded (carryCols..., shingle) rows: `n`-word shingles built with
     * `posexplode` + window `lead`, NOT `transform`/`slice` higher-order
     * functions — every operator here is whole-stage-codegen'd, while
@@ -335,19 +376,29 @@ object Dedup {
     // downstream groupBy(id) reuse the same hash partitioning (no second
     // exchange)
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // NO size(toks) column here: a token-count projection alongside the
+    // generator collapses ABOVE it, which forces the raw text through
+    // GenerateExec's requiredChildOutput and re-evaluates the regex split
+    // per OUTPUT row — O(doc_len) per shingle, ~1 ms/row on a 29 KB doc
+    // (the r11 sa_skew e2e finding). Shingle completeness is derived from
+    // the window itself instead: the (n−1)-token lead exists iff the
+    // shingle is full-width.
     val exploded = df
       .repartition(parallelism, col(idCol))
-      .select(col(idCol) +: size(toks).as("_n") +: carried :+ posexplode(toks): _*)
+      .select(col(idCol) +: carried :+ posexplode(toks): _*)
     val shingled =
       if (n == 1) exploded.withColumn("shingle", col("col"))
       else {
         val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
         // concat_ws skips nulls, so trailing leads of a short document
-        // produce the clipped shingle
+        // produce the clipped shingle; pos 0 always survives (documents
+        // shorter than n words yield their whole text as one clipped
+        // shingle — the documented contract)
         val parts = col("col") +: (1 until n).map(k => lead(col("col"), k).over(w))
         exploded
           .withColumn("shingle", concat_ws(" ", parts: _*))
-          .filter(col("pos") <= greatest(col("_n") - n, lit(0)))
+          .withColumn("_full", lead(col("col"), n - 1).over(w).isNotNull)
+          .filter(col("_full") || col("pos") === 0)
       }
     shingled.select(col(idCol) +: carriedNames :+ col("shingle"): _*)
   }
@@ -380,7 +431,14 @@ object Dedup {
     * tiny even over billions of documents. Defaults (8 hashes, 2 bands of 4)
     * target high-similarity near-dups; raise `bands` for higher recall.
     */
-  def minhashLshPairs(
+  /** One row per (document, band): `(idCol, band, sig)` with `sig` the
+    * band's joined MinHash slots — the LSH bucket key. The shared banding
+    * of [[minhashLshPairs]] and the persistable near-dup history artifact
+    * of [[Curate.decideWebAgainstHistory]] (two docs are LSH candidates
+    * iff they share a (band, sig) row, so the distinct (band, sig) set of
+    * kept history IS the collision index).
+    */
+  def lshBandRows(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -395,9 +453,19 @@ object Dedup {
         lit(b).as("band"),
         concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("sig"))
     }
-    val banded = sigs
+    sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      shingle: Int = 3): DataFrame = {
+    val banded = lshBandRows(df, idCol, textCol, numHashes, bands, shingle)
     // Self-join as SHUFFLE_HASH, not broadcast: both sides then shuffle on
     // identical (band, sig) exchanges and ReuseExchange computes the
     // signature pipeline ONCE in parallel — a broadcast build would

@@ -913,10 +913,14 @@ object TextAnalysis {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
+    // no size(t) alongside the generator: it would collapse above the
+    // explode, carry the raw text through GenerateExec, and re-split it
+    // per OUTPUT row (the shingleRows skew trap) — the lead's null-ness
+    // already marks incomplete tails
     df.repartition(parallelism, col(idCol))
-      .select(col(idCol), size(t).as("_n"), posexplode(t))
+      .select(col(idCol), posexplode(t))
       .withColumn("_w2", lead(col("col"), 1).over(w))
-      .filter(col("pos") <= col("_n") - 2)
+      .filter(col("_w2").isNotNull)
       .select(col(idCol), col("col").as("w1"), col("_w2").as("w2"))
   }
 
@@ -1140,11 +1144,13 @@ object TextAnalysis {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
+    // size(t)-free for the same reason as bigramRows (the shingleRows
+    // skew trap): the 2-lead's null-ness marks incomplete tails
     df.repartition(parallelism, col(idCol))
-      .select(col(idCol), size(t).as("_n"), posexplode(t))
+      .select(col(idCol), posexplode(t))
       .withColumn("_w2", lead(col("col"), 1).over(w))
       .withColumn("_w3", lead(col("col"), 2).over(w))
-      .filter(col("pos") <= col("_n") - 3)
+      .filter(col("_w3").isNotNull)
       .select(col(idCol), col("col").as("w1"), col("_w2").as("w2"), col("_w3").as("w3"))
   }
 

@@ -1068,4 +1068,137 @@ class StreamingSpec extends SparkSpec {
     val ones = graft.ops.RankEval.ece(all, "grp", "p", "label", 10).head()
     assert(ones.getAs[Double]("ece") >= 0.0)
   }
+
+  test("streaming e2e curation: two-wave gate/dedup/pack chain equals batch, replay-idempotent through checkpoint loss") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("graft_e2es_src_").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_e2es_state_").toString
+    val lakeDir = s"$base/lake"
+    val hashDir = s"$base/hashes"
+    val bandDir = s"$base/bands"
+    var ckpt = java.nio.file.Files.createTempDirectory("graft_e2es_ck_").toString
+
+    // fixture that PASSES the decideWeb gates: >= 50 words, mean word
+    // length 3-10, >= 2 stopword hits, 5 distinct period-terminated lines
+    // of >= 3 words, no braces, all tokens distinct (repetition ratios ok)
+    def body(seed: String, variant: String): String =
+      (0 until 5).map { l =>
+        val ws = (0 until 12).map(w => s"${seed}w${l * 12 + w}")
+        (if (l == 0) "the " + ws.tail.mkString(" ")
+         else if (l == 1) "and " + ws.tail.mkString(" ")
+         else ws.mkString(" ")) + (if (l == 4) s" $variant." else ".")
+      }.mkString("\n")
+    // near-dup groups are band-CLIQUES with the minimum id in the earliest
+    // wave — the documented equivalence domain (transitive chains split
+    // across waves may differ, as for exact dedup's first-arrival rule)
+    val wave1 = Seq(
+      10L -> body("alpha", "variantone"),   // near-dup group A, canonical
+      11L -> body("beta", "variantone"),    // near-dup group B, canonical
+      12L -> body("beta", "varianttwo"),    // group B, same wave
+      13L -> body("gamma", "variantone"),   // exact-dup group C, canonical
+      14L -> body("delta", "variantone"),   // unique
+      15L -> (body("eps", "variantone") + " {json}")) // gate-failing (c4 brace)
+    val wave2 = Seq(
+      20L -> body("alpha", "varianttwo"),   // group A, later wave -> dropped
+      21L -> body("gamma", "variantone"),   // exact dup of 13 -> dropped
+      22L -> body("zeta", "variantone"))    // unique
+    val allDocs = (wave1 ++ wave2).toDF("doc_id", "text")
+
+    // fixture sanity: every non-brace doc passes the gates; each near-dup
+    // group is a band clique (shares at least one (band, sig) row)
+    val webAll = graft.ops.Curate.decideWeb(allDocs, "doc_id", "text")
+    assert(webAll.filter(col("gopher_ok") && col("c4_ok") && col("rep_ok"))
+      .count() == 8L, "all docs except the brace doc must pass the heuristic gates")
+    val bandsAll = graft.ops.Dedup.lshBandRows(allDocs, "doc_id", "text")
+    def bandSet(id: Long) = bandsAll.filter(col("doc_id") === id)
+      .select("band", "sig").collect().map(_.toString).toSet
+    assert(bandSet(10L).intersect(bandSet(20L)).nonEmpty, "group A must collide")
+    assert(bandSet(11L).intersect(bandSet(12L)).nonEmpty, "group B must collide")
+
+    // seed empty state (schema-only artifacts + lake)
+    allDocs.limit(0).write.mode("overwrite").parquet(lakeDir)
+    allDocs.limit(0).select(md5(col("text")).as("content_hash"))
+      .write.mode("overwrite").parquet(hashDir)
+    graft.ops.Dedup.lshBandRows(allDocs.limit(0), "doc_id", "text")
+      .select("band", "sig").write.mode("overwrite").parquet(bandDir)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val flags = graft.ops.Curate.decideWebAgainstHistory(
+            batch,
+            spark.read.parquet(hashDir),
+            spark.read.parquet(bandDir),
+            "doc_id", "text")
+          // materialize ONCE: every union below re-executes kept's plan
+          // otherwise, and the later ones would re-read state dirs this
+          // very batch has already overwritten
+          val kept = batch.join(
+            flags.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+            .localCheckpoint()
+          // idempotent set-union rewrites (materialize BEFORE overwriting
+          // the dir being read — the appendCorpusRanks rule): a replayed
+          // batch re-derives the same rows and the union dedups them away
+          val newLake = spark.read.parquet(lakeDir).unionByName(kept)
+            .dropDuplicates("doc_id").localCheckpoint()
+          newLake.write.mode("overwrite").parquet(lakeDir)
+          val newHashes = spark.read.parquet(hashDir)
+            .unionByName(kept.select(
+              md5(trim(lower(coalesce(col("text"), lit(""))))).as("content_hash")))
+            .distinct().localCheckpoint()
+          newHashes.write.mode("overwrite").parquet(hashDir)
+          val newBands = spark.read.parquet(bandDir)
+            .unionByName(graft.ops.Dedup.lshBandRows(kept, "doc_id", "text")
+              .select("band", "sig"))
+            .distinct().localCheckpoint()
+          newBands.write.mode("overwrite").parquet(bandDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+
+    def lakeIds = spark.read.parquet(lakeDir)
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch twin: decideWeb keep -> LSH clusters -> keep canonical
+    val kept1 = allDocs.join(
+      webAll.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+    val clusters = graft.ops.ConnectedComponents.assign(
+      kept1.select(col("doc_id")), "doc_id",
+      graft.ops.Dedup.minhashLshPairs(kept1, "doc_id", "text"), "id_a", "id_b")
+    val batchKept = clusters.filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(lakeIds == batchKept,
+      s"stream lake $lakeIds must equal batch composition $batchKept")
+    assert(lakeIds == Set(10L, 11L, 13L, 14L, 22L))
+
+    // the pack stage runs over the SAME kept set on both sides -> equal
+    def packed(docs: org.apache.spark.sql.DataFrame) = {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      graft.ops.Pack.packTokenIdsWithMask(
+          docs.select(col("doc_id"), toks.as("ids"),
+            transform(sequence(lit(0), size(toks) - 1), i => i % 3 === 0).as("mask")),
+          "doc_id", "ids", "mask", budget = 128, numShards = 8)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(packed(spark.read.parquet(lakeDir)) ==
+      packed(allDocs.join(batchKept.toSeq.toDF("doc_id"), Seq("doc_id"))))
+
+    // checkpoint LOSS: both waves replay against the already-updated state
+    // — the set-union rewrites and pure-function flags make it a no-op
+    ckpt = java.nio.file.Files.createTempDirectory("graft_e2es_ck2_").toString
+    runOnce()
+    assert(lakeIds == batchKept, "replay after checkpoint loss must not change the lake")
+    assert(spark.read.parquet(hashDir).count() == 5L)
+  }
 }
