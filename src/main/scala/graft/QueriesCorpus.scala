@@ -177,6 +177,28 @@ object QueriesCorpus {
       graft.ops.SuffixArray.crossDocRepeat(
         t(s, dir, "documents"), "doc_id", "text", maxLcp = 64)),
 
+    // cross-document shared spans at character grain: the exact maximal
+    // extents of every >= 30-char run shared across documents — the
+    // apply-side offsets the detection above cannot provide (its adjacent
+    // pairs aggregate positions away, and would be position-incomplete
+    // anyway); two-pass hash-then-content-verify, so md5/xxhash collisions
+    // can never flag an unshared span
+    "q_sa_crossdoc_spans" -> ((s, dir) =>
+      graft.ops.SuffixArray.crossDocSpans(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 30)),
+
+    // the Lee-et-al loop closed at the corpus grain: detect cross-doc
+    // shared character runs, then CUT them out of the raw text — docs with
+    // no spans pass through byte-identical (the oracle re-stitches every
+    // kept segment independently)
+    "q_sa_crossdoc_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.removeCharSpans(
+        docs.filter(col("doc_id").isNotNull),
+        graft.ops.SuffixArray.crossDocSpans(docs, "doc_id", "text", minLen = 30),
+        "doc_id", "text")
+    }),
+
     // integer-quantized PageRank over a deterministic md5-derived link
     // graph (3 out-edges per doc) — the iterated fixpoint itself is
     // oracle-replayed (all-integer update rule, unrolled CTEs in SQL)
@@ -1437,6 +1459,37 @@ object QueriesCorpus {
     s"(SELECT doc_id, $shinglesSql AS sh FROM " +
       "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tt FROM documents))"
 
+  /** Cross-document shared CHARACTER spans (>= 30-char runs occurring in
+    * >= 2 distinct docs, merged to maximal extents) as a reusable CTE chain
+    * ending in `spans(doc_id, span_start, span_end)` — the direct
+    * recomputation: every 30-char window of every doc, grouped by its
+    * actual CONTENT (the engine's hash pass is invisible to the oracle),
+    * cross-doc windows marked, marks merged by the lag/sum island rule.
+    * Shared by q_sa_crossdoc_spans and the removal composition's oracle.
+    */
+  private val crossdocSpansCteSql: String = {
+    val m = 30
+    s"""d AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) >= $m),
+       |p AS (SELECT doc_id, text, unnest(range(0, length(text) - $m + 1)) AS pos
+       |  FROM d),
+       |g AS (SELECT doc_id, pos, substr(text, CAST(pos AS INT) + 1, $m) AS gram
+       |  FROM p),
+       |sh AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+       |h AS (SELECT doc_id, pos FROM g JOIN sh USING (gram)),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $m
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM h),
+       |seg AS (SELECT doc_id, pos,
+       |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+       |  FROM isl),
+       |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |    CAST(max(pos) + $m AS BIGINT) AS span_end
+       |  FROM seg GROUP BY doc_id, sid)""".stripMargin
+  }
+
   /** MinHash-LSH duplicate clusters as a reusable CTE chain ending in
     * `clusters(doc_id, cluster_id)`: the q_dd_lsh_pairs banding plus a
     * recursive min-label transitive closure (r reaches id ⇒ r reaches
@@ -2160,6 +2213,31 @@ object QueriesCorpus {
         |SELECT p0.doc_id, CAST(coalesce(mx.ml, 0) AS BIGINT) AS xdoc_len,
         |  coalesce(mx.mc, 0) = 1 AS capped
         |FROM (SELECT DISTINCT doc_id FROM p) p0 LEFT JOIN mx USING (doc_id)""".stripMargin,
+    "q_sa_crossdoc_spans" ->
+      s"""WITH $crossdocSpansCteSql
+         |SELECT doc_id, span_start, span_end FROM spans""".stripMargin,
+    "q_sa_crossdoc_clean" ->
+      s"""WITH $crossdocSpansCteSql,
+         |d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |s2 AS (SELECT doc_id, span_start, span_end,
+         |    lag(span_end, 1, 0) OVER (PARTITION BY doc_id ORDER BY span_start)
+         |      AS prev_end
+         |  FROM spans),
+         |pieces AS (
+         |  SELECT s2.doc_id, s2.span_start AS ord,
+         |    substr(d0.text, CAST(s2.prev_end AS INT) + 1,
+         |      CAST(s2.span_start - s2.prev_end AS INT)) AS piece
+         |  FROM s2 JOIN d0 USING (doc_id)
+         |  UNION ALL
+         |  SELECT d0.doc_id, 2147483647,
+         |    substr(d0.text, CAST(m.mx AS INT) + 1)
+         |  FROM d0 JOIN (SELECT doc_id, max(span_end) AS mx
+         |                FROM spans GROUP BY doc_id) m USING (doc_id)),
+         |stitched AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ct
+         |  FROM pieces GROUP BY doc_id)
+         |SELECT d0.doc_id, coalesce(stitched.ct, d0.text) AS clean_text
+         |FROM d0 LEFT JOIN stitched USING (doc_id)""".stripMargin,
     "q_graph_pagerank" -> {
       // the all-integer update rule makes the ITERATED fixpoint exactly
       // replayable: each Spark round unrolls to one CTE pair (contrib sum,

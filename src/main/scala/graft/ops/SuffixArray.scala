@@ -46,15 +46,27 @@ object SuffixArray {
     * extraction + O(chunk) per-row seeks ⇒ linear in corpus characters.
     * The giant-document ScaleProbe (sa_skew) is the regression gate.
     */
-  private def seedPrefixRows(base: DataFrame, seedK: Int): DataFrame = {
-    val stride = 512
-    val chunkLen = stride + seedK - 1
+  private val chunkStride = 512
+
+  /** (id, c, tlen, chunk) — documents exploded into `chunkStride`-char
+    * chunks, each overlapping the next by `window − 1` chars so every
+    * position's `window`-char view is local to its own chunk. The linear
+    * substring-extraction seam shared by [[seedPrefixRows]] and
+    * [[crossDocSpans]]' verification pass.
+    */
+  private def chunkRows(base: DataFrame, window: Int): DataFrame = {
+    val chunkLen = chunkStride + window - 1
     base
       .select(col("id"), col("t"), length(col("t")).as("tlen"))
       .select(col("id"), col("t"), col("tlen"),
-        explode(expr(s"sequence(bigint(0), (tlen - 1) div $stride)")).as("c"))
+        explode(expr(s"sequence(bigint(0), (tlen - 1) div $chunkStride)")).as("c"))
       .select(col("id"), col("c"), col("tlen"),
-        expr(s"substring(t, cast(c * $stride + 1 as int), $chunkLen)").as("chunk"))
+        expr(s"substring(t, cast(c * $chunkStride + 1 as int), $chunkLen)").as("chunk"))
+  }
+
+  private def seedPrefixRows(base: DataFrame, seedK: Int): DataFrame = {
+    val stride = chunkStride
+    chunkRows(base, seedK)
       .select(col("id"), col("c"), col("chunk"),
         explode(expr(
           s"sequence(bigint(0), least(bigint(${stride - 1}), bigint(tlen) - c * $stride - 1))"))
@@ -186,9 +198,19 @@ object SuffixArray {
       // the lead(k) of the windowed variant as a keyed SELF-JOIN against
       // ALL rows (frozen ranks are valid order keys); the right side's
       // keys are freshly-aliased attributes so the self-join can never
-      // silently resolve both sides to the same expression id
-      val ahead = rows.select(col("id").as("rid"), (col("pos") - k).as("rpos"),
-        col("rank").as("r2"))
+      // silently resolve both sides to the same expression id. Semi-pruned
+      // to the (id, pos+k) keys pending rows actually look at — the driver
+      // knows the pending count, so below ~1M keys the prune broadcasts
+      // explicitly and the corpus side never shuffle-writes; late rounds
+      // never re-shuffle the whole corpus for a residual tie set
+      val pendKeys = rows.filter(!col("resolved"))
+        .select(col("id").as("kid"), (col("pos") + k).as("kpos"))
+      val keysB = if (pending <= 1000000L) broadcast(pendKeys) else pendKeys
+      val ahead = rows
+        .select(col("id").as("rid"), col("pos").as("rpos"), col("rank").as("r2"))
+        .join(keysB, col("rid") === col("kid") && col("rpos") === col("kpos"),
+          "left_semi")
+        .select(col("rid"), (col("rpos") - k).as("rpos"), col("r2"))
       val paired = pend
         .join(ahead, col("id") === col("rid") && col("pos") === col("rpos"), "left")
         .select(col("id"), col("pos"), col("_r1"),
@@ -263,49 +285,166 @@ object SuffixArray {
   private[graft] def corpusRanksResolved(
       df: DataFrame, idCol: String, textCol: String,
       resolveLcp: Int = Int.MaxValue): DataFrame = {
-    val base = df
-      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+    val base = corpusBase(df, idCol, textCol)
+    val rows = classifyFresh(
+      globalMinRank(seedPrefixRows(base, corpusSeedK), Seq(col("_pfx")))
+        .drop("_pfx")
+        .withColumn("_oldRank", lit(null).cast("long")))
+      .localCheckpoint()
+    resolveLoop(rows, maxDocLen(base), resolveLcp, classifyFresh)
+      .select(col("id").as(idCol), col("pos"), col("rank").as("corpus_rank"),
+        col("resolved"))
+  }
+
+  private val corpusSeedK = 128
+
+  private def corpusBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) > 0)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-    val maxLenRow = base.agg(max(length(col("t")))).head()
-    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
-    val seedK = 128
-    def withResolved(r: DataFrame): DataFrame = {
-      val sizes = r.groupBy(col("rank")).agg(count(lit(1)).as("_n"))
-      r.join(sizes, Seq("rank"))
-        .withColumn("resolved", col("_n") === 1L)
-        .drop("_n")
-    }
-    var rows = withResolved(
-      globalMinRank(seedPrefixRows(base, seedK), Seq(col("_pfx")))
-        .drop("_pfx"))
-      .localCheckpoint()
-    var k = seedK
-    var pending = if (k >= resolveLcp) 0L else rows.filter(!col("resolved")).count()
+
+  private def maxDocLen(base: DataFrame): Int = {
+    val row = base.agg(max(length(col("t")))).head()
+    if (row.isNullAt(0)) 0 else row.getInt(0)
+  }
+
+  /** Bucket-size-1 ⇒ resolved — a singleton min-rank bucket's rank IS its
+    * final global position. The group-keyed aggregate is map-side
+    * combinable and the join back AQE-skew-splittable.
+    */
+  private def withResolved(r: DataFrame): DataFrame = {
+    val sizes = r.groupBy(col("rank")).agg(count(lit(1)).as("_n"))
+    r.join(sizes, Seq("rank"))
+      .withColumn("resolved", col("_n") === 1L)
+      .drop("_n")
+  }
+
+  /** The corpus-grain prefix-doubling loop over `(id, pos, rank, resolved,
+    * frozen)` rows: each round refines ONLY `!frozen` rows (their tie
+    * groups are wholly un-frozen by construction — the min-rank freeze
+    * property) by pairing with the rank `k` ahead and min-ranking within
+    * each group, then freezes newly-singleton buckets. `frozen` is the
+    * loop-participation flag, DISTINCT from `resolved`:
+    * [[appendCorpusRanks]] freezes all-old tie groups whose relative order
+    * the persisted artifact already fixes — including genuinely tied
+    * identical suffixes, which must neither re-enter the loop nor be
+    * reported resolved. For a from-scratch build the two flags coincide.
+    * Refinement keys of heterogeneous depth are safe: any current rank is
+    * an order-consistent coarsening of true suffix order (r(a) < r(b) ⇒
+    * a < b), so a more-refined `r2` can only split a group EARLIER than
+    * the uniform-depth loop would, never differently.
+    */
+  /** Diagnostic: Σ pending rows entering each doubling round of the most
+    * recent [[resolveLoop]] run — the data volume the loop actually moved
+    * through its exchanges. ScaleProbe's sa_append gate reads this: at
+    * cluster scale, bytes-through-exchanges is the cost driver, while a
+    * 32-thread local run is dominated by fixed per-stage latency that
+    * masks a 100× volume difference.
+    */
+  private[graft] var lastLoopVolume: Long = 0L
+
+  private def resolveLoop(
+      initial: DataFrame, maxLen: Int, resolveLcp: Int,
+      reclassify: DataFrame => DataFrame): DataFrame = {
+    // frozen rows accumulate as ALREADY-materialized parts and are never
+    // re-checkpointed: each round materializes ONLY the refined pending
+    // set, so per-round write volume tracks the shrinking tie footprint,
+    // not the corpus (the r11 lesson — a corpus-wide localCheckpoint per
+    // round cost more than the rounds themselves once pending was small)
+    var frozenParts: List[DataFrame] = List(initial.filter(col("frozen")))
+    var pendRows = initial.filter(!col("frozen"))
+    var k = corpusSeedK
+    var pending = if (k >= resolveLcp) 0L else pendRows.count()
+    var volume = 0L
     while (k < maxLen && pending > 0) {
-      val pend = rows.filter(!col("resolved"))
-        .select(col("id"), col("pos"), col("rank").as("_r1"))
-      val ahead = rows.select(col("id").as("rid"), (col("pos") - k).as("rpos"),
-        col("rank").as("r2"))
+      volume += pending
+      val all = (pendRows :: frozenParts).reduce(_ unionByName _)
+      val pend = pendRows
+        .select(col("id"), col("pos"), col("_oldRank"), col("rank").as("_r1"))
+      // the r2 lookup table is semi-pruned to the rows pending suffixes
+      // actually look at — (id, pos+k) keys — BEFORE it joins: the prune
+      // is map-side (AQE broadcasts the pending key set once the pending
+      // volume shrinks), so late rounds never re-shuffle the whole corpus
+      // to resolve a residual tie set. Lookahead targets past the end of
+      // a document are genuinely absent and fold to the −1 sentinel.
+      val pendKeys = pendRows
+        .select(col("id").as("kid"), (col("pos") + k).as("kpos"))
+      // the driver KNOWS the pending count — below ~1M keys (≈16 MB) the
+      // prune broadcasts explicitly, so the corpus side never even
+      // shuffle-writes (AQE's runtime broadcast conversion would still pay
+      // the map-stage write of the big side before deciding)
+      val keysB = if (pending <= 1000000L) broadcast(pendKeys) else pendKeys
+      val ahead = all
+        .select(col("id").as("rid"), col("pos").as("rpos"), col("rank").as("r2"))
+        .join(keysB, col("rid") === col("kid") && col("rpos") === col("kpos"),
+          "left_semi")
+        .select(col("rid"), (col("rpos") - k).as("rpos"), col("r2"))
       val paired = pend
         .join(ahead, col("id") === col("rid") && col("pos") === col("rpos"), "left")
-        .select(col("id"), col("pos"), col("_r1"),
+        .select(col("id"), col("pos"), col("_oldRank"), col("_r1"),
           coalesce(col("r2"), lit(-1L)).as("r2"))
       val pranked = globalMinRank(paired, Seq(col("_r1"), col("r2")))
         .withColumnRenamed("rank", "_pr")
       val gmin = pranked.groupBy(col("_r1")).agg(min(col("_pr")).as("_g"))
       val upd = pranked.join(gmin, Seq("_r1"))
-        .select(col("id"), col("pos"), (col("_r1") + col("_pr") - col("_g")).as("rank"))
-      rows = rows.filter(col("resolved"))
-        .unionByName(withResolved(upd))
-        .localCheckpoint()
+        .select(col("id"), col("pos"), col("_oldRank"),
+          (col("_r1") + col("_pr") - col("_g")).as("rank"))
+      val cls = reclassify(upd).localCheckpoint()
+      frozenParts = cls.filter(col("frozen")) :: frozenParts
+      pendRows = cls.filter(!col("frozen"))
       k *= 2
-      pending = if (k >= resolveLcp) 0L else rows.filter(!col("resolved")).count()
+      pending = if (k >= resolveLcp) 0L else pendRows.count()
       if (sys.env.contains("GRAFT_SA_DEBUG"))
         println(s"[sa-corpus] round k=${k / 2} -> pending=$pending")
     }
-    rows.select(col("id").as(idCol), col("pos"), col("rank").as("corpus_rank"),
-      col("resolved"))
+    lastLoopVolume = volume
+    (pendRows :: frozenParts).reduce(_ unionByName _)
+  }
+
+  /** The from-scratch round classification: singleton buckets freeze
+    * resolved; everything else stays pending (`_oldRank` is the all-NULL
+    * placeholder column — no prior order is known for anything).
+    */
+  private def classifyFresh(upd: DataFrame): DataFrame =
+    withResolved(upd).withColumn("frozen", col("resolved"))
+
+  /** The append-path classification, applied at the seed AND after every
+    * round: a tie group whose rows are ALL history (`_oldRank` non-NULL —
+    * new rows carry NULL, which groups apart under `<=>`) never needs
+    * another doubling round — its internal order is already final in the
+    * artifact's old ranks (inserting new suffixes cannot reorder old
+    * ones, and tie groups only ever split) — so it freezes at
+    * `rank + min-rank offset of its oldRank sub-group`, resolved iff that
+    * sub-group is a singleton. Groups still containing a new row stay
+    * pending. This bounds EVERY round's pending set by the batch's tie
+    * footprint: history-only ties (including never-resolving identical
+    * mirrors) exit the loop the moment the last new row splits away.
+    */
+  private def classifyAppend(upd: DataFrame): DataFrame = {
+    val sub = upd.groupBy(col("rank"), col("_oldRank"))
+      .agg(count(lit(1)).as("_gc"))
+    val buck = sub.groupBy(col("rank"))
+      .agg(sum(col("_gc")).as("_n"),
+        max(col("_oldRank").isNull.cast("int")).as("_hn"))
+    val goffR = sub
+      .withColumn("_off",
+        coalesce(
+          sum(col("_gc")).over(
+            Window.partitionBy(col("rank")).orderBy(col("_oldRank"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .join(buck, Seq("rank"))
+      .select(col("rank").as("_grank"), col("_oldRank").as("_goldRank"),
+        col("_off"), col("_gc"), col("_n"), col("_hn"))
+    val allOldMulti = col("_n") > 1L && col("_hn") === 0
+    upd
+      .join(goffR,
+        col("rank") === col("_grank") && col("_oldRank") <=> col("_goldRank"))
+      .select(col("id"), col("pos"), col("_oldRank"),
+        when(allOldMulti, col("rank") + col("_off"))
+          .otherwise(col("rank")).as("rank"),
+        (col("_n") === 1L || (allOldMulti && col("_gc") === 1L)).as("resolved"),
+        (col("_n") === 1L || col("_hn") === 0).as("frozen"))
   }
 
   /** Longest substring each document shares with ANY OTHER document —
@@ -405,6 +544,220 @@ object SuffixArray {
       .select(col("id").as(idCol),
         coalesce(col("_ml"), lit(0L)).as("xdoc_len"),
         (coalesce(col("_mc"), lit(0L)) === 1L).as("capped"))
+  }
+
+  /** Cross-document shared spans at CHARACTER grain — the apply-side
+    * companion of [[crossDocRepeat]], closing the Lee-et-al loop: detection
+    * says "this document shares a ≥`minLen`-char run with another document";
+    * this emits the exact maximal extents `(idCol, span_start, span_end)`
+    * (char offsets, end exclusive) so [[Dedup.removeCharSpans]] can cut
+    * them out of the raw text.
+    *
+    * Semantics: a position `p` is marked iff `text[p, p+minLen)` occurs in
+    * at least `minDocs` DISTINCT documents; overlapping/adjacent marks merge
+    * into maximal islands. That is exactly the suffix-bucket form at prefix
+    * length `minLen` — suffixes sharing a `minLen`-char prefix across ≥2
+    * docs — computed as one keyed group instead of doubling rounds (rank
+    * refinement past `minLen` is unobservable here, the [[crossDocRepeat]]
+    * cap argument taken to its limit). Adjacent-pair LCPs alone would NOT
+    * be position-complete: when a run repeats k times in one document and
+    * once in another, only ONE of the k+1 same-prefix suffix adjacencies
+    * crosses documents, so k−1 duplicated positions would go unreported —
+    * the bucket form marks all of them (proven against brute force in
+    * SuffixArraySpec).
+    *
+    * Exactness and scale shape (the [[Dedup.repeatedSpansExact]] two-pass
+    * discipline at char grain): pass 1 extracts one slim
+    * `(id, pos, xxhash64(window))` row per character via the linear chunked
+    * path — never an O(L) seek into a full document — and keys the
+    * cross-doc test on the 64-bit hash; pass 2 re-extracts window CONTENT
+    * only at surviving positions (bounded by duplicated volume plus hash
+    * collisions) and re-verifies on the actual characters, so a hash
+    * collision can never flag a span that is not truly shared. The island
+    * merge windows per document — documents parallelize freely, and one
+    * document's marked positions are bounded by its own duplicated volume.
+    */
+  def crossDocSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
+    val texts = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= minLen)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    def crossDoc(rows: DataFrame, keyCol: String): DataFrame =
+      if (minDocs == 2)
+        rows.groupBy(col(keyCol))
+          .agg(min(col("id")).as("_lo"), max(col("id")).as("_hi"))
+          .filter(col("_lo") =!= col("_hi"))
+          .select(col(keyCol))
+      else
+        rows.groupBy(col(keyCol))
+          .agg(count_distinct(col("id")).as("_df"))
+          .filter(col("_df") >= minDocs)
+          .select(col(keyCol))
+    // pass 1: slim (id, pos, hash) per FULL window (trailing sub-window
+    // prefixes are excluded — they cannot anchor a >= minLen match)
+    val hashed = seedPrefixRows(texts, minLen)
+      .filter(length(col("_pfx")) === minLen)
+      .select(col("id"), col("pos"), xxhash64(col("_pfx")).as("_h"))
+    val survivors = hashed.join(crossDoc(hashed, "_h"), Seq("_h"))
+      .select(col("id"), col("pos"))
+    // pass 2: window content re-derived ONLY at survivor positions, via the
+    // same chunk seam as pass 1 (the two passes can never disagree on what
+    // a window is), then re-verified on actual characters
+    val chunks = chunkRows(texts, minLen)
+      .select(col("id"), col("c"), col("chunk"))
+    val content = survivors
+      .withColumn("c", floor(col("pos") / chunkStride))
+      .join(chunks, Seq("id", "c"))
+      .select(col("id"), col("pos"),
+        col("chunk").substr(
+          (col("pos") - col("c") * chunkStride + 1L).cast("int"),
+          lit(minLen)).as("_w"))
+    val marked = content.join(crossDoc(content, "_w"), Seq("_w"))
+      .select(col("id"), col("pos"))
+    // island merge at char grain: marks p, q (p < q) overlap or touch iff
+    // q <= p + minLen ([p, p+minLen) meets [q, q+minLen))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    marked
+      .withColumn("_prev", lag(col("pos"), 1).over(w))
+      .withColumn("_ns",
+        when(col("_prev").isNull || col("pos") > col("_prev") + minLen, 1)
+          .otherwise(0))
+      .withColumn("_sid",
+        sum(col("_ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_sid"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + minLen).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  private val SaMetaFile = "_sa_meta.json"
+
+  /** Build [[corpusRanksResolved]] over `df` and persist it as a reusable
+    * artifact: parquet `(idCol, pos, corpus_rank, resolved)` plus a
+    * `_sa_meta.json` geometry sidecar (seedK, resolveLcp) — the
+    * [[SimilaritySearch.saveLshIndex]] contract, so a later
+    * [[appendCorpusRanks]] can never silently mix resolution depths.
+    */
+  def saveCorpusRanks(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      resolveLcp: Int = Int.MaxValue): Unit = {
+    corpusRanksResolved(df, idCol, textCol, resolveLcp)
+      .write.mode("overwrite").parquet(dir)
+    MetaJson.write(df.sparkSession, dir, SaMetaFile,
+      Seq("seedK" -> corpusSeedK.toLong, "resolveLcp" -> resolveLcp.toLong))
+  }
+
+  /** Load a persisted corpus-rank artifact; refuses a bare directory (no
+    * `_sa_meta.json` — not something [[saveCorpusRanks]] wrote).
+    */
+  def loadCorpusRanks(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    MetaJson.readFields(spark, dir, SaMetaFile, Seq("seedK", "resolveLcp"),
+      "an artifact written by saveCorpusRanks")
+    spark.read.parquet(dir)
+  }
+
+  /** Incremental corpus-suffix-array maintenance for a growing corpus:
+    * fold `batch` documents into the persisted rank artifact at `dir`
+    * (built by [[saveCorpusRanks]] over `history`) WITHOUT re-running any
+    * doubling round whose ties live wholly inside history. Returns — and
+    * persists back to `dir` — the combined ranks, rank-for-rank identical
+    * to a full [[corpusRanksResolved]] rebuild over `history ∪ batch` at
+    * the artifact's own resolveLcp (proven in SuffixArraySpec).
+    *
+    * Why this is sound: inserting new suffixes never reorders old ones
+    * (lexicographic order is absolute), so the artifact's rank is a valid
+    * order key among history suffixes FOREVER. The combined seed re-buckets
+    * everything by 128-char prefix (min-rank positions are dense, so every
+    * row's NUMBER must shift — one slim range exchange, unavoidable for
+    * dense output); then
+    *   - a seed bucket containing ONLY history rows is ordered by the
+    *     frozen old ranks directly — within-bucket min-rank offsets from a
+    *     bounded (rank, oldRank) group table — and FREEZES without ever
+    *     entering the loop. History's internal duplicated volume (the
+    *     thing doubling rounds cost) is never re-resolved;
+    *   - only buckets touched by a batch row run doubling rounds, with
+    *     `r2` lookups against the combined current state (frozen ranks
+    *     are valid order keys; deeper-than-round refinement only splits
+    *     groups earlier, never differently — see [[resolveLoop]]).
+    * Doubling volume therefore tracks the BATCH's tie footprint (batch
+    * duplication + history suffixes sharing a ≥128-char prefix with some
+    * batch suffix), not the corpus's.
+    *
+    * Refusals: bare dir (no sidecar), batch ids colliding with history
+    * ids (ranks would alias), artifact/history coverage mismatch (the
+    * artifact must hold exactly one row per history suffix — a drifted
+    * history df would silently corrupt every rank after it).
+    */
+  def appendCorpusRanks(
+      history: DataFrame,
+      batch: DataFrame,
+      dir: String,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = history.sparkSession
+    val debug = sys.env.contains("GRAFT_SA_DEBUG")
+    val t0 = System.nanoTime()
+    def dbg(stage: String): Unit =
+      if (debug) println(f"[sa-append] $stage at ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val meta = MetaJson.readFields(spark, dir, SaMetaFile,
+      Seq("seedK", "resolveLcp"), "an artifact written by saveCorpusRanks")
+    require(meta("seedK") == corpusSeedK,
+      s"artifact seedK ${meta("seedK")} != engine seedK $corpusSeedK")
+    val resolveLcp = meta("resolveLcp")
+    val hist = corpusBase(history, idCol, textCol)
+    val bat = corpusBase(batch, idCol, textCol)
+    require(hist.select(col("id")).distinct()
+        .join(bat.select(col("id")).distinct(), Seq("id")).isEmpty,
+      "batch ids must be disjoint from history ids")
+    val art = spark.read.parquet(dir)
+      .select(col(idCol).cast("long").as("id"), col("pos"),
+        col("corpus_rank").as("_oldRank"))
+    // history prefixes re-extracted map-side (linear, no shuffle); the
+    // artifact must cover exactly one row per history suffix
+    val oldRows = seedPrefixRows(hist, corpusSeedK)
+      .join(art, Seq("id", "pos"))
+      .localCheckpoint()
+    val nJoin = oldRows.count()
+    val nArt = art.count()
+    // one suffix per character: Σ length(t) counts history's suffix rows
+    // without re-running the seed explode
+    val nHist = hist.agg(coalesce(sum(length(col("t"))), lit(0L)))
+      .head().getLong(0)
+    require(nArt == nJoin && nHist == nJoin,
+      s"artifact holds $nArt suffix rows, history df has $nHist, " +
+        s"$nJoin match — history and artifact have drifted; rebuild instead")
+    dbg("integrity checks done")
+    val union = oldRows
+      .select(col("id"), col("pos"), col("_pfx"), col("_oldRank"))
+      .unionByName(seedPrefixRows(bat, corpusSeedK)
+        .select(col("id"), col("pos"), col("_pfx"),
+          lit(null).cast("long").as("_oldRank")))
+    val seeded = globalMinRank(union, Seq(col("_pfx"))).drop("_pfx")
+    // [[classifyAppend]] does the bucket triage — singleton / all-old
+    // (freeze by old-rank offsets) / mixed (pending) — at the seed, and
+    // the SAME triage re-runs after every doubling round, so history-only
+    // ties exit the loop the moment the last new row splits away
+    val initial = classifyAppend(seeded).localCheckpoint()
+    dbg("seed + bucket classification done")
+    val maxLen = math.max(maxDocLen(hist), maxDocLen(bat))
+    val out = resolveLoop(initial, maxLen, resolveLcp, classifyAppend)
+      .select(col("id").as(idCol), col("pos"), col("rank").as("corpus_rank"),
+        col("resolved"))
+      // materialize BEFORE overwriting the artifact the plan reads from
+      .localCheckpoint()
+    dbg("resolve loop done")
+    out.write.mode("overwrite").parquet(dir)
+    MetaJson.write(spark, dir, SaMetaFile,
+      Seq("seedK" -> corpusSeedK.toLong, "resolveLcp" -> resolveLcp.toLong))
+    out
   }
 
   /** Two-phase global MIN-rank over `keys` — the scalable replacement for

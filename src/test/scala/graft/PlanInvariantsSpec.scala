@@ -22,6 +22,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_bpe_encode",    // broadcast-ranks zero-shuffle tokenize
     "q_dd_spans",      // window explode + keyed groupBy/join + island merge
     "q_dd_spans_sub",  // threshold-grain spans + content-verify pass
+    "q_sa_crossdoc_spans", // char-grain two-pass spans: hash groupBy + chunk-keyed verify
+    "q_sa_crossdoc_clean", // spans + ONE doc-keyed removal join, per-row stitch
     "q_j1_incr_diff",  // interval anti-join incremental diff
     "q_a1_traffic15",  // flagship 15-min aggregation
     "q_tx_quality",    // per-row quality projection (r6 bench-drift watch)

@@ -212,6 +212,210 @@ class SuffixArraySpec extends SparkSpec {
       s"full resolution should clear seed ties ($fullTies vs $cappedTies)")
   }
 
+  // brute-force reference for crossDocSpans: mark every position whose
+  // m-char window occurs in >= minDocs distinct docs, merge marks into
+  // maximal islands
+  private def bruteSpans(
+      texts: Map[Long, String], m: Int, minDocs: Int = 2): Set[(Long, Long, Long)] = {
+    val grams = texts.toSeq.flatMap { case (id, t) =>
+      (0 to t.length - m).map(p => (t.substring(p, p + m), id, p))
+    }
+    val shared = grams.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.size >= minDocs).keySet
+    grams.filter(g => shared(g._1)).groupBy(_._2).toSeq.flatMap { case (id, gs) =>
+      val ps = gs.map(_._3).sorted
+      val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+      var start = ps.head
+      var last = ps.head
+      ps.tail.foreach { p =>
+        if (p > last + m) { spans += ((id, start.toLong, (last + m).toLong)); start = p }
+        last = p
+      }
+      spans += ((id, start.toLong, (last + m).toLong))
+      spans
+    }.toSet
+  }
+
+  test("crossDocSpans: position-complete vs brute force over a seeded random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val planted = "this exact boilerplate paragraph repeats across documents"
+    val texts: Map[Long, String] = (1L to 15L).map { i =>
+      val words = Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      val t = words.mkString(" ")
+      // 4, 9, 13 share a planted run; 4 carries it TWICE (the
+      // position-completeness case adjacent pairs alone would miss)
+      i -> (i match {
+        case 4L  => planted + " " + t + " " + planted
+        case 9L  => t + " " + planted
+        case 13L => planted.toUpperCase.toLowerCase + " " + t
+        case _   => t
+      })
+    }.toMap
+    val m = 12
+    val got = SuffixArray.crossDocSpans(
+      texts.toSeq.toDF("doc_id", "text"), "doc_id", "text", minLen = m)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = bruteSpans(texts, m)
+    assert(got == want, s"diff: extra=${got -- want} missing=${want -- got}")
+    // the planted run really was found at BOTH of doc 4's occurrences
+    val doc4 = got.filter(_._1 == 4L)
+    assert(doc4.exists(_._2 == 0L) &&
+      doc4.exists(s => s._3 == texts(4L).length),
+      s"doc 4 spans $doc4 must cover both planted occurrences")
+  }
+
+  test("crossDocSpans: minDocs=3 requires three distinct docs; doc-internal repeats alone never flag") {
+    val texts = Map(
+      1L -> "the shared boilerplate sentence xx the shared boilerplate sentence",
+      2L -> "prefix the shared boilerplate sentence suffix",
+      3L -> "the shared boilerplate sentence standalone",
+      4L -> "completely unrelated content with nothing repeated anywhere")
+    val m = 16
+    // minDocs=2 and 3: brute force agrees in both modes
+    Seq(2, 3).foreach { md =>
+      val got = SuffixArray.crossDocSpans(
+        texts.toSeq.toDF("doc_id", "text"), "doc_id", "text", m, minDocs = md)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == bruteSpans(texts, m, md), s"minDocs=$md")
+    }
+    // a doc whose repeat is ONLY internal: no other doc shares it => no span
+    val internal = Map(
+      1L -> "zqj unique internal repeat zqj unique internal repeat",
+      2L -> "totally disjoint alphabet text here with no overlap at all")
+    val got = SuffixArray.crossDocSpans(
+      internal.toSeq.toDF("doc_id", "text"), "doc_id", "text", 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.isEmpty, s"internal-only repeats must not flag: ${got.mkString(",")}")
+  }
+
+  test("removeCharSpans: exact stitch, pass-through docs byte-identical, null text -> ''") {
+    import org.apache.spark.sql.functions.col
+    val texts = Map(
+      1L -> "keep AAAA cut this shared part BBBB keep",
+      2L -> "other cut this shared part elsewhere",
+      3L -> "untouched document stays byte-identical",
+      5L -> null)
+    val df = texts.toSeq.toDF("doc_id", "text")
+    val spans = SuffixArray.crossDocSpans(df, "doc_id", "text", minLen = 20)
+    val clean = graft.ops.Dedup.removeCharSpans(df, spans, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text"))
+      .as[(Long, String)].collect().toMap
+    // brute-force removal twin
+    val spanMap = spans.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2.toInt, s._3.toInt)).sorted).toMap
+    texts.foreach { case (id, t0) =>
+      val t = Option(t0).getOrElse("")
+      val expected = spanMap.get(id) match {
+        case None => t
+        case Some(ss) =>
+          val (cursor, acc) = ss.foldLeft((0, new StringBuilder)) {
+            case ((cur, sb), (s, e)) => (e, sb.append(t.substring(cur, s)))
+          }
+          acc.append(t.substring(cursor)).toString
+      }
+      assert(clean(id) == expected, s"doc $id: got '${clean(id)}' want '$expected'")
+    }
+    assert(clean(3L) == texts(3L)) // span-free doc passes through
+    assert(clean(5L) == "")        // null text cleans to '' (row survives)
+    // every cut segment really was cross-doc shared text
+    spanMap.foreach { case (id, ss) =>
+      ss.foreach { case (s, e) =>
+        val cut = texts(id).substring(s, e)
+        assert(texts.exists { case (oid, ot) =>
+          oid != id && ot != null && ot.contains(cut.substring(0, 20))
+        }, s"doc $id cut [$s,$e) '$cut' must share its leading window with another doc")
+      }
+    }
+  }
+
+  // a corpus with heavy INTERNAL history duplication (the volume append
+  // must never re-resolve) plus organic randomness
+  private def appendFixture(seed: Int): (Map[Long, String], Map[Long, String]) = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val boiler = "standard license header repeated across the whole history corpus"
+    def doc() =
+      Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val history = (1L to 20L).map { i =>
+      i -> (if (i % 3 == 0) boiler + " " + doc() else doc())
+    }.toMap
+    val batch = (101L to 108L).map { i =>
+      // half the batch shares the history boilerplate, half is fresh
+      i -> (if (i % 2 == 0) doc() + " " + boiler else doc())
+    }.toMap
+    (history, batch)
+  }
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Boolean)] =
+    df.select("doc_id", "pos", "corpus_rank", "resolved")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+
+  test("appendCorpusRanks: append == full rebuild rank-for-rank (full resolution)") {
+    val (history, batch) = appendFixture(11)
+    val hDf = history.toSeq.toDF("doc_id", "text")
+    val bDf = batch.toSeq.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sa_append_").toString
+    SuffixArray.saveCorpusRanks(hDf, "doc_id", "text", dir)
+    val appended = ranksOf(
+      SuffixArray.appendCorpusRanks(hDf, bDf, dir, "doc_id", "text"))
+    val rebuilt = ranksOf(SuffixArray.corpusRanksResolved(
+      hDf.unionByName(bDf), "doc_id", "text"))
+    assert(appended == rebuilt,
+      s"extra=${(appended -- rebuilt).take(5)} missing=${(rebuilt -- appended).take(5)}")
+    // the persisted artifact was updated in place: load == returned frame
+    assert(ranksOf(SuffixArray.loadCorpusRanks(spark, dir)) == appended)
+    // and a SECOND append on top of the first stays exact
+    val b2 = Map(201L -> ("totally fresh second wave " + history(3L)))
+      .toSeq.toDF("doc_id", "text")
+    val appended2 = ranksOf(
+      SuffixArray.appendCorpusRanks(hDf.unionByName(bDf), b2, dir, "doc_id", "text"))
+    val rebuilt2 = ranksOf(SuffixArray.corpusRanksResolved(
+      hDf.unionByName(bDf).unionByName(b2), "doc_id", "text"))
+    assert(appended2 == rebuilt2)
+  }
+
+  test("appendCorpusRanks: append == rebuild at a CAPPED artifact (resolveLcp threads through)") {
+    val (history, batch) = appendFixture(23)
+    val hDf = history.toSeq.toDF("doc_id", "text")
+    val bDf = batch.toSeq.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sa_appendcap_").toString
+    SuffixArray.saveCorpusRanks(hDf, "doc_id", "text", dir, resolveLcp = 64)
+    val appended = ranksOf(
+      SuffixArray.appendCorpusRanks(hDf, bDf, dir, "doc_id", "text"))
+    val rebuilt = ranksOf(SuffixArray.corpusRanksResolved(
+      hDf.unionByName(bDf), "doc_id", "text", resolveLcp = 64))
+    assert(appended == rebuilt)
+  }
+
+  test("appendCorpusRanks refusals: bare dir, id collision, drifted history") {
+    val (history, batch) = appendFixture(31)
+    val hDf = history.toSeq.toDF("doc_id", "text")
+    val bDf = batch.toSeq.toDF("doc_id", "text")
+    val bare = java.nio.file.Files.createTempDirectory("graft_sa_bare_").toString
+    val e1 = intercept[IllegalArgumentException] {
+      SuffixArray.loadCorpusRanks(spark, bare)
+    }
+    assert(e1.getMessage.contains("_sa_meta.json"))
+    intercept[IllegalArgumentException] {
+      SuffixArray.appendCorpusRanks(hDf, bDf, bare, "doc_id", "text")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sa_refuse_").toString
+    SuffixArray.saveCorpusRanks(hDf, "doc_id", "text", dir)
+    // batch reusing a history id
+    val e2 = intercept[IllegalArgumentException] {
+      SuffixArray.appendCorpusRanks(
+        hDf, Seq((3L, "collides")).toDF("doc_id", "text"), dir, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("disjoint"))
+    // history df drifted from the artifact (a doc added after the save)
+    val drifted = hDf.unionByName(Seq((99L, "late doc")).toDF("doc_id", "text"))
+    val e3 = intercept[IllegalArgumentException] {
+      SuffixArray.appendCorpusRanks(drifted, bDf, dir, "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("drifted"))
+  }
+
   test("longestRepeat: banana has 'ana' (3); unique-char docs report 0; none capped") {
     val out = SuffixArray.longestRepeat(
       Seq((1L, "banana"), (2L, "abcdef"), (3L, "x")).toDF("doc_id", "text"),
