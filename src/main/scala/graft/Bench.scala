@@ -51,13 +51,22 @@ object Bench {
       "q_cms_inner", "q_skew_report", "q_ev_f1", "q_ev_f1_macro", "q_ev_conformal",
       "q_sd_nmi", "q_ev_kripp", "q_ev_brier", "q_ev_cochran",
       "q_sa_ranks_global", "q_e2e_curate", "q_x_approx_distinct",
-      "q_sa_crossdoc", "q_e2e_sft")
+      "q_sa_crossdoc", "q_e2e_sft", "q_sa_crossdoc_spans", "q_sa_crossdoc_clean")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),
     // then several timed runs of which the MINIMUM is reported: the host is
     // shared, and min-of-N is the standard noise-robust statistic — a single
     // "run 2" can land on a neighbor's CPU burst and read 10x high.
+    //
+    // The timed runs are SWEEP-INTERLEAVED — pass 1 runs every query once,
+    // then pass 2, then pass 3, and each query's minimum is taken ACROSS
+    // passes — instead of back-to-back per query: consecutive per-query runs
+    // all land inside the same host-contention window, so a sustained
+    // neighbor burst used to defeat the min statistic for every query it
+    // covered (the r10 driver bench read ~12 queries 3-6x high for exactly
+    // this reason). With interleaving, a burst shorter than one full sweep
+    // corrupts at most one of the three samples per query.
     val timedRuns = 3
     def attempt(name: String): Option[Double] =
       try {
@@ -69,9 +78,13 @@ object Bench {
           System.err.println(s"bench: $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           None
       }
+    val warmed = headline.filter(name => attempt(name).isDefined)
+    val sweeps: Seq[Map[String, Double]] =
+      (1 to timedRuns).map { _ =>
+        warmed.flatMap(name => attempt(name).map(name -> _)).toMap
+      }
     val results = headline.map { name =>
-      val warm = attempt(name)
-      val timed = if (warm.isEmpty) Seq.empty else (1 to timedRuns).flatMap(_ => attempt(name))
+      val timed = sweeps.flatMap(_.get(name))
       name -> (if (timed.size == timedRuns) Some(timed.min) else None)
     }
     val failed = results.collect { case (n, None) => n }
