@@ -51,7 +51,8 @@ object Bench {
       "q_cms_inner", "q_skew_report", "q_ev_f1", "q_ev_f1_macro", "q_ev_conformal",
       "q_sd_nmi", "q_ev_kripp", "q_ev_brier", "q_ev_cochran",
       "q_sa_ranks_global", "q_e2e_curate", "q_x_approx_distinct",
-      "q_sa_crossdoc", "q_e2e_sft", "q_sa_crossdoc_spans", "q_sa_crossdoc_clean")
+      "q_sa_crossdoc", "q_e2e_sft", "q_sa_crossdoc_spans", "q_sa_crossdoc_clean",
+      "q_tx_zipf", "q_tx_heaps", "q_tx_jsd")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

@@ -873,6 +873,29 @@ object QueriesCorpus {
     "q_tx_entropy" -> ((s, dir) =>
       graft.ops.TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Zipf's-law fit over the token frequency table: ln(tf) ~ ln(rank) OLS
+    // through the distributed min-rank (no corpus-wide window); the slope
+    // is the head-heaviness corpus-health signal
+    "q_tx_zipf" -> ((s, dir) =>
+      graft.ops.TextAnalysis.zipfFit(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Heaps'-law fit: vocabulary growth V(n) ~ K n^beta over docs in id
+    // order — cumulative token/type prefix sums via the two-phase scan,
+    // then the same nano-unit OLS
+    "q_tx_heaps" -> ((s, dir) =>
+      graft.ops.TextAnalysis.heapsLaw(t(s, dir, "documents"), "doc_id", "text")),
+
+    // KL / Jensen-Shannon divergence between the 'en' slice and the rest —
+    // vocabulary-grain drift between two corpora, Laplace-smoothed over the
+    // union vocab, nano-nat term sums
+    "q_tx_jsd" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.TextAnalysis.distributionDivergence(
+        d.filter(col("lang") === "en"),
+        d.filter(coalesce(col("lang"), lit("")) =!= "en"),
+        "text")
+    }),
+
     // UL2 mixture-of-denoisers: md5-routed R/X span corruption + S
     // continuation — the whole mixture (routing draw included) rebuilt in
     // SQL
@@ -3130,6 +3153,114 @@ object QueriesCorpus {
         |  floor(CAST(coalesce(per.e, 0) AS DOUBLE) / 1e9 * 1000000 + 0.5) / 1000000
         |    AS entropy_nats
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    "q_tx_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1),
+        |rk AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM tf),
+        |pt AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y, tf FROM rk),
+        |s AS (SELECT count(*) AS n,
+        |    sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS sx,
+        |    sum(CAST(floor(y * 1e9 + 0.5) AS BIGINT)) AS sy,
+        |    sum(CAST(floor(x * y * 1e9 + 0.5) AS BIGINT)) AS sxy,
+        |    sum(CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)) AS sxx,
+        |    sum(CAST(floor(y * y * 1e9 + 0.5) AS BIGINT)) AS syy,
+        |    CAST(sum(tf) AS BIGINT) AS n_tokens
+        |  FROM pt),
+        |f AS (SELECT n, n_tokens,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / 1e9 AS dsx, CAST(sy AS DOUBLE) / 1e9 AS dsy,
+        |    CAST(sxy AS DOUBLE) / 1e9 AS dsxy, CAST(sxx AS DOUBLE) / 1e9 AS dsxx,
+        |    CAST(syy AS DOUBLE) / 1e9 AS dsyy
+        |  FROM s),
+        |g AS (SELECT n, n_tokens, nd, dsx, dsy,
+        |    nd * dsxy - dsx * dsy AS cov,
+        |    nd * dsxx - dsx * dsx AS varx,
+        |    nd * dsyy - dsy * dsy AS vary
+        |  FROM f),
+        |h AS (SELECT n, n_tokens, nd, dsx, dsy, cov, varx, vary,
+        |    CASE WHEN n >= 2 AND varx <> 0 THEN cov / varx END AS slope_r
+        |  FROM g)
+        |SELECT n AS n_types, n_tokens,
+        |  floor(slope_r * 1000000 + 0.5) / 1000000 AS slope,
+        |  floor((dsy - slope_r * dsx) / nd * 1000000 + 0.5) / 1000000 AS intercept,
+        |  floor(CASE WHEN vary <> 0 THEN (cov * cov) / (varx * vary) END
+        |    * 1000000 + 0.5) / 1000000 AS r2
+        |FROM h""".stripMargin,
+    "q_tx_heaps" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM tok WHERE token <> '' AND doc_id IS NOT NULL),
+        |pd AS (SELECT doc_id, count(*) AS ntok FROM tk GROUP BY 1),
+        |fo AS (SELECT min(doc_id) AS doc_id FROM tk GROUP BY token),
+        |nt AS (SELECT doc_id, count(*) AS ntyp FROM fo GROUP BY 1),
+        |sp AS (SELECT pd.doc_id, ntok, coalesce(ntyp, 0) AS ntyp
+        |  FROM pd LEFT JOIN nt USING (doc_id)),
+        |cm AS (SELECT sum(ntok) OVER w AS cn, sum(ntyp) OVER w AS cv FROM sp
+        |  WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pt AS (SELECT ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y, cn, cv
+        |  FROM cm),
+        |s AS (SELECT count(*) AS n,
+        |    sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS sx,
+        |    sum(CAST(floor(y * 1e9 + 0.5) AS BIGINT)) AS sy,
+        |    sum(CAST(floor(x * y * 1e9 + 0.5) AS BIGINT)) AS sxy,
+        |    sum(CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)) AS sxx,
+        |    sum(CAST(floor(y * y * 1e9 + 0.5) AS BIGINT)) AS syy,
+        |    CAST(max(cn) AS BIGINT) AS n_tokens, CAST(max(cv) AS BIGINT) AS n_types
+        |  FROM pt),
+        |f AS (SELECT n, n_tokens, n_types,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / 1e9 AS dsx, CAST(sy AS DOUBLE) / 1e9 AS dsy,
+        |    CAST(sxy AS DOUBLE) / 1e9 AS dsxy, CAST(sxx AS DOUBLE) / 1e9 AS dsxx,
+        |    CAST(syy AS DOUBLE) / 1e9 AS dsyy
+        |  FROM s),
+        |g AS (SELECT n, n_tokens, n_types, nd, dsx, dsy,
+        |    nd * dsxy - dsx * dsy AS cov,
+        |    nd * dsxx - dsx * dsx AS varx,
+        |    nd * dsyy - dsy * dsy AS vary
+        |  FROM f),
+        |h AS (SELECT n, n_tokens, n_types, nd, dsx, dsy, cov, varx, vary,
+        |    CASE WHEN n >= 2 AND varx <> 0 THEN cov / varx END AS slope_r
+        |  FROM g),
+        |i AS (SELECT n, n_tokens, n_types, nd, dsx, dsy, cov, varx, vary, slope_r,
+        |    floor((dsy - slope_r * dsx) / nd * 1000000 + 0.5) / 1000000 AS icpt6
+        |  FROM h)
+        |SELECT n AS n_docs, n_tokens, n_types,
+        |  floor(slope_r * 1000000 + 0.5) / 1000000 AS beta,
+        |  floor(exp(icpt6) * 1000000 + 0.5) / 1000000 AS k,
+        |  floor(CASE WHEN vary <> 0 THEN (cov * cov) / (varx * vary) END
+        |    * 1000000 + 0.5) / 1000000 AS r2
+        |FROM i""".stripMargin,
+    "q_tx_jsd" ->
+      """WITH ta AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE coalesce(lang, '') <> 'en'),
+        |ca AS (SELECT token, count(*) AS ka FROM ta WHERE token <> '' GROUP BY 1),
+        |cb AS (SELECT token, count(*) AS kb FROM tb WHERE token <> '' GROUP BY 1),
+        |j AS (SELECT coalesce(ka, 0) AS ka, coalesce(kb, 0) AS kb
+        |  FROM ca FULL OUTER JOIN cb USING (token)),
+        |tt AS (SELECT count(*) AS vocab, CAST(sum(ka) AS BIGINT) AS na,
+        |    CAST(sum(kb) AS BIGINT) AS nb FROM j),
+        |p AS (SELECT
+        |    (CAST(ka AS DOUBLE) + 0.5) /
+        |      (CAST(na AS DOUBLE) + 0.5 * CAST(vocab AS DOUBLE)) AS pa,
+        |    (CAST(kb AS DOUBLE) + 0.5) /
+        |      (CAST(nb AS DOUBLE) + 0.5 * CAST(vocab AS DOUBLE)) AS pb
+        |  FROM j, tt),
+        |p2 AS (SELECT pa, pb, (pa + pb) / 2.0 AS m FROM p),
+        |s AS (SELECT
+        |    sum(CAST(floor(pa * ln(pa / pb) * 1e9 + 0.5) AS BIGINT)) AS klab,
+        |    sum(CAST(floor(pb * ln(pb / pa) * 1e9 + 0.5) AS BIGINT)) AS klba,
+        |    sum(CAST(floor((pa * ln(pa / m) + pb * ln(pb / m)) / 2.0 * 1e9 + 0.5)
+        |      AS BIGINT)) AS jd
+        |  FROM p2)
+        |SELECT vocab, na AS n_tokens_a, nb AS n_tokens_b,
+        |  floor(CAST(klab AS DOUBLE) / 1e9 * 1000000 + 0.5) / 1000000 AS kl_ab,
+        |  floor(CAST(klba AS DOUBLE) / 1e9 * 1000000 + 0.5) / 1000000 AS kl_ba,
+        |  floor(CAST(jd AS DOUBLE) / 1e9 * 1000000 + 0.5) / 1000000 AS jsd
+        |FROM s, tt""".stripMargin,
     "q_ul2_mix" -> ul2MixOracleSql,
     "q_t5_spans" ->
       """WITH d AS (SELECT doc_id,

@@ -1613,4 +1613,214 @@ object TextAnalysis {
           col("n_bytes").cast("double") / col("byte_tokens").cast("double"), 6)
           .as("bytes_per_token"))
   }
+
+  /** Ordinary least squares over `(x, y)` points, folded to ONE summary row
+    * — the shared tail of the corpus scaling-law fits ([[zipfFit]],
+    * [[heapsLaw]]). Exactness contract: each per-point moment (x, y, x·y,
+    * x², y²) is quantized to integer nano-units BEFORE the sum, so the five
+    * sums are order-independent LONG additions (the [[charEntropy]]
+    * nano-nat discipline) and the closed-form slope/intercept/R² — a
+    * single-row double computation over the five sums — is bit-identical
+    * however Spark partitions the points. The SQL oracle replays the same
+    * quantize-then-sum sequence term for term.
+    *
+    * Input frame must carry DOUBLE columns `x` and `y`; degenerate fits
+    * (fewer than 2 points, or zero x-variance) answer NULL slope/
+    * intercept/r2 rather than ±Inf.
+    */
+  private def olsFitRow(points: DataFrame, extraAggs: Seq[Column] = Nil): DataFrame = {
+    def q(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val sums = points.agg(
+      count(lit(1)).as("n_points"),
+      Seq(
+        sum(q(col("x"))).as("_sx"),
+        sum(q(col("y"))).as("_sy"),
+        sum(q(col("x") * col("y"))).as("_sxy"),
+        sum(q(col("x") * col("x"))).as("_sxx"),
+        sum(q(col("y") * col("y"))).as("_syy")) ++ extraAggs: _*)
+    val n = col("n_points").cast("double")
+    def d(c: Column) = c.cast("double") / lit(1e9)
+    val (sx, sy, sxy, sxx, syy) =
+      (d(col("_sx")), d(col("_sy")), d(col("_sxy")), d(col("_sxx")), d(col("_syy")))
+    val cov = n * sxy - sx * sy
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    val slope = when(col("n_points") >= 2 && varX =!= lit(0.0), cov / varX)
+    val intercept = (sy - slope * sx) / n
+    val r2 = when(varY =!= lit(0.0), (cov * cov) / (varX * varY))
+    val internal = Set("n_points", "_sx", "_sy", "_sxy", "_sxx", "_syy")
+    val extraNames = sums.columns.filterNot(internal).toSeq
+    sums.select(
+      col("n_points") +: extraNames.map(col) :+
+        graft.Functions.roundHalfUp(slope, 6).as("slope") :+
+        graft.Functions.roundHalfUp(intercept, 6).as("intercept") :+
+        graft.Functions.roundHalfUp(r2, 6).as("r2"): _*)
+  }
+
+  /** Zipf's-law fit over the corpus token frequency table: OLS of
+    * ln(frequency) against ln(rank) — the slope should sit near −1 for
+    * natural text, and a corpus whose slope drifts toward 0 (flat, boiler-
+    * plate-heavy) or below −1.5 (template spam dominating the head) is a
+    * standard data-quality red flag before pretraining (Zipf 1949; used as
+    * a corpus-health signal in e.g. the Pile and Gopher dataset analyses).
+    *
+    * Ranks are assigned over (tf DESC, token ASC) — a total order, so
+    * min-rank equals row_number — through [[SuffixArray.globalMinRank]]:
+    * range-exchange + per-partition rank + a bounded (≤ shuffle-partitions
+    * rows) broadcast offset table, never a single-partition corpus-wide
+    * window. The fit tail is [[olsFitRow]]'s order-independent nano-unit
+    * sums.
+    *
+    * Output: ONE row `(n_types, n_tokens, slope, intercept, r2)`.
+    * `minTf` drops the long tail of near-hapax types whose rank noise
+    * otherwise dominates the regression (fit the law where it's linear).
+    */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String, minTf: Long = 1L): DataFrame = {
+    val tf = df
+      .select(explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= minTf)
+    val ranked = SuffixArray.globalMinRank(tf, Seq(col("tf").desc, col("token")))
+    val points = ranked.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("tf").cast("double")).as("y"),
+      col("tf"))
+    olsFitRow(points,
+      Seq(count(lit(1)).as("n_types"), sum(col("tf")).as("n_tokens")))
+      .select("n_types", "n_tokens", "slope", "intercept", "r2")
+  }
+
+  /** Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β over the corpus read
+    * in document order (Heaps 1978). β far from its natural-text band
+    * (~0.4–0.7) is a duplication/diversity signal — a heavily duplicated
+    * crawl saturates V(n) early (β collapses), a synthetic-ID-ridden one
+    * never saturates (β → 1) — making this the cheap scaling-law
+    * companion to the dedup suite.
+    *
+    * Shape: one point per non-empty document — (ln N(d), ln V(d)) at the
+    * doc-prefix grain, where N is cumulative tokens and V cumulative
+    * distinct types over docs ordered by id. V is NOT a running
+    * count-distinct: each type is attributed to its FIRST claiming doc
+    * (min doc id — one bounded groupBy over the vocab), so the cumulative
+    * is a plain prefix SUM of per-doc new-type counts. Both prefix sums
+    * run through the [[SuffixArray.globalMinRank]] scan pattern — range
+    * exchange, per-partition running sums, bounded broadcast offsets —
+    * never a single-partition window over the doc spine.
+    *
+    * Output: ONE row `(n_docs, n_tokens, n_types, beta, k, r2)` with
+    * β = slope and K = exp(intercept), both 6-dp quantized.
+    */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol).cast("long").as("_doc"), explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "" && col("_doc").isNotNull)
+    val perDoc = tok.groupBy("_doc").agg(count(lit(1)).as("ntok"))
+    val newTypes = tok.groupBy("token").agg(min(col("_doc")).as("_doc"))
+      .groupBy("_doc").agg(count(lit(1)).as("ntyp"))
+    val spine = perDoc.join(newTypes, Seq("_doc"), "left")
+      .select(col("_doc"), col("ntok"), coalesce(col("ntyp"), lit(0L)).as("ntyp"))
+    val cum = prefixSums(spine, col("_doc"), Seq("ntok", "ntyp"))
+    val points = cum.select(
+      log(col("_cum_ntok").cast("double")).as("x"),
+      log(col("_cum_ntyp").cast("double")).as("y"),
+      col("_cum_ntok"), col("_cum_ntyp"))
+    olsFitRow(points, Seq(
+      count(lit(1)).as("n_docs"),
+      max(col("_cum_ntok")).as("n_tokens"),
+      max(col("_cum_ntyp")).as("n_types")))
+      .select(
+        col("n_docs"), col("n_tokens"), col("n_types"),
+        col("slope").as("beta"),
+        graft.Functions.roundHalfUp(exp(col("intercept")), 6).as("k"),
+        col("r2"))
+  }
+
+  /** Distributed prefix sums over a totally-ordered spine: range exchange
+    * on the order key, per-partition running sums, then a bounded
+    * (≤ shuffle-partitions rows) broadcast offset join — the
+    * [[SuffixArray.globalMinRank]] two-phase scan, generalized from rank
+    * to arbitrary LONG sums. The partitioned frame is materialized ONCE
+    * (localCheckpoint) for the same reason globalMinRank's is: the range
+    * partitioner's sampled bounds are not deterministic across separate
+    * computations, and the offsets aggregate and the final join must see
+    * identical _pid assignments. Order keys must be unique (callers pass
+    * a doc id).
+    */
+  private def prefixSums(dfIn: DataFrame, orderKey: Column, sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nPart = dfIn.sparkSession.sessionState.conf.numShufflePartitions
+    val w = Window.partitionBy(col("_pid")).orderBy(orderKey)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sumCols.foldLeft(
+      dfIn.repartitionByRange(nPart, orderKey).withColumn("_pid", spark_partition_id())) {
+      (d, c) => d.withColumn(s"_run_$c", sum(col(c)).over(w))
+    }.localCheckpoint()
+    val wOff = Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sumCols.foldLeft(
+      local.groupBy(col("_pid")).agg(
+        sumCols.map(c => sum(col(c)).as(s"_tot_$c")).head,
+        sumCols.map(c => sum(col(c)).as(s"_tot_$c")).tail: _*)) {
+      (d, c) => d.withColumn(s"_off_$c", coalesce(sum(col(s"_tot_$c")).over(wOff), lit(0L)))
+    }.select(col("_pid") +: sumCols.map(c => col(s"_off_$c")): _*)
+    sumCols.foldLeft(local.join(broadcast(offsets), Seq("_pid"))) { (d, c) =>
+      d.withColumn(s"_cum_$c", col(s"_run_$c") + col(s"_off_$c"))
+        .drop(s"_run_$c", s"_off_$c")
+    }.drop("_pid")
+  }
+
+  /** KL and Jensen-Shannon divergence between two corpora's unigram token
+    * distributions — the mixture-monitoring companion to [[Skew]]/PSI at
+    * the vocabulary grain: "how far has this domain/shard/day drifted from
+    * the reference corpus", the quantity DSIR-style selection and
+    * temperature mixing both steer on (Wenzek et al. 2020 monitor CCNet
+    * shards this way; Xie et al. 2023 §3 defines DoReMi's domain weights
+    * over exactly these distributions).
+    *
+    * Both distributions are Laplace-smoothed over the UNION vocabulary
+    * (`α` added to every count, totals inflated by α·|V|), so KL is finite
+    * on disjoint support. Per-token contributions are nano-nat-quantized
+    * LONGs before the sum ([[charEntropy]] discipline) — order-independent
+    * and SQL-replayable. One shuffle on token (the outer-join grain), one
+    * single-row totals broadcast; output is ONE row
+    * `(vocab, n_tokens_a, n_tokens_b, kl_ab, kl_ba, jsd)` in nats, 6-dp.
+    */
+  def distributionDivergence(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive for finite KL, got $alpha")
+    def counts(df: DataFrame, out: String) = df
+      .select(explode(toks(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as(out))
+    val joined = counts(a, "_ca").join(counts(b, "_cb"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val totals = joined.agg(
+      count(lit(1)).as("vocab"),
+      sum(col("_ca")).as("n_tokens_a"),
+      sum(col("_cb")).as("n_tokens_b"))
+    val withTot = joined.crossJoin(broadcast(totals))
+    val pa = (col("_ca").cast("double") + lit(alpha)) /
+      (col("n_tokens_a").cast("double") + lit(alpha) * col("vocab").cast("double"))
+    val pb = (col("_cb").cast("double") + lit(alpha)) /
+      (col("n_tokens_b").cast("double") + lit(alpha) * col("vocab").cast("double"))
+    val m = (pa + pb) / lit(2.0)
+    def q(c: Column) = floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val terms = withTot.agg(
+      max(col("vocab")).as("vocab"),
+      max(col("n_tokens_a")).as("n_tokens_a"),
+      max(col("n_tokens_b")).as("n_tokens_b"),
+      sum(q(pa * log(pa / pb))).as("_klab"),
+      sum(q(pb * log(pb / pa))).as("_klba"),
+      sum(q((pa * log(pa / m) + pb * log(pb / m)) / lit(2.0))).as("_jsd"))
+    terms.select(
+      col("vocab"), col("n_tokens_a"), col("n_tokens_b"),
+      graft.Functions.roundHalfUp(col("_klab").cast("double") / lit(1e9), 6).as("kl_ab"),
+      graft.Functions.roundHalfUp(col("_klba").cast("double") / lit(1e9), 6).as("kl_ba"),
+      graft.Functions.roundHalfUp(col("_jsd").cast("double") / lit(1e9), 6).as("jsd"))
+  }
 }
