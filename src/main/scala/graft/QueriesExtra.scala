@@ -153,6 +153,13 @@ object QueriesExtra {
         candidates = 30, k = 8, lambdaPct = 70)
     }),
 
+    // k-center greedy (farthest-point) coreset selection over the 40
+    // lowest-id vectors: query-free diversity picking; integer micro-unit
+    // similarities make all 8 selection steps exact and SQL-replayable
+    "q_ann_kcenter" -> ((s, dir) =>
+      SimilaritySearch.kCenterGreedy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, candidates = 40)),
+
     // multi-probe LSH ANN: own bucket + the 3 boundary-closest sign flips —
     // the probe set derives from the query alone, so the oracle recomputes
     // projections, flip choice, and the ranked union (AnnSpec additionally
@@ -613,6 +620,29 @@ object QueriesExtra {
          |  floor(CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) * 1000000 + 0.5)
          |    / 1000000 AS recall
          |FROM kk, h""".stripMargin,
+    "q_ann_kcenter" -> {
+      val steps = (2 to 8).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT c.id, c.v,
+           |    (SELECT max(CAST(floor(list_cosine_similarity(c.v, s.v) * 1000000 + 0.5)
+           |      AS BIGINT)) FROM sel${i - 1} s) AS near_u
+           |  FROM pool c WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+           |  ORDER BY near_u ASC, id LIMIT 1),
+           |sel$i AS MATERIALIZED (SELECT id, v FROM sel${i - 1}
+           |  UNION ALL SELECT id, v FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 8)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, id AS vec_id, near_u FROM s$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH pool AS MATERIALIZED (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |  ORDER BY vec_id LIMIT 40),
+         |s1 AS MATERIALIZED (SELECT id, v, CAST(NULL AS BIGINT) AS near_u
+         |  FROM pool ORDER BY id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT id, v FROM s1),
+         |$steps
+         |$out""".stripMargin
+    },
     "q_ann_mmr" -> {
       val steps = (1 to 8).map { i =>
         // every CTE MATERIALIZED: sel_i is referenced twice by s_{i+1}, and

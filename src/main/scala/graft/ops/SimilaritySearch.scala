@@ -558,4 +558,103 @@ object SimilaritySearch {
       .map { case ((id, _, rel, score), i) => (i + 1L, id, rel, score) }
       .toDF("rank", idCol, "rel_u", "mmr_u")
   }
+
+  /** Farthest-point / k-center greedy coreset selection (Gonzalez 1985's
+    * 2-approximation; the diversity-coreset selector of Sener & Savarese
+    * 2018): seed with the pool's minimum id, then repeatedly add the
+    * candidate whose nearest already-selected center is FARTHEST — in
+    * cosine terms, the candidate minimizing max-similarity-to-selected.
+    * The query-free counterpart of [[mmrRerank]]: MMR diversifies a
+    * retrieval, k-center covers a corpus — the "pick k maximally-spread
+    * exemplars" step of coreset data selection and annotation budgeting.
+    *
+    * Same exactness and scale contract as [[mmrRerank]]: similarities are
+    * floor(cos·10⁶+0.5) integer micro-units so every argmin is exact and
+    * the whole loop replays in SQL (oracle q_ann_kcenter unrolls the k
+    * steps); the pool is bounded by construction (`candidates` lowest ids
+    * — at corpus scale callers pass cluster representatives, e.g.
+    * [[IvfIndex]] centroid-nearest members, exactly as SemDeDup bounds its
+    * quadratic step), collected in ONE distributed job; the greedy loop is
+    * driver-side O(k · candidates · dim) with a running nearest-center
+    * similarity per candidate (min-dist is a running MAX of similarity —
+    * monotone, so updating against only the newly added center is
+    * result-identical to rescanning all centers).
+    *
+    * Output: `(rank, id, near_u)` — rank 1-based selection order, `near_u`
+    * the micro-unit similarity to the nearest center at selection time
+    * (NULL for the seed row).
+    */
+  def kCenterGreedy(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      candidates: Int = 64): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates >= k >= 1, got $candidates/$k")
+    val spark = df.sparkSession
+    val pool: Array[(Long, Array[Double])] = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("id").isNotNull && col("v").isNotNull)
+      .orderBy(col("id"))
+      .limit(candidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+    // driver twin of the codegen'd cosine (the [[mmrRerank]] contract):
+    // in-order multiply-add folds, Math.sqrt norms, zero-norm → 0
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val sna = math.sqrt(na); val snb = math.sqrt(nb)
+      if (sna == 0.0 || snb == 0.0) 0.0 else dot / (sna * snb)
+    }
+    def simU(a: Array[Double], b: Array[Double]): Long =
+      math.floor(cos(a, b) * 1e6 + 0.5).toLong
+
+    val n = pool.length
+    val taken = new Array[Boolean](n)
+    // nearest-center similarity per candidate: running MAX, refreshed
+    // against only the newly selected center each step
+    val nearSim = Array.fill(n)(Long.MinValue)
+    var selected = Vector.empty[(Long, Array[Double], Option[Long])]
+    var step = 0
+    while (step < k && selected.length < n) {
+      var best = -1; var bestId = Long.MaxValue; var bestNear = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val id = pool(i)._1
+          if (selected.isEmpty) {
+            // seed: minimum id
+            if (best < 0 || id < bestId) { best = i; bestId = id }
+          } else {
+            val nearU = nearSim(i)
+            if (best < 0 || nearU < bestNear || (nearU == bestNear && id < bestId)) {
+              best = i; bestId = id; bestNear = nearU
+            }
+          }
+        }
+        i += 1
+      }
+      val (bid, bv) = pool(best)
+      selected = selected :+ ((bid, bv, Option.when(step > 0)(bestNear)))
+      taken(best) = true
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val s = simU(pool(j)._2, bv)
+          if (s > nearSim(j)) nearSim(j) = s
+        }
+        j += 1
+      }
+      step += 1
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, near), i) => (i + 1L, id, near) }
+      .toDF("rank", idCol, "near_u")
+  }
 }

@@ -412,6 +412,48 @@ class AnnSpec extends SparkSpec {
     assert(a == b, "integer scores make the greedy order partition-invariant")
   }
 
+  test("kCenterGreedy: one pick per cluster on a 3-cluster corpus; seed is min id") {
+    // three tight clusters around axes; ids interleaved across clusters
+    def jitter(base: Seq[Double], eps: Double) = base.map(_ + eps)
+    val emb = Seq(
+      1L -> Seq(1.0, 0.0, 0.0), 4L -> jitter(Seq(1.0, 0.0, 0.0), 0.01),
+      7L -> jitter(Seq(1.0, 0.0, 0.0), 0.02),
+      2L -> Seq(0.0, 1.0, 0.0), 5L -> jitter(Seq(0.0, 1.0, 0.0), 0.01),
+      8L -> jitter(Seq(0.0, 1.0, 0.0), 0.02),
+      3L -> Seq(0.0, 0.0, 1.0), 6L -> jitter(Seq(0.0, 0.0, 1.0), 0.01),
+      9L -> jitter(Seq(0.0, 0.0, 1.0), 0.02)).toDF("vec_id", "embedding")
+    val picks = SimilaritySearch.kCenterGreedy(emb, "vec_id", "embedding", k = 3)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(picks.head == ((1L, 1L)), "seed is the pool's minimum id")
+    val clusters = picks.map(_._2 % 3).toSet
+    assert(clusters.size == 3, s"one exemplar per cluster, got $picks")
+  }
+
+  test("kCenterGreedy: coverage similarity non-decreasing; partition-invariant") {
+    val out = SimilaritySearch.kCenterGreedy(emb, "vec_id", "embedding",
+      k = 8, candidates = 40)
+      .select("rank", "vec_id", "near_u").as[(Long, Long, Option[Long])].collect().toSeq
+    assert(out.size == 8 && out.map(_._2).distinct.size == 8)
+    assert(out.head._3.isEmpty, "seed has no nearest center")
+    val nears = out.tail.map(_._3.get)
+    assert(nears == nears.sorted,
+      s"greedy max-min: each later pick is nearer to the selected set: $nears")
+    val again = SimilaritySearch.kCenterGreedy(emb.repartition(11), "vec_id",
+      "embedding", k = 8, candidates = 40)
+      .select("rank", "vec_id", "near_u").as[(Long, Long, Option[Long])].collect().toSeq
+    assert(again == out, "micro-unit similarities make the loop partition-invariant")
+  }
+
+  test("kCenterGreedy: pool smaller than k returns what exists; k guard") {
+    val emb2 = Seq((5L, Seq(1.0, 0.0)), (9L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.kCenterGreedy(emb2, "vec_id", "embedding", k = 4, candidates = 4)
+      .select("rank", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 5L), (2L, 9L)))
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.kCenterGreedy(emb2, "vec_id", "embedding", k = 5, candidates = 4)
+    }
+  }
+
   test("bruteForceTopKBatch: per-query results equal the single-query scan") {
     val queries = emb.filter(col("vec_id") < 3)
     val docs = emb.filter(col("vec_id") >= 3)
