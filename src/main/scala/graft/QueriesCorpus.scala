@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ConnectedComponents, Curate, Decontaminate, Dedup, Multimodal, Pack, ProductQuantize, Quantize, RandomProjection, SimilaritySearch, TextAnalysis}
+import graft.ops.{ConnectedComponents, Curate, Decontaminate, Dedup, LangModel, Multimodal, Pack, ProductQuantize, Quantize, RandomProjection, SimilaritySearch, TextAnalysis}
 
 /** Training-data pipeline coverage over `documents` and `embeddings`:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -494,6 +494,11 @@ object QueriesCorpus {
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text"), CustomLangMarkers).as("lang_guess"))),
 
+    // per-line language segmentation: polyglot docs split into contiguous
+    // same-language line runs (line-grain langId + island merge)
+    "q_tx_langseg" -> ((s, dir) =>
+      TextAnalysis.langSegments(t(s, dir, "documents"), "doc_id", "text")),
+
     // quality metrics
     "q_tx_quality" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")),
@@ -641,6 +646,24 @@ object QueriesCorpus {
       Pack.paddingWaste(
         Pack.lengthBucketBatches(t(s, dir, "documents"), "doc_id", "text",
           edges = Seq(16L, 32L, 64L, 128L, 1024L), batchSize = 8))),
+
+    // size-balanced export sharding: boustrophedon assignment over the
+    // global (size DESC, id) order — near-equal shard byte totals for
+    // WebDataset-style tar export (md5 sharding balances counts only)
+    "q_pk_shards" -> ((s, dir) =>
+      Pack.shardBySize(
+        t(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+        "doc_id", "n_chars", numShards = 16)),
+
+    // the per-shard balance rollup an export job gates on
+    "q_pk_shard_report" -> ((s, dir) =>
+      Pack.shardReport(
+        Pack.shardBySize(
+          t(s, dir, "documents")
+            .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+          "doc_id", "n_chars", numShards = 16),
+        "n_chars")),
 
     // token-id packing: BPE byte-level encode (zero merges → per-word
     // token count = UTF-8 bytes + 1, SQL-recomputable) through the
@@ -809,6 +832,37 @@ object QueriesCorpus {
       val vocab = TextAnalysis.vocabStats(train, "doc_id", "text").count()
       TextAnalysis.kneserNeyScore(
         train, "doc_id", "text", docs, "doc_id", "text", vocabSize = vocab)
+    }),
+
+    // persisted LM artifact, incremental path end-to-end: fit KN counts on
+    // half the train split, SAVE, APPEND the other half as count deltas,
+    // LOAD (delta fold), score the whole corpus with |V| derived from the
+    // artifact itself. Counts are mergeable sums, so the oracle is the
+    // plain union-trained KN replay — hash-exact means append ≡ rebuild.
+    "q_lm_kn_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_lm_q_").toString
+      LangModel.save(
+        LangModel.fit(train.filter(col("doc_id") % 2 === 0), "doc_id", "text"), path)
+      LangModel.append(s, path,
+        train.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      LangModel.scoreKneserNey(
+        LangModel.load(s, path), docs, "doc_id", "text")
+    }),
+
+    // the same artifact serving the trigram stupid-backoff scorer — one
+    // persisted count family behind the whole LM surface
+    "q_lm_sb_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val path = java.nio.file.Files.createTempDirectory("graft_lm_q_").toString
+      LangModel.save(
+        LangModel.fit(train.filter(col("doc_id") % 2 === 0), "doc_id", "text"), path)
+      LangModel.append(s, path,
+        train.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      LangModel.scoreStupidBackoff(
+        LangModel.load(s, path), docs, "doc_id", "text")
     }),
 
     // CCNet perplexity bucketing (Wenzek et al. 2020): per-language
@@ -1408,6 +1462,46 @@ object QueriesCorpus {
        |SELECT doc_id, lang, $pick AS lang_guess FROM ranked""".stripMargin
   }
 
+  /** Line-grain replay of [[langIdOracleSql]]'s marker scoring + the
+    * lag/running-sum island merge (the q_dd_spans pattern at line grain).
+    */
+  private def langSegOracleSql(markers: Seq[(String, Seq[String])]): String = {
+    val markerHits = markers
+      .map { case (lang, ms) =>
+        s"len(list_filter(t, x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS hits_$lang"
+      }
+      .mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+    val pick = langs.reverse.foldLeft("'und'") { (acc, l) =>
+      s"CASE WHEN hits_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""WITH lx AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS ln
+       |  FROM documents WHERE text IS NOT NULL),
+       |lines AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ln[CAST(i AS INT)] AS line
+       |  FROM lx, unnest(range(1, len(ln) + 1)) AS u(i)),
+       |sc AS (
+       |  SELECT doc_id, pos, CAST(length(line) AS BIGINT) AS nc, $markerHits
+       |  FROM (SELECT doc_id, pos, line,
+       |          string_split_regex(trim(lower(line)), '\\s+') AS t FROM lines)),
+       |pick AS (
+       |  SELECT doc_id, pos, nc, $pick AS lg
+       |  FROM (SELECT *, $best AS best FROM sc)),
+       |fl AS (
+       |  SELECT *, CASE WHEN lag(lg) OVER (PARTITION BY doc_id ORDER BY pos) = lg
+       |                 THEN 0 ELSE 1 END AS nw
+       |  FROM pick),
+       |sg AS (
+       |  SELECT *, CAST(sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS seg
+       |  FROM fl)
+       |SELECT doc_id, seg AS seg_idx, min(lg) AS lang,
+       |  min(pos) AS line_start, max(pos) AS line_end,
+       |  count(*) AS n_lines, CAST(sum(nc) AS BIGINT) AS n_chars
+       |FROM sg GROUP BY doc_id, seg""".stripMargin
+  }
+
   private val toksSql =
     "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
 
@@ -1545,6 +1639,22 @@ object QueriesCorpus {
   /** Length-bucketed batch assignment (edges 16/32/64/128/1024, batch 8,
     * salt "lb") — shared by q_pk_lenbucket and the padding-waste oracle.
     */
+  /** Global (size DESC, id) rank + boustrophedon shard, shared by the
+    * assignment and report oracles.
+    */
+  private val shardBySizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+      |rk AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rank
+      |  FROM d)
+      |SELECT doc_id, n_chars, rank,
+      |  CASE WHEN (rank // 16) % 2 = 0 THEN rank % 16
+      |       ELSE 15 - rank % 16 END AS shard
+      |FROM rk""".stripMargin
+
   private val lenBucketSql: String =
     """WITH base AS (
       |  SELECT doc_id,
@@ -1991,6 +2101,12 @@ object QueriesCorpus {
 
   val oracles: Map[String, String] = Map(
     "q_tx_kn_ppl" -> knPplOracleSql,
+
+    // the artifact queries' oracles are the UNION-trained inline replays:
+    // hash-exact here proves save → append → load ≡ fit on the whole train
+    // split (counts are associative sums)
+    "q_lm_kn_artifact" -> knPplOracleSql,
+    "q_lm_sb_artifact" -> sbPplOracleSql,
     "q_dd_exact" ->
       """SELECT md5(trim(lower(text))) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS dup_count
@@ -2740,6 +2856,7 @@ object QueriesCorpus {
         |  floor((CASE WHEN hi = lo THEN lo ELSE lo + (q + 128) * (hi - lo) / 255.0 END) * 1000000 + 0.5) / 1000000 AS deq
         |FROM qq""".stripMargin,
     "q_tx_langid" -> langIdOracleSql(TextAnalysis.LangMarkers),
+    "q_tx_langseg" -> langSegOracleSql(TextAnalysis.LangMarkers),
     "q_tx_langid_custom" -> langIdOracleSql(CustomLangMarkers),
     "q_tx_quality" ->
       """WITH base AS (
@@ -3061,6 +3178,12 @@ object QueriesCorpus {
         |    CASE WHEN s.fill + i.nt > 128 THEN i.nt ELSE s.fill + i.nt END
         |  FROM st s JOIN it i ON i.shard = s.shard AND i.k = s.k + 1)
         |SELECT shard, bin AS seq_idx, doc_id, nt FROM st""".stripMargin,
+    "q_pk_shards" -> shardBySizeSql,
+    "q_pk_shard_report" ->
+      s"""WITH asg AS ($shardBySizeSql)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_size
+         |FROM asg GROUP BY 1""".stripMargin,
     "q_pk_lenbucket" -> lenBucketSql,
     "q_pk_padwaste" ->
       s"""WITH asg AS ($lenBucketSql)

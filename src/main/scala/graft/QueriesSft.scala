@@ -63,6 +63,58 @@ object QueriesSft {
       .limit(16)
       .select("cell", "cv")
 
+  /** Tool-call conversations from events: every 4th turn is a user ask,
+    * odd turns are assistant tool calls built as JSON text, with a
+    * deterministic sprinkling of every defect class the validator gates:
+    * unknown tool (`% 13`), missing required arg (`% 17`), fabricated arg
+    * (`% 19`), wrong top-level key (`% 23`), truncated JSON (`% 31`).
+    * Content strings are concat-built so the DuckDB oracle reproduces them
+    * byte-for-byte.
+    */
+  private def toolCallMessages(s: SparkSession, dir: String): DataFrame = {
+    val eid = col("event_id")
+    val es = eid.cast("string")
+    val tool = when(eid % 13 === 0, "teleport")
+      .when(eid % 3 === 0, "lookup")
+      .when(eid % 3 === 1, "search")
+      .otherwise("update")
+    val argsKey = when(eid % 23 === 0, "arguments").otherwise("args")
+    val argsBody = when(tool === "search",
+        concat(lit("{\"q\":\""), es, lit("\""),
+          when(eid % 19 === 0, ",\"extra\":1").otherwise(""), lit("}")))
+      .when(tool === "update",
+        concat(lit("{\"id\":"), es,
+          when(eid % 17 === 0, lit(""))
+            .otherwise(concat(lit(",\"value\":"), (eid % 9).cast("string"))),
+          lit("}")))
+      .otherwise( // lookup shape; the unknown tool rides it too
+        concat(lit("{\"id\":"), es,
+          when(eid % 17 === 0, "").otherwise(",\"limit\":5"),
+          when(eid % 19 === 0, ",\"extra\":1").otherwise(""), lit("}")))
+    val base = concat(lit("{\"tool\":\""), tool, lit("\",\""), argsKey,
+      lit("\":"), argsBody, lit("}"))
+    t(s, dir, "events")
+      .filter(col("user_id").isNotNull && eid.isNotNull)
+      .select(
+        col("user_id").as("conv_id"),
+        eid,
+        when(eid % 4 === 0, "user").otherwise("assistant").as("role"),
+        when(eid % 4 === 0, concat(lit("ask:"), es))
+          .when(eid % 4 === 2, concat(lit("plain "), es))
+          .when(eid % 31 === 0, base.substr(lit(1), length(base) - 1))
+          .otherwise(base).as("content"))
+  }
+
+  /** The bounded tool registry dimension. */
+  private def toolRegistry(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("lookup", Seq("id", "limit"), Seq("verbose")),
+      ("search", Seq("q"), Seq("limit")),
+      ("update", Seq("id", "value"), Seq.empty[String]))
+      .toDF("tool", "required", "optional")
+  }
+
   /** Scored DPO candidates from events: prompt = user, candidate = event,
     * score = value. */
   private def candidates(s: SparkSession, dir: String): DataFrame =
@@ -73,6 +125,19 @@ object QueriesSft {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sft_validate" -> ((s, dir) =>
       Sft.validate(eventMessages(s, dir), "conv_id", "event_id", "role", "content")),
+
+    // function-calling validation: per-call structural flags over the
+    // defect-seeded tool-call fixture (hallucinated tools, missing and
+    // fabricated arguments, malformed JSON) against the bounded registry
+    "q_sft_toolcalls" -> ((s, dir) =>
+      Sft.validateToolCalls(toolCallMessages(s, dir),
+        "conv_id", "event_id", "role", "content", toolRegistry(s))),
+
+    // per-conversation rollup: zero-call conversations report calls_ok so
+    // the flag ANDs with q_sft_validate's keep
+    "q_sft_toolcall_report" -> ((s, dir) =>
+      Sft.toolCallReport(toolCallMessages(s, dir),
+        "conv_id", "event_id", "role", "content", toolRegistry(s))),
 
     "q_sft_render" -> ((s, dir) =>
       Sft.render(docMessages(s, dir), "conv_id", "turn_idx", "role", "content")),
@@ -216,6 +281,78 @@ object QueriesSft {
       |    substr(text, 1, 150) AS content
       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL""".stripMargin
 
+  /** Tool-call fixture + per-call validation CTE chain, shared by both
+    * tool-call oracles (ends with per-call flag table `tcf`). Concat
+    * operators sit at line ENDS — stripMargin would eat a leading `||`.
+    */
+  private val toolCallsSql =
+    """tm0 AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN event_id % 13 = 0 THEN 'teleport'
+      |         WHEN event_id % 3 = 0 THEN 'lookup'
+      |         WHEN event_id % 3 = 1 THEN 'search'
+      |         ELSE 'update' END AS tool,
+      |    CASE WHEN event_id % 23 = 0 THEN 'arguments' ELSE 'args' END AS argskey
+      |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+      |tm1 AS (
+      |  SELECT user_id, event_id, tool, argskey,
+      |    CASE WHEN tool = 'search' THEN
+      |        '{"q":"' || CAST(event_id AS VARCHAR) || '"' ||
+      |        CASE WHEN event_id % 19 = 0 THEN ',"extra":1' ELSE '' END || '}'
+      |      WHEN tool = 'update' THEN
+      |        '{"id":' || CAST(event_id AS VARCHAR) ||
+      |        CASE WHEN event_id % 17 = 0 THEN ''
+      |             ELSE ',"value":' || CAST(event_id % 9 AS VARCHAR) END || '}'
+      |      ELSE
+      |        '{"id":' || CAST(event_id AS VARCHAR) ||
+      |        CASE WHEN event_id % 17 = 0 THEN '' ELSE ',"limit":5' END ||
+      |        CASE WHEN event_id % 19 = 0 THEN ',"extra":1' ELSE '' END || '}'
+      |    END AS argsbody
+      |  FROM tm0),
+      |tm2 AS (
+      |  SELECT user_id, event_id,
+      |    '{"tool":"' || tool || '","' || argskey || '":' || argsbody || '}' AS base
+      |  FROM tm1),
+      |m AS (
+      |  SELECT user_id AS conv_id, event_id,
+      |    CASE WHEN event_id % 4 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    CASE WHEN event_id % 4 = 0 THEN 'ask:' || CAST(event_id AS VARCHAR)
+      |         WHEN event_id % 4 = 2 THEN 'plain ' || CAST(event_id AS VARCHAR)
+      |         WHEN event_id % 31 = 0 THEN substr(base, 1, length(base) - 1)
+      |         ELSE base END AS content
+      |  FROM tm2),
+      |reg AS (SELECT * FROM (VALUES
+      |    ('lookup', ['id', 'limit'], ['verbose']),
+      |    ('search', ['q'], ['limit']),
+      |    ('update', ['id', 'value'], CAST([] AS VARCHAR[])))
+      |  r(tool, required, optional)),
+      |tcc AS (SELECT conv_id, event_id, content FROM m
+      |  WHERE role = 'assistant' AND starts_with(content, '{')),
+      |tcx AS (SELECT conv_id, event_id,
+      |    CASE WHEN json_valid(content)
+      |      THEN json_extract_string(content, '$.tool') END AS tool,
+      |    CASE WHEN json_valid(content) THEN
+      |      (CASE WHEN json_type(content) = 'OBJECT'
+      |            THEN json_keys(content) END) END AS topk,
+      |    CASE WHEN json_valid(content)
+      |      THEN json_keys(content, '$.args') END AS argk
+      |  FROM tcc),
+      |tcj AS (SELECT tcx.*, r.required, r.optional
+      |  FROM tcx LEFT JOIN reg r USING (tool)),
+      |tcf AS (SELECT conv_id, event_id, tool,
+      |    (topk IS NOT NULL) AS json_ok,
+      |    (topk IS NOT NULL AND list_sort(topk) = ['args', 'tool']
+      |      AND argk IS NOT NULL) AS shape_ok,
+      |    (topk IS NOT NULL AND list_sort(topk) = ['args', 'tool']
+      |      AND argk IS NOT NULL AND required IS NOT NULL) AS tool_known,
+      |    coalesce(topk IS NOT NULL AND list_sort(topk) = ['args', 'tool']
+      |      AND argk IS NOT NULL AND required IS NOT NULL
+      |      AND list_has_all(argk, required), FALSE) AS args_ok,
+      |    coalesce(topk IS NOT NULL AND list_sort(topk) = ['args', 'tool']
+      |      AND argk IS NOT NULL AND required IS NOT NULL
+      |      AND list_has_all(required || optional, argk), FALSE) AS no_unknown_args
+      |  FROM tcj)""".stripMargin
+
   private val protoRankSql =
     """WITH cent AS (
       |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
@@ -294,6 +431,25 @@ object QueriesSft {
         |      / CAST(tot.n * tot.n - ch.sab AS DOUBLE) * 1000000 + 0.5) / 1000000
         |  END AS kappa
         |FROM tot, ch""".stripMargin,
+    "q_sft_toolcalls" ->
+      s"""WITH $toolCallsSql
+         |SELECT conv_id, event_id, tool, json_ok, shape_ok, tool_known,
+         |  args_ok, no_unknown_args,
+         |  (args_ok AND no_unknown_args) AS call_ok
+         |FROM tcf""".stripMargin,
+
+    "q_sft_toolcall_report" ->
+      s"""WITH $toolCallsSql,
+         |allconv AS (SELECT DISTINCT conv_id FROM m),
+         |agg AS (SELECT conv_id, count(*) AS n_calls,
+         |    CAST(sum(CASE WHEN args_ok AND no_unknown_args THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS n_bad_calls
+         |  FROM tcf GROUP BY 1)
+         |SELECT a.conv_id, coalesce(agg.n_calls, 0) AS n_calls,
+         |  coalesce(agg.n_bad_calls, 0) AS n_bad_calls,
+         |  (coalesce(agg.n_bad_calls, 0) = 0) AS calls_ok
+         |FROM allconv a LEFT JOIN agg USING (conv_id)""".stripMargin,
+
     "q_sft_validate" ->
       s"""WITH m AS ($eventMsgsSql),
          |p AS (SELECT conv_id, role, content,

@@ -265,5 +265,70 @@ object Pack {
         Functions.roundHalfUp(
           lit(1.0) - col("actual_tokens").cast("double") /
             (col("rows") * col("max_len")).cast("double"), 6).as("waste_frac"))
+
+  /** Size-balanced export sharding — assign every document to one of
+    * `numShards` output shards so shard SIZE TOTALS come out near-equal
+    * (WebDataset-style tar-shard export, where a fat shard straggles the
+    * whole training input pipeline; the md5 sharding above balances COUNTS
+    * only, which skewed document lengths defeat).
+    *
+    * Deterministic boustrophedon (snake) assignment over the global
+    * `(size DESC, id)` order: rank r goes to shard `r % N` on even passes
+    * and `N−1−(r % N)` on odd passes, so each full down-and-back cycle
+    * hands every shard one large-ish and one small-ish document — the
+    * classic zigzag balance for sorted items (max−min total bounded by one
+    * item's size per incomplete cycle, in practice ≪ 1%). Exact, rerun-
+    * and partitioning-stable, and cheap: no greedy state, no driver loop.
+    *
+    * The global rank is the [[SuffixArray]] two-phase scan shape: ONE slim
+    * range exchange of `(id, size)` rows (never the payload), per-partition
+    * `row_number`, bounded per-partition offsets broadcast back. Join the
+    * result to the payload table on `idCol` and
+    * `write.partitionBy("shard")` — the heavy bytes move once, in the
+    * writer's keyed exchange.
+    *
+    * Output: `(idCol, sizeCol, rank, shard)`, one row per input document.
+    * NULL sizes are rejected (a NULL would sort non-deterministically
+    * between engines); size ties are broken by `idCol`.
+    */
+  def shardBySize(
+      df: DataFrame,
+      idCol: String,
+      sizeCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val w = Window.partitionBy(col("_pid"))
+      .orderBy(col(sizeCol).desc, col(idCol))
+    val local = df
+      .select(col(idCol), col(sizeCol))
+      .filter(col(sizeCol).isNotNull && col(idCol).isNotNull)
+      .repartitionByRange(nPart, col(sizeCol).desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lr", row_number().over(w).cast("long"))
+      // freeze partition ids: the offset table and the row ranks must see
+      // the SAME physical layout (the prefixSums discipline)
+      .localCheckpoint()
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val r = col("_off") + col("_lr") - 1L
+    val fwd = pmod(r, lit(numShards.toLong))
+    val snake = when(pmod(floor(r / lit(numShards.toLong)).cast("long"), lit(2L)) === 0L,
+      fwd).otherwise(lit(numShards.toLong - 1L) - fwd)
+    local.join(broadcast(offsets), Seq("_pid"))
+      .select(col(idCol), col(sizeCol), r.as("rank"), snake.as("shard"))
+  }
+
+  /** Per-shard rollup of [[shardBySize]]: `(shard, n_docs, total_size)` —
+    * the balance report an export job logs (and a gate thresholds on).
+    */
+  def shardReport(assigned: DataFrame, sizeCol: String): DataFrame =
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(sizeCol)).as("total_size"))
 }
 

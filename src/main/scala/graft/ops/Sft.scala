@@ -261,4 +261,105 @@ object Sft {
           }
         })
   }
+
+  /** Function-calling (tool-use) validation for SFT data — the structural
+    * gate a tool-use fine-tuning corpus needs beyond [[validate]]'s role
+    * alternation: assistant turns that EMIT a tool call must be well-formed
+    * JSON of the declared shape, name a registered tool, supply every
+    * required argument, and invent none. Hallucinated tool names and
+    * missing/fabricated arguments are the dominant defect classes in
+    * harvested agent traces, and a defect that reaches the loss mask trains
+    * the model to reproduce it.
+    *
+    * A turn is a CALL CANDIDATE when `role = 'assistant'` and its content
+    * starts with `{` — plain-prose assistant turns are not calls and emit
+    * no row. Per candidate, cumulative flags:
+    *
+    *   - `json_ok`   — content parses as a JSON OBJECT
+    *     (`json_object_keys` is NULL on anything else);
+    *   - `shape_ok`  — top-level keys are exactly `{args, tool}` and
+    *     `$.args` is itself an object;
+    *   - `tool_known` — `$.tool` matches a registry row. A non-string
+    *     `tool` value simply fails the lookup (engines agree on extraction,
+    *     not on JSON type introspection — documented contract);
+    *   - `args_ok`   — every `required` arg of that tool is a key of
+    *     `$.args` (presence, not value typing: a JSON `null` argument is
+    *     present);
+    *   - `no_unknown_args` — every key of `$.args` is declared
+    *     (required ∪ optional);
+    *   - `call_ok`   — the conjunction.
+    *
+    * `registry` is `(tool STRING, required ARRAY<STRING>,
+    * optional ARRAY<STRING>)` — a bounded dimension, joined broadcast.
+    *
+    * Scale shape: one narrow projection over the message table (JSON
+    * functions are per-row, codegen'd builtins — no UDF, no explode) plus
+    * one broadcast left join on the tool name; no shuffle of the corpus at
+    * all. Output `(convCol, idxCol, tool, json_ok, shape_ok, tool_known,
+    * args_ok, no_unknown_args, call_ok)` — one row per call candidate.
+    */
+  def validateToolCalls(
+      msgs: DataFrame,
+      convCol: String,
+      idxCol: String,
+      roleCol: String,
+      contentCol: String,
+      registry: DataFrame): DataFrame = {
+    val content = col(contentCol)
+    val calls = msgs
+      .filter(col(roleCol) === "assistant" && content.startsWith("{"))
+      .select(
+        col(convCol), col(idxCol),
+        get_json_object(content, "$.tool").as("tool"),
+        json_object_keys(content).as("_top"),
+        // keys of $.args; NULL when $.args is missing or not an object
+        json_object_keys(get_json_object(content, "$.args")).as("_argk"))
+    val jsonOk = col("_top").isNotNull
+    val shapeOk = jsonOk &&
+      array_sort(col("_top")) === array(lit("args"), lit("tool")) &&
+      col("_argk").isNotNull
+    val toolKnown = shapeOk && col("required").isNotNull
+    val argsOk = toolKnown &&
+      forall(col("required"), a => array_contains(col("_argk"), a))
+    val noUnknown = toolKnown &&
+      forall(col("_argk"),
+        k => array_contains(col("required"), k) || array_contains(col("optional"), k))
+    calls
+      .join(broadcast(registry), Seq("tool"), "left")
+      .select(
+        col(convCol), col(idxCol), col("tool"),
+        jsonOk.as("json_ok"),
+        shapeOk.as("shape_ok"),
+        toolKnown.as("tool_known"),
+        argsOk.as("args_ok"),
+        noUnknown.as("no_unknown_args"),
+        (argsOk && noUnknown).as("call_ok"))
+  }
+
+  /** Per-conversation rollup of [[validateToolCalls]] over the FULL message
+    * table: `(convCol, n_calls, n_bad_calls, calls_ok)` for every
+    * conversation — zero-call conversations report `(0, 0, true)` so the
+    * flag composes with [[validate]]'s `keep` by a plain AND. One map-side
+    * partial aggregate keyed by conversation.
+    */
+  def toolCallReport(
+      msgs: DataFrame,
+      convCol: String,
+      idxCol: String,
+      roleCol: String,
+      contentCol: String,
+      registry: DataFrame): DataFrame = {
+    val calls = validateToolCalls(msgs, convCol, idxCol, roleCol, contentCol, registry)
+      .groupBy(col(convCol))
+      .agg(
+        count(lit(1)).as("n_calls"),
+        sum(when(col("call_ok"), 0L).otherwise(1L)).as("n_bad_calls"))
+    msgs.select(col(convCol)).distinct()
+      .join(calls, Seq(convCol), "left")
+      .select(
+        col(convCol),
+        coalesce(col("n_calls"), lit(0L)).as("n_calls"),
+        coalesce(col("n_bad_calls"), lit(0L)).as("n_bad_calls"),
+        (coalesce(col("n_bad_calls"), lit(0L)) === 0L).as("calls_ok"))
+  }
 }

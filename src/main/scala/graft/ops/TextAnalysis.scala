@@ -62,6 +62,59 @@ object TextAnalysis {
     }
   }
 
+  /** Per-line language segmentation — the polyglot-document splitter web
+    * corpora need before language routing: a crawled page is often mixed
+    * (an English article over a French nav shell, code blocks under prose),
+    * and per-DOCUMENT language id either drops the page or mislabels half
+    * of it. Each line is classified with [[langId]]'s marker scoring, then
+    * contiguous same-language runs merge into segments — downstream, each
+    * segment routes to its language's pipeline (or the dominant segment
+    * keeps the doc). Lines with no marker hits are `und` and form their own
+    * segments (they are NOT attached to neighbors — a deterministic,
+    * documented choice; attachment policy belongs to the consumer).
+    *
+    * Output: `(idCol, seg_idx, lang, line_start, line_end, n_lines,
+    * n_chars)` — one row per segment, `seg_idx` dense per document in line
+    * order, line indexes 0-based inclusive, `n_chars` the segment's summed
+    * line lengths (newlines excluded). NULL-text documents emit nothing;
+    * an empty text is one empty `und` line.
+    *
+    * Scale shape: ONE exchange keyed by document (the explicit repartition
+    * defeats AQE's small-bytes coalescing, the shingleRows lesson); line
+    * classification is a per-row codegen'd expression chain (no UDF); the
+    * lag/running-sum island merge and the final segment aggregate both run
+    * inside that same doc-keyed partitioning (hash(id) already clusters
+    * (id, seg)), so segment width is bounded by a document's line count,
+    * never the corpus.
+    */
+  def langSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langMarkers: Seq[(String, Seq[String])] = LangMarkers): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    df.repartition(parallelism, col(idCol))
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos"),
+        langId(col("col"), langMarkers).as("lg"),
+        length(col("col")).cast("long").as("_nc"))
+      .withColumn("_new",
+        when(coalesce(lag(col("lg"), 1).over(w) === col("lg"), lit(false)), 0L)
+          .otherwise(1L))
+      .withColumn("_seg", sum(col("_new")).over(w) - 1L)
+      .groupBy(col(idCol), col("_seg"))
+      .agg(
+        min(col("lg")).as("lang"), // constant within a segment
+        min(col("pos")).cast("long").as("line_start"),
+        max(col("pos")).cast("long").as("line_end"),
+        count(lit(1)).as("n_lines"),
+        sum(col("_nc")).as("n_chars"))
+      .select(col(idCol), col("_seg").as("seg_idx"), col("lang"),
+        col("line_start"), col("line_end"), col("n_lines"), col("n_chars"))
+  }
+
   /** Quality metrics: word count, char count, average word length (rounded
     * 3), stopword ratio (rounded 4), and a composite [0,1] quality score —
     * the shape of the heuristics production corpus filters use (length
@@ -908,7 +961,7 @@ object TextAnalysis {
     * size-based coalescing for the same reason as shingleRows. Documents
     * with fewer than two tokens emit nothing.
     */
-  private def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[ops] def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val w = org.apache.spark.sql.expressions.Window
@@ -1139,7 +1192,7 @@ object TextAnalysis {
     * same sort, one window pass). Documents with fewer than three tokens
     * emit nothing.
     */
-  private def trigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[ops] def trigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val w = org.apache.spark.sql.expressions.Window
@@ -1191,14 +1244,30 @@ object TextAnalysis {
       scoreIdCol: String,
       scoreTextCol: String,
       vocabSize: Long,
+      lambda: Double = 0.4): DataFrame =
+    stupidBackoffScoreFromCounts(
+      df1(train, trainIdCol, trainTextCol),
+      bigramCounts(train, trainIdCol, trainTextCol),
+      trigramCounts(train, trainIdCol, trainTextCol),
+      score, scoreIdCol, scoreTextCol, vocabSize, lambda)
+
+  /** [[stupidBackoffScore]] from PRE-BUILT count tables — the artifact path
+    * ([[LangModel]]): `c1 (token, _c1)`, `c2 (w1, w2, _c2)`,
+    * `c3 (w1, w2, w3, _c3)`. The corpus total `N` is derived from `c1`, so
+    * the three tables ARE the whole model and fit-then-score ≡
+    * score-from-train exactly.
+    */
+  def stupidBackoffScoreFromCounts(
+      c1: DataFrame,
+      c2: DataFrame,
+      c3: DataFrame,
+      score: DataFrame,
+      scoreIdCol: String,
+      scoreTextCol: String,
+      vocabSize: Long,
       lambda: Double = 0.4): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive (distinct train tokens)")
     require(lambda > 0.0 && lambda <= 1.0, s"backoff lambda must be in (0,1], got $lambda")
-    val tri = trigramRows(train, trainIdCol, trainTextCol)
-    val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("_c3"))
-    val c2 = bigramRows(train, trainIdCol, trainTextCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
-    val c1 = df1(train, trainIdCol, trainTextCol)
     val n = c1.agg(coalesce(sum(col("_c1")), lit(0L)).as("_n"))
 
     val st = trigramRows(score, scoreIdCol, scoreTextCol)
@@ -1267,11 +1336,29 @@ object TextAnalysis {
       scoreIdCol: String,
       scoreTextCol: String,
       vocabSize: Long,
+      discount: Double = 0.75): DataFrame =
+    kneserNeyScoreFromCounts(
+      bigramCounts(train, trainIdCol, trainTextCol),
+      score, scoreIdCol, scoreTextCol, vocabSize, discount)
+
+  /** [[kneserNeyScore]] from a PRE-BUILT bigram count table `(w1, w2, _c2)`
+    * — the artifact path: fit the counts once ([[LangModel.fit]]), persist
+    * them ([[LangModel.save]]), and score any number of later corpora
+    * against the loaded model without touching the train corpus again
+    * (KenLM's train/score split, which CCNet relies on: the wiki-trained
+    * model is a fixed artifact, the web corpus only ever scores). Identical
+    * arithmetic to the train-DataFrame form — ctx/cont/totals are
+    * re-aggregations of `c2`, so fit-then-score ≡ score-from-train exactly.
+    */
+  def kneserNeyScoreFromCounts(
+      c2: DataFrame,
+      score: DataFrame,
+      scoreIdCol: String,
+      scoreTextCol: String,
+      vocabSize: Long,
       discount: Double = 0.75): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive (distinct train tokens)")
     require(discount > 0.0 && discount < 1.0, s"KN discount must be in (0,1), got $discount")
-    val c2 = bigramRows(train, trainIdCol, trainTextCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
     // left-context stats: c(w1·) and N1+(w1·) — re-aggregations of c2,
     // never a second corpus pass
     val ctx = c2.groupBy("w1").agg(sum("_c2").as("_c1x"), count(lit(1)).as("_n1f"))
@@ -1305,10 +1392,23 @@ object TextAnalysis {
   }
 
   /** Train-corpus unigram occurrence counts `(token, _c1)`. */
-  private def df1(train: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[ops] def df1(train: DataFrame, idCol: String, textCol: String): DataFrame =
     train.select(explode(toks(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("_c1"))
+
+  /** Train-corpus bigram occurrence counts `(w1, w2, _c2)` — the table the
+    * KN scorer (and the stupid-backoff middle arm) is built from, exposed
+    * so [[LangModel]] can persist it as an artifact.
+    */
+  private[ops] def bigramCounts(train: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramRows(train, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_c2"))
+
+  /** Train-corpus trigram occurrence counts `(w1, w2, w3, _c3)`. */
+  private[ops] def trigramCounts(train: DataFrame, idCol: String, textCol: String): DataFrame =
+    trigramRows(train, idCol, textCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("_c3"))
 
   /** PII/URL scrubbing: replace emails and URLs with placeholder tokens
     * (the normalization pass every web-scale corpus runs before training).

@@ -1432,4 +1432,38 @@ class OpsSpec extends SparkSpec {
     // doc 3: only one sentence survives (< 3)
     assert(got(3L)._2 === 1L && !got(3L)._5)
   }
+
+  test("langSegments: polyglot docs split into contiguous same-language runs") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      // en ×2, fr ×1, blank (und), de ×1 → 4 segments
+      (0L, "the cat and the dog\nof all the things\nle chat est les une\n\nder hund und das ein"),
+      // single-language doc → one segment
+      (1L, "the a and of to\nthe cat of a dog"),
+      // empty text → one empty und line
+      (2L, ""),
+      // NULL text → no rows
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val segs = TextAnalysis.langSegments(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+
+    assert(segs.keys.count(_._1 == 0L) == 4)
+    assert(segs((0L, 0L)) == (("en", 0L, 1L, 2L, 36L)))
+    assert(segs((0L, 1L))._1 == "fr" && segs((0L, 1L))._2 == 2L && segs((0L, 1L))._3 == 2L)
+    assert(segs((0L, 2L)) == (("und", 3L, 3L, 1L, 0L)), "blank line is its own und segment")
+    assert(segs((0L, 3L))._1 == "de" && segs((0L, 3L))._3 == 4L)
+    assert(segs.keys.count(_._1 == 1L) == 1 && segs((1L, 0L))._1 == "en")
+    assert(segs((2L, 0L)) == (("und", 0L, 0L, 1L, 0L)))
+    assert(!segs.keys.exists(_._1 == 3L), "NULL text emits nothing")
+
+    // partitioning invariance: 1 partition ≡ default
+    val one = TextAnalysis.langSegments(docs.repartition(1), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(one == segs.map { case ((d, s), (l, a, b, n, c)) =>
+      Seq[Any](d, s, l, a, b, n, c) }.toSet)
+  }
 }

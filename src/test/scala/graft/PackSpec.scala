@@ -213,6 +213,56 @@ class PackSpec extends SparkSpec {
     assert(again == got.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("shardBySize: exact snake over (size desc, id), balanced, layout-stable") {
+    val sized = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"))
+    val n = 8
+    val got = Pack.shardBySize(sized, "doc_id", "n_chars", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // 1. exact equality with a driver-recomputed snake
+    val expected = sized.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, c) => (-c, id) }
+      .zipWithIndex
+      .map { case ((id, c), r) =>
+        val fwd = r % n
+        (id, c, r.toLong, if ((r / n) % 2 == 0) fwd.toLong else (n - 1 - fwd).toLong)
+      }.toSet
+    assert(got.toSet == expected)
+
+    // 2. balance: every shard's total within one max-item of every other
+    val totals = got.groupBy(_._4).view.mapValues(_.map(_._2).sum).values.toSeq
+    val maxItem = got.map(_._2).max
+    assert(totals.max - totals.min <= maxItem,
+      s"shard totals spread ${totals.max - totals.min} exceeds one item ($maxItem)")
+    // and counts differ by at most one snake row
+    val counts = got.groupBy(_._4).view.mapValues(_.size).values.toSeq
+    assert(counts.max - counts.min <= 1)
+
+    // 3. partitioning invariance
+    val one = Pack.shardBySize(sized.repartition(1), "doc_id", "n_chars", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(one == expected)
+
+    // 4. numShards = 1 puts everything in shard 0
+    assert(Pack.shardBySize(sized, "doc_id", "n_chars", 1)
+      .select("shard").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+
+    // 5. NULL sizes are rejected, not sorted somewhere arbitrary
+    val withNull = Seq((900001L, Some(5L)), (900002L, None))
+      .toDF("doc_id", "n_chars")
+    assert(Pack.shardBySize(withNull, "doc_id", "n_chars", 2).count() == 1)
+
+    // 6. report rolls up the same assignment
+    val rep = Pack.shardReport(
+      Pack.shardBySize(sized, "doc_id", "n_chars", n), "n_chars")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expTotals = expected.groupBy(_._4)
+      .map { case (s, rows) => s -> ((rows.size.toLong, rows.toSeq.map(_._2).sum)) }
+    assert(rep == expTotals)
+  }
+
   test("paddingWaste: padded = rows x max_len, waste fraction exact") {
     import spark.implicits._
     val assigned = Seq(

@@ -188,6 +188,66 @@ class SftSpec extends SparkSpec {
     assert(got.exists(_._3) && got.exists(!_._3))
   }
 
+  private def registry =
+    Seq(
+      ("lookup", Seq("id", "limit"), Seq("verbose")),
+      ("search", Seq("q"), Seq.empty[String]))
+      .toDF("tool", "required", "optional")
+
+  private def callFlags(rows: (Long, Long, String, String)*) =
+    Sft.validateToolCalls(msgs(rows: _*), "conv", "idx", "role", "content", registry)
+      .select("conv", "idx", "json_ok", "shape_ok", "tool_known", "args_ok",
+        "no_unknown_args", "call_ok")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+
+  test("validateToolCalls: each defect class trips exactly its flag") {
+    val f = callFlags(
+      // well-formed call with an optional arg: everything passes
+      (1L, 0L, "assistant", """{"tool":"lookup","args":{"id":1,"limit":5,"verbose":true}}"""),
+      // malformed JSON: json_ok fails, everything downstream cumulative-fails
+      (2L, 0L, "assistant", """{"tool":"lookup","args":{"id":1}"""),
+      // wrong top-level key: valid JSON, shape fails
+      (3L, 0L, "assistant", """{"tool":"lookup","arguments":{"id":1,"limit":5}}"""),
+      // args not an object: shape fails
+      (3L, 1L, "assistant", """{"tool":"lookup","args":7}"""),
+      // hallucinated tool: shape ok, registry lookup fails
+      (4L, 0L, "assistant", """{"tool":"teleport","args":{"id":1}}"""),
+      // missing required arg
+      (5L, 0L, "assistant", """{"tool":"lookup","args":{"id":1}}"""),
+      // fabricated arg (limit is not declared for search)
+      (6L, 0L, "assistant", """{"tool":"search","args":{"q":"x","limit":3}}"""),
+      // required arg present with JSON null value: presence is enough
+      (7L, 0L, "assistant", """{"tool":"search","args":{"q":null}}"""),
+      // prose assistant turn and user turn: no call row at all
+      (8L, 0L, "assistant", "plain prose"),
+      (8L, 1L, "user", """{"tool":"lookup","args":{"id":1,"limit":5}}"""))
+    assert(f((1L, 0L)) == ((true, true, true, true, true, true)))
+    assert(f((2L, 0L)) == ((false, false, false, false, false, false)))
+    assert(f((3L, 0L)) == ((true, false, false, false, false, false)))
+    assert(f((3L, 1L)) == ((true, false, false, false, false, false)))
+    assert(f((4L, 0L)) == ((true, true, false, false, false, false)))
+    assert(f((5L, 0L)) == ((true, true, true, false, true, false)))
+    assert(f((6L, 0L)) == ((true, true, true, true, false, false)))
+    assert(f((7L, 0L)) == ((true, true, true, true, true, true)))
+    assert(!f.contains((8L, 0L)) && !f.contains((8L, 1L)),
+      "prose and user turns must emit no call rows")
+  }
+
+  test("toolCallReport: zero-call conversations stay keepable, bad calls count") {
+    val report = Sft.toolCallReport(
+      msgs(
+        (1L, 0L, "user", "hi"),
+        (1L, 1L, "assistant", """{"tool":"search","args":{"q":"a"}}"""),
+        (1L, 2L, "assistant", """{"tool":"teleport","args":{}}"""),
+        (2L, 0L, "user", "hi"),
+        (2L, 1L, "assistant", "no tools here")),
+      "conv", "idx", "role", "content", registry)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(report(1L) == ((2L, 1L, false)))
+    assert(report(2L) == ((0L, 0L, true)))
+  }
+
   test("lossMaskSpans ∘ render: every assistant span slices back to its content") {
     // the q_sft fixture shape at sf0.001 — real corpus text through both ops
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
