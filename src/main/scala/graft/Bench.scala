@@ -53,7 +53,8 @@ object Bench {
       "q_sa_ranks_global", "q_e2e_curate", "q_x_approx_distinct",
       "q_sa_crossdoc", "q_e2e_sft", "q_sa_crossdoc_spans", "q_sa_crossdoc_clean",
       "q_tx_zipf", "q_tx_heaps", "q_tx_jsd", "q_ann_kcenter",
-      "q_lm_kn_artifact", "q_sft_toolcalls", "q_tx_langseg", "q_pk_shards")
+      "q_lm_kn_artifact", "q_sft_toolcalls", "q_tx_langseg", "q_pk_shards",
+      "q_mm_exif")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

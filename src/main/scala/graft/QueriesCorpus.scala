@@ -1351,6 +1351,40 @@ object QueriesCorpus {
           col("meta.mime").as("mime"))
     }),
 
+    // EXIF container truth through the REAL parser: the fixture BUILDS an
+    // EXIF JPEG per doc from doc_id alone (both byte orders, optional
+    // fields, GPS IFD, no-EXIF and truncated corruption classes), the
+    // engine parses it back with the pure-JVM TIFF walk, and the oracle
+    // states the expected fields in closed form — hash-exact means
+    // parse ∘ build ≡ identity across the whole corpus
+    "q_mm_exif" -> ((s, dir) => {
+      import s.implicits._
+      val payload = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 13 == 0) Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)
+            else {
+              val full = Multimodal.buildExifJpeg(
+                orientation = (id % 8 + 1).toInt,
+                datetime = Some(f"2024:01:${id % 27 + 1}%02d 10:00:00"),
+                gps = id % 3 == 0,
+                make = if (id % 5 == 0) Some("CamA") else None,
+                model = Some("M" + (id % 4)),
+                littleEndian = id % 2 == 0)
+              if (id % 31 == 0) full.dropRight(12) else full
+            }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      Multimodal.withExifMeta(payload, "payload")
+        .select(col("doc_id"),
+          col("exif.has_exif").as("has_exif"),
+          col("exif.orientation").as("orientation"),
+          col("exif.datetime").as("datetime"),
+          col("exif.has_gps").as("has_gps"),
+          col("exif.make").as("make"),
+          col("exif.model").as("model"))
+    }),
+
     // multimodal audio metadata through the REAL mapPartitions path with the
     // deterministic stub codec (JavaSoundDecoder is the production decoder
     // behind the same seam — spec-checked on real WAV bytes, which an SQL
@@ -4328,6 +4362,22 @@ object QueriesCorpus {
     "q_dc_overlap_idx" -> dcOverlapOracleSql,
     "q_dc_overlap" -> dcOverlapOracleSql,
     "q_e2e_curate" -> e2eCurateOracleSql,
+    "q_mm_exif" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 OR doc_id % 31 = 0 THEN FALSE
+        |       ELSE TRUE END AS has_exif,
+        |  CASE WHEN doc_id % 13 = 0 OR doc_id % 31 = 0 THEN 0
+        |       ELSE CAST(doc_id % 8 + 1 AS INTEGER) END AS orientation,
+        |  CASE WHEN doc_id % 13 = 0 OR doc_id % 31 = 0 THEN NULL
+        |       ELSE '2024:01:' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+        |            || ' 10:00:00' END AS datetime,
+        |  CASE WHEN doc_id % 13 = 0 OR doc_id % 31 = 0 THEN FALSE
+        |       ELSE doc_id % 3 = 0 END AS has_gps,
+        |  CASE WHEN doc_id % 13 = 0 OR doc_id % 31 = 0 OR doc_id % 5 <> 0 THEN NULL
+        |       ELSE 'CamA' END AS make,
+        |  CASE WHEN doc_id % 13 = 0 OR doc_id % 31 = 0 THEN NULL
+        |       ELSE 'M' || CAST(doc_id % 4 AS VARCHAR) END AS model
+        |FROM documents""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1856 + 64 AS BIGINT) AS width,

@@ -1054,4 +1054,212 @@ object Multimodal {
       .agg(count(lit(1)).as("shared_frames"))
       .filter(col("shared_frames") >= minShared)
   }
+
+  // ---------------------------------------------------------------------
+  // EXIF metadata (JPEG APP1 / TIFF IFD walk — pure JVM)
+  // ---------------------------------------------------------------------
+
+  /** EXIF extraction result: container truth a curation pipeline needs
+    * BEFORE any pixel decode — orientation (a resize/dHash pass that
+    * ignores it fingerprints rotated duplicates apart), capture time, and
+    * whether a GPS IFD is present. `has_gps` is deliberately a FLAG, not
+    * the coordinates: for training-data curation the decision is "strip or
+    * quarantine", and extracting lat/long into yet another table would
+    * itself propagate the PII ([[graft.ops.Privacy]] composes on the flag).
+    */
+  val exifMetaSchema: StructType = StructType(Seq(
+    StructField("has_exif", BooleanType, nullable = false),
+    StructField("orientation", IntegerType, nullable = false),
+    StructField("datetime", StringType, nullable = true),
+    StructField("has_gps", BooleanType, nullable = false),
+    StructField("make", StringType, nullable = true),
+    StructField("model", StringType, nullable = true)))
+
+  /** Parsed EXIF fields; the all-default value means "no parseable EXIF". */
+  case class ExifMeta(
+      hasExif: Boolean, orientation: Int, datetime: String,
+      hasGps: Boolean, make: String, model: String)
+
+  private val NoExif = ExifMeta(hasExif = false, 0, null, hasGps = false, null, null)
+
+  /** Parse EXIF from JPEG bytes: walk the segment chain to APP1/`Exif\0\0`,
+    * then the TIFF IFD0 (both byte orders) for orientation (0x0112),
+    * DateTime (0x0132), Make/Model (0x010F/0x0110), and the GPS IFD
+    * pointer (0x8825 — presence with an in-bounds target sets `has_gps`).
+    * Every read is bounds-checked; any malformed structure degrades to
+    * [[NoExif]] — corrupt assets are data, not errors. Pixel data is never
+    * touched (cost is O(header), not O(bytes)).
+    */
+  def parseExif(bytes: Array[Byte]): ExifMeta = {
+    try {
+      if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return NoExif
+      var i = 2
+      while (i + 4 <= bytes.length && (bytes(i) & 0xFF) == 0xFF) {
+        val marker = bytes(i + 1) & 0xFF
+        if (marker == 0xFF) { i += 1 } // fill byte
+        else if (marker == 0xD9 || marker == 0xDA) return NoExif // EOI / scan start
+        else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) i += 2 // standalone
+        else {
+          val segLen = ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
+          if (segLen < 2 || i + 2 + segLen > bytes.length) return NoExif
+          if (marker == 0xE1 && segLen >= 8 &&
+            bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
+            bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0) {
+            return parseTiff(bytes, i + 10, i + 2 + segLen)
+          }
+          i += 2 + segLen
+        }
+      }
+      NoExif
+    } catch { case scala.util.control.NonFatal(_) => NoExif }
+  }
+
+  /** TIFF IFD0 walk over `bytes[t, end)`; offsets are TIFF-header-relative. */
+  private def parseTiff(bytes: Array[Byte], t: Int, end: Int): ExifMeta = {
+    if (t + 8 > end) return NoExif
+    val little =
+      if (bytes(t) == 'I' && bytes(t + 1) == 'I') true
+      else if (bytes(t) == 'M' && bytes(t + 1) == 'M') false
+      else return NoExif
+    def u16(p: Int): Int = {
+      if (p < t || p + 2 > end) throw new IndexOutOfBoundsException
+      val a = bytes(p) & 0xFF; val b = bytes(p + 1) & 0xFF
+      if (little) (b << 8) | a else (a << 8) | b
+    }
+    def u32(p: Int): Long = {
+      if (p < t || p + 4 > end) throw new IndexOutOfBoundsException
+      val a = bytes(p) & 0xFFL; val b = bytes(p + 1) & 0xFFL
+      val c = bytes(p + 2) & 0xFFL; val d = bytes(p + 3) & 0xFFL
+      if (little) (d << 24) | (c << 16) | (b << 8) | a
+      else (a << 24) | (b << 16) | (c << 8) | d
+    }
+    if (u16(t + 2) != 42) return NoExif
+    val ifd0 = t + u32(t + 4).toInt
+    val n = u16(ifd0)
+    var orientation = 0
+    var datetime: String = null
+    var make: String = null
+    var model: String = null
+    var hasGps = false
+    def ascii(entry: Int): String = {
+      val count = u32(entry + 4).toInt
+      if (count <= 0) return null
+      val at = if (count <= 4) entry + 8 else t + u32(entry + 8).toInt
+      if (at < t || at + count > end) return null
+      // count includes the trailing NUL; tolerate its absence
+      val len = if (bytes(at + count - 1) == 0) count - 1 else count
+      new String(bytes, at, len, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    var e = 0
+    while (e < n) {
+      val entry = ifd0 + 2 + e * 12
+      u16(entry) match {
+        case 0x0112 => orientation = u16(entry + 8)
+        case 0x0132 => datetime = ascii(entry)
+        case 0x010F => make = ascii(entry)
+        case 0x0110 => model = ascii(entry)
+        case 0x8825 =>
+          val gpsOff = t + u32(entry + 8).toInt
+          // a valid pointer lands on a readable IFD entry count
+          hasGps = gpsOff + 2 <= end && gpsOff >= t && u16(gpsOff) >= 0
+        case _ => ()
+      }
+      e += 1
+    }
+    ExifMeta(hasExif = true, orientation, datetime, hasGps, make, model)
+  }
+
+  /** Attach the EXIF struct to a binary column — the [[withDecodedMeta]]
+    * batched mapPartitions shape: per-row header walk, no pixel decode, no
+    * shuffle; null payloads degrade to the no-EXIF struct.
+    */
+  def withExifMeta(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("exif", exifMetaSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = parseExif(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+
+          Row(m.hasExif, m.orientation, m.datetime, m.hasGps, m.make, m.model))
+      }
+    }(enc)
+  }
+
+  /** Minimal EXIF JPEG WRITER — the inverse of [[parseExif]] for derived
+    * assets (a resize pipeline that re-encodes should carry orientation
+    * forward) and the round-trip fixture for the oracle: build-then-parse
+    * must invert exactly, in BOTH byte orders. Emits SOI + APP1(Exif/TIFF
+    * IFD0 with the given fields [+ a one-entry GPS IFD]) + EOI. Tags are
+    * written ascending as TIFF requires.
+    */
+  def buildExifJpeg(
+      orientation: Int,
+      datetime: Option[String],
+      gps: Boolean,
+      make: Option[String] = None,
+      model: Option[String] = None,
+      littleEndian: Boolean = true): Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    def p16(v: Int): Unit =
+      if (littleEndian) { buf += (v & 0xFF).toByte; buf += ((v >> 8) & 0xFF).toByte }
+      else { buf += ((v >> 8) & 0xFF).toByte; buf += (v & 0xFF).toByte }
+    def p32(v: Long): Unit =
+      if (littleEndian) (0 to 3).foreach(s => buf += ((v >> (8 * s)) & 0xFF).toByte)
+      else (3 to 0 by -1).foreach(s => buf += ((v >> (8 * s)) & 0xFF).toByte)
+    // TIFF header
+    buf ++= (if (littleEndian) "II" else "MM").getBytes
+    p16(42); p32(8L)
+    // entries: make?, model?, orientation, datetime?, gps? — ascending tags
+    case class Ent(tag: Int, typ: Int, count: Int, inline: Option[Int], data: Option[Array[Byte]])
+    val strs = Seq(
+      make.map(s => Ent(0x010F, 2, s.length + 1, None, Some((s + "\u0000").getBytes))),
+      model.map(s => Ent(0x0110, 2, s.length + 1, None, Some((s + "\u0000").getBytes))),
+      Some(Ent(0x0112, 3, 1, Some(orientation), None)),
+      datetime.map(s => Ent(0x0132, 2, s.length + 1, None, Some((s + "\u0000").getBytes))),
+      if (gps) Some(Ent(0x8825, 4, 1, None, None)) else None).flatten
+    val n = strs.size
+    p16(n)
+    // data area starts after: header(8) + count(2) + 12n + next-IFD(4)
+    val dataOff = 8 + 2 + 12 * n + 4
+    val dataBytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    strs.foreach { ent =>
+      p16(ent.tag); p16(ent.typ); p32(ent.count.toLong)
+      ent match {
+        case Ent(_, 3, _, Some(v), _) =>
+          // SHORT value packs into the first two value bytes
+          p16(v); p16(0)
+        case Ent(0x8825, _, _, _, _) =>
+          p32(0L) // placeholder, back-patched once the data area is sized
+        case Ent(_, 2, count, _, Some(d)) =>
+          if (count <= 4) { d.padTo(4, 0.toByte).take(4).foreach(buf += _); () }
+          else { p32((dataOff + dataBytes.length).toLong); dataBytes ++= d }
+        case _ => p32(0L)
+      }
+    }
+    p32(0L) // next IFD
+    buf ++= dataBytes
+    if (gps) {
+      val gpsAt = dataOff + dataBytes.length
+      // back-patch the GPS pointer (entry field at its computed position)
+      val gpsEntryIdx = strs.indexWhere(_.tag == 0x8825)
+      val ptrPos = 8 + 2 + 12 * gpsEntryIdx + 8
+      val v = gpsAt.toLong
+      (0 to 3).foreach { s =>
+        val b = ((v >> (8 * (if (littleEndian) s else 3 - s))) & 0xFF).toByte
+        buf(ptrPos + s) = b
+      }
+      // one-entry GPS IFD: GPSVersionID = 2.3.0.0
+      p16(1); p16(0x0000); p16(1); p32(4L)
+      buf += 2; buf += 3; buf += 0; buf += 0
+      p32(0L)
+    }
+    val tiff = buf.toArray
+    val payload = "Exif\u0000\u0000".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ tiff
+    val segLen = payload.length + 2
+    (Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte,
+      ((segLen >> 8) & 0xFF).toByte, (segLen & 0xFF).toByte) ++
+      payload ++ Array(0xFF.toByte, 0xD9.toByte))
+  }
 }
