@@ -18,28 +18,16 @@ import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, Seq
 object Functions {
 
   /** Register custom expressions for SQL use (`seq_ratio(a, b)`,
-    * `vec_cosine(a, b)`, ...).
+    * `vec_cosine(a, b)`, ...) on an existing session — the programmatic
+    * twin of the config-driven `spark.sql.extensions=graft.GraftExtensions`
+    * path; both install the SAME builder table
+    * ([[GraftExtensions.functions]]), so the two surfaces cannot drift.
     */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "seq_ratio",
-      exprs => SequenceRatio(exprs.head, exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_sqdist", exprs => SquaredDistance(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_norm", exprs => L2Norm(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_normalize", exprs => L2Normalize(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unicode_nfc", exprs => UnicodeNormalize(exprs.head, "NFC"), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unicode_nfkc", exprs => UnicodeNormalize(exprs.head, "NFKC"), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 
   /** Unicode-normalize a string column to `form` (NFC/NFD/NFKC/NFKD) —
     * a codegen'd [[graft.expressions.UnicodeNormalize]].

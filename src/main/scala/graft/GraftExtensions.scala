@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, SequenceRatio, SquaredDistance, UnicodeNormalize, Utf16Length}
+
+/** Config-driven injection point for the engine's Catalyst extensions —
+  * the deployment path for a cluster user who never touches graft code:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * installs every custom expression as a native SQL function (usable from
+  * `spark.sql`, views, and SQL files, not just the Scala `Column` API) and
+  * registers the [[graft.plans.SequenceRatioLengthBound]] optimizer rule,
+  * on EVERY session of the application — including ones created before a
+  * line of user code runs (Thrift server, notebooks). [[Functions.register]]
+  * remains the programmatic per-session alternative and installs the same
+  * builder table, so the two paths can never drift.
+  *
+  * All functions are thin builders over codegen'd expressions
+  * ([[graft.expressions]]) — SQL use pays no UDF penalty and stays inside
+  * whole-stage codegen, exactly like the `Column`-API forms.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder))
+    }
+    ext.injectOptimizerRule(_ => graft.plans.SequenceRatioLengthBound)
+  }
+}
+
+object GraftExtensions {
+
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n, s"$name expects $n argument(s), got ${es.length}")
+      f(es)
+    }
+
+  /** The engine's SQL function surface: (name, usage, builder). One table
+    * shared by the extensions path and [[Functions.register]].
+    */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("seq_ratio", "seq_ratio(a, b) - difflib-compatible Ratcliff-Obershelp similarity in [0,1]",
+      arity("seq_ratio", 2)(e => SequenceRatio(e.head, e(1)))),
+    ("vec_dot", "vec_dot(a, b) - dot product of two array<double> vectors",
+      arity("vec_dot", 2)(e => DotProduct(e.head, e(1)))),
+    ("vec_cosine", "vec_cosine(a, b) - cosine similarity, 0.0 on zero norms",
+      arity("vec_cosine", 2)(e => CosineSimilarity(e.head, e(1)))),
+    ("vec_sqdist", "vec_sqdist(a, b) - squared euclidean distance",
+      arity("vec_sqdist", 2)(e => SquaredDistance(e.head, e(1)))),
+    ("vec_norm", "vec_norm(a) - L2 norm",
+      arity("vec_norm", 1)(e => L2Norm(e.head))),
+    ("vec_normalize", "vec_normalize(a) - unit-normalize; zero vectors pass through",
+      arity("vec_normalize", 1)(e => L2Normalize(e.head))),
+    ("unicode_nfc", "unicode_nfc(s) - Unicode NFC normalization",
+      arity("unicode_nfc", 1)(e => UnicodeNormalize(e.head, "NFC"))),
+    ("unicode_nfkc", "unicode_nfkc(s) - Unicode NFKC normalization",
+      arity("unicode_nfkc", 1)(e => UnicodeNormalize(e.head, "NFKC"))),
+    ("utf16_length", "utf16_length(s) - string length in UTF-16 code units (Java/Python len)",
+      arity("utf16_length", 1)(e => Utf16Length(e.head))))
+}

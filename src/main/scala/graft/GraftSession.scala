@@ -38,6 +38,13 @@ object GraftSession {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.register(spark)
+    // Same optimizer surface as `spark.sql.extensions=graft.GraftExtensions`
+    // (the config path can't apply to an already-running session, so the
+    // programmatic path installs the rule here; guarded — getOrCreate can
+    // hand back a session that already has it).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SequenceRatioLengthBound))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SequenceRatioLengthBound
     spark
   }
 }
