@@ -181,6 +181,33 @@ object QueriesEval {
           ((col("user_id") / 32).cast("long") % 32).as("item_b"),
           (floor(col("value") * 100).cast("long") % 2).as("win_a"))
       Preference.winRates(m, "item_a", "item_b", "win_a")
+    }),
+
+    // unbiased pass@k (Chen et al. 2021) over orders-as-samples: problem =
+    // o_custkey % 50 (~300 samples each at sf0.01), correct = every third
+    // order key; exact DECIMAL(38) falling factorials vs HUGEINT in the
+    // oracle
+    "q_ev_passk" -> ((s, dir) =>
+      RankEval.passAtK(
+        t(s, dir, "orders").select(
+          (col("o_custkey") % 50).as("problem"),
+          (col("o_orderkey") % 3 === 0).as("ok")),
+        "problem", "ok", Seq(1, 5, 10))),
+
+    // corpus BLEU-4 of each document against a deterministic reference
+    // (even ids: token-reversed text — unigram multiset preserved, order
+    // destroyed; odd ids: last three tokens dropped — brevity penalty
+    // territory); clipped n-gram SQL replay
+    "q_ev_bleu" -> ((s, dir) => {
+      val toks = filter(
+        split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+      val pairs = t(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        col("text").as("cand"),
+        when(col("doc_id") % 2 === 0, concat_ws(" ", reverse(toks)))
+          .otherwise(concat_ws(" ",
+            slice(toks, lit(1), greatest(size(toks) - 3, lit(0))))).as("ref"))
+      RankEval.bleuCorpus(pairs, "id", "cand", "ref", maxN = 4)
     }))
 
   /** Long-format (item, given, class, prob) fixture for confident
@@ -262,7 +289,99 @@ object QueriesEval {
        |        * 1000000 + 0.5) / 1000000 END AS f1
        |  FROM m)""".stripMargin
 
+  /** HUGEINT falling factorial `Π_{i=0}^{k−1} (base − i)` as SQL text —
+    * the exact-integer twin of passAtK's DECIMAL(38,0) products.
+    */
+  private def fallingSql(base: String, k: Int): String =
+    (0 until k).map(i => s"CAST($base - $i AS HUGEINT)").mkString(" * ")
+
+  private def passkSql(k: Int): String =
+    s"""CASE WHEN n_samples < $k THEN NULL
+       |     WHEN n_samples - n_correct < $k THEN 1.0
+       |     ELSE floor((1.0 - CAST(${fallingSql("n_samples - n_correct", k)} AS DOUBLE)
+       |                     / CAST(${fallingSql("n_samples", k)} AS DOUBLE))
+       |            * 1000000 + 0.5) / 1000000 END AS pass_at_$k""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q_ev_passk" ->
+      s"""WITH s AS (
+         |  SELECT o_custkey % 50 AS problem,
+         |         CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS ok
+         |  FROM orders),
+         |a AS (
+         |  SELECT problem, count(*) AS n_samples, CAST(sum(ok) AS BIGINT) AS n_correct
+         |  FROM s GROUP BY 1)
+         |SELECT problem, n_samples, n_correct,
+         |  ${passkSql(1)},
+         |  ${passkSql(5)},
+         |  ${passkSql(10)}
+         |FROM a""".stripMargin,
+
+    "q_ev_bleu" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS ct
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT id, ct,
+        |    CASE WHEN id % 2 = 0 THEN list_reverse(ct)
+        |         ELSE ct[1:greatest(len(ct) - 3, 0)] END AS rt
+        |  FROM base),
+        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |cg AS (
+        |  SELECT id, n, array_to_string(ct[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ') AS gram,
+        |         count(*) AS cc
+        |  FROM pairs, ns, unnest(range(1, len(ct) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |rg AS (
+        |  SELECT id, n, array_to_string(rt[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ') AS gram,
+        |         count(*) AS rc
+        |  FROM pairs, ns, unnest(range(1, len(rt) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |clip AS (
+        |  SELECT cg.n,
+        |         CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS clip,
+        |         CAST(sum(cc) AS BIGINT) AS tot
+        |  FROM cg LEFT JOIN rg ON cg.id = rg.id AND cg.n = rg.n AND cg.gram = rg.gram
+        |  GROUP BY 1),
+        |pern AS (
+        |  SELECT ns.n, coalesce(clip, 0) AS clip, coalesce(tot, 0) AS tot
+        |  FROM ns LEFT JOIN clip ON ns.n = clip.n),
+        |lens AS (
+        |  SELECT CAST(coalesce(sum(len(ct)), 0) AS BIGINT) AS cand_tokens,
+        |         CAST(coalesce(sum(len(rt)), 0) AS BIGINT) AS ref_tokens
+        |  FROM pairs),
+        |stats AS (
+        |  SELECT
+        |    sum(CASE WHEN tot = 0 OR clip = 0 THEN 1 ELSE 0 END) AS zeros,
+        |    CAST(sum(CASE WHEN clip > 0
+        |      THEN CAST(floor(ln(CAST(clip AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS lnsum,
+        |    max(CASE WHEN n = 1 THEN CASE WHEN tot = 0 THEN NULL
+        |      ELSE floor(CAST(clip AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5) / 1000000 END END) AS p_1,
+        |    max(CASE WHEN n = 2 THEN CASE WHEN tot = 0 THEN NULL
+        |      ELSE floor(CAST(clip AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5) / 1000000 END END) AS p_2,
+        |    max(CASE WHEN n = 3 THEN CASE WHEN tot = 0 THEN NULL
+        |      ELSE floor(CAST(clip AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5) / 1000000 END END) AS p_3,
+        |    max(CASE WHEN n = 4 THEN CASE WHEN tot = 0 THEN NULL
+        |      ELSE floor(CAST(clip AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5) / 1000000 END END) AS p_4
+        |  FROM pern)
+        |SELECT cand_tokens, ref_tokens,
+        |  CASE WHEN cand_tokens = 0 THEN 0.0
+        |       ELSE floor(exp(CASE WHEN cand_tokens >= ref_tokens THEN 0.0
+        |                      ELSE 1.0 - CAST(ref_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE) END)
+        |              * 1000000 + 0.5) / 1000000 END AS bp,
+        |  p_1, p_2, p_3, p_4,
+        |  CASE WHEN cand_tokens = 0 OR zeros > 0 THEN 0.0
+        |       ELSE floor(exp(
+        |              (CASE WHEN cand_tokens >= ref_tokens THEN 0.0
+        |                    ELSE 1.0 - CAST(ref_tokens AS DOUBLE) / CAST(cand_tokens AS DOUBLE) END)
+        |              + CAST(lnsum AS DOUBLE) / 4.0 / 1000000000)
+        |              * 10000 + 0.5) / 10000 END AS bleu
+        |FROM lens, stats""".stripMargin,
+
     "q_ev_f1" ->
       s"""WITH $f1CteSql
          |SELECT * FROM rep""".stripMargin,

@@ -691,4 +691,161 @@ object RankEval {
               .cast("double") / disc.cast("double"), 6))
           .as("chi2_cc"))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language Models
+    * Trained on Code", §2.1) — THE code-eval sampling estimator: from n
+    * samples per problem of which c are correct,
+    *
+    *   pass@k = 1 − C(n−c, k) / C(n, k)
+    *          = 1 − Π_{i=0}^{k−1} (n−c−i) / (n−i)
+    *
+    * is an unbiased estimate of P(at least one of k draws correct).
+    * Input: one row per SAMPLE `(problemCol, correctCol)` (boolean-ish
+    * correct; NULL problem or correct drops the sample). Output one row
+    * per problem: `(problem, n_samples, n_correct, pass_at_<k>...)` — a
+    * pass@k column per requested k, NULL where n < k (the estimator is
+    * undefined; silently clamping k to n would overstate coverage).
+    *
+    * Exactness: both falling-factorial products are evaluated as
+    * DECIMAL(38,0) INTEGER products (the [[cochranQ]] discipline) in a
+    * fixed unroll order — k is compile-time bounded to 12 so n up to
+    * ~1000 samples/problem stays within 38 digits — then ONE double
+    * divide, rounded half-up 6. An oracle replays the same products in
+    * HUGEINT. When n−c < k some factor is ≤ 0; the estimator is exactly
+    * 1 there (C(n−c,k) = 0) and is special-cased rather than trusting a
+    * signed product.
+    *
+    * Scale shape: one map-side-combinable keyed aggregate over samples,
+    * then per-row arithmetic on the bounded (problems × ks) result.
+    */
+  def passAtK(
+      df: DataFrame,
+      problemCol: String,
+      correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    require(ks.distinct == ks, s"ks must be distinct, got $ks")
+    require(ks.forall(k => k >= 1 && k <= 12),
+      s"each k must be in [1, 12] (DECIMAL(38,0) falling-factorial bound), got $ks")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def falling(base: Column, k: Int): Column =
+      (0 until k).map(i => (base - lit(i.toLong)).cast(dec38)).reduce(_ * _)
+    val agg = df
+      .filter(col(problemCol).isNotNull && col(correctCol).isNotNull)
+      .select(col(problemCol).as("problem"),
+        when(col(correctCol).cast("boolean"), 1L).otherwise(0L).as("_c"))
+      .groupBy(col("problem"))
+      .agg(count(lit(1)).as("n_samples"), sum(col("_c")).as("n_correct"))
+    val passCols = ks.map { k =>
+      val n = col("n_samples")
+      val miss = col("n_samples") - col("n_correct")
+      when(n < k, lit(null).cast("double"))
+        .when(miss < k, lit(1.0))
+        .otherwise(graft.Functions.roundHalfUp(
+          lit(1.0) - falling(miss, k).cast("double") / falling(n, k).cast("double"), 6))
+        .as(s"pass_at_$k")
+    }
+    agg.select(col("problem") +: col("n_samples") +: col("n_correct") +: passCols: _*)
+  }
+
+  /** Corpus BLEU (Papineni et al. 2002) between a candidate and a
+    * reference text column: per-segment CLIPPED n-gram matches
+    * `Σ_gram min(c_cand, c_ref)` for n = 1..maxN pooled over the corpus,
+    * geometric-mean precision, brevity penalty `min(1, e^(1−r/c))`.
+    * Output ONE row: `(cand_tokens, ref_tokens, bp, p_1..p_maxN, bleu)`.
+    * Unsmoothed: any pooled p_n = 0 (or an empty candidate corpus) makes
+    * bleu exactly 0 — the corpus-level statistic rarely hits it, and
+    * smoothing conventions differ enough across toolkits that a silent
+    * default would be a portability trap.
+    *
+    * Determinism ([[graft.ops.TextAnalysis.bigramPerplexity]]'s
+    * discipline): all counts and lengths are exact LONGs; each ln p_n is
+    * quantized to integer nano-nats BEFORE the weighted sum, the brevity
+    * exponent 1−r/c is a single-divide double added after, and the one
+    * final `exp` is rounded half-up 4 (p_n and bp round half-up 6).
+    *
+    * Scale shape: one (id, n, gram)-keyed count per side, one keyed join
+    * (never gram×gram), one global one-row aggregate. Gram rows are
+    * emitted per (doc, n) by slicing the token array — maxN scans of
+    * nothing: a single explode carries an `n` column so the whole family
+    * is ONE pass over each side.
+    */
+  def bleuCorpus(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    val spark = df.sparkSession
+
+    def gramCounts(textCol: String, cntName: String): DataFrame = {
+      val toks = filter(Dedup.tokens(col(textCol)), t => t =!= "")
+      // per-n position sequences are guarded per element (a doc shorter
+      // than n emits nothing for that n): sequence(1, size) is only built
+      // for size >= 1, and positions past size − n + 1 are filtered out —
+      // an unguarded sequence(0, size − n) would DESCEND when size < n
+      // and emit bogus grams
+      df.select(col(idCol).as("_id"), toks.as("_t"))
+        .filter(size(col("_t")) >= 1)
+        .select(col("_id"), explode(flatten(transform(
+          sequence(lit(1), lit(maxN)),
+          n => filter(
+            transform(
+              sequence(lit(1), size(col("_t"))),
+              pos => when(pos + n - 1 <= size(col("_t")),
+                struct(n.cast("int").as("n"),
+                  concat_ws(" ", slice(col("_t"), pos, n)).as("gram")))
+                .otherwise(lit(null))),
+            g => g.isNotNull)))).as("_g"))
+        .select(col("_id"), col("_g.n").as("n"), col("_g.gram").as("gram"))
+        .groupBy("_id", "n", "gram")
+        .agg(count(lit(1)).cast("long").as(cntName))
+    }
+
+    val candLens = df.select(
+      size(filter(Dedup.tokens(col(candCol)), t => t =!= "")).cast("long").as("_cl"),
+      size(filter(Dedup.tokens(col(refCol)), t => t =!= "")).cast("long").as("_rl"))
+      .agg(coalesce(sum(col("_cl")), lit(0L)).as("cand_tokens"),
+        coalesce(sum(col("_rl")), lit(0L)).as("ref_tokens"))
+
+    val clipped = gramCounts(candCol, "_cc")
+      .join(gramCounts(refCol, "_rc"), Seq("_id", "n", "gram"), "left")
+      .groupBy(col("n"))
+      .agg(
+        sum(least(col("_cc"), coalesce(col("_rc"), lit(0L)))).as("_clip"),
+        sum(col("_cc")).as("_tot"))
+
+    // densify over 1..maxN: an order with zero candidate grams anywhere in
+    // the corpus must surface as p_n = 0, not as a missing row
+    val perN = spark.range(1, maxN + 1).select(col("id").cast("int").as("n"))
+      .join(clipped, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("_clip"), lit(0L)).as("_clip"),
+        coalesce(col("_tot"), lit(0L)).as("_tot"))
+
+    val pn = col("_clip").cast("double") / col("_tot").cast("double")
+    val pRounded = when(col("_tot") === 0L, lit(null).cast("double"))
+      .otherwise(graft.Functions.roundHalfUp(pn, 6))
+    val statCols = Seq(
+      sum(when(col("_tot") === 0L || col("_clip") === 0L, 1L).otherwise(0L)).as("_zeros"),
+      // nano-nat quantized Σ ln p_n (only meaningful when _zeros = 0)
+      sum(when(col("_clip") > 0L, q9(log(pn))).otherwise(lit(0L))).as("_lnsum")) ++
+      (1 to maxN).map(i => max(when(col("n") === i, pRounded)).as(s"p_$i"))
+    val stats = perN.agg(statCols.head, statCols.tail: _*)
+
+    val bpExp = when(col("cand_tokens") >= col("ref_tokens"), lit(0.0))
+      .otherwise(lit(1.0) - col("ref_tokens").cast("double") / col("cand_tokens").cast("double"))
+    val pCols = (1 to maxN).map(n => col(s"p_$n"))
+    candLens.crossJoin(stats).select(
+      Seq(
+        col("cand_tokens"), col("ref_tokens"),
+        when(col("cand_tokens") === 0L, lit(0.0))
+          .otherwise(graft.Functions.roundHalfUp(exp(bpExp), 6)).as("bp")) ++
+      pCols :+
+      when(col("cand_tokens") === 0L || col("_zeros") > 0L, lit(0.0))
+        .otherwise(graft.Functions.roundHalfUp(
+          exp(bpExp + col("_lnsum").cast("double") / lit(maxN.toDouble) / lit(1e9)), 4))
+        .as("bleu"): _*)
+  }
 }

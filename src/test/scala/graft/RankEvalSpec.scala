@@ -274,4 +274,153 @@ class RankEvalSpec extends SparkSpec {
       "item", "a_ok", "b_ok").head()
     assert(agree.isNullAt(agree.fieldIndex("chi2")), "b + c = 0 is undefined, not 0")
   }
+
+  // ---- pass@k ----------------------------------------------------------
+
+  /** Exact BigInt twin: 1 − C(n−c,k)/C(n,k). */
+  private def passExact(n: Int, c: Int, k: Int): Double = {
+    def choose(a: Int, b: Int): BigInt =
+      if (b > a) BigInt(0)
+      else (0 until b).map(i => BigInt(a - i)).product /
+        (1 to b).map(BigInt(_)).product
+    val ratio = BigDecimal(choose(n - c, k)) / BigDecimal(choose(n, k))
+    math.floor((1.0 - ratio.toDouble) * 1e6 + 0.5) / 1e6
+  }
+
+  test("passAtK: hand values, n<k NULL, all-fail 0, any-needed 1") {
+    val samples = Seq(
+      // problem 1: n=5, c=2 → pass@3 = 1 − C(3,3)/C(5,3) = 1 − 1/10 = 0.9
+      (1L, true), (1L, true), (1L, false), (1L, false), (1L, false),
+      // problem 2: n=2 (< 3), c=1 → pass@3 NULL, pass@1 = 0.5
+      (2L, true), (2L, false),
+      // problem 3: n=4, c=0 → 0.0 at every defined k
+      (3L, false), (3L, false), (3L, false), (3L, false),
+      // problem 4: n=4, c=2, k=3 > n−c → exactly 1
+      (4L, true), (4L, true), (4L, false), (4L, false))
+      .toDF("problem", "ok")
+    val got = RankEval.passAtK(samples, "problem", "ok", Seq(1, 3))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("pass_at_3") == 0.9)
+    assert(got(1L).getAs[Double]("pass_at_1") == 0.4)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("pass_at_3")), "k > n is undefined")
+    assert(got(2L).getAs[Double]("pass_at_1") == 0.5)
+    assert(got(3L).getAs[Double]("pass_at_1") == 0.0)
+    assert(got(3L).getAs[Double]("pass_at_3") == 0.0)
+    assert(got(4L).getAs[Double]("pass_at_3") == 1.0, "n−c < k forces a correct draw")
+  }
+
+  test("passAtK matches the exact BigInt binomial on fuzzed (n, c, k)") {
+    val rng = new scala.util.Random(421)
+    val cases = (0 until 60).map { p =>
+      val n = 1 + rng.nextInt(200)
+      val c = rng.nextInt(n + 1)
+      (p.toLong, n, c)
+    }
+    val samples = cases.flatMap { case (p, n, c) =>
+      (0 until n).map(i => (p, i < c))
+    }.toDF("problem", "ok")
+    val ks = Seq(1, 2, 5, 10, 12)
+    val got = RankEval.passAtK(samples, "problem", "ok", ks)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    cases.foreach { case (p, n, c) =>
+      val row = got(p)
+      assert(row.getAs[Long]("n_samples") == n && row.getAs[Long]("n_correct") == c)
+      ks.foreach { k =>
+        val idx = row.fieldIndex(s"pass_at_$k")
+        if (n < k) assert(row.isNullAt(idx), s"n=$n c=$c k=$k")
+        else assert(row.getDouble(idx) == passExact(n, c, k), s"n=$n c=$c k=$k")
+      }
+    }
+  }
+
+  // ---- corpus BLEU -----------------------------------------------------
+
+  /** Independent scala twin of corpus BLEU (plain doubles, no
+    * quantization — agreement within 1e-4 is the assertion).
+    */
+  private def bleuTwin(pairs: Seq[(String, String)], maxN: Int): (Double, Seq[Double]) = {
+    def toks(s: String) = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(t: Seq[String], n: Int) = t.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    val ps = (1 to maxN).map { n =>
+      var clip = 0L; var tot = 0L
+      pairs.foreach { case (cand, ref) =>
+        val cg = grams(toks(cand), n).groupBy(identity).view.mapValues(_.size)
+        val rg = grams(toks(ref), n).groupBy(identity).view.mapValues(_.size)
+        cg.foreach { case (g, cc) => clip += math.min(cc, rg.getOrElse(g, 0)); tot += cc }
+      }
+      if (tot == 0) -1.0 else clip.toDouble / tot
+    }
+    val cLen = pairs.map(p => toks(p._1).size).sum
+    val rLen = pairs.map(p => toks(p._2).size).sum
+    val bleu =
+      if (cLen == 0 || ps.exists(_ <= 0.0)) 0.0
+      else {
+        val bp = if (cLen >= rLen) 1.0 else math.exp(1.0 - rLen.toDouble / cLen)
+        bp * math.exp(ps.map(math.log).sum / maxN)
+      }
+    (bleu, ps)
+  }
+
+  test("bleuCorpus: the Papineni clipping example and a hand BLEU-2") {
+    // clipping: cand 'the'×7 vs ref with two 'the' → p1 = 2/7
+    val clip = RankEval.bleuCorpus(
+      Seq((1L, "the the the the the the the", "the cat is on the mat"))
+        .toDF("id", "cand", "ref"), "id", "cand", "ref", maxN = 1).head()
+    assert(clip.getAs[Double]("p_1") == math.floor(2.0 / 7.0 * 1e6 + 0.5) / 1e6)
+    assert(clip.getAs[Double]("bleu") == math.floor(2.0 / 7.0 * 1e4 + 0.5) / 1e4)
+
+    // BLEU-2 hand case: cand = 'the cat sat' vs ref = 'the cat is sat'
+    // p1 = 3/3, p2 = 1/2 ('the cat' matches, 'cat sat' doesn't)
+    // bp = exp(1 − 4/3); bleu = bp · exp((ln 1 + ln 0.5)/2)
+    val got = RankEval.bleuCorpus(
+      Seq((1L, "the cat sat", "the cat is sat")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref", maxN = 2).head()
+    assert(got.getAs[Long]("cand_tokens") == 3L && got.getAs[Long]("ref_tokens") == 4L)
+    assert(got.getAs[Double]("p_1") == 1.0)
+    assert(got.getAs[Double]("p_2") == 0.5)
+    val expected = math.exp(1.0 - 4.0 / 3.0) * math.exp(math.log(0.5) / 2.0)
+    assert(math.abs(got.getAs[Double]("bleu") - expected) < 1e-4)
+  }
+
+  test("bleuCorpus: zero-gram orders, empty candidate, and identity") {
+    // a 1-token corpus has NO bigrams: p_2 NULL, bleu 0 (unsmoothed)
+    val short = RankEval.bleuCorpus(
+      Seq((1L, "word", "word")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref", maxN = 2).head()
+    assert(short.getAs[Double]("p_1") == 1.0)
+    assert(short.isNullAt(short.fieldIndex("p_2")))
+    assert(short.getAs[Double]("bleu") == 0.0)
+    // empty candidate corpus
+    val empty = RankEval.bleuCorpus(
+      Seq((1L, "", "ref text")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref", maxN = 2).head()
+    assert(empty.getAs[Long]("cand_tokens") == 0L && empty.getAs[Double]("bleu") == 0.0)
+    assert(empty.getAs[Double]("bp") == 0.0)
+    // identical corpora score exactly 1
+    val same = RankEval.bleuCorpus(
+      Seq((1L, "a b c d e", "a b c d e"), (2L, "f g h i", "f g h i"))
+        .toDF("id", "cand", "ref"), "id", "cand", "ref").head()
+    assert(same.getAs[Double]("bleu") == 1.0 && same.getAs[Double]("bp") == 1.0)
+  }
+
+  test("bleuCorpus matches the independent twin on a fuzzed corpus") {
+    val rng = new scala.util.Random(77)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val pairs = (0 until 40).map { i =>
+      def sent(len: Int) = (0 until len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val cand = sent(3 + rng.nextInt(12))
+      val ref = if (i % 4 == 0) cand else sent(3 + rng.nextInt(12))
+      (cand, ref)
+    }
+    val df = pairs.zipWithIndex.map { case ((c, r), i) => (i.toLong, c, r) }
+      .toDF("id", "cand", "ref")
+    val got = RankEval.bleuCorpus(df, "id", "cand", "ref").head()
+    val (twin, ps) = bleuTwin(pairs, 4)
+    assert(math.abs(got.getAs[Double]("bleu") - twin) < 1e-4,
+      s"got ${got.getAs[Double]("bleu")} twin $twin ps $ps")
+    (1 to 4).foreach { n =>
+      if (ps(n - 1) >= 0)
+        assert(math.abs(got.getAs[Double](s"p_$n") - ps(n - 1)) < 1e-6, s"p_$n")
+    }
+  }
 }
