@@ -64,6 +64,14 @@ object Functions {
     ColumnBridge.column(
       SequenceRatio(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Longest-common-subsequence length of two token arrays
+    * (`array<string>`) — the ROUGE-L backbone, codegen'd.
+    */
+  def lcsLen(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      graft.expressions.LcsLength(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Levenshtein-based similarity ratio in [0, 1]:
     * `1 - levenshtein(a,b) / max(len(a), len(b))`, 1.0 for two empty strings.
     * Oracle-portable alternative to [[seqRatio]] (DuckDB: `levenshtein`).

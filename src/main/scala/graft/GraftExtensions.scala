@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, SequenceRatio, SquaredDistance, UnicodeNormalize, Utf16Length}
+import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, LcsLength, SequenceRatio, SquaredDistance, UnicodeNormalize, Utf16Length}
 
 /** Config-driven injection point for the engine's Catalyst extensions —
   * the deployment path for a cluster user who never touches graft code:
@@ -68,5 +68,7 @@ object GraftExtensions {
     ("unicode_nfkc", "unicode_nfkc(s) - Unicode NFKC normalization",
       arity("unicode_nfkc", 1)(e => UnicodeNormalize(e.head, "NFKC"))),
     ("utf16_length", "utf16_length(s) - string length in UTF-16 code units (Java/Python len)",
-      arity("utf16_length", 1)(e => Utf16Length(e.head))))
+      arity("utf16_length", 1)(e => Utf16Length(e.head))),
+    ("lcs_len", "lcs_len(a, b) - longest common subsequence length of two array<string>",
+      arity("lcs_len", 2)(e => LcsLength(e.head, e(1)))))
 }

@@ -208,7 +208,50 @@ object QueriesEval {
           .otherwise(concat_ws(" ",
             slice(toks, lit(1), greatest(size(toks) - 3, lit(0))))).as("ref"))
       RankEval.bleuCorpus(pairs, "id", "cand", "ref", maxN = 4)
-    }))
+    }),
+
+    // per-doc ROUGE-L through the REAL LCS DP (codegen'd LcsLength) against
+    // references whose LCS has an UNCONDITIONAL closed form the oracle
+    // states directly (the q_mm_exif trick): every-3rd-token deleted
+    // (remaining tokens are a common subsequence and also an upper bound —
+    // LCS = len − ⌊len/3⌋, recall 1), a pure half prefix (LCS = prefix
+    // len), and cand + a 10-token echo appended (cand is a prefix of ref —
+    // LCS = len, recall < 1). Hash-exact means the DP agrees with the
+    // closed form on every document.
+    "q_ev_rougel" -> ((s, dir) => {
+      val toks = filter(
+        split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+      val ref = when(col("doc_id") % 3 === 0,
+          concat_ws(" ", transform(toks,
+            (t, i) => when((i + 1) % 3 === 0, lit("")).otherwise(t))))
+        .when(col("doc_id") % 3 === 1,
+          concat_ws(" ", slice(toks, lit(1),
+            floor((size(toks) + 1) / lit(2.0)).cast("int"))))
+        .otherwise(concat(col("text"), lit(" "),
+          concat_ws(" ", slice(toks, lit(1), lit(10)))))
+      RankEval.rougeL(
+        t(s, dir, "documents").select(
+          col("doc_id").as("id"), col("text").as("cand"), ref.as("ref")),
+        "id", "cand", "ref")
+    }),
+
+    // corpus chrF (β=2, char 6-grams, whitespace stripped) against two
+    // deterministic char-grain perturbations: vowels deleted (even ids)
+    // and self-concatenation with a 50-char echo (odd ids)
+    "q_ev_chrf" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        col("text").as("cand"),
+        when(col("doc_id") % 2 === 0,
+          regexp_replace(col("text"), "[aeiou]", ""))
+          .otherwise(concat(col("text"), lit(" "), substring(col("text"), 1, 50)))
+          .as("ref"))
+      RankEval.chrF(pairs, "id", "cand", "ref")
+    }),
+
+    // distinct-n generation-diversity ratios over the documents corpus
+    "q_ev_distinctn" -> ((s, dir) =>
+      RankEval.distinctN(t(s, dir, "documents"), "doc_id", "text", maxN = 3)))
 
   /** Long-format (item, given, class, prob) fixture for confident
     * learning: three classes, probabilities = fractional parts of
@@ -317,6 +360,119 @@ object QueriesEval {
          |  ${passkSql(5)},
          |  ${passkSql(10)}
          |FROM a""".stripMargin,
+
+    "q_ev_rougel" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                    x -> x <> '')) AS n
+        |  FROM documents),
+        |m AS (
+        |  SELECT id, n,
+        |    CASE WHEN id % 3 = 0 THEN n - n // 3
+        |         WHEN id % 3 = 1 THEN (n + 1) // 2
+        |         ELSE n END AS lcs,
+        |    CASE WHEN id % 3 = 0 THEN n - n // 3
+        |         WHEN id % 3 = 1 THEN (n + 1) // 2
+        |         ELSE n + least(10, n) END AS rn
+        |  FROM base)
+        |SELECT id, CAST(lcs AS BIGINT) AS lcs,
+        |  CAST(n AS BIGINT) AS cand_tokens, CAST(rn AS BIGINT) AS ref_tokens,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE floor(CAST(lcs AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS prec,
+        |  CASE WHEN rn = 0 THEN 0.0
+        |       ELSE floor(CAST(lcs AS DOUBLE) / CAST(rn AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS rec,
+        |  CASE WHEN lcs = 0 THEN 0.0
+        |       ELSE floor(2.0 * (CAST(lcs AS DOUBLE) / CAST(n AS DOUBLE))
+        |                      * (CAST(lcs AS DOUBLE) / CAST(rn AS DOUBLE))
+        |                  / (CAST(lcs AS DOUBLE) / CAST(n AS DOUBLE)
+        |                     + CAST(lcs AS DOUBLE) / CAST(rn AS DOUBLE))
+        |                  * 1000000 + 0.5) / 1000000 END AS f1
+        |FROM m""".stripMargin,
+
+    "q_ev_chrf" ->
+      """WITH pairs AS (
+        |  SELECT doc_id AS id,
+        |    regexp_replace(text, '\s+', '', 'g') AS cs,
+        |    regexp_replace(
+        |      CASE WHEN doc_id % 2 = 0 THEN regexp_replace(text, '[aeiou]', '', 'g')
+        |           ELSE text || ' ' || substr(text, 1, 50) END,
+        |      '\s+', '', 'g') AS rs
+        |  FROM documents),
+        |ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+        |cg AS (
+        |  SELECT id, n, substr(cs, CAST(i AS INT), CAST(n AS INT)) AS gram, count(*) AS cc
+        |  FROM pairs, ns, unnest(range(1, len(cs) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |rg AS (
+        |  SELECT id, n, substr(rs, CAST(i AS INT), CAST(n AS INT)) AS gram, count(*) AS rc
+        |  FROM pairs, ns, unnest(range(1, len(rs) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT coalesce(cg.n, rg.n) AS n,
+        |    CAST(sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS BIGINT) AS clip,
+        |    CAST(sum(coalesce(cc, 0)) AS BIGINT) AS ctot,
+        |    CAST(sum(coalesce(rc, 0)) AS BIGINT) AS rtot
+        |  FROM cg FULL JOIN rg ON cg.id = rg.id AND cg.n = rg.n AND cg.gram = rg.gram
+        |  GROUP BY 1),
+        |pern AS (
+        |  SELECT ns.n, coalesce(clip, 0) AS clip,
+        |         coalesce(ctot, 0) AS ctot, coalesce(rtot, 0) AS rtot
+        |  FROM ns LEFT JOIN j ON ns.n = j.n),
+        |lens AS (
+        |  SELECT CAST(coalesce(sum(len(cs)), 0) AS BIGINT) AS cand_chars,
+        |         CAST(coalesce(sum(len(rs)), 0) AS BIGINT) AS ref_chars
+        |  FROM pairs),
+        |stats AS (
+        |  SELECT
+        |    max(CASE WHEN n = 1 THEN CASE WHEN ctot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(ctot AS DOUBLE) END END) AS p1,
+        |    max(CASE WHEN n = 2 THEN CASE WHEN ctot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(ctot AS DOUBLE) END END) AS p2,
+        |    max(CASE WHEN n = 3 THEN CASE WHEN ctot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(ctot AS DOUBLE) END END) AS p3,
+        |    max(CASE WHEN n = 4 THEN CASE WHEN ctot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(ctot AS DOUBLE) END END) AS p4,
+        |    max(CASE WHEN n = 5 THEN CASE WHEN ctot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(ctot AS DOUBLE) END END) AS p5,
+        |    max(CASE WHEN n = 6 THEN CASE WHEN ctot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(ctot AS DOUBLE) END END) AS p6,
+        |    max(CASE WHEN n = 1 THEN CASE WHEN rtot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(rtot AS DOUBLE) END END) AS r1,
+        |    max(CASE WHEN n = 2 THEN CASE WHEN rtot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(rtot AS DOUBLE) END END) AS r2,
+        |    max(CASE WHEN n = 3 THEN CASE WHEN rtot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(rtot AS DOUBLE) END END) AS r3,
+        |    max(CASE WHEN n = 4 THEN CASE WHEN rtot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(rtot AS DOUBLE) END END) AS r4,
+        |    max(CASE WHEN n = 5 THEN CASE WHEN rtot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(rtot AS DOUBLE) END END) AS r5,
+        |    max(CASE WHEN n = 6 THEN CASE WHEN rtot = 0 THEN 0.0 ELSE CAST(clip AS DOUBLE) / CAST(rtot AS DOUBLE) END END) AS r6
+        |  FROM pern)
+        |SELECT cand_chars, ref_chars,
+        |  floor(((p1 + p2 + p3 + p4 + p5 + p6) / 6.0) * 1000000 + 0.5) / 1000000 AS prec,
+        |  floor(((r1 + r2 + r3 + r4 + r5 + r6) / 6.0) * 1000000 + 0.5) / 1000000 AS rec,
+        |  CASE WHEN (p1 + p2 + p3 + p4 + p5 + p6) / 6.0 = 0.0
+        |        AND (r1 + r2 + r3 + r4 + r5 + r6) / 6.0 = 0.0 THEN 0.0
+        |       ELSE floor(5.0 * ((p1 + p2 + p3 + p4 + p5 + p6) / 6.0)
+        |                      * ((r1 + r2 + r3 + r4 + r5 + r6) / 6.0)
+        |                  / (4.0 * ((p1 + p2 + p3 + p4 + p5 + p6) / 6.0)
+        |                     + (r1 + r2 + r3 + r4 + r5 + r6) / 6.0)
+        |                  * 10000 + 0.5) / 10000 END AS chrf
+        |FROM lens, stats""".stripMargin,
+
+    "q_ev_distinctn" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS ct
+        |  FROM documents),
+        |ns AS (SELECT unnest([1, 2, 3]) AS n),
+        |g AS (
+        |  SELECT n, array_to_string(ct[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ') AS gram,
+        |         count(*) AS c
+        |  FROM base, ns, unnest(range(1, len(ct) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT n, CAST(sum(c) AS BIGINT) AS total_grams,
+        |         CAST(count(*) AS BIGINT) AS distinct_grams
+        |  FROM g GROUP BY 1)
+        |SELECT ns.n,
+        |  coalesce(total_grams, 0) AS total_grams,
+        |  coalesce(distinct_grams, 0) AS distinct_grams,
+        |  CASE WHEN coalesce(total_grams, 0) = 0 THEN NULL
+        |       ELSE floor(CAST(distinct_grams AS DOUBLE) / CAST(total_grams AS DOUBLE)
+        |              * 1000000 + 0.5) / 1000000 END AS ratio
+        |FROM ns LEFT JOIN agg ON ns.n = agg.n""".stripMargin,
 
     "q_ev_bleu" ->
       """WITH base AS (

@@ -779,29 +779,8 @@ object RankEval {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
     val spark = df.sparkSession
 
-    def gramCounts(textCol: String, cntName: String): DataFrame = {
-      val toks = filter(Dedup.tokens(col(textCol)), t => t =!= "")
-      // per-n position sequences are guarded per element (a doc shorter
-      // than n emits nothing for that n): sequence(1, size) is only built
-      // for size >= 1, and positions past size − n + 1 are filtered out —
-      // an unguarded sequence(0, size − n) would DESCEND when size < n
-      // and emit bogus grams
-      df.select(col(idCol).as("_id"), toks.as("_t"))
-        .filter(size(col("_t")) >= 1)
-        .select(col("_id"), explode(flatten(transform(
-          sequence(lit(1), lit(maxN)),
-          n => filter(
-            transform(
-              sequence(lit(1), size(col("_t"))),
-              pos => when(pos + n - 1 <= size(col("_t")),
-                struct(n.cast("int").as("n"),
-                  concat_ws(" ", slice(col("_t"), pos, n)).as("gram")))
-                .otherwise(lit(null))),
-            g => g.isNotNull)))).as("_g"))
-        .select(col("_id"), col("_g.n").as("n"), col("_g.gram").as("gram"))
-        .groupBy("_id", "n", "gram")
-        .agg(count(lit(1)).cast("long").as(cntName))
-    }
+    def gramCounts(textCol: String, cntName: String): DataFrame =
+      tokenGramCounts(df, idCol, textCol, maxN, cntName)
 
     val candLens = df.select(
       size(filter(Dedup.tokens(col(candCol)), t => t =!= "")).cast("long").as("_cl"),
@@ -847,5 +826,196 @@ object RankEval {
         .otherwise(graft.Functions.roundHalfUp(
           exp(bpExp + col("_lnsum").cast("double") / lit(maxN.toDouble) / lit(1e9)), 4))
         .as("bleu"): _*)
+  }
+
+  /** `(id, n, gram, <cntName>)` token n-gram counts for n = 1..maxN in ONE
+    * pass: a single explode carries the n column. Per-n position sequences
+    * are guarded per element (a doc shorter than n emits nothing for that
+    * n): `sequence(1, size)` is only built for size >= 1, and positions
+    * past size − n + 1 are filtered out — an unguarded
+    * `sequence(0, size − n)` would DESCEND when size < n and emit bogus
+    * grams.
+    */
+  private def tokenGramCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxN: Int,
+      cntName: String): DataFrame = {
+    val toks = filter(Dedup.tokens(col(textCol)), t => t =!= "")
+    df.select(col(idCol).as("_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 1)
+      .select(col("_id"), explode(flatten(transform(
+        sequence(lit(1), lit(maxN)),
+        n => filter(
+          transform(
+            sequence(lit(1), size(col("_t"))),
+            pos => when(pos + n - 1 <= size(col("_t")),
+              struct(n.cast("int").as("n"),
+                concat_ws(" ", slice(col("_t"), pos, n)).as("gram")))
+              .otherwise(lit(null))),
+          g => g.isNotNull)))).as("_g"))
+      .select(col("_id"), col("_g.n").as("n"), col("_g.gram").as("gram"))
+      .groupBy("_id", "n", "gram")
+      .agg(count(lit(1)).cast("long").as(cntName))
+  }
+
+  /** Distinct-n generation-diversity ratios (Li et al. 2016, "A
+    * Diversity-Promoting Objective Function"): per n-gram order,
+    * `distinct_grams / total_grams` pooled over the corpus — the
+    * repetitiveness red-flag for sampled generations (a mode-collapsed
+    * sampler scores near 0 at n = 2..3). Output one row per n:
+    * `(n, total_grams, distinct_grams, ratio)`, ratio NULL when the
+    * corpus has no grams of that order (undefined, not 0 — distinct-2 of
+    * a one-token corpus is not "zero diversity").
+    *
+    * Scale shape: one explode + one (n, gram)-grain aggregate; counts are
+    * exact LONGs, one divide rounded half-up 6.
+    */
+  def distinctN(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    val perGram = tokenGramCounts(df, idCol, textCol, maxN, "_c")
+      .groupBy(col("n"), col("gram"))
+      .agg(sum(col("_c")).as("_tot"))
+    df.sparkSession.range(1, maxN + 1).select(col("id").cast("int").as("n"))
+      .join(
+        perGram.groupBy(col("n")).agg(
+          sum(col("_tot")).as("total_grams"),
+          count(lit(1)).as("distinct_grams")),
+        Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        when(coalesce(col("total_grams"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(graft.Functions.roundHalfUp(
+            col("distinct_grams").cast("double") / col("total_grams").cast("double"), 6))
+          .as("ratio"))
+  }
+
+  /** Per-document ROUGE-L (Lin 2004) with the rouge_scorer F1 convention:
+    * token-grain LCS via the codegen'd [[graft.expressions.LcsLength]]
+    * expression, `precision = LCS/|cand|`, `recall = LCS/|ref|`,
+    * `f1 = 2PR/(P+R)`. Output `(id, lcs, cand_tokens, ref_tokens, prec,
+    * rec, f1)`; an empty side makes its ratio (and f1) 0.0
+    * rather than NULL — the scoring convention every ROUGE toolkit uses
+    * for an empty candidate.
+    *
+    * Scale shape: zero shuffle — tokenization, the LCS DP (O(|a|·|b|)
+    * per row, O(min) space), and the ratio arithmetic are all per-row
+    * expressions inside one whole-stage-codegen'd projection. Every
+    * ratio is one exact-rational divide of LONGs, rounded half-up 6.
+    */
+  def rougeL(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String): DataFrame = {
+    def toks(c: String) = filter(Dedup.tokens(col(c)), t => t =!= "")
+    val lcsCol = graft.Functions.lcsLen(toks(candCol), toks(refCol)).cast("long")
+    val p = when(col("cand_tokens") === 0L, lit(0.0))
+      .otherwise(col("lcs").cast("double") / col("cand_tokens").cast("double"))
+    val r = when(col("ref_tokens") === 0L, lit(0.0))
+      .otherwise(col("lcs").cast("double") / col("ref_tokens").cast("double"))
+    df.select(
+      col(idCol).as("id"),
+      lcsCol.as("lcs"),
+      size(toks(candCol)).cast("long").as("cand_tokens"),
+      size(toks(refCol)).cast("long").as("ref_tokens"))
+      .select(col("id"), col("lcs"), col("cand_tokens"), col("ref_tokens"),
+        graft.Functions.roundHalfUp(p, 6).as("prec"),
+        graft.Functions.roundHalfUp(r, 6).as("rec"),
+        when(col("lcs") === 0L, lit(0.0))
+          .otherwise(graft.Functions.roundHalfUp(
+            lit(2.0) * p * r / (p + r), 6)).as("f1"))
+  }
+
+  /** Corpus chrF (Popović 2015): character n-gram F-score over the
+    * whitespace-stripped texts, n = 1..maxN (6, the paper's default),
+    * `chrf = (1+β²)·P·R / (β²·P + R)` with β = 2 (recall-weighted) and
+    * P/R the MACRO averages of the per-order precisions/recalls (an
+    * order with zero candidate — resp. reference — grams contributes
+    * 0 to its average, the sacrebleu convention). Output one row:
+    * `(cand_chars, ref_chars, prec, rec, chrf)`.
+    *
+    * Determinism: per-order ratios are exact-rational LONG divides; the
+    * macro averages are FIXED-ORDER sums (p_1 + ... + p_maxN, spelled
+    * out, never a float aggregate); chrf is one final rational
+    * expression rounded half-up 4 (prec/rec 6). Same keyed-join shape
+    * as [[bleuCorpus]]: (id, n, gram) counts per side, one keyed left
+    * join, position sequences guarded per element.
+    */
+  def chrF(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      maxN: Int = 6,
+      beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, s"maxN must be in [1, 10], got $maxN")
+    require(beta > 0.0, s"beta must be > 0, got $beta")
+    val spark = df.sparkSession
+
+    def stripped(c: String) = regexp_replace(col(c), "\\s+", "")
+
+    def gramCounts(textCol: String, cntName: String): DataFrame =
+      df.select(col(idCol).as("_id"), stripped(textCol).as("_s"))
+        .filter(length(col("_s")) >= 1)
+        .select(col("_id"), explode(flatten(transform(
+          sequence(lit(1), lit(maxN)),
+          n => filter(
+            transform(
+              sequence(lit(1), length(col("_s"))),
+              pos => when(pos + n - 1 <= length(col("_s")),
+                struct(n.cast("int").as("n"),
+                  col("_s").substr(pos, n).as("gram")))
+                .otherwise(lit(null))),
+            g => g.isNotNull)))).as("_g"))
+        .select(col("_id"), col("_g.n").as("n"), col("_g.gram").as("gram"))
+        .groupBy("_id", "n", "gram")
+        .agg(count(lit(1)).cast("long").as(cntName))
+
+    val lens = df.select(
+      length(stripped(candCol)).cast("long").as("_cl"),
+      length(stripped(refCol)).cast("long").as("_rl"))
+      .agg(coalesce(sum(col("_cl")), lit(0L)).as("cand_chars"),
+        coalesce(sum(col("_rl")), lit(0L)).as("ref_chars"))
+
+    val joined = gramCounts(candCol, "_cc")
+      .join(gramCounts(refCol, "_rc"), Seq("_id", "n", "gram"), "full")
+      .groupBy(col("n"))
+      .agg(
+        sum(least(coalesce(col("_cc"), lit(0L)), coalesce(col("_rc"), lit(0L)))).as("_clip"),
+        sum(coalesce(col("_cc"), lit(0L))).as("_ctot"),
+        sum(coalesce(col("_rc"), lit(0L))).as("_rtot"))
+    val perN = spark.range(1, maxN + 1).select(col("id").cast("int").as("n"))
+      .join(joined, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("_clip"), lit(0L)).as("_clip"),
+        coalesce(col("_ctot"), lit(0L)).as("_ctot"),
+        coalesce(col("_rtot"), lit(0L)).as("_rtot"))
+
+    def ratio(tot: String) = when(col(tot) === 0L, lit(0.0))
+      .otherwise(col("_clip").cast("double") / col(tot).cast("double"))
+    val pivots = (1 to maxN).flatMap { i =>
+      Seq(max(when(col("n") === i, ratio("_ctot"))).as(s"_p_$i"),
+        max(when(col("n") === i, ratio("_rtot"))).as(s"_r_$i"))
+    }
+    val stats = perN.agg(pivots.head, pivots.tail: _*)
+
+    // FIXED-ORDER macro sums: p_1 + p_2 + ... (never a float aggregate)
+    val pAvg = (1 to maxN).map(i => col(s"_p_$i")).reduce(_ + _) / lit(maxN.toDouble)
+    val rAvg = (1 to maxN).map(i => col(s"_r_$i")).reduce(_ + _) / lit(maxN.toDouble)
+    val b2 = lit(beta * beta)
+    lens.crossJoin(stats).select(
+      col("cand_chars"), col("ref_chars"),
+      graft.Functions.roundHalfUp(pAvg, 6).as("prec"),
+      graft.Functions.roundHalfUp(rAvg, 6).as("rec"),
+      when(pAvg === 0.0 && rAvg === 0.0, lit(0.0))
+        .otherwise(graft.Functions.roundHalfUp(
+          (lit(1.0) + b2) * pAvg * rAvg / (b2 * pAvg + rAvg), 4)).as("chrf"))
   }
 }

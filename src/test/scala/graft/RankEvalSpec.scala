@@ -403,6 +403,109 @@ class RankEvalSpec extends SparkSpec {
     assert(same.getAs[Double]("bleu") == 1.0 && same.getAs[Double]("bp") == 1.0)
   }
 
+  // ---- LCS / ROUGE-L -----------------------------------------------------
+
+  /** Exponential-free brute twin: classic full-matrix DP, independently
+    * written (the expression uses a two-row rolling variant).
+    */
+  private def lcsBrute(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+    for (i <- 1 to a.size; j <- 1 to b.size)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.size)(b.size)
+  }
+
+  test("lcs_len: hand values, SQL surface, and a fuzzed brute-DP twin") {
+    val hand = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "d"), 2),
+      (Seq("a", "b", "c"), Seq("c", "b", "a"), 1),
+      (Seq.empty[String], Seq("x"), 0),
+      (Seq("x", "y"), Seq("x", "y"), 2),
+      (Seq("a", "a", "b"), Seq("a", "b", "a"), 2))
+    def arr(xs: Seq[String]) =
+      if (xs.isEmpty) "CAST(array() AS ARRAY<STRING>)"
+      else s"array(${xs.map("'" + _ + "'").mkString(",")})"
+    hand.foreach { case (a, b, want) =>
+      val got = spark.sql(s"SELECT lcs_len(${arr(a)}, ${arr(b)})").head().getInt(0)
+      assert(got == want, s"$a vs $b")
+    }
+    val rng = new scala.util.Random(5)
+    val vocab = Vector("p", "q", "r", "s")
+    (0 until 200).foreach { _ =>
+      val a = Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      val b = Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val got = graft.expressions.LcsLength.lcs(
+        ArrayData.toArrayData(a.map(UTF8String.fromString).toArray),
+        ArrayData.toArrayData(b.map(UTF8String.fromString).toArray))
+      assert(got == lcsBrute(a, b), s"$a vs $b")
+    }
+  }
+
+  test("rougeL: hand precision/recall/F1 and empty-side conventions") {
+    val got = RankEval.rougeL(
+      Seq(
+        (1L, "the cat sat on the mat", "the cat on a mat"),
+        (2L, "", "some ref"),
+        (3L, "some cand", "")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // LCS('the cat sat on the mat', 'the cat on a mat') = the,cat,on,mat...
+    // tokens: [the cat sat on the mat] vs [the cat on a mat]: LCS = 5? check:
+    // common subsequence the,cat,on,the?  ref has one 'the'; a=the cat sat on the mat
+    // b=the cat on a mat → the,cat,on,mat = 4; can we get 5? b has 5 tokens;
+    // 'a' unmatched → max 4.
+    assert(got(1L).getAs[Long]("lcs") == 4L)
+    assert(got(1L).getAs[Double]("prec") == math.floor(4.0 / 6.0 * 1e6 + 0.5) / 1e6)
+    assert(got(1L).getAs[Double]("rec") == math.floor(4.0 / 5.0 * 1e6 + 0.5) / 1e6)
+    val p = 4.0 / 6.0; val r = 4.0 / 5.0
+    assert(got(1L).getAs[Double]("f1") == math.floor(2 * p * r / (p + r) * 1e6 + 0.5) / 1e6)
+    assert(got(2L).getAs[Double]("prec") == 0.0 && got(2L).getAs[Double]("f1") == 0.0)
+    assert(got(3L).getAs[Double]("rec") == 0.0 && got(3L).getAs[Double]("f1") == 0.0)
+  }
+
+  test("chrF: identity is 1, vowel-stripped ref keeps recall 1, zero-overlap is 0") {
+    val same = RankEval.chrF(
+      Seq((1L, "abcdef gh", "abcdef gh")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref").head()
+    assert(same.getAs[Double]("chrf") == 1.0)
+    assert(same.getAs[Long]("cand_chars") == 8L)
+    // ref ⊂ cand at char grain: every ref gram appears in cand →
+    // recall averages 1 across orders present in the ref
+    val sub = RankEval.chrF(
+      Seq((1L, "abcdefgh", "abcd")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref", maxN = 2).head()
+    assert(sub.getAs[Double]("rec") == 1.0)
+    assert(sub.getAs[Double]("prec") < 1.0)
+    val disjoint = RankEval.chrF(
+      Seq((1L, "aaaa", "bbbb")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref").head()
+    assert(disjoint.getAs[Double]("chrf") == 0.0)
+  }
+
+  test("distinctN: hand ratios, missing orders NULL") {
+    val got = RankEval.distinctN(
+      Seq((1L, "a a a"), (2L, "a b")).toDF("id", "text"), "id", "text", maxN = 3)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // unigrams: a×4, b×1 → total 5, distinct 2
+    assert(got(1).getAs[Long]("total_grams") == 5L)
+    assert(got(1).getAs[Long]("distinct_grams") == 2L)
+    assert(got(1).getAs[Double]("ratio") == 0.4)
+    // bigrams: 'a a'×2, 'a b'×1 → total 3, distinct 2
+    assert(got(2).getAs[Long]("total_grams") == 3L)
+    assert(got(2).getAs[Long]("distinct_grams") == 2L)
+    // trigrams: only doc 1 has one ('a a a') → total 1, distinct 1
+    assert(got(3).getAs[Long]("total_grams") == 1L)
+    assert(got(3).getAs[Double]("ratio") == 1.0)
+    val empty = RankEval.distinctN(
+      Seq((1L, "solo")).toDF("id", "text"), "id", "text", maxN = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(empty(2).isNullAt(empty(2).fieldIndex("ratio")), "no bigrams → NULL")
+  }
+
   test("bleuCorpus matches the independent twin on a fuzzed corpus") {
     val rng = new scala.util.Random(77)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
