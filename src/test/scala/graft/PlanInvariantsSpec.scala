@@ -56,7 +56,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_graph_pagerank", // per-round keyed join + map-side partial sum
     "q_magg_rollup",   // maintained-state read + bounded rollup
     "q_e2e_curate",    // the six-stage composition: every join keyed
-    "q_e2e_sft")       // the SFT funnel: conv-keyed gates/render/spans only
+    "q_e2e_sft",       // the SFT funnel: conv-keyed gates/render/spans only
+    "q_ev_passk",      // one problem-keyed aggregate + per-row factorials
+    "q_ev_rougel",     // per-row LCS DP: zero joins, zero wide exchanges
+    "q_ev_distinctn")  // (n, gram)-grain aggregate, bounded output
 
   queries.foreach { name =>
     test(s"$name: no cartesian, no nested-loop join, no global sort mid-chain") {
@@ -68,6 +71,31 @@ class PlanInvariantsSpec extends SparkSpec {
         s"unkeyed nested-loop join in $name")
       assert(!plan.contains("rangepartitioning"),
         s"global range exchange mid-chain in $name")
+    }
+  }
+
+  // bleu/chrf end in a deliberate 1-row × bounded-row cross (corpus length
+  // aggregate × per-order pivot aggregate — the bm25 avgdl trick), which is
+  // a BroadcastNestedLoopJoin by construction and CONSTANT-sized at any
+  // corpus scale. The pin therefore allows nested-loop joins but still bans
+  // the shapes that would actually grow with data: a cartesian over
+  // non-aggregate inputs and any mid-chain range exchange; the gram-count
+  // join itself must stay keyed (a hash or sort-merge join on (id, n, gram)).
+  Seq("q_ev_bleu", "q_ev_chrf").foreach { name =>
+    test(s"$name: gram join keyed; only constant-side nested-loop crosses; no range exchange") {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian product in $name:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"global range exchange mid-chain in $name:\n$plan")
+      val keyedJoins =
+        "SortMergeJoin".r.findAllIn(plan).size + "ShuffledHashJoin".r.findAllIn(plan).size +
+          "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(keyedJoins >= 1, s"the (id, n, gram) count join must be keyed in $name:\n$plan")
+      val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(nlj <= 2, s"more nested-loop joins than the two constant-side " +
+        s"aggregate crosses in $name:\n$plan")
     }
   }
 
