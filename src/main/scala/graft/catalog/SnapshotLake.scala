@@ -263,7 +263,8 @@ class SnapshotLake(spark: SparkSession, root: String) {
     }
     if (liveChanged.nonEmpty)
       dst.commitIfNew(consumerId, latest,
-        readEntries(liveChanged.toSeq.sorted, partitionCols), partitionCols)
+        readEntries(liveChanged.toSeq.sorted, partitionCols, readMeta(latest)),
+        partitionCols)
     ackConsumer(consumerId, latest)
     latest
   }
@@ -462,10 +463,21 @@ class SnapshotLake(spark: SparkSession, root: String) {
     */
   private val TxnPrefix = "#txn"
 
-  /** One file read → (partition map, appId → batch-id watermarks). */
-  private def readManifestAndTxns(v: Long): (Map[String, String], Map[String, Long]) = {
+  /** Schema-evolution metadata lines: `#meta<TAB>key<TAB>value` (key and
+    * value URL-encoded). Versioned WITH the manifest — time travel reads
+    * each version under its own mapping — and carried forward by every
+    * commit path exactly like the txn watermarks.
+    */
+  private val MetaPrefix = "#meta"
+
+  /** One file read → (partition map, appId → batch-id watermarks,
+    * schema-evolution meta).
+    */
+  private def readManifestAndTxns(
+      v: Long): (Map[String, String], Map[String, Long], Map[String, String]) = {
     val lines = Files.readAllLines(manifestPath(v)).asScala.filter(_.nonEmpty)
-    val (txnLines, dataLines) = lines.partition(_.startsWith(TxnPrefix + "\t"))
+    val (txnLines, rest) = lines.partition(_.startsWith(TxnPrefix + "\t"))
+    val (metaLines, dataLines) = rest.partition(_.startsWith(MetaPrefix + "\t"))
     val data = dataLines.map { line =>
       val Array(k, d) = line.split("\t", 2)
       k -> d
@@ -474,7 +486,12 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val Array(_, app, b) = line.split("\t", 3)
       java.net.URLDecoder.decode(app, "UTF-8") -> b.toLong
     }.toMap
-    (data, txns)
+    val meta = metaLines.map { line =>
+      val Array(_, k, value) = line.split("\t", 3)
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(value, "UTF-8")
+    }.toMap
+    (data, txns, meta)
   }
 
   private def readManifest(v: Long): Map[String, String] = readManifestAndTxns(v)._1
@@ -482,16 +499,106 @@ class SnapshotLake(spark: SparkSession, root: String) {
   /** appId → highest committed batch id, as of manifest `v`. */
   private def readTxns(v: Long): Map[String, Long] = readManifestAndTxns(v)._2
 
-  // txns is deliberately NOT defaulted: every commit path must decide what
-  // happens to the watermarks — a forgotten argument would silently erase
-  // every stream's exactly-once state
+  /** Schema-evolution meta as of manifest `v` (empty on pre-feature lakes). */
+  private def readMeta(v: Long): Map[String, String] = readManifestAndTxns(v)._3
+
+  // ---- rename-safe column mapping (Delta/Iceberg column-mapping shape) --
+  //
+  // Parquet files keep their PHYSICAL column names forever (immutable data,
+  // zero-rewrite renames); the manifest's meta carries physical→logical
+  // renames ("colmap") and hidden physicals ("dropped"). Reads translate
+  // physical→logical after the scan; writes translate logical→physical
+  // before staging, so every data file — pre- and post-rename — stores one
+  // consistent physical schema and mergeSchema keeps working.
+
+  /** physical → logical renames, parsed from meta ("p=l;p=l", URL-encoded
+    * components).
+    */
+  private def colMapOf(meta: Map[String, String]): Map[String, String] =
+    meta.get("colmap").filter(_.nonEmpty).fold(Map.empty[String, String]) {
+      _.split(";").map { pair =>
+        val Array(p, l) = pair.split("=", 2)
+        java.net.URLDecoder.decode(p, "UTF-8") -> java.net.URLDecoder.decode(l, "UTF-8")
+      }.toMap
+    }
+
+  /** Physical names hidden from every read (lazy column drop). */
+  private def droppedOf(meta: Map[String, String]): Set[String] =
+    meta.get("dropped").filter(_.nonEmpty).fold(Set.empty[String]) {
+      _.split(";").map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
+    }
+
+  private def metaWith(
+      meta: Map[String, String],
+      colMap: Map[String, String],
+      dropped: Set[String]): Map[String, String] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val base = meta - "colmap" - "dropped"
+    val withMap =
+      if (colMap.isEmpty) base
+      else base + ("colmap" -> colMap.toSeq.sorted
+        .map { case (p, l) => s"${enc(p)}=${enc(l)}" }.mkString(";"))
+    if (dropped.isEmpty) withMap
+    else withMap + ("dropped" -> dropped.toSeq.sorted.map(enc).mkString(";"))
+  }
+
+  /** Physical names a batch may no longer (re)introduce as logical column
+    * names: renamed-away originals and dropped columns. Reusing one would
+    * collide with the retired data still stored under that name in old
+    * files (mergeSchema would resurrect it) — the v1 contract REFUSES the
+    * reuse instead of allocating synthetic physical names.
+    */
+  private def retiredOf(meta: Map[String, String]): Set[String] = {
+    val mapping = colMapOf(meta)
+    (mapping.keySet.filterNot(p => mapping(p) == p) ++ droppedOf(meta)) --
+      mapping.values.toSet
+  }
+
+  /** Post-scan translation: hide dropped physicals, alias mapped physicals
+    * to their logical names. Unmapped columns pass through.
+    */
+  private def logicalize(df: DataFrame, meta: Map[String, String]): DataFrame =
+    if (meta.isEmpty) df
+    else {
+      val mapping = colMapOf(meta)
+      val dropped = droppedOf(meta)
+      val kept = df.columns.filterNot(dropped.contains)
+      df.select(kept.map(c => col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
+    }
+
+  /** Pre-stage translation: batches arrive in LOGICAL names; rename each
+    * mapped logical back to its stable physical name, refusing columns
+    * that would reuse a retired physical.
+    */
+  private def physicalize(df: DataFrame, meta: Map[String, String]): DataFrame =
+    if (meta.isEmpty) df
+    else {
+      val reverse = colMapOf(meta).map(_.swap)
+      val retired = retiredOf(meta)
+      val bad = df.columns.filter(c => retired.contains(c) && !reverse.contains(c))
+      require(bad.isEmpty,
+        s"column(s) ${bad.mkString(", ")} reuse retired physical name(s): a " +
+          "renamed-away or dropped column's storage name stays reserved (old " +
+          "files still hold its data and mergeSchema would resurrect it). " +
+          "Pick a different logical name, or restore the old schema first.")
+      df.select(df.columns.map(c => col(c).as(reverse.getOrElse(c, c))).toSeq: _*)
+    }
+
+  // txns and meta are deliberately NOT defaulted: every commit path must
+  // decide what happens to the watermarks and the column mapping — a
+  // forgotten argument would silently erase every stream's exactly-once
+  // state, or silently undo every rename/drop
   private def writeManifestAtomic(
-      v: Long, m: Map[String, String], txns: Map[String, Long]): Boolean = {
+      v: Long, m: Map[String, String], txns: Map[String, Long],
+      meta: Map[String, String]): Boolean = {
     val dataLines = m.toSeq.sorted.map { case (k, d) => s"$k\t$d" }
     val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) =>
       s"$TxnPrefix\t${java.net.URLEncoder.encode(a, "UTF-8")}\t$b"
     }
-    val body = (dataLines ++ txnLines).mkString("\n")
+    val metaLines = meta.toSeq.sorted.map { case (k, value) =>
+      s"$MetaPrefix\t${java.net.URLEncoder.encode(k, "UTF-8")}\t${java.net.URLEncoder.encode(value, "UTF-8")}"
+    }
+    val body = (dataLines ++ txnLines ++ metaLines).mkString("\n")
     // The commit point must be atomic in CONTENT, not just in name: a plain
     // CREATE_NEW write is two observable steps (create, then fill), so a
     // crash or IO error mid-write — or a concurrent reader racing the write
@@ -546,19 +653,21 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * case skips the join entirely (plain literal columns).
     */
   private def readEntries(
-      entries: Seq[(String, String)], partitionCols: Seq[String]): DataFrame = {
+      entries: Seq[(String, String)], partitionCols: Seq[String],
+      meta: Map[String, String]): DataFrame = {
     require(entries.nonEmpty, "no manifest entries to read")
     def valuesOf(key: String): Seq[String] = partValuesOf(key)
     if (entries.size == 1) {
       val (key, dir) = entries.head
       partitionCols.zip(valuesOf(key))
-        .foldLeft(spark.read.parquet(resolveDir(dir))) {
+        .foldLeft(logicalize(spark.read.parquet(resolveDir(dir)), meta)) {
           case (df, (c, value)) => df.withColumn(c, lit(value))
         }
     } else {
       val resolved = entries.map { case (k, d) => (k, resolveDir(d)) }
-      val base = spark.read.option("mergeSchema", "true")
-        .parquet(resolved.map(_._2): _*)
+      val base = logicalize(
+        spark.read.option("mergeSchema", "true")
+          .parquet(resolved.map(_._2): _*), meta)
       val dataCols = base.columns.toSeq
       val dirCol = "__graft_part_dir"
       val dimSchema = org.apache.spark.sql.types.StructType(
@@ -593,16 +702,22 @@ class SnapshotLake(spark: SparkSession, root: String) {
     // an empty batch on a FRESH lake would commit a data-less manifest that
     // wedges read()/statsFor; there is nothing to commit either way
     require(touched.nonEmpty, "batch has no rows — nothing to commit")
-    val newDirs = stageDirs(batch, partitionCols, touched)
+    // batches arrive in LOGICAL names; files store physical ones (the
+    // column-mapping contract). Meta is read once at staging time — a
+    // rename racing a concurrent writer should quiesce writers first,
+    // same as the lakehouse formats.
+    val stageMeta = latestVersion.map(readMeta).getOrElse(Map.empty)
+    val newDirs = stageDirs(physicalize(batch, stageMeta), partitionCols, touched)
     var committed = -1L
     while (committed < 0) {
       val v = latestVersion
-      val (base, txns) = v.map(readManifestAndTxns).getOrElse((Map.empty[String, String], Map.empty[String, Long]))
+      val (base, txns, meta) = v.map(readManifestAndTxns)
+        .getOrElse((Map.empty[String, String], Map.empty[String, Long], Map.empty[String, String]))
       val next = v.getOrElse(0L) + 1
       // keep staged dirs inside vacuum's retention window while we race
       touchDirs(newDirs.values)
-      // watermarks carry forward untouched
-      if (writeManifestAtomic(next, base ++ newDirs, txns)) committed = next
+      // watermarks and column mapping carry forward untouched
+      if (writeManifestAtomic(next, base ++ newDirs, txns, meta)) committed = next
       // else: another writer took `next`; loop re-reads and re-merges
     }
     writeInfo(committed, "commit", newDirs.size)
@@ -644,11 +759,13 @@ class SnapshotLake(spark: SparkSession, root: String) {
     Files.createDirectories(dataDir)
     val touched = touchedPartitions(batch, partitionCols)
     if (touched.isEmpty) return None
-    val newDirs = stageDirs(batch, partitionCols, touched)
+    val stageMeta = latestVersion.map(readMeta).getOrElse(Map.empty)
+    val newDirs = stageDirs(physicalize(batch, stageMeta), partitionCols, touched)
     var result: Option[Option[Long]] = None
     while (result.isEmpty) {
       val v = latestVersion
-      val (base, txns) = v.map(readManifestAndTxns).getOrElse((Map.empty[String, String], Map.empty[String, Long]))
+      val (base, txns, meta) = v.map(readManifestAndTxns)
+        .getOrElse((Map.empty[String, String], Map.empty[String, Long], Map.empty[String, String]))
       if (txns.get(appId).exists(_ >= batchId)) {
         // lost the race to another attempt of this very batch: discard our
         // staged dirs (vacuum would get them; eager is kinder)
@@ -657,7 +774,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       } else {
         val next = v.getOrElse(0L) + 1
         touchDirs(newDirs.values)
-        if (writeManifestAtomic(next, base ++ newDirs, txns + (appId -> batchId))) {
+        if (writeManifestAtomic(next, base ++ newDirs, txns + (appId -> batchId), meta)) {
           writeInfo(next, "commit", newDirs.size)
           result = Some(Some(next))
         }
@@ -701,12 +818,15 @@ class SnapshotLake(spark: SparkSession, root: String) {
     var committed = -1L
     while (committed < 0) {
       val base = latestVersion
-      val (baseManifest, txns) =
-        base.map(readManifestAndTxns).getOrElse((Map.empty[String, String], Map.empty[String, Long]))
+      val (baseManifest, txns, meta) =
+        base.map(readManifestAndTxns)
+          .getOrElse((Map.empty[String, String], Map.empty[String, Long], Map.empty[String, String]))
       val existing = baseManifest.view.filterKeys(touchedKeys).toMap
-      // evolving schemas merge with NULLs for absent columns, same as read()
+      // evolving schemas merge with NULLs for absent columns, same as
+      // read(); `current` comes back LOGICAL (readEntries applies the
+      // column mapping), so it unions cleanly with the logical batch
       val current = Option.when(existing.nonEmpty)(
-        readEntries(existing.toSeq.sorted, partitionCols))
+        readEntries(existing.toSeq.sorted, partitionCols, meta))
       val merged = LakeCatalog.merge(
         current.fold(batch)(c =>
           c.unionByName(batch.withColumns(
@@ -715,10 +835,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
             partitionCols.map(c => c -> col(c).cast("string")).toMap),
             allowMissingColumns = true)),
         pk, versionCol)
-      val newDirs = stageDirs(merged, partitionCols, touched)
+      val newDirs = stageDirs(physicalize(merged, meta), partitionCols, touched)
       val next = base.getOrElse(0L) + 1
       touchDirs(newDirs.values)
-      if (writeManifestAtomic(next, baseManifest ++ newDirs, txns)) {
+      if (writeManifestAtomic(next, baseManifest ++ newDirs, txns, meta)) {
         committed = next
         writeInfo(committed, "upsert", newDirs.size)
       } else {
@@ -750,12 +870,13 @@ class SnapshotLake(spark: SparkSession, root: String) {
     while (committed < 0) {
       val base = latestVersion.getOrElse(
         throw new IllegalStateException(s"no commits at $root"))
-      val baseManifest = readManifest(base)
+      val (baseManifest, baseTxns, meta) = readManifestAndTxns(base)
       // DELETE WHERE semantics: remove only rows where the predicate is
       // TRUE — a NULL-evaluating predicate (e.g. equality against a NULL
-      // column) keeps its row, exactly as SQL DELETE would
+      // column) keeps its row, exactly as SQL DELETE would. The predicate
+      // is written in LOGICAL names; readEntries surfaces logical columns.
       val hit = coalesce(predicate, lit(false))
-      val candidates = readEntries(baseManifest.toSeq.sorted, partitionCols)
+      val candidates = readEntries(baseManifest.toSeq.sorted, partitionCols, meta)
         .filter(hit)
         .select(partitionCols.map(col): _*).distinct().collect()
         .map(r => keyOf(partitionCols.indices.map(i => String.valueOf(r.get(i)))))
@@ -768,9 +889,9 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val staged: Map[String, String] =
         if (candidates.isEmpty) Map.empty
         else stagePartitioned(
-          readEntries(
+          physicalize(readEntries(
             baseManifest.filter { case (k, _) => candidates.contains(k) }.toSeq.sorted,
-            partitionCols).filter(!hit),
+            partitionCols, meta).filter(!hit), meta),
           partitionCols)
       val rewritten: Map[String, Option[String]] = baseManifest.map { case (key, dirIn) =>
         if (!candidates.contains(key)) key -> Some(dirIn) // untouched: by reference
@@ -780,7 +901,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val manifest = rewritten.collect { case (k, Some(d)) => k -> d }
       if (manifest.isEmpty)
         throw new IllegalStateException("deleteWhere would empty the lake; refusing to commit")
-      if (writeManifestAtomic(next, manifest, readTxns(base))) {
+      if (writeManifestAtomic(next, manifest, baseTxns, meta)) {
         committed = next
         writeInfo(committed, "delete", candidates.size)
       } else candidates.foreach(k => rewritten(k).foreach(
@@ -876,7 +997,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
     var committed = -1L
     while (committed < 0) {
       val v = latestVersion.getOrElse(base)
-      val (m, txns) = readManifestAndTxns(v)
+      val (m, txns, meta) = readManifestAndTxns(v)
       val merged = m.map { case (k, d) =>
         if (baseManifest.get(k).contains(d)) k -> rewrites.getOrElse(k, d)
         else k -> d // partition replaced since we planned: keep theirs
@@ -887,7 +1008,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
         return v
       }
       touchDirs(rewrites.values)
-      if (writeManifestAtomic(v + 1, merged, txns)) {
+      if (writeManifestAtomic(v + 1, merged, txns, meta)) {
         committed = v + 1
         val applied = rewrites.count { case (k, d) => merged.get(k).contains(d) }
         writeInfo(committed, "optimize", applied)
@@ -968,8 +1089,11 @@ class SnapshotLake(spark: SparkSession, root: String) {
       return canon(read(partitionCols, Some(toVersion)).limit(0)
         .withColumn("_change", lit("")))
     def side(v: Long): Option[DataFrame] = {
+      // each version reads under ITS OWN column mapping, so a rename
+      // between the two versions still aligns rows by logical name
       val entries = readManifest(v).filter { case (k, _) => changed.contains(k) }
-      if (entries.isEmpty) None else Some(readEntries(entries.toSeq.sorted, partitionCols))
+      if (entries.isEmpty) None
+      else Some(readEntries(entries.toSeq.sorted, partitionCols, readMeta(v)))
     }
     val oldS = side(fromVersion)
     val newS = side(toVersion)
@@ -1102,7 +1226,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       s"clone target $dstRoot already has commits — refusing to overwrite a live lake")
     Files.createDirectories(dst.manifestsDir)
     Files.createDirectories(dst.dataDir)
-    require(dst.writeManifestAtomic(1L, absolute, txns),
+    require(dst.writeManifestAtomic(1L, absolute, txns, readMeta(v)),
       s"clone target $dstRoot gained a concurrent commit — aborting")
     dst.writeInfo(1L, "clone", absolute.size)
     1L
@@ -1117,12 +1241,110 @@ class SnapshotLake(spark: SparkSession, root: String) {
         throw new IllegalStateException(s"no commits at $root"))
       val txns = readTxns(latest)
       touchDirs(target.values)
-      if (writeManifestAtomic(latest + 1, target, txns)) {
+      // the restored version's SCHEMA comes back with its data: reading
+      // the restore under the latest mapping would mis-name pre-rename
+      // physicals
+      if (writeManifestAtomic(latest + 1, target, txns, readMeta(version))) {
         committed = latest + 1
         writeInfo(committed, "restore", target.size)
       }
     }
     committed
+  }
+
+  /** Rename a data column WITHOUT rewriting any data (Delta/Iceberg
+    * column-mapping semantics): a new metadata-only commit maps the
+    * column's stable PHYSICAL name to the new LOGICAL name. Reads at or
+    * after this version surface `newName`; time travel before it still
+    * surfaces `oldName`; batches committed after it use `newName`
+    * (translated back to the physical name at staging, so every data file
+    * keeps one consistent physical schema). The old name's STORAGE stays
+    * reserved — reintroducing it as a new column is refused until the
+    * rename is reverted (rename back, or [[restore]]) — because old files
+    * still hold its data and mergeSchema would resurrect it under the new
+    * column. Renaming PARTITION columns is out of scope (their names are
+    * caller-supplied at read time, not stored).
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(oldName != newName, s"rename to the same name: $oldName")
+    require(newName.nonEmpty && !newName.contains("\t") && !newName.contains("\n"),
+      s"invalid column name: '$newName'")
+    var committed = -1L
+    while (committed < 0) {
+      val v = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val (m, txns, meta) = readManifestAndTxns(v)
+      val mapping = colMapOf(meta)
+      val dropped = droppedOf(meta)
+      // current logical schema: footer-only inference over the live dirs
+      val physCols = spark.read.option("mergeSchema", "true")
+        .parquet(m.values.toSeq.sorted.map(resolveDir): _*)
+        .columns.toSet -- dropped
+      val logicalCols = physCols.map(p => mapping.getOrElse(p, p))
+      require(logicalCols.contains(oldName),
+        s"unknown column '$oldName' — logical columns: ${logicalCols.toSeq.sorted.mkString(", ")}")
+      require(!logicalCols.contains(newName),
+        s"column '$newName' already exists")
+      val physical = mapping.collectFirst { case (p, l) if l == oldName => p }
+        .getOrElse(oldName)
+      // renaming BACK to this column's own physical name releases its own
+      // reservation — only OTHER retired names stay off-limits
+      require(physical == newName || !retiredOf(meta).contains(newName),
+        s"'$newName' is a retired physical name (renamed away or dropped) — " +
+          "its storage is still reserved by old data files")
+      // renaming back to the physical name removes the mapping entirely
+      val newMapping =
+        if (physical == newName) mapping - physical
+        else mapping - physical + (physical -> newName)
+      if (writeManifestAtomic(v + 1, m, txns, metaWith(meta, newMapping, dropped))) {
+        committed = v + 1
+        writeInfo(committed, "rename", 0)
+      }
+    }
+    committed
+  }
+
+  /** Hide a data column from every read at or after this version — a lazy,
+    * zero-rewrite drop: the data stays in existing files (time travel
+    * before this version still reads it; [[deleteWhere]]/[[optimize]]
+    * rewrites shed it physically). The name's storage stays reserved, like
+    * a renamed-away column.
+    */
+  def dropColumn(name: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val (m, txns, meta) = readManifestAndTxns(v)
+      val mapping = colMapOf(meta)
+      val dropped = droppedOf(meta)
+      val physCols = spark.read.option("mergeSchema", "true")
+        .parquet(m.values.toSeq.sorted.map(resolveDir): _*)
+        .columns.toSet -- dropped
+      val logicalCols = physCols.map(p => mapping.getOrElse(p, p))
+      require(logicalCols.contains(name),
+        s"unknown column '$name' — logical columns: ${logicalCols.toSeq.sorted.mkString(", ")}")
+      require(logicalCols.size > 1, s"refusing to drop the last data column '$name'")
+      val physical = mapping.collectFirst { case (p, l) if l == name => p }
+        .getOrElse(name)
+      if (writeManifestAtomic(v + 1, m, txns,
+          metaWith(meta, mapping - physical, dropped + physical))) {
+        committed = v + 1
+        writeInfo(committed, "drop", 0)
+      }
+    }
+    committed
+  }
+
+  /** logical → physical column mapping in effect at `version` (identity
+    * entries omitted) plus the hidden physical names — the inspection
+    * surface for tooling and specs.
+    */
+  def columnMapping(version: Option[Long] = None): (Map[String, String], Set[String]) = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val meta = readMeta(v)
+    (colMapOf(meta).map(_.swap), droppedOf(meta))
   }
 
   /** Read a snapshot (default: latest). Partition values come back as
@@ -1134,7 +1356,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       throw new IllegalStateException(s"no commits at $root"))
     val m = readManifest(v)
     require(m.nonEmpty, s"empty manifest v$v")
-    readEntries(m.toSeq.sorted, partitionCols)
+    readEntries(m.toSeq.sorted, partitionCols, readMeta(v))
   }
 
   /** Per-file min/max stats for a snapshot's data files, read from parquet
@@ -1146,10 +1368,13 @@ class SnapshotLake(spark: SparkSession, root: String) {
   def statsFor(cols: Seq[String], version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
+    // footers hold PHYSICAL names; callers ask in logical ones
+    val reverse = colMapOf(readMeta(v)).map(_.swap)
     // ONE distributed footer job across every manifest directory — not one
     // job (and one plan node) per partition
     graft.sources.DataSkipping.footerStatsAll(
-      spark, readManifest(v).values.toSeq.sorted.map(resolveDir), cols)
+      spark, readManifest(v).values.toSeq.sorted.map(resolveDir),
+      cols.map(c => reverse.getOrElse(c, c)))
   }
 
   /** Snapshot range scan through footer stats: only candidate files of the
@@ -1164,18 +1389,23 @@ class SnapshotLake(spark: SparkSession, root: String) {
       lo: Double,
       hi: Double,
       version: Option[Long] = None): DataFrame = {
-    val stats = statsFor(cols, version)
-    val files = graft.sources.DataSkipping.pruneFiles(stats, c, lo, hi)
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val meta = readMeta(v)
+    val physC = colMapOf(meta).map(_.swap).getOrElse(c, c)
+    val stats = statsFor(cols, Some(v)) // statsFor translates cols itself
+    val files = graft.sources.DataSkipping.pruneFiles(stats, physC, lo, hi)
     if (files.isEmpty) {
-      val v = version.orElse(latestVersion).get
       val anyDir = resolveDir(readManifest(v).values.head)
-      spark.createDataFrame(
+      logicalize(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        spark.read.parquet(anyDir).schema)
+        spark.read.parquet(anyDir).schema), meta)
     } else
       // mixed-schema file sets (post-evolution versions) must merge, not
-      // sample one file's schema nondeterministically
-      spark.read.option("mergeSchema", "true").parquet(files: _*)
+      // sample one file's schema nondeterministically; per-file reads
+      // bypass readEntries, so the logical translation applies here
+      logicalize(
+        spark.read.option("mergeSchema", "true").parquet(files: _*), meta)
         .filter(col(c) >= lo && col(c) <= hi)
   }
 
