@@ -290,6 +290,10 @@ object QueriesExtra {
     // ORC and explicit-schema JSONL preserve every row and type
     "q_fmt_orc" -> ((s, dir) => formatRoundTrip(s, dir, "orc")),
     "q_fmt_jsonl" -> ((s, dir) => formatRoundTrip(s, dir, "jsonl")),
+    // Avro via the avro-core/mapred reader-writer (sources.Avro — no
+    // spark-avro DataSource on this classpath); container splits keep the
+    // read block-parallel
+    "q_fmt_avro" -> ((s, dir) => formatRoundTrip(s, dir, "avro")),
 
     // snapshot lake time travel: two partition-grain commits, then the v1
     // snapshot and the latest snapshot read side by side — the oracle proves
@@ -363,6 +367,9 @@ object QueriesExtra {
         case "jsonl" =>
           graft.sources.Interchange.writeJsonl(docs, tmp)
           graft.sources.Interchange.readJsonl(s, tmp, docs.schema)
+        case "avro" =>
+          graft.sources.Avro.writeAvro(docs, tmp)
+          graft.sources.Avro.readAvro(s, tmp)
       }
     })
 
@@ -809,6 +816,7 @@ object QueriesExtra {
         |WHERE s_suppkey % 7 = 0""".stripMargin,
     "q_fmt_orc" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_fmt_jsonl" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_fmt_avro" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_tt_snapshot" ->
       """SELECT o_orderkey, o_orderstatus, 'first' AS pointer, 'v1' AS snap FROM orders
         |UNION ALL
