@@ -414,6 +414,20 @@ object QueriesCorpus {
       SimilaritySearch.hardNegatives(
         t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 5)),
 
+    // margin-based bitext mining (Artetxe & Schwenk / CCMatrix): label-0
+    // vectors as the "source language", label-1 as the "target"; k=4
+    // neighborhood ratio margin, mutual-best intersection, threshold 1.15.
+    // All cosine arithmetic quantized to integer micro-units, so both
+    // neighborhood sums are exact LONGs and the margin is one division —
+    // the full mining pipeline replays in SQL
+    "q_ann_bitext" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.marginMine(
+        emb.filter(col("label") === 0), "vec_id", "embedding",
+        emb.filter(col("label") === 1), "vec_id", "embedding",
+        k = 4, threshold = 1.15, mutual = true)
+    }),
+
     // LSH-bucketed hard negatives: candidates keyed on the md5-hyperplane
     // bucket — deterministic geometry makes even the approximate path
     // fully oracle-checkable
@@ -2730,6 +2744,34 @@ object QueriesCorpus {
         |      AS BIGINT) AS rank
         |  FROM pairs)
         |SELECT id, negative, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_ann_bitext" ->
+      """WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings WHERE label = 0),
+        |t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) v
+        |      FROM embeddings WHERE label = 1),
+        |sc AS (SELECT src_id, tgt_id,
+        |         CAST(floor(list_cosine_similarity(s.v, t.v) * 1000000 + 0.5) AS BIGINT) AS cmu
+        |       FROM s, t),
+        |a AS (SELECT src_id, CAST(sum(cmu) AS BIGINT) AS amu FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cmu DESC, tgt_id) AS r
+        |        FROM sc) WHERE r <= 4 GROUP BY 1),
+        |b AS (SELECT tgt_id, CAST(sum(cmu) AS BIGINT) AS bmu FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY cmu DESC, src_id) AS r
+        |        FROM sc) WHERE r <= 4 GROUP BY 1),
+        |m AS (SELECT sc.src_id, sc.tgt_id, cmu,
+        |        floor(CAST(cmu AS DOUBLE) * 8.0 / CAST(amu + bmu AS DOUBLE) * 1000000 + 0.5) / 1000000 AS margin
+        |      FROM sc JOIN a USING (src_id) JOIN b USING (tgt_id)
+        |      WHERE amu + bmu <> 0),
+        |fwd AS (SELECT src_id, tgt_id, cmu, margin FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rs
+        |          FROM m) WHERE rs = 1),
+        |bwd AS (SELECT src_id, tgt_id FROM (
+        |          SELECT src_id, tgt_id, row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rt
+        |          FROM m) WHERE rt = 1)
+        |SELECT fwd.src_id, fwd.tgt_id,
+        |  CAST(cmu AS DOUBLE) / 1000000 AS cos, margin
+        |FROM fwd JOIN bwd ON fwd.src_id = bwd.src_id AND fwd.tgt_id = bwd.tgt_id
+        |WHERE margin >= 1.15""".stripMargin,
     "q_ann_negatives_lsh" -> {
       val planeBit = (p: Int) =>
         s"""CASE WHEN (SELECT sum(z[1] * (CAST('0x' || substr(md5('p$p:' || CAST(z[2] AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 - 0.5))

@@ -362,6 +362,83 @@ object SimilaritySearch {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+    * LASER/CCMatrix recipe): score every (src, tgt) candidate by the RATIO
+    * margin
+    *
+    *   margin(x, y) = cos(x, y) /
+    *     ( Σ_{z ∈ NN_k(x, tgt)} cos(x, z) / 2k + Σ_{z ∈ NN_k(y, src)} cos(y, z) / 2k )
+    *
+    * — raw cosine normalized by both endpoints' neighborhood density, which
+    * kills the hubness failure mode (a "central" sentence that is everyone's
+    * nearest neighbor without translating anything). A pair is mined when it
+    * is its source row's best margin (and, with `mutual = true`, also its
+    * target row's best — the "intersection" strategy) and the margin clears
+    * `threshold` (≈ 1.06 in the paper's tuning).
+    *
+    * Determinism: cosines quantize to integer MICRO units up front
+    * (`floor(cos·10⁶ + 0.5)` as LONG), so both neighborhood sums are exact
+    * integer sums (order-free under any partitioning) and the margin is ONE
+    * double division of exact integers — `margin = cosµ · 2k / (aµ + bµ)` —
+    * rounded half-up 6. Fewer than k available neighbors still divide by 2k
+    * (the paper's fixed-k convention); a zero denominator yields no pair.
+    * Ties break on the partner id ascending, both directions.
+    *
+    * Scale shape: this EXACT form scores the full src×tgt candidate cross
+    * (one side broadcast) — right for a bounded mining shard. At corpus
+    * scale, restrict candidates first ([[lshTopK]] buckets or an
+    * [[graft.ops.IvfIndex]] probe, exactly the [[hardNegativesLsh]]
+    * discipline) and feed the shard through this scorer; the margin
+    * arithmetic (keyed windows + keyed joins, never a re-cross) is
+    * already shuffle-bounded by the candidate count.
+    */
+  def marginMine(
+      src: DataFrame, srcIdCol: String, srcVecCol: String,
+      tgt: DataFrame, tgtIdCol: String, tgtVecCol: String,
+      k: Int,
+      threshold: Double,
+      mutual: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = src.select(col(srcIdCol).cast("long").as("src_id"),
+      col(srcVecCol).cast("array<double>").as("_sv"))
+    val t = tgt.select(col(tgtIdCol).cast("long").as("tgt_id"),
+      col(tgtVecCol).cast("array<double>").as("_tv"))
+    val scored = s.crossJoin(broadcast(t))
+      .select(col("src_id"), col("tgt_id"),
+        floor(cosine(col("_sv"), col("_tv")) * 1e6 + lit(0.5)).cast("long").as("_cmu"))
+      .localCheckpoint(true) // pin: windows + two sum branches reuse one scoring
+    val wS = Window.partitionBy(col("src_id")).orderBy(col("_cmu").desc, col("tgt_id"))
+    val wT = Window.partitionBy(col("tgt_id")).orderBy(col("_cmu").desc, col("src_id"))
+    val aSum = scored.withColumn("_r", row_number().over(wS)).filter(col("_r") <= k)
+      .groupBy(col("src_id")).agg(sum(col("_cmu")).as("_amu"))
+    val bSum = scored.withColumn("_r", row_number().over(wT)).filter(col("_r") <= k)
+      .groupBy(col("tgt_id")).agg(sum(col("_cmu")).as("_bmu"))
+    val margins = scored
+      .join(aSum, Seq("src_id"))
+      .join(bSum, Seq("tgt_id"))
+      .filter(col("_amu") + col("_bmu") =!= 0L)
+      .select(col("src_id"), col("tgt_id"), col("_cmu"),
+        graft.Functions.roundHalfUp(
+          col("_cmu").cast("double") * lit(2.0 * k) /
+            (col("_amu") + col("_bmu")).cast("double"), 6).as("margin"))
+    val wMs = Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id"))
+    val fwd = margins.withColumn("_rs", row_number().over(wMs)).filter(col("_rs") === 1)
+      .drop("_rs")
+    val best =
+      if (!mutual) fwd
+      else {
+        val wMt = Window.partitionBy(col("tgt_id")).orderBy(col("margin").desc, col("src_id"))
+        val bwd = margins.withColumn("_rt", row_number().over(wMt)).filter(col("_rt") === 1)
+          .select(col("src_id"), col("tgt_id"))
+        fwd.join(bwd, Seq("src_id", "tgt_id"))
+      }
+    best
+      .filter(col("margin") >= threshold)
+      .select(col("src_id"), col("tgt_id"),
+        (col("_cmu").cast("double") / 1e6).as("cos"), col("margin"))
+  }
+
   /** The scale path of [[hardNegatives]]: candidates are restricted to the
     * anchor's LSH bucket, turning the label-mismatch cross into a KEYED
     * equi-join on `bucket` (the [[lshTopK]] pruning applied to mining).

@@ -493,4 +493,53 @@ class AnnSpec extends SparkSpec {
     // a single pooled vector could not rank doc1 over doc3: mean-pooled
     // doc1 = (0.5, 0.5, 0) scores the same on both query directions
   }
+
+  // ---- margin-based bitext mining ---------------------------------------
+
+  test("marginMine: hand margins, perfect pairs mine, mid-cos pair normalizes away") {
+    val src = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    val tgt = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.6, 0.8)), (12L, Seq(0.0, 1.0)))
+      .toDF("id", "v")
+    val got = SimilaritySearch.marginMine(
+      src, "id", "v", tgt, "id", "v", k = 1, threshold = 0.9, mutual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("margin"))).toSet
+    // k=1 sums: a_s1 = b_t10 = a_s2 = b_t12 = 1.0 → exact pairs margin
+    // 1·2/(1+1) = 1.0; t11's best raw cos (0.8 to s2) normalizes to
+    // 0.8·2/(1+0.8) = 0.888889 < 0.9 and is not anyone's forward best
+    assert(got == Set((1L, 10L, 1.0), (2L, 12L, 1.0)))
+  }
+
+  test("marginMine: mutual intersection drops a one-directional best; forward-only keeps it") {
+    val src = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.43588989435406733)))
+      .toDF("id", "v")
+    val tgt = Seq((10L, Seq(1.0, 0.0))).toDF("id", "v")
+    // both sources' forward best is t10; t10's backward best is s1
+    val mutual = SimilaritySearch.marginMine(
+      src, "id", "v", tgt, "id", "v", k = 1, threshold = 0.5, mutual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual == Set((1L, 10L)))
+    val fwd = SimilaritySearch.marginMine(
+      src, "id", "v", tgt, "id", "v", k = 1, threshold = 0.5, mutual = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fwd == Set((1L, 10L), (2L, 10L)))
+    // hand margin for the rejected direction: cos = 0.9 →
+    // 0.9·2/(0.9+1.0) = 0.947368
+    val m2 = SimilaritySearch.marginMine(
+      src, "id", "v", tgt, "id", "v", k = 1, threshold = 0.5, mutual = false)
+      .filter(col("src_id") === 2L).head().getAs[Double]("margin")
+    assert(m2 == 0.947368)
+  }
+
+  test("marginMine: zero denominator (all-orthogonal) yields no pairs; threshold gates") {
+    val src = Seq((1L, Seq(1.0, 0.0))).toDF("id", "v")
+    val tgt = Seq((10L, Seq(0.0, 1.0))).toDF("id", "v")
+    assert(SimilaritySearch.marginMine(
+      src, "id", "v", tgt, "id", "v", k = 1, threshold = -10.0).count() == 0)
+    val near = Seq((10L, Seq(0.8, 0.6))).toDF("id", "v")
+    // single pair: margin = c·2/(c+c) = 1.0 regardless of c > 0
+    assert(SimilaritySearch.marginMine(
+      src, "id", "v", near, "id", "v", k = 1, threshold = 1.0001).count() == 0)
+    assert(SimilaritySearch.marginMine(
+      src, "id", "v", near, "id", "v", k = 1, threshold = 1.0).count() == 1)
+  }
 }

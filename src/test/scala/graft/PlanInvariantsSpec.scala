@@ -99,6 +99,21 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  // marginMine scores a DELIBERATE broadcast cross (the exact mining-shard
+  // form — the q_ann_brute role; LSH-pruned candidates are the scale path),
+  // pinned by localCheckpoint so the sum/mutual branches reuse ONE scoring:
+  // exactly one nested-loop join may appear, everything after must be keyed.
+  test("q_ann_bitext: one pinned scoring cross, keyed margin joins, no range exchange") {
+    val df = SparkEntry.queries("q_ann_bitext")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q_ann_bitext:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"range exchange in q_ann_bitext:\n$plan")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj == 0, // the scoring cross sits BEHIND the localCheckpoint pin
+      s"the margin phase must reuse the pinned scoring, not re-cross:\n$plan")
+  }
+
   // The two round-6 bench-drift suspects get STRONGER pins than the generic
   // three: both are single-pass scans whose only legitimate plan is
   // shuffle-free, so any future Exchange (or a TakeOrdered degrading to a
