@@ -554,6 +554,94 @@ class SnapshotLake(spark: SparkSession, root: String) {
       mapping.values.toSet
   }
 
+  // ---- manifest-level partition stats (Delta-style log data skipping) --
+  //
+  // At commit time the staged parquet FOOTERS' min/max get promoted into
+  // `#meta stats:<dir-leaf>` lines, so partition-grain pruning later costs
+  // ZERO file I/O — the driver answers "which partitions can contain
+  // c ∈ [lo, hi]" from the manifest alone. Numeric columns only (the
+  // range-prune surface), capped; a partition with no stats entry is
+  // always a candidate (pruning must only ever EXCLUDE on positive
+  // evidence), which also covers pre-feature manifests and optimize
+  // rewrites. Values never leave the JVM, so Double.toString round-trips
+  // are exact.
+
+  private val StatsKeyPrefix = "stats:"
+  private val MaxStatsCols = 32
+
+  /** Footer-derived per-dir stats meta for freshly staged dirs: one footer
+    * job over the staged files (their stats already exist in the footers —
+    * this promotes, it does not rescan data).
+    */
+  private def dirStats(newDirs: Map[String, String]): Map[String, String] = {
+    if (newDirs.isEmpty) return Map.empty
+    val resolved = newDirs.values.toSeq.sorted.map(resolveDir)
+    // ONE driver footer read picks the numeric columns (no Spark job —
+    // the job-count budget of a 50-partition commit is pinned by spec),
+    // then ONE distributed footer job covers every staged file
+    val firstFile = resolved.iterator
+      .flatMap(d => graft.sources.DataSkipping.listParquetFiles(Paths.get(d)).headOption)
+      .nextOption()
+    if (firstFile.isEmpty) return Map.empty
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(firstFile.get),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val numeric = footer.getFileMetaData.getSchema.getFields.asScala
+      .filter(f => f.isPrimitive && Set(INT32, INT64, FLOAT, DOUBLE)
+        .contains(f.asPrimitiveType().getPrimitiveTypeName))
+      .map(_.getName).take(MaxStatsCols).toSeq
+    if (numeric.isEmpty) return Map.empty
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val perFile = graft.sources.DataSkipping.footerStatsAll(spark, resolved, numeric)
+      .collect()
+    // dir grain (min of file mins, max of file maxes) on the driver —
+    // bounded by the staged FILE count, the pruneFiles collect discipline
+    perFile.groupBy(r =>
+      r.getString(0).split("/").dropRight(1).last).flatMap { case (leaf, rows) =>
+      val parts = numeric.flatMap { c =>
+        val mins = rows.flatMap(r => Option(r.getAs[java.lang.Double](s"min_$c")))
+        val maxs = rows.flatMap(r => Option(r.getAs[java.lang.Double](s"max_$c")))
+        if (mins.isEmpty || maxs.isEmpty) None
+        else Some(s"${enc(c)}=${mins.map(_.doubleValue).min}:${maxs.map(_.doubleValue).max}")
+      }
+      if (parts.isEmpty) None
+      else Some((StatsKeyPrefix + leaf) -> parts.mkString(";"))
+    }.toMap
+  }
+
+  /** Parse one partition's stats meta value → col → (min, max). */
+  private def parseStats(value: String): Map[String, (Double, Double)] =
+    value.split(";").filter(_.nonEmpty).map { entry =>
+      val Array(c, range) = entry.split("=", 2)
+      val Array(mn, mx) = range.split(":", 2)
+      java.net.URLDecoder.decode(c, "UTF-8") -> (mn.toDouble, mx.toDouble)
+    }.toMap
+
+  /** Partition KEYS of `version` that may contain rows with `c ∈ [lo, hi]`
+    * — answered from the manifest's stats meta alone, zero file I/O. A
+    * partition with no stats (pre-feature commits, optimize rewrites,
+    * all-null columns) is always a candidate: pruning excludes only on
+    * positive footer evidence. `c` is a LOGICAL name.
+    */
+  def prunePartitions(
+      c: String, lo: Double, hi: Double,
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val (m, _, meta) = readManifestAndTxns(v)
+    val physC = colMapOf(meta).map(_.swap).getOrElse(c, c)
+    m.toSeq.sorted.collect {
+      case (key, d) =>
+        val leaf = Paths.get(d).getFileName.toString
+        val excluded = meta.get(StatsKeyPrefix + leaf)
+          .flatMap(s => parseStats(s).get(physC))
+          .exists { case (mn, mx) => mn > hi || mx < lo }
+        (key, excluded)
+    }.collect { case (key, false) => key }
+  }
+
   /** Post-scan translation: hide dropped physicals, alias mapped physicals
     * to their logical names. Unmapped columns pass through.
     */
@@ -591,11 +679,18 @@ class SnapshotLake(spark: SparkSession, root: String) {
   private def writeManifestAtomic(
       v: Long, m: Map[String, String], txns: Map[String, Long],
       meta: Map[String, String]): Boolean = {
+    // stats meta is keyed by data-dir leaf; entries for dirs this manifest
+    // no longer references are dead weight — prune them HERE so no commit
+    // path can accumulate stale stats
+    val liveLeaves = m.values.map(d => Paths.get(d).getFileName.toString).toSet
+    val prunedMeta = meta.filter { case (k, _) =>
+      !k.startsWith(StatsKeyPrefix) || liveLeaves.contains(k.stripPrefix(StatsKeyPrefix))
+    }
     val dataLines = m.toSeq.sorted.map { case (k, d) => s"$k\t$d" }
     val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) =>
       s"$TxnPrefix\t${java.net.URLEncoder.encode(a, "UTF-8")}\t$b"
     }
-    val metaLines = meta.toSeq.sorted.map { case (k, value) =>
+    val metaLines = prunedMeta.toSeq.sorted.map { case (k, value) =>
       s"$MetaPrefix\t${java.net.URLEncoder.encode(k, "UTF-8")}\t${java.net.URLEncoder.encode(value, "UTF-8")}"
     }
     val body = (dataLines ++ txnLines ++ metaLines).mkString("\n")
@@ -708,6 +803,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
     // same as the lakehouse formats.
     val stageMeta = latestVersion.map(readMeta).getOrElse(Map.empty)
     val newDirs = stageDirs(physicalize(batch, stageMeta), partitionCols, touched)
+    val stats = dirStats(newDirs)
     var committed = -1L
     while (committed < 0) {
       val v = latestVersion
@@ -717,7 +813,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       // keep staged dirs inside vacuum's retention window while we race
       touchDirs(newDirs.values)
       // watermarks and column mapping carry forward untouched
-      if (writeManifestAtomic(next, base ++ newDirs, txns, meta)) committed = next
+      if (writeManifestAtomic(next, base ++ newDirs, txns, meta ++ stats)) committed = next
       // else: another writer took `next`; loop re-reads and re-merges
     }
     writeInfo(committed, "commit", newDirs.size)
@@ -761,6 +857,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
     if (touched.isEmpty) return None
     val stageMeta = latestVersion.map(readMeta).getOrElse(Map.empty)
     val newDirs = stageDirs(physicalize(batch, stageMeta), partitionCols, touched)
+    val stats = dirStats(newDirs)
     var result: Option[Option[Long]] = None
     while (result.isEmpty) {
       val v = latestVersion
@@ -774,7 +871,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       } else {
         val next = v.getOrElse(0L) + 1
         touchDirs(newDirs.values)
-        if (writeManifestAtomic(next, base ++ newDirs, txns + (appId -> batchId), meta)) {
+        if (writeManifestAtomic(next, base ++ newDirs, txns + (appId -> batchId), meta ++ stats)) {
           writeInfo(next, "commit", newDirs.size)
           result = Some(Some(next))
         }
@@ -838,7 +935,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val newDirs = stageDirs(physicalize(merged, meta), partitionCols, touched)
       val next = base.getOrElse(0L) + 1
       touchDirs(newDirs.values)
-      if (writeManifestAtomic(next, baseManifest ++ newDirs, txns, meta)) {
+      if (writeManifestAtomic(next, baseManifest ++ newDirs, txns, meta ++ dirStats(newDirs))) {
         committed = next
         writeInfo(committed, "upsert", newDirs.size)
       } else {
@@ -901,7 +998,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val manifest = rewritten.collect { case (k, Some(d)) => k -> d }
       if (manifest.isEmpty)
         throw new IllegalStateException("deleteWhere would empty the lake; refusing to commit")
-      if (writeManifestAtomic(next, manifest, baseTxns, meta)) {
+      if (writeManifestAtomic(next, manifest, baseTxns, meta ++ dirStats(staged))) {
         committed = next
         writeInfo(committed, "delete", candidates.size)
       } else candidates.foreach(k => rewritten(k).foreach(
@@ -1392,8 +1489,23 @@ class SnapshotLake(spark: SparkSession, root: String) {
     val v = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     val meta = readMeta(v)
-    val physC = colMapOf(meta).map(_.swap).getOrElse(c, c)
-    val stats = statsFor(cols, Some(v)) // statsFor translates cols itself
+    val reverse = colMapOf(meta).map(_.swap)
+    val physC = reverse.getOrElse(c, c)
+    // partition-grain pre-prune from the MANIFEST stats (zero file I/O),
+    // then file-grain pruning from the candidates' footers
+    val m = readManifest(v)
+    val candKeys = prunePartitions(c, lo, hi, Some(v)).toSet
+    if (candKeys.isEmpty) {
+      val anyDir = resolveDir(m.values.head)
+      return logicalize(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(anyDir).schema), meta)
+    }
+    val candDirs = m.toSeq.sorted.collect {
+      case (k, d) if candKeys.contains(k) => resolveDir(d)
+    }
+    val stats = graft.sources.DataSkipping.footerStatsAll(
+      spark, candDirs, cols.map(cc => reverse.getOrElse(cc, cc)))
     val files = graft.sources.DataSkipping.pruneFiles(stats, physC, lo, hi)
     if (files.isEmpty) {
       val anyDir = resolveDir(readManifest(v).values.head)

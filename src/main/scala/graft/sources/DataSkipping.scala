@@ -133,7 +133,7 @@ object DataSkipping {
     case _                    => None
   }
 
-  private def listParquetFiles(dir: java.nio.file.Path): Seq[String] = {
+  private[graft] def listParquetFiles(dir: java.nio.file.Path): Seq[String] = {
     val s = java.nio.file.Files.walk(dir)
     try s.iterator().asScala
       .filter { p =>
