@@ -74,6 +74,14 @@ import org.apache.spark.sql.functions._
   * which is the whole point over pairwise comparison). Skew gate (sa_skew):
   * ranksGlobal on the one-100x-doc corpus runs at 0.90x of uniform
   * (gate <= 2); the per-doc-window variant reads 2.04x on the same data.
+  * Round-11 additions: ev_bleu 1.1x, ev_chrf 1.0x (gram volume linear in
+  * tokens/chars; fixed overhead dominates at 1x), ann_bitext 2.8x — the
+  * EXACT mining shard is a deliberate |src|x|tgt| cross (100x pair volume
+  * at 10x sides; the measured 2.8x wall shows the 1x run was
+  * overhead-bound), with LSH/IVF candidate pruning as the documented
+  * corpus-scale path. The 10x bitext run mines 0 pairs at threshold 1.15:
+  * CORRECT margin semantics — 10x near-duplicate density inflates every
+  * neighborhood sum, compressing margins toward 1.0.
   *
   * The 10x corpus is synthesized under /tmp (never under /root/testdata):
   * each copy salts the text with a distinct token so near-dup structure is
@@ -677,7 +685,18 @@ object ScaleProbe {
       "sa_lrs" -> (d => SparkEntry.queries("q_sa_lrs")(spark, d).count()),
       "magg_rollup" -> (d => SparkEntry.queries("q_magg_rollup")(spark, d).count()),
       "ev_kripp" -> (d => SparkEntry.queries("q_ev_kripp")(spark, d).count()),
-      "e2e_curate" -> (d => SparkEntry.queries("q_e2e_curate")(spark, d).count()))
+      "e2e_curate" -> (d => SparkEntry.queries("q_e2e_curate")(spark, d).count()),
+      // round-11 eval/mining additions. ev_bleu: gram rows are linear in
+      // corpus tokens (4 orders per position) through ONE keyed join —
+      // expect ~linear; ev_chrf: the char-grain twin (6 orders per char,
+      // heavier constant) — ~linear; ann_bitext: the exact mining shard is
+      // a deliberate |src|×|tgt| cross, so the 10x corpus (both sides 10x)
+      // is expected ~100x pair volume — the probe DOCUMENTS the quadratic
+      // exact form; the scale path is LSH/IVF candidate pruning before the
+      // margin scorer (hardNegativesLsh discipline)
+      "ev_bleu" -> (d => SparkEntry.queries("q_ev_bleu")(spark, d).count()),
+      "ev_chrf" -> (d => SparkEntry.queries("q_ev_chrf")(spark, d).count()),
+      "ann_bitext" -> (d => SparkEntry.queries("q_ann_bitext")(spark, d).count()))
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
