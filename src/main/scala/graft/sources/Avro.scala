@@ -64,8 +64,12 @@ object Avro {
       if (isNullable) Schema.createUnion(Schema.create(Schema.Type.NULL), s) else s
     def record(st: StructType, recName: String, recNs: String): Schema = {
       val fields = st.fields.map { f =>
+        // record names must be unique per Avro schema: qualify nested
+        // records by their FULL path (two different-shaped structs that
+        // happen to share a field name at different depths would
+        // otherwise collide)
         new Schema.Field(
-          f.name, nullable(field(f.dataType, f.name), f.nullable),
+          f.name, nullable(field(f.dataType, s"$recName.${f.name}"), f.nullable),
           null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
       }
       Schema.createRecord(recName, null, recNs, false, fields.toList.asJava)

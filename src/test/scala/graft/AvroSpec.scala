@@ -80,6 +80,24 @@ class AvroSpec extends SparkSpec {
     assert(Avro.toCatalystType(Avro.toAvroSchema(st)) == st)
   }
 
+  test("same-named nested structs with different shapes round-trip (path-qualified record names)") {
+    import spark.implicits._
+    // p.x and q.x share the field name but not the shape — unqualified
+    // record names would collide inside one Avro schema
+    val df = Seq((1L, (("a", 2L)), ((3.5, true))))
+      .toDF("id", "p", "q")
+      .select(col("id"),
+        struct(col("p").as("x")).as("p"),
+        struct(col("q").as("x")).as("q"))
+    val dir = tmp()
+    Avro.writeAvro(df, dir)
+    val back = Avro.readAvro(spark, dir)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    val r = back.head()
+    assert(r.getAs[Row]("p").getAs[Row]("x").getString(0) == "a")
+    assert(r.getAs[Row]("q").getAs[Row]("x").getBoolean(1))
+  }
+
   test("refusals: decimal out of contract; multi-branch unions refused on read") {
     val dec = StructType(Seq(StructField("d", DecimalType(10, 2), nullable = true)))
     val e = intercept[IllegalArgumentException](Avro.toAvroSchema(dec))
