@@ -722,7 +722,33 @@ object RankEval {
       df: DataFrame,
       problemCol: String,
       correctCol: String,
-      ks: Seq[Int]): DataFrame = {
+      ks: Seq[Int]): DataFrame =
+    passAtKFromCounts(passAtKCounts(df, problemCol, correctCol), ks)
+
+  /** The mergeable state behind [[passAtK]]: `(problem, n_samples,
+    * n_correct)` — plain integer sums, so per-batch counts fold into a
+    * maintained table with [[mergePassAtKCounts]] and the estimator stays
+    * EXACT under incremental/streaming arrival (the
+    * [[calibrationCounts]]/[[mergeCalibrationCounts]] discipline).
+    */
+  def passAtKCounts(
+      df: DataFrame,
+      problemCol: String,
+      correctCol: String): DataFrame =
+    df.filter(col(problemCol).isNotNull && col(correctCol).isNotNull)
+      .select(col(problemCol).as("problem"),
+        when(col(correctCol).cast("boolean"), 1L).otherwise(0L).as("_c"))
+      .groupBy(col("problem"))
+      .agg(count(lit(1)).as("n_samples"), sum(col("_c")).as("n_correct"))
+
+  /** Fold two counts tables (integer sums are associative — exact). */
+  def mergePassAtKCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("problem"))
+      .agg(sum(col("n_samples")).as("n_samples"), sum(col("n_correct")).as("n_correct"))
+
+  /** Finalize pass@k from a (possibly merged) counts table. */
+  def passAtKFromCounts(counts: DataFrame, ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty, "ks must be non-empty")
     require(ks.distinct == ks, s"ks must be distinct, got $ks")
     require(ks.forall(k => k >= 1 && k <= 12),
@@ -730,12 +756,9 @@ object RankEval {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def falling(base: Column, k: Int): Column =
       (0 until k).map(i => (base - lit(i.toLong)).cast(dec38)).reduce(_ * _)
-    val agg = df
-      .filter(col(problemCol).isNotNull && col(correctCol).isNotNull)
-      .select(col(problemCol).as("problem"),
-        when(col(correctCol).cast("boolean"), 1L).otherwise(0L).as("_c"))
+    val agg = counts
       .groupBy(col("problem"))
-      .agg(count(lit(1)).as("n_samples"), sum(col("_c")).as("n_correct"))
+      .agg(sum(col("n_samples")).as("n_samples"), sum(col("n_correct")).as("n_correct"))
     val passCols = ks.map { k =>
       val n = col("n_samples")
       val miss = col("n_samples") - col("n_correct")
@@ -775,6 +798,22 @@ object RankEval {
       idCol: String,
       candCol: String,
       refCol: String,
+      maxN: Int = 4): DataFrame =
+    bleuFromCounts(bleuCounts(df, idCol, candCol, refCol, maxN), maxN)
+
+  /** The mergeable state behind [[bleuCorpus]]: one `(n, clip, tot)` row
+    * per order 1..maxN (pooled clipped matches / candidate totals) plus an
+    * `n = 0` SENTINEL row carrying the token lengths (`clip` =
+    * cand_tokens, `tot` = ref_tokens). Every component is a plain LONG
+    * sum, so per-batch counts fold EXACTLY with [[mergeBleuCounts]] —
+    * valid whenever each (cand, ref) pair arrives whole in one batch
+    * (per-segment clipping is segment-local; corpus BLEU pools sums).
+    */
+  def bleuCounts(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
       maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
     val spark = df.sparkSession
@@ -785,23 +824,40 @@ object RankEval {
     val candLens = df.select(
       size(filter(Dedup.tokens(col(candCol)), t => t =!= "")).cast("long").as("_cl"),
       size(filter(Dedup.tokens(col(refCol)), t => t =!= "")).cast("long").as("_rl"))
-      .agg(coalesce(sum(col("_cl")), lit(0L)).as("cand_tokens"),
-        coalesce(sum(col("_rl")), lit(0L)).as("ref_tokens"))
+      .agg(coalesce(sum(col("_cl")), lit(0L)).as("clip"),
+        coalesce(sum(col("_rl")), lit(0L)).as("tot"))
+      .select(lit(0).as("n"), col("clip"), col("tot"))
 
     val clipped = gramCounts(candCol, "_cc")
       .join(gramCounts(refCol, "_rc"), Seq("_id", "n", "gram"), "left")
       .groupBy(col("n"))
       .agg(
-        sum(least(col("_cc"), coalesce(col("_rc"), lit(0L)))).as("_clip"),
-        sum(col("_cc")).as("_tot"))
+        sum(least(col("_cc"), coalesce(col("_rc"), lit(0L)))).as("clip"),
+        sum(col("_cc")).as("tot"))
 
     // densify over 1..maxN: an order with zero candidate grams anywhere in
     // the corpus must surface as p_n = 0, not as a missing row
-    val perN = spark.range(1, maxN + 1).select(col("id").cast("int").as("n"))
+    spark.range(1, maxN + 1).select(col("id").cast("int").as("n"))
       .join(clipped, Seq("n"), "left")
       .select(col("n"),
-        coalesce(col("_clip"), lit(0L)).as("_clip"),
-        coalesce(col("_tot"), lit(0L)).as("_tot"))
+        coalesce(col("clip"), lit(0L)).as("clip"),
+        coalesce(col("tot"), lit(0L)).as("tot"))
+      .unionByName(candLens)
+  }
+
+  /** Fold two counts tables (LONG sums — exact, order-free). */
+  def mergeBleuCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("n"))
+      .agg(sum(col("clip")).as("clip"), sum(col("tot")).as("tot"))
+
+  /** Finalize corpus BLEU from a (possibly merged) counts table. */
+  def bleuFromCounts(counts: DataFrame, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    val summed = counts.groupBy(col("n"))
+      .agg(sum(col("clip")).as("_clip"), sum(col("tot")).as("_tot"))
+    val candLens = summed.filter(col("n") === 0)
+      .select(col("_clip").as("cand_tokens"), col("_tot").as("ref_tokens"))
+    val perN = summed.filter(col("n") >= 1)
 
     val pn = col("_clip").cast("double") / col("_tot").cast("double")
     val pRounded = when(col("_tot") === 0L, lit(null).cast("double"))

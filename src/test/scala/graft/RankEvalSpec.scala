@@ -506,6 +506,36 @@ class RankEvalSpec extends SparkSpec {
     assert(empty(2).isNullAt(empty(2).fieldIndex("ratio")), "no bigrams → NULL")
   }
 
+  test("passAtK counts merge law: two halves folded equal the whole") {
+    val samples = (0 until 40).map(i => (i.toLong % 5, i % 3 == 0)).toDF("p", "ok")
+    val h1 = samples.limit(17)
+    val h2 = samples.exceptAll(h1)
+    val whole = RankEval.passAtK(samples, "p", "ok", Seq(1, 3))
+      .collect().map(_.toString).sorted.toSeq
+    val merged = RankEval.passAtKFromCounts(
+      RankEval.mergePassAtKCounts(
+        RankEval.passAtKCounts(h1, "p", "ok"),
+        RankEval.passAtKCounts(h2, "p", "ok")),
+      Seq(1, 3)).collect().map(_.toString).sorted.toSeq
+    assert(whole == merged)
+  }
+
+  test("bleu counts merge law: two document waves folded equal the whole corpus") {
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat is on a mat"),
+      (2L, "a b c d", "a b x d"),
+      (3L, "hello world again", "hello world again"),
+      (4L, "p q r s t", "p q r")).toDF("id", "cand", "ref")
+    val w1 = pairs.filter(pairs("id") <= 2)
+    val w2 = pairs.filter(pairs("id") > 2)
+    val whole = RankEval.bleuCorpus(pairs, "id", "cand", "ref").head().toString
+    val merged = RankEval.bleuFromCounts(
+      RankEval.mergeBleuCounts(
+        RankEval.bleuCounts(w1, "id", "cand", "ref"),
+        RankEval.bleuCounts(w2, "id", "cand", "ref"))).head().toString
+    assert(whole == merged)
+  }
+
   test("bleuCorpus matches the independent twin on a fuzzed corpus") {
     val rng = new scala.util.Random(77)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
