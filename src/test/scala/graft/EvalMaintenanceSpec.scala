@@ -104,6 +104,62 @@ class EvalMaintenanceSpec extends SparkSpec {
     check(after3)
   }
 
+  test("streaming foreachBatch folds of pass@k and BLEU counts == batch metrics") {
+    val src = Files.createTempDirectory("graft_pb_src").toString
+    val base = Files.createTempDirectory("graft_pb_state").toString
+    val ckpt = Files.createTempDirectory("graft_pb_ck").toString
+
+    // each row is one (problem, ok, cand, ref) record — a doc arrives
+    // whole in one wave, the bleuCounts mergeability condition
+    def rows(lo: Long, hi: Long) = (lo until hi).map { i =>
+      val cand = s"tok${i % 7} tok${i % 5} tok${i % 3} tail$i"
+      val ref = if (i % 2 == 0) cand else s"tok${i % 7} tok${i % 5} other"
+      (i % 6, i % 3 == 0, cand, ref)
+    }
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("problem LONG, ok BOOLEAN, cand STRING, ref STRING").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val pInc = RankEval.passAtKCounts(batch, "problem", "ok")
+          val bInc = RankEval.bleuCounts(batch, "problem", "cand", "ref")
+          val prevP = new java.io.File(s"$base/p${batchId - 1}")
+          val prevB = new java.io.File(s"$base/b${batchId - 1}")
+          val ss = batch.sparkSession
+          (if (prevP.exists()) RankEval.mergePassAtKCounts(ss.read.parquet(prevP.toString), pInc) else pInc)
+            .write.mode("overwrite").parquet(s"$base/p$batchId")
+          (if (prevB.exists()) RankEval.mergeBleuCounts(ss.read.parquet(prevB.toString), bInc) else bInc)
+            .write.mode("overwrite").parquet(s"$base/b$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    rows(0L, 120L).toDF("problem", "ok", "cand", "ref")
+      .write.mode("append").parquet(src)
+    runOnce()
+    rows(120L, 200L).toDF("problem", "ok", "cand", "ref")
+      .write.mode("append").parquet(src)
+    runOnce()
+
+    val all = rows(0L, 200L).toDF("problem", "ok", "cand", "ref")
+    val passStream = RankEval.passAtKFromCounts(
+      spark.read.parquet(s"$base/p1"), Seq(1, 5))
+      .collect().map(_.toString).sorted.toSeq
+    val passBatch = RankEval.passAtK(all, "problem", "ok", Seq(1, 5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(passStream == passBatch)
+    val bleuStream = RankEval.bleuFromCounts(spark.read.parquet(s"$base/b1"))
+      .head().toString
+    val bleuBatch = RankEval.bleuCorpus(all, "problem", "cand", "ref")
+      .head().toString
+    assert(bleuStream == bleuBatch)
+  }
+
   test("streaming foreachBatch fold of mergeCalibrationCounts == batch counts and ECE") {
     val src = Files.createTempDirectory("graft_ece_src").toString
     val base = Files.createTempDirectory("graft_ece_sk").toString
