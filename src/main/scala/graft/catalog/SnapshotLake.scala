@@ -1104,8 +1104,19 @@ class SnapshotLake(spark: SparkSession, root: String) {
         rewrites.values.foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
         return v
       }
+      // an OPTIMIZE rewrite preserves rows exactly, so the old dir's
+      // partition stats stay TRUE for the new dir — carry them to the new
+      // leaf (writeManifestAtomic drops the old-leaf entries as
+      // unreferenced)
+      val carriedStats = rewrites.flatMap { case (k, newDir) =>
+        if (!merged.get(k).contains(newDir)) None
+        else for {
+          oldDir <- baseManifest.get(k)
+          stats <- meta.get(StatsKeyPrefix + Paths.get(oldDir).getFileName.toString)
+        } yield (StatsKeyPrefix + Paths.get(newDir).getFileName.toString) -> stats
+      }
       touchDirs(rewrites.values)
-      if (writeManifestAtomic(v + 1, merged, txns, meta)) {
+      if (writeManifestAtomic(v + 1, merged, txns, meta ++ carriedStats)) {
         committed = v + 1
         val applied = rewrites.count { case (k, d) => merged.get(k).contains(d) }
         writeInfo(committed, "optimize", applied)

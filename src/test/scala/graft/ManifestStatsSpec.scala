@@ -86,17 +86,29 @@ class ManifestStatsSpec extends SparkSpec {
     assert(got == Set(7.0))
   }
 
-  test("missing stats degrade to candidate: optimize-rewritten dirs stay scannable") {
+  test("optimize carries stats to rewritten dirs (row-preserving rewrite keeps them true)") {
     val lake = fresh()
     seed(lake)
     // force a compaction rewrite of every partition (targetBytes tiny →
     // numOut 1, zorder forces rewrite even when file counts match)
     lake.optimize(targetBytes = 1L, zorderCols = Seq("id"))
-    // optimize carries no fresh stats — every partition must be a candidate
-    assert(lake.prunePartitions("score", 15.0, 25.0).toSet == Set("p1", "p2", "p3"))
-    // and readPruned still answers exactly (footer-grain pruning recovers)
+    // stats carried across the rewrite: pruning stays manifest-only
+    assert(lake.prunePartitions("score", 15.0, 25.0) == Seq("p1"))
     val got = lake.readPruned(Seq("score"), "score", 15.0, 25.0)
       .select("score").collect().map(_.getDouble(0)).toSet
     assert(got == Set(20.0))
+  }
+
+  test("missing stats degrade to candidate: an all-null column stores none, stays scannable") {
+    val lake = fresh()
+    lake.commit(
+      Seq((1L, Option.empty[Double], "p1"), (2L, Option.empty[Double], "p1"),
+        (3L, Some(5.0), "p2"))
+        .toDF("id", "score", "part"),
+      Seq("part"))
+    // p1's score is all-null → no stats entry → always a candidate
+    assert(lake.prunePartitions("score", 100.0, 200.0) == Seq("p1"))
+    // and the scan stays exact: no rows in range
+    assert(lake.readPruned(Seq("score"), "score", 100.0, 200.0).count() == 0L)
   }
 }
