@@ -72,6 +72,14 @@ object Functions {
       graft.expressions.LcsLength(
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** All non-overlapping match spans of `pattern` (a plan-time literal,
+    * compiled once) as `array<struct<start, end>>` in UTF-16 units —
+    * codegen'd [[graft.expressions.RegexSpans]].
+    */
+  def regexSpans(text: Column, pattern: String): Column =
+    ColumnBridge.column(
+      graft.expressions.RegexSpans(ColumnBridge.expression(text), pattern))
+
   /** Levenshtein-based similarity ratio in [0, 1]:
     * `1 - levenshtein(a,b) / max(len(a), len(b))`, 1.0 for two empty strings.
     * Oracle-portable alternative to [[seqRatio]] (DuckDB: `levenshtein`).

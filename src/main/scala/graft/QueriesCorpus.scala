@@ -740,6 +740,22 @@ object QueriesCorpus {
         docs.select(col("doc_id"), carrier.as("text")), "doc_id", "text")
     }),
 
+    // span-level PII audit through the REAL regex engine (codegen'd
+    // RegexSpans) against the same constructed carrier, whose match
+    // OFFSETS have a closed form the oracle states directly (the
+    // q_ev_rougel trick — corpus is pure ASCII, so code-point and UTF-16
+    // offsets coincide): hash-exact means Java's Matcher agrees with the
+    // arithmetic on every document
+    "q_tx_pii_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val carrier = when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com http://site"),
+          col("doc_id") % 7, lit(".org 10.0."), col("doc_id") % 256, lit(".1")))
+      TextAnalysis.piiSpans(
+        docs.select(col("doc_id"), carrier.as("text")), "doc_id", "text")
+    }),
+
     // dictionary keyword tagging: (doc, term) rows for an 8-term topic
     // dictionary entering as one literal array — per-row intersect
     "q_tx_tags" -> ((s, dir) =>
@@ -3659,6 +3675,19 @@ object QueriesCorpus {
         |SELECT doc_id, n_emails, n_urls, n_ips,
         |  (n_emails + n_urls + n_ips = 0) AS clean
         |FROM c""".stripMargin,
+    "q_tx_pii_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, length(text) AS l,
+        |    length(CAST(doc_id AS VARCHAR)) AS dd,
+        |    length(CAST(doc_id % 256 AS VARCHAR)) AS d256
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, 'email' AS kind,
+        |  CAST(l + 9 AS BIGINT) AS span_start,
+        |  CAST(l + dd + 25 AS BIGINT) AS span_end FROM d
+        |UNION ALL
+        |SELECT doc_id, 'url', CAST(l + dd + 26 AS BIGINT), CAST(l + dd + 42 AS BIGINT) FROM d
+        |UNION ALL
+        |SELECT doc_id, 'ip', CAST(l + dd + 43 AS BIGINT), CAST(l + dd + d256 + 50 AS BIGINT) FROM d""".stripMargin,
     "q_tx_tags" ->
       """SELECT doc_id,
         |  unnest(list_intersect(

@@ -1442,6 +1442,32 @@ object TextAnalysis {
       (nEmails + nUrls + nIps === 0L).as("clean"))
   }
 
+  /** Span-level PII audit: one `(id, kind, span_start, span_end)` row per
+    * sensitive match — the offsets [[piiAudit]]'s counts can't give a
+    * redaction reviewer (slice the exact characters; verify the scrub
+    * touched precisely them). Offsets are UTF-16 units (Java regex, the
+    * [[graft.expressions.RegexSpans]] contract); kinds are the shared
+    * email/url/ipv4 pattern family. One pass: a per-row literal
+    * (kind, spans) array explodes twice — no joins, no shuffles; output
+    * volume is the match count, never the corpus.
+    */
+  def piiSpans(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val kinds = array(
+      struct(lit("email").as("kind"),
+        graft.Functions.regexSpans(t, EmailPattern).as("spans")),
+      struct(lit("url").as("kind"),
+        graft.Functions.regexSpans(t, UrlPattern).as("spans")),
+      struct(lit("ip").as("kind"),
+        graft.Functions.regexSpans(t, Ipv4Pattern).as("spans")))
+    df.filter(t.isNotNull)
+      .select(col(idCol), explode(kinds).as("_k"))
+      .select(col(idCol), col("_k.kind").as("kind"), explode(col("_k.spans")).as("_s"))
+      .select(col(idCol), col("kind"),
+        col("_s.start").cast("long").as("span_start"),
+        col("_s.end").cast("long").as("span_end"))
+  }
+
   /** Dictionary keyword tagging: one `(id, term)` row per dictionary term
     * present in the document's token set — topic tagging, allow/block-list
     * routing, eval-suite tagging. The dictionary enters as ONE literal

@@ -211,6 +211,61 @@ class GraftExtensionsSpec extends SparkSpec {
 
   // ---- Utf16Length ---------------------------------------------------
 
+  // ---- RegexSpans ------------------------------------------------------
+
+  test("regex_spans: offsets, multiple matches, UTF-16 units, SQL surface") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val p = java.util.regex.Pattern.compile("\\d+")
+    def spansOf(s: String): Seq[(Int, Int)] = {
+      val a = graft.expressions.RegexSpans.spans(UTF8String.fromString(s), p)
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+      }
+    }
+    assert(spansOf("a12b345c") == Seq((1, 3), (4, 7)))
+    assert(spansOf("none") == Seq.empty)
+    // supplementary-plane prefix costs TWO UTF-16 units (Java Matcher
+    // semantics — the offsets a JVM consumer slices with)
+    assert(spansOf("🎉a7") == Seq((3, 4)))
+    // zero-width-capable pattern terminates (Matcher.find self-advances)
+    val z = java.util.regex.Pattern.compile("x*")
+    val za = graft.expressions.RegexSpans.spans(UTF8String.fromString("axa"), z)
+    assert(za.numElements() > 0)
+    // SQL surface via the shared builder table
+    val viaSql = spark.sql(
+      "SELECT regex_spans('a12b345c', '\\\\d+')").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(viaSql == Seq((1, 3), (4, 7)))
+    // non-literal pattern is refused loudly
+    val err = intercept[Exception] {
+      spark.sql("SELECT regex_spans('a', concat('b', 'c'))").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
+  test("piiSpans: kinds, offsets, and exact scrub-coverage of a crafted doc") {
+    import spark.implicits._
+    val text = "see http://x.io and mail a@b.co at 10.0.0.1 end"
+    val got = graft.ops.TextAnalysis.piiSpans(
+      Seq((1L, text)).toDF("id", "text"), "id", "text")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2).toInt, r.getLong(3).toInt)).toSet
+    assert(got == Set(
+      ("url", text.indexOf("http"), text.indexOf("http") + "http://x.io".length),
+      ("email", text.indexOf("a@b.co"), text.indexOf("a@b.co") + "a@b.co".length),
+      ("ip", text.indexOf("10.0"), text.indexOf("10.0") + "10.0.0.1".length)))
+    // the spans slice back to exactly the sensitive text
+    got.foreach { case (kind, s, e) =>
+      val sliced = text.substring(s, e)
+      kind match {
+        case "url" => assert(sliced == "http://x.io")
+        case "email" => assert(sliced == "a@b.co")
+        case "ip" => assert(sliced == "10.0.0.1")
+      }
+    }
+  }
+
   test("utf16_length equals Java String.length on valid strings") {
     val samples = Seq("", "abc", "café", "🎉", "a🎉b",
       "🎉😀", "日本語", "á̈", "�", "￿")
