@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, LcsLength, RegexSpans, SequenceRatio, SquaredDistance, UnicodeNormalize, Utf16Length}
+import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, LcsLength, RegexSpans, SequenceRatio, SquaredDistance, TokenEditDistance, UnicodeNormalize, Utf16Length}
 
 /** Config-driven injection point for the engine's Catalyst extensions —
   * the deployment path for a cluster user who never touches graft code:
@@ -71,6 +71,8 @@ object GraftExtensions {
       arity("utf16_length", 1)(e => Utf16Length(e.head))),
     ("lcs_len", "lcs_len(a, b) - longest common subsequence length of two array<string>",
       arity("lcs_len", 2)(e => LcsLength(e.head, e(1)))),
+    ("token_edit_distance", "token_edit_distance(a, b) - Levenshtein distance between two array<string> token sequences",
+      arity("token_edit_distance", 2)(e => TokenEditDistance(e.head, e(1)))),
     ("regex_spans", "regex_spans(s, pattern) - non-overlapping match spans as array<struct<start, end>> (UTF-16 units; pattern must be a string literal)",
       arity("regex_spans", 2)(e => e(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(p: org.apache.spark.unsafe.types.UTF8String, _) =>

@@ -251,7 +251,28 @@ object QueriesEval {
 
     // distinct-n generation-diversity ratios over the documents corpus
     "q_ev_distinctn" -> ((s, dir) =>
-      RankEval.distinctN(t(s, dir, "documents"), "doc_id", "text", maxN = 3)))
+      RankEval.distinctN(t(s, dir, "documents"), "doc_id", "text", maxN = 3)),
+
+    // per-doc TER through the REAL token-grain edit-distance DP against
+    // the q_ev_rougel closed-form references: deletion (dist = ⌊len/3⌋),
+    // prefix (dist = len − prefix), echo append (dist = appended count —
+    // the |len diff| lower bound is achievable in all three classes)
+    "q_ev_ter" -> ((s, dir) => {
+      val toks = filter(
+        split(trim(lower(col("text"))), "\\s+"), t => t =!= "")
+      val ref = when(col("doc_id") % 3 === 0,
+          concat_ws(" ", transform(toks,
+            (t, i) => when((i + 1) % 3 === 0, lit("")).otherwise(t))))
+        .when(col("doc_id") % 3 === 1,
+          concat_ws(" ", slice(toks, lit(1),
+            floor((size(toks) + 1) / lit(2.0)).cast("int"))))
+        .otherwise(concat(col("text"), lit(" "),
+          concat_ws(" ", slice(toks, lit(1), lit(10)))))
+      RankEval.ter(
+        t(s, dir, "documents").select(
+          col("doc_id").as("id"), col("text").as("cand"), ref.as("ref")),
+        "id", "cand", "ref")
+    }))
 
   /** Long-format (item, given, class, prob) fixture for confident
     * learning: three classes, probabilities = fractional parts of
@@ -360,6 +381,28 @@ object QueriesEval {
          |  ${passkSql(5)},
          |  ${passkSql(10)}
          |FROM a""".stripMargin,
+
+    "q_ev_ter" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                    x -> x <> '')) AS n
+        |  FROM documents),
+        |m AS (
+        |  SELECT id, n,
+        |    CASE WHEN id % 3 = 0 THEN n // 3
+        |         WHEN id % 3 = 1 THEN n - (n + 1) // 2
+        |         ELSE least(10, n) END AS edits,
+        |    CASE WHEN id % 3 = 0 THEN n - n // 3
+        |         WHEN id % 3 = 1 THEN (n + 1) // 2
+        |         ELSE n + least(10, n) END AS rn
+        |  FROM base)
+        |SELECT id, CAST(edits AS BIGINT) AS edits,
+        |  CAST(n AS BIGINT) AS cand_tokens, CAST(rn AS BIGINT) AS ref_tokens,
+        |  CASE WHEN rn = 0 AND n = 0 THEN 0.0
+        |       WHEN rn = 0 THEN NULL
+        |       ELSE floor(CAST(edits AS DOUBLE) / CAST(rn AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS ter
+        |FROM m""".stripMargin,
 
     "q_ev_rougel" ->
       """WITH base AS (

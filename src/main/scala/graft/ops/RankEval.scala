@@ -989,6 +989,39 @@ object RankEval {
             lit(2.0) * p * r / (p + r), 6)).as("f1"))
   }
 
+  /** Per-document TER (translation edit rate, Snover et al. 2006,
+    * shift-less variant — plain token edit distance over reference
+    * length, the widely-reported approximation): `ter = dist / |ref|`,
+    * with the distance from the codegen'd
+    * [[graft.expressions.TokenEditDistance]] (word grain — Spark's
+    * builtin `levenshtein` counts characters and over-penalizes long
+    * words). Output `(id, edits, cand_tokens, ref_tokens, ter)`; an empty
+    * reference with a non-empty candidate is all-insertions over nothing
+    * — ter NULL (undefined), both-empty is 0.0. Zero shuffle: the DP and
+    * the divide are per-row expressions, one codegen'd projection.
+    */
+  def ter(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String): DataFrame = {
+    def toks(c: String) = filter(Dedup.tokens(col(c)), t => t =!= "")
+    val d = org.apache.spark.sql.graft.ColumnBridge.column(graft.expressions.TokenEditDistance(
+      org.apache.spark.sql.graft.ColumnBridge.expression(toks(candCol)),
+      org.apache.spark.sql.graft.ColumnBridge.expression(toks(refCol)))).cast("long")
+    df.select(
+      col(idCol).as("id"),
+      d.as("edits"),
+      size(toks(candCol)).cast("long").as("cand_tokens"),
+      size(toks(refCol)).cast("long").as("ref_tokens"))
+      .select(col("id"), col("edits"), col("cand_tokens"), col("ref_tokens"),
+        when(col("ref_tokens") === 0L && col("cand_tokens") === 0L, lit(0.0))
+          .when(col("ref_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(graft.Functions.roundHalfUp(
+            col("edits").cast("double") / col("ref_tokens").cast("double"), 6))
+          .as("ter"))
+  }
+
   /** Corpus chrF (Popović 2015): character n-gram F-score over the
     * whitespace-stripped texts, n = 1..maxN (6, the paper's default),
     * `chrf = (1+β²)·P·R / (β²·P + R)` with β = 2 (recall-weighted) and

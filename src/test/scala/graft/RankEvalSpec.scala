@@ -445,6 +445,46 @@ class RankEvalSpec extends SparkSpec {
     }
   }
 
+  /** Independent full-matrix Levenshtein twin. */
+  private def editBrute(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+    for (i <- 0 to a.size) dp(i)(0) = i
+    for (j <- 0 to b.size) dp(0)(j) = j
+    for (i <- 1 to a.size; j <- 1 to b.size)
+      dp(i)(j) = math.min(
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1),
+        math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1))
+    dp(a.size)(b.size)
+  }
+
+  test("ter: hand values, empty conventions, fuzzed brute-DP twin") {
+    val got = RankEval.ter(
+      Seq(
+        (1L, "the cat sat", "the cat is sat"),  // 1 insertion / ref 4
+        (2L, "a b c", "x y z"),                  // 3 substitutions / ref 3
+        (3L, "", ""),                            // both empty → 0.0
+        (4L, "some cand", "")).toDF("id", "cand", "ref"),
+      "id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("edits") == 1L)
+    assert(got(1L).getAs[Double]("ter") == 0.25)
+    assert(got(2L).getAs[Double]("ter") == 1.0)
+    assert(got(3L).getAs[Double]("ter") == 0.0)
+    assert(got(4L).isNullAt(got(4L).fieldIndex("ter")), "empty ref is undefined")
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("p", "q", "r", "s")
+    (0 until 150).foreach { _ =>
+      val a = Seq.fill(rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+      val b = Seq.fill(rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      val gotD = graft.expressions.TokenEditDistance.dist(
+        ArrayData.toArrayData(a.map(UTF8String.fromString).toArray),
+        ArrayData.toArrayData(b.map(UTF8String.fromString).toArray))
+      assert(gotD == editBrute(a, b), s"$a vs $b")
+    }
+  }
+
   test("rougeL: hand precision/recall/F1 and empty-side conventions") {
     val got = RankEval.rougeL(
       Seq(
