@@ -53,7 +53,10 @@ class GraftExtensionsSpec extends SparkSpec {
           |  vec_normalize(array(3d, 4d))[0] AS nx,
           |  unicode_nfc('café') AS nfc,
           |  unicode_nfkc('ﬁn') AS nfkc,
-          |  utf16_length('a🎉') AS ul
+          |  utf16_length('a🎉') AS ul,
+          |  lcs_len(array('a','b','c'), array('b','c')) AS lcs,
+          |  token_edit_distance(array('a','b'), array('a','x')) AS ted,
+          |  size(regex_spans('a1b22', '\\d+')) AS nsp
           |""".stripMargin).head()
       assert(math.abs(row.getDouble(0) - SequenceRatio.ratio("lamar blvd", "lamar")) < 1e-15)
       assert(row.getDouble(1) == 11.0)
@@ -64,6 +67,7 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getString(6) == "café")
       assert(row.getString(7) == "fin")
       assert(row.getInt(8) == 3) // 1 BMP char + 1 supplementary = 3 UTF-16 units
+      assert(row.getInt(9) == 2 && row.getInt(10) == 1 && row.getInt(11) == 2)
     }
   }
 
