@@ -368,7 +368,12 @@ object QueriesExtra {
           graft.sources.Interchange.writeJsonl(docs, tmp)
           graft.sources.Interchange.readJsonl(s, tmp, docs.schema)
         case "avro" =>
-          graft.sources.Avro.writeAvro(docs, tmp)
+          // carry a decimal column through the container round-trip: encodes
+          // as `bytes` + `decimal(13,3)` logical type, decodes at the file's
+          // scale — the one previously-refused type a lake user actually hits
+          val withDec = docs.withColumn("price",
+            expr("cast(n_chars as decimal(12,3)) + cast(0.125 as decimal(4,3))"))
+          graft.sources.Avro.writeAvro(withDec, tmp)
           graft.sources.Avro.readAvro(s, tmp)
       }
     })
@@ -816,7 +821,9 @@ object QueriesExtra {
         |WHERE s_suppkey % 7 = 0""".stripMargin,
     "q_fmt_orc" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_fmt_jsonl" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
-    "q_fmt_avro" -> "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_fmt_avro" ->
+      ("SELECT doc_id, text, lang, source, n_chars, " +
+        "CAST(n_chars AS DECIMAL(12,3)) + CAST(0.125 AS DECIMAL(4,3)) AS price FROM documents"),
     "q_tt_snapshot" ->
       """SELECT o_orderkey, o_orderstatus, 'first' AS pointer, 'v1' AS snap FROM orders
         |UNION ALL

@@ -27,10 +27,14 @@ import org.apache.spark.sql.types._
   * serializable — conversion happens inside the scan task).
   *
   * Type surface (both directions): boolean, int, long, float, double,
-  * string, binary, date (int/`date`), timestamp (long/`timestamp-micros`),
-  * arrays, string-keyed maps, nested structs; nullable ⇔ `union(null, T)`.
-  * Avro enum/fixed read as string/binary. Decimals and non-nullable unions
-  * are REFUSED loudly (v1 contract) rather than silently approximated.
+  * string, binary, date (int/`date`), timestamp (long/`timestamp-micros`
+  * or `timestamp-millis` — externally-written millis files read back
+  * correctly, scaled ×1000 to Catalyst micros), decimal(p,s) (written as
+  * `bytes` + `decimal` logical type; read from `bytes` OR `fixed` +
+  * `decimal`), arrays, string-keyed maps, nested structs; nullable ⇔
+  * `union(null, T)`. Avro enum/fixed-without-decimal read as
+  * string/binary. Multi-branch non-null unions are REFUSED loudly rather
+  * than silently approximated.
   */
 object Avro {
 
@@ -50,6 +54,9 @@ object Avro {
         LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
       case TimestampType =>
         LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
       case ArrayType(elem, containsNull) =>
         Schema.createArray(nullable(field(elem, s"$path.element"), containsNull))
       case MapType(StringType, v, valueContainsNull) =>
@@ -58,7 +65,7 @@ object Avro {
       case other =>
         throw new IllegalArgumentException(
           s"unsupported type for Avro interchange at $path: ${other.catalogString} " +
-            "(decimals and exotic types are out of the v1 contract)")
+            "(exotic types are out of the v1 contract)")
     }
     def nullable(s: Schema, isNullable: Boolean): Schema =
       if (isNullable) Schema.createUnion(Schema.create(Schema.Type.NULL), s) else s
@@ -103,9 +110,10 @@ object Avro {
       case Schema.Type.DOUBLE => (DoubleType, false)
       case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
       case Schema.Type.BYTES | Schema.Type.FIXED =>
-        require(s.getLogicalType == null || s.getLogicalType.getName != "decimal",
-          s"Avro decimal at $path is out of the v1 contract")
-        (BinaryType, false)
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal => (DecimalType(d.getPrecision, d.getScale), false)
+          case _ => (BinaryType, false)
+        }
       case Schema.Type.ARRAY =>
         val (dt, n) = convert(s.getElementType, s"$path.element")
         (ArrayType(dt, n), false)
@@ -139,6 +147,12 @@ object Avro {
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(x)
     case (x: java.time.LocalDate, DateType) => x.toEpochDay.toInt
     case (x: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(x)
+    // decimal → two's-complement unscaled bytes at the schema's scale
+    // (the Avro `decimal` logical-type contract)
+    case (x: java.math.BigDecimal, d: DecimalType) =>
+      java.nio.ByteBuffer.wrap(x.setScale(d.scale).unscaledValue().toByteArray)
+    case (x: scala.math.BigDecimal, d: DecimalType) =>
+      java.nio.ByteBuffer.wrap(x.underlying().setScale(d.scale).unscaledValue().toByteArray)
     // Row returns mutable.ArraySeq / collection.Map — match the BASE trait,
     // not the 2.13 immutable default alias, or arrays silently fall through
     case (x: scala.collection.Seq[_], ArrayType(elem, _)) =>
@@ -170,31 +184,59 @@ object Avro {
     rec
   }
 
-  private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+  /** `fieldSchema` is the (possibly union-wrapped) Avro schema of THIS
+    * value, from the file header — logical-type details the Catalyst type
+    * alone can't carry (timestamp-millis vs -micros, decimal scale) decode
+    * from it, so externally-written files read back exactly.
+    */
+  private def fromAvroValue(v: Any, dt: DataType, fieldSchema: Schema): Any = (v, dt) match {
     case (null, _) => null
     case (x: org.apache.avro.util.Utf8, StringType) => x.toString
     case (x: CharSequence, StringType) => x.toString
     case (x: org.apache.avro.generic.GenericEnumSymbol[_], StringType) => x.toString
     case (x: java.lang.Long, TimestampType) =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(x)
+      val lt = Option(nonNull(fieldSchema).getLogicalType).map(_.getName)
+      val micros = if (lt.contains("timestamp-millis")) x * 1000L else x.longValue()
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(micros)
     case (x: java.lang.Integer, DateType) =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(x)
+    case (x: java.nio.ByteBuffer, d: DecimalType) =>
+      val b = new Array[Byte](x.remaining()); x.duplicate().get(b)
+      decimalFrom(b, d, fieldSchema)
+    case (x: org.apache.avro.generic.GenericFixed, d: DecimalType) =>
+      decimalFrom(x.bytes(), d, fieldSchema)
     case (x: java.nio.ByteBuffer, BinaryType) =>
       val b = new Array[Byte](x.remaining()); x.duplicate().get(b); b
     case (x: org.apache.avro.generic.GenericFixed, BinaryType) => x.bytes().clone()
     case (x: java.util.List[_], ArrayType(elem, _)) =>
-      x.asScala.map(fromAvroValue(_, elem)).toSeq
+      val es = nonNull(fieldSchema).getElementType
+      x.asScala.map(fromAvroValue(_, elem, es)).toSeq
     case (x: java.util.Map[_, _], MapType(_, vt, _)) =>
-      x.asScala.map { case (k, value) => k.toString -> fromAvroValue(value, vt) }.toMap
+      val vs = nonNull(fieldSchema).getValueType
+      x.asScala.map { case (k, value) => k.toString -> fromAvroValue(value, vt, vs) }.toMap
     case (x: GenericRecord, st: StructType) => recordToRow(x, st)
     case (x, _) => x
+  }
+
+  /** Unscaled two's-complement bytes → BigDecimal at the FILE's scale (the
+    * writer's logical type is the truth), rescaled to the requested
+    * Catalyst scale only when an explicit read schema asks for a different
+    * one (exact rescale — refuse on precision loss via ArithmeticException).
+    */
+  private def decimalFrom(unscaled: Array[Byte], d: DecimalType, fieldSchema: Schema): java.math.BigDecimal = {
+    val fileScale = nonNull(fieldSchema).getLogicalType match {
+      case dec: LogicalTypes.Decimal => dec.getScale
+      case _ => d.scale
+    }
+    val bd = new java.math.BigDecimal(new java.math.BigInteger(unscaled), fileScale)
+    if (fileScale == d.scale) bd else bd.setScale(d.scale)
   }
 
   private def recordToRow(rec: GenericRecord, st: StructType): Row =
     Row.fromSeq(st.fields.toSeq.map { f =>
       // field may be absent when reading with a file's own schema subset
-      val raw = if (rec.getSchema.getField(f.name) == null) null else rec.get(f.name)
-      fromAvroValue(raw, f.dataType)
+      val af = rec.getSchema.getField(f.name)
+      if (af == null) null else fromAvroValue(rec.get(f.name), f.dataType, af.schema())
     })
 
   // ---- read / write -------------------------------------------------------
@@ -207,6 +249,11 @@ object Avro {
     val avroJson = toAvroSchema(st).toString
     val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(avroJson))
+    // avro.output.codec is only consulted when Hadoop output compression is
+    // ON (AvroOutputFormatBase.getCompressionCodec checks
+    // FileOutputFormat.getCompressOutput first) — enable it, or the codec
+    // setting is silently ignored and files come out uncompressed
+    org.apache.hadoop.mapreduce.lib.output.FileOutputFormat.setCompressOutput(job, true)
     job.getConfiguration.set("avro.output.codec", "snappy")
     df.rdd.mapPartitions { rows =>
       // Schema is not serializable: parse once per task from the JSON

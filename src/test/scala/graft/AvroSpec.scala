@@ -98,10 +98,7 @@ class AvroSpec extends SparkSpec {
     assert(r.getAs[Row]("q").getAs[Row]("x").getBoolean(1))
   }
 
-  test("refusals: decimal out of contract; multi-branch unions refused on read") {
-    val dec = StructType(Seq(StructField("d", DecimalType(10, 2), nullable = true)))
-    val e = intercept[IllegalArgumentException](Avro.toAvroSchema(dec))
-    assert(e.getMessage.contains("unsupported type"))
+  test("refusals: multi-branch unions refused on read") {
     val union = org.apache.avro.SchemaBuilder.record("r").fields()
       .name("u").`type`(org.apache.avro.Schema.createUnion(
         org.apache.avro.Schema.create(org.apache.avro.Schema.Type.INT),
@@ -109,6 +106,81 @@ class AvroSpec extends SparkSpec {
       .noDefault().endRecord()
     val e2 = intercept[IllegalArgumentException](Avro.toCatalystType(union))
     assert(e2.getMessage.contains("union"))
+  }
+
+  test("decimal round-trips at several precisions incl. >18 digits and negatives") {
+    val df = spark.sql("""
+      SELECT * FROM VALUES
+        (CAST( 12.34   AS DECIMAL(10,2)), CAST( 0.000000001 AS DECIMAL(20,9)),
+         CAST( 12345678901234567890.12345 AS DECIMAL(25,5)), CAST(7 AS DECIMAL(3,0))),
+        (CAST(-12.34   AS DECIMAL(10,2)), CAST(-123456789.987654321 AS DECIMAL(20,9)),
+         CAST(-12345678901234567890.12345 AS DECIMAL(25,5)), CAST(-999 AS DECIMAL(3,0))),
+        (CAST( 0.01    AS DECIMAL(10,2)), CAST(0 AS DECIMAL(20,9)),
+         NULL, NULL)
+      AS t(a, b, c, d)""")
+    val dir = tmp()
+    Avro.writeAvro(df, dir)
+    val back = Avro.readAvro(spark, dir)
+    assert(back.schema == df.schema)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // schema conversion is the identity for decimals too
+    assert(Avro.toCatalystType(Avro.toAvroSchema(df.schema)) == df.schema)
+  }
+
+  test("externally-written timestamp-millis and fixed-decimal files decode exactly") {
+    import org.apache.avro.{LogicalTypes, Schema}
+    import org.apache.avro.generic.GenericData
+    // hand-write a container file the way a foreign writer would: long +
+    // timestamp-millis, fixed(4) + decimal(9,2) — neither is what writeAvro
+    // emits, so this pins the read-side logical-type handling
+    val millisS = LogicalTypes.timestampMillis().addToSchema(Schema.create(Schema.Type.LONG))
+    val fixedS = LogicalTypes.decimal(9, 2).addToSchema(
+      Schema.createFixed("dec92", null, "ext", 4))
+    val rec = Schema.createRecord("ext_rec", null, "ext", false, java.util.List.of(
+      new Schema.Field("ts", millisS, null, null.asInstanceOf[Object]),
+      new Schema.Field("amt", fixedS, null, null.asInstanceOf[Object])))
+    val dir = tmp()
+    new java.io.File(dir).mkdirs()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](rec))
+    w.create(rec, new java.io.File(dir, "part-00000.avro"))
+    val r1 = new GenericData.Record(rec)
+    r1.put("ts", 1709210096123L) // 2024-02-29 12:34:56.123 UTC, in MILLIS
+    // 1234.56 at scale 2 → unscaled 123456, big-endian two's complement in 4 bytes
+    r1.put("amt", new GenericData.Fixed(fixedS,
+      java.nio.ByteBuffer.allocate(4).putInt(123456).array()))
+    w.append(r1)
+    val r2 = new GenericData.Record(rec)
+    r2.put("ts", -1000L) // pre-epoch millis
+    r2.put("amt", new GenericData.Fixed(fixedS,
+      java.nio.ByteBuffer.allocate(4).putInt(-250).array())) // -2.50
+    w.append(r2)
+    w.close()
+    val back = Avro.readAvro(spark, dir).orderBy(desc("ts"))
+    assert(back.schema == StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("amt", DecimalType(9, 2), nullable = false))))
+    val rows = back.collect()
+    assert(rows(0).getAs[java.sql.Timestamp]("ts").getTime == 1709210096123L,
+      "millis timestamp must not be read as micros (1000x too small)")
+    assert(rows(0).getAs[java.math.BigDecimal]("amt") == new java.math.BigDecimal("1234.56"))
+    assert(rows(1).getAs[java.sql.Timestamp]("ts").getTime == -1000L)
+    assert(rows(1).getAs[java.math.BigDecimal]("amt") == new java.math.BigDecimal("-2.50"))
+  }
+
+  test("written container files actually carry the snappy codec") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val dir = tmp()
+    Avro.writeAvro(docs, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/part-*")).head.getPath
+    val in = new org.apache.avro.mapred.FsInput(part, conf)
+    val r = new org.apache.avro.file.DataFileReader(
+      in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try assert(r.getMetaString("avro.codec") == "snappy",
+      "codec setting is ignored unless Hadoop output compression is enabled")
+    finally r.close()
   }
 
   test("explicit-schema read projects a column subset (absent fields null)") {
