@@ -73,11 +73,25 @@ object GraftExtensions {
       arity("lcs_len", 2)(e => LcsLength(e.head, e(1)))),
     ("token_edit_distance", "token_edit_distance(a, b) - Levenshtein distance between two array<string> token sequences",
       arity("token_edit_distance", 2)(e => TokenEditDistance(e.head, e(1)))),
-    ("regex_spans", "regex_spans(s, pattern) - non-overlapping match spans as array<struct<start, end>> (UTF-16 units; pattern must be a string literal)",
-      arity("regex_spans", 2)(e => e(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(p: org.apache.spark.unsafe.types.UTF8String, _) =>
-          RegexSpans(e.head, p.toString)
-        case other => throw new IllegalArgumentException(
-          s"regex_spans pattern must be a string literal, got $other")
+    ("regex_spans", "regex_spans(s, pattern) - non-overlapping match spans as array<struct<start, end>> (UTF-16 units; pattern must fold to a string constant)",
+      arity("regex_spans", 2)(e => {
+        // any foldable string expression works ('a' || 'b', CAST of a
+        // literal, ...) — it is constant at plan time, which is all the
+        // pre-compiled RegexSpans needs; non-constant patterns get a proper
+        // AnalysisException, not a raw IllegalArgumentException
+        import org.apache.spark.sql.types.StringType
+        def refuse(why: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            "INVALID_PARAMETER_VALUE.PATTERN",
+            Map("parameter" -> "`pattern`", "functionName" -> "`regex_spans`",
+              "value" -> why))
+        val pat = e(1)
+        if (pat.foldable && pat.dataType == StringType) {
+          pat.eval() match {
+            case p: org.apache.spark.unsafe.types.UTF8String => RegexSpans(e.head, p.toString)
+            case null => refuse("NULL (the pattern must not be null)")
+          }
+        } else refuse(
+          s"${pat.sql} (must be a foldable string expression, constant at plan time)")
       })))
 }

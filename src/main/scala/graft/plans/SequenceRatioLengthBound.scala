@@ -80,7 +80,14 @@ object SequenceRatioLengthBound extends Rule[LogicalPlan] with PredicateHelper {
     * all are null), and a null pair's bound is null — `null OR true` is
     * still true, so a kept row can never fail the disjunction.
     */
-  private def boundFor(p: Expression): Option[Expression] = p match {
+  private def boundFor(p: Expression): Option[Expression] = if (!p.deterministic) {
+    // the bound re-evaluates sr.left/sr.right inside new Utf16Length
+    // expressions — sound only when they produce the same value both times.
+    // A non-deterministic input (rand()-derived etc.) would see DIFFERENT
+    // values in the bound vs the ratio and could drop rows the original
+    // predicate keeps; skip, matching Catalyst's usual rule discipline.
+    None
+  } else p match {
     case GreaterThanOrEqual(Ratios(rs), Literal(t: Double, DoubleType)) if t > 0 =>
       Some(boundAny(rs, t, strict = false))
     case GreaterThan(Ratios(rs), Literal(t: Double, DoubleType)) if t > 0 =>

@@ -211,6 +211,25 @@ class GraftExtensionsSpec extends SparkSpec {
       .filter(Functions.seqRatio(col("a"), col("b")) >= lit(0.0))
       .queryExecution.optimizedPlan
     assert(!noBound.exists(_.expressions.exists(_.exists(_.isInstanceOf[Utf16Length]))))
+
+    // non-deterministic ratio inputs: untouched (the bound would re-evaluate
+    // them with different values and could drop rows the predicate keeps).
+    // The analyzer's PullOutNondeterministic normally protects Filter, so
+    // exercise the rule directly on a raw plan the way another rule or a
+    // manual caller could hand it one.
+    {
+      import org.apache.spark.sql.catalyst.dsl.expressions._
+      import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, If, LessThan, Literal, Rand}
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      import graft.expressions.SequenceRatio
+      val rel = LocalRelation($"a".string, $"b".string)
+      val nondetCond = GreaterThanOrEqual(
+        SequenceRatio(If(LessThan(Rand(7), Literal(0.5)), $"a", $"b"), $"b"),
+        Literal(0.8))
+      val plan = org.apache.spark.sql.catalyst.plans.logical.Filter(nondetCond, rel)
+      assert(SequenceRatioLengthBound(plan) eq plan,
+        "non-deterministic threshold conjunct must not get a length bound")
+    }
   }
 
   // ---- Utf16Length ---------------------------------------------------
@@ -241,11 +260,23 @@ class GraftExtensionsSpec extends SparkSpec {
       .getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getInt(0), r.getInt(1)))
     assert(viaSql == Seq((1, 3), (4, 7)))
-    // non-literal pattern is refused loudly
-    val err = intercept[Exception] {
-      spark.sql("SELECT regex_spans('a', concat('b', 'c'))").collect()
+    // foldable (but non-literal) patterns are fine — constant at plan time
+    val folded = spark.sql("SELECT regex_spans('a12b345c', concat('\\\\d', '+'))").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(folded == Seq((1, 3), (4, 7)))
+    val castLit = spark.sql("SELECT size(regex_spans('a1b2', CAST('\\\\d' AS STRING)))").head().getInt(0)
+    assert(castLit == 2)
+    // non-constant pattern is refused with a proper AnalysisException
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT regex_spans(c, c) FROM VALUES ('a') AS t(c)").collect()
     }
-    assert(err.getMessage.contains("literal"))
+    assert(err.getMessage.contains("regex_spans") && err.getMessage.contains("foldable"))
+    // null pattern refused too
+    val errNull = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT regex_spans('a', CAST(NULL AS STRING))").collect()
+    }
+    assert(errNull.getMessage.contains("null"))
   }
 
   test("piiSpans: kinds, offsets, and exact scrub-coverage of a crafted doc") {
