@@ -102,6 +102,42 @@ object Functions {
     c * lit(3961.0 * 5280.0)
   }
 
+  /** Slippy-map tile x-coordinate at `zoom` (OSM tile-name convention:
+    * `xtile = ⌊(lon+180)/360 · 2^z⌋` — reference `docs/sharedstreets.md`
+    * carries the same deg2num conversion in its investigation notes; the
+    * formula itself is the public OpenStreetMap slippy-tilenames spec).
+    * Pure per-row arithmetic on codegen'd built-ins.
+    */
+  def tileX(lon: Column, zoom: Int): Column = {
+    require(zoom >= 0 && zoom <= 22, s"tile zoom $zoom out of range [0, 22]")
+    floor((lon + lit(180.0)) / lit(360.0) * lit(math.pow(2.0, zoom))).cast("long")
+  }
+
+  /** Slippy-map tile y-coordinate at `zoom`:
+    * `ytile = ⌊(1 − ln(tan φ + sec φ)/π)/2 · 2^z⌋` (the Mercator form of
+    * the OSM spec — `ln(tan φ + sec φ)` ≡ `asinh(tan φ)`, written without
+    * asinh so the SAME expression runs on engines that lack it).
+    */
+  def tileY(lat: Column, zoom: Int): Column = {
+    require(zoom >= 0 && zoom <= 22, s"tile zoom $zoom out of range [0, 22]")
+    val phi = radians(lat)
+    val mercator = log(tan(phi) + lit(1.0) / cos(phi))
+    floor((lit(1.0) - mercator / lit(math.Pi)) / lit(2.0) * lit(math.pow(2.0, zoom)))
+      .cast("long")
+  }
+
+  /** SharedStreets-style intersection key: full-width md5 hex (32 chars) of
+    * the message `"Intersection <lon> <lat>"` with coordinates fixed to 5
+    * decimals — the deterministic geography-derived ID convention of the
+    * SharedStreets referencing system (hash of a typed message over rounded
+    * coordinates, lon-lat order; reference `docs/sharedstreets.md` notes
+    * "MD5 hashing ... took the first 32 characters", which IS the full md5
+    * hex width). Deterministic ⇒ usable as an equi-join key between
+    * datasets that never shared surrogate IDs.
+    */
+  def intersectionId(lon: Column, lat: Column): Column =
+    md5(format_string("Intersection %.5f %.5f", lon, lat))
+
   /** Normalize a 32-hex-char GUID to dashed 8-4-4-4-12 form (reference
     * `gs_ready.py:232-233` inserts dashes the same way).
     */

@@ -247,6 +247,21 @@ object QueriesRelational {
           .as("dist_ft"))
     }),
 
+    // §2.10 SharedStreets-style geo referencing (reference
+    // docs/sharedstreets.md): slippy-tile coordinates at the doc's
+    // recommended zoom 12 + the md5 intersection key, composed with the
+    // same synthetic lat/lon grid as q_sc_haversine — per-row codegen'd
+    // built-ins only (floor/log/tan/cos/md5/format_string)
+    "q_sc_geotile" -> ((s, dir) => {
+      val lat = col("n_nationkey") * 3 % 120 - 60 + 0.5
+      val lon = col("n_nationkey") * 7 % 340 - 170 + 0.5
+      t(s, dir, "nation").select(
+        col("n_nationkey"),
+        Functions.tileX(lon, 12).as("tile_x"),
+        Functions.tileY(lat, 12).as("tile_y"),
+        Functions.intersectionId(lon, lat).as("intersection_id"))
+    }),
+
     // §2.10 GUID dash normalization (reference gs_ready.py:232-233)
     "q_sc_guid" -> ((s, dir) =>
       t(s, dir, "lineitem").select(
@@ -439,6 +454,16 @@ object QueriesRelational {
         |    sqrt(1.0 - (pow(sin(radians(30.2672 - lat)/2), 2)
         |      + cos(radians(lat)) * cos(radians(30.2672)) * pow(sin(radians(-97.7431 - lon)/2), 2))))
         |    * 20914080.0 + 0.5) AS dist_ft
+        |FROM p""".stripMargin,
+    "q_sc_geotile" ->
+      """WITH p AS (SELECT n_nationkey,
+        |    n_nationkey * 3 % 120 - 60 + 0.5 AS lat,
+        |    n_nationkey * 7 % 340 - 170 + 0.5 AS lon FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(floor((lon + 180.0) / 360.0 * 4096.0) AS BIGINT) AS tile_x,
+        |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 4096.0)
+        |    AS BIGINT) AS tile_y,
+        |  md5(printf('Intersection %.5f %.5f', lon, lat)) AS intersection_id
         |FROM p""".stripMargin,
     "q_sc_guid" ->
       """WITH g AS (SELECT l_orderkey, l_linenumber,

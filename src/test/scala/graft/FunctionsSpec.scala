@@ -63,6 +63,39 @@ class FunctionsSpec extends SparkSpec {
     assert(d > 4000 && d < 4600, s"got $d ft")
   }
 
+  test("tileX/tileY match the OSM slippy-tilenames formula; intersectionId is stable md5") {
+    // independent reference implementation of the published OSM formula
+    def deg2num(lat: Double, lon: Double, z: Int): (Long, Long) = {
+      val n = math.pow(2.0, z)
+      val x = math.floor((lon + 180.0) / 360.0 * n).toLong
+      val y = math.floor(
+        (1.0 - math.log(math.tan(math.toRadians(lat)) +
+          1.0 / math.cos(math.toRadians(lat))) / math.Pi) / 2.0 * n).toLong
+      (x, y)
+    }
+    val pts = Seq( // (lat, lon, zoom): the sharedstreets.md example, a
+      // N-hemisphere and S-hemisphere point, near-antimeridian, zoom 0
+      (30.23, -97.77, 12), (47.4707, 10.2, 17), (-33.8688, 151.2093, 12),
+      (64.15, -179.99, 8), (30.23, -97.77, 0))
+    for (((la, lo, z), i) <- pts.zipWithIndex) {
+      val (ex, ey) = deg2num(la, lo, z)
+      val r = spark.range(1).select(
+        Functions.tileX(lit(lo), z).as("x"), Functions.tileY(lit(la), z).as("y")).head()
+      assert((r.getLong(0), r.getLong(1)) == ((ex, ey)), s"point $i ($la, $lo, z=$z)")
+    }
+    // the doc's own example point at its recommended zoom 12
+    assert(deg2num(30.23, -97.77, 12) == ((935L, 1686L)))
+    // intersection key: full 32-hex md5 of the typed lon-lat message
+    val id = eval1[String](Functions.intersectionId(lit(-97.77), lit(30.23)))
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("Intersection -97.77000 30.23000".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(id == exp && id.length == 32)
+    // deterministic join key: same coordinates ⇒ same id, regardless of source
+    assert(eval1[String](Functions.intersectionId(lit(-97.77), lit(30.23))) == id)
+    assert(eval1[String](Functions.intersectionId(lit(-97.771), lit(30.23))) != id)
+  }
+
   test("parseTimestampFlexible: format list, ISO fallback, epoch fallback, null on garbage") {
     val df = Seq(
       "01/15/2020 08:30:00 AM", // bt format
