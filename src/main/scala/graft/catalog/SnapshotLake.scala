@@ -528,6 +528,102 @@ class SnapshotLake(spark: SparkSession, root: String) {
       _.split(";").map(java.net.URLDecoder.decode(_, "UTF-8")).toSet
     }
 
+  // ---- zero-rewrite type widening (the other half of the Delta/Iceberg
+  // schema-evolution contract) -------------------------------------------
+  //
+  // Meta key "typemap": `phys=catalogString;...` — each entry promotes a
+  // physical column's LOGICAL type to a strictly wider one (byte→short→
+  // int→long, float→double). Data files are never rewritten: old files
+  // keep their narrow physical type, new batches store the wide one, and
+  // reads reconcile by handing the scan an EXPLICIT read schema at the
+  // wide type — Spark's parquet reader up-converts narrow file columns
+  // into a wider requested type natively (vectorized, no post-scan cast).
+
+  /** physical name → widened logical type, parsed from meta. */
+  private def typeMapOf(
+      meta: Map[String, String]): Map[String, org.apache.spark.sql.types.DataType] =
+    meta.get("typemap").filter(_.nonEmpty).fold(
+      Map.empty[String, org.apache.spark.sql.types.DataType]) {
+      _.split(";").map { pair =>
+        val Array(p, t) = pair.split("=", 2)
+        java.net.URLDecoder.decode(p, "UTF-8") ->
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(
+            java.net.URLDecoder.decode(t, "UTF-8"))
+      }.toMap
+    }
+
+  private def metaWithTypes(
+      meta: Map[String, String],
+      typeMap: Map[String, org.apache.spark.sql.types.DataType]): Map[String, String] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    if (typeMap.isEmpty) meta - "typemap"
+    else meta + ("typemap" -> typeMap.toSeq.sortBy(_._1)
+      .map { case (p, t) => s"${enc(p)}=${enc(t.catalogString)}" }.mkString(";"))
+  }
+
+  /** Lossless widening lattice: strictly-increasing rank within one numeric
+    * family. Everything else (narrowing, cross-family, decimals, strings)
+    * is NOT a widening — callers refuse loudly.
+    */
+  private def widenRank(dt: org.apache.spark.sql.types.DataType): Option[(String, Int)] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => Some(("integral", 1))
+      case ShortType => Some(("integral", 2))
+      case IntegerType => Some(("integral", 3))
+      case LongType => Some(("integral", 4))
+      case FloatType => Some(("fractional", 1))
+      case DoubleType => Some(("fractional", 2))
+      case _ => None
+    }
+  }
+
+  private def widensTo(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    (widenRank(from), widenRank(to)) match {
+      case (Some((fa, fr)), Some((ta, tr))) => fa == ta && fr < tr
+      case _ => false
+    }
+
+  /** The multi-dir parquet scan every read path shares. Without widened
+    * types this is the plain mergeSchema scan; with them, file footers can
+    * legitimately DISAGREE on a column's type (pre-widen files are narrow,
+    * post-widen files wide), which mergeSchema refuses — so the merged
+    * schema is built here instead, resolving each mapped column to its
+    * widened type (after checking every file-level type actually widens to
+    * it), and handed to the scan as an explicit read schema. Absent
+    * columns still read as NULL (the schema-evolution contract), and the
+    * parquet reader up-converts narrow columns in place.
+    */
+  private def scanDirs(paths: Seq[String], meta: Map[String, String]): DataFrame = {
+    val tmap = typeMapOf(meta)
+    if (tmap.isEmpty) {
+      if (paths.size == 1) spark.read.parquet(paths.head)
+      else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    } else {
+      val merged = scala.collection.mutable.LinkedHashMap
+        .empty[String, org.apache.spark.sql.types.DataType]
+      for (p <- paths; f <- spark.read.parquet(p).schema.fields) {
+        val target = tmap.getOrElse(f.name, f.dataType)
+        require(f.dataType == target || widensTo(f.dataType, target),
+          s"column '${f.name}' stored as ${f.dataType.catalogString} under $p " +
+            s"cannot be read at ${target.catalogString} — not a lossless widening")
+        merged.get(f.name) match {
+          case None => merged += f.name -> target
+          case Some(prev) => require(prev == target,
+            s"column '${f.name}' has conflicting types across files " +
+              s"(${prev.catalogString} vs ${target.catalogString}) with no " +
+              "widening registered — widenColumn first")
+        }
+      }
+      val readSchema = org.apache.spark.sql.types.StructType(merged.toSeq.map {
+        case (n, t) => org.apache.spark.sql.types.StructField(n, t, nullable = true)
+      })
+      spark.read.schema(readSchema).parquet(paths: _*)
+    }
+  }
+
   private def metaWith(
       meta: Map[String, String],
       colMap: Map[String, String],
@@ -669,7 +765,26 @@ class SnapshotLake(spark: SparkSession, root: String) {
           "renamed-away or dropped column's storage name stays reserved (old " +
           "files still hold its data and mergeSchema would resurrect it). " +
           "Pick a different logical name, or restore the old schema first.")
-      df.select(df.columns.map(c => col(c).as(reverse.getOrElse(c, c))).toSeq: _*)
+      // widened columns: new files store the WIDE type uniformly (a batch
+      // still arriving at the pre-widen narrow type up-casts losslessly
+      // here), so footer stats and later scans see one post-widen type.
+      // Only LOSSLESS up-casts are applied — a batch with an unrelated
+      // type is refused, never silently coerced.
+      val tmap = typeMapOf(meta)
+      df.select(df.columns.map { c =>
+        val phys = reverse.getOrElse(c, c)
+        val base = tmap.get(phys) match {
+          case None => col(c)
+          case Some(target) =>
+            val bt = df.schema(c).dataType
+            require(bt == target || widensTo(bt, target),
+              s"batch column '$c' is ${bt.catalogString}, but the column is " +
+                s"widened to ${target.catalogString} — only the registered type " +
+                "or a type that losslessly widens to it may be written")
+            col(c).cast(target)
+        }
+        base.as(phys)
+      }.toSeq: _*)
     }
 
   // txns and meta are deliberately NOT defaulted: every commit path must
@@ -755,14 +870,12 @@ class SnapshotLake(spark: SparkSession, root: String) {
     if (entries.size == 1) {
       val (key, dir) = entries.head
       partitionCols.zip(valuesOf(key))
-        .foldLeft(logicalize(spark.read.parquet(resolveDir(dir)), meta)) {
+        .foldLeft(logicalize(scanDirs(Seq(resolveDir(dir)), meta), meta)) {
           case (df, (c, value)) => df.withColumn(c, lit(value))
         }
     } else {
       val resolved = entries.map { case (k, d) => (k, resolveDir(d)) }
-      val base = logicalize(
-        spark.read.option("mergeSchema", "true")
-          .parquet(resolved.map(_._2): _*), meta)
+      val base = logicalize(scanDirs(resolved.map(_._2), meta), meta)
       val dataCols = base.columns.toSeq
       val dirCol = "__graft_part_dir"
       val dimSchema = org.apache.spark.sql.types.StructType(
@@ -1210,7 +1323,18 @@ class SnapshotLake(spark: SparkSession, root: String) {
         canon(read(partitionCols, Some(toVersion)).limit(0).withColumn("_change", lit("")))
       case (None, Some(n)) => canon(n.withColumn("_change", lit("insert")))
       case (Some(o), None) => canon(o.withColumn("_change", lit("delete")))
-      case (Some(o), Some(n)) =>
+      case (Some(oRaw), Some(n)) =>
+        // a widen between the versions leaves the old side narrow — up-cast
+        // it to the new side's type so the PK join and struct compares
+        // align (lossless by the widenColumn contract; rows differing only
+        // in representation stay suppressed)
+        val o = oRaw.schema.fields.foldLeft(oRaw) { (d, f) =>
+          n.schema.fields.find(_.name == f.name) match {
+            case Some(nf) if nf.dataType != f.dataType && widensTo(f.dataType, nf.dataType) =>
+              d.withColumn(f.name, col(f.name).cast(nf.dataType))
+            case _ => d
+          }
+        }
         // align schemas (evolution: missing columns read as NULL)
         val allCols = (o.columns ++ n.columns).distinct.toSeq
         def pad(df: DataFrame) = allCols.foldLeft(df)((d, c) =>
@@ -1385,8 +1509,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val mapping = colMapOf(meta)
       val dropped = droppedOf(meta)
       // current logical schema: footer-only inference over the live dirs
-      val physCols = spark.read.option("mergeSchema", "true")
-        .parquet(m.values.toSeq.sorted.map(resolveDir): _*)
+      val physCols = scanDirs(m.values.toSeq.sorted.map(resolveDir), meta)
         .columns.toSet -- dropped
       val logicalCols = physCols.map(p => mapping.getOrElse(p, p))
       require(logicalCols.contains(oldName),
@@ -1426,8 +1549,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val (m, txns, meta) = readManifestAndTxns(v)
       val mapping = colMapOf(meta)
       val dropped = droppedOf(meta)
-      val physCols = spark.read.option("mergeSchema", "true")
-        .parquet(m.values.toSeq.sorted.map(resolveDir): _*)
+      val physCols = scanDirs(m.values.toSeq.sorted.map(resolveDir), meta)
         .columns.toSet -- dropped
       val logicalCols = physCols.map(p => mapping.getOrElse(p, p))
       require(logicalCols.contains(name),
@@ -1435,13 +1557,74 @@ class SnapshotLake(spark: SparkSession, root: String) {
       require(logicalCols.size > 1, s"refusing to drop the last data column '$name'")
       val physical = mapping.collectFirst { case (p, l) if l == name => p }
         .getOrElse(name)
+      // a dropped column's widening entry is dead metadata — strip it (the
+      // physical name stays reserved via `dropped` regardless)
+      val prunedTypes = metaWithTypes(meta, typeMapOf(meta) - physical)
       if (writeManifestAtomic(v + 1, m, txns,
-          metaWith(meta, mapping - physical, dropped + physical))) {
+          metaWith(prunedTypes, mapping - physical, dropped + physical))) {
         committed = v + 1
         writeInfo(committed, "drop", 0)
       }
     }
     committed
+  }
+
+  /** Widen a data column's type WITHOUT rewriting any data — the other
+    * half of the Delta/Iceberg schema-evolution contract next to
+    * [[renameColumn]]/[[dropColumn]]: a metadata-only commit registers the
+    * wider logical type; reads at or after this version surface it (the
+    * parquet scan up-converts old narrow files in place via an explicit
+    * read schema), new batches store it physically, and time travel before
+    * this version still reads the narrow type. Only lossless widenings are
+    * accepted — byte→short→int→long within integrals, float→double within
+    * fractionals; narrowing or cross-family changes are REFUSED loudly
+    * (they would corrupt silently on overflow/precision loss). `to` is a
+    * catalog type string (`"bigint"`, `"double"`, ...).
+    */
+  def widenColumn(name: String, to: String): Long = {
+    val target = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(to)
+    var committed = -1L
+    while (committed < 0) {
+      val v = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val (m, txns, meta) = readManifestAndTxns(v)
+      val mapping = colMapOf(meta)
+      val dropped = droppedOf(meta)
+      val schema = scanDirs(m.values.toSeq.sorted.map(resolveDir), meta).schema
+      val physFields = schema.fields.filterNot(f => dropped.contains(f.name))
+      val logicalCols = physFields.map(f => mapping.getOrElse(f.name, f.name)).toSet
+      require(logicalCols.contains(name),
+        s"unknown column '$name' — logical columns: ${logicalCols.toSeq.sorted.mkString(", ")}")
+      val physical = mapping.collectFirst { case (p, l) if l == name => p }
+        .getOrElse(name)
+      // current logical type: scanDirs already surfaces prior widenings
+      val current = schema(physical).dataType
+      require(current != target,
+        s"column '$name' is already ${target.catalogString}")
+      require(widensTo(current, target),
+        s"cannot widen '$name' from ${current.catalogString} to ${target.catalogString}: " +
+          "only lossless numeric widenings are supported (byte->short->int->long, " +
+          "float->double) — narrowing and cross-family changes would corrupt silently")
+      val newTypes = typeMapOf(meta) + (physical -> target)
+      if (writeManifestAtomic(v + 1, m, txns,
+          metaWith(metaWithTypes(meta, newTypes), mapping, dropped))) {
+        committed = v + 1
+        writeInfo(committed, "widen", 0)
+      }
+    }
+    committed
+  }
+
+  /** logical name → widened type in effect at `version` — the inspection
+    * surface for tooling and specs, mirroring [[columnMapping]].
+    */
+  def typeMapping(
+      version: Option[Long] = None): Map[String, org.apache.spark.sql.types.DataType] = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val meta = readMeta(v)
+    val mapping = colMapOf(meta)
+    typeMapOf(meta).map { case (p, t) => mapping.getOrElse(p, p) -> t }
   }
 
   /** logical → physical column mapping in effect at `version` (identity
@@ -1510,7 +1693,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val anyDir = resolveDir(m.values.head)
       return logicalize(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        spark.read.parquet(anyDir).schema), meta)
+        scanDirs(Seq(anyDir), meta).schema), meta)
     }
     val candDirs = m.toSeq.sorted.collect {
       case (k, d) if candKeys.contains(k) => resolveDir(d)
@@ -1522,13 +1705,12 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val anyDir = resolveDir(readManifest(v).values.head)
       logicalize(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        spark.read.parquet(anyDir).schema), meta)
+        scanDirs(Seq(anyDir), meta).schema), meta)
     } else
       // mixed-schema file sets (post-evolution versions) must merge, not
       // sample one file's schema nondeterministically; per-file reads
       // bypass readEntries, so the logical translation applies here
-      logicalize(
-        spark.read.option("mergeSchema", "true").parquet(files: _*), meta)
+      logicalize(scanDirs(files, meta), meta)
         .filter(col(c) >= lo && col(c) <= hi)
   }
 

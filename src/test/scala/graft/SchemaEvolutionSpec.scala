@@ -183,4 +183,152 @@ class SchemaEvolutionSpec extends SparkSpec {
     // and keeps the physical name for the renamed one
     assert(spark.read.parquet(p1dir).columns.contains("score"))
   }
+
+  // ---- type widening ----------------------------------------------------
+
+  private def seedNarrow(lake: SnapshotLake): Long =
+    lake.commit(
+      Seq((1, 100, 1.5f, "p1"), (2, 200, 2.5f, "p1"), (3, 300, 3.5f, "p2"))
+        .toDF("id", "cnt", "ratio", "part"),
+      Seq("part"))
+
+  test("widen int->long is metadata-only: wide at latest, narrow under time travel, zero rewrite") {
+    import org.apache.spark.sql.types._
+    val lake = fresh()
+    val v1 = seedNarrow(lake)
+    val v2 = lake.widenColumn("cnt", "bigint")
+    val latest = lake.read(Seq("part"))
+    assert(latest.schema("cnt").dataType == LongType)
+    assert(latest.filter(col("id") === 2).head().getAs[Long]("cnt") == 200L)
+    assert(latest.count() == 3L)
+    // time travel before the widen still reads the narrow type
+    val old = lake.read(Seq("part"), Some(v1))
+    assert(old.schema("cnt").dataType == IntegerType)
+    assert(old.filter(col("id") === 2).head().getAs[Int]("cnt") == 200)
+    // ZERO data rewrite
+    assert(dirsOf(lake, v1) == dirsOf(lake, v2))
+    assert(lake.typeMapping() == Map("cnt" -> LongType))
+    assert(lake.typeMapping(Some(v1)).isEmpty)
+  }
+
+  test("writes after a widen store the wide type; beyond-int values land; narrow batches up-cast") {
+    import org.apache.spark.sql.types._
+    val lake = fresh()
+    seedNarrow(lake)
+    lake.widenColumn("cnt", "bigint")
+    // a value only a LONG can hold
+    val big = Int.MaxValue.toLong + 7L
+    lake.commit(
+      Seq((4, big, 4.5f, "p3")).toDF("id", "cnt", "ratio", "part"),
+      Seq("part"))
+    val out = lake.read(Seq("part"))
+    assert(out.count() == 4L)
+    assert(out.filter(col("id") === 4).head().getAs[Long]("cnt") == big)
+    assert(out.filter(col("id") === 1).head().getAs[Long]("cnt") == 100L)
+    // the new file physically stores the WIDE type
+    val newDir = lake.files(Seq("part")).filter(col("part") === "p3")
+      .select(dirExpr).head().getString(0)
+    assert(spark.read.parquet(newDir).schema("cnt").dataType == LongType)
+    // a producer still emitting the narrow type up-casts losslessly
+    lake.commit(
+      Seq((5, 500, 5.5f, "p4")).toDF("id", "cnt", "ratio", "part"),
+      Seq("part"))
+    assert(lake.read(Seq("part")).filter(col("id") === 5)
+      .head().getAs[Long]("cnt") == 500L)
+  }
+
+  test("widen float->double; chained widening re-registers the wider target") {
+    import org.apache.spark.sql.types._
+    val lake = fresh()
+    val v1 = lake.commit(
+      Seq((1, 1.toShort, 1.5f, "p1")).toDF("id", "s", "ratio", "part"), Seq("part"))
+    lake.widenColumn("ratio", "double")
+    assert(lake.read(Seq("part")).schema("ratio").dataType == DoubleType)
+    assert(lake.read(Seq("part")).head().getAs[Double]("ratio") == 1.5)
+    // chain: short -> int, then int -> long (the map keeps ONE entry, the widest)
+    lake.widenColumn("s", "int")
+    assert(lake.read(Seq("part")).schema("s").dataType == IntegerType)
+    lake.widenColumn("s", "bigint")
+    assert(lake.read(Seq("part")).schema("s").dataType == LongType)
+    assert(lake.typeMapping() == Map("ratio" -> DoubleType, "s" -> LongType))
+    assert(lake.read(Seq("part"), Some(v1)).schema("s").dataType == ShortType)
+  }
+
+  test("widen refusals: narrowing, cross-family, unknown, no-op, and bad batch types") {
+    val lake = fresh()
+    seedNarrow(lake)
+    // narrowing
+    val e1 = intercept[IllegalArgumentException](lake.widenColumn("cnt", "smallint"))
+    assert(e1.getMessage.contains("lossless"))
+    // cross-family (int -> double would silently lose precision past 2^53... and
+    // the other way corrupts outright)
+    val e2 = intercept[IllegalArgumentException](lake.widenColumn("cnt", "double"))
+    assert(e2.getMessage.contains("lossless"))
+    val e3 = intercept[IllegalArgumentException](lake.widenColumn("ratio", "bigint"))
+    assert(e3.getMessage.contains("lossless"))
+    // string is not a widening target
+    val e4 = intercept[IllegalArgumentException](lake.widenColumn("cnt", "string"))
+    assert(e4.getMessage.contains("lossless"))
+    // unknown column
+    val e5 = intercept[IllegalArgumentException](lake.widenColumn("nope", "bigint"))
+    assert(e5.getMessage.contains("unknown column"))
+    // no-op
+    val e6 = intercept[IllegalArgumentException](lake.widenColumn("cnt", "int"))
+    assert(e6.getMessage.contains("already"))
+    // post-widen, a batch with an unrelated type for the widened column is refused
+    lake.widenColumn("cnt", "bigint")
+    val e7 = intercept[Exception] {
+      lake.commit(Seq((9, "oops", 9.5f, "p9")).toDF("id", "cnt", "ratio", "part"),
+        Seq("part"))
+    }
+    assert(e7.getMessage.contains("widened"))
+  }
+
+  test("widen composes with rename (either order), keyed by logical name") {
+    import org.apache.spark.sql.types._
+    val lake = fresh()
+    seedNarrow(lake)
+    lake.renameColumn("cnt", "hits")
+    lake.widenColumn("hits", "bigint")
+    val out = lake.read(Seq("part"))
+    assert(out.schema("hits").dataType == LongType)
+    assert(out.filter(col("id") === 3).head().getAs[Long]("hits") == 300L)
+    assert(lake.typeMapping() == Map("hits" -> LongType))
+    // rename AFTER the widen keeps the widening (typemap rides the physical name)
+    lake.renameColumn("hits", "visits")
+    assert(lake.read(Seq("part")).schema("visits").dataType == LongType)
+    assert(lake.typeMapping() == Map("visits" -> LongType))
+  }
+
+  test("changes() across a widen boundary: metadata-only commit emits no rows; later edits align wide") {
+    import org.apache.spark.sql.types._
+    val lake = fresh()
+    val v1 = seedNarrow(lake)
+    val v2 = lake.widenColumn("cnt", "bigint")
+    // pure widen: no partition changed, no row events
+    assert(lake.changes(v1, v2, Seq("id", "part"), Seq("part")).count() == 0L)
+    val v3 = lake.upsert(
+      Seq((2, Int.MaxValue.toLong + 1L, 2.5f, "p1", 2L))
+        .toDF("id", "cnt", "ratio", "part", "ver"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val delta = lake.changes(v1, v3, Seq("id", "part"), Seq("part"))
+    assert(delta.schema("cnt").dataType == LongType)
+    val posts = delta.filter(col("_change") === "update_post").collect()
+    assert(posts.length == 1 && posts.head.getAs[Long]("cnt") == Int.MaxValue.toLong + 1L)
+    // the untouched row in the same partition compares equal across the
+    // int/long representations and stays suppressed
+    assert(!delta.select("id").collect().map(_.getInt(0)).contains(1))
+  }
+
+  test("statsFor and readPruned work through a widen") {
+    import org.apache.spark.sql.types._
+    val lake = fresh()
+    seedNarrow(lake)
+    lake.widenColumn("cnt", "bigint")
+    lake.commit(Seq((4, Int.MaxValue.toLong + 7L, 4.5f, "p3"))
+      .toDF("id", "cnt", "ratio", "part"), Seq("part"))
+    val pruned = lake.readPruned(Seq("cnt"), "cnt", 150.0, 250.0)
+    assert(pruned.schema("cnt").dataType == LongType)
+    assert(pruned.collect().map(_.getAs[Long]("cnt")).toSet == Set(200L))
+  }
 }
