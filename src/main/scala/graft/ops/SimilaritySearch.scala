@@ -408,6 +408,17 @@ object SimilaritySearch {
       .select(col("src_id"), col("tgt_id"),
         floor(cosine(col("_sv"), col("_tv")) * 1e6 + lit(0.5)).cast("long").as("_cmu"))
       .localCheckpoint(true) // pin: windows + two sum branches reuse one scoring
+    marginFromScored(scored, k, threshold, mutual)
+  }
+
+  /** The margin machinery both mining forms share: takes the quantized
+    * pair scores `(src_id, tgt_id, _cmu)` (already pinned), computes both
+    * neighborhood top-k sums OVER THOSE PAIRS, margins, best-per-side, and
+    * the threshold. Keyed windows + keyed joins only — cost is bounded by
+    * the scored-pair count, never |src|·|tgt|.
+    */
+  private def marginFromScored(
+      scored: DataFrame, k: Int, threshold: Double, mutual: Boolean): DataFrame = {
     val wS = Window.partitionBy(col("src_id")).orderBy(col("_cmu").desc, col("tgt_id"))
     val wT = Window.partitionBy(col("tgt_id")).orderBy(col("_cmu").desc, col("src_id"))
     val aSum = scored.withColumn("_r", row_number().over(wS)).filter(col("_r") <= k)
@@ -437,6 +448,76 @@ object SimilaritySearch {
       .filter(col("margin") >= threshold)
       .select(col("src_id"), col("tgt_id"),
         (col("_cmu").cast("double") / 1e6).as("cos"), col("margin"))
+  }
+
+  /** The scale path of [[marginMine]]: score ONLY the supplied candidate
+    * pairs — the CCMatrix-scale form, where an LSH bucket join or an IVF
+    * probe bounds the pair volume and the margin machinery never sees a
+    * cross. Candidate-set semantics (pinned by its own oracle): both
+    * neighborhood top-k sums in the margin denominator are computed WITHIN
+    * the candidate set — each endpoint's density estimate comes from the
+    * neighbors retrieval actually surfaced, exactly what a FAISS-sharded
+    * LASER pipeline computes. When the candidates happen to be the full
+    * cross, this is [[marginMine]] exactly (AnnSpec pins the equivalence —
+    * the 100%-recall fixture).
+    *
+    * Plan shape: `candidates` ⋈ src ⋈ tgt on their id keys (hash joins,
+    * never a cartesian — spec-pinned), then the shared keyed-window margin
+    * tail. Cost tracks |candidates|, not |src|·|tgt|.
+    *
+    * `candidates` needs columns `candSrcCol`, `candTgtCol`; duplicates are
+    * collapsed (a pair surfacing from several buckets/probes scores once);
+    * pairs referencing unknown ids drop (inner joins).
+    */
+  def marginMineWithCandidates(
+      src: DataFrame, srcIdCol: String, srcVecCol: String,
+      tgt: DataFrame, tgtIdCol: String, tgtVecCol: String,
+      candidates: DataFrame, candSrcCol: String, candTgtCol: String,
+      k: Int,
+      threshold: Double,
+      mutual: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = src.select(col(srcIdCol).cast("long").as("src_id"),
+      col(srcVecCol).cast("array<double>").as("_sv"))
+    val t = tgt.select(col(tgtIdCol).cast("long").as("tgt_id"),
+      col(tgtVecCol).cast("array<double>").as("_tv"))
+    val cand = candidates.select(
+      col(candSrcCol).cast("long").as("src_id"),
+      col(candTgtCol).cast("long").as("tgt_id")).distinct()
+    val scored = cand
+      .join(s, Seq("src_id"))
+      .join(t, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        floor(cosine(col("_sv"), col("_tv")) * 1e6 + lit(0.5)).cast("long").as("_cmu"))
+      .localCheckpoint(true) // pin: windows + two sum branches reuse one scoring
+    marginFromScored(scored, k, threshold, mutual)
+  }
+
+  /** [[marginMineWithCandidates]] over the engine's own LSH geometry:
+    * candidates are same-bucket (src, tgt) pairs under `planes` md5
+    * hyperplanes — a KEYED equi-join on `bucket`, the [[hardNegativesLsh]]
+    * discipline applied to mining. Deterministic geometry means even this
+    * approximate path replays in SQL (full oracle, not rows-only).
+    * `planes = 0` puts everything in one bucket == the exact
+    * [[marginMine]], the equivalence AnnSpec pins.
+    */
+  def marginMineLsh(
+      src: DataFrame, srcIdCol: String, srcVecCol: String,
+      tgt: DataFrame, tgtIdCol: String, tgtVecCol: String,
+      k: Int,
+      threshold: Double,
+      planes: Int,
+      dims: Int,
+      mutual: Boolean = true): DataFrame = {
+    val sb = src.select(col(srcIdCol).cast("long").as("src_id"),
+      lshBucket(col(srcVecCol).cast("array<double>"), planes, dims).as("bucket"))
+    val tb = tgt.select(col(tgtIdCol).cast("long").as("tgt_id"),
+      lshBucket(col(tgtVecCol).cast("array<double>"), planes, dims).as("bucket"))
+    val cand = sb.join(tb.hint("SHUFFLE_HASH"), Seq("bucket"))
+      .select(col("src_id"), col("tgt_id"))
+    marginMineWithCandidates(
+      src, srcIdCol, srcVecCol, tgt, tgtIdCol, tgtVecCol,
+      cand, "src_id", "tgt_id", k, threshold, mutual)
   }
 
   /** The scale path of [[hardNegatives]]: candidates are restricted to the

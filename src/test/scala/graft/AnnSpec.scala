@@ -542,4 +542,65 @@ class AnnSpec extends SparkSpec {
     assert(SimilaritySearch.marginMine(
       src, "id", "v", near, "id", "v", k = 1, threshold = 1.0).count() == 1)
   }
+
+  test("marginMineWithCandidates: full-cross candidates == exact marginMine (100%-recall fixture)") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = emb.filter(col("label") === 0)
+    val tgt = emb.filter(col("label") === 1)
+    val cross = src.select(col("vec_id").as("s")).crossJoin(
+      tgt.select(col("vec_id").as("t")))
+    for (mutual <- Seq(true, false)) {
+      val exact = SimilaritySearch.marginMine(
+        src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+        k = 4, threshold = 1.05, mutual = mutual)
+      val viaCand = SimilaritySearch.marginMineWithCandidates(
+        src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+        cross, "s", "t", k = 4, threshold = 1.05, mutual = mutual)
+      assert(viaCand.exceptAll(exact).isEmpty && exact.exceptAll(viaCand).isEmpty,
+        s"candidate path diverged from exact (mutual=$mutual)")
+      assert(exact.count() > 0, "fixture must actually mine pairs")
+    }
+  }
+
+  test("marginMineLsh at planes=0 == exact marginMine; duplicate candidates score once") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = emb.filter(col("label") === 0)
+    val tgt = emb.filter(col("label") === 1)
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val exact = SimilaritySearch.marginMine(
+      src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+      k = 4, threshold = 1.05)
+    val lsh0 = SimilaritySearch.marginMineLsh(
+      src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+      k = 4, threshold = 1.05, planes = 0, dims = dims)
+    assert(lsh0.exceptAll(exact).isEmpty && exact.exceptAll(lsh0).isEmpty)
+    // duplicated candidate rows must not double-count neighborhood sums
+    val cross = src.select(col("vec_id").as("s")).crossJoin(
+      tgt.select(col("vec_id").as("t")))
+    val doubled = SimilaritySearch.marginMineWithCandidates(
+      src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+      cross.unionAll(cross), "s", "t", k = 4, threshold = 1.05)
+    assert(doubled.exceptAll(exact).isEmpty && exact.exceptAll(doubled).isEmpty)
+  }
+
+  test("marginMineLsh: bucketed mining subsets scale; candidate volume tracks buckets") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = emb.filter(col("label") === 0)
+    val tgt = emb.filter(col("label") === 1)
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val mined = SimilaritySearch.marginMineLsh(
+      src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+      k = 4, threshold = 1.0, planes = 3, dims = dims)
+    // every mined pair is same-bucket by construction
+    val sb = src.select(col("vec_id").as("src_id"),
+      SimilaritySearch.lshBucket(col("embedding").cast("array<double>"), 3, dims).as("sb"))
+    val tb = tgt.select(col("vec_id").as("tgt_id"),
+      SimilaritySearch.lshBucket(col("embedding").cast("array<double>"), 3, dims).as("tb"))
+    val joined = mined.join(sb, Seq("src_id")).join(tb, Seq("tgt_id"))
+    assert(joined.filter(col("sb") =!= col("tb")).count() == 0)
+    assert(mined.count() > 0)
+    // the candidate join is a strict subset of the cross
+    val candCount = sb.join(tb, col("sb") === col("tb")).count()
+    assert(candCount < src.count() * tgt.count())
+  }
 }

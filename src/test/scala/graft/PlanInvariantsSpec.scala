@@ -114,6 +114,21 @@ class PlanInvariantsSpec extends SparkSpec {
       s"the margin phase must reuse the pinned scoring, not re-cross:\n$plan")
   }
 
+  // The LSH-bucketed mining path must have NO cross anywhere — candidates
+  // come from a keyed bucket equi-join, the vector fetches are keyed id
+  // joins, and the margin tail reuses the pinned scoring. Any nested-loop
+  // or cartesian here means the scale path silently regressed to the
+  // exact shard form.
+  test("q_ann_bitext_lsh: fully keyed — no cross, no nested loop, no range exchange") {
+    val df = SparkEntry.queries("q_ann_bitext_lsh")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q_ann_bitext_lsh:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in q_ann_bitext_lsh — the candidate path must stay keyed:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"range exchange in q_ann_bitext_lsh:\n$plan")
+  }
+
   // The two round-6 bench-drift suspects get STRONGER pins than the generic
   // three: both are single-pass scans whose only legitimate plan is
   // shuffle-free, so any future Exchange (or a TakeOrdered degrading to a
