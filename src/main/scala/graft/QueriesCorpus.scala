@@ -199,6 +199,37 @@ object QueriesCorpus {
         "doc_id", "text")
     }),
 
+    // incremental cross-doc char spans: docs with id % 3 == 0 arrive as
+    // the new batch; the rest are history, held ONLY as the persisted
+    // window-hash artifact (saved, then probed through the artifact dir so
+    // geometry comes from the sidecar). With disjoint ids this is exactly
+    // the full-corpus crossDocSpans restricted to batch docs — which is
+    // what the oracle computes, so the hash-equality proves the
+    // batch-vs-history ≡ full-corpus contract end to end
+    "q_sa_crossdoc_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_xdoc_q_").toString
+      graft.ops.SuffixArray.saveCrossDocHashes(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", minLen = 30, path)
+      graft.ops.SuffixArray.crossDocSpansAgainstHistoryDir(
+        docs.filter(col("doc_id") % 3 === 0), path, "doc_id", "text")
+    }),
+
+    // the removal composition over the incremental detection: the batch
+    // with every vs-history span cut out (detect-incrementally → cut)
+    "q_sa_crossdoc_incr_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft_xdoc_q_").toString
+      graft.ops.SuffixArray.saveCrossDocHashes(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", minLen = 30, path)
+      val batch = docs.filter(col("doc_id") % 3 === 0 && col("doc_id").isNotNull)
+      graft.ops.Dedup.removeCharSpans(
+        batch,
+        graft.ops.SuffixArray.crossDocSpansAgainstHistoryDir(
+          batch, path, "doc_id", "text"),
+        "doc_id", "text")
+    }),
+
     // integer-quantized PageRank over a deterministic md5-derived link
     // graph (3 out-edges per doc) — the iterated fixpoint itself is
     // oracle-replayed (all-integer update rule, unrolled CTEs in SQL)
@@ -426,6 +457,21 @@ object QueriesCorpus {
         emb.filter(col("label") === 0), "vec_id", "embedding",
         emb.filter(col("label") === 1), "vec_id", "embedding",
         k = 4, threshold = 1.15, mutual = true)
+    }),
+
+    // LSH-bucketed margin mining — the CCMatrix-scale path of q_ann_bitext:
+    // candidates are same-bucket pairs under 3 md5 hyperplanes (a keyed
+    // equi-join, never a cross), and the margin's neighborhood sums are
+    // computed WITHIN the candidate set (what a FAISS-sharded pipeline
+    // sees). Deterministic geometry ⇒ the whole approximate path replays
+    // in SQL — a full oracle, not a rows-only check
+    "q_ann_bitext_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dims = emb.select(size(col("embedding"))).head().getInt(0)
+      SimilaritySearch.marginMineLsh(
+        emb.filter(col("label") === 0), "vec_id", "embedding",
+        emb.filter(col("label") === 1), "vec_id", "embedding",
+        k = 4, threshold = 1.0, planes = 3, dims = dims, mutual = true)
     }),
 
     // LSH-bucketed hard negatives: candidates keyed on the md5-hyperplane
@@ -2419,6 +2465,32 @@ object QueriesCorpus {
     "q_sa_crossdoc_spans" ->
       s"""WITH $crossdocSpansCteSql
          |SELECT doc_id, span_start, span_end FROM spans""".stripMargin,
+    "q_sa_crossdoc_incr" ->
+      s"""WITH $crossdocSpansCteSql
+         |SELECT doc_id, span_start, span_end FROM spans
+         |WHERE doc_id % 3 = 0""".stripMargin,
+    "q_sa_crossdoc_incr_clean" ->
+      s"""WITH $crossdocSpansCteSql,
+         |d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 3 = 0),
+         |s2 AS (SELECT doc_id, span_start, span_end,
+         |    lag(span_end, 1, 0) OVER (PARTITION BY doc_id ORDER BY span_start)
+         |      AS prev_end
+         |  FROM spans WHERE doc_id % 3 = 0),
+         |pieces AS (
+         |  SELECT s2.doc_id, s2.span_start AS ord,
+         |    substr(d0.text, CAST(s2.prev_end AS INT) + 1,
+         |      CAST(s2.span_start - s2.prev_end AS INT)) AS piece
+         |  FROM s2 JOIN d0 USING (doc_id)
+         |  UNION ALL
+         |  SELECT d0.doc_id, 2147483647,
+         |    substr(d0.text, CAST(m.mx AS INT) + 1)
+         |  FROM d0 JOIN (SELECT doc_id, max(span_end) AS mx
+         |                FROM spans WHERE doc_id % 3 = 0 GROUP BY doc_id) m USING (doc_id)),
+         |stitched AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ct
+         |  FROM pieces GROUP BY doc_id)
+         |SELECT d0.doc_id, coalesce(stitched.ct, d0.text) AS clean_text
+         |FROM d0 LEFT JOIN stitched USING (doc_id)""".stripMargin,
     "q_sa_crossdoc_clean" ->
       s"""WITH $crossdocSpansCteSql,
          |d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
@@ -2788,6 +2860,41 @@ object QueriesCorpus {
         |  CAST(cmu AS DOUBLE) / 1000000 AS cos, margin
         |FROM fwd JOIN bwd ON fwd.src_id = bwd.src_id AND fwd.tgt_id = bwd.tgt_id
         |WHERE margin >= 1.15""".stripMargin,
+    "q_ann_bitext_lsh" -> {
+      val planeBit = (p: Int) =>
+        s"""CASE WHEN (SELECT sum(z[1] * (CAST('0x' || substr(md5('p$p:' || CAST(z[2] AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 - 0.5))
+           |  FROM unnest(list_zip(v, range(0, len(v)))) AS t(z)) > 0.0 THEN ${1L << p} ELSE 0 END""".stripMargin
+      val bucketExpr = (0 until 3).map(planeBit).mkString(" + ")
+      s"""WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) v,
+         |             CAST($bucketExpr AS BIGINT) AS bucket
+         |           FROM embeddings WHERE label = 0),
+         |t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) v,
+         |        CAST($bucketExpr AS BIGINT) AS bucket
+         |      FROM embeddings WHERE label = 1),
+         |sc AS (SELECT src_id, tgt_id,
+         |         CAST(floor(list_cosine_similarity(s.v, t.v) * 1000000 + 0.5) AS BIGINT) AS cmu
+         |       FROM s JOIN t ON s.bucket = t.bucket),
+         |a AS (SELECT src_id, CAST(sum(cmu) AS BIGINT) AS amu FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cmu DESC, tgt_id) AS r
+         |        FROM sc) WHERE r <= 4 GROUP BY 1),
+         |b AS (SELECT tgt_id, CAST(sum(cmu) AS BIGINT) AS bmu FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY cmu DESC, src_id) AS r
+         |        FROM sc) WHERE r <= 4 GROUP BY 1),
+         |m AS (SELECT sc.src_id, sc.tgt_id, cmu,
+         |        floor(CAST(cmu AS DOUBLE) * 8.0 / CAST(amu + bmu AS DOUBLE) * 1000000 + 0.5) / 1000000 AS margin
+         |      FROM sc JOIN a USING (src_id) JOIN b USING (tgt_id)
+         |      WHERE amu + bmu <> 0),
+         |fwd AS (SELECT src_id, tgt_id, cmu, margin FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rs
+         |          FROM m) WHERE rs = 1),
+         |bwd AS (SELECT src_id, tgt_id FROM (
+         |          SELECT src_id, tgt_id, row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rt
+         |          FROM m) WHERE rt = 1)
+         |SELECT fwd.src_id, fwd.tgt_id,
+         |  CAST(cmu AS DOUBLE) / 1000000 AS cos, margin
+         |FROM fwd JOIN bwd ON fwd.src_id = bwd.src_id AND fwd.tgt_id = bwd.tgt_id
+         |WHERE margin >= 1.0""".stripMargin
+    },
     "q_ann_negatives_lsh" -> {
       val planeBit = (p: Int) =>
         s"""CASE WHEN (SELECT sum(z[1] * (CAST('0x' || substr(md5('p$p:' || CAST(z[2] AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0 - 0.5))

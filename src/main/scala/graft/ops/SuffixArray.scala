@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -486,6 +486,55 @@ object SuffixArray {
     val sa = corpusRanksResolved(df, idCol, textCol, resolveLcp = maxLcp)
       .select(col(idCol).cast("long").as("id"), col("pos"),
         col("corpus_rank").as("_cr"), col("resolved"))
+    crossDocRepeatTail(df, sa, idCol, textCol, maxLcp)
+  }
+
+  /** [[crossDocRepeat]] over PRECOMPUTED corpus ranks — the artifact
+    * consumer: `ranks` is [[loadCorpusRanks]] output (or fresh
+    * [[appendCorpusRanks]] deltas), so a daily-growing corpus re-detects
+    * WITHOUT re-ranking what it already ranked. A deeper-resolved artifact
+    * is fine (refinement past the cap only permutes tie order, which the
+    * tied-rows pass handles arbitrarily — the [[corpusRanksResolved]] cap
+    * argument); one resolved SHALLOWER than `maxLcp` must be refused by
+    * the caller ([[crossDocRepeatFromArtifact]] checks the sidecar).
+    */
+  def crossDocRepeatFromRanks(
+      df: DataFrame,
+      ranks: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxLcp: Int = 64): DataFrame = {
+    require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
+    val sa = ranks.select(col(idCol).cast("long").as("id"), col("pos"),
+      col("corpus_rank").as("_cr"), col("resolved"))
+    crossDocRepeatTail(df, sa, idCol, textCol, maxLcp)
+  }
+
+  /** [[crossDocRepeatFromRanks]] against a persisted artifact directory,
+    * refusing one whose resolution is shallower than this consumer's cap
+    * (its tie buckets would be coarser than the LCP reports need).
+    */
+  def crossDocRepeatFromArtifact(
+      df: DataFrame,
+      dir: String,
+      idCol: String,
+      textCol: String,
+      maxLcp: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val meta = MetaJson.readFields(spark, dir, SaMetaFile, Seq("seedK", "resolveLcp"),
+      "an artifact written by saveCorpusRanks")
+    require(meta("resolveLcp") >= maxLcp,
+      s"artifact at $dir resolved to LCP ${meta("resolveLcp")} — shallower than " +
+        s"this consumer's cap $maxLcp; rebuild with saveCorpusRanks(resolveLcp >= $maxLcp)")
+    crossDocRepeatFromRanks(df, spark.read.parquet(dir), idCol, textCol, maxLcp)
+  }
+
+  private def crossDocRepeatTail(
+      df: DataFrame,
+      sa: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxLcp: Int): DataFrame = {
     val texts = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) > 0)
@@ -621,8 +670,15 @@ object SuffixArray {
           lit(minLen)).as("_w"))
     val marked = content.join(crossDoc(content, "_w"), Seq("_w"))
       .select(col("id"), col("pos"))
-    // island merge at char grain: marks p, q (p < q) overlap or touch iff
-    // q <= p + minLen ([p, p+minLen) meets [q, q+minLen))
+    mergeCharIslands(marked, minLen).withColumnRenamed("id", idCol)
+  }
+
+  /** Island merge at char grain, shared by [[crossDocSpans]] and
+    * [[crossDocSpansAgainstHistory]] (one code path — the two forms can
+    * never disagree on extents): marks p, q (p < q) overlap or touch iff
+    * q <= p + minLen ([p, p+minLen) meets [q, q+minLen)).
+    */
+  private def mergeCharIslands(marked: DataFrame, minLen: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     marked
       .withColumn("_prev", lag(col("pos"), 1).over(w))
@@ -634,7 +690,136 @@ object SuffixArray {
       .groupBy(col("id"), col("_sid"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + minLen).as("span_end"))
-      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  /** `(id, pos, win_hash)` — one md5 per FULL `minLen`-char window of every
+    * document, via the same linear chunked extraction as [[crossDocSpans]]'
+    * pass 1. The distinct `win_hash` set is the persistable history
+    * artifact for [[crossDocSpansAgainstHistory]] — the char-grain twin of
+    * [[Dedup.windowRows]]' token-grain artifact. md5 (128-bit) rather than
+    * the in-batch xxhash64: the vs-history probe trusts the hash (history
+    * content is not retained for re-verification — the same accepted
+    * 2^-128 trade as the whole [[Dedup.repeatedSpansAgainstHistory]]
+    * family).
+    */
+  def charWindowRows(
+      df: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val texts = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) >= minLen)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    seedPrefixRows(texts, minLen)
+      .filter(length(col("_pfx")) === minLen)
+      .select(col("id"), col("pos"), md5(col("_pfx")).as("win_hash"))
+  }
+
+  /** Incremental [[crossDocSpans]] for a growing corpus — char-grain
+    * detection against history WITHOUT re-scanning it: spans in BATCH
+    * documents whose `minLen`-char windows either already exist in
+    * `historyHashes` (the persisted distinct `win_hash` artifact of
+    * everything ingested so far — [[charWindowRows]]) or occur in at least
+    * `minDocs` distinct batch documents. With disjoint doc ids and
+    * `minDocs = 2` this is EXACTLY the full-corpus [[crossDocSpans]]
+    * restricted to batch docs (spec-pinned), because a batch window is
+    * cross-doc in the union iff some history doc holds it or a second
+    * batch doc does.
+    *
+    * Scale shape — the [[Dedup.repeatedSpansAgainstHistory]] discipline at
+    * char grain: history rows NEVER reshuffle; they are semi-pruned
+    * map-side against the (broadcast) batch window keys, so the only
+    * exchange on the history side is the distinct over the pruned
+    * survivor set. `broadcastBatch = false` turns the prune into a keyed
+    * shuffle join for batches too large to broadcast.
+    */
+  def crossDocSpansAgainstHistory(
+      batch: DataFrame,
+      historyHashes: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      minDocs: Int = 2,
+      broadcastBatch: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
+    val wins = charWindowRows(batch, idCol, textCol, minLen)
+    val batchKeys = wins.select("win_hash").distinct()
+    val histKeys = historyHashes.select("win_hash")
+    val histTouched =
+      if (broadcastBatch) histKeys.join(broadcast(batchKeys), Seq("win_hash"), "left_semi")
+      else histKeys.join(batchKeys, Seq("win_hash"), "left_semi")
+    val batchDup =
+      if (minDocs == 2)
+        wins.groupBy(col("win_hash"))
+          .agg(min(col("id")).as("_lo"), max(col("id")).as("_hi"))
+          .filter(col("_lo") =!= col("_hi"))
+          .select(col("win_hash"))
+      else
+        wins.groupBy(col("win_hash"))
+          .agg(count_distinct(col("id")).as("_df"))
+          .filter(col("_df") >= minDocs)
+          .select(col("win_hash"))
+    val dup = histTouched.union(batchDup).distinct()
+    mergeCharIslands(wins.join(dup, Seq("win_hash")).select(col("id"), col("pos")), minLen)
+      .withColumnRenamed("id", idCol)
+  }
+
+  private val XdocMetaFile = "_xdoc_meta.json"
+
+  /** Persist the distinct window-hash set of `df` as a reusable history
+    * artifact for [[crossDocSpansAgainstHistory]]: parquet `(win_hash)`
+    * plus a geometry sidecar (minLen) so a later probe or append can never
+    * silently mix window lengths.
+    */
+  def saveCrossDocHashes(
+      df: DataFrame, idCol: String, textCol: String, minLen: Int, dir: String): Unit = {
+    charWindowRows(df, idCol, textCol, minLen)
+      .select("win_hash").distinct()
+      .write.mode("overwrite").parquet(dir)
+    MetaJson.write(df.sparkSession, dir, XdocMetaFile, Seq("minLen" -> minLen.toLong))
+  }
+
+  /** Fold a new batch's window hashes into a persisted artifact — append
+    * cost tracks the batch (history files are never read); duplicate
+    * hashes across appends collapse at [[loadCrossDocHashes]] time (set
+    * union is idempotent, the [[graft.ops.LangModel.append]] discipline).
+    */
+  def appendCrossDocHashes(
+      batch: DataFrame, dir: String, idCol: String, textCol: String): Unit = {
+    val minLen = crossDocHashesMinLen(batch.sparkSession, dir)
+    charWindowRows(batch, idCol, textCol, minLen)
+      .select("win_hash").distinct()
+      .write.mode("append").parquet(dir)
+  }
+
+  /** Load a persisted window-hash artifact (distinct on read — appends may
+    * duplicate); refuses a bare directory.
+    */
+  def loadCrossDocHashes(spark: SparkSession, dir: String): DataFrame = {
+    crossDocHashesMinLen(spark, dir) // validates the sidecar
+    spark.read.parquet(dir).select("win_hash").distinct()
+  }
+
+  /** The artifact's window length, from its geometry sidecar. */
+  def crossDocHashesMinLen(spark: SparkSession, dir: String): Int =
+    MetaJson.readFields(spark, dir, XdocMetaFile,
+      Seq("minLen"), "a window-hash artifact written by saveCrossDocHashes")("minLen").toInt
+
+  /** [[crossDocSpansAgainstHistory]] against a persisted artifact
+    * directory — the window length comes from the artifact's own sidecar,
+    * so probe geometry can never mismatch what was indexed.
+    */
+  def crossDocSpansAgainstHistoryDir(
+      batch: DataFrame,
+      dir: String,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    crossDocSpansAgainstHistory(
+      batch, loadCrossDocHashes(spark, dir), idCol, textCol,
+      crossDocHashesMinLen(spark, dir), minDocs, broadcastBatch)
   }
 
   private val SaMetaFile = "_sa_meta.json"

@@ -445,4 +445,131 @@ class SuffixArraySpec extends SparkSpec {
     assert(out(1L) == ((3L, false)),
       s"shorter-suffix exhaustion at the cap is exact, not truncated: $out")
   }
+
+  // ---- char-grain cross-doc detection against history -------------------
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("crossDocSpansAgainstHistory == full-corpus crossDocSpans restricted to batch docs") {
+    val (history, batch) = appendFixture(23)
+    val hDf = history.toSeq.toDF("doc_id", "text")
+    val bDf = batch.toSeq.toDF("doc_id", "text")
+    val minLen = 20
+    val full = spansOf(SuffixArray.crossDocSpans(
+      hDf.unionByName(bDf), "doc_id", "text", minLen = minLen))
+      .filter(s => batch.contains(s._1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_xdoc_").toString
+    SuffixArray.saveCrossDocHashes(hDf, "doc_id", "text", minLen, dir)
+    val incr = spansOf(SuffixArray.crossDocSpansAgainstHistoryDir(
+      bDf, dir, "doc_id", "text"))
+    assert(incr == full, s"extra=${(incr -- full).take(5)} missing=${(full -- incr).take(5)}")
+    assert(incr.nonEmpty, "fixture must actually share spans with history")
+    // batch-internal duplication alone also flags (no history involvement):
+    // two fresh batch docs sharing a run unknown to history
+    val b2 = Seq(
+      (301L, "wholly original leading text and then a common middle segment here x"),
+      (302L, "different prefix material but a common middle segment here too y"))
+      .toDF("doc_id", "text")
+    val withinBatch = spansOf(SuffixArray.crossDocSpansAgainstHistoryDir(
+      b2, dir, "doc_id", "text"))
+    assert(withinBatch.map(_._1) == Set(301L, 302L))
+  }
+
+  test("appendCrossDocHashes: artifact grows with each wave; probe stays == full corpus") {
+    val (history, batch) = appendFixture(29)
+    val hDf = history.toSeq.toDF("doc_id", "text")
+    val bDf = batch.toSeq.toDF("doc_id", "text")
+    val minLen = 20
+    val dir = java.nio.file.Files.createTempDirectory("graft_xdoc_").toString
+    SuffixArray.saveCrossDocHashes(hDf, "doc_id", "text", minLen, dir)
+    SuffixArray.appendCrossDocHashes(bDf, dir, "doc_id", "text")
+    // wave 2: shares a run with BATCH-1 (only reachable through the append)
+    val b2 = Seq((401L, "fresh wave two " + batch(102L))).toDF("doc_id", "text")
+    val full = spansOf(SuffixArray.crossDocSpans(
+      hDf.unionByName(bDf).unionByName(b2), "doc_id", "text", minLen = minLen))
+      .filter(_._1 == 401L)
+    val incr = spansOf(SuffixArray.crossDocSpansAgainstHistoryDir(
+      b2, dir, "doc_id", "text"))
+    assert(incr == full)
+    assert(incr.nonEmpty, "wave 2 must hit batch-1 material via the appended hashes")
+    // appended artifact loads distinct (set-union idempotent)
+    val loaded = SuffixArray.loadCrossDocHashes(spark, dir)
+    assert(loaded.count() == loaded.distinct().count())
+  }
+
+  test("crossDocSpansAgainstHistory refusals and composition with removeCharSpans") {
+    val (history, batch) = appendFixture(31)
+    val hDf = history.toSeq.toDF("doc_id", "text")
+    val bDf = batch.toSeq.toDF("doc_id", "text")
+    // bare dir refused
+    val bare = java.nio.file.Files.createTempDirectory("graft_xdoc_bare_").toString
+    hDf.write.mode("overwrite").parquet(bare)
+    val e = intercept[Exception](
+      SuffixArray.crossDocSpansAgainstHistoryDir(bDf, bare, "doc_id", "text"))
+    assert(e.getMessage.contains("saveCrossDocHashes"))
+    // removal composition: batch cleaned against history == cleaning the
+    // full corpus and keeping the batch docs
+    val minLen = 20
+    val dir = java.nio.file.Files.createTempDirectory("graft_xdoc_").toString
+    SuffixArray.saveCrossDocHashes(hDf, "doc_id", "text", minLen, dir)
+    val incrClean = graft.ops.Dedup.removeCharSpans(
+      bDf,
+      SuffixArray.crossDocSpansAgainstHistoryDir(bDf, dir, "doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val fullClean = graft.ops.Dedup.removeCharSpans(
+      hDf.unionByName(bDf),
+      SuffixArray.crossDocSpans(hDf.unionByName(bDf), "doc_id", "text", minLen),
+      "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+      .filter(kv => batch.contains(kv._1))
+    assert(incrClean == fullClean)
+    // something was actually cut
+    assert(batch.exists(kv => incrClean(kv._1) != kv._2))
+  }
+
+  // ---- crossDocRepeat over a persisted rank artifact --------------------
+
+  test("crossDocRepeatFromArtifact == from-scratch crossDocRepeat; append keeps it exact") {
+    val (history, batch) = appendFixture(37)
+    val hDf = history.toSeq.toDF("doc_id", "text")
+    val bDf = batch.toSeq.toDF("doc_id", "text")
+    val all = hDf.unionByName(bDf)
+    def repOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "xdoc_len", "capped")
+        .as[(Long, Long, Boolean)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_sa_art_").toString
+    // full-resolution artifact serves a capped consumer (deeper resolution
+    // only permutes tie order — output must be identical)
+    SuffixArray.saveCorpusRanks(all, "doc_id", "text", dir)
+    val scratch = repOf(SuffixArray.crossDocRepeat(all, "doc_id", "text", maxLcp = 64))
+    val fromArt = repOf(SuffixArray.crossDocRepeatFromArtifact(
+      all, dir, "doc_id", "text", maxLcp = 64))
+    assert(fromArt == scratch,
+      s"extra=${(fromArt -- scratch).take(5)} missing=${(scratch -- fromArt).take(5)}")
+    // incremental: artifact maintained by append, detection over it still
+    // equals detection from scratch on the grown corpus
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sa_art_").toString
+    SuffixArray.saveCorpusRanks(hDf, "doc_id", "text", dir2)
+    SuffixArray.appendCorpusRanks(hDf, bDf, dir2, "doc_id", "text")
+    val fromAppended = repOf(SuffixArray.crossDocRepeatFromArtifact(
+      all, dir2, "doc_id", "text", maxLcp = 64))
+    assert(fromAppended == scratch)
+  }
+
+  test("crossDocRepeatFromArtifact refuses an artifact shallower than the consumer's cap") {
+    val (history, _) = appendFixture(41)
+    val hDf = history.toSeq.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sa_art_").toString
+    SuffixArray.saveCorpusRanks(hDf, "doc_id", "text", dir, resolveLcp = 16)
+    val e = intercept[IllegalArgumentException](
+      SuffixArray.crossDocRepeatFromArtifact(hDf, dir, "doc_id", "text", maxLcp = 64))
+    assert(e.getMessage.contains("shallower"))
+    // at or below the artifact's resolution it serves fine
+    val ok = SuffixArray.crossDocRepeatFromArtifact(hDf, dir, "doc_id", "text", maxLcp = 16)
+    val scratch = SuffixArray.crossDocRepeat(hDf, "doc_id", "text", maxLcp = 16)
+    assert(ok.exceptAll(scratch).isEmpty && scratch.exceptAll(ok).isEmpty)
+  }
 }
