@@ -95,10 +95,19 @@ object Bench {
     val failed = results.collect { case (n, None) => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
+    // every per-sweep sample, in sweep order: `queries` stays the
+    // noise-robust min, but publishing the raw samples lets a reader
+    // adjudicate host contention from the artifact alone (one inflated
+    // sample among three = a neighbor burst during that sweep; all three
+    // high = a real regression) instead of needing a quiet-host re-run
+    val samples = headline.map { name =>
+      "\"" + name + "\":" +
+        sweeps.flatMap(_.get(name)).map(_.toString).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
     // printed AGAIN after spark.stop(): executor-shutdown WARN chatter lands

@@ -821,6 +821,92 @@ object ScaleProbe {
         f"rebuild $volRebuild%9d rows  ratio: ${volAppend.toDouble / volRebuild}%6.3f " +
         "(gate: <= 0.1 — doubling volume must track the batch, not the corpus)")
     }
+
+    // --- LSH-bucketed margin mining probe (round-12, VERDICT r11 #1) --
+    // the exact marginMine is a deliberate |src|·|tgt| cross (the probe
+    // above documents its ~100x at 10x); the CANDIDATE path's cost must
+    // track candidate volume instead. LSH banding at corpus scale raises
+    // the plane count with the corpus (holding per-bucket density), so the
+    // probe compares 1x@3 planes vs 10x@7 planes — candidate volume stays
+    // ~linear in the corpus and the per-candidate cost must stay flat.
+    if (only.forall(_.contains("bitext_lsh"))) {
+      def mine(d: String, planes: Int): Long = {
+        val emb = Tables(spark, d, "embeddings")
+        val dims = emb.select(size(col("embedding"))).head().getInt(0)
+        graft.ops.SimilaritySearch.marginMineLsh(
+          emb.filter(col("label") === 0), "vec_id", "embedding",
+          emb.filter(col("label") === 1), "vec_id", "embedding",
+          k = 4, threshold = 1.0, planes = planes, dims = dims).count()
+      }
+      def candVolume(d: String, planes: Int): Long = {
+        val emb = Tables(spark, d, "embeddings")
+        val dims = emb.select(size(col("embedding"))).head().getInt(0)
+        val sb = emb.filter(col("label") === 0).select(
+          graft.ops.SimilaritySearch.lshBucket(
+            col("embedding").cast("array<double>"), planes, dims).as("b"))
+        val tb = emb.filter(col("label") === 1).select(
+          graft.ops.SimilaritySearch.lshBucket(
+            col("embedding").cast("array<double>"), planes, dims).as("b"))
+        sb.join(tb, Seq("b")).count()
+      }
+      mine(base, 3) // warm codegen
+      val (t1, _) = (1 to 3).map(_ => time(mine(base, 3))).minBy(_._1)
+      val (t10, _) = (1 to 3).map(_ => time(mine(big, 7))).minBy(_._1)
+      val c1 = candVolume(base, 3)
+      val c10 = candVolume(big, 7)
+      val perCand1 = t1 / math.max(c1, 1L)
+      val perCand10 = t10 / math.max(c10, 1L)
+      println(f"[scaleprobe] bitext_lsh 1x(3 planes): $t1%6.2fs ($c1%9d candidates)  " +
+        f"10x(7 planes): $t10%6.2fs ($c10%9d candidates)")
+      println(f"[scaleprobe] bitext_lsh candidate volume ratio: ${c10.toDouble / c1}%6.2f  " +
+        f"time ratio: ${t10 / t1}%5.2f  per-candidate cost ratio: ${perCand10 / perCand1}%5.2f " +
+        "(gate: time tracks candidates — per-candidate ratio <= 3, NOT the ~100x of the cross)")
+    }
+
+    // --- persisted n-gram LM append probe (round-12, VERDICT r11 #8) --
+    // append never reads history (it writes the batch's OWN count tables as
+    // delta rows), so append cost must be INDEPENDENT of artifact size:
+    // the same 50-doc batch appended into a 1x-history artifact and a
+    // 10x-history artifact should cost the same, while the rebuild
+    // alternative (fit+save on the union) scales with the corpus. Both
+    // claims gated.
+    if (only.forall(_.contains("lm_append"))) {
+      val d1 = Tables(spark, base, "documents").select("doc_id", "text")
+      val d10 = Tables(spark, big, "documents").select("doc_id", "text")
+      val n10 = d10.agg(max("doc_id")).head().getLong(0) + 1
+      val batch = d1.orderBy("doc_id").limit(50)
+        .select((col("doc_id") + lit(n10)).as("doc_id"),
+          concat(lit("fresh lm batch "), col("text")).as("text"))
+        .localCheckpoint()
+      val dir1 = "/tmp/graft_lm_probe_1x"
+      val dir10 = "/tmp/graft_lm_probe_10x"
+      val (tSave1, _) = time {
+        graft.ops.LangModel.save(
+          graft.ops.LangModel.fit(d1, "doc_id", "text"), dir1); 0L
+      }
+      val (tSave10, _) = time {
+        graft.ops.LangModel.save(
+          graft.ops.LangModel.fit(d10, "doc_id", "text"), dir10); 0L
+      }
+      val (tApp1, _) = time {
+        graft.ops.LangModel.append(spark, dir1, batch, "doc_id", "text"); 0L
+      }
+      val (tApp10, _) = time {
+        graft.ops.LangModel.append(spark, dir10, batch, "doc_id", "text"); 0L
+      }
+      // the alternative to append at 10x IS a full refit on the union
+      val (tRebuild10, _) = time {
+        graft.ops.LangModel.save(
+          graft.ops.LangModel.fit(d10.unionByName(batch), "doc_id", "text"),
+          "/tmp/graft_lm_probe_rebuild"); 0L
+      }
+      println(f"[scaleprobe] lm_append history-build 1x: $tSave1%6.2fs  10x: $tSave10%6.2fs  " +
+        f"(fit scales with corpus: ratio ${tSave10 / tSave1}%5.2f)")
+      println(f"[scaleprobe] lm_append append(+50 docs) into 1x: $tApp1%6.2fs  into 10x: $tApp10%6.2fs  " +
+        f"ratio: ${tApp10 / tApp1}%5.2f (gate: <= 1.5 — history is never read, cost tracks the batch)")
+      println(f"[scaleprobe] lm_append append vs rebuild at 10x: $tApp10%6.2fs vs $tRebuild10%6.2fs  " +
+        f"ratio: ${tApp10 / tRebuild10}%5.2f (gate: <= 0.5)")
+    }
     ops.filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, f) =>
       f(base) // warm codegen on the small side
