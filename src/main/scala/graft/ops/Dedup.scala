@@ -380,25 +380,38 @@ object Dedup {
     // generator collapses ABOVE it, which forces the raw text through
     // GenerateExec's requiredChildOutput and re-evaluates the regex split
     // per OUTPUT row — O(doc_len) per shingle, ~1 ms/row on a 29 KB doc
-    // (the r11 sa_skew e2e finding). Shingle completeness is derived from
-    // the window itself instead: the (n−1)-token lead exists iff the
-    // shingle is full-width.
-    val exploded = df
-      .repartition(parallelism, col(idCol))
-      .select(col(idCol) +: carried :+ posexplode(toks): _*)
+    // (the r11 sa_skew e2e finding). And NO window lead either (the r11
+    // interim fix — correct, but it bought skew robustness with a
+    // per-document SORT every shingle consumer paid, q_tx_ppmi 2.5x):
+    // the n token streams are aligned BEFORE the generator instead —
+    // arrays_zip of the n−1 shifted slices, n linear array ops ONCE per
+    // document, all inside the generator expression, so GenerateExec's
+    // child carries only the zipped array (never the raw text) and nothing
+    // re-evaluates per output row. Trailing-window structs carry nulls;
+    // concat_ws skips them, producing exactly the clipped shingle, and
+    // field (n−1)'s null-ness marks incomplete tails — completeness with
+    // neither a sort nor a token count.
     val shingled =
-      if (n == 1) exploded.withColumn("shingle", col("col"))
+      if (n == 1)
+        df.repartition(parallelism, col(idCol))
+          .select(col(idCol) +: carried :+ posexplode(toks): _*)
+          .withColumn("shingle", col("col"))
       else {
-        val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-        // concat_ws skips nulls, so trailing leads of a short document
-        // produce the clipped shingle; pos 0 always survives (documents
-        // shorter than n words yield their whole text as one clipped
-        // shingle — the documented contract)
-        val parts = col("col") +: (1 until n).map(k => lead(col("col"), k).over(w))
-        exploded
-          .withColumn("shingle", concat_ws(" ", parts: _*))
-          .withColumn("_full", lead(col("col"), n - 1).over(w).isNotNull)
-          .filter(col("_full") || col("pos") === 0)
+        // tokenize ONCE into a column first: the zip references the token
+        // array n+1 times, and CollapseProject keeps the split
+        // un-duplicated because re-inlining a non-cheap expression n+1
+        // times is exactly what it refuses to do
+        val streams = col("_toks").as("t0") +: (1 until n).map(k =>
+          slice(col("_toks"), lit(k + 1), size(col("_toks"))).as(s"t$k"))
+        // pos 0 always survives (documents shorter than n words yield
+        // their whole text as one clipped shingle — the documented
+        // contract)
+        df.repartition(parallelism, col(idCol))
+          .select(col(idCol) +: carried :+ toks.as("_toks"): _*)
+          .select(col(idCol) +: carriedNames :+ posexplode(arrays_zip(streams: _*)): _*)
+          .filter(col(s"col.t${n - 1}").isNotNull || col("pos") === 0)
+          .withColumn("shingle",
+            concat_ws(" ", (0 until n).map(k => col(s"col.t$k")): _*))
       }
     shingled.select(col(idCol) +: carriedNames :+ col("shingle"): _*)
   }

@@ -964,17 +964,20 @@ object TextAnalysis {
   private[ops] def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    // no size(t) alongside the generator: it would collapse above the
+    // no size(t) alongside the generator (it would collapse above the
     // explode, carry the raw text through GenerateExec, and re-split it
-    // per OUTPUT row (the shingleRows skew trap) — the lead's null-ness
-    // already marks incomplete tails
+    // per OUTPUT row — the shingleRows skew trap) and no window lead
+    // either (a per-document sort every consumer pays): the two token
+    // streams zip BEFORE the generator — tokenize once into a column,
+    // slice+zip once per document, trailing struct carries a null that
+    // marks the incomplete tail (the Dedup.shingleRows discipline)
     df.repartition(parallelism, col(idCol))
-      .select(col(idCol), posexplode(t))
-      .withColumn("_w2", lead(col("col"), 1).over(w))
-      .filter(col("_w2").isNotNull)
-      .select(col(idCol), col("col").as("w1"), col("_w2").as("w2"))
+      .select(col(idCol), t.as("_toks"))
+      .select(col(idCol), posexplode(arrays_zip(
+        col("_toks").as("t0"),
+        slice(col("_toks"), lit(2), size(col("_toks"))).as("t1"))))
+      .filter(col("col.t1").isNotNull)
+      .select(col(idCol), col("col.t0").as("w1"), col("col.t1").as("w2"))
   }
 
   /** Bigram language-model perplexity — the KenLM-shaped quality signal
@@ -1062,11 +1065,16 @@ object TextAnalysis {
       textCol: String,
       minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // both count tables pinned: c2 feeds the n2 total AND the thresholded
+    // join, uni feeds the n1 total AND both unigram joins — without the
+    // pins each reader re-runs a full corpus tokenization pass
     val c2 = bigramRows(df, idCol, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .localCheckpoint(true)
     val uni = df
       .select(explode(filter(toks(col(textCol)), t => t =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = c2.agg(sum(col("pair_count")).as("n2"))
       .crossJoin(uni.agg(sum(col("c")).as("n1")))
     c2.filter(col("pair_count") >= minCount)
@@ -1089,8 +1097,8 @@ object TextAnalysis {
     *
     *   ppmi(x,y) = max(0, ln( (c(x,y)/N₂) / ((c(x)/N₁)·(c(y)/N₁)) ))
     *
-    * with pair counts from `window` lead-passes over ONE per-doc position
-    * sort (no positions self-join), unigram counts as in
+    * with pair counts from one zipped-stream explode (no per-doc sort, no
+    * positions self-join), unigram counts as in
     * [[pmiCollocations]], and pairs below `minCount` dropped before the
     * joins. Output: `(w1, w2, pair_count, ppmi)` with w1 ≤ w2 and ppmi
     * half-up 6 (0.0-floored — negative associations carry no signal at
@@ -1105,27 +1113,38 @@ object TextAnalysis {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val base = df
-      .repartition(parallelism, col(idCol))
-      .select(col(idCol), posexplode(toks(col(textCol))))
-      .select(col(idCol), col("pos"), col("col").as("_w"))
-    val withLeads = (1 to window).foldLeft(base) { (d, k) =>
-      d.withColumn(s"_n$k", lead(col("_w"), k).over(w))
+    // windowless pair builder (the shingleRows discipline): the `window`+1
+    // token streams zip BEFORE the first generator — tokenize once, k
+    // linear slices per document — and each exploded position emits its
+    // ≤window co-occurrence pairs through a SECOND codegen'd generator
+    // (array of structs), so no per-document sort, no text through
+    // GenerateExec, and no k-way unionAll re-running the explode per
+    // offset (the pre-r12 shape recomputed the whole subtree per k)
+    val streams = col("_toks").as("t0") +: (1 to window).map(k =>
+      slice(col("_toks"), lit(k + 1), size(col("_toks"))).as(s"t$k"))
+    val pairStructs = (1 to window).map { k =>
+      val (a, b) = (col("col.t0"), col(s"col.t$k"))
+      struct(
+        least(a, b).as("w1"), greatest(a, b).as("w2"),
+        (b.isNotNull && a =!= "" && b =!= "").as("ok"))
     }
-    val pairs = (1 to window)
-      .map(k =>
-        withLeads
-          .filter(col(s"_n$k").isNotNull && col("_w") =!= "" && col(s"_n$k") =!= "")
-          .select(
-            least(col("_w"), col(s"_n$k")).as("w1"),
-            greatest(col("_w"), col(s"_n$k")).as("w2")))
-      .reduce(_ unionAll _)
+    val pairs = df
+      .repartition(parallelism, col(idCol))
+      .select(col(idCol), toks(col(textCol)).as("_toks"))
+      .select(col(idCol), posexplode(arrays_zip(streams: _*)))
+      .select(explode(array(pairStructs: _*)).as("p"))
+      .filter(col("p.ok"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // pinned: both the totals aggregate and the thresholded join read c2 —
+    // without the pin the whole tokenize+explode+count subtree runs twice
     val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .localCheckpoint(true)
+    // pinned for the same reason: read by the n1 total and BOTH unigram
+    // joins — three corpus tokenization passes otherwise
     val uni = df
       .select(explode(filter(toks(col(textCol)), t => t =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = c2.agg(sum(col("pair_count")).as("n2"))
       .crossJoin(uni.agg(sum(col("c")).as("n1")))
     c2.filter(col("pair_count") >= minCount)
@@ -1195,16 +1214,18 @@ object TextAnalysis {
   private[ops] def trigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    // size(t)-free for the same reason as bigramRows (the shingleRows
-    // skew trap): the 2-lead's null-ness marks incomplete tails
+    // windowless + size(t)-free for the same reasons as bigramRows: three
+    // pre-zipped token streams, the third field's null-ness marks
+    // incomplete tails
     df.repartition(parallelism, col(idCol))
-      .select(col(idCol), posexplode(t))
-      .withColumn("_w2", lead(col("col"), 1).over(w))
-      .withColumn("_w3", lead(col("col"), 2).over(w))
-      .filter(col("_w3").isNotNull)
-      .select(col(idCol), col("col").as("w1"), col("_w2").as("w2"), col("_w3").as("w3"))
+      .select(col(idCol), t.as("_toks"))
+      .select(col(idCol), posexplode(arrays_zip(
+        col("_toks").as("t0"),
+        slice(col("_toks"), lit(2), size(col("_toks"))).as("t1"),
+        slice(col("_toks"), lit(3), size(col("_toks"))).as("t2"))))
+      .filter(col("col.t2").isNotNull)
+      .select(col(idCol), col("col.t0").as("w1"),
+        col("col.t1").as("w2"), col("col.t2").as("w3"))
   }
 
   /** Trigram language-model scoring with STUPID BACKOFF (Brants et al.,
