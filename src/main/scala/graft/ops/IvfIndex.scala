@@ -63,6 +63,37 @@ object IvfIndex {
       df.sparkSession.createDataFrame(centroidRows.map { case (i, v) => (i, v) })
         .toDF("cell", "cv"))
 
+  /** Multi-probe assignment against an existing index's geometry: each row
+    * gets its `nProbe` NEAREST cells (cosine, ties to the lowest cell) —
+    * `(idCol, cell)` with up to nProbe rows per id. The query-side half of
+    * an IVF candidate join ([[graft.ops.SimilaritySearch.marginMineIvf]]):
+    * one broadcast of the nCells×dim centroid table + one scan, the
+    * [[search]] probe rule expressed as a relation instead of a driver
+    * loop so a whole QUERY CORPUS probes in one pass.
+    */
+  def assignProbes(
+      index: Index,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val centroids = df.sparkSession
+      .createDataFrame(index.centroids.map { case (i, v) => (i, v) })
+      .toDF("cell", "cv")
+    val scored = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cell"),
+        SimilaritySearch.cosine(col("v"), col("cv")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell"))
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nProbe)
+      .select(col(idCol), col("cell"))
+  }
+
   /** Build the index: returns per-id cell assignments plus the centroid
     * vectors.
     */

