@@ -247,6 +247,25 @@ object QueriesRelational {
           .as("dist_ft"))
     }),
 
+    // the 100 TB path of q_j12: tile-bucketed nearest-geo — both sides
+    // bucket into zoom-3 slippy tiles, each point probes its 3x3 block,
+    // and the argmin runs behind a KEYED tile join instead of the cross;
+    // block-empty points surface with NULLs (the documented escalation
+    // contract). Same synthetic coordinate grids as q_j12_geo_nn
+    "q_j12_tile_nn" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"),
+        (col("c_custkey") * 7 % 120 - 60 + 0.25).as("c_lat"),
+        (col("c_custkey") * 13 % 340 - 170 + 0.25).as("c_lon"))
+      val supp = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        (col("s_suppkey") * 11 % 120 - 60 + 0.75).as("s_lat"),
+        (col("s_suppkey") * 17 % 340 - 170 + 0.75).as("s_lon"))
+      graft.ops.GeoJoin.nearestByTile(
+        cust, "c_custkey", "c_lat", "c_lon",
+        supp, "s_suppkey", "s_lat", "s_lon", zoom = 3)
+    }),
+
     // §2.10 SharedStreets-style geo referencing (reference
     // docs/sharedstreets.md): slippy-tile coordinates at the doc's
     // recommended zoom 12 + the md5 intersection key, composed with the
@@ -400,6 +419,38 @@ object QueriesRelational {
         |SELECT c_custkey, s_suppkey, dist_ft
         |FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY dist_ft, s_suppkey) AS rn
         |      FROM d) WHERE rn = 1""".stripMargin,
+    "q_j12_tile_nn" ->
+      """WITH c AS (SELECT c_custkey,
+        |    c_custkey * 7 % 120 - 60 + 0.25 AS c_lat,
+        |    c_custkey * 13 % 340 - 170 + 0.25 AS c_lon FROM customer),
+        |sp AS (SELECT s_suppkey,
+        |    s_suppkey * 11 % 120 - 60 + 0.75 AS s_lat,
+        |    s_suppkey * 17 % 340 - 170 + 0.75 AS s_lon FROM supplier),
+        |pt AS (SELECT c_custkey, c_lat, c_lon,
+        |    CAST(floor((c_lon + 180.0) / 360.0 * 8.0) AS BIGINT) AS tx,
+        |    CAST(floor((1.0 - ln(tan(radians(c_lat)) + 1.0/cos(radians(c_lat))) / pi()) / 2.0 * 8.0)
+        |      AS BIGINT) AS ty
+        |  FROM c),
+        |ct AS (SELECT s_suppkey, s_lat, s_lon,
+        |    CAST(floor((s_lon + 180.0) / 360.0 * 8.0) AS BIGINT) AS tx,
+        |    CAST(floor((1.0 - ln(tan(radians(s_lat)) + 1.0/cos(radians(s_lat))) / pi()) / 2.0 * 8.0)
+        |      AS BIGINT) AS ty
+        |  FROM sp),
+        |probes AS (SELECT c_custkey, c_lat, c_lon,
+        |    ((tx + dx.d) % 8 + 8) % 8 AS jx, ty + dy.d AS jy
+        |  FROM pt, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
+        |  WHERE ty + dy.d BETWEEN 0 AND 7),
+        |scored AS (SELECT c_custkey, s_suppkey,
+        |    floor(2 * atan2(sqrt(pow(sin(radians(s_lat - c_lat)/2), 2)
+        |        + cos(radians(c_lat)) * cos(radians(s_lat)) * pow(sin(radians(s_lon - c_lon)/2), 2)),
+        |      sqrt(1.0 - (pow(sin(radians(s_lat - c_lat)/2), 2)
+        |        + cos(radians(c_lat)) * cos(radians(s_lat)) * pow(sin(radians(s_lon - c_lon)/2), 2))))
+        |      * 20914080.0 + 0.5) AS dist_ft
+        |  FROM probes JOIN ct ON probes.jx = ct.tx AND probes.jy = ct.ty),
+        |best AS (SELECT c_custkey, s_suppkey, dist_ft FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY dist_ft, s_suppkey) = 1)
+        |SELECT c.c_custkey, best.s_suppkey, best.dist_ft
+        |FROM c LEFT JOIN best USING (c_custkey)""".stripMargin,
     "q_j14_map_lookup" ->
       """SELECT n_nationkey,
         |  CASE n_regionkey WHEN 0 THEN 'africa' WHEN 1 THEN 'america'

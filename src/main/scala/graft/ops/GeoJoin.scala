@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Functions
+
+/** Tile-bucketed geo joins — the 100 TB path for the nearest-geo argmin
+  * family. The reference's device resolution scans all candidate pairs
+  * (fine for its ~100-sensor dimension, and the engine keeps that exact
+  * broadcast-cross form in `DeviceResolution`/q_j12); at corpus scale the
+  * candidate side is millions of rows and the cross is the textbook
+  * scale-killer. Here both sides bucket into slippy-map tiles
+  * ([[Functions.tileX]]/[[Functions.tileY]] — the SharedStreets/OSM
+  * convention, reference `docs/sharedstreets.md`), each point probes its
+  * 3×3 tile neighborhood, and the match becomes a KEYED equi-join on the
+  * tile key with a per-point haversine argmin behind it.
+  */
+object GeoJoin {
+
+  /** Nearest candidate per point by haversine distance, comparing only
+    * candidates in the point's tile and its 8 neighbors at `zoom` —
+    * `(pIdCol, cIdCol, dist_ft)`, one row per point, NULL candidate when
+    * the 3×3 block holds none.
+    *
+    * Contract: EXACT nearest whenever the true nearest lies within the
+    * neighbor block — pick `zoom` so a tile is comfortably wider than the
+    * expected match distance (a zoom-z tile spans 360/2^z degrees of
+    * longitude). A point whose block is empty surfaces with NULLs rather
+    * than silently paying a rescan; the caller escalates (coarser zoom,
+    * or the exact cross on the residual — typically a vanishing
+    * fraction). `zoom = 0` is one world tile == the exact form
+    * (spec-pinned against the q_j12 cross).
+    *
+    * Scale shape: the probe side explodes 9× (slim id+coords rows, never
+    * payload), x wraps at the antimeridian, y clamps at the poles; the
+    * join is a keyed equi-join on (tile_x, tile_y) — SHUFFLE_HASH hinted,
+    * never a cross — and the argmin is one keyed window over
+    * block-bounded pair rows. Ties break on (rounded distance, candidate
+    * id), the q_j12 convention, so results replay exactly in SQL.
+    */
+  def nearestByTile(
+      points: DataFrame, pIdCol: String, pLatCol: String, pLonCol: String,
+      cands: DataFrame, cIdCol: String, cLatCol: String, cLonCol: String,
+      zoom: Int): DataFrame = {
+    require(zoom >= 0 && zoom <= 22, s"tile zoom $zoom out of range [0, 22]")
+    val n = 1L << zoom
+    val p = points.select(
+      col(pIdCol).as("_pid"), col(pLatCol).as("_plat"), col(pLonCol).as("_plon"),
+      Functions.tileX(col(pLonCol), zoom).as("_tx"),
+      Functions.tileY(col(pLatCol), zoom).as("_ty"))
+    // 9 probe tiles per point: x wraps (antimeridian), y clamps (poles).
+    // Low zooms produce duplicate probe tiles after the wrap — harmless,
+    // the argmin window is duplicate-tolerant
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val probes = p
+      .select(col("_pid"), col("_plat"), col("_plon"), col("_tx"), col("_ty"),
+        explode(array(offsets: _*)).as("_o"))
+      .select(col("_pid"), col("_plat"), col("_plon"),
+        pmod(col("_tx") + col("_o.dx"), lit(n)).as("_jx"),
+        (col("_ty") + col("_o.dy")).as("_jy"))
+      .filter(col("_jy").between(0, n - 1))
+    val c = cands.select(
+      col(cIdCol).as("_cid"), col(cLatCol).as("_clat"), col(cLonCol).as("_clon"),
+      Functions.tileX(col(cLonCol), zoom).as("_jx"),
+      Functions.tileY(col(cLatCol), zoom).as("_jy"))
+    val scored = probes
+      .join(c.hint("SHUFFLE_HASH"), Seq("_jx", "_jy"))
+      .select(col("_pid"), col("_cid"),
+        Functions.roundHalfUp(
+          Functions.haversineFeet(
+            col("_plat"), col("_plon"), col("_clat"), col("_clon")), 0)
+          .as("dist_ft"))
+    val w = Window.partitionBy(col("_pid")).orderBy(col("dist_ft"), col("_cid"))
+    val best = scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_pid"), col("_cid"), col("dist_ft"))
+    points.select(col(pIdCol).as("_pid"))
+      .join(best, Seq("_pid"), "left")
+      .select(col("_pid").as(pIdCol), col("_cid").as(cIdCol), col("dist_ft"))
+  }
+}
