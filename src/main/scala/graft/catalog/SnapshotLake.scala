@@ -580,11 +580,20 @@ class SnapshotLake(spark: SparkSession, root: String) {
 
   private def widensTo(
       from: org.apache.spark.sql.types.DataType,
-      to: org.apache.spark.sql.types.DataType): Boolean =
-    (widenRank(from), widenRank(to)) match {
-      case (Some((fa, fr)), Some((ta, tr))) => fa == ta && fr < tr
-      case _ => false
-    }
+      to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+    // decimal → decimal is lossless iff neither the integer digits
+    // (precision − scale) nor the scale shrink, and something actually
+    // grows — the Delta/Iceberg decimal-widening rule
+    case (f: org.apache.spark.sql.types.DecimalType,
+          t: org.apache.spark.sql.types.DecimalType) =>
+      t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale &&
+        (t.precision > f.precision || t.scale > f.scale)
+    case _ =>
+      (widenRank(from), widenRank(to)) match {
+        case (Some((fa, fr)), Some((ta, tr))) => fa == ta && fr < tr
+        case _ => false
+      }
+  }
 
   /** The multi-dir parquet scan every read path shares. Without widened
     * types this is the plain mergeSchema scan; with them, file footers can
@@ -1577,7 +1586,9 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * read schema), new batches store it physically, and time travel before
     * this version still reads the narrow type. Only lossless widenings are
     * accepted — byte→short→int→long within integrals, float→double within
-    * fractionals; narrowing or cross-family changes are REFUSED loudly
+    * fractionals, decimal(p,s)→decimal(p′,s′) when neither the integer
+    * digits nor the scale shrink; narrowing or cross-family changes are
+    * REFUSED loudly
     * (they would corrupt silently on overflow/precision loss). `to` is a
     * catalog type string (`"bigint"`, `"double"`, ...).
     */

@@ -320,6 +320,37 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(!delta.select("id").collect().map(_.getInt(0)).contains(1))
   }
 
+  test("decimal widening: precision and scale may grow, never shrink") {
+    import org.apache.spark.sql.types._
+    val lake = fresh()
+    lake.commit(
+      spark.sql("""SELECT * FROM VALUES
+        (1, CAST(12.34 AS DECIMAL(10,2)), 'p1'),
+        (2, CAST(-5.67 AS DECIMAL(10,2)), 'p1')
+        AS t(id, amt, part)"""),
+      Seq("part"))
+    lake.widenColumn("amt", "decimal(16,4)")
+    val out = lake.read(Seq("part"))
+    assert(out.schema("amt").dataType == DecimalType(16, 4))
+    assert(out.filter(col("id") === 1).head().getAs[java.math.BigDecimal]("amt")
+      .compareTo(new java.math.BigDecimal("12.34")) == 0)
+    // a value only the widened type can hold
+    lake.commit(
+      spark.sql("""SELECT * FROM VALUES
+        (3, CAST(123456789012.3456 AS DECIMAL(16,4)), 'p2') AS t(id, amt, part)"""),
+      Seq("part"))
+    assert(lake.read(Seq("part")).count() == 3L)
+    // shrinking the scale (12 integer digits kept, scale 4 -> 2) loses
+    // fraction digits; shrinking integer digits loses magnitude — refused
+    val e1 = intercept[IllegalArgumentException](lake.widenColumn("amt", "decimal(18,2)"))
+    assert(e1.getMessage.contains("lossless"))
+    val e2 = intercept[IllegalArgumentException](lake.widenColumn("amt", "decimal(14,4)"))
+    assert(e2.getMessage.contains("lossless"))
+    // cross-family from decimal refused
+    val e3 = intercept[IllegalArgumentException](lake.widenColumn("amt", "double"))
+    assert(e3.getMessage.contains("lossless"))
+  }
+
   test("statsFor and readPruned work through a widen") {
     import org.apache.spark.sql.types._
     val lake = fresh()
