@@ -306,6 +306,59 @@ class StreamingSpec extends SparkSpec {
       "stream flags exactly the later-wave half of the batch result")
   }
 
+  test("streaming char-grain cross-doc dedup: foreachBatch + hash artifact equals full-corpus spans") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_xd_src_").toString
+    val spansOut = java.nio.file.Files.createTempDirectory("graft_xd_out_").toString + "/spans"
+    val histDir = java.nio.file.Files.createTempDirectory("graft_xd_hist_").toString + "/hist"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_xd_ck_").toString
+
+    val minLen = 20
+    val run = "a shared character run long enough to flag"
+    val wave1 = Seq((1L, s"first sighting: $run [end one]"), (2L, "wholly original number two"))
+    val wave2 = Seq((3L, s"second sighting: $run [end two]"), (4L, "also original, nothing shared"))
+
+    // seed an EMPTY artifact (geometry sidecar only) — the artifact IS the
+    // stream's state, so a lost checkpoint never loses dedup history
+    graft.ops.SuffixArray.saveCrossDocHashes(
+      wave1.toDF("doc_id", "text").limit(0), "doc_id", "text", minLen, histDir)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ops.SuffixArray.crossDocSpansAgainstHistoryDir(
+              batch, histDir, "doc_id", "text")
+            .write.mode("append").parquet(spansOut)
+          graft.ops.SuffixArray.appendCrossDocHashes(batch, histDir, "doc_id", "text")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    wave1.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    assert(!new java.io.File(spansOut).exists() ||
+      spark.read.parquet(spansOut).count() === 0L,
+      "first sighting alone must not flag")
+
+    wave2.toDF("doc_id", "text").write.mode("append").parquet(src)
+    runOnce()
+    val got = spark.read.parquet(spansOut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the stream flags exactly what full-corpus crossDocSpans reports for
+    // the later wave's docs
+    val fullAll: Set[(Long, Long, Long)] = graft.ops.SuffixArray.crossDocSpans(
+        (wave1 ++ wave2).toDF("doc_id", "text"), "doc_id", "text", minLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = fullAll.filter { case (id, _, _) => id >= 3L }
+    assert(got === full && got.nonEmpty,
+      s"stream=$got fullRestricted=$full")
+  }
+
   test("streaming span coverage: per-batch coverage over history spans equals batch") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_cov_src_").toString
