@@ -56,7 +56,9 @@ object Bench {
       "q_lm_kn_artifact", "q_sft_toolcalls", "q_tx_langseg", "q_pk_shards",
       "q_mm_exif", "q_ev_passk", "q_ev_bleu", "q_ev_rougel", "q_ev_chrf",
       "q_ev_distinctn", "q_ann_bitext", "q_fmt_avro", "q_tx_pii_spans",
-      "q_ev_ter")
+      "q_ev_ter",
+      "q_ann_bitext_lsh", "q_sa_crossdoc_incr", "q_sc_geotile",
+      "q_j12_tile_nn")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),
