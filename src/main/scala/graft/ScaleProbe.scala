@@ -822,6 +822,34 @@ object ScaleProbe {
         "(gate: <= 0.1 — doubling volume must track the batch, not the corpus)")
     }
 
+    // --- detection over the persisted SA artifact (round-12, VERDICT r11 #7) --
+    // crossDocRepeat's cost = ranking + the adjacent-pair detection tail;
+    // once the corpus ranks live in a persisted artifact (maintained by
+    // appendCorpusRanks as batches land), re-detection should pay ONLY the
+    // tail. Gate: from-artifact detection ≤ 0.8x of from-scratch on the
+    // same corpus (the saved ranking is the difference; both sides pay the
+    // tail).
+    if (only.forall(_.contains("sa_artifact"))) {
+      val docs = Tables(spark, base, "documents").select("doc_id", "text")
+        .localCheckpoint()
+      val dir = "/tmp/graft_sa_artifact_probe"
+      val (tBuild, _) = time {
+        graft.ops.SuffixArray.saveCorpusRanks(
+          docs, "doc_id", "text", dir, resolveLcp = 64); 0L
+      }
+      def scratch(): Long =
+        graft.ops.SuffixArray.crossDocRepeat(docs, "doc_id", "text", maxLcp = 64).count()
+      def fromArt(): Long =
+        graft.ops.SuffixArray.crossDocRepeatFromArtifact(
+          docs, dir, "doc_id", "text", maxLcp = 64).count()
+      scratch(); fromArt() // warm
+      val (tScratch, _) = (1 to 3).map(_ => time(scratch())).minBy(_._1)
+      val (tArt, _) = (1 to 3).map(_ => time(fromArt())).minBy(_._1)
+      println(f"[scaleprobe] sa_artifact build-once: $tBuild%6.2fs  " +
+        f"detect from scratch: $tScratch%6.2fs  over artifact: $tArt%6.2fs  " +
+        f"ratio: ${tArt / tScratch}%5.2f (gate: <= 0.8 — re-detection pays only the pair tail)")
+    }
+
     // --- LSH-bucketed margin mining probe (round-12, VERDICT r11 #1) --
     // the exact marginMine is a deliberate |src|·|tgt| cross (the probe
     // above documents its ~100x at 10x); the CANDIDATE path's cost must
