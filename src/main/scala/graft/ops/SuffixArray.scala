@@ -800,6 +800,17 @@ object SuffixArray {
     spark.read.parquet(dir).select("win_hash").distinct()
   }
 
+  /** Rewrite an append-heavy hash artifact as one-row-per-hash at `dest`
+    * (a NEW directory — caller swaps pointers; the
+    * [[graft.ops.LangModel.compactTo]] staging discipline).
+    */
+  def compactCrossDocHashes(spark: SparkSession, path: String, dest: String): Unit = {
+    require(path != dest, "compactCrossDocHashes dest must differ from the source artifact")
+    val minLen = crossDocHashesMinLen(spark, path)
+    loadCrossDocHashes(spark, path).write.mode("overwrite").parquet(dest)
+    MetaJson.write(spark, dest, XdocMetaFile, Seq("minLen" -> minLen.toLong))
+  }
+
   /** The artifact's window length, from its geometry sidecar. */
   def crossDocHashesMinLen(spark: SparkSession, dir: String): Int =
     MetaJson.readFields(spark, dir, XdocMetaFile,

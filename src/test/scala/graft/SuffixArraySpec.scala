@@ -497,6 +497,15 @@ class SuffixArraySpec extends SparkSpec {
     // appended artifact loads distinct (set-union idempotent)
     val loaded = SuffixArray.loadCrossDocHashes(spark, dir)
     assert(loaded.count() == loaded.distinct().count())
+    // compaction to a fresh dir preserves the hash set and the geometry
+    val dest = java.nio.file.Files.createTempDirectory("graft_xdoc_c_").toString + "/c"
+    SuffixArray.compactCrossDocHashes(spark, dir, dest)
+    val compacted = SuffixArray.loadCrossDocHashes(spark, dest)
+    assert(compacted.exceptAll(loaded).isEmpty && loaded.exceptAll(compacted).isEmpty)
+    assert(SuffixArray.crossDocHashesMinLen(spark, dest) == minLen)
+    val e = intercept[IllegalArgumentException](
+      SuffixArray.compactCrossDocHashes(spark, dir, dir))
+    assert(e.getMessage.contains("differ"))
   }
 
   test("crossDocSpansAgainstHistory refusals and composition with removeCharSpans") {
