@@ -15,6 +15,23 @@ object QueriesCorpus {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
+  // one history window-hash artifact per (session, sfDir): the incremental
+  // rows measure the PROBE (the thing the incremental path exists for),
+  // not a per-run rebuild of history indexing — and repeated bench sweeps
+  // stop leaking a fresh artifact directory each run. Same discipline as
+  // QueriesExtra's compactCache.
+  private val xdocHistoryCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def xdocHistory(s: SparkSession, dir: String): String =
+    xdocHistoryCache.getOrElseUpdate("xdoc|" + s.hashCode() + "|" + dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_xdoc_q_").toString
+      graft.ops.SuffixArray.saveCrossDocHashes(
+        t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", minLen = 30, path)
+      path
+    })
+
   /** The BPE golden-oracle fixture corpus: nation ⋈ region names, ordered
     * by nation key. Both dimensions are fixed-cardinality (25 / 5 rows) and
     * byte-identical at every scale factor, so the golden merge/vocabulary
@@ -208,25 +225,19 @@ object QueriesCorpus {
     // batch-vs-history ≡ full-corpus contract end to end
     "q_sa_crossdoc_incr" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files.createTempDirectory("graft_xdoc_q_").toString
-      graft.ops.SuffixArray.saveCrossDocHashes(
-        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", minLen = 30, path)
       graft.ops.SuffixArray.crossDocSpansAgainstHistoryDir(
-        docs.filter(col("doc_id") % 3 === 0), path, "doc_id", "text")
+        docs.filter(col("doc_id") % 3 === 0), xdocHistory(s, dir), "doc_id", "text")
     }),
 
     // the removal composition over the incremental detection: the batch
     // with every vs-history span cut out (detect-incrementally → cut)
     "q_sa_crossdoc_incr_clean" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val path = java.nio.file.Files.createTempDirectory("graft_xdoc_q_").toString
-      graft.ops.SuffixArray.saveCrossDocHashes(
-        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", minLen = 30, path)
       val batch = docs.filter(col("doc_id") % 3 === 0 && col("doc_id").isNotNull)
       graft.ops.Dedup.removeCharSpans(
         batch,
         graft.ops.SuffixArray.crossDocSpansAgainstHistoryDir(
-          batch, path, "doc_id", "text"),
+          batch, xdocHistory(s, dir), "doc_id", "text"),
         "doc_id", "text")
     }),
 

@@ -428,18 +428,18 @@ object QueriesRelational {
         |    s_suppkey * 17 % 340 - 170 + 0.75 AS s_lon FROM supplier),
         |pt AS (SELECT c_custkey, c_lat, c_lon,
         |    CAST(floor((c_lon + 180.0) / 360.0 * 8.0) AS BIGINT) AS tx,
-        |    CAST(floor((1.0 - ln(tan(radians(c_lat)) + 1.0/cos(radians(c_lat))) / pi()) / 2.0 * 8.0)
-        |      AS BIGINT) AS ty
+        |    LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(c_lat)) + 1.0/cos(radians(c_lat))) / pi()) / 2.0 * 8.0)
+        |      AS BIGINT), 0), 7) AS ty
         |  FROM c),
         |ct AS (SELECT s_suppkey, s_lat, s_lon,
-        |    CAST(floor((s_lon + 180.0) / 360.0 * 8.0) AS BIGINT) AS tx,
-        |    CAST(floor((1.0 - ln(tan(radians(s_lat)) + 1.0/cos(radians(s_lat))) / pi()) / 2.0 * 8.0)
-        |      AS BIGINT) AS ty
+        |    ((CAST(floor((s_lon + 180.0) / 360.0 * 8.0) AS BIGINT)) % 8 + 8) % 8 AS tx,
+        |    LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(s_lat)) + 1.0/cos(radians(s_lat))) / pi()) / 2.0 * 8.0)
+        |      AS BIGINT), 0), 7) AS ty
         |  FROM sp),
         |probes AS (SELECT c_custkey, c_lat, c_lon,
-        |    ((tx + dx.d) % 8 + 8) % 8 AS jx, ty + dy.d AS jy
-        |  FROM pt, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)
-        |  WHERE ty + dy.d BETWEEN 0 AND 7),
+        |    ((tx + dx.d) % 8 + 8) % 8 AS jx,
+        |    LEAST(GREATEST(ty + dy.d, 0), 7) AS jy
+        |  FROM pt, (VALUES (-1),(0),(1)) dx(d), (VALUES (-1),(0),(1)) dy(d)),
         |scored AS (SELECT c_custkey, s_suppkey,
         |    floor(2 * atan2(sqrt(pow(sin(radians(s_lat - c_lat)/2), 2)
         |        + cos(radians(c_lat)) * cos(radians(s_lat)) * pow(sin(radians(s_lon - c_lon)/2), 2)),

@@ -611,9 +611,19 @@ class SnapshotLake(spark: SparkSession, root: String) {
       if (paths.size == 1) spark.read.parquet(paths.head)
       else spark.read.option("mergeSchema", "true").parquet(paths: _*)
     } else {
+      // one footer-schema fetch per path, but CONCURRENT — a widened lake
+      // with hundreds of partition dirs (or readPruned's per-file paths)
+      // must not pay sequential driver round-trips on every read. Results
+      // re-zip with `paths` so the merged field order stays deterministic.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = SnapshotLake.footerEc
+      val schemas = Await.result(
+        Future.traverse(paths.toList)(p => Future(spark.read.parquet(p).schema)),
+        Duration.Inf)
       val merged = scala.collection.mutable.LinkedHashMap
         .empty[String, org.apache.spark.sql.types.DataType]
-      for (p <- paths; f <- spark.read.parquet(p).schema.fields) {
+      for ((p, schema) <- paths.zip(schemas); f <- schema.fields) {
         val target = tmap.getOrElse(f.name, f.dataType)
         require(f.dataType == target || widensTo(f.dataType, target),
           s"column '${f.name}' stored as ${f.dataType.catalogString} under $p " +
@@ -1782,4 +1792,20 @@ class SnapshotLake(spark: SparkSession, root: String) {
       Files.deleteIfExists(infoPath(v))
     }
   }
+}
+
+object SnapshotLake {
+  /** Bounded pool for concurrent footer-schema fetches in `scanDirs` —
+    * driver-side metadata I/O, so a small fixed pool (not the global EC,
+    * which query code must never saturate).
+    */
+  private[catalog] lazy val footerEc: scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        16,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-footer-schema")
+          t.setDaemon(true)
+          t
+        }))
 }

@@ -46,26 +46,34 @@ object GeoJoin {
       zoom: Int): DataFrame = {
     require(zoom >= 0 && zoom <= 22, s"tile zoom $zoom out of range [0, 22]")
     val n = 1L << zoom
+    // BOTH sides normalize the same way — x wraps (lon 180 is lon −180's
+    // tile; tileX of exactly +180 is n, one past the edge), y clamps into
+    // [0, n−1] (latitudes past the Web-Mercator range land in the edge
+    // row). A one-sided normalization would strand boundary candidates in
+    // tiles no probe can reach and silently break the zoom-0 == exact
+    // contract for polar/antimeridian inputs.
+    def normX(x: org.apache.spark.sql.Column) = pmod(x, lit(n))
+    def clampY(y: org.apache.spark.sql.Column) =
+      least(greatest(y, lit(0L)), lit(n - 1))
     val p = points.select(
       col(pIdCol).as("_pid"), col(pLatCol).as("_plat"), col(pLonCol).as("_plon"),
       Functions.tileX(col(pLonCol), zoom).as("_tx"),
-      Functions.tileY(col(pLatCol), zoom).as("_ty"))
-    // 9 probe tiles per point: x wraps (antimeridian), y clamps (poles).
-    // Low zooms produce duplicate probe tiles after the wrap — harmless,
-    // the argmin window is duplicate-tolerant
+      clampY(Functions.tileY(col(pLatCol), zoom)).as("_ty"))
+    // 9 probe tiles per point. Low zooms (and pole rows) produce duplicate
+    // probe tiles after the wrap/clamp — harmless, the argmin window is
+    // duplicate-tolerant
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
     val probes = p
       .select(col("_pid"), col("_plat"), col("_plon"), col("_tx"), col("_ty"),
         explode(array(offsets: _*)).as("_o"))
       .select(col("_pid"), col("_plat"), col("_plon"),
-        pmod(col("_tx") + col("_o.dx"), lit(n)).as("_jx"),
-        (col("_ty") + col("_o.dy")).as("_jy"))
-      .filter(col("_jy").between(0, n - 1))
+        normX(col("_tx") + col("_o.dx")).as("_jx"),
+        clampY(col("_ty") + col("_o.dy")).as("_jy"))
     val c = cands.select(
       col(cIdCol).as("_cid"), col(cLatCol).as("_clat"), col(cLonCol).as("_clon"),
-      Functions.tileX(col(cLonCol), zoom).as("_jx"),
-      Functions.tileY(col(cLatCol), zoom).as("_jy"))
+      normX(Functions.tileX(col(cLonCol), zoom)).as("_jx"),
+      clampY(Functions.tileY(col(cLatCol), zoom)).as("_jy"))
     val scored = probes
       .join(c.hint("SHUFFLE_HASH"), Seq("_jx", "_jy"))
       .select(col("_pid"), col("_cid"),

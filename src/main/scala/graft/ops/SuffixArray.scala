@@ -828,9 +828,15 @@ object SuffixArray {
       minDocs: Int = 2,
       broadcastBatch: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
+    // probe the RAW hash rows (no load-time distinct): append-duplicated
+    // hashes collapse in the probe's own union-distinct anyway, and a
+    // distinct here would re-aggregate + re-exchange the pruned survivor
+    // set on every batch — the extra exchange the token-grain twin
+    // explicitly refuses (Dedup.repeatedSpansAgainstHistory)
+    val minLen = crossDocHashesMinLen(spark, dir) // validates the sidecar
     crossDocSpansAgainstHistory(
-      batch, loadCrossDocHashes(spark, dir), idCol, textCol,
-      crossDocHashesMinLen(spark, dir), minDocs, broadcastBatch)
+      batch, spark.read.parquet(dir).select("win_hash"), idCol, textCol,
+      minLen, minDocs, broadcastBatch)
   }
 
   private val SaMetaFile = "_sa_meta.json"

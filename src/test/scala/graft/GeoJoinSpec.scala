@@ -60,6 +60,26 @@ class GeoJoinSpec extends SparkSpec {
     assert(got.getLong(1) == 200L)
   }
 
+  test("boundary candidates: lon exactly 180 wraps, polar latitudes clamp, zoom 0 stays exact") {
+    // candidate at exactly +180 degrees: tileX = n (one past the edge) —
+    // must wrap into tile 0's x and stay reachable from a near-dateline point
+    val p = pts((1L, 0.0, 179.9), (2L, -85.5, 10.0))
+    val c = cds((400L, 0.0, 180.0), (401L, -89.0, 10.0))
+    val got = GeoJoin.nearestByTile(p, "pid", "plat", "plon",
+      c, "cid", "clat", "clon", zoom = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 400L, "a lon-180 candidate must wrap into the probe's reach")
+    // a candidate past the Web-Mercator edge clamps into the edge row and
+    // stays reachable from a point in that row
+    assert(got(2L) == 401L, "a polar candidate must clamp into the edge tile row")
+    // zoom 0 with polar/antimeridian inputs is still the exact cross
+    val exact = Seq((1L, 400L), (2L, 401L))
+    val z0 = GeoJoin.nearestByTile(p, "pid", "plat", "plon",
+      c, "cid", "clat", "clon", zoom = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(z0 == exact)
+  }
+
   test("ties break on (rounded distance, candidate id) — the q_j12 convention") {
     val p = pts((1L, 0.0, 0.0))
     // two candidates symmetric about the point: identical distance
