@@ -300,6 +300,11 @@ object QueriesExtra {
     // old versions stay exact after later commits overwrite a partition
     "q_tt_snapshot" -> ((s, dir) => timeTravel(s, dir)),
 
+    // deletion vectors: two stacked zero-rewrite row-level deletes, read
+    // at latest AND time-traveled before them — the oracle recomputes the
+    // surviving row set from the predicates directly
+    "q_dv_delete" -> ((s, dir) => dvDelete(s, dir)),
+
     // profiling: equi-width histogram — bounds become plan-time literals,
     // the bucket groupBy shuffles ≤ buckets rows
     "q_pf_hist" -> ((s, dir) =>
@@ -354,6 +359,23 @@ object QueriesExtra {
       lake.read(Seq("o_orderstatus"), Some(v1)).withColumn("snap", lit("v1"))
         .unionByName(lake.read(Seq("o_orderstatus")).withColumn("snap", lit("latest")))
         .select("o_orderkey", "o_orderstatus", "pointer", "snap")
+    })
+
+  private def dvDelete(s: SparkSession, dir: String): DataFrame =
+    compactCache.getOrElseUpdate("dv|" + s.hashCode() + "|" + dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dv_q").toString
+      val lake = new graft.catalog.SnapshotLake(s, tmp)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"), col("lang"))
+      val v1 = lake.commit(docs, Seq("lang"))
+      // two STACKED zero-rewrite deletes, then latest + pre-delete time
+      // travel side by side — proves rows vanish at the version boundary
+      // without any data dir changing
+      lake.deleteWhereDv(col("n_chars") % 7 === 0, Seq("lang"))
+      lake.deleteWhereDv(col("source") === "web" && col("n_chars") % 5 === 0, Seq("lang"))
+      lake.read(Seq("lang")).withColumn("snap", lit("latest"))
+        .unionByName(lake.read(Seq("lang"), Some(v1)).withColumn("snap", lit("v1")))
+        .select("doc_id", "text", "source", "n_chars", "lang", "snap")
     })
 
   private def formatRoundTrip(s: SparkSession, dir: String, fmt: String): DataFrame =
@@ -824,6 +846,12 @@ object QueriesExtra {
     "q_fmt_avro" ->
       ("SELECT doc_id, text, lang, source, n_chars, " +
         "CAST(n_chars AS DECIMAL(12,3)) + CAST(0.125 AS DECIMAL(4,3)) AS price FROM documents"),
+    "q_dv_delete" ->
+      """SELECT doc_id, text, source, n_chars, lang, 'latest' AS snap FROM documents
+        |WHERE NOT (n_chars % 7 = 0)
+        |  AND NOT (coalesce(source = 'web' AND n_chars % 5 = 0, FALSE))
+        |UNION ALL
+        |SELECT doc_id, text, source, n_chars, lang, 'v1' AS snap FROM documents""".stripMargin,
     "q_tt_snapshot" ->
       """SELECT o_orderkey, o_orderstatus, 'first' AS pointer, 'v1' AS snap FROM orders
         |UNION ALL

@@ -657,6 +657,61 @@ class SnapshotLake(spark: SparkSession, root: String) {
     else withMap + ("dropped" -> dropped.toSeq.sorted.map(enc).mkString(";"))
   }
 
+  // ---- deletion vectors (zero-rewrite row-level deletes — the Iceberg
+  // position-delete / Delta DV shape) -------------------------------------
+  //
+  // Meta key "dv": ";"-joined URL-encoded directories, each holding a
+  // parquet relation `(__dv_file, __dv_pos)` of deleted row positions.
+  // Rows are addressed by `<data-dir-leaf>/<file-name>` + the parquet
+  // row index — leaf-relative like vacuum's liveness rule, so relocating
+  // the lake (or opening it through another path spelling) can never
+  // detach the deletes from their files. Reads anti-join the scan against
+  // the union of DV relations; data files never rewrite. Versioned with
+  // the manifest: time travel before the DV commit sees the rows.
+
+  private def dvDirsOf(meta: Map[String, String]): Seq[String] =
+    meta.get("dv").filter(_.nonEmpty).fold(Seq.empty[String]) {
+      _.split(";").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8"))
+    }
+
+  private def metaWithDvs(meta: Map[String, String], dirs: Seq[String]): Map[String, String] = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    if (dirs.isEmpty) meta - "dv"
+    else meta + ("dv" -> dirs.map(enc).mkString(";"))
+  }
+
+  /** The relocation-stable row address: `<dir-leaf>/<file-name>` from the
+    * scan's metadata column (full paths would break on lake relocation —
+    * the vacuum leaf-name lesson applied to row identity).
+    */
+  private def dvFileKey: org.apache.spark.sql.Column =
+    concat_ws("/",
+      element_at(split(col("_metadata.file_path"), "/"), -2),
+      element_at(split(col("_metadata.file_path"), "/"), -1))
+
+  /** Scan output with DVs applied (anti-join on the stable row address) —
+    * a no-op when the version carries none. `exposeRowIds` keeps the
+    * `__dv_file`/`__dv_pos` columns for the delete-collection path.
+    */
+  private def applyDvs(
+      scanned: DataFrame, meta: Map[String, String],
+      exposeRowIds: Boolean = false): DataFrame = {
+    val dvDirs = dvDirsOf(meta)
+    if (dvDirs.isEmpty && !exposeRowIds) scanned
+    else {
+      val withIds = scanned.select(col("*"),
+        dvFileKey.as("__dv_file"),
+        col("_metadata.row_index").as("__dv_pos"))
+      val filtered =
+        if (dvDirs.isEmpty) withIds
+        else withIds.join(
+          spark.read.parquet(dvDirs.map(resolveDir): _*)
+            .select(col("__dv_file"), col("__dv_pos")),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+      if (exposeRowIds) filtered else filtered.drop("__dv_file", "__dv_pos")
+    }
+  }
+
   /** Physical names a batch may no longer (re)introduce as logical column
     * names: renamed-away originals and dropped columns. Reusing one would
     * collide with the retired data still stored under that name in old
@@ -883,20 +938,37 @@ class SnapshotLake(spark: SparkSession, root: String) {
     */
   private def readEntries(
       entries: Seq[(String, String)], partitionCols: Seq[String],
-      meta: Map[String, String]): DataFrame = {
+      meta: Map[String, String],
+      exposeRowIds: Boolean = false): DataFrame = {
     require(entries.nonEmpty, "no manifest entries to read")
     def valuesOf(key: String): Seq[String] = partValuesOf(key)
     if (entries.size == 1) {
       val (key, dir) = entries.head
       partitionCols.zip(valuesOf(key))
-        .foldLeft(logicalize(scanDirs(Seq(resolveDir(dir)), meta), meta)) {
+        .foldLeft(logicalize(
+          applyDvs(scanDirs(Seq(resolveDir(dir)), meta), meta, exposeRowIds), meta)) {
           case (df, (c, value)) => df.withColumn(c, lit(value))
         }
     } else {
       val resolved = entries.map { case (k, d) => (k, resolveDir(d)) }
-      val base = logicalize(scanDirs(resolved.map(_._2), meta), meta)
-      val dataCols = base.columns.toSeq
       val dirCol = "__graft_part_dir"
+      val hasDvs = dvDirsOf(meta).nonEmpty || exposeRowIds
+      // with DVs active, the dir column derives from the scan's metadata
+      // column IN the same projection that captures the row address —
+      // input_file_name() is only well-defined directly over the scan, and
+      // the DV path puts an anti-JOIN between the scan and the partition
+      // attach, which would corrupt it
+      val scanned0 = scanDirs(resolved.map(_._2), meta)
+      val scanned =
+        if (hasDvs)
+          applyDvs(
+            scanned0.select(col("*"),
+              element_at(split(col("_metadata.file_path"), "/"), -2).as(dirCol)),
+            meta, exposeRowIds)
+        else
+          scanned0.withColumn(dirCol, element_at(split(input_file_name(), "/"), -2))
+      val base = logicalize(scanned, meta)
+      val dataCols = base.columns.toSeq.filterNot(_ == dirCol)
       val dimSchema = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField(
           dirCol, org.apache.spark.sql.types.StringType, nullable = false) +:
@@ -908,7 +980,6 @@ class SnapshotLake(spark: SparkSession, root: String) {
       }
       val dim = spark.createDataFrame(dimRows.asJava, dimSchema)
       base
-        .withColumn(dirCol, element_at(split(input_file_name(), "/"), -2))
         .join(broadcast(dim), Seq(dirCol))
         .select((dataCols ++ partitionCols).map(col): _*)
     }
@@ -1139,6 +1210,51 @@ class SnapshotLake(spark: SparkSession, root: String) {
     committed
   }
 
+  /** Row-level delete WITHOUT rewriting any data — deletion vectors (the
+    * Iceberg position-delete / Delta DV shape), the scale path next to
+    * [[deleteWhere]]'s whole-partition rewrite: cost tracks the rows
+    * DELETED (one scan to find them + one small parquet write of their
+    * addresses), not the partitions touched. Matching rows' stable
+    * addresses (`<dir-leaf>/<file>` + parquet row index) land in a DV
+    * relation; every read at or after this version anti-joins the scan
+    * against it. Time travel before the commit still sees the rows;
+    * [[deleteWhere]]/[[optimize]]/[[upsert]] rewrites MATERIALIZE pending
+    * deletes for the partitions they touch (they read through the DV
+    * filter). Same SQL DELETE semantics as [[deleteWhere]]: NULL
+    * predicates keep their rows. A predicate matching nothing is a no-op
+    * (no new version). [[changes]] across a DV commit conservatively
+    * diffs every partition (the manifest map is unchanged — row loss is
+    * only visible in the data).
+    */
+  def deleteWhereDv(
+      predicate: org.apache.spark.sql.Column, partitionCols: Seq[String]): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val (m, txns, meta) = readManifestAndTxns(base)
+      val hit = coalesce(predicate, lit(false))
+      Files.createDirectories(dataDir)
+      val name = java.util.UUID.randomUUID().toString
+      val dvDir = s"data/$name"
+      readEntries(m.toSeq.sorted, partitionCols, meta, exposeRowIds = true)
+        .filter(hit)
+        .select(col("__dv_file"), col("__dv_pos"))
+        .write.parquet(resolveDir(dvDir))
+      if (spark.read.parquet(resolveDir(dvDir)).isEmpty) {
+        deleteRecursively(dataDir.resolve(name))
+        return base // nothing matched — a no-op, not a new version
+      }
+      touchDirs(Seq(dvDir))
+      if (writeManifestAtomic(base + 1, m, txns,
+          metaWithDvs(meta, dvDirsOf(meta) :+ dvDir))) {
+        committed = base + 1
+        writeInfo(committed, "dvdelete", 0)
+      } else deleteRecursively(dataDir.resolve(name))
+    }
+    committed
+  }
+
   /** Small-file compaction as a TRANSACTION — the lakehouse OPTIMIZE.
     * Each live partition whose file count exceeds its bin-packed target
     * (`ceil(bytes / targetBytes)`, planned from file SIZES alone — no data
@@ -1176,6 +1292,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
     val base = latestVersion.getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     val baseManifest = readManifest(base)
+    val baseMeta = readMeta(base)
     // plan from file SIZES alone (driver-side metadata listing, no data scan)
     val plan: Seq[(String, Path, Int)] = baseManifest.toSeq.sorted.flatMap {
       case (key, dirIn) =>
@@ -1208,7 +1325,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
           val fs = plan.map { case (key, dir, numOut) =>
             scala.concurrent.Future {
               val name = java.util.UUID.randomUUID().toString
-              val src = spark.read.parquet(dir.toString)
+              // read THROUGH the deletion vectors: a raw rewrite would
+              // resurrect DV-deleted rows — optimize is exactly where
+              // pending deletes materialize physically
+              val src = applyDvs(spark.read.parquet(dir.toString), baseMeta)
               if (zorderCols.nonEmpty)
                 graft.ops.ZOrder.writeZOrdered(
                   src, zorderCols, dataDir.resolve(name).toString, numOut)
@@ -1227,6 +1347,15 @@ class SnapshotLake(spark: SparkSession, root: String) {
     while (committed < 0) {
       val v = latestVersion.getOrElse(base)
       val (m, txns, meta) = readManifestAndTxns(v)
+      // a deletion-vector commit racing this optimize leaves the partition
+      // map unchanged (so the dir compare below can't see it) but our
+      // rewrites materialized only the OLD vectors — committing them would
+      // silently drop the newer deletes' effect on the rewritten dirs.
+      // Bail out; the caller re-runs optimize against the new state.
+      if (dvDirsOf(meta) != dvDirsOf(baseMeta)) {
+        rewrites.values.foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
+        return v
+      }
       val merged = m.map { case (k, d) =>
         if (baseManifest.get(k).contains(d)) k -> rewrites.getOrElse(k, d)
         else k -> d // partition replaced since we planned: keep theirs
@@ -1236,10 +1365,11 @@ class SnapshotLake(spark: SparkSession, root: String) {
         rewrites.values.foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
         return v
       }
-      // an OPTIMIZE rewrite preserves rows exactly, so the old dir's
-      // partition stats stay TRUE for the new dir — carry them to the new
-      // leaf (writeManifestAtomic drops the old-leaf entries as
-      // unreferenced)
+      // an OPTIMIZE rewrite preserves rows exactly (modulo materialized
+      // DV deletes, which only REMOVE rows), so the old dir's partition
+      // stats stay at-least-as-wide for the new dir — carrying them is
+      // conservative-correct for pruning (writeManifestAtomic drops the
+      // old-leaf entries as unreferenced)
       val carriedStats = rewrites.flatMap { case (k, newDir) =>
         if (!merged.get(k).contains(newDir)) None
         else for {
@@ -1273,7 +1403,12 @@ class SnapshotLake(spark: SparkSession, root: String) {
   def changedPartitions(fromVersion: Long, toVersion: Long): Set[String] = {
     val a = manifestForChanges(fromVersion)
     val b = manifestForChanges(toVersion)
-    (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
+    // a deletion-vector commit changes ROWS without touching the partition
+    // map — when the DV sets differ, every partition is conservatively
+    // changed (the row-level diff then reports exactly the deleted rows)
+    if (readMeta(fromVersion).getOrElse("dv", "") != readMeta(toVersion).getOrElse("dv", ""))
+      a.keySet ++ b.keySet
+    else (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
   }
 
   /** Manifest read for the change feed, failing with a NAMED error when the
@@ -1471,13 +1606,16 @@ class SnapshotLake(spark: SparkSession, root: String) {
     val src = manifestForChanges(v)
     require(src.nonEmpty, s"empty manifest v$v")
     val absolute = src.map { case (k, d) => k -> resolveDir(d) }
+    // deletion vectors reference by-path too: absolute them the same way
+    val srcMeta = readMeta(v)
+    val cloneMeta = metaWithDvs(srcMeta, dvDirsOf(srcMeta).map(resolveDir))
     val txns = readTxns(v)
     val dst = new SnapshotLake(spark, dstRoot)
     require(dst.latestVersion.isEmpty,
       s"clone target $dstRoot already has commits — refusing to overwrite a live lake")
     Files.createDirectories(dst.manifestsDir)
     Files.createDirectories(dst.dataDir)
-    require(dst.writeManifestAtomic(1L, absolute, txns, readMeta(v)),
+    require(dst.writeManifestAtomic(1L, absolute, txns, cloneMeta),
       s"clone target $dstRoot gained a concurrent commit — aborting")
     dst.writeInfo(1L, "clone", absolute.size)
     1L
@@ -1731,7 +1869,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       // mixed-schema file sets (post-evolution versions) must merge, not
       // sample one file's schema nondeterministically; per-file reads
       // bypass readEntries, so the logical translation applies here
-      logicalize(scanDirs(files, meta), meta)
+      logicalize(applyDvs(scanDirs(files, meta), meta), meta)
         .filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -1755,8 +1893,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
     // spelled (relative vs absolute, symlinks) and to legacy absolute
     // manifest entries, so relocating the lake or opening it via another
     // path can never make live data look unreferenced
-    val live = keep.flatMap(v => readManifest(v).values)
-      .map(d => Paths.get(d).getFileName.toString).toSet
+    val live = keep.flatMap { v =>
+      val (m, _, meta) = readManifestAndTxns(v)
+      m.values ++ dvDirsOf(meta) // deletion-vector dirs are as live as data
+    }.map(d => Paths.get(d).getFileName.toString).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     if (Files.isDirectory(dataDir)) {
       val s = Files.list(dataDir)
