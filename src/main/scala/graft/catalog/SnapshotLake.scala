@@ -1255,6 +1255,46 @@ class SnapshotLake(spark: SparkSession, root: String) {
     committed
   }
 
+  /** Fold an accumulation of deletion-vector commits into ONE compacted DV
+    * relation (a new commit; the old dirs become vacuum-reclaimable once
+    * their manifests age out). Dead addresses — rows whose files are no
+    * longer referenced by the LATEST manifest because a rewrite
+    * materialized their deletes — are dropped during the fold, so the DV
+    * relation every read anti-joins shrinks back to what still matters.
+    * Returns the new version (or the current one when there is nothing to
+    * compact).
+    */
+  def compactDeletes(): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val (m, txns, meta) = readManifestAndTxns(base)
+      val dvDirs = dvDirsOf(meta)
+      if (dvDirs.size <= 1) return base
+      // live addresses only: a DV row whose dir-leaf is no longer in the
+      // manifest points at vacuumed/rewritten data — dead weight
+      val liveLeaves = m.values.map(d => Paths.get(d).getFileName.toString).toSeq
+      val folded = spark.read.parquet(dvDirs.map(resolveDir): _*)
+        .select(col("__dv_file"), col("__dv_pos")).distinct()
+        .filter(element_at(split(col("__dv_file"), "/"), 1).isin(liveLeaves: _*))
+      val name = java.util.UUID.randomUUID().toString
+      val newDir = s"data/$name"
+      folded.write.parquet(resolveDir(newDir))
+      val newDvs =
+        if (spark.read.parquet(resolveDir(newDir)).isEmpty) {
+          deleteRecursively(dataDir.resolve(name))
+          Seq.empty[String]
+        } else Seq(newDir)
+      touchDirs(newDvs)
+      if (writeManifestAtomic(base + 1, m, txns, metaWithDvs(meta, newDvs))) {
+        committed = base + 1
+        writeInfo(committed, "dvcompact", 0)
+      } else deleteRecursively(dataDir.resolve(name))
+    }
+    committed
+  }
+
   /** Small-file compaction as a TRANSACTION — the lakehouse OPTIMIZE.
     * Each live partition whose file count exceeds its bin-packed target
     * (`ceil(bytes / targetBytes)`, planned from file SIZES alone — no data

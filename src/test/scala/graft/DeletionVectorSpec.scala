@@ -83,6 +83,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ids(lake.read(Seq("part"))) == Set(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("compactDeletes folds stacked DVs to one relation; reads unchanged; dead addresses shed") {
+    val (lake, _) = fresh()
+    seed(lake)
+    lake.deleteWhereDv(col("id") === 1L, Seq("part"))
+    lake.deleteWhereDv(col("id") === 3L, Seq("part"))
+    lake.deleteWhereDv(col("id") === 5L, Seq("part"))
+    val before = ids(lake.read(Seq("part")))
+    assert(before == Set(2L, 4L))
+    // rewrite p1 (materializes id=1's delete there): its DV address dies
+    lake.upsert(
+      Seq((2L, "b2", 21.0, "p1", 2L)).toDF("id", "name", "score", "part", "ver"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val v = lake.compactDeletes()
+    assert(lake.latestVersion.get == v)
+    assert(ids(lake.read(Seq("part"))) == Set(2L, 4L))
+    // idempotent: a second compaction is a no-op version-wise
+    assert(lake.compactDeletes() == v)
+    // time travel across the compaction boundary still sees the same rows
+    assert(ids(lake.read(Seq("part"), Some(v - 1))) == Set(2L, 4L))
+  }
+
   test("CDF across a DV commit reports exactly the deleted rows") {
     val (lake, _) = fresh()
     val v1 = seed(lake)
