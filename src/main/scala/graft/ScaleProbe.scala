@@ -822,6 +822,37 @@ object ScaleProbe {
         "(gate: <= 0.1 — doubling volume must track the batch, not the corpus)")
     }
 
+    // --- deletion-vector delete cost probe (round-12) --
+    // the claim: deleteWhereDv's cost tracks the rows DELETED (one scan +
+    // a tiny address write), while deleteWhere's rewrite cost tracks the
+    // partitions TOUCHED. Probe: same tiny predicate (one user's events)
+    // against the sf0.1 events table committed as a lake — the DV delete
+    // must be decisively cheaper than the rewrite, and the post-delete
+    // read must agree with both paths.
+    if (only.forall(_.contains("dv_delete"))) {
+      def freshLake(tag: String): graft.catalog.SnapshotLake = {
+        val root = java.nio.file.Files.createTempDirectory(s"graft_dv_probe_$tag").toString
+        val lake = new graft.catalog.SnapshotLake(spark, root)
+        val ev = Tables(spark, base, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type").as("part"))
+        lake.commit(ev, Seq("part"))
+        lake
+      }
+      val l1 = freshLake("dv")
+      val l2 = freshLake("rw")
+      val pred = col("user_id") === 17L
+      val (tDv, _) = time { l1.deleteWhereDv(pred, Seq("part")); 0L }
+      val (tRw, _) = time { l2.deleteWhere(pred, Seq("part")); 0L }
+      val nDv = l1.read(Seq("part")).count()
+      val nRw = l2.read(Seq("part")).count()
+      require(nDv == nRw, s"DV and rewrite deletes disagree: $nDv vs $nRw")
+      val (tRead, _) = time(l1.read(Seq("part")).count())
+      println(f"[scaleprobe] dv_delete dv: $tDv%6.2fs  rewrite: $tRw%6.2fs  " +
+        f"ratio: ${tDv / tRw}%5.2f (gate: <= 0.7 — delete cost tracks rows deleted, " +
+        f"not partitions rewritten); post-DV read: $tRead%6.2fs, row sets agree ($nDv)")
+    }
+
     // --- detection over the persisted SA artifact (round-12, VERDICT r11 #7) --
     // crossDocRepeat's cost = ranking + the adjacent-pair detection tail;
     // once the corpus ranks live in a persisted artifact (maintained by
