@@ -47,6 +47,40 @@ object GraftExtensions {
       f(es)
     }
 
+  // bridges for SQL functions defined as Column compositions (the geo
+  // family composes ~10 codegen'd builtins — re-deriving them as raw
+  // catalyst trees would just duplicate Functions.scala): wrap the SQL
+  // arguments as Columns, compose, unwrap. Zero runtime cost — the
+  // conversion happens once at resolution.
+  private def exprCol(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+
+  private def colExpr(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  /** The zoom argument must be a plan-time int constant (it shapes the
+    * expression tree); foldables are evaluated, anything else refused
+    * with a proper AnalysisException.
+    */
+  private def foldableZoom(fn: String, e: Expression): Int = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val ok = e.foldable && (e.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    })
+    if (!ok) throw new org.apache.spark.sql.AnalysisException(
+      "INVALID_PARAMETER_VALUE.INTEGER",
+      Map("parameter" -> "`zoom`", "functionName" -> s"`$fn`",
+        "invalidValue" -> e.sql))
+    e.eval() match {
+      case null => throw new org.apache.spark.sql.AnalysisException(
+        "INVALID_PARAMETER_VALUE.INTEGER",
+        Map("parameter" -> "`zoom`", "functionName" -> s"`$fn`",
+          "invalidValue" -> "NULL"))
+      case v: Number => v.intValue()
+    }
+  }
+
   /** The engine's SQL function surface: (name, usage, builder). One table
     * shared by the extensions path and [[Functions.register]].
     */
@@ -73,6 +107,18 @@ object GraftExtensions {
       arity("lcs_len", 2)(e => LcsLength(e.head, e(1)))),
     ("token_edit_distance", "token_edit_distance(a, b) - Levenshtein distance between two array<string> token sequences",
       arity("token_edit_distance", 2)(e => TokenEditDistance(e.head, e(1)))),
+    ("haversine_feet", "haversine_feet(lat1, lon1, lat2, lon2) - great-circle distance in feet",
+      arity("haversine_feet", 4)(e => colExpr(
+        Functions.haversineFeet(exprCol(e.head), exprCol(e(1)), exprCol(e(2)), exprCol(e(3)))))),
+    ("tile_x", "tile_x(lon, zoom) - OSM slippy-map tile x at the (constant) zoom",
+      arity("tile_x", 2)(e => colExpr(
+        Functions.tileX(exprCol(e.head), foldableZoom("tile_x", e(1)))))),
+    ("tile_y", "tile_y(lat, zoom) - OSM slippy-map tile y at the (constant) zoom",
+      arity("tile_y", 2)(e => colExpr(
+        Functions.tileY(exprCol(e.head), foldableZoom("tile_y", e(1)))))),
+    ("intersection_id", "intersection_id(lon, lat) - SharedStreets-style md5 of the typed lon-lat message",
+      arity("intersection_id", 2)(e => colExpr(
+        Functions.intersectionId(exprCol(e.head), exprCol(e(1)))))),
     ("regex_spans", "regex_spans(s, pattern) - non-overlapping match spans as array<struct<start, end>> (UTF-16 units; pattern must fold to a string constant)",
       arity("regex_spans", 2)(e => {
         // any foldable string expression works ('a' || 'b', CAST of a

@@ -71,6 +71,30 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("geo family is SQL-native: tile_x/tile_y/intersection_id/haversine_feet") {
+    withExtensionsSession { s =>
+      val row = s.sql(
+        """SELECT tile_x(-97.77d, 12) AS x, tile_y(30.23d, 12) AS y,
+          |  tile_x(-97.77d, 1 + 11) AS xf,
+          |  intersection_id(-97.77d, 30.23d) AS iid,
+          |  haversine_feet(30.2747d, -97.7404d, 30.2862d, -97.7394d) AS hv
+          |""".stripMargin).head()
+      assert(row.getLong(0) == 935L && row.getLong(1) == 1686L)
+      assert(row.getLong(2) == 935L) // foldable zoom expressions are fine
+      val exp = java.security.MessageDigest.getInstance("MD5")
+        .digest("Intersection -97.77000 30.23000".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(row.getString(3) == exp)
+      assert(row.getDouble(4) > 4000 && row.getDouble(4) < 4600)
+      // non-constant zoom refused with a proper AnalysisException
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT tile_x(lon, CAST(rand() * 10 AS INT)) FROM VALUES (1.0d) AS t(lon)")
+          .collect()
+      }
+      assert(err.getMessage.contains("tile_x"))
+    }
+  }
+
   test("config-driven session runs the length-bound rule (plan contains the bound)") {
     withExtensionsSession { s =>
       // non-constant columns — literals would constant-fold the whole
