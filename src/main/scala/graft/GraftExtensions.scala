@@ -22,8 +22,10 @@ import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, Lcs
   * builder table, so the two paths can never drift.
   *
   * All functions are thin builders over codegen'd expressions
-  * ([[graft.expressions]]) — SQL use pays no UDF penalty and stays inside
-  * whole-stage codegen, exactly like the `Column`-API forms.
+  * ([[graft.expressions]]) or compositions of codegen'd builtins (the geo
+  * family, bridged from the `Column` API) — SQL use pays no UDF penalty
+  * and stays inside whole-stage codegen, exactly like the `Column`-API
+  * forms.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
