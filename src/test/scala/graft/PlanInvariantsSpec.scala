@@ -129,6 +129,34 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"range exchange in q_ann_bitext_lsh:\n$plan")
   }
 
+  // The tile-bucketed geo join exists to NOT be a cross: candidates reach
+  // points only through the keyed (tile_x, tile_y) equi-join, and the
+  // argmin must ride the WindowGroupLimit top-1 path, not a global sort.
+  test("q_j12_tile_nn: keyed tile join, no cross or nested loop, group-limited argmin") {
+    val df = SparkEntry.queries("q_j12_tile_nn")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q_j12_tile_nn:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in q_j12_tile_nn — the tile path must stay keyed:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"argmin must use the rank-limit pushdown, not a full per-point sort:\n$plan")
+  }
+
+  // Incremental cross-doc detection: history hashes must reach the probe
+  // only through keyed joins (the semi-prune + the union-distinct), never
+  // a cross, and nothing in the probe may range-exchange.
+  test("q_sa_crossdoc_incr: fully keyed probe, no cross, no range exchange") {
+    val df = SparkEntry.queries("q_sa_crossdoc_incr")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q_sa_crossdoc_incr:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in q_sa_crossdoc_incr:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"range exchange in q_sa_crossdoc_incr:\n$plan")
+  }
+
   // The two round-6 bench-drift suspects get STRONGER pins than the generic
   // three: both are single-pass scans whose only legitimate plan is
   // shuffle-free, so any future Exchange (or a TakeOrdered degrading to a
