@@ -117,13 +117,27 @@ object Functions {
     * `ytile = ⌊(1 − ln(tan φ + sec φ)/π)/2 · 2^z⌋` (the Mercator form of
     * the OSM spec — `ln(tan φ + sec φ)` ≡ `asinh(tan φ)`, written without
     * asinh so the SAME expression runs on engines that lack it).
+    *
+    * Latitudes past the Web-Mercator range (±85.05112878°) clamp to the
+    * edge rows (0 north, 2^z−1 south) BEFORE the mercator expression: at
+    * φ = −90° `tan φ + sec φ` evaluates to exactly 0.0 in doubles and
+    * `log()` would return NULL, silently dropping the row from any
+    * equi-join on the tile key. The result is additionally clamped into
+    * [0, 2^z−1] so the south clamp boundary (where the mercator lands a
+    * hair past −π) can never emit one-past-the-edge.
     */
   def tileY(lat: Column, zoom: Int): Column = {
     require(zoom >= 0 && zoom <= 22, s"tile zoom $zoom out of range [0, 22]")
-    val phi = radians(lat)
+    val n = 1L << zoom
+    // least/greatest SKIP nulls (they would coerce a NULL latitude to the
+    // edge row); the when-guard keeps NULL in → NULL out
+    val phi = radians(least(greatest(lat, lit(-85.05112878)), lit(85.05112878)))
     val mercator = log(tan(phi) + lit(1.0) / cos(phi))
-    floor((lit(1.0) - mercator / lit(math.Pi)) / lit(2.0) * lit(math.pow(2.0, zoom)))
-      .cast("long")
+    when(lat.isNotNull,
+      least(greatest(
+        floor((lit(1.0) - mercator / lit(math.Pi)) / lit(2.0) * lit(math.pow(2.0, zoom)))
+          .cast("long"),
+        lit(0L)), lit(n - 1)))
   }
 
   /** SharedStreets-style intersection key: full-width md5 hex (32 chars) of

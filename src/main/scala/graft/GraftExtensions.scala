@@ -79,7 +79,15 @@ object GraftExtensions {
         "INVALID_PARAMETER_VALUE.INTEGER",
         Map("parameter" -> "`zoom`", "functionName" -> s"`$fn`",
           "invalidValue" -> "NULL"))
-      case v: Number => v.intValue()
+      case v: Number =>
+        // validate at LONG width before narrowing — intValue() truncates,
+        // so e.g. zoom = 2^32 would wrap to 0 and be silently accepted
+        val l = v.longValue()
+        if (l < 0L || l > 22L) throw new org.apache.spark.sql.AnalysisException(
+          "INVALID_PARAMETER_VALUE.INTEGER",
+          Map("parameter" -> "`zoom`", "functionName" -> s"`$fn`",
+            "invalidValue" -> l.toString))
+        l.toInt
     }
   }
 

@@ -848,7 +848,7 @@ object QueriesExtra {
         "CAST(n_chars AS DECIMAL(12,3)) + CAST(0.125 AS DECIMAL(4,3)) AS price FROM documents"),
     "q_dv_delete" ->
       """SELECT doc_id, text, source, n_chars, lang, 'latest' AS snap FROM documents
-        |WHERE NOT (n_chars % 7 = 0)
+        |WHERE NOT coalesce(n_chars % 7 = 0, FALSE)
         |  AND NOT (coalesce(source = 'web' AND n_chars % 5 = 0, FALSE))
         |UNION ALL
         |SELECT doc_id, text, source, n_chars, lang, 'v1' AS snap FROM documents""".stripMargin,

@@ -604,10 +604,19 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * it), and handed to the scan as an explicit read schema. Absent
     * columns still read as NULL (the schema-evolution contract), and the
     * parquet reader up-converts narrow columns in place.
+    *
+    * DROPPED physicals are excluded from the explicit read schema here,
+    * not just post-scan: a widened-then-dropped column's files disagree on
+    * type forever (pre-widen narrow, post-widen wide) and its typemap
+    * entry is pruned at drop time — requiring those footers to agree (or
+    * letting mergeSchema try) would make the lake unreadable at latest.
+    * Skipping the column means its bytes are never read at all, which is
+    * also the I/O the lazy drop should have been saving.
     */
   private def scanDirs(paths: Seq[String], meta: Map[String, String]): DataFrame = {
     val tmap = typeMapOf(meta)
-    if (tmap.isEmpty) {
+    val dropped = droppedOf(meta)
+    if (tmap.isEmpty && dropped.isEmpty) {
       if (paths.size == 1) spark.read.parquet(paths.head)
       else spark.read.option("mergeSchema", "true").parquet(paths: _*)
     } else {
@@ -623,7 +632,8 @@ class SnapshotLake(spark: SparkSession, root: String) {
         Duration.Inf)
       val merged = scala.collection.mutable.LinkedHashMap
         .empty[String, org.apache.spark.sql.types.DataType]
-      for ((p, schema) <- paths.zip(schemas); f <- schema.fields) {
+      for ((p, schema) <- paths.zip(schemas);
+           f <- schema.fields if !dropped.contains(f.name)) {
         val target = tmap.getOrElse(f.name, f.dataType)
         require(f.dataType == target || widensTo(f.dataType, target),
           s"column '${f.name}' stored as ${f.dataType.catalogString} under $p " +
@@ -1754,8 +1764,11 @@ class SnapshotLake(spark: SparkSession, root: String) {
       require(logicalCols.size > 1, s"refusing to drop the last data column '$name'")
       val physical = mapping.collectFirst { case (p, l) if l == name => p }
         .getOrElse(name)
-      // a dropped column's widening entry is dead metadata — strip it (the
-      // physical name stays reserved via `dropped` regardless)
+      // a dropped column's widening entry is dead metadata — strip it. Safe
+      // even when pre-widen (narrow) and post-widen (wide) files coexist:
+      // scanDirs excludes dropped physicals from the explicit read schema,
+      // so their footers are never asked to agree and their bytes are never
+      // read (the physical name stays reserved via `dropped` regardless)
       val prunedTypes = metaWithTypes(meta, typeMapOf(meta) - physical)
       if (writeManifestAtomic(v + 1, m, txns,
           metaWith(prunedTypes, mapping - physical, dropped + physical))) {

@@ -96,6 +96,27 @@ class FunctionsSpec extends SparkSpec {
     assert(eval1[String](Functions.intersectionId(lit(-97.771), lit(30.23))) != id)
   }
 
+  test("tileY: poles and past-Mercator latitudes clamp to edge rows, never NULL; NULL stays NULL") {
+    // at lat = -90, tan φ + sec φ is exactly 0.0 in doubles and log() would
+    // return NULL — the row would silently vanish from a tile equi-join
+    val z = 4
+    val n = 1L << z
+    val r = spark.range(1).select(
+      Functions.tileY(lit(-90.0), z).as("s"),
+      Functions.tileY(lit(90.0), z).as("no"),
+      Functions.tileY(lit(-89.999), z).as("s2"),
+      Functions.tileY(lit(86.5), z).as("n2"),
+      Functions.tileY(lit(null).cast("double"), z).as("nl")).head()
+    assert(r.getLong(0) == n - 1, "south pole lands in the south edge row")
+    assert(r.getLong(1) == 0L, "north pole lands in the north edge row")
+    assert(r.getLong(2) == n - 1)
+    assert(r.getLong(3) == 0L)
+    assert(r.isNullAt(4), "NULL latitude stays NULL (least/greatest must not coerce)")
+    // in-range latitudes are untouched by the clamp (exact OSM formula)
+    val mid = spark.range(1).select(Functions.tileY(lit(30.23), 12).as("y")).head()
+    assert(mid.getLong(0) == 1686L)
+  }
+
   test("parseTimestampFlexible: format list, ISO fallback, epoch fallback, null on garbage") {
     val df = Seq(
       "01/15/2020 08:30:00 AM", // bt format

@@ -92,6 +92,14 @@ class GraftExtensionsSpec extends SparkSpec {
           .collect()
       }
       assert(err.getMessage.contains("tile_x"))
+      // a LONG zoom that truncates into range via intValue() (2^32 -> 0)
+      // must be refused at long width, not silently accepted as zoom 0
+      val wrap = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT tile_y(lat, 4294967296) FROM VALUES (1.0d) AS t(lat)").collect()
+      }
+      assert(wrap.getMessage.contains("tile_y"))
+      // valid long-typed foldables still work
+      assert(s.sql("SELECT tile_y(30.23d, CAST(12 AS BIGINT)) AS y").head().getLong(0) == 1686L)
     }
   }
 

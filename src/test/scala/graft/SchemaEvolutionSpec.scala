@@ -351,6 +351,46 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(e3.getMessage.contains("lossless"))
   }
 
+  test("dropColumn after widen + post-widen write: lake stays readable at latest") {
+    import org.apache.spark.sql.types._
+    // pre-widen (narrow) and post-widen (wide) files for `cnt` coexist on
+    // disk forever; dropColumn strips the typemap entry, so the read must
+    // EXCLUDE the dropped physical from the scan schema instead of asking
+    // its disagreeing footers to agree (mergeSchema would throw
+    // CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE, the explicit-schema merge would
+    // hit the conflicting-types require — either way the lake bricked)
+    val lake = fresh()
+    val v1 = seedNarrow(lake)
+    lake.widenColumn("cnt", "bigint")
+    lake.commit(Seq((4, Int.MaxValue.toLong + 7L, 4.5f, "p3"))
+      .toDF("id", "cnt", "ratio", "part"), Seq("part"))
+    val vDrop = lake.dropColumn("cnt")
+    // no typemap residue for the dropped column...
+    assert(lake.typeMapping().isEmpty)
+    // ...and every read path still works at latest
+    val out = lake.read(Seq("part"))
+    assert(out.columns.toSet == Set("id", "ratio", "part"))
+    assert(out.count() == 4L)
+    // time travel BEFORE the drop still reads the widened column
+    val preDrop = lake.read(Seq("part"), Some(vDrop - 1))
+    assert(preDrop.schema("cnt").dataType == LongType)
+    assert(preDrop.filter(col("id") === 4).head().getAs[Long]("cnt") ==
+      Int.MaxValue.toLong + 7L)
+    assert(lake.read(Seq("part"), Some(v1)).schema("cnt").dataType == IntegerType)
+    // the other-typemap-entries variant: a SECOND widened column keeps its
+    // entry, and the explicit-schema path must still skip the dropped one
+    lake.widenColumn("ratio", "double")
+    lake.commit(Seq((5, 5.5, "p4")).toDF("id", "ratio", "part"), Seq("part"))
+    val out2 = lake.read(Seq("part"))
+    assert(out2.schema("ratio").dataType == DoubleType)
+    assert(out2.count() == 5L)
+    assert(lake.typeMapping() == Map("ratio" -> DoubleType))
+    // post-drop writes may still not reuse the retired physical name
+    val e = intercept[IllegalArgumentException](
+      lake.commit(Seq((6, 1L, 6.5, "p5")).toDF("id", "cnt", "ratio", "part"), Seq("part")))
+    assert(e.getMessage.contains("retired"))
+  }
+
   test("statsFor and readPruned work through a widen") {
     import org.apache.spark.sql.types._
     val lake = fresh()
