@@ -58,7 +58,7 @@ object Bench {
       "q_ev_distinctn", "q_ann_bitext", "q_fmt_avro", "q_tx_pii_spans",
       "q_ev_ter",
       "q_ann_bitext_lsh", "q_sa_crossdoc_incr", "q_sc_geotile",
-      "q_j12_tile_nn", "q_dv_delete")
+      "q_j12_tile_nn", "q_dv_delete", "q_dv_upsert")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

@@ -305,6 +305,12 @@ object QueriesExtra {
     // surviving row set from the predicates directly
     "q_dv_delete" -> ((s, dir) => dvDelete(s, dir)),
 
+    // merge-on-read upsert (row-grain MERGE via deletion vectors): matched
+    // PKs DV-delete + winning rows append in ONE commit — updates, inserts,
+    // a LOSING stale row, and new-partition creation all replayed in SQL,
+    // read at latest AND time-traveled before the merge
+    "q_dv_upsert" -> ((s, dir) => dvUpsert(s, dir)),
+
     // profiling: equi-width histogram — bounds become plan-time literals,
     // the bucket groupBy shuffles ≤ buckets rows
     "q_pf_hist" -> ((s, dir) =>
@@ -376,6 +382,34 @@ object QueriesExtra {
       lake.read(Seq("lang")).withColumn("snap", lit("latest"))
         .unionByName(lake.read(Seq("lang"), Some(v1)).withColumn("snap", lit("v1")))
         .select("doc_id", "text", "source", "n_chars", "lang", "snap")
+    })
+
+  private def dvUpsert(s: SparkSession, dir: String): DataFrame =
+    compactCache.getOrElseUpdate("dvu|" + s.hashCode() + "|" + dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dvu_q").toString
+      val lake = new graft.catalog.SnapshotLake(s, tmp)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"), col("lang"))
+        .withColumn("ver", lit(1L))
+      val v1 = lake.commit(docs, Seq("lang"))
+      // updates (text recapped) win at ver=2; a stale slice at ver=0 must
+      // NOT land (latest-wins); inserts derive disjoint negative ids
+      val upd = docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("text", upper(col("text")))
+        .withColumn("source", lit("merged"))
+        .withColumn("ver", lit(2L))
+      val stale = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") % 11 =!= 0)
+        .withColumn("text", lit("MUST NOT LAND"))
+        .withColumn("ver", lit(0L))
+      val ins = docs.filter(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", -col("doc_id") - lit(1L))
+        .withColumn("source", lit("new"))
+        .withColumn("ver", lit(2L))
+      lake.upsertDv(upd.unionByName(stale).unionByName(ins),
+        pk = Seq("doc_id", "lang"), versionCol = "ver", partitionCols = Seq("lang"))
+      lake.read(Seq("lang")).withColumn("snap", lit("latest"))
+        .unionByName(lake.read(Seq("lang"), Some(v1)).withColumn("snap", lit("v1")))
+        .select("doc_id", "text", "source", "n_chars", "lang", "ver", "snap")
     })
 
   private def formatRoundTrip(s: SparkSession, dir: String, fmt: String): DataFrame =
@@ -852,6 +886,20 @@ object QueriesExtra {
         |  AND NOT (coalesce(source = 'web' AND n_chars % 5 = 0, FALSE))
         |UNION ALL
         |SELECT doc_id, text, source, n_chars, lang, 'v1' AS snap FROM documents""".stripMargin,
+    "q_dv_upsert" ->
+      """WITH d AS (SELECT doc_id, text, source, n_chars, lang,
+        |    CAST(1 AS BIGINT) AS ver FROM documents),
+        |u AS (SELECT doc_id, upper(text) AS text, 'merged' AS source, n_chars, lang,
+        |    CAST(2 AS BIGINT) AS ver FROM d WHERE doc_id % 11 = 0),
+        |i AS (SELECT -doc_id - 1 AS doc_id, text, 'new' AS source, n_chars, lang,
+        |    CAST(2 AS BIGINT) AS ver FROM d WHERE doc_id % 17 = 0),
+        |latest AS (
+        |  SELECT * FROM d WHERE doc_id % 11 <> 0
+        |  UNION ALL SELECT * FROM u
+        |  UNION ALL SELECT * FROM i)
+        |SELECT doc_id, text, source, n_chars, lang, ver, 'latest' AS snap FROM latest
+        |UNION ALL
+        |SELECT doc_id, text, source, n_chars, lang, ver, 'v1' AS snap FROM d""".stripMargin,
     "q_tt_snapshot" ->
       """SELECT o_orderkey, o_orderstatus, 'first' AS pointer, 'v1' AS snap FROM orders
         |UNION ALL

@@ -853,6 +853,52 @@ object ScaleProbe {
         f"not partitions rewritten); post-DV read: $tRead%6.2fs, row sets agree ($nDv)")
     }
 
+    // --- merge-on-read upsert cost probe (round-13) --
+    // the claim: upsertDv's WRITE cost tracks the rows CHANGED (a small
+    // staged append + DV addresses + O(files) hard links), while plain
+    // upsert rewrites every touched partition wholesale. Probe: the same
+    // 1-row-per-partition update batch against the sf0.1 events table
+    // committed as a lake — both paths read the touched partitions to
+    // align PKs, so the delta is pure write volume.
+    if (only.forall(_.contains("dv_upsert"))) {
+      // inflate to ~30x the sf events table so each partition carries real
+      // bytes — the regime the merge-on-read claim is ABOUT (at tiny
+      // partitions, fixed per-job latency masks the write-volume delta)
+      def inflated() = Tables(spark, base, "events")
+        .crossJoin(spark.range(30).select(col("id").as("rep")))
+        .select((col("event_id") * 30 + col("rep")).as("event_id"),
+          col("user_id"), col("value"), lit(1L).as("ver"),
+          col("event_type").as("part"))
+      def freshLake(tag: String): graft.catalog.SnapshotLake = {
+        val root = java.nio.file.Files.createTempDirectory(s"graft_dvu_probe_$tag").toString
+        val lake = new graft.catalog.SnapshotLake(spark, root)
+        lake.commit(inflated(), Seq("part"))
+        lake
+      }
+      val l1 = freshLake("mor")
+      val l2 = freshLake("cow")
+      // one updated row per partition — touches EVERY partition, changes
+      // almost nothing (the worst case for copy-on-write)
+      def batch() = inflated()
+        .groupBy("part").agg(min("event_id").as("event_id"))
+        .select(col("event_id"), lit(-1L).as("user_id"),
+          lit(0.0).as("value"), lit(2L).as("ver"), col("part"))
+      val pk = Seq("event_id", "part")
+      val (tMor, _) = time { l1.upsertDv(batch(), pk, "ver", Seq("part")); 0L }
+      val (tCow, _) = time { l2.upsert(batch(), pk, "ver", Seq("part")); 0L }
+      val gMor = l1.read(Seq("part")).filter(col("user_id") === -1L).count()
+      val gCow = l2.read(Seq("part")).filter(col("user_id") === -1L).count()
+      require(gMor == gCow && gMor > 0, s"merge paths disagree: $gMor vs $gCow")
+      val nMor = l1.read(Seq("part")).count()
+      val nCow = l2.read(Seq("part")).count()
+      require(nMor == nCow, s"row counts disagree: $nMor vs $nCow")
+      val (tRead, _) = time(l1.read(Seq("part")).count())
+      println(f"[scaleprobe] dv_upsert merge-on-read: $tMor%6.2fs  " +
+        f"copy-on-write: $tCow%6.2fs  ratio: ${tMor / tCow}%5.2f " +
+        f"(gate: <= 0.8 — merge cost tracks rows changed, not partition bytes); " +
+        f"post-merge read: $tRead%6.2fs, $gMor partitions updated, $nMor rows")
+    }
+
     // --- detection over the persisted SA artifact (round-12, VERDICT r11 #7) --
     // crossDocRepeat's cost = ranking + the adjacent-pair detection tail;
     // once the corpus ranks live in a persisted artifact (maintained by

@@ -1159,6 +1159,194 @@ class SnapshotLake(spark: SparkSession, root: String) {
     committed
   }
 
+  /** Row-grain MERGE with merge-on-read semantics — the deletion-vector
+    * composition of [[upsert]] (the Delta/Iceberg merge-on-read contract):
+    * matched PKs' current rows are DV-deleted (their data bytes never
+    * rewrite) and the batch's winning rows APPEND, so merge cost tracks
+    * the rows CHANGED, not the partition bytes touched — [[upsert]]
+    * rewrites every touched partition wholesale. Latest-wins on
+    * `versionCol` like [[upsert]], with the deterministic tie rule "the
+    * batch wins on equal versions"; a batch row older than the table's
+    * row neither lands nor deletes. One atomic manifest commit carries
+    * both sides, under the same optimistic CAS loop as [[deleteWhereDv]]:
+    * a racing DV delete, upsert, or optimize fails the CAS and forces a
+    * full rescan-and-retry — never a lost update.
+    *
+    * Mechanics under the one-directory-per-partition manifest: each
+    * touched existing partition's new directory HARD-LINKS the old files
+    * (an O(files) metadata operation — the filesystem-lake analog of
+    * Delta's add-file log action; row bytes are never copied) and adopts
+    * the staged batch files; existing DV addresses under a replaced leaf
+    * (and the freshly matched addresses) are re-keyed to the new leaf in
+    * one folded DV relation, so deletes stay attached to their files.
+    * Time travel before the merge sees the old rows; [[changes]] across
+    * it reports exactly the upserted PKs; [[optimize]] materializes the
+    * pending deletes physically. Returns the committed version, or the
+    * current one when every batch row lost (a no-op merge).
+    *
+    * `broadcastBatch` (default true) ships the batch's (pk, version)
+    * projection to every scan task so the table side NEVER shuffles to
+    * align PKs — the right plan whenever the batch is small against the
+    * table, which is what merge-on-read is for. A batch too large to
+    * broadcast sets it false and pays a keyed shuffle join instead.
+    */
+  def upsertDv(
+      batch: DataFrame,
+      pk: Seq[String],
+      versionCol: String,
+      partitionCols: Seq[String],
+      broadcastBatch: Boolean = true): Long = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(partitionCols.forall(pk.contains),
+      s"partition columns ${partitionCols.mkString(",")} must all be part of " +
+        s"the PK ${pk.mkString(",")} — otherwise a PK row that changes " +
+        "partition value duplicates across partitions")
+    require(!partitionCols.contains(versionCol),
+      "versionCol cannot be a partition column")
+    Files.createDirectories(manifestsDir)
+    Files.createDirectories(dataDir)
+    // fold within-batch duplicate PKs first, then PIN the result: the
+    // match scan, the DV write, and the staging write must all see the
+    // SAME rows — a re-evaluating non-deterministic batch could DV-delete
+    // a row whose replacement never lands
+    val b = LakeCatalog.merge(
+      batch.withColumns(
+        partitionCols.map(c => c -> col(c).cast("string")).toMap),
+      pk, versionCol).localCheckpoint(true)
+    val touched = touchedPartitions(b, partitionCols)
+    require(touched.nonEmpty, "batch has no rows — nothing to upsert")
+    val touchedKeys = touched.map(keyOf).toSet
+    var committed = -1L
+    while (committed < 0) {
+      val baseOpt = latestVersion
+      val (m, txns, meta) = baseOpt.map(readManifestAndTxns)
+        .getOrElse((Map.empty[String, String], Map.empty[String, Long],
+          Map.empty[String, String]))
+      val existing = m.view.filterKeys(touchedKeys).toMap
+      // ---- match scan: ONE pass over the touched EXISTING partitions
+      // (pk + versionCol + row address only — column-pruned), joined
+      // against the BROADCAST batch keys so the table side never shuffles.
+      // NULL-safe PK alignment (partition components are non-null by
+      // commit-time rejection; other PK components may legitimately be
+      // NULL and must still match themselves). The matched set — bounded
+      // by the batch's PK count (times any duplicate-PK table rows a
+      // raw-commit lake may hold) — is pinned once and answers BOTH
+      // downstream questions: who wins, and which addresses displace.
+      def pkCond(l: String, r: String) =
+        pk.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
+      val matched: Option[DataFrame] = Option.when(existing.nonEmpty) {
+        val t = readEntries(existing.toSeq.sorted, partitionCols, meta,
+          exposeRowIds = true)
+          .select(pk.map(col) ++ Seq(col(versionCol).as("__t_ver"),
+            col("__dv_file"), col("__dv_pos")): _*)
+        val bv0 = b.select(pk.map(col) :+ col(versionCol).as("__b_ver"): _*)
+        val bv = if (broadcastBatch) broadcast(bv0) else bv0
+        t.alias("t").join(bv.alias("b"), pkCond("t", "b"))
+          .select(pk.map(c => col(s"t.$c").as(c)) ++ Seq(col("__t_ver"),
+            col("__b_ver"), col("__dv_file"), col("__dv_pos")): _*)
+          .localCheckpoint(true)
+      }
+      // batch rows that WIN: unmatched, or at least the newest table
+      // version of their PK (max over the matched rows — a winning batch
+      // row displaces ALL duplicate table rows of its PK)
+      val winners = (matched match {
+        case None => b
+        case Some(mt) =>
+          val tv = mt.groupBy(pk.map(col): _*).agg(max(col("__t_ver")).as("__t_ver"))
+          b.alias("b").join(tv.alias("t"), pkCond("b", "t"), "left")
+            .filter(col("__t_ver").isNull ||
+              col(s"b.$versionCol") >= col("__t_ver"))
+            .select(b.columns.map(c => col(s"b.$c")).toSeq: _*)
+      }).localCheckpoint(true)
+      // ---- stage the winning rows (one Spark job, Hive layout)
+      val touchedW = touchedPartitions(winners, partitionCols)
+      if (touchedW.isEmpty) return baseOpt.get // every batch row lost: no-op
+      val stagedNew = stageDirs(physicalize(winners, meta), partitionCols, touchedW)
+      // ---- merged directories: old files re-enter BY HARD LINK, staged
+      // files adopt in place — a partition the batch only LOST against
+      // stays by reference (absent from stagedNew)
+      val newDirs: Map[String, String] = stagedNew.map { case (key, sdir) =>
+        existing.get(key) match {
+          case None => key -> sdir // brand-new partition: staged dir as-is
+          case Some(oldDir) =>
+            val name = java.util.UUID.randomUUID().toString
+            val nd = dataDir.resolve(name)
+            Files.createDirectories(nd)
+            def adopt(src: Path, link: Boolean): Unit = {
+              val s = Files.list(src)
+              try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+                val dst = nd.resolve(f.getFileName.toString)
+                require(!Files.exists(dst),
+                  s"file name collision merging $src into $nd: ${f.getFileName}")
+                if (link)
+                  try Files.createLink(dst, f)
+                  catch { case _: UnsupportedOperationException => Files.copy(f, dst) }
+                else Files.move(f, dst)
+              } finally s.close()
+            }
+            adopt(Paths.get(resolveDir(oldDir)), link = true)
+            val sp = Paths.get(resolveDir(sdir))
+            adopt(sp, link = false)
+            deleteRecursively(sp)
+            key -> s"data/$name"
+        }
+      }
+      // old-leaf → new-leaf for every replaced directory: DV addresses are
+      // keyed `<dir-leaf>/<file>`, so deletes riding the linked files must
+      // re-key or they detach
+      val leafMap: Map[String, String] = stagedNew.keysIterator.flatMap { k =>
+        existing.get(k).map(od => Paths.get(od).getFileName.toString ->
+          Paths.get(newDirs(k)).getFileName.toString)
+      }.toMap
+      // ---- fold the DV relation: existing deletes (re-keyed where their
+      // leaf was replaced) + the displaced rows of winning PKs
+      val oldDvDirs = dvDirsOf(meta)
+      val displaced: Option[DataFrame] = matched.map(
+        _.filter(col("__b_ver") >= col("__t_ver"))
+          .select(col("__dv_file"), col("__dv_pos")))
+      val mustFold = displaced.isDefined || (oldDvDirs.nonEmpty && leafMap.nonEmpty)
+      val newDvList: Seq[String] =
+        if (!mustFold) oldDvDirs
+        else {
+          val parts = oldDvDirs.headOption.map(_ =>
+            spark.read.parquet(oldDvDirs.map(resolveDir): _*)
+              .select(col("__dv_file"), col("__dv_pos"))).toSeq ++ displaced.toSeq
+          val all = parts.reduce(_ union _)
+          val translated =
+            if (leafMap.isEmpty) all
+            else {
+              val leaf = element_at(split(col("__dv_file"), "/"), 1)
+              val file = element_at(split(col("__dv_file"), "/"), 2)
+              val mapLit = map(leafMap.toSeq.sortBy(_._1)
+                .flatMap { case (o, n) => Seq(lit(o), lit(n)) }: _*)
+              all.withColumn("__dv_file",
+                concat_ws("/", coalesce(element_at(mapLit, leaf), leaf), file))
+            }
+          val name = java.util.UUID.randomUUID().toString
+          translated.distinct().write.parquet(resolveDir(s"data/$name"))
+          if (spark.read.parquet(resolveDir(s"data/$name")).isEmpty) {
+            deleteRecursively(dataDir.resolve(name))
+            Seq.empty
+          } else Seq(s"data/$name")
+        }
+      // ---- one atomic commit carries the merged dirs AND the folded DVs
+      val next = baseOpt.getOrElse(0L) + 1
+      val stats = dirStats(newDirs)
+      touchDirs(newDirs.values ++ (newDvList.toSet -- oldDvDirs.toSet))
+      if (writeManifestAtomic(next, m ++ newDirs, txns,
+          metaWithDvs(meta ++ stats, newDvList))) {
+        committed = next
+        writeInfo(committed, "dvupsert", newDirs.size)
+      } else {
+        // stale merge: drop this round's dirs (unlinking a merged dir only
+        // removes the link names — the old dir's files are untouched)
+        (newDirs.values.toSet ++ (newDvList.toSet -- oldDvDirs.toSet))
+          .foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
+      }
+    }
+    committed
+  }
+
   /** Transactional row deletion (the GDPR/right-to-erasure lake op):
     * rewrite every live partition without the matching rows, committed as
     * one atomic manifest — readers see all deletions or none, and earlier

@@ -1,0 +1,244 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.SnapshotLake
+
+/** Row-grain MERGE via deletion vectors (merge-on-read): matched PKs
+  * DV-delete, winning batch rows append, old partition files re-enter by
+  * hard link — merge cost tracks rows changed, never partition bytes.
+  */
+class UpsertDvSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fresh(): (SnapshotLake, String) = {
+    val root = Files.createTempDirectory("graft_dvu").toString
+    (new SnapshotLake(spark, root), root)
+  }
+
+  // every row carries a version column — the merge-on-read PK contract
+  private def seed(lake: SnapshotLake): Long =
+    lake.commit(
+      Seq((1L, "a", 10.0, 1L, "p1"), (2L, "b", 20.0, 1L, "p1"),
+        (3L, "c", 30.0, 1L, "p2"), (4L, "d", 40.0, 1L, "p2"),
+        (5L, "e", 50.0, 1L, "p3"))
+        .toDF("id", "name", "score", "ver", "part"),
+      Seq("part"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+    df.select("id", "name", "score").as[(Long, String, Double)].collect().toSet
+
+  private def filesOf(lake: SnapshotLake, v: Long): Set[String] =
+    lake.files(Seq("part"), Some(v)).select("file")
+      .collect().map(_.getString(0)).toSet
+
+  test("merge updates matched rows, inserts new PKs, keeps the rest; time travel intact") {
+    val (lake, _) = fresh()
+    val v1 = seed(lake)
+    val v2 = lake.upsertDv(
+      Seq((2L, "b2", 21.0, 2L, "p1"),   // update in p1
+        (6L, "f", 60.0, 2L, "p2"),      // insert into existing p2
+        (7L, "g", 70.0, 2L, "p4"))      // insert creating a new partition
+        .toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    assert(v2 == v1 + 1, "one atomic commit for the whole merge")
+    assert(rows(lake.read(Seq("part"))) == Set(
+      (1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0),
+      (5L, "e", 50.0), (6L, "f", 60.0), (7L, "g", 70.0)))
+    // time travel before the merge sees the pre-image
+    assert(rows(lake.read(Seq("part"), Some(v1))) == Set(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0),
+      (5L, "e", 50.0)))
+    // untouched p3 carried BY REFERENCE (identical file paths)
+    val f1 = filesOf(lake, v1).filter(_.contains("part")) // all files
+    assert(filesOf(lake, v2).intersect(f1).nonEmpty)
+  }
+
+  test("zero data rewrite: old parquet files re-enter the merged dir as hard links") {
+    val (lake, root) = fresh()
+    val v1 = seed(lake)
+    val oldFiles = filesOf(lake, v1)
+    lake.upsertDv(
+      Seq((2L, "b2", 21.0, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val newFiles = filesOf(lake, lake.latestVersion.get)
+    // p1's old file names persist under the NEW leaf (linked, not copied):
+    // same file name, different dir, same inode (fileKey)
+    val p1Old = oldFiles.filterNot(newFiles.contains)
+    assert(p1Old.nonEmpty, "p1's directory must have been replaced")
+    val linked = p1Old.flatMap { op =>
+      val fname = Paths.get(op).getFileName.toString
+      newFiles.find(np => Paths.get(np).getFileName.toString == fname && np != op)
+    }
+    assert(linked.size == p1Old.size, "every old p1 file must re-enter by name")
+    for ((op, np) <- p1Old.zip(linked)) {
+      val ko = Files.readAttributes(Paths.get(op), classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey
+      val kn = Files.readAttributes(Paths.get(np), classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey
+      assert(ko == kn, s"expected a hard link (same inode): $op vs $np")
+    }
+  }
+
+  test("latest-wins: stale batch rows neither land nor delete; equal version -> batch wins") {
+    val (lake, _) = fresh()
+    seed(lake)
+    val before = lake.latestVersion.get
+    // ver=0 < table's 1: the whole batch loses — a NO-OP, no new version
+    val got = lake.upsertDv(
+      Seq((2L, "stale", 0.0, 0L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    assert(got == before, "an all-losing merge must not commit a version")
+    assert(rows(lake.read(Seq("part"))).contains((2L, "b", 20.0)))
+    // mixed batch: the stale row is dropped, the fresh one lands
+    lake.upsertDv(
+      Seq((2L, "stale", 0.0, 0L, "p1"), (1L, "a2", 11.0, 1L, "p1"))
+        .toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val r = rows(lake.read(Seq("part")))
+    assert(r.contains((2L, "b", 20.0)) && r.contains((1L, "a2", 11.0)),
+      "equal version ties go to the batch; older versions keep the table row")
+  }
+
+  test("within-batch duplicate PKs fold by versionCol before merging") {
+    val (lake, _) = fresh()
+    seed(lake)
+    lake.upsertDv(
+      Seq((3L, "old", 31.0, 2L, "p2"), (3L, "newest", 32.0, 5L, "p2"))
+        .toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val out = lake.read(Seq("part")).filter(col("id") === 3L).collect()
+    assert(out.length == 1 && out.head.getAs[String]("name") == "newest")
+  }
+
+  test("repeated merges on the same PK stack correctly (DV addresses re-key across leaves)") {
+    val (lake, _) = fresh()
+    seed(lake)
+    lake.upsertDv(Seq((2L, "b2", 21.0, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    lake.upsertDv(Seq((2L, "b3", 22.0, 3L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    lake.upsertDv(Seq((1L, "a2", 12.0, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val p1 = lake.read(Seq("part")).filter(col("part") === "p1")
+    assert(rows(p1) == Set((1L, "a2", 12.0), (2L, "b3", 22.0)),
+      "each merge must see exactly the prior merge's survivors")
+    assert(lake.read(Seq("part")).count() == 5L)
+  }
+
+  test("merge composes with a prior DV delete: its addresses survive the leaf replacement") {
+    val (lake, _) = fresh()
+    seed(lake)
+    // DV-delete id=1 (p1), then merge into p1 — the delete's address rides
+    // a file that re-keys to the merged dir's leaf
+    lake.deleteWhereDv(col("id") === 1L, Seq("part"))
+    lake.upsertDv(Seq((2L, "b2", 21.0, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    assert(rows(lake.read(Seq("part"))) == Set(
+      (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0), (5L, "e", 50.0)),
+      "the pre-merge DV delete must stay applied after the merge replaces p1's leaf")
+  }
+
+  test("CDF across the merge boundary: exactly update_pre/update_post + insert, nothing else") {
+    val (lake, _) = fresh()
+    val v1 = seed(lake)
+    val v2 = lake.upsertDv(
+      Seq((2L, "b2", 21.0, 2L, "p1"), (6L, "f", 60.0, 2L, "p3"))
+        .toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val delta = lake.changes(v1, v2, pk = Seq("id", "part"), partitionCols = Seq("part"))
+      .select("_change", "id", "name").as[(String, Long, String)].collect().toSet
+    assert(delta == Set(
+      ("update_pre", 2L, "b"), ("update_post", 2L, "b2"), ("insert", 6L, "f")),
+      s"got $delta")
+  }
+
+  test("concurrent merge + DV delete on the same partition: both land (OCC serializes)") {
+    val (lake, _) = fresh()
+    seed(lake)
+    val t1 = new Thread(() => lake.upsertDv(
+      Seq((2L, "b2", 21.0, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part")))
+    val t2 = new Thread(() => lake.deleteWhereDv(col("id") === 4L, Seq("part")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(rows(lake.read(Seq("part"))) == Set(
+      (1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (5L, "e", 50.0)),
+      "neither the merge nor the delete may be lost")
+  }
+
+  test("concurrent merges on the same partition, different PKs: no lost update") {
+    val (lake, _) = fresh()
+    seed(lake)
+    val t1 = new Thread(() => lake.upsertDv(
+      Seq((1L, "a2", 11.0, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part")))
+    val t2 = new Thread(() => lake.upsertDv(
+      Seq((2L, "b2", 21.0, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val p1 = lake.read(Seq("part")).filter(col("part") === "p1")
+    assert(rows(p1) == Set((1L, "a2", 11.0), (2L, "b2", 21.0)))
+  }
+
+  test("optimize after a merge materializes the pending deletes; content unchanged") {
+    val (lake, _) = fresh()
+    seed(lake)
+    lake.upsertDv(Seq((2L, "b2", 21.0, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val before = rows(lake.read(Seq("part")))
+    lake.optimize(targetBytes = 1L, zorderCols = Seq("id")) // force rewrite of all
+    assert(rows(lake.read(Seq("part"))) == before)
+    // materialized: the rewritten p1 dir holds exactly 2 live rows; the DV
+    // addresses for its old leaf are now dead (compactDeletes would shed them)
+    lake.compactDeletes()
+    assert(rows(lake.read(Seq("part"))) == before)
+  }
+
+  test("vacuum after a merge: old dirs reclaim, linked rows survive") {
+    val (lake, _) = fresh()
+    seed(lake)
+    lake.upsertDv(Seq((2L, "b2", 21.0, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val before = rows(lake.read(Seq("part")))
+    lake.vacuum(keepLast = 1, minAgeMs = 0L)
+    assert(rows(lake.read(Seq("part"))) == before,
+      "reclaiming the pre-merge dirs must not lose the linked rows")
+  }
+
+  test("merge on an empty lake is a plain first commit; schema contracts enforced") {
+    val (lake, _) = fresh()
+    val v = lake.upsertDv(
+      Seq((1L, "a", 10.0, 1L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    assert(v == 1L && rows(lake.read(Seq("part"))) == Set((1L, "a", 10.0)))
+    // partition cols must be part of the pk
+    val e = intercept[IllegalArgumentException](lake.upsertDv(
+      Seq((1L, "a", 10.0, 1L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id"), versionCol = "ver", partitionCols = Seq("part")))
+    assert(e.getMessage.contains("PK"))
+  }
+
+  test("merge cost artifact: only changed rows' bytes are written, not partition bytes") {
+    // structural form of the ScaleProbe claim: after a 1-row merge into a
+    // 1000-row partition, the NEW bytes on disk (non-linked files) hold only
+    // the merged row + the DV addresses
+    val (lake, _) = fresh()
+    val big = spark.range(1000).select(
+      col("id"), concat(lit("n"), col("id")).as("name"),
+      col("id").cast("double").as("score"), lit(1L).as("ver"), lit("p1").as("part"))
+    val v1 = lake.commit(big, Seq("part"))
+    val oldNames = filesOf(lake, v1).map(p => Paths.get(p).getFileName.toString)
+    lake.upsertDv(Seq((7L, "n7x", 7.5, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val newFiles = filesOf(lake, lake.latestVersion.get)
+    val freshFiles = newFiles.filterNot(p => oldNames.contains(Paths.get(p).getFileName.toString))
+    val freshBytes = freshFiles.map(p => Files.size(Paths.get(p))).sum
+    val totalBytes = newFiles.map(p => Files.size(Paths.get(p))).sum
+    assert(freshBytes < totalBytes / 4,
+      s"fresh bytes $freshBytes should be a small fraction of $totalBytes")
+    val out = lake.read(Seq("part"))
+    assert(out.count() == 1000L)
+    assert(out.filter(col("id") === 7L).head().getAs[String]("name") == "n7x")
+  }
+}
