@@ -275,6 +275,17 @@ object QueriesCorpus {
         t(s, dir, "part").filter(col("p_partkey") % 7 === 0),
         "p_partkey", "p_name", maxDist = 3)),
 
+    // ratio-threshold similarity join (the J10 fuzzy argmax at corpus
+    // scale): length-banded candidates (keyed join, never a cross) with a
+    // lev-ratio verify the oracle replays exactly — the seq_ratio variant
+    // of the same banding is spec-pinned banded ≡ cross against difflib
+    "q_dd_seqratio_pairs" -> ((s, dir) =>
+      Dedup.seqRatioPairs(
+        t(s, dir, "part").filter(col("p_partkey") % 7 === 0),
+        "p_partkey", "p_name", threshold = 0.75, sim = "lev_ratio")
+        .select(col("id_a"), col("id_b"),
+          Functions.roundHalfUp(col("ratio"), 6).as("ratio"))),
+
     // sparse tf-idf cosine pairs (APSS): lexical similarity join over the
     // df-capped vocabulary (cap = N/10 — the stopword guard is the scale
     // configuration), integer-exact weights so every cosine oracles
@@ -2586,6 +2597,18 @@ object QueriesCorpus {
         |SELECT a.id AS id_a, bb.id AS id_b, levenshtein(a.s, bb.s) AS dist
         |FROM b a JOIN b bb ON a.id < bb.id
         |WHERE levenshtein(a.s, bb.s) <= 3""".stripMargin,
+    "q_dd_seqratio_pairs" ->
+      """WITH b AS (
+        |  SELECT p_partkey AS id, trim(lower(p_name)) AS s
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |r AS (
+        |  SELECT a.id AS id_a, bb.id AS id_b,
+        |    CASE WHEN greatest(length(a.s), length(bb.s)) = 0 THEN 1.0
+        |      ELSE 1.0 - CAST(levenshtein(a.s, bb.s) AS DOUBLE)
+        |        / greatest(length(a.s), length(bb.s)) END AS ratio
+        |  FROM b a JOIN b bb ON a.id < bb.id)
+        |SELECT id_a, id_b, floor(ratio * 1e6 + 0.5) / 1e6 AS ratio
+        |FROM r WHERE ratio >= 0.75""".stripMargin,
     "q_tx_apss" ->
       """WITH pd AS (
         |  SELECT doc_id AS d, tok AS token, count(*) AS tf

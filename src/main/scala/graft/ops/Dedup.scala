@@ -992,6 +992,131 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
+  /** Ratio-threshold similarity join — the corpus-scale form of the
+    * reference's fuzzy device-resolution argmax (J10, `gs_ready.py`'s
+    * difflib cascade, fine as a dim×dim cross at its ~100×100 scale but a
+    * scale-killer for corpus-sized sides). Pairs with `similarity ≥
+    * threshold`, candidates generated by LENGTH BANDING — the same
+    * PassJoin discipline as [[editDistancePairs]], driven by the bound
+    * the [[graft.plans.SequenceRatioLengthBound]] optimizer rule already
+    * synthesizes for point predicates:
+    *
+    *   - `sim = "seq_ratio"` (difflib Ratcliff–Obershelp, the codegen'd
+    *     [[graft.expressions.SequenceRatio]]): `ratio = 2·M/(la+lb)` with
+    *     `M ≤ min(la,lb)`, so `ratio ≥ t ⟹ min ≥ t/(2−t) · max`.
+    *   - `sim = "lev_ratio"` ([[graft.Functions.levRatio]], replayable in
+    *     any engine with `levenshtein`): `lev ≥ |la−lb|`, so
+    *     `ratio ≥ t ⟹ min ≥ t · max`.
+    *
+    * Each string explodes to bands `[⌊bound(len)⌋ .. len]` (floor, so a
+    * boundary pair can never be lost to float rounding) and a pair is
+    * taken from exactly one shared band — `min(la, lb)` — then verified
+    * by the actual similarity expression. Complete by the length lemma,
+    * exactly-once by the min-band pick, keyed equi-join throughout (the
+    * salting/repartition discipline of [[editDistancePairs]] — never a
+    * cartesian). Returns `(id_a, id_b, ratio)` with `id_a < id_b`.
+    */
+  def seqRatioPairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      threshold: Double,
+      sim: String = "seq_ratio",
+      normalize: Boolean = true): DataFrame = {
+    val (aS, bS, ratio) = ratioBandedSides(
+      bandForRatio(df, idCol, strCol, threshold, sim, normalize),
+      bandForRatio(df, idCol, strCol, threshold, sim, normalize),
+      sim, df.sparkSession)
+    aS.join(bS,
+        col("a.band") === col("b.band") &&
+          col("a._salt") === col("b._salt") &&
+          col("a.id") < col("b.id") &&
+          col("a.band") === least(col("a.len"), col("b.len")))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        ratio.as("ratio"))
+      .filter(col("ratio") >= threshold)
+  }
+
+  /** Bipartite form of [[seqRatioPairs]]: every `(left, right)` pair with
+    * `similarity ≥ threshold` — the candidate generator a corpus-scale
+    * fuzzy lookup ([[DeviceResolution.fuzzyArgmaxBanded]]) puts in front
+    * of its argmax window. Same length banding, same exactly-once
+    * min-band pick (band uniqueness holds regardless of which side is
+    * shorter), same salted keyed join. Returns `(idLeft, idRight, ratio)`
+    * under the CALLERS' column names. Put the larger side on the LEFT:
+    * the right side replicates across the 32 skew salts.
+    */
+  def seqRatioJoin(
+      left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      threshold: Double,
+      sim: String = "seq_ratio",
+      normalize: Boolean = true): DataFrame = {
+    val (aS, bS, ratio) = ratioBandedSides(
+      bandForRatio(left, leftId, leftStr, threshold, sim, normalize),
+      bandForRatio(right, rightId, rightStr, threshold, sim, normalize),
+      sim, left.sparkSession)
+    aS.join(bS,
+        col("a.band") === col("b.band") &&
+          col("a._salt") === col("b._salt") &&
+          col("a.band") === least(col("a.len"), col("b.len")))
+      .select(
+        col("a.id").as(leftId),
+        col("b.id").as(rightId),
+        ratio.as("ratio"))
+      .filter(col("ratio") >= threshold)
+  }
+
+  /** One side's banded relation: `(id, s, len, band)` with bands
+    * `[⌊bound(len)⌋ .. len]` per the sim's length lemma (floor, so a
+    * boundary pair can never be lost to float rounding).
+    */
+  private def bandForRatio(
+      df: DataFrame, idCol: String, strCol: String,
+      threshold: Double, sim: String, normalize: Boolean): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold must be in (0, 1] — at 0 every pair is a candidate " +
+        "and banding degenerates to the cross this operator exists to avoid")
+    val frac = sim match {
+      case "seq_ratio" => threshold / (2.0 - threshold)
+      case "lev_ratio" => threshold
+      case other => throw new IllegalArgumentException(
+        s"unknown sim '$other' — supported: seq_ratio, lev_ratio")
+    }
+    val raw = col(strCol).cast("string")
+    val s = if (normalize) trim(lower(raw)) else raw
+    df.select(col(idCol).as("id"), s.as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+      .withColumn("band",
+        explode(sequence(
+          greatest(floor(col("len") * lit(frac)).cast("int"), lit(0)), col("len"))))
+  }
+
+  /** The salted/repartitioned sides + verify column shared by the self-
+    * and bipartite ratio joins (the [[editDistancePairs]] AQE discipline).
+    */
+  private def ratioBandedSides(
+      bandedA: DataFrame, bandedB: DataFrame, sim: String,
+      session: org.apache.spark.sql.SparkSession): (DataFrame, DataFrame, Column) = {
+    val salts = 32
+    val parallelism = session.sessionState.conf.numShufflePartitions
+    val aS = bandedA.withColumn("_salt", pmod(hash(col("id")), lit(salts)))
+      .repartition(parallelism, col("band"), col("_salt"))
+      .alias("a")
+    val bS = bandedB.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(parallelism, col("band"), col("_salt"))
+      .hint("SHUFFLE_HASH")
+      .alias("b")
+    val ratio = sim match {
+      case "seq_ratio" => graft.Functions.seqRatio(col("a.s"), col("b.s"))
+      case _ => graft.Functions.levRatio(col("a.s"), col("b.s"))
+    }
+    (aS, bS, ratio)
+  }
+
   /** Distinct `n`-word shingles of [[tokens]] as a per-row ARRAY — the
     * array-expression twin of [[shingleRows]] for operators that stay
     * shuffle-free: index i ∈ 1..max(len−n+1, 1), shingle = the (clipped)

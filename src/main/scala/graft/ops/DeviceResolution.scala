@@ -159,4 +159,39 @@ object DeviceResolution {
         col("site_id"), col("device_id"),
         coalesce(col("resolution_stage"), lit("unmatched")).as("resolution_stage"))
   }
+
+  /** Corpus-scale twin of the J10 fuzzy stage: the same argmax semantics
+    * (best Ratcliff–Obershelp over BOTH device street orderings, ties on
+    * `(ratio desc, device_id)` — the [[resolve]] total order), but
+    * candidates come from [[Dedup.seqRatioJoin]]'s length banding instead
+    * of the dim×dim cross. The reference's dimensions are ~100×100 and
+    * the cross is fine there; this is the path when either side grows to
+    * corpus size — a keyed band join whose candidate volume tracks the
+    * length histogram, never |sites|×|devices|. Returns
+    * `(site_id, device_id, ratio)`, one row per site with a match
+    * ≥ `minRatio`.
+    */
+  def fuzzyArgmaxBanded(
+      sites: DataFrame,
+      devices: DataFrame,
+      minRatio: Double = MinMatchRatio): DataFrame = {
+    val s = sites.select(col("site_id"),
+      concat_ws("/", lower(trim(col("street1"))), lower(trim(col("street2"))))
+        .as("sname"))
+    val d = devices.select(col("device_id"),
+      explode(array(
+        concat_ws("/", lower(trim(col("primary_st"))), lower(trim(col("cross_st")))),
+        concat_ws("/", lower(trim(col("cross_st"))), lower(trim(col("primary_st"))))))
+        .as("dname"))
+    val pairs = Dedup.seqRatioJoin(
+      s, "site_id", "sname", d, "device_id", "dname", minRatio)
+    // both orderings of one device may qualify — fold to the device grain
+    // BEFORE the argmax so ties break exactly like the cross stage
+    val byDevice = pairs.groupBy(col("site_id"), col("device_id"))
+      .agg(max(col("ratio")).as("ratio"))
+    val w = Window.partitionBy(col("site_id"))
+      .orderBy(col("ratio").desc, col("device_id"))
+    byDevice.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select("site_id", "device_id", "ratio")
+  }
 }

@@ -49,4 +49,48 @@ class DeviceResolutionSpec extends SparkSpec {
     assert(got("s_geo") == (("d_geo", "geo")))
     assert(got("s_none") == ((null, "unmatched")))
   }
+
+  test("fuzzyArgmaxBanded == the cross-based fuzzy argmax (randomized, both orderings)") {
+    import org.apache.spark.sql.functions._
+    // random short street pairs over a tiny alphabet so near-matches are
+    // dense; devices reuse site streets (sometimes swapped, sometimes
+    // perturbed) so both orderings and ties are exercised
+    val rnd = new scala.util.Random(29)
+    def street() = Seq.fill(3 + rnd.nextInt(6))("abcd"(rnd.nextInt(4))).mkString
+    val sites = (1 to 60).map(i => (s"s$i", street(), street()))
+      .toDF("site_id", "street1", "street2")
+    val devices = (1 to 60).map { i =>
+      val (a, b) = (street(), street())
+      if (i % 3 == 0) (f"d$i%03d", b, a) else (f"d$i%03d", a, b)
+    }.toDF("device_id", "primary_st", "cross_st")
+
+    val banded = DeviceResolution.fuzzyArgmaxBanded(sites, devices, minRatio = 0.7)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+
+    // the cross replay: greatest over both orderings, argmax per site with
+    // the (ratio desc, device_id) total order — resolve()'s stage 2
+    val s = sites.select(col("site_id"),
+      concat_ws("/", lower(trim(col("street1"))), lower(trim(col("street2")))).as("sn"))
+    val d = devices.select(col("device_id"),
+      concat_ws("/", lower(trim(col("primary_st"))), lower(trim(col("cross_st")))).as("dn1"),
+      concat_ws("/", lower(trim(col("cross_st"))), lower(trim(col("primary_st")))).as("dn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("site_id")).orderBy(col("ratio").desc, col("device_id"))
+    val cross = s.crossJoin(d)
+      .withColumn("ratio", greatest(
+        Functions.seqRatio(col("sn"), col("dn1")),
+        Functions.seqRatio(col("sn"), col("dn2"))))
+      .filter(col("ratio") >= 0.7)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select("site_id", "device_id", "ratio")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+
+    assert(banded == cross, "banded argmax must equal the cross argmax exactly")
+    assert(banded.nonEmpty, "fixture must actually produce matches")
+    // and the banded plan is keyed, never a cartesian
+    val plan = DeviceResolution.fuzzyArgmaxBanded(sites, devices, 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded fuzzy argmax must stay keyed:\n$plan")
+  }
 }

@@ -1233,6 +1233,54 @@ class OpsSpec extends SparkSpec {
       s"edit-distance join must stay keyed:\n$plan")
   }
 
+  test("seqRatioPairs: banded == naive cross for BOTH sims; difflib values; never a cartesian") {
+    import spark.implicits._
+    // difflib goldens: ratio("kitten","sitting") = 2*4/13; ("abcd","bcde") = 2*3/8
+    val fixture = Seq((1L, "kitten"), (2L, "sitting"), (3L, "abcd"), (4L, "bcde"),
+      (5L, "zzzzzzzzzzzzzzzzzz"), (6L, "a"), (7L, ""))
+      .toDF("id", "name")
+    val got = graft.ops.Dedup.seqRatioPairs(fixture, "id", "name", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got((1L, 2L)) - 8.0 / 13.0) < 1e-12)
+    assert(math.abs(got((3L, 4L)) - 6.0 / 8.0) < 1e-12)
+    assert(!got.keySet.exists(p => p._1 >= 5L),
+      "the outlier, the 1-char and the empty string pair with nothing at 0.6")
+
+    // randomized completeness + exactly-once vs the naive cross, both sims
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abc"
+    val rows = (1 to 120).map(i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(7))(alphabet(rnd.nextInt(3))).mkString))
+    val df = rows.toDF("id", "name").repartition(5)
+    for (sim <- Seq("seq_ratio", "lev_ratio")) {
+      val banded = graft.ops.Dedup.seqRatioPairs(df, "id", "name", 0.7, sim)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(banded.length == banded.distinct.length,
+        s"$sim: a pair must be emitted exactly once")
+      val a = df.select(col("id").as("ia"), trim(lower(col("name"))).as("sa"))
+      val bb = df.select(col("id").as("ib"), trim(lower(col("name"))).as("sb"))
+      val simCol =
+        if (sim == "seq_ratio") graft.Functions.seqRatio(col("sa"), col("sb"))
+        else graft.Functions.levRatio(col("sa"), col("sb"))
+      val naive = a.crossJoin(bb).filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"), simCol.as("r"))
+        .filter(col("r") >= 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(banded.toSet == naive,
+        s"$sim: length banding must lose no pair and add none")
+    }
+
+    // plan pin: keyed band join, never a cartesian
+    val plan = graft.ops.Dedup.seqRatioPairs(df, "id", "name", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ratio join must stay keyed:\n$plan")
+    // the degenerate threshold is refused, not silently crossed
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Dedup.seqRatioPairs(df, "id", "name", 0.0))
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("tfidfCosinePairs: exact quantized cosine, stopword cap, partition invariance") {
     import spark.implicits._
     // every doc carries the stopword 'the'; discrimination lives in the

@@ -30,6 +30,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "q_cms_sketch",    // CMS: bounded-key aggregate, no joins
     "q_ann_negatives_lsh", // hard negatives: bucket-KEYED pair join, never a cross
     "q_dd_editdist",   // salted band join: keyed SHUFFLE_HASH, never a cross
+    "q_dd_seqratio_pairs", // ratio-threshold banding: same salted keyed join
     "q_kmv_sketch",    // bounded-heap candidates + bounded bottom-k window
     "q_vec_cov",       // d(d+1)/2-bounded covariance aggregate, no joins
     "q_o8_grouptopk",  // heap candidates + broadcast-semi recovery, no fact sort
