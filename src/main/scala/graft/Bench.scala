@@ -58,7 +58,8 @@ object Bench {
       "q_ev_distinctn", "q_ann_bitext", "q_fmt_avro", "q_tx_pii_spans",
       "q_ev_ter",
       "q_ann_bitext_lsh", "q_sa_crossdoc_incr", "q_sc_geotile",
-      "q_j12_tile_nn", "q_dv_delete", "q_dv_upsert")
+      "q_j12_tile_nn", "q_dv_delete", "q_dv_upsert", "q_ann_ivfadc",
+      "q_dd_seqratio_pairs")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),
@@ -110,11 +111,24 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"failed":$failedJson,"sf":"$sfDir"}"""
+    // the adjudication essentials in ONE compact line, printed LAST: the
+    // artifact keeps only the tail of this process's stdout, and the full
+    // line above leads with `total`/`queries` — so the surviving fragment
+    // used to carry ~40 sample entries and lose the headline numbers. The
+    // summary (total + slowest-10 mins + failures) is what a reader needs
+    // to adjudicate a round without reconstruction; the fragment of the
+    // full line that still fits the tail window adds raw samples on top.
+    val slowest = results.collect { case (n, Some(t)) => (n, t) }
+      .sortBy(-_._2).take(10)
+      .map { case (n, t) => "\"" + n + "\":" + t }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
+    println(summary)
     spark.stop()
     // printed AGAIN after spark.stop(): executor-shutdown WARN chatter lands
-    // between the first print and process exit, and a tail-reading harness
-    // can otherwise lose the metric line off the end of its capture window
-    println(line)
+    // between the prints and process exit, and a tail-reading harness can
+    // otherwise lose the summary off the end of its capture window
+    println(summary)
   }
 }

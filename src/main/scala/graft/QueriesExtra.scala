@@ -258,6 +258,21 @@ object QueriesExtra {
         k = 10, nProbe = 4)
     }),
 
+    // IVFADC — the IvfIndex × ProductQuantize composition: residual-PQ
+    // codes per IVF cell, ADC over 4 probed cells, exact top-10 rerank of
+    // the 20-candidate shortlist — FULLY oracled: the md5 centroid/codebook
+    // samples, cosine cell assignment, residual encoding, per-cell ADC
+    // tables, and both rounded-grid rankings all replay in SQL
+    "q_ann_ivfadc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.ops.IvfAdc.build(emb, "vec_id", "embedding",
+        nCells = 16, m = 4, k = 8)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      graft.ops.IvfAdc.search(idx, emb, "vec_id", "embedding", q,
+        k = 10, nProbe = 4, shortlist = 20)
+    }),
+
     // lake small-file compaction end-to-end: write orders into a
     // many-small-files partitioned lake, bin-pack it, and return the rows
     // read back through the compacted leaves — the oracle proves compaction
@@ -604,6 +619,61 @@ object QueriesExtra {
         |JOIN assign a ON a.vec_id = e.vec_id
         |JOIN probed p ON p.cell = a.cell, q
         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivfadc" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT cell, cv FROM cent, q
+        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cell LIMIT 4),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_cosine_similarity(v.v, c.cv) DESC, c.cell) AS rn
+        |    FROM v, cent c) WHERE rn = 1),
+        |resid AS (
+        |  SELECT v.vec_id, a.cell,
+        |    list_transform(range(1, 65), j -> v.v[CAST(j AS INT)] - c.cv[CAST(j AS INT)]) AS r
+        |  FROM v JOIN assign a ON a.vec_id = v.vec_id JOIN cent c ON c.cell = a.cell),
+        |books AS (
+        |  SELECT r AS bv,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+        |  FROM resid QUALIFY code < 8),
+        |dd AS (
+        |  SELECT r.vec_id, r.cell, CAST(mm.m AS BIGINT) AS subspace, b.code,
+        |    floor(list_sum(list_transform(range(1, 17), j ->
+        |      (r.r[CAST(mm.m * 16 + j AS INT)] - b.bv[CAST(mm.m * 16 + j AS INT)])
+        |      * (r.r[CAST(mm.m * 16 + j AS INT)] - b.bv[CAST(mm.m * 16 + j AS INT)])))
+        |      * 1e6 + 0.5) / 1e6 AS dist
+        |  FROM resid r JOIN probed p ON p.cell = r.cell,
+        |    unnest(range(0, 4)) AS mm(m), books b),
+        |enc AS (
+        |  SELECT vec_id, cell, subspace, code FROM dd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) = 1),
+        |tab AS (
+        |  SELECT p.cell, CAST(mm.m AS BIGINT) AS subspace, b.code,
+        |    floor(list_sum(list_transform(range(1, 17), j ->
+        |      ((q.qv[CAST(mm.m * 16 + j AS INT)] - p.cv[CAST(mm.m * 16 + j AS INT)])
+        |         - b.bv[CAST(mm.m * 16 + j AS INT)])
+        |      * ((q.qv[CAST(mm.m * 16 + j AS INT)] - p.cv[CAST(mm.m * 16 + j AS INT)])
+        |         - b.bv[CAST(mm.m * 16 + j AS INT)])))
+        |      * 1e6 + 0.5) / 1e6 AS dist
+        |  FROM probed p, q, unnest(range(0, 4)) AS mm(m), books b),
+        |short AS (
+        |  SELECT enc.vec_id, floor(sum(tab.dist) * 1e6 + 0.5) / 1e6 AS adc
+        |  FROM enc JOIN tab ON tab.cell = enc.cell
+        |    AND tab.subspace = enc.subspace AND tab.code = enc.code
+        |  GROUP BY enc.vec_id
+        |  ORDER BY adc, vec_id LIMIT 20)
+        |SELECT s.vec_id, s.adc,
+        |  floor(list_sum(list_transform(range(1, 65), j ->
+        |    (v.v[CAST(j AS INT)] - q.qv[CAST(j AS INT)])
+        |    * (v.v[CAST(j AS INT)] - q.qv[CAST(j AS INT)]))) * 1e6 + 0.5) / 1e6 AS d2
+        |FROM short s JOIN v ON v.vec_id = s.vec_id, q
+        |ORDER BY d2, s.vec_id LIMIT 10""".stripMargin,
     "q_pf_hist" ->
       """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
         |    WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),

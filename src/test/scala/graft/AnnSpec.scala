@@ -57,6 +57,107 @@ class AnnSpec extends SparkSpec {
     assert(recall(refined) >= 5)
   }
 
+  test("IVFADC: full probe + full shortlist == exact sq-L2 top-k; partial probes keep recall") {
+    val n = emb.count().toInt
+    val q = array(queryVec.map(lit): _*)
+    // the exact squared-L2 top-10 (the IVFADC distance contract)
+    val exact = emb
+      .select(col("vec_id"),
+        Functions.roundHalfUp(
+          Functions.vecSqDist(col("embedding").cast("array<double>"), q), 6).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+
+    val idx = graft.ops.IvfAdc.build(emb, "vec_id", "embedding", nCells = 16, m = 4, k = 8)
+    assert(idx.codes.count() == n, "every vector must carry codes")
+
+    // probing every cell with a corpus-sized shortlist IS the exact search:
+    // ADC only orders the shortlist cut, and the cut keeps everything
+    val full = graft.ops.IvfAdc.search(idx, emb, "vec_id", "embedding", queryVec,
+      k = 10, nProbe = 16, shortlist = n)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact, "full probe + full shortlist must equal exact sq-L2 top-k")
+
+    // the production shape: 4/16 probes. Shortlist is the ADC-error dial:
+    // at shortlist = corpus the rerank sees every probed candidate, so
+    // recall equals pure-IVF cell recall (>= 5 on this fixture, matching
+    // the IvfIndex test above); a tight 3x shortlist may drop a few more
+    // to code coarseness (m=4, k=8 here) but must stay within 2 of it
+    def recall(nProbe: Int, shortlist: Int): Int =
+      graft.ops.IvfAdc.search(idx, emb, "vec_id", "embedding", queryVec,
+        k = 10, nProbe = nProbe, shortlist = shortlist)
+        .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    // shortlist is the ADC-error dial: at shortlist = corpus the rerank
+    // sees every probed candidate, so recall IS pure IVF cell recall
+    // (>= 5 on this fixture, matching the IvfIndex test above); tighter
+    // shortlists can only lose candidates — recall must be monotone in
+    // the dial. (No absolute bound on tight shortlists here: these
+    // synthetic embeddings are i.i.d. noise, the known worst case for PQ
+    // compression — there is no cluster structure for codewords to
+    // exploit, so the ADC ordering is weak by construction and the
+    // operator's contract is the dial, not a constant.)
+    val cellRecall = recall(4, n)
+    assert(cellRecall >= 5, s"IVF cell recall too low: $cellRecall/10")
+    val dial = Seq(10, 20, 30, n).map(recall(4, _))
+    assert(dial.zip(dial.tail).forall { case (a, b) => b >= a },
+      s"recall must be monotone in shortlist: $dial")
+    assert(dial.last == cellRecall)
+
+    // Lloyd-refined codebooks (refinePq) keep every deterministic
+    // contract: full probe + full shortlist is still the exact answer
+    val refined = graft.ops.IvfAdc.build(emb, "vec_id", "embedding",
+      nCells = 16, m = 4, k = 8, refinePq = 2)
+    val refinedFull = graft.ops.IvfAdc.search(refined, emb, "vec_id", "embedding",
+      queryVec, k = 10, nProbe = 16, shortlist = n)
+      .select("vec_id").as[Long].collect().toSet
+    assert(refinedFull == exact,
+      "refined codebooks must not break the full-probe exactness contract")
+  }
+
+  test("IVFADC artifact: searchSaved == search; unprobed cell bytes are never read; bare dir refused") {
+    val idx = graft.ops.IvfAdc.build(emb, "vec_id", "embedding", nCells = 16, m = 4, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_").toString
+    graft.ops.IvfAdc.save(idx, dir)
+
+    val direct = graft.ops.IvfAdc.search(idx, emb, "vec_id", "embedding", queryVec,
+      k = 10, nProbe = 4, shortlist = 20).as[(Long, Double, Double)].collect().toSeq
+    val saved = graft.ops.IvfAdc.searchSaved(spark, dir, emb, "vec_id", "embedding",
+      queryVec, k = 10, nProbe = 4, shortlist = 20).as[(Long, Double, Double)].collect().toSeq
+    assert(saved == direct, "the persisted artifact must reproduce the in-memory search")
+
+    // probe cost is pinned to probed-cell code bytes BY CONSTRUCTION: the
+    // legs scan explicit cell directories — so physically deleting every
+    // UNPROBED cell's codes must not change the result
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val probed = idx.ivf.centroids
+      .map { case (c, cv) => (c, cos(queryVec, cv)) }
+      .sortBy { case (c, s) => (-s, c) }.take(4).map(_._1).toSet
+    idx.ivf.centroids.map(_._1).filterNot(probed.contains).foreach { cell =>
+      val p = java.nio.file.Paths.get(dir, "codes", s"cell=$cell")
+      if (java.nio.file.Files.exists(p)) {
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally w.close()
+      }
+    }
+    val afterDelete = graft.ops.IvfAdc.searchSaved(spark, dir, emb, "vec_id", "embedding",
+      queryVec, k = 10, nProbe = 4, shortlist = 20).as[(Long, Double, Double)].collect().toSeq
+    assert(afterDelete == direct,
+      "unprobed cells' code bytes must never be read by a probed search")
+
+    // a bare directory is refused loudly, not guessed at
+    val bare = java.nio.file.Files.createTempDirectory("graft_ivfadc_bare_").toString
+    val e = intercept[Exception](graft.ops.IvfAdc.searchSaved(
+      spark, bare, emb, "vec_id", "embedding", queryVec, 10, 4, 20))
+    assert(e.getMessage.contains("artifact") || e.getMessage.contains("save"),
+      s"unexpected refusal message: ${e.getMessage}")
+  }
+
   test("IVF index persists as a lake artifact: load == build, cells prune as partitions") {
     val index = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
