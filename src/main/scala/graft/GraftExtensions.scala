@@ -26,6 +26,13 @@ import graft.expressions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize, Lcs
   * family, bridged from the `Column` API) — SQL use pays no UDF penalty
   * and stays inside whole-stage codegen, exactly like the `Column`-API
   * forms.
+  *
+  * The other half of the SQL-native story — TABLE resolution for the
+  * snapshot lake — needs no extension at all:
+  * [[graft.sources.GraftLakeProvider]] self-registers through
+  * META-INF/services, so `spark.read.format("graft").load(root)` and
+  * `CREATE TABLE ... USING graft` work on any session that has the graft
+  * jar, extensions configured or not.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

@@ -690,6 +690,31 @@ class SnapshotLake(spark: SparkSession, root: String) {
     else meta + ("dv" -> dirs.map(enc).mkString(";"))
   }
 
+  // ---- self-describing partition columns --------------------------------
+  //
+  // The manifest's partition keys encode VALUES, not column names — every
+  // API read takes `partitionCols` from the caller. Meta key "partcols"
+  // records the names at commit time so schema-free consumers (the
+  // `spark.read.format("graft")` DataSourceV2 surface) can resolve a lake
+  // from its path alone. Informational: API reads never consult it, and a
+  // pre-feature lake simply lacks the key (the provider then requires an
+  // explicit option).
+
+  private def metaWithPartCols(
+      meta: Map[String, String], partitionCols: Seq[String]): Map[String, String] =
+    meta + ("partcols" -> partitionCols
+      .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(";"))
+
+  /** The partition column names recorded by the latest (or given) version's
+    * commit — None for lakes written before the feature.
+    */
+  def partitionColumns(version: Option[Long] = None): Option[Seq[String]] = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    readMeta(v).get("partcols").filter(_.nonEmpty)
+      .map(_.split(";").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8")))
+  }
+
   /** The relocation-stable row address: `<dir-leaf>/<file-name>` from the
     * scan's metadata column (full paths would break on lake relocation —
     * the vacuum leaf-name lesson applied to row identity).
@@ -1026,7 +1051,8 @@ class SnapshotLake(spark: SparkSession, root: String) {
       // keep staged dirs inside vacuum's retention window while we race
       touchDirs(newDirs.values)
       // watermarks and column mapping carry forward untouched
-      if (writeManifestAtomic(next, base ++ newDirs, txns, meta ++ stats)) committed = next
+      if (writeManifestAtomic(next, base ++ newDirs, txns,
+          metaWithPartCols(meta, partitionCols) ++ stats)) committed = next
       // else: another writer took `next`; loop re-reads and re-merges
     }
     writeInfo(committed, "commit", newDirs.size)
@@ -1084,7 +1110,8 @@ class SnapshotLake(spark: SparkSession, root: String) {
       } else {
         val next = v.getOrElse(0L) + 1
         touchDirs(newDirs.values)
-        if (writeManifestAtomic(next, base ++ newDirs, txns + (appId -> batchId), meta ++ stats)) {
+        if (writeManifestAtomic(next, base ++ newDirs, txns + (appId -> batchId),
+            metaWithPartCols(meta, partitionCols) ++ stats)) {
           writeInfo(next, "commit", newDirs.size)
           result = Some(Some(next))
         }
@@ -1148,7 +1175,8 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val newDirs = stageDirs(physicalize(merged, meta), partitionCols, touched)
       val next = base.getOrElse(0L) + 1
       touchDirs(newDirs.values)
-      if (writeManifestAtomic(next, baseManifest ++ newDirs, txns, meta ++ dirStats(newDirs))) {
+      if (writeManifestAtomic(next, baseManifest ++ newDirs, txns,
+          metaWithPartCols(meta, partitionCols) ++ dirStats(newDirs))) {
         committed = next
         writeInfo(committed, "upsert", newDirs.size)
       } else {
@@ -1235,9 +1263,14 @@ class SnapshotLake(spark: SparkSession, root: String) {
       def pkCond(l: String, r: String) =
         pk.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
       val matched: Option[DataFrame] = Option.when(existing.nonEmpty) {
-        val t = readEntries(existing.toSeq.sorted, partitionCols, meta,
+        val t0 = readEntries(existing.toSeq.sorted, partitionCols, meta,
           exposeRowIds = true)
-          .select(pk.map(col) ++ Seq(col(versionCol).as("__t_ver"),
+        // a table committed without the version column merges like
+        // [[upsert]]'s unionByName-with-NULLs: its rows carry no version,
+        // so any batch row wins
+        val tVer = if (t0.columns.contains(versionCol)) col(versionCol)
+          else lit(null)
+        val t = t0.select(pk.map(col) ++ Seq(tVer.as("__t_ver"),
             col("__dv_file"), col("__dv_pos")): _*)
         val bv0 = b.select(pk.map(col) :+ col(versionCol).as("__b_ver"): _*)
         val bv = if (broadcastBatch) broadcast(bv0) else bv0
@@ -1302,7 +1335,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       // leaf was replaced) + the displaced rows of winning PKs
       val oldDvDirs = dvDirsOf(meta)
       val displaced: Option[DataFrame] = matched.map(
-        _.filter(col("__b_ver") >= col("__t_ver"))
+        _.filter(col("__t_ver").isNull || col("__b_ver") >= col("__t_ver"))
           .select(col("__dv_file"), col("__dv_pos")))
       val mustFold = displaced.isDefined || (oldDvDirs.nonEmpty && leafMap.nonEmpty)
       val newDvList: Seq[String] =
@@ -1334,7 +1367,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val stats = dirStats(newDirs)
       touchDirs(newDirs.values ++ (newDvList.toSet -- oldDvDirs.toSet))
       if (writeManifestAtomic(next, m ++ newDirs, txns,
-          metaWithDvs(meta ++ stats, newDvList))) {
+          metaWithDvs(metaWithPartCols(meta, partitionCols) ++ stats, newDvList))) {
         committed = next
         writeInfo(committed, "dvupsert", newDirs.size)
       } else {
@@ -1399,7 +1432,8 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val manifest = rewritten.collect { case (k, Some(d)) => k -> d }
       if (manifest.isEmpty)
         throw new IllegalStateException("deleteWhere would empty the lake; refusing to commit")
-      if (writeManifestAtomic(next, manifest, baseTxns, meta ++ dirStats(staged))) {
+      if (writeManifestAtomic(next, manifest, baseTxns,
+        metaWithPartCols(meta, partitionCols) ++ dirStats(staged))) {
         committed = next
         writeInfo(committed, "delete", candidates.size)
       } else candidates.foreach(k => rewritten(k).foreach(

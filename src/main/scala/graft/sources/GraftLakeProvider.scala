@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{ScanBuilder, V1Scan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.SnapshotLake
+
+/** [[SnapshotLake]] as a Spark DataSourceV2 table — the pure-SQL read
+  * surface next to the API one:
+  *
+  * {{{
+  *   spark.read.format("graft").load(root)                       // latest
+  *   spark.read.format("graft").option("version", 3).load(root)  // time travel
+  *   CREATE TABLE t USING graft OPTIONS (path '<root>'); SELECT ... FROM t
+  * }}}
+  *
+  * Resolution goes through the SAME `readEntries` seam as the API
+  * ([[SnapshotLake.read]]): column mapping (renames), the typemap
+  * (zero-rewrite widening), deletion vectors, and manifest snapshot
+  * isolation are all inherited rather than re-implemented — the scan is
+  * exposed to Spark through the [[V1Scan]] bridge, whose relation simply
+  * IS the API read's RDD. Partition column names resolve from the lake's
+  * own `partcols` meta (recorded at commit time); the `partitionCols`
+  * option (comma-separated) overrides, and is required only for lakes
+  * written before the meta existed. Writes stay API-only in v1.
+  *
+  * Registered via META-INF/services ([[DataSourceRegister]]), so
+  * `format("graft")` resolves with no session configuration at all.
+  */
+class GraftLakeProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLakeProvider.resolve(options).schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftLakeTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object GraftLakeProvider {
+
+  /** One resolution seam for schema inference and execution: the API read
+    * at the requested version with the recorded (or overridden) partition
+    * column names.
+    */
+  def resolve(options: CaseInsensitiveStringMap): DataFrame = {
+    val spark = SparkSession.active
+    val raw = Option(options.get("path")).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        "graft: no lake path — pass it via .load(<root>) or OPTIONS (path '<root>')"))
+    // CREATE TABLE normalizes the location to a URI ("file:/tmp/x") —
+    // resolve local-scheme URIs back to a filesystem path
+    val path =
+      if (raw.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(raw)).toString
+      else raw
+    val lake = new SnapshotLake(spark, path)
+    val version = Option(options.get("version")).map(_.toLong)
+    val partCols = Option(options.get("partitioncols"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .orElse(lake.partitionColumns(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: lake at $path predates the partcols meta — pass " +
+          "option(\"partitionCols\", \"a,b\") explicitly"))
+    lake.read(partCols, version)
+  }
+}
+
+private class GraftLakeTable(
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String = {
+    val v = Option(options.get("version")).fold("")(v => s"@v$v")
+    s"graft.`${options.get("path")}`$v"
+  }
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
+    // merge CREATE TABLE-time options with read-time ones (read-time wins)
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ caseInsensitive.asScala).asJava)
+    () => new GraftLakeScan(tableSchema, merged)
+  }
+}
+
+/** The [[V1Scan]] bridge: Spark plans a DSv2 relation, execution delegates
+  * to a [[TableScan]] whose rows come from the API read itself — one seam,
+  * zero re-implementation of mapping/widening/DV semantics.
+  */
+private class GraftLakeScan(
+    tableSchema: StructType, options: CaseInsensitiveStringMap) extends V1Scan {
+
+  override def readSchema(): StructType = tableSchema
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = tableSchema
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+        GraftLakeProvider.resolve(options).rdd
+    }.asInstanceOf[T]
+}

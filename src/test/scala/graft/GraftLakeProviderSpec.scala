@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.SnapshotLake
+
+/** The pure-SQL lake surface: `spark.read.format("graft")` / `CREATE TABLE
+  * ... USING graft` resolve through the API's readEntries seam, so column
+  * mapping, type widening, deletion vectors, and time travel all arrive
+  * for free.
+  */
+class GraftLakeProviderSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fresh(): (SnapshotLake, String) = {
+    val root = Files.createTempDirectory("graft_dsv2").toString
+    (new SnapshotLake(spark, root), root)
+  }
+
+  private def seed(lake: SnapshotLake): Long =
+    lake.commit(
+      Seq((1L, "a", 10, "p1"), (2L, "b", 20, "p1"), (3L, "c", 30, "p2"))
+        .toDF("id", "name", "cnt", "part"),
+      Seq("part"))
+
+  test("format(\"graft\") reads the latest snapshot, identical to the API read") {
+    val (lake, root) = fresh()
+    seed(lake)
+    val api = lake.read(Seq("part"))
+    val dsv2 = spark.read.format("graft").load(root)
+    assert(dsv2.schema == api.schema)
+    assert(dsv2.collect().toSet == api.collect().toSet)
+    // partition columns came from the lake's own meta — no option needed
+    assert(lake.partitionColumns().contains(Seq("part")))
+  }
+
+  test("renames + widening + deletion vectors all surface through pure SQL; time travel via option") {
+    import org.apache.spark.sql.types._
+    val (lake, root) = fresh()
+    val v1 = seed(lake)
+    lake.renameColumn("name", "title")
+    lake.widenColumn("cnt", "bigint")
+    lake.commit(Seq((4L, "d", Int.MaxValue.toLong + 5L, "p3"))
+      .toDF("id", "title", "cnt", "part"), Seq("part"))
+    lake.deleteWhereDv(col("id") === 2L, Seq("part"))
+
+    spark.read.format("graft").load(root).createOrReplaceTempView("lake_latest")
+    val got = spark.sql(
+      "SELECT id, title, cnt FROM lake_latest ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 10L), (3L, "c", 30L),
+      (4L, "d", Int.MaxValue.toLong + 5L)),
+      s"mapping+widen+DV must all apply through SQL, got $got")
+    assert(spark.table("lake_latest").schema("cnt").dataType == LongType)
+
+    // time travel: the pre-evolution snapshot under its own names/types
+    val old = spark.read.format("graft").option("version", v1).load(root)
+    assert(old.schema.fieldNames.toSet == Set("id", "name", "cnt", "part"))
+    assert(old.schema("cnt").dataType == IntegerType)
+    assert(old.count() == 3L)
+
+    // CREATE TABLE ... USING graft: the catalog form of the same surface
+    spark.sql(s"CREATE TABLE graft_lake_t USING graft OPTIONS (path '$root')")
+    try {
+      val viaTable = spark.sql("SELECT id, title, cnt FROM graft_lake_t ORDER BY id")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(viaTable == got, "the catalog table must read the same rows")
+    } finally spark.sql("DROP TABLE graft_lake_t")
+  }
+
+  test("merge-on-read upsert is visible through SQL (DVs + appended rows in one read)") {
+    val (lake, root) = fresh()
+    seed(lake)
+    lake.upsertDv(
+      Seq((2L, "b2", 21, 2L, "p1"), (9L, "z", 90, 2L, "p9"))
+        .toDF("id", "name", "cnt", "ver", "part")
+        .withColumn("ver", col("ver").cast("long")),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val got = spark.read.format("graft").load(root)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c"), (9L, "z")))
+  }
+
+  test("refusals: missing path, pre-feature lake without partitionCols, explicit override") {
+    val e1 = intercept[Exception](
+      spark.read.format("graft").load())
+    assert(e1.getMessage.contains("path"), e1.getMessage)
+    // a lake whose meta predates partcols: strip the key by hand
+    val (lake, root) = fresh()
+    seed(lake)
+    val mdir = java.nio.file.Paths.get(root, "manifests")
+    val mf = Files.list(mdir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .maxBy(_.getFileName.toString)
+    val stripped = new String(Files.readAllBytes(mf), "UTF-8")
+      .linesIterator.filterNot(_.contains("partcols")).mkString("\n")
+    Files.write(mf, stripped.getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      spark.read.format("graft").load(root).collect())
+    assert(e2.getMessage.contains("partitionCols"), e2.getMessage)
+    // the explicit option unblocks it
+    val got = spark.read.format("graft").option("partitionCols", "part").load(root)
+    assert(got.count() == 3L)
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}
