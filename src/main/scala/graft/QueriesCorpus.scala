@@ -32,6 +32,18 @@ object QueriesCorpus {
       path
     })
 
+  // the decontamination benchmark artifact: doc_id % 3 == 0 plays the eval
+  // suite (the INVERSE split of xdocHistory, so the two probes exercise
+  // different directions), held only as its window-hash artifact
+  private def dcBenchHashes(s: SparkSession, dir: String): String =
+    xdocHistoryCache.getOrElseUpdate("dcbench|" + s.hashCode() + "|" + dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_dcb_q_").toString
+      graft.ops.SuffixArray.saveCrossDocHashes(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", minLen = 30, path)
+      path
+    })
+
   /** The BPE golden-oracle fixture corpus: nation ⋈ region names, ordered
     * by nation key. Both dimensions are fixed-cardinality (25 / 5 rows) and
     * byte-identical at every scale factor, so the golden merge/vocabulary
@@ -239,6 +251,28 @@ object QueriesCorpus {
         graft.ops.SuffixArray.crossDocSpansAgainstHistoryDir(
           batch, xdocHistory(s, dir), "doc_id", "text"),
         "doc_id", "text")
+    }),
+
+    // char-grain benchmark decontamination (Lee et al. exact-substring vs
+    // a reference set): docs with id % 3 == 0 play the benchmark, held
+    // ONLY as its window-hash artifact; spans of the REMAINING corpus that
+    // reproduce any 30-char benchmark run. Corpus-internal repeats must
+    // NOT flag — the oracle matches corpus windows against benchmark
+    // windows alone
+    "q_dc_exact_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.exactSubstringOverlap(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        dcBenchHashes(s, dir))
+    }),
+
+    // the decontamination removal composition: the corpus with every
+    // benchmark-contaminated span CUT out; clean docs pass byte-identical
+    "q_dc_exact_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Decontaminate.exactSubstringClean(
+        docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id").isNotNull),
+        "doc_id", "text", dcBenchHashes(s, dir))
     }),
 
     // integer-quantized PageRank over a deterministic md5-derived link
@@ -1739,6 +1773,38 @@ object QueriesCorpus {
        |  FROM seg GROUP BY doc_id, sid)""".stripMargin
   }
 
+  /** Benchmark decontamination spans as a CTE chain ending in
+    * `spans(doc_id, span_start, span_end)`: corpus (doc_id % 3 <> 0)
+    * windows matched against BENCHMARK (doc_id % 3 = 0) windows only —
+    * corpus-internal repeats must not flag, which is exactly where this
+    * differs from [[crossdocSpansCteSql]]'s min<>max rule.
+    */
+  private val dcSpansCteSql: String = {
+    val m = 30
+    s"""bg AS (SELECT DISTINCT substr(text, CAST(pos AS INT) + 1, $m) AS gram
+       |  FROM (SELECT text, unnest(range(0, length(text) - $m + 1)) AS pos
+       |        FROM documents
+       |        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |          AND doc_id % 3 = 0 AND length(text) >= $m)),
+       |cg AS (SELECT doc_id, pos, substr(text, CAST(pos AS INT) + 1, $m) AS gram
+       |  FROM (SELECT doc_id, text, unnest(range(0, length(text) - $m + 1)) AS pos
+       |        FROM documents
+       |        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+       |          AND doc_id % 3 <> 0 AND length(text) >= $m)),
+       |h AS (SELECT doc_id, pos FROM cg JOIN bg USING (gram)),
+       |isl AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $m
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM h),
+       |seg AS (SELECT doc_id, pos,
+       |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+       |  FROM isl),
+       |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |    CAST(max(pos) + $m AS BIGINT) AS span_end
+       |  FROM seg GROUP BY doc_id, sid)""".stripMargin
+  }
+
   /** MinHash-LSH duplicate clusters as a reusable CTE chain ending in
     * `clusters(doc_id, cluster_id)`: the q_dd_lsh_pairs banding plus a
     * recursive min-label transitive closure (r reaches id ⇒ r reaches
@@ -2509,6 +2575,31 @@ object QueriesCorpus {
          |    substr(d0.text, CAST(m.mx AS INT) + 1)
          |  FROM d0 JOIN (SELECT doc_id, max(span_end) AS mx
          |                FROM spans WHERE doc_id % 3 = 0 GROUP BY doc_id) m USING (doc_id)),
+         |stitched AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ct
+         |  FROM pieces GROUP BY doc_id)
+         |SELECT d0.doc_id, coalesce(stitched.ct, d0.text) AS clean_text
+         |FROM d0 LEFT JOIN stitched USING (doc_id)""".stripMargin,
+    "q_dc_exact_overlap" ->
+      s"""WITH $dcSpansCteSql
+         |SELECT doc_id, span_start, span_end FROM spans""".stripMargin,
+    "q_dc_exact_clean" ->
+      s"""WITH $dcSpansCteSql,
+         |d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 3 <> 0),
+         |s2 AS (SELECT doc_id, span_start, span_end,
+         |    lag(span_end, 1, 0) OVER (PARTITION BY doc_id ORDER BY span_start)
+         |      AS prev_end
+         |  FROM spans),
+         |pieces AS (
+         |  SELECT s2.doc_id, s2.span_start AS ord,
+         |    substr(d0.text, CAST(s2.prev_end AS INT) + 1,
+         |      CAST(s2.span_start - s2.prev_end AS INT)) AS piece
+         |  FROM s2 JOIN d0 USING (doc_id)
+         |  UNION ALL
+         |  SELECT d0.doc_id, 2147483647,
+         |    substr(d0.text, CAST(m.mx AS INT) + 1)
+         |  FROM d0 JOIN (SELECT doc_id, max(span_end) AS mx
+         |                FROM spans GROUP BY doc_id) m USING (doc_id)),
          |stitched AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ct
          |  FROM pieces GROUP BY doc_id)
          |SELECT d0.doc_id, coalesce(stitched.ct, d0.text) AS clean_text

@@ -160,4 +160,50 @@ object Decontaminate {
           .as("contamination"))
       .filter(col("contamination") >= threshold)
   }
+
+  /** Char-grain exact-substring decontamination (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring rule applied against a benchmark): spans of corpus
+    * documents that reproduce a `minLen`-consecutive-char run of the
+    * benchmark suite, where the benchmark is held ONLY as its persisted
+    * window-hash artifact ([[SuffixArray.saveCrossDocHashes]] over the
+    * benchmark text; window length from the artifact's own sidecar).
+    * Returns `(idCol, span_start, span_end)` with overlapping windows
+    * merged into maximal spans.
+    *
+    * Unlike the token-grain [[ngramOverlap]] (containment SCORES at the
+    * document grain, for flag/drop decisions), this reports the exact
+    * character extents — the input [[exactSubstringClean]] cuts. And
+    * unlike [[SuffixArray.crossDocSpansAgainstHistory]] (the dedup
+    * vs-history probe), corpus-INTERNAL repetition never flags: only
+    * overlap with the benchmark is contamination. The benchmark side
+    * broadcasts; the corpus never shuffles.
+    */
+  def exactSubstringOverlap(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmarkHashesDir: String,
+      broadcastHashes: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    val minLen = SuffixArray.crossDocHashesMinLen(spark, benchmarkHashesDir)
+    SuffixArray.charSpansMatchingHashes(
+      corpus, spark.read.parquet(benchmarkHashesDir).select("win_hash"),
+      idCol, textCol, minLen, broadcastHashes)
+  }
+
+  /** The removal composition: `corpus` with every benchmark-contaminated
+    * span CUT out of the text ([[Dedup.removeCharSpans]]) — documents with
+    * no contamination pass through byte-identical.
+    */
+  def exactSubstringClean(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmarkHashesDir: String,
+      broadcastHashes: Boolean = true): DataFrame =
+    Dedup.removeCharSpans(
+      corpus,
+      exactSubstringOverlap(corpus, idCol, textCol, benchmarkHashesDir, broadcastHashes),
+      idCol, textCol)
 }

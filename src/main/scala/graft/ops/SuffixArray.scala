@@ -764,6 +764,31 @@ object SuffixArray {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Char spans of `df` whose `minLen`-char windows appear in `hashes` —
+    * the HISTORY-ONLY probe next to [[crossDocSpansAgainstHistory]]: no
+    * in-batch duplication rule, a window flags iff the hash side holds it.
+    * This is the decontamination primitive
+    * ([[Decontaminate.exactSubstringOverlap]]): corpus-internal repetition
+    * is not contamination, only overlap with the reference set is.
+    *
+    * Scale shape is the REVERSE of the vs-history dedup probe: the hash
+    * side (a benchmark suite) is the small one, so it broadcasts and the
+    * corpus NEVER shuffles — window extraction, the hash join, and the
+    * island merge are all corpus-partition-local except the per-doc merge
+    * window. `broadcastHashes = false` falls back to a keyed join for
+    * reference sets too large to broadcast.
+    */
+  def charSpansMatchingHashes(
+      df: DataFrame, hashes: DataFrame, idCol: String, textCol: String,
+      minLen: Int, broadcastHashes: Boolean = true): DataFrame = {
+    val wins = charWindowRows(df, idCol, textCol, minLen)
+    val keys0 = hashes.select("win_hash").distinct()
+    val keys = if (broadcastHashes) broadcast(keys0) else keys0
+    mergeCharIslands(
+      wins.join(keys, Seq("win_hash")).select(col("id"), col("pos")), minLen)
+      .withColumnRenamed("id", idCol)
+  }
+
   private val XdocMetaFile = "_xdoc_meta.json"
 
   /** Persist the distinct window-hash set of `df` as a reusable history

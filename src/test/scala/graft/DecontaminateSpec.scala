@@ -45,6 +45,44 @@ class DecontaminateSpec extends SparkSpec {
     assert(e.getMessage.contains("_shingle_meta.json"))
   }
 
+  test("exactSubstringOverlap: benchmark runs flag, corpus-internal repeats do NOT; clean cuts them") {
+    val bench = Seq(
+      (100L, "the held out benchmark item with its exact answer text here xx"))
+      .toDF("doc_id", "text")
+    val shared = "the held out benchmark item with its exact an" // 46 chars of bench
+    val innerDup = "corpus internal repeated filler run that must never flag!!"
+    val corpus = Seq(
+      (1L, s"some prefix then $shared and a suffix"),     // contaminated
+      (2L, s"$innerDup aaaa $innerDup"),                  // internal repeat only
+      (3L, "a perfectly clean document with nothing shared at all ok"),
+      (4L, shared))                                       // contaminated wholesale
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dcb_").toString
+    graft.ops.SuffixArray.saveCrossDocHashes(bench, "doc_id", "text", minLen = 30, dir)
+
+    val spans = Decontaminate.exactSubstringOverlap(corpus, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = spans.groupBy(_._1)
+    assert(byDoc.keySet == Set(1L, 4L),
+      s"only benchmark-overlapping docs may flag (2's internal repeat must not): ${spans.toSeq}")
+    // doc 1: the shared run starts at 17 and spans its full 46 chars
+    assert(byDoc(1L).toSeq == Seq((1L, 17L, 17L + shared.length)))
+    assert(byDoc(4L).toSeq == Seq((4L, 0L, shared.length.toLong)))
+
+    // the removal composition: contaminated spans cut, clean docs byte-identical
+    val cleaned = Decontaminate.exactSubstringClean(corpus, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cleaned(1L) == "some prefix then  and a suffix")
+    assert(cleaned(4L) == "")
+    assert(cleaned(2L) == s"$innerDup aaaa $innerDup", "internal repeats survive untouched")
+    assert(cleaned(3L) == "a perfectly clean document with nothing shared at all ok")
+
+    // the probe plan broadcasts the benchmark and never shuffles corpus text
+    val plan = Decontaminate.exactSubstringOverlap(corpus, "doc_id", "text", dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
+  }
+
   test("probing a tiny benchmark scans only its own bucket partitions") {
     val idx = Decontaminate.buildShingleIndex(train, "doc_id", "text", n = 2, buckets = 64)
     val path = java.nio.file.Files.createTempDirectory("graft_shix_pr_").toString
