@@ -43,22 +43,48 @@ object GeoJoin {
   def nearestByTile(
       points: DataFrame, pIdCol: String, pLatCol: String, pLonCol: String,
       cands: DataFrame, cIdCol: String, cLatCol: String, cLonCol: String,
+      zoom: Int): DataFrame =
+    nearestAgainstTiled(points, pIdCol, pLatCol, pLonCol,
+      tiledCands(cands, cIdCol, cLatCol, cLonCol, zoom), cIdCol, zoom)
+
+  // BOTH sides normalize the same way — x wraps (lon 180 is lon −180's
+  // tile; tileX of exactly +180 is n, one past the edge), y clamps into
+  // [0, n−1] (latitudes past the Web-Mercator range land in the edge
+  // row). A one-sided normalization would strand boundary candidates in
+  // tiles no probe can reach and silently break the zoom-0 == exact
+  // contract for polar/antimeridian inputs.
+  private def normX(x: org.apache.spark.sql.Column, n: Long) = pmod(x, lit(n))
+  private def clampY(y: org.apache.spark.sql.Column, n: Long) =
+    least(greatest(y, lit(0L)), lit(n - 1))
+
+  /** The candidate side's normalized tile relation
+    * `(_cid, _clat, _clon, _jx, _jy)` — computed once per join, or once
+    * EVER via [[saveTileIndex]] when candidates are static and points
+    * stream.
+    */
+  private def tiledCands(
+      cands: DataFrame, cIdCol: String, cLatCol: String, cLonCol: String,
       zoom: Int): DataFrame = {
     require(zoom >= 0 && zoom <= 22, s"tile zoom $zoom out of range [0, 22]")
     val n = 1L << zoom
-    // BOTH sides normalize the same way — x wraps (lon 180 is lon −180's
-    // tile; tileX of exactly +180 is n, one past the edge), y clamps into
-    // [0, n−1] (latitudes past the Web-Mercator range land in the edge
-    // row). A one-sided normalization would strand boundary candidates in
-    // tiles no probe can reach and silently break the zoom-0 == exact
-    // contract for polar/antimeridian inputs.
-    def normX(x: org.apache.spark.sql.Column) = pmod(x, lit(n))
-    def clampY(y: org.apache.spark.sql.Column) =
-      least(greatest(y, lit(0L)), lit(n - 1))
+    cands.select(
+      col(cIdCol).as("_cid"), col(cLatCol).as("_clat"), col(cLonCol).as("_clon"),
+      normX(Functions.tileX(col(cLonCol), zoom), n).as("_jx"),
+      clampY(Functions.tileY(col(cLatCol), zoom), n).as("_jy"))
+  }
+
+  /** The probe + keyed join + argmin tail shared by the direct and the
+    * indexed forms (one code path — the two can never disagree).
+    */
+  private def nearestAgainstTiled(
+      points: DataFrame, pIdCol: String, pLatCol: String, pLonCol: String,
+      c: DataFrame, cIdCol: String, zoom: Int): DataFrame = {
+    require(zoom >= 0 && zoom <= 22, s"tile zoom $zoom out of range [0, 22]")
+    val n = 1L << zoom
     val p = points.select(
       col(pIdCol).as("_pid"), col(pLatCol).as("_plat"), col(pLonCol).as("_plon"),
       Functions.tileX(col(pLonCol), zoom).as("_tx"),
-      clampY(Functions.tileY(col(pLatCol), zoom)).as("_ty"))
+      clampY(Functions.tileY(col(pLatCol), zoom), n).as("_ty"))
     // 9 probe tiles per point. Low zooms (and pole rows) produce duplicate
     // probe tiles after the wrap/clamp — harmless, the argmin window is
     // duplicate-tolerant
@@ -68,12 +94,8 @@ object GeoJoin {
       .select(col("_pid"), col("_plat"), col("_plon"), col("_tx"), col("_ty"),
         explode(array(offsets: _*)).as("_o"))
       .select(col("_pid"), col("_plat"), col("_plon"),
-        normX(col("_tx") + col("_o.dx")).as("_jx"),
-        clampY(col("_ty") + col("_o.dy")).as("_jy"))
-    val c = cands.select(
-      col(cIdCol).as("_cid"), col(cLatCol).as("_clat"), col(cLonCol).as("_clon"),
-      normX(Functions.tileX(col(cLonCol), zoom)).as("_jx"),
-      clampY(Functions.tileY(col(cLatCol), zoom)).as("_jy"))
+        normX(col("_tx") + col("_o.dx"), n).as("_jx"),
+        clampY(col("_ty") + col("_o.dy"), n).as("_jy"))
     val scored = probes
       .join(c.hint("SHUFFLE_HASH"), Seq("_jx", "_jy"))
       .select(col("_pid"), col("_cid"),
@@ -89,5 +111,38 @@ object GeoJoin {
     points.select(col(pIdCol).as("_pid"))
       .join(best, Seq("_pid"), "left")
       .select(col("_pid").as(pIdCol), col("_cid").as(cIdCol), col("dist_ft"))
+  }
+
+  private val MetaFile = "_geotile_meta.json"
+
+  /** Persist the candidate tile index: the normalized
+    * `(_cid, _clat, _clon, _jx, _jy)` relation plus a zoom sidecar, so a
+    * streaming consumer ([[nearestByTileIndexed]] under `foreachBatch`)
+    * tiles the candidate dimension ONCE and every micro-batch pays only
+    * its own probe side — the lshTopK-index pattern for geo.
+    */
+  def saveTileIndex(
+      cands: DataFrame, cIdCol: String, cLatCol: String, cLonCol: String,
+      zoom: Int, path: String): Unit = {
+    tiledCands(cands, cIdCol, cLatCol, cLonCol, zoom)
+      .write.mode("overwrite").parquet(path)
+    graft.ops.MetaJson.write(cands.sparkSession, path, MetaFile,
+      Seq("zoom" -> zoom.toLong))
+  }
+
+  /** [[nearestByTile]] against a persisted tile index — zoom comes from
+    * the artifact's own sidecar (a bare directory is refused), geometry
+    * can never mismatch what was indexed. Per-point results depend only
+    * on the point and the index, so a `foreachBatch` stream of points
+    * equals the batch join wave-for-wave (spec-pinned).
+    */
+  def nearestByTileIndexed(
+      points: DataFrame, pIdCol: String, pLatCol: String, pLonCol: String,
+      indexPath: String, cIdCol: String): DataFrame = {
+    val spark = points.sparkSession
+    val zoom = graft.ops.MetaJson.readFields(spark, indexPath, MetaFile,
+      Seq("zoom"), "a tile index written by GeoJoin.saveTileIndex")("zoom").toInt
+    nearestAgainstTiled(points, pIdCol, pLatCol, pLonCol,
+      spark.read.parquet(indexPath), cIdCol, zoom)
   }
 }

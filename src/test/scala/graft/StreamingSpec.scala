@@ -894,6 +894,63 @@ class StreamingSpec extends SparkSpec {
       "incrementally folded domain rollup must equal the batch rollup")
   }
 
+  test("streaming nearest-geo against a persisted tile index equals the batch join") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_geo_src_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_geo_out_").toString + "/nn"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_geo_ck_").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_geo_idx_").toString + "/tiles"
+
+    // a static candidate dimension, tiled ONCE into the persisted index —
+    // including an antimeridian and a polar candidate so the wrap/clamp
+    // normalization is exercised through the artifact too
+    val cands = Seq(
+      (100L, 30.30, -97.70), (101L, 30.80, -97.20), (102L, 44.00, 10.00),
+      (103L, 64.10, 179.95), (104L, -89.99, 0.0))
+      .toDF("cand_id", "clat", "clon")
+    graft.ops.GeoJoin.saveTileIndex(cands, "cand_id", "clat", "clon", zoom = 4, idxDir)
+
+    val wave1 = Seq((1L, 30.31, -97.71), (2L, 64.15, -179.99))
+    val wave2 = Seq((3L, -89.90, 5.0), (4L, 44.01, 10.01))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("pt_id LONG, plat DOUBLE, plon DOUBLE").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ops.GeoJoin.nearestByTileIndexed(
+              batch, "pt_id", "plat", "plon", idxDir, "cand_id")
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    wave1.toDF("pt_id", "plat", "plon").write.mode("append").parquet(src)
+    runOnce()
+    wave2.toDF("pt_id", "plat", "plon").write.mode("append").parquet(src)
+    runOnce()
+
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchTwin = graft.ops.GeoJoin.nearestByTile(
+        (wave1 ++ wave2).toDF("pt_id", "plat", "plon"), "pt_id", "plat", "plon",
+        cands, "cand_id", "clat", "clon", zoom = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batchTwin,
+      "per-point results depend only on the point and the index — stream must equal batch")
+    assert(streamed.map(_._1) === Set(1L, 2L, 3L, 4L))
+    // the antimeridian point found its wrapped neighbor, the polar one its pole
+    val byPoint = streamed.map(t => t._1 -> t._2).toMap
+    assert(byPoint(2L) == 103L && byPoint(3L) == 104L)
+
+    // a bare directory is refused, not guessed at
+    val bare = java.nio.file.Files.createTempDirectory("graft_geo_bare_").toString
+    val e = intercept[IllegalArgumentException](graft.ops.GeoJoin.nearestByTileIndexed(
+      wave1.toDF("pt_id", "plat", "plon"), "pt_id", "plat", "plon", bare, "cand_id"))
+    assert(e.getMessage.contains("saveTileIndex"))
+  }
+
   test("streaming NB scoring against a persisted model equals batch scoring") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_nbs_src_").toString
