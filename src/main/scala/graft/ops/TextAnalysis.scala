@@ -1122,29 +1122,34 @@ object TextAnalysis {
     // offset (the pre-r12 shape recomputed the whole subtree per k)
     val streams = col("_toks").as("t0") +: (1 to window).map(k =>
       slice(col("_toks"), lit(k + 1), size(col("_toks"))).as(s"t$k"))
+    // the UNIGRAM stream rides the same zipped explode as the pairs (t0
+    // visits every token exactly once), so the corpus tokenizes and
+    // explodes ONCE for both count tables — the former separate unigram
+    // subtree was a second full corpus pass. One tagged generator, one
+    // shuffle, one pin; the two tables split off the counted relation.
     val pairStructs = (1 to window).map { k =>
       val (a, b) = (col("col.t0"), col(s"col.t$k"))
       struct(
-        least(a, b).as("w1"), greatest(a, b).as("w2"),
+        lit("p").as("kind"), least(a, b).as("w1"), greatest(a, b).as("w2"),
         (b.isNotNull && a =!= "" && b =!= "").as("ok"))
     }
-    val pairs = df
+    val uniStruct = struct(
+      lit("u").as("kind"), col("col.t0").as("w1"), lit("").as("w2"),
+      (col("col.t0") =!= "").as("ok"))
+    val emitted = df
       .repartition(parallelism, col(idCol))
       .select(col(idCol), toks(col(textCol)).as("_toks"))
       .select(col(idCol), posexplode(arrays_zip(streams: _*)))
-      .select(explode(array(pairStructs: _*)).as("p"))
+      .select(explode(array(uniStruct +: pairStructs: _*)).as("p"))
       .filter(col("p.ok"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    // pinned: both the totals aggregate and the thresholded join read c2 —
-    // without the pin the whole tokenize+explode+count subtree runs twice
-    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .select(col("p.kind").as("kind"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val counted = emitted.groupBy("kind", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    // pinned for the same reason: read by the n1 total and BOTH unigram
-    // joins — three corpus tokenization passes otherwise
-    val uni = df
-      .select(explode(filter(toks(col(textCol)), t => t =!= "")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    val c2 = counted.filter(col("kind") === "p")
+      .select(col("w1"), col("w2"), col("c").as("pair_count"))
+    val uni = counted.filter(col("kind") === "u")
+      .select(col("w1").as("w"), col("c"))
     val totals = c2.agg(sum(col("pair_count")).as("n2"))
       .crossJoin(uni.agg(sum(col("c")).as("n1")))
     c2.filter(col("pair_count") >= minCount)
