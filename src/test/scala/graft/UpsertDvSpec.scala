@@ -69,12 +69,13 @@ class UpsertDvSpec extends SparkSpec {
     // same file name, different dir, same inode (fileKey)
     val p1Old = oldFiles.filterNot(newFiles.contains)
     assert(p1Old.nonEmpty, "p1's directory must have been replaced")
-    val linked = p1Old.flatMap { op =>
+    val linked = p1Old.toSeq.flatMap { op =>
       val fname = Paths.get(op).getFileName.toString
       newFiles.find(np => Paths.get(np).getFileName.toString == fname && np != op)
+        .map(op -> _)
     }
     assert(linked.size == p1Old.size, "every old p1 file must re-enter by name")
-    for ((op, np) <- p1Old.zip(linked)) {
+    for ((op, np) <- linked) {
       val ko = Files.readAttributes(Paths.get(op), classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey
       val kn = Files.readAttributes(Paths.get(np), classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey
       assert(ko == kn, s"expected a hard link (same inode): $op vs $np")
