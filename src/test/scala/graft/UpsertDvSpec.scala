@@ -220,6 +220,37 @@ class UpsertDvSpec extends SparkSpec {
     assert(e.getMessage.contains("PK"))
   }
 
+  test("merge composes with rename + widen: mixed narrow/wide files share one merged dir") {
+    import org.apache.spark.sql.types._
+    // after widenColumn, a merged directory holds LINKED pre-widen (narrow)
+    // files next to freshly staged (wide) files — the one layout no other
+    // path produces. scanDirs' explicit read schema must reconcile it, and
+    // the footer-stats path must stay at least conservative-correct.
+    val (lake, _) = fresh()
+    lake.commit(
+      Seq((1L, "a", 10, 1L, "p1"), (2L, "b", 20, 1L, "p1"))
+        .toDF("id", "name", "cnt", "ver", "part"),
+      Seq("part"))
+    lake.renameColumn("name", "title")
+    lake.widenColumn("cnt", "bigint")
+    lake.upsertDv(
+      Seq((2L, "b2", Int.MaxValue.toLong + 9L, 2L, "p1"),
+        (3L, "c", 30L, 2L, "p1"))
+        .toDF("id", "title", "cnt", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val out = lake.read(Seq("part"))
+    assert(out.schema("cnt").dataType == LongType)
+    assert(out.select("id", "title", "cnt").as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L), (2L, "b2", Int.MaxValue.toLong + 9L), (3L, "c", 30L)))
+    // pruned reads answer correctly over the mixed-type merged dir
+    val pruned = lake.readPruned(Seq("id", "cnt"), "cnt", 5.0, 25.0)
+    assert(pruned.select("id").as[Long].collect().toSet == Set(1L),
+      "readPruned must still return exactly the in-range rows")
+    val wide = lake.readPruned(Seq("id", "cnt"), "cnt", 2.0e9, 3.0e9)
+    assert(wide.select("id").as[Long].collect().toSet == Set(2L),
+      "beyond-int values in the staged wide file must be found")
+  }
+
   test("merge cost artifact: only changed rows' bytes are written, not partition bytes") {
     // structural form of the ScaleProbe claim: after a 1-row merge into a
     // 1000-row partition, the NEW bytes on disk (non-linked files) hold only
