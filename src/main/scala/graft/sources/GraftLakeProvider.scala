@@ -116,7 +116,33 @@ private class GraftLakeScan(
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = tableSchema
-      override def buildScan(): org.apache.spark.rdd.RDD[Row] =
-        GraftLakeProvider.resolve(options).rdd
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+        // the TableScan contract: rows MUST match `schema`. A catalog
+        // table captures its schema at CREATE time, but the lake keeps
+        // evolving underneath (rename/widen/drop land as new versions) —
+        // align the live read to the declared shape: lossless casts for
+        // widened columns, NULLs for columns the snapshot no longer has.
+        val df = GraftLakeProvider.resolve(options)
+        val live = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        df.select(tableSchema.fields.toSeq.map { f =>
+          live.get(f.name) match {
+            case Some(t) if t == f.dataType =>
+              org.apache.spark.sql.functions.col(f.name)
+            case Some(t) if org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(t, f.dataType) =>
+              org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+            case Some(t) =>
+              // e.g. the column WIDENED after CREATE TABLE: a silent
+              // narrowing cast would corrupt — make the staleness loud
+              throw new IllegalArgumentException(
+                s"graft: table schema declares ${f.name}: ${f.dataType.catalogString} " +
+                  s"but the lake now holds ${t.catalogString} — the table's captured " +
+                  "schema is stale after a widen; recreate the table (or read via " +
+                  "spark.read.format(\"graft\"), which always infers the live schema)")
+            case None =>
+              org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*).rdd
+      }
     }.asInstanceOf[T]
 }

@@ -71,6 +71,33 @@ class GraftLakeProviderSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_lake_t")
   }
 
+  test("catalog table tracks lake evolution live: drops vanish, widens surface") {
+    import org.apache.spark.sql.types._
+    // supportsExternalMetadata = false means Spark re-infers the schema at
+    // every resolution — a catalog table can never go stale against the
+    // evolving lake (the V1Scan bridge ALSO carries a defensive
+    // lossless-or-refuse alignment for any path that does hand it a stored
+    // schema)
+    val (lake, root) = fresh()
+    seed(lake)
+    spark.sql(s"CREATE TABLE graft_evo_t USING graft OPTIONS (path '$root')")
+    try {
+      assert(spark.table("graft_evo_t").columns.toSet == Set("id", "name", "cnt", "part"))
+      // a column dropped AFTER create disappears from the table schema
+      lake.dropColumn("name")
+      assert(spark.table("graft_evo_t").columns.toSet == Set("id", "cnt", "part"))
+      val e = intercept[Exception](spark.sql("SELECT name FROM graft_evo_t").collect())
+      assert(e.getMessage.contains("name"), "the dropped column resolves nowhere")
+      // a widen AFTER create surfaces live: wide type, beyond-int values land
+      lake.widenColumn("cnt", "bigint")
+      lake.commit(Seq((9L, Int.MaxValue.toLong + 3L, "p9")).toDF("id", "cnt", "part"),
+        Seq("part"))
+      val got = spark.sql("SELECT id, cnt FROM graft_evo_t ORDER BY id")
+      assert(got.schema("cnt").dataType == LongType)
+      assert(got.as[(Long, Long)].collect().toSeq.last == ((9L, Int.MaxValue.toLong + 3L)))
+    } finally spark.sql("DROP TABLE graft_evo_t")
+  }
+
   test("merge-on-read upsert is visible through SQL (DVs + appended rows in one read)") {
     val (lake, root) = fresh()
     seed(lake)
