@@ -1223,7 +1223,45 @@ class SnapshotLake(spark: SparkSession, root: String) {
       pk: Seq[String],
       versionCol: String,
       partitionCols: Seq[String],
-      broadcastBatch: Boolean = true): Long = {
+      broadcastBatch: Boolean = true): Long =
+    upsertDvGated(batch, pk, versionCol, partitionCols, broadcastBatch, None).get
+
+  /** Exactly-once [[upsertDv]] for at-least-once producers — the streaming
+    * CDC-apply sink (`foreachBatch` merging a change stream into the lake):
+    * the merge lands only if `batchId` is NEWER than `appId`'s recorded
+    * watermark, and the watermark update rides the SAME atomic manifest
+    * create as the merge itself — no state of the world with the rows
+    * merged but the watermark missing, or vice versa ([[commitIfNew]]'s
+    * txn discipline on the merge-on-read path). A replayed batch returns
+    * None and stages nothing.
+    *
+    * Unlike [[commitIfNew]]'s empty-batch rule, a batch whose every row
+    * LOSES the version comparison still records its watermark (a
+    * metadata-only commit): "didn't land" is only stable while the table
+    * rows that beat it survive — replaying it after a later DV delete of
+    * those rows would resurrect data the merge had correctly discarded.
+    * Same checkpoint-loss caveat as [[commitIfNew]].
+    */
+  def upsertDvIfNew(
+      appId: String,
+      batchId: Long,
+      batch: DataFrame,
+      pk: Seq[String],
+      versionCol: String,
+      partitionCols: Seq[String],
+      broadcastBatch: Boolean = true): Option[Long] = {
+    if (lastTxn(appId).exists(_ >= batchId)) return None
+    upsertDvGated(batch, pk, versionCol, partitionCols, broadcastBatch,
+      Some(appId -> batchId))
+  }
+
+  private def upsertDvGated(
+      batch: DataFrame,
+      pk: Seq[String],
+      versionCol: String,
+      partitionCols: Seq[String],
+      broadcastBatch: Boolean,
+      gate: Option[(String, Long)]): Option[Long] = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(partitionCols.forall(pk.contains),
       s"partition columns ${partitionCols.mkString(",")} must all be part of " +
@@ -1250,6 +1288,11 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val (m, txns, meta) = baseOpt.map(readManifestAndTxns)
         .getOrElse((Map.empty[String, String], Map.empty[String, Long],
           Map.empty[String, String]))
+      // replay / same-batch race check under the freshest manifest (top of
+      // the round — nothing is staged yet, so returning stages nothing)
+      gate.foreach { case (appId, batchId) =>
+        if (txns.get(appId).exists(_ >= batchId)) return None
+      }
       val existing = m.view.filterKeys(touchedKeys).toMap
       // ---- match scan: ONE pass over the touched EXISTING partitions
       // (pk + versionCol + row address only — column-pruned), joined
@@ -1293,91 +1336,106 @@ class SnapshotLake(spark: SparkSession, root: String) {
       }).localCheckpoint(true)
       // ---- stage the winning rows (one Spark job, Hive layout)
       val touchedW = touchedPartitions(winners, partitionCols)
-      if (touchedW.isEmpty) return baseOpt.get // every batch row lost: no-op
-      val stagedNew = stageDirs(physicalize(winners, meta), partitionCols, touchedW)
-      // ---- merged directories: old files re-enter BY HARD LINK, staged
-      // files adopt in place — a partition the batch only LOST against
-      // stays by reference (absent from stagedNew)
-      val newDirs: Map[String, String] = stagedNew.map { case (key, sdir) =>
-        existing.get(key) match {
-          case None => key -> sdir // brand-new partition: staged dir as-is
-          case Some(oldDir) =>
-            val name = java.util.UUID.randomUUID().toString
-            val nd = dataDir.resolve(name)
-            Files.createDirectories(nd)
-            def adopt(src: Path, link: Boolean): Unit = {
-              val s = Files.list(src)
-              try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
-                val dst = nd.resolve(f.getFileName.toString)
-                require(!Files.exists(dst),
-                  s"file name collision merging $src into $nd: ${f.getFileName}")
-                if (link)
-                  try Files.createLink(dst, f)
-                  catch { case _: UnsupportedOperationException => Files.copy(f, dst) }
-                else Files.move(f, dst)
-              } finally s.close()
+      if (touchedW.isEmpty) {
+        // every batch row lost. Ungated: a pure no-op. Gated: the
+        // watermark must still advance (see the upsertDvIfNew contract) —
+        // a metadata-only commit under the same CAS
+        gate match {
+          case None => return Some(baseOpt.get)
+          case Some((appId, batchId)) =>
+            val next = baseOpt.getOrElse(0L) + 1
+            if (writeManifestAtomic(next, m, txns + (appId -> batchId), meta)) {
+              writeInfo(next, "dvupsert", 0)
+              return Some(next)
             }
-            adopt(Paths.get(resolveDir(oldDir)), link = true)
-            val sp = Paths.get(resolveDir(sdir))
-            adopt(sp, link = false)
-            deleteRecursively(sp)
-            key -> s"data/$name"
+            // CAS lost: fall through to the next round's re-read
         }
-      }
-      // old-leaf → new-leaf for every replaced directory: DV addresses are
-      // keyed `<dir-leaf>/<file>`, so deletes riding the linked files must
-      // re-key or they detach
-      val leafMap: Map[String, String] = stagedNew.keysIterator.flatMap { k =>
-        existing.get(k).map(od => Paths.get(od).getFileName.toString ->
-          Paths.get(newDirs(k)).getFileName.toString)
-      }.toMap
-      // ---- fold the DV relation: existing deletes (re-keyed where their
-      // leaf was replaced) + the displaced rows of winning PKs
-      val oldDvDirs = dvDirsOf(meta)
-      val displaced: Option[DataFrame] = matched.map(
-        _.filter(col("__t_ver").isNull || col("__b_ver") >= col("__t_ver"))
-          .select(col("__dv_file"), col("__dv_pos")))
-      val mustFold = displaced.isDefined || (oldDvDirs.nonEmpty && leafMap.nonEmpty)
-      val newDvList: Seq[String] =
-        if (!mustFold) oldDvDirs
-        else {
-          val parts = oldDvDirs.headOption.map(_ =>
-            spark.read.parquet(oldDvDirs.map(resolveDir): _*)
-              .select(col("__dv_file"), col("__dv_pos"))).toSeq ++ displaced.toSeq
-          val all = parts.reduce(_ union _)
-          val translated =
-            if (leafMap.isEmpty) all
-            else {
-              val leaf = element_at(split(col("__dv_file"), "/"), 1)
-              val file = element_at(split(col("__dv_file"), "/"), 2)
-              val mapLit = map(leafMap.toSeq.sortBy(_._1)
-                .flatMap { case (o, n) => Seq(lit(o), lit(n)) }: _*)
-              all.withColumn("__dv_file",
-                concat_ws("/", coalesce(element_at(mapLit, leaf), leaf), file))
-            }
-          val name = java.util.UUID.randomUUID().toString
-          translated.distinct().write.parquet(resolveDir(s"data/$name"))
-          if (spark.read.parquet(resolveDir(s"data/$name")).isEmpty) {
-            deleteRecursively(dataDir.resolve(name))
-            Seq.empty
-          } else Seq(s"data/$name")
-        }
-      // ---- one atomic commit carries the merged dirs AND the folded DVs
-      val next = baseOpt.getOrElse(0L) + 1
-      val stats = dirStats(newDirs)
-      touchDirs(newDirs.values ++ (newDvList.toSet -- oldDvDirs.toSet))
-      if (writeManifestAtomic(next, m ++ newDirs, txns,
-          metaWithDvs(metaWithPartCols(meta, partitionCols) ++ stats, newDvList))) {
-        committed = next
-        writeInfo(committed, "dvupsert", newDirs.size)
       } else {
-        // stale merge: drop this round's dirs (unlinking a merged dir only
-        // removes the link names — the old dir's files are untouched)
-        (newDirs.values.toSet ++ (newDvList.toSet -- oldDvDirs.toSet))
-          .foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
+        val stagedNew = stageDirs(physicalize(winners, meta), partitionCols, touchedW)
+        // ---- merged directories: old files re-enter BY HARD LINK, staged
+        // files adopt in place — a partition the batch only LOST against
+        // stays by reference (absent from stagedNew)
+        val newDirs: Map[String, String] = stagedNew.map { case (key, sdir) =>
+          existing.get(key) match {
+            case None => key -> sdir // brand-new partition: staged dir as-is
+            case Some(oldDir) =>
+              val name = java.util.UUID.randomUUID().toString
+              val nd = dataDir.resolve(name)
+              Files.createDirectories(nd)
+              def adopt(src: Path, link: Boolean): Unit = {
+                val s = Files.list(src)
+                try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+                  val dst = nd.resolve(f.getFileName.toString)
+                  require(!Files.exists(dst),
+                    s"file name collision merging $src into $nd: ${f.getFileName}")
+                  if (link)
+                    try Files.createLink(dst, f)
+                    catch { case _: UnsupportedOperationException => Files.copy(f, dst) }
+                  else Files.move(f, dst)
+                } finally s.close()
+              }
+              adopt(Paths.get(resolveDir(oldDir)), link = true)
+              val sp = Paths.get(resolveDir(sdir))
+              adopt(sp, link = false)
+              deleteRecursively(sp)
+              key -> s"data/$name"
+          }
+        }
+        // old-leaf → new-leaf for every replaced directory: DV addresses are
+        // keyed `<dir-leaf>/<file>`, so deletes riding the linked files must
+        // re-key or they detach
+        val leafMap: Map[String, String] = stagedNew.keysIterator.flatMap { k =>
+          existing.get(k).map(od => Paths.get(od).getFileName.toString ->
+            Paths.get(newDirs(k)).getFileName.toString)
+        }.toMap
+        // ---- fold the DV relation: existing deletes (re-keyed where their
+        // leaf was replaced) + the displaced rows of winning PKs
+        val oldDvDirs = dvDirsOf(meta)
+        val displaced: Option[DataFrame] = matched.map(
+          _.filter(col("__t_ver").isNull || col("__b_ver") >= col("__t_ver"))
+            .select(col("__dv_file"), col("__dv_pos")))
+        val mustFold = displaced.isDefined || (oldDvDirs.nonEmpty && leafMap.nonEmpty)
+        val newDvList: Seq[String] =
+          if (!mustFold) oldDvDirs
+          else {
+            val parts = oldDvDirs.headOption.map(_ =>
+              spark.read.parquet(oldDvDirs.map(resolveDir): _*)
+                .select(col("__dv_file"), col("__dv_pos"))).toSeq ++ displaced.toSeq
+            val all = parts.reduce(_ union _)
+            val translated =
+              if (leafMap.isEmpty) all
+              else {
+                val leaf = element_at(split(col("__dv_file"), "/"), 1)
+                val file = element_at(split(col("__dv_file"), "/"), 2)
+                val mapLit = map(leafMap.toSeq.sortBy(_._1)
+                  .flatMap { case (o, n) => Seq(lit(o), lit(n)) }: _*)
+                all.withColumn("__dv_file",
+                  concat_ws("/", coalesce(element_at(mapLit, leaf), leaf), file))
+              }
+            val name = java.util.UUID.randomUUID().toString
+            translated.distinct().write.parquet(resolveDir(s"data/$name"))
+            if (spark.read.parquet(resolveDir(s"data/$name")).isEmpty) {
+              deleteRecursively(dataDir.resolve(name))
+              Seq.empty
+            } else Seq(s"data/$name")
+          }
+        // ---- one atomic commit carries the merged dirs AND the folded DVs
+        val next = baseOpt.getOrElse(0L) + 1
+        val stats = dirStats(newDirs)
+        touchDirs(newDirs.values ++ (newDvList.toSet -- oldDvDirs.toSet))
+        if (writeManifestAtomic(next, m ++ newDirs, txns ++ gate.toMap,
+            metaWithDvs(metaWithPartCols(meta, partitionCols) ++ stats, newDvList))) {
+          committed = next
+          writeInfo(committed, "dvupsert", newDirs.size)
+        } else {
+          // stale merge: drop this round's dirs (unlinking a merged dir only
+          // removes the link names — the old dir's files are untouched)
+          (newDirs.values.toSet ++ (newDvList.toSet -- oldDvDirs.toSet))
+            .foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
+        }
       }
     }
-    committed
+    Some(committed)
   }
 
   /** Transactional row deletion (the GDPR/right-to-erasure lake op):

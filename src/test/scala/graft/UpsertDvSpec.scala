@@ -251,6 +251,97 @@ class UpsertDvSpec extends SparkSpec {
       "beyond-int values in the staged wide file must be found")
   }
 
+  test("upsertDvIfNew: exactly-once CDC apply — replays no-op, all-losing batches still watermark") {
+    val (lake, _) = fresh()
+    seed(lake)
+    val pk = Seq("id", "part")
+    def batch(rows: (Long, String, Double, Long, String)*) =
+      rows.toDF("id", "name", "score", "ver", "part")
+    // batch 0 applies
+    val v1 = lake.upsertDvIfNew("cdc", 0L, batch((2L, "b2", 21.0, 2L, "p1")),
+      pk, "ver", Seq("part"))
+    assert(v1.isDefined)
+    // the SAME batch replayed (crash before the producer checkpoint
+    // advanced): rejected, no version, no data change
+    val latestBefore = lake.latestVersion.get
+    assert(lake.upsertDvIfNew("cdc", 0L, batch((2L, "b2-replay", 99.0, 9L, "p1")),
+      pk, "ver", Seq("part")).isEmpty)
+    assert(lake.latestVersion.get == latestBefore)
+    assert(rows(lake.read(Seq("part"))).contains((2L, "b2", 21.0)))
+    // an ALL-LOSING newer batch still advances the watermark (metadata-only
+    // commit): replaying it after the beating row is DV-deleted must NOT
+    // resurrect its rows
+    val v3 = lake.upsertDvIfNew("cdc", 1L, batch((2L, "stale", 0.0, 1L, "p1")),
+      pk, "ver", Seq("part"))
+    assert(v3.isDefined, "the watermark must land even when no row does")
+    assert(rows(lake.read(Seq("part"))).contains((2L, "b2", 21.0)))
+    lake.deleteWhereDv(col("id") === 2L, Seq("part"))
+    assert(lake.upsertDvIfNew("cdc", 1L, batch((2L, "stale", 0.0, 1L, "p1")),
+      pk, "ver", Seq("part")).isEmpty,
+      "a replay of the watermarked batch must not resurrect deleted rows")
+    assert(!rows(lake.read(Seq("part"))).exists(_._1 == 2L))
+    // a genuinely newer batch lands; another consumer's ids are independent
+    assert(lake.upsertDvIfNew("cdc", 2L, batch((6L, "f", 60.0, 2L, "p1")),
+      pk, "ver", Seq("part")).isDefined)
+    assert(lake.upsertDvIfNew("other", 0L, batch((7L, "g", 70.0, 2L, "p2")),
+      pk, "ver", Seq("part")).isDefined)
+    assert(rows(lake.read(Seq("part"))).filter(r => r._1 >= 6L) ==
+      Set((6L, "f", 60.0), (7L, "g", 70.0)))
+  }
+
+  test("streaming CDC apply: foreachBatch + upsertDvIfNew is exactly-once across a restart replay") {
+    val (lake, _) = fresh()
+    seed(lake)
+    val src = Files.createTempDirectory("graft_cdc_src_").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_ck_").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, name STRING, score DOUBLE, ver LONG, part STRING")
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          lake.upsertDvIfNew("stream", batchId, batch,
+            Seq("id", "part"), "ver", Seq("part"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((2L, "b2", 21.0, 2L, "p1"), (6L, "f", 60.0, 2L, "p2"))
+      .toDF("id", "name", "score", "ver", "part")
+      .write.mode("append").parquet(src)
+    runOnce()
+    val afterWave1 = rows(lake.read(Seq("part")))
+    assert(afterWave1.contains((2L, "b2", 21.0)) && afterWave1.contains((6L, "f", 60.0)))
+    val vAfter1 = lake.latestVersion.get
+    // LOSE the checkpoint: the source replays batch 0 from scratch — the
+    // lake watermark rejects it (the documented checkpoint-loss semantics)
+    val ck2 = Files.createTempDirectory("graft_cdc_ck2_").toString
+    val q2 = spark.readStream
+      .schema("id LONG, name STRING, score DOUBLE, ver LONG, part STRING")
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        lake.upsertDvIfNew("stream", batchId, batch,
+          Seq("id", "part"), "ver", Seq("part"))
+        ()
+      }
+      .option("checkpointLocation", ck2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(lake.latestVersion.get == vAfter1, "the replayed batch must not commit")
+    assert(rows(lake.read(Seq("part"))) == afterWave1)
+    // a second wave through the ORIGINAL checkpoint lands exactly once
+    Seq((2L, "b3", 22.0, 3L, "p1")).toDF("id", "name", "score", "ver", "part")
+      .write.mode("append").parquet(src)
+    runOnce()
+    val finalRows = rows(lake.read(Seq("part")))
+    assert(finalRows.contains((2L, "b3", 22.0)) && !finalRows.contains((2L, "b2", 21.0)))
+  }
+
   test("merge cost artifact: only changed rows' bytes are written, not partition bytes") {
     // structural form of the ScaleProbe claim: after a 1-row merge into a
     // 1000-row partition, the NEW bytes on disk (non-linked files) hold only
