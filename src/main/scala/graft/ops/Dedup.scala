@@ -1023,10 +1023,11 @@ object Dedup {
       threshold: Double,
       sim: String = "seq_ratio",
       normalize: Boolean = true): DataFrame = {
-    val (aS, bS, ratio) = ratioBandedSides(
-      bandForRatio(df, idCol, strCol, threshold, sim, normalize),
-      bandForRatio(df, idCol, strCol, threshold, sim, normalize),
-      sim, df.sparkSession)
+    // ONE banded subtree shared by both sides (canonically identical plans
+    // let ReuseExchange compute the banding once — the editDistancePairs
+    // shape)
+    val banded = bandForRatio(df, idCol, strCol, threshold, sim, normalize)
+    val (aS, bS, ratio) = ratioBandedSides(banded, banded, sim, df.sparkSession)
     aS.join(bS,
         col("a.band") === col("b.band") &&
           col("a._salt") === col("b._salt") &&

@@ -144,6 +144,22 @@ object IvfAdc {
   }
 
   private val MetaFile = "_ivfadc_meta.json"
+  private val CellsFile = "_ivfadc_cells.json"
+
+  /** The artifact's recorded non-empty cell set, parsed from its own
+    * sidecar (`cell_<id>` marker fields).
+    */
+  private def savedCells(spark: SparkSession, path: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, CellsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no $CellsFile — not an IVFADC artifact written by save")
+    val in = fs.open(p)
+    val json =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    """"cell_(\d+)"""".r.findAllMatchIn(json).map(_.group(1).toLong).toSet
+  }
 
   /** Persist the composite artifact: codes partitioned BY CELL (a probed
     * search reads only its cells' directories), the centroid table, the
@@ -158,6 +174,14 @@ object IvfAdc {
       .toDF("cell", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     ProductQuantize.save(index.cb, spark, s"$path/pq")
+    // which cells actually HAVE members (a cell can legitimately be empty —
+    // ties assign to the lowest cell, and nothing may land in a sampled
+    // centroid's cell): searchSaved SKIPS probed-but-empty cells, but a
+    // RECORDED cell whose directory is missing is damage and must stay
+    // loud — so the distinction is persisted, never guessed from listing
+    val nonEmpty = index.codes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    MetaJson.write(spark, path, CellsFile, nonEmpty.map(c => s"cell_$c" -> 1L))
     MetaJson.write(spark, path, MetaFile,
       Seq("nCells" -> index.ivf.centroids.size.toLong,
         "m" -> index.cb.m.toLong, "k" -> index.cb.k.toLong,
@@ -185,10 +209,24 @@ object IvfAdc {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     require(centroids.size == f("nCells"),
       s"centroid table has ${centroids.size} cells, meta says ${f("nCells")}")
+    val nonEmpty = savedCells(spark, path)
     val probed = centroids
       .map { case (cell, cv) => (cell, cosineSim(query, cv)) }
       .sortBy { case (cell, sim) => (-sim, cell) }
       .take(nProbe).map(_._1)
+      // a probed cell with no members has no partition directory — skip it
+      // (recorded as empty at save time); a RECORDED cell whose directory
+      // is gone will fail the parquet read loudly, exactly as damage should
+      .filter(nonEmpty.contains)
+    if (probed.isEmpty)
+      return rerank(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            df.schema(idCol),
+            org.apache.spark.sql.types.StructField("adc",
+              org.apache.spark.sql.types.DoubleType)))),
+        df, idCol, vecCol, query, k)
     val byCell = centroids.toMap
     val legs = probed.map { cell =>
       val qr = query.zip(byCell(cell)).map { case (a, b) => a - b }

@@ -158,6 +158,29 @@ class AnnSpec extends SparkSpec {
       s"unexpected refusal message: ${e.getMessage}")
   }
 
+  test("IVFADC artifact: a probed-but-EMPTY cell is skipped, not a crash") {
+    import spark.implicits._
+    // all vectors share ONE direction (cosine ties against every centroid
+    // resolve to the lowest cell), so the other sampled cell has no
+    // members — no partition directory exists for it. Probing both cells
+    // must skip the empty one (recorded at save time) and answer.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.1f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.2f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(1.3f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val idx = graft.ops.IvfAdc.build(vecs, "vec_id", "embedding", nCells = 2, m = 2, k = 2)
+    val cellsUsed = idx.codes.select("cell").distinct().count()
+    assert(cellsUsed < 2, "fixture must actually leave a cell empty")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_empty_").toString
+    graft.ops.IvfAdc.save(idx, dir)
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val got = graft.ops.IvfAdc.searchSaved(spark, dir, vecs, "vec_id", "embedding",
+      q, k = 2, nProbe = 2, shortlist = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L), s"empty probed cell must contribute nothing, got $got")
+  }
+
   test("IVF index persists as a lake artifact: load == build, cells prune as partitions") {
     val index = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
