@@ -1255,6 +1255,85 @@ class SnapshotLake(spark: SparkSession, root: String) {
       Some(appId -> batchId))
   }
 
+  /** Link-merge staged partition directories with their existing ones:
+    * old files re-enter the new directory by HARD LINK (O(files) metadata,
+    * zero byte copy — the FS-lake analog of Delta's add-file action under
+    * the one-dir-per-partition manifest), staged files adopt in place, a
+    * staged key with no existing dir keeps its staged dir as-is. Returns
+    * the new key→dir map plus the old-leaf → new-leaf map every DV address
+    * under a replaced leaf must re-key through.
+    */
+  private def linkMergeDirs(
+      stagedNew: Map[String, String],
+      existing: Map[String, String]): (Map[String, String], Map[String, String]) = {
+    val newDirs: Map[String, String] = stagedNew.map { case (key, sdir) =>
+      existing.get(key) match {
+        case None => key -> sdir // brand-new partition: staged dir as-is
+        case Some(oldDir) =>
+          val name = java.util.UUID.randomUUID().toString
+          val nd = dataDir.resolve(name)
+          Files.createDirectories(nd)
+          def adopt(src: Path, link: Boolean): Unit = {
+            val s = Files.list(src)
+            try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+              val dst = nd.resolve(f.getFileName.toString)
+              require(!Files.exists(dst),
+                s"file name collision merging $src into $nd: ${f.getFileName}")
+              if (link)
+                try Files.createLink(dst, f)
+                catch { case _: UnsupportedOperationException => Files.copy(f, dst) }
+              else Files.move(f, dst)
+            } finally s.close()
+          }
+          adopt(Paths.get(resolveDir(oldDir)), link = true)
+          val sp = Paths.get(resolveDir(sdir))
+          adopt(sp, link = false)
+          deleteRecursively(sp)
+          key -> s"data/$name"
+      }
+    }
+    val leafMap: Map[String, String] = stagedNew.keysIterator.flatMap { k =>
+      existing.get(k).map(od => Paths.get(od).getFileName.toString ->
+        Paths.get(newDirs(k)).getFileName.toString)
+    }.toMap
+    (newDirs, leafMap)
+  }
+
+  /** Fold the DV relation for a link-merge commit: existing deletes
+    * (re-keyed where their leaf was replaced) plus any freshly displaced
+    * addresses — ONE new DV directory, or the old list untouched when
+    * nothing changes. The caller commits the returned list and cleans up
+    * `returned.toSet -- dvDirsOf(meta).toSet` on CAS failure.
+    */
+  private def foldDvs(
+      meta: Map[String, String],
+      leafMap: Map[String, String],
+      displaced: Option[DataFrame]): Seq[String] = {
+    val oldDvDirs = dvDirsOf(meta)
+    val mustFold = displaced.isDefined || (oldDvDirs.nonEmpty && leafMap.nonEmpty)
+    if (!mustFold) return oldDvDirs
+    val parts = oldDvDirs.headOption.map(_ =>
+      spark.read.parquet(oldDvDirs.map(resolveDir): _*)
+        .select(col("__dv_file"), col("__dv_pos"))).toSeq ++ displaced.toSeq
+    val all = parts.reduce(_ union _)
+    val translated =
+      if (leafMap.isEmpty) all
+      else {
+        val leaf = element_at(split(col("__dv_file"), "/"), 1)
+        val file = element_at(split(col("__dv_file"), "/"), 2)
+        val mapLit = map(leafMap.toSeq.sortBy(_._1)
+          .flatMap { case (o, n) => Seq(lit(o), lit(n)) }: _*)
+        all.withColumn("__dv_file",
+          concat_ws("/", coalesce(element_at(mapLit, leaf), leaf), file))
+      }
+    val name = java.util.UUID.randomUUID().toString
+    translated.distinct().write.parquet(resolveDir(s"data/$name"))
+    if (spark.read.parquet(resolveDir(s"data/$name")).isEmpty) {
+      deleteRecursively(dataDir.resolve(name))
+      Seq.empty
+    } else Seq(s"data/$name")
+  }
+
   private def upsertDvGated(
       batch: DataFrame,
       pk: Seq[String],
@@ -1352,73 +1431,16 @@ class SnapshotLake(spark: SparkSession, root: String) {
         }
       } else {
         val stagedNew = stageDirs(physicalize(winners, meta), partitionCols, touchedW)
-        // ---- merged directories: old files re-enter BY HARD LINK, staged
-        // files adopt in place — a partition the batch only LOST against
-        // stays by reference (absent from stagedNew)
-        val newDirs: Map[String, String] = stagedNew.map { case (key, sdir) =>
-          existing.get(key) match {
-            case None => key -> sdir // brand-new partition: staged dir as-is
-            case Some(oldDir) =>
-              val name = java.util.UUID.randomUUID().toString
-              val nd = dataDir.resolve(name)
-              Files.createDirectories(nd)
-              def adopt(src: Path, link: Boolean): Unit = {
-                val s = Files.list(src)
-                try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
-                  val dst = nd.resolve(f.getFileName.toString)
-                  require(!Files.exists(dst),
-                    s"file name collision merging $src into $nd: ${f.getFileName}")
-                  if (link)
-                    try Files.createLink(dst, f)
-                    catch { case _: UnsupportedOperationException => Files.copy(f, dst) }
-                  else Files.move(f, dst)
-                } finally s.close()
-              }
-              adopt(Paths.get(resolveDir(oldDir)), link = true)
-              val sp = Paths.get(resolveDir(sdir))
-              adopt(sp, link = false)
-              deleteRecursively(sp)
-              key -> s"data/$name"
-          }
-        }
-        // old-leaf → new-leaf for every replaced directory: DV addresses are
-        // keyed `<dir-leaf>/<file>`, so deletes riding the linked files must
-        // re-key or they detach
-        val leafMap: Map[String, String] = stagedNew.keysIterator.flatMap { k =>
-          existing.get(k).map(od => Paths.get(od).getFileName.toString ->
-            Paths.get(newDirs(k)).getFileName.toString)
-        }.toMap
-        // ---- fold the DV relation: existing deletes (re-keyed where their
-        // leaf was replaced) + the displaced rows of winning PKs
+        // ---- merged directories (hard-link merge) + DV re-keying: a
+        // partition the batch only LOST against stays by reference (absent
+        // from stagedNew); DV addresses are keyed `<dir-leaf>/<file>`, so
+        // deletes riding the linked files must re-key or they detach
+        val (newDirs, leafMap) = linkMergeDirs(stagedNew, existing)
         val oldDvDirs = dvDirsOf(meta)
         val displaced: Option[DataFrame] = matched.map(
           _.filter(col("__t_ver").isNull || col("__b_ver") >= col("__t_ver"))
             .select(col("__dv_file"), col("__dv_pos")))
-        val mustFold = displaced.isDefined || (oldDvDirs.nonEmpty && leafMap.nonEmpty)
-        val newDvList: Seq[String] =
-          if (!mustFold) oldDvDirs
-          else {
-            val parts = oldDvDirs.headOption.map(_ =>
-              spark.read.parquet(oldDvDirs.map(resolveDir): _*)
-                .select(col("__dv_file"), col("__dv_pos"))).toSeq ++ displaced.toSeq
-            val all = parts.reduce(_ union _)
-            val translated =
-              if (leafMap.isEmpty) all
-              else {
-                val leaf = element_at(split(col("__dv_file"), "/"), 1)
-                val file = element_at(split(col("__dv_file"), "/"), 2)
-                val mapLit = map(leafMap.toSeq.sortBy(_._1)
-                  .flatMap { case (o, n) => Seq(lit(o), lit(n)) }: _*)
-                all.withColumn("__dv_file",
-                  concat_ws("/", coalesce(element_at(mapLit, leaf), leaf), file))
-              }
-            val name = java.util.UUID.randomUUID().toString
-            translated.distinct().write.parquet(resolveDir(s"data/$name"))
-            if (spark.read.parquet(resolveDir(s"data/$name")).isEmpty) {
-              deleteRecursively(dataDir.resolve(name))
-              Seq.empty
-            } else Seq(s"data/$name")
-          }
+        val newDvList = foldDvs(meta, leafMap, displaced)
         // ---- one atomic commit carries the merged dirs AND the folded DVs
         val next = baseOpt.getOrElse(0L) + 1
         val stats = dirStats(newDirs)
@@ -1436,6 +1458,52 @@ class SnapshotLake(spark: SparkSession, root: String) {
       }
     }
     Some(committed)
+  }
+
+  /** True ROW-APPEND (SQL `INSERT INTO` semantics) — the third write grain
+    * next to [[commit]] (partition REPLACE) and [[upsertDv]] (PK merge):
+    * the batch's rows ADD to their partitions, existing rows keep, nothing
+    * deletes. Zero rewrite via the same hard-link merge as [[upsertDv]]
+    * (old files re-enter the new directory as links, staged files adopt;
+    * existing DV addresses re-key across the leaf replacement), one atomic
+    * manifest commit, the [[upsert]] optimistic CAS loop. Cost tracks the
+    * batch plus O(files) metadata — never partition bytes.
+    *
+    * This is the operation `INSERT INTO ... USING graft` maps to
+    * ([[graft.sources.GraftLakeProvider]]); using [[commit]] there would
+    * silently REPLACE every touched partition.
+    */
+  def append(batch: DataFrame, partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    Files.createDirectories(manifestsDir)
+    Files.createDirectories(dataDir)
+    val touched = touchedPartitions(batch, partitionCols)
+    require(touched.nonEmpty, "batch has no rows — nothing to append")
+    val touchedKeys = touched.map(keyOf).toSet
+    var committed = -1L
+    while (committed < 0) {
+      val baseOpt = latestVersion
+      val (m, txns, meta) = baseOpt.map(readManifestAndTxns)
+        .getOrElse((Map.empty[String, String], Map.empty[String, Long],
+          Map.empty[String, String]))
+      val existing = m.view.filterKeys(touchedKeys).toMap
+      val stagedNew = stageDirs(physicalize(batch, meta), partitionCols, touched)
+      val (newDirs, leafMap) = linkMergeDirs(stagedNew, existing)
+      val oldDvDirs = dvDirsOf(meta)
+      val newDvList = foldDvs(meta, leafMap, displaced = None)
+      val next = baseOpt.getOrElse(0L) + 1
+      val stats = dirStats(newDirs)
+      touchDirs(newDirs.values ++ (newDvList.toSet -- oldDvDirs.toSet))
+      if (writeManifestAtomic(next, m ++ newDirs, txns,
+          metaWithDvs(metaWithPartCols(meta, partitionCols) ++ stats, newDvList))) {
+        committed = next
+        writeInfo(committed, "append", newDirs.size)
+      } else {
+        (newDirs.values.toSet ++ (newDvList.toSet -- oldDvDirs.toSet))
+          .foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
+      }
+    }
+    committed
   }
 
   /** Transactional row deletion (the GDPR/right-to-erasure lake op):

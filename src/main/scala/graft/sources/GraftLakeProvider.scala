@@ -5,10 +5,11 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{ScanBuilder, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -78,11 +79,38 @@ private[sources] object GraftLakeProvider {
           "option(\"partitionCols\", \"a,b\") explicitly"))
     lake.read(partCols, version)
   }
+
+  /** The write seam: INSERT INTO → row-append, INSERT OVERWRITE →
+    * partition-replace commit. Partition columns resolve exactly like the
+    * read side (lake meta, option override); a write to an EMPTY lake
+    * requires the option (there is no meta to read yet).
+    */
+  def write(options: CaseInsensitiveStringMap, data: DataFrame, overwrite: Boolean): Unit = {
+    val spark = data.sparkSession
+    val raw = Option(options.get("path")).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        "graft: no lake path — pass it via OPTIONS (path '<root>')"))
+    val path =
+      if (raw.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(raw)).toString
+      else raw
+    val lake = new SnapshotLake(spark, path)
+    val partCols = Option(options.get("partitioncols"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .orElse(if (lake.versions.nonEmpty) lake.partitionColumns(None) else None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: cannot infer partition columns for a write to $path — pass " +
+          "option(\"partitionCols\", \"a,b\") (required for an empty or " +
+          "pre-partcols lake)"))
+    if (overwrite) lake.commit(data, partCols)
+    else if (lake.versions.isEmpty) lake.commit(data, partCols) // first write
+    else lake.append(data, partCols)
+    ()
+  }
 }
 
 private class GraftLakeTable(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = {
     val v = Option(options.get("version")).fold("")(v => s"@v$v")
@@ -92,13 +120,39 @@ private class GraftLakeTable(
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder = {
     // merge CREATE TABLE-time options with read-time ones (read-time wins)
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ caseInsensitive.asScala).asJava)
     () => new GraftLakeScan(tableSchema, merged)
+  }
+
+  /** SQL writes through the V1Write bridge, mapped to the lake's write
+    * grains: `INSERT INTO` → [[graft.catalog.SnapshotLake.append]] (true
+    * row-append — rows ADD, nothing replaces), `INSERT OVERWRITE` →
+    * [[graft.catalog.SnapshotLake.commit]] (the partition-replace grain,
+    * exactly dynamic-partition-overwrite semantics: only the partitions
+    * the batch touches are replaced). Time-travel tables refuse writes.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ info.options().asScala).asJava)
+    require(!merged.containsKey("version"),
+      "graft: cannot write to a time-travel table (version option set)")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, _: Boolean) => {
+            val ow = overwrite
+            GraftLakeProvider.write(merged, data, ow)
+          }
+      }
+    }
   }
 }
 

@@ -111,6 +111,37 @@ class GraftLakeProviderSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c"), (9L, "z")))
   }
 
+  test("SQL writes: INSERT INTO appends rows, INSERT OVERWRITE replaces partitions") {
+    val (lake, root) = fresh()
+    seed(lake)
+    spark.sql(s"CREATE TABLE graft_w_t USING graft OPTIONS (path '$root')")
+    try {
+      // INSERT INTO = true row-append: existing p1 rows survive
+      spark.sql("INSERT INTO graft_w_t VALUES (4, 'd', 40, 'p1'), (5, 'e', 50, 'p3')")
+      val afterInsert = spark.sql("SELECT id FROM graft_w_t").as[Long].collect().toSet
+      assert(afterInsert == Set(1L, 2L, 3L, 4L, 5L),
+        s"INSERT INTO must append, never replace: $afterInsert")
+      // INSERT OVERWRITE = partition replace: only touched partitions change
+      spark.sql("INSERT OVERWRITE graft_w_t VALUES (9, 'z', 90, 'p1')")
+      val afterOw = spark.sql("SELECT id, part FROM graft_w_t")
+        .as[(Long, String)].collect().toSet
+      assert(afterOw == Set((9L, "p1"), (3L, "p2"), (5L, "p3")),
+        s"OVERWRITE replaces p1 wholesale, leaves p2/p3 untouched: $afterOw")
+      // the DataFrame API rides the same seam
+      Seq((10L, "y", 100, "p2")).toDF("id", "name", "cnt", "part")
+        .write.format("graft").mode("append").save(root)
+      assert(spark.sql("SELECT count(*) FROM graft_w_t").head().getLong(0) == 4L)
+    } finally spark.sql("DROP TABLE graft_w_t")
+    // a time-travel table refuses writes
+    val v = lake.latestVersion.get
+    spark.sql(s"CREATE TABLE graft_w_tt USING graft OPTIONS (path '$root', version '$v')")
+    try {
+      val e = intercept[Exception](
+        spark.sql("INSERT INTO graft_w_tt VALUES (99, 'x', 1, 'p1')"))
+      assert(e.getMessage.contains("time-travel"), e.getMessage)
+    } finally spark.sql("DROP TABLE graft_w_tt")
+  }
+
   test("refusals: missing path, pre-feature lake without partitionCols, explicit override") {
     val e1 = intercept[Exception](
       spark.read.format("graft").load())

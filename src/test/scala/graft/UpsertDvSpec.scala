@@ -342,6 +342,31 @@ class UpsertDvSpec extends SparkSpec {
     assert(finalRows.contains((2L, "b3", 22.0)) && !finalRows.contains((2L, "b2", 21.0)))
   }
 
+  test("append: rows ADD to their partitions (nothing replaces), zero rewrite, DVs survive") {
+    val (lake, _) = fresh()
+    val v1 = seed(lake)
+    val oldFiles = filesOf(lake, v1)
+    // a pending DV delete whose address rides a file the append will re-link
+    lake.deleteWhereDv(col("id") === 1L, Seq("part"))
+    lake.append(
+      Seq((6L, "f", 60.0, 1L, "p1"), (7L, "g", 70.0, 1L, "p4"))
+        .toDF("id", "name", "score", "ver", "part"),
+      Seq("part"))
+    val out = rows(lake.read(Seq("part")))
+    assert(out == Set((2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0),
+      (5L, "e", 50.0), (6L, "f", 60.0), (7L, "g", 70.0)),
+      s"existing rows keep, appended rows add, the DV delete stays applied: $out")
+    // zero rewrite: every old file name re-enters (p1 linked, others by ref)
+    val newNames = filesOf(lake, lake.latestVersion.get)
+      .map(p => Paths.get(p).getFileName.toString)
+    val oldNames = oldFiles.map(p => Paths.get(p).getFileName.toString)
+    assert(oldNames.subsetOf(newNames), "append must never drop or rewrite an old file")
+    // appending the same partition twice stacks correctly
+    lake.append(Seq((8L, "h", 80.0, 1L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      Seq("part"))
+    assert(lake.read(Seq("part")).count() == 7L)
+  }
+
   test("merge cost artifact: only changed rows' bytes are written, not partition bytes") {
     // structural form of the ScaleProbe claim: after a 1-row merge into a
     // 1000-row partition, the NEW bytes on disk (non-linked files) hold only
