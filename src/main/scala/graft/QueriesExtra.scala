@@ -320,6 +320,13 @@ object QueriesExtra {
     // surviving row set from the predicates directly
     "q_dv_delete" -> ((s, dir) => dvDelete(s, dir)),
 
+    // true row-append through a pending DV delete: appended rows ADD to
+    // partitions whose files re-enter by hard link; the DV stays applied
+    // to the ORIGINAL rows only — appended rows matching the delete's
+    // predicate survive, pinning that DVs are positional addresses, not
+    // re-evaluated predicates
+    "q_lk_append" -> ((s, dir) => lkAppend(s, dir)),
+
     // merge-on-read upsert (row-grain MERGE via deletion vectors): matched
     // PKs DV-delete + winning rows append in ONE commit — updates, inserts,
     // a LOSING stale row, and new-partition creation all replayed in SQL,
@@ -394,6 +401,24 @@ object QueriesExtra {
       // without any data dir changing
       lake.deleteWhereDv(col("n_chars") % 7 === 0, Seq("lang"))
       lake.deleteWhereDv(col("source") === "web" && col("n_chars") % 5 === 0, Seq("lang"))
+      lake.read(Seq("lang")).withColumn("snap", lit("latest"))
+        .unionByName(lake.read(Seq("lang"), Some(v1)).withColumn("snap", lit("v1")))
+        .select("doc_id", "text", "source", "n_chars", "lang", "snap")
+    })
+
+  private def lkAppend(s: SparkSession, dir: String): DataFrame =
+    compactCache.getOrElseUpdate("lka|" + s.hashCode() + "|" + dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lka_q").toString
+      val lake = new graft.catalog.SnapshotLake(s, tmp)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"), col("lang"))
+      val v1 = lake.commit(docs, Seq("lang"))
+      lake.deleteWhereDv(col("n_chars") % 7 === 0, Seq("lang"))
+      lake.append(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", -col("doc_id") - lit(1L))
+          .withColumn("source", lit("appended")),
+        Seq("lang"))
       lake.read(Seq("lang")).withColumn("snap", lit("latest"))
         .unionByName(lake.read(Seq("lang"), Some(v1)).withColumn("snap", lit("v1")))
         .select("doc_id", "text", "source", "n_chars", "lang", "snap")
@@ -956,6 +981,16 @@ object QueriesExtra {
         |  AND NOT (coalesce(source = 'web' AND n_chars % 5 = 0, FALSE))
         |UNION ALL
         |SELECT doc_id, text, source, n_chars, lang, 'v1' AS snap FROM documents""".stripMargin,
+    "q_lk_append" ->
+      """WITH d AS (SELECT doc_id, text, source, n_chars, lang FROM documents),
+        |ap AS (SELECT -doc_id - 1 AS doc_id, text, 'appended' AS source,
+        |    n_chars, lang FROM d WHERE doc_id % 5 = 0),
+        |latest AS (
+        |  SELECT * FROM d WHERE NOT coalesce(n_chars % 7 = 0, FALSE)
+        |  UNION ALL SELECT * FROM ap)
+        |SELECT doc_id, text, source, n_chars, lang, 'latest' AS snap FROM latest
+        |UNION ALL
+        |SELECT doc_id, text, source, n_chars, lang, 'v1' AS snap FROM d""".stripMargin,
     "q_dv_upsert" ->
       """WITH d AS (SELECT doc_id, text, source, n_chars, lang,
         |    CAST(1 AS BIGINT) AS ver FROM documents),
