@@ -899,6 +899,41 @@ object ScaleProbe {
         f"post-merge read: $tRead%6.2fs, $gMor partitions updated, $nMor rows")
     }
 
+    // --- row-append cost probe (round-13) --
+    // the claim: append's cost tracks the batch + O(files) link metadata;
+    // the pre-append way to add rows (read touched partitions, union the
+    // batch, partition-replace commit) rewrites every touched byte. Same
+    // 1-row-per-partition batch against the inflated events lake.
+    if (only.forall(_.contains("lk_append"))) {
+      def inflated() = Tables(spark, base, "events")
+        .crossJoin(spark.range(30).select(col("id").as("rep")))
+        .select((col("event_id") * 30 + col("rep")).as("event_id"),
+          col("user_id"), col("value"), col("event_type").as("part"))
+      def freshLake(tag: String): graft.catalog.SnapshotLake = {
+        val root = java.nio.file.Files.createTempDirectory(s"graft_lka_probe_$tag").toString
+        val lake = new graft.catalog.SnapshotLake(spark, root)
+        lake.commit(inflated(), Seq("part"))
+        lake
+      }
+      val l1 = freshLake("ap")
+      val l2 = freshLake("rw")
+      def batch() = inflated()
+        .groupBy("part").agg((min("event_id") - 1000000000L).as("event_id"))
+        .select(col("event_id"), lit(-1L).as("user_id"),
+          lit(0.0).as("value"), col("part"))
+      val (tAp, _) = time { l1.append(batch(), Seq("part")); 0L }
+      val (tRw, _) = time {
+        l2.commit(l2.read(Seq("part")).unionByName(batch()), Seq("part")); 0L
+      }
+      val nAp = l1.read(Seq("part")).count()
+      val nRw = l2.read(Seq("part")).count()
+      require(nAp == nRw, s"append paths disagree: $nAp vs $nRw")
+      println(f"[scaleprobe] lk_append link-append: $tAp%6.2fs  " +
+        f"union-rewrite commit: $tRw%6.2fs  ratio: ${tAp / tRw}%5.2f " +
+        f"(gate: <= 0.8 — append cost tracks the batch, not partition bytes); " +
+        f"$nAp rows either way")
+    }
+
     // --- detection over the persisted SA artifact (round-12, VERDICT r11 #7) --
     // crossDocRepeat's cost = ranking + the adjacent-pair detection tail;
     // once the corpus ranks live in a persisted artifact (maintained by
