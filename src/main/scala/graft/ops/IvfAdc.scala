@@ -188,6 +188,54 @@ object IvfAdc {
         "dims" -> index.cb.dims.toLong))
   }
 
+  /** Incrementally extend a PERSISTED IVFADC artifact: assign the new
+    * vectors to the existing (frozen) centroids, encode their residuals
+    * with the existing (frozen) codebooks, and APPEND to the
+    * cell-partitioned codes table — no rebuild, no rewrite of existing
+    * files; the non-empty-cell sidecar unions in any newly populated
+    * cells. Assignment and encoding are deterministic given the frozen
+    * geometry, so the appended artifact searches identically to one built
+    * over the union with the same centroid/codebook set (spec-asserted).
+    * Same maintenance trade as [[IvfIndex.append]]: cells and codebooks
+    * drift as the corpus grows — rebuild with refinement when recall
+    * decays.
+    */
+  def append(
+      spark: SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    MetaJson.readFields(spark, path, MetaFile,
+      Seq("nCells", "m", "k", "dims"), "an IVFADC artifact written by save")
+    val cb = ProductQuantize.load(spark, s"$path/pq")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    require(centroids.nonEmpty, s"$path has no centroids — not a saved IVFADC index")
+    // re-assign against the frozen centroids (the IvfIndex.append rule),
+    // then residual-encode with the frozen codebooks
+    val cent = spark.createDataFrame(centroids.map { case (i, v) => (i, v) })
+      .toDF("cell", "cv")
+    val scored = newVectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), col("_v"), col("cell"),
+        SimilaritySearch.cosine(col("_v"), col("cv")).as("_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_sim").desc, col("cell"))
+    val assigned = scored
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_v"), col("cell"))
+    val codes = assigned
+      .join(broadcast(cent), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        ProductQuantize.encode(
+          zip_with(col("_v"), col("cv"), (a, b) => a - b), cb).as("codes"))
+    codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    // the sidecar must cover any newly populated cell — union, rewrite
+    val newCells = codes.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val allCells = (savedCells(spark, path) ++ newCells).toSeq.sorted
+    MetaJson.write(spark, path, CellsFile, allCells.map(c => s"cell_$c" -> 1L))
+  }
+
   /** Search a PERSISTED index without materializing it: the ADC legs scan
     * ONLY the probed cells' partition directories of the codes table —
     * probe cost is pinned to probed-cell code bytes by construction, not

@@ -158,6 +158,37 @@ class AnnSpec extends SparkSpec {
       s"unexpected refusal message: ${e.getMessage}")
   }
 
+  test("IVFADC append: incremental vectors join the persisted artifact without a rebuild") {
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val idx = graft.ops.IvfAdc.build(half1, "vec_id", "embedding", nCells = 16, m = 4, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfadc_app_").toString
+    graft.ops.IvfAdc.save(idx, dir)
+    graft.ops.IvfAdc.append(spark, dir, half2, "vec_id", "embedding")
+
+    // every appended vector is findable with correct ranking: at full probe
+    // + full shortlist the grown artifact IS the exact sq-L2 top-k over the
+    // WHOLE corpus — the functional form of "append ≡ build over the union
+    // with the same frozen geometry" (assignment and encoding are
+    // deterministic given centroids + codebooks)
+    val grown = graft.ops.IvfAdc.searchSaved(spark, dir, emb, "vec_id", "embedding",
+      queryVec, k = 10, nProbe = 16, shortlist = emb.count().toInt)
+      .as[(Long, Double, Double)].collect().toSeq
+    val q = array(queryVec.map(lit): _*)
+    val exact = emb.select(col("vec_id"),
+      Functions.roundHalfUp(
+        Functions.vecSqDist(col("embedding").cast("array<double>"), q), 6).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(grown.map(_._1) == exact,
+      "full probe + full shortlist over the grown artifact must be the exact top-k")
+    // append is rerun-stable (same frozen geometry, same result)
+    val again = graft.ops.IvfAdc.searchSaved(spark, dir, emb, "vec_id", "embedding",
+      queryVec, k = 10, nProbe = 16, shortlist = emb.count().toInt)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(again == grown)
+  }
+
   test("IVFADC artifact: a probed-but-EMPTY cell is skipped, not a crash") {
     import spark.implicits._
     // all vectors share ONE direction (cosine ties against every centroid
