@@ -320,6 +320,17 @@ object QueriesCorpus {
         .select(col("id_a"), col("id_b"),
           Functions.roundHalfUp(col("ratio"), 6).as("ratio"))),
 
+    // the document-grain form: geometric length buckets (2 band rows per
+    // string instead of ≈(1−frac)·len) with the exact length lemma as a
+    // join predicate — same pairs, bounded banded bytes (ScaleProbe
+    // seqratio_long: 0.04× of per-length banding on 10 k-char docs)
+    "q_dd_seqratio_long" -> ((s, dir) =>
+      Dedup.seqRatioPairsLong(
+        t(s, dir, "part").filter(col("p_partkey") % 7 === 0),
+        "p_partkey", "p_name", threshold = 0.7, sim = "lev_ratio")
+        .select(col("id_a"), col("id_b"),
+          Functions.roundHalfUp(col("ratio"), 6).as("ratio"))),
+
     // sparse tf-idf cosine pairs (APSS): lexical similarity join over the
     // df-capped vocabulary (cap = N/10 — the stopword guard is the scale
     // configuration), integer-exact weights so every cosine oracles
@@ -2700,6 +2711,18 @@ object QueriesCorpus {
         |  FROM b a JOIN b bb ON a.id < bb.id)
         |SELECT id_a, id_b, floor(ratio * 1e6 + 0.5) / 1e6 AS ratio
         |FROM r WHERE ratio >= 0.75""".stripMargin,
+    "q_dd_seqratio_long" ->
+      """WITH b AS (
+        |  SELECT p_partkey AS id, trim(lower(p_name)) AS s
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |r AS (
+        |  SELECT a.id AS id_a, bb.id AS id_b,
+        |    CASE WHEN greatest(length(a.s), length(bb.s)) = 0 THEN 1.0
+        |      ELSE 1.0 - CAST(levenshtein(a.s, bb.s) AS DOUBLE)
+        |        / greatest(length(a.s), length(bb.s)) END AS ratio
+        |  FROM b a JOIN b bb ON a.id < bb.id)
+        |SELECT id_a, id_b, floor(ratio * 1e6 + 0.5) / 1e6 AS ratio
+        |FROM r WHERE ratio >= 0.7""".stripMargin,
     "q_tx_apss" ->
       """WITH pd AS (
         |  SELECT doc_id AS d, tok AS token, count(*) AS tf

@@ -333,6 +333,13 @@ object QueriesExtra {
     // read at latest AND time-traveled before the merge
     "q_dv_upsert" -> ((s, dir) => dvUpsert(s, dir)),
 
+    // the pure-SQL lake surface WITH pushdown: partition filter → manifest
+    // entry selection, numeric conjunct → dir-stats skipping, projection →
+    // pruned parquet ReadSchema — all through spark.read.format("graft"),
+    // with a pending DV delete applied (GraftLakeProviderSpec proves the
+    // pruning physically; this oracle proves the results stay exact)
+    "q_sql_pushdown" -> ((s, dir) => sqlPushdown(s, dir)),
+
     // profiling: equi-width histogram — bounds become plan-time literals,
     // the bucket groupBy shuffles ≤ buckets rows
     "q_pf_hist" -> ((s, dir) =>
@@ -450,6 +457,19 @@ object QueriesExtra {
       lake.read(Seq("lang")).withColumn("snap", lit("latest"))
         .unionByName(lake.read(Seq("lang"), Some(v1)).withColumn("snap", lit("v1")))
         .select("doc_id", "text", "source", "n_chars", "lang", "ver", "snap")
+    })
+
+  private def sqlPushdown(s: SparkSession, dir: String): DataFrame =
+    compactCache.getOrElseUpdate("sqlpd|" + s.hashCode() + "|" + dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sqlpd_q").toString
+      val lake = new graft.catalog.SnapshotLake(s, tmp)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"), col("lang"))
+      lake.commit(docs, Seq("lang"))
+      lake.deleteWhereDv(col("n_chars") % 7 === 0, Seq("lang"))
+      s.read.format("graft").load(tmp)
+        .filter(col("lang") === "en" && col("n_chars") >= 200L)
+        .select("doc_id", "n_chars", "lang")
     })
 
   private def formatRoundTrip(s: SparkSession, dir: String, fmt: String): DataFrame =
@@ -1005,6 +1025,10 @@ object QueriesExtra {
         |SELECT doc_id, text, source, n_chars, lang, ver, 'latest' AS snap FROM latest
         |UNION ALL
         |SELECT doc_id, text, source, n_chars, lang, ver, 'v1' AS snap FROM d""".stripMargin,
+    "q_sql_pushdown" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE lang = 'en' AND n_chars >= 200
+        |  AND NOT coalesce(n_chars % 7 = 0, FALSE)""".stripMargin,
     "q_tt_snapshot" ->
       """SELECT o_orderkey, o_orderstatus, 'first' AS pointer, 'v1' AS snap FROM orders
         |UNION ALL

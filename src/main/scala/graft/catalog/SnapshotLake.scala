@@ -5,6 +5,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Versioned partitioned store with ATOMIC manifest commits — the lakehouse
@@ -774,6 +775,30 @@ class SnapshotLake(spark: SparkSession, root: String) {
   private val StatsKeyPrefix = "stats:"
   private val MaxStatsCols = 32
 
+  /** Per-DV-dir leaf index: meta key `dvleaves:<dv-dir-leaf>` → the
+    * `;`-joined DATA-dir leaves its addresses point into. Lets
+    * [[foldDvs]] keep untouched DV dirs BY REFERENCE across a link-merge
+    * (zero read, zero write) instead of re-folding the whole DV relation
+    * on every merge — a dir whose recorded leaf set is disjoint from the
+    * replaced leaves cannot need re-keying. A dir WITHOUT an entry
+    * (legacy manifests) is conservatively re-folded, which also writes
+    * its index — self-healing. Bounded: one small entry per live DV dir,
+    * pruned with the dir in [[writeManifestAtomic]].
+    */
+  private val DvLeavesPrefix = "dvleaves:"
+
+  private def dvLeafName(d: String): String = Paths.get(d).getFileName.toString
+
+  /** The distinct data-dir leaves a DV address frame points into — a
+    * bounded collect (≤ live partition count) that prices one index entry.
+    */
+  private def dvAddressedLeaves(addrs: DataFrame): Seq[String] =
+    addrs.select(element_at(split(col("__dv_file"), "/"), 1).as("l"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  private def dvLeavesEntry(dvDir: String, leaves: Seq[String]): (String, String) =
+    (DvLeavesPrefix + dvLeafName(dvDir)) -> leaves.mkString(";")
+
   /** Footer-derived per-dir stats meta for freshly staged dirs: one footer
     * job over the staged files (their stats already exist in the footers —
     * this promotes, it does not rescan data).
@@ -907,8 +932,12 @@ class SnapshotLake(spark: SparkSession, root: String) {
     // no longer references are dead weight — prune them HERE so no commit
     // path can accumulate stale stats
     val liveLeaves = m.values.map(d => Paths.get(d).getFileName.toString).toSet
+    val liveDvLeaves = dvDirsOf(meta).map(dvLeafName).toSet
     val prunedMeta = meta.filter { case (k, _) =>
-      !k.startsWith(StatsKeyPrefix) || liveLeaves.contains(k.stripPrefix(StatsKeyPrefix))
+      (!k.startsWith(StatsKeyPrefix) ||
+        liveLeaves.contains(k.stripPrefix(StatsKeyPrefix))) &&
+      (!k.startsWith(DvLeavesPrefix) ||
+        liveDvLeaves.contains(k.stripPrefix(DvLeavesPrefix)))
     }
     val dataLines = m.toSeq.sorted.map { case (k, d) => s"$k\t$d" }
     val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) =>
@@ -1195,7 +1224,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * rewrites every touched partition wholesale. Latest-wins on
     * `versionCol` like [[upsert]], with the deterministic tie rule "the
     * batch wins on equal versions"; a batch row older than the table's
-    * row neither lands nor deletes. One atomic manifest commit carries
+    * row neither lands nor deletes — against duplicate-PK table rows (a
+    * legal lake state via [[commit]]/[[append]]) the gate is the per-PK
+    * MAX table version, and a winning batch row displaces ALL of its
+    * PK's duplicates at once. One atomic manifest commit carries
     * both sides, under the same optimistic CAS loop as [[deleteWhereDv]]:
     * a racing DV delete, upsert, or optimize fails the CAS and forces a
     * full rescan-and-retry — never a lost update.
@@ -1300,20 +1332,35 @@ class SnapshotLake(spark: SparkSession, root: String) {
   }
 
   /** Fold the DV relation for a link-merge commit: existing deletes
-    * (re-keyed where their leaf was replaced) plus any freshly displaced
-    * addresses — ONE new DV directory, or the old list untouched when
-    * nothing changes. The caller commits the returned list and cleans up
+    * re-keyed WHERE THEIR LEAF WAS REPLACED plus any freshly displaced
+    * addresses — ONE new DV directory; every DV dir whose recorded leaf
+    * index ([[DvLeavesPrefix]]) is disjoint from the replaced leaves
+    * carries BY REFERENCE, unread and unwritten, so merge DV cost tracks
+    * the TOUCHED partitions' accumulated deletes, never the lake-wide
+    * pile. Dirs without an index (legacy) re-fold conservatively and come
+    * out indexed. Returns the new dir list plus the new dir's index
+    * entry; the caller commits both and cleans up
     * `returned.toSet -- dvDirsOf(meta).toSet` on CAS failure.
     */
   private def foldDvs(
       meta: Map[String, String],
       leafMap: Map[String, String],
-      displaced: Option[DataFrame]): Seq[String] = {
+      displaced: Option[DataFrame]): (Seq[String], Map[String, String]) = {
     val oldDvDirs = dvDirsOf(meta)
-    val mustFold = displaced.isDefined || (oldDvDirs.nonEmpty && leafMap.nonEmpty)
-    if (!mustFold) return oldDvDirs
-    val parts = oldDvDirs.headOption.map(_ =>
-      spark.read.parquet(oldDvDirs.map(resolveDir): _*)
+    def idxOf(d: String): Option[Set[String]] =
+      meta.get(DvLeavesPrefix + dvLeafName(d))
+        .map(_.split(";").filter(_.nonEmpty).toSet)
+    val replaced = leafMap.keySet
+    // keep by reference: indexed AND provably disjoint from every
+    // replaced leaf (no replacement at all keeps everything)
+    val (keep, touch) =
+      if (leafMap.isEmpty) (oldDvDirs, Seq.empty[String])
+      else oldDvDirs.partition(d =>
+        idxOf(d).exists(_.intersect(replaced).isEmpty))
+    val mustFold = displaced.isDefined || touch.nonEmpty
+    if (!mustFold) return (oldDvDirs, Map.empty)
+    val parts = touch.headOption.map(_ =>
+      spark.read.parquet(touch.map(resolveDir): _*)
         .select(col("__dv_file"), col("__dv_pos"))).toSeq ++ displaced.toSeq
     val all = parts.reduce(_ union _)
     val translated =
@@ -1327,11 +1374,14 @@ class SnapshotLake(spark: SparkSession, root: String) {
           concat_ws("/", coalesce(element_at(mapLit, leaf), leaf), file))
       }
     val name = java.util.UUID.randomUUID().toString
-    translated.distinct().write.parquet(resolveDir(s"data/$name"))
-    if (spark.read.parquet(resolveDir(s"data/$name")).isEmpty) {
+    val newDir = s"data/$name"
+    translated.distinct().write.parquet(resolveDir(newDir))
+    val written = spark.read.parquet(resolveDir(newDir))
+    if (written.isEmpty) {
       deleteRecursively(dataDir.resolve(name))
-      Seq.empty
-    } else Seq(s"data/$name")
+      (keep, Map.empty)
+    } else
+      (keep :+ newDir, Map(dvLeavesEntry(newDir, dvAddressedLeaves(written))))
   }
 
   private def upsertDvGated(
@@ -1437,16 +1487,30 @@ class SnapshotLake(spark: SparkSession, root: String) {
         // deletes riding the linked files must re-key or they detach
         val (newDirs, leafMap) = linkMergeDirs(stagedNew, existing)
         val oldDvDirs = dvDirsOf(meta)
-        val displaced: Option[DataFrame] = matched.map(
-          _.filter(col("__t_ver").isNull || col("__b_ver") >= col("__t_ver"))
-            .select(col("__dv_file"), col("__dv_pos")))
-        val newDvList = foldDvs(meta, leafMap, displaced)
+        // displaced addresses: ALL table rows of a PK, but ONLY when the
+        // batch row beats the per-PK MAX table version — the same gate
+        // `winners` applies. Gating per-table-row instead would let a
+        // LOSING batch row (older than the PK's newest table row) delete
+        // the PK's older duplicates while its own row never lands,
+        // silently shrinking the table. max() ignores NULLs, so a PK
+        // whose every table row lacks the version column yields NULL →
+        // any batch row wins, matching the unionByName-with-NULLs rule.
+        val displaced: Option[DataFrame] = matched.map { mt =>
+          val w = Window.partitionBy(pk.map(col): _*)
+          mt.withColumn("__pk_max_ver", max(col("__t_ver")).over(w))
+            .filter(col("__pk_max_ver").isNull ||
+              col("__b_ver") >= col("__pk_max_ver"))
+            .select(col("__dv_file"), col("__dv_pos"))
+        }
+        val (newDvList, dvIdx) = foldDvs(meta, leafMap, displaced)
         // ---- one atomic commit carries the merged dirs AND the folded DVs
         val next = baseOpt.getOrElse(0L) + 1
         val stats = dirStats(newDirs)
         touchDirs(newDirs.values ++ (newDvList.toSet -- oldDvDirs.toSet))
         if (writeManifestAtomic(next, m ++ newDirs, txns ++ gate.toMap,
-            metaWithDvs(metaWithPartCols(meta, partitionCols) ++ stats, newDvList))) {
+            metaWithDvs(
+              metaWithPartCols(meta, partitionCols) ++ stats ++ dvIdx,
+              newDvList))) {
           committed = next
           writeInfo(committed, "dvupsert", newDirs.size)
         } else {
@@ -1490,12 +1554,14 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val stagedNew = stageDirs(physicalize(batch, meta), partitionCols, touched)
       val (newDirs, leafMap) = linkMergeDirs(stagedNew, existing)
       val oldDvDirs = dvDirsOf(meta)
-      val newDvList = foldDvs(meta, leafMap, displaced = None)
+      val (newDvList, dvIdx) = foldDvs(meta, leafMap, displaced = None)
       val next = baseOpt.getOrElse(0L) + 1
       val stats = dirStats(newDirs)
       touchDirs(newDirs.values ++ (newDvList.toSet -- oldDvDirs.toSet))
       if (writeManifestAtomic(next, m ++ newDirs, txns,
-          metaWithDvs(metaWithPartCols(meta, partitionCols) ++ stats, newDvList))) {
+          metaWithDvs(
+            metaWithPartCols(meta, partitionCols) ++ stats ++ dvIdx,
+            newDvList))) {
         committed = next
         writeInfo(committed, "append", newDirs.size)
       } else {
@@ -1599,13 +1665,15 @@ class SnapshotLake(spark: SparkSession, root: String) {
         .filter(hit)
         .select(col("__dv_file"), col("__dv_pos"))
         .write.parquet(resolveDir(dvDir))
-      if (spark.read.parquet(resolveDir(dvDir)).isEmpty) {
+      val written = spark.read.parquet(resolveDir(dvDir))
+      if (written.isEmpty) {
         deleteRecursively(dataDir.resolve(name))
         return base // nothing matched — a no-op, not a new version
       }
       touchDirs(Seq(dvDir))
       if (writeManifestAtomic(base + 1, m, txns,
-          metaWithDvs(meta, dvDirsOf(meta) :+ dvDir))) {
+          metaWithDvs(meta + dvLeavesEntry(dvDir, dvAddressedLeaves(written)),
+            dvDirsOf(meta) :+ dvDir))) {
         committed = base + 1
         writeInfo(committed, "dvdelete", 0)
       } else deleteRecursively(dataDir.resolve(name))
@@ -1639,13 +1707,15 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val name = java.util.UUID.randomUUID().toString
       val newDir = s"data/$name"
       folded.write.parquet(resolveDir(newDir))
-      val newDvs =
-        if (spark.read.parquet(resolveDir(newDir)).isEmpty) {
+      val writtenBack = spark.read.parquet(resolveDir(newDir))
+      val (newDvs, idx) =
+        if (writtenBack.isEmpty) {
           deleteRecursively(dataDir.resolve(name))
-          Seq.empty[String]
-        } else Seq(newDir)
+          (Seq.empty[String], Map.empty[String, String])
+        } else
+          (Seq(newDir), Map(dvLeavesEntry(newDir, dvAddressedLeaves(writtenBack))))
       touchDirs(newDvs)
-      if (writeManifestAtomic(base + 1, m, txns, metaWithDvs(meta, newDvs))) {
+      if (writeManifestAtomic(base + 1, m, txns, metaWithDvs(meta ++ idx, newDvs))) {
         committed = base + 1
         writeInfo(committed, "dvcompact", 0)
       } else deleteRecursively(dataDir.resolve(name))
@@ -2208,6 +2278,49 @@ class SnapshotLake(spark: SparkSession, root: String) {
     val m = readManifest(v)
     require(m.nonEmpty, s"empty manifest v$v")
     readEntries(m.toSeq.sorted, partitionCols, readMeta(v))
+  }
+
+  /** Snapshot read over the manifest-entry SUBSET selected by partition
+    * values and dir-grain stats — the DSv2 pushdown seam
+    * ([[graft.sources.GraftLakeProvider]]): `keepPartition` decides each
+    * entry from its decoded partition VALUES (zero I/O — the manifest key
+    * carries them), then `ranges` excludes surviving directories whose
+    * manifest min/max stats prove the conjunctive `col ∈ [lo, hi]`
+    * predicates can never match (same positive-evidence-only rule as
+    * [[prunePartitions]]: a dir with no stats for a column is always a
+    * candidate). Equivalent to `read(...).filter(...)` minus the
+    * directories never opened; callers re-apply exact predicates.
+    */
+  def readWhere(
+      partitionCols: Seq[String],
+      keepPartition: Seq[String] => Boolean,
+      ranges: Map[String, (Double, Double)] = Map.empty,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val (m, _, meta) = readManifestAndTxns(v)
+    require(m.nonEmpty, s"empty manifest v$v")
+    val reverse = colMapOf(meta).map(_.swap)
+    val kept = m.toSeq.sorted.filter { case (key, dir) =>
+      keepPartition(partValuesOf(key)) && {
+        val leaf = Paths.get(dir).getFileName.toString
+        val stats = meta.get(StatsKeyPrefix + leaf)
+          .map(parseStats).getOrElse(Map.empty[String, (Double, Double)])
+        ranges.forall { case (c, (lo, hi)) =>
+          stats.get(reverse.getOrElse(c, c))
+            .forall { case (mn, mx) => !(mn > hi || mx < lo) }
+        }
+      }
+    }
+    if (kept.isEmpty) {
+      // nothing survives: an empty frame with the exact read() schema
+      val anyDir = resolveDir(m.values.head)
+      val base = logicalize(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        scanDirs(Seq(anyDir), meta).schema), meta)
+      partitionCols.foldLeft(base)((df, c) =>
+        df.withColumn(c, lit(null).cast("string")))
+    } else readEntries(kept, partitionCols, meta)
   }
 
   /** Per-file min/max stats for a snapshot's data files, read from parquet

@@ -1070,6 +1070,102 @@ object Dedup {
       .filter(col("ratio") >= threshold)
   }
 
+  /** The sim's length-lemma fraction: `ratio ≥ t` implies
+    * `min_len ≥ frac(t) · max_len`. Shared by the per-length banding, the
+    * geometric long-string banding, and both ops' exact re-check.
+    */
+  private def fracOf(threshold: Double, sim: String): Double = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold must be in (0, 1] — at 0 every pair is a candidate " +
+        "and banding degenerates to the cross this operator exists to avoid")
+    sim match {
+      case "seq_ratio" => threshold / (2.0 - threshold)
+      case "lev_ratio" => threshold
+      case other => throw new IllegalArgumentException(
+        s"unknown sim '$other' — supported: seq_ratio, lev_ratio")
+    }
+  }
+
+  /** Long-string (document-grain) form of [[seqRatioPairs]] — identical
+    * contract and result, different candidate generator: GEOMETRIC length
+    * bucketing instead of per-length bands. [[seqRatioPairs]] explodes
+    * each string to ≈(1−frac)·len band rows EACH CARRYING THE FULL STRING
+    * — right for the fuzzy-join grain (names, titles), a byte blow-up at
+    * document grain (a 10 k-char doc at t=0.7 would band ~4,600×). Here
+    * buckets are integer boundaries `b₀=1, b₍g₊₁₎ = max(⌈b_g/frac⌉,
+    * b_g+1)` (driver-computed literals — integer comparisons, no float
+    * bucket math to disagree across the join), so `min ≥ frac·max`
+    * implies the buckets differ by AT MOST ONE, and each string emits
+    * exactly TWO band rows: {bucket(len)−1, bucket(len)}. A pair is taken
+    * from exactly one shared band — `bucket(min(la, lb))` — and the EXACT
+    * per-length lemma `min ≥ ⌊frac·max⌋` (the same floored expression
+    * [[seqRatioPairs]] bands by) re-applies as a cheap join predicate, so
+    * the set of pairs reaching the expensive ratio verify is IDENTICAL to
+    * the per-length banding's. Same salting/SHUFFLE_HASH discipline, same
+    * verify expressions. Returns `(id_a, id_b, ratio)` with `id_a < id_b`.
+    *
+    * Scale shape: banded bytes = 2× corpus (vs ≈(1−frac)·len ×), shuffle
+    * keyed on (band, salt); the coarser buckets admit length-incompatible
+    * probe pairs, but those exit on the integer length predicate before
+    * any ratio evaluation.
+    */
+  def seqRatioPairsLong(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      threshold: Double,
+      sim: String = "seq_ratio",
+      normalize: Boolean = true): DataFrame = {
+    val frac = fracOf(threshold, sim)
+    val bounds = geoBounds(frac)
+    val boundsCol = array(bounds.map(lit): _*)
+    def bucketOf(len: Column): Column =
+      size(filter(boundsCol, b => b <= len))
+    val raw = col(strCol).cast("string")
+    val s = if (normalize) trim(lower(raw)) else raw
+    val banded = df
+      .select(col(idCol).as("id"), s.as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+      .withColumn("band",
+        explode(array(bucketOf(col("len")) - 1, bucketOf(col("len")))))
+      .filter(col("band") >= 0)
+    val (aS, bS, ratio) = ratioBandedSides(banded, banded, sim, df.sparkSession)
+    aS.join(bS,
+        col("a.band") === col("b.band") &&
+          col("a._salt") === col("b._salt") &&
+          col("a.id") < col("b.id") &&
+          // exactly-once pick: the shorter side's own bucket
+          col("a.band") === bucketOf(least(col("a.len"), col("b.len"))) &&
+          // the EXACT length lemma, before any ratio evaluation — the
+          // same floored expression seqRatioPairs bands by, so the
+          // verified candidate set matches it exactly
+          least(col("a.len"), col("b.len")) >=
+            floor(greatest(col("a.len"), col("b.len")) * lit(frac)).cast("int"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        ratio.as("ratio"))
+      .filter(col("ratio") >= threshold)
+  }
+
+  /** Geometric bucket boundaries for [[seqRatioPairsLong]]: integer,
+    * strictly increasing, each ≥ the previous divided by `frac` — so two
+    * lengths within the lemma (`min ≥ frac·max`) sit at most one bucket
+    * apart. Bounded by O(log_{1/frac} maxInt) entries (35 at frac≈0.54,
+    * ~1,500 at frac=0.99 — literal-array scale either way).
+    */
+  private[ops] def geoBounds(frac: Double): Seq[Int] = {
+    val r = 1.0 / frac
+    val out = Seq.newBuilder[Int]
+    var b = 1L
+    while (b <= Int.MaxValue) {
+      out += b.toInt
+      b = math.max(math.ceil(b * r).toLong, b + 1)
+    }
+    out.result()
+  }
+
   /** One side's banded relation: `(id, s, len, band)` with bands
     * `[⌊bound(len)⌋ .. len]` per the sim's length lemma (floor, so a
     * boundary pair can never be lost to float rounding).
@@ -1077,15 +1173,7 @@ object Dedup {
   private def bandForRatio(
       df: DataFrame, idCol: String, strCol: String,
       threshold: Double, sim: String, normalize: Boolean): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold=$threshold must be in (0, 1] — at 0 every pair is a candidate " +
-        "and banding degenerates to the cross this operator exists to avoid")
-    val frac = sim match {
-      case "seq_ratio" => threshold / (2.0 - threshold)
-      case "lev_ratio" => threshold
-      case other => throw new IllegalArgumentException(
-        s"unknown sim '$other' — supported: seq_ratio, lev_ratio")
-    }
+    val frac = fracOf(threshold, sim)
     val raw = col(strCol).cast("string")
     val s = if (normalize) trim(lower(raw)) else raw
     df.select(col(idCol).as("id"), s.as("s"))

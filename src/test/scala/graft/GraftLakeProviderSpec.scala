@@ -142,6 +142,107 @@ class GraftLakeProviderSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_w_tt")
   }
 
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally w.close()
+    }
+
+  private def dirsByPart(lake: SnapshotLake): Map[String, java.nio.file.Path] =
+    lake.files(Seq("part")).select("part", "file").collect()
+      .map(r => r.getString(0) -> java.nio.file.Paths.get(r.getString(1)).getParent)
+      .toMap
+
+  test("pushdown: partition-equality SQL filter physically reads ONLY the matching directory") {
+    val (lake, root) = fresh()
+    seed(lake) // p1: ids 1,2 — p2: id 3
+    val dirs = dirsByPart(lake)
+    // plan BOTH frames while every file still exists (schema inference
+    // opens footers across the lake), then destroy the non-p1 directories:
+    // a scan that still lists them dies, the pruned one never looks
+    val pruned = spark.read.format("graft").load(root)
+      .filter(col("part") === "p1").select("id", "name")
+    val unpruned = spark.read.format("graft").load(root).select("id", "name")
+    // IN-list and negation prune too
+    val inList = spark.read.format("graft").load(root)
+      .filter(col("part").isin("p1") && !(col("part") === "p2")).select("id")
+    dirs.filterNot(_._1 == "p1").values.foreach(deleteTree)
+    assert(pruned.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
+      "the partition filter must select manifest entries before any file opens")
+    intercept[Exception](unpruned.collect()) // proves the deletion was real
+    assert(inList.as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("pushdown: manifest dir-stats skip directories a numeric conjunct excludes") {
+    val (lake, root) = fresh()
+    seed(lake) // p1: cnt {10, 20} — p2: cnt {30}
+    val dirs = dirsByPart(lake)
+    val skipped = spark.read.format("graft").load(root)
+      .filter(col("cnt") >= 25).select("id", "cnt")
+    deleteTree(dirs("p1")) // stats prove p1 (max cnt 20) cannot match
+    assert(skipped.as[(Long, Int)].collect().toSet == Set((3L, 30)),
+      "dir stats must exclude p1 without opening it")
+  }
+
+  test("pushdown: required columns reach the scan schema; results equal the API read") {
+    val (lake, root) = fresh()
+    seed(lake)
+    val narrow = spark.read.format("graft").load(root).select("name")
+    val leaf = narrow.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.output.map(_.name) == Seq("name"),
+      s"column pruning must reach the scan, got ${leaf.output}")
+    assert(narrow.as[String].collect().toSet == Set("a", "b", "c"))
+    // pushed filters surface in the physical plan
+    val filtered = spark.read.format("graft").load(root)
+      .filter(col("part") === "p1" && col("cnt") > 15)
+    val planStr = filtered.queryExecution.executedPlan.toString
+    assert(planStr.contains("PushedFilters") && planStr.contains("part"),
+      s"pushed filters must be visible in the plan:\n$planStr")
+    // and the filtered SQL read equals the filtered API read exactly
+    val api = lake.read(Seq("part"))
+      .filter(col("part") === "p1" && col("cnt") > 15).collect().toSet
+    assert(filtered.collect().toSet == api)
+    // empty survivor set: correct empty result, schema intact
+    val none = spark.read.format("graft").load(root).filter(col("part") === "nope")
+    assert(none.collect().isEmpty && none.columns.contains("cnt"))
+  }
+
+  test("SQL DELETE FROM: deletion-vector delete, time travel intact, named refusals") {
+    val (lake, root) = fresh()
+    val v1 = seed(lake)
+    spark.sql(s"CREATE TABLE graft_d_t USING graft OPTIONS (path '$root')")
+    try {
+      spark.sql("DELETE FROM graft_d_t WHERE id = 2 OR cnt > 25")
+      assert(spark.sql("SELECT id FROM graft_d_t").as[Long].collect().toSet == Set(1L),
+        "DV delete through SQL must remove exactly the matching rows")
+      // zero rewrite: the delete stacked a DV, data files survive for time travel
+      val old = spark.read.format("graft").option("version", v1).load(root)
+      assert(old.count() == 3L, "time travel before the DELETE sees every row")
+      // ≡ the API path on an identical lake
+      val (lake2, _) = fresh()
+      seed(lake2)
+      lake2.deleteWhereDv(col("id") === 2L || col("cnt") > 25, Seq("part"))
+      assert(spark.table("graft_d_t").collect().toSet ==
+        lake2.read(Seq("part")).collect().toSet)
+      // UPDATE / MERGE INTO are refused by name at analysis time
+      val eU = intercept[Exception](
+        spark.sql("UPDATE graft_d_t SET name = 'x' WHERE id = 1"))
+      assert(eU.getMessage.toLowerCase.contains("update"), eU.getMessage)
+      val eM = intercept[Exception](spark.sql(
+        """MERGE INTO graft_d_t USING (SELECT 1 AS id) s ON graft_d_t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin))
+      assert(eM.getMessage.toLowerCase.contains("merge"), eM.getMessage)
+    } finally spark.sql("DROP TABLE graft_d_t")
+    // DELETE on a time-travel table: the NAMED refusal
+    spark.sql(s"CREATE TABLE graft_d_tt USING graft OPTIONS (path '$root', version '$v1')")
+    try {
+      val e = intercept[Exception](spark.sql("DELETE FROM graft_d_tt WHERE id = 1"))
+      assert(e.getMessage.contains("time-travel"), e.getMessage)
+    } finally spark.sql("DROP TABLE graft_d_tt")
+  }
+
   test("refusals: missing path, pre-feature lake without partitionCols, explicit override") {
     val e1 = intercept[Exception](
       spark.read.format("graft").load())

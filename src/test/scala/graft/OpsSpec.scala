@@ -1281,6 +1281,47 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("threshold"))
   }
 
+  test("seqRatioPairsLong: ≡ seqRatioPairs on every fixture; O(1) band rows; keyed plan") {
+    import spark.implicits._
+    // the short-string fixtures seqRatioPairs is pinned against...
+    val rnd = new scala.util.Random(29)
+    val shorts = (1 to 120).map(i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(7))("abc"(rnd.nextInt(3))).mkString))
+    // ...plus document-grain strings: shared prefixes with small edits,
+    // lengths straddling bucket boundaries, an empty and a 1-char string
+    val base = "lorem ipsum dolor sit amet " * 40 // ~1080 chars
+    val longs = Seq(
+      (201L, base), (202L, base + "tail"), (203L, base.drop(17)),
+      (204L, base.take(600)), (205L, base.take(600) + base.take(9)),
+      (206L, ("z" * 300) + base.take(300)), (207L, ""), (208L, "a"))
+    for ((df, t) <- Seq(
+        (shorts.toDF("id", "name").repartition(5), 0.7),
+        (longs.toDF("id", "name").toDF(), 0.9),
+        (longs.toDF("id", "name").toDF(), 0.62))) {
+      for (sim <- Seq("seq_ratio", "lev_ratio")) {
+        def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        val perLen = graft.ops.Dedup.seqRatioPairs(df, "id", "name", t, sim)
+          .collect().map(key).toSet
+        val geo = graft.ops.Dedup.seqRatioPairsLong(df, "id", "name", t, sim)
+          .collect().map(key)
+        assert(geo.length == geo.distinct.length, s"$sim@$t: exactly-once")
+        assert(geo.toSet == perLen,
+          s"$sim@$t: geometric bucketing must equal per-length banding")
+      }
+    }
+    // the whole point: band rows are 2/string regardless of length (vs
+    // ≈(1−frac)·len for per-length bands — ~460 rows/string here)
+    val docs = longs.toDF("id", "name")
+    val geoPlan = graft.ops.Dedup.seqRatioPairsLong(docs, "id", "name", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!geoPlan.contains("CartesianProduct") &&
+      !geoPlan.contains("BroadcastNestedLoopJoin"),
+      s"geometric ratio join must stay keyed:\n$geoPlan")
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Dedup.seqRatioPairsLong(docs, "id", "name", 0.0))
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("tfidfCosinePairs: exact quantized cosine, stopword cap, partition invariance") {
     import spark.implicits._
     // every doc carries the stopword 'the'; discrimination lives in the

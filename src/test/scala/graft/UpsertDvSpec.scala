@@ -102,6 +102,37 @@ class UpsertDvSpec extends SparkSpec {
       "equal version ties go to the batch; older versions keep the table row")
   }
 
+  test("duplicate-PK table rows: a LOSING batch row neither lands nor deletes ANY duplicate") {
+    // a raw-commit + append lake legally holds duplicate-PK rows. The
+    // displacement gate must be the per-PK MAX table version (the same
+    // gate `winners` uses) — gating per-table-row would let a batch row
+    // at v3 against table duplicates {v1, v5} LOSE (never land) yet
+    // DV-delete the v1 row, silently shrinking the table.
+    val (lake, _) = fresh()
+    lake.commit(
+      Seq((1L, "old-v1", 10.0, 1L, "p1"), (9L, "keep", 90.0, 1L, "p1"))
+        .toDF("id", "name", "score", "ver", "part"),
+      Seq("part"))
+    lake.append(
+      Seq((1L, "new-v5", 15.0, 5L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      Seq("part"))
+    // batch: pk=1 at v3 (loses to v5) + an unrelated winner (so the merge commits)
+    lake.upsertDv(
+      Seq((1L, "mid-v3", 13.0, 3L, "p1"), (9L, "keep2", 91.0, 2L, "p1"))
+        .toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val out = rows(lake.read(Seq("part")))
+    assert(out == Set((1L, "old-v1", 10.0), (1L, "new-v5", 15.0), (9L, "keep2", 91.0)),
+      s"both duplicates of pk=1 must survive a losing batch row: $out")
+    // and a WINNING batch row displaces ALL duplicates of its PK at once
+    lake.upsertDv(
+      Seq((1L, "final-v9", 19.0, 9L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val out2 = rows(lake.read(Seq("part")))
+    assert(out2 == Set((1L, "final-v9", 19.0), (9L, "keep2", 91.0)),
+      s"a winning batch row must displace every duplicate of its PK: $out2")
+  }
+
   test("within-batch duplicate PKs fold by versionCol before merging") {
     val (lake, _) = fresh()
     seed(lake)
@@ -365,6 +396,66 @@ class UpsertDvSpec extends SparkSpec {
     lake.append(Seq((8L, "h", 80.0, 1L, "p1")).toDF("id", "name", "score", "ver", "part"),
       Seq("part"))
     assert(lake.read(Seq("part")).count() == 7L)
+  }
+
+  private def dvDirsOf(root: String): Seq[String] = {
+    val mdir = Paths.get(root, "manifests")
+    val s = Files.list(mdir)
+    val mf = try {
+      val it = scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+      it.toSeq.filter(_.getFileName.toString.endsWith(".json"))
+        .maxBy(_.getFileName.toString)
+    } finally s.close()
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    new String(Files.readAllBytes(mf), "UTF-8").linesIterator
+      .map(_.split("\t"))
+      .collectFirst { case Array("#meta", k, v) if dec(k) == "dv" => dec(v) }
+      .toSeq.flatMap(_.split(";").filter(_.nonEmpty).map(dec))
+  }
+
+  private def md5sOf(root: String, dir: String): Map[String, String] = {
+    val p = Paths.get(root).resolve(dir)
+    val s = Files.list(p)
+    try {
+      val it = scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+      it.filter(f => !Files.isDirectory(f)).map { f =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(f))
+        f.getFileName.toString -> d.map("%02x".format(_)).mkString
+      }.toMap
+    } finally s.close()
+  }
+
+  test("merges DISJOINT from a DV dir's partitions keep it BY REFERENCE, byte-identical") {
+    val (lake, root) = fresh()
+    seed(lake)
+    // a DV addressing ONLY p1
+    lake.deleteWhereDv(col("id") === 1L, Seq("part"))
+    val dv1 = dvDirsOf(root)
+    assert(dv1.size == 1)
+    val bytesBefore = md5sOf(root, dv1.head)
+    // merge into p2 — disjoint from the DV's recorded leaves: the dir must
+    // survive AS IS (same manifest path, same bytes), unread and unwritten
+    lake.upsertDv(
+      Seq((3L, "c2", 31.0, 2L, "p2")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val dv2 = dvDirsOf(root)
+    assert(dv2.contains(dv1.head),
+      s"a disjoint merge must keep the DV dir by reference: $dv1 -> $dv2")
+    assert(md5sOf(root, dv1.head) == bytesBefore, "and byte-identical")
+    assert(rows(lake.read(Seq("part"))) == Set(
+      (2L, "b", 20.0), (3L, "c2", 31.0), (4L, "d", 40.0), (5L, "e", 50.0)),
+      "the kept DV still applies, the merge landed")
+    // a merge TOUCHING p1 must re-key that dir (leaf replaced) — it folds
+    lake.upsertDv(
+      Seq((2L, "b2", 21.0, 2L, "p1")).toDF("id", "name", "score", "ver", "part"),
+      pk = Seq("id", "part"), versionCol = "ver", partitionCols = Seq("part"))
+    val dv3 = dvDirsOf(root)
+    assert(!dv3.contains(dv1.head),
+      s"a merge into the DV's partition must fold/re-key it: $dv3")
+    assert(rows(lake.read(Seq("part"))) == Set(
+      (2L, "b2", 21.0), (3L, "c2", 31.0), (4L, "d", 40.0), (5L, "e", 50.0)),
+      "id=1 stays deleted through the re-key; id=2 updated")
   }
 
   test("merge cost artifact: only changed rows' bytes are written, not partition bytes") {
