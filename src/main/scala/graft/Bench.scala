@@ -60,7 +60,8 @@ object Bench {
       "q_ann_bitext_lsh", "q_sa_crossdoc_incr", "q_sc_geotile",
       "q_j12_tile_nn", "q_dv_delete", "q_dv_upsert", "q_ann_ivfadc",
       "q_dd_seqratio_pairs", "q_dc_exact_overlap", "q_dc_exact_clean",
-      "q_lk_append", "q_sql_pushdown", "q_dd_seqratio_long")
+      "q_lk_append", "q_sql_pushdown", "q_dd_seqratio_long",
+      "q_sql_count", "q_st_mirror")
     // Each query runs once uncounted (JIT + janino codegen + parquet footer
     // reads — a long-lived cluster pays those once, and AQE picks different
     // physical plans per SF, so the warmup must happen AT the measured SF),

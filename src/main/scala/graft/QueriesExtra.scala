@@ -340,6 +340,18 @@ object QueriesExtra {
     // pruning physically; this oracle proves the results stay exact)
     "q_sql_pushdown" -> ((s, dir) => sqlPushdown(s, dir)),
 
+    // COUNT(*) aggregate pushdown through the SQL surface: per-partition
+    // group-by counts answered from parquet footers + the manifest (zero
+    // data pages; GraftLakeProviderSpec pins the pushed plan) — the
+    // oracle proves the metadata answer equals the data answer
+    "q_sql_count" -> ((s, dir) => sqlCount(s, dir)),
+
+    // lake→lake STREAMING replication, end to end through the format
+    // surface: readStream(graft CDF) → writeStream(graft merge sink),
+    // exactly-once by the txn watermark — the mirror must equal the
+    // source's latest content, which derives straight from documents
+    "q_st_mirror" -> ((s, dir) => streamMirror(s, dir)),
+
     // profiling: equi-width histogram — bounds become plan-time literals,
     // the bucket groupBy shuffles ≤ buckets rows
     "q_pf_hist" -> ((s, dir) =>
@@ -470,6 +482,51 @@ object QueriesExtra {
       s.read.format("graft").load(tmp)
         .filter(col("lang") === "en" && col("n_chars") >= 200L)
         .select("doc_id", "n_chars", "lang")
+    })
+
+  private def sqlCount(s: SparkSession, dir: String): DataFrame =
+    compactCache.getOrElseUpdate("sqlcnt|" + s.hashCode() + "|" + dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sqlcnt_q").toString
+      val lake = new graft.catalog.SnapshotLake(s, tmp)
+      lake.commit(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("lang")),
+        Seq("lang"))
+      // no DVs on this lake, no filters: the count pushes to the footers
+      s.read.format("graft").load(tmp)
+        .groupBy(col("lang")).count().withColumnRenamed("count", "n_docs")
+    })
+
+  private def streamMirror(s: SparkSession, dir: String): DataFrame =
+    compactCache.getOrElseUpdate("stmir|" + s.hashCode() + "|" + dir, {
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft_stmir_src").toString
+      val dstRoot = java.nio.file.Files.createTempDirectory("graft_stmir_dst").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stmir_ck").toString
+      val src = new graft.catalog.SnapshotLake(s, srcRoot)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"), col("lang"))
+        .withColumn("ver", lit(1L))
+      def mirror(): Unit = {
+        val q = s.readStream.format("graft").option("pk", "doc_id,lang").load(srcRoot)
+          .filter(col("_change").isin("insert", "update_post")).drop("_change")
+          .writeStream.format("graft")
+          .option("pk", "doc_id,lang").option("versionCol", "ver")
+          .option("partitionCols", "lang")
+          .option("checkpointLocation", ckpt)
+          .start(dstRoot)
+        try q.processAllAvailable() finally q.stop()
+      }
+      src.commit(docs, Seq("lang"))
+      mirror() // bootstrap: the full v1 snapshot as inserts
+      // recap a slice (ver=2): the second run resumes from the checkpoint
+      // and consumes the REAL CDF delta, not a re-bootstrap
+      src.commit(
+        docs.filter(col("lang") === "en")
+          .withColumn("text", upper(col("text")))
+          .withColumn("ver", lit(2L)),
+        Seq("lang"))
+      mirror()
+      new graft.catalog.SnapshotLake(s, dstRoot).read(Seq("lang"))
+        .select("doc_id", "text", "n_chars", "lang", "ver")
     })
 
   private def formatRoundTrip(s: SparkSession, dir: String, fmt: String): DataFrame =
@@ -1029,6 +1086,15 @@ object QueriesExtra {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE lang = 'en' AND n_chars >= 200
         |  AND NOT coalesce(n_chars % 7 = 0, FALSE)""".stripMargin,
+    "q_sql_count" ->
+      "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+    "q_st_mirror" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'en' THEN upper(text) ELSE text END AS text,
+        |  n_chars, lang,
+        |  CASE WHEN lang = 'en' THEN CAST(2 AS BIGINT)
+        |    ELSE CAST(1 AS BIGINT) END AS ver
+        |FROM documents""".stripMargin,
     "q_tt_snapshot" ->
       """SELECT o_orderkey, o_orderstatus, 'first' AS pointer, 'v1' AS snap FROM orders
         |UNION ALL

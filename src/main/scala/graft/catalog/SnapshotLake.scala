@@ -88,6 +88,16 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * OPTIMIZE effectiveness all read straight off it, without scanning a
     * byte of data.
     */
+  /** Whether `version` (default latest) carries pending deletion vectors.
+    * Metadata-only answers (footer row counts, file lists) are EXACT only
+    * when this is false — the DSv2 aggregate pushdown's gate.
+    */
+  def hasDeletionVectors(version: Option[Long] = None): Boolean = {
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    dvDirsOf(readMeta(v)).nonEmpty
+  }
+
   def files(partitionCols: Seq[String], version: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val v = version.orElse(latestVersion).getOrElse(
@@ -1537,7 +1547,28 @@ class SnapshotLake(spark: SparkSession, root: String) {
     * ([[graft.sources.GraftLakeProvider]]); using [[commit]] there would
     * silently REPLACE every touched partition.
     */
-  def append(batch: DataFrame, partitionCols: Seq[String]): Long = {
+  def append(batch: DataFrame, partitionCols: Seq[String]): Long =
+    appendGated(batch, partitionCols, gate = None).get
+
+  /** Exactly-once row-append — [[append]] under the [[commitIfNew]] txn
+    * watermark: a replayed `(appId, batchId)` is a no-op (None), so a
+    * streaming sink replaying a micro-batch after a crash cannot
+    * double-append its rows. The watermark rides the append's own atomic
+    * manifest create; same checkpoint-loss caveat as [[commitIfNew]].
+    */
+  def appendIfNew(
+      appId: String,
+      batchId: Long,
+      batch: DataFrame,
+      partitionCols: Seq[String]): Option[Long] = {
+    if (lastTxn(appId).exists(_ >= batchId)) return None
+    appendGated(batch, partitionCols, Some(appId -> batchId))
+  }
+
+  private def appendGated(
+      batch: DataFrame,
+      partitionCols: Seq[String],
+      gate: Option[(String, Long)]): Option[Long] = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     Files.createDirectories(manifestsDir)
     Files.createDirectories(dataDir)
@@ -1550,6 +1581,10 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val (m, txns, meta) = baseOpt.map(readManifestAndTxns)
         .getOrElse((Map.empty[String, String], Map.empty[String, Long],
           Map.empty[String, String]))
+      // replay check under the freshest manifest, BEFORE staging anything
+      gate.foreach { case (appId, batchId) =>
+        if (txns.get(appId).exists(_ >= batchId)) return None
+      }
       val existing = m.view.filterKeys(touchedKeys).toMap
       val stagedNew = stageDirs(physicalize(batch, meta), partitionCols, touched)
       val (newDirs, leafMap) = linkMergeDirs(stagedNew, existing)
@@ -1558,7 +1593,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
       val next = baseOpt.getOrElse(0L) + 1
       val stats = dirStats(newDirs)
       touchDirs(newDirs.values ++ (newDvList.toSet -- oldDvDirs.toSet))
-      if (writeManifestAtomic(next, m ++ newDirs, txns,
+      if (writeManifestAtomic(next, m ++ newDirs, txns ++ gate.toMap,
           metaWithDvs(
             metaWithPartCols(meta, partitionCols) ++ stats ++ dvIdx,
             newDvList))) {
@@ -1569,7 +1604,7 @@ class SnapshotLake(spark: SparkSession, root: String) {
           .foreach(d => deleteRecursively(Paths.get(resolveDir(d))))
       }
     }
-    committed
+    Some(committed)
   }
 
   /** Transactional row deletion (the GDPR/right-to-erasure lake op):

@@ -7,10 +7,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source => V1Source}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink => V1Sink, Source => V1Source}
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -27,6 +29,8 @@ import graft.catalog.SnapshotLake
   *   INSERT INTO t ...          -- row-append;  INSERT OVERWRITE -- partition replace
   *   DELETE FROM t WHERE ...    -- deletion-vector delete (zero rewrite)
   *   spark.readStream.format("graft").option("pk", "id,part").load(root)
+  *   df.writeStream.format("graft").option("pk", "id,part")
+  *     .option("versionCol", "ver").start(root)   -- exactly-once sink
   * }}}
   *
   * Resolution goes through the SAME `readEntries` seam as the API
@@ -72,7 +76,7 @@ import graft.catalog.SnapshotLake
   * `format("graft")` resolves with no session configuration at all.
   */
 class GraftLakeProvider extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -105,6 +109,20 @@ class GraftLakeProvider extends TableProvider with DataSourceRegister
       providerName: String,
       parameters: Map[String, String]): V1Source =
     new GraftLakeSource(parameters)
+
+  // ---- v1 streaming sink (exactly-once lake writes per micro-batch)
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): V1Sink = {
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft: Complete output mode is not supported — the lake is a log, " +
+        "not a replaceable aggregate; use append (row-append) or update " +
+        "(pk + versionCol merge)")
+    new GraftLakeSink(parameters)
+  }
 }
 
 private[sources] object GraftLakeProvider {
@@ -136,8 +154,16 @@ private[sources] object GraftLakeProvider {
     (lake, version, partCols)
   }
 
-  /** Full snapshot read at the options' version — schema inference. */
+  /** Full snapshot read at the options' version — schema inference. An
+    * EMPTY lake (no commits yet) resolves to a zero-column frame instead
+    * of failing: the streaming-WRITE path must infer a table before the
+    * v1 sink fallback, and its first micro-batch is what creates the
+    * lake. Batch reads of an empty lake still fail loudly — at scan time.
+    */
   def resolve(options: CaseInsensitiveStringMap): DataFrame = {
+    val path = pathOf(options.get)
+    val spark = SparkSession.active
+    if (new SnapshotLake(spark, path).versions.isEmpty) return spark.emptyDataFrame
     val (lake, version, partCols) = lakeOf(options)
     lake.read(partCols, version)
   }
@@ -362,12 +388,16 @@ private class GraftLakeTable(
   */
 private class GraftLakeScanBuilder(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var countGroupBy: Option[(Seq[String], Int)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     pushed = filters.filter(f => FilterPush.toColumnExact(f).isDefined)
     filters // Spark re-evaluates everything — the scan may return a superset
   }
@@ -377,7 +407,84 @@ private class GraftLakeScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftLakeScan(required, pushed, options)
+  /** `COUNT(*)` (optionally GROUP BY partition columns) answers from
+    * parquet FOOTER row counts plus the manifest — no data read at all,
+    * at any scale. EXACT only when nothing post-filters and no deletion
+    * vectors are pending, so anything else declines and the normal scan
+    * runs. Filters always decline here: this builder reports every filter
+    * as post-scan (advisory pruning), and a post-scan filter under a
+    * pushed-down aggregate would drop rows the footers already counted.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    analyzeCountPushdown(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    analyzeCountPushdown(agg) match {
+      case some @ Some(_) => countGroupBy = some; true
+      case None => false
+    }
+  }
+
+  private def analyzeCountPushdown(agg: Aggregation): Option[(Seq[String], Int)] = {
+    if (sawFilters) return None
+    val counts = agg.aggregateExpressions.toSeq
+    if (counts.isEmpty || !counts.forall(_.isInstanceOf[CountStar])) return None
+    val groupCols = agg.groupByExpressions.toSeq.map {
+      case f: NamedReference if f.fieldNames.length == 1 => f.fieldNames.head
+      case _ => return None
+    }
+    try {
+      val (lake, version, partCols) = GraftLakeProvider.lakeOf(options)
+      if (lake.hasDeletionVectors(version)) return None
+      if (!groupCols.forall(partCols.contains)) return None
+      Some((groupCols, counts.size))
+    } catch { case _: Exception => None }
+  }
+
+  override def build(): Scan = countGroupBy match {
+    case Some((groupCols, nCounts)) =>
+      new GraftLakeCountScan(groupCols, nCounts, options)
+    case None => new GraftLakeScan(required, pushed, options)
+  }
+}
+
+/** The metadata-only COUNT(*) scan: row counts come from parquet footers
+  * (one distributed footer job over the manifest's files —
+  * [[SnapshotLake.files]]), grouped by partition VALUES decoded from the
+  * manifest keys. Zero data pages read — `SELECT count(*) FROM lake` costs
+  * the same at 100 TB as at 100 MB.
+  */
+private class GraftLakeCountScan(
+    groupCols: Seq[String], nCounts: Int,
+    options: CaseInsensitiveStringMap) extends V1Scan {
+
+  override def readSchema(): StructType = {
+    val g = groupCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))
+    val cs = (0 until nCounts).map(i =>
+      org.apache.spark.sql.types.StructField(
+        s"count_$i", org.apache.spark.sql.types.LongType, nullable = false))
+    StructType(g ++ cs)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = readSchema()
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+        val (lake, version, partCols) = GraftLakeProvider.lakeOf(options)
+        val f = lake.files(partCols, version)
+        val counts = (0 until nCounts).map(i => sum(col("rows")).as(s"count_$i"))
+        val out =
+          if (groupCols.isEmpty)
+            f.agg(coalesce(counts.head, lit(0L)).as("count_0"),
+              counts.drop(1).map(c => coalesce(c, lit(0L))): _*)
+          else
+            f.groupBy(groupCols.map(col): _*).agg(counts.head, counts.drop(1): _*)
+        out.rdd
+      }
+    }.asInstanceOf[T]
 }
 
 /** The [[V1Scan]] bridge: Spark plans a DSv2 relation, execution delegates
@@ -486,4 +593,71 @@ private class GraftLakeSource(parameters: Map[String, String]) extends V1Source 
 /** A lake version as a v1 streaming offset (JSON = the version number). */
 private case class GraftVersionOffset(version: Long) extends V1Offset {
   override val json: String = version.toString
+}
+
+/** Micro-batch sink into the lake, EXACTLY-ONCE by construction: every
+  * batch applies through a txn-watermarked write keyed on `(appId,
+  * batchId)` — [[graft.catalog.SnapshotLake.appendIfNew]] (row-append,
+  * the default) or [[graft.catalog.SnapshotLake.upsertDvIfNew]]
+  * (merge-on-read CDC apply, when `pk` + `versionCol` options are set) —
+  * so the engine's at-least-once batch replay after a crash lands zero
+  * duplicate rows. `appId` defaults to the query's checkpoint location
+  * (stable across restarts); set it explicitly when two queries share a
+  * checkpoint root. With the graft SOURCE on the other end this is
+  * lake→lake streaming replication end to end:
+  *
+  * {{{
+  *   spark.readStream.format("graft").option("pk", "id,part").load(src)
+  *     .filter(col("_change").isin("insert", "update_post")).drop("_change")
+  *     .writeStream.format("graft")
+  *     .option("pk", "id,part").option("versionCol", "ver")
+  *     .option("checkpointLocation", ckpt).start(dst)
+  * }}}
+  */
+private class GraftLakeSink(parameters: Map[String, String]) extends V1Sink {
+
+  private val opts = GraftLakeSource.paramsMap(parameters)
+  require(!opts.containsKey("version"),
+    "graft: cannot stream-write to a time-travel table (version option set)")
+  private val appId: String =
+    Option(opts.get("appid")).orElse(Option(opts.get("checkpointlocation")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft: streaming writes need option(\"appId\", ...) or a " +
+          "checkpointLocation — the exactly-once watermark key"))
+  private val pkOpt: Option[Seq[String]] =
+    Option(opts.get("pk"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
+  private val verOpt: Option[String] = Option(opts.get("versioncol"))
+  require(pkOpt.isDefined == verOpt.isDefined,
+    "graft: pk and versionCol come together — both for a merge sink, " +
+      "neither for a row-append sink")
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    // pin the incremental execution as a batch frame (multi-pass writers)
+    val batch = GraftSqlShims.asBatchDataFrame(data)
+    if (batch.isEmpty) return // nothing to land; replay of nothing is nothing
+    val path = {
+      val raw = Option(opts.get("path")).filter(_.nonEmpty).getOrElse(
+        throw new IllegalArgumentException(
+          "graft: no lake path — pass it via .start(<root>) or option(\"path\", ...)"))
+      if (raw.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(raw)).toString
+      else raw
+    }
+    val lake = new SnapshotLake(batch.sparkSession, path)
+    val partCols = Option(opts.get("partitioncols"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .orElse(if (lake.versions.nonEmpty) lake.partitionColumns(None) else None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: cannot infer partition columns for a streaming write to " +
+          s"$path — pass option(\"partitionCols\", \"a,b\") (required for " +
+          "an empty or pre-partcols lake)"))
+    (pkOpt, verOpt) match {
+      case (Some(pk), Some(ver)) =>
+        lake.upsertDvIfNew(appId, batchId, batch, pk, ver, partCols)
+      case _ =>
+        lake.appendIfNew(appId, batchId, batch, partCols)
+    }
+    ()
+  }
 }

@@ -19,4 +19,14 @@ object GraftSqlShims {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for a V1 `Sink.addBatch`: pin the micro-batch's
+    * incremental execution as a plain batch DataFrame (the ForeachBatchSink
+    * re-wrap), so a sink may run ordinary multi-pass batch logic over it.
+    */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

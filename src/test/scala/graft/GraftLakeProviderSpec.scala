@@ -209,6 +209,34 @@ class GraftLakeProviderSpec extends SparkSpec {
     assert(none.collect().isEmpty && none.columns.contains("cnt"))
   }
 
+  test("COUNT(*) pushdown: answered from parquet footers, zero data columns read") {
+    val (lake, root) = fresh()
+    seed(lake)
+    val cnt = spark.read.format("graft").load(root).groupBy().count()
+    // complete pushdown: the scan's output IS the count — no data column,
+    // no aggregate node above it
+    val plan = cnt.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]") &&
+      !plan.contains("HashAggregate"),
+      s"count must push to the scan (footer row counts):\n$plan")
+    assert(cnt.head().getLong(0) == 3L)
+    // GROUP BY a partition column: per-dir footer sums + manifest values
+    val byPart = spark.read.format("graft").load(root)
+      .groupBy("part").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPart == Map("p1" -> 2L, "p2" -> 1L))
+    // a pending DV makes footer counts wrong — pushdown must DECLINE
+    lake.deleteWhereDv(col("id") === 1L, Seq("part"))
+    val cntDv = spark.read.format("graft").load(root).groupBy().count()
+    val planDv = cntDv.queryExecution.executedPlan.toString
+    assert(!planDv.contains("PushedAggregates"),
+      s"with DVs pending the normal DV-aware scan must run:\n$planDv")
+    assert(cntDv.head().getLong(0) == 2L, "and the DV-aware count is exact")
+    // a WHERE clause declines too (filters are post-scan here)
+    assert(spark.read.format("graft").load(root)
+      .filter(col("part") === "p1").count() == 1L)
+  }
+
   test("SQL DELETE FROM: deletion-vector delete, time travel intact, named refusals") {
     val (lake, root) = fresh()
     val v1 = seed(lake)
