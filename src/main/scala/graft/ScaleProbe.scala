@@ -1003,6 +1003,63 @@ object ScaleProbe {
         s"expected ${parts - 1} DV dirs by reference, got ${kept.size}")
     }
 
+    // --- streaming lake source delta-cost probe (round-14) --
+    // the claim: a micro-batch of the graft streaming source costs the
+    // DELTA, not the lake — `changes(from,to)` reads only the partitions
+    // the commits between the offsets touched (manifest-diff pruning), so
+    // a 1-partition commit against a many-partition lake streams in a
+    // fraction of the bootstrap's full-snapshot cost.
+    if (only.forall(_.contains("st_source"))) {
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_stsrc_probe").toString
+      val lake = new graft.catalog.SnapshotLake(spark, root)
+      val parts = 40
+      lake.commit(
+        spark.range(8000000).select(col("id").as("event_id"),
+          lit(1L).as("ver"), (col("id") % parts).cast("string").as("part")),
+        Seq("part"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stsrc_ck").toString
+      var rows = 0L
+      def drain(): Double = {
+        val q = spark.readStream.format("graft")
+          .option("pk", "event_id,part").load(root)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            rows += b.count(); ()
+          }.start()
+        val (t, _) = time { q.processAllAvailable(); 0L }
+        q.stop()
+        t
+      }
+      val tBoot = drain()
+      val bootRows = rows
+      require(bootRows == 8000000L, s"bootstrap rows drifted: $bootRows")
+      // ONE small commit into ONE partition of the 40: the micro-batch's
+      // CDF joins only that partition's two sides
+      rows = 0L
+      lake.commit(
+        Seq((1L, 2L, "1"), (-5L, 2L, "1")).toDF("event_id", "ver", "part"),
+        Seq("part"))
+      val tDelta1 = drain()
+      val delta1Rows = rows
+      require(delta1Rows > 0 && delta1Rows < 8000000L / parts * 2,
+        s"delta must be partition-bounded, got $delta1Rows rows")
+      // the control: a commit touching EVERY partition — same fixed
+      // streaming-query cost, lake-sized CDF; the 1-partition delta must
+      // be a fraction of it (the manifest-diff pruning is the difference)
+      rows = 0L
+      lake.commit(
+        spark.range(8000000).select(col("id").as("event_id"),
+          lit(3L).as("ver"), (col("id") % parts).cast("string").as("part")),
+        Seq("part"))
+      val tDeltaAll = drain()
+      println(f"[scaleprobe] st_source bootstrap: $tBoot%6.2fs ($bootRows rows)  " +
+        f"1-partition delta: $tDelta1%6.2fs ($delta1Rows rows)  " +
+        f"all-partition delta: $tDeltaAll%6.2fs ($rows rows)  " +
+        f"ratio: ${tDelta1 / tDeltaAll}%5.2f (gate: <= 0.5 — a micro-batch " +
+        f"costs the touched partitions' CDF, never the lake)")
+    }
+
     // --- IVFADC append recall-drift probe (round-14, VERDICT r13 #7) --
     // IvfAdc.append is EXACT against the frozen geometry (spec-pinned),
     // but frozen centroids fit the ORIGINAL distribution: appending a
