@@ -64,6 +64,17 @@ object Functions {
     ColumnBridge.column(
       SequenceRatio(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Capped longest-common-PREFIX length of two strings, in code points —
+    * one codegen'd walk ([[graft.expressions.CommonPrefixLength]]) replacing
+    * the interpreted `transform(sequence(1, m), ...)` + `array_position`
+    * composite in the suffix-array LCP compares. `cap <= 0` yields 0.
+    */
+  def commonPrefixLen(a: Column, b: Column, cap: Column): Column =
+    ColumnBridge.column(
+      graft.expressions.CommonPrefixLength(
+        ColumnBridge.expression(a), ColumnBridge.expression(b),
+        ColumnBridge.expression(cap)))
+
   /** Longest-common-subsequence length of two token arrays
     * (`array<string>`) — the ROUGE-L backbone, codegen'd.
     */

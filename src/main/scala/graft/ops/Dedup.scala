@@ -52,7 +52,7 @@ object Dedup {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
     val wins = windowRows(df, idCol, textCol, windowTokens)
-    mergeIslands(wins.join(crossDocHashes(wins, idCol, minDocs), "win_hash"),
+    mergeIslands(filterCrossDoc(wins, "win_hash", idCol, minDocs),
       idCol, windowTokens)
   }
 
@@ -77,6 +77,30 @@ object Dedup {
 
   private def crossDocHashes(wins: DataFrame, idCol: String, minDocs: Int): DataFrame =
     crossDocKeys(wins, "win_hash", idCol, minDocs)
+
+  /** `rows` filtered to keys occurring in at least `minDocs` distinct
+    * documents — the [[crossDocKeys]] test fused into the row stream as a
+    * key-partitioned window min/max, so the (corpus-sized, compute-heavy)
+    * window-extraction subtree is computed ONCE: the old aggregate +
+    * join-back shape planned the extraction TWICE (once per join side —
+    * executed-plan audited) and broadcast the duplicated-key set, whose
+    * size is unbounded in exactly the corpora this family exists for.
+    * One keyed exchange; the dominant aggregate+join exchange volume
+    * (every (key, id) row) was the same. `minDocs > 2` keeps the
+    * aggregate shape: a distinct-count window would hold per-key id sets
+    * in memory, which the two-phase aggregate deliberately avoids.
+    */
+  private def filterCrossDoc(
+      rows: DataFrame, keyCol: String, idCol: String, minDocs: Int): DataFrame =
+    if (minDocs == 2) {
+      val w = Window.partitionBy(col(keyCol))
+      rows
+        .withColumn("_lo", min(col(idCol)).over(w))
+        .withColumn("_hi", max(col(idCol)).over(w))
+        .filter(col("_lo") =!= col("_hi"))
+        .drop("_lo", "_hi")
+    } else
+      rows.join(crossDocKeys(rows, keyCol, idCol, minDocs), keyCol)
 
   /** (id, start_pos, win_hash) — one row per `windowTokens`-token window of
     * every document; the shared explode of the repeated-span family. The
@@ -134,7 +158,11 @@ object Dedup {
       broadcastBatch: Boolean = true): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
-    val wins = windowRows(batch, idCol, textCol, windowTokens)
+    // batch windows feed THREE consumers (history prune keys, in-batch
+    // duplication, final mark join) — localCheckpoint so the explode runs
+    // once. Batch-bounded, so materializing is scale-safe; history stays
+    // the never-materialized semi-pruned scan.
+    val wins = windowRows(batch, idCol, textCol, windowTokens).localCheckpoint()
     val batchKeys = wins.select("win_hash").distinct()
     val histKeys = historyHashes.select("win_hash")
     // no inner distinct on the survivors: the union's distinct below is the
@@ -168,15 +196,39 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      windowTokens: Int): DataFrame =
-    df.select(col(idCol), cleanTokens(col(textCol)).as("toks"))
+      windowTokens: Int): DataFrame = {
+    // explicit-count repartition by id before the generator (the
+    // shingleRows discipline): per-window compute (joins, md5) vastly
+    // exceeds bytes per input row, so a scan with few input splits would
+    // otherwise serialize the whole explode into one task
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val base = df
+      .repartition(parallelism, col(idCol))
+      .select(col(idCol), cleanTokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= windowTokens)
-      .select(col(idCol),
-        posexplode(transform(
-          sequence(lit(0), size(col("toks")) - windowTokens),
-          i => windowJoint(col("toks"), i, windowTokens)))
-          .as(Seq("start_pos", "win_text")))
-      .withColumn("win_hash", md5(col("win_text")))
+    // windows via posexplode(arrays_zip(shifted slices)) — the shingleRows
+    // shape: n linear array ops ONCE per document inside the generator,
+    // all codegen'd, where the old transform(sequence(...), windowJoint)
+    // evaluated the slice+concat lambda INTERPRETED per window (~60 µs
+    // each — the documented HOF cost this file's shingleRows already
+    // avoids). Full windows only: the zip pads trailing rows with nulls in
+    // field t{w-1}, exactly the start positions past size−w the old
+    // sequence(0, size−w) never generated.
+    val w = windowTokens
+    val exploded =
+      if (w == 1)
+        base.select(col(idCol), posexplode(col("toks")).as(Seq("start_pos", "win_text")))
+      else {
+        val streams = col("toks").as("t0") +: (1 until w).map(k =>
+          slice(col("toks"), lit(k + 1), size(col("toks"))).as(s"t$k"))
+        base
+          .select(col(idCol), posexplode(arrays_zip(streams: _*)).as(Seq("start_pos", "_z")))
+          .filter(col(s"_z.t${w - 1}").isNotNull)
+          .select(col(idCol), col("start_pos"),
+            concat_ws("\u0001", (0 until w).map(k => col(s"_z.t$k")): _*).as("win_text"))
+      }
+    exploded.withColumn("win_hash", md5(col("win_text")))
+  }
 
   /** Exact-substring spans at THRESHOLD grain — the suffix-array detection
     * semantics of Lee et al.'s ExactSubstr, closing [[repeatedSpans]]'
@@ -220,7 +272,6 @@ object Dedup {
     require(minMatchTokens >= 1, s"minMatchTokens must be >= 1, got $minMatchTokens")
     require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
     val wins = windowRows(df, idCol, textCol, minMatchTokens)
-    val candidates = crossDocHashes(wins, idCol, minDocs)
     // verification pass: survivor positions per doc, then window text
     // re-derived ONLY for those positions — same tokens() pipeline as
     // windowTextRows, so pass-2 content can never drift from pass-1 hashes.
@@ -230,7 +281,7 @@ object Dedup {
     // unbounded array (one long per token) on a single row. Typical docs
     // land in one chunk, so the text side is still replicated ~once.
     val posChunk = 4096L
-    val survivorPos = wins.join(candidates, "win_hash")
+    val survivorPos = filterCrossDoc(wins, "win_hash", idCol, minDocs)
       .groupBy(col(idCol), floor(col("start_pos") / posChunk).as("_chunk"))
       .agg(collect_list(col("start_pos")).as("_pos"))
       .drop("_chunk")
@@ -240,8 +291,8 @@ object Dedup {
         explode(col("_pos")).as("start_pos"))
       .select(col(idCol), col("start_pos"),
         windowJoint(col("_toks"), col("start_pos"), minMatchTokens).as("win_text"))
-    val verified = crossDocKeys(content, "win_text", idCol, minDocs)
-    mergeIslands(content.join(verified, "win_text"), idCol, minMatchTokens)
+    mergeIslands(filterCrossDoc(content, "win_text", idCol, minDocs),
+      idCol, minMatchTokens)
   }
 
   /** Per-document duplication coverage from a [[repeatedSpans]] result:

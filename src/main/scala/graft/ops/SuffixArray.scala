@@ -56,7 +56,18 @@ object SuffixArray {
     */
   private def chunkRows(base: DataFrame, window: Int): DataFrame = {
     val chunkLen = chunkStride + window - 1
+    // explicit-count repartition by id BEFORE the explode (the shingleRows
+    // discipline): per-window compute (substring copies, hashes) vastly
+    // exceeds bytes per input row, and a scan with few input splits (one
+    // small file locally; one skewed split at scale) would otherwise run
+    // the whole extraction serially. Keyed on id, the exchange ALSO
+    // satisfies every downstream per-document window/groupBy
+    // (mergeCharIslands, ranks' rank windows) — for those consumers this
+    // is the exchange they would have paid anyway, moved below the
+    // compute-heavy generator.
+    val parallelism = base.sparkSession.sparkContext.defaultParallelism
     base
+      .repartition(parallelism, col("id"))
       .select(col("id"), col("t"), length(col("t")).as("tlen"))
       .select(col("id"), col("t"), col("tlen"),
         explode(expr(s"sequence(bigint(0), (tlen - 1) div $chunkStride)")).as("c"))
@@ -177,17 +188,18 @@ object SuffixArray {
     val maxLenRow = base.agg(max(length(col("t")))).head()
     val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
     val seedK = 128
-    // tie-group sizes → resolved flag; the group-keyed aggregate is
-    // map-side combinable and the join back AQE-skew-splittable (a
+    // tie-group sizes → resolved flag, as ONE rank-keyed window count
+    // (unbounded frame, no ordering) instead of the old groupBy + join
+    // back — one exchange instead of an aggregate exchange plus a
+    // full-table join; AQE skew-split still applies to the exchange (a
     // pathological all-one-char document is one huge tie group)
-    def withResolved(r: DataFrame): DataFrame = {
-      val sizes = r.groupBy(col("rank")).agg(count(lit(1)).as("_n"))
-      r.join(sizes, Seq("rank"))
+    def withResolved(r: DataFrame): DataFrame =
+      r.withColumn("_n", count(lit(1)).over(Window.partitionBy(col("rank"))))
         .withColumn("resolved", col("_n") === 1L)
         .drop("_n")
-    }
     var rows = withResolved(
-      globalMinRank(seedPrefixRows(base, seedK), Seq(col("id"), col("_pfx")))
+      globalMinRank(seedPrefixRows(base, seedK), Seq(col("id"), col("_pfx")),
+        dropBeforeCheckpoint = Seq("_pfx"))
         .drop("_pfx"))
       .localCheckpoint()
     var k = seedK
@@ -287,7 +299,8 @@ object SuffixArray {
       resolveLcp: Int = Int.MaxValue): DataFrame = {
     val base = corpusBase(df, idCol, textCol)
     val rows = classifyFresh(
-      globalMinRank(seedPrefixRows(base, corpusSeedK), Seq(col("_pfx")))
+      globalMinRank(seedPrefixRows(base, corpusSeedK), Seq(col("_pfx")),
+        dropBeforeCheckpoint = Seq("_pfx"))
         .drop("_pfx")
         .withColumn("_oldRank", lit(null).cast("long")))
       .localCheckpoint()
@@ -309,15 +322,14 @@ object SuffixArray {
   }
 
   /** Bucket-size-1 ⇒ resolved — a singleton min-rank bucket's rank IS its
-    * final global position. The group-keyed aggregate is map-side
-    * combinable and the join back AQE-skew-splittable.
+    * final global position. One rank-keyed window count (unbounded frame)
+    * replaces the old groupBy + full-table join back: a single exchange,
+    * still AQE-skew-splittable.
     */
-  private def withResolved(r: DataFrame): DataFrame = {
-    val sizes = r.groupBy(col("rank")).agg(count(lit(1)).as("_n"))
-    r.join(sizes, Seq("rank"))
+  private def withResolved(r: DataFrame): DataFrame =
+    r.withColumn("_n", count(lit(1)).over(Window.partitionBy(col("rank"))))
       .withColumn("resolved", col("_n") === 1L)
       .drop("_n")
-  }
 
   /** The corpus-grain prefix-doubling loop over `(id, pos, rank, resolved,
     * frozen)` rows: each round refines ONLY `!frozen` rows (their tie
@@ -571,14 +583,12 @@ object SuffixArray {
       .select(col("id_a"), col("id_b"),
         least(col("la") - col("i"), col("lb") - col("j")).as("_shorter"),
         col("ra"), col("rb"))
+    // capped LCP as ONE codegen'd byte walk (cap <= 0 folds to 0 inside) —
+    // the interpreted transform(sequence)/array_position composite this
+    // replaces dispatched ~2m interpreted substring evals (each re-seeking
+    // from byte 0) and built an m-element array PER PAIR
     val m = least(col("_shorter"), lit(maxLcp.toLong))
-    val flags = transform(
-      sequence(lit(1L), m),
-      x => substring(col("ra"), x.cast("int"), lit(1)) =!=
-        substring(col("rb"), x.cast("int"), lit(1)))
-    val lcp = when(m <= 0, lit(0L))
-      .otherwise(
-        coalesce(nullif(array_position(flags, true), lit(0L)) - 1, m.cast("long")))
+    val lcp = graft.Functions.commonPrefixLen(col("ra"), col("rb"), m)
     val scored = pairs.select(col("id_a"), col("id_b"),
       lcp.as("_l"),
       when(lcp === maxLcp.toLong && col("_shorter") > maxLcp.toLong, 1L)
@@ -638,24 +648,37 @@ object SuffixArray {
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) >= minLen)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-    def crossDoc(rows: DataFrame, keyCol: String): DataFrame =
-      if (minDocs == 2)
-        rows.groupBy(col(keyCol))
-          .agg(min(col("id")).as("_lo"), max(col("id")).as("_hi"))
+    // cross-doc test fused into the row stream as a key-partitioned window
+    // min/max (the Dedup.filterCrossDoc shape): ONE keyed exchange, and the
+    // compute-heavy extraction subtree under it is planned ONCE — the old
+    // aggregate + broadcast-join-back planned that subtree twice per pass
+    // (executed-plan audited: the chunk/window explode appeared six times
+    // in this query's plan) and broadcast the duplicated-key set, unbounded
+    // in exactly the duplication-heavy corpora this operator exists for.
+    // minDocs > 2 keeps the aggregate shape (a distinct-count window would
+    // hold per-key id sets in memory).
+    def crossDocFiltered(rows: DataFrame, keyCol: String): DataFrame =
+      if (minDocs == 2) {
+        val w = Window.partitionBy(col(keyCol))
+        rows
+          .withColumn("_lo", min(col("id")).over(w))
+          .withColumn("_hi", max(col("id")).over(w))
           .filter(col("_lo") =!= col("_hi"))
-          .select(col(keyCol))
-      else
-        rows.groupBy(col(keyCol))
-          .agg(count_distinct(col("id")).as("_df"))
-          .filter(col("_df") >= minDocs)
-          .select(col(keyCol))
+          .select(col("id"), col("pos"))
+      } else
+        rows.join(
+          rows.groupBy(col(keyCol))
+            .agg(count_distinct(col("id")).as("_df"))
+            .filter(col("_df") >= minDocs)
+            .select(col(keyCol)),
+          Seq(keyCol))
+          .select(col("id"), col("pos"))
     // pass 1: slim (id, pos, hash) per FULL window (trailing sub-window
     // prefixes are excluded — they cannot anchor a >= minLen match)
     val hashed = seedPrefixRows(texts, minLen)
       .filter(length(col("_pfx")) === minLen)
       .select(col("id"), col("pos"), xxhash64(col("_pfx")).as("_h"))
-    val survivors = hashed.join(crossDoc(hashed, "_h"), Seq("_h"))
-      .select(col("id"), col("pos"))
+    val survivors = crossDocFiltered(hashed, "_h")
     // pass 2: window content re-derived ONLY at survivor positions, via the
     // same chunk seam as pass 1 (the two passes can never disagree on what
     // a window is), then re-verified on actual characters
@@ -668,8 +691,7 @@ object SuffixArray {
         col("chunk").substr(
           (col("pos") - col("c") * chunkStride + 1L).cast("int"),
           lit(minLen)).as("_w"))
-    val marked = content.join(crossDoc(content, "_w"), Seq("_w"))
-      .select(col("id"), col("pos"))
+    val marked = crossDocFiltered(content, "_w")
     mergeCharIslands(marked, minLen).withColumnRenamed("id", idCol)
   }
 
@@ -742,7 +764,13 @@ object SuffixArray {
       minDocs: Int = 2,
       broadcastBatch: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs below 2 would flag every window, got $minDocs")
-    val wins = charWindowRows(batch, idCol, textCol, minLen)
+    // the batch window table feeds THREE consumers (the history prune key
+    // set, the in-batch duplication aggregate, and the final mark join) —
+    // localCheckpoint so the compute-heavy extraction runs once, not three
+    // times (executed-plan audited). Batch-bounded rows (~48 B/window), so
+    // the materialization is scale-safe; the HISTORY side stays a
+    // never-materialized semi-pruned scan as before.
+    val wins = charWindowRows(batch, idCol, textCol, minLen).localCheckpoint()
     val batchKeys = wins.select("win_hash").distinct()
     val histKeys = historyHashes.select("win_hash")
     val histTouched =
@@ -967,7 +995,7 @@ object SuffixArray {
       .unionByName(seedPrefixRows(bat, corpusSeedK)
         .select(col("id"), col("pos"), col("_pfx"),
           lit(null).cast("long").as("_oldRank")))
-    val seeded = globalMinRank(union, Seq(col("_pfx"))).drop("_pfx")
+    val seeded = globalMinRank(union, Seq(col("_pfx")), dropBeforeCheckpoint = Seq("_pfx"))
     // [[classifyAppend]] does the bucket triage — singleton / all-old
     // (freeze by old-rank offsets) / mixed (pending) — at the seed, and
     // the SAME triage re-runs after every doubling round, so history-only
@@ -999,18 +1027,25 @@ object SuffixArray {
     * bounds come from sampling, so PARTITION SIZES vary run to run — rank
     * VALUES never do (the composition is exact for any bounds).
     */
-  private[graft] def globalMinRank(df: DataFrame, keys: Seq[Column]): DataFrame = {
+  private[graft] def globalMinRank(
+      df: DataFrame, keys: Seq[Column],
+      dropBeforeCheckpoint: Seq[String] = Nil): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     // materialized ONCE: both consumers below (the offsets aggregate and
     // the final join) must see the SAME partition ids — the range
     // partitioner's sampled bounds are not deterministic across separate
     // computations, so an unmaterialized plan could hand each branch a
-    // different _pid assignment and misalign the offsets
+    // different _pid assignment and misalign the offsets.
+    // `dropBeforeCheckpoint` names key-only columns (the ≤128-char seed
+    // prefix) no consumer reads after the rank is assigned: dropping them
+    // BEFORE the checkpoint materializes slim (id, pos, rank) rows instead
+    // of re-writing the corpus-sized prefix payload to local disk.
     val local = df
       .repartitionByRange(nPart, keys: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lrank",
         rank().over(Window.partitionBy(col("_pid")).orderBy(keys: _*)).cast("long"))
+      .drop(dropBeforeCheckpoint: _*)
       .localCheckpoint()
     // per-partition row counts → cumulative offsets: a ≤numPartitions-row
     // table (the epochShuffle offsets pattern) — the single-partition
@@ -1067,17 +1102,15 @@ object SuffixArray {
     // means the true LCP is ≥ maxLcp and the pair's report is TRUNCATED
     val shorter = least(length(col("t")) - col("i"), length(col("t")) - col("j"))
     val lcp = {
-      // longest shared prefix of suffixes at i and j: first mismatching
-      // offset over the shorter remainder (array_position is 1-based and
-      // 0 when no mismatch ⇒ whole shorter remainder is shared)
+      // longest shared prefix of suffixes at i and j, capped at maxLcp:
+      // extract each suffix's cap window ONCE (two O(pos) seeks instead of
+      // the old per-character substring(t, pos+x, 1) re-seek — O(m·pos)
+      // per pair) and compare with the codegen'd single-walk LCP
       val m = least(shorter, lit(maxLcp.toLong))
-      val flags = transform(
-        sequence(lit(1L), m),
-        x => substring(col("t"), (col("i") + x).cast("int"), lit(1)) =!=
-          substring(col("t"), (col("j") + x).cast("int"), lit(1)))
-      when(m <= 0, lit(0L))
-        .otherwise(
-          coalesce(nullif(array_position(flags, true), lit(0L)) - 1, m.cast("long")))
+      graft.Functions.commonPrefixLen(
+        col("t").substr((col("i") + 1L).cast("int"), m.cast("int")),
+        col("t").substr((col("j") + 1L).cast("int"), m.cast("int")),
+        m)
     }
     texts
       .join(pairs, Seq("id"), "left")
