@@ -1401,7 +1401,13 @@ object QueriesCorpus {
       // would reject EVERY document and the pipeline would be vacuous;
       // with it the gates discriminate on word count and repetition,
       // the realistic failure modes
-      val extracted = docs.select(col("doc_id"), col("lang"),
+      // explicit-count repartition BELOW the regex chain (the shingleRows
+      // discipline): the localCheckpoint freezes its input partitioning,
+      // and off a low-split scan the whole per-row extraction — and every
+      // downstream stage reading the checkpoint — would run as ONE task
+      val extracted = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"),
         graft.ops.WebExtract.htmlToText(concat(
           lit("<div><h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
           col("text"), lit(" &amp; tail</p><p>the size of this page will " +

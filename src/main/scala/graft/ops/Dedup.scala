@@ -1442,7 +1442,15 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 2,
       shingle: Int = 3): DataFrame = {
+    // pinned: the candidate-pair set feeds FOUR consumers (estimate join,
+    // both sides of the candidate-id union, the exact-intersection join,
+    // the final assembly) and each reference re-planned the whole
+    // shingle+minhash+band pipeline (executed-plan audited: 28 source
+    // scans in one calibration plan). Candidate pairs are bounded by LSH
+    // collision volume — the op's own scale contract — so the
+    // materialization is safe at any corpus size.
     val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, shingle)
+      .localCheckpoint(false)
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingle)
     val aSide = sigs.select(
       col(idCol).as("id_a") +: (0 until numHashes).map(i => col(s"mh$i").as(s"_a$i")): _*)
@@ -1461,10 +1469,14 @@ object Dedup {
     val candidateIds = pairs.select(col("id_a").as("_id"))
       .unionByName(pairs.select(col("id_b").as("_id")))
       .distinct()
+    // pinned for the same reason: three consumers (sizes, both sides of
+    // the intersection join); bounded by the CANDIDATES' shingles, not the
+    // corpus — the semi-join prunes before materialization
     val shingleSet = shingleRows(df, idCol, textCol, shingle)
       .select(col(idCol).as("_id"), col("shingle"))
       .join(candidateIds, Seq("_id"), "left_semi")
       .distinct()
+      .localCheckpoint(false)
     val sizes = shingleSet.groupBy(col("_id")).agg(count(lit(1)).as("_sz"))
     val inter = pairs
       .join(shingleSet.select(col("_id").as("id_a"), col("shingle")), Seq("id_a"))

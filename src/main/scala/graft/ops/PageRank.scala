@@ -50,14 +50,23 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct in [0,100], got $dampingPct")
     require(scale % 100L == 0L, s"scale must be divisible by 100, got $scale")
+    // the graph is pinned ONCE (lazy checkpoints, materialized by the
+    // first action): every iteration joins against e/outdeg and rebuilds
+    // ranks over nodes, so an unpinned edge relation re-derives itself —
+    // and whatever corpus projection produced it — twice per round. The
+    // standard Pregel-style discipline: iterative graph algorithms cache
+    // the edge relation for the loop's lifetime.
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .localCheckpoint(false)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(false)
     val n = nodes.count() // bounded driver scalar — the node count
     require(n > 0, "empty graph")
     val base = (scale / 100L) * (100L - dampingPct) / n

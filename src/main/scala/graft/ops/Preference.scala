@@ -258,6 +258,9 @@ object Preference {
       winCol: String,
       iterations: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // pinned once: every iteration's gradient join re-references the match
+    // table, so without the barrier the source scan + filter re-runs per
+    // iteration (slim (a, b, w) rows — bounded materialization)
     val m = matches
       .select(
         col(aCol).cast("long").as("a"),
@@ -265,6 +268,7 @@ object Preference {
         col(winCol).cast("long").as("w"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("w").isNotNull &&
         col("a") =!= col("b"))
+      .localCheckpoint(false)
     val items = m.select(col("a").as("item"))
       .union(m.select(col("b").as("item")))
       .distinct()
@@ -457,11 +461,14 @@ object Preference {
     val ni = g.groupBy(col("_item"))
       .agg(sum(col("_nic")).as("_ni"), sum(col("_nic") * col("_nic")).as("_s2"))
     val pairable = ni.filter(col("_ni") >= 2L)
-    val dOn = pairable.agg(coalesce(sum(
-      floor((col("_ni") * col("_ni") - col("_s2")).cast("double") /
-        (col("_ni") - 1L).cast("double") * 1e9 + lit(0.5)).cast("long")), lit(0L))
-      .as("_dn"))
-    val nItems = pairable.agg(count(lit(1)).as("n_items"))
+    // observed-disagreement sum and the pairable-item count in ONE
+    // aggregate pass (they were two separate scans of the same relation)
+    val dOn = pairable.agg(
+      coalesce(sum(
+        floor((col("_ni") * col("_ni") - col("_s2")).cast("double") /
+          (col("_ni") - 1L).cast("double") * 1e9 + lit(0.5)).cast("long")), lit(0L))
+        .as("_dn"),
+      count(lit(1)).as("n_items"))
     val margins = g
       .join(pairable.select(col("_item")), Seq("_item"), "left_semi")
       .groupBy(col("_label"))
@@ -472,7 +479,7 @@ object Preference {
       coalesce(sum(dec(col("_nc")) * dec(col("_nc"))), dec(lit(0))).as("_sc2"),
       count(lit(1)).as("n_values"))
     val deNum = (dec(col("_n")) * dec(col("_n")) - col("_sc2")).cast("double")
-    nItems.crossJoin(dOn).crossJoin(tot).select(
+    dOn.crossJoin(tot).select(
       col("n_items"),
       col("_n").as("n_pairable"),
       col("n_values"),

@@ -231,10 +231,12 @@ object SuffixArray {
       // group's first position turns it into the WITHIN-group offset —
       // every tie group is wholly pending (a size->1 group froze already),
       // so ranking pending rows only is exact
+      // the group's first position via ONE _r1-keyed window min instead of
+      // the old groupBy + join back (one exchange, pranked planned once)
       val pranked = globalMinRank(paired, Seq(col("_r1"), col("r2")))
         .withColumnRenamed("rank", "_pr")
-      val gmin = pranked.groupBy(col("_r1")).agg(min(col("_pr")).as("_g"))
-      val upd = pranked.join(gmin, Seq("_r1"))
+      val upd = pranked
+        .withColumn("_g", min(col("_pr")).over(Window.partitionBy(col("_r1"))))
         .select(col("id"), col("pos"), (col("_r1") + col("_pr") - col("_g")).as("rank"))
       rows = rows.filter(col("resolved"))
         .unionByName(withResolved(upd))
@@ -244,6 +246,11 @@ object SuffixArray {
         println(s"[sa] round k=$k -> pending=$pending")
       k *= 2
     }
+    // the final per-doc renumber stays the one-row-per-doc aggregate +
+    // id-keyed join back (NOT an id-partitioned window): the join probe
+    // side is AQE-skew-splittable, which is this variant's whole giant-doc
+    // contract (sa_skew probe) — a window would serialize the giant doc's
+    // block into one task
     val mins = rows.groupBy(col("id")).agg(min(col("rank")).as("_m"))
     rows.join(mins, Seq("id"))
       .select(col("id").as(idCol), col("pos"),
@@ -395,10 +402,13 @@ object SuffixArray {
         .join(ahead, col("id") === col("rid") && col("pos") === col("rpos"), "left")
         .select(col("id"), col("pos"), col("_oldRank"), col("_r1"),
           coalesce(col("r2"), lit(-1L)).as("r2"))
+      // the group's first position via ONE _r1-keyed window min instead of
+      // the old groupBy + join back — one exchange over the (shrinking)
+      // pending set, pranked planned once
       val pranked = globalMinRank(paired, Seq(col("_r1"), col("r2")))
         .withColumnRenamed("rank", "_pr")
-      val gmin = pranked.groupBy(col("_r1")).agg(min(col("_pr")).as("_g"))
-      val upd = pranked.join(gmin, Seq("_r1"))
+      val upd = pranked
+        .withColumn("_g", min(col("_pr")).over(Window.partitionBy(col("_r1"))))
         .select(col("id"), col("pos"), col("_oldRank"),
           (col("_r1") + col("_pr") - col("_g")).as("rank"))
       val cls = reclassify(upd).localCheckpoint()
@@ -558,27 +568,38 @@ object SuffixArray {
     // pass: position = bucket rank + within-bucket offset
     val solo = sa.filter(col("resolved"))
       .select(col("id"), col("pos"), col("_cr").as("_seq"))
+    // within-bucket offset via ONE _cr-keyed window min over the tied rows
+    // (bounded by duplicated volume) instead of groupBy + join back
     val tiedRanked = globalMinRank(
       sa.filter(!col("resolved")).select(col("id"), col("pos"), col("_cr")),
       Seq(col("_cr"), col("id"), col("pos")))
       .withColumnRenamed("rank", "_pr")
-    val gmin = tiedRanked.groupBy(col("_cr")).agg(min(col("_pr")).as("_g"))
-    val tiedSeq = tiedRanked.join(gmin, Seq("_cr"))
+    val tiedSeq = tiedRanked
+      .withColumn("_g", min(col("_pr")).over(Window.partitionBy(col("_cr"))))
       .select(col("id"), col("pos"), (col("_cr") + col("_pr") - col("_g")).as("_seq"))
     val ordered = solo.unionByName(tiedSeq)
-    // per-suffix maxLcp-char remainder window (linear chunked extraction)
-    // + the doc length for the exhaustion test — slim columns only
-    val rems = seedPrefixRows(texts, maxLcp)
-      .withColumnRenamed("_pfx", "rem")
-    val lens = texts.select(col("id"), length(col("t")).cast("long").as("tlen"))
+    // per-suffix maxLcp-char remainder window (linear chunked extraction),
+    // carrying the doc length for the exhaustion test straight off the
+    // chunk rows — no separate `lens` relation, one join instead of two
+    val stride = chunkStride
+    val rems = chunkRows(texts, maxLcp)
+      .select(col("id"), col("c"), col("tlen"), col("chunk"),
+        explode(expr(
+          s"sequence(bigint(0), least(bigint(${stride - 1}), bigint(tlen) - c * $stride - 1))"))
+          .as("off"))
+      .select(col("id"),
+        (col("c") * stride + col("off")).as("pos"),
+        expr(s"substring(chunk, cast(off + 1 as int), $maxLcp)").as("rem"),
+        col("tlen").cast("long").as("tlen"))
     val rows = ordered
       .join(rems, Seq("id", "pos"))
-      .join(lens, Seq("id"))
     val a = rows.select(col("id").as("id_a"), col("pos").as("i"), col("_seq"),
       col("rem").as("ra"), col("tlen").as("la"))
     val b = rows.select(col("id").as("id_b"), col("pos").as("j"),
       (col("_seq") - 1L).as("_seq"), col("rem").as("rb"), col("tlen").as("lb"))
-    val pairs = a.join(b, Seq("_seq"))
+    // adjacent pairs meet on the unique _seq key: hash join (SHUFFLE_HASH)
+    // skips the sort a sort-merge join would pay on both corpus-sized sides
+    val pairs = a.join(b.hint("SHUFFLE_HASH"), Seq("_seq"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         least(col("la") - col("i"), col("lb") - col("j")).as("_shorter"),
