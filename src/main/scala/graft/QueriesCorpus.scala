@@ -1429,9 +1429,15 @@ object QueriesCorpus {
         graft.ops.Dedup.minhashLshPairs(kept1, "doc_id", "text",
           numHashes = 8, bands = 2),
         "id_a", "id_b")
+      // cross-action pin (the measured pin boundary): stage 5's
+      // temperatureMix runs a driver collect over the survivor chain —
+      // its own action — and the final query execution is another, so an
+      // unpinned kept2 re-runs the canonical join (and the CC assembly
+      // above it) once per action
       val kept2 = kept1.join(
         clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
         Seq("doc_id"))
+        .localCheckpoint(false)
       // stage 4: decontaminate against the eval slice (doc_id % 10 = 0) —
       // the benchmark is probed AS PUBLISHED (raw text), not re-wrapped in
       // the extraction carrier: a train doc embedding the benchmark's
@@ -1439,10 +1445,14 @@ object QueriesCorpus {
       // while unrelated docs don't inherit spurious carrier bigrams
       val evalSet = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"))
+      // same cross-action rule: unpinned, the whole shingle-containment
+      // decontamination pass re-runs for the mix collect AND the final
+      // action. Slim distinct train ids — bounded materialization.
       val contaminated = graft.ops.Decontaminate.ngramOverlap(
         kept2, "doc_id", "text", evalSet, "doc_id", "text",
         n = 2, threshold = 0.3)
         .select(col("train_id").as("doc_id")).distinct()
+        .localCheckpoint(false)
       val kept3 = kept2.join(contaminated, Seq("doc_id"), "left_anti")
       // stage 5: temperature mix over languages (α = 0.5)
       val kept4 = graft.ops.Sampling.temperatureMix(

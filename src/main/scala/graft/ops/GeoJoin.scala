@@ -96,8 +96,26 @@ object GeoJoin {
       .select(col("_pid"), col("_plat"), col("_plon"),
         normX(col("_tx") + col("_o.dx"), n).as("_jx"),
         clampY(col("_ty") + col("_o.dy"), n).as("_jy"))
-    val scored = probes
-      .join(c.hint("SHUFFLE_HASH"), Seq("_jx", "_jy"))
+    // The tile join is the compute-heavy/small-bytes shape AQE coalesces
+    // onto one task (slim coordinate rows in, a haversine per joined pair
+    // out) — measured 2.3× slower under coalescing at sf0.1. The
+    // editDistancePairs discipline: salt the probe side, replicate the
+    // (slim) candidate side across the salts, and repartition BOTH sides
+    // explicitly on the join's equi-keys so the partitioning survives AQE.
+    // Each (probe, cand) tile pair meets at exactly one salt, so results
+    // are unchanged; the salt never reaches the output, so murmur hash is
+    // fine (the md5 discipline binds result-affecting randomness only).
+    val salts = 32
+    val parallelism = points.sparkSession.sessionState.conf.numShufflePartitions
+    val probesS = probes
+      .withColumn("_salt", pmod(hash(col("_pid")), lit(salts)))
+      .repartition(parallelism, col("_jx"), col("_jy"), col("_salt"))
+    val candsS = c
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(parallelism, col("_jx"), col("_jy"), col("_salt"))
+      .hint("SHUFFLE_HASH")
+    val scored = probesS
+      .join(candsS, Seq("_jx", "_jy", "_salt"))
       .select(col("_pid"), col("_cid"),
         Functions.roundHalfUp(
           Functions.haversineFeet(
