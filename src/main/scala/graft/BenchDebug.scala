@@ -16,9 +16,14 @@ object BenchDebug {
         val n = df.count()
         println(f"[benchdbg] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
         // the POST-execution plan shows what AQE actually ran (reused
-        // stages, chosen join strategies) — the static explain does not
-        if (i == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN_EXECUTED"))
+        // stages, chosen join strategies) — the static explain does not.
+        // count() executes a SEPARATE aggregate plan, leaving df's own
+        // executedPlan un-finalized (isFinalPlan=false), so drive df's
+        // plan itself with a collect first (the PlanInvariantsSpec idiom)
+        if (i == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN_EXECUTED")) {
+          df.collect()
           println(df.queryExecution.executedPlan.toString)
+        }
       }
     }
     spark.stop()
