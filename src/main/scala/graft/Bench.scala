@@ -127,10 +127,23 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     println(summary)
+    // sidecar with the raw per-sweep samples (the full `line` above): the
+    // samples map triples the line length, and the driver's per-query
+    // comparison has parsed nothing for three rounds — keep the bulky form
+    // on disk for adjudication and keep stdout's FINAL line compact
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"bench: sidecar write failed: ${e.getMessage}") }
     spark.stop()
     // printed AGAIN after spark.stop(): executor-shutdown WARN chatter lands
     // between the prints and process exit, and a tail-reading harness can
     // otherwise lose the summary off the end of its capture window
     println(summary)
+    // the VERY LAST stdout line is the driver contract — the complete
+    // per-query minima in ONE compact JSON object (metric/value/unit/
+    // queries/failed/sf, no samples), printed after spark.stop() so no
+    // executor-shutdown chatter can land after it
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }

@@ -19,9 +19,11 @@ object BenchDebug {
         // stages, chosen join strategies) — the static explain does not.
         // count() executes a SEPARATE aggregate plan, leaving df's own
         // executedPlan un-finalized (isFinalPlan=false), so drive df's
-        // plan itself with a collect first (the PlanInvariantsSpec idiom)
+        // OWN plan first — via the noop sink, which computes every column
+        // of every row without pulling the result to the driver (a
+        // collect() here could OOM the driver on a large-result query)
         if (i == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN_EXECUTED")) {
-          df.collect()
+          df.write.format("noop").mode("overwrite").save()
           println(df.queryExecution.executedPlan.toString)
         }
       }
