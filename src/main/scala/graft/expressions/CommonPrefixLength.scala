@@ -1,8 +1,8 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Length (in characters / code points) of the longest common prefix of two
@@ -24,10 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `cap <= 0` returns 0 (the old `when(m <= 0, 0)` guard, folded in).
   */
 case class CommonPrefixLength(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "common_prefix_len"
+
+  // pin the cap to LongType at analysis time: without this, an IntegerType
+  // cap would ClassCastException in interpreted eval (cap.asInstanceOf[Long])
+  // while silently working under codegen (Java int→long widening) — the two
+  // eval paths must agree, and an implicit cast makes both exact
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, LongType)
 
   override protected def nullSafeEval(a: Any, b: Any, cap: Any): Any =
     CommonPrefixLength.lcpUTF8(

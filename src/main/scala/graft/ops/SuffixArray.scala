@@ -181,78 +181,29 @@ object SuffixArray {
     * Reference analog: none (training-data extension).
     */
   def ranksGlobal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df
-      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
-        length(col(textCol)) > 0)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-    val maxLenRow = base.agg(max(length(col("t")))).head()
-    val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
-    val seedK = 128
-    // tie-group sizes → resolved flag, as ONE rank-keyed window count
-    // (unbounded frame, no ordering) instead of the old groupBy + join
-    // back — one exchange instead of an aggregate exchange plus a
-    // full-table join; AQE skew-split still applies to the exchange (a
-    // pathological all-one-char document is one huge tie group)
-    def withResolved(r: DataFrame): DataFrame =
-      r.withColumn("_n", count(lit(1)).over(Window.partitionBy(col("rank"))))
-        .withColumn("resolved", col("_n") === 1L)
-        .drop("_n")
-    var rows = withResolved(
-      globalMinRank(seedPrefixRows(base, seedK), Seq(col("id"), col("_pfx")),
+    val base = corpusBase(df, idCol, textCol)
+    val maxLen = maxDocLen(base)
+    // seed keyed (id, prefix) — doc-contiguous rank blocks — then the SAME
+    // doubling loop as the corpus-grain variant ([[resolveLoop]], which this
+    // method previously duplicated inline with one costly difference: the
+    // inline loop re-materialized the ENTIRE row set per round via
+    // `resolved ∪ updated → localCheckpoint`, while resolveLoop accumulates
+    // frozen rows as already-materialized parts and checkpoints only the
+    // SHRINKING pending set — per-round write volume tracks the tie
+    // footprint, not the corpus (the r11/r14 lesson, guide §5)
+    val rows = classifyFresh(
+      globalMinRank(seedPrefixRows(base, corpusSeedK), Seq(col("id"), col("_pfx")),
         dropBeforeCheckpoint = Seq("_pfx"))
-        .drop("_pfx"))
+        .withColumn("_oldRank", lit(null).cast("long")))
       .localCheckpoint()
-    var k = seedK
-    var pending = rows.filter(!col("resolved")).count()
-    while (k < maxLen && pending > 0) {
-      val pend = rows.filter(!col("resolved"))
-        .select(col("id"), col("pos"), col("rank").as("_r1"))
-      // the lead(k) of the windowed variant as a keyed SELF-JOIN against
-      // ALL rows (frozen ranks are valid order keys); the right side's
-      // keys are freshly-aliased attributes so the self-join can never
-      // silently resolve both sides to the same expression id. Semi-pruned
-      // to the (id, pos+k) keys pending rows actually look at — the driver
-      // knows the pending count, so below ~1M keys the prune broadcasts
-      // explicitly and the corpus side never shuffle-writes; late rounds
-      // never re-shuffle the whole corpus for a residual tie set
-      val pendKeys = rows.filter(!col("resolved"))
-        .select(col("id").as("kid"), (col("pos") + k).as("kpos"))
-      val keysB = if (pending <= 1000000L) broadcast(pendKeys) else pendKeys
-      val ahead = rows
-        .select(col("id").as("rid"), col("pos").as("rpos"), col("rank").as("r2"))
-        .join(keysB, col("rid") === col("kid") && col("rpos") === col("kpos"),
-          "left_semi")
-        .select(col("rid"), (col("rpos") - k).as("rpos"), col("r2"))
-      val paired = pend
-        .join(ahead, col("id") === col("rid") && col("pos") === col("rpos"), "left")
-        .select(col("id"), col("pos"), col("_r1"),
-          coalesce(col("r2"), lit(-1L)).as("r2"))
-      // min-rank among pending rows by (old rank, r2); subtracting the
-      // group's first position turns it into the WITHIN-group offset —
-      // every tie group is wholly pending (a size->1 group froze already),
-      // so ranking pending rows only is exact
-      // the group's first position via ONE _r1-keyed window min instead of
-      // the old groupBy + join back (one exchange, pranked planned once)
-      val pranked = globalMinRank(paired, Seq(col("_r1"), col("r2")))
-        .withColumnRenamed("rank", "_pr")
-      val upd = pranked
-        .withColumn("_g", min(col("_pr")).over(Window.partitionBy(col("_r1"))))
-        .select(col("id"), col("pos"), (col("_r1") + col("_pr") - col("_g")).as("rank"))
-      rows = rows.filter(col("resolved"))
-        .unionByName(withResolved(upd))
-        .localCheckpoint()
-      pending = rows.filter(!col("resolved")).count()
-      if (sys.env.contains("GRAFT_SA_DEBUG"))
-        println(s"[sa] round k=$k -> pending=$pending")
-      k *= 2
-    }
+    val resolved = resolveLoop(rows, maxLen, Int.MaxValue, classifyFresh)
     // the final per-doc renumber stays the one-row-per-doc aggregate +
     // id-keyed join back (NOT an id-partitioned window): the join probe
     // side is AQE-skew-splittable, which is this variant's whole giant-doc
     // contract (sa_skew probe) — a window would serialize the giant doc's
     // block into one task
-    val mins = rows.groupBy(col("id")).agg(min(col("rank")).as("_m"))
-    rows.join(mins, Seq("id"))
+    val mins = resolved.groupBy(col("id")).agg(min(col("rank")).as("_m"))
+    resolved.join(mins, Seq("id"))
       .select(col("id").as(idCol), col("pos"),
         (col("rank") - col("_m") + 1L).as("sa_rank"))
   }
@@ -330,8 +281,15 @@ object SuffixArray {
 
   /** Bucket-size-1 ⇒ resolved — a singleton min-rank bucket's rank IS its
     * final global position. One rank-keyed window count (unbounded frame)
-    * replaces the old groupBy + full-table join back: a single exchange,
-    * still AQE-skew-splittable.
+    * replaces the old groupBy + full-table join back: a single exchange.
+    * NOTE the skew trade this makes: AQE's OptimizeSkewedJoin splits JOIN
+    * exchanges only, never window partitions, so one pathological tie
+    * group (an all-one-char giant document) lands in a single WindowExec
+    * task, buffered/spilled. The sa_skew ScaleProbe gates exactly that
+    * shape (giant-doc ratio ≤ 2): the rank windows sit over the PENDING
+    * set, whose giant-doc ties shrink per round, which is why the probe
+    * passes — if it ever trips, the fallback is the old aggregate + join
+    * shape for this step.
     */
   private def withResolved(r: DataFrame): DataFrame =
     r.withColumn("_n", count(lit(1)).over(Window.partitionBy(col("rank"))))
@@ -500,6 +458,7 @@ object SuffixArray {
       textCol: String,
       maxLcp: Int = 64): DataFrame = {
     require(maxLcp >= 1, s"maxLcp must be >= 1, got $maxLcp")
+    if (maxLcp < corpusSeedK) return crossDocRepeatFused(df, idCol, textCol, maxLcp)
     // cap-aware ranking: this consumer truncates every LCP report at
     // maxLcp, so bucket refinement past that prefix length is
     // unobservable (see corpusRanksResolved) — for the default 64-char
@@ -509,6 +468,65 @@ object SuffixArray {
       .select(col(idCol).cast("long").as("id"), col("pos"),
         col("corpus_rank").as("_cr"), col("resolved"))
     crossDocRepeatTail(df, sa, idCol, textCol, maxLcp)
+  }
+
+  /** The cap-below-seed fast path of [[crossDocRepeat]]: when
+    * `maxLcp + 1 <= corpusSeedK`, every byte the capped LCP compare (and
+    * the `capped` exhaustion test) can touch already sits inside the
+    * 128-char seed prefix — so the remainder window is `substring(_pfx, 1,
+    * maxLcp+1)`, carried THROUGH the rank exchange instead of re-derived
+    * by a second corpus-wide chunk-extraction pass plus an (id, pos) join
+    * back (guide §2.4: content rides the one exchange the op pays anyway).
+    * The +1 char distinguishes "suffix ends exactly at the cap" from
+    * "extends past it": `length(_rem) == maxLcp+1  ⇔  suffix_len > maxLcp`,
+    * which is exactly the old `_shorter > maxLcp` test.
+    *
+    * Total order in ONE rank pass: ranking by `(_pfx, id, pos)` directly
+    * yields bucket-major order with (id, pos) tie-breaks — precisely the
+    * order the resolved/tied split assembled in two passes (solo rows kept
+    * their bucket min-rank = global position; tied rows added a
+    * (id, pos)-ordered within-bucket offset) — and since every (id, pos)
+    * is distinct, the rank IS the dense global position. The split, the
+    * tie-group window count, the second rank pass, and the union all
+    * collapse into the seed pass with two extra (already-present) sort
+    * key columns.
+    */
+  private def crossDocRepeatFused(
+      df: DataFrame, idCol: String, textCol: String, maxLcp: Int): DataFrame = {
+    val base = corpusBase(df, idCol, textCol)
+    val seed = seedPrefixRows(base, corpusSeedK)
+      .withColumn("_rem", substring(col("_pfx"), 1, maxLcp + 1))
+    // _pfx AND pos are rank keys no consumer reads afterwards — dropped
+    // before the checkpoint so it materializes slim (id, _rem, rank) rows
+    val ordered = globalMinRank(seed, Seq(col("_pfx"), col("id"), col("pos")),
+      dropBeforeCheckpoint = Seq("_pfx", "pos"))
+      .withColumnRenamed("rank", "_seq")
+    val a = ordered.select(col("id").as("id_a"), col("_seq"), col("_rem").as("ra"))
+    val b = ordered.select(col("id").as("id_b"), (col("_seq") - 1L).as("_seq"),
+      col("_rem").as("rb"))
+    // adjacent pairs meet on the unique _seq key: hash join (SHUFFLE_HASH)
+    // skips the sort a sort-merge join would pay on both corpus-sized sides
+    val pairs = a.join(b.hint("SHUFFLE_HASH"), Seq("_seq"))
+      .filter(col("id_a") =!= col("id_b"))
+    val la = length(col("ra")).cast("long") // = min(suffix_len, maxLcp+1)
+    val lb = length(col("rb")).cast("long")
+    val m = least(la, lb, lit(maxLcp.toLong))
+    val lcp = graft.Functions.commonPrefixLen(col("ra"), col("rb"), m)
+    val scored = pairs.select(col("id_a"), col("id_b"),
+      lcp.as("_l"),
+      when(lcp === maxLcp.toLong &&
+        la === (maxLcp + 1).toLong && lb === (maxLcp + 1).toLong, 1L)
+        .otherwise(0L).as("_cap"))
+    val bothSides = scored.select(col("id_a").as("id"), col("_l"), col("_cap"))
+      .unionByName(scored.select(col("id_b").as("id"), col("_l"), col("_cap")))
+    base.select(col("id"))
+      .join(
+        bothSides.groupBy(col("id"))
+          .agg(max(col("_l")).as("_ml"), max(col("_cap")).as("_mc")),
+        Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("_ml"), lit(0L)).as("xdoc_len"),
+        (coalesce(col("_mc"), lit(0L)) === 1L).as("capped"))
   }
 
   /** [[crossDocRepeat]] over PRECOMPUTED corpus ranks — the artifact
