@@ -763,6 +763,70 @@ object ScaleProbe {
       println(f"[scaleprobe] sa_skew e2e_curate uniform: $eu%6.2fs  skewed: $es%6.2fs  ratio: ${es / eu}%5.2f (gate: <= 2)")
     }
 
+    // --- HOT-WINDOW-KEY probe for the cross-doc duplicate test (r15,
+    // VERDICT r14 what's-wrong #2) -- sa_skew covers giant DOCUMENTS; this
+    // covers the other axis: one window CONTENT repeated across ~50k
+    // documents (cookie banners, license headers — exactly what dup-heavy
+    // corpora contain), which lands every one of that window's (id, pos)
+    // rows on ONE key of the minDocs=2 cross-doc test. hot = 50k docs
+    // sharing a 40-char boilerplate prefix (11 hot 30-char window keys ×
+    // 50k rows each) + a unique 64-char tail; uniform = the same doc
+    // count/volume with fully unique text. The gate bounds hot/uniform:
+    // the hot corpus does strictly more honest work (550k surviving
+    // positions flow through pass 2 and the island merge; the uniform
+    // corpus's survivor set is EMPTY), so the gate is 3, not 2 — what it
+    // must catch is the serialize-the-key cliff (window-shape sort+buffer
+    // of 50k-row groups in single tasks). The GATED run forces the
+    // above-threshold aggregate + co-partitioned join-back shape (the one
+    // 100 TB inputs take — SizeAdaptive conf = 0); the default-shape
+    // (window min/max) run is printed as evidence alongside it.
+    if (only.forall(_.contains("sa_hotkey"))) {
+      import spark.implicits._
+      val nDocs = 50000L
+      val boiler = "Accept cookies to browse site va" // 32 chars + space joins
+      val hotDir = "/tmp/graft_hotkey_hot"
+      val uniDir = "/tmp/graft_hotkey_uni"
+      if (!new java.io.File(s"$hotDir/_SUCCESS").exists()) {
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          concat(lit(boiler + " "), sha2(col("id").cast("string"), 256)).as("text"))
+          .repartition(32).write.mode("overwrite").parquet(hotDir)
+        // uniform twin: same doc count, ~same char volume AND ~same token
+        // count per doc (spaces every 12 chars — the token-grain probe
+        // needs a comparable window volume, not a 2-token hash blob)
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          regexp_replace(
+            concat(sha2((col("id") + nDocs).cast("string"), 256).substr(1, 32),
+              sha2(col("id").cast("string"), 256)),
+            "(.{12})", "$1 ").as("text"))
+          .repartition(32).write.mode("overwrite").parquet(uniDir)
+        println(s"[scaleprobe] built hot-key corpora ($nDocs docs) at $hotDir / $uniDir")
+      }
+      def charAt(d: String) = graft.ops.SuffixArray.crossDocSpans(
+        spark.read.parquet(d), "doc_id", "text", minLen = 30).count()
+      def tokenAt(d: String) = graft.ops.Dedup.repeatedSpansExact(
+        spark.read.parquet(d), "doc_id", "text", minMatchTokens = 4, minDocs = 2).count()
+      charAt(uniDir) // warm
+      // default shape below the SizeAdaptive threshold: window min/max
+      val (chuW, _) = (1 to 2).map(_ => time(charAt(uniDir))).minBy(_._1)
+      val (chhW, _) = (1 to 2).map(_ => time(charAt(hotDir))).minBy(_._1)
+      val (touW, _) = (1 to 2).map(_ => time(tokenAt(uniDir))).minBy(_._1)
+      val (tohW, _) = (1 to 2).map(_ => time(tokenAt(hotDir))).minBy(_._1)
+      println(f"[scaleprobe] sa_hotkey [window shape, local default] crossDocSpans(char) uniform: $chuW%6.2fs  hot: $chhW%6.2fs  ratio: ${chhW / chuW}%5.2f (evidence)")
+      println(f"[scaleprobe] sa_hotkey [window shape, local default] repeatedSpansExact(token) uniform: $touW%6.2fs  hot: $tohW%6.2fs  ratio: ${tohW / touW}%5.2f (evidence)")
+      // gated run: force the above-threshold aggregate + co-partitioned
+      // join-back shape — the one a 100 TB input would take
+      spark.conf.set(graft.ops.SizeAdaptive.ConfKey, "0")
+      try {
+        charAt(uniDir) // re-warm under the scale shape
+        val (chu, _) = (1 to 2).map(_ => time(charAt(uniDir))).minBy(_._1)
+        val (chh, nh) = (1 to 2).map(_ => time(charAt(hotDir))).minBy(_._1)
+        val (tou, _) = (1 to 2).map(_ => time(tokenAt(uniDir))).minBy(_._1)
+        val (toh, nt) = (1 to 2).map(_ => time(tokenAt(hotDir))).minBy(_._1)
+        println(f"[scaleprobe] sa_hotkey [aggregate shape, at-scale] crossDocSpans(char) uniform: $chu%6.2fs  hot: $chh%6.2fs ($nh rows)  ratio: ${chh / chu}%5.2f (gate: <= 3)")
+        println(f"[scaleprobe] sa_hotkey [aggregate shape, at-scale] repeatedSpansExact(token) uniform: $tou%6.2fs  hot: $toh%6.2fs ($nt rows)  ratio: ${toh / tou}%5.2f (gate: <= 3)")
+      } finally spark.conf.unset(graft.ops.SizeAdaptive.ConfKey)
+    }
+
     // --- incremental corpus-SA append probe (round-11, VERDICT r10 #3) --
     // history with heavy, DEEP internal duplication: 100 base docs, each
     // its text repeated 4x (~2,200 chars — within-doc ties resolve only at

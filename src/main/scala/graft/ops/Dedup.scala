@@ -79,26 +79,52 @@ object Dedup {
     crossDocKeys(wins, "win_hash", idCol, minDocs)
 
   /** `rows` filtered to keys occurring in at least `minDocs` distinct
-    * documents — the [[crossDocKeys]] test fused into the row stream as a
-    * key-partitioned window min/max, so the (corpus-sized, compute-heavy)
-    * window-extraction subtree is computed ONCE: the old aggregate +
-    * join-back shape planned the extraction TWICE (once per join side —
-    * executed-plan audited) and broadcast the duplicated-key set, whose
-    * size is unbounded in exactly the corpora this family exists for.
-    * One keyed exchange; the dominant aggregate+join exchange volume
-    * (every (key, id) row) was the same. `minDocs > 2` keeps the
-    * aggregate shape: a distinct-count window would hold per-key id sets
-    * in memory, which the two-phase aggregate deliberately avoids.
+    * documents. For `minDocs == 2` the shape is size-adaptive: `large` is
+    * [[SizeAdaptive.isLarge]] of the op's SOURCE relation (the document
+    * table — parquet-backed, so its stats are honest; the exploded
+    * window/content streams fed here carry Catalyst explode-multiplied
+    * estimates that read ~30 GB at sf0.1 and would flip the gate locally):
+    *
+    *  - BELOW the threshold (every local bench/oracle run): the r14
+    *    key-partitioned window min/max — one keyed exchange, one pass, the
+    *    (corpus-sized, compute-heavy) window-extraction subtree planned
+    *    ONCE. Measured fastest locally (the join-back shape costs +0.3-0.8s
+    *    on q_dd_spans/q_sa_crossdoc_spans at sf0.1).
+    *  - ABOVE it: a min/max aggregate + co-partitioned SHUFFLE_HASH
+    *    join-back over ONE explicit key exchange shared by both sides —
+    *    extraction still planned once (ReuseExchange), the duplicated-key
+    *    set never broadcasts, and a HOT key (one window content repeated
+    *    across ~10^5 documents — cookie banners, license headers) streams
+    *    through a constant-state HashAggregate and a hash-join probe
+    *    instead of serializing into one WindowExec task's sort+buffer:
+    *    window partitions are not AQE-skew-splittable. The sa_hotkey
+    *    ScaleProbe gates this shape.
+    *
+    * `minDocs > 2` keeps the plain aggregate shape: a distinct-count window
+    * would hold per-key id sets in memory, which the two-phase aggregate
+    * deliberately avoids.
     */
   private def filterCrossDoc(
-      rows: DataFrame, keyCol: String, idCol: String, minDocs: Int): DataFrame =
+      rows: DataFrame, keyCol: String, idCol: String, minDocs: Int,
+      large: Boolean): DataFrame =
     if (minDocs == 2) {
-      val w = Window.partitionBy(col(keyCol))
-      rows
-        .withColumn("_lo", min(col(idCol)).over(w))
-        .withColumn("_hi", max(col(idCol)).over(w))
-        .filter(col("_lo") =!= col("_hi"))
-        .drop("_lo", "_hi")
+      if (large) {
+        val nPart = rows.sparkSession.sessionState.conf.numShufflePartitions
+        val keyed = rows.repartition(nPart, col(keyCol))
+        val dup = keyed.groupBy(col(keyCol))
+          .agg(min(col(idCol)).as("_lo"), max(col(idCol)).as("_hi"))
+          .filter(col("_lo") =!= col("_hi"))
+          .select(col(keyCol))
+        keyed.join(dup.hint("SHUFFLE_HASH"), Seq(keyCol))
+          .select(rows.columns.map(col).toIndexedSeq: _*)
+      } else {
+        val w = Window.partitionBy(col(keyCol))
+        rows
+          .withColumn("_lo", min(col(idCol)).over(w))
+          .withColumn("_hi", max(col(idCol)).over(w))
+          .filter(col("_lo") =!= col("_hi"))
+          .drop("_lo", "_hi")
+      }
     } else
       rows.join(crossDocKeys(rows, keyCol, idCol, minDocs), keyCol)
 

@@ -387,10 +387,14 @@ object Preference {
       ratersPerItem: Int): DataFrame = {
     require(ratersPerItem >= 2, s"ratersPerItem must be >= 2, got $ratersPerItem")
     val nInt = ratersPerItem.toLong
-    val rated = df
+    // size-adaptive pin (SizeAdaptive): rated feeds the complete-panel
+    // filter AND the cell counts — above the threshold the input stream is
+    // read once instead of once per surviving leaf scan; below it (all
+    // local runs) the unpinned shape stays, which measured faster
+    val rated = SizeAdaptive.pinIfLarge(df
       .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(itemCol).as("_item"), col(raterCol).as("_rater"))
-      .agg(max(col(labelCol)).as("_label"))
+      .agg(max(col(labelCol)).as("_label")))
     val complete = rated
       .groupBy(col("_item"))
       .agg(count(lit(1)).as("_nr"))
@@ -457,7 +461,10 @@ object Preference {
       .filter(col(itemCol).isNotNull && col(raterCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(itemCol).as("_item"), col(raterCol).as("_rater"))
       .agg(max(col(labelCol)).as("_label"))
-    val g = rated.groupBy(col("_item"), col("_label")).agg(count(lit(1)).as("_nic"))
+    // size-adaptive pin: g is the op's fan-out point (per-item totals AND
+    // the margins semi-join re-derive it); bounded by items × labels
+    val g = SizeAdaptive.pinIfLarge(
+      rated.groupBy(col("_item"), col("_label")).agg(count(lit(1)).as("_nic")))
     val ni = g.groupBy(col("_item"))
       .agg(sum(col("_nic")).as("_ni"), sum(col("_nic") * col("_nic")).as("_s2"))
     val pairable = ni.filter(col("_ni") >= 2L)

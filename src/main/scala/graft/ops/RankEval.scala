@@ -621,11 +621,14 @@ object RankEval {
       itemCol: String,
       systemCol: String,
       correctCol: String): DataFrame = {
-    val rated = df
+    // size-adaptive pin (SizeAdaptive): rated fans out to the panel-size
+    // probe, the per-item totals and the per-system semi-join — one input
+    // pass instead of three once the relation's estimate crosses the gate
+    val rated = graft.ops.SizeAdaptive.pinIfLarge(df
       .filter(col(itemCol).isNotNull && col(systemCol).isNotNull &&
         col(correctCol).isNotNull)
       .groupBy(col(itemCol).as("_item"), col(systemCol).as("_sys"))
-      .agg(max(when(col(correctCol).cast("boolean"), 1L).otherwise(0L)).as("_c"))
+      .agg(max(when(col(correctCol).cast("boolean"), 1L).otherwise(0L)).as("_c")))
     val kRow = rated.agg(countDistinct(col("_sys")).as("k"))
     val perItem = rated.groupBy(col("_item"))
       .agg(count(lit(1)).as("_nr"), sum(col("_c")).as("_li"))

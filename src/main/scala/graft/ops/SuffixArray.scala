@@ -687,23 +687,42 @@ object SuffixArray {
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) >= minLen)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-    // cross-doc test fused into the row stream as a key-partitioned window
-    // min/max (the Dedup.filterCrossDoc shape): ONE keyed exchange, and the
-    // compute-heavy extraction subtree under it is planned ONCE — the old
-    // aggregate + broadcast-join-back planned that subtree twice per pass
-    // (executed-plan audited: the chunk/window explode appeared six times
-    // in this query's plan) and broadcast the duplicated-key set, unbounded
-    // in exactly the duplication-heavy corpora this operator exists for.
-    // minDocs > 2 keeps the aggregate shape (a distinct-count window would
-    // hold per-key id sets in memory).
+    // size-adaptive cross-doc test (graft.ops.SizeAdaptive.isLarge; the
+    // same local-vs-scale boundary as Dedup.filterCrossDoc, measured there):
+    //  - below the threshold (all local runs): the r14 key-partitioned
+    //    window min/max — one keyed exchange, one pass, the compute-heavy
+    //    extraction subtree planned ONCE (the pre-r14 broadcast-join-back
+    //    planned it per join side: the chunk/window explode appeared six
+    //    times in this query's plan).
+    //  - above it: min/max aggregate + co-partitioned SHUFFLE_HASH
+    //    join-back over ONE explicit key exchange shared by both sides —
+    //    extraction still planned once (ReuseExchange), the duplicated-key
+    //    set never broadcasts, and a HOT key (one window content repeated
+    //    across ~10^5 documents) streams through a constant-state
+    //    HashAggregate and a hash-join probe instead of serializing into
+    //    one WindowExec task's sort+buffer (window partitions are not
+    //    AQE-skew-splittable). The sa_hotkey ScaleProbe gates this shape.
+    // minDocs > 2 keeps the plain aggregate shape (a distinct-count window
+    // would hold per-key id sets in memory).
     def crossDocFiltered(rows: DataFrame, keyCol: String): DataFrame =
       if (minDocs == 2) {
-        val w = Window.partitionBy(col(keyCol))
-        rows
-          .withColumn("_lo", min(col("id")).over(w))
-          .withColumn("_hi", max(col("id")).over(w))
-          .filter(col("_lo") =!= col("_hi"))
-          .select(col("id"), col("pos"))
+        if (graft.ops.SizeAdaptive.isLarge(rows)) {
+          val nPart = rows.sparkSession.sessionState.conf.numShufflePartitions
+          val keyed = rows.repartition(nPart, col(keyCol))
+          val dup = keyed.groupBy(col(keyCol))
+            .agg(min(col("id")).as("_lo"), max(col("id")).as("_hi"))
+            .filter(col("_lo") =!= col("_hi"))
+            .select(col(keyCol))
+          keyed.join(dup.hint("SHUFFLE_HASH"), Seq(keyCol))
+            .select(col("id"), col("pos"))
+        } else {
+          val w = Window.partitionBy(col(keyCol))
+          rows
+            .withColumn("_lo", min(col("id")).over(w))
+            .withColumn("_hi", max(col("id")).over(w))
+            .filter(col("_lo") =!= col("_hi"))
+            .select(col("id"), col("pos"))
+        }
       } else
         rows.join(
           rows.groupBy(col(keyCol))
